@@ -1,0 +1,134 @@
+package graft.spec
+
+import org.apache.spark.sql.types._
+
+/** Iceberg type system (spec v2 subset + v3 gating).
+  *
+  * Mirrors the semantics of /root/reference/crates/iceberg/src/spec/
+  * datatypes.rs:84-299 (Type/PrimitiveType enums) re-expressed as a Scala
+  * ADT with Spark `DataType` conversion. Field-id addressing lives in
+  * [[IcebergSchema]].
+  */
+sealed trait IcebergType {
+  def isPrimitive: Boolean = this.isInstanceOf[PrimitiveIcebergType]
+  /** JSON representation: string for primitives, object for nested. */
+  def jsonName: String
+}
+
+sealed trait PrimitiveIcebergType extends IcebergType
+
+object IcebergType {
+  case object BooleanT extends PrimitiveIcebergType { val jsonName = "boolean" }
+  case object IntT extends PrimitiveIcebergType { val jsonName = "int" }
+  case object LongT extends PrimitiveIcebergType { val jsonName = "long" }
+  case object FloatT extends PrimitiveIcebergType { val jsonName = "float" }
+  case object DoubleT extends PrimitiveIcebergType { val jsonName = "double" }
+  final case class DecimalT(precision: Int, scale: Int) extends PrimitiveIcebergType {
+    require(precision <= 38, s"decimals with precision larger than 38 are not supported: $precision")
+    val jsonName = s"decimal($precision, $scale)"
+  }
+  case object DateT extends PrimitiveIcebergType { val jsonName = "date" }
+  /** µs since midnight, stored as long. */
+  case object TimeT extends PrimitiveIcebergType { val jsonName = "time" }
+  /** µs since epoch, no zone. */
+  case object TimestampT extends PrimitiveIcebergType { val jsonName = "timestamp" }
+  /** µs since epoch, UTC-adjusted. */
+  case object TimestamptzT extends PrimitiveIcebergType { val jsonName = "timestamptz" }
+  case object StringT extends PrimitiveIcebergType { val jsonName = "string" }
+  case object UuidT extends PrimitiveIcebergType { val jsonName = "uuid" }
+  final case class FixedT(length: Int) extends PrimitiveIcebergType {
+    val jsonName = s"fixed[$length]"
+  }
+  case object BinaryT extends PrimitiveIcebergType { val jsonName = "binary" }
+
+  final case class StructT(fields: Seq[NestedField]) extends IcebergType {
+    val jsonName = "struct"
+    def fieldById(id: Int): Option[NestedField] = fields.find(_.id == id)
+  }
+  final case class ListT(elementId: Int, element: IcebergType, elementRequired: Boolean)
+      extends IcebergType { val jsonName = "list" }
+  final case class MapT(keyId: Int, key: IcebergType, valueId: Int, value: IcebergType,
+      valueRequired: Boolean) extends IcebergType { val jsonName = "map" }
+
+  private val DecimalRe = """decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r
+  private val FixedRe = """fixed\[(\d+)\]""".r
+
+  def parsePrimitive(s: String): PrimitiveIcebergType = s match {
+    case "boolean" => BooleanT
+    case "int" => IntT
+    case "long" => LongT
+    case "float" => FloatT
+    case "double" => DoubleT
+    case "date" => DateT
+    case "time" => TimeT
+    case "timestamp" => TimestampT
+    case "timestamptz" => TimestamptzT
+    case "string" => StringT
+    case "uuid" => UuidT
+    case "binary" => BinaryT
+    case DecimalRe(p, sc) => DecimalT(p.toInt, sc.toInt)
+    case FixedRe(l) => FixedT(l.toInt)
+    case other => throw new IllegalArgumentException(s"unknown primitive type: $other")
+  }
+
+  /** Iceberg → Spark type (SURVEY.md §1.3 mapping). Field-id metadata is
+    * attached at the schema level. */
+  def toSpark(t: IcebergType): DataType = t match {
+    case BooleanT => BooleanType
+    case IntT => IntegerType
+    case LongT => LongType
+    case FloatT => FloatType
+    case DoubleT => DoubleType
+    case DecimalT(p, s) => DecimalType(p, s)
+    case DateT => DateType
+    case TimeT => LongType // µs since midnight + metadata tag
+    case TimestampT => TimestampNTZType
+    case TimestamptzT => TimestampType
+    case StringT => StringType
+    case UuidT => StringType // canonical form
+    case FixedT(_) => BinaryType
+    case BinaryT => BinaryType
+    case StructT(fields) =>
+      StructType(fields.map(f => StructField(f.name, toSpark(f.fieldType), nullable = !f.required,
+        metadata = new MetadataBuilder().putLong(IcebergSchema.FieldIdKey, f.id.toLong).build())))
+    case ListT(_, elem, elemRequired) => ArrayType(toSpark(elem), containsNull = !elemRequired)
+    case MapT(_, k, _, v, vRequired) => MapType(toSpark(k), toSpark(v), valueContainsNull = !vRequired)
+  }
+
+  /** Spark → Iceberg, assigning fresh field ids via the supplied counter.
+    * Used when creating a table from an existing DataFrame schema. */
+  def fromSpark(dt: DataType, nextId: () => Int): IcebergType = dt match {
+    case BooleanType => BooleanT
+    case ByteType | ShortType | IntegerType => IntT
+    case LongType => LongT
+    case FloatType => FloatT
+    case DoubleType => DoubleT
+    case d: DecimalType => DecimalT(d.precision, d.scale)
+    case DateType => DateT
+    case TimestampNTZType => TimestampT
+    case TimestampType => TimestamptzT
+    case StringType => StringT
+    case BinaryType => BinaryT
+    case st: StructType =>
+      StructT(st.fields.toSeq.map { f =>
+        val id = nextId()
+        NestedField(id, f.name, fromSpark(f.dataType, nextId), required = !f.nullable)
+      })
+    case ArrayType(elem, containsNull) =>
+      val id = nextId()
+      ListT(id, fromSpark(elem, nextId), elementRequired = !containsNull)
+    case MapType(k, v, valueContainsNull) =>
+      val kid = nextId()
+      val vid = nextId()
+      MapT(kid, fromSpark(k, nextId), vid, fromSpark(v, nextId), valueRequired = !valueContainsNull)
+    case other => throw new IllegalArgumentException(s"unsupported Spark type for Iceberg: $other")
+  }
+}
+
+/** One named, id-addressed field (datatypes.rs:561 NestedField). */
+final case class NestedField(
+    id: Int,
+    name: String,
+    fieldType: IcebergType,
+    required: Boolean,
+    doc: Option[String] = None)

@@ -1,0 +1,184 @@
+package graft.spec
+
+import com.fasterxml.jackson.databind.JsonNode
+import com.fasterxml.jackson.databind.node.ObjectNode
+import Json._
+
+/** Snapshot of the table at a commit (spec/snapshot.rs:87). */
+final case class Snapshot(
+    snapshotId: Long,
+    parentSnapshotId: Option[Long],
+    sequenceNumber: Long,
+    timestampMs: Long,
+    manifestList: String,
+    operation: String, // append | replace | overwrite | delete (snapshot.rs:40-60)
+    summary: Map[String, String],
+    schemaId: Option[Int]) {
+
+  def toJson: ObjectNode = {
+    val o = obj()
+    o.put("snapshot-id", snapshotId)
+    parentSnapshotId.foreach(o.put("parent-snapshot-id", _))
+    o.put("sequence-number", sequenceNumber)
+    o.put("timestamp-ms", timestampMs)
+    val s = obj()
+    s.put("operation", operation)
+    summary.toSeq.sortBy(_._1).foreach { case (k, v) => s.put(k, v) }
+    o.set[ObjectNode]("summary", s)
+    o.put("manifest-list", manifestList)
+    schemaId.foreach(o.put("schema-id", _))
+    o
+  }
+}
+
+object Snapshot {
+  def fromJson(n: JsonNode): Snapshot = {
+    val summary = n.opt("summary").map(_.fieldsMap.map { case (k, v) => k -> v.asText() })
+      .getOrElse(Map.empty)
+    Snapshot(
+      snapshotId = n("snapshot-id").asLong(),
+      parentSnapshotId = n.opt("parent-snapshot-id").map(_.asLong()),
+      sequenceNumber = n.opt("sequence-number").map(_.asLong()).getOrElse(0L),
+      timestampMs = n("timestamp-ms").asLong(),
+      manifestList = n("manifest-list").asText(),
+      operation = summary.getOrElse("operation", "append"),
+      summary = summary - "operation",
+      schemaId = n.opt("schema-id").map(_.asInt()))
+  }
+}
+
+/** The immutable table-metadata tree (spec/table_metadata.rs:69), format V2.
+  *
+  * Serialized as `<version>.metadata.json`; commit = atomic swap of the
+  * current-version pointer (Hadoop catalog: version-hint.text + rename).
+  */
+final case class TableMetadata(
+    formatVersion: Int,
+    tableUuid: String,
+    location: String,
+    lastSequenceNumber: Long,
+    lastUpdatedMs: Long,
+    lastColumnId: Int,
+    schemas: Seq[IcebergSchema],
+    currentSchemaId: Int,
+    partitionSpecs: Seq[PartitionSpec],
+    defaultSpecId: Int,
+    lastPartitionId: Int,
+    sortOrders: Seq[SortOrder],
+    defaultSortOrderId: Int,
+    properties: Map[String, String],
+    currentSnapshotId: Option[Long],
+    snapshots: Seq[Snapshot],
+    snapshotLog: Seq[(Long, Long)], // (snapshotId, timestampMs)
+    metadataLog: Seq[(String, Long)]) { // (metadataFile, timestampMs)
+
+  def currentSchema: IcebergSchema =
+    schemas.find(_.schemaId == currentSchemaId).getOrElse(
+      throw new IllegalStateException(s"current schema $currentSchemaId not found"))
+
+  def defaultSpec: PartitionSpec =
+    partitionSpecs.find(_.specId == defaultSpecId).getOrElse(
+      throw new IllegalStateException(s"default spec $defaultSpecId not found"))
+
+  def currentSnapshot: Option[Snapshot] =
+    currentSnapshotId.flatMap(id => snapshots.find(_.snapshotId == id))
+
+  def snapshotById(id: Long): Option[Snapshot] = snapshots.find(_.snapshotId == id)
+
+  def schemaById(id: Int): Option[IcebergSchema] = schemas.find(_.schemaId == id)
+
+  def specById(id: Int): Option[PartitionSpec] = partitionSpecs.find(_.specId == id)
+
+  def toJson: ObjectNode = {
+    val o = obj()
+    o.put("format-version", formatVersion)
+    o.put("table-uuid", tableUuid)
+    o.put("location", location)
+    o.put("last-sequence-number", lastSequenceNumber)
+    o.put("last-updated-ms", lastUpdatedMs)
+    o.put("last-column-id", lastColumnId)
+    o.put("current-schema-id", currentSchemaId)
+    val sa = arr(); schemas.foreach(s => sa.add(s.toJson)); o.set[ObjectNode]("schemas", sa)
+    o.put("default-spec-id", defaultSpecId)
+    val pa = arr(); partitionSpecs.foreach(p => pa.add(p.toJson)); o.set[ObjectNode]("partition-specs", pa)
+    o.put("last-partition-id", lastPartitionId)
+    o.put("default-sort-order-id", defaultSortOrderId)
+    val soa = arr(); sortOrders.foreach(s => soa.add(s.toJson)); o.set[ObjectNode]("sort-orders", soa)
+    val props = obj(); properties.toSeq.sortBy(_._1).foreach { case (k, v) => props.put(k, v) }
+    o.set[ObjectNode]("properties", props)
+    currentSnapshotId.foreach(o.put("current-snapshot-id", _))
+    val sna = arr(); snapshots.foreach(s => sna.add(s.toJson)); o.set[ObjectNode]("snapshots", sna)
+    val sl = arr()
+    snapshotLog.foreach { case (id, ts) =>
+      val e = obj(); e.put("snapshot-id", id); e.put("timestamp-ms", ts); sl.add(e)
+    }
+    o.set[ObjectNode]("snapshot-log", sl)
+    val ml = arr()
+    metadataLog.foreach { case (f, ts) =>
+      val e = obj(); e.put("metadata-file", f); e.put("timestamp-ms", ts); ml.add(e)
+    }
+    o.set[ObjectNode]("metadata-log", ml)
+    o
+  }
+
+  def toJsonString: String = Json.writePretty(toJson)
+}
+
+object TableMetadata {
+  def fromJsonString(s: String): TableMetadata = fromJson(Json.parse(s))
+
+  def fromJson(n: JsonNode): TableMetadata = {
+    val fv = n("format-version").asInt()
+    require(fv == 1 || fv == 2, s"unsupported format-version $fv")
+    TableMetadata(
+      formatVersion = fv,
+      tableUuid = n("table-uuid").asText(),
+      location = n("location").asText(),
+      lastSequenceNumber = n.opt("last-sequence-number").map(_.asLong()).getOrElse(0L),
+      lastUpdatedMs = n("last-updated-ms").asLong(),
+      lastColumnId = n("last-column-id").asInt(),
+      schemas = n("schemas").elems.map(IcebergSchema.schemaFromJson),
+      currentSchemaId = n("current-schema-id").asInt(),
+      partitionSpecs = n("partition-specs").elems.map(PartitionSpec.fromJson),
+      defaultSpecId = n("default-spec-id").asInt(),
+      lastPartitionId = n.opt("last-partition-id").map(_.asInt())
+        .getOrElse(PartitionSpec.StartFieldId - 1),
+      sortOrders = n.opt("sort-orders").map(_.elems.map(SortOrder.fromJson))
+        .getOrElse(Seq(SortOrder.unsorted)),
+      defaultSortOrderId = n.opt("default-sort-order-id").map(_.asInt()).getOrElse(0),
+      properties = n.opt("properties").map(_.fieldsMap.map { case (k, v) => k -> v.asText() })
+        .getOrElse(Map.empty),
+      currentSnapshotId = n.opt("current-snapshot-id").map(_.asLong()).filter(_ != -1L),
+      snapshots = n.opt("snapshots").map(_.elems.map(Snapshot.fromJson)).getOrElse(Nil),
+      snapshotLog = n.opt("snapshot-log").map(_.elems.map(e =>
+        (e("snapshot-id").asLong(), e("timestamp-ms").asLong()))).getOrElse(Nil),
+      metadataLog = n.opt("metadata-log").map(_.elems.map(e =>
+        (e("metadata-file").asText(), e("timestamp-ms").asLong()))).getOrElse(Nil))
+  }
+
+  /** Fresh metadata for a new V2 table. */
+  def newTable(
+      location: String,
+      schema: IcebergSchema,
+      spec: PartitionSpec,
+      properties: Map[String, String] = Map.empty): TableMetadata =
+    TableMetadata(
+      formatVersion = 2,
+      tableUuid = java.util.UUID.randomUUID().toString,
+      location = location,
+      lastSequenceNumber = 0L,
+      lastUpdatedMs = System.currentTimeMillis(),
+      lastColumnId = schema.highestFieldId,
+      schemas = Seq(schema),
+      currentSchemaId = schema.schemaId,
+      partitionSpecs = Seq(spec),
+      defaultSpecId = spec.specId,
+      lastPartitionId = spec.lastAssignedFieldId,
+      sortOrders = Seq(SortOrder.unsorted),
+      defaultSortOrderId = 0,
+      properties = properties,
+      currentSnapshotId = None,
+      snapshots = Nil,
+      snapshotLog = Nil,
+      metadataLog = Nil)
+}
