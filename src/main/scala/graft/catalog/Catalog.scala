@@ -1,0 +1,141 @@
+package graft.catalog
+
+import graft.io.FileIO
+import graft.spec.{IcebergSchema, PartitionSpec, TableMetadata}
+
+final case class CommitConflict(message: String) extends RuntimeException(message)
+
+/** Catalog API (reference: catalog/mod.rs:58-124) — list/create/load/drop
+  * plus the CAS commit primitive `commitTable` the transaction layer builds
+  * optimistic retry on.
+  */
+trait Catalog {
+  def io: FileIO
+  def createTable(name: String, schema: IcebergSchema,
+      spec: PartitionSpec = PartitionSpec.unpartitioned,
+      properties: Map[String, String] = Map.empty): TableMetadata
+  def loadTable(name: String): (TableMetadata, Int) // (metadata, version)
+  def tableExists(name: String): Boolean
+  def dropTable(name: String): Boolean
+  def listTables(): Seq[String]
+  /** Atomic swap: succeeds only if current version == baseVersion. */
+  def commitTable(name: String, baseVersion: Int, updated: TableMetadata): Int
+}
+
+/** Directory-layout catalog with atomic-rename commits (the reference's
+  * SQL/file catalogs' role; conflict behavior per
+  * crates/integration_tests/tests/conflict_commit_test.rs):
+  *
+  * {{{
+  * warehouse/<table>/metadata/v<N>.metadata.json
+  * warehouse/<table>/metadata/version-hint.text   (contains N)
+  * warehouse/<table>/data/...
+  * }}}
+  *
+  * Commit = write temp json, rename to v<N+1> (rename-if-absent is the CAS;
+  * atomic on HDFS/local — object stores should front this with a REST
+  * catalog, SURVEY.md §7 hard part 4), then advance the hint.
+  */
+final class HadoopCatalog(warehouse: String, val io: FileIO) extends Catalog {
+
+  private def tableDir(name: String) = s"$warehouse/$name"
+  private def metadataDir(name: String) = s"${tableDir(name)}/metadata"
+  private def versionFile(name: String, v: Int) = s"${metadataDir(name)}/v$v.metadata.json"
+  private def hintFile(name: String) = s"${metadataDir(name)}/version-hint.text"
+
+  override def createTable(name: String, schema: IcebergSchema, spec: PartitionSpec,
+      properties: Map[String, String]): TableMetadata = {
+    require(!tableExists(name), s"table already exists: $name")
+    val md = TableMetadata.newTable(tableDir(name), schema, spec, properties)
+    writeVersion(name, 1, md)
+    md
+  }
+
+  override def loadTable(name: String): (TableMetadata, Int) = {
+    val v = currentVersion(name).getOrElse(
+      throw new IllegalArgumentException(s"no such table: $name"))
+    (TableMetadata.fromJsonString(io.readString(versionFile(name, v))), v)
+  }
+
+  def currentVersion(name: String): Option[Int] = {
+    if (io.exists(hintFile(name))) {
+      // hint is advisory: also probe forward in case a commit advanced the
+      // version but crashed before updating the hint
+      var v = io.readString(hintFile(name)).trim.toInt
+      while (io.exists(versionFile(name, v + 1))) v += 1
+      Some(v)
+    } else {
+      val vs = io.listFiles(metadataDir(name), recursive = false)
+        .map(_._1).flatMap { p =>
+          val n = p.substring(p.lastIndexOf('/') + 1)
+          if (n.startsWith("v") && n.endsWith(".metadata.json"))
+            n.stripPrefix("v").stripSuffix(".metadata.json").toIntOption
+          else None
+        }
+      if (vs.isEmpty) None else Some(vs.max)
+    }
+  }
+
+  override def tableExists(name: String): Boolean = currentVersion(name).isDefined
+
+  override def dropTable(name: String): Boolean =
+    io.delete(tableDir(name), recursive = true)
+
+  override def listTables(): Seq[String] = {
+    val fs = io.fs(warehouse)
+    val p = new org.apache.hadoop.fs.Path(warehouse)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+      .filter(tableExists)
+  }
+
+  override def commitTable(name: String, baseVersion: Int, updated: TableMetadata): Int = {
+    val cur = currentVersion(name).getOrElse(0)
+    if (cur != baseVersion)
+      throw CommitConflict(s"base version $baseVersion is stale (current: $cur)")
+    val next = baseVersion + 1
+    val tmp = s"${metadataDir(name)}/.tmp-${java.util.UUID.randomUUID()}.json"
+    io.writeString(tmp, updated.toJsonString, overwrite = true)
+    val target = versionFile(name, next)
+    if (io.exists(target) || !io.rename(tmp, target)) {
+      io.delete(tmp)
+      throw CommitConflict(s"concurrent commit won version $next")
+    }
+    io.writeString(hintFile(name), next.toString, overwrite = true)
+    next
+  }
+
+  private def writeVersion(name: String, v: Int, md: TableMetadata): Unit = {
+    io.writeString(versionFile(name, v), md.toJsonString, overwrite = false)
+    io.writeString(hintFile(name), v.toString, overwrite = true)
+  }
+}
+
+/** Commit retry with exponential backoff (transaction/mod.rs:175-252;
+  * defaults 4 retries / 100ms→60s / 30min cap, table_properties.rs:324-339).
+  * Each attempt refreshes the base metadata and re-applies the action —
+  * optimistic concurrency.
+  */
+object CommitRetry {
+  def run[T](catalog: Catalog, name: String,
+      retries: Int = 4, minWaitMs: Long = 100, maxWaitMs: Long = 60000)(
+      action: (TableMetadata, Int) => (TableMetadata, Int => T)): T = {
+    var attempt = 0
+    var waitMs = minWaitMs
+    while (true) {
+      val (base, version) = catalog.loadTable(name)
+      val (updated, onSuccess) = action(base, version)
+      try {
+        val newVersion = catalog.commitTable(name, version, updated)
+        return onSuccess(newVersion)
+      } catch {
+        case c: CommitConflict =>
+          attempt += 1
+          if (attempt > retries) throw c
+          Thread.sleep(waitMs + scala.util.Random.nextLong(waitMs / 2 + 1))
+          waitMs = math.min(waitMs * 2, maxWaitMs)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+}

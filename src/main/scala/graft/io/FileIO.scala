@@ -1,0 +1,82 @@
+package graft.io
+
+import java.io.{InputStream, OutputStream}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Storage abstraction over the Hadoop FileSystem API — the Spark-native
+  * analogue of the reference's FileIO/OpenDAL layer (io/file_io.rs:63).
+  * Works for file://, hdfs://, s3a://, etc. — whatever the cluster's Hadoop
+  * conf provides, so the engine is object-store-agnostic like the
+  * reference.
+  */
+final class FileIO(val conf: Configuration) extends Serializable {
+
+  @transient private lazy val fsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, FileSystem]()
+
+  def fs(path: String): FileSystem = {
+    val p = new Path(path)
+    val scheme = Option(p.toUri.getScheme).getOrElse("file")
+    fsCache.computeIfAbsent(scheme, _ => p.getFileSystem(conf))
+  }
+
+  def exists(path: String): Boolean = fs(path).exists(new Path(path))
+
+  def readString(path: String): String =
+    new String(readBytes(path), java.nio.charset.StandardCharsets.UTF_8)
+
+  def readBytes(path: String): Array[Byte] = {
+    val in = open(path)
+    try in.readAllBytes() finally in.close()
+  }
+
+  def open(path: String): InputStream = fs(path).open(new Path(path))
+
+  def create(path: String, overwrite: Boolean = false): OutputStream = {
+    val p = new Path(path)
+    val f = fs(path)
+    f.mkdirs(p.getParent)
+    f.create(p, overwrite)
+  }
+
+  def writeString(path: String, s: String, overwrite: Boolean = false): Unit =
+    writeBytes(path, s.getBytes(java.nio.charset.StandardCharsets.UTF_8), overwrite)
+
+  def writeBytes(path: String, b: Array[Byte], overwrite: Boolean = false): Unit = {
+    val out = create(path, overwrite)
+    try out.write(b) finally out.close()
+  }
+
+  /** Atomic-ish rename (HDFS/local: atomic; object stores need a CAS
+    * catalog instead — SURVEY.md §7 hard part 4). Returns false if the
+    * destination already exists. */
+  def rename(src: String, dst: String): Boolean =
+    fs(src).rename(new Path(src), new Path(dst))
+
+  def delete(path: String, recursive: Boolean = false): Boolean =
+    fs(path).delete(new Path(path), recursive)
+
+  def size(path: String): Long = fs(path).getFileStatus(new Path(path)).getLen
+
+  def listFiles(dir: String, recursive: Boolean = true): Seq[(String, Long)] = {
+    val f = fs(dir)
+    val p = new Path(dir)
+    if (!f.exists(p)) return Nil
+    val it = f.listFiles(p, recursive)
+    val b = Seq.newBuilder[(String, Long)]
+    while (it.hasNext) {
+      val s = it.next()
+      if (s.isFile) b += ((s.getPath.toString, s.getLen))
+    }
+    b.result()
+  }
+}
+
+object FileIO {
+  /** FileIO from the active Spark session's hadoop conf. */
+  def fromSpark(spark: org.apache.spark.sql.SparkSession): FileIO =
+    new FileIO(spark.sessionState.newHadoopConf())
+
+  def local(): FileIO = new FileIO(new Configuration())
+}

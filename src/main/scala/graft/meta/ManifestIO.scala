@@ -1,0 +1,397 @@
+package graft.meta
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.Schema
+import org.apache.avro.file.{DataFileStream, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+
+import graft.io.FileIO
+import graft.spec.{IcebergSchema, IcebergType, PartitionSpec}
+import graft.spec.IcebergType._
+
+/** Avro reader/writer for manifests and manifest lists, mirroring the v2
+  * layouts of /root/reference/crates/iceberg/src/spec/manifest (writer.rs:198)
+  * and spec/manifest_list (schemas per testdata/avro_schema_manifest_*.json).
+  *
+  * Stats maps are written as arrays of key/value records (Avro maps require
+  * string keys; the Iceberg spec uses k/v arrays for the same reason);
+  * bounds are [[SingleValue]] bytes keyed by field id.
+  */
+object ManifestIO {
+
+  // ---------------- Avro schema construction ----------------
+
+  private def nullable(s: Schema): Schema =
+    Schema.createUnion(java.util.List.of(Schema.create(Schema.Type.NULL), s))
+
+  private def prim(t: Schema.Type): Schema = Schema.create(t)
+
+  private def kvArray(name: String, valueType: Schema.Type): Schema = {
+    val rec = Schema.createRecord(name, null, "iceberg", false)
+    rec.setFields(java.util.List.of(
+      new Schema.Field("key", prim(Schema.Type.INT), null, null),
+      new Schema.Field("value", prim(valueType), null, null)))
+    Schema.createArray(rec)
+  }
+
+  /** Avro type for one partition-field value (by its result IcebergType).
+    * int-ish types map natively; everything else stores SingleValue bytes. */
+  private def partitionFieldAvro(t: IcebergType): Schema = t match {
+    case IntT | DateT => prim(Schema.Type.INT)
+    case LongT | TimeT | TimestampT | TimestamptzT => prim(Schema.Type.LONG)
+    case StringT => prim(Schema.Type.STRING)
+    case BooleanT => prim(Schema.Type.BOOLEAN)
+    case FloatT => prim(Schema.Type.FLOAT)
+    case DoubleT => prim(Schema.Type.DOUBLE)
+    case _ => prim(Schema.Type.BYTES)
+  }
+
+  def partitionAvroSchema(partType: StructT): Schema = {
+    val rec = Schema.createRecord("r102", null, "iceberg", false)
+    rec.setFields(partType.fields.map { f =>
+      new Schema.Field(avroSafe(f.name), nullable(partitionFieldAvro(f.fieldType)), null,
+        Schema.Field.NULL_DEFAULT_VALUE)
+    }.asJava)
+    rec
+  }
+
+  /** Avro field names must match [A-Za-z_][A-Za-z0-9_]*; partition names
+    * come from user columns so sanitize deterministically. */
+  private def avroSafe(name: String): String = {
+    val s = name.map(c => if (c.isLetterOrDigit || c == '_') c else '_')
+    if (s.isEmpty || s(0).isDigit) "_" + s else s
+  }
+
+  def dataFileSchema(partType: StructT): Schema = {
+    val rec = Schema.createRecord("r2", null, "iceberg", false)
+    rec.setFields(java.util.List.of(
+      new Schema.Field("content", prim(Schema.Type.INT), null, null),
+      new Schema.Field("file_path", prim(Schema.Type.STRING), null, null),
+      new Schema.Field("file_format", prim(Schema.Type.STRING), null, null),
+      new Schema.Field("partition", partitionAvroSchema(partType), null, null),
+      new Schema.Field("record_count", prim(Schema.Type.LONG), null, null),
+      new Schema.Field("file_size_in_bytes", prim(Schema.Type.LONG), null, null),
+      new Schema.Field("column_sizes", nullable(kvArray("k117_v118", Schema.Type.LONG)), null, Schema.Field.NULL_DEFAULT_VALUE),
+      new Schema.Field("value_counts", nullable(kvArray("k119_v120", Schema.Type.LONG)), null, Schema.Field.NULL_DEFAULT_VALUE),
+      new Schema.Field("null_value_counts", nullable(kvArray("k121_v122", Schema.Type.LONG)), null, Schema.Field.NULL_DEFAULT_VALUE),
+      new Schema.Field("nan_value_counts", nullable(kvArray("k138_v139", Schema.Type.LONG)), null, Schema.Field.NULL_DEFAULT_VALUE),
+      new Schema.Field("lower_bounds", nullable(kvArray("k126_v127", Schema.Type.BYTES)), null, Schema.Field.NULL_DEFAULT_VALUE),
+      new Schema.Field("upper_bounds", nullable(kvArray("k129_v130", Schema.Type.BYTES)), null, Schema.Field.NULL_DEFAULT_VALUE),
+      new Schema.Field("split_offsets", nullable(Schema.createArray(prim(Schema.Type.LONG))), null, Schema.Field.NULL_DEFAULT_VALUE),
+      new Schema.Field("equality_ids", nullable(Schema.createArray(prim(Schema.Type.INT))), null, Schema.Field.NULL_DEFAULT_VALUE),
+      new Schema.Field("sort_order_id", nullable(prim(Schema.Type.INT)), null, Schema.Field.NULL_DEFAULT_VALUE)))
+    rec
+  }
+
+  def manifestEntrySchema(partType: StructT): Schema = {
+    val rec = Schema.createRecord("manifest_entry", null, "iceberg", false)
+    rec.setFields(java.util.List.of(
+      new Schema.Field("status", prim(Schema.Type.INT), null, null),
+      new Schema.Field("snapshot_id", nullable(prim(Schema.Type.LONG)), null, Schema.Field.NULL_DEFAULT_VALUE),
+      new Schema.Field("sequence_number", nullable(prim(Schema.Type.LONG)), null, Schema.Field.NULL_DEFAULT_VALUE),
+      new Schema.Field("file_sequence_number", nullable(prim(Schema.Type.LONG)), null, Schema.Field.NULL_DEFAULT_VALUE),
+      new Schema.Field("data_file", dataFileSchema(partType), null, null)))
+    rec
+  }
+
+  lazy val fieldSummarySchema: Schema = {
+    val rec = Schema.createRecord("r508", null, "iceberg", false)
+    rec.setFields(java.util.List.of(
+      new Schema.Field("contains_null", prim(Schema.Type.BOOLEAN), null, null),
+      new Schema.Field("contains_nan", nullable(prim(Schema.Type.BOOLEAN)), null, Schema.Field.NULL_DEFAULT_VALUE),
+      new Schema.Field("lower_bound", nullable(prim(Schema.Type.BYTES)), null, Schema.Field.NULL_DEFAULT_VALUE),
+      new Schema.Field("upper_bound", nullable(prim(Schema.Type.BYTES)), null, Schema.Field.NULL_DEFAULT_VALUE)))
+    rec
+  }
+
+  lazy val manifestFileSchema: Schema = {
+    val rec = Schema.createRecord("manifest_file", null, "iceberg", false)
+    rec.setFields(java.util.List.of(
+      new Schema.Field("manifest_path", prim(Schema.Type.STRING), null, null),
+      new Schema.Field("manifest_length", prim(Schema.Type.LONG), null, null),
+      new Schema.Field("partition_spec_id", prim(Schema.Type.INT), null, null),
+      new Schema.Field("content", prim(Schema.Type.INT), null, null),
+      new Schema.Field("sequence_number", prim(Schema.Type.LONG), null, null),
+      new Schema.Field("min_sequence_number", prim(Schema.Type.LONG), null, null),
+      new Schema.Field("added_snapshot_id", prim(Schema.Type.LONG), null, null),
+      new Schema.Field("added_files_count", prim(Schema.Type.INT), null, null),
+      new Schema.Field("existing_files_count", prim(Schema.Type.INT), null, null),
+      new Schema.Field("deleted_files_count", prim(Schema.Type.INT), null, null),
+      new Schema.Field("added_rows_count", prim(Schema.Type.LONG), null, null),
+      new Schema.Field("existing_rows_count", prim(Schema.Type.LONG), null, null),
+      new Schema.Field("deleted_rows_count", prim(Schema.Type.LONG), null, null),
+      new Schema.Field("partitions", nullable(Schema.createArray(fieldSummarySchema)), null, Schema.Field.NULL_DEFAULT_VALUE)))
+    rec
+  }
+
+  // ---------------- write ----------------
+
+  private def kvRecords(schema: Schema, m: Map[Int, Long]): GenericData.Array[GenericRecord] = {
+    val arrSchema = schema
+    val a = new GenericData.Array[GenericRecord](m.size, arrSchema)
+    m.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      val r = new GenericData.Record(arrSchema.getElementType)
+      r.put("key", k)
+      r.put("value", v)
+      a.add(r)
+    }
+    a
+  }
+
+  private def kvBytesRecords(schema: Schema, m: Map[Int, Array[Byte]]): GenericData.Array[GenericRecord] = {
+    val a = new GenericData.Array[GenericRecord](m.size, schema)
+    m.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      val r = new GenericData.Record(schema.getElementType)
+      r.put("key", k)
+      r.put("value", java.nio.ByteBuffer.wrap(v))
+      a.add(r)
+    }
+    a
+  }
+
+  private def nonNullBranch(unionSchema: Schema): Schema =
+    unionSchema.getTypes.asScala.find(_.getType != Schema.Type.NULL).get
+
+  /** Write one manifest file; returns (path, length). */
+  def writeManifest(
+      io: FileIO,
+      path: String,
+      entries: Seq[ManifestEntry],
+      schema: IcebergSchema,
+      spec: PartitionSpec): (String, Long) = {
+    val partType = spec.partitionType(schema)
+    val entrySchema = manifestEntrySchema(partType)
+    val dfSchema = entrySchema.getField("data_file").schema()
+    val partSchema = dfSchema.getField("partition").schema()
+
+    val writer = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](entrySchema))
+    writer.setMeta("schema", graft.spec.Json.write(schema.toJson))
+    writer.setMeta("partition-spec", graft.spec.Json.write(spec.toJson.get("fields")))
+    writer.setMeta("partition-spec-id", spec.specId.toString)
+    writer.setMeta("format-version", "2")
+    val out = io.create(path, overwrite = true)
+    writer.create(entrySchema, out)
+
+    entries.foreach { e =>
+      val rec = new GenericData.Record(entrySchema)
+      rec.put("status", e.status)
+      rec.put("snapshot_id", e.snapshotId.map(java.lang.Long.valueOf).orNull)
+      rec.put("sequence_number", e.sequenceNumber.map(java.lang.Long.valueOf).orNull)
+      rec.put("file_sequence_number", e.fileSequenceNumber.map(java.lang.Long.valueOf).orNull)
+
+      val df = e.dataFile
+      val dfRec = new GenericData.Record(dfSchema)
+      dfRec.put("content", df.content)
+      dfRec.put("file_path", df.filePath)
+      dfRec.put("file_format", df.fileFormat)
+
+      val partRec = new GenericData.Record(partSchema)
+      partType.fields.zip(df.partition).foreach { case (f, v) =>
+        partRec.put(partRec.getSchema.getFields.get(partType.fields.indexOf(f)).name(),
+          partitionValueToAvro(f.fieldType, v))
+      }
+      dfRec.put("partition", partRec)
+      dfRec.put("record_count", df.recordCount)
+      dfRec.put("file_size_in_bytes", df.fileSizeInBytes)
+
+      def kvSchema(field: String) = nonNullBranch(dfSchema.getField(field).schema())
+      if (df.columnSizes.nonEmpty) dfRec.put("column_sizes", kvRecords(kvSchema("column_sizes"), df.columnSizes))
+      if (df.valueCounts.nonEmpty) dfRec.put("value_counts", kvRecords(kvSchema("value_counts"), df.valueCounts))
+      if (df.nullValueCounts.nonEmpty) dfRec.put("null_value_counts", kvRecords(kvSchema("null_value_counts"), df.nullValueCounts))
+      if (df.nanValueCounts.nonEmpty) dfRec.put("nan_value_counts", kvRecords(kvSchema("nan_value_counts"), df.nanValueCounts))
+      val boundType = (id: Int) => schema.idToField.get(id).map(_.fieldType)
+      if (df.lowerBounds.nonEmpty)
+        dfRec.put("lower_bounds", kvBytesRecords(kvSchema("lower_bounds"),
+          df.lowerBounds.flatMap { case (k, v) => boundType(k).map(t => k -> SingleValue.toBytes(t, v)) }))
+      if (df.upperBounds.nonEmpty)
+        dfRec.put("upper_bounds", kvBytesRecords(kvSchema("upper_bounds"),
+          df.upperBounds.flatMap { case (k, v) => boundType(k).map(t => k -> SingleValue.toBytes(t, v)) }))
+      if (df.splitOffsets.nonEmpty)
+        dfRec.put("split_offsets", df.splitOffsets.map(java.lang.Long.valueOf).asJava)
+      if (df.equalityIds.nonEmpty)
+        dfRec.put("equality_ids", df.equalityIds.map(java.lang.Integer.valueOf).asJava)
+      dfRec.put("sort_order_id", df.sortOrderId.map(java.lang.Integer.valueOf).orNull)
+
+      rec.put("data_file", dfRec)
+      writer.append(rec)
+    }
+    writer.close()
+    (path, io.size(path))
+  }
+
+  private def partitionValueToAvro(t: IcebergType, v: Any): Any =
+    if (v == null) null
+    else t match {
+      case IntT | DateT | LongT | TimeT | TimestampT | TimestamptzT |
+           BooleanT | FloatT | DoubleT => v
+      case StringT => v.asInstanceOf[String]
+      case other => java.nio.ByteBuffer.wrap(SingleValue.toBytes(other, v))
+    }
+
+  private def partitionValueFromAvro(t: IcebergType, v: Any): Any =
+    if (v == null) null
+    else t match {
+      case StringT => v.toString // Avro Utf8 → String
+      case IntT | DateT | LongT | TimeT | TimestampT | TimestamptzT |
+           BooleanT | FloatT | DoubleT => v
+      case other => SingleValue.fromBytes(other, bytes(v))
+    }
+
+  private def bytes(v: Any): Array[Byte] = {
+    val bb = v.asInstanceOf[java.nio.ByteBuffer]
+    val a = new Array[Byte](bb.remaining())
+    bb.duplicate().get(a)
+    a
+  }
+
+  def readManifest(
+      io: FileIO,
+      path: String,
+      schema: IcebergSchema,
+      spec: PartitionSpec): Seq[ManifestEntry] = {
+    val partType = spec.partitionType(schema)
+    val reader = new DataFileStream[GenericRecord](io.open(path), new GenericDatumReader[GenericRecord]())
+    val out = Seq.newBuilder[ManifestEntry]
+    try {
+      while (reader.hasNext) {
+        val rec = reader.next()
+        val dfRec = rec.get("data_file").asInstanceOf[GenericRecord]
+        val partRec = dfRec.get("partition").asInstanceOf[GenericRecord]
+        val partition = partType.fields.zipWithIndex.map { case (f, i) =>
+          partitionValueFromAvro(f.fieldType, partRec.get(i))
+        }
+        def kvLong(field: String): Map[Int, Long] = Option(dfRec.get(field)) match {
+          case Some(a: java.util.List[_]) =>
+            a.asScala.map { r0 =>
+              val r = r0.asInstanceOf[GenericRecord]
+              r.get("key").asInstanceOf[Int] -> r.get("value").asInstanceOf[Long]
+            }.toMap
+          case _ => Map.empty
+        }
+        def kvBound(field: String): Map[Int, Any] = Option(dfRec.get(field)) match {
+          case Some(a: java.util.List[_]) =>
+            a.asScala.flatMap { r0 =>
+              val r = r0.asInstanceOf[GenericRecord]
+              val id = r.get("key").asInstanceOf[Int]
+              schema.idToField.get(id).map(f =>
+                id -> SingleValue.fromBytes(f.fieldType, bytes(r.get("value"))))
+            }.toMap
+          case _ => Map.empty
+        }
+        val df = DataFile(
+          content = dfRec.get("content").asInstanceOf[Int],
+          filePath = dfRec.get("file_path").toString,
+          fileFormat = dfRec.get("file_format").toString,
+          partition = partition,
+          recordCount = dfRec.get("record_count").asInstanceOf[Long],
+          fileSizeInBytes = dfRec.get("file_size_in_bytes").asInstanceOf[Long],
+          columnSizes = kvLong("column_sizes"),
+          valueCounts = kvLong("value_counts"),
+          nullValueCounts = kvLong("null_value_counts"),
+          nanValueCounts = kvLong("nan_value_counts"),
+          lowerBounds = kvBound("lower_bounds"),
+          upperBounds = kvBound("upper_bounds"),
+          splitOffsets = Option(dfRec.get("split_offsets")) match {
+            case Some(a: java.util.List[_]) => a.asScala.toSeq.map(_.asInstanceOf[Long])
+            case _ => Nil
+          },
+          equalityIds = Option(dfRec.get("equality_ids")) match {
+            case Some(a: java.util.List[_]) => a.asScala.toSeq.map(_.asInstanceOf[Int])
+            case _ => Nil
+          },
+          sortOrderId = Option(dfRec.get("sort_order_id")).map(_.asInstanceOf[Int]))
+        out += ManifestEntry(
+          status = rec.get("status").asInstanceOf[Int],
+          snapshotId = Option(rec.get("snapshot_id")).map(_.asInstanceOf[Long]),
+          sequenceNumber = Option(rec.get("sequence_number")).map(_.asInstanceOf[Long]),
+          fileSequenceNumber = Option(rec.get("file_sequence_number")).map(_.asInstanceOf[Long]),
+          dataFile = df)
+      }
+    } finally reader.close()
+    out.result()
+  }
+
+  // ---------------- manifest list ----------------
+
+  def writeManifestList(io: FileIO, path: String, manifests: Seq[ManifestFile],
+      partTypes: Map[Int, StructT]): Unit = {
+    val writer = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](manifestFileSchema))
+    writer.setMeta("format-version", "2")
+    val out = io.create(path, overwrite = true)
+    writer.create(manifestFileSchema, out)
+    manifests.foreach { m =>
+      val rec = new GenericData.Record(manifestFileSchema)
+      rec.put("manifest_path", m.manifestPath)
+      rec.put("manifest_length", m.manifestLength)
+      rec.put("partition_spec_id", m.partitionSpecId)
+      rec.put("content", m.content)
+      rec.put("sequence_number", m.sequenceNumber)
+      rec.put("min_sequence_number", m.minSequenceNumber)
+      rec.put("added_snapshot_id", m.addedSnapshotId)
+      rec.put("added_files_count", m.addedFilesCount)
+      rec.put("existing_files_count", m.existingFilesCount)
+      rec.put("deleted_files_count", m.deletedFilesCount)
+      rec.put("added_rows_count", m.addedRowsCount)
+      rec.put("existing_rows_count", m.existingRowsCount)
+      rec.put("deleted_rows_count", m.deletedRowsCount)
+      val partType = partTypes.get(m.partitionSpecId)
+      if (m.partitions.nonEmpty && partType.isDefined) {
+        val arrSchema = nonNullBranch(manifestFileSchema.getField("partitions").schema())
+        val a = new GenericData.Array[GenericRecord](m.partitions.size, arrSchema)
+        m.partitions.zip(partType.get.fields).foreach { case (s, f) =>
+          val r = new GenericData.Record(fieldSummarySchema)
+          r.put("contains_null", s.containsNull)
+          r.put("contains_nan", s.containsNan.map(java.lang.Boolean.valueOf).orNull)
+          r.put("lower_bound", s.lowerBound.map(v => java.nio.ByteBuffer.wrap(SingleValue.toBytes(f.fieldType, v))).orNull)
+          r.put("upper_bound", s.upperBound.map(v => java.nio.ByteBuffer.wrap(SingleValue.toBytes(f.fieldType, v))).orNull)
+          a.add(r)
+        }
+        rec.put("partitions", a)
+      }
+      writer.append(rec)
+    }
+    writer.close()
+  }
+
+  def readManifestList(io: FileIO, path: String,
+      partTypes: Map[Int, StructT]): Seq[ManifestFile] = {
+    val reader = new DataFileStream[GenericRecord](io.open(path), new GenericDatumReader[GenericRecord]())
+    val out = Seq.newBuilder[ManifestFile]
+    try {
+      while (reader.hasNext) {
+        val rec = reader.next()
+        val specId = rec.get("partition_spec_id").asInstanceOf[Int]
+        val partType = partTypes.get(specId)
+        val partitions = Option(rec.get("partitions")) match {
+          case Some(a: java.util.List[_]) if partType.isDefined =>
+            a.asScala.toSeq.zip(partType.get.fields).map { case (r0, f) =>
+              val r = r0.asInstanceOf[GenericRecord]
+              FieldSummary(
+                containsNull = r.get("contains_null").asInstanceOf[Boolean],
+                containsNan = Option(r.get("contains_nan")).map(_.asInstanceOf[Boolean]),
+                lowerBound = Option(r.get("lower_bound")).map(b => SingleValue.fromBytes(f.fieldType, bytes(b))),
+                upperBound = Option(r.get("upper_bound")).map(b => SingleValue.fromBytes(f.fieldType, bytes(b))))
+            }
+          case _ => Nil
+        }
+        out += ManifestFile(
+          manifestPath = rec.get("manifest_path").toString,
+          manifestLength = rec.get("manifest_length").asInstanceOf[Long],
+          partitionSpecId = specId,
+          content = rec.get("content").asInstanceOf[Int],
+          sequenceNumber = rec.get("sequence_number").asInstanceOf[Long],
+          minSequenceNumber = rec.get("min_sequence_number").asInstanceOf[Long],
+          addedSnapshotId = rec.get("added_snapshot_id").asInstanceOf[Long],
+          addedFilesCount = rec.get("added_files_count").asInstanceOf[Int],
+          existingFilesCount = rec.get("existing_files_count").asInstanceOf[Int],
+          deletedFilesCount = rec.get("deleted_files_count").asInstanceOf[Int],
+          addedRowsCount = rec.get("added_rows_count").asInstanceOf[Long],
+          existingRowsCount = rec.get("existing_rows_count").asInstanceOf[Long],
+          deletedRowsCount = rec.get("deleted_rows_count").asInstanceOf[Long],
+          partitions = partitions)
+      }
+    } finally reader.close()
+    out.result()
+  }
+}

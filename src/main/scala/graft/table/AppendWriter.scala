@@ -1,0 +1,314 @@
+package graft.table
+
+import java.util.UUID
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions.col
+
+import graft.meta._
+import graft.spec._
+import graft.spec.IcebergType._
+
+/** Append write path (reference insert_into plan, integrations/datafusion/
+  * src/table/mod.rs:153-240 + IcebergWriteExec physical_plan/write.rs):
+  *
+  *   project `_p_*` partition columns (transform expressions, codegen'd)
+  *   → distribute (hash repartition for identity/bucket specs, pass-through
+  *     for temporal — repartition.rs:151-167 policy; Spark's parquet writer
+  *     then locally sorts on partition columns = clustered writer)
+  *   → `partitionBy(_p_*)` parquet write to a staging dir (executors)
+  *   → distributed footer-stat harvest (a Spark job maps each written file
+  *     to a DataFile with min/max/null counts — stats never hit the driver
+  *     until reduced to descriptors, so 100k-file appends don't OOM)
+  *   → rename files into `data/<partition-path>/` layout (driver, metadata-
+  *     only FS ops)
+  *   → manifest + manifest-list Avro, snapshot, optimistic-retry commit.
+  */
+object AppendWriter {
+
+  def append(table: GraftTable, df: DataFrame): GraftTable = {
+    val spark = df.sparkSession
+    val schema = table.schema
+    val spec = table.spec
+    val io = table.io
+
+    // --- validate + canonicalize column order ---
+    val expected = schema.fields.map(_.name)
+    val missing = expected.toSet -- df.columns.toSet
+    require(missing.isEmpty, s"append is missing columns: ${missing.mkString(",")}")
+    val input = df.select(expected.map(col): _*)
+
+    // --- partition projection ---
+    val partCols = spec.fields.map { pf =>
+      val src = schema.idToField(pf.sourceId)
+      pf.transform.toColumn(col(src.name), src.fieldType).as(s"_p_${pf.name}")
+    }
+    val partNames = spec.fields.map(pf => s"_p_${pf.name}")
+
+    val projected = if (partCols.isEmpty) input else input.withColumns(
+      partNames.zip(partCols).toMap)
+
+    // --- distribution policy (repartition.rs:151-167) ---
+    val hashable = spec.fields.nonEmpty && spec.fields.forall(_.transform match {
+      case Transform.Identity | Transform.Bucket(_) => true
+      case _ => false
+    })
+    val distributed =
+      if (hashable) projected.repartition(partNames.map(col): _*)
+      else projected
+
+    // --- staged write ---
+    val commitUuid = UUID.randomUUID().toString
+    val staging = s"${table.location}/data/.staging-$commitUuid"
+    val writer = distributed.write
+      .mode(SaveMode.Append)
+      .option("compression",
+        table.metadata.properties.getOrElse("write.parquet.compression-codec", "zstd"))
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    table.metadata.properties.get("write.spark.max-records-per-file")
+      .foreach(v => writer.option("maxRecordsPerFile", v))
+    (if (partNames.nonEmpty) writer.partitionBy(partNames: _*) else writer)
+      .parquet(staging)
+
+    // --- harvest DataFiles (distributed footer reads) ---
+    val staged = io.listFiles(staging).filter(_._1.endsWith(".parquet"))
+    if (staged.isEmpty) { io.delete(staging, recursive = true); return table }
+
+    val partType = spec.partitionType(schema)
+    val stagingPrefix = staging
+    val fieldTypes = schema.fields.map(f => f.name -> (f.id, f.fieldType)).toMap
+    val partFieldTypes = partType.fields.map(_.fieldType)
+    val dataFiles: Seq[DataFile] = spark.sparkContext
+      .parallelize(staged, math.max(1, math.min(staged.size, 64)))
+      .map { case (p, len) =>
+        AppendWriter.harvestDataFile(p, len, stagingPrefix, fieldTypes, partFieldTypes)
+      }.collect().toSeq
+
+    // --- move into final layout ---
+    val moved = dataFiles.map { d =>
+      val partPath = if (spec.isUnpartitioned) "" else spec.partitionPath(d.partition) + "/"
+      val target = s"${table.location}/data/$partPath${UUID.randomUUID()}.parquet"
+      io.fs(target).mkdirs(new Path(target).getParent)
+      require(io.rename(d.filePath, target), s"rename failed: ${d.filePath} -> $target")
+      d.copy(filePath = target)
+    }
+    io.delete(staging, recursive = true)
+
+    commitAppend(table, moved, commitUuid)
+  }
+
+  /** Read one staged parquet footer → DataFile (runs on executors). */
+  def harvestDataFile(
+      path: String,
+      fileLen: Long,
+      stagingPrefix: String,
+      fieldTypes: Map[String, (Int, IcebergType)],
+      partFieldTypes: Seq[IcebergType]): DataFile = {
+    // executor-local conf; staging paths use the same FS as the table
+    val conf = new Configuration()
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(path), conf))
+    try {
+      val footer = reader.getFooter
+      val blocks = footer.getBlocks
+      var recordCount = 0L
+      var fileSize = 0L
+      val colSizes = scala.collection.mutable.Map[Int, Long]()
+      val valCounts = scala.collection.mutable.Map[Int, Long]()
+      val nullCounts = scala.collection.mutable.Map[Int, Long]()
+      val lower = scala.collection.mutable.Map[Int, Any]()
+      val upper = scala.collection.mutable.Map[Int, Any]()
+      val splits = Seq.newBuilder[Long]
+      blocks.forEach { b =>
+        recordCount += b.getRowCount
+        splits += b.getStartingPos
+        b.getColumns.forEach { c =>
+          fileSize += c.getTotalSize
+          val topName = c.getPath.toArray()(0)
+          fieldTypes.get(topName).foreach { case (id, t) =>
+            if (c.getPath.size() == 1) {
+              colSizes(id) = colSizes.getOrElse(id, 0L) + c.getTotalSize
+              valCounts(id) = valCounts.getOrElse(id, 0L) + c.getValueCount
+              val st = c.getStatistics
+              if (st != null && !st.isEmpty) {
+                if (st.isNumNullsSet)
+                  nullCounts(id) = nullCounts.getOrElse(id, 0L) + st.getNumNulls
+                if (st.hasNonNullValue) {
+                  val mn = statValue(t, st.genericGetMin().asInstanceOf[AnyRef])
+                  val mx = statValue(t, st.genericGetMax().asInstanceOf[AnyRef])
+                  if (mn != null)
+                    lower(id) = lower.get(id).map(cur =>
+                      if (SingleValue.compare(t, mn, cur) < 0) mn else cur).getOrElse(mn)
+                  if (mx != null)
+                    upper(id) = upper.get(id).map(cur =>
+                      if (SingleValue.compare(t, mx, cur) > 0) mx else cur).getOrElse(mx)
+                }
+              }
+            }
+          }
+        }
+      }
+      val partition = parsePartition(path, stagingPrefix, partFieldTypes)
+      DataFile(
+        content = FileContent.Data,
+        filePath = path,
+        fileFormat = "PARQUET",
+        partition = partition,
+        recordCount = recordCount,
+        fileSizeInBytes = fileLen,
+        columnSizes = colSizes.toMap,
+        valueCounts = valCounts.toMap,
+        nullValueCounts = nullCounts.toMap,
+        lowerBounds = lower.toMap,
+        upperBounds = upper.toMap,
+        splitOffsets = splits.result())
+    } finally reader.close()
+  }
+
+  /** parquet Statistics generic value → Iceberg-internal scalar. */
+  private def statValue(t: IcebergType, v: AnyRef): Any = t match {
+    case IntT | DateT => v.asInstanceOf[Number].intValue()
+    case LongT | TimeT | TimestampT | TimestamptzT => v.asInstanceOf[Number].longValue()
+    case FloatT => v.asInstanceOf[Number].floatValue()
+    case DoubleT => v.asInstanceOf[Number].doubleValue()
+    case BooleanT => v.asInstanceOf[java.lang.Boolean].booleanValue()
+    case StringT => new String(v.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes,
+      java.nio.charset.StandardCharsets.UTF_8)
+    case BinaryT | FixedT(_) => v.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes
+    case _ => null // decimals/uuid etc: skip bounds rather than risk a wrong bound
+  }
+
+  /** `.../_p_a=v1/_p_b=v2/part-x.parquet` → partition tuple values. */
+  private def parsePartition(path: String, stagingPrefix: String,
+      types: Seq[IcebergType]): Seq[Any] = {
+    if (types.isEmpty) return Nil
+    val rel = path.stripPrefix(stagingPrefix).stripPrefix("/")
+    val segs = rel.split('/').dropRight(1).filter(_.contains("="))
+    require(segs.length == types.length, s"expected ${types.length} partition dirs in $rel")
+    segs.toSeq.zip(types).map { case (seg, t) =>
+      val raw = seg.substring(seg.indexOf('=') + 1)
+      if (raw == "__HIVE_DEFAULT_PARTITION__") null
+      else {
+        val s = unescapePath(raw)
+        t match {
+          case IntT => s.toInt
+          case LongT => s.toLong
+          case StringT => s
+          case DateT => java.time.LocalDate.parse(s).toEpochDay.toInt
+          case TimestampT | TimestamptzT =>
+            java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+              .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
+          case BooleanT => s.toBoolean
+          case other => throw new IllegalArgumentException(
+            s"cannot parse partition value of type $other from '$s'")
+        }
+      }
+    }
+  }
+
+  /** Inverse of Spark's ExternalCatalogUtils.escapePathName (%xx escapes). */
+  private def unescapePath(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        try {
+          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } catch { case _: NumberFormatException => sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Build manifest, manifest list, snapshot; commit with optimistic retry. */
+  private def commitAppend(table: GraftTable, files: Seq[DataFile],
+      commitUuid: String): GraftTable = {
+    val io = table.io
+    val schema = table.schema
+    val spec = table.spec
+    val partType = spec.partitionType(schema)
+    val snapshotId = math.abs(UUID.randomUUID().getMostSignificantBits)
+
+    graft.catalog.CommitRetry.run(table.catalog, table.name) { (base, version) =>
+      val seq = base.lastSequenceNumber + 1
+
+      // manifest (one per append, like fast_append)
+      val entries = files.map(f => ManifestEntry(ManifestStatus.Added, Some(snapshotId),
+        Some(seq), Some(seq), f))
+      val manifestPath = s"${base.location}/metadata/$commitUuid-m0.avro"
+      val (_, mLen) = ManifestIO.writeManifest(io, manifestPath, entries, schema, spec)
+
+      val summaries = partType.fields.zipWithIndex.map { case (pf, i) =>
+        val vals = files.map(_.partition(i))
+        val nonNull = vals.filter(_ != null)
+        FieldSummary(
+          containsNull = vals.exists(_ == null),
+          containsNan = Some(nonNull.exists(SingleValue.isNaN)),
+          lowerBound = if (nonNull.isEmpty) None
+            else Some(nonNull.reduce((a, b) => if (SingleValue.compare(pf.fieldType, a, b) <= 0) a else b)),
+          upperBound = if (nonNull.isEmpty) None
+            else Some(nonNull.reduce((a, b) => if (SingleValue.compare(pf.fieldType, a, b) >= 0) a else b)))
+      }
+
+      val newManifest = ManifestFile(
+        manifestPath = manifestPath,
+        manifestLength = mLen,
+        partitionSpecId = spec.specId,
+        content = ManifestContent.Data,
+        sequenceNumber = seq,
+        minSequenceNumber = seq,
+        addedSnapshotId = snapshotId,
+        addedFilesCount = files.size,
+        existingFilesCount = 0,
+        deletedFilesCount = 0,
+        addedRowsCount = files.map(_.recordCount).sum,
+        existingRowsCount = 0,
+        deletedRowsCount = 0,
+        partitions = summaries)
+
+      val prevManifests = base.currentSnapshot.map(s =>
+        ManifestIO.readManifestList(io, s.manifestList, table.partTypes)).getOrElse(Nil)
+      val allManifests = newManifest +: prevManifests
+
+      val listPath = s"${base.location}/metadata/snap-$snapshotId-$commitUuid.avro"
+      ManifestIO.writeManifestList(io, listPath, allManifests, table.partTypes)
+
+      val now = System.currentTimeMillis()
+      val addedRecords = files.map(_.recordCount).sum
+      val addedSize = files.map(_.fileSizeInBytes).sum
+      val prevTotals = base.currentSnapshot.map(_.summary).getOrElse(Map.empty)
+      def prevLong(k: String) = prevTotals.get(k).flatMap(_.toLongOption).getOrElse(0L)
+      val snap = Snapshot(
+        snapshotId = snapshotId,
+        parentSnapshotId = base.currentSnapshotId,
+        sequenceNumber = seq,
+        timestampMs = now,
+        manifestList = listPath,
+        operation = "append",
+        summary = Map(
+          "added-data-files" -> files.size.toString,
+          "added-records" -> addedRecords.toString,
+          "added-files-size" -> addedSize.toString,
+          "total-data-files" -> (prevLong("total-data-files") + files.size).toString,
+          "total-records" -> (prevLong("total-records") + addedRecords).toString,
+          "total-files-size" -> (prevLong("total-files-size") + addedSize).toString),
+        schemaId = Some(schema.schemaId))
+
+      val updated = base.copy(
+        lastSequenceNumber = seq,
+        lastUpdatedMs = now,
+        currentSnapshotId = Some(snapshotId),
+        snapshots = base.snapshots :+ snap,
+        snapshotLog = base.snapshotLog :+ (snapshotId, now),
+        metadataLog = base.metadataLog :+ (s"${base.location}/metadata/v$version.metadata.json", base.lastUpdatedMs))
+
+      (updated, (_: Int) => table.refresh())
+    }
+  }
+}

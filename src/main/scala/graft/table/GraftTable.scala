@@ -1,0 +1,192 @@
+package graft.table
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+import graft.catalog.{Catalog, CommitRetry}
+import graft.expr.{AlwaysTrue, ExpressionEvaluator, InclusiveMetricsEvaluator, InclusiveProjection, ManifestEvaluator, Predicate}
+import graft.io.FileIO
+import graft.meta._
+import graft.spec._
+
+/** A loaded table handle — metadata tree + IO (reference table.rs).
+  * Immutable; every commit produces a new handle via the catalog.
+  */
+final class GraftTable(
+    val name: String,
+    val metadata: TableMetadata,
+    val version: Int,
+    val catalog: Catalog) {
+
+  def io: FileIO = catalog.io
+  def schema: IcebergSchema = metadata.currentSchema
+  def spec: PartitionSpec = metadata.defaultSpec
+  def location: String = metadata.location
+
+  def newScan(): TableScan = new TableScan(this)
+
+  def append(df: DataFrame): GraftTable = AppendWriter.append(this, df)
+
+  def refresh(): GraftTable = GraftTable.load(name, catalog)
+
+  /** All manifests of the current snapshot ([] if table is empty). */
+  def currentManifests: Seq[ManifestFile] =
+    metadata.currentSnapshot.map { snap =>
+      ManifestIO.readManifestList(io, snap.manifestList, partTypes)
+    }.getOrElse(Nil)
+
+  def partTypes: Map[Int, IcebergType.StructT] =
+    metadata.partitionSpecs.map { s =>
+      // partition types resolve against the schema current when the spec
+      // was created; current schema suffices while we only add columns
+      s.specId -> s.partitionType(schema)
+    }.toMap
+
+  // ---- metadata inspect tables (inspect/metadata_table.rs:28-92) ----
+
+  def snapshotsDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    metadata.snapshots.map(s => (s.snapshotId, s.parentSnapshotId, s.sequenceNumber,
+      new java.sql.Timestamp(s.timestampMs), s.operation, s.manifestList))
+      .toDF("snapshot_id", "parent_id", "sequence_number", "committed_at", "operation", "manifest_list")
+  }
+
+  def manifestsDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    currentManifests.map(m => (m.manifestPath, m.manifestLength, m.partitionSpecId,
+      m.content, m.addedFilesCount, m.existingFilesCount, m.deletedFilesCount,
+      m.addedRowsCount))
+      .toDF("path", "length", "partition_spec_id", "content",
+        "added_data_files_count", "existing_data_files_count",
+        "deleted_data_files_count", "added_rows_count")
+  }
+
+  def historyDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val currentAncestors = ancestorIds.toSet
+    metadata.snapshotLog.map { case (id, ts) =>
+      (new java.sql.Timestamp(ts), id, currentAncestors.contains(id))
+    }.toDF("made_current_at", "snapshot_id", "is_current_ancestor")
+  }
+
+  def filesDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    newScan().planFiles().map { t =>
+      (t.file.filePath, t.file.content, t.file.recordCount, t.file.fileSizeInBytes,
+        spec.partitionPath(t.file.partition))
+    }.toDF("file_path", "content", "record_count", "file_size_in_bytes", "partition")
+  }
+
+  private def ancestorIds: Seq[Long] = {
+    val byId = metadata.snapshots.map(s => s.snapshotId -> s).toMap
+    Iterator.iterate(metadata.currentSnapshot)(s => s.flatMap(_.parentSnapshotId).flatMap(byId.get))
+      .takeWhile(_.isDefined).flatten.map(_.snapshotId).toSeq
+  }
+}
+
+object GraftTable {
+  def load(name: String, catalog: Catalog): GraftTable = {
+    val (md, v) = catalog.loadTable(name)
+    new GraftTable(name, md, v, catalog)
+  }
+
+  def create(name: String, catalog: Catalog, schema: IcebergSchema,
+      spec: PartitionSpec = PartitionSpec.unpartitioned,
+      properties: Map[String, String] = Map.empty): GraftTable = {
+    catalog.createTable(name, schema, spec, properties)
+    load(name, catalog)
+  }
+}
+
+/** Unit of scan work (scan/task.rs:55-130). */
+final case class FileScanTask(
+    file: DataFile,
+    specId: Int,
+    sequenceNumber: Long)
+
+/** Snapshot-scoped scan with pruning pipeline (scan/mod.rs:381-498):
+  * manifest list → [ManifestEvaluator on partition summaries] → entries →
+  * [ExpressionEvaluator on exact partition values] →
+  * [InclusiveMetricsEvaluator on column stats] → FileScanTasks →
+  * `spark.read.parquet` + residual Catalyst filter.
+  *
+  * Planning walks metadata driver-side (manifests are KB-scale Avro);
+  * the data itself never touches the driver — at 100 TB the executors do
+  * all data IO, and file-level parallelism comes from the planned file
+  * list feeding Spark's split generation.
+  */
+final class TableScan private[table] (
+    table: GraftTable,
+    filter: Predicate = AlwaysTrue,
+    selected: Seq[String] = Nil,
+    snapshotId: Option[Long] = None) {
+
+  def withFilter(p: Predicate): TableScan =
+    new TableScan(table, Predicate.bind(p, table.schema), selected, snapshotId)
+
+  def select(cols: String*): TableScan =
+    new TableScan(table, filter, cols.toSeq, snapshotId)
+
+  def useSnapshot(id: Long): TableScan =
+    new TableScan(table, filter, selected, Some(id))
+
+  private def snapshot: Option[Snapshot] =
+    snapshotId.map(id => table.metadata.snapshotById(id).getOrElse(
+      throw new IllegalArgumentException(s"snapshot $id not found")))
+      .orElse(table.metadata.currentSnapshot)
+
+  /** Per-spec partition-space filter (PartitionFilterCache, scan/cache.rs:31). */
+  private lazy val partitionFilters: Map[Int, Predicate] =
+    table.metadata.partitionSpecs.map { s =>
+      s.specId -> InclusiveProjection.project(filter, table.schema, s)
+    }.toMap
+
+  def planFiles(): Seq[FileScanTask] = {
+    val snap = snapshot.getOrElse(return Nil)
+    val manifests = ManifestIO.readManifestList(table.io, snap.manifestList, table.partTypes)
+
+    val dataManifests = manifests.filter(_.content == ManifestContent.Data)
+    val survivors = dataManifests.filter { m =>
+      val spec = table.metadata.specById(m.partitionSpecId).getOrElse(table.spec)
+      ManifestEvaluator.manifestMightMatch(
+        partitionFilters(m.partitionSpecId), m.partitions, spec, table.schema)
+    }
+
+    survivors.flatMap { m =>
+      val spec = table.metadata.specById(m.partitionSpecId).getOrElse(table.spec)
+      val partFilter = partitionFilters(m.partitionSpecId)
+      ManifestIO.readManifest(table.io, m.manifestPath, table.schema, spec)
+        .filter(_.isAlive)
+        .filter(e => ExpressionEvaluator.partitionMatches(
+          partFilter, e.dataFile.partition, spec, table.schema))
+        .filter(e => InclusiveMetricsEvaluator.fileMightMatch(filter, e.dataFile, table.schema))
+        .map(e => FileScanTask(e.dataFile, m.partitionSpecId,
+          e.sequenceNumber.getOrElse(m.sequenceNumber)))
+    }
+  }
+
+  /** Planned file count with vs without pruning — for tests/metrics. */
+  def planSummary(): (Int, Int) = {
+    val all = snapshot.map { snap =>
+      ManifestIO.readManifestList(table.io, snap.manifestList, table.partTypes)
+        .filter(_.content == ManifestContent.Data)
+        .map(m => m.addedFilesCount + m.existingFilesCount).sum
+    }.getOrElse(0)
+    (planFiles().size, all)
+  }
+
+  def toDF(spark: SparkSession): DataFrame = {
+    val tasks = planFiles()
+    val sparkSchema = table.schema.toSpark
+    val base =
+      if (tasks.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sparkSchema)
+      else
+        spark.read.schema(sparkSchema).parquet(tasks.map(_.file.filePath): _*)
+    val filtered = filter match {
+      case AlwaysTrue => base
+      case p => base.filter(Predicate.toColumn(p, table.schema))
+    }
+    if (selected.isEmpty) filtered else filtered.select(selected.map(col): _*)
+  }
+}
