@@ -22,9 +22,9 @@ object RelationalQueries {
     "q01_pricing_summary",
     """SELECT l_returnflag, l_linestatus,
       |  count(*) AS count_order,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,8)) AS sum_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,8)) AS sum_base_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1 - l_discount AS DECIMAL(18,6))) AS DECIMAL(38,12)) AS sum_disc_price
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1 - l_discount AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
       |GROUP BY l_returnflag, l_linestatus
@@ -36,10 +36,12 @@ object RelationalQueries {
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         count(lit(1)).as("count_order"),
-        sum(col("l_quantity").cast("decimal(18,4)")).cast("decimal(38,8)").as("sum_qty"),
-        sum(col("l_extendedprice").cast("decimal(18,6)")).cast("decimal(38,8)").as("sum_base_price"),
+        // decimal sums internally (exact, associative) → DOUBLE on output:
+        // identical exact decimal gives identical double bits in both engines
+        sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,6)")).cast("double").as("sum_base_price"),
         sum(col("l_extendedprice").cast("decimal(18,6)") *
-          (lit(1) - col("l_discount")).cast("decimal(18,6)")).cast("decimal(38,12)").as("sum_disc_price"))
+          (lit(1) - col("l_discount")).cast("decimal(18,6)")).cast("double").as("sum_disc_price"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
@@ -73,7 +75,7 @@ object RelationalQueries {
     "q03_join_revenue",
     """SELECT n_name,
       |  count(*) AS n_orders,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,8)) AS revenue
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
       |FROM orders
       |JOIN customer ON o_custkey = c_custkey
       |JOIN nation   ON c_nationkey = n_nationkey
@@ -86,7 +88,7 @@ object RelationalQueries {
       .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(count(lit(1)).as("n_orders"),
-        sum(col("o_totalprice").cast("decimal(18,6)")).cast("decimal(38,8)").as("revenue"))
+        sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("revenue"))
       .orderBy(col("n_name"))
   }
 
@@ -167,7 +169,7 @@ object RelationalQueries {
   val q08 = Q.sql(
     "q08_star_like",
     """SELECT p_brand, count(*) AS n_items,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,8)) AS sum_qty
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
       |FROM lineitem
       |JOIN part ON l_partkey = p_partkey
       |WHERE p_type LIKE 'STANDARD%'
@@ -179,7 +181,7 @@ object RelationalQueries {
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(count(lit(1)).as("n_items"),
-        sum(col("l_quantity").cast("decimal(18,4)")).cast("decimal(38,8)").as("sum_qty"))
+        sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"))
       .orderBy(col("p_brand"))
   }
 

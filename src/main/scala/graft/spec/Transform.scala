@@ -166,8 +166,9 @@ object Transform {
     val name = "day"
     // result is date-typed in the spec (transform.rs result_type)
     def resultType(src: IcebergType): IcebergType = { check(src); DateT }
-    def toColumn(c: Column, srcType: IcebergType): Column =
-      datediff(c.cast(DateType), lit("1970-01-01").cast(DateType))
+    // date-typed column (matches resultType) so the Hive staging dir renders
+    // as yyyy-MM-dd and parsePartition/LocalDate.parse round-trips
+    def toColumn(c: Column, srcType: IcebergType): Column = c.cast(DateType)
     def applyValue(v: Any, srcType: IcebergType): Any =
       if (v == null) null
       else srcType match {

@@ -40,7 +40,27 @@ object AppendWriter {
     val expected = schema.fields.map(_.name)
     val missing = expected.toSet -- df.columns.toSet
     require(missing.isEmpty, s"append is missing columns: ${missing.mkString(",")}")
-    val input = df.select(expected.map(col): _*)
+    // Attach the Iceberg field ids as parquet.field.id column metadata so
+    // Spark's parquet writer embeds them (fieldId.write.enabled) and the
+    // scan's id-based projection resolves (arrow/reader/pipeline.rs:160-168:
+    // "projection must be done using field ids").
+    val sparkFields = schema.toSpark.fields
+    val input = df.select(sparkFields.map(f =>
+      col(f.name).cast(f.dataType).as(f.name, f.metadata)): _*)
+    // Temporal partition transforms and Hive path rendering of timestamp
+    // values are session-timezone dependent; the spec computes them in UTC
+    // (transform/temporal.rs), so force UTC for the write.
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try appendInUtc(table, input, spark)
+    finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
+  private def appendInUtc(table: GraftTable, input: DataFrame,
+      spark: org.apache.spark.sql.SparkSession): GraftTable = {
+    val schema = table.schema
+    val spec = table.spec
+    val io = table.io
 
     // --- partition projection ---
     val partCols = spec.fields.map { pf =>
@@ -200,9 +220,15 @@ object AppendWriter {
           case StringT => s
           case DateT => java.time.LocalDate.parse(s).toEpochDay.toInt
           case TimestampT | TimestamptzT =>
-            java.time.LocalDateTime.parse(s.replace(' ', 'T'))
-              .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
+            // micros precision incl. fractional seconds (dirs are UTC-rendered)
+            val i = java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+              .toInstant(java.time.ZoneOffset.UTC)
+            i.getEpochSecond * 1000000L + i.getNano / 1000L
           case BooleanT => s.toBoolean
+          case FloatT => s.toFloat
+          case DoubleT => s.toDouble
+          case DecimalT(_, sc) =>
+            new java.math.BigDecimal(s).setScale(sc)
           case other => throw new IllegalArgumentException(
             s"cannot parse partition value of type $other from '$s'")
         }

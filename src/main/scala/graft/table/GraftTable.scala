@@ -178,6 +178,10 @@ final class TableScan private[table] (
   def toDF(spark: SparkSession): DataFrame = {
     val tasks = planFiles()
     val sparkSchema = table.schema.toSpark
+    // id-based projection (pipeline.rs:160-168); tolerate legacy files
+    // written without embedded ids (falls back to name resolution)
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    spark.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
     val base =
       if (tasks.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sparkSchema)

@@ -37,25 +37,30 @@ class TableRoundTripSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def catalog = new HadoopCatalog(wh, FileIO.fromSpark(spark))
 
   test("day-partitioned lineitem: append, scan, prune, filter parity") {
+    // one year's slice: keeps the day-partition fanout to ~360 files
+    // (sf0.001 spans 1995-01-02..2001-11-04)
     val src = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .filter("l_shipdate < timestamp'1996-01-01 00:00:00'")
     val schema = IcebergSchema.fromSpark(src.schema)
     val spec = PartitionSpec.build(schema, Seq("l_shipdate" -> Transform.Day))
     var t = GraftTable.create("lineitem_day", catalog, schema, spec)
     t = t.append(src)
 
-    // full-table read equals source
+    // full-table read equals source, row contents included
     val all = t.newScan().toDF(spark)
     assert(all.count() == src.count())
     assert(all.columns.toSeq == src.columns.toSeq)
+    assert(all.exceptAll(src).isEmpty && src.exceptAll(all).isEmpty,
+      "round-tripped rows differ from source")
 
-    // filtered scan: predicate prunes files at plan time
-    val cut = Predicate.tsMicros("1995-01-01T00:00:00")
+    // filtered scan: predicate prunes files at plan time (cut is mid-range)
+    val cut = Predicate.tsMicros("1995-07-01T00:00:00")
     val scan = t.newScan().withFilter(Predicate.gtEq("l_shipdate", cut))
     val (planned, total) = scan.planSummary()
     assert(total > 1, s"expected multiple data files, got $total")
-    assert(planned < total, s"no pruning happened: $planned of $total files planned")
+    assert(planned < total / 2 + 20, s"day pruning too weak: $planned of $total files planned")
 
-    val expected = src.filter("l_shipdate >= timestamp'1995-01-01 00:00:00'").count()
+    val expected = src.filter("l_shipdate >= timestamp'1995-07-01 00:00:00'").count()
     assert(scan.toDF(spark).count() == expected)
 
     // select projection
@@ -75,8 +80,11 @@ class TableRoundTripSpec extends AnyFunSuite with BeforeAndAfterAll {
     val (planned, total) = scan.planSummary()
     assert(total >= 8, s"expected >=8 bucket files, got $total")
     assert(planned <= total / 4, s"bucket pruning too weak: $planned of $total")
-    val expected = src.filter(s"o_custkey = $someKey").count()
-    assert(scan.toDF(spark).count() == expected)
+    // residual filter makes the scan exact; compare row contents
+    val matched = scan.toDF(spark)
+    val expectedDf = src.filter(s"o_custkey = $someKey")
+    assert(matched.count() == expectedDf.count())
+    assert(matched.exceptAll(expectedDf).isEmpty && expectedDf.exceptAll(matched).isEmpty)
   }
 
   test("unpartitioned + multiple appends accumulate snapshots") {
