@@ -7,7 +7,8 @@ import graft.queries._
   */
 object Registry {
   def modules: Seq[Seq[Q]] = Seq(
-    RelationalQueries.all
+    RelationalQueries.all,
+    IcebergQueries.all
   )
 
   lazy val all: Seq[Q] = {

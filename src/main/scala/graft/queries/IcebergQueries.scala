@@ -1,0 +1,149 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.expr.Predicate
+
+/** The table-format engine surface registered as driver-checked queries.
+  *
+  * Unlike RelationalQueries (Catalyst over raw parquet), every query here
+  * routes through the Iceberg machinery: append commit → manifest/manifest-
+  * list Avro → scan planning with metadata pruning → parquet read with
+  * field-id projection. The DuckDB oracle reads the same raw parquet the
+  * fixture table was built from, so equality holds iff the whole
+  * write→plan→prune→read pipeline is lossless (scan/mod.rs:381-498,
+  * table/mod.rs:153-240 semantics).
+  *
+  * Timestamps are emitted as DATE: the raw parquet stores ms-precision
+  * timestamps, our table stores µs — value-identical here, but the dumped
+  * parquet types must match for the driver's hash.
+  */
+object IcebergQueries {
+
+  /** Full unfiltered scan of the month-partitioned lineitem table. */
+  val i01 = Q.sql(
+    "i01_iceberg_full_scan",
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+      |  l_returnflag, CAST(l_shipdate AS DATE) AS ship_date
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+      |  l_returnflag, ship_date""".stripMargin,
+    bench = true
+  ) { (s, d) =>
+    IcebergFixtures.lineitemMonth(s, d).newScan().toDF(s)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_returnflag"),
+        col("l_shipdate").cast("date").as("ship_date"))
+      // (l_orderkey, l_linenumber) is not unique in the synthetic data:
+      // order by every output column for a total order on both sides
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_returnflag"), col("ship_date"))
+  }
+
+  /** Filtered scan: the predicate prunes month partitions at plan time
+    * (InclusiveProjection → ManifestEvaluator → ExpressionEvaluator) and is
+    * re-applied as the residual Catalyst filter. */
+  val i02 = Q.sql(
+    "i02_iceberg_pruned_scan",
+    """SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_date,
+      |  l_quantity
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      |ORDER BY l_orderkey, l_linenumber, ship_date, l_quantity""".stripMargin,
+    bench = true
+  ) { (s, d) =>
+    IcebergFixtures.lineitemMonth(s, d).newScan()
+      .withFilter(
+        Predicate.gtEq("l_shipdate", Predicate.tsMicros("1997-01-01T00:00:00"))
+          .and(Predicate.lt("l_shipdate", Predicate.tsMicros("1998-01-01T00:00:00"))))
+      .toDF(s)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate").cast("date").as("ship_date"), col("l_quantity"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("ship_date"),
+        col("l_quantity"))
+  }
+
+  /** Column projection through the scan (select() → parquet read mask). */
+  val i03 = Q.sql(
+    "i03_iceberg_projection",
+    """SELECT l_orderkey, l_linenumber, l_quantity
+      |FROM lineitem
+      |WHERE l_quantity > 45
+      |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin
+  ) { (s, d) =>
+    IcebergFixtures.lineitemMonth(s, d).newScan()
+      .withFilter(Predicate.gt("l_quantity", 45.0))
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .toDF(s)
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+  }
+
+  /** Bucket-partition pruning: equality on the bucketed key plans only the
+    * matching bucket's files (ExpressionEvaluator over bucket[8] values). */
+  val i04 = Q.sql(
+    "i04_iceberg_bucket_scan",
+    """SELECT o_orderkey, o_custkey, o_totalprice,
+      |  CAST(o_orderdate AS DATE) AS order_date
+      |FROM orders
+      |WHERE o_custkey = 7
+      |ORDER BY o_orderkey""".stripMargin
+  ) { (s, d) =>
+    IcebergFixtures.ordersBucket(s, d).newScan()
+      .withFilter(Predicate.eqTo("o_custkey", 7L))
+      .toDF(s)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderdate").cast("date").as("order_date"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Time travel: scan the first snapshot (even order keys only) of a
+    * two-snapshot table (snapshot_id scoping, scan/mod.rs:133). */
+  val i05 = Q.sql(
+    "i05_iceberg_time_travel",
+    """SELECT o_orderstatus, count(*) AS n,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(15,4)) AS DOUBLE) AS total
+      |FROM orders
+      |WHERE o_orderkey % 2 = 0
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+  ) { (s, d) =>
+    val t = IcebergFixtures.ordersTwoSnapshots(s, d)
+    val firstSnap = t.metadata.snapshots.head.snapshotId
+    t.newScan().useSnapshot(firstSnap).toDF(s)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,6)")).cast("decimal(15,4)").cast("double").as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** files metadata table: per-partition row counts from manifest entries
+    * alone (no data read) must equal a raw GROUP BY over the data. */
+  val i06 = Q.sql(
+    "i06_iceberg_files_meta",
+    """SELECT strftime(l_shipdate, '%Y-%m') AS part, count(*) AS n_rows
+      |FROM lineitem
+      |GROUP BY 1
+      |ORDER BY part""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val t = IcebergFixtures.lineitemMonth(s, d)
+    val spec = t.spec
+    t.newScan().planFiles()
+      .groupBy(task => spec.fields.head.transform.toHumanString(task.file.partition.head))
+      .map { case (part, tasks) => (part, tasks.map(_.file.recordCount).sum) }
+      .toSeq.sortBy(_._1)
+      .toDF("part", "n_rows")
+  }
+
+  /** snapshots + history metadata tables (inspect/metadata_table.rs):
+    * deterministic columns only — no oracle (ids/timestamps are per-run). */
+  val i07 = Q.rowsOnly("i07_iceberg_snapshots_meta") { (s, d) =>
+    val t = IcebergFixtures.ordersTwoSnapshots(s, d)
+    t.snapshotsDf(s)
+      .select(col("sequence_number"), col("operation"))
+      .orderBy(col("sequence_number"))
+  }
+
+  val all: Seq[Q] = Seq(i01, i02, i03, i04, i05, i06, i07)
+}

@@ -22,9 +22,9 @@ object RelationalQueries {
     "q01_pricing_summary",
     """SELECT l_returnflag, l_linestatus,
       |  count(*) AS count_order,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1 - l_discount AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(15,4)) AS DOUBLE) AS sum_qty,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(15,4)) AS DOUBLE) AS sum_base_price,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1 - l_discount AS DECIMAL(18,6))) AS DECIMAL(15,4)) AS DOUBLE) AS sum_disc_price
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
       |GROUP BY l_returnflag, l_linestatus
@@ -36,12 +36,13 @@ object RelationalQueries {
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         count(lit(1)).as("count_order"),
-        // decimal sums internally (exact, associative) → DOUBLE on output:
-        // identical exact decimal gives identical double bits in both engines
-        sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"),
-        sum(col("l_extendedprice").cast("decimal(18,6)")).cast("double").as("sum_base_price"),
+        // decimal sums internally (exact, associative) → DECIMAL(15,4) → DOUBLE:
+        // a 15-digit unscaled value fits in 2^53, so both engines' decimal→double
+        // conversions are exact IEEE divisions and bit-identical
+        sum(col("l_quantity").cast("decimal(18,4)")).cast("decimal(15,4)").cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,6)")).cast("decimal(15,4)").cast("double").as("sum_base_price"),
         sum(col("l_extendedprice").cast("decimal(18,6)") *
-          (lit(1) - col("l_discount")).cast("decimal(18,6)")).cast("double").as("sum_disc_price"))
+          (lit(1) - col("l_discount")).cast("decimal(18,6)")).cast("decimal(15,4)").cast("double").as("sum_disc_price"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
@@ -56,7 +57,7 @@ object RelationalQueries {
       |  AND l_returnflag IN ('A','R')
       |  AND l_shipdate >= TIMESTAMP '1995-06-01 00:00:00'
       |  AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
-      |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+      |ORDER BY l_orderkey, l_linenumber, ship_date, l_quantity""".stripMargin,
     bench = true
   ) { (s, d) =>
     lineitem(s, d)
@@ -66,7 +67,9 @@ object RelationalQueries {
         col("l_shipdate") < lit("1996-01-01 00:00:00").cast("timestamp"))
       .select(col("l_orderkey"), col("l_linenumber"),
         col("l_shipdate").cast("date").as("ship_date"), col("l_quantity"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      // (l_orderkey, l_linenumber) is not unique in the synthetic data
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("ship_date"),
+        col("l_quantity"))
   }
 
   /** Join + agg: revenue per nation. Dims broadcast (no shuffle of the fact
@@ -75,7 +78,7 @@ object RelationalQueries {
     "q03_join_revenue",
     """SELECT n_name,
       |  count(*) AS n_orders,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(15,4)) AS DOUBLE) AS revenue
       |FROM orders
       |JOIN customer ON o_custkey = c_custkey
       |JOIN nation   ON c_nationkey = n_nationkey
@@ -88,7 +91,7 @@ object RelationalQueries {
       .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(count(lit(1)).as("n_orders"),
-        sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("revenue"))
+        sum(col("o_totalprice").cast("decimal(18,6)")).cast("decimal(15,4)").cast("double").as("revenue"))
       .orderBy(col("n_name"))
   }
 
@@ -169,7 +172,7 @@ object RelationalQueries {
   val q08 = Q.sql(
     "q08_star_like",
     """SELECT p_brand, count(*) AS n_items,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(15,4)) AS DOUBLE) AS sum_qty
       |FROM lineitem
       |JOIN part ON l_partkey = p_partkey
       |WHERE p_type LIKE 'STANDARD%'
@@ -181,7 +184,7 @@ object RelationalQueries {
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(count(lit(1)).as("n_items"),
-        sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"))
+        sum(col("l_quantity").cast("decimal(18,4)")).cast("decimal(15,4)").cast("double").as("sum_qty"))
       .orderBy(col("p_brand"))
   }
 
