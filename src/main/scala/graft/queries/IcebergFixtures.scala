@@ -71,4 +71,23 @@ object IcebergFixtures {
       t.append(src.filter(col("o_orderkey") % 2 === 0))
         .append(src.filter(col("o_orderkey") % 2 === 1))
     }
+
+  /** orders with a MoR position-delete commit (DELETE WHERE price > 200k). */
+  def ordersPosDeleted(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "orders_posdel") { catalog =>
+      val src = Tables.orders(spark, sfDir)
+      val schema = IcebergSchema.fromSpark(src.schema)
+      GraftTable.create("orders_posdel", catalog, schema).append(src)
+        .deleteWhere(graft.expr.Predicate.gt("o_totalprice", 200000.0), spark)
+    }
+
+  /** customer with an equality-delete commit removing segment BUILDING. */
+  def customerEqDeleted(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "customer_eqdel") { catalog =>
+      import spark.implicits._
+      val src = Tables.customer(spark, sfDir)
+      val schema = IcebergSchema.fromSpark(src.schema)
+      GraftTable.create("customer_eqdel", catalog, schema).append(src)
+        .equalityDelete(Seq("BUILDING").toDF("c_mktsegment"), Seq("c_mktsegment"))
+    }
 }

@@ -145,5 +145,36 @@ object IcebergQueries {
       .orderBy(col("sequence_number"))
   }
 
-  val all: Seq[Q] = Seq(i01, i02, i03, i04, i05, i06, i07)
+  /** MoR position deletes: DELETE WHERE price > 200k, then scan — must
+    * equal the complementary filter over the raw data
+    * (positional_deletes.rs:35 anti-join semantics). */
+  val i08 = Q.sql(
+    "i08_iceberg_pos_delete_scan",
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders
+      |WHERE o_totalprice <= 200000.0
+      |ORDER BY o_orderkey, o_totalprice""".stripMargin
+  ) { (s, d) =>
+    IcebergFixtures.ordersPosDeleted(s, d).newScan().toDF(s)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"), col("o_totalprice"))
+  }
+
+  /** MoR equality deletes: delete-by-key (segment=BUILDING), then scan +
+    * aggregate (delete_filter.rs:190 semantics incl. seq scoping). */
+  val i09 = Q.sql(
+    "i09_iceberg_eq_delete_scan",
+    """SELECT c_nationkey, count(*) AS n_customers
+      |FROM customer
+      |WHERE c_mktsegment <> 'BUILDING'
+      |GROUP BY c_nationkey
+      |ORDER BY c_nationkey""".stripMargin
+  ) { (s, d) =>
+    IcebergFixtures.customerEqDeleted(s, d).newScan().toDF(s)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  val all: Seq[Q] = Seq(i01, i02, i03, i04, i05, i06, i07, i08, i09)
 }

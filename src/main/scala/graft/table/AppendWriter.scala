@@ -252,89 +252,20 @@ object AppendWriter {
     sb.toString
   }
 
-  /** Build manifest, manifest list, snapshot; commit with optimistic retry. */
+  /** Build manifest, manifest list, snapshot; commit with optimistic retry
+    * (fast-append: one new manifest prepended to the base's list). */
   private def commitAppend(table: GraftTable, files: Seq[DataFile],
       commitUuid: String): GraftTable = {
-    val io = table.io
-    val schema = table.schema
-    val spec = table.spec
-    val partType = spec.partitionType(schema)
-    val snapshotId = math.abs(UUID.randomUUID().getMostSignificantBits)
-
-    graft.catalog.CommitRetry.run(table.catalog, table.name) { (base, version) =>
-      val seq = base.lastSequenceNumber + 1
-
-      // manifest (one per append, like fast_append)
+    val extra = Map(
+      "added-data-files" -> files.size.toString,
+      "added-records" -> files.map(_.recordCount).sum.toString,
+      "added-files-size" -> files.map(_.fileSizeInBytes).sum.toString)
+    Commits.commit(table, "append", commitUuid, extra) { (base, seq, snapshotId) =>
       val entries = files.map(f => ManifestEntry(ManifestStatus.Added, Some(snapshotId),
         Some(seq), Some(seq), f))
-      val manifestPath = s"${base.location}/metadata/$commitUuid-m0.avro"
-      val (_, mLen) = ManifestIO.writeManifest(io, manifestPath, entries, schema, spec)
-
-      val summaries = partType.fields.zipWithIndex.map { case (pf, i) =>
-        val vals = files.map(_.partition(i))
-        val nonNull = vals.filter(_ != null)
-        FieldSummary(
-          containsNull = vals.exists(_ == null),
-          containsNan = Some(nonNull.exists(SingleValue.isNaN)),
-          lowerBound = if (nonNull.isEmpty) None
-            else Some(nonNull.reduce((a, b) => if (SingleValue.compare(pf.fieldType, a, b) <= 0) a else b)),
-          upperBound = if (nonNull.isEmpty) None
-            else Some(nonNull.reduce((a, b) => if (SingleValue.compare(pf.fieldType, a, b) >= 0) a else b)))
-      }
-
-      val newManifest = ManifestFile(
-        manifestPath = manifestPath,
-        manifestLength = mLen,
-        partitionSpecId = spec.specId,
-        content = ManifestContent.Data,
-        sequenceNumber = seq,
-        minSequenceNumber = seq,
-        addedSnapshotId = snapshotId,
-        addedFilesCount = files.size,
-        existingFilesCount = 0,
-        deletedFilesCount = 0,
-        addedRowsCount = files.map(_.recordCount).sum,
-        existingRowsCount = 0,
-        deletedRowsCount = 0,
-        partitions = summaries)
-
-      val prevManifests = base.currentSnapshot.map(s =>
-        ManifestIO.readManifestList(io, s.manifestList, table.partTypes)).getOrElse(Nil)
-      val allManifests = newManifest +: prevManifests
-
-      val listPath = s"${base.location}/metadata/snap-$snapshotId-$commitUuid.avro"
-      ManifestIO.writeManifestList(io, listPath, allManifests, table.partTypes)
-
-      val now = System.currentTimeMillis()
-      val addedRecords = files.map(_.recordCount).sum
-      val addedSize = files.map(_.fileSizeInBytes).sum
-      val prevTotals = base.currentSnapshot.map(_.summary).getOrElse(Map.empty)
-      def prevLong(k: String) = prevTotals.get(k).flatMap(_.toLongOption).getOrElse(0L)
-      val snap = Snapshot(
-        snapshotId = snapshotId,
-        parentSnapshotId = base.currentSnapshotId,
-        sequenceNumber = seq,
-        timestampMs = now,
-        manifestList = listPath,
-        operation = "append",
-        summary = Map(
-          "added-data-files" -> files.size.toString,
-          "added-records" -> addedRecords.toString,
-          "added-files-size" -> addedSize.toString,
-          "total-data-files" -> (prevLong("total-data-files") + files.size).toString,
-          "total-records" -> (prevLong("total-records") + addedRecords).toString,
-          "total-files-size" -> (prevLong("total-files-size") + addedSize).toString),
-        schemaId = Some(schema.schemaId))
-
-      val updated = base.copy(
-        lastSequenceNumber = seq,
-        lastUpdatedMs = now,
-        currentSnapshotId = Some(snapshotId),
-        snapshots = base.snapshots :+ snap,
-        snapshotLog = base.snapshotLog :+ (snapshotId, now),
-        metadataLog = base.metadataLog :+ (s"${base.location}/metadata/v$version.metadata.json", base.lastUpdatedMs))
-
-      (updated, (_: Int) => table.refresh())
+      val m = Commits.writeManifest(table.io, base, s"$commitUuid-m0", entries,
+        table.schema, table.spec, ManifestContent.Data, snapshotId, seq)
+      m +: Commits.baseManifests(table.io, base)
     }
   }
 }

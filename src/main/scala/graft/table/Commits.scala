@@ -1,0 +1,115 @@
+package graft.table
+
+import java.util.UUID
+
+import graft.meta._
+import graft.spec.{IcebergSchema, PartitionSpec, Snapshot, TableMetadata}
+
+/** Shared snapshot-commit machinery used by append, row-delta (deletes) and
+  * rewrite (compaction) actions — the role of the reference's Transaction +
+  * snapshot producers (transaction/mod.rs:175-252: refresh base, re-apply,
+  * optimistic CAS with backoff).
+  */
+object Commits {
+
+  /** Read the base metadata's current manifest list ([] for empty tables). */
+  def baseManifests(io: graft.io.FileIO, base: TableMetadata): Seq[ManifestFile] =
+    base.currentSnapshot.map(s =>
+      ManifestIO.readManifestList(io, s.manifestList, partTypes(base))).getOrElse(Nil)
+
+  def partTypes(base: TableMetadata): Map[Int, graft.spec.IcebergType.StructT] =
+    base.partitionSpecs.map(s => s.specId -> s.partitionType(base.currentSchema)).toMap
+
+  /** Write one manifest for `entries` and return its list descriptor. */
+  def writeManifest(
+      io: graft.io.FileIO,
+      base: TableMetadata,
+      fileName: String,
+      entries: Seq[ManifestEntry],
+      schema: IcebergSchema,
+      spec: PartitionSpec,
+      content: Int,
+      snapshotId: Long,
+      seq: Long): ManifestFile = {
+    val path = s"${base.location}/metadata/$fileName.avro"
+    val (_, len) = ManifestIO.writeManifest(io, path, entries, schema, spec)
+    val partType = spec.partitionType(schema)
+
+    val alive = entries.filter(_.isAlive).map(_.dataFile)
+    val summaries = partType.fields.zipWithIndex.map { case (pf, i) =>
+      val vals = alive.map(_.partition(i))
+      val nonNull = vals.filter(_ != null)
+      FieldSummary(
+        containsNull = vals.exists(_ == null),
+        containsNan = Some(nonNull.exists(SingleValue.isNaN)),
+        lowerBound = if (nonNull.isEmpty) None
+          else Some(nonNull.reduce((a, b) => if (SingleValue.compare(pf.fieldType, a, b) <= 0) a else b)),
+        upperBound = if (nonNull.isEmpty) None
+          else Some(nonNull.reduce((a, b) => if (SingleValue.compare(pf.fieldType, a, b) >= 0) a else b)))
+    }
+
+    def count(st: Int) = entries.count(_.status == st)
+    def rows(st: Int) = entries.filter(_.status == st).map(_.dataFile.recordCount).sum
+    ManifestFile(
+      manifestPath = path,
+      manifestLength = len,
+      partitionSpecId = spec.specId,
+      content = content,
+      sequenceNumber = seq,
+      minSequenceNumber = entries.flatMap(_.sequenceNumber).minOption.getOrElse(seq),
+      addedSnapshotId = snapshotId,
+      addedFilesCount = count(ManifestStatus.Added),
+      existingFilesCount = count(ManifestStatus.Existing),
+      deletedFilesCount = count(ManifestStatus.Deleted),
+      addedRowsCount = rows(ManifestStatus.Added),
+      existingRowsCount = rows(ManifestStatus.Existing),
+      deletedRowsCount = rows(ManifestStatus.Deleted),
+      partitions = summaries)
+  }
+
+  /** One snapshot commit with optimistic retry. `manifests` is re-invoked
+    * per attempt against the refreshed base and must return the FULL new
+    * manifest list. */
+  def commit(table: GraftTable, operation: String, commitUuid: String,
+      extraSummary: Map[String, String] = Map.empty)(
+      manifests: (TableMetadata, Long, Long) => Seq[ManifestFile]): GraftTable = {
+    val io = table.io
+    val snapshotId = math.abs(UUID.randomUUID().getMostSignificantBits)
+
+    graft.catalog.CommitRetry.run(table.catalog, table.name) { (base, version) =>
+      val seq = base.lastSequenceNumber + 1
+      val all = manifests(base, seq, snapshotId)
+      val listPath = s"${base.location}/metadata/snap-$snapshotId-$commitUuid.avro"
+      ManifestIO.writeManifestList(io, listPath, all, partTypes(base))
+
+      val now = System.currentTimeMillis()
+      val dataMs = all.filter(_.content == ManifestContent.Data)
+      val delMs = all.filter(_.content == ManifestContent.Deletes)
+      val summary = Map(
+        "total-data-files" -> dataMs.map(m => m.addedFilesCount + m.existingFilesCount).sum.toString,
+        "total-delete-files" -> delMs.map(m => m.addedFilesCount + m.existingFilesCount).sum.toString,
+        "total-records" -> dataMs.map(m => m.addedRowsCount + m.existingRowsCount).sum.toString
+      ) ++ extraSummary
+
+      val snap = Snapshot(
+        snapshotId = snapshotId,
+        parentSnapshotId = base.currentSnapshotId,
+        sequenceNumber = seq,
+        timestampMs = now,
+        manifestList = listPath,
+        operation = operation,
+        summary = summary,
+        schemaId = Some(base.currentSchema.schemaId))
+
+      val updated = base.copy(
+        lastSequenceNumber = seq,
+        lastUpdatedMs = now,
+        currentSnapshotId = Some(snapshotId),
+        snapshots = base.snapshots :+ snap,
+        snapshotLog = base.snapshotLog :+ (snapshotId, now),
+        metadataLog = base.metadataLog :+ (s"${base.location}/metadata/v$version.metadata.json", base.lastUpdatedMs))
+
+      (updated, (_: Int) => table.refresh())
+    }
+  }
+}

@@ -1,0 +1,108 @@
+package graft.table
+
+import java.util.UUID
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.expr.Predicate
+import graft.meta._
+
+/** Merge-on-read delete writers (reference: position deletes
+  * arrow/reader/positional_deletes.rs:35, equality deletes
+  * writer/base_writer/equality_delete_writer.rs:39 + delete semantics
+  * arrow/delete_filter.rs:190, caching_delete_file_loader.rs:421-424).
+  *
+  * Position deletes are (file_path, pos) parquet rows — the scan applies
+  * them as a left-anti join against `_metadata.{file_path,row_index}`.
+  * Equality deletes are projected key-column rows with `equality_ids`;
+  * the scan anti-joins on the key columns scoped to
+  * `data_sequence_number < delete_sequence_number`, and a row whose key
+  * contains null is never deleted (null != null, spec rule).
+  */
+object DeleteWriter {
+
+  /** Reserved field ids of the position-delete file schema
+    * (metadata_columns.rs:84-87). */
+  val FilePathFieldId = Int.MaxValue - 101
+  val PosFieldId = Int.MaxValue - 102
+
+  /** Row-level `DELETE WHERE predicate` executed as a MoR position-delete
+    * commit: plan candidate files with the predicate (metadata pruning),
+    * locate matching rows distributedly, write (file_path, pos) files. */
+  def deleteWhere(table: GraftTable, predicate: Predicate,
+      spark: SparkSession): GraftTable = {
+    val bound = Predicate.bind(predicate, table.schema)
+    val tasks = table.newScan().withFilter(bound).planFiles()
+    if (tasks.isEmpty) return table
+
+    val matches = spark.read.schema(table.schema.toSpark)
+      .parquet(tasks.map(_.file.filePath): _*)
+      .filter(Predicate.toColumn(bound, table.schema))
+      .select(col("_metadata.file_path").as("file_path"),
+        col("_metadata.row_index").as("pos"))
+
+    writeDeleteFiles(table, matches.sortWithinPartitions("file_path", "pos"),
+      FileContent.PositionDeletes, Nil, spark)
+  }
+
+  /** Equality-delete commit: `keys` rows (columns = `keyCols`) mark any data
+    * row with equal key values in earlier sequence numbers as deleted. */
+  def equalityDelete(table: GraftTable, keys: DataFrame, keyCols: Seq[String],
+      spark: SparkSession): GraftTable = {
+    val ids = keyCols.map(n => table.schema.findField(n).getOrElse(
+      throw new IllegalArgumentException(s"unknown equality column: $n")).id)
+    val projected = keys.select(keyCols.map(col): _*).distinct()
+    writeDeleteFiles(table, projected, FileContent.EqualityDeletes, ids, spark)
+  }
+
+  private def writeDeleteFiles(table: GraftTable, rows: DataFrame, content: Int,
+      equalityIds: Seq[Int], spark: SparkSession): GraftTable = {
+    val commitUuid = UUID.randomUUID().toString
+    val outDir = s"${table.location}/data/deletes-$commitUuid"
+    rows.write.option("compression", "zstd").parquet(outDir)
+
+    val written = table.io.listFiles(outDir).filter(_._1.endsWith(".parquet"))
+    if (written.isEmpty || rowCount(written) == 0L) {
+      table.io.delete(outDir, recursive = true)
+      return table
+    }
+    // delete files are globally-scoped (unpartitioned layout): the partition
+    // tuple is all-null under the table's spec
+    val nullPartition = Seq.fill(table.spec.fields.size)(null)
+    val files = written.map { case (p, len) =>
+      DataFile(
+        content = content,
+        filePath = p,
+        fileFormat = "PARQUET",
+        partition = nullPartition,
+        recordCount = countRows(p),
+        fileSizeInBytes = len,
+        equalityIds = equalityIds)
+    }.filter(_.recordCount > 0)
+
+    Commits.commit(table, "delete", commitUuid,
+      Map("added-delete-files" -> files.size.toString,
+        "added-position-deletes" -> (if (content == FileContent.PositionDeletes)
+          files.map(_.recordCount).sum.toString else "0"))) { (base, seq, snapshotId) =>
+      val entries = files.map(f => ManifestEntry(ManifestStatus.Added, Some(snapshotId),
+        Some(seq), Some(seq), f))
+      val m = Commits.writeManifest(table.io, base, s"$commitUuid-d0", entries,
+        table.schema, table.spec, ManifestContent.Deletes, snapshotId, seq)
+      m +: Commits.baseManifests(table.io, base)
+    }
+  }
+
+  private def rowCount(files: Seq[(String, Long)]): Long =
+    files.map { case (p, _) => countRows(p) }.sum
+
+  /** Footer-only row count (delete commits write few files; driver-side). */
+  private def countRows(path: String): Long = {
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(path), new Configuration()))
+    try r.getRecordCount finally r.close()
+  }
+}

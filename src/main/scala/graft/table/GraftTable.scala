@@ -1,7 +1,7 @@
 package graft.table
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 
 import graft.catalog.{Catalog, CommitRetry}
 import graft.expr.{AlwaysTrue, ExpressionEvaluator, InclusiveMetricsEvaluator, InclusiveProjection, ManifestEvaluator, Predicate}
@@ -26,6 +26,14 @@ final class GraftTable(
   def newScan(): TableScan = new TableScan(this)
 
   def append(df: DataFrame): GraftTable = AppendWriter.append(this, df)
+
+  /** Row-level DELETE WHERE as a MoR position-delete commit. */
+  def deleteWhere(p: Predicate, spark: SparkSession): GraftTable =
+    DeleteWriter.deleteWhere(this, p, spark)
+
+  /** Equality-delete commit on the given key columns. */
+  def equalityDelete(keys: DataFrame, keyCols: Seq[String]): GraftTable =
+    DeleteWriter.equalityDelete(this, keys, keyCols, keys.sparkSession)
 
   def refresh(): GraftTable = GraftTable.load(name, catalog)
 
@@ -104,6 +112,12 @@ final case class FileScanTask(
     specId: Int,
     sequenceNumber: Long)
 
+/** A delete file in scope for the scanned snapshot (DeleteFileIndex entry,
+  * delete_file_index.rs:37). */
+final case class DeleteTask(
+    file: DataFile,
+    sequenceNumber: Long)
+
 /** Snapshot-scoped scan with pruning pipeline (scan/mod.rs:381-498):
   * manifest list → [ManifestEvaluator on partition summaries] → entries →
   * [ExpressionEvaluator on exact partition values] →
@@ -165,6 +179,21 @@ final class TableScan private[table] (
     }
   }
 
+  /** Alive delete files in scope for this snapshot. At 100 TB the delete
+    * manifests are read once per scan; actual delete application happens
+    * distributed (anti-joins in toDF), never on the driver. */
+  def planDeletes(): Seq[DeleteTask] = {
+    val snap = snapshot.getOrElse(return Nil)
+    ManifestIO.readManifestList(table.io, snap.manifestList, table.partTypes)
+      .filter(_.content == ManifestContent.Deletes)
+      .flatMap { m =>
+        val spec = table.metadata.specById(m.partitionSpecId).getOrElse(table.spec)
+        ManifestIO.readManifest(table.io, m.manifestPath, table.schema, spec)
+          .filter(_.isAlive)
+          .map(e => DeleteTask(e.dataFile, e.sequenceNumber.getOrElse(m.sequenceNumber)))
+      }
+  }
+
   /** Planned file count with vs without pruning — for tests/metrics. */
   def planSummary(): (Int, Int) = {
     val all = snapshot.map { snap =>
@@ -185,12 +214,72 @@ final class TableScan private[table] (
     val base =
       if (tasks.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sparkSchema)
-      else
-        spark.read.schema(sparkSchema).parquet(tasks.map(_.file.filePath): _*)
+      else {
+        val raw = spark.read.schema(sparkSchema).parquet(tasks.map(_.file.filePath): _*)
+        applyDeletes(spark, raw, tasks)
+      }
     val filtered = filter match {
       case AlwaysTrue => base
       case p => base.filter(Predicate.toColumn(p, table.schema))
     }
     if (selected.isEmpty) filtered else filtered.select(selected.map(col): _*)
+  }
+
+  /** MoR delete application (§2.3 join semantics):
+    *   - position deletes: left-anti join on
+    *     (_metadata.file_path, _metadata.row_index) ↔ (file_path, pos)
+    *     [positional_deletes.rs:35]
+    *   - equality deletes: left-anti join on the equality-id columns scoped
+    *     to data_seq < delete_seq; plain `===` keeps any row whose key
+    *     contains null [delete_filter.rs:190, caching_delete_file_loader.rs
+    *     :421-424]
+    * Both are executor-side joins — Spark broadcasts small delete sets
+    * automatically, so at 100 TB this stays shuffle-free until delete sets
+    * grow past the broadcast threshold (then it's a hash join, still never
+    * driver-side).
+    */
+  private def applyDeletes(spark: SparkSession, raw: DataFrame,
+      tasks: Seq[FileScanTask]): DataFrame = {
+    val deletes = planDeletes()
+    if (deletes.isEmpty) return raw
+
+    val FILE = "_gf_file"; val POS = "_gf_pos"; val SEQ = "_gf_seq"
+    var work = raw
+      .withColumn(FILE, col("_metadata.file_path"))
+      .withColumn(POS, col("_metadata.row_index"))
+
+    val posDeletes = deletes.filter(_.file.content == FileContent.PositionDeletes)
+    if (posDeletes.nonEmpty) {
+      val pd = spark.read.parquet(posDeletes.map(_.file.filePath): _*)
+      work = work.join(pd,
+        work(FILE) === pd("file_path") && work(POS) === pd("pos"), "left_anti")
+    }
+
+    val eqDeletes = deletes.filter(_.file.content == FileContent.EqualityDeletes)
+    if (eqDeletes.nonEmpty) {
+      import spark.implicits._
+      // per-row data sequence number from the owning file (broadcast map
+      // join); qualify paths to match _metadata.file_path's rendering
+      // (manifest paths may lack the filesystem scheme)
+      def qualify(p: String): String = {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        table.io.fs(p).makeQualified(hp).toString
+      }
+      val seqDf = tasks.map(t => (qualify(t.file.filePath), t.sequenceNumber))
+        .toDF("_gf_seq_file", SEQ)
+      work = work.join(org.apache.spark.sql.functions.broadcast(seqDf),
+        work(FILE) === seqDf("_gf_seq_file"), "left").drop("_gf_seq_file")
+      // one anti-join per (key set, sequence number) group
+      eqDeletes.groupBy(d => (d.file.equalityIds, d.sequenceNumber)).foreach {
+        case ((ids, delSeq), group) =>
+          val keyNames = ids.map(id => table.schema.idToField(id).name)
+          val dels = spark.read.parquet(group.map(_.file.filePath): _*)
+            .select(keyNames.map(col): _*).distinct()
+          val keyCond = keyNames.map(n => work(n) === dels(n)).reduce(_ && _)
+          work = work.join(dels, keyCond && work(SEQ) < lit(delSeq), "left_anti")
+      }
+      work = work.drop(SEQ)
+    }
+    work.drop(FILE, POS)
   }
 }

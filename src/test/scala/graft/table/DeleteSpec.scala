@@ -1,0 +1,120 @@
+package graft.table
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.HadoopCatalog
+import graft.expr.Predicate
+import graft.io.FileIO
+import graft.spec._
+
+/** MoR delete semantics, mirroring the reference's
+  * read_positional_deletes.rs / delete_filter.rs test discipline:
+  * delete → scan must equal the filtered source, time travel must still see
+  * pre-delete rows, equality deletes respect sequence scoping and
+  * null-keeps-row.
+  */
+class DeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var wh: String = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    wh = java.nio.file.Files.createTempDirectory("graft-del").toString
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def catalog = new HadoopCatalog(wh, FileIO.fromSpark(spark))
+
+  test("position deletes: DELETE WHERE then scan == filtered source") {
+    val src = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val schema = IcebergSchema.fromSpark(src.schema)
+    var t = GraftTable.create("orders_posdel", catalog, schema)
+    t = t.append(src)
+
+    t = t.deleteWhere(Predicate.gt("o_totalprice", 200000.0), spark)
+    assert(t.metadata.currentSnapshot.get.operation == "delete")
+
+    val got = t.newScan().toDF(spark)
+    val expected = src.filter("o_totalprice <= 200000.0")
+    assert(got.count() == expected.count())
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+
+    // time travel to the pre-delete snapshot still sees every row
+    val first = t.metadata.snapshots.head.snapshotId
+    assert(t.newScan().useSnapshot(first).toDF(spark).count() == src.count())
+
+    // a second delete stacks on the first
+    t = t.deleteWhere(Predicate.eqTo("o_orderstatus", "F"), spark)
+    val expected2 = src.filter("o_totalprice <= 200000.0 AND o_orderstatus <> 'F'")
+    val got2 = t.newScan().toDF(spark)
+    assert(got2.count() == expected2.count())
+    assert(got2.exceptAll(expected2).isEmpty)
+  }
+
+  test("position delete matching zero rows is a no-op commit") {
+    val src = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+    val schema = IcebergSchema.fromSpark(src.schema)
+    var t = GraftTable.create("region_nodel", catalog, schema)
+    t = t.append(src)
+    val before = t.metadata.snapshots.size
+    t = t.deleteWhere(Predicate.eqTo("r_name", "NO_SUCH_REGION"), spark)
+    assert(t.metadata.snapshots.size == before, "empty delete must not commit")
+  }
+
+  test("equality deletes: sequence scoping and null-keeps-row") {
+    val ss = spark; import ss.implicits._
+    val src = Seq(
+      (1L, "a"), (2L, "b"), (3L, "c"), (4L, null.asInstanceOf[String])
+    ).toDF("id", "name")
+    val schema = IcebergSchema.fromSpark(src.schema)
+    var t = GraftTable.create("eqdel", catalog, schema)
+    t = t.append(src)
+
+    // delete rows with name in ('b', null): null must NOT match row 4
+    val dels = Seq("b", null.asInstanceOf[String]).toDF("name")
+    t = t.equalityDelete(dels, Seq("name"))
+
+    val after = t.newScan().toDF(spark).orderBy("id").collect()
+    assert(after.map(_.getLong(0)).toSeq == Seq(1L, 3L, 4L),
+      s"expected rows 1,3,4 — null key must keep row 4; got ${after.mkString(",")}")
+
+    // rows appended AFTER the delete (higher data seq) are not affected
+    t = t.append(Seq((5L, "b")).toDF("id", "name"))
+    val again = t.newScan().toDF(spark).orderBy("id").collect()
+    assert(again.map(_.getLong(0)).toSeq == Seq(1L, 3L, 4L, 5L),
+      "equality delete must only apply to data_seq < delete_seq")
+  }
+
+  test("position + equality deletes compose on a partitioned table") {
+    val src = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val schema = IcebergSchema.fromSpark(src.schema)
+    val spec = PartitionSpec.build(schema, Seq("o_custkey" -> Transform.Bucket(4)))
+    var t = GraftTable.create("orders_mixdel", catalog, schema, spec)
+    t = t.append(src)
+
+    t = t.deleteWhere(Predicate.lt("o_orderkey", 100L), spark)
+    val ss = spark; import ss.implicits._
+    t = t.equalityDelete(Seq("P").toDF("o_orderstatus"), Seq("o_orderstatus"))
+
+    val got = t.newScan().toDF(spark)
+    val expected = src.filter("o_orderkey >= 100 AND o_orderstatus <> 'P'")
+    assert(got.count() == expected.count())
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+
+    // filtered scan composes with delete application
+    val filtered = t.newScan()
+      .withFilter(Predicate.gt("o_totalprice", 100000.0)).toDF(spark)
+    val expectedF = expected.filter("o_totalprice > 100000.0")
+    assert(filtered.count() == expectedF.count())
+  }
+}
