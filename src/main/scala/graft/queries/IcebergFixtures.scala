@@ -81,6 +81,20 @@ object IcebergFixtures {
         .deleteWhere(graft.expr.Predicate.gt("o_totalprice", 200000.0), spark)
     }
 
+  /** orders appended in thirds, DELETE WHERE price > 250k, then compacted
+    * (replace commit folds the deletes in). */
+  def ordersCompacted(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "orders_compact") { catalog =>
+      val src = Tables.orders(spark, sfDir)
+      val schema = IcebergSchema.fromSpark(src.schema)
+      GraftTable.create("orders_compact", catalog, schema)
+        .append(src.filter(col("o_orderkey") % 3 === 0))
+        .append(src.filter(col("o_orderkey") % 3 === 1))
+        .append(src.filter(col("o_orderkey") % 3 === 2))
+        .deleteWhere(graft.expr.Predicate.gt("o_totalprice", 250000.0), spark)
+        .rewriteDataFiles(spark)
+    }
+
   /** customer with an equality-delete commit removing segment BUILDING. */
   def customerEqDeleted(spark: SparkSession, sfDir: String): GraftTable =
     build(spark, sfDir, "customer_eqdel") { catalog =>

@@ -176,5 +176,24 @@ object IcebergQueries {
       .orderBy(col("c_nationkey"))
   }
 
-  val all: Seq[Q] = Seq(i01, i02, i03, i04, i05, i06, i07, i08, i09)
+  /** Compaction: multi-append + delete + rewrite-files replace commit —
+    * the compacted scan must still match the logical table state (file
+    * count reduction is asserted in MaintenanceSpec). */
+  val i10 = Q.sql(
+    "i10_iceberg_compaction",
+    """SELECT o_orderstatus, count(*) AS n,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(15,4)) AS DOUBLE) AS total
+      |FROM orders
+      |WHERE o_totalprice <= 250000.0
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+  ) { (s, d) =>
+    IcebergFixtures.ordersCompacted(s, d).newScan().toDF(s)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,6)")).cast("decimal(15,4)").cast("double").as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val all: Seq[Q] = Seq(i01, i02, i03, i04, i05, i06, i07, i08, i09, i10)
 }

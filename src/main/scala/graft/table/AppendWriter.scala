@@ -31,10 +31,17 @@ import graft.spec.IcebergType._
 object AppendWriter {
 
   def append(table: GraftTable, df: DataFrame): GraftTable = {
+    val commitUuid = UUID.randomUUID().toString
+    val files = writeDataFiles(table, df, commitUuid)
+    if (files.isEmpty) table else commitAppend(table, files, commitUuid)
+  }
+
+  /** Stage, harvest and place data files for `df` under the table layout —
+    * shared by append and rewrite (compaction). No commit. */
+  def writeDataFiles(table: GraftTable, df: DataFrame,
+      commitUuid: String): Seq[DataFile] = {
     val spark = df.sparkSession
     val schema = table.schema
-    val spec = table.spec
-    val io = table.io
 
     // --- validate + canonicalize column order ---
     val expected = schema.fields.map(_.name)
@@ -52,12 +59,13 @@ object AppendWriter {
     // (transform/temporal.rs), so force UTC for the write.
     val prevTz = spark.conf.get("spark.sql.session.timeZone")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    try appendInUtc(table, input, spark)
+    try writeInUtc(table, input, spark, commitUuid)
     finally spark.conf.set("spark.sql.session.timeZone", prevTz)
   }
 
-  private def appendInUtc(table: GraftTable, input: DataFrame,
-      spark: org.apache.spark.sql.SparkSession): GraftTable = {
+  private def writeInUtc(table: GraftTable, input: DataFrame,
+      spark: org.apache.spark.sql.SparkSession,
+      commitUuid: String): Seq[DataFile] = {
     val schema = table.schema
     val spec = table.spec
     val io = table.io
@@ -82,7 +90,6 @@ object AppendWriter {
       else projected
 
     // --- staged write ---
-    val commitUuid = UUID.randomUUID().toString
     val staging = s"${table.location}/data/.staging-$commitUuid"
     val writer = distributed.write
       .mode(SaveMode.Append)
@@ -97,7 +104,7 @@ object AppendWriter {
 
     // --- harvest DataFiles (distributed footer reads) ---
     val staged = io.listFiles(staging).filter(_._1.endsWith(".parquet"))
-    if (staged.isEmpty) { io.delete(staging, recursive = true); return table }
+    if (staged.isEmpty) { io.delete(staging, recursive = true); return Nil }
 
     val partType = spec.partitionType(schema)
     val stagingPrefix = staging
@@ -118,8 +125,7 @@ object AppendWriter {
       d.copy(filePath = target)
     }
     io.delete(staging, recursive = true)
-
-    commitAppend(table, moved, commitUuid)
+    moved
   }
 
   /** Read one staged parquet footer → DataFile (runs on executors). */

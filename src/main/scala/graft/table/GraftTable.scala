@@ -35,6 +35,16 @@ final class GraftTable(
   def equalityDelete(keys: DataFrame, keyCols: Seq[String]): GraftTable =
     DeleteWriter.equalityDelete(this, keys, keyCols, keys.sparkSession)
 
+  /** Compaction: rewrite the current snapshot to ~target-size files,
+    * folding MoR deletes in (replace commit). */
+  def rewriteDataFiles(spark: SparkSession,
+      targetFileSizeBytes: Long = 512L << 20): GraftTable =
+    Maintenance.rewriteDataFiles(this, spark, targetFileSizeBytes)
+
+  /** Expire snapshots older than the timestamp, retaining ancestors. */
+  def expireSnapshots(olderThanMs: Long, retainLast: Int = 1): GraftTable =
+    Maintenance.expireSnapshots(this, olderThanMs, retainLast)
+
   def refresh(): GraftTable = GraftTable.load(name, catalog)
 
   /** All manifests of the current snapshot ([] if table is empty). */

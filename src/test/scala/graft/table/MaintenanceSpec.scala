@@ -1,0 +1,99 @@
+package graft.table
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.HadoopCatalog
+import graft.expr.Predicate
+import graft.io.FileIO
+import graft.spec._
+
+class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var wh: String = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    wh = java.nio.file.Files.createTempDirectory("graft-maint").toString
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def catalog = new HadoopCatalog(wh, FileIO.fromSpark(spark))
+
+  test("compaction folds deletes in, drops file count, preserves rows") {
+    val src = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val schema = IcebergSchema.fromSpark(src.schema)
+    var t = GraftTable.create("orders_compact", catalog, schema)
+    // many small files via multiple appends
+    t = t.append(src.filter("o_orderkey % 3 = 0"))
+    t = t.append(src.filter("o_orderkey % 3 = 1"))
+    t = t.append(src.filter("o_orderkey % 3 = 2"))
+    t = t.deleteWhere(Predicate.gt("o_totalprice", 250000.0), spark)
+
+    val expected = src.filter("o_totalprice <= 250000.0")
+    val filesBefore = t.newScan().planFiles().size
+    assert(t.newScan().planDeletes().nonEmpty)
+
+    t = t.rewriteDataFiles(spark)
+    assert(t.metadata.currentSnapshot.get.operation == "replace")
+
+    val filesAfter = t.newScan().planFiles().size
+    assert(filesAfter < filesBefore,
+      s"compaction must reduce file count: $filesBefore -> $filesAfter")
+    assert(t.newScan().planDeletes().isEmpty, "delete manifests must drop out")
+
+    val got = t.newScan().toDF(spark)
+    assert(got.count() == expected.count())
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+
+    // pre-compaction snapshots still readable (time travel)
+    val first = t.metadata.snapshots.head.snapshotId
+    assert(t.newScan().useSnapshot(first).toDF(spark).count() ==
+      src.filter("o_orderkey % 3 = 0").count())
+  }
+
+  test("compaction on a partitioned table keeps partition pruning working") {
+    val src = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val schema = IcebergSchema.fromSpark(src.schema)
+    val spec = PartitionSpec.build(schema, Seq("o_custkey" -> Transform.Bucket(4)))
+    var t = GraftTable.create("orders_compact_part", catalog, schema, spec)
+    t = t.append(src.filter("o_orderkey % 2 = 0"))
+    t = t.append(src.filter("o_orderkey % 2 = 1"))
+
+    t = t.rewriteDataFiles(spark)
+    val someKey = src.select("o_custkey").head().getLong(0)
+    val (planned, total) = t.newScan()
+      .withFilter(Predicate.eqTo("o_custkey", someKey)).planSummary()
+    assert(total >= 4 && planned <= total / 2,
+      s"post-compaction bucket pruning broken: $planned of $total")
+    assert(t.newScan().toDF(spark).count() == src.count())
+  }
+
+  test("expire snapshots removes history but keeps current readable") {
+    val src = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    val schema = IcebergSchema.fromSpark(src.schema)
+    var t = GraftTable.create("nation_expire", catalog, schema)
+    t = t.append(src); t = t.append(src); t = t.append(src)
+    assert(t.metadata.snapshots.size == 3)
+    val oldManifestList = t.metadata.snapshots.head.manifestList
+
+    t = t.expireSnapshots(olderThanMs = System.currentTimeMillis() + 1000, retainLast = 1)
+    assert(t.metadata.snapshots.size == 1, "only the current snapshot retained")
+    assert(!t.io.exists(oldManifestList), "expired manifest list deleted")
+    assert(t.newScan().toDF(spark).count() == 3 * src.count())
+
+    // expired snapshot no longer addressable
+    intercept[IllegalArgumentException] {
+      t.newScan().useSnapshot(123456789L).planFiles()
+    }
+  }
+}
