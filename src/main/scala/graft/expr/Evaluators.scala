@@ -166,10 +166,13 @@ object ManifestEvaluator {
       case NotEq => true
       case StartsWith => (t, v) match {
         case (StringT, prefix: String) =>
+          // compare truncated bounds in UTF-8 byte order (same total order
+          // as SingleValue.compare) — UTF-16 `<` would mis-prune around
+          // supplementary characters
           val lo = lower.map(_.asInstanceOf[String])
           val hi = upper.map(_.asInstanceOf[String])
-          lo.forall(l => l.take(prefix.length) <= prefix) &&
-            hi.forall(h => h.take(prefix.length) >= prefix)
+          lo.forall(l => SingleValue.compare(StringT, l.take(prefix.length), prefix) <= 0) &&
+            hi.forall(h => SingleValue.compare(StringT, h.take(prefix.length), prefix) >= 0)
         case _ => true
       }
       case NotStartsWith => true

@@ -68,7 +68,14 @@ object SingleValue {
       java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
     case FloatT => java.lang.Float.compare(a.asInstanceOf[Float], b.asInstanceOf[Float])
     case DoubleT => java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
-    case StringT => a.asInstanceOf[String].compareTo(b.asInstanceOf[String])
+    case StringT =>
+      // unsigned UTF-8 byte order = code-point order — matches how parquet
+      // footers and the reference compute string min/max. UTF-16
+      // String.compareTo would order U+E000..U+FFFF above supplementary
+      // chars and mis-prune (ADVICE r1).
+      java.util.Arrays.compareUnsigned(
+        a.asInstanceOf[String].getBytes(StandardCharsets.UTF_8),
+        b.asInstanceOf[String].getBytes(StandardCharsets.UTF_8))
     case DecimalT(_, _) =>
       a.asInstanceOf[java.math.BigDecimal].compareTo(b.asInstanceOf[java.math.BigDecimal])
     case BinaryT | FixedT(_) =>
