@@ -8,7 +8,8 @@ import graft.queries._
 object Registry {
   def modules: Seq[Seq[Q]] = Seq(
     RelationalQueries.all,
-    IcebergQueries.all
+    IcebergQueries.all,
+    PipelineQueries.all
   )
 
   lazy val all: Seq[Q] = {

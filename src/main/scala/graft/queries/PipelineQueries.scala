@@ -1,0 +1,268 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** LLM-training-data pipeline operators (dedup / similarity / text
+  * analysis / multimodal) registered as driver-checked queries over the
+  * `documents` and `embeddings` tables.
+  *
+  * Oracle discipline: every DuckDB oracle here recomputes the operator's
+  * *semantics* (all-pairs Jaccard, full kNN, profile scoring) — not the
+  * Spark implementation's internals — so a green row proves e.g. that the
+  * band-bucketed LSH join found exactly the pairs a quadratic scan finds.
+  * Arithmetic is constrained to exact-int counts, single double
+  * divisions, and left-to-right double folds (see TextHash) so values
+  * hash-match bit-for-bit.
+  */
+object PipelineQueries {
+
+  /** Exact dedup: corpus doubled (ids shifted) then deduped by text md5.
+    * One hash shuffle on a 32-byte key; map-side combine applies. */
+  val p01 = Q.sql(
+    "p01_exact_dedup",
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 1000000, text FROM documents)
+      |SELECT md5(text) AS text_md5, min(doc_id) AS canonical_id,
+      |  count(*) AS n_copies
+      |FROM corpus GROUP BY 1
+      |ORDER BY canonical_id""".stripMargin
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val corpus = docs.select(col("doc_id"), col("text"))
+      .unionAll(docs.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+    Dedup.exact(corpus).orderBy(col("canonical_id"))
+  }
+
+  /** MinHash-LSH near-dup detection, verified by exact Jaccard ≥ 0.5.
+    * The oracle is the INDEPENDENT quadratic all-pairs scan; equality
+    * holds because b=16/r=4 has recall ≈ 1−2·10⁻⁹ at the corpus's planted
+    * J≥0.9 dup margin. Spark-side work is bucket-bounded (see Dedup). */
+  val p02 = Q.sql(
+    "p02_minhash_lsh_dedup",
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]
+      |                   for i in range(1, len(w)-1)]) AS s
+      |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+      |        FROM documents)
+      |  WHERE len(w) >= 3)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  len(list_intersect(a.s, b.s)) /
+      |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+      |FROM sh a, sh b
+      |WHERE a.doc_id < b.doc_id
+      |  AND len(list_intersect(a.s, b.s)) /
+      |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin,
+    bench = true
+  ) { (s, d) =>
+    Dedup.minhashNearDups(Tables.documents(s, d), threshold = 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** SimHash signatures (60-bit, md5-derived word hashes — pure integer
+    * arithmetic, bit-exact across engines). */
+  val p03 = Q.sql(
+    "p03_simhash",
+    """WITH wh AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5(w), 1, 15))::BIGINT AS x
+      |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+      |        FROM documents)),
+      |bits AS (
+      |  SELECT doc_id, j,
+      |    CASE WHEN sum((x >> j) & 1) * 2 > count(*) THEN (1::BIGINT << j)
+      |         ELSE 0 END AS bit
+      |  FROM wh, range(0, 60) t(j)
+      |  GROUP BY doc_id, j)
+      |SELECT doc_id, sum(bit)::BIGINT AS simhash
+      |FROM bits GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    Dedup.simhash(Tables.documents(s, d)).orderBy(col("doc_id"))
+  }
+
+  /** Brute-force cosine top-10 for 10 query vectors — the exact-kNN
+    * correctness baseline for ANN. */
+  val p04 = Q.sql(
+    "p04_knn_bruteforce",
+    """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+      |p AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) /
+      |    (sqrt(list_sum(list_transform(range(1, 65),
+      |       i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE))) *
+      |     sqrt(list_sum(list_transform(range(1, 65),
+      |       i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)))) AS cos
+      |  FROM q, embeddings c WHERE q.vec_id <> c.vec_id),
+      |r AS (
+      |  SELECT query_id, neighbor_id, cos,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY cos DESC, neighbor_id) AS rank
+      |  FROM p)
+      |SELECT query_id, rank, neighbor_id, round(cos, 5) AS cos_sim
+      |FROM r WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin,
+    bench = true
+  ) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    Similarity.knnBruteForce(e.filter(col("vec_id") < 10), e, 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** LSH-bucketed approximate top-3: candidates share the query's
+    * 4-hyperplane sign bucket. The oracle replays the same deterministic
+    * bucketing (md5-derived integer weights), proving the Spark bucket
+    * join reproduces the spec'd algorithm exactly. */
+  val p05 = Q.sql(
+    "p05_ann_lsh_bucketed",
+    """WITH b AS (
+      |  SELECT vec_id, embedding,
+      |    (CASE WHEN list_sum(list_transform(range(0, 64), j ->
+      |       embedding[j+1]::DOUBLE *
+      |       (('0x'||substr(md5('0_'||j::VARCHAR),1,15))::BIGINT % 2001 - 1000)))
+      |       > 0 THEN 1 ELSE 0 END) +
+      |    (CASE WHEN list_sum(list_transform(range(0, 64), j ->
+      |       embedding[j+1]::DOUBLE *
+      |       (('0x'||substr(md5('1_'||j::VARCHAR),1,15))::BIGINT % 2001 - 1000)))
+      |       > 0 THEN 2 ELSE 0 END) +
+      |    (CASE WHEN list_sum(list_transform(range(0, 64), j ->
+      |       embedding[j+1]::DOUBLE *
+      |       (('0x'||substr(md5('2_'||j::VARCHAR),1,15))::BIGINT % 2001 - 1000)))
+      |       > 0 THEN 4 ELSE 0 END) +
+      |    (CASE WHEN list_sum(list_transform(range(0, 64), j ->
+      |       embedding[j+1]::DOUBLE *
+      |       (('0x'||substr(md5('3_'||j::VARCHAR),1,15))::BIGINT % 2001 - 1000)))
+      |       > 0 THEN 8 ELSE 0 END) AS bucket
+      |  FROM embeddings),
+      |p AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) /
+      |    (sqrt(list_sum(list_transform(range(1, 65),
+      |       i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE))) *
+      |     sqrt(list_sum(list_transform(range(1, 65),
+      |       i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)))) AS cos
+      |  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+      |  WHERE q.vec_id < 10),
+      |r AS (
+      |  SELECT query_id, neighbor_id, cos,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY cos DESC, neighbor_id) AS rank
+      |  FROM p)
+      |SELECT query_id, rank, neighbor_id, round(cos, 5) AS cos_sim
+      |FROM r WHERE rank <= 3
+      |ORDER BY query_id, rank""".stripMargin
+  ) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    Similarity.annLsh(e.filter(col("vec_id") < 10), e, 3, planes = 4)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Language ID via stopword-profile scoring + CJK count; argmax with
+    * tie-break by language code (struct sort — same order both engines). */
+  val p06 = Q.sql(
+    "p06_language_id",
+    """WITH f AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS w,
+      |    len(regexp_extract_all(text, '[一-鿿]')) AS s_zh
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, s_zh,
+      |    len(list_filter(w, x -> x IN ('der','die','das','und','ist','nicht','mit','ein'))) AS s_de,
+      |    len(list_filter(w, x -> x IN ('the','a','of','to','and','in','is','it'))) AS s_en,
+      |    len(list_filter(w, x -> x IN ('el','la','que','y','en','un','es','los'))) AS s_es,
+      |    len(list_filter(w, x -> x IN ('le','la','de','et','un','est','pour','que'))) AS s_fr
+      |  FROM f)
+      |SELECT doc_id, s_de, s_en, s_es, s_fr, s_zh,
+      |  list_sort([{'neg': -s_de, 'lang': 'de'}, {'neg': -s_en, 'lang': 'en'},
+      |             {'neg': -s_es, 'lang': 'es'}, {'neg': -s_fr, 'lang': 'fr'},
+      |             {'neg': -s_zh, 'lang': 'zh'}])[1].lang AS predicted
+      |FROM s ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    TextAnalysis.languageId(Tables.documents(s, d)).orderBy(col("doc_id"))
+  }
+
+  /** Quality features: counts + ratios + composite score. */
+  val p07 = Q.sql(
+    "p07_text_quality",
+    """WITH f AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS w, text
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id,
+      |    len(w) AS word_count,
+      |    list_sum(list_transform(w, x -> len(x)))::BIGINT AS char_sum,
+      |    len(regexp_replace(text, '[\w\s]', '', 'g')) AS punct_count,
+      |    len(list_filter(w, x -> x IN ('the','a','of','to','and','in','is','it'))) AS stop_count,
+      |    len(text) AS n_chars
+      |  FROM f)
+      |SELECT doc_id, word_count,
+      |  char_sum / word_count AS avg_word_len,
+      |  punct_count / n_chars AS punct_ratio,
+      |  stop_count / word_count AS stopword_ratio,
+      |  stop_count / word_count * 0.5
+      |    + least(word_count / 50.0, 1.0) * 0.5 AS quality_score
+      |FROM c ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    TextAnalysis.quality(Tables.documents(s, d)).orderBy(col("doc_id"))
+  }
+
+  /** Token counting: whitespace tokens + BPE-ish regex token estimate. */
+  val p08 = Q.sql(
+    "p08_token_count",
+    """SELECT doc_id,
+      |  len(string_split_regex(text, '\s+')) AS ws_tokens,
+      |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS bpe_tokens,
+      |  len(text) AS n_chars,
+      |  len(text) / len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))
+      |    AS chars_per_token
+      |FROM documents ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    TextAnalysis.tokenCounts(Tables.documents(s, d)).orderBy(col("doc_id"))
+  }
+
+  /** Shingle-hash fingerprints (min/max/xor-fold) — content signatures
+    * for fast pre-grouping of near-identical docs. */
+  val p09 = Q.sql(
+    "p09_fingerprint",
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_transform(
+      |      list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]
+      |                     for i in range(1, len(w)-1)]),
+      |      s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS xs
+      |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+      |        FROM documents)
+      |  WHERE len(w) >= 3)
+      |SELECT doc_id, list_min(xs) AS fp_min, list_max(xs) AS fp_max,
+      |  list_reduce(list_prepend(0::BIGINT, xs), (a, b) -> xor(a, b)) AS fp_xor,
+      |  len(xs) AS n_shingles
+      |FROM sh ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    TextAnalysis.fingerprint(Tables.documents(s, d)).orderBy(col("doc_id"))
+  }
+
+  /** Multimodal columns: binary payload + frame-sampled per-frame md5
+    * features, routed through the real binary column (encode → decode). */
+  val p10 = Q.sql(
+    "p10_multimodal_frames",
+    """SELECT doc_id,
+      |  octet_length(encode(text)) AS byte_len,
+      |  n_chars::INTEGER AS width,
+      |  ceil(len(text) / 64.0)::BIGINT AS n_frames,
+      |  md5(substr(text, 1, 64)) AS frame0_md5,
+      |  md5(substr(text, 65, 64)) AS frame1_md5
+      |FROM documents ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    Multimodal.frameFeatures(Multimodal.asMediaTable(Tables.documents(s, d)))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10)
+}
