@@ -195,5 +195,25 @@ object IcebergQueries {
       .orderBy(col("o_orderstatus"))
   }
 
-  val all: Seq[Q] = Seq(i01, i02, i03, i04, i05, i06, i07, i08, i09, i10)
+  /** DSv2 SQL surface: spark.read.format("graft") with a plain Catalyst
+    * filter — sources.Filter → Predicate translation must prune AND the
+    * residual must produce exactly the raw-parquet answer
+    * (expr_to_predicate.rs:45-300 reverse direction). */
+  val i11 = Q.sql(
+    "i11_dsv2_filter_pushdown",
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders
+      |WHERE o_custkey IN (7, 11, 13) AND o_totalprice > 50000.0
+      |ORDER BY o_orderkey""".stripMargin
+  ) { (s, d) =>
+    val t = IcebergFixtures.ordersBucket(s, d)
+    val warehouse = t.location.stripSuffix(s"/${t.name}")
+    s.read.format("graft")
+      .option("warehouse", warehouse).option("table", t.name).load()
+      .filter(col("o_custkey").isin(7L, 11L, 13L) && col("o_totalprice") > 50000.0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val all: Seq[Q] = Seq(i01, i02, i03, i04, i05, i06, i07, i08, i09, i10, i11)
 }

@@ -1,0 +1,87 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.expr.{BinaryPred, Eq, Gt, Predicate, SparkFilters}
+import graft.queries.IcebergFixtures
+import graft.spec.IcebergSchema
+
+/** DSv2 bridge: sources.Filter → Predicate translation, metadata pruning
+  * from a plain df.filter, and end-to-end result parity. */
+class GraftSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-source-spec")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("sources.Filter translation covers the pruning-relevant operators") {
+    import org.apache.spark.sql.sources._
+    val schema = IcebergSchema.fromSpark(graft.Tables.orders(spark, sfDir).schema)
+    assert(SparkFilters.toPredicate(EqualTo("o_custkey", 7L), schema)
+      === Some(BinaryPred(Eq, "o_custkey", 7L)))
+    // int literal vs long field adapts width
+    assert(SparkFilters.toPredicate(GreaterThan("o_custkey", 7), schema)
+      === Some(BinaryPred(Gt, "o_custkey", 7L)))
+    // date literal → epoch days
+    val d = SparkFilters.toPredicate(
+      LessThan("o_orderdate", java.sql.Timestamp.valueOf("1995-01-01 00:00:00")), schema)
+    assert(d.isDefined)
+    // partial AND keeps the translatable side; full OR or nothing
+    val andP = SparkFilters.toPredicate(
+      And(EqualTo("o_custkey", 7L), StringContains("o_comment", "x")), schema)
+    assert(andP === Some(BinaryPred(Eq, "o_custkey", 7L)))
+    val orP = SparkFilters.toPredicate(
+      Or(EqualTo("o_custkey", 7L), StringContains("o_comment", "x")), schema)
+    assert(orP === None)
+    // unknown column refuses
+    assert(SparkFilters.toPredicate(EqualTo("nope", 1), schema) === None)
+  }
+
+  test("format(graft) round-trip with pushdown prunes and matches") {
+    val t = IcebergFixtures.ordersBucket(spark, sfDir)
+    val warehouse = t.location.stripSuffix(s"/${t.name}")
+
+    val df = spark.read.format("graft")
+      .option("warehouse", warehouse).option("table", t.name).load()
+      .filter(col("o_custkey") === 7L)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+
+    val expected = graft.Tables.orders(spark, sfDir)
+      .filter(col("o_custkey") === 7L)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+
+    assert(df.collect().map(_.toString).sorted
+      sameElements expected.collect().map(_.toString).sorted)
+
+    // the same predicate provably prunes at plan time: only the matching
+    // bucket's files survive
+    val pred = Predicate.eqTo("o_custkey", 7L)
+    val (planned, all) = t.newScan().withFilter(pred).planSummary()
+    assert(planned < all, s"expected bucket pruning, planned=$planned all=$all")
+
+    // and the DSv2 explain shows the filter reached the scan
+    val explained = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(explained.contains("PushedFilters") || explained.contains("Filter"))
+  }
+
+  test("projection pruning narrows readSchema") {
+    val t = IcebergFixtures.ordersBucket(spark, sfDir)
+    val warehouse = t.location.stripSuffix(s"/${t.name}")
+    val df = spark.read.format("graft")
+      .option("warehouse", warehouse).option("table", t.name).load()
+      .select("o_orderkey")
+    assert(df.schema.fieldNames.toSeq === Seq("o_orderkey"))
+    assert(df.count() === graft.Tables.orders(spark, sfDir).count())
+  }
+}
