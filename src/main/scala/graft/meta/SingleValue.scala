@@ -42,9 +42,16 @@ object SingleValue {
       case BooleanT => b(0) != 0
       case IntT | DateT => ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN).getInt
       case LongT | TimeT | TimestampT | TimestamptzT =>
-        ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN).getLong
+        // 4-byte payload = bound written before an int→long schema
+        // promotion: promote at read time (schema evolution keeps old
+        // manifests serving under the widened type)
+        if (b.length == 4) ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN).getInt.toLong
+        else ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN).getLong
       case FloatT => ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN).getFloat
-      case DoubleT => ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN).getDouble
+      case DoubleT =>
+        // float→double promotion, as above
+        if (b.length == 4) ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN).getFloat.toDouble
+        else ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN).getDouble
       case StringT => new String(b, StandardCharsets.UTF_8)
       case BinaryT | FixedT(_) => b
       case UuidT =>

@@ -104,4 +104,23 @@ object IcebergFixtures {
       GraftTable.create("customer_eqdel", catalog, schema).append(src)
         .equalityDelete(Seq("BUILDING").toDF("c_mktsegment"), Seq("c_mktsegment"))
     }
+
+  /** customer evolved mid-stream: even keys written under the original
+    * schema, then rename c_acctbal→balance + add bonus, then odd keys
+    * written with bonus populated. Old files serve the renamed column by
+    * field id and null-fill the added one. */
+  def customerEvolved(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "customer_evolved") { catalog =>
+      val src = Tables.customer(spark, sfDir)
+      val schema = IcebergSchema.fromSpark(src.schema)
+      val t = GraftTable.create("customer_evolved", catalog, schema)
+        .append(src.filter(col("c_custkey") % 2 === 0))
+        .updateSchema()
+        .renameColumn("c_acctbal", "balance")
+        .addColumn("bonus", graft.spec.IcebergType.DoubleT)
+        .commit()
+      t.append(src.filter(col("c_custkey") % 2 === 1)
+        .withColumnRenamed("c_acctbal", "balance")
+        .withColumn("bonus", col("balance") * 0.125))
+    }
 }

@@ -215,5 +215,20 @@ object IcebergQueries {
       .orderBy(col("o_orderkey"))
   }
 
-  val all: Seq[Q] = Seq(i01, i02, i03, i04, i05, i06, i07, i08, i09, i10, i11)
+  /** Schema evolution: rename + add column mid-table, then scan both
+    * generations (update_schema.rs:116-147; read-side id resolution +
+    * null fill). The multiplier 0.125 = 2⁻³ keeps the double exact. */
+  val i12 = Q.sql(
+    "i12_schema_evolution_scan",
+    """SELECT c_custkey, c_acctbal AS balance,
+      |  CASE WHEN c_custkey % 2 = 1 THEN c_acctbal * 0.125 END AS bonus
+      |FROM customer
+      |ORDER BY c_custkey""".stripMargin
+  ) { (s, d) =>
+    IcebergFixtures.customerEvolved(s, d).newScan().toDF(s)
+      .select(col("c_custkey"), col("balance"), col("bonus"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val all: Seq[Q] = Seq(i01, i02, i03, i04, i05, i06, i07, i08, i09, i10, i11, i12)
 }

@@ -45,6 +45,10 @@ final class GraftTable(
   def expireSnapshots(olderThanMs: Long, retainLast: Int = 1): GraftTable =
     Maintenance.expireSnapshots(this, olderThanMs, retainLast)
 
+  /** Schema-evolution builder (metadata-only commit;
+    * transaction/update_schema.rs:116-147). */
+  def updateSchema(): UpdateSchema = new UpdateSchema(this)
+
   def refresh(): GraftTable = GraftTable.load(name, catalog)
 
   /** All manifests of the current snapshot ([] if table is empty). */

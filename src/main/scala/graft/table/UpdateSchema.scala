@@ -1,0 +1,97 @@
+package graft.table
+
+import graft.spec.{IcebergSchema, IcebergType, NestedField}
+import graft.spec.IcebergType._
+
+/** Schema-evolution action (reference transaction/update_schema.rs:116-147):
+  * add / drop / rename columns and widen primitive types, committed as a
+  * metadata-only CAS (no snapshot — data files are untouched; the read
+  * side resolves by field id, so old files null-fill added columns and
+  * keep serving renamed ones).
+  *
+  * Allowed type promotions follow the Iceberg spec: int→long,
+  * float→double, decimal(P,S)→decimal(P'>P,S).
+  */
+final class UpdateSchema private[table] (table: GraftTable) {
+
+  private var adds = Vector.empty[(String, IcebergType, Option[String])]
+  private var drops = Set.empty[String]
+  private var renames = Map.empty[String, String]
+  private var promotions = Map.empty[String, IcebergType]
+
+  def addColumn(name: String, t: IcebergType, doc: Option[String] = None): UpdateSchema = {
+    adds :+= ((name, t, doc)); this
+  }
+  def dropColumn(name: String): UpdateSchema = { drops += name; this }
+  def renameColumn(from: String, to: String): UpdateSchema = { renames += from -> to; this }
+  def updateColumnType(name: String, t: IcebergType): UpdateSchema = {
+    promotions += name -> t; this
+  }
+
+  private def canPromote(from: IcebergType, to: IcebergType): Boolean = (from, to) match {
+    case (a, b) if a == b => true
+    case (IntT, LongT) => true
+    case (FloatT, DoubleT) => true
+    case (DecimalT(p1, s1), DecimalT(p2, s2)) => s1 == s2 && p2 >= p1
+    case _ => false
+  }
+
+  /** Apply the pending changes against `base`'s current schema. Called
+    * once per commit attempt (optimistic retry re-applies on conflict). */
+  private[table] def applyTo(base: graft.spec.TableMetadata):
+      (IcebergSchema, Int) = {
+    val cur = base.currentSchema
+
+    // validation: every referenced column must exist
+    (drops ++ renames.keySet ++ promotions.keySet).foreach { n =>
+      require(cur.findField(n).isDefined, s"cannot evolve unknown column: $n")
+    }
+    adds.foreach { case (n, _, _) =>
+      require(cur.findField(n).isEmpty, s"column already exists: $n")
+      require(!drops.contains(n), s"cannot add and drop the same column: $n")
+    }
+    // partition-spec source columns are load-bearing for pruning
+    val specSources = base.partitionSpecs.flatMap(_.fields.map(_.sourceId)).toSet
+    drops.foreach { n =>
+      val id = cur.findField(n).get.id
+      require(!specSources.contains(id), s"cannot drop partition source column: $n")
+      require(!cur.identifierFieldIds.contains(id), s"cannot drop identifier column: $n")
+    }
+
+    var nextId = base.lastColumnId
+    val evolved: Seq[NestedField] = cur.fields.flatMap { f =>
+      if (drops.contains(f.name)) None
+      else {
+        val renamed = renames.getOrElse(f.name, f.name)
+        val newType = promotions.get(f.name) match {
+          case Some(t) =>
+            require(canPromote(f.fieldType, t),
+              s"illegal promotion ${f.fieldType} -> $t for ${f.name}")
+            t
+          case None => f.fieldType
+        }
+        Some(f.copy(name = renamed, fieldType = newType))
+      }
+    }
+    val added: Seq[NestedField] = adds.map { case (n, t, doc) =>
+      nextId += 1
+      // added columns are optional: existing files null-fill them
+      NestedField(nextId, n, t, required = false, doc = doc)
+    }
+
+    val newSchemaId = base.schemas.map(_.schemaId).max + 1
+    (IcebergSchema(newSchemaId, evolved ++ added, cur.identifierFieldIds), nextId)
+  }
+
+  /** Metadata-only commit with optimistic retry. */
+  def commit(): GraftTable =
+    graft.catalog.CommitRetry.run(table.catalog, table.name) { (base, _) =>
+      val (schema, lastCol) = applyTo(base)
+      val updated = base.copy(
+        schemas = base.schemas :+ schema,
+        currentSchemaId = schema.schemaId,
+        lastColumnId = lastCol,
+        lastUpdatedMs = System.currentTimeMillis())
+      (updated, (_: Int) => table.refresh())
+    }
+}
