@@ -20,12 +20,12 @@ import graft.spec.IcebergType._
   *   → distribute (hash repartition for identity/bucket specs, pass-through
   *     for temporal — repartition.rs:151-167 policy; Spark's parquet writer
   *     then locally sorts on partition columns = clustered writer)
-  *   → `partitionBy(_p_*)` parquet write to a staging dir (executors)
+  *   → `partitionBy(_p_*)` parquet write straight into the commit's final
+  *     subtree `data/commit-<uuid>/...` (executors; zero driver renames —
+  *     readers address files by manifest, not by directory layout)
   *   → distributed footer-stat harvest (a Spark job maps each written file
   *     to a DataFile with min/max/null counts — stats never hit the driver
   *     until reduced to descriptors, so 100k-file appends don't OOM)
-  *   → rename files into `data/<partition-path>/` layout (driver, metadata-
-  *     only FS ops)
   *   → manifest + manifest-list Avro, snapshot, optimistic-retry commit.
   */
 object AppendWriter {
@@ -89,8 +89,15 @@ object AppendWriter {
       if (hashable) projected.repartition(partNames.map(col): _*)
       else projected
 
-    // --- staged write ---
-    val staging = s"${table.location}/data/.staging-$commitUuid"
+    // --- write (executors land files in their FINAL location) ---
+    // Files live under a per-commit subtree: readers address files by
+    // manifest (never by directory listing), so no rename pass is needed
+    // — at 100k files the old driver-side mkdirs+rename loop was minutes
+    // of serial FS metadata ops inside the commit window and impossible
+    // on object stores. A failed job leaves invisible orphans for
+    // maintenance to sweep; the Hive-style partition dirs below the
+    // commit root come free from partitionBy for debuggability.
+    val staging = s"${table.location}/data/commit-$commitUuid"
     val writer = distributed.write
       .mode(SaveMode.Append)
       .option("compression",
@@ -116,16 +123,7 @@ object AppendWriter {
         AppendWriter.harvestDataFile(p, len, stagingPrefix, fieldTypes, partFieldTypes)
       }.collect().toSeq
 
-    // --- move into final layout ---
-    val moved = dataFiles.map { d =>
-      val partPath = if (spec.isUnpartitioned) "" else spec.partitionPath(d.partition) + "/"
-      val target = s"${table.location}/data/$partPath${UUID.randomUUID()}.parquet"
-      io.fs(target).mkdirs(new Path(target).getParent)
-      require(io.rename(d.filePath, target), s"rename failed: ${d.filePath} -> $target")
-      d.copy(filePath = target)
-    }
-    io.delete(staging, recursive = true)
-    moved
+    dataFiles
   }
 
   /** Read one staged parquet footer → DataFile (runs on executors). */

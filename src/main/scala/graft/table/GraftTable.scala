@@ -169,9 +169,22 @@ final class TableScan private[table] (
       s.specId -> InclusiveProjection.project(filter, table.schema, s)
     }.toMap
 
+  private def cacheKey(path: String): String =
+    s"$path#${table.schema.schemaId}"
+
+  private def readListCached(listPath: String): Seq[ManifestFile] =
+    ManifestCache.manifestList(cacheKey(listPath)) {
+      ManifestIO.readManifestList(table.io, listPath, table.partTypes)
+    }
+
+  private def readManifestCached(m: ManifestFile, spec: PartitionSpec): Seq[ManifestEntry] =
+    ManifestCache.manifest(cacheKey(m.manifestPath)) {
+      ManifestIO.readManifest(table.io, m.manifestPath, table.schema, spec)
+    }
+
   def planFiles(): Seq[FileScanTask] = {
     val snap = snapshot.getOrElse(return Nil)
-    val manifests = ManifestIO.readManifestList(table.io, snap.manifestList, table.partTypes)
+    val manifests = readListCached(snap.manifestList)
 
     val dataManifests = manifests.filter(_.content == ManifestContent.Data)
     val survivors = dataManifests.filter { m =>
@@ -180,10 +193,14 @@ final class TableScan private[table] (
         partitionFilters(m.partitionSpecId), m.partitions, spec, table.schema)
     }
 
-    survivors.flatMap { m =>
+    // manifests are independent KB-scale Avro files: read them in
+    // parallel (the reference pipelines this across io/cpu pools,
+    // scan/mod.rs:381-498; a 100 TB snapshot has thousands of manifests
+    // and a sequential driver loop would dominate planning latency)
+    parallelFlatMap(survivors) { m =>
       val spec = table.metadata.specById(m.partitionSpecId).getOrElse(table.spec)
       val partFilter = partitionFilters(m.partitionSpecId)
-      ManifestIO.readManifest(table.io, m.manifestPath, table.schema, spec)
+      readManifestCached(m, spec)
         .filter(_.isAlive)
         .filter(e => ExpressionEvaluator.partitionMatches(
           partFilter, e.dataFile.partition, spec, table.schema))
@@ -193,25 +210,35 @@ final class TableScan private[table] (
     }
   }
 
+  private def parallelFlatMap[A, B](items: Seq[A])(f: A => Seq[B]): Seq[B] =
+    if (items.size <= 1) items.flatMap(f)
+    else {
+      import scala.concurrent.{Await, Future, ExecutionContext}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      Await.result(Future.sequence(items.map(i => Future(f(i)))), Duration.Inf)
+        .flatten
+    }
+
   /** Alive delete files in scope for this snapshot. At 100 TB the delete
     * manifests are read once per scan; actual delete application happens
     * distributed (anti-joins in toDF), never on the driver. */
   def planDeletes(): Seq[DeleteTask] = {
     val snap = snapshot.getOrElse(return Nil)
-    ManifestIO.readManifestList(table.io, snap.manifestList, table.partTypes)
+    val deleteManifests = readListCached(snap.manifestList)
       .filter(_.content == ManifestContent.Deletes)
-      .flatMap { m =>
-        val spec = table.metadata.specById(m.partitionSpecId).getOrElse(table.spec)
-        ManifestIO.readManifest(table.io, m.manifestPath, table.schema, spec)
-          .filter(_.isAlive)
-          .map(e => DeleteTask(e.dataFile, e.sequenceNumber.getOrElse(m.sequenceNumber)))
-      }
+    parallelFlatMap(deleteManifests) { m =>
+      val spec = table.metadata.specById(m.partitionSpecId).getOrElse(table.spec)
+      readManifestCached(m, spec)
+        .filter(_.isAlive)
+        .map(e => DeleteTask(e.dataFile, e.sequenceNumber.getOrElse(m.sequenceNumber)))
+    }
   }
 
   /** Planned file count with vs without pruning — for tests/metrics. */
   def planSummary(): (Int, Int) = {
     val all = snapshot.map { snap =>
-      ManifestIO.readManifestList(table.io, snap.manifestList, table.partTypes)
+      readListCached(snap.manifestList)
         .filter(_.content == ManifestContent.Data)
         .map(m => m.addedFilesCount + m.existingFilesCount).sum
     }.getOrElse(0)
