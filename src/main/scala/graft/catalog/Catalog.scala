@@ -116,6 +116,51 @@ final class HadoopCatalog(warehouse: String, val io: FileIO) extends Catalog {
   * Each attempt refreshes the base metadata and re-applies the action —
   * optimistic concurrency.
   */
+/** In-memory catalog (reference catalog/memory/catalog.rs): metadata
+  * versions held in a process-local map with CAS semantics; data/manifest
+  * files still go through FileIO under `warehouse`. For tests and
+  * ephemeral pipelines — same Catalog contract as Hadoop/REST.
+  */
+final class MemoryCatalog(warehouse: String, val io: FileIO) extends Catalog {
+  private val tables =
+    new java.util.concurrent.ConcurrentHashMap[String, Vector[TableMetadata]]()
+
+  override def createTable(name: String, schema: IcebergSchema, spec: PartitionSpec,
+      properties: Map[String, String]): TableMetadata = {
+    val md = TableMetadata.newTable(s"$warehouse/$name", schema, spec, properties)
+    val prev = tables.putIfAbsent(name, Vector(md))
+    require(prev == null, s"table already exists: $name")
+    md
+  }
+
+  override def loadTable(name: String): (TableMetadata, Int) = {
+    val versions = Option(tables.get(name)).getOrElse(
+      throw new IllegalArgumentException(s"no such table: $name"))
+    (versions.last, versions.size)
+  }
+
+  override def tableExists(name: String): Boolean = tables.containsKey(name)
+
+  override def dropTable(name: String): Boolean = tables.remove(name) != null
+
+  override def listTables(): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    tables.keySet.asScala.toSeq.sorted
+  }
+
+  override def commitTable(name: String, baseVersion: Int, updated: TableMetadata): Int = {
+    val committed = tables.computeIfPresent(name, (_, versions) =>
+      if (versions.size == baseVersion) versions :+ updated else versions)
+    if (committed == null)
+      throw new IllegalArgumentException(s"no such table: $name")
+    // identity check: a racing commit at the same base version also
+    // yields size == base+1, but with ITS metadata at the head
+    if (!committed.last.eq(updated))
+      throw CommitConflict(s"stale base version $baseVersion for $name")
+    committed.size
+  }
+}
+
 object CommitRetry {
   def run[T](catalog: Catalog, name: String,
       retries: Int = 4, minWaitMs: Long = 100, maxWaitMs: Long = 60000)(

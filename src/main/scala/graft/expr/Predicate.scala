@@ -111,13 +111,58 @@ object Predicate {
     case _ => Set.empty
   }
 
-  /** Validate refs against a schema (name → field-id binding; the analyzer
-    * role of expr/predicate.rs bind()). Throws on unknown column. */
+  /** Validate refs AND literals against a schema (name → field-id binding
+    * + literal type check/coercion; the analyzer role of
+    * expr/predicate.rs bind()). Throws on unknown column or a literal
+    * whose type can't pair with the column's. */
   def bind(p: Predicate, schema: IcebergSchema, caseSensitive: Boolean = true): Predicate = {
-    references(p).foreach { r =>
-      require(schema.findField(r, caseSensitive).isDefined, s"cannot bind reference: $r")
+    def field(r: String): NestedField =
+      schema.findField(r, caseSensitive).getOrElse(
+        throw new IllegalArgumentException(s"cannot bind reference: $r"))
+    def walk(q: Predicate): Predicate = q match {
+      case And(l, r) => And(walk(l), walk(r))
+      case Or(l, r) => Or(walk(l), walk(r))
+      case Not(c) => Not(walk(c))
+      case u @ UnaryPred(op, r) =>
+        val t = field(r).fieldType
+        if (op == IsNan || op == NotNan)
+          require(t == FloatT || t == DoubleT, s"is_nan on non-floating column $r: $t")
+        u
+      case BinaryPred(op, r, v) =>
+        val t = field(r).fieldType
+        if (op == StartsWith || op == NotStartsWith)
+          require(t == StringT, s"starts_with on non-string column $r: $t")
+        BinaryPred(op, r, bindLiteral(t, v, r))
+      case SetPred(op, r, vs) =>
+        val t = field(r).fieldType
+        SetPred(op, r, vs.map(bindLiteral(t, _, r)))
+      case other => other
     }
-    rewriteNot(p)
+    rewriteNot(walk(p))
+  }
+
+  /** Literal ↔ column type pairing with safe numeric widening
+    * (datatypes.rs:284-299 pairing rules). */
+  private def bindLiteral(t: IcebergType, v: Any, ref: String): Any = (t, v) match {
+    case (_, null) => null
+    case (IntT, i: Int) => i
+    case (IntT, l: Long) if l.isValidInt => l.toInt
+    case (LongT, l: Long) => l
+    case (LongT, i: Int) => i.toLong
+    case (FloatT, f: Float) => f
+    case (DoubleT, d: Double) => d
+    case (DoubleT, f: Float) => f.toDouble
+    case (DateT, i: Int) => i
+    case (TimeT | TimestampT | TimestamptzT, l: Long) => l
+    case (StringT, s: String) => s
+    case (BooleanT, b: Boolean) => b
+    case (DecimalT(_, s), d: java.math.BigDecimal) =>
+      try d.setScale(s)
+      catch { case _: ArithmeticException => throw new IllegalArgumentException(
+        s"decimal literal $d does not fit scale $s of column $ref") }
+    case (BinaryT | FixedT(_), b: Array[Byte]) => b
+    case _ => throw new IllegalArgumentException(
+      s"literal $v (${v.getClass.getSimpleName}) does not pair with column $ref: $t")
   }
 
   /** Residual data filter as a Catalyst Column (applied above the scan,

@@ -49,6 +49,16 @@ final class GraftTable(
     * transaction/update_schema.rs:116-147). */
   def updateSchema(): UpdateSchema = new UpdateSchema(this)
 
+  def updateProperties(set: Map[String, String],
+      remove: Set[String] = Set.empty): GraftTable =
+    Transactions.updateProperties(this, set, remove)
+
+  def replaceSortOrder(fields: Seq[graft.spec.SortField]): GraftTable =
+    Transactions.replaceSortOrder(this, fields)
+
+  def upgradeFormatVersion(to: Int): GraftTable =
+    Transactions.upgradeFormatVersion(this, to)
+
   def refresh(): GraftTable = GraftTable.load(name, catalog)
 
   /** All manifests of the current snapshot ([] if table is empty). */
@@ -147,16 +157,23 @@ final class TableScan private[table] (
     table: GraftTable,
     filter: Predicate = AlwaysTrue,
     selected: Seq[String] = Nil,
-    snapshotId: Option[Long] = None) {
+    snapshotId: Option[Long] = None,
+    limitRows: Option[Long] = None) {
 
   def withFilter(p: Predicate): TableScan =
-    new TableScan(table, Predicate.bind(p, table.schema), selected, snapshotId)
+    new TableScan(table, Predicate.bind(p, table.schema), selected, snapshotId, limitRows)
 
   def select(cols: String*): TableScan =
-    new TableScan(table, filter, cols.toSeq, snapshotId)
+    new TableScan(table, filter, cols.toSeq, snapshotId, limitRows)
 
   def useSnapshot(id: Long): TableScan =
-    new TableScan(table, filter, selected, Some(id))
+    new TableScan(table, filter, selected, Some(id), limitRows)
+
+  /** Limit pushdown (scan/mod.rs TableScanBuilder::with_limit): caps the
+    * result AND, for unfiltered scans with no deletes, short-circuits
+    * file planning once manifest record counts cover the limit. */
+  def limit(n: Long): TableScan =
+    new TableScan(table, filter, selected, snapshotId, Some(n))
 
   private def snapshot: Option[Snapshot] =
     snapshotId.map(id => table.metadata.snapshotById(id).getOrElse(
@@ -245,8 +262,25 @@ final class TableScan private[table] (
     (planFiles().size, all)
   }
 
-  def toDF(spark: SparkSession): DataFrame = {
+  /** planFiles truncated to the first files covering `limitRows` —
+    * sound only when every planned row qualifies (no filter; deletes
+    * still applied downstream but would under-fill, so skip then). */
+  private def planWithLimit(): Seq[FileScanTask] = {
     val tasks = planFiles()
+    limitRows match {
+      case Some(n) if filter == AlwaysTrue && planDeletes().isEmpty =>
+        var acc = 0L
+        tasks.takeWhile { t =>
+          val need = acc < n
+          acc += t.file.recordCount
+          need
+        }
+      case _ => tasks
+    }
+  }
+
+  def toDF(spark: SparkSession): DataFrame = {
+    val tasks = planWithLimit()
     val sparkSchema = table.schema.toSpark
     // id-based projection (pipeline.rs:160-168); tolerate legacy files
     // written without embedded ids (falls back to name resolution)
@@ -263,7 +297,9 @@ final class TableScan private[table] (
       case AlwaysTrue => base
       case p => base.filter(Predicate.toColumn(p, table.schema))
     }
-    if (selected.isEmpty) filtered else filtered.select(selected.map(col): _*)
+    val projected =
+      if (selected.isEmpty) filtered else filtered.select(selected.map(col): _*)
+    limitRows.map(n => projected.limit(n.toInt)).getOrElse(projected)
   }
 
   /** MoR delete application (§2.3 join semantics):

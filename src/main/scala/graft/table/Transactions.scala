@@ -1,0 +1,60 @@
+package graft.table
+
+import graft.catalog.CommitRetry
+import graft.spec.{SortField, SortOrder}
+
+/** Metadata-only transaction actions beyond append/delete/rewrite
+  * (reference transaction/mod.rs:135-170 + action/mod.rs):
+  * property updates, sort-order replacement, format-version upgrade.
+  * Each is an optimistic-retry CAS against the catalog — no snapshot,
+  * no data IO.
+  */
+object Transactions {
+
+  /** Set/overwrite table properties (UpdatePropertiesAction). */
+  def updateProperties(table: GraftTable, set: Map[String, String],
+      remove: Set[String] = Set.empty): GraftTable = {
+    require(set.keySet.intersect(remove).isEmpty,
+      "cannot set and remove the same property")
+    CommitRetry.run(table.catalog, table.name) { (base, _) =>
+      val updated = base.copy(
+        properties = base.properties -- remove ++ set,
+        lastUpdatedMs = System.currentTimeMillis())
+      (updated, (_: Int) => table.refresh())
+    }
+  }
+
+  /** Replace the default sort order (ReplaceSortOrderAction,
+    * transaction — the write path uses it to cluster within partitions). */
+  def replaceSortOrder(table: GraftTable, fields: Seq[SortField]): GraftTable = {
+    CommitRetry.run(table.catalog, table.name) { (base, _) =>
+      fields.foreach { f =>
+        require(base.currentSchema.idToField.contains(f.sourceId),
+          s"sort field references unknown column id ${f.sourceId}")
+      }
+      val newId =
+        if (fields.isEmpty) 0
+        else math.max(1, base.sortOrders.map(_.orderId).max + 1)
+      val order = SortOrder(newId, fields)
+      val updated = base.copy(
+        sortOrders = if (fields.isEmpty) base.sortOrders else base.sortOrders :+ order,
+        defaultSortOrderId = newId,
+        lastUpdatedMs = System.currentTimeMillis())
+      (updated, (_: Int) => table.refresh())
+    }
+  }
+
+  /** Upgrade format version (1→2 supported; downgrade refused —
+    * transaction/mod.rs:135-170). */
+  def upgradeFormatVersion(table: GraftTable, to: Int): GraftTable = {
+    CommitRetry.run(table.catalog, table.name) { (base, _) =>
+      require(to >= base.formatVersion,
+        s"cannot downgrade format version ${base.formatVersion} -> $to")
+      require(to <= 2, s"unsupported format version $to")
+      val updated =
+        if (to == base.formatVersion) base
+        else base.copy(formatVersion = to, lastUpdatedMs = System.currentTimeMillis())
+      (updated, (_: Int) => table.refresh())
+    }
+  }
+}

@@ -1,0 +1,127 @@
+package graft.table
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.catalog.{Catalog, HadoopCatalog, MemoryCatalog}
+import graft.expr.Predicate
+import graft.io.FileIO
+import graft.spec._
+import graft.spec.IcebergType._
+
+/** Metadata-only transactions, limit pushdown, bind validation, and the
+  * memory catalog. */
+class TransactionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("transactions-spec")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def schema = IcebergSchema(0, Seq(
+    NestedField(1, "id", LongT, required = false),
+    NestedField(2, "v", DoubleT, required = false),
+    NestedField(3, "s", StringT, required = false)))
+
+  private def freshHadoop(): Catalog = new HadoopCatalog(
+    java.nio.file.Files.createTempDirectory("graft-tx-").toString,
+    FileIO.fromSpark(spark))
+
+  private def sampleDf = {
+    import spark.implicits._
+    (1L to 100L).map(i => (i, i * 0.5, s"row$i")).toDF("id", "v", "s")
+  }
+
+  test("updateProperties: set + remove round-trips; conflicts retried") {
+    var t = GraftTable.create("props", freshHadoop(), schema)
+    t = t.updateProperties(Map("write.parquet.compression-codec" -> "snappy", "owner" -> "x"))
+    assert(t.metadata.properties("owner") === "x")
+    t = t.updateProperties(Map("owner" -> "y"), remove = Set("write.parquet.compression-codec"))
+    assert(t.metadata.properties("owner") === "y")
+    assert(!t.metadata.properties.contains("write.parquet.compression-codec"))
+    intercept[IllegalArgumentException] {
+      t.updateProperties(Map("a" -> "1"), remove = Set("a"))
+    }
+  }
+
+  test("replaceSortOrder: new order becomes default; unknown column refused") {
+    var t = GraftTable.create("sorts", freshHadoop(), schema)
+    t = t.replaceSortOrder(Seq(
+      SortField(1, Transform.Identity, ascending = true, nullsFirst = false)))
+    assert(t.metadata.defaultSortOrderId === 1)
+    assert(t.metadata.sortOrders.map(_.orderId).toSet === Set(0, 1))
+    intercept[IllegalArgumentException] {
+      t.replaceSortOrder(Seq(SortField(99, Transform.Identity, true, false)))
+    }
+  }
+
+  test("upgradeFormatVersion: idempotent up, refuses down") {
+    val t = GraftTable.create("fv", freshHadoop(), schema)
+    assert(t.metadata.formatVersion === 2)
+    assert(t.upgradeFormatVersion(2).metadata.formatVersion === 2)
+    intercept[IllegalArgumentException] { t.upgradeFormatVersion(1) }
+  }
+
+  test("limit pushdown: plans a strict prefix of files and caps rows") {
+    var t = GraftTable.create("lim", freshHadoop(), schema,
+      properties = Map("write.spark.max-records-per-file" -> "10"))
+    t = t.append(sampleDf) // 100 rows → ≥10 files
+    val full = t.newScan().planFiles().size
+    assert(full >= 10)
+    val limited = t.newScan().limit(25)
+    val df = limited.toDF(spark)
+    assert(df.count() === 25)
+    // planning short-circuited: inspect the planned file set via toDF's
+    // path (covered rows just over the limit)
+    val planned = {
+      // re-derive with the same semantics as planWithLimit
+      var acc = 0L
+      t.newScan().planFiles().takeWhile { task =>
+        val need = acc < 25; acc += task.file.recordCount; need
+      }
+    }
+    assert(planned.size < full)
+    assert(planned.map(_.file.recordCount).sum >= 25)
+  }
+
+  test("bind validates literal types and adapts widths") {
+    val s = schema
+    // int literal widens against long column
+    val p = Predicate.bind(Predicate.eqTo("id", 7), s)
+    assert(p === graft.expr.BinaryPred(graft.expr.Eq, "id", 7L))
+    intercept[IllegalArgumentException] {
+      Predicate.bind(Predicate.eqTo("id", "seven"), s)
+    }
+    intercept[IllegalArgumentException] {
+      Predicate.bind(Predicate.startsWith("v", "x"), s) // non-string column
+    }
+    intercept[IllegalArgumentException] {
+      Predicate.bind(graft.expr.UnaryPred(graft.expr.IsNan, "s"), s)
+    }
+  }
+
+  test("memory catalog: create/load/commit/conflict semantics") {
+    val cat = new MemoryCatalog(
+      java.nio.file.Files.createTempDirectory("graft-mem-").toString,
+      FileIO.fromSpark(spark))
+    var t = GraftTable.create("m1", cat, schema)
+    t = t.append(sampleDf)
+    assert(t.newScan().toDF(spark).count() === 100)
+    assert(cat.listTables() === Seq("m1"))
+
+    // stale-base commit conflicts
+    val (md, v) = cat.loadTable("m1")
+    cat.commitTable("m1", v, md.copy(lastUpdatedMs = 1L))
+    intercept[graft.catalog.CommitConflict] {
+      cat.commitTable("m1", v, md.copy(lastUpdatedMs = 2L))
+    }
+    assert(cat.dropTable("m1"))
+    assert(!cat.tableExists("m1"))
+  }
+}
