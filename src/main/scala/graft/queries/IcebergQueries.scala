@@ -230,5 +230,23 @@ object IcebergQueries {
       .orderBy(col("c_custkey"))
   }
 
-  val all: Seq[Q] = Seq(i01, i02, i03, i04, i05, i06, i07, i08, i09, i10, i11, i12)
+  /** Reserved metadata columns: group the data by the scan-synthesized
+    * `_partition` tuple (month transform) — counts must equal a plain
+    * GROUP BY over the raw data, proving `_partition`/`_spec_id` carry
+    * correct per-file constants (metadata_columns.rs:33-90). */
+  val i13 = Q.sql(
+    "i13_metadata_columns",
+    """SELECT (year(l_shipdate) - 1970) * 12 + month(l_shipdate) - 1 AS part_month,
+      |  count(*) AS n_rows
+      |FROM lineitem
+      |GROUP BY 1 ORDER BY part_month""".stripMargin
+  ) { (s, d) =>
+    IcebergFixtures.lineitemMonth(s, d).newScan().withMetadataColumns().toDF(s)
+      .filter(col("_spec_id") === 0 && col("_pos") >= 0 && col("_file").isNotNull)
+      .groupBy(col("_partition.l_shipdate_month").cast("long").as("part_month"))
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy(col("part_month"))
+  }
+
+  val all: Seq[Q] = Seq(i01, i02, i03, i04, i05, i06, i07, i08, i09, i10, i11, i12, i13)
 }

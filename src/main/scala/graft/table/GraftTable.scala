@@ -158,22 +158,30 @@ final class TableScan private[table] (
     filter: Predicate = AlwaysTrue,
     selected: Seq[String] = Nil,
     snapshotId: Option[Long] = None,
-    limitRows: Option[Long] = None) {
+    limitRows: Option[Long] = None,
+    metaCols: Boolean = false) {
 
   def withFilter(p: Predicate): TableScan =
-    new TableScan(table, Predicate.bind(p, table.schema), selected, snapshotId, limitRows)
+    new TableScan(table, Predicate.bind(p, table.schema), selected, snapshotId, limitRows, metaCols)
 
   def select(cols: String*): TableScan =
-    new TableScan(table, filter, cols.toSeq, snapshotId, limitRows)
+    new TableScan(table, filter, cols.toSeq, snapshotId, limitRows, metaCols)
 
   def useSnapshot(id: Long): TableScan =
-    new TableScan(table, filter, selected, Some(id), limitRows)
+    new TableScan(table, filter, selected, Some(id), limitRows, metaCols)
 
   /** Limit pushdown (scan/mod.rs TableScanBuilder::with_limit): caps the
     * result AND, for unfiltered scans with no deletes, short-circuits
     * file planning once manifest record counts cover the limit. */
   def limit(n: Long): TableScan =
-    new TableScan(table, filter, selected, snapshotId, Some(n))
+    new TableScan(table, filter, selected, snapshotId, Some(n), metaCols)
+
+  /** Surface the reserved metadata columns (metadata_columns.rs:33-90):
+    * `_file` (source file path), `_pos` (row position in file), `_spec_id`
+    * (partition spec of the file), `_partition` (typed partition tuple of
+    * the default spec; null for files of other specs). */
+  def withMetadataColumns(): TableScan =
+    new TableScan(table, filter, selected, snapshotId, limitRows, metaCols = true)
 
   private def snapshot: Option[Snapshot] =
     snapshotId.map(id => table.metadata.snapshotById(id).getOrElse(
@@ -293,13 +301,57 @@ final class TableScan private[table] (
         val raw = spark.read.schema(sparkSchema).parquet(tasks.map(_.file.filePath): _*)
         applyDeletes(spark, raw, tasks)
       }
+    val withMeta = if (!metaCols || tasks.isEmpty) base
+      else addMetadataColumns(spark, base, tasks)
     val filtered = filter match {
-      case AlwaysTrue => base
-      case p => base.filter(Predicate.toColumn(p, table.schema))
+      case AlwaysTrue => withMeta
+      case p => withMeta.filter(Predicate.toColumn(p, table.schema))
     }
     val projected =
       if (selected.isEmpty) filtered else filtered.select(selected.map(col): _*)
     limitRows.map(n => projected.limit(n.toInt)).getOrElse(projected)
+  }
+
+  /** Reserved metadata columns (metadata_columns.rs:33-90): `_file` and
+    * `_pos` come from Spark's parquet `_metadata` struct (exactly what the
+    * reference synthesizes as a virtual RowNumber column,
+    * pipeline.rs:221-245); `_spec_id` and the typed `_partition` tuple
+    * join in from the planned task descriptors (broadcast — O(files)
+    * driver rows, never data). */
+  private def addMetadataColumns(spark: SparkSession, df: DataFrame,
+      tasks: Seq[FileScanTask]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions.broadcast
+    val partType = table.spec.partitionType(table.schema)
+    val partSchema = org.apache.spark.sql.types.StructType(
+      partType.fields.map(f => org.apache.spark.sql.types.StructField(
+        f.name, IcebergType.toSpark(f.fieldType), nullable = true)))
+    val taskSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("_gf_meta_file",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("_spec_id",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("_partition", partSchema, nullable = true)))
+    val rows: java.util.List[Row] = new java.util.ArrayList[Row]()
+    tasks.foreach { t =>
+      val part =
+        if (t.specId == table.spec.specId)
+          Row(t.file.partition.zip(partType.fields).map { case (v, f) =>
+            Predicate.sparkValue(f.fieldType, v)
+          }: _*)
+        else null // other specs have differently-shaped tuples
+      rows.add(Row(qualifyPath(t.file.filePath), t.specId, part))
+    }
+    val taskDf = spark.createDataFrame(rows, taskSchema)
+    df.withColumn("_file", col("_metadata.file_path"))
+      .withColumn("_pos", col("_metadata.row_index"))
+      .join(broadcast(taskDf), col("_file") === col("_gf_meta_file"), "left")
+      .drop("_gf_meta_file")
+  }
+
+  private def qualifyPath(p: String): String = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    table.io.fs(p).makeQualified(hp).toString
   }
 
   /** MoR delete application (§2.3 join semantics):
