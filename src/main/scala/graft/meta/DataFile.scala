@@ -28,7 +28,13 @@ final case class DataFile(
     upperBounds: Map[Int, Any] = Map.empty,
     splitOffsets: Seq[Long] = Nil,
     equalityIds: Seq[Int] = Nil,
-    sortOrderId: Option[Int] = None)
+    sortOrderId: Option[Int] = None,
+    /** v3 deletion-vector reference (data_file.rs referenced_data_file /
+      * content_offset / content_size_in_bytes): the data file this Puffin
+      * DV blob applies to, and the blob's byte range in the Puffin file. */
+    referencedDataFile: Option[String] = None,
+    contentOffset: Option[Long] = None,
+    contentSizeInBytes: Option[Long] = None)
 
 object ManifestStatus {
   val Existing = 0

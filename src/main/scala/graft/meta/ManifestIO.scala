@@ -80,7 +80,10 @@ object ManifestIO {
       new Schema.Field("upper_bounds", nullable(kvArray("k129_v130", Schema.Type.BYTES)), null, Schema.Field.NULL_DEFAULT_VALUE),
       new Schema.Field("split_offsets", nullable(Schema.createArray(prim(Schema.Type.LONG))), null, Schema.Field.NULL_DEFAULT_VALUE),
       new Schema.Field("equality_ids", nullable(Schema.createArray(prim(Schema.Type.INT))), null, Schema.Field.NULL_DEFAULT_VALUE),
-      new Schema.Field("sort_order_id", nullable(prim(Schema.Type.INT)), null, Schema.Field.NULL_DEFAULT_VALUE)))
+      new Schema.Field("sort_order_id", nullable(prim(Schema.Type.INT)), null, Schema.Field.NULL_DEFAULT_VALUE),
+      new Schema.Field("referenced_data_file", nullable(prim(Schema.Type.STRING)), null, Schema.Field.NULL_DEFAULT_VALUE),
+      new Schema.Field("content_offset", nullable(prim(Schema.Type.LONG)), null, Schema.Field.NULL_DEFAULT_VALUE),
+      new Schema.Field("content_size_in_bytes", nullable(prim(Schema.Type.LONG)), null, Schema.Field.NULL_DEFAULT_VALUE)))
     rec
   }
 
@@ -212,6 +215,9 @@ object ManifestIO {
       if (df.equalityIds.nonEmpty)
         dfRec.put("equality_ids", df.equalityIds.map(java.lang.Integer.valueOf).asJava)
       dfRec.put("sort_order_id", df.sortOrderId.map(java.lang.Integer.valueOf).orNull)
+      dfRec.put("referenced_data_file", df.referencedDataFile.orNull)
+      dfRec.put("content_offset", df.contentOffset.map(java.lang.Long.valueOf).orNull)
+      dfRec.put("content_size_in_bytes", df.contentSizeInBytes.map(java.lang.Long.valueOf).orNull)
 
       rec.put("data_file", dfRec)
       writer.append(rec)
@@ -300,7 +306,10 @@ object ManifestIO {
             case Some(a: java.util.List[_]) => a.asScala.toSeq.map(_.asInstanceOf[Int])
             case _ => Nil
           },
-          sortOrderId = Option(dfRec.get("sort_order_id")).map(_.asInstanceOf[Int]))
+          sortOrderId = Option(dfRec.get("sort_order_id")).map(_.asInstanceOf[Int]),
+          referencedDataFile = Option(dfRec.get("referenced_data_file")).map(_.toString),
+          contentOffset = Option(dfRec.get("content_offset")).map(_.asInstanceOf[Long]),
+          contentSizeInBytes = Option(dfRec.get("content_size_in_bytes")).map(_.asInstanceOf[Long]))
         out += ManifestEntry(
           status = rec.get("status").asInstanceOf[Int],
           snapshotId = Option(rec.get("snapshot_id")).map(_.asInstanceOf[Long]),

@@ -1,0 +1,158 @@
+package graft.puffin
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import scala.collection.immutable.SortedMap
+
+/** Minimal 64-bit roaring bitmap ("portable" serialization), the format
+  * the Iceberg v3 deletion-vector blob stores (reference delete_vector.rs
+  * wraps the roaring crate's RoaringTreemap; this is an independent
+  * implementation of the published format, not a port).
+  *
+  * Layout (portable spec):
+  *   u64 LE  number of 32-bit bitmaps
+  *   per bitmap: u32 LE high key, then the standard 32-bit roaring
+  *   serialization: cookie 12346 (no run containers) u32 LE, u32 LE
+  *   container count, descriptive header (u16 key, u16 cardinality-1)
+  *   per container, u32 LE offset header per container, then containers —
+  *   array (sorted u16 values, card ≤ 4096) or bitmap (8 KiB, 1024×u64 LE).
+  *
+  * Run containers are never written and not accepted on read (we only
+  * read vectors we wrote; the reference's writer behaves the same for
+  * freshly-built bitmaps).
+  */
+final class Roaring64 private (
+    private val containers: SortedMap[Long, Array[Long]]) { // key=(high32<<16|key16), value=bitset words
+
+  import Roaring64._
+
+  def contains(pos: Long): Boolean = {
+    val k = containerKey(pos)
+    containers.get(k).exists(words => {
+      val low = (pos & 0xFFFF).toInt
+      (words(low >>> 6) & (1L << (low & 63))) != 0
+    })
+  }
+
+  def cardinality: Long =
+    containers.valuesIterator.map(ws => ws.map(java.lang.Long.bitCount(_).toLong).sum).sum
+
+  /** Ascending positions. */
+  def iterator: Iterator[Long] =
+    containers.iterator.flatMap { case (key, words) =>
+      val base = key << 16
+      Iterator.range(0, 65536).filter(i => (words(i >>> 6) & (1L << (i & 63))) != 0)
+        .map(i => base | i)
+    }
+
+  def serialize(): Array[Byte] = {
+    // group containers by high 32 bits
+    val byHigh = containers.groupBy { case (key, _) => key >>> 16 }
+    val out = new java.io.ByteArrayOutputStream()
+    val n = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN).putLong(byHigh.size.toLong)
+    out.write(n.array())
+    byHigh.toSeq.sortBy(_._1).foreach { case (high, conts) =>
+      val hb = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(high.toInt)
+      out.write(hb.array())
+      out.write(serialize32(conts.map { case (k, w) => ((k & 0xFFFF).toInt, w) }))
+    }
+    out.toByteArray
+  }
+
+  private def serialize32(conts: SortedMap[Int, Array[Long]]): Array[Byte] = {
+    val entries = conts.toSeq
+    val cards = entries.map { case (_, w) => w.map(java.lang.Long.bitCount).sum }
+    val sizes = cards.map(c => if (c <= ArrayMax) c * 2 else BitmapBytes)
+    val headerLen = 8 + entries.size * 4 + entries.size * 4
+    val buf = ByteBuffer.allocate(headerLen + sizes.sum).order(ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(CookieNoRun)
+    buf.putInt(entries.size)
+    entries.zip(cards).foreach { case ((key, _), card) =>
+      buf.putShort(key.toShort); buf.putShort((card - 1).toShort)
+    }
+    var off = headerLen
+    sizes.foreach { s => buf.putInt(off); off += s }
+    entries.zip(cards).foreach { case ((_, words), card) =>
+      if (card <= ArrayMax) {
+        var i = 0
+        while (i < 65536) {
+          if ((words(i >>> 6) & (1L << (i & 63))) != 0) buf.putShort(i.toShort)
+          i += 1
+        }
+      } else words.foreach(buf.putLong)
+    }
+    buf.array()
+  }
+}
+
+object Roaring64 {
+  private val CookieNoRun = 12346
+  private val CookieRun = 12347
+  private val ArrayMax = 4096
+  private val BitmapBytes = 8192
+
+  private def containerKey(pos: Long): Long = pos >>> 16
+
+  def fromPositions(positions: Iterable[Long]): Roaring64 = {
+    val m = scala.collection.mutable.Map[Long, Array[Long]]()
+    positions.foreach { pos =>
+      require(pos >= 0, s"negative position $pos")
+      val words = m.getOrElseUpdate(containerKey(pos), new Array[Long](1024))
+      val low = (pos & 0xFFFF).toInt
+      words(low >>> 6) |= (1L << (low & 63))
+    }
+    new Roaring64(SortedMap.from(m))
+  }
+
+  def deserialize(bytes: Array[Byte]): Roaring64 = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val nMaps = buf.getLong
+    val m = scala.collection.mutable.Map[Long, Array[Long]]()
+    var i = 0L
+    while (i < nMaps) {
+      val high = buf.getInt.toLong & 0xFFFFFFFFL
+      readBitmap32(buf, high, m)
+      i += 1
+    }
+    new Roaring64(SortedMap.from(m))
+  }
+
+  private def readBitmap32(buf: ByteBuffer, high: Long,
+      m: scala.collection.mutable.Map[Long, Array[Long]]): Unit = {
+    val start = buf.position()
+    val cookie = buf.getInt
+    require((cookie & 0xFFFF) != CookieRun, "run containers not supported")
+    require(cookie == CookieNoRun, s"bad roaring cookie $cookie")
+    val n = buf.getInt
+    val keys = new Array[Int](n)
+    val cards = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      keys(i) = buf.getShort & 0xFFFF
+      cards(i) = (buf.getShort & 0xFFFF) + 1
+      i += 1
+    }
+    val offsets = new Array[Int](n)
+    i = 0
+    while (i < n) { offsets(i) = buf.getInt; i += 1 }
+    i = 0
+    while (i < n) {
+      buf.position(start + offsets(i))
+      val words = new Array[Long](1024)
+      if (cards(i) <= ArrayMax) {
+        var j = 0
+        while (j < cards(i)) {
+          val v = buf.getShort & 0xFFFF
+          words(v >>> 6) |= (1L << (v & 63))
+          j += 1
+        }
+      } else {
+        var j = 0
+        while (j < 1024) { words(j) = buf.getLong; j += 1 }
+      }
+      m((high << 16) | keys(i)) = words
+      i += 1
+    }
+    // leave buf positioned after the last container of this bitmap
+  }
+}

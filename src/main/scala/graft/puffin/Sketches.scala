@@ -1,0 +1,94 @@
+package graft.puffin
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.TextHash
+import graft.table.GraftTable
+
+/** KMV (k-minimum-values) distinct-count sketches — the role the
+  * reference fills with Apache DataSketches theta blobs in Puffin
+  * (puffin/blob.rs:23, APACHE_DATASKETCHES_THETA_V1): mergeable per-column
+  * NDV estimates computed in one distributed pass and persisted as table
+  * stats. The sketch body here is the portable md5-based KMV formulation
+  * (blob type graft-kmv-distinct-v1) so estimates are deterministic and
+  * reproducible in plain SQL — the DataSketches binary format needs their
+  * library, which is out of deps.
+  *
+  * Estimator: with h = 60-bit uniform hash normalized to (0,1], the k-th
+  * smallest distinct hash r_k gives NDV ≈ (k-1)/r_k; exact count is used
+  * when fewer than k distinct values exist.
+  *
+  * Scale: per column one hash-distinct top-k — a partial top-k per
+  * partition then a k-row merge; no full shuffle of values, driver sees
+  * only k longs per column.
+  */
+object Sketches {
+
+  val DefaultK = 64
+
+  final case class ColumnSketch(fieldId: Int, column: String, k: Int,
+      minHashes: Seq[Long]) {
+    /** NDV estimate (exact when under-filled). */
+    def estimate: Long =
+      if (minHashes.size < k) minHashes.size.toLong
+      else math.floor((k - 1).toDouble * math.pow(2.0, 60) / minHashes.last.toDouble).toLong
+
+    def serialize(): Array[Byte] = {
+      val buf = ByteBuffer.allocate(8 + minHashes.size * 8).order(ByteOrder.LITTLE_ENDIAN)
+      buf.putInt(k)
+      buf.putInt(minHashes.size)
+      minHashes.foreach(buf.putLong)
+      buf.array()
+    }
+  }
+
+  def deserialize(fieldId: Int, column: String, bytes: Array[Byte]): ColumnSketch = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val k = buf.getInt
+    val n = buf.getInt
+    ColumnSketch(fieldId, column, k, Seq.fill(n)(buf.getLong))
+  }
+
+  /** One distributed pass: k smallest distinct hashes per column. */
+  def sketchColumns(df: DataFrame, cols: Seq[String], k: Int = DefaultK): Seq[ColumnSketch] =
+    cols.map { c =>
+      val hashes = df.select(TextHash.hex60(col(c).cast("string")).as("x"))
+        .where(col(c).isNotNull)
+        .distinct()
+        .orderBy(col("x"))
+        .limit(k)
+        .collect().map(_.getLong(0)).toSeq
+      ColumnSketch(-1, c, k, hashes)
+    }
+
+  /** Compute sketches for `cols` of the table's current snapshot and
+    * persist them as a Puffin stats file; returns (path, sketches). */
+  def writeDistinctStats(table: GraftTable, spark: SparkSession,
+      cols: Seq[String], k: Int = DefaultK): (String, Seq[ColumnSketch]) = {
+    val snapshotId = table.metadata.currentSnapshotId.getOrElse(0L)
+    val seq = table.metadata.lastSequenceNumber
+    val df = table.newScan().toDF(spark)
+    val sketches = sketchColumns(df, cols, k).map { s =>
+      s.copy(fieldId = table.schema.findField(s.column).map(_.id).getOrElse(-1))
+    }
+    val path = s"${table.location}/metadata/stats-$snapshotId-${java.util.UUID.randomUUID()}.puffin"
+    Puffin.write(table.io, path, sketches.map { s =>
+      Puffin.Blob(Puffin.KmvDistinctV1, Seq(s.fieldId), snapshotId, seq,
+        s.serialize(), Map("column" -> s.column, "ndv" -> s.estimate.toString))
+    }, Map("created-by" -> "graft"))
+    (path, sketches)
+  }
+
+  /** Load sketches back from a stats file. */
+  def readDistinctStats(table: GraftTable, path: String): Seq[ColumnSketch] = {
+    val (metas, _) = Puffin.readMetadata(table.io, path)
+    metas.filter(_.blobType == Puffin.KmvDistinctV1).map { m =>
+      deserialize(m.fields.headOption.getOrElse(-1),
+        m.properties.getOrElse("column", ""),
+        Puffin.readBlob(table.io, path, m))
+    }
+  }
+}

@@ -105,6 +105,25 @@ object IcebergFixtures {
         .equalityDelete(Seq("BUILDING").toDF("c_mktsegment"), Seq("c_mktsegment"))
     }
 
+  /** plain (undeleted) customer table for stats/sketch queries. */
+  def plainCustomer(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "customer_plain") { catalog =>
+      val src = Tables.customer(spark, sfDir)
+      val schema = IcebergSchema.fromSpark(src.schema)
+      GraftTable.create("customer_plain", catalog, schema).append(src)
+    }
+
+  /** orders with a v3 deletion-vector (Puffin roaring bitmap) delete. */
+  def ordersDvDeleted(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "orders_dv") { catalog =>
+      val src = Tables.orders(spark, sfDir)
+      val schema = IcebergSchema.fromSpark(src.schema)
+      GraftTable.create("orders_dv", catalog, schema,
+          properties = Map("write.spark.max-records-per-file" -> "500"))
+        .append(src)
+        .deleteWhereDV(graft.expr.Predicate.gt("o_totalprice", 200000.0), spark)
+    }
+
   /** customer evolved mid-stream: even keys written under the original
     * schema, then rename c_acctbal→balance + add bonus, then odd keys
     * written with bonus populated. Old files serve the renamed column by

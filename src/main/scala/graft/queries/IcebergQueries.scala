@@ -248,5 +248,57 @@ object IcebergQueries {
       .orderBy(col("part_month"))
   }
 
-  val all: Seq[Q] = Seq(i01, i02, i03, i04, i05, i06, i07, i08, i09, i10, i11, i12, i13)
+  /** v3 deletion vectors: DELETE via Puffin roaring-bitmap blobs, then
+    * scan — executor-decoded DVs anti-join exactly like parquet position
+    * deletes (delete_vector.rs:27, puffin writer/reader). */
+  val i14 = Q.sql(
+    "i14_deletion_vector_scan",
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders
+      |WHERE o_totalprice <= 200000.0
+      |ORDER BY o_orderkey, o_totalprice""".stripMargin
+  ) { (s, d) =>
+    IcebergFixtures.ordersDvDeleted(s, d).newScan().toDF(s)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"), col("o_totalprice"))
+  }
+
+  /** KMV distinct sketches persisted as Puffin stats blobs (role of
+    * apache-datasketches-theta-v1, puffin/blob.rs:23). The oracle replays
+    * the same md5-based estimator in SQL — write path, blob round-trip and
+    * estimator must all agree. */
+  val i15 = Q.sql(
+    "i15_distinct_sketch",
+    """WITH h1 AS (SELECT DISTINCT ('0x'||substr(md5(c_mktsegment),1,15))::BIGINT AS x
+      |            FROM customer WHERE c_mktsegment IS NOT NULL),
+      |r1 AS (SELECT x FROM h1 ORDER BY x LIMIT 64),
+      |e1 AS (SELECT count(*) AS n, max(x) AS hk FROM r1),
+      |h2 AS (SELECT DISTINCT ('0x'||substr(md5(c_custkey::VARCHAR),1,15))::BIGINT AS x
+      |       FROM customer WHERE c_custkey IS NOT NULL),
+      |r2 AS (SELECT x FROM h2 ORDER BY x LIMIT 64),
+      |e2 AS (SELECT count(*) AS n, max(x) AS hk FROM r2)
+      |SELECT column_name, ndv FROM (
+      |  SELECT 'c_mktsegment' AS column_name,
+      |    CASE WHEN n < 64 THEN n
+      |         ELSE CAST(floor(63 * pow(2.0, 60) / hk) AS BIGINT) END AS ndv
+      |  FROM e1
+      |  UNION ALL
+      |  SELECT 'c_custkey' AS column_name,
+      |    CASE WHEN n < 64 THEN n
+      |         ELSE CAST(floor(63 * pow(2.0, 60) / hk) AS BIGINT) END AS ndv
+      |  FROM e2)
+      |ORDER BY column_name""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val base = IcebergFixtures.plainCustomer(s, d)
+    val (path, _) = graft.puffin.Sketches.writeDistinctStats(
+      base, s, Seq("c_mktsegment", "c_custkey"))
+    graft.puffin.Sketches.readDistinctStats(base, path)
+      .map(sk => (sk.column, sk.estimate))
+      .toDF("column_name", "ndv")
+      .orderBy(col("column_name"))
+  }
+
+  val all: Seq[Q] = Seq(i01, i02, i03, i04, i05, i06, i07, i08, i09, i10,
+    i11, i12, i13, i14, i15)
 }

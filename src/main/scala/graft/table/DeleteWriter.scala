@@ -50,6 +50,69 @@ object DeleteWriter {
       FileContent.PositionDeletes, Nil, spark)
   }
 
+  /** Row-level `DELETE WHERE` committed as v3 deletion vectors: one Puffin
+    * file holding a roaring-bitmap blob per touched data file
+    * (delete_vector.rs:27 + puffin writer). Bitmaps are BUILT ON THE
+    * EXECUTORS (mapGroups per file — at 100 TB a delete can touch millions
+    * of rows per file; only the compressed blobs ever reach the driver),
+    * then concatenated into a single container file at commit. */
+  def deleteWhereDV(table: GraftTable, predicate: Predicate,
+      spark: SparkSession): GraftTable = {
+    import graft.puffin.{Puffin, Roaring64}
+    val bound = Predicate.bind(predicate, table.schema)
+    val tasks = table.newScan().withFilter(bound).planFiles()
+    if (tasks.isEmpty) return table
+
+    val matches = spark.read.schema(table.schema.toSpark)
+      .parquet(tasks.map(_.file.filePath): _*)
+      .filter(Predicate.toColumn(bound, table.schema))
+      .select(col("_metadata.file_path").as("file_path"),
+        col("_metadata.row_index").as("pos"))
+
+    import spark.implicits._
+    val blobs: Seq[(String, Array[Byte], Long)] = matches
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (file, rows) =>
+        val bm = Roaring64.fromPositions(rows.map(_._2).toSeq)
+        (file, Puffin.dvSerialize(bm), bm.cardinality)
+      }
+      .collect().toSeq.sortBy(_._1)
+    if (blobs.isEmpty) return table
+
+    val commitUuid = UUID.randomUUID().toString
+    val puffinPath = s"${table.location}/data/deletes-$commitUuid.puffin"
+
+    Commits.commit(table, "delete", commitUuid,
+      Map("added-delete-files" -> "1",
+        "added-position-deletes" -> blobs.map(_._3).sum.toString)) { (base, seq, snapshotId) =>
+      val metas = Puffin.write(table.io, puffinPath,
+        blobs.map { case (file, data, card) =>
+          Puffin.Blob(Puffin.DeletionVectorV1, Nil, snapshotId, seq, data,
+            Map("referenced-data-file" -> file, "cardinality" -> card.toString))
+        })
+      val puffinLen = table.io.size(puffinPath)
+      val nullPartition = Seq.fill(table.spec.fields.size)(null)
+      val files = blobs.zip(metas).map { case ((file, _, card), meta) =>
+        DataFile(
+          content = FileContent.PositionDeletes,
+          filePath = puffinPath,
+          fileFormat = "PUFFIN",
+          partition = nullPartition,
+          recordCount = card,
+          fileSizeInBytes = puffinLen,
+          referencedDataFile = Some(file),
+          contentOffset = Some(meta.offset),
+          contentSizeInBytes = Some(meta.length))
+      }
+      val entries = files.map(f => ManifestEntry(ManifestStatus.Added, Some(snapshotId),
+        Some(seq), Some(seq), f))
+      val m = Commits.writeManifest(table.io, base, s"$commitUuid-dv0", entries,
+        table.schema, table.spec, ManifestContent.Deletes, snapshotId, seq)
+      m +: Commits.baseManifests(table.io, base)
+    }
+  }
+
   /** Equality-delete commit: `keys` rows (columns = `keyCols`) mark any data
     * row with equal key values in earlier sequence numbers as deleted. */
   def equalityDelete(table: GraftTable, keys: DataFrame, keyCols: Seq[String],

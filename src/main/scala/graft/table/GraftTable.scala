@@ -31,6 +31,10 @@ final class GraftTable(
   def deleteWhere(p: Predicate, spark: SparkSession): GraftTable =
     DeleteWriter.deleteWhere(this, p, spark)
 
+  /** Row-level DELETE WHERE as v3 Puffin deletion vectors. */
+  def deleteWhereDV(p: Predicate, spark: SparkSession): GraftTable =
+    DeleteWriter.deleteWhereDV(this, p, spark)
+
   /** Equality-delete commit on the given key columns. */
   def equalityDelete(keys: DataFrame, keyCols: Seq[String]): GraftTable =
     DeleteWriter.equalityDelete(this, keys, keyCols, keys.sparkSession)
@@ -377,11 +381,40 @@ final class TableScan private[table] (
       .withColumn(FILE, col("_metadata.file_path"))
       .withColumn(POS, col("_metadata.row_index"))
 
-    val posDeletes = deletes.filter(_.file.content == FileContent.PositionDeletes)
-    if (posDeletes.nonEmpty) {
-      val pd = spark.read.parquet(posDeletes.map(_.file.filePath): _*)
+    val posParquet = deletes.filter(d =>
+      d.file.content == FileContent.PositionDeletes && d.file.fileFormat != "PUFFIN")
+    if (posParquet.nonEmpty) {
+      val pd = spark.read.parquet(posParquet.map(_.file.filePath): _*)
       work = work.join(pd,
         work(FILE) === pd("file_path") && work(POS) === pd("pos"), "left_anti")
+    }
+
+    // v3 deletion vectors: each entry is a roaring-bitmap blob range in a
+    // Puffin file, scoped to one data file. Blobs are decoded ON THE
+    // EXECUTORS (a parallelized job over blob descriptors — the driver
+    // never materializes positions) and applied with the same anti-join.
+    val dvs = deletes.filter(d =>
+      d.file.content == FileContent.PositionDeletes && d.file.fileFormat == "PUFFIN")
+    if (dvs.nonEmpty) {
+      import spark.implicits._
+      val descriptors = dvs.flatMap(d => d.file.referencedDataFile.map(ref =>
+        (d.file.filePath, d.file.contentOffset.getOrElse(0L),
+          d.file.contentSizeInBytes.getOrElse(0L), qualifyPath(ref))))
+      val dvRows = spark.sparkContext
+        .parallelize(descriptors, math.max(1, math.min(descriptors.size, 64)))
+        .flatMap { case (puffin, offset, len, ref) =>
+          // executor-local FileIO (Hadoop Configuration isn't serializable;
+          // same pattern as the footer harvest in AppendWriter)
+          val io = new graft.io.FileIO(new org.apache.hadoop.conf.Configuration())
+          val meta = graft.puffin.Puffin.BlobMetadata(
+            graft.puffin.Puffin.DeletionVectorV1, Nil, 0L, 0L, offset, len, Map.empty)
+          graft.puffin.Puffin.dvDeserialize(
+            graft.puffin.Puffin.readBlob(io, puffin, meta))
+            .iterator.map(pos => (ref, pos))
+        }
+        .toDF("file_path", "pos")
+      work = work.join(dvRows,
+        work(FILE) === dvRows("file_path") && work(POS) === dvRows("pos"), "left_anti")
     }
 
     val eqDeletes = deletes.filter(_.file.content == FileContent.EqualityDeletes)

@@ -1,0 +1,96 @@
+package graft.puffin
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.catalog.HadoopCatalog
+import graft.expr.Predicate
+import graft.io.FileIO
+import graft.spec._
+import graft.spec.IcebergType._
+import graft.table.GraftTable
+
+/** Roaring bitmap round-trips, Puffin container round-trips, and the
+  * deletion-vector delete → scan path. */
+class PuffinSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("puffin-spec")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("roaring64: array containers, bitmap containers, high keys") {
+    // small container (array), dense container (bitmap), >32-bit positions
+    val sparsePart = Seq(1L, 5L, 1000L, 65535L)
+    val densePart = (0L until 5000L).map(_ + 131072L) // forces bitmap container
+    val highPart = Seq((1L << 33) + 7L, (1L << 40) + 42L)
+    val all = sparsePart ++ densePart ++ highPart
+    val bm = Roaring64.fromPositions(all)
+    assert(bm.cardinality === all.size)
+    assert(all.forall(bm.contains))
+    assert(!bm.contains(2L) && !bm.contains(1L << 50))
+
+    val round = Roaring64.deserialize(bm.serialize())
+    assert(round.cardinality === bm.cardinality)
+    assert(round.iterator.toSeq === all.sorted)
+  }
+
+  test("puffin container: write/readMetadata/readBlob round-trip") {
+    val io = FileIO.fromSpark(spark)
+    val path = java.nio.file.Files.createTempDirectory("puffin-").toString + "/t.puffin"
+    val b1 = Puffin.Blob(Puffin.DeletionVectorV1, Nil, 42L, 3L,
+      Puffin.dvSerialize(Roaring64.fromPositions(Seq(1L, 2L, 99L))),
+      Map("referenced-data-file" -> "f1.parquet"))
+    val b2 = Puffin.Blob(Puffin.KmvDistinctV1, Seq(7), 42L, 3L,
+      Array[Byte](1, 2, 3, 4), Map("k" -> "64"))
+    val metas = Puffin.write(io, path, Seq(b1, b2), Map("created-by" -> "graft"))
+
+    val (readMetas, props) = Puffin.readMetadata(io, path)
+    assert(props("created-by") === "graft")
+    assert(readMetas.size === 2)
+    assert(readMetas.map(_.blobType) === Seq(Puffin.DeletionVectorV1, Puffin.KmvDistinctV1))
+    assert(readMetas(1).fields === Seq(7))
+    assert(readMetas(0).properties("referenced-data-file") === "f1.parquet")
+
+    val dv = Puffin.dvDeserialize(Puffin.readBlob(io, path, readMetas.head))
+    assert(dv.iterator.toSeq === Seq(1L, 2L, 99L))
+    assert(Puffin.readBlob(io, path, readMetas(1)).toSeq === Seq[Byte](1, 2, 3, 4))
+  }
+
+  test("deletion-vector delete: scan applies DVs, survives compaction") {
+    import spark.implicits._
+    val catalog = new HadoopCatalog(
+      java.nio.file.Files.createTempDirectory("graft-dv-").toString,
+      FileIO.fromSpark(spark))
+    val schema = IcebergSchema(0, Seq(
+      NestedField(1, "id", LongT, required = false),
+      NestedField(2, "v", DoubleT, required = false)))
+    var t = GraftTable.create("dv1", catalog, schema,
+      properties = Map("write.spark.max-records-per-file" -> "40"))
+    t = t.append((1L to 200L).map(i => (i, i * 0.5)).toDF("id", "v"))
+
+    t = t.deleteWhereDV(Predicate.gt("v", 50.0), spark)
+    val left = t.newScan().toDF(spark)
+    assert(left.count() === 100)
+    assert(left.agg(org.apache.spark.sql.functions.max("id")).head.getLong(0) === 100L)
+
+    // delete is idempotent-composable: a second DV delete narrows further
+    t = t.deleteWhereDV(Predicate.gt("v", 25.0), spark)
+    assert(t.newScan().toDF(spark).count() === 50)
+
+    // filters and the DV anti-join compose
+    val filtered = t.newScan().withFilter(Predicate.ltEq("id", 10L)).toDF(spark)
+    assert(filtered.count() === 10)
+
+    // compaction folds the DVs in and drops the delete entries
+    t = t.rewriteDataFiles(spark)
+    assert(t.newScan().planDeletes().isEmpty)
+    assert(t.newScan().toDF(spark).count() === 50)
+  }
+}
