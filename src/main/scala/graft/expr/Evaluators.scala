@@ -271,9 +271,146 @@ object InclusiveMetricsEvaluator {
   private def withField(ref: String, schema: IcebergSchema)(body: Int => Boolean): Boolean =
     schema.findField(ref).map(fld => body(fld.id)).getOrElse(true)
 
-  private def allNull(f: DataFile, id: Int): Boolean =
+  private[expr] def allNull(f: DataFile, id: Int): Boolean =
     (f.valueCounts.get(id), f.nullValueCounts.get(id)) match {
       case (Some(vc), Some(nc)) => vc == nc && vc > 0
       case _ => false
     }
+}
+
+/** "Rows MUST match" from column stats
+  * (expr/visitors/strict_metrics_evaluator.rs semantics): true only when
+  * the bounds PROVE every row in the file satisfies the predicate.
+  * Anything undecidable returns false — the dual of the inclusive
+  * evaluator. Used to turn row-level deletes into whole-file drops and to
+  * skip residual filters on fully-covered files. */
+object StrictMetricsEvaluator {
+
+  def fileMustMatch(dataPred: Predicate, file: DataFile, schema: IcebergSchema): Boolean =
+    eval(dataPred, file, schema)
+
+  private def eval(p: Predicate, f: DataFile, schema: IcebergSchema): Boolean = p match {
+    case AlwaysTrue => true
+    case AlwaysFalse => false
+    case And(l, r) => eval(l, f, schema) && eval(r, f, schema)
+    case Or(l, r) => eval(l, f, schema) || eval(r, f, schema)
+    case Not(c) => eval(Predicate.rewriteNot(Not(c)), f, schema)
+    case UnaryPred(op, ref) => withField(ref, schema) { (id, _) =>
+      op match {
+        case IsNull => InclusiveMetricsEvaluator.allNull(f, id)
+        case NotNull => f.nullValueCounts.get(id).contains(0L)
+        case IsNan => false // nan counts are not harvested: never provable
+        case NotNan => false
+      }
+    }
+    case BinaryPred(op, ref, v) => withField(ref, schema) { (id, t) =>
+      // any null row fails a value comparison → must have zero nulls
+      if (!f.nullValueCounts.get(id).contains(0L)) false
+      else {
+        val lower = f.lowerBounds.get(id)
+        val upper = f.upperBounds.get(id)
+        def cmpLower = lower.map(lb => SingleValue.compare(t, lb, v))
+        def cmpUpper = upper.map(ub => SingleValue.compare(t, ub, v))
+        op match {
+          case Lt => cmpUpper.exists(_ < 0)
+          case LtEq => cmpUpper.exists(_ <= 0)
+          case Gt => cmpLower.exists(_ > 0)
+          case GtEq => cmpLower.exists(_ >= 0)
+          case Eq => cmpLower.exists(_ == 0) && cmpUpper.exists(_ == 0)
+          case NotEq => cmpUpper.exists(_ < 0) || cmpLower.exists(_ > 0)
+          case StartsWith | NotStartsWith => false // not provable from bounds
+        }
+      }
+    }
+    case SetPred(In, ref, vs) => withField(ref, schema) { (id, t) =>
+      // provable only when the file is a single value contained in the set
+      if (!f.nullValueCounts.get(id).contains(0L)) false
+      else (f.lowerBounds.get(id), f.upperBounds.get(id)) match {
+        case (Some(lo), Some(hi)) if SingleValue.compare(t, lo, hi) == 0 =>
+          vs.exists(v => v != null && SingleValue.compare(t, lo, v) == 0)
+        case _ => false
+      }
+    }
+    case SetPred(NotIn, ref, vs) => withField(ref, schema) { (id, t) =>
+      if (!f.nullValueCounts.get(id).contains(0L)) false
+      else (f.lowerBounds.get(id), f.upperBounds.get(id)) match {
+        case (Some(lo), Some(hi)) =>
+          vs.forall(v => v != null &&
+            (SingleValue.compare(t, v, lo) < 0 || SingleValue.compare(t, v, hi) > 0))
+        case _ => false
+      }
+    }
+  }
+
+  private def withField(ref: String, schema: IcebergSchema)(
+      body: (Int, IcebergType) => Boolean): Boolean =
+    schema.findField(ref).exists(fld => body(fld.id, fld.fieldType))
+}
+
+/** Strict projection into partition space
+  * (transform project_strict semantics): the projected predicate holds on
+  * a partition tuple ONLY IF every row in that partition matches the data
+  * predicate. Unprojectable shapes return AlwaysFalse (the safe strict
+  * default — never claim a whole-partition match you can't prove). */
+object StrictProjection {
+
+  def project(p: Predicate, schema: IcebergSchema, spec: PartitionSpec): Predicate =
+    p match {
+      case AlwaysTrue => AlwaysTrue
+      case AlwaysFalse => AlwaysFalse
+      case And(l, r) => project(l, schema, spec) and project(r, schema, spec)
+      case Or(l, r) =>
+        // strict OR: provable iff either side is provable partition-wide
+        Predicate.simplifyOr(project(l, schema, spec), project(r, schema, spec))
+      case Not(c) => project(Predicate.rewriteNot(Not(c)), schema, spec)
+      case UnaryPred(op, ref) =>
+        partFieldsFor(ref, schema, spec).collectFirst {
+          case (pf, _) if pf.transform == Transform.Identity =>
+            UnaryPred(op, pf.name): Predicate
+        }.getOrElse(AlwaysFalse)
+      case BinaryPred(op, ref, v) =>
+        anyOf(partFieldsFor(ref, schema, spec).map { case (pf, srcType) =>
+          strictBinary(op, v, pf.transform, pf.name, srcType)
+        })
+      case SetPred(In, ref, vs) =>
+        anyOf(partFieldsFor(ref, schema, spec).map { case (pf, _) =>
+          if (pf.transform == Transform.Identity && !vs.exists(_ == null))
+            SetPred(In, pf.name, vs): Predicate
+          else AlwaysFalse
+        })
+      case SetPred(NotIn, ref, vs) =>
+        anyOf(partFieldsFor(ref, schema, spec).map { case (pf, srcType) =>
+          if (vs.exists(_ == null)) AlwaysFalse
+          // f(x) ∉ f(S) ⇒ x ∉ S for any function f
+          else SetPred(NotIn, pf.name, vs.map(v => pf.transform.applyValue(v, srcType))): Predicate
+        })
+    }
+
+  private def anyOf(ps: Seq[Predicate]): Predicate =
+    ps.foldLeft(AlwaysFalse: Predicate)(Predicate.simplifyOr)
+
+  private def partFieldsFor(ref: String, schema: IcebergSchema, spec: PartitionSpec) = {
+    val id = schema.findField(ref).map(_.id)
+    spec.fields.filter(pf => id.contains(pf.sourceId))
+      .map(pf => pf -> schema.idToField(pf.sourceId).fieldType)
+  }
+
+  private def strictBinary(op: BinaryOp, v: Any, t: Transform, outName: String,
+      srcType: IcebergType): Predicate = {
+    if (v == null) return AlwaysFalse
+    t match {
+      case Transform.Identity => BinaryPred(op, outName, v)
+      case Transform.Void => AlwaysFalse
+      case _ =>
+        val fv = t.applyValue(v, srcType)
+        op match {
+          // order-preserving transforms: f(x) < f(v) ⇒ x < v ⇒ x ≤ v
+          case Lt | LtEq if t.preservesOrder => BinaryPred(Lt, outName, fv)
+          case Gt | GtEq if t.preservesOrder => BinaryPred(Gt, outName, fv)
+          // any transform: f(x) ≠ f(v) ⇒ x ≠ v
+          case NotEq => BinaryPred(NotEq, outName, fv)
+          case _ => AlwaysFalse // Eq through a lossy transform is never strict
+        }
+    }
+  }
 }

@@ -146,6 +146,15 @@ final case class DeleteTask(
     file: DataFile,
     sequenceNumber: Long)
 
+/** Per-stage planning counters (arrow/scan_metrics.rs:54-72). */
+final case class ScanMetrics(
+    totalDataManifests: Int,
+    skippedManifests: Int,
+    entriesConsidered: Long,
+    skippedByPartition: Long,
+    skippedByMetrics: Long,
+    resultFiles: Int)
+
 /** Snapshot-scoped scan with pruning pipeline (scan/mod.rs:381-498):
   * manifest list → [ManifestEvaluator on partition summaries] → entries →
   * [ExpressionEvaluator on exact partition values] →
@@ -211,8 +220,12 @@ final class TableScan private[table] (
       ManifestIO.readManifest(table.io, m.manifestPath, table.schema, spec)
     }
 
-  def planFiles(): Seq[FileScanTask] = {
-    val snap = snapshot.getOrElse(return Nil)
+  def planFiles(): Seq[FileScanTask] = planWithMetrics()._1
+
+  /** planFiles + per-stage pruning counters (the reference's ScanMetrics,
+    * arrow/scan_metrics.rs:54-72). */
+  def planWithMetrics(): (Seq[FileScanTask], ScanMetrics) = {
+    val snap = snapshot.getOrElse(return (Nil, ScanMetrics(0, 0, 0L, 0L, 0L, 0)))
     val manifests = readListCached(snap.manifestList)
 
     val dataManifests = manifests.filter(_.content == ManifestContent.Data)
@@ -221,22 +234,41 @@ final class TableScan private[table] (
       ManifestEvaluator.manifestMightMatch(
         partitionFilters(m.partitionSpecId), m.partitions, spec, table.schema)
     }
+    val byPartition = new java.util.concurrent.atomic.AtomicLong()
+    val byMetrics = new java.util.concurrent.atomic.AtomicLong()
+    val entriesSeen = new java.util.concurrent.atomic.AtomicLong()
 
     // manifests are independent KB-scale Avro files: read them in
     // parallel (the reference pipelines this across io/cpu pools,
     // scan/mod.rs:381-498; a 100 TB snapshot has thousands of manifests
     // and a sequential driver loop would dominate planning latency)
-    parallelFlatMap(survivors) { m =>
+    val tasks = parallelFlatMap(survivors) { m =>
       val spec = table.metadata.specById(m.partitionSpecId).getOrElse(table.spec)
       val partFilter = partitionFilters(m.partitionSpecId)
       readManifestCached(m, spec)
         .filter(_.isAlive)
-        .filter(e => ExpressionEvaluator.partitionMatches(
-          partFilter, e.dataFile.partition, spec, table.schema))
-        .filter(e => InclusiveMetricsEvaluator.fileMightMatch(filter, e.dataFile, table.schema))
+        .filter { e =>
+          entriesSeen.incrementAndGet()
+          val ok = ExpressionEvaluator.partitionMatches(
+            partFilter, e.dataFile.partition, spec, table.schema)
+          if (!ok) byPartition.incrementAndGet()
+          ok
+        }
+        .filter { e =>
+          val ok = InclusiveMetricsEvaluator.fileMightMatch(filter, e.dataFile, table.schema)
+          if (!ok) byMetrics.incrementAndGet()
+          ok
+        }
         .map(e => FileScanTask(e.dataFile, m.partitionSpecId,
           e.sequenceNumber.getOrElse(m.sequenceNumber)))
     }
+    (tasks, ScanMetrics(
+      totalDataManifests = dataManifests.size,
+      skippedManifests = dataManifests.size - survivors.size,
+      entriesConsidered = entriesSeen.get(),
+      skippedByPartition = byPartition.get(),
+      skippedByMetrics = byMetrics.get(),
+      resultFiles = tasks.size))
   }
 
   private def parallelFlatMap[A, B](items: Seq[A])(f: A => Seq[B]): Seq[B] =

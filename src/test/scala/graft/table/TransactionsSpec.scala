@@ -106,6 +106,23 @@ class TransactionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("scan metrics count per-stage pruning") {
+    import org.apache.spark.sql.functions.col
+    var t = GraftTable.create("metrics", freshHadoop(), schema,
+      PartitionSpec.build(schema, Seq("id" -> Transform.Bucket(8))),
+      properties = Map("write.spark.max-records-per-file" -> "10"))
+    t = t.append(sampleDf)
+    val (tasks, m) = t.newScan()
+      .withFilter(Predicate.eqTo("id", 7L)).planWithMetrics()
+    assert(m.resultFiles === tasks.size)
+    assert(m.skippedByPartition > 0) // other buckets pruned
+    assert(m.entriesConsidered ===
+      m.skippedByPartition + m.skippedByMetrics + m.resultFiles)
+    val (all, m2) = t.newScan().planWithMetrics()
+    assert(m2.skippedByPartition === 0)
+    assert(m2.resultFiles === all.size)
+  }
+
   test("memory catalog: create/load/commit/conflict semantics") {
     val cat = new MemoryCatalog(
       java.nio.file.Files.createTempDirectory("graft-mem-").toString,
