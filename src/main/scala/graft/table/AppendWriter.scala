@@ -85,9 +85,33 @@ object AppendWriter {
       case Transform.Identity | Transform.Bucket(_) => true
       case _ => false
     })
-    val distributed =
+    val repartitioned =
       if (hashable) projected.repartition(partNames.map(col): _*)
       else projected
+
+    // sort_by_partition clustered write (sort.rs + the reference writer's
+    // clustered mode): local sort on (partition cols, table sort order) so
+    // each written file covers a tight range of the sort keys — this is
+    // what makes min/max metrics pruning on the sort columns effective at
+    // 100 TB. Local (within-partition) sort only: no extra shuffle.
+    val order = table.metadata.sortOrders
+      .find(_.orderId == table.metadata.defaultSortOrderId)
+      .getOrElse(graft.spec.SortOrder.unsorted)
+    val distributed =
+      if (order.fields.isEmpty) repartitioned
+      else {
+        val sortCols = partNames.map(col) ++ order.fields.map { f =>
+          val src = schema.idToField(f.sourceId)
+          val c = f.transform.toColumn(col(src.name), src.fieldType)
+          (f.ascending, f.nullsFirst) match {
+            case (true, true) => c.asc_nulls_first
+            case (true, false) => c.asc_nulls_last
+            case (false, true) => c.desc_nulls_first
+            case (false, false) => c.desc_nulls_last
+          }
+        }
+        repartitioned.sortWithinPartitions(sortCols: _*)
+      }
 
     // --- write (executors land files in their FINAL location) ---
     // Files live under a per-commit subtree: readers address files by

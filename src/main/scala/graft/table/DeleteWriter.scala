@@ -31,23 +31,99 @@ object DeleteWriter {
   val FilePathFieldId = Int.MaxValue - 101
   val PosFieldId = Int.MaxValue - 102
 
-  /** Row-level `DELETE WHERE predicate` executed as a MoR position-delete
-    * commit: plan candidate files with the predicate (metadata pruning),
-    * locate matching rows distributedly, write (file_path, pos) files. */
+  /** Row-level `DELETE WHERE predicate` executed as a MoR commit with the
+    * whole-file fast path: files whose stats PROVE every row matches
+    * (StrictMetricsEvaluator) are dropped at the manifest level — no
+    * delete rows written, no read-time anti-join cost — and only the
+    * boundary files get (file_path, pos) position deletes. At 100 TB a
+    * partition-aligned DELETE (the common retention case) becomes pure
+    * metadata. Mirrors the reference delete planning's
+    * strict/inclusive split. */
   def deleteWhere(table: GraftTable, predicate: Predicate,
       spark: SparkSession): GraftTable = {
     val bound = Predicate.bind(predicate, table.schema)
     val tasks = table.newScan().withFilter(bound).planFiles()
     if (tasks.isEmpty) return table
 
-    val matches = spark.read.schema(table.schema.toSpark)
-      .parquet(tasks.map(_.file.filePath): _*)
-      .filter(Predicate.toColumn(bound, table.schema))
-      .select(col("_metadata.file_path").as("file_path"),
-        col("_metadata.row_index").as("pos"))
+    val (whole, partial) = tasks.partition(t =>
+      graft.expr.StrictMetricsEvaluator.fileMustMatch(bound, t.file, table.schema))
 
-    writeDeleteFiles(table, matches.sortWithinPartitions("file_path", "pos"),
-      FileContent.PositionDeletes, Nil, spark)
+    val matches =
+      if (partial.isEmpty) null
+      else spark.read.schema(table.schema.toSpark)
+        .parquet(partial.map(_.file.filePath): _*)
+        .filter(Predicate.toColumn(bound, table.schema))
+        .select(col("_metadata.file_path").as("file_path"),
+          col("_metadata.row_index").as("pos"))
+        .sortWithinPartitions("file_path", "pos")
+
+    if (whole.isEmpty)
+      return writeDeleteFiles(table, matches, FileContent.PositionDeletes, Nil, spark)
+
+    // stage position-delete parquet for the boundary files (pre-commit)
+    val commitUuid = UUID.randomUUID().toString
+    val posFiles: Seq[DataFile] =
+      if (matches == null) Nil
+      else stagePositionDeletes(table, matches, commitUuid)
+
+    val wholePaths = whole.map(_.file.filePath).toSet
+    Commits.commit(table, "delete", commitUuid, Map(
+      "deleted-data-files" -> whole.size.toString,
+      "added-delete-files" -> posFiles.size.toString)) { (base, seq, snapshotId) =>
+      val rewritten = Commits.baseManifests(table.io, base).flatMap { m =>
+        if (m.content != ManifestContent.Data) Some(m)
+        else {
+          val spec = base.partitionSpecs.find(_.specId == m.partitionSpecId)
+            .getOrElse(base.defaultSpec)
+          val entries = ManifestIO.readManifest(table.io, m.manifestPath,
+            base.currentSchema, spec)
+          if (!entries.exists(e => e.isAlive && wholePaths(e.dataFile.filePath))) Some(m)
+          else {
+            // rewrite: dropped files become Deleted tombstones, survivors
+            // become Existing with their original data sequence numbers
+            val newEntries = entries.filter(_.isAlive).map { e =>
+              val resolvedSeq = e.sequenceNumber.orElse(Some(m.sequenceNumber))
+              if (wholePaths(e.dataFile.filePath))
+                e.copy(status = ManifestStatus.Deleted,
+                  snapshotId = Some(snapshotId), sequenceNumber = resolvedSeq)
+              else
+                e.copy(status = ManifestStatus.Existing, sequenceNumber = resolvedSeq)
+            }
+            Some(Commits.writeManifest(table.io, base,
+              s"$commitUuid-rw${m.manifestPath.hashCode.abs}", newEntries,
+              base.currentSchema, spec, ManifestContent.Data, snapshotId, seq))
+          }
+        }
+      }
+      val deleteManifest =
+        if (posFiles.isEmpty) Nil
+        else {
+          val entries = posFiles.map(f => ManifestEntry(ManifestStatus.Added,
+            Some(snapshotId), Some(seq), Some(seq), f))
+          Seq(Commits.writeManifest(table.io, base, s"$commitUuid-d0", entries,
+            base.currentSchema, base.defaultSpec, ManifestContent.Deletes, snapshotId, seq))
+        }
+      deleteManifest ++ rewritten
+    }
+  }
+
+  /** Write (file_path, pos) parquet rows and return their DataFile
+    * descriptors (no commit). */
+  private def stagePositionDeletes(table: GraftTable, rows: DataFrame,
+      commitUuid: String): Seq[DataFile] = {
+    val outDir = s"${table.location}/data/deletes-$commitUuid"
+    rows.write.option("compression", "zstd").parquet(outDir)
+    val written = table.io.listFiles(outDir).filter(_._1.endsWith(".parquet"))
+    val nullPartition = Seq.fill(table.spec.fields.size)(null)
+    written.map { case (p, len) =>
+      DataFile(
+        content = FileContent.PositionDeletes,
+        filePath = p,
+        fileFormat = "PARQUET",
+        partition = nullPartition,
+        recordCount = countRows(p),
+        fileSizeInBytes = len)
+    }.filter(_.recordCount > 0)
   }
 
   /** Row-level `DELETE WHERE` committed as v3 deletion vectors: one Puffin

@@ -106,6 +106,33 @@ class TransactionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("whole-file delete: strict-covered files drop at manifest level") {
+    var t = GraftTable.create("wholedel", freshHadoop(), schema,
+      properties = Map("write.spark.max-records-per-file" -> "20",
+        "write.spark.sort-order" -> "id"))
+    t = t.replaceSortOrder(Seq(
+      SortField(1, Transform.Identity, ascending = true, nullsFirst = false)))
+    t = t.append(sampleDf) // ids 1..100, sorted files of ≤20 rows
+    val before = t.newScan().planFiles().size
+    assert(before >= 5)
+
+    // ids > 40: several whole files (41-60, 61-80, 81-100) + none partial
+    // if file boundaries align; predicate gt 50 makes 41-60 partial
+    t = t.deleteWhere(Predicate.gt("id", 50L), spark)
+    assert(t.newScan().toDF(spark).count() === 50)
+    // strict fast path dropped at least the fully-covered files
+    assert(t.newScan().planFiles().size < before)
+    // boundary file (41..60) is served through a position-delete, not lost
+    val ids = t.newScan().toDF(spark).select("id")
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === (1L to 50L))
+
+    // clustered write: a point filter on the sort column plans ≤2 files
+    val (planned, all) = t.newScan()
+      .withFilter(Predicate.eqTo("id", 7L)).planSummary()
+    assert(planned <= 2 && planned < all)
+  }
+
   test("scan metrics count per-stage pruning") {
     import org.apache.spark.sql.functions.col
     var t = GraftTable.create("metrics", freshHadoop(), schema,
