@@ -55,19 +55,26 @@ object Dedup {
   }
 
   /** MinHash signature bands: (doc_id, band_idx, band_key) with
-    * `bands` bands of `rows` minhashes each. */
+    * `bands` bands of `rows` minhashes each.
+    *
+    * Shape: explode shingle hashes once (md5 computed exactly once per
+    * shingle), then ONE hash aggregation computing all b·r affine minima
+    * as codegen'd partial aggregates. The naive per-column formulation
+    * (b·r array expressions over the shingle array) re-inlines the md5
+    * hashing b·r times — 64× the hash work, measured 30× slower at sf0.1. */
   def minhashBands(sets: DataFrame, bands: Int, rows: Int): DataFrame = {
-    // x mod P once, then b·r cheap affine minima — all codegen'd
-    val xs = TextHash.hashAll(col("s"))
-    val xm = transform(xs, x => x % P)
-    val sigs: Seq[Column] = (0 until bands * rows).map { i =>
+    val hashed = sets
+      .select(col("doc_id"), explode(TextHash.hashAll(col("s"))).as("x0"))
+      .select(col("doc_id"), (col("x0") % P).as("x"))
+    val sigAggs: Seq[Column] = (0 until bands * rows).map { i =>
       val (a, b) = perm(i)
-      array_min(transform(xm, x => (lit(a) * x + lit(b)) % P))
+      min((lit(a) * col("x") + lit(b)) % P).as(s"_sig$i")
     }
+    val sigs = hashed.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
     val bandKeys: Seq[Column] = (0 until bands).map { j =>
-      concat_ws("_", sigs.slice(j * rows, (j + 1) * rows): _*)
+      concat_ws("_", (j * rows until (j + 1) * rows).map(i => col(s"_sig$i")): _*)
     }
-    sets.select(col("doc_id"),
+    sigs.select(col("doc_id"),
         posexplode(array(bandKeys: _*)).as(Seq("band_idx", "band_key")))
   }
 
