@@ -51,6 +51,21 @@ object Similarity {
         round(col("cos"), 5).as("cos_sim"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: all (a,b) with cos ≥
+    * threshold. This brute-force form is the correctness baseline; the
+    * 100 TB path replaces the cross join with `annLsh`-style bucketing
+    * (candidates share a hyperplane-sign bucket) so the pair space never
+    * materializes. Output ordered (id_a < id_b). */
+  def cosineNearDups(corpus: DataFrame, threshold: Double): DataFrame = {
+    val a = corpus.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+    val b = corpus.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("ea"), col("eb")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 5).as("cos_sim"))
+  }
+
   /** Deterministic hyperplane weights for `planes`×`dims`. */
   def planeWeights(planes: Int, dims: Int): Array[Array[Long]] =
     Array.tabulate(planes, dims)((i, j) => TextHash.hex60(s"${i}_${j}") % 2001L - 1000L)

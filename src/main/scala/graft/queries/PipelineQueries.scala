@@ -264,5 +264,27 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10)
+  /** Embedding-cosine near-dup pairs (threshold 0.45 — the corpus has no
+    * planted embedding dups, so this surfaces the top natural pairs; the
+    * margin to the 0.51 max keeps the threshold decision exact). */
+  val p11 = Q.sql(
+    "p11_cosine_neardup",
+    """WITH p AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
+      |    (sqrt(list_sum(list_transform(range(1, 65),
+      |       i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))) *
+      |     sqrt(list_sum(list_transform(range(1, 65),
+      |       i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))) AS cos
+      |  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
+      |SELECT id_a, id_b, round(cos, 5) AS cos_sim
+      |FROM p WHERE cos >= 0.45
+      |ORDER BY id_a, id_b""".stripMargin
+  ) { (s, d) =>
+    Similarity.cosineNearDups(Tables.embeddings(s, d), 0.45)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11)
 }

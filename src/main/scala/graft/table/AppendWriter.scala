@@ -130,6 +130,19 @@ object AppendWriter {
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     table.metadata.properties.get("write.spark.max-records-per-file")
       .foreach(v => writer.option("maxRecordsPerFile", v))
+    // rolling-writer size target (write.target-file-size-bytes, reference
+    // RollingFileWriter): Spark's writer rolls by record count, so convert
+    // the byte target using the optimizer's row-width estimate. In-memory
+    // width overestimates the encoded+compressed parquet width, which
+    // errs toward smaller-than-target files — the safe side.
+    if (!table.metadata.properties.contains("write.spark.max-records-per-file"))
+      table.metadata.properties.get("write.target-file-size-bytes").foreach { t =>
+        val stats = distributed.queryExecution.optimizedPlan.stats
+        val rowWidth = math.max(1L, stats.sizeInBytes.toLong /
+          math.max(1L, stats.rowCount.map(_.toLong).getOrElse(
+            stats.sizeInBytes.toLong / 128)))
+        writer.option("maxRecordsPerFile", math.max(1L, t.toLong / rowWidth))
+      }
     (if (partNames.nonEmpty) writer.partitionBy(partNames: _*) else writer)
       .parquet(staging)
 

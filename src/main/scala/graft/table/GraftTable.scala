@@ -146,6 +146,11 @@ final case class DeleteTask(
     file: DataFile,
     sequenceNumber: Long)
 
+/** Byte-range slice of a FileScanTask (scan/task.rs:60-62 start/length):
+  * the distribution unit a cluster scheduler hands to one reader. Splits
+  * land on parquet row-group boundaries (split_offsets). */
+final case class FileSplit(task: FileScanTask, start: Long, length: Long)
+
 /** Per-stage planning counters (arrow/scan_metrics.rs:54-72). */
 final case class ScanMetrics(
     totalDataManifests: Int,
@@ -305,6 +310,35 @@ final class TableScan private[table] (
     }.getOrElse(0)
     (planFiles().size, all)
   }
+
+  /** Byte-range split planning over the pruned file set: each file is
+    * sliced at row-group boundaries into ~targetSplitSize chunks. Spark's
+    * own scan does equivalent splitting via files.maxPartitionBytes when
+    * toDF delegates to the parquet source; this surface exists for
+    * schedulers that consume FileScanTasks directly (scan/task.rs
+    * semantics) and to verify split math against footer offsets. */
+  def planSplits(targetSplitSize: Long = 128L << 20): Seq[FileSplit] =
+    planFiles().flatMap { t =>
+      val size = t.file.fileSizeInBytes
+      val offsets = t.file.splitOffsets
+      if (offsets.size <= 1 || size <= targetSplitSize)
+        Seq(FileSplit(t, 0L, size))
+      else {
+        // greedy: accumulate row groups until the target is exceeded
+        val bounds = offsets :+ size
+        val splits = Seq.newBuilder[FileSplit]
+        var start = bounds.head
+        var i = 1
+        while (i < bounds.size) {
+          if (bounds(i) - start >= targetSplitSize || i == bounds.size - 1) {
+            splits += FileSplit(t, start, bounds(i) - start)
+            start = bounds(i)
+          }
+          i += 1
+        }
+        splits.result()
+      }
+    }
 
   /** planFiles truncated to the first files covering `limitRows` —
     * sound only when every planned row qualifies (no filter; deletes

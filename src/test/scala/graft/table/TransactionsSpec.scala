@@ -133,6 +133,27 @@ class TransactionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(planned <= 2 && planned < all)
   }
 
+  test("byte-range splits land on row-group boundaries and cover files") {
+    var t = GraftTable.create("splits", freshHadoop(), schema)
+    t = t.append(sampleDf)
+    val tasks = t.newScan().planFiles()
+    // tiny target → one split per row group where offsets exist
+    val splits = t.newScan().planSplits(targetSplitSize = 1L)
+    assert(splits.map(_.task.file.filePath).toSet === tasks.map(_.file.filePath).toSet)
+    // per file: contiguous, non-overlapping, ending at file size
+    splits.groupBy(_.task.file.filePath).foreach { case (_, ss) =>
+      val sorted = ss.sortBy(_.start)
+      sorted.sliding(2).foreach {
+        case Seq(x, y) => assert(x.start + x.length === y.start)
+        case _ =>
+      }
+      assert(sorted.last.start + sorted.last.length ===
+        sorted.head.task.file.fileSizeInBytes)
+    }
+    // large target → one split per file
+    assert(t.newScan().planSplits(targetSplitSize = 1L << 40).size === tasks.size)
+  }
+
   test("scan metrics count per-stage pruning") {
     import org.apache.spark.sql.functions.col
     var t = GraftTable.create("metrics", freshHadoop(), schema,
