@@ -63,6 +63,11 @@ final class GraftTable(
   def upgradeFormatVersion(to: Int): GraftTable =
     Transactions.upgradeFormatVersion(this, to)
 
+  /** Register existing parquet files without rewriting (migration path;
+    * name-mapping read resolution for id-less files). */
+  def addFiles(spark: SparkSession, paths: Seq[String]): GraftTable =
+    AddFiles.addFiles(this, spark, paths)
+
   def refresh(): GraftTable = GraftTable.load(name, catalog)
 
   /** All manifests of the current snapshot ([] if table is empty). */
@@ -368,8 +373,40 @@ final class TableScan private[table] (
       if (tasks.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sparkSchema)
       else {
-        val raw = spark.read.schema(sparkSchema).parquet(tasks.map(_.file.filePath): _*)
-        applyDeletes(spark, raw, tasks)
+        // name-mapping read path (spec/name_mapping): when legacy files
+        // carry no embedded field ids, read with each field's mapped
+        // physical name — id-ful files still resolve by the field-id
+        // metadata, id-less files name-match the alias — then rename to
+        // canonical names
+        val useMapping =
+          table.metadata.properties.get("graft.read.use-name-mapping").contains("true")
+        val mapping = if (useMapping) NameMapping.fromTable(table.metadata) else None
+        mapping match {
+          case Some(nm) =>
+            // strip the field-id metadata: with ids present in the read
+            // schema, Spark NULL-FILLS id-less files (ignoreMissing)
+            // instead of name-matching — mapped resolution must be
+            // name-based for every file, so all aliases must be physical
+            // names (true for both foreign files and our own, which write
+            // the then-current names)
+            val physical = org.apache.spark.sql.types.StructType(
+              table.schema.fields.zip(sparkSchema.fields).map { case (f, sf) =>
+                sf.copy(name = nm.namesOf(f.id).headOption.getOrElse(f.name),
+                  metadata = org.apache.spark.sql.types.Metadata.empty)
+              })
+            val rawPhys = spark.read.schema(physical)
+              .parquet(tasks.map(_.file.filePath): _*)
+            // deletes join on _metadata → must run before the rename
+            // projection drops it (position/DV deletes only for mapped
+            // tables; equality deletes would need alias-aware keys)
+            applyDeletes(spark, rawPhys, tasks)
+              .select(table.schema.fields.zip(physical.fields).map { case (f, pf) =>
+                col(pf.name).as(f.name)
+              }: _*)
+          case None =>
+            val raw = spark.read.schema(sparkSchema).parquet(tasks.map(_.file.filePath): _*)
+            applyDeletes(spark, raw, tasks)
+        }
       }
     val withMeta = if (!metaCols || tasks.isEmpty) base
       else addMetadataColumns(spark, base, tasks)
