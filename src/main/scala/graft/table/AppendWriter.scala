@@ -30,10 +30,11 @@ import graft.spec.IcebergType._
   */
 object AppendWriter {
 
-  def append(table: GraftTable, df: DataFrame): GraftTable = {
+  def append(table: GraftTable, df: DataFrame,
+      extraSummary: Map[String, String] = Map.empty): GraftTable = {
     val commitUuid = UUID.randomUUID().toString
     val files = writeDataFiles(table, df, commitUuid)
-    if (files.isEmpty) table else commitAppend(table, files, commitUuid)
+    if (files.isEmpty) table else commitAppend(table, files, commitUuid, extraSummary)
   }
 
   /** Stage, harvest and place data files for `df` under the table layout —
@@ -296,8 +297,8 @@ object AppendWriter {
   /** Build manifest, manifest list, snapshot; commit with optimistic retry
     * (fast-append: one new manifest prepended to the base's list). */
   private def commitAppend(table: GraftTable, files: Seq[DataFile],
-      commitUuid: String): GraftTable = {
-    val extra = Map(
+      commitUuid: String, extraSummary: Map[String, String] = Map.empty): GraftTable = {
+    val extra = extraSummary ++ Map(
       "added-data-files" -> files.size.toString,
       "added-records" -> files.map(_.recordCount).sum.toString,
       "added-files-size" -> files.map(_.fileSizeInBytes).sum.toString)

@@ -75,6 +75,33 @@ class GraftSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(explained.contains("PushedFilters") || explained.contains("Filter"))
   }
 
+  test("SQL surface: spark.sql over the catalog plugin, with pushdown") {
+    val t = IcebergFixtures.ordersBucket(spark, sfDir)
+    val warehouse = t.location.stripSuffix(s"/${t.name}")
+    spark.conf.set("spark.sql.catalog.graftsql", "graft.sources.GraftCatalogPlugin")
+    spark.conf.set("spark.sql.catalog.graftsql.warehouse", warehouse)
+
+    val viaSql = spark.sql(
+      s"SELECT o_orderkey, o_totalprice FROM graftsql.${t.name} WHERE o_custkey = 7")
+    val expected = graft.Tables.orders(spark, sfDir)
+      .filter(col("o_custkey") === 7L)
+      .select("o_orderkey", "o_totalprice")
+    assert(viaSql.collect().map(_.toString).sorted
+      sameElements expected.collect().map(_.toString).sorted)
+
+    assert(spark.sql(s"SHOW TABLES IN graftsql").collect()
+      .map(_.getString(1)).contains(t.name))
+
+    // DDL + insert-free round-trip through SQL create + DataFrame append
+    spark.sql("CREATE TABLE graftsql.sql_made (a BIGINT, b STRING) USING graft")
+    import spark.implicits._
+    graft.table.GraftTable.load("sql_made",
+        new graft.catalog.HadoopCatalog(warehouse, graft.io.FileIO.fromSpark(spark)))
+      .append(Seq((1L, "x"), (2L, "y")).toDF("a", "b"))
+    assert(spark.sql("SELECT count(*) FROM graftsql.sql_made").head.getLong(0) === 2)
+    spark.sql("DROP TABLE graftsql.sql_made")
+  }
+
   test("projection pruning narrows readSchema") {
     val t = IcebergFixtures.ordersBucket(spark, sfDir)
     val warehouse = t.location.stripSuffix(s"/${t.name}")
