@@ -105,6 +105,18 @@ object IcebergFixtures {
         .equalityDelete(Seq("BUILDING").toDF("c_mktsegment"), Seq("c_mktsegment"))
     }
 
+  /** orders with a tag pinned at the even-keys snapshot, then odd keys
+    * appended to main. */
+  def ordersTagged(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "orders_tagged") { catalog =>
+      val src = Tables.orders(spark, sfDir)
+      val schema = IcebergSchema.fromSpark(src.schema)
+      GraftTable.create("orders_tagged", catalog, schema)
+        .append(src.filter(col("o_orderkey") % 2 === 0))
+        .createTag("even-only")
+        .append(src.filter(col("o_orderkey") % 2 === 1))
+    }
+
   /** plain (undeleted) customer table for stats/sketch queries. */
   def plainCustomer(spark: SparkSession, sfDir: String): GraftTable =
     build(spark, sfDir, "customer_plain") { catalog =>

@@ -299,6 +299,23 @@ object IcebergQueries {
       .orderBy(col("column_name"))
   }
 
+  /** Branch/tag reads: a tag pinned at the even-keys snapshot keeps
+    * serving that state after main advances (SnapshotRef + useRef). */
+  val i16 = Q.sql(
+    "i16_branch_scan",
+    """SELECT o_orderstatus, count(*) AS n
+      |FROM orders
+      |WHERE o_orderkey % 2 = 0
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+  ) { (s, d) =>
+    val t = IcebergFixtures.ordersTagged(s, d)
+    t.newScan().useRef("even-only").toDF(s)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   val all: Seq[Q] = Seq(i01, i02, i03, i04, i05, i06, i07, i08, i09, i10,
-    i11, i12, i13, i14, i15)
+    i11, i12, i13, i14, i15, i16)
 }

@@ -47,6 +47,12 @@ object Snapshot {
   }
 }
 
+/** Named snapshot reference — branch or tag (spec/snapshot.rs SnapshotReference;
+  * table_metadata.rs refs). */
+final case class SnapshotRef(snapshotId: Long, refType: String) {
+  require(refType == "branch" || refType == "tag", s"bad ref type $refType")
+}
+
 /** The immutable table-metadata tree (spec/table_metadata.rs:69), format V2.
   *
   * Serialized as `<version>.metadata.json`; commit = atomic swap of the
@@ -70,7 +76,8 @@ final case class TableMetadata(
     currentSnapshotId: Option[Long],
     snapshots: Seq[Snapshot],
     snapshotLog: Seq[(Long, Long)], // (snapshotId, timestampMs)
-    metadataLog: Seq[(String, Long)]) { // (metadataFile, timestampMs)
+    metadataLog: Seq[(String, Long)], // (metadataFile, timestampMs)
+    refs: Map[String, SnapshotRef] = Map.empty) {
 
   def currentSchema: IcebergSchema =
     schemas.find(_.schemaId == currentSchemaId).getOrElse(
@@ -118,6 +125,16 @@ final case class TableMetadata(
       val e = obj(); e.put("metadata-file", f); e.put("timestamp-ms", ts); ml.add(e)
     }
     o.set[ObjectNode]("metadata-log", ml)
+    if (refs.nonEmpty) {
+      val ro = obj()
+      refs.toSeq.sortBy(_._1).foreach { case (name, r) =>
+        val e = obj()
+        e.put("snapshot-id", r.snapshotId)
+        e.put("type", r.refType)
+        ro.set[ObjectNode](name, e)
+      }
+      o.set[ObjectNode]("refs", ro)
+    }
     o
   }
 
@@ -153,7 +170,10 @@ object TableMetadata {
       snapshotLog = n.opt("snapshot-log").map(_.elems.map(e =>
         (e("snapshot-id").asLong(), e("timestamp-ms").asLong()))).getOrElse(Nil),
       metadataLog = n.opt("metadata-log").map(_.elems.map(e =>
-        (e("metadata-file").asText(), e("timestamp-ms").asLong()))).getOrElse(Nil))
+        (e("metadata-file").asText(), e("timestamp-ms").asLong()))).getOrElse(Nil),
+      refs = n.opt("refs").map(_.fieldsMap.map { case (name, r) =>
+        name -> SnapshotRef(r("snapshot-id").asLong(), r("type").asText())
+      }).getOrElse(Map.empty))
   }
 
   /** Fresh metadata for a new V2 table. */

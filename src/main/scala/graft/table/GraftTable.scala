@@ -68,6 +68,25 @@ final class GraftTable(
   def addFiles(spark: SparkSession, paths: Seq[String]): GraftTable =
     AddFiles.addFiles(this, spark, paths)
 
+  /** Create/move a branch to a snapshot (defaults to current). */
+  def createBranch(name: String, snapshotId: Option[Long] = None): GraftTable =
+    Transactions.setRef(this, name, snapshotId.orElse(metadata.currentSnapshotId)
+      .getOrElse(throw new IllegalStateException("empty table has no snapshot")), "branch")
+
+  /** Create/move a tag pinning a snapshot (defaults to current). */
+  def createTag(name: String, snapshotId: Option[Long] = None): GraftTable =
+    Transactions.setRef(this, name, snapshotId.orElse(metadata.currentSnapshotId)
+      .getOrElse(throw new IllegalStateException("empty table has no snapshot")), "tag")
+
+  def removeRef(name: String): GraftTable = Transactions.removeRef(this, name)
+
+  def refsDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    metadata.refs.toSeq.sortBy(_._1)
+      .map { case (n, r) => (n, r.refType, r.snapshotId) }
+      .toDF("name", "type", "snapshot_id")
+  }
+
   def refresh(): GraftTable = GraftTable.load(name, catalog)
 
   /** All manifests of the current snapshot ([] if table is empty). */
@@ -192,6 +211,13 @@ final class TableScan private[table] (
 
   def useSnapshot(id: Long): TableScan =
     new TableScan(table, filter, selected, Some(id), limitRows, metaCols)
+
+  /** Scan a named branch/tag (ref-scoped read, scan/mod.rs ref support). */
+  def useRef(name: String): TableScan = {
+    val ref = table.metadata.refs.getOrElse(name,
+      throw new IllegalArgumentException(s"no such ref: $name"))
+    useSnapshot(ref.snapshotId)
+  }
 
   /** Limit pushdown (scan/mod.rs TableScanBuilder::with_limit): caps the
     * result AND, for unfiltered scans with no deletes, short-circuits

@@ -66,7 +66,8 @@ object Maintenance {
   def expireSnapshots(table: GraftTable, olderThanMs: Long,
       retainLast: Int = 1): GraftTable = {
     CommitRetry.run(table.catalog, table.name) { (base, version) =>
-      val retained = retainedIds(base, retainLast)
+      // branch/tag targets are always retained (refs pin history)
+      val retained = retainedIds(base, retainLast) ++ base.refs.values.map(_.snapshotId)
       val (keep, expired) = base.snapshots.partition(s =>
         retained.contains(s.snapshotId) || s.timestampMs >= olderThanMs)
       if (expired.isEmpty) (base, (_: Int) => table.refresh())

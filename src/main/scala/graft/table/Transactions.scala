@@ -44,6 +44,28 @@ object Transactions {
     }
   }
 
+  /** Create/move a branch or tag to a snapshot (SetSnapshotRef update).
+    * Tags pin history for reproducible reads (the training-data
+    * provenance case); branches get their own lineage via useRef scans. */
+  def setRef(table: GraftTable, name: String, snapshotId: Long,
+      refType: String): GraftTable = {
+    CommitRetry.run(table.catalog, table.name) { (base, _) =>
+      require(base.snapshotById(snapshotId).isDefined,
+        s"snapshot $snapshotId not found")
+      val updated = base.copy(
+        refs = base.refs + (name -> graft.spec.SnapshotRef(snapshotId, refType)),
+        lastUpdatedMs = System.currentTimeMillis())
+      (updated, (_: Int) => table.refresh())
+    }
+  }
+
+  def removeRef(table: GraftTable, name: String): GraftTable =
+    CommitRetry.run(table.catalog, table.name) { (base, _) =>
+      (base.copy(refs = base.refs - name,
+        lastUpdatedMs = System.currentTimeMillis()),
+        (_: Int) => table.refresh())
+    }
+
   /** Upgrade format version (1→2 supported; downgrade refused —
     * transaction/mod.rs:135-170). */
   def upgradeFormatVersion(table: GraftTable, to: Int): GraftTable = {

@@ -171,6 +171,33 @@ class TransactionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m2.resultFiles === all.size)
   }
 
+  test("branches and tags: ref-scoped scans, expire keeps ref targets") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    var t = GraftTable.create("refs1", freshHadoop(), schema)
+    t = t.append((1L to 10L).map(i => (i, i * 1.0, s"r$i")).toDF("id", "v", "s"))
+    t = t.createTag("v1")
+    t = t.createBranch("audit")
+    t = t.append((11L to 20L).map(i => (i, i * 1.0, s"r$i")).toDF("id", "v", "s"))
+
+    assert(t.newScan().toDF(spark).count() === 20)
+    assert(t.newScan().useRef("v1").toDF(spark).count() === 10)
+    assert(t.newScan().useRef("audit").toDF(spark).count() === 10)
+    assert(t.refsDf(spark).collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      === Seq(("audit", "branch"), ("v1", "tag")))
+    // metadata round-trips through JSON
+    val reloaded = t.refresh()
+    assert(reloaded.metadata.refs.keySet === Set("audit", "v1"))
+
+    // expire keeps the tagged snapshot alive even when old enough
+    t = t.expireSnapshots(olderThanMs = System.currentTimeMillis() + 1000)
+    assert(t.newScan().useRef("v1").toDF(spark).count() === 10)
+
+    t = t.removeRef("audit")
+    intercept[IllegalArgumentException] { t.newScan().useRef("audit") }
+    intercept[IllegalArgumentException] { t.createTag("x", Some(123456L)) }
+  }
+
   test("memory catalog: create/load/commit/conflict semantics") {
     val cat = new MemoryCatalog(
       java.nio.file.Files.createTempDirectory("graft-mem-").toString,
