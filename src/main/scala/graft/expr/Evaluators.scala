@@ -252,7 +252,12 @@ object InclusiveMetricsEvaluator {
         case IsNull => f.nullValueCounts.get(id).forall(_ > 0)
         case NotNull => !allNull(f, id)
         case IsNan => f.nanValueCounts.get(id).forall(_ > 0)
-        case NotNan => true
+        case NotNan =>
+          // reference rule: cannot match only when every value is NaN
+          (f.nanValueCounts.get(id), f.valueCounts.get(id)) match {
+            case (Some(nan), Some(vc)) if vc > 0 => nan < vc
+            case _ => true
+          }
       }
     }
     case BinaryPred(op, ref, v) => withField(ref, schema) { id =>

@@ -161,7 +161,40 @@ object AppendWriter {
         AppendWriter.harvestDataFile(p, len, stagingPrefix, fieldTypes, partFieldTypes)
       }.collect().toSeq
 
-    dataFiles
+    withNanCounts(table, spark, staging, dataFiles)
+  }
+
+  /** NaN value counts (data_file.rs nan_value_counts): parquet footers
+    * don't track NaN, so when enabled this runs ONE extra aggregation
+    * over the freshly-written files (grouped by `_metadata.file_path`,
+    * map-side combined — the data is page-cache-hot). Opt-in via
+    * `write.collect-nan-counts` since it re-reads the float columns;
+    * without it the evaluators keep their safe inclusive defaults. */
+  private def withNanCounts(table: GraftTable,
+      spark: org.apache.spark.sql.SparkSession, staging: String,
+      dataFiles: Seq[DataFile]): Seq[DataFile] = {
+    val floatFields = table.schema.fields.filter(f =>
+      f.fieldType == FloatT || f.fieldType == DoubleT)
+    if (floatFields.isEmpty ||
+        !table.metadata.properties.get("write.collect-nan-counts").contains("true"))
+      return dataFiles
+
+    import org.apache.spark.sql.functions.{isnan, sum}
+    val aggs = floatFields.map(f =>
+      sum(isnan(col(f.name)).cast("long")).as(s"_nan_${f.id}"))
+    val perFile = spark.read.parquet(dataFiles.map(_.filePath): _*)
+      .groupBy(col("_metadata.file_path").as("_f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map(r => r.getString(0) ->
+        floatFields.zipWithIndex.map { case (f, i) => f.id -> r.getLong(i + 1) }.toMap)
+      .toMap
+    def qualify(p: String): String = {
+      val hp = new Path(p)
+      table.io.fs(p).makeQualified(hp).toString
+    }
+    dataFiles.map(d => perFile.get(qualify(d.filePath))
+      .map(counts => d.copy(nanValueCounts = counts)).getOrElse(d))
   }
 
   /** Read one staged parquet footer → DataFile (runs on executors). */

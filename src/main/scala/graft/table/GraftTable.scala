@@ -129,6 +129,35 @@ final class GraftTable(
     }.toDF("made_current_at", "snapshot_id", "is_current_ancestor")
   }
 
+  /** entries metadata table (inspect/metadata_table.rs): one row per
+    * manifest entry of the current snapshot, tombstones included. */
+  def entriesDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    currentManifests.flatMap { m =>
+      val sp = metadata.specById(m.partitionSpecId).getOrElse(spec)
+      ManifestIO.readManifest(io, m.manifestPath, schema, sp).map { e =>
+        (e.status, e.snapshotId, e.sequenceNumber.getOrElse(m.sequenceNumber),
+          e.dataFile.content, e.dataFile.filePath, e.dataFile.recordCount,
+          e.dataFile.fileSizeInBytes)
+      }
+    }.toDF("status", "snapshot_id", "sequence_number", "content",
+      "file_path", "record_count", "file_size_in_bytes")
+  }
+
+  /** partitions metadata table: per-partition rollup from manifests only
+    * (no data read). */
+  def partitionsDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    newScan().planFiles()
+      .groupBy(t => (t.specId, spec.partitionPath(t.file.partition)))
+      .map { case ((specId, part), ts) =>
+        (part, specId, ts.map(_.file.recordCount).sum, ts.size,
+          ts.map(_.file.fileSizeInBytes).sum)
+      }.toSeq.sortBy(t => (t._2, t._1))
+      .toDF("partition", "spec_id", "record_count", "file_count",
+        "total_size_in_bytes")
+  }
+
   def filesDf(spark: SparkSession): DataFrame = {
     import spark.implicits._
     newScan().planFiles().map { t =>

@@ -198,6 +198,31 @@ class TransactionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] { t.createTag("x", Some(123456L)) }
   }
 
+  test("nan counts on write drive is_nan pruning; metadata tables roll up") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    var t = GraftTable.create("nans", freshHadoop(), schema,
+      properties = Map("write.collect-nan-counts" -> "true"))
+    t = t.append(Seq((1L, 1.0, "a"), (2L, 2.0, "b")).toDF("id", "v", "s").coalesce(1))
+    t = t.append(Seq((3L, Double.NaN, "c"), (4L, 4.0, "d")).toDF("id", "v", "s").coalesce(1))
+
+    val nanCounts = t.newScan().planFiles()
+      .map(_.file.nanValueCounts.getOrElse(2, -1L)).sorted
+    assert(nanCounts === Seq(0L, 1L)) // harvested, not defaulted
+
+    // is_nan prunes the clean file
+    val (planned, all) = t.newScan()
+      .withFilter(graft.expr.UnaryPred(graft.expr.IsNan, "v")).planSummary()
+    assert(all === 2 && planned === 1)
+
+    // entries/partitions metadata tables
+    assert(t.entriesDf(spark).count() === 2)
+    val parts = t.partitionsDf(spark).collect()
+    assert(parts.length === 1) // unpartitioned → single rollup row
+    assert(parts.head.getAs[Long]("record_count") === 4L)
+    assert(parts.head.getAs[Int]("file_count") === 2)
+  }
+
   test("memory catalog: create/load/commit/conflict semantics") {
     val cat = new MemoryCatalog(
       java.nio.file.Files.createTempDirectory("graft-mem-").toString,
