@@ -71,6 +71,20 @@ final class FileIO(val conf: Configuration) extends Serializable {
     }
     b.result()
   }
+
+  /** (path, length, modificationTimeMs) recursive listing. */
+  def listFilesRecursive(dir: String): Seq[(String, Long, Long)] = {
+    val f = fs(dir)
+    val p = new Path(dir)
+    if (!f.exists(p)) return Nil
+    val it = f.listFiles(p, true)
+    val b = Seq.newBuilder[(String, Long, Long)]
+    while (it.hasNext) {
+      val s = it.next()
+      if (s.isFile) b += ((s.getPath.toString, s.getLen, s.getModificationTime))
+    }
+    b.result()
+  }
 }
 
 object FileIO {

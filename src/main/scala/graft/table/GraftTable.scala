@@ -49,6 +49,14 @@ final class GraftTable(
   def expireSnapshots(olderThanMs: Long, retainLast: Int = 1): GraftTable =
     Maintenance.expireSnapshots(this, olderThanMs, retainLast)
 
+  /** GC data files referenced by no snapshot (returns deleted paths). */
+  def removeOrphanFiles(olderThanMs: Long): Seq[String] =
+    Maintenance.removeOrphanFiles(this, olderThanMs)
+
+  /** Roll back to an earlier snapshot (metadata-only). */
+  def rollbackTo(snapshotId: Long): GraftTable =
+    Maintenance.rollbackTo(this, snapshotId)
+
   /** Schema-evolution builder (metadata-only commit;
     * transaction/update_schema.rs:116-147). */
   def updateSchema(): UpdateSchema = new UpdateSchema(this)

@@ -85,6 +85,50 @@ object Maintenance {
     }
   }
 
+  /** Delete data files not referenced by ANY snapshot and older than
+    * `olderThanMs` (remove_orphan_files). The rename-free write design
+    * makes this the one required GC: failed jobs leave invisible files
+    * under `data/commit-*`; age-gating keeps in-flight commits safe.
+    * Listing is driver-side per directory but file-count-bounded by the
+    * table tree (object stores: use a prefix-listing inventory job). */
+  def removeOrphanFiles(table: GraftTable, olderThanMs: Long): Seq[String] = {
+    val io = table.io
+    val referenced: Set[String] = table.metadata.snapshots.flatMap { s =>
+      ManifestIO.readManifestList(io, s.manifestList, Commits.partTypes(table.metadata))
+        .flatMap { m =>
+          val spec = table.metadata.specById(m.partitionSpecId)
+            .getOrElse(table.metadata.defaultSpec)
+          ManifestIO.readManifest(io, m.manifestPath, table.metadata.currentSchema, spec)
+            .map(_.dataFile.filePath)
+        }
+    }.map(normalize).toSet
+
+    val dataDir = s"${table.location}/data"
+    if (!io.exists(dataDir)) return Nil
+    val candidates = io.listFilesRecursive(dataDir)
+      .filter { case (p, _, mtime) =>
+        mtime < olderThanMs && !referenced.contains(normalize(p)) &&
+          !p.endsWith("_SUCCESS")
+      }
+    candidates.map { case (p, _, _) => io.delete(p); p }
+  }
+
+  private def normalize(p: String): String =
+    p.stripPrefix("file:").replaceAll("/+", "/")
+
+  /** Roll the table back to an earlier snapshot (set-current-snapshot /
+    * rollback action): metadata-only, the abandoned snapshots stay until
+    * expire. */
+  def rollbackTo(table: GraftTable, snapshotId: Long): GraftTable =
+    CommitRetry.run(table.catalog, table.name) { (base, _) =>
+      require(base.snapshotById(snapshotId).isDefined, s"snapshot $snapshotId not found")
+      val updated = base.copy(
+        currentSnapshotId = Some(snapshotId),
+        snapshotLog = base.snapshotLog :+ (snapshotId, System.currentTimeMillis()),
+        lastUpdatedMs = System.currentTimeMillis())
+      (updated, (_: Int) => table.refresh())
+    }
+
   /** The last `retainLast` ancestors of the current snapshot (incl. it). */
   private def retainedIds(base: TableMetadata, retainLast: Int): Set[Long] = {
     val byId = base.snapshots.map(s => s.snapshotId -> s).toMap

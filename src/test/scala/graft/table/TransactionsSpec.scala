@@ -223,6 +223,30 @@ class TransactionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(parts.head.getAs[Int]("file_count") === 2)
   }
 
+  test("orphan cleanup and rollback") {
+    import spark.implicits._
+    var t = GraftTable.create("gc", freshHadoop(), schema)
+    t = t.append((1L to 10L).map(i => (i, 1.0, "a")).toDF("id", "v", "s"))
+    val firstSnap = t.metadata.currentSnapshotId.get
+    t = t.append((11L to 20L).map(i => (i, 2.0, "b")).toDF("id", "v", "s"))
+
+    // plant an orphan (failed-job leftover) in the data subtree
+    val orphan = s"${t.location}/data/commit-dead/junk.parquet"
+    t.io.writeBytes(orphan, Array[Byte](1, 2, 3))
+
+    val deleted = t.removeOrphanFiles(olderThanMs = System.currentTimeMillis() + 60000)
+    assert(deleted.exists(_.endsWith("junk.parquet")))
+    assert(deleted.size === 1, s"must not GC referenced files: $deleted")
+    assert(t.newScan().toDF(spark).count() === 20) // table intact
+
+    // rollback: current flips to the first snapshot, data still readable
+    t = t.rollbackTo(firstSnap)
+    assert(t.newScan().toDF(spark).count() === 10)
+    // the abandoned snapshot's files survive orphan GC (still referenced)
+    val deleted2 = t.removeOrphanFiles(olderThanMs = System.currentTimeMillis() + 60000)
+    assert(deleted2.isEmpty)
+  }
+
   test("nested types: struct/list/map round-trip through append + scan") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, struct, array, map, lit}
