@@ -117,6 +117,19 @@ object IcebergFixtures {
         .append(src.filter(col("o_orderkey") % 2 === 1))
     }
 
+  /** orders after a CoW UPDATE: halve o_totalprice where status 'F'
+    * (0.5 = 2⁻¹ keeps doubles exact). */
+  def ordersUpdated(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "orders_updated") { catalog =>
+      val src = Tables.orders(spark, sfDir)
+      val schema = IcebergSchema.fromSpark(src.schema)
+      GraftTable.create("orders_updated", catalog, schema,
+          properties = Map("write.spark.max-records-per-file" -> "1000"))
+        .append(src)
+        .updateWhere(graft.expr.Predicate.eqTo("o_orderstatus", "F"),
+          Map("o_totalprice" -> (col("o_totalprice") * 0.5)), spark)
+    }
+
   /** plain (undeleted) customer table for stats/sketch queries. */
   def plainCustomer(spark: SparkSession, sfDir: String): GraftTable =
     build(spark, sfDir, "customer_plain") { catalog =>

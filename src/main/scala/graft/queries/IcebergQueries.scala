@@ -316,6 +316,22 @@ object IcebergQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Copy-on-write UPDATE WHERE (Operation::Overwrite): matching rows
+    * rewritten with the assignment, others byte-identical. */
+  val i17 = Q.sql(
+    "i17_cow_update_scan",
+    """SELECT o_orderkey,
+      |  CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 0.5
+      |       ELSE o_totalprice END AS o_totalprice,
+      |  o_orderstatus
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin
+  ) { (s, d) =>
+    IcebergFixtures.ordersUpdated(s, d).newScan().toDF(s)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .orderBy(col("o_orderkey"))
+  }
+
   val all: Seq[Q] = Seq(i01, i02, i03, i04, i05, i06, i07, i08, i09, i10,
-    i11, i12, i13, i14, i15, i16)
+    i11, i12, i13, i14, i15, i16, i17)
 }

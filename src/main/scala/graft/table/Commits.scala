@@ -67,6 +67,38 @@ object Commits {
       partitions = summaries)
   }
 
+  /** Rewrite the base's data manifests dropping `dropPaths`: dropped files
+    * become Deleted tombstones, survivors become Existing with resolved
+    * sequence numbers; untouched manifests pass through. Delete manifests
+    * are kept unless `dropDeleteManifests`. */
+  def rewriteManifestsDropping(io: graft.io.FileIO, base: TableMetadata,
+      dropPaths: Set[String], commitUuid: String, snapshotId: Long,
+      seq: Long, dropDeleteManifests: Boolean = false): Seq[ManifestFile] =
+    baseManifests(io, base).flatMap { m =>
+      if (m.content != ManifestContent.Data)
+        if (dropDeleteManifests) None else Some(m)
+      else {
+        val spec = base.partitionSpecs.find(_.specId == m.partitionSpecId)
+          .getOrElse(base.defaultSpec)
+        val entries = ManifestIO.readManifest(io, m.manifestPath,
+          base.currentSchema, spec)
+        if (!entries.exists(e => e.isAlive && dropPaths(e.dataFile.filePath))) Some(m)
+        else {
+          val newEntries = entries.filter(_.isAlive).map { e =>
+            val resolvedSeq = e.sequenceNumber.orElse(Some(m.sequenceNumber))
+            if (dropPaths(e.dataFile.filePath))
+              e.copy(status = ManifestStatus.Deleted,
+                snapshotId = Some(snapshotId), sequenceNumber = resolvedSeq)
+            else
+              e.copy(status = ManifestStatus.Existing, sequenceNumber = resolvedSeq)
+          }
+          Some(writeManifest(io, base,
+            s"$commitUuid-rw${m.manifestPath.hashCode.abs}", newEntries,
+            base.currentSchema, spec, ManifestContent.Data, snapshotId, seq))
+        }
+      }
+    }
+
   /** One snapshot commit with optimistic retry. `manifests` is re-invoked
     * per attempt against the refreshed base and must return the FULL new
     * manifest list. */

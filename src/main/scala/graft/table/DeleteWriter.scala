@@ -70,31 +70,8 @@ object DeleteWriter {
     Commits.commit(table, "delete", commitUuid, Map(
       "deleted-data-files" -> whole.size.toString,
       "added-delete-files" -> posFiles.size.toString)) { (base, seq, snapshotId) =>
-      val rewritten = Commits.baseManifests(table.io, base).flatMap { m =>
-        if (m.content != ManifestContent.Data) Some(m)
-        else {
-          val spec = base.partitionSpecs.find(_.specId == m.partitionSpecId)
-            .getOrElse(base.defaultSpec)
-          val entries = ManifestIO.readManifest(table.io, m.manifestPath,
-            base.currentSchema, spec)
-          if (!entries.exists(e => e.isAlive && wholePaths(e.dataFile.filePath))) Some(m)
-          else {
-            // rewrite: dropped files become Deleted tombstones, survivors
-            // become Existing with their original data sequence numbers
-            val newEntries = entries.filter(_.isAlive).map { e =>
-              val resolvedSeq = e.sequenceNumber.orElse(Some(m.sequenceNumber))
-              if (wholePaths(e.dataFile.filePath))
-                e.copy(status = ManifestStatus.Deleted,
-                  snapshotId = Some(snapshotId), sequenceNumber = resolvedSeq)
-              else
-                e.copy(status = ManifestStatus.Existing, sequenceNumber = resolvedSeq)
-            }
-            Some(Commits.writeManifest(table.io, base,
-              s"$commitUuid-rw${m.manifestPath.hashCode.abs}", newEntries,
-              base.currentSchema, spec, ManifestContent.Data, snapshotId, seq))
-          }
-        }
-      }
+      val rewritten = Commits.rewriteManifestsDropping(table.io, base, wholePaths,
+        commitUuid, snapshotId, seq)
       val deleteManifest =
         if (posFiles.isEmpty) Nil
         else {

@@ -39,6 +39,17 @@ final class GraftTable(
   def equalityDelete(keys: DataFrame, keyCols: Seq[String]): GraftTable =
     DeleteWriter.equalityDelete(this, keys, keyCols, keys.sparkSession)
 
+  /** Atomic OVERWRITE WHERE: delete matching rows + insert replacement
+    * in one snapshot (copy-on-write). */
+  def overwriteWhere(p: Predicate, replacement: DataFrame,
+      spark: SparkSession): GraftTable =
+    RowOps.overwriteWhere(this, p, replacement, spark)
+
+  /** UPDATE ... SET assignments WHERE p (copy-on-write). */
+  def updateWhere(p: Predicate, assignments: Map[String, Column],
+      spark: SparkSession): GraftTable =
+    RowOps.updateWhere(this, p, assignments, spark)
+
   /** Compaction: rewrite the current snapshot to ~target-size files,
     * folding MoR deletes in (replace commit). */
   def rewriteDataFiles(spark: SparkSession,
@@ -425,8 +436,25 @@ final class TableScan private[table] (
     }
   }
 
+  /** Read a specific task subset with MoR deletes applied but no residual
+    * filter/projection — the CoW rewrite path (RowOps) uses this to
+    * re-emit surviving rows of only the touched files. */
+  private[table] def readTasks(spark: SparkSession,
+      tasks: Seq[FileScanTask]): DataFrame = dfForTasks(spark, tasks)
+
   def toDF(spark: SparkSession): DataFrame = {
     val tasks = planWithLimit()
+    val withMeta = dfForTasks(spark, tasks)
+    val filtered = filter match {
+      case AlwaysTrue => withMeta
+      case p => withMeta.filter(Predicate.toColumn(p, table.schema))
+    }
+    val projected =
+      if (selected.isEmpty) filtered else filtered.select(selected.map(col): _*)
+    limitRows.map(n => projected.limit(n.toInt)).getOrElse(projected)
+  }
+
+  private def dfForTasks(spark: SparkSession, tasks: Seq[FileScanTask]): DataFrame = {
     val sparkSchema = table.schema.toSpark
     // id-based projection (pipeline.rs:160-168); tolerate legacy files
     // written without embedded ids (falls back to name resolution)
@@ -471,15 +499,8 @@ final class TableScan private[table] (
             applyDeletes(spark, raw, tasks)
         }
       }
-    val withMeta = if (!metaCols || tasks.isEmpty) base
-      else addMetadataColumns(spark, base, tasks)
-    val filtered = filter match {
-      case AlwaysTrue => withMeta
-      case p => withMeta.filter(Predicate.toColumn(p, table.schema))
-    }
-    val projected =
-      if (selected.isEmpty) filtered else filtered.select(selected.map(col): _*)
-    limitRows.map(n => projected.limit(n.toInt)).getOrElse(projected)
+    if (!metaCols || tasks.isEmpty) base
+    else addMetadataColumns(spark, base, tasks)
   }
 
   /** Reserved metadata columns (metadata_columns.rs:33-90): `_file` and

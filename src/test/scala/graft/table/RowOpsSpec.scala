@@ -1,0 +1,86 @@
+package graft.table
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.catalog.HadoopCatalog
+import graft.expr.Predicate
+import graft.io.FileIO
+import graft.spec._
+import graft.spec.IcebergType._
+
+/** Copy-on-write OVERWRITE WHERE / UPDATE WHERE. */
+class RowOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("rowops-spec")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val schema = IcebergSchema(0, Seq(
+    NestedField(1, "id", LongT, required = false),
+    NestedField(2, "v", DoubleT, required = false),
+    NestedField(3, "tag", StringT, required = false)))
+
+  private def fresh(name: String) = GraftTable.create(name,
+    new HadoopCatalog(java.nio.file.Files.createTempDirectory("graft-row-").toString,
+      FileIO.fromSpark(spark)),
+    schema, properties = Map("write.spark.max-records-per-file" -> "25"))
+
+  private def seed(t: GraftTable) = {
+    import spark.implicits._
+    t.append((1L to 100L).map(i => (i, i * 1.0, if (i <= 50) "old" else "keep"))
+      .toDF("id", "v", "tag"))
+  }
+
+  test("overwriteWhere replaces matching rows atomically") {
+    import spark.implicits._
+    var t = seed(fresh("ow1"))
+    val replacement = (1L to 5L).map(i => (i + 1000L, 0.0, "new")).toDF("id", "v", "tag")
+    t = t.overwriteWhere(Predicate.eqTo("tag", "old"), replacement, spark)
+
+    val out = t.newScan().toDF(spark)
+    assert(out.count() === 55) // 50 kept + 5 new
+    assert(out.filter(col("tag") === "old").count() === 0)
+    assert(out.filter(col("tag") === "new").count() === 5)
+    assert(t.metadata.currentSnapshot.get.operation === "overwrite")
+    // one atomic commit: exactly one new snapshot
+    assert(t.metadata.snapshots.size === 2)
+  }
+
+  test("updateWhere rewrites only matching rows, preserves others") {
+    var t = seed(fresh("up1"))
+    val before = t.newScan().planFiles().size
+    t = t.updateWhere(Predicate.gt("id", 90L),
+      Map("v" -> (col("v") * 100), "tag" -> lit("boosted")), spark)
+
+    val out = t.newScan().toDF(spark)
+    assert(out.count() === 100)
+    assert(out.filter(col("tag") === "boosted").count() === 10)
+    val r95 = out.filter(col("id") === 95L).head
+    assert(r95.getDouble(1) === 9500.0)
+    val r10 = out.filter(col("id") === 10L).head
+    assert(r10.getDouble(1) === 10.0 && r10.getString(2) === "old")
+    // untouched files pass through unrewritten (CoW is surgical)
+    assert(t.newScan().planFiles().size <= before + 2)
+  }
+
+  test("overwrite composes with MoR deletes: no resurrection") {
+    var t = seed(fresh("ow2"))
+    // MoR delete ids 1..10, then overwrite tag=old (ids 1..50 minus deleted)
+    t = t.deleteWhereDV(Predicate.ltEq("id", 10L), spark)
+    assert(t.newScan().toDF(spark).count() === 90)
+    t = t.overwriteWhere(Predicate.eqTo("tag", "old"), null, spark)
+    val out = t.newScan().toDF(spark)
+    // all old rows gone, deleted rows NOT resurrected, keeps intact
+    assert(out.count() === 50)
+    assert(out.agg(min("id")).head.getLong(0) === 51L)
+  }
+}
