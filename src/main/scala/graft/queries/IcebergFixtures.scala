@@ -130,6 +130,23 @@ object IcebergFixtures {
           Map("o_totalprice" -> (col("o_totalprice") * 0.5)), spark)
     }
 
+  /** customer after a MERGE: nation-1 balances doubled (exact ×2), three
+    * synthetic customers inserted. */
+  def customerMerged(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "customer_merged") { catalog =>
+      import spark.implicits._
+      val src = Tables.customer(spark, sfDir)
+      val schema = IcebergSchema.fromSpark(src.schema)
+      val updates = src.filter(col("c_nationkey") === 1)
+        .withColumn("c_acctbal", col("c_acctbal") * 2)
+      val inserts = (0 until 3).map(x => (900001L + x, "new", 0, 0.0, "NEW"))
+        .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      GraftTable.create("customer_merged", catalog, schema,
+          properties = Map("write.spark.max-records-per-file" -> "200"))
+        .append(src)
+        .mergeInto(updates.unionByName(inserts), Seq("c_custkey"))
+    }
+
   /** plain (undeleted) customer table for stats/sketch queries. */
   def plainCustomer(spark: SparkSession, sfDir: String): GraftTable =
     build(spark, sfDir, "customer_plain") { catalog =>

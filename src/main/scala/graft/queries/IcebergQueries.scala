@@ -332,6 +332,28 @@ object IcebergQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** MERGE upsert: matched keys replaced, new keys inserted, one
+    * overwrite snapshot. */
+  val i18 = Q.sql(
+    "i18_merge_scan",
+    """WITH source AS (
+      |  SELECT c_custkey, 'new' AS c_name, 0 AS c_nationkey,
+      |         0.0 AS c_acctbal, 'NEW' AS c_mktsegment
+      |  FROM (SELECT 900001 + x AS c_custkey FROM range(3) t(x))
+      |  UNION ALL
+      |  SELECT c_custkey, c_name, c_nationkey, c_acctbal * 2, c_mktsegment
+      |  FROM customer WHERE c_nationkey = 1)
+      |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      |FROM customer
+      |WHERE c_custkey NOT IN (SELECT c_custkey FROM source)
+      |UNION ALL
+      |SELECT * FROM source
+      |ORDER BY c_custkey""".stripMargin
+  ) { (s, d) =>
+    IcebergFixtures.customerMerged(s, d).newScan().toDF(s)
+      .orderBy(col("c_custkey"))
+  }
+
   val all: Seq[Q] = Seq(i01, i02, i03, i04, i05, i06, i07, i08, i09, i10,
-    i11, i12, i13, i14, i15, i16, i17)
+    i11, i12, i13, i14, i15, i16, i17, i18)
 }

@@ -50,6 +50,10 @@ final class GraftTable(
       spark: SparkSession): GraftTable =
     RowOps.updateWhere(this, p, assignments, spark)
 
+  /** MERGE (upsert) `source` on `keyCols` (copy-on-write). */
+  def mergeInto(source: DataFrame, keyCols: Seq[String]): GraftTable =
+    RowOps.mergeInto(this, source, keyCols, source.sparkSession)
+
   /** Compaction: rewrite the current snapshot to ~target-size files,
     * folding MoR deletes in (replace commit). */
   def rewriteDataFiles(spark: SparkSession,
@@ -86,6 +90,11 @@ final class GraftTable(
     * name-mapping read resolution for id-less files). */
   def addFiles(spark: SparkSession, paths: Seq[String]): GraftTable =
     AddFiles.addFiles(this, spark, paths)
+
+  /** Partition evolution: install a new default spec; old files keep
+    * their layout, scans prune per spec. */
+  def updateSpec(fields: Seq[(String, Transform)]): GraftTable =
+    Transactions.updateSpec(this, fields)
 
   /** Create/move a branch to a snapshot (defaults to current). */
   def createBranch(name: String, snapshotId: Option[Long] = None): GraftTable =

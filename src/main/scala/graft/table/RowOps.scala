@@ -71,6 +71,67 @@ object RowOps {
     }
   }
 
+  /** MERGE (upsert): table rows whose key matches a source row are
+    * replaced by that source row; unmatched source rows are inserted —
+    * one atomic overwrite snapshot.
+    *
+    * Planning: for a single small key set the candidate files come from
+    * an IN-predicate over metadata pruning (clustered/bucketed tables
+    * touch only matching files); otherwise every data file is a rewrite
+    * candidate (the unavoidable CoW bound — MoR equality deletes are the
+    * alternative for huge sparse merges, see equalityDelete). */
+  def mergeInto(table: GraftTable, source: DataFrame, keyCols: Seq[String],
+      spark: SparkSession): GraftTable = {
+    require(keyCols.nonEmpty, "merge requires key columns")
+    keyCols.foreach { c =>
+      require(table.schema.findField(c).isDefined, s"unknown merge key: $c")
+    }
+    val keys = source.select(keyCols.map(col): _*).distinct()
+
+    val planPredicate: Predicate = keyCols match {
+      case Seq(single) =>
+        val vals = keys.limit(10001).collect().map(_.get(0))
+        if (vals.length <= 10000)
+          graft.expr.SetPred(graft.expr.In, single,
+            vals.map(v => sparkToInternal(table, single, v)).toSet)
+        else graft.expr.AlwaysTrue
+      case _ => graft.expr.AlwaysTrue
+    }
+    val candidates = table.newScan()
+      .withFilter(Predicate.bind(planPredicate, table.schema)).planFiles()
+
+    val survivors =
+      if (candidates.isEmpty) None
+      else Some(table.newScan().readTasks(spark, candidates)
+        .join(keys, keyCols, "left_anti"))
+    val ordered = source.select(table.schema.fields.map(f => col(f.name)): _*)
+    val newData = survivors.map(_.unionByName(ordered)).getOrElse(ordered)
+
+    val commitUuid = UUID.randomUUID().toString
+    val newFiles = AppendWriter.writeDataFiles(table, newData, commitUuid)
+    val dropPaths = candidates.map(_.file.filePath).toSet
+
+    Commits.commit(table, "overwrite", commitUuid, Map(
+      "merged-data-files" -> dropPaths.size.toString,
+      "added-data-files" -> newFiles.size.toString)) { (base, seq, snapshotId) =>
+      val rewritten = Commits.rewriteManifestsDropping(table.io, base, dropPaths,
+        commitUuid, snapshotId, seq)
+      val added =
+        if (newFiles.isEmpty) Nil
+        else {
+          val entries = newFiles.map(f => ManifestEntry(ManifestStatus.Added,
+            Some(snapshotId), Some(seq), Some(seq), f))
+          Seq(Commits.writeManifest(table.io, base, s"$commitUuid-m0", entries,
+            base.currentSchema, base.defaultSpec, ManifestContent.Data, snapshotId, seq))
+        }
+      added ++ rewritten
+    }
+  }
+
+  /** Spark external value → Iceberg-internal scalar for planning. */
+  private def sparkToInternal(table: GraftTable, colName: String, v: Any): Any =
+    graft.expr.SparkFilters.literal(table.schema, colName, v).getOrElse(v)
+
   /** UPDATE ... SET assignments WHERE predicate, as a CoW overwrite:
     * matching rows re-emitted with the assignments applied. */
   def updateWhere(table: GraftTable, predicate: Predicate,

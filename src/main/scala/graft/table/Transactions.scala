@@ -44,6 +44,40 @@ object Transactions {
     }
   }
 
+  /** Partition evolution (spec/partition.rs evolution rules): install a
+    * new default partition spec built from (column, transform) pairs.
+    * Existing files keep their old spec id — scans already resolve
+    * partition types, filters and pruning PER SPEC, so mixed-generation
+    * tables work unchanged; new appends use the new layout. */
+  def updateSpec(table: GraftTable,
+      fields: Seq[(String, graft.spec.Transform)]): GraftTable = {
+    CommitRetry.run(table.catalog, table.name) { (base, _) =>
+      val newSpecId = base.partitionSpecs.map(_.specId).max + 1
+      val startFieldId = math.max(graft.spec.PartitionSpec.StartFieldId - 1,
+        base.lastPartitionId) + 1
+      val schema = base.currentSchema
+      var fid = startFieldId - 1
+      val spec = graft.spec.PartitionSpec(newSpecId, fields.map { case (colName, t) =>
+        val f = schema.findField(colName).getOrElse(
+          throw new IllegalArgumentException(s"no such column: $colName"))
+        fid += 1
+        val name = t match {
+          case graft.spec.Transform.Identity => f.name
+          case graft.spec.Transform.Bucket(_) => s"${f.name}_bucket"
+          case graft.spec.Transform.Truncate(_) => s"${f.name}_trunc"
+          case other => s"${f.name}_${other.name}"
+        }
+        graft.spec.PartitionField(f.id, fid, name, t)
+      })
+      val updated = base.copy(
+        partitionSpecs = base.partitionSpecs :+ spec,
+        defaultSpecId = newSpecId,
+        lastPartitionId = math.max(base.lastPartitionId, spec.lastAssignedFieldId),
+        lastUpdatedMs = System.currentTimeMillis())
+      (updated, (_: Int) => table.refresh())
+    }
+  }
+
   /** Create/move a branch or tag to a snapshot (SetSnapshotRef update).
     * Tags pin history for reproducible reads (the training-data
     * provenance case); branches get their own lineage via useRef scans. */

@@ -72,6 +72,61 @@ class RowOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.newScan().planFiles().size <= before + 2)
   }
 
+  test("partition evolution: mixed-spec table scans and prunes per spec") {
+    import spark.implicits._
+    var t = fresh("evospec")
+    // generation 1: unpartitioned
+    t = t.append((1L to 50L).map(i => (i, i * 1.0, "g1")).toDF("id", "v", "tag"))
+    // evolve to bucket(4) on id; generation 2 written under the new spec
+    t = t.updateSpec(Seq("id" -> Transform.Bucket(4)))
+    assert(t.spec.specId === 1)
+    t = t.append((51L to 100L).map(i => (i, i * 1.0, "g2")).toDF("id", "v", "tag"))
+
+    val all = t.newScan().toDF(spark)
+    assert(all.count() === 100)
+    assert(all.filter(col("tag") === "g2").count() === 50)
+
+    // spec-aware pruning: an id equality prunes gen-2 buckets while gen-1
+    // files (unpartitioned, no partition tuple) survive partition pruning
+    // and fall through to metrics pruning
+    val (planned, total) = t.newScan()
+      .withFilter(Predicate.eqTo("id", 60L)).planSummary()
+    assert(planned < total)
+    val hit = t.newScan().withFilter(Predicate.eqTo("id", 60L)).toDF(spark)
+    assert(hit.count() === 1)
+
+    // metadata columns report per-file spec ids across generations
+    val specIds = t.newScan().withMetadataColumns().toDF(spark)
+      .select("_spec_id").distinct()
+      .collect().map(_.getInt(0)).sorted
+    assert(specIds.toSeq === Seq(0, 1))
+  }
+
+  test("mergeInto upserts: matched rows replaced, new keys inserted") {
+    import spark.implicits._
+    var t = seed(fresh("merge1"))
+    val before = t.newScan().planFiles().size
+    // update ids 1..5, insert 201..203
+    val source = ((1L to 5L).map(i => (i, -1.0, "merged")) ++
+      (201L to 203L).map(i => (i, 9.0, "inserted"))).toDF("id", "v", "tag")
+    t = t.mergeInto(source, Seq("id"))
+
+    val out = t.newScan().toDF(spark)
+    assert(out.count() === 103)
+    assert(out.filter(col("tag") === "merged").count() === 5)
+    assert(out.filter(col("tag") === "inserted").count() === 3)
+    // replaced, not duplicated
+    assert(out.filter(col("id") === 3L).count() === 1)
+    assert(out.filter(col("id") === 3L).head.getDouble(1) === -1.0)
+    // untouched rows intact
+    assert(out.filter(col("id") === 80L).head.getString(2) === "keep")
+    assert(t.metadata.currentSnapshot.get.operation === "overwrite")
+    // IN-predicate planning kept the rewrite surgical: ids 1..5 live in
+    // one 25-row file, so at most that file (+ noise) was dropped
+    val dropped = t.metadata.currentSnapshot.get.summary("merged-data-files").toInt
+    assert(dropped <= 2, s"merge rewrote $dropped files of $before")
+  }
+
   test("overwrite composes with MoR deletes: no resurrection") {
     var t = seed(fresh("ow2"))
     // MoR delete ids 1..10, then overwrite tag=old (ids 1..50 minus deleted)
