@@ -331,5 +331,41 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12)
+  /** Gap-based sessionization over the events log (30-min gap): one
+    * user_id shuffle, streaming lag + running sum, same-partition rollup. */
+  val p13 = Q.sql(
+    "p13_sessionize",
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+      |flagged AS (
+      |  SELECT user_id, event_id, ts_us,
+      |    CASE WHEN lag(ts_us) OVER w IS NULL
+      |           OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1
+      |         ELSE 0 END AS new_session
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      |sess AS (
+      |  SELECT user_id, ts_us,
+      |    (sum(new_session) OVER (PARTITION BY user_id
+      |                            ORDER BY ts_us, event_id
+      |                            ROWS UNBOUNDED PRECEDING))::BIGINT AS session_idx
+      |  FROM flagged)
+      |SELECT user_id, session_idx, count(*) AS n_events,
+      |  min(ts_us) AS start_us, max(ts_us) AS end_us,
+      |  max(ts_us) - min(ts_us) AS duration_us
+      |FROM sess
+      |GROUP BY user_id, session_idx
+      |ORDER BY user_id, session_idx""".stripMargin,
+    bench = true
+  ) { (s, d) =>
+    // events.parquet is TIMESTAMP(NANOS): read ns as long (µs division is
+    // exact integer math; a plain timestamp read rejects nanos). Left set:
+    // it only affects ns-typed columns and must hold through execution.
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.pipeline.Sessions.sessionize(Tables.events(s, d))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
+  val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
+    p11, p12, p13)
 }
