@@ -354,6 +354,23 @@ object IcebergQueries {
       .orderBy(col("c_custkey"))
   }
 
+  /** Incremental append scan (CDC): rows added strictly AFTER the tagged
+    * snapshot — the odd keys appended in the second commit. */
+  val i19 = Q.sql(
+    "i19_incremental_scan",
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders
+      |WHERE o_orderkey % 2 = 1
+      |ORDER BY o_orderkey""".stripMargin
+  ) { (s, d) =>
+    val t = IcebergFixtures.ordersTagged(s, d)
+    val from = t.metadata.refs("even-only").snapshotId
+    val to = t.metadata.currentSnapshotId.get
+    t.newScan().appendsBetween(from, to).toDF(s)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
   val all: Seq[Q] = Seq(i01, i02, i03, i04, i05, i06, i07, i08, i09, i10,
-    i11, i12, i13, i14, i15, i16, i17, i18)
+    i11, i12, i13, i14, i15, i16, i17, i18, i19)
 }

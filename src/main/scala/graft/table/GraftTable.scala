@@ -227,6 +227,38 @@ final case class DeleteTask(
     file: DataFile,
     sequenceNumber: Long)
 
+/** Append-only incremental scan over (from, to] — see
+  * TableScan.appendsBetween. */
+final class IncrementalScan private[table] (
+    table: GraftTable, toSnapshotId: Long, rangeIds: Set[Long]) {
+
+  def planFiles(): Seq[FileScanTask] = {
+    val snap = table.metadata.snapshotById(toSnapshotId).get
+    ManifestIO.readManifestList(table.io, snap.manifestList, table.partTypes)
+      .filter(_.content == ManifestContent.Data)
+      .flatMap { m =>
+        val spec = table.metadata.specById(m.partitionSpecId).getOrElse(table.spec)
+        ManifestIO.readManifest(table.io, m.manifestPath, table.schema, spec)
+          .filter(e => e.status == ManifestStatus.Added &&
+            e.snapshotId.exists(rangeIds.contains))
+          .map(e => FileScanTask(e.dataFile, m.partitionSpecId,
+            e.sequenceNumber.getOrElse(m.sequenceNumber)))
+      }
+  }
+
+  def toDF(spark: SparkSession): DataFrame = {
+    val tasks = planFiles()
+    val sparkSchema = table.schema.toSpark
+    if (tasks.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sparkSchema)
+    else {
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+      spark.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
+      spark.read.schema(sparkSchema).parquet(tasks.map(_.file.filePath): _*)
+    }
+  }
+}
+
 /** Byte-range slice of a FileScanTask (scan/task.rs:60-62 start/length):
   * the distribution unit a cluster scheduler hands to one reader. Splits
   * land on parquet row-group boundaries (split_offsets). */
@@ -274,6 +306,28 @@ final class TableScan private[table] (
     val ref = table.metadata.refs.getOrElse(name,
       throw new IllegalArgumentException(s"no such ref: $name"))
     useSnapshot(ref.snapshotId)
+  }
+
+  /** Incremental append scan: only rows ADDED by snapshots in
+    * (fromSnapshotId, toSnapshotId] (the reference's incremental scan /
+    * CDC-append surface). Planning walks the ancestor chain and keeps
+    * manifest entries whose committing snapshot falls in the range —
+    * delete/replace snapshots in range are rejected (an append-only
+    * changelog can't represent them). */
+  def appendsBetween(fromSnapshotId: Long, toSnapshotId: Long): IncrementalScan = {
+    val byId = table.metadata.snapshots.map(s => s.snapshotId -> s).toMap
+    val to = byId.getOrElse(toSnapshotId,
+      throw new IllegalArgumentException(s"snapshot $toSnapshotId not found"))
+    val rangeIds = Iterator.iterate(Option(to))(
+        _.flatMap(_.parentSnapshotId).flatMap(byId.get))
+      .takeWhile(s => s.isDefined && s.get.snapshotId != fromSnapshotId)
+      .flatten.map { s =>
+        require(s.operation == "append",
+          s"snapshot ${s.snapshotId} is '${s.operation}', not append — " +
+            "incremental append scan undefined")
+        s.snapshotId
+      }.toSet
+    new IncrementalScan(table, toSnapshotId, rangeIds)
   }
 
   /** Limit pushdown (scan/mod.rs TableScanBuilder::with_limit): caps the

@@ -127,6 +127,45 @@ class RowOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dropped <= 2, s"merge rewrote $dropped files of $before")
   }
 
+  test("incremental append scan: exactly the rows of in-range snapshots") {
+    import spark.implicits._
+    var t = fresh("incr")
+    t = t.append((1L to 10L).map(i => (i, 1.0, "s1")).toDF("id", "v", "tag"))
+    val s1 = t.metadata.currentSnapshotId.get
+    t = t.append((11L to 20L).map(i => (i, 2.0, "s2")).toDF("id", "v", "tag"))
+    val s2 = t.metadata.currentSnapshotId.get
+    t = t.append((21L to 30L).map(i => (i, 3.0, "s3")).toDF("id", "v", "tag"))
+    val s3 = t.metadata.currentSnapshotId.get
+
+    def ids(from: Long, to: Long) =
+      t.newScan().appendsBetween(from, to).toDF(spark)
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids(s1, s2) === (11L to 20L))
+    assert(ids(s1, s3) === (11L to 30L))
+    assert(ids(s2, s3) === (21L to 30L))
+    // delete snapshot in range → refused
+    t = t.deleteWhere(Predicate.eqTo("id", 1L), spark)
+    val s4 = t.metadata.currentSnapshotId.get
+    intercept[IllegalArgumentException] { t.newScan().appendsBetween(s2, s4) }
+  }
+
+  test("utf-8 bound order: supplementary chars don't mis-prune") {
+    import spark.implicits._
+    var t = fresh("utf8")
+    // U+FF21 (FULLWIDTH A, > emoji in UTF-16) and U+1F600 (emoji,
+    // supplementary): byte order must govern bounds
+    t = t.append(Seq((1L, 1.0, "Ａwide"), (2L, 2.0, "😀emoji"))
+      .toDF("id", "v", "tag").coalesce(1))
+    val f = t.newScan().planFiles().head.file
+    // UTF-8 order: fullwidth A (EF BC A1) < emoji (F0 9F 98 80)
+    assert(f.lowerBounds(3).asInstanceOf[String].startsWith("Ａ"))
+    assert(f.upperBounds(3).asInstanceOf[String].startsWith("😀"))
+    // a filter on the emoji value must NOT be pruned away
+    val hits = t.newScan()
+      .withFilter(Predicate.eqTo("tag", "😀emoji")).toDF(spark)
+    assert(hits.count() === 1)
+  }
+
   test("overwrite composes with MoR deletes: no resurrection") {
     var t = seed(fresh("ow2"))
     // MoR delete ids 1..10, then overwrite tag=old (ids 1..50 minus deleted)
