@@ -149,6 +149,42 @@ class RowOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] { t.newScan().appendsBetween(s2, s4) }
   }
 
+  test("size-targeted rolling writer splits output files") {
+    import spark.implicits._
+    val catalog = new HadoopCatalog(
+      java.nio.file.Files.createTempDirectory("graft-roll-").toString,
+      FileIO.fromSpark(spark))
+    var t = GraftTable.create("roll", catalog, schema,
+      properties = Map("write.target-file-size-bytes" -> "4096"))
+    t = t.append((1L to 20000L).map(i => (i, i * 1.0, s"tag$i"))
+      .toDF("id", "v", "tag").coalesce(1))
+    val files = t.newScan().planFiles()
+    assert(files.size > 1, "byte target should split a single input partition")
+    // row-width estimate errs small-side: files at or under ~4x target
+    assert(files.map(_.file.fileSizeInBytes).max < 4096L * 8)
+  }
+
+  test("many-file append: commit cost is metadata-only per file") {
+    import spark.implicits._
+    var t = fresh("many")
+    val t0 = System.nanoTime()
+    t = t.append((1L to 2000L).map(i => (i, i * 1.0, "x")).toDF("id", "v", "tag")
+      .repartition(8).sortWithinPartitions("id"),
+    )
+    // property-driven 25-rows-per-file → ~80 files; with the rename-free
+    // write path the whole commit is one Spark write + one harvest job +
+    // one manifest append
+    val sec = (System.nanoTime() - t0) / 1e9
+    val n = t.newScan().planFiles().size
+    assert(n >= 50, s"expected many files, got $n")
+    assert(sec < 60, s"append of $n files took ${sec}s")
+    assert(t.newScan().toDF(spark).count() === 2000)
+    // planning with the manifest cache is sub-second
+    val p0 = System.nanoTime()
+    (1 to 10).foreach(_ => t.newScan().planFiles())
+    assert((System.nanoTime() - p0) / 1e9 < 2.0)
+  }
+
   test("utf-8 bound order: supplementary chars don't mis-prune") {
     import spark.implicits._
     var t = fresh("utf8")
