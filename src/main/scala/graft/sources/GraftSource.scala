@@ -57,13 +57,36 @@ final class GraftSource extends TableProvider with DataSourceRegister {
     new GraftSparkTable(load(new CaseInsensitiveStringMap(properties)))
 }
 
-final class GraftSparkTable(table: GraftTable) extends SparkTable with SupportsRead {
+final class GraftSparkTable(table: GraftTable) extends SparkTable
+    with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = table.name
   override def schema(): StructType = table.schema.toSpark
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(table)
+
+  /** INSERT INTO via the V1 write fallback: the insert plan hands us the
+    * materialized DataFrame and the append commit path does the rest
+    * (executor writes + stats harvest + CAS commit). */
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation
+              : org.apache.spark.sql.sources.InsertableRelation =
+            (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
+              require(!overwrite, "INSERT OVERWRITE not wired; use overwriteWhere")
+              // refresh: the handle may be stale relative to the session
+              GraftTable.load(table.name, table.catalog).append(data)
+              ()
+            }
+        }
+    }
 }
 
 final class GraftScanBuilder(table: GraftTable)

@@ -92,13 +92,13 @@ class GraftSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql(s"SHOW TABLES IN graftsql").collect()
       .map(_.getString(1)).contains(t.name))
 
-    // DDL + insert-free round-trip through SQL create + DataFrame append
+    // full SQL DDL + DML round-trip: CREATE, INSERT (DSv2 V1 write
+    // fallback), SELECT, DROP
     spark.sql("CREATE TABLE graftsql.sql_made (a BIGINT, b STRING) USING graft")
-    import spark.implicits._
-    graft.table.GraftTable.load("sql_made",
-        new graft.catalog.HadoopCatalog(warehouse, graft.io.FileIO.fromSpark(spark)))
-      .append(Seq((1L, "x"), (2L, "y")).toDF("a", "b"))
-    assert(spark.sql("SELECT count(*) FROM graftsql.sql_made").head.getLong(0) === 2)
+    spark.sql("INSERT INTO graftsql.sql_made VALUES (1, 'x'), (2, 'y')")
+    spark.sql("INSERT INTO graftsql.sql_made SELECT 3, 'z'")
+    assert(spark.sql("SELECT count(*) FROM graftsql.sql_made").head.getLong(0) === 3)
+    assert(spark.sql("SELECT b FROM graftsql.sql_made WHERE a = 3").head.getString(0) === "z")
     spark.sql("DROP TABLE graftsql.sql_made")
   }
 
