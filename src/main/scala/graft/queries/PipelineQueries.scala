@@ -366,6 +366,56 @@ object PipelineQueries {
       .orderBy(col("user_id"), col("session_idx"))
   }
 
+  /** Composed curation pipeline — the end-to-end "prepare training data"
+    * shape: quality gate (≥30 words AND stopword ratio > 0.05) → exact
+    * dedup vs a doubled corpus (simulating re-crawl) → per-language token
+    * budget. Each stage is one of the registered operators; the
+    * composition stays two shuffles (dedup groupBy + final groupBy). */
+  val p14 = Q.sql(
+    "p14_curation_pipeline",
+    """WITH corpus AS (
+      |  SELECT doc_id, lang, text FROM documents
+      |  UNION ALL SELECT doc_id + 1000000, lang, text FROM documents),
+      |gated AS (
+      |  SELECT doc_id, lang, text,
+      |    len(string_split(lower(text), ' ')) AS wc,
+      |    len(list_filter(string_split(lower(text), ' '),
+      |        x -> x IN ('the','a','of','to','and','in','is','it'))) AS sc
+      |  FROM corpus),
+      |keep AS (
+      |  SELECT doc_id, lang, text FROM gated
+      |  WHERE wc >= 30 AND sc / wc > 0.05),
+      |dedup AS (
+      |  SELECT min(doc_id) AS doc_id, any_value(lang) AS lang,
+      |    any_value(text) AS text
+      |  FROM keep GROUP BY md5(text))
+      |SELECT lang, count(*) AS n_docs,
+      |  sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')))::BIGINT
+      |    AS total_tokens
+      |FROM dedup GROUP BY lang
+      |ORDER BY lang""".stripMargin
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"), col("text"))
+    val corpus = docs.unionAll(
+      docs.select((col("doc_id") + 1000000).as("doc_id"), col("lang"), col("text")))
+    val w = graft.pipeline.TextHash.words(col("text"))
+    val gated = corpus
+      .withColumn("wc", size(w))
+      .withColumn("sc", size(filter(w, x => x.isin(
+        "the", "a", "of", "to", "and", "in", "is", "it"))))
+      .filter(col("wc") >= 30 && col("sc") / col("wc") > 0.05)
+    val deduped = gated
+      .groupBy(md5(encode(col("text"), "UTF-8")))
+      .agg(min(col("doc_id")).as("doc_id"), first(col("lang")).as("lang"),
+        first(col("text")).as("text"))
+    deduped
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(regexp_count(col("text"), lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]")))
+          .cast("long").as("total_tokens"))
+      .orderBy(col("lang"))
+  }
+
   val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
-    p11, p12, p13)
+    p11, p12, p13, p14)
 }
