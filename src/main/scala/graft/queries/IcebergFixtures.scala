@@ -147,6 +147,21 @@ object IcebergFixtures {
         .mergeInto(updates.unionByName(inserts), Seq("c_custkey"))
     }
 
+  /** supplier table built ENTIRELY through the SQL surface: CREATE TABLE
+    * USING graft + INSERT INTO ... SELECT (DSv2 write path). */
+  def supplierSqlInserted(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "supplier_sql") { catalog =>
+      val wh = warehouse(sfDir)
+      spark.conf.set("spark.sql.catalog.graftfix", "graft.sources.GraftCatalogPlugin")
+      spark.conf.set("spark.sql.catalog.graftfix.warehouse", wh)
+      Tables.supplier(spark, sfDir).createOrReplaceTempView("raw_supplier")
+      val cols = Tables.supplier(spark, sfDir).schema.fields
+        .map(f => s"${f.name} ${f.dataType.sql}").mkString(", ")
+      spark.sql(s"CREATE TABLE graftfix.supplier_sql ($cols) USING graft")
+      spark.sql("INSERT INTO graftfix.supplier_sql SELECT * FROM raw_supplier")
+      GraftTable.load("supplier_sql", catalog)
+    }
+
   /** plain (undeleted) customer table for stats/sketch queries. */
   def plainCustomer(spark: SparkSession, sfDir: String): GraftTable =
     build(spark, sfDir, "customer_plain") { catalog =>

@@ -371,6 +371,23 @@ object IcebergQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** SQL DDL+DML surface: table created and populated purely through
+    * `spark.sql` (CREATE TABLE USING graft + INSERT INTO), then read
+    * back via spark.sql over the catalog plugin. */
+  val i20 = Q.sql(
+    "i20_sql_insert_scan",
+    """SELECT s_nationkey, count(*) AS n,
+      |  CAST(CAST(SUM(CAST(s_acctbal AS DECIMAL(18,6))) AS DECIMAL(15,4)) AS DOUBLE) AS bal
+      |FROM supplier
+      |GROUP BY s_nationkey
+      |ORDER BY s_nationkey""".stripMargin
+  ) { (s, d) =>
+    IcebergFixtures.supplierSqlInserted(s, d)
+    s.sql("""SELECT s_nationkey, count(*) AS n,
+      CAST(CAST(SUM(CAST(s_acctbal AS DECIMAL(18,6))) AS DECIMAL(15,4)) AS DOUBLE) AS bal
+      FROM graftfix.supplier_sql GROUP BY s_nationkey ORDER BY s_nationkey""")
+  }
+
   val all: Seq[Q] = Seq(i01, i02, i03, i04, i05, i06, i07, i08, i09, i10,
-    i11, i12, i13, i14, i15, i16, i17, i18, i19)
+    i11, i12, i13, i14, i15, i16, i17, i18, i19, i20)
 }
