@@ -309,8 +309,12 @@ object StrictMetricsEvaluator {
       }
     }
     case BinaryPred(op, ref, v) => withField(ref, schema) { (id, t) =>
-      // any null row fails a value comparison → must have zero nulls
-      if (!f.nullValueCounts.get(id).contains(0L)) false
+      // any null row fails a value comparison → must have zero nulls; for
+      // float/double, parquet min/max exclude NaN, so a file containing NaN
+      // rows could be "proven" to match a bound it doesn't satisfy — require
+      // a harvested nan count of exactly 0 (absent counts are unprovable),
+      // mirroring strict_metrics_evaluator.rs:122,275,352.
+      if (!f.nullValueCounts.get(id).contains(0L) || !provablyNanFree(f, id, t)) false
       else {
         val lower = f.lowerBounds.get(id)
         val upper = f.upperBounds.get(id)
@@ -329,7 +333,7 @@ object StrictMetricsEvaluator {
     }
     case SetPred(In, ref, vs) => withField(ref, schema) { (id, t) =>
       // provable only when the file is a single value contained in the set
-      if (!f.nullValueCounts.get(id).contains(0L)) false
+      if (!f.nullValueCounts.get(id).contains(0L) || !provablyNanFree(f, id, t)) false
       else (f.lowerBounds.get(id), f.upperBounds.get(id)) match {
         case (Some(lo), Some(hi)) if SingleValue.compare(t, lo, hi) == 0 =>
           vs.exists(v => v != null && SingleValue.compare(t, lo, v) == 0)
@@ -337,7 +341,7 @@ object StrictMetricsEvaluator {
       }
     }
     case SetPred(NotIn, ref, vs) => withField(ref, schema) { (id, t) =>
-      if (!f.nullValueCounts.get(id).contains(0L)) false
+      if (!f.nullValueCounts.get(id).contains(0L) || !provablyNanFree(f, id, t)) false
       else (f.lowerBounds.get(id), f.upperBounds.get(id)) match {
         case (Some(lo), Some(hi)) =>
           vs.forall(v => v != null &&
@@ -350,6 +354,13 @@ object StrictMetricsEvaluator {
   private def withField(ref: String, schema: IcebergSchema)(
       body: (Int, IcebergType) => Boolean): Boolean =
     schema.findField(ref).exists(fld => body(fld.id, fld.fieldType))
+
+  /** NaN counts are opt-in at write time (write.collect-nan-counts), so a
+    * missing count means "may contain NaN" and blocks the strict proof. */
+  private def provablyNanFree(f: DataFile, id: Int, t: IcebergType): Boolean = t match {
+    case IcebergType.FloatT | IcebergType.DoubleT => f.nanValueCounts.get(id).contains(0L)
+    case _ => true
+  }
 }
 
 /** Strict projection into partition space

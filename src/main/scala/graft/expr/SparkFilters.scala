@@ -47,8 +47,23 @@ object SparkFilters {
     case Or(l, r) =>
       // OR must translate completely or not at all
       for (lp <- toPredicate(l, schema); rp <- toPredicate(r, schema)) yield lp.or(rp)
-    case Not(c) => toPredicate(c, schema).map(p => Predicate.rewriteNot(p.negate))
+    case Not(c) => toPredicateExact(c, schema).map(p => Predicate.rewriteNot(p.negate))
     case _ => None // StringContains/EndsWith, AlwaysTrue/False, nested etc.
+  }
+
+  /** Like toPredicate but refuses PARTIAL translations. Partial And is a
+    * weakening (matches a superset) — sound for pruning — but under Not a
+    * weakening becomes a strengthening: ¬(l∧r) does NOT imply ¬l, so
+    * pruning with ¬l could skip files whose rows satisfy the original
+    * filter via ¬r. Anything under a Not must translate completely or the
+    * whole Not stays residual (same refusal as Iceberg's SparkFilters). */
+  private def toPredicateExact(f: Filter, schema: IcebergSchema): Option[Predicate] = f match {
+    case And(l, r) =>
+      for (lp <- toPredicateExact(l, schema); rp <- toPredicateExact(r, schema)) yield lp.and(rp)
+    case Or(l, r) =>
+      for (lp <- toPredicateExact(l, schema); rp <- toPredicateExact(r, schema)) yield lp.or(rp)
+    case Not(c) => toPredicateExact(c, schema).map(p => Predicate.rewriteNot(p.negate))
+    case leaf => toPredicate(leaf, schema)
   }
 
   /** Conjunction of every translatable filter (pruning predicate). */

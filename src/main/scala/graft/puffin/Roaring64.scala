@@ -45,6 +45,24 @@ final class Roaring64 private (
         .map(i => base | i)
     }
 
+  /** Bitwise union, container-wise (no position expansion). Used to fold a
+    * data file's existing deletion vector into a newly-built one so the
+    * file keeps a single superseding DV (Iceberg v3 invariant). */
+  def or(other: Roaring64): Roaring64 = {
+    val keys = containers.keySet ++ other.containers.keySet
+    val merged = keys.iterator.map { k =>
+      val words = new Array[Long](1024)
+      containers.get(k).foreach { w =>
+        var i = 0; while (i < 1024) { words(i) |= w(i); i += 1 }
+      }
+      other.containers.get(k).foreach { w =>
+        var i = 0; while (i < 1024) { words(i) |= w(i); i += 1 }
+      }
+      k -> words
+    }
+    new Roaring64(SortedMap.from(merged))
+  }
+
   def serialize(): Array[Byte] = {
     // group containers by high 32 bits
     val byHigh = containers.groupBy { case (key, _) => key >>> 16 }

@@ -27,7 +27,13 @@ object GraftStreamWriter {
   val BatchIdKey = "streaming-batch-id"
 
   /** Start the stream. Caller owns the checkpoint location (Spark's
-    * offset log) — the table summary only guards the commit side. */
+    * offset log) — the table summary only guards the commit side.
+    *
+    * Idempotence keys on Spark's STABLE streaming query id (the
+    * `StreamingQuery.id` persisted in the checkpoint metadata, exposed to
+    * foreachBatch via the `sql.streaming.queryId` local property) — NOT
+    * runId or job description, which change on every restart and would
+    * defeat replay detection after a checkpoint rewind. */
   def start(stream: DataFrame, tableName: String, catalog: Catalog,
       checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
@@ -36,20 +42,26 @@ object GraftStreamWriter {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val queryId = Option(batch.sparkSession.sparkContext.getLocalProperty(
-          "spark.job.description")).getOrElse("graft-stream")
+          "sql.streaming.queryId")).getOrElse(
+          throw new IllegalStateException(
+            "sql.streaming.queryId local property unset inside foreachBatch; " +
+              "cannot establish an exactly-once commit key"))
         commitBatch(tableName, catalog, batch, queryId, batchId)
         ()
       }
       .start()
 
-  /** One micro-batch append, skipped if (queryId, batchId) was already
-    * committed (checkpoint replay after failure). */
+  /** One micro-batch append, skipped if this query already committed this
+    * batch id or a later one (checkpoint replay after failure). Batch ids
+    * are compared only WITHIN the same query id — two independent streams
+    * writing to one table never mask each other's batches. */
   def commitBatch(tableName: String, catalog: Catalog, batch: DataFrame,
       queryId: String, batchId: Long): GraftTable = {
     val table = GraftTable.load(tableName, catalog)
-    val alreadyCommitted = table.metadata.snapshots.exists(s =>
-      s.summary.get(QueryIdKey).contains(queryId) &&
-        s.summary.get(BatchIdKey).exists(_.toLong >= batchId))
+    val alreadyCommitted = table.metadata.snapshots
+      .filter(_.summary.get(QueryIdKey).contains(queryId))
+      .flatMap(_.summary.get(BatchIdKey))
+      .exists(_.toLong >= batchId)
     if (alreadyCommitted) table
     else AppendWriter.append(table, batch,
       Map(QueryIdKey -> queryId, BatchIdKey -> batchId.toString))

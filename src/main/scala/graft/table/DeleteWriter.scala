@@ -139,14 +139,48 @@ object DeleteWriter {
     Commits.commit(table, "delete", commitUuid,
       Map("added-delete-files" -> "1",
         "added-position-deletes" -> blobs.map(_._3).sum.toString)) { (base, seq, snapshotId) =>
+      // v3 invariant: a data file carries at most ONE deletion vector, and a
+      // new DV must supersede (contain) the old (delete_vector.rs semantics).
+      // Fold any existing DV for a touched file into the new bitmap, then
+      // tombstone the superseded entries in their manifests. Runs inside the
+      // commit closure so optimistic retries merge against the refreshed base.
+      val touched = blobs.map(_._1).toSet
+      val baseMs = Commits.baseManifests(table.io, base)
+      def specOf(m: ManifestFile) = base.partitionSpecs
+        .find(_.specId == m.partitionSpecId).getOrElse(base.defaultSpec)
+      def isSupersededDv(e: ManifestEntry) =
+        e.isAlive && e.dataFile.fileFormat == "PUFFIN" &&
+          e.dataFile.referencedDataFile.exists(touched)
+      // (manifest, its entries) for delete manifests holding a DV we supersede
+      val dvManifests: Seq[(ManifestFile, Seq[ManifestEntry])] = baseMs
+        .filter(_.content == ManifestContent.Deletes)
+        .map(m => m -> ManifestIO.readManifest(table.io, m.manifestPath,
+          base.currentSchema, specOf(m)))
+        .filter(_._2.exists(isSupersededDv))
+      val oldDvs: Map[String, DataFile] = dvManifests.flatMap(_._2)
+        .filter(isSupersededDv)
+        .map(e => e.dataFile.referencedDataFile.get -> e.dataFile).toMap
+      val mergedBlobs = blobs.map { case (file, data, card) =>
+        oldDvs.get(file) match {
+          case None => (file, data, card)
+          case Some(old) =>
+            val oldMeta = Puffin.BlobMetadata(Puffin.DeletionVectorV1, Nil, 0L, 0L,
+              old.contentOffset.getOrElse(0L), old.contentSizeInBytes.getOrElse(0L),
+              Map.empty)
+            val merged = Puffin.dvDeserialize(data)
+              .or(Puffin.dvDeserialize(Puffin.readBlob(table.io, old.filePath, oldMeta)))
+            (file, Puffin.dvSerialize(merged), merged.cardinality)
+        }
+      }
+
       val metas = Puffin.write(table.io, puffinPath,
-        blobs.map { case (file, data, card) =>
+        mergedBlobs.map { case (file, data, card) =>
           Puffin.Blob(Puffin.DeletionVectorV1, Nil, snapshotId, seq, data,
             Map("referenced-data-file" -> file, "cardinality" -> card.toString))
         })
       val puffinLen = table.io.size(puffinPath)
       val nullPartition = Seq.fill(table.spec.fields.size)(null)
-      val files = blobs.zip(metas).map { case ((file, _, card), meta) =>
+      val files = mergedBlobs.zip(metas).map { case ((file, _, card), meta) =>
         DataFile(
           content = FileContent.PositionDeletes,
           filePath = puffinPath,
@@ -162,7 +196,24 @@ object DeleteWriter {
         Some(seq), Some(seq), f))
       val m = Commits.writeManifest(table.io, base, s"$commitUuid-dv0", entries,
         table.schema, table.spec, ManifestContent.Deletes, snapshotId, seq)
-      m +: Commits.baseManifests(table.io, base)
+      // rewrite manifests that held a superseded DV, tombstoning those entries
+      val kept = baseMs.map { bm =>
+        dvManifests.find(_._1.manifestPath == bm.manifestPath) match {
+          case None => bm
+          case Some((_, entries)) =>
+            val newEntries = entries.filter(_.isAlive).map { e =>
+              val resolvedSeq = e.sequenceNumber.orElse(Some(bm.sequenceNumber))
+              if (isSupersededDv(e))
+                e.copy(status = ManifestStatus.Deleted,
+                  snapshotId = Some(snapshotId), sequenceNumber = resolvedSeq)
+              else e.copy(status = ManifestStatus.Existing, sequenceNumber = resolvedSeq)
+            }
+            Commits.writeManifest(table.io, base,
+              s"$commitUuid-dvrw${bm.manifestPath.hashCode.abs}", newEntries,
+              base.currentSchema, specOf(bm), ManifestContent.Deletes, snapshotId, seq)
+        }
+      }
+      m +: kept
     }
   }
 

@@ -79,8 +79,15 @@ final class UpdateSchema private[table] (table: GraftTable) {
       NestedField(nextId, n, t, required = false, doc = doc)
     }
 
+    // name-based binding (Predicate.bind, Spark reads) requires unique names:
+    // reject renames/adds that collide with a surviving or added column
+    val finalFields = evolved ++ added
+    val dupes = finalFields.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dupes.isEmpty,
+      s"schema evolution produces duplicate column name(s): ${dupes.mkString(", ")}")
+
     val newSchemaId = base.schemas.map(_.schemaId).max + 1
-    (IcebergSchema(newSchemaId, evolved ++ added, cur.identifierFieldIds), nextId)
+    (IcebergSchema(newSchemaId, finalFields, cur.identifierFieldIds), nextId)
   }
 
   /** Metadata-only commit with optimistic retry. */

@@ -58,6 +58,30 @@ class StrictEvaluatorSpec extends AnyFunSuite {
     assert(!must(Predicate.notNullPred("id"), allNull))
   }
 
+  test("NaN possibility blocks strict proofs on float/double columns") {
+    // parquet min/max exclude NaN: without a harvested nan count of 0 a
+    // double file can NEVER be proven to fully match a value predicate —
+    // otherwise deleteWhere's whole-file fast path would drop NaN rows
+    val noNanCounts = file(lower = Map(2 -> 1.5), upper = Map(2 -> 9.5))
+    assert(!must(Predicate.lt("v", 10.0), noNanCounts))
+    assert(!must(Predicate.gtEq("v", 1.5), noNanCounts))
+    assert(!must(Predicate.in("v", 3.0), file(Map(2 -> 3.0), Map(2 -> 3.0))))
+
+    val nanFree = file(lower = Map(2 -> 1.5), upper = Map(2 -> 9.5))
+      .copy(nanValueCounts = Map(2 -> 0L))
+    assert(must(Predicate.lt("v", 10.0), nanFree))
+    assert(must(Predicate.gtEq("v", 1.5), nanFree))
+    val single = file(Map(2 -> 3.0), Map(2 -> 3.0)).copy(nanValueCounts = Map(2 -> 0L))
+    assert(must(Predicate.in("v", 3.0), single))
+
+    val hasNans = nanFree.copy(nanValueCounts = Map(2 -> 4L))
+    assert(!must(Predicate.lt("v", 10.0), hasNans))
+
+    // non-floating columns are unaffected by absent nan counts
+    assert(must(Predicate.gtEq("id", 10L),
+      file(lower = Map(1 -> 10L), upper = Map(1 -> 20L))))
+  }
+
   test("strict projection: identity exact, temporal order-preserving, eq lossy") {
     val spec = PartitionSpec.build(schema, Seq("ts" -> Transform.Day, "id" -> Transform.Bucket(8)))
     def project(p: Predicate) =

@@ -84,6 +84,18 @@ class PuffinSpec extends AnyFunSuite with BeforeAndAfterAll {
     t = t.deleteWhereDV(Predicate.gt("v", 25.0), spark)
     assert(t.newScan().toDF(spark).count() === 50)
 
+    // v3 invariant: each data file carries at most ONE alive DV — the second
+    // delete's vector superseded (OR-merged) the first delete's, and the
+    // superseded entries were tombstoned, so a spec-compliant reader that
+    // applies only the current DV per file sees the same rows we do
+    val dvsByFile = t.newScan().planDeletes()
+      .filter(_.file.fileFormat == "PUFFIN")
+      .groupBy(_.file.referencedDataFile.get)
+    assert(dvsByFile.values.forall(_.size == 1),
+      s"files with stacked DVs: ${dvsByFile.view.mapValues(_.size).toMap}")
+    // merged cardinalities cover the union of both deletes (ids 51..200)
+    assert(dvsByFile.values.flatten.map(_.file.recordCount).sum === 150)
+
     // filters and the DV anti-join compose
     val filtered = t.newScan().withFilter(Predicate.ltEq("id", 10L)).toDF(spark)
     assert(filtered.count() === 10)

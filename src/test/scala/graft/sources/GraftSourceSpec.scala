@@ -45,6 +45,16 @@ class GraftSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(orP === None)
     // unknown column refuses
     assert(SparkFilters.toPredicate(EqualTo("nope", 1), schema) === None)
+    // Not over a PARTIALLY translatable And must refuse entirely:
+    // ¬(l∧r) does not imply ¬l, so translating it as ¬l would prune files
+    // whose rows match via ¬r
+    val notPartial = SparkFilters.toPredicate(
+      Not(And(EqualTo("o_custkey", 7L), StringContains("o_comment", "x"))), schema)
+    assert(notPartial === None)
+    // but Not over a fully translatable And still negates
+    val notFull = SparkFilters.toPredicate(
+      Not(And(EqualTo("o_custkey", 7L), GreaterThan("o_custkey", 3L))), schema)
+    assert(notFull.isDefined)
   }
 
   test("format(graft) round-trip with pushdown prunes and matches") {

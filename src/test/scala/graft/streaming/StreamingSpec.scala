@@ -72,5 +72,14 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     GraftStreamWriter.commitBatch("st2", catalog,
       Seq((3L, 2.5)).toDF("id", "v"), "q1", batchId = 1)
     assert(GraftTable.load("st2", catalog).newScan().toDF(spark).count() === 3)
+    // a DIFFERENT query's batch 0 is NOT masked by q1's progress: batch ids
+    // compare only within a query id, so independent streams never drop data
+    GraftStreamWriter.commitBatch("st2", catalog,
+      Seq((4L, 3.5)).toDF("id", "v"), "q2", batchId = 0)
+    assert(GraftTable.load("st2", catalog).newScan().toDF(spark).count() === 4)
+    // ...while q2's own replay of batch 0 is still skipped
+    GraftStreamWriter.commitBatch("st2", catalog,
+      Seq((4L, 3.5)).toDF("id", "v"), "q2", batchId = 0)
+    assert(GraftTable.load("st2", catalog).newScan().toDF(spark).count() === 4)
   }
 }

@@ -67,6 +67,20 @@ class SchemaEvolutionSpec extends AnyFunSuite with BeforeAndAfterAll {
     val filtered = t.newScan()
       .withFilter(graft.expr.Predicate.eqTo("new_name", "x")).toDF(spark).collect()
     assert(filtered.map(_.getString(1)).toSeq === Seq("x"))
+
+    // renaming onto an existing column would make name-based binding
+    // ambiguous — refused, schema unchanged
+    val clash = intercept[IllegalArgumentException] {
+      t.updateSchema().renameColumn("new_name", "id").commit()
+    }
+    assert(clash.getMessage.contains("duplicate column name"))
+    // same for a rename colliding with an added column
+    val clash2 = intercept[IllegalArgumentException] {
+      t.updateSchema().addColumn("z", LongT).renameColumn("new_name", "z").commit()
+    }
+    assert(clash2.getMessage.contains("duplicate column name"))
+    assert(GraftTable.load("evo_rename", catalog).schema.fields.map(_.name)
+      === Seq("id", "new_name"))
   }
 
   test("drop column: excluded from scans, partition sources protected") {
