@@ -51,12 +51,49 @@ object Similarity {
         round(col("cos"), 5).as("cos_sim"))
   }
 
-  /** Embedding-cosine near-duplicate pairs: all (a,b) with cos ≥
-    * threshold. This brute-force form is the correctness baseline; the
-    * 100 TB path replaces the cross join with `annLsh`-style bucketing
-    * (candidates share a hyperplane-sign bucket) so the pair space never
-    * materializes. Output ordered (id_a < id_b). */
-  def cosineNearDups(corpus: DataFrame, threshold: Double): DataFrame = {
+  /** Embedding-cosine near-duplicate pairs via banded hyperplane LSH:
+    * each vector is hashed into `bands` independent sign-pattern buckets
+    * (`planes` hyperplanes per band); candidate pairs share at least one
+    * (band, bucket) cell and are then verified with the exact cosine.
+    *
+    * Scale shape: one explode (×bands) + ONE shuffle by (band, bucket) for
+    * the self-join — each cell is a co-located hash-join bucket, the n²
+    * pair space never materializes (no cartesian product anywhere in the
+    * plan). Recall = 1−(1−p^planes)^bands where p = 1 − angle/π; more
+    * bands → higher recall, more planes → smaller cells. Output ordered
+    * (id_a < id_b), deduped across bands before the exact verify so each
+    * candidate pair is scored once. */
+  def cosineNearDupsLsh(corpus: DataFrame, threshold: Double,
+      planes: Int = 4, bands: Int = 8): DataFrame = {
+    val dims = 64
+    val w = planeWeights(bands * planes, dims)
+    // per band b: bucket = sign pattern of planes [b*planes, (b+1)*planes)
+    val bandBuckets = array((0 until bands).map { b =>
+      val bucket = (0 until planes).map { p =>
+        val planeLit = array(w(b * planes + p).map(lit): _*)
+        when(TextHash.dot(col("embedding"), planeLit) > 0, lit(1 << p)).otherwise(lit(0))
+      }.reduce(_ + _)
+      struct(lit(b).as("band"), bucket.as("bucket"))
+    }: _*)
+    val tagged = corpus
+      .select(col("vec_id"), explode(bandBuckets).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val cand = tagged.select(col("vec_id").as("id_a"), col("band"), col("bucket"))
+      .join(tagged.select(col("vec_id").as("id_b"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val ea = corpus.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+    val eb = corpus.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+    cand.join(ea, Seq("id_a")).join(eb, Seq("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("ea"), col("eb")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 5).as("cos_sim"))
+  }
+
+  /** All-pairs exact form — O(n²), NEVER the production path; kept solely
+    * as the recall oracle for `cosineNearDupsLsh` in tests. */
+  private[graft] def cosineNearDupsBrute(corpus: DataFrame, threshold: Double): DataFrame = {
     val a = corpus.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
     val b = corpus.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
     a.crossJoin(b)
@@ -68,26 +105,62 @@ object Similarity {
 
   /** IVF (inverted-file) ANN: corpus vectors are assigned to their
     * nearest coarse centroid (deterministic sample: every `stride`-th
-    * vector), queries search only their own cell. One broadcast of the
-    * centroid table + one shuffle by cell id — at 100 TB the cell
-    * assignment is a map stage and each cell is a co-located join bucket;
-    * recall is tuned by probing adjacent cells (nprobe, not implemented —
-    * single-probe keeps the driver-checked output deterministic). */
+    * vector), queries search only their own cell.
+    *
+    * Scale shape: the coarse quantizer is collected once on the driver
+    * (IVF centroid tables are small and fixed-size by construction — a
+    * 65k×64-dim quantizer is ~16 MB) and shipped as ONE array literal;
+    * cell assignment is then a map-side argmax inside whole-stage codegen
+    * — a single projection over the corpus with NO shuffle and no
+    * per-(vector,centroid) row ever materialized. The only corpus shuffle
+    * is the per-cell broadcast-join + top-k window. Recall is tuned by
+    * probing adjacent cells (nprobe, not implemented — single-probe keeps
+    * the driver-checked output deterministic). */
+  /** Coarse quantizer: (cid, centroid as double[], l2 norm) sorted by cid.
+    * The sort is the tie-break: `cellOf` takes the FIRST strictly-greater
+    * update, so equal-cos ties resolve to the smallest cid, matching
+    * ORDER BY cos DESC, cid in the oracle. Norms use a left-to-right sum,
+    * bit-identical to list_sum in the SQL oracle. */
+  private def quantizer(corpus: DataFrame, stride: Int): Seq[(Long, Seq[Double], Double)] = {
+    val cents = corpus
+      .filter(col("vec_id") % stride === 0)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map { r =>
+        val ce = r.getSeq[Float](1).map(_.toDouble)
+        (r.getLong(0), ce, math.sqrt(ce.map(x => x * x).sum))
+      }.sortBy(_._1).toSeq
+    require(cents.nonEmpty, s"no centroids: corpus has no vec_id % $stride == 0")
+    cents
+  }
+
+  /** Nearest-centroid id of `emb` over the literal quantizer — one
+    * codegen'd projection, zero shuffle, no (vector, centroid) rows. */
+  private def cellOf(emb: Column, cents: Seq[(Long, Seq[Double], Double)]): Column = {
+    val scored = transform(typedLit(cents), c =>
+      struct((TextHash.dot(emb, c.getField("_2")) /
+        (TextHash.l2norm(emb) * c.getField("_3"))).as("cos"),
+        c.getField("_1").as("cid")))
+    aggregate(scored,
+      struct(lit(-2.0).as("cos"), lit(-1L).as("cid")),
+      (acc, s) => when(s.getField("cos") > acc.getField("cos"), s).otherwise(acc))
+      .getField("cid")
+  }
+
+  /** `df` plus its IVF `cell` column (map-side assignment against
+    * `corpus`'s stride-sampled quantizer). */
+  def ivfAssign(df: DataFrame, corpus: DataFrame, stride: Int = 31): DataFrame = {
+    val cents = quantizer(corpus, stride)
+    df.select(col("vec_id"), col("embedding"), cellOf(col("embedding"), cents).as("cell"))
+  }
+
   def annIvf(queries: DataFrame, corpus: DataFrame, k: Int,
       stride: Int = 31): DataFrame = {
-    val cents = corpus.filter(col("vec_id") % stride === 0)
-      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("cid"))
-    val assigned = corpus.select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("cid"),
-        cosine(col("embedding"), col("ce")).as("ccos"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cid").as("cell"))
-    val q = assigned.join(queries.select("vec_id"), Seq("vec_id"))
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("cell"))
+    val cents = quantizer(corpus, stride)
+    val assigned = corpus.select(col("vec_id"), col("embedding"),
+      cellOf(col("embedding"), cents).as("cell"))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+      cellOf(col("embedding"), cents).as("cell"))
     val scored = assigned.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),

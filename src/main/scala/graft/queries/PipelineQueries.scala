@@ -264,25 +264,46 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
-  /** Embedding-cosine near-dup pairs (threshold 0.45 — the corpus has no
-    * planted embedding dups, so this surfaces the top natural pairs; the
-    * margin to the 0.51 max keeps the threshold decision exact). */
+  /** Embedding-cosine near-dup pairs via banded LSH (8 bands × 4 planes):
+    * candidates share a (band, bucket) cell, then exact-cosine verified at
+    * threshold 0.45 (the corpus has no planted embedding dups, so this
+    * surfaces the top natural pairs; the margin to the 0.51 max keeps the
+    * threshold decision exact). The oracle replays the identical banded
+    * bucketing — the all-pairs form exists only as a recall oracle in
+    * PipelineSpec, never as the registered operator. */
   val p11 = Q.sql(
     "p11_cosine_neardup",
-    """WITH p AS (
-      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    """WITH sig AS (
+      |  SELECT e.vec_id, b.b AS band, pl.p AS p,
+      |    CASE WHEN list_sum(list_transform(range(0, 64), j ->
+      |      e.embedding[j+1]::DOUBLE *
+      |      (('0x'||substr(md5((b.b*4+pl.p)::VARCHAR||'_'||j::VARCHAR),1,15))::BIGINT
+      |        % 2001 - 1000)))
+      |      > 0 THEN (1 << pl.p) ELSE 0 END AS bit
+      |  FROM embeddings e, range(0, 8) b(b), range(0, 4) pl(p)),
+      |buck AS (
+      |  SELECT vec_id, band, sum(bit)::BIGINT AS bucket
+      |  FROM sig GROUP BY vec_id, band),
+      |cand AS (
+      |  SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+      |  FROM buck a JOIN buck c
+      |    ON a.band = c.band AND a.bucket = c.bucket AND a.vec_id < c.vec_id),
+      |p AS (
+      |  SELECT id_a, id_b,
       |    list_sum(list_transform(range(1, 65),
-      |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
+      |      i -> ea.embedding[i]::DOUBLE * eb.embedding[i]::DOUBLE)) /
       |    (sqrt(list_sum(list_transform(range(1, 65),
-      |       i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))) *
+      |       i -> ea.embedding[i]::DOUBLE * ea.embedding[i]::DOUBLE))) *
       |     sqrt(list_sum(list_transform(range(1, 65),
-      |       i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))) AS cos
-      |  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
+      |       i -> eb.embedding[i]::DOUBLE * eb.embedding[i]::DOUBLE)))) AS cos
+      |  FROM cand
+      |  JOIN embeddings ea ON ea.vec_id = cand.id_a
+      |  JOIN embeddings eb ON eb.vec_id = cand.id_b)
       |SELECT id_a, id_b, round(cos, 5) AS cos_sim
       |FROM p WHERE cos >= 0.45
       |ORDER BY id_a, id_b""".stripMargin
   ) { (s, d) =>
-    Similarity.cosineNearDups(Tables.embeddings(s, d), 0.45)
+    Similarity.cosineNearDupsLsh(Tables.embeddings(s, d), 0.45)
       .orderBy(col("id_a"), col("id_b"))
   }
 

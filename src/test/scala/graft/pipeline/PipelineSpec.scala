@@ -90,6 +90,45 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall > 0.05, s"recall $recall suspiciously low")
   }
 
+  test("cosine near-dup LSH: no cartesian product, exact-verified subset, high recall") {
+    val lsh = Similarity.cosineNearDupsLsh(embs, 0.4)
+    // the registered operator must never materialize the n² pair space
+    val plan = lsh.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+    val got = lsh.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.cosineNearDupsBrute(embs, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert((got -- exact).isEmpty, "precision must be 1: every pair is exact-verified")
+    val recall = (got & exact).size.toDouble / exact.size
+    // 8 bands × 4 planes at cos≈0.4 → expected recall ~0.75
+    assert(recall > 0.4, s"recall $recall too low for banded LSH")
+  }
+
+  test("ann IVF: map-side assignment matches the windowed argmax, no cartesian") {
+    val queries = embs.filter(col("vec_id") < 20)
+    val ivf = Similarity.annIvf(queries, embs, 3)
+    val plan = ivf.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+
+    // the literal-quantizer argmax must reproduce the shuffle-based
+    // (crossJoin + window) assignment it replaced, bit for bit
+    val fast = Similarity.ivfAssign(embs, embs).select("vec_id", "cell")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    import org.apache.spark.sql.expressions.Window
+    val cents = embs.filter(col("vec_id") % 31 === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
+    val slow = embs.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        Similarity.cosine(col("embedding"), col("ce")).as("ccos"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast === slow)
+    // result sets are full and ranked
+    assert(ivf.groupBy("query_id").count().filter(col("count") > 3).count() === 0)
+  }
+
   test("multimodal: decode plumbing preserves schema, shape and determinism") {
     val media = Multimodal.asMediaTable(docs)
     assert(media.schema("payload").dataType.typeName === "binary")
