@@ -1,0 +1,245 @@
+package graft.sources
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.paths.SparkPath
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan}
+import org.apache.spark.sql.execution.datasources.{FileFormat, PartitionedFile}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.util.SerializableConfiguration
+
+import graft.expr.{AlwaysTrue, Predicate}
+import graft.meta.FileContent
+import graft.puffin.{Puffin, Roaring64}
+import graft.table.GraftTable
+
+/** Native DSv2 Batch read path — the analogue of the reference's
+  * `IcebergTableScan` physical plan (crates/integrations/datafusion/src/
+  * physical_plan/scan.rs:41,139): `planInputPartitions` hands each
+  * executor a byte-range slice of a planned `FileScanTask`, and the
+  * partition reader decodes parquet through Spark's own vectorized
+  * machinery (`ParquetFileFormat.buildReaderWithPartitionValues`) — rows
+  * stay `InternalRow` end to end, so the per-row `Row` conversion and
+  * codegen fence of the old `V1Scan` fallback are gone; `explain` shows a
+  * real `BatchScan`, not `Scan ExistingRDD`.
+  *
+  * Merge-on-read position deletes and v3 deletion vectors are applied
+  * IN THE READER, per file: the reader unions the file's DV bitmap (a
+  * Puffin roaring blob) with any parquet position-delete rows that
+  * reference the file, then skips those row indexes while streaming.
+  * Files with position-type deletes read unsplit and unfiltered (parquet
+  * row-group pruning would break row-index accounting); clean files are
+  * split at row-group boundaries and get the pushed filters for
+  * row-group/page pruning.
+  *
+  * Tables that need name-mapping resolution or equality-delete joins fall
+  * back to the V1 relation path (`GraftV1Scan`), whose anti-join plans
+  * remain the right distributed shape for key-based deletes.
+  */
+final class GraftBatchScan(table: GraftTable, predicate: Predicate,
+    pushedFilters: Seq[Filter], required: Option[StructType]) extends Scan with Batch {
+
+  private val projected: Seq[String] = required match {
+    case Some(s) if s.fields.nonEmpty => s.fieldNames.toSeq
+    case _ => table.schema.fields.map(_.name)
+  }
+
+  // projected schema rebuilt from the table schema so parquet.field.id
+  // metadata survives whatever Spark passed through pruneColumns
+  override def readSchema(): StructType = {
+    val full = table.schema.toSpark
+    StructType(projected.flatMap(n => full.fields.find(_.name == n)))
+  }
+
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"graft ${table.name}${if (predicate == AlwaysTrue) "" else s" filter=$predicate"}"
+
+  private def qualify(p: String): String = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    table.io.fs(p).makeQualified(hp).toString
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val scan = predicate match {
+      case AlwaysTrue => table.newScan()
+      case p => table.newScan().withFilter(p)
+    }
+    val deletes = scan.planDeletes()
+    val posParquet = deletes
+      .filter(d => d.file.content == FileContent.PositionDeletes &&
+        d.file.fileFormat != "PUFFIN")
+      .map(d => (d.file.filePath, d.file.fileSizeInBytes))
+    val dvByFile: Map[String, (String, Long, Long)] = deletes
+      .filter(d => d.file.content == FileContent.PositionDeletes &&
+        d.file.fileFormat == "PUFFIN")
+      .flatMap(d => d.file.referencedDataFile.map(r => qualify(r) ->
+        ((d.file.filePath, d.file.contentOffset.getOrElse(0L),
+          d.file.contentSizeInBytes.getOrElse(0L)))))
+      .toMap
+
+    scan.planFiles().flatMap { t =>
+      val path = qualify(t.file.filePath)
+      val size = t.file.fileSizeInBytes
+      val dv = dvByFile.get(path)
+      val withDeletes = dv.isDefined || posParquet.nonEmpty
+      if (withDeletes)
+        // whole file in one slice: row indexes must be exact
+        Seq(GraftInputPartition(path, 0L, size, size,
+          needsRowIndex = true, posParquet, dv))
+      else {
+        // clean file: split at row-group boundaries like planSplits
+        val target = 128L << 20
+        val offsets = t.file.splitOffsets
+        if (offsets.size <= 1 || size <= target)
+          Seq(GraftInputPartition(path, 0L, size, size, needsRowIndex = false, Nil, None))
+        else {
+          val bounds = offsets :+ size
+          val splits = Seq.newBuilder[GraftInputPartition]
+          var start = bounds.head
+          var i = 1
+          while (i < bounds.size) {
+            if (bounds(i) - start >= target || i == bounds.size - 1) {
+              splits += GraftInputPartition(path, start, bounds(i) - start, size,
+                needsRowIndex = false, Nil, None)
+              start = bounds(i)
+            }
+            i += 1
+          }
+          splits.result()
+        }
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val spark = SparkSession.active
+    GraftReaderFactory.build(spark, table.schema.toSpark, readSchema(), pushedFilters)
+  }
+}
+
+/** One byte-range slice of a data file plus its delete context. */
+final case class GraftInputPartition(
+    path: String,
+    start: Long,
+    length: Long,
+    fileSize: Long,
+    needsRowIndex: Boolean,
+    posDeleteFiles: Seq[(String, Long)],
+    dv: Option[(String, Long, Long)]) extends InputPartition
+
+object GraftReaderFactory {
+
+  /** Position-delete file schema: (file_path string, pos long). */
+  private val PosDeleteSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("file_path",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("pos",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+
+  /** Build the three serializable read closures on the driver. Field-id
+    * resolution confs are baked into the broadcast hadoop conf at build
+    * time via a save/restore of the session conf (no lasting session
+    * mutation — the concurrent-scan hygiene contract). */
+  def build(spark: SparkSession, dataSchema: StructType, readSchema: StructType,
+      filters: Seq[Filter]): GraftReaderFactory = {
+    val conf = spark.conf
+    val saved = Seq("spark.sql.parquet.fieldId.read.enabled",
+      "spark.sql.parquet.fieldId.read.ignoreMissing").map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+      conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
+      val fmt = new ParquetFileFormat()
+      val hc = spark.sparkContext.hadoopConfiguration
+      val rowOpts = Map(FileFormat.OPTION_RETURNING_BATCH -> "false")
+      val empty = StructType(Nil)
+      new GraftReaderFactory(
+        fmt.buildReaderWithPartitionValues(spark, dataSchema, empty, readSchema,
+          filters, rowOpts, new org.apache.hadoop.conf.Configuration(hc)),
+        fmt.buildReaderWithPartitionValues(spark, dataSchema, empty, readSchema,
+          Nil, rowOpts, new org.apache.hadoop.conf.Configuration(hc)),
+        fmt.buildReaderWithPartitionValues(spark, PosDeleteSchema, empty, PosDeleteSchema,
+          Nil, rowOpts, new org.apache.hadoop.conf.Configuration(hc)),
+        spark.sparkContext.broadcast(new SerializableConfiguration(
+          new org.apache.hadoop.conf.Configuration(hc))))
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+}
+
+final class GraftReaderFactory(
+    filteredRead: PartitionedFile => Iterator[InternalRow],
+    plainRead: PartitionedFile => Iterator[InternalRow],
+    posDeleteRead: PartitionedFile => Iterator[InternalRow],
+    conf: Broadcast[SerializableConfiguration]) extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftInputPartition]
+    val read = if (p.needsRowIndex) plainRead else filteredRead
+    new GraftPartitionReader(p, read, posDeleteRead, conf)
+  }
+}
+
+/** Executor-side reader: streams InternalRows from the vectorized parquet
+  * reader, skipping deleted row indexes for files under MoR deletes. */
+final class GraftPartitionReader(
+    part: GraftInputPartition,
+    read: PartitionedFile => Iterator[InternalRow],
+    posDeleteRead: PartitionedFile => Iterator[InternalRow],
+    conf: Broadcast[SerializableConfiguration]) extends PartitionReader[InternalRow] {
+
+  private var current: InternalRow = _
+  private var rowIndex: Long = -1L
+
+  private lazy val deleted: Roaring64 = {
+    var bm = Roaring64.fromPositions(Nil)
+    part.dv.foreach { case (puffinPath, offset, len) =>
+      val io = new graft.io.FileIO(conf.value.value)
+      val meta = Puffin.BlobMetadata(Puffin.DeletionVectorV1, Nil, 0L, 0L,
+        offset, len, Map.empty)
+      bm = bm.or(Puffin.dvDeserialize(Puffin.readBlob(io, puffinPath, meta)))
+    }
+    if (part.posDeleteFiles.nonEmpty) {
+      val mine = scala.collection.mutable.ArrayBuffer[Long]()
+      part.posDeleteFiles.foreach { case (dp, dsize) =>
+        val pf = PartitionedFile(InternalRow.empty, SparkPath.fromPathString(dp),
+          0L, dsize, Array.empty, 0L, dsize, Map.empty)
+        val it = posDeleteRead(pf)
+        while (it.hasNext) {
+          val r = it.next()
+          if (r.getUTF8String(0).toString == part.path) mine += r.getLong(1)
+        }
+      }
+      if (mine.nonEmpty) bm = bm.or(Roaring64.fromPositions(mine))
+    }
+    bm
+  }
+
+  private lazy val rows: Iterator[InternalRow] = {
+    val pf = PartitionedFile(InternalRow.empty, SparkPath.fromPathString(part.path),
+      part.start, part.length, Array.empty, 0L, part.fileSize, Map.empty)
+    read(pf)
+  }
+
+  override def next(): Boolean = {
+    while (rows.hasNext) {
+      val r = rows.next()
+      rowIndex += 1
+      if (!part.needsRowIndex || !deleted.contains(rowIndex)) {
+        current = r
+        return true
+      }
+    }
+    false
+  }
+
+  override def get(): InternalRow = current
+
+  override def close(): Unit = ()
+}

@@ -107,7 +107,18 @@ final class GraftScanBuilder(table: GraftTable)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = Some(requiredSchema)
 
-  override def build(): Scan = new GraftV1Scan(table, predicate, required)
+  /** Native DSv2 Batch for the common shapes (clean scans, position
+    * deletes, DVs); V1 relation fallback for the join-shaped features —
+    * name-mapping resolution and equality deletes — whose distributed
+    * anti-join plans don't fit a per-file reader. */
+  override def build(): Scan = {
+    val usesNameMapping =
+      table.metadata.properties.get("graft.read.use-name-mapping").contains("true")
+    lazy val hasEqDeletes = table.newScan().planDeletes()
+      .exists(_.file.content == graft.meta.FileContent.EqualityDeletes)
+    if (usesNameMapping || hasEqDeletes) new GraftV1Scan(table, predicate, required)
+    else new GraftBatchScan(table, predicate, pushed.toSeq, required)
+  }
 }
 
 final class GraftV1Scan(table: GraftTable, predicate: Predicate,

@@ -79,10 +79,38 @@ class GraftSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val (planned, all) = t.newScan().withFilter(pred).planSummary()
     assert(planned < all, s"expected bucket pruning, planned=$planned all=$all")
 
-    // and the DSv2 explain shows the filter reached the scan
+    // and the plan is a native DSv2 BatchScan — rows stay InternalRow end
+    // to end (no V1 `Scan ExistingRDD` fallback, no per-row Row conversion)
     val explained = df.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-    assert(explained.contains("PushedFilters") || explained.contains("Filter"))
+    assert(explained.contains("BatchScan"), explained)
+    assert(!explained.contains("ExistingRDD"), explained)
+  }
+
+  test("DSv2 BatchScan applies deletion vectors and position deletes in-reader") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-dsv2-dv").toString
+    val catalog = new graft.catalog.HadoopCatalog(wh, graft.io.FileIO.fromSpark(spark))
+    val schema = graft.spec.IcebergSchema(0, Seq(
+      graft.spec.NestedField(1, "id", graft.spec.IcebergType.LongT, required = false),
+      graft.spec.NestedField(2, "v", graft.spec.IcebergType.DoubleT, required = false)))
+    var t = graft.table.GraftTable.create("dsv2dv", catalog, schema,
+      properties = Map("write.spark.max-records-per-file" -> "40"))
+    t = t.append((1L to 200L).map(i => (i, i * 0.5)).toDF("id", "v"))
+    t = t.deleteWhereDV(graft.expr.Predicate.gt("v", 50.0), spark)
+    // stack a parquet position delete on top of the DV
+    t = t.deleteWhere(graft.expr.Predicate.ltEq("id", 5L), spark)
+
+    val df = spark.read.format("graft")
+      .option("warehouse", wh).option("table", "dsv2dv").load()
+    val explained = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(explained.contains("BatchScan"), explained)
+    assert(df.count() === 95) // 200 − 100 (DV) − 5 (pos)
+    assert(df.agg(max("id")).head.getLong(0) === 100L)
+    assert(df.agg(min("id")).head.getLong(0) === 6L)
+    // filters still push and results stay correct under in-reader deletes
+    assert(df.filter(col("id") <= 10).count() === 5)
   }
 
   test("SQL surface: spark.sql over the catalog plugin, with pushdown") {
