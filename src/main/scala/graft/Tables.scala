@@ -22,7 +22,11 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = t(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = t(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = t(s, d, "region")
-  def events(s: SparkSession, d: String): DataFrame = t(s, d, "events")
+  /** events.parquet carries a TIMESTAMP(NANOS) column: read through the
+    * scan-configured session clone so ns surfaces as exact long ns
+    * (TimestampNsT mapping) without mutating the caller's session. */
+  def events(s: SparkSession, d: String): DataFrame =
+    t(SessionConf.scanSession(s), d, "events")
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 }

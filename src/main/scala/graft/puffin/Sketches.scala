@@ -64,10 +64,14 @@ object Sketches {
       ColumnSketch(-1, c, k, hashes)
     }
 
-  /** Compute sketches for `cols` of the table's current snapshot and
-    * persist them as a Puffin stats file; returns (path, sketches). */
+  /** Compute sketches for `cols` of the table's current snapshot, persist
+    * them as a Puffin stats file AND register it in table metadata
+    * (`statistics`, statistic_file.rs:27 / table_metadata.rs statistics
+    * list) — discoverable per snapshot with no hand-carried path. A
+    * re-run for the same snapshot replaces its entry (set_statistics
+    * semantics). Returns the updated table and the sketches. */
   def writeDistinctStats(table: GraftTable, spark: SparkSession,
-      cols: Seq[String], k: Int = DefaultK): (String, Seq[ColumnSketch]) = {
+      cols: Seq[String], k: Int = DefaultK): (GraftTable, Seq[ColumnSketch]) = {
     val snapshotId = table.metadata.currentSnapshotId.getOrElse(0L)
     val seq = table.metadata.lastSequenceNumber
     val df = table.newScan().toDF(spark)
@@ -75,11 +79,34 @@ object Sketches {
       s.copy(fieldId = table.schema.findField(s.column).map(_.id).getOrElse(-1))
     }
     val path = s"${table.location}/metadata/stats-$snapshotId-${java.util.UUID.randomUUID()}.puffin"
-    Puffin.write(table.io, path, sketches.map { s =>
+    val metas = Puffin.write(table.io, path, sketches.map { s =>
       Puffin.Blob(Puffin.KmvDistinctV1, Seq(s.fieldId), snapshotId, seq,
         s.serialize(), Map("column" -> s.column, "ndv" -> s.estimate.toString))
     }, Map("created-by" -> "graft"))
-    (path, sketches)
+    val fileSize = table.io.size(path)
+    val statsFile = graft.spec.StatisticsFile(
+      snapshotId = snapshotId,
+      statisticsPath = path,
+      fileSizeInBytes = fileSize,
+      fileFooterSizeInBytes = fileSize - metas.map(m => m.offset + m.length).max,
+      blobMetadata = metas.map(m => graft.spec.StatsBlobMetadata(
+        m.blobType, snapshotId, seq, m.fields, m.properties)))
+    val updated = graft.catalog.CommitRetry.run(table.catalog, table.name) { (base, _) =>
+      val kept = base.statistics.filterNot(_.snapshotId == snapshotId)
+      (base.copy(statistics = kept :+ statsFile,
+        lastUpdatedMs = System.currentTimeMillis()),
+        (_: Int) => table.refresh())
+    }
+    (updated, sketches)
+  }
+
+  /** Load the sketches registered for the table's current snapshot —
+    * discovery goes through `metadata.statistics`, not a carried path. */
+  def readCurrentStats(table: GraftTable): Seq[ColumnSketch] = {
+    val snapshotId = table.metadata.currentSnapshotId.getOrElse(0L)
+    table.metadata.statisticsFor(snapshotId)
+      .map(sf => readDistinctStats(table, sf.statisticsPath))
+      .getOrElse(Nil)
   }
 
   /** Load sketches back from a stats file. */

@@ -137,8 +137,16 @@ object IcebergQueries {
   }
 
   /** snapshots + history metadata tables (inspect/metadata_table.rs):
-    * deterministic columns only — no oracle (ids/timestamps are per-run). */
-  val i07 = Q.rowsOnly("i07_iceberg_snapshots_meta") { (s, d) =>
+    * deterministic columns only (ids/timestamps are per-run) — the
+    * two-append fixture always yields sequence numbers 1,2 with operation
+    * 'append', so a VALUES oracle closes the gate. */
+  val i07 = Q.sql(
+    "i07_iceberg_snapshots_meta",
+    """SELECT * FROM (VALUES (CAST(1 AS BIGINT), 'append'),
+      |                      (CAST(2 AS BIGINT), 'append'))
+      |  AS t(sequence_number, operation)
+      |ORDER BY sequence_number""".stripMargin
+  ) { (s, d) =>
     val t = IcebergFixtures.ordersTwoSnapshots(s, d)
     t.snapshotsDf(s)
       .select(col("sequence_number"), col("operation"))
@@ -291,9 +299,10 @@ object IcebergQueries {
   ) { (s, d) =>
     import s.implicits._
     val base = IcebergFixtures.plainCustomer(s, d)
-    val (path, _) = graft.puffin.Sketches.writeDistinctStats(
+    val (withStats, _) = graft.puffin.Sketches.writeDistinctStats(
       base, s, Seq("c_mktsegment", "c_custkey"))
-    graft.puffin.Sketches.readDistinctStats(base, path)
+    // discovery goes through metadata.statistics — no hand-carried path
+    graft.puffin.Sketches.readCurrentStats(withStats)
       .map(sk => (sk.column, sk.estimate))
       .toDF("column_name", "ndv")
       .orderBy(col("column_name"))

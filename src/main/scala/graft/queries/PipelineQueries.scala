@@ -379,10 +379,9 @@ object PipelineQueries {
       |ORDER BY user_id, session_idx""".stripMargin,
     bench = true
   ) { (s, d) =>
-    // events.parquet is TIMESTAMP(NANOS): read ns as long (µs division is
-    // exact integer math; a plain timestamp read rejects nanos). Left set:
-    // it only affects ns-typed columns and must hold through execution.
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // events.parquet is TIMESTAMP(NANOS): Tables.events reads it through
+    // the scan-session clone as exact long ns (µs division is integer
+    // math) — no session conf is touched here
     graft.pipeline.Sessions.sessionize(Tables.events(s, d))
       .orderBy(col("user_id"), col("session_idx"))
   }

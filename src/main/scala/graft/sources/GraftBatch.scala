@@ -141,35 +141,31 @@ object GraftReaderFactory {
     org.apache.spark.sql.types.StructField("pos",
       org.apache.spark.sql.types.LongType, nullable = false)))
 
-  /** Build the three serializable read closures on the driver. Field-id
-    * resolution confs are baked into the broadcast hadoop conf at build
-    * time via a save/restore of the session conf (no lasting session
-    * mutation — the concurrent-scan hygiene contract). */
+  /** Build the three serializable read closures on the driver, against the
+    * scan-configured session CLONE (graft.SessionConf): field-id and
+    * ns-as-long settings are baked into the broadcast hadoop conf and
+    * captured closure state at build time, and the caller's session is
+    * never mutated (the concurrent-scan hygiene contract). */
   def build(spark: SparkSession, dataSchema: StructType, readSchema: StructType,
       filters: Seq[Filter]): GraftReaderFactory = {
-    val conf = spark.conf
-    val saved = Seq("spark.sql.parquet.fieldId.read.enabled",
-      "spark.sql.parquet.fieldId.read.ignoreMissing").map(k => k -> conf.getOption(k))
-    try {
-      conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-      conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
-      val fmt = new ParquetFileFormat()
-      val hc = spark.sparkContext.hadoopConfiguration
-      val rowOpts = Map(FileFormat.OPTION_RETURNING_BATCH -> "false")
-      val empty = StructType(Nil)
-      new GraftReaderFactory(
-        fmt.buildReaderWithPartitionValues(spark, dataSchema, empty, readSchema,
-          filters, rowOpts, new org.apache.hadoop.conf.Configuration(hc)),
-        fmt.buildReaderWithPartitionValues(spark, dataSchema, empty, readSchema,
-          Nil, rowOpts, new org.apache.hadoop.conf.Configuration(hc)),
-        fmt.buildReaderWithPartitionValues(spark, PosDeleteSchema, empty, PosDeleteSchema,
-          Nil, rowOpts, new org.apache.hadoop.conf.Configuration(hc)),
-        spark.sparkContext.broadcast(new SerializableConfiguration(
-          new org.apache.hadoop.conf.Configuration(hc))))
-    } finally saved.foreach {
-      case (k, Some(v)) => conf.set(k, v)
-      case (k, None) => conf.unset(k)
+    val scanSpark = graft.SessionConf.scanSession(spark)
+    val fmt = new ParquetFileFormat()
+    val hc = scanSpark.sparkContext.hadoopConfiguration
+    def conf() = {
+      val c = new org.apache.hadoop.conf.Configuration(hc)
+      graft.SessionConf.ScanConf.foreach { case (k, v) => c.set(k, v) }
+      c
     }
+    val rowOpts = Map(FileFormat.OPTION_RETURNING_BATCH -> "false")
+    val empty = StructType(Nil)
+    new GraftReaderFactory(
+      fmt.buildReaderWithPartitionValues(scanSpark, dataSchema, empty, readSchema,
+        filters, rowOpts, conf()),
+      fmt.buildReaderWithPartitionValues(scanSpark, dataSchema, empty, readSchema,
+        Nil, rowOpts, conf()),
+      fmt.buildReaderWithPartitionValues(scanSpark, PosDeleteSchema, empty, PosDeleteSchema,
+        Nil, rowOpts, conf()),
+      spark.sparkContext.broadcast(new SerializableConfiguration(conf())))
   }
 }
 

@@ -34,6 +34,12 @@ object IcebergType {
   case object TimestampT extends PrimitiveIcebergType { val jsonName = "timestamp" }
   /** µs since epoch, UTC-adjusted. */
   case object TimestamptzT extends PrimitiveIcebergType { val jsonName = "timestamptz" }
+  /** ns since epoch, no zone (v3, datatypes.rs:265). Spark has no ns
+    * timestamp, so this maps to long-with-metadata like Time — exact ns
+    * arithmetic stays integer math, never a lossy µs truncation. */
+  case object TimestampNsT extends PrimitiveIcebergType { val jsonName = "timestamp_ns" }
+  /** ns since epoch, UTC-adjusted (v3, datatypes.rs:268). */
+  case object TimestamptzNsT extends PrimitiveIcebergType { val jsonName = "timestamptz_ns" }
   case object StringT extends PrimitiveIcebergType { val jsonName = "string" }
   case object UuidT extends PrimitiveIcebergType { val jsonName = "uuid" }
   final case class FixedT(length: Int) extends PrimitiveIcebergType {
@@ -63,6 +69,8 @@ object IcebergType {
     case "time" => TimeT
     case "timestamp" => TimestampT
     case "timestamptz" => TimestamptzT
+    case "timestamp_ns" => TimestampNsT
+    case "timestamptz_ns" => TimestamptzNsT
     case "string" => StringT
     case "uuid" => UuidT
     case "binary" => BinaryT
@@ -84,6 +92,7 @@ object IcebergType {
     case TimeT => LongType // µs since midnight + metadata tag
     case TimestampT => TimestampNTZType
     case TimestamptzT => TimestampType
+    case TimestampNsT | TimestamptzNsT => LongType // ns since epoch + metadata tag
     case StringT => StringType
     case UuidT => StringType // canonical form
     case FixedT(_) => BinaryType

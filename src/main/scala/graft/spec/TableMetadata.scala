@@ -53,6 +53,64 @@ final case class SnapshotRef(snapshotId: Long, refType: String) {
   require(refType == "branch" || refType == "tag", s"bad ref type $refType")
 }
 
+/** Statistics file registered in table metadata (spec/statistic_file.rs:27):
+  * a Puffin file of sketch blobs, discoverable per snapshot — queries and
+  * planners find ndv estimates without hand-carried paths. */
+final case class StatisticsFile(
+    snapshotId: Long,
+    statisticsPath: String,
+    fileSizeInBytes: Long,
+    fileFooterSizeInBytes: Long,
+    blobMetadata: Seq[StatsBlobMetadata]) {
+
+  def toJson: ObjectNode = {
+    val o = obj()
+    o.put("snapshot-id", snapshotId)
+    o.put("statistics-path", statisticsPath)
+    o.put("file-size-in-bytes", fileSizeInBytes)
+    o.put("file-footer-size-in-bytes", fileFooterSizeInBytes)
+    val ba = arr(); blobMetadata.foreach(b => ba.add(b.toJson))
+    o.set[ObjectNode]("blob-metadata", ba)
+    o
+  }
+}
+
+/** Blob descriptor inside a registered statistics file
+  * (statistic_file.rs:46). */
+final case class StatsBlobMetadata(
+    blobType: String,
+    snapshotId: Long,
+    sequenceNumber: Long,
+    fields: Seq[Int],
+    properties: Map[String, String]) {
+
+  def toJson: ObjectNode = {
+    val o = obj()
+    o.put("type", blobType)
+    o.put("snapshot-id", snapshotId)
+    o.put("sequence-number", sequenceNumber)
+    val fa = arr(); fields.foreach(fa.add); o.set[ObjectNode]("fields", fa)
+    val p = obj(); properties.toSeq.sortBy(_._1).foreach { case (k, v) => p.put(k, v) }
+    o.set[ObjectNode]("properties", p)
+    o
+  }
+}
+
+object StatisticsFile {
+  def fromJson(n: JsonNode): StatisticsFile = StatisticsFile(
+    snapshotId = n("snapshot-id").asLong(),
+    statisticsPath = n("statistics-path").asText(),
+    fileSizeInBytes = n("file-size-in-bytes").asLong(),
+    fileFooterSizeInBytes = n.opt("file-footer-size-in-bytes").map(_.asLong()).getOrElse(0L),
+    blobMetadata = n.opt("blob-metadata").map(_.elems.map(b => StatsBlobMetadata(
+      blobType = b("type").asText(),
+      snapshotId = b("snapshot-id").asLong(),
+      sequenceNumber = b("sequence-number").asLong(),
+      fields = b.opt("fields").map(_.elems.map(_.asInt())).getOrElse(Nil),
+      properties = b.opt("properties").map(_.fieldsMap.map { case (k, v) => k -> v.asText() })
+        .getOrElse(Map.empty)))).getOrElse(Nil))
+}
+
 /** The immutable table-metadata tree (spec/table_metadata.rs:69), format V2.
   *
   * Serialized as `<version>.metadata.json`; commit = atomic swap of the
@@ -77,7 +135,11 @@ final case class TableMetadata(
     snapshots: Seq[Snapshot],
     snapshotLog: Seq[(Long, Long)], // (snapshotId, timestampMs)
     metadataLog: Seq[(String, Long)], // (metadataFile, timestampMs)
-    refs: Map[String, SnapshotRef] = Map.empty) {
+    refs: Map[String, SnapshotRef] = Map.empty,
+    statistics: Seq[StatisticsFile] = Nil) {
+
+  def statisticsFor(snapshotId: Long): Option[StatisticsFile] =
+    statistics.find(_.snapshotId == snapshotId)
 
   def currentSchema: IcebergSchema =
     schemas.find(_.schemaId == currentSchemaId).getOrElse(
@@ -135,6 +197,10 @@ final case class TableMetadata(
       }
       o.set[ObjectNode]("refs", ro)
     }
+    if (statistics.nonEmpty) {
+      val st = arr(); statistics.foreach(s => st.add(s.toJson))
+      o.set[ObjectNode]("statistics", st)
+    }
     o
   }
 
@@ -173,7 +239,9 @@ object TableMetadata {
         (e("metadata-file").asText(), e("timestamp-ms").asLong()))).getOrElse(Nil),
       refs = n.opt("refs").map(_.fieldsMap.map { case (name, r) =>
         name -> SnapshotRef(r("snapshot-id").asLong(), r("type").asText())
-      }).getOrElse(Map.empty))
+      }).getOrElse(Map.empty),
+      statistics = n.opt("statistics").map(_.elems.map(StatisticsFile.fromJson))
+        .getOrElse(Nil))
   }
 
   /** Fresh metadata for a new V2 table. */

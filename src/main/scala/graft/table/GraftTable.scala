@@ -251,11 +251,9 @@ final class IncrementalScan private[table] (
     val sparkSchema = table.schema.toSpark
     if (tasks.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sparkSchema)
-    else {
-      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-      spark.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
-      spark.read.schema(sparkSchema).parquet(tasks.map(_.file.filePath): _*)
-    }
+    else
+      graft.SessionConf.scanSession(spark).read.schema(sparkSchema)
+        .parquet(tasks.map(_.file.filePath): _*)
   }
 }
 
@@ -519,10 +517,10 @@ final class TableScan private[table] (
 
   private def dfForTasks(spark: SparkSession, tasks: Seq[FileScanTask]): DataFrame = {
     val sparkSchema = table.schema.toSpark
-    // id-based projection (pipeline.rs:160-168); tolerate legacy files
-    // written without embedded ids (falls back to name resolution)
-    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-    spark.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
+    // id-based projection (pipeline.rs:160-168) via a conf-carrying session
+    // clone — the caller's session conf is never mutated, so concurrent
+    // queries can't observe scan settings (graft.SessionConf)
+    val reader = graft.SessionConf.scanSession(spark)
     val base =
       if (tasks.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sparkSchema)
@@ -548,7 +546,7 @@ final class TableScan private[table] (
                 sf.copy(name = nm.namesOf(f.id).headOption.getOrElse(f.name),
                   metadata = org.apache.spark.sql.types.Metadata.empty)
               })
-            val rawPhys = spark.read.schema(physical)
+            val rawPhys = reader.read.schema(physical)
               .parquet(tasks.map(_.file.filePath): _*)
             // deletes join on _metadata → must run before the rename
             // projection drops it (position/DV deletes only for mapped
@@ -558,7 +556,7 @@ final class TableScan private[table] (
                 col(pf.name).as(f.name)
               }: _*)
           case None =>
-            val raw = spark.read.schema(sparkSchema).parquet(tasks.map(_.file.filePath): _*)
+            val raw = reader.read.schema(sparkSchema).parquet(tasks.map(_.file.filePath): _*)
             applyDeletes(spark, raw, tasks)
         }
       }

@@ -63,6 +63,38 @@ class PuffinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Puffin.readBlob(io, path, readMetas(1)).toSeq === Seq[Byte](1, 2, 3, 4))
   }
 
+  test("statistics files register in table metadata and round-trip") {
+    import spark.implicits._
+    val catalog = new HadoopCatalog(
+      java.nio.file.Files.createTempDirectory("graft-stats-").toString,
+      FileIO.fromSpark(spark))
+    val schema = IcebergSchema(0, Seq(
+      NestedField(1, "id", LongT, required = false),
+      NestedField(2, "seg", StringT, required = false)))
+    var t = GraftTable.create("stats1", catalog, schema)
+    t = t.append((1L to 100L).map(i => (i, s"s${i % 5}")).toDF("id", "seg"))
+
+    val (t2, sketches) = Sketches.writeDistinctStats(t, spark, Seq("seg", "id"))
+    // registered: discoverable from metadata for the current snapshot
+    val snapId = t2.metadata.currentSnapshotId.get
+    val sf = t2.metadata.statisticsFor(snapId).get
+    assert(sf.blobMetadata.size === 2)
+    assert(sf.blobMetadata.forall(_.blobType === Puffin.KmvDistinctV1))
+    assert(sf.fileSizeInBytes > 0 && sf.fileFooterSizeInBytes > 0)
+    // discovery-based read returns the same sketches
+    val read = Sketches.readCurrentStats(t2)
+    assert(read.map(s => (s.column, s.estimate)).toSet ===
+      sketches.map(s => (s.column, s.estimate)).toSet)
+    assert(read.find(_.column == "seg").get.estimate === 5L)
+    // metadata JSON round-trips the statistics list
+    val round = TableMetadata.fromJsonString(t2.metadata.toJsonString)
+    assert(round.statistics === t2.metadata.statistics)
+    // re-running for the same snapshot REPLACES the entry, never stacks
+    val (t3, _) = Sketches.writeDistinctStats(t2, spark, Seq("seg"))
+    assert(t3.metadata.statistics.count(_.snapshotId == snapId) === 1)
+    assert(Sketches.readCurrentStats(t3).map(_.column) === Seq("seg"))
+  }
+
   test("deletion-vector delete: scan applies DVs, survives compaction") {
     import spark.implicits._
     val catalog = new HadoopCatalog(

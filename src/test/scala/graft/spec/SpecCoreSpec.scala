@@ -129,6 +129,24 @@ class SpecCoreSpec extends AnyFunSuite {
     assert(back.fields.map(_.name) == Seq("id", "name"))
   }
 
+  test("v3 nanosecond timestamp types: serde round-trip + long mapping") {
+    // datatypes.rs:260-268 — TimestampNs / TimestamptzNs
+    assert(IcebergType.parsePrimitive("timestamp_ns") == IcebergType.TimestampNsT)
+    assert(IcebergType.parsePrimitive("timestamptz_ns") == IcebergType.TimestamptzNsT)
+    assert(IcebergType.TimestampNsT.jsonName == "timestamp_ns")
+    // Spark has no ns timestamp: both map to long (exact integer ns)
+    assert(IcebergType.toSpark(IcebergType.TimestampNsT) ==
+      org.apache.spark.sql.types.LongType)
+    assert(IcebergType.toSpark(IcebergType.TimestamptzNsT) ==
+      org.apache.spark.sql.types.LongType)
+    // schema JSON round-trip preserves the ns types
+    val s = IcebergSchema(0, Seq(
+      NestedField(1, "ts", IcebergType.TimestampNsT, required = false),
+      NestedField(2, "tstz", IcebergType.TimestamptzNsT, required = false)))
+    val back = IcebergSchema.schemaFromJson(s.toJson)
+    assert(back == s)
+  }
+
   test("partition spec build + path rendering") {
     val schema = IcebergSchema(0, Seq(
       NestedField(1, "l_orderkey", IcebergType.LongT, required = true),

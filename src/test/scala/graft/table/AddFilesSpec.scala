@@ -64,6 +64,43 @@ class AddFilesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(planned <= all)
   }
 
+  test("v3 ns timestamps: events.parquet registers schema-native, no conf leak") {
+    // the driver's events table carries a TIMESTAMP(NANOS) column — the
+    // TimestampNsT mapping reads it as exact long ns through the scan
+    // session clone, with the caller's session conf untouched
+    val catalog = new HadoopCatalog(
+      java.nio.file.Files.createTempDirectory("graft-ns-").toString,
+      FileIO.fromSpark(spark))
+    val schema = IcebergSchema(0, Seq(
+      NestedField(1, "event_id", LongT, required = false),
+      NestedField(2, "ts", TimestampNsT, required = false),
+      NestedField(3, "user_id", LongT, required = false),
+      NestedField(4, "event_type", StringT, required = false),
+      NestedField(5, "value", DoubleT, required = false),
+      NestedField(6, "props", StringT, required = false)))
+    // conf snapshot: the scan clone must never write through to this session
+    val confBefore = graft.SessionConf.ScanConf.map { case (k, _) =>
+      k -> spark.conf.getOption(k) }
+    var t = GraftTable.create("events_ns", catalog, schema)
+    t = t.addFiles(spark, Seq("/root/testdata/sf0.001/events.parquet"))
+
+    val df = t.newScan().select("event_id", "ts").toDF(spark)
+    assert(df.schema("ts").dataType === org.apache.spark.sql.types.LongType)
+    val raw = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    assert(df.count() === raw.count())
+    // ns values are exact: min/max agree with the clone-read raw table
+    val (lo, hi) = (raw.agg(min("ts")).head.getLong(0), raw.agg(max("ts")).head.getLong(0))
+    assert(df.agg(min("ts")).head.getLong(0) === lo)
+    assert(df.agg(max("ts")).head.getLong(0) === hi)
+
+    // hygiene: no scan path mutated the caller's session conf (the clone
+    // carries "true"; the parent must still report its pre-scan values)
+    confBefore.foreach { case (k, v) =>
+      assert(spark.conf.getOption(k) === v, s"session conf leaked: $k")
+      assert(!spark.conf.getOption(k).contains("true"), s"session conf leaked: $k")
+    }
+  }
+
   test("rename after migration: mapping alias keeps old files readable") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("foreign2-").toString
