@@ -1,0 +1,168 @@
+package graft.catalog
+
+import java.sql.{Connection, DriverManager}
+
+import graft.io.FileIO
+import graft.spec.{IcebergSchema, PartitionSpec, TableMetadata}
+
+/** SQL/JDBC catalog — tables as rows, CAS via conditional UPDATE
+  * (reference: crates/catalog/sql/src/catalog.rs; the update_table commit
+  * at catalog.rs:1008-1056 swaps `metadata_location` only WHERE the
+  * current location still matches, and 0 rows affected = retryable
+  * conflict — the exact semantic ported here over plain JDBC).
+  *
+  * Row schema mirrors the reference's `iceberg_tables`:
+  * (catalog_name, table_namespace, table_name, metadata_location,
+  * previous_metadata_location). Metadata JSON lives in the warehouse as
+  * `<table>/metadata/v<N>.metadata.json`; the row points at the current
+  * version and the CAS makes the pointer swap atomic, so this works on
+  * object stores with no atomic rename (the gap the Hadoop catalog has).
+  *
+  * Tested against embedded Derby (`jdbc:derby:<dir>;create=true` — the
+  * driver Spark already ships); any JDBC url with the same DDL works.
+  */
+final class JdbcCatalog(jdbcUrl: String, warehouse: String, val io: FileIO,
+    catalogName: String = "graft", namespace: String = "default") extends Catalog {
+
+  private val TableName = "iceberg_tables"
+
+  locally { // one-time DDL (idempotent)
+    withConn { c =>
+      val meta = c.getMetaData.getTables(null, null, TableName.toUpperCase, null)
+      val exists = meta.next()
+      meta.close()
+      if (!exists) {
+        val st = c.createStatement()
+        try st.executeUpdate(
+          s"""CREATE TABLE $TableName (
+             |  catalog_name VARCHAR(255) NOT NULL,
+             |  table_namespace VARCHAR(255) NOT NULL,
+             |  table_name VARCHAR(255) NOT NULL,
+             |  metadata_location VARCHAR(1000),
+             |  previous_metadata_location VARCHAR(1000),
+             |  PRIMARY KEY (catalog_name, table_namespace, table_name))""".stripMargin)
+        catch { case _: java.sql.SQLException => /* lost a create race: fine */ }
+        finally st.close()
+      }
+    }
+  }
+
+  private def withConn[T](f: Connection => T): T = {
+    val c = DriverManager.getConnection(jdbcUrl)
+    try f(c) finally c.close()
+  }
+
+  private def tableDir(name: String) = s"$warehouse/$name"
+  // UUID-suffixed like the reference's MetadataLocation: every commit
+  // attempt writes a DISTINCT file, so a losing racer can clean up its own
+  // file without ever touching the winner's
+  private def versionFile(name: String, v: Int) =
+    s"${tableDir(name)}/metadata/v$v-${java.util.UUID.randomUUID()}.metadata.json"
+  private def versionOf(location: String): Int = {
+    val tail = location.substring(location.lastIndexOf("/v") + 2)
+    tail.substring(0, tail.indexOf('-')).toInt
+  }
+
+  private def currentLocation(c: Connection, name: String): Option[String] = {
+    val ps = c.prepareStatement(
+      s"""SELECT metadata_location FROM $TableName
+         | WHERE catalog_name = ? AND table_namespace = ? AND table_name = ?""".stripMargin)
+    try {
+      ps.setString(1, catalogName); ps.setString(2, namespace); ps.setString(3, name)
+      val rs = ps.executeQuery()
+      val r = if (rs.next()) Option(rs.getString(1)) else None
+      rs.close()
+      r
+    } finally ps.close()
+  }
+
+  override def createTable(name: String, schema: IcebergSchema, spec: PartitionSpec,
+      properties: Map[String, String]): TableMetadata = {
+    val md = TableMetadata.newTable(tableDir(name), schema, spec, properties)
+    val loc = versionFile(name, 1)
+    io.writeString(loc, md.toJsonString, overwrite = false)
+    withConn { c =>
+      val ps = c.prepareStatement(
+        s"""INSERT INTO $TableName (catalog_name, table_namespace, table_name,
+           |  metadata_location, previous_metadata_location)
+           |  VALUES (?, ?, ?, ?, NULL)""".stripMargin)
+      try {
+        ps.setString(1, catalogName); ps.setString(2, namespace)
+        ps.setString(3, name); ps.setString(4, loc)
+        ps.executeUpdate()
+      } catch {
+        case e: java.sql.SQLIntegrityConstraintViolationException =>
+          io.delete(loc)
+          throw new IllegalArgumentException(s"table already exists: $name", e)
+      } finally ps.close()
+    }
+    md
+  }
+
+  override def loadTable(name: String): (TableMetadata, Int) = withConn { c =>
+    val loc = currentLocation(c, name).getOrElse(
+      throw new IllegalArgumentException(s"no such table: $name"))
+    (TableMetadata.fromJsonString(io.readString(loc)), versionOf(loc))
+  }
+
+  override def tableExists(name: String): Boolean =
+    withConn(c => currentLocation(c, name).isDefined)
+
+  override def dropTable(name: String): Boolean = withConn { c =>
+    val ps = c.prepareStatement(
+      s"""DELETE FROM $TableName
+         | WHERE catalog_name = ? AND table_namespace = ? AND table_name = ?""".stripMargin)
+    try {
+      ps.setString(1, catalogName); ps.setString(2, namespace); ps.setString(3, name)
+      val dropped = ps.executeUpdate() > 0
+      if (dropped) io.delete(tableDir(name), recursive = true)
+      dropped
+    } finally ps.close()
+  }
+
+  override def listTables(): Seq[String] = withConn { c =>
+    val ps = c.prepareStatement(
+      s"""SELECT table_name FROM $TableName
+         | WHERE catalog_name = ? AND table_namespace = ? ORDER BY table_name""".stripMargin)
+    try {
+      ps.setString(1, catalogName); ps.setString(2, namespace)
+      val rs = ps.executeQuery()
+      val out = Seq.newBuilder[String]
+      while (rs.next()) out += rs.getString(1)
+      rs.close()
+      out.result()
+    } finally ps.close()
+  }
+
+  /** CAS commit: write a fresh v<N+1> file, then swap the row's pointer
+    * ONLY WHERE it still names the exact current location — 0 rows updated
+    * means a racer won (catalog.rs:1049 rows_affected() == 0 → retryable
+    * CatalogCommitConflicts), and we delete only our own staged file. */
+  override def commitTable(name: String, baseVersion: Int, updated: TableMetadata): Int = {
+    val prevLoc = withConn(c => currentLocation(c, name)).getOrElse(
+      throw new IllegalArgumentException(s"no such table: $name"))
+    if (versionOf(prevLoc) != baseVersion)
+      throw CommitConflict(
+        s"base version $baseVersion is stale for $name (current: ${versionOf(prevLoc)})")
+    val nextLoc = versionFile(name, baseVersion + 1)
+    io.writeString(nextLoc, updated.toJsonString, overwrite = false)
+    val swapped = withConn { c =>
+      val ps = c.prepareStatement(
+        s"""UPDATE $TableName
+           |  SET metadata_location = ?, previous_metadata_location = ?
+           | WHERE catalog_name = ? AND table_namespace = ? AND table_name = ?
+           |   AND metadata_location = ?""".stripMargin)
+      try {
+        ps.setString(1, nextLoc); ps.setString(2, prevLoc)
+        ps.setString(3, catalogName); ps.setString(4, namespace)
+        ps.setString(5, name); ps.setString(6, prevLoc)
+        ps.executeUpdate()
+      } finally ps.close()
+    }
+    if (swapped == 0) {
+      io.delete(nextLoc)
+      throw CommitConflict(s"base version $baseVersion is stale for $name")
+    }
+    baseVersion + 1
+  }
+}

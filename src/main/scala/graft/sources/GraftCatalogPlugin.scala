@@ -3,14 +3,14 @@ package graft.sources
 import java.util
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.spark.sql.connector.catalog.{CatalogPlugin, Identifier, SupportsRead, Table => SparkTable, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{CatalogPlugin, Identifier, SupportsRead, Table => SparkTable, TableCatalog, TableChange, View, ViewCatalog, ViewChange, ViewInfo}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.catalog.HadoopCatalog
+import graft.catalog.{HadoopCatalog, ViewStore}
 import graft.io.FileIO
-import graft.spec.{IcebergSchema, PartitionSpec}
+import graft.spec.{IcebergSchema, PartitionSpec, ViewMetadata}
 import graft.table.GraftTable
 
 /** Spark catalog plugin: registers the engine as a DSv2 `TableCatalog` so
@@ -27,18 +27,21 @@ import graft.table.GraftTable
   * (the reference's SQL surface is the DataFusion TableProvider;
   * table/mod.rs:68-151).
   */
-final class GraftCatalogPlugin extends CatalogPlugin with TableCatalog {
+final class GraftCatalogPlugin extends CatalogPlugin with TableCatalog with ViewCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
   private var catalog: HadoopCatalog = _
+  private var views: ViewStore = _
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
     warehouse = Option(options.get("warehouse")).getOrElse(
       throw new IllegalArgumentException(
         s"spark.sql.catalog.$name.warehouse is required"))
-    catalog = new HadoopCatalog(warehouse, new FileIO(new Configuration()))
+    val io = new FileIO(new Configuration())
+    catalog = new HadoopCatalog(warehouse, io)
+    views = new ViewStore(warehouse, io)
   }
 
   override def name(): String = catalogName
@@ -46,8 +49,13 @@ final class GraftCatalogPlugin extends CatalogPlugin with TableCatalog {
   override def listTables(namespace: Array[String]): Array[Identifier] =
     catalog.listTables().map(t => Identifier.of(namespace, t)).toArray
 
-  override def loadTable(ident: Identifier): SparkTable =
+  override def loadTable(ident: Identifier): SparkTable = {
+    // NoSuchTableException (not a generic error) so Spark's analyzer falls
+    // through to loadView for identifiers that name a view
+    if (!catalog.tableExists(ident.name()))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
     new GraftSparkTable(GraftTable.load(ident.name(), catalog))
+  }
 
   override def tableExists(ident: Identifier): Boolean =
     catalog.tableExists(ident.name())
@@ -63,13 +71,119 @@ final class GraftCatalogPlugin extends CatalogPlugin with TableCatalog {
     new GraftSparkTable(t)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): SparkTable =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE via SQL is not wired; use GraftTable.updateSchema")
+  /** ALTER TABLE via SQL DDL → the schema-evolution / properties actions
+    * (transaction/update_schema.rs semantics): ADD/DROP/RENAME COLUMN,
+    * ALTER COLUMN TYPE (widening only), SET/UNSET TBLPROPERTIES. Nested
+    * column paths are refused (top-level evolution only, SURVEY §8). */
+  override def alterTable(ident: Identifier, changes: TableChange*): SparkTable = {
+    import org.apache.spark.sql.connector.catalog.TableChange._
+    val t = GraftTable.load(ident.name(), catalog)
+    def topLevel(fieldNames: Array[String]): String = {
+      require(fieldNames.length == 1,
+        s"nested column evolution not supported: ${fieldNames.mkString(".")}")
+      fieldNames.head
+    }
+    val schemaChanges = changes.collect {
+      case _: AddColumn | _: DeleteColumn | _: RenameColumn | _: UpdateColumnType => ()
+    }
+    if (schemaChanges.nonEmpty) {
+      val u = t.updateSchema()
+      changes.foreach {
+        case a: AddColumn =>
+          u.addColumn(topLevel(a.fieldNames()),
+            graft.spec.IcebergType.fromSpark(a.dataType(), () => 0),
+            Option(a.comment()))
+        case d: DeleteColumn => u.dropColumn(topLevel(d.fieldNames()))
+        case r: RenameColumn => u.renameColumn(topLevel(r.fieldNames()), r.newName())
+        case tt: UpdateColumnType =>
+          u.updateColumnType(topLevel(tt.fieldNames()),
+            graft.spec.IcebergType.fromSpark(tt.newDataType(), () => 0))
+        case _ => ()
+      }
+      u.commit()
+    }
+    val sets = changes.collect { case s: SetProperty => s.property() -> s.value() }.toMap
+    val removes = changes.collect { case r: RemoveProperty => r.property() }.toSet
+    if (sets.nonEmpty || removes.nonEmpty)
+      GraftTable.load(ident.name(), catalog).updateProperties(sets, removes)
+    new GraftSparkTable(GraftTable.load(ident.name(), catalog))
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     catalog.dropTable(ident.name())
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("rename is not supported")
+
+  // ---- ViewCatalog (view_metadata.rs:59 surface over the ViewStore) ----
+
+  override def listViews(namespace: String*): Array[Identifier] =
+    views.list().map(v => Identifier.of(namespace.toArray, v)).toArray
+
+  override def viewExists(ident: Identifier): Boolean = views.exists(ident.name())
+
+  override def loadView(ident: Identifier): View = {
+    if (!views.exists(ident.name()))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
+    val (md, _) = views.load(ident.name())
+    new GraftSparkView(ident.name(), md)
+  }
+
+  override def createView(info: ViewInfo): View = {
+    val name = info.ident().name()
+    if (views.exists(name))
+      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(info.ident())
+    val md = ViewMetadata.newView(
+      location = s"$warehouse/$name",
+      sql = info.sql(),
+      dialect = "spark",
+      schema = IcebergSchema.fromSpark(info.schema()),
+      defaultCatalog = Option(info.currentCatalog()),
+      defaultNamespace = Option(info.currentNamespace()).map(_.toSeq).getOrElse(Nil),
+      properties = {
+        import scala.jdk.CollectionConverters._
+        info.properties().asScala.toMap
+      })
+    views.create(name, md)
+    new GraftSparkView(name, md)
+  }
+
+  /** Property changes only — they don't create a new view version
+    * (view spec: properties are metadata, versions are definitions). */
+  override def alterView(ident: Identifier, changes: ViewChange*): View = {
+    val (md, v) = views.load(ident.name())
+    val props = changes.foldLeft(md.properties) {
+      case (p, s: ViewChange.SetProperty) => p + (s.property() -> s.value())
+      case (p, r: ViewChange.RemoveProperty) => p - r.property()
+      case (p, _) => p
+    }
+    val updated = md.copy(properties = props)
+    views.update(ident.name(), v, updated)
+    new GraftSparkView(ident.name(), updated)
+  }
+
+  override def dropView(ident: Identifier): Boolean = views.drop(ident.name())
+
+  override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("view rename is not supported")
+}
+
+/** Spark DSv2 View over graft ViewMetadata: the current version's Spark
+  * SQL representation plus its recorded result schema. */
+final class GraftSparkView(viewName: String, md: graft.spec.ViewMetadata) extends View {
+  private val cur = md.currentVersion
+  override def name(): String = viewName
+  override def query(): String = cur.sqlFor("spark").getOrElse(
+    throw new IllegalStateException(s"view $viewName has no spark representation"))
+  override def currentCatalog(): String = cur.defaultCatalog.orNull
+  override def currentNamespace(): Array[String] = cur.defaultNamespace.toArray
+  override def schema(): StructType =
+    md.schemaById(cur.schemaId).map(_.toSpark).getOrElse(new StructType())
+  override def queryColumnNames(): Array[String] = Array.empty
+  override def columnAliases(): Array[String] = Array.empty
+  override def columnComments(): Array[String] = Array.empty
+  override def properties(): util.Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    md.properties.asJava
+  }
 }

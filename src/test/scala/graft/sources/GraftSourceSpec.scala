@@ -18,6 +18,7 @@ class GraftSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", 4)
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.extensions", "graft.sources.GraftSparkExtensions")
     .config("spark.ui.enabled", "false")
     .appName("graft-source-spec")
     .getOrCreate()
@@ -138,6 +139,78 @@ class GraftSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT count(*) FROM graftsql.sql_made").head.getLong(0) === 3)
     assert(spark.sql("SELECT b FROM graftsql.sql_made WHERE a = 3").head.getString(0) === "z")
     spark.sql("DROP TABLE graftsql.sql_made")
+  }
+
+  test("views: CREATE VIEW / SELECT / REPLACE / DROP via spark.sql round-trip") {
+    val t = IcebergFixtures.ordersBucket(spark, sfDir)
+    val warehouse = t.location.stripSuffix(s"/${t.name}")
+    spark.conf.set("spark.sql.catalog.graftv", "graft.sources.GraftCatalogPlugin")
+    spark.conf.set("spark.sql.catalog.graftv.warehouse", warehouse)
+
+    spark.sql(s"""CREATE VIEW graftv.big_orders AS
+      SELECT o_orderkey, o_totalprice FROM graftv.${t.name}
+      WHERE o_totalprice > 100000.0""")
+    val viaView = spark.sql("SELECT count(*) AS n FROM graftv.big_orders").head.getLong(0)
+    val direct = spark.sql(
+      s"SELECT count(*) AS n FROM graftv.${t.name} WHERE o_totalprice > 100000.0")
+      .head.getLong(0)
+    assert(viaView === direct && direct > 0)
+
+    // view metadata is spec-shaped on disk: versioned v1 JSON with the
+    // recorded result schema and a spark SQL representation
+    val io = graft.io.FileIO.fromSpark(spark)
+    val store = new graft.catalog.ViewStore(warehouse, io)
+    val (md, v) = store.load("big_orders")
+    assert(v === 1)
+    assert(md.formatVersion === 1)
+    assert(md.currentVersion.sqlFor("spark").get.contains("o_totalprice"))
+    assert(md.schemaById(md.currentVersion.schemaId).get.fields.map(_.name)
+      === Seq("o_orderkey", "o_totalprice"))
+
+    // CREATE OR REPLACE swaps the definition atomically (new metadata version)
+    spark.sql(s"""CREATE OR REPLACE VIEW graftv.big_orders AS
+      SELECT o_orderkey FROM graftv.${t.name} WHERE o_totalprice > 200000.0""")
+    assert(spark.sql("SELECT * FROM graftv.big_orders").schema.fieldNames.toSeq
+      === Seq("o_orderkey"))
+
+    // IF NOT EXISTS is a no-op on an existing view
+    spark.sql(s"""CREATE VIEW IF NOT EXISTS graftv.big_orders AS
+      SELECT 1 AS one""")
+    assert(spark.sql("SELECT * FROM graftv.big_orders").schema.fieldNames.toSeq
+      === Seq("o_orderkey"))
+
+    spark.sql("DROP VIEW graftv.big_orders")
+    assert(!store.exists("big_orders"))
+    spark.sql("DROP VIEW IF EXISTS graftv.big_orders") // no-op, no throw
+  }
+
+  test("ALTER TABLE DDL: add/rename/widen/drop + properties, both generations read") {
+    spark.conf.set("spark.sql.catalog.graftddl", "graft.sources.GraftCatalogPlugin")
+    val warehouse = java.nio.file.Files.createTempDirectory("graft-ddl").toString
+    spark.conf.set("spark.sql.catalog.graftddl.warehouse", warehouse)
+
+    spark.sql("CREATE TABLE graftddl.evo (id INT, old_name STRING) USING graft")
+    spark.sql("INSERT INTO graftddl.evo VALUES (1, 'a'), (2, 'b')")
+    spark.sql("ALTER TABLE graftddl.evo ADD COLUMN score DOUBLE")
+    spark.sql("ALTER TABLE graftddl.evo RENAME COLUMN old_name TO label")
+    spark.sql("ALTER TABLE graftddl.evo ALTER COLUMN id TYPE BIGINT")
+    spark.sql("INSERT INTO graftddl.evo VALUES (3, 'c', 0.5)")
+
+    val rows = spark.sql(
+      "SELECT id, label, score FROM graftddl.evo ORDER BY id").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    assert(rows.map(_.getString(1)).toSeq === Seq("a", "b", "c"))
+    assert(rows.map(r => if (r.isNullAt(2)) null else r.getDouble(2)).toSeq
+      === Seq(null, null, 0.5))
+
+    spark.sql("ALTER TABLE graftddl.evo SET TBLPROPERTIES ('k' = 'v')")
+    val cat = new graft.catalog.HadoopCatalog(warehouse, graft.io.FileIO.fromSpark(spark))
+    assert(graft.table.GraftTable.load("evo", cat).metadata.properties("k") === "v")
+
+    spark.sql("ALTER TABLE graftddl.evo DROP COLUMN score")
+    assert(spark.sql("SELECT * FROM graftddl.evo").schema.fieldNames.toSeq
+      === Seq("id", "label"))
+    spark.sql("DROP TABLE graftddl.evo")
   }
 
   test("projection pruning narrows readSchema") {
