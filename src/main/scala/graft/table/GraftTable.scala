@@ -64,9 +64,10 @@ final class GraftTable(
   def expireSnapshots(olderThanMs: Long, retainLast: Int = 1): GraftTable =
     Maintenance.expireSnapshots(this, olderThanMs, retainLast)
 
-  /** GC data files referenced by no snapshot (returns deleted paths). */
-  def removeOrphanFiles(olderThanMs: Long): Seq[String] =
-    Maintenance.removeOrphanFiles(this, olderThanMs)
+  /** GC data files referenced by no snapshot (returns deleted paths);
+    * listing, anti-join and deletion run as Spark jobs. */
+  def removeOrphanFiles(olderThanMs: Long, spark: SparkSession): Seq[String] =
+    Maintenance.removeOrphanFiles(this, olderThanMs, spark)
 
   /** Roll back to an earlier snapshot (metadata-only). */
   def rollbackTo(snapshotId: Long): GraftTable =
@@ -535,26 +536,24 @@ final class TableScan private[table] (
         val mapping = if (useMapping) NameMapping.fromTable(table.metadata) else None
         mapping match {
           case Some(nm) =>
-            // strip the field-id metadata: with ids present in the read
-            // schema, Spark NULL-FILLS id-less files (ignoreMissing)
-            // instead of name-matching — mapped resolution must be
-            // name-based for every file, so all aliases must be physical
-            // names (true for both foreign files and our own, which write
-            // the then-current names)
-            val physical = org.apache.spark.sql.types.StructType(
-              table.schema.fields.zip(sparkSchema.fields).map { case (f, sf) =>
-                sf.copy(name = nm.namesOf(f.id).headOption.getOrElse(f.name),
-                  metadata = org.apache.spark.sql.types.Metadata.empty)
-              })
+            // mapped read schema: every field (nested included) renamed to
+            // its physical alias with field-id metadata stripped — with ids
+            // present Spark NULL-FILLS id-less files (ignoreMissing)
+            // instead of name-matching, so mapped resolution must be
+            // name-based for every file (true for both foreign files and
+            // our own, which write the then-current names)
+            val physical = nm.physicalSchema(table.schema)
             val rawPhys = reader.read.schema(physical)
               .parquet(tasks.map(_.file.filePath): _*)
             // deletes join on _metadata → must run before the rename
             // projection drops it (position/DV deletes only for mapped
-            // tables; equality deletes would need alias-aware keys)
+            // tables; equality deletes would need alias-aware keys).
+            // The cast renames nested struct fields back positionally.
             applyDeletes(spark, rawPhys, tasks)
-              .select(table.schema.fields.zip(physical.fields).map { case (f, pf) =>
-                col(pf.name).as(f.name)
-              }: _*)
+              .select(table.schema.fields.zip(sparkSchema.fields)
+                .zip(physical.fields).map { case ((f, sf), pf) =>
+                  col(pf.name).cast(sf.dataType).as(f.name)
+                }: _*)
           case None =>
             val raw = reader.read.schema(sparkSchema).parquet(tasks.map(_.file.filePath): _*)
             applyDeletes(spark, raw, tasks)

@@ -89,28 +89,58 @@ object Maintenance {
     * `olderThanMs` (remove_orphan_files). The rename-free write design
     * makes this the one required GC: failed jobs leave invisible files
     * under `data/commit-*`; age-gating keeps in-flight commits safe.
-    * Listing is driver-side per directory but file-count-bounded by the
-    * table tree (object stores: use a prefix-listing inventory job). */
-  def removeOrphanFiles(table: GraftTable, olderThanMs: Long): Seq[String] = {
+    *
+    * Fully distributed: manifest entry reads, per-subtree recursive
+    * listing, the referenced-vs-candidate anti-join, and the deletions all
+    * run as Spark jobs — the driver holds only manifest descriptors and
+    * the (small) orphan list it returns, never the O(files) path sets. */
+  def removeOrphanFiles(table: GraftTable, olderThanMs: Long,
+      spark: SparkSession): Seq[String] = {
     val io = table.io
-    val referenced: Set[String] = table.metadata.snapshots.flatMap { s =>
-      ManifestIO.readManifestList(io, s.manifestList, Commits.partTypes(table.metadata))
-        .flatMap { m =>
-          val spec = table.metadata.specById(m.partitionSpecId)
-            .getOrElse(table.metadata.defaultSpec)
-          ManifestIO.readManifest(io, m.manifestPath, table.metadata.currentSchema, spec)
-            .map(_.dataFile.filePath)
-        }
-    }.map(normalize).toSet
-
+    val sc = spark.sparkContext
     val dataDir = s"${table.location}/data"
     if (!io.exists(dataDir)) return Nil
-    val candidates = io.listFilesRecursive(dataDir)
-      .filter { case (p, _, mtime) =>
-        mtime < olderThanMs && !referenced.contains(normalize(p)) &&
-          !p.endsWith("_SUCCESS")
+
+    // referenced paths: O(manifests) descriptors on the driver, entries
+    // decoded on executors
+    val specById = table.metadata.partitionSpecs.map(s => s.specId -> s).toMap
+    val defaultSpec = table.metadata.defaultSpec
+    val schema = table.metadata.currentSchema
+    val manifests: Seq[(String, Int)] = table.metadata.snapshots.flatMap { s =>
+      ManifestIO.readManifestList(io, s.manifestList, Commits.partTypes(table.metadata))
+        .map(m => (m.manifestPath, m.partitionSpecId))
+    }.distinct
+    val referenced = sc.parallelize(manifests,
+        math.max(1, math.min(manifests.size, 64)))
+      .flatMap { case (mp, specId) =>
+        val exIo = new graft.io.FileIO(new org.apache.hadoop.conf.Configuration())
+        ManifestIO.readManifest(exIo, mp, schema, specById.getOrElse(specId, defaultSpec))
+          .map(e => (normalize(e.dataFile.filePath), ()))
       }
-    candidates.map { case (p, _, _) => io.delete(p); p }
+
+    // candidates: one listing task per first-level subtree (data/commit-*)
+    val fs = io.fs(dataDir)
+    val top = fs.listStatus(new org.apache.hadoop.fs.Path(dataDir)).toSeq
+    val topFiles = top.filter(_.isFile)
+      .map(f => (f.getPath.toString, f.getModificationTime))
+    val subtrees = top.filter(_.isDirectory).map(_.getPath.toString)
+    val candidates = sc.parallelize(subtrees,
+        math.max(1, math.min(subtrees.size, 64)))
+      .flatMap { d =>
+        val exIo = new graft.io.FileIO(new org.apache.hadoop.conf.Configuration())
+        exIo.listFilesRecursive(d).map { case (p, _, mtime) => (p, mtime) }
+      } ++ sc.parallelize(topFiles, math.max(1, math.min(topFiles.size, 8)))
+
+    // anti-join + distributed delete; only the orphan list reaches the driver
+    candidates
+      .filter { case (p, mtime) => mtime < olderThanMs && !p.endsWith("_SUCCESS") }
+      .map { case (p, _) => (normalize(p), p) }
+      .subtractByKey(referenced)
+      .mapPartitions { it =>
+        val exIo = new graft.io.FileIO(new org.apache.hadoop.conf.Configuration())
+        it.map { case (_, p) => exIo.delete(p); p }
+      }
+      .collect().toSeq.sorted
   }
 
   private def normalize(p: String): String =

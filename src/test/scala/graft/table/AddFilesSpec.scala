@@ -123,4 +123,53 @@ class AddFilesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_.getString(1)).toSeq === Seq("a", "b"))
     assert(t.newScan().toDF(spark).columns.toSeq === Seq("id", "new_name"))
   }
+
+  test("nested name mapping: renamed struct/list fields in foreign files resolve") {
+    import spark.implicits._
+    // foreign file with nested physical names the canonical schema renames
+    val dir = java.nio.file.Files.createTempDirectory("foreign3-").toString
+    Seq((1L, ("x", 10L), Seq(1.5, 2.5)), (2L, ("y", 20L), Seq(3.5)))
+      .toDF("id", "s", "vals")
+      .select(col("id"),
+        col("s._1").as("old_inner").cast("string").as("old_inner"),
+        col("s._2").as("old_n"), col("vals"))
+      .select(col("id"),
+        struct(col("old_inner"), col("old_n")).as("s"), col("vals"))
+      .write.parquet(s"$dir/raw")
+    val files = FileIO.fromSpark(spark).listFiles(s"$dir/raw")
+      .map(_._1).filter(_.endsWith(".parquet"))
+
+    val catalog = new HadoopCatalog(
+      java.nio.file.Files.createTempDirectory("graft-add3-").toString,
+      FileIO.fromSpark(spark))
+    // canonical schema uses NEW nested names; the mapping carries the
+    // physical aliases at every level (spec/name_mapping recursion)
+    val schema = IcebergSchema(0, Seq(
+      NestedField(1, "id", LongT, required = false),
+      NestedField(2, "s", StructT(Seq(
+        NestedField(4, "new_inner", StringT, required = false),
+        NestedField(5, "new_n", LongT, required = false))), required = false),
+      NestedField(3, "vals", ListT(6, DoubleT, elementRequired = false),
+        required = false)))
+    var t = GraftTable.create("migrated3", catalog, schema)
+    t = t.addFiles(spark, files)
+    val nm = NameMapping(Seq(
+      MappedField(1, Seq("id")),
+      MappedField(2, Seq("s"), Seq(
+        MappedField(4, Seq("old_inner")),
+        MappedField(5, Seq("old_n")))),
+      MappedField(3, Seq("vals"), Seq(MappedField(6, Seq("element"))))))
+    t = t.updateProperties(Map(NameMapping.PropertyKey -> nm.toJsonString), Set.empty)
+
+    // mapping JSON round-trips the nested tree
+    assert(NameMapping.fromJsonString(nm.toJsonString) === nm)
+
+    val df = t.newScan().toDF(spark).orderBy("id")
+    assert(df.schema("s").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq === Seq("new_inner", "new_n"))
+    val rows = df.collect()
+    assert(rows.map(_.getStruct(1).getString(0)).toSeq === Seq("x", "y"))
+    assert(rows.map(_.getStruct(1).getLong(1)).toSeq === Seq(10L, 20L))
+    assert(rows.map(_.getSeq[Double](2).sum).toSeq === Seq(4.0, 3.5))
+  }
 }

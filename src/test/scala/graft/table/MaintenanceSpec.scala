@@ -96,4 +96,28 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
       t.newScan().useSnapshot(123456789L).planFiles()
     }
   }
+
+  test("orphan sweep over a wide planted tree runs distributed and exact") {
+    val ss = spark
+    import ss.implicits._
+    var t = GraftTable.create("gc_wide", catalog, graft.spec.IcebergSchema(0, Seq(
+      graft.spec.NestedField(1, "id", graft.spec.IcebergType.LongT, required = false))))
+    t = t.append((1L to 100L).toSeq.toDF("id"))
+
+    // plant orphans across many failed-commit subtrees (executors list and
+    // delete per subtree; the driver never holds the full path set)
+    val io = t.io
+    val planted = (0 until 40).flatMap { c =>
+      (0 until 25).map { f =>
+        val p = s"${t.location}/data/commit-dead$c/part-$f.parquet"
+        io.writeBytes(p, Array[Byte](1))
+        p
+      }
+    }
+    val deleted = t.removeOrphanFiles(System.currentTimeMillis() + 60000, ss)
+    assert(deleted.size === planted.size)
+    assert(t.newScan().toDF(ss).count() === 100) // referenced files intact
+    // idempotent second sweep
+    assert(t.removeOrphanFiles(System.currentTimeMillis() + 60000, ss).isEmpty)
+  }
 }

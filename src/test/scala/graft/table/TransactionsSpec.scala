@@ -234,7 +234,7 @@ class TransactionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val orphan = s"${t.location}/data/commit-dead/junk.parquet"
     t.io.writeBytes(orphan, Array[Byte](1, 2, 3))
 
-    val deleted = t.removeOrphanFiles(olderThanMs = System.currentTimeMillis() + 60000)
+    val deleted = t.removeOrphanFiles(System.currentTimeMillis() + 60000, spark)
     assert(deleted.exists(_.endsWith("junk.parquet")))
     assert(deleted.size === 1, s"must not GC referenced files: $deleted")
     assert(t.newScan().toDF(spark).count() === 20) // table intact
@@ -243,7 +243,7 @@ class TransactionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     t = t.rollbackTo(firstSnap)
     assert(t.newScan().toDF(spark).count() === 10)
     // the abandoned snapshot's files survive orphan GC (still referenced)
-    val deleted2 = t.removeOrphanFiles(olderThanMs = System.currentTimeMillis() + 60000)
+    val deleted2 = t.removeOrphanFiles(System.currentTimeMillis() + 60000, spark)
     assert(deleted2.isEmpty)
   }
 
