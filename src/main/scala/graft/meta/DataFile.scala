@@ -34,7 +34,12 @@ final case class DataFile(
       * DV blob applies to, and the blob's byte range in the Puffin file. */
     referencedDataFile: Option[String] = None,
     contentOffset: Option[Long] = None,
-    contentSizeInBytes: Option[Long] = None)
+    contentSizeInBytes: Option[Long] = None,
+    /** v3 row lineage (data_file.rs:160 first_row_id): the id of this
+      * file's first row; row N carries first_row_id + N. Assigned from
+      * TableMetadata.nextRowId at append commit; None = no lineage (delete
+      * files, pre-lineage appends, compaction rewrites). */
+    firstRowId: Option[Long] = None)
 
 object ManifestStatus {
   val Existing = 0

@@ -83,7 +83,8 @@ object ManifestIO {
       new Schema.Field("sort_order_id", nullable(prim(Schema.Type.INT)), null, Schema.Field.NULL_DEFAULT_VALUE),
       new Schema.Field("referenced_data_file", nullable(prim(Schema.Type.STRING)), null, Schema.Field.NULL_DEFAULT_VALUE),
       new Schema.Field("content_offset", nullable(prim(Schema.Type.LONG)), null, Schema.Field.NULL_DEFAULT_VALUE),
-      new Schema.Field("content_size_in_bytes", nullable(prim(Schema.Type.LONG)), null, Schema.Field.NULL_DEFAULT_VALUE)))
+      new Schema.Field("content_size_in_bytes", nullable(prim(Schema.Type.LONG)), null, Schema.Field.NULL_DEFAULT_VALUE),
+      new Schema.Field("first_row_id", nullable(prim(Schema.Type.LONG)), null, Schema.Field.NULL_DEFAULT_VALUE)))
     rec
   }
 
@@ -218,6 +219,7 @@ object ManifestIO {
       dfRec.put("referenced_data_file", df.referencedDataFile.orNull)
       dfRec.put("content_offset", df.contentOffset.map(java.lang.Long.valueOf).orNull)
       dfRec.put("content_size_in_bytes", df.contentSizeInBytes.map(java.lang.Long.valueOf).orNull)
+      dfRec.put("first_row_id", df.firstRowId.map(java.lang.Long.valueOf).orNull)
 
       rec.put("data_file", dfRec)
       writer.append(rec)
@@ -309,7 +311,8 @@ object ManifestIO {
           sortOrderId = Option(dfRec.get("sort_order_id")).map(_.asInstanceOf[Int]),
           referencedDataFile = Option(dfRec.get("referenced_data_file")).map(_.toString),
           contentOffset = Option(dfRec.get("content_offset")).map(_.asInstanceOf[Long]),
-          contentSizeInBytes = Option(dfRec.get("content_size_in_bytes")).map(_.asInstanceOf[Long]))
+          contentSizeInBytes = Option(dfRec.get("content_size_in_bytes")).map(_.asInstanceOf[Long]),
+          firstRowId = Option(dfRec.get("first_row_id")).map(_.asInstanceOf[Long]))
         out += ManifestEntry(
           status = rec.get("status").asInstanceOf[Int],
           snapshotId = Option(rec.get("snapshot_id")).map(_.asInstanceOf[Long]),

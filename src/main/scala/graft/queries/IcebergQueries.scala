@@ -397,6 +397,24 @@ object IcebergQueries {
       FROM graftfix.supplier_sql GROUP BY s_nationkey ORDER BY s_nationkey""")
   }
 
+  /** v3 row lineage: every append takes a contiguous first_row_id block
+    * (table_metadata.rs:140 next_row_id), so `_row_id` = first_row_id +
+    * position is dense 0..N-1 across the two-append fixture — distinct,
+    * zero-based, gap-free (metadata_columns.rs _row_id inheritance). */
+  val i21 = Q.sql(
+    "i21_row_lineage",
+    """SELECT count(*)::BIGINT AS n_rows, count(*)::BIGINT AS n_ids,
+      |  CAST(0 AS BIGINT) AS min_id, (count(*) - 1)::BIGINT AS max_id
+      |FROM orders""".stripMargin
+  ) { (s, d) =>
+    val t = IcebergFixtures.ordersTwoSnapshots(s, d)
+    t.newScan().withMetadataColumns().toDF(s)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("_row_id")).as("n_ids"),
+        min(col("_row_id")).as("min_id"),
+        max(col("_row_id")).as("max_id"))
+  }
+
   val all: Seq[Q] = Seq(i01, i02, i03, i04, i05, i06, i07, i08, i09, i10,
-    i11, i12, i13, i14, i15, i16, i17, i18, i19, i20)
+    i11, i12, i13, i14, i15, i16, i17, i18, i19, i20, i21)
 }

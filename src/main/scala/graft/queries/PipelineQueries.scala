@@ -436,6 +436,30 @@ object PipelineQueries {
       .orderBy(col("lang"))
   }
 
+  /** Variant (v3) over semi-structured event props: parse the JSON column
+    * into Spark's VariantType, extract a typed path, aggregate. The
+    * variant parse + path extraction run inside codegen (no UDF, no
+    * per-row JSON4S); the oracle replays the same extraction with
+    * DuckDB's JSON operators. */
+  val p15 = Q.sql(
+    "p15_variant_extract",
+    """SELECT event_type, count(*)::BIGINT AS n,
+      |  sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+      |  min(json_extract(props, '$.k')::BIGINT)::BIGINT AS min_k,
+      |  max(json_extract(props, '$.k')::BIGINT)::BIGINT AS max_k
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+  ) { (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_type"),
+        variant_get(parse_json(col("props")), "$.k", "long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
-    p11, p12, p13, p14)
+    p11, p12, p13, p14, p15)
 }

@@ -88,6 +88,8 @@ object IcebergSchema {
 
   def typeToJson(t: IcebergType): JsonNode = t match {
     case p: PrimitiveIcebergType => Json.mapper.getNodeFactory.textNode(p.jsonName)
+    case IcebergType.VariantT => // v3: serialized like a primitive ("variant")
+      Json.mapper.getNodeFactory.textNode(IcebergType.VariantT.jsonName)
     case StructT(fields) =>
       val o = obj()
       o.put("type", "struct")
@@ -124,7 +126,8 @@ object IcebergSchema {
   }
 
   def typeFromJson(n: JsonNode): IcebergType =
-    if (n.isTextual) IcebergType.parsePrimitive(n.asText())
+    if (n.isTextual && n.asText() == "variant") IcebergType.VariantT
+    else if (n.isTextual) IcebergType.parsePrimitive(n.asText())
     else n("type").asText() match {
       case "struct" => StructT(n("fields").elems.map(fieldFromJson))
       case "list" =>

@@ -46,6 +46,9 @@ object IcebergType {
     val jsonName = s"fixed[$length]"
   }
   case object BinaryT extends PrimitiveIcebergType { val jsonName = "binary" }
+  /** Semi-structured values (v3, datatypes.rs:94,137-146) — maps onto
+    * Spark 4's VariantType; binary-encoded metadata+value at rest. */
+  case object VariantT extends IcebergType { val jsonName = "variant" }
 
   final case class StructT(fields: Seq[NestedField]) extends IcebergType {
     val jsonName = "struct"
@@ -93,6 +96,7 @@ object IcebergType {
     case TimestampT => TimestampNTZType
     case TimestamptzT => TimestampType
     case TimestampNsT | TimestamptzNsT => LongType // ns since epoch + metadata tag
+    case VariantT => VariantType
     case StringT => StringType
     case UuidT => StringType // canonical form
     case FixedT(_) => BinaryType
@@ -118,6 +122,7 @@ object IcebergType {
     case TimestampType => TimestamptzT
     case StringType => StringT
     case BinaryType => BinaryT
+    case VariantType => VariantT
     case st: StructType =>
       StructT(st.fields.toSeq.map { f =>
         val id = nextId()

@@ -136,7 +136,10 @@ final case class TableMetadata(
     snapshotLog: Seq[(Long, Long)], // (snapshotId, timestampMs)
     metadataLog: Seq[(String, Long)], // (metadataFile, timestampMs)
     refs: Map[String, SnapshotRef] = Map.empty,
-    statistics: Seq[StatisticsFile] = Nil) {
+    statistics: Seq[StatisticsFile] = Nil,
+    /** v3 row lineage (table_metadata.rs:140,456): the next row id to
+      * assign; append commits take a contiguous block for their files. */
+    nextRowId: Long = 0L) {
 
   def statisticsFor(snapshotId: Long): Option[StatisticsFile] =
     statistics.find(_.snapshotId == snapshotId)
@@ -201,6 +204,7 @@ final case class TableMetadata(
       val st = arr(); statistics.foreach(s => st.add(s.toJson))
       o.set[ObjectNode]("statistics", st)
     }
+    if (nextRowId > 0L) o.put("next-row-id", nextRowId)
     o
   }
 
@@ -241,7 +245,8 @@ object TableMetadata {
         name -> SnapshotRef(r("snapshot-id").asLong(), r("type").asText())
       }).getOrElse(Map.empty),
       statistics = n.opt("statistics").map(_.elems.map(StatisticsFile.fromJson))
-        .getOrElse(Nil))
+        .getOrElse(Nil),
+      nextRowId = n.opt("next-row-id").map(_.asLong()).getOrElse(0L))
   }
 
   /** Fresh metadata for a new V2 table. */

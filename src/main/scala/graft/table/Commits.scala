@@ -133,13 +133,22 @@ object Commits {
         summary = summary,
         schemaId = Some(base.currentSchema.schemaId))
 
+      // v3 row lineage: append commits consume a contiguous row-id block
+      // equal to the rows they added (AppendWriter assigned the per-file
+      // first_row_id from this same base.nextRowId). Only manifests THIS
+      // snapshot added count — carried base manifests keep historical
+      // added-row totals.
+      val addedRows = if (operation == "append")
+        dataMs.filter(_.addedSnapshotId == snapshotId).map(_.addedRowsCount).sum
+      else 0L
       val updated = base.copy(
         lastSequenceNumber = seq,
         lastUpdatedMs = now,
         currentSnapshotId = Some(snapshotId),
         snapshots = base.snapshots :+ snap,
         snapshotLog = base.snapshotLog :+ (snapshotId, now),
-        metadataLog = base.metadataLog :+ (s"${base.location}/metadata/v$version.metadata.json", base.lastUpdatedMs))
+        metadataLog = base.metadataLog :+ (s"${base.location}/metadata/v$version.metadata.json", base.lastUpdatedMs),
+        nextRowId = base.nextRowId + addedRows)
 
       (updated, (_: Int) => table.refresh())
     }

@@ -566,7 +566,9 @@ final class TableScan private[table] (
   /** Reserved metadata columns (metadata_columns.rs:33-90): `_file` and
     * `_pos` come from Spark's parquet `_metadata` struct (exactly what the
     * reference synthesizes as a virtual RowNumber column,
-    * pipeline.rs:221-245); `_spec_id` and the typed `_partition` tuple
+    * pipeline.rs:221-245); `_spec_id`, the typed `_partition` tuple, and
+    * the v3 row-lineage pair `_row_id` / `_last_updated_sequence_number`
+    * (first_row_id + position inheritance, metadata_columns.rs _row_id)
     * join in from the planned task descriptors (broadcast — O(files)
     * driver rows, never data). */
   private def addMetadataColumns(spark: SparkSession, df: DataFrame,
@@ -582,7 +584,11 @@ final class TableScan private[table] (
         org.apache.spark.sql.types.StringType, nullable = false),
       org.apache.spark.sql.types.StructField("_spec_id",
         org.apache.spark.sql.types.IntegerType, nullable = false),
-      org.apache.spark.sql.types.StructField("_partition", partSchema, nullable = true)))
+      org.apache.spark.sql.types.StructField("_partition", partSchema, nullable = true),
+      org.apache.spark.sql.types.StructField("_gf_first_row_id",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("_last_updated_sequence_number",
+        org.apache.spark.sql.types.LongType, nullable = false)))
     val rows: java.util.List[Row] = new java.util.ArrayList[Row]()
     tasks.foreach { t =>
       val part =
@@ -591,13 +597,15 @@ final class TableScan private[table] (
             Predicate.sparkValue(f.fieldType, v)
           }: _*)
         else null // other specs have differently-shaped tuples
-      rows.add(Row(qualifyPath(t.file.filePath), t.specId, part))
+      rows.add(Row(qualifyPath(t.file.filePath), t.specId, part,
+        t.file.firstRowId.map(java.lang.Long.valueOf).orNull, t.sequenceNumber))
     }
     val taskDf = spark.createDataFrame(rows, taskSchema)
     df.withColumn("_file", col("_metadata.file_path"))
       .withColumn("_pos", col("_metadata.row_index"))
       .join(broadcast(taskDf), col("_file") === col("_gf_meta_file"), "left")
-      .drop("_gf_meta_file")
+      .withColumn("_row_id", col("_gf_first_row_id") + col("_pos"))
+      .drop("_gf_meta_file", "_gf_first_row_id")
   }
 
   private def qualifyPath(p: String): String = {
@@ -678,8 +686,17 @@ final class TableScan private[table] (
         .toDF("_gf_seq_file", SEQ)
       work = work.join(org.apache.spark.sql.functions.broadcast(seqDf),
         work(FILE) === seqDf("_gf_seq_file"), "left").drop("_gf_seq_file")
-      // one anti-join per (key set, sequence number) group
-      eqDeletes.groupBy(d => (d.file.equalityIds, d.sequenceNumber)).foreach {
+      // one anti-join per (key set, sequence number) group — plan depth
+      // grows with delete commits until compaction folds them away; warn
+      // before the plan gets pathological (hundreds of stacked joins slow
+      // analysis and risk codegen limits)
+      val eqGroups = eqDeletes.groupBy(d => (d.file.equalityIds, d.sequenceNumber))
+      if (eqGroups.size > 20)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"table ${table.name}: ${eqGroups.size} equality-delete groups stack " +
+            s"${eqGroups.size} anti-joins onto every scan — run rewriteDataFiles " +
+            "to fold them into the data")
+      eqGroups.foreach {
         case ((ids, delSeq), group) =>
           val keyNames = ids.map(id => table.schema.idToField(id).name)
           val dels = spark.read.parquet(group.map(_.file.filePath): _*)

@@ -275,6 +275,59 @@ class TransactionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(f.lowerBounds.contains(1))
   }
 
+  test("row lineage: contiguous first_row_id blocks, dense _row_id, seq column") {
+    import spark.implicits._
+    var t = GraftTable.create("lineage", freshHadoop(), schema)
+    t = t.append((1L to 10L).map(i => (i, 1.0, "a")).toDF("id", "v", "s"))
+    t = t.append((11L to 25L).map(i => (i, 2.0, "b")).toDF("id", "v", "s"))
+
+    // next-row-id advanced by exactly the appended rows and round-trips JSON
+    assert(t.metadata.nextRowId === 25L)
+    assert(graft.spec.TableMetadata.fromJsonString(t.metadata.toJsonString)
+      .nextRowId === 25L)
+
+    // per-file blocks are contiguous and disjoint (manifest serde included)
+    val files = t.newScan().planFiles().map(_.file)
+    assert(files.forall(_.firstRowId.isDefined))
+    val blocks = files.map(f => (f.firstRowId.get, f.recordCount)).sortBy(_._1)
+    val covered = blocks.foldLeft(0L) { case (next, (first, n)) =>
+      assert(first === next, s"gap/overlap at $first, expected $next"); first + n
+    }
+    assert(covered === 25L)
+
+    // _row_id is dense 0..24; _last_updated_sequence_number tracks the commit
+    val meta = t.newScan().withMetadataColumns().toDF(spark)
+      .select("_row_id", "_last_updated_sequence_number", "id")
+      .collect()
+    assert(meta.map(_.getLong(0)).sorted.toSeq === (0L until 25L))
+    assert(meta.map(_.getLong(1)).toSet === Set(1L, 2L))
+    // second append's rows carry sequence number 2
+    assert(meta.filter(_.getLong(2) > 10L).forall(_.getLong(1) === 2L))
+  }
+
+  test("variant (v3) column round-trips through a graft table") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, parse_json, variant_get}
+    val src = Seq(
+      (1L, """{"a": 1, "s": "x"}"""),
+      (2L, """{"a": 2, "s": "y", "extra": [1,2]}"""),
+      (3L, """{"a": 3}""")).toDF("id", "j")
+      .select(col("id"), parse_json(col("j")).as("props"))
+    val vschema = IcebergSchema.fromSpark(src.schema)
+    assert(vschema.fields(1).fieldType === IcebergType.VariantT)
+    // schema JSON round-trips the variant type
+    assert(IcebergSchema.schemaFromJson(vschema.toJson) === vschema)
+
+    var t = GraftTable.create("variants", freshHadoop(), vschema)
+    t = t.append(src)
+    val back = t.newScan().toDF(spark)
+      .select(col("id"), variant_get(col("props"), "$.a", "long").as("a"),
+        variant_get(col("props"), "$.s", "string").as("s"))
+      .orderBy("id").collect()
+    assert(back.map(_.getLong(1)).toSeq === Seq(1L, 2L, 3L))
+    assert(back.map(_.getString(2)).toSeq === Seq("x", "y", null))
+  }
+
   test("memory catalog: create/load/commit/conflict semantics") {
     val cat = new MemoryCatalog(
       java.nio.file.Files.createTempDirectory("graft-mem-").toString,
