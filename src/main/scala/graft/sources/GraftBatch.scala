@@ -118,7 +118,8 @@ final class GraftBatchScan(table: GraftTable, predicate: Predicate,
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val spark = SparkSession.active
-    GraftReaderFactory.build(spark, table.schema.toSpark, readSchema(), pushedFilters)
+    GraftReaderFactory.build(spark, table.schema.toSpark, readSchema(), pushedFilters,
+      graft.crypto.Encryption.confFor(table.metadata.properties))
   }
 }
 
@@ -147,13 +148,13 @@ object GraftReaderFactory {
     * captured closure state at build time, and the caller's session is
     * never mutated (the concurrent-scan hygiene contract). */
   def build(spark: SparkSession, dataSchema: StructType, readSchema: StructType,
-      filters: Seq[Filter]): GraftReaderFactory = {
+      filters: Seq[Filter], encConf: Map[String, String] = Map.empty): GraftReaderFactory = {
     val scanSpark = graft.SessionConf.scanSession(spark)
     val fmt = new ParquetFileFormat()
     val hc = scanSpark.sparkContext.hadoopConfiguration
     def conf() = {
       val c = new org.apache.hadoop.conf.Configuration(hc)
-      graft.SessionConf.ScanConf.foreach { case (k, v) => c.set(k, v) }
+      (graft.SessionConf.ScanConf ++ encConf).foreach { case (k, v) => c.set(k, v) }
       c
     }
     val rowOpts = Map(FileFormat.OPTION_RETURNING_BATCH -> "false")

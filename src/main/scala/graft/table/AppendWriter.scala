@@ -123,8 +123,10 @@ object AppendWriter {
     // maintenance to sweep; the Hive-style partition dirs below the
     // commit root come free from partitionBy for debuggability.
     val staging = s"${table.location}/data/commit-$commitUuid"
+    val encConf = graft.crypto.Encryption.confFor(table.metadata.properties)
     val writer = distributed.write
       .mode(SaveMode.Append)
+      .options(encConf)
       .option("compression",
         table.metadata.properties.getOrElse("write.parquet.compression-codec", "zstd"))
     spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
@@ -158,7 +160,8 @@ object AppendWriter {
     val dataFiles: Seq[DataFile] = spark.sparkContext
       .parallelize(staged, math.max(1, math.min(staged.size, 64)))
       .map { case (p, len) =>
-        AppendWriter.harvestDataFile(p, len, stagingPrefix, fieldTypes, partFieldTypes)
+        AppendWriter.harvestDataFile(p, len, stagingPrefix, fieldTypes, partFieldTypes,
+          encConf)
       }.collect().toSeq
 
     withNanCounts(table, spark, staging, dataFiles)
@@ -182,7 +185,9 @@ object AppendWriter {
     import org.apache.spark.sql.functions.{isnan, sum}
     val aggs = floatFields.map(f =>
       sum(isnan(col(f.name)).cast("long")).as(s"_nan_${f.id}"))
-    val perFile = spark.read.parquet(dataFiles.map(_.filePath): _*)
+    val perFile = spark.read
+      .options(graft.crypto.Encryption.confFor(table.metadata.properties))
+      .parquet(dataFiles.map(_.filePath): _*)
       .groupBy(col("_metadata.file_path").as("_f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
@@ -203,10 +208,16 @@ object AppendWriter {
       fileLen: Long,
       stagingPrefix: String,
       fieldTypes: Map[String, (Int, IcebergType)],
-      partFieldTypes: Seq[IcebergType]): DataFile = {
-    // executor-local conf; staging paths use the same FS as the table
+      partFieldTypes: Seq[IcebergType],
+      encConf: Map[String, String] = Map.empty): DataFile = {
+    // executor-local conf; staging paths use the same FS as the table.
+    // Encrypted tables carry decryption entries for the footer read —
+    // HadoopReadOptions resolves FileDecryptionProperties through the
+    // crypto factory in the conf (raw open() would skip it).
     val conf = new Configuration()
-    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(path), conf))
+    encConf.foreach { case (k, v) => conf.set(k, v) }
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(path), conf),
+      org.apache.parquet.HadoopReadOptions.builder(conf, new Path(path)).build())
     try {
       val footer = reader.getFooter
       val blocks = footer.getBlocks

@@ -50,7 +50,9 @@ object DeleteWriter {
 
     val matches =
       if (partial.isEmpty) null
-      else spark.read.schema(table.schema.toSpark)
+      else spark.read
+        .options(graft.crypto.Encryption.confFor(table.metadata.properties))
+        .schema(table.schema.toSpark)
         .parquet(partial.map(_.file.filePath): _*)
         .filter(Predicate.toColumn(bound, table.schema))
         .select(col("_metadata.file_path").as("file_path"),
@@ -88,8 +90,9 @@ object DeleteWriter {
     * descriptors (no commit). */
   private def stagePositionDeletes(table: GraftTable, rows: DataFrame,
       commitUuid: String): Seq[DataFile] = {
+    val encConf = graft.crypto.Encryption.confFor(table.metadata.properties)
     val outDir = s"${table.location}/data/deletes-$commitUuid"
-    rows.write.option("compression", "zstd").parquet(outDir)
+    rows.write.options(encConf).option("compression", "zstd").parquet(outDir)
     val written = table.io.listFiles(outDir).filter(_._1.endsWith(".parquet"))
     val nullPartition = Seq.fill(table.spec.fields.size)(null)
     written.map { case (p, len) =>
@@ -98,7 +101,7 @@ object DeleteWriter {
         filePath = p,
         fileFormat = "PARQUET",
         partition = nullPartition,
-        recordCount = countRows(p),
+        recordCount = countRows(p, encConf),
         fileSizeInBytes = len)
     }.filter(_.recordCount > 0)
   }
@@ -116,7 +119,9 @@ object DeleteWriter {
     val tasks = table.newScan().withFilter(bound).planFiles()
     if (tasks.isEmpty) return table
 
-    val matches = spark.read.schema(table.schema.toSpark)
+    val matches = spark.read
+      .options(graft.crypto.Encryption.confFor(table.metadata.properties))
+      .schema(table.schema.toSpark)
       .parquet(tasks.map(_.file.filePath): _*)
       .filter(Predicate.toColumn(bound, table.schema))
       .select(col("_metadata.file_path").as("file_path"),
@@ -229,12 +234,13 @@ object DeleteWriter {
 
   private def writeDeleteFiles(table: GraftTable, rows: DataFrame, content: Int,
       equalityIds: Seq[Int], spark: SparkSession): GraftTable = {
+    val encConf = graft.crypto.Encryption.confFor(table.metadata.properties)
     val commitUuid = UUID.randomUUID().toString
     val outDir = s"${table.location}/data/deletes-$commitUuid"
-    rows.write.option("compression", "zstd").parquet(outDir)
+    rows.write.options(encConf).option("compression", "zstd").parquet(outDir)
 
     val written = table.io.listFiles(outDir).filter(_._1.endsWith(".parquet"))
-    if (written.isEmpty || rowCount(written) == 0L) {
+    if (written.isEmpty || rowCount(written, encConf) == 0L) {
       table.io.delete(outDir, recursive = true)
       return table
     }
@@ -247,7 +253,7 @@ object DeleteWriter {
         filePath = p,
         fileFormat = "PARQUET",
         partition = nullPartition,
-        recordCount = countRows(p),
+        recordCount = countRows(p, encConf),
         fileSizeInBytes = len,
         equalityIds = equalityIds)
     }.filter(_.recordCount > 0)
@@ -264,12 +270,17 @@ object DeleteWriter {
     }
   }
 
-  private def rowCount(files: Seq[(String, Long)]): Long =
-    files.map { case (p, _) => countRows(p) }.sum
+  private def rowCount(files: Seq[(String, Long)], encConf: Map[String, String]): Long =
+    files.map { case (p, _) => countRows(p, encConf) }.sum
 
-  /** Footer-only row count (delete commits write few files; driver-side). */
-  private def countRows(path: String): Long = {
-    val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(path), new Configuration()))
+  /** Footer-only row count (delete commits write few files; driver-side).
+    * HadoopReadOptions resolves decryption via the crypto factory when the
+    * table is encrypted. */
+  private def countRows(path: String, encConf: Map[String, String] = Map.empty): Long = {
+    val conf = new Configuration()
+    encConf.foreach { case (k, v) => conf.set(k, v) }
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(path), conf),
+      org.apache.parquet.HadoopReadOptions.builder(conf, new Path(path)).build())
     try r.getRecordCount finally r.close()
   }
 }

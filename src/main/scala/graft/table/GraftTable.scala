@@ -520,8 +520,10 @@ final class TableScan private[table] (
     val sparkSchema = table.schema.toSpark
     // id-based projection (pipeline.rs:160-168) via a conf-carrying session
     // clone — the caller's session conf is never mutated, so concurrent
-    // queries can't observe scan settings (graft.SessionConf)
+    // queries can't observe scan settings (graft.SessionConf). Encrypted
+    // tables add their PME decryption entries as per-relation options.
     val reader = graft.SessionConf.scanSession(spark)
+    val encConf = graft.crypto.Encryption.confFor(table.metadata.properties)
     val base =
       if (tasks.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sparkSchema)
@@ -543,7 +545,7 @@ final class TableScan private[table] (
             // name-based for every file (true for both foreign files and
             // our own, which write the then-current names)
             val physical = nm.physicalSchema(table.schema)
-            val rawPhys = reader.read.schema(physical)
+            val rawPhys = reader.read.options(encConf).schema(physical)
               .parquet(tasks.map(_.file.filePath): _*)
             // deletes join on _metadata → must run before the rename
             // projection drops it (position/DV deletes only for mapped
@@ -555,7 +557,8 @@ final class TableScan private[table] (
                   col(pf.name).cast(sf.dataType).as(f.name)
                 }: _*)
           case None =>
-            val raw = reader.read.schema(sparkSchema).parquet(tasks.map(_.file.filePath): _*)
+            val raw = reader.read.options(encConf).schema(sparkSchema)
+              .parquet(tasks.map(_.file.filePath): _*)
             applyDeletes(spark, raw, tasks)
         }
       }
@@ -632,6 +635,7 @@ final class TableScan private[table] (
     if (deletes.isEmpty) return raw
 
     val FILE = "_gf_file"; val POS = "_gf_pos"; val SEQ = "_gf_seq"
+    val encConf = graft.crypto.Encryption.confFor(table.metadata.properties)
     var work = raw
       .withColumn(FILE, col("_metadata.file_path"))
       .withColumn(POS, col("_metadata.row_index"))
@@ -639,7 +643,7 @@ final class TableScan private[table] (
     val posParquet = deletes.filter(d =>
       d.file.content == FileContent.PositionDeletes && d.file.fileFormat != "PUFFIN")
     if (posParquet.nonEmpty) {
-      val pd = spark.read.parquet(posParquet.map(_.file.filePath): _*)
+      val pd = spark.read.options(encConf).parquet(posParquet.map(_.file.filePath): _*)
       work = work.join(pd,
         work(FILE) === pd("file_path") && work(POS) === pd("pos"), "left_anti")
     }
@@ -699,7 +703,7 @@ final class TableScan private[table] (
       eqGroups.foreach {
         case ((ids, delSeq), group) =>
           val keyNames = ids.map(id => table.schema.idToField(id).name)
-          val dels = spark.read.parquet(group.map(_.file.filePath): _*)
+          val dels = spark.read.options(encConf).parquet(group.map(_.file.filePath): _*)
             .select(keyNames.map(col): _*).distinct()
           val keyCond = keyNames.map(n => work(n) === dels(n)).reduce(_ && _)
           work = work.join(dels, keyCond && work(SEQ) < lit(delSeq), "left_anti")
