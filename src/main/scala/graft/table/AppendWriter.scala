@@ -122,7 +122,7 @@ object AppendWriter {
     // on object stores. A failed job leaves invisible orphans for
     // maintenance to sweep; the Hive-style partition dirs below the
     // commit root come free from partitionBy for debuggability.
-    val staging = s"${table.location}/data/commit-$commitUuid"
+    val staging = Locations.commitDir(table, "commit", commitUuid)
     val encConf = graft.crypto.Encryption.confFor(table.metadata.properties)
     val writer = distributed.write
       .mode(SaveMode.Append)

@@ -91,7 +91,7 @@ object DeleteWriter {
   private def stagePositionDeletes(table: GraftTable, rows: DataFrame,
       commitUuid: String): Seq[DataFile] = {
     val encConf = graft.crypto.Encryption.confFor(table.metadata.properties)
-    val outDir = s"${table.location}/data/deletes-$commitUuid"
+    val outDir = Locations.commitDir(table, "deletes", commitUuid)
     rows.write.options(encConf).option("compression", "zstd").parquet(outDir)
     val written = table.io.listFiles(outDir).filter(_._1.endsWith(".parquet"))
     val nullPartition = Seq.fill(table.spec.fields.size)(null)
@@ -139,7 +139,7 @@ object DeleteWriter {
     if (blobs.isEmpty) return table
 
     val commitUuid = UUID.randomUUID().toString
-    val puffinPath = s"${table.location}/data/deletes-$commitUuid.puffin"
+    val puffinPath = Locations.commitDir(table, "deletes", commitUuid) + ".puffin"
 
     Commits.commit(table, "delete", commitUuid,
       Map("added-delete-files" -> "1",
@@ -236,7 +236,7 @@ object DeleteWriter {
       equalityIds: Seq[Int], spark: SparkSession): GraftTable = {
     val encConf = graft.crypto.Encryption.confFor(table.metadata.properties)
     val commitUuid = UUID.randomUUID().toString
-    val outDir = s"${table.location}/data/deletes-$commitUuid"
+    val outDir = Locations.commitDir(table, "deletes", commitUuid)
     rows.write.options(encConf).option("compression", "zstd").parquet(outDir)
 
     val written = table.io.listFiles(outDir).filter(_._1.endsWith(".parquet"))

@@ -97,6 +97,31 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("object-storage layout: hashed entropy prefixes, reads + GC unaffected") {
+    val ss = spark
+    import ss.implicits._
+    var t = GraftTable.create("oslayout", catalog, graft.spec.IcebergSchema(0, Seq(
+      graft.spec.NestedField(1, "id", graft.spec.IcebergType.LongT, required = false))),
+      properties = Map(Locations.ObjectStorageProp -> "true"))
+    t = t.append((1L to 50L).toSeq.toDF("id"))
+    t = t.append((51L to 80L).toSeq.toDF("id"))
+
+    // files live under data/<4b>/<4b>/<4b>/<8b>/commit-*/ binary entropy dirs
+    val paths = t.newScan().planFiles().map(_.file.filePath.stripPrefix("file:"))
+    val entropyRe = (java.util.regex.Pattern.quote(s"${t.location}/data/") +
+      "[01]{4}/[01]{4}/[01]{4}/[01]{8}/commit-.*").r
+    assert(paths.forall(p => entropyRe.matches(p)), paths.mkString("\n"))
+    // different commits land under different prefixes (entropy is per commit)
+    assert(paths.map(_.split("/data/")(1).split("/commit-")(0)).distinct.size === 2)
+
+    // reads are layout-independent (manifest-addressed)
+    assert(t.newScan().toDF(ss).count() === 80)
+    // deletes + orphan GC walk the hashed tree correctly
+    t = t.deleteWhere(graft.expr.Predicate.gt("id", 70L), ss)
+    assert(t.newScan().toDF(ss).count() === 70)
+    assert(t.removeOrphanFiles(System.currentTimeMillis() + 60000, ss).isEmpty)
+  }
+
   test("orphan sweep over a wide planted tree runs distributed and exact") {
     val ss = spark
     import ss.implicits._
