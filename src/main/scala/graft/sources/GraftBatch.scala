@@ -40,7 +40,8 @@ import graft.table.GraftTable
   * remain the right distributed shape for key-based deletes.
   */
 final class GraftBatchScan(table: GraftTable, predicate: Predicate,
-    pushedFilters: Seq[Filter], required: Option[StructType]) extends Scan with Batch {
+    pushedFilters: Seq[Filter], required: Option[StructType],
+    options: Map[String, String] = Map.empty) extends Scan with Batch {
 
   private val projected: Seq[String] = required match {
     case Some(s) if s.fields.nonEmpty => s.fieldNames.toSeq
@@ -91,30 +92,16 @@ final class GraftBatchScan(table: GraftTable, predicate: Predicate,
         // whole file in one slice: row indexes must be exact
         Seq(GraftInputPartition(path, 0L, size, size,
           needsRowIndex = true, posParquet, dv))
-      else {
-        // clean file: split at row-group boundaries like planSplits
-        val target = 128L << 20
-        val offsets = t.file.splitOffsets
-        if (offsets.size <= 1 || size <= target)
-          Seq(GraftInputPartition(path, 0L, size, size, needsRowIndex = false, Nil, None))
-        else {
-          val bounds = offsets :+ size
-          val splits = Seq.newBuilder[GraftInputPartition]
-          var start = bounds.head
-          var i = 1
-          while (i < bounds.size) {
-            if (bounds(i) - start >= target || i == bounds.size - 1) {
-              splits += GraftInputPartition(path, start, bounds(i) - start, size,
-                needsRowIndex = false, Nil, None)
-              start = bounds(i)
-            }
-            i += 1
-          }
-          splits.result()
-        }
-      }
+      else GraftInputPartition.cleanSplits(path, size, t.file.splitOffsets)
     }.toArray
   }
+
+  /** Streaming read over the same table: micro-batch offsets are snapshot
+    * ids, each batch an incremental append scan (see GraftMicroBatchStream). */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new graft.streaming.GraftMicroBatchStream(
+      table.name, table.catalog, predicate, pushedFilters, projected, options)
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val spark = SparkSession.active
@@ -132,6 +119,32 @@ final case class GraftInputPartition(
     needsRowIndex: Boolean,
     posDeleteFiles: Seq[(String, Long)],
     dv: Option[(String, Long, Long)]) extends InputPartition
+
+object GraftInputPartition {
+
+  /** Split a delete-free data file at row-group boundaries into ~128 MB
+    * read slices — the cluster distribution unit. */
+  def cleanSplits(path: String, size: Long, offsets: Seq[Long]): Seq[GraftInputPartition] = {
+    val target = 128L << 20
+    if (offsets.size <= 1 || size <= target)
+      Seq(GraftInputPartition(path, 0L, size, size, needsRowIndex = false, Nil, None))
+    else {
+      val bounds = offsets :+ size
+      val splits = Seq.newBuilder[GraftInputPartition]
+      var start = bounds.head
+      var i = 1
+      while (i < bounds.size) {
+        if (bounds(i) - start >= target || i == bounds.size - 1) {
+          splits += GraftInputPartition(path, start, bounds(i) - start, size,
+            needsRowIndex = false, Nil, None)
+          start = bounds(i)
+        }
+        i += 1
+      }
+      splits.result()
+    }
+  }
+}
 
 object GraftReaderFactory {
 

@@ -64,9 +64,10 @@ final class GraftSparkTable(table: GraftTable) extends SparkTable
   override def schema(): StructType = table.schema.toSpark
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(table)
+    new GraftScanBuilder(table, options.asCaseSensitiveMap.asScala.toMap)
 
   /** INSERT INTO via the V1 write fallback: the insert plan hands us the
     * materialized DataFrame and the append commit path does the rest
@@ -89,7 +90,7 @@ final class GraftSparkTable(table: GraftTable) extends SparkTable
     }
 }
 
-final class GraftScanBuilder(table: GraftTable)
+final class GraftScanBuilder(table: GraftTable, options: Map[String, String] = Map.empty)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var pushed: Array[Filter] = Array.empty
@@ -117,7 +118,7 @@ final class GraftScanBuilder(table: GraftTable)
     lazy val hasEqDeletes = table.newScan().planDeletes()
       .exists(_.file.content == graft.meta.FileContent.EqualityDeletes)
     if (usesNameMapping || hasEqDeletes) new GraftV1Scan(table, predicate, required)
-    else new GraftBatchScan(table, predicate, pushed.toSeq, required)
+    else new GraftBatchScan(table, predicate, pushed.toSeq, required, options)
   }
 }
 

@@ -313,18 +313,27 @@ final class TableScan private[table] (
     * manifest entries whose committing snapshot falls in the range —
     * delete/replace snapshots in range are rejected (an append-only
     * changelog can't represent them). */
-  def appendsBetween(fromSnapshotId: Long, toSnapshotId: Long): IncrementalScan = {
+  def appendsBetween(fromSnapshotId: Long, toSnapshotId: Long): IncrementalScan =
+    appendsBetween(fromSnapshotId, toSnapshotId, skipNonAppend = false)
+
+  /** As above; `skipNonAppend = true` silently excludes delete/replace
+    * snapshots in range instead of failing (the streaming-read
+    * `streaming-skip-delete-snapshots` contract: their row-level changes
+    * are not representable in an append-only changelog). */
+  def appendsBetween(fromSnapshotId: Long, toSnapshotId: Long,
+      skipNonAppend: Boolean): IncrementalScan = {
     val byId = table.metadata.snapshots.map(s => s.snapshotId -> s).toMap
     val to = byId.getOrElse(toSnapshotId,
       throw new IllegalArgumentException(s"snapshot $toSnapshotId not found"))
     val rangeIds = Iterator.iterate(Option(to))(
         _.flatMap(_.parentSnapshotId).flatMap(byId.get))
       .takeWhile(s => s.isDefined && s.get.snapshotId != fromSnapshotId)
-      .flatten.map { s =>
-        require(s.operation == "append",
+      .flatten.flatMap { s =>
+        if (s.operation == "append") Some(s.snapshotId)
+        else if (skipNonAppend) None
+        else throw new IllegalArgumentException(
           s"snapshot ${s.snapshotId} is '${s.operation}', not append — " +
             "incremental append scan undefined")
-        s.snapshotId
       }.toSet
     new IncrementalScan(table, toSnapshotId, rangeIds)
   }
