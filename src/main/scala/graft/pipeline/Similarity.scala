@@ -1,8 +1,9 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.functions.TopKByScore
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -43,13 +44,22 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qe"), col("ce")).as("cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"),
-        round(col("cos"), 5).as("cos_sim"))
+    rankTopK(scored, k)
   }
+
+  /** Exact per-query top-k via the bounded partial aggregate
+    * (graft.functions.TopKByScore): map-side buffers cap at k, so the
+    * shuffle carries q × k × partitions heap entries rather than every
+    * scored row — the window-rank form shuffled the full q×n score
+    * matrix. Output and tie-breaks (cos desc, neighbor_id asc) are
+    * identical to `row_number()` over that ordering. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("query_id")
+      .agg(TopKByScore.column(col("cos"), col("neighbor_id"), k).as("nb"))
+      .select(col("query_id"), posexplode(col("nb")).as(Seq("pos", "nbr")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("nbr.neighbor_id").as("neighbor_id"),
+        round(col("nbr.cos"), 5).as("cos_sim"))
 
   /** Embedding-cosine near-duplicate pairs via banded hyperplane LSH:
     * each vector is hashed into `bands` independent sign-pattern buckets
@@ -165,12 +175,7 @@ object Similarity {
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosine(col("qe"), col("embedding")).as("cos"))
-    val win = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(win))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("neighbor_id"), round(col("cos"), 5).as("cos_sim"))
+    rankTopK(scored, k)
   }
 
   /** Deterministic hyperplane weights for `planes`×`dims`. */
@@ -198,11 +203,6 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qe"), col("ce")).as("cos"))
-    val win = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(win))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"),
-        round(col("cos"), 5).as("cos_sim"))
+    rankTopK(scored, k)
   }
 }

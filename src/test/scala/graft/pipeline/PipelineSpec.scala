@@ -129,6 +129,33 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ivf.groupBy("query_id").count().filter(col("count") > 3).count() === 0)
   }
 
+  test("knn top-k runs as bounded partial aggregate, not a window shuffle") {
+    val queries = embs.filter(col("vec_id") < 10)
+    val knn = Similarity.knnBruteForce(queries, embs, 5)
+    val plan = knn.queryExecution.executedPlan.toString
+    // map-side top-k: partial ObjectHashAggregate caps each partition's
+    // contribution at k rows per query BEFORE the shuffle; the old
+    // row_number() window shuffled the whole q×n score matrix
+    assert(plan.contains("partial_top_k_by_score"), s"no partial top-k in:\n$plan")
+    assert(!plan.contains("Window"), s"window shuffle still present:\n$plan")
+
+    // aggregate semantics equal the window form: rank by cos desc, id asc
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val c = embs.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    val windowed = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Similarity.cosine(col("qe"), col("ce")).as("cos"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), round(col("cos"), 5).as("cos_sim"))
+    val a = knn.collect().map(_.toSeq).sortBy(_.toString)
+    val b = windowed.collect().map(_.toSeq).sortBy(_.toString)
+    assert(a === b)
+  }
+
   test("multimodal: decode plumbing preserves schema, shape and determinism") {
     val media = Multimodal.asMediaTable(docs)
     assert(media.schema("payload").dataType.typeName === "binary")
