@@ -169,7 +169,23 @@ object CommitRetry {
     var waitMs = minWaitMs
     while (true) {
       val (base, version) = catalog.loadTable(name)
-      val (updated, onSuccess) = action(base, version)
+      val (updated0, onSuccess) = action(base, version)
+      // Every real metadata change records its predecessor in the
+      // metadata log (table_metadata.rs metadata_log), capped by
+      // write.metadata.previous-versions-max — centralized here so
+      // metadata-only transactions and snapshot commits log alike.
+      val updated =
+        if (updated0 eq base) updated0
+        else {
+          val cap = updated0.properties.get("write.metadata.previous-versions-max")
+            .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(100)
+          val entry = (s"${base.location}/metadata/v$version.metadata.json",
+            base.lastUpdatedMs)
+          val log =
+            if (updated0.metadataLog.lastOption.contains(entry)) updated0.metadataLog
+            else updated0.metadataLog :+ entry
+          updated0.copy(metadataLog = log.takeRight(cap))
+        }
       try {
         val newVersion = catalog.commitTable(name, version, updated)
         return onSuccess(newVersion)

@@ -415,6 +415,27 @@ object IcebergQueries {
         max(col("_row_id")).as("max_id"))
   }
 
+  /** metadata_log_entries metadata table (table_metadata.rs metadata_log,
+    * centralized append in CommitRetry): the create+2-append fixture has
+    * exactly three generations — v1 from create (no snapshot yet) and one
+    * per append — so generation ordinal and snapshot-presence are
+    * deterministic even though paths/timestamps are per-run. */
+  val i22 = Q.sql(
+    "i22_metadata_log",
+    """SELECT * FROM (VALUES (CAST(1 AS BIGINT), false),
+      |                      (CAST(2 AS BIGINT), true),
+      |                      (CAST(3 AS BIGINT), true))
+      |  AS t(ordinal, has_snapshot)
+      |ORDER BY ordinal""".stripMargin
+  ) { (s, d) =>
+    val t = IcebergFixtures.ordersTwoSnapshots(s, d)
+    t.metadataLogEntriesDf(s)
+      .select(regexp_extract(col("file"), "v(\\d+)\\.metadata\\.json$", 1)
+        .cast("long").as("ordinal"),
+        col("latest_snapshot_id").isNotNull.as("has_snapshot"))
+      .orderBy(col("ordinal"))
+  }
+
   val all: Seq[Q] = Seq(i01, i02, i03, i04, i05, i06, i07, i08, i09, i10,
-    i11, i12, i13, i14, i15, i16, i17, i18, i19, i20, i21)
+    i11, i12, i13, i14, i15, i16, i17, i18, i19, i20, i21, i22)
 }

@@ -216,7 +216,7 @@ object TableMetadata {
 
   def fromJson(n: JsonNode): TableMetadata = {
     val fv = n("format-version").asInt()
-    require(fv == 1 || fv == 2, s"unsupported format-version $fv")
+    require(fv >= 1 && fv <= 3, s"unsupported format-version $fv")
     TableMetadata(
       formatVersion = fv,
       tableUuid = n("table-uuid").asText(),

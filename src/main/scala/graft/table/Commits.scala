@@ -147,7 +147,7 @@ object Commits {
         currentSnapshotId = Some(snapshotId),
         snapshots = base.snapshots :+ snap,
         snapshotLog = base.snapshotLog :+ (snapshotId, now),
-        metadataLog = base.metadataLog :+ (s"${base.location}/metadata/v$version.metadata.json", base.lastUpdatedMs),
+        // metadataLog entry appended centrally by CommitRetry.run
         nextRowId = base.nextRowId + addedRows)
 
       (updated, (_: Int) => table.refresh())

@@ -87,6 +87,13 @@ final class GraftTable(
   def upgradeFormatVersion(to: Int): GraftTable =
     Transactions.upgradeFormatVersion(this, to)
 
+  def updateLocation(newLocation: String): GraftTable =
+    Transactions.updateLocation(this, newLocation)
+
+  def updateStatistics(set: Seq[graft.spec.StatisticsFile] = Nil,
+      removeSnapshotIds: Set[Long] = Set.empty): GraftTable =
+    Transactions.updateStatistics(this, set, removeSnapshotIds)
+
   /** Register existing parquet files without rewriting (migration path;
     * name-mapping read resolution for id-less files). */
   def addFiles(spark: SparkSession, paths: Seq[String]): GraftTable =
@@ -193,6 +200,24 @@ final class GraftTable(
       (t.file.filePath, t.file.content, t.file.recordCount, t.file.fileSizeInBytes,
         spec.partitionPath(t.file.partition))
     }.toDF("file_path", "content", "record_count", "file_size_in_bytes", "partition")
+  }
+
+  /** metadata_log_entries metadata table (table_metadata.rs metadata_log):
+    * every metadata.json generation plus the live one, with the snapshot
+    * that was current when each was written. The log is O(commits) and
+    * each file is KB-scale JSON, so the driver-side reads are bounded. */
+  def metadataLogEntriesDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val current = s"$location/metadata/v$version.metadata.json"
+    val entries = metadata.metadataLog :+ (current, metadata.lastUpdatedMs)
+    entries.map { case (file, ts) =>
+      val snapId =
+        if (file == current) metadata.currentSnapshotId
+        else scala.util.Try(
+          TableMetadata.fromJsonString(io.readString(file)).currentSnapshotId)
+          .toOption.flatten
+      (new java.sql.Timestamp(ts), file, snapId)
+    }.toDF("timestamp", "file", "latest_snapshot_id")
   }
 
   private def ancestorIds: Seq[Long] = {

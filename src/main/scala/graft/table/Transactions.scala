@@ -100,16 +100,53 @@ object Transactions {
         (_: Int) => table.refresh())
     }
 
-  /** Upgrade format version (1→2 supported; downgrade refused —
-    * transaction/mod.rs:135-170). */
+  /** Upgrade format version (1→2→3; downgrade refused —
+    * transaction/upgrade_format_version.rs). v3 unlocks row lineage,
+    * deletion vectors and ns timestamps; those writers already emit
+    * v3-compatible metadata, so the upgrade is metadata-only. */
   def upgradeFormatVersion(table: GraftTable, to: Int): GraftTable = {
     CommitRetry.run(table.catalog, table.name) { (base, _) =>
       require(to >= base.formatVersion,
         s"cannot downgrade format version ${base.formatVersion} -> $to")
-      require(to <= 2, s"unsupported format version $to")
+      require(to <= 3, s"unsupported format version $to")
       val updated =
         if (to == base.formatVersion) base
         else base.copy(formatVersion = to, lastUpdatedMs = System.currentTimeMillis())
+      (updated, (_: Int) => table.refresh())
+    }
+  }
+
+  /** Move the table's root location (transaction/update_location.rs).
+    * Existing files keep their absolute manifest-addressed paths, so
+    * reads are unaffected; FUTURE commits place data files under the new
+    * root. (The Hadoop catalog keeps metadata.json under its own
+    * warehouse/<table> dir — location only governs data placement there,
+    * matching the catalog-owned-metadata model of the REST/JDBC
+    * catalogs.) */
+  def updateLocation(table: GraftTable, newLocation: String): GraftTable = {
+    require(newLocation.nonEmpty && !newLocation.endsWith("/"),
+      s"location must be a non-empty path without trailing slash: '$newLocation'")
+    CommitRetry.run(table.catalog, table.name) { (base, _) =>
+      (base.copy(location = newLocation,
+        lastUpdatedMs = System.currentTimeMillis()),
+        (_: Int) => table.refresh())
+    }
+  }
+
+  /** Register/replace/remove statistics files
+    * (transaction/update_statistics.rs set_statistics/remove_statistics):
+    * at most one statistics file per snapshot — a set for an already-
+    * covered snapshot replaces that entry. */
+  def updateStatistics(table: GraftTable,
+      set: Seq[graft.spec.StatisticsFile] = Nil,
+      removeSnapshotIds: Set[Long] = Set.empty): GraftTable = {
+    require(set.map(_.snapshotId).distinct.size == set.size,
+      "duplicate snapshot ids in statistics set")
+    CommitRetry.run(table.catalog, table.name) { (base, _) =>
+      val dropped = removeSnapshotIds ++ set.map(_.snapshotId)
+      val updated = base.copy(
+        statistics = base.statistics.filterNot(s => dropped(s.snapshotId)) ++ set,
+        lastUpdatedMs = System.currentTimeMillis())
       (updated, (_: Int) => table.refresh())
     }
   }

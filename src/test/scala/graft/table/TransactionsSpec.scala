@@ -328,6 +328,59 @@ class TransactionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.map(_.getString(2)).toSeq === Seq("x", "y", null))
   }
 
+  test("metadata_log_entries: one row per metadata generation with its snapshot") {
+    var t = GraftTable.create("mlog", freshHadoop(), schema)
+    t = t.append(sampleDf)
+    t = t.updateProperties(Map("owner" -> "x"))
+    val rows = t.metadataLogEntriesDf(spark)
+      .orderBy("timestamp").collect()
+    assert(rows.length === 3) // create, append, props — current included
+    // generations before the append have no snapshot; later ones do
+    assert(rows.head.isNullAt(2))
+    assert(rows.last.getLong(2) === t.metadata.currentSnapshotId.get)
+    assert(rows.map(_.getString(1)).distinct.length === 3)
+  }
+
+  test("updateLocation moves future data placement; old files still read") {
+    var t = GraftTable.create("loc", freshHadoop(), schema)
+    t = t.append(sampleDf)
+    val newRoot = java.nio.file.Files.createTempDirectory("graft-newloc-").toString
+    t = t.updateLocation(newRoot)
+    assert(t.location === newRoot)
+    intercept[IllegalArgumentException] { t.updateLocation(newRoot + "/") }
+    t = t.append(sampleDf)
+    assert(t.newScan().toDF(spark).count() === 200)
+    // the second append landed under the new root, the first did not
+    val paths = t.newScan().planFiles().map(_.file.filePath)
+    assert(paths.exists(_.contains(newRoot)))
+    assert(paths.exists(!_.contains(newRoot)))
+  }
+
+  test("updateStatistics: set replaces per snapshot, remove drops") {
+    var t = GraftTable.create("ustats", freshHadoop(), schema)
+    t = t.append(sampleDf)
+    val snap = t.metadata.currentSnapshotId.get
+    def sf(path: String) = StatisticsFile(snap, path, 10L, 4L,
+      Seq(StatsBlobMetadata("apache-datasketches-theta-v1", snap, 1L, Seq(1), Map.empty)))
+    t = t.updateStatistics(set = Seq(sf("s3://stats/a.puffin")))
+    t = t.updateStatistics(set = Seq(sf("s3://stats/b.puffin"))) // replace, same snapshot
+    assert(t.metadata.statistics.map(_.statisticsPath) === Seq("s3://stats/b.puffin"))
+    t = t.updateStatistics(removeSnapshotIds = Set(snap))
+    assert(t.metadata.statistics.isEmpty)
+  }
+
+  test("format version upgrades 2→3, refuses downgrade and unknown") {
+    var t = GraftTable.create("fmtv", freshHadoop(), schema)
+    assert(t.metadata.formatVersion === 2)
+    t = t.upgradeFormatVersion(3)
+    assert(t.metadata.formatVersion === 3)
+    intercept[IllegalArgumentException] { t.upgradeFormatVersion(2) }
+    intercept[IllegalArgumentException] { t.upgradeFormatVersion(4) }
+    // v3 table still reads/writes
+    t = t.append(sampleDf)
+    assert(t.newScan().toDF(spark).count() === 100)
+  }
+
   test("memory catalog: create/load/commit/conflict semantics") {
     val cat = new MemoryCatalog(
       java.nio.file.Files.createTempDirectory("graft-mem-").toString,
