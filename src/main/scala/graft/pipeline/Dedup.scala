@@ -131,4 +131,40 @@ object Dedup {
       .agg(sum(when(col("s") > 0, expr("shiftleft(1L, j)")).otherwise(0L))
         .as("simhash"))
   }
+
+  /** SimHash near-duplicate pairs via pigeonhole band buckets: the
+    * `bits`-bit signature splits into `bands` disjoint chunks, and two
+    * signatures within hamming distance `maxHamming < bands` must agree
+    * EXACTLY on at least one chunk (pigeonhole), so candidates are pairs
+    * sharing any (band, chunk) bucket — exact recall, no all-pairs scan.
+    * Verify = popcount(sig_a XOR sig_b) ≤ maxHamming on candidates only.
+    *
+    * Scale shape: one explode (×bands) + ONE shuffle by (band, chunk)
+    * for the self-join; each bucket is a co-located hash-join cell and
+    * the n² pair space never materializes. A pathological bucket (e.g.
+    * a boilerplate chunk shared by millions of docs) is the same skew
+    * problem as MinHash-LSH bands — salt or cap that bucket. */
+  def simhashNearDups(docs: DataFrame, maxHamming: Int = 5,
+      bands: Int = 6, bits: Int = 60): DataFrame = {
+    require(maxHamming < bands, s"pigeonhole needs maxHamming < bands")
+    require(bits % bands == 0, s"bands must divide bits: $bits % $bands")
+    val width = bits / bands
+    val mask = (1L << width) - 1
+    val sigs = simhash(docs, bits = bits)
+    val banded = sigs.select(col("doc_id"), col("simhash"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          expr(s"shiftright(simhash, ${b * width}) & $mask").as("chunk"))): _*)).as("bc"))
+      .select(col("doc_id"), col("simhash"), col("bc.band").as("band"),
+        col("bc.chunk").as("chunk"))
+    banded.select(col("doc_id").as("id_a"), col("simhash").as("sig_a"),
+        col("band"), col("chunk"))
+      .join(banded.select(col("doc_id").as("id_b"), col("simhash").as("sig_b"),
+        col("band"), col("chunk")), Seq("band", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b").distinct()
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
 }

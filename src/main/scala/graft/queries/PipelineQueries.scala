@@ -460,6 +460,36 @@ object PipelineQueries {
       .orderBy(col("event_type"))
   }
 
+  /** SimHash hamming near-dup pairs (pigeonhole band buckets, exact
+    * recall for hd ≤ 5 with 6 bands — see Dedup.simhashNearDups). The
+    * oracle recomputes the signatures and does the quadratic hamming
+    * join in SQL; the Spark plan never goes all-pairs. */
+  val p16 = Q.sql(
+    "p16_simhash_neardup",
+    """WITH wh AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5(w), 1, 15))::BIGINT AS x
+      |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+      |        FROM documents)),
+      |bits AS (
+      |  SELECT doc_id, j,
+      |    CASE WHEN sum((x >> j) & 1) * 2 > count(*) THEN (1::BIGINT << j)
+      |         ELSE 0 END AS bit
+      |  FROM wh, range(0, 60) t(j)
+      |  GROUP BY doc_id, j),
+      |sh AS (SELECT doc_id, sum(bit)::BIGINT AS simhash
+      |       FROM bits GROUP BY doc_id)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+      |FROM sh a, sh b
+      |WHERE a.doc_id < b.doc_id
+      |  AND bit_count(xor(a.simhash, b.simhash)) <= 5
+      |ORDER BY id_a, id_b""".stripMargin
+  ) { (s, d) =>
+    Dedup.simhashNearDups(Tables.documents(s, d), maxHamming = 5, bands = 6)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
-    p11, p12, p13, p14, p15)
+    p11, p12, p13, p14, p15, p16)
 }

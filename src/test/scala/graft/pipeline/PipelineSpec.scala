@@ -72,6 +72,23 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bg.sum.toDouble / bg.size > 14, "background pairs should differ in many bits")
   }
 
+  test("simhash near-dup: banded result equals brute-force hamming join, no cartesian") {
+    val banded = Dedup.simhashNearDups(docs, maxHamming = 5, bands = 6)
+    assert(!banded.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+    val sigs = Dedup.simhash(docs)
+    val brute = sigs.select(col("doc_id").as("id_a"), col("simhash").as("sa"))
+      .crossJoin(sigs.select(col("doc_id").as("id_b"), col("simhash").as("sb")))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= 5)
+    // pigeonhole guarantees EXACT recall for hd <= bands-1
+    val a = banded.collect().map(_.toSeq).sortBy(_.toString)
+    val b = brute.collect().map(_.toSeq).sortBy(_.toString)
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
   test("ann LSH bucketing: same-bucket candidates only, reasonable recall") {
     val k = 3
     val queries = embs.filter(col("vec_id") < 20)
