@@ -111,6 +111,31 @@ object StatisticsFile {
         .getOrElse(Map.empty)))).getOrElse(Nil))
 }
 
+/** Partition statistics file registered in table metadata
+  * (statistic_file.rs:60-71): a per-partition rollup file (record counts,
+  * file counts, sizes) discoverable per snapshot — planners read it
+  * instead of walking manifests. */
+final case class PartitionStatisticsFile(
+    snapshotId: Long,
+    statisticsPath: String,
+    fileSizeInBytes: Long) {
+
+  def toJson: ObjectNode = {
+    val o = obj()
+    o.put("snapshot-id", snapshotId)
+    o.put("statistics-path", statisticsPath)
+    o.put("file-size-in-bytes", fileSizeInBytes)
+    o
+  }
+}
+
+object PartitionStatisticsFile {
+  def fromJson(n: JsonNode): PartitionStatisticsFile = PartitionStatisticsFile(
+    snapshotId = n("snapshot-id").asLong(),
+    statisticsPath = n("statistics-path").asText(),
+    fileSizeInBytes = n("file-size-in-bytes").asLong())
+}
+
 /** The immutable table-metadata tree (spec/table_metadata.rs:69), format V2.
   *
   * Serialized as `<version>.metadata.json`; commit = atomic swap of the
@@ -137,12 +162,16 @@ final case class TableMetadata(
     metadataLog: Seq[(String, Long)], // (metadataFile, timestampMs)
     refs: Map[String, SnapshotRef] = Map.empty,
     statistics: Seq[StatisticsFile] = Nil,
+    partitionStatistics: Seq[PartitionStatisticsFile] = Nil,
     /** v3 row lineage (table_metadata.rs:140,456): the next row id to
       * assign; append commits take a contiguous block for their files. */
     nextRowId: Long = 0L) {
 
   def statisticsFor(snapshotId: Long): Option[StatisticsFile] =
     statistics.find(_.snapshotId == snapshotId)
+
+  def partitionStatisticsFor(snapshotId: Long): Option[PartitionStatisticsFile] =
+    partitionStatistics.find(_.snapshotId == snapshotId)
 
   def currentSchema: IcebergSchema =
     schemas.find(_.schemaId == currentSchemaId).getOrElse(
@@ -204,6 +233,10 @@ final case class TableMetadata(
       val st = arr(); statistics.foreach(s => st.add(s.toJson))
       o.set[ObjectNode]("statistics", st)
     }
+    if (partitionStatistics.nonEmpty) {
+      val pst = arr(); partitionStatistics.foreach(s => pst.add(s.toJson))
+      o.set[ObjectNode]("partition-statistics", pst)
+    }
     if (nextRowId > 0L) o.put("next-row-id", nextRowId)
     o
   }
@@ -246,6 +279,8 @@ object TableMetadata {
       }).getOrElse(Map.empty),
       statistics = n.opt("statistics").map(_.elems.map(StatisticsFile.fromJson))
         .getOrElse(Nil),
+      partitionStatistics = n.opt("partition-statistics")
+        .map(_.elems.map(PartitionStatisticsFile.fromJson)).getOrElse(Nil),
       nextRowId = n.opt("next-row-id").map(_.asLong()).getOrElse(0L))
   }
 

@@ -94,6 +94,17 @@ final class GraftTable(
       removeSnapshotIds: Set[Long] = Set.empty): GraftTable =
     Transactions.updateStatistics(this, set, removeSnapshotIds)
 
+  def updatePartitionStatistics(set: Seq[graft.spec.PartitionStatisticsFile] = Nil,
+      removeSnapshotIds: Set[Long] = Set.empty): GraftTable =
+    Transactions.updatePartitionStatistics(this, set, removeSnapshotIds)
+
+  def writePartitionStats(spark: SparkSession): GraftTable =
+    Maintenance.writePartitionStats(this, spark)
+
+  def readPartitionStats(spark: SparkSession,
+      snapshotId: Option[Long] = None): DataFrame =
+    Maintenance.readPartitionStats(this, spark, snapshotId)
+
   /** Register existing parquet files without rewriting (migration path;
     * name-mapping read resolution for id-less files). */
   def addFiles(spark: SparkSession, paths: Seq[String]): GraftTable =

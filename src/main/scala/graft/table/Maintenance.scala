@@ -159,6 +159,37 @@ object Maintenance {
       (updated, (_: Int) => table.refresh())
     }
 
+  /** Compute and register the partition-statistics file for the current
+    * snapshot (statistic_file.rs:60-71): the per-partition rollup
+    * (records, files, bytes) that `partitionsDf` derives from manifests,
+    * persisted as one parquet under metadata/ and registered in
+    * `TableMetadata.partitionStatistics` — planners read the file
+    * instead of re-walking manifests. Rollup derivation is manifest-only
+    * (KB-scale Avro), no data IO. */
+  def writePartitionStats(table: GraftTable,
+      spark: org.apache.spark.sql.SparkSession): GraftTable = {
+    val snapshotId = table.metadata.currentSnapshotId.getOrElse(0L)
+    val dir = s"${table.location}/metadata/partition-stats-$snapshotId-" +
+      java.util.UUID.randomUUID()
+    table.partitionsDf(spark).coalesce(1).write.parquet(dir)
+    val path = table.io.listFiles(dir).map(_._1).find(_.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(s"no stats parquet in $dir"))
+    Transactions.updatePartitionStatistics(table,
+      set = Seq(graft.spec.PartitionStatisticsFile(
+        snapshotId, path, table.io.size(path))))
+  }
+
+  /** Read back the registered partition stats for a snapshot (current by
+    * default). */
+  def readPartitionStats(table: GraftTable,
+      spark: org.apache.spark.sql.SparkSession,
+      snapshotId: Option[Long] = None): org.apache.spark.sql.DataFrame = {
+    val sid = snapshotId.orElse(table.metadata.currentSnapshotId).getOrElse(0L)
+    val f = table.metadata.partitionStatisticsFor(sid).getOrElse(
+      throw new IllegalArgumentException(s"no partition statistics for snapshot $sid"))
+    spark.read.parquet(f.statisticsPath)
+  }
+
   /** The last `retainLast` ancestors of the current snapshot (incl. it). */
   private def retainedIds(base: TableMetadata, retainLast: Int): Set[Long] = {
     val byId = base.snapshots.map(s => s.snapshotId -> s).toMap

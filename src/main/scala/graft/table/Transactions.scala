@@ -133,6 +133,24 @@ object Transactions {
     }
   }
 
+  /** Register/replace/remove partition statistics files
+    * (statistic_file.rs:60-71, table_metadata.rs partition_statistics):
+    * one per snapshot, set replaces. */
+  def updatePartitionStatistics(table: GraftTable,
+      set: Seq[graft.spec.PartitionStatisticsFile] = Nil,
+      removeSnapshotIds: Set[Long] = Set.empty): GraftTable = {
+    require(set.map(_.snapshotId).distinct.size == set.size,
+      "duplicate snapshot ids in partition statistics set")
+    CommitRetry.run(table.catalog, table.name) { (base, _) =>
+      val dropped = removeSnapshotIds ++ set.map(_.snapshotId)
+      val updated = base.copy(
+        partitionStatistics =
+          base.partitionStatistics.filterNot(s => dropped(s.snapshotId)) ++ set,
+        lastUpdatedMs = System.currentTimeMillis())
+      (updated, (_: Int) => table.refresh())
+    }
+  }
+
   /** Register/replace/remove statistics files
     * (transaction/update_statistics.rs set_statistics/remove_statistics):
     * at most one statistics file per snapshot — a set for an already-

@@ -97,6 +97,43 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("partition statistics: rollup file registered, replaced, survives GC") {
+    val ss = spark
+    import ss.implicits._
+    val src = (1L to 90L).map(i => (i, s"g${i % 3}")).toDF("id", "grp")
+    val schema = IcebergSchema.fromSpark(src.schema)
+    var t = GraftTable.create("pstats", catalog, schema,
+      PartitionSpec.build(schema, Seq("grp" -> Transform.Identity)))
+    t = t.append(src)
+    t = t.writePartitionStats(spark)
+
+    val sid = t.metadata.currentSnapshotId.get
+    assert(t.metadata.partitionStatisticsFor(sid).isDefined)
+    // reload through the catalog: serde round-trips the registration
+    val re = GraftTable.load("pstats", catalog)
+    assert(re.metadata.partitionStatisticsFor(sid).get.fileSizeInBytes > 0)
+    // stats content equals the manifest-derived rollup
+    val stats = re.readPartitionStats(spark)
+      .selectExpr("partition", "record_count", "cast(file_count as long) file_count")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val live = re.partitionsDf(spark)
+      .selectExpr("partition", "record_count", "cast(file_count as long) file_count")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(stats === live)
+    assert(stats.map(_._2).sum === 90L)
+
+    // append + rewrite: set for the new snapshot replaces nothing, adds
+    t = re.append(src.filter($"id" <= 10))
+    t = t.writePartitionStats(spark)
+    assert(t.metadata.partitionStatistics.size === 2)
+    // GC never touches the registered stats files (metadata/ subtree)
+    assert(t.removeOrphanFiles(System.currentTimeMillis() + 60000, ss).isEmpty)
+    assert(t.readPartitionStats(spark).count() === 3)
+    // remove drops the registration
+    t = t.updatePartitionStatistics(removeSnapshotIds = Set(sid))
+    assert(t.metadata.partitionStatisticsFor(sid).isEmpty)
+  }
+
   test("object-storage layout: hashed entropy prefixes, reads + GC unaffected") {
     val ss = spark
     import ss.implicits._
