@@ -17,9 +17,12 @@ import scala.collection.immutable.SortedMap
   *   per container, u32 LE offset header per container, then containers —
   *   array (sorted u16 values, card ≤ 4096) or bitmap (8 KiB, 1024×u64 LE).
   *
-  * Run containers are never written and not accepted on read (we only
-  * read vectors we wrote; the reference's writer behaves the same for
-  * freshly-built bitmaps).
+  * Run containers (cookie 12347: run-flag bitset after the cookie, per
+  * container u16 run count + (start, length-1) u16 pairs, offset header
+  * only when ≥4 containers) are READ but never written: vectors we build
+  * serialize as array/bitmap containers (the reference's writer behaves
+  * the same for freshly-built bitmaps), while spec-compliant DVs written
+  * by other engines — which do run-optimize — deserialize correctly.
   */
 final class Roaring64 private (
     private val containers: SortedMap[Long, Array[Long]]) { // key=(high32<<16|key16), value=bitset words
@@ -135,13 +138,26 @@ object Roaring64 {
     new Roaring64(SortedMap.from(m))
   }
 
+  /** Offset header is omitted for run-flagged bitmaps with fewer
+    * containers than this (RoaringFormatSpec NO_OFFSET_THRESHOLD). */
+  private val NoOffsetThreshold = 4
+
   private def readBitmap32(buf: ByteBuffer, high: Long,
       m: scala.collection.mutable.Map[Long, Array[Long]]): Unit = {
     val start = buf.position()
-    val cookie = buf.getInt
-    require((cookie & 0xFFFF) != CookieRun, "run containers not supported")
-    require(cookie == CookieNoRun, s"bad roaring cookie $cookie")
-    val n = buf.getInt
+    val rawCookie = buf.getInt
+    val cookie = rawCookie & 0xFFFF
+    require(cookie == CookieNoRun || cookie == CookieRun,
+      s"bad roaring cookie $cookie")
+    val hasRun = cookie == CookieRun
+    val n = if (hasRun) ((rawCookie >>> 16) & 0xFFFF) + 1 else buf.getInt
+    val runFlags = new Array[Boolean](n)
+    if (hasRun) {
+      val bits = new Array[Byte]((n + 7) / 8)
+      buf.get(bits)
+      var i = 0
+      while (i < n) { runFlags(i) = (bits(i / 8) & (1 << (i % 8))) != 0; i += 1 }
+    }
     val keys = new Array[Int](n)
     val cards = new Array[Int](n)
     var i = 0
@@ -150,14 +166,28 @@ object Roaring64 {
       cards(i) = (buf.getShort & 0xFFFF) + 1
       i += 1
     }
+    val hasOffsets = !hasRun || n >= NoOffsetThreshold
     val offsets = new Array[Int](n)
-    i = 0
-    while (i < n) { offsets(i) = buf.getInt; i += 1 }
+    if (hasOffsets) {
+      i = 0
+      while (i < n) { offsets(i) = buf.getInt; i += 1 }
+    }
     i = 0
     while (i < n) {
-      buf.position(start + offsets(i))
+      if (hasOffsets) buf.position(start + offsets(i))
       val words = new Array[Long](1024)
-      if (cards(i) <= ArrayMax) {
+      if (runFlags(i)) {
+        val nRuns = buf.getShort & 0xFFFF
+        var r = 0
+        while (r < nRuns) {
+          val first = buf.getShort & 0xFFFF
+          val len = buf.getShort & 0xFFFF // run covers [first, first+len]
+          var v = first
+          val last = first + len
+          while (v <= last) { words(v >>> 6) |= (1L << (v & 63)); v += 1 }
+          r += 1
+        }
+      } else if (cards(i) <= ArrayMax) {
         var j = 0
         while (j < cards(i)) {
           val v = buf.getShort & 0xFFFF

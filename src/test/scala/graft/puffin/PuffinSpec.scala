@@ -41,6 +41,59 @@ class PuffinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(round.iterator.toSeq === all.sorted)
   }
 
+  test("roaring64: run containers from other engines deserialize (golden bytes)") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def le(cap: Int)(f: ByteBuffer => Unit): Array[Byte] = {
+      val b = ByteBuffer.allocate(cap).order(ByteOrder.LITTLE_ENDIAN); f(b); b.array()
+    }
+
+    // A: single run container, <4 containers → NO offset header.
+    // runs [5..10] and [20..23] → card 10
+    val a = le(8 + 4 + 4 + 1 + 4 + 2 + 8) { b =>
+      b.putLong(1L); b.putInt(0)                  // one 32-bit map, high=0
+      b.putInt(12347 | (0 << 16))                 // run cookie, n-1=0
+      b.put(0x01.toByte)                          // container 0 is a run
+      b.putShort(0); b.putShort(9)                // key 0, card-1
+      b.putShort(2)                               // two runs
+      b.putShort(5); b.putShort(5)                // [5, 5+5]
+      b.putShort(20); b.putShort(3)               // [20, 20+3]
+    }
+    val bmA = Roaring64.deserialize(a)
+    assert(bmA.iterator.toSeq === ((5L to 10L) ++ (20L to 23L)))
+
+    // B: 4 run containers → offset header present (NO_OFFSET_THRESHOLD)
+    val header = 4 + 1 + 4 * 4 + 4 * 4 // cookie + flags + headers + offsets
+    val b4 = le(8 + 4 + header + 4 * 6) { b =>
+      b.putLong(1L); b.putInt(0)
+      b.putInt(12347 | (3 << 16))                 // n-1=3
+      b.put(0x0F.toByte)                          // all four are runs
+      (0 until 4).foreach { k => b.putShort(k.toShort); b.putShort(2) } // card 3
+      (0 until 4).foreach { k => b.putInt(header + k * 6) }
+      (0 until 4).foreach { _ => b.putShort(1); b.putShort(1); b.putShort(2) } // [1..3]
+    }
+    val bmB = Roaring64.deserialize(b4)
+    val expB = (0 until 4).flatMap(k => (1L to 3L).map(v => (k.toLong << 16) | v))
+    assert(bmB.iterator.toSeq === expB)
+
+    // C: mixed run + array containers in one bitmap, no offsets
+    val c = le(8 + 4 + 4 + 1 + 8 + 6 + 4) { b =>
+      b.putLong(1L); b.putInt(0)
+      b.putInt(12347 | (1 << 16))                 // n-1=1
+      b.put(0x01.toByte)                          // only container 0 is a run
+      b.putShort(0); b.putShort(4)                // key 0: run [10..14]
+      b.putShort(1); b.putShort(1)                // key 1: array {7, 9}
+      b.putShort(1); b.putShort(10); b.putShort(4)
+      b.putShort(7); b.putShort(9)
+    }
+    val bmC = Roaring64.deserialize(c)
+    assert(bmC.iterator.toSeq ===
+      ((10L to 14L) ++ Seq(65536L + 7L, 65536L + 9L)))
+
+    // our writer still never emits runs: round-trip stays run-free
+    val rt = Roaring64.deserialize(bmC.serialize())
+    assert(rt.iterator.toSeq === bmC.iterator.toSeq)
+  }
+
   test("puffin container: write/readMetadata/readBlob round-trip") {
     val io = FileIO.fromSpark(spark)
     val path = java.nio.file.Files.createTempDirectory("puffin-").toString + "/t.puffin"
