@@ -436,6 +436,29 @@ object IcebergQueries {
       .orderBy(col("ordinal"))
   }
 
+  /** Row-level changelog (CDC): the append+MoR-delete fixture yields an
+    * insert ordinal covering every order and a delete ordinal covering
+    * exactly the price>200k rows (graft.table.Changelog; Iceberg's
+    * create_changelog_view semantics, _change_type per
+    * metadata_columns.rs:53,90). */
+  val i23 = Q.sql(
+    "i23_changelog",
+    """SELECT * FROM (
+      |  SELECT CAST(0 AS INT) AS ord, 'insert' AS change_type,
+      |         count(*)::BIGINT AS n FROM orders
+      |  UNION ALL
+      |  SELECT CAST(1 AS INT), 'delete', count(*)::BIGINT
+      |  FROM orders WHERE o_totalprice > 200000.0)
+      |ORDER BY ord""".stripMargin
+  ) { (s, d) =>
+    val t = IcebergFixtures.ordersPosDeleted(s, d)
+    t.changesBetween(s, -1L, t.metadata.currentSnapshotId.get)
+      .groupBy(col("_change_ordinal").as("ord"),
+        col("_change_type").as("change_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("ord"))
+  }
+
   val all: Seq[Q] = Seq(i01, i02, i03, i04, i05, i06, i07, i08, i09, i10,
-    i11, i12, i13, i14, i15, i16, i17, i18, i19, i20, i21, i22)
+    i11, i12, i13, i14, i15, i16, i17, i18, i19, i20, i21, i22, i23)
 }

@@ -101,6 +101,11 @@ final class GraftTable(
   def writePartitionStats(spark: SparkSession): GraftTable =
     Maintenance.writePartitionStats(this, spark)
 
+  /** Row-level CDC over (from, to]: see graft.table.Changelog. */
+  def changesBetween(spark: SparkSession, fromSnapshotId: Long,
+      toSnapshotId: Long, netChanges: Boolean = false): DataFrame =
+    Changelog.changesBetween(this, spark, fromSnapshotId, toSnapshotId, netChanges)
+
   def readPartitionStats(spark: SparkSession,
       snapshotId: Option[Long] = None): DataFrame =
     Maintenance.readPartitionStats(this, spark, snapshotId)
