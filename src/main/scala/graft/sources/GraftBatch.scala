@@ -3,8 +3,11 @@ package graft.sources
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.paths.SparkPath
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan}
+import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.expressions.Expressions
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, SupportsReportPartitioning}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.execution.datasources.{FileFormat, PartitionedFile}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.sources.Filter
@@ -41,7 +44,8 @@ import graft.table.GraftTable
   */
 final class GraftBatchScan(table: GraftTable, predicate: Predicate,
     pushedFilters: Seq[Filter], required: Option[StructType],
-    options: Map[String, String] = Map.empty) extends Scan with Batch {
+    options: Map[String, String] = Map.empty)
+    extends Scan with Batch with SupportsReportPartitioning {
 
   private val projected: Seq[String] = required match {
     case Some(s) if s.fields.nonEmpty => s.fieldNames.toSeq
@@ -65,7 +69,52 @@ final class GraftBatchScan(table: GraftTable, predicate: Predicate,
     table.io.fs(p).makeQualified(hp).toString
   }
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  override def planInputPartitions(): Array[InputPartition] = planned
+
+  /** Storage-partitioned joins (Spark SPJ, SPARK-37377): when every
+    * planned file sits in the table's default spec and that spec is
+    * identity-only, each split carries its partition tuple
+    * (`HasPartitionKey`) and the scan reports `KeyGroupedPartitioning`
+    * over the source columns. With `spark.sql.sources.v2.bucketing
+    * .enabled` Spark then groups splits by partition value and joins two
+    * co-partitioned graft tables WITHOUT any shuffle — at 100 TB the
+    * exchange this elides is usually the whole cost of a fact-fact join.
+    * Non-identity or mixed-spec layouts fall back to unknown partitioning
+    * (correct, just shuffled). */
+  override def outputPartitioning(): Partitioning =
+    if (planned.nonEmpty && planned.forall(_.isInstanceOf[HasPartitionKey])) {
+      val keys = table.spec.fields.map(f =>
+        Expressions.identity(table.schema.idToField(f.sourceId).name))
+      new KeyGroupedPartitioning(keys.toArray, distinctKeyCount)
+    } else new UnknownPartitioning(planned.length)
+
+  private lazy val (planned: Array[InputPartition], distinctKeyCount: Int) = {
+    val parts = doPlan()
+    val spec = table.spec
+    val identityOnly = spec.fields.nonEmpty &&
+      spec.fields.forall(_.transform == graft.spec.Transform.Identity)
+    if (!identityOnly) (parts.map(p => p._2: InputPartition), 0)
+    else {
+      val partType = spec.partitionType(table.schema)
+      val converters = partType.fields.map(f =>
+        CatalystTypeConverters.createToCatalystConverter(
+          graft.spec.IcebergType.toSpark(f.fieldType)))
+      def keyOf(t: graft.table.FileScanTask): InternalRow =
+        new GenericInternalRow(t.file.partition.zip(partType.fields)
+          .zip(converters).map { case ((v, f), conv) =>
+            conv(Predicate.sparkValue(f.fieldType, v))
+          }.toArray)
+      val allDefaultSpec = parts.forall(_._1.specId == spec.specId)
+      if (!allDefaultSpec) (parts.map(p => p._2: InputPartition), 0)
+      else {
+        val keyed = parts.map { case (t, p) => GraftKeyedInputPartition(p, keyOf(t)) }
+        val distinct = parts.map(_._1.file.partition).distinct.size
+        (keyed.map(p => p: InputPartition), distinct)
+      }
+    }
+  }
+
+  private def doPlan(): Array[(graft.table.FileScanTask, GraftInputPartition)] = {
     val scan = predicate match {
       case AlwaysTrue => table.newScan()
       case p => table.newScan().withFilter(p)
@@ -88,11 +137,13 @@ final class GraftBatchScan(table: GraftTable, predicate: Predicate,
       val size = t.file.fileSizeInBytes
       val dv = dvByFile.get(path)
       val withDeletes = dv.isDefined || posParquet.nonEmpty
-      if (withDeletes)
-        // whole file in one slice: row indexes must be exact
-        Seq(GraftInputPartition(path, 0L, size, size,
-          needsRowIndex = true, posParquet, dv))
-      else GraftInputPartition.cleanSplits(path, size, t.file.splitOffsets)
+      val splits =
+        if (withDeletes)
+          // whole file in one slice: row indexes must be exact
+          Seq(GraftInputPartition(path, 0L, size, size,
+            needsRowIndex = true, posParquet, dv))
+        else GraftInputPartition.cleanSplits(path, size, t.file.splitOffsets)
+      splits.map(s => (t, s))
     }.toArray
   }
 
@@ -119,6 +170,13 @@ final case class GraftInputPartition(
     needsRowIndex: Boolean,
     posDeleteFiles: Seq[(String, Long)],
     dv: Option[(String, Long, Long)]) extends InputPartition
+
+/** A split plus its partition tuple — lets Spark group splits by
+  * partition value for storage-partitioned joins (HasPartitionKey). */
+final case class GraftKeyedInputPartition(part: GraftInputPartition,
+    key: InternalRow) extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = key
+}
 
 object GraftInputPartition {
 
@@ -190,7 +248,10 @@ final class GraftReaderFactory(
     conf: Broadcast[SerializableConfiguration]) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[GraftInputPartition]
+    val p = partition match {
+      case k: GraftKeyedInputPartition => k.part
+      case g: GraftInputPartition => g
+    }
     val read = if (p.needsRowIndex) plainRead else filteredRead
     new GraftPartitionReader(p, read, posDeleteRead, conf)
   }

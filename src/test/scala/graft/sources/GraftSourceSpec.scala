@@ -114,6 +114,45 @@ class GraftSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.filter(col("id") <= 10).count() === 5)
   }
 
+  test("storage-partitioned join: co-partitioned tables join with no exchange") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-spj").toString
+    val catalog = new graft.catalog.HadoopCatalog(wh, graft.io.FileIO.fromSpark(spark))
+    def mkTable(name: String, n: Long): Unit = {
+      val src = (1L to n).map(i => (i, s"g${i % 4}")).toDF("id", "grp")
+      val schema = graft.spec.IcebergSchema.fromSpark(src.schema)
+      val spec = graft.spec.PartitionSpec.build(schema,
+        Seq("grp" -> graft.spec.Transform.Identity))
+      graft.table.GraftTable.create(name, catalog, schema, spec).append(src)
+      ()
+    }
+    mkTable("spj_a", 40L)
+    mkTable("spj_b", 20L)
+
+    val saved = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.autoBroadcastJoinThreshold", "spark.sql.adaptive.enabled")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      def read(name: String) = spark.read.format("graft")
+        .option("warehouse", wh).option("table", name).load()
+      val j = read("spj_a").join(read("spj_b").withColumnRenamed("id", "id2"), Seq("grp"))
+      val plan = j.queryExecution.executedPlan.toString
+      // SPJ: the join consumes KeyGroupedPartitioning from both scans —
+      // no ShuffleExchange anywhere in the plan
+      assert(!plan.contains("Exchange"), s"shuffle in SPJ plan:\n$plan")
+      assert(j.count() === 4L * 10L * 5L) // per group: 10 × 5 rows
+      // sanity: same join with bucketing off shuffles both sides
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      val j2 = read("spj_a").join(read("spj_b").withColumnRenamed("id", "id2"), Seq("grp"))
+      assert(j2.queryExecution.executedPlan.toString.contains("Exchange"))
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("SQL surface: spark.sql over the catalog plugin, with pushdown") {
     val t = IcebergFixtures.ordersBucket(spark, sfDir)
     val warehouse = t.location.stripSuffix(s"/${t.name}")
