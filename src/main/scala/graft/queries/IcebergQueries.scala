@@ -212,7 +212,8 @@ object IcebergQueries {
     """SELECT o_orderkey, o_custkey, o_totalprice
       |FROM orders
       |WHERE o_custkey IN (7, 11, 13) AND o_totalprice > 50000.0
-      |ORDER BY o_orderkey""".stripMargin
+      |ORDER BY o_orderkey""".stripMargin,
+    bench = true
   ) { (s, d) =>
     val t = IcebergFixtures.ordersBucket(s, d)
     val warehouse = t.location.stripSuffix(s"/${t.name}")

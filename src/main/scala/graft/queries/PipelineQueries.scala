@@ -484,7 +484,8 @@ object PipelineQueries {
       |FROM sh a, sh b
       |WHERE a.doc_id < b.doc_id
       |  AND bit_count(xor(a.simhash, b.simhash)) <= 5
-      |ORDER BY id_a, id_b""".stripMargin
+      |ORDER BY id_a, id_b""".stripMargin,
+    bench = true
   ) { (s, d) =>
     Dedup.simhashNearDups(Tables.documents(s, d), maxHamming = 5, bands = 6)
       .orderBy(col("id_a"), col("id_b"))
