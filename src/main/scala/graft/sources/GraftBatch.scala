@@ -83,17 +83,29 @@ final class GraftBatchScan(table: GraftTable, predicate: Predicate,
     * (correct, just shuffled). */
   override def outputPartitioning(): Partitioning =
     if (planned.nonEmpty && planned.forall(_.isInstanceOf[HasPartitionKey])) {
-      val keys = table.spec.fields.map(f =>
-        Expressions.identity(table.schema.idToField(f.sourceId).name))
+      val keys = table.spec.fields.map { f =>
+        val name = table.schema.idToField(f.sourceId).name
+        f.transform match {
+          case graft.spec.Transform.Bucket(n) => Expressions.bucket(n, name)
+          case _ => Expressions.identity(name)
+        }
+      }
       new KeyGroupedPartitioning(keys.toArray, distinctKeyCount)
     } else new UnknownPartitioning(planned.length)
 
   private lazy val (planned: Array[InputPartition], distinctKeyCount: Int) = {
     val parts = doPlan()
     val spec = table.spec
-    val identityOnly = spec.fields.nonEmpty &&
-      spec.fields.forall(_.transform == graft.spec.Transform.Identity)
-    if (!identityOnly) (parts.map(p => p._2: InputPartition), 0)
+    // identity resolves catalog-free; bucket needs the plugin's
+    // FunctionCatalog (graft.functions.GraftBucketFunction) on the read
+    // path — reported either way, Spark falls back to a shuffle when it
+    // can't resolve the transform
+    val spjSupported = spec.fields.nonEmpty && spec.fields.forall(f =>
+      f.transform match {
+        case graft.spec.Transform.Identity | graft.spec.Transform.Bucket(_) => true
+        case _ => false
+      })
+    if (!spjSupported) (parts.map(p => p._2: InputPartition), 0)
     else {
       val partType = spec.partitionType(table.schema)
       val converters = partType.fields.map(f =>

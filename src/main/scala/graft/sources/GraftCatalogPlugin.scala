@@ -27,7 +27,8 @@ import graft.table.GraftTable
   * (the reference's SQL surface is the DataFusion TableProvider;
   * table/mod.rs:68-151).
   */
-final class GraftCatalogPlugin extends CatalogPlugin with TableCatalog with ViewCatalog {
+final class GraftCatalogPlugin extends CatalogPlugin with TableCatalog with ViewCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -116,6 +117,21 @@ final class GraftCatalogPlugin extends CatalogPlugin with TableCatalog with View
     throw new UnsupportedOperationException("rename is not supported")
 
   // ---- ViewCatalog (view_metadata.rs:59 surface over the ViewStore) ----
+
+  /** FunctionCatalog: resolves the `bucket` transform that bucket-
+    * partitioned scans report in KeyGroupedPartitioning, so Spark can
+    * plan storage-partitioned joins over bucket layouts (identity
+    * transforms resolve without a function catalog). */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, "bucket"))
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    ident.name() match {
+      case "bucket" => graft.functions.GraftBucketFunction
+      case _ => throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchFunctionException(ident)
+    }
 
   override def listViews(namespace: String*): Array[Identifier] =
     views.list().map(v => Identifier.of(namespace.toArray, v)).toArray

@@ -153,6 +153,41 @@ class GraftSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("bucket SPJ: bucket-partitioned tables join shuffle-free via the function catalog") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-spjb").toString
+    val catalog = new graft.catalog.HadoopCatalog(wh, graft.io.FileIO.fromSpark(spark))
+    def mkTable(name: String, n: Long): Unit = {
+      val src = (1L to n).map(i => (i, i * 0.5)).toDF("id", "v")
+      val schema = graft.spec.IcebergSchema.fromSpark(src.schema)
+      val spec = graft.spec.PartitionSpec.build(schema,
+        Seq("id" -> graft.spec.Transform.Bucket(4)))
+      graft.table.GraftTable.create(name, catalog, schema, spec).append(src)
+      ()
+    }
+    mkTable("spjb_a", 50L)
+    mkTable("spjb_b", 50L)
+
+    val saved = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.autoBroadcastJoinThreshold", "spark.sql.adaptive.enabled")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.catalog.graftspj", "graft.sources.GraftCatalogPlugin")
+      spark.conf.set("spark.sql.catalog.graftspj.warehouse", wh)
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val j = spark.sql(
+        """SELECT a.id, a.v, b.v AS v2
+          |FROM graftspj.spjb_a a JOIN graftspj.spjb_b b ON a.id = b.id""".stripMargin)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"shuffle in bucket-SPJ plan:\n$plan")
+      assert(j.count() === 50L)
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("SQL surface: spark.sql over the catalog plugin, with pushdown") {
     val t = IcebergFixtures.ordersBucket(spark, sfDir)
     val warehouse = t.location.stripSuffix(s"/${t.name}")
