@@ -81,38 +81,52 @@ object AppendWriter {
     val projected = if (partCols.isEmpty) input else input.withColumns(
       partNames.zip(partCols).toMap)
 
-    // --- distribution policy (repartition.rs:151-167) ---
+    // --- distribution policy (repartition.rs:151-167 +
+    // table_properties.rs write.distribution-mode) ---
+    //   hash (default): one shuffle clustering rows by partition tuple —
+    //     each partition's files come from few tasks (small file counts);
+    //   range: range-exchange on (partition, sort order) — a global sort,
+    //     so files carry DISJOINT sort-key ranges and min/max pruning on
+    //     the sort column reaches its best selectivity (worth the
+    //     pricier exchange for read-heavy 100 TB tables);
+    //   none: no exchange — cheapest write, most files per partition.
     val hashable = spec.fields.nonEmpty && spec.fields.forall(_.transform match {
       case Transform.Identity | Transform.Bucket(_) => true
       case _ => false
     })
-    val repartitioned =
-      if (hashable) projected.repartition(partNames.map(col): _*)
-      else projected
+    val order = table.metadata.sortOrders
+      .find(_.orderId == table.metadata.defaultSortOrderId)
+      .getOrElse(graft.spec.SortOrder.unsorted)
+    val orderCols = order.fields.map { f =>
+      val src = schema.idToField(f.sourceId)
+      val c = f.transform.toColumn(col(src.name), src.fieldType)
+      (f.ascending, f.nullsFirst) match {
+        case (true, true) => c.asc_nulls_first
+        case (true, false) => c.asc_nulls_last
+        case (false, true) => c.desc_nulls_first
+        case (false, false) => c.desc_nulls_last
+      }
+    }
+    val mode = table.metadata.properties.getOrElse("write.distribution-mode", "hash")
+    val repartitioned = mode match {
+      case "none" => projected
+      case "hash" =>
+        if (hashable) projected.repartition(partNames.map(col): _*) else projected
+      case "range" =>
+        val cols = partNames.map(col) ++ orderCols
+        if (cols.isEmpty) projected else projected.repartitionByRange(cols: _*)
+      case other => throw new IllegalArgumentException(
+        s"write.distribution-mode must be none|hash|range, got '$other'")
+    }
 
     // sort_by_partition clustered write (sort.rs + the reference writer's
     // clustered mode): local sort on (partition cols, table sort order) so
     // each written file covers a tight range of the sort keys — this is
     // what makes min/max metrics pruning on the sort columns effective at
     // 100 TB. Local (within-partition) sort only: no extra shuffle.
-    val order = table.metadata.sortOrders
-      .find(_.orderId == table.metadata.defaultSortOrderId)
-      .getOrElse(graft.spec.SortOrder.unsorted)
     val distributed =
       if (order.fields.isEmpty) repartitioned
-      else {
-        val sortCols = partNames.map(col) ++ order.fields.map { f =>
-          val src = schema.idToField(f.sourceId)
-          val c = f.transform.toColumn(col(src.name), src.fieldType)
-          (f.ascending, f.nullsFirst) match {
-            case (true, true) => c.asc_nulls_first
-            case (true, false) => c.asc_nulls_last
-            case (false, true) => c.desc_nulls_first
-            case (false, false) => c.desc_nulls_last
-          }
-        }
-        repartitioned.sortWithinPartitions(sortCols: _*)
-      }
+      else repartitioned.sortWithinPartitions(partNames.map(col) ++ orderCols: _*)
 
     // --- write (executors land files in their FINAL location) ---
     // Files live under a per-commit subtree: readers address files by

@@ -56,6 +56,9 @@ final class GraftTable(
 
   /** Compaction: rewrite the current snapshot to ~target-size files,
     * folding MoR deletes in (replace commit). */
+  def rewriteManifests(smallManifestBytes: Long = 8L << 20): GraftTable =
+    Maintenance.rewriteManifests(this, smallManifestBytes)
+
   def rewriteDataFiles(spark: SparkSession,
       targetFileSizeBytes: Long = 512L << 20): GraftTable =
     Maintenance.rewriteDataFiles(this, spark, targetFileSizeBytes)

@@ -159,6 +159,49 @@ object Maintenance {
       (updated, (_: Int) => table.refresh())
     }
 
+  /** Consolidate small data manifests (Iceberg's rewrite_manifests
+    * action; the Java RewriteManifests precedent — iceberg-rust tracks it
+    * as planned surface). A long-lived table accretes one manifest per
+    * commit; at 100 TB that is thousands of KB-scale Avro files whose
+    * open/read latency dominates scan PLANNING. This groups data
+    * manifests smaller than `smallManifestBytes` per partition spec and
+    * rewrites each group into consolidated manifests of Existing entries
+    * (resolved sequence numbers), committed as a `replace` snapshot.
+    * Metadata-only: no data files move, delete manifests and
+    * already-large manifests pass through. */
+  def rewriteManifests(table: GraftTable,
+      smallManifestBytes: Long = 8L << 20): GraftTable = {
+    val io = table.io
+    val before = Commits.baseManifests(io, table.metadata)
+      .filter(m => m.content == ManifestContent.Data &&
+        m.manifestLength < smallManifestBytes)
+    if (before.size <= 1) return table // nothing to consolidate
+    val commitUuid = UUID.randomUUID().toString
+    Commits.commit(table, "replace", commitUuid,
+      Map("manifests-rewritten" -> before.size.toString)) { (base, seq, snapshotId) =>
+      val manifests = Commits.baseManifests(io, base)
+      val (data, rest) = manifests.partition(_.content == ManifestContent.Data)
+      val (small, big) = data.partition(_.manifestLength < smallManifestBytes)
+      if (small.size <= 1) manifests
+      else {
+        val merged = small.groupBy(_.partitionSpecId).toSeq.sortBy(_._1)
+          .map { case (specId, group) =>
+            val spec = base.partitionSpecs.find(_.specId == specId)
+              .getOrElse(base.defaultSpec)
+            val entries = group.flatMap { m =>
+              ManifestIO.readManifest(io, m.manifestPath, base.currentSchema, spec)
+                .filter(_.isAlive)
+                .map(e => e.copy(status = ManifestStatus.Existing,
+                  sequenceNumber = e.sequenceNumber.orElse(Some(m.sequenceNumber))))
+            }
+            Commits.writeManifest(io, base, s"$commitUuid-mrw$specId", entries,
+              base.currentSchema, spec, ManifestContent.Data, snapshotId, seq)
+          }
+        big ++ merged ++ rest
+      }
+    }
+  }
+
   /** Compute and register the partition-statistics file for the current
     * snapshot (statistic_file.rs:60-71): the per-partition rollup
     * (records, files, bytes) that `partitionsDf` derives from manifests,

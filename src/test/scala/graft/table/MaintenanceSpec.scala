@@ -97,6 +97,40 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("rewrite manifests: consolidates per spec, preserves rows, deletes, pruning") {
+    val ss = spark
+    import ss.implicits._
+    val src = (1L to 120L).map(i => (i, s"g${i % 3}")).toDF("id", "grp")
+    val schema = IcebergSchema.fromSpark(src.schema)
+    var t = GraftTable.create("mrw", catalog, schema,
+      PartitionSpec.build(schema, Seq("grp" -> Transform.Identity)))
+    // 5 commits → 5 data manifests; one MoR delete on top
+    for (k <- 0 until 5) t = t.append(src.filter($"id" % 5 === k))
+    t = t.deleteWhere(Predicate.gt("id", 100L), spark)
+    val dataManifestsBefore = t.newScan().planFiles().size // sanity anchor
+    val listBefore = graft.meta.ManifestIO.readManifestList(
+      t.io, t.metadata.currentSnapshot.get.manifestList, t.partTypes)
+    assert(listBefore.count(_.content == graft.meta.ManifestContent.Data) === 5)
+
+    t = t.rewriteManifests()
+    val listAfter = graft.meta.ManifestIO.readManifestList(
+      t.io, t.metadata.currentSnapshot.get.manifestList, t.partTypes)
+    // one consolidated data manifest (single spec); delete manifests kept
+    assert(listAfter.count(_.content == graft.meta.ManifestContent.Data) === 1)
+    assert(listAfter.count(_.content == graft.meta.ManifestContent.Deletes)
+      === listBefore.count(_.content == graft.meta.ManifestContent.Deletes))
+    // rows unchanged, MoR deletes still apply, file set identical
+    assert(t.newScan().toDF(ss).count() === 100)
+    assert(t.newScan().planFiles().size === dataManifestsBefore)
+    // partition pruning still works over the merged manifest
+    val (files, metrics) = t.newScan()
+      .withFilter(Predicate.eqTo("grp", "g1")).planWithMetrics()
+    assert(files.nonEmpty && metrics.skippedByPartition > 0)
+    // idempotent: a second run is a no-op commit-wise
+    val snaps = t.metadata.snapshots.size
+    assert(t.rewriteManifests().metadata.snapshots.size === snaps)
+  }
+
   test("partition statistics: rollup file registered, replaced, survives GC") {
     val ss = spark
     import ss.implicits._

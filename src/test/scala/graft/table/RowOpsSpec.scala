@@ -164,6 +164,39 @@ class RowOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(files.map(_.file.fileSizeInBytes).max < 4096L * 8)
   }
 
+  test("write.distribution-mode=range: files carry disjoint sort-key ranges") {
+    import spark.implicits._
+    val catalog = new HadoopCatalog(
+      java.nio.file.Files.createTempDirectory("graft-range-").toString,
+      FileIO.fromSpark(spark))
+    var t = GraftTable.create("rangemode", catalog, schema,
+      properties = Map("write.distribution-mode" -> "range",
+        "write.spark.max-records-per-file" -> "1000"))
+    t = t.replaceSortOrder(Seq(SortField(1, Transform.Identity,
+      ascending = true, nullsFirst = true)))
+    // shuffled input: range exchange must re-cluster it globally
+    t = t.append((1L to 4000L).map(i => ((i * 2654435761L) % 4001L, i * 1.0, s"t$i"))
+      .toDF("id", "v", "tag").repartition(4))
+    val files = t.newScan().planFiles()
+    assert(files.size > 1)
+    // per-file [min,max] id bounds must be pairwise disjoint — the global
+    // range exchange is exactly what a local sort can't provide
+    val bounds = files.map(f =>
+      (f.file.lowerBounds(1).asInstanceOf[Long], f.file.upperBounds(1).asInstanceOf[Long]))
+      .sortBy(_._1)
+    bounds.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi <= lo2, s"overlap: $bounds")
+      case _ =>
+    }
+    assert(t.newScan().toDF(spark).count() === 4000)
+
+    intercept[IllegalArgumentException] {
+      GraftTable.create("badmode", catalog, schema,
+        properties = Map("write.distribution-mode" -> "zigzag"))
+        .append(Seq((1L, 1.0, "x")).toDF("id", "v", "tag"))
+    }
+  }
+
   test("many-file append: commit cost is metadata-only per file") {
     import spark.implicits._
     var t = fresh("many")
