@@ -164,13 +164,41 @@ object Similarity {
     df.select(col("vec_id"), col("embedding"), cellOf(col("embedding"), cents).as("cell"))
   }
 
+  /** Top-`nprobe` nearest cells (map-side, zero shuffle): the scored
+    * centroid array sorts by (cos desc, cid asc) and the first nprobe
+    * cids come back — same tie-break as `cellOf`, so nprobe=1 reproduces
+    * single-probe assignment exactly. */
+  private def cellsOf(emb: Column, cents: Seq[(Long, Seq[Double], Double)],
+      nprobe: Int): Column = {
+    val scored = transform(typedLit(cents), c =>
+      struct((TextHash.dot(emb, c.getField("_2")) /
+        (TextHash.l2norm(emb) * c.getField("_3"))).as("cos"),
+        c.getField("_1").as("cid")))
+    val sorted = array_sort(scored, (l, r) =>
+      when(l.getField("cos") > r.getField("cos"), -1)
+        .when(l.getField("cos") < r.getField("cos"), 1)
+        .otherwise(when(l.getField("cid") < r.getField("cid"), -1)
+          .when(l.getField("cid") > r.getField("cid"), 1).otherwise(0)))
+    transform(slice(sorted, 1, nprobe), s => s.getField("cid"))
+  }
+
+  /** IVF ANN; `nprobe > 1` searches the query's nprobe nearest cells
+    * (recall knob — corpus still shuffles once by cell, queries just
+    * explode ×nprobe before the broadcast join; nprobe = cell count
+    * degenerates to exact kNN). */
   def annIvf(queries: DataFrame, corpus: DataFrame, k: Int,
-      stride: Int = 31): DataFrame = {
+      stride: Int = 31, nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1: $nprobe")
     val cents = quantizer(corpus, stride)
     val assigned = corpus.select(col("vec_id"), col("embedding"),
       cellOf(col("embedding"), cents).as("cell"))
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-      cellOf(col("embedding"), cents).as("cell"))
+    val q =
+      if (nprobe == 1)
+        queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          cellOf(col("embedding"), cents).as("cell"))
+      else
+        queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          explode(cellsOf(col("embedding"), cents, nprobe)).as("cell"))
     val scored = assigned.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),

@@ -146,6 +146,23 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ivf.groupBy("query_id").count().filter(col("count") > 3).count() === 0)
   }
 
+  test("ivf nprobe: recall grows with probes; all-cells degenerates to exact knn") {
+    val queries = embs.filter(col("vec_id") < 15)
+    val exact = Similarity.knnBruteForce(queries, embs, 5)
+      .collect().map(_.toSeq).toSet
+    val nCells = embs.filter(col("vec_id") % 31 === 0).count().toInt
+    def recallOf(nprobe: Int): Double = {
+      val got = Similarity.annIvf(queries, embs, 5, nprobe = nprobe)
+        .collect().map(_.toSeq).toSet
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    val r1 = recallOf(1)
+    val r3 = recallOf(3)
+    assert(r3 >= r1, s"recall must not drop with more probes: $r1 -> $r3")
+    // probing every cell = scanning the whole corpus = exact kNN, bit for bit
+    assert(recallOf(nCells) === 1.0)
+  }
+
   test("knn top-k runs as bounded partial aggregate, not a window shuffle") {
     val queries = embs.filter(col("vec_id") < 10)
     val knn = Similarity.knnBruteForce(queries, embs, 5)
