@@ -58,6 +58,24 @@ final class GraftCatalogPlugin extends CatalogPlugin with TableCatalog with View
     new GraftSparkTable(GraftTable.load(ident.name(), catalog))
   }
 
+  /** SQL time travel: `FOR SYSTEM_VERSION AS OF <snapshot-id|ref>` —
+    * Spark routes VERSION AS OF here with the version string. */
+  override def loadTable(ident: Identifier, version: String): SparkTable = {
+    val t = GraftTable.load(ident.name(), catalog)
+    val snapId = t.metadata.refs.get(version).map(_.snapshotId)
+      .orElse(scala.util.Try(version.toLong).toOption)
+      .getOrElse(throw new IllegalArgumentException(
+        s"version '$version' is neither a ref nor a snapshot id"))
+    new GraftSparkTable(t.atSnapshot(snapId))
+  }
+
+  /** SQL time travel: `FOR SYSTEM_TIME AS OF <ts>` — Spark passes the
+    * timestamp in MICROseconds. */
+  override def loadTable(ident: Identifier, timestamp: Long): SparkTable = {
+    val t = GraftTable.load(ident.name(), catalog)
+    new GraftSparkTable(t.asOfTimestamp(timestamp / 1000L))
+  }
+
   override def tableExists(ident: Identifier): Boolean =
     catalog.tableExists(ident.name())
 

@@ -25,6 +25,25 @@ final class GraftTable(
 
   def newScan(): TableScan = new TableScan(this)
 
+  /** A read-only view of this table pinned at `snapshotId` — scans and
+    * metadata tables see that snapshot as current (time travel; writes
+    * are unaffected because commits re-load the live base via CAS). */
+  def atSnapshot(snapshotId: Long): GraftTable = {
+    require(metadata.snapshotById(snapshotId).isDefined,
+      s"snapshot $snapshotId not found")
+    new GraftTable(name, metadata.copy(currentSnapshotId = Some(snapshotId)),
+      version, catalog)
+  }
+
+  /** Pin at the snapshot that was current at `timestampMs` (snapshot-log
+    * resolution — Iceberg's as-of-timestamp rule). */
+  def asOfTimestamp(timestampMs: Long): GraftTable = {
+    val id = metadata.snapshotLog.filter(_._2 <= timestampMs).lastOption
+      .map(_._1).getOrElse(throw new IllegalArgumentException(
+        s"no snapshot committed at or before $timestampMs"))
+    atSnapshot(id)
+  }
+
   def append(df: DataFrame): GraftTable = AppendWriter.append(this, df)
 
   /** Row-level DELETE WHERE as a MoR position-delete commit. */

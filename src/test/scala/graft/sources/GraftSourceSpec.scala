@@ -215,6 +215,34 @@ class GraftSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE graftsql.sql_made")
   }
 
+  test("SQL time travel: VERSION AS OF id/ref and TIMESTAMP AS OF") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-tt").toString
+    val catalog = new graft.catalog.HadoopCatalog(wh, graft.io.FileIO.fromSpark(spark))
+    val schema = graft.spec.IcebergSchema(0, Seq(
+      graft.spec.NestedField(1, "id", graft.spec.IcebergType.LongT, required = false)))
+    var t = graft.table.GraftTable.create("tt", catalog, schema)
+    t = t.append((1L to 10L).toDF("id"))
+    val snap1 = t.metadata.currentSnapshotId.get
+    t = t.createBranch("stage")
+    Thread.sleep(5) // distinct snapshot-log timestamps
+    val betweenMs = System.currentTimeMillis()
+    Thread.sleep(5)
+    t = t.append((11L to 30L).toDF("id"))
+
+    spark.conf.set("spark.sql.catalog.grafttt", "graft.sources.GraftCatalogPlugin")
+    spark.conf.set("spark.sql.catalog.grafttt.warehouse", wh)
+    def one(sql: String): Long = spark.sql(sql).head.getLong(0)
+    assert(one("SELECT count(*) FROM grafttt.tt") === 30L)
+    assert(one(s"SELECT count(*) FROM grafttt.tt VERSION AS OF $snap1") === 10L)
+    assert(one("SELECT count(*) FROM grafttt.tt VERSION AS OF 'stage'") === 10L)
+    assert(one(s"SELECT count(*) FROM grafttt.tt TIMESTAMP AS OF " +
+      s"'${new java.sql.Timestamp(betweenMs)}'") === 10L)
+    intercept[Exception] {
+      one("SELECT count(*) FROM grafttt.tt VERSION AS OF 'nope'")
+    }
+  }
+
   test("views: CREATE VIEW / SELECT / REPLACE / DROP via spark.sql round-trip") {
     val t = IcebergFixtures.ordersBucket(spark, sfDir)
     val warehouse = t.location.stripSuffix(s"/${t.name}")
