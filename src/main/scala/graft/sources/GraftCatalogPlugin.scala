@@ -51,6 +51,13 @@ final class GraftCatalogPlugin extends CatalogPlugin with TableCatalog with View
     catalog.listTables().map(t => Identifier.of(namespace, t)).toArray
 
   override def loadTable(ident: Identifier): SparkTable = {
+    // metadata tables: `SELECT * FROM <cat>.<table>.<meta>` (Iceberg's
+    // inspect surface in SQL; inspect/metadata_table.rs)
+    if (ident.namespace().length == 1 &&
+        GraftMetadataSparkTable.Names(ident.name()) &&
+        catalog.tableExists(ident.namespace()(0)))
+      return new GraftMetadataSparkTable(
+        GraftTable.load(ident.namespace()(0), catalog), ident.name())
     // NoSuchTableException (not a generic error) so Spark's analyzer falls
     // through to loadView for identifiers that name a view
     if (!catalog.tableExists(ident.name()))
@@ -204,6 +211,56 @@ final class GraftCatalogPlugin extends CatalogPlugin with TableCatalog with View
 
 /** Spark DSv2 View over graft ViewMetadata: the current version's Spark
   * SQL representation plus its recorded result schema. */
+/** Read-only DSv2 table serving one metadata table of a graft table —
+  * lets plain SQL inspect snapshots/manifests/files/… exactly like
+  * Iceberg's `db.table.snapshots` surface. Metadata tables are O(commits)
+  * rows, so the V1 row-conversion bridge costs nothing measurable. */
+final class GraftMetadataSparkTable(table: GraftTable, metaName: String)
+    extends SparkTable with SupportsRead {
+
+  private def df(spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame =
+    metaName match {
+      case "snapshots" => table.snapshotsDf(spark)
+      case "manifests" => table.manifestsDf(spark)
+      case "history" => table.historyDf(spark)
+      case "files" => table.filesDf(spark)
+      case "entries" => table.entriesDf(spark)
+      case "partitions" => table.partitionsDf(spark)
+      case "refs" => table.refsDf(spark)
+      case "metadata_log_entries" => table.metadataLogEntriesDf(spark)
+      case other => throw new IllegalArgumentException(s"no metadata table $other")
+    }
+
+  override def name(): String = s"${table.name}.$metaName"
+  override def schema(): StructType =
+    df(org.apache.spark.sql.SparkSession.active).schema
+  override def capabilities(): util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
+    util.EnumSet.of(org.apache.spark.sql.connector.catalog.TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder =
+    () => new org.apache.spark.sql.connector.read.V1Scan {
+      override def readSchema(): StructType = schema()
+      override def toV1TableScan[T <: org.apache.spark.sql.sources.BaseRelation
+          with org.apache.spark.sql.sources.TableScan](
+          context: org.apache.spark.sql.SQLContext): T = {
+        val relation = new org.apache.spark.sql.sources.BaseRelation
+            with org.apache.spark.sql.sources.TableScan {
+          override def sqlContext: org.apache.spark.sql.SQLContext = context
+          override def schema: StructType = readSchema()
+          override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+            df(context.sparkSession).rdd
+        }
+        relation.asInstanceOf[T]
+      }
+    }
+}
+
+object GraftMetadataSparkTable {
+  val Names: Set[String] = Set("snapshots", "manifests", "history", "files",
+    "entries", "partitions", "refs", "metadata_log_entries")
+}
+
 final class GraftSparkView(viewName: String, md: graft.spec.ViewMetadata) extends View {
   private val cur = md.currentVersion
   override def name(): String = viewName

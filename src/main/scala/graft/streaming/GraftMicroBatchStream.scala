@@ -50,6 +50,9 @@ object GraftStreamOffset {
   *    in an append-only changelog) instead of failing the stream.
   *  - `max-snapshots-per-micro-batch=N` — admission control: cap how far
   *    the offset advances per batch, bounding batch size on backfill.
+  *  - `max-rows-per-micro-batch=N` — row-based admission via snapshot
+  *    `added-records` summaries (Spark `ReadLimit.maxRows` is honored
+  *    the same way); always advances at least one snapshot.
   */
 final class GraftMicroBatchStream(
     tableName: String,
@@ -67,6 +70,8 @@ final class GraftMicroBatchStream(
     options.get("streaming-skip-delete-snapshots").contains("true")
   private val maxSnaps = options.get("max-snapshots-per-micro-batch")
     .map(_.toInt).getOrElse(Int.MaxValue)
+  private val maxRowsOpt = options.get("max-rows-per-micro-batch")
+    .map(_.toLong).getOrElse(Long.MaxValue)
 
   override def initialOffset(): Offset =
     if (startFromLatest)
@@ -93,9 +98,28 @@ final class GraftMicroBatchStream(
       val i = pending.indexWhere(_.snapshotId == tgt)
       pending = if (i < 0) Nil else pending.take(i + 1)
     }
-    if (pending.isEmpty) start
-    else GraftStreamOffset(pending.take(maxSnaps).last.snapshotId)
+    if (pending.isEmpty) return start
+    // row-based admission (ReadLimit.maxRows or the option): advance
+    // while the cumulative added-records stays under the cap — always at
+    // least one snapshot, snapshots being the atomic replay unit
+    val rowCap: Long = limit match {
+      case m: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
+        math.min(m.maxRows(), maxRowsOpt)
+      case _ => maxRowsOpt
+    }
+    var taken = 0
+    var rows = 0L
+    while (taken < pending.size && taken < maxSnaps &&
+        (taken == 0 || rows + addedRecords(pending(taken)) <= rowCap)) {
+      rows += addedRecords(pending(taken))
+      taken += 1
+    }
+    GraftStreamOffset(pending(taken - 1).snapshotId)
   }
+
+  private def addedRecords(s: Snapshot): Long =
+    s.summary.get("added-records").flatMap(v =>
+      scala.util.Try(v.toLong).toOption).getOrElse(0L)
 
   override def reportLatestOffset(): Offset =
     GraftStreamOffset(reload().metadata.currentSnapshotId.getOrElse(-1L))

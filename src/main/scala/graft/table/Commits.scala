@@ -117,10 +117,13 @@ object Commits {
       val now = System.currentTimeMillis()
       val dataMs = all.filter(_.content == ManifestContent.Data)
       val delMs = all.filter(_.content == ManifestContent.Deletes)
+      val addedRecords = dataMs.filter(_.addedSnapshotId == snapshotId)
+        .map(_.addedRowsCount).sum
       val summary = Map(
         "total-data-files" -> dataMs.map(m => m.addedFilesCount + m.existingFilesCount).sum.toString,
         "total-delete-files" -> delMs.map(m => m.addedFilesCount + m.existingFilesCount).sum.toString,
-        "total-records" -> dataMs.map(m => m.addedRowsCount + m.existingRowsCount).sum.toString
+        "total-records" -> dataMs.map(m => m.addedRowsCount + m.existingRowsCount).sum.toString,
+        "added-records" -> addedRecords.toString
       ) ++ extraSummary
 
       val snap = Snapshot(
@@ -138,9 +141,7 @@ object Commits {
       // first_row_id from this same base.nextRowId). Only manifests THIS
       // snapshot added count — carried base manifests keep historical
       // added-row totals.
-      val addedRows = if (operation == "append")
-        dataMs.filter(_.addedSnapshotId == snapshotId).map(_.addedRowsCount).sum
-      else 0L
+      val addedRows = if (operation == "append") addedRecords else 0L
       val updated = base.copy(
         lastSequenceNumber = seq,
         lastUpdatedMs = now,

@@ -215,6 +215,23 @@ class GraftSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE graftsql.sql_made")
   }
 
+  test("SQL metadata tables: cat.table.snapshots/files/history resolve") {
+    val t = IcebergFixtures.ordersBucket(spark, sfDir)
+    val warehouse = t.location.stripSuffix(s"/${t.name}")
+    spark.conf.set("spark.sql.catalog.graftmeta", "graft.sources.GraftCatalogPlugin")
+    spark.conf.set("spark.sql.catalog.graftmeta.warehouse", warehouse)
+    val snaps = spark.sql(
+      s"SELECT snapshot_id, operation FROM graftmeta.${t.name}.snapshots")
+    assert(snaps.count() >= 1)
+    assert(snaps.columns.toSeq === Seq("snapshot_id", "operation"))
+    assert(spark.sql(s"SELECT * FROM graftmeta.${t.name}.files").count()
+      === t.newScan().planFiles().size)
+    assert(spark.sql(
+      s"SELECT * FROM graftmeta.${t.name}.history WHERE is_current_ancestor").count() >= 1)
+    // a real table named like a metadata table still resolves normally
+    assert(spark.sql(s"SELECT count(*) FROM graftmeta.${t.name}").head.getLong(0) > 0)
+  }
+
   test("SQL time travel: VERSION AS OF id/ref and TIMESTAMP AS OF") {
     import spark.implicits._
     val wh = java.nio.file.Files.createTempDirectory("graft-tt").toString

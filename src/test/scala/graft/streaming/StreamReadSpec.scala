@@ -90,6 +90,24 @@ class StreamReadSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.select("id").as[Long].collect().sorted === Array(10L))
   }
 
+  test("max-rows-per-micro-batch groups snapshots under the row cap") {
+    import spark.implicits._
+    val warehouse = tmp("graft-sr4-")
+    val catalog = new HadoopCatalog(warehouse, FileIO.fromSpark(spark))
+    var t = GraftTable.create("sr4", catalog, schema)
+    for (k <- 0 until 5)
+      t = t.append((1L to 10L).map(i => (k * 10L + i, i * 1.0)).toDF("id", "v"))
+
+    val outDir = tmp("sr4-out-"); val ckpt = tmp("sr4-ckpt-")
+    runAvailableNow(readStream(warehouse, "sr4",
+      "max-rows-per-micro-batch" -> "25"), outDir, ckpt)
+    assert(spark.read.parquet(outDir).count() === 50)
+    // 5 snapshots × 10 rows under a 25-row cap → 2+2+1 snapshots = 3 batches
+    val batches = new java.io.File(ckpt, "commits").listFiles()
+      .count(f => f.getName.forall(_.isDigit))
+    assert(batches === 3, s"expected 3 row-capped micro-batches, got $batches")
+  }
+
   test("max-snapshots-per-micro-batch bounds each batch; delete snapshots skip or fail") {
     import spark.implicits._
     val warehouse = tmp("graft-sr3-")
