@@ -228,6 +228,9 @@ final class GraftMetadataSparkTable(table: GraftTable, metaName: String)
       case "partitions" => table.partitionsDf(spark)
       case "refs" => table.refsDf(spark)
       case "metadata_log_entries" => table.metadataLogEntriesDf(spark)
+      case "all_manifests" => table.allManifestsDf(spark)
+      case "all_files" => table.allFilesDf(spark)
+      case "all_entries" => table.allEntriesDf(spark)
       case other => throw new IllegalArgumentException(s"no metadata table $other")
     }
 
@@ -258,7 +261,8 @@ final class GraftMetadataSparkTable(table: GraftTable, metaName: String)
 
 object GraftMetadataSparkTable {
   val Names: Set[String] = Set("snapshots", "manifests", "history", "files",
-    "entries", "partitions", "refs", "metadata_log_entries")
+    "entries", "partitions", "refs", "metadata_log_entries",
+    "all_manifests", "all_files", "all_entries")
 }
 
 final class GraftSparkView(viewName: String, md: graft.spec.ViewMetadata) extends View {

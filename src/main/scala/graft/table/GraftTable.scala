@@ -240,6 +240,53 @@ final class GraftTable(
     }.toDF("file_path", "content", "record_count", "file_size_in_bytes", "partition")
   }
 
+  /** all_manifests: every manifest reachable from ANY snapshot (Iceberg's
+    * all_manifests inspect table) — one row per (manifest, snapshot). */
+  def allManifestsDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    metadata.snapshots.flatMap { s =>
+      ManifestIO.readManifestList(io, s.manifestList, partTypes)
+        .map(m => (s.snapshotId, m.manifestPath, m.manifestLength, m.content,
+          m.partitionSpecId, m.addedFilesCount, m.existingFilesCount,
+          m.deletedFilesCount))
+    }.toDF("reference_snapshot_id", "path", "length", "content",
+      "partition_spec_id", "added_data_files_count",
+      "existing_data_files_count", "deleted_data_files_count")
+  }
+
+  /** all_files: every data/delete file referenced by any snapshot,
+    * deduplicated by path (all_files inspect table). */
+  def allFilesDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    metadata.snapshots.flatMap { s =>
+      ManifestIO.readManifestList(io, s.manifestList, partTypes).flatMap { m =>
+        val sp = metadata.specById(m.partitionSpecId).getOrElse(spec)
+        ManifestIO.readManifest(io, m.manifestPath, schema, sp)
+          .filter(_.isAlive)
+          .map(e => (e.dataFile.filePath, e.dataFile.content,
+            e.dataFile.recordCount, e.dataFile.fileSizeInBytes))
+      }
+    }.distinct
+      .toDF("file_path", "content", "record_count", "file_size_in_bytes")
+  }
+
+  /** all_entries: manifest entries of every snapshot's manifest list,
+    * tombstones included, tagged with the referencing snapshot. */
+  def allEntriesDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    metadata.snapshots.flatMap { s =>
+      ManifestIO.readManifestList(io, s.manifestList, partTypes).flatMap { m =>
+        val sp = metadata.specById(m.partitionSpecId).getOrElse(spec)
+        ManifestIO.readManifest(io, m.manifestPath, schema, sp).map { e =>
+          (s.snapshotId, e.status, e.snapshotId,
+            e.sequenceNumber.getOrElse(m.sequenceNumber),
+            e.dataFile.content, e.dataFile.filePath, e.dataFile.recordCount)
+        }
+      }
+    }.toDF("reference_snapshot_id", "status", "snapshot_id",
+      "sequence_number", "content", "file_path", "record_count")
+  }
+
   /** metadata_log_entries metadata table (table_metadata.rs metadata_log):
     * every metadata.json generation plus the live one, with the snapshot
     * that was current when each was written. The log is O(commits) and

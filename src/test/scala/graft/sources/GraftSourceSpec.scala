@@ -230,6 +230,13 @@ class GraftSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"SELECT * FROM graftmeta.${t.name}.history WHERE is_current_ancestor").count() >= 1)
     // a real table named like a metadata table still resolves normally
     assert(spark.sql(s"SELECT count(*) FROM graftmeta.${t.name}").head.getLong(0) > 0)
+    // all_* variants cover every snapshot, so they are supersets
+    val allFiles = spark.sql(s"SELECT * FROM graftmeta.${t.name}.all_files").count()
+    assert(allFiles >= t.newScan().planFiles().size)
+    assert(spark.sql(s"SELECT * FROM graftmeta.${t.name}.all_manifests").count() >= 1)
+    assert(spark.sql(
+      s"""SELECT * FROM graftmeta.${t.name}.all_entries
+         |WHERE status = 1""".stripMargin).count() >= 1)
   }
 
   test("SQL time travel: VERSION AS OF id/ref and TIMESTAMP AS OF") {

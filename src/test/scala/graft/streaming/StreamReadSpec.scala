@@ -90,6 +90,26 @@ class StreamReadSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.select("id").as[Long].collect().sorted === Array(10L))
   }
 
+  test("readStream.table through the catalog plugin streams appends") {
+    import spark.implicits._
+    val warehouse = tmp("graft-sr5-")
+    val catalog = new HadoopCatalog(warehouse, FileIO.fromSpark(spark))
+    var t = GraftTable.create("srt", catalog, schema)
+    t = t.append(Seq((1L, 0.5), (2L, 1.5)).toDF("id", "v"))
+    t = t.append(Seq((3L, 2.5)).toDF("id", "v"))
+
+    spark.conf.set("spark.sql.catalog.graftrs", "graft.sources.GraftCatalogPlugin")
+    spark.conf.set("spark.sql.catalog.graftrs.warehouse", warehouse)
+    val outDir = tmp("srt-out-"); val ckpt = tmp("srt-ckpt-")
+    val q = spark.readStream.table("graftrs.srt")
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.read.parquet(outDir).select("id").as[Long].collect().sorted
+      === Array(1L, 2L, 3L))
+  }
+
   test("max-rows-per-micro-batch groups snapshots under the row cap") {
     import spark.implicits._
     val warehouse = tmp("graft-sr4-")
