@@ -68,6 +68,29 @@ object Multimodal {
       }(enc)
   }
 
+  /** Audio-shaped pipeline: the payload windows into fixed-size chunks
+    * ("samples per window"), each window gets a deterministic stub energy
+    * (md5-derived double in [0,1) — standing in for RMS over decoded
+    * PCM), and per-doc stats aggregate over windows. This is the
+    * explode→aggregate plan an audio feature extractor runs at 100 TB:
+    * windows materialize executor-side only, and the sole shuffle is the
+    * per-doc aggregation (map-side combined). Only order-independent
+    * aggregates (count/max/max_by) keep the SQL oracle bit-exact. */
+  def waveformStats(media: DataFrame, windowChars: Int = 32): DataFrame = {
+    val nWin = ceil(length(decode(col("payload"), "UTF-8")) /
+      lit(windowChars.toDouble)).cast(IntegerType)
+    val windows = media
+      .select(col("doc_id"), decode(col("payload"), "UTF-8").as("t"),
+        explode(sequence(lit(0), nWin - 1)).as("w"))
+      .select(col("doc_id"), col("w"),
+        (TextHash.hex60(expr(s"substring(t, w * $windowChars + 1, $windowChars)"))
+          .cast(DoubleType) / lit((1L << 60).toDouble)).as("energy"))
+    windows.groupBy("doc_id").agg(
+      count(lit(1)).as("n_windows"),
+      round(max(col("energy")), 5).as("peak_energy"),
+      expr("max_by(w, energy)").cast(LongType).as("peak_w"))
+  }
+
   /** Frame sampling: fixed-width character frames of the decoded payload
     * with per-frame md5 — the "extract frames + per-frame features"
     * pipeline shape, fully crosscheckable in SQL. */

@@ -491,6 +491,30 @@ object PipelineQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Audio-shaped multimodal pipeline: windowed stub energies over the
+    * payload (explode → per-doc aggregate; Multimodal.waveformStats).
+    * Only order-independent aggregates so the oracle is bit-exact. */
+  val p17 = Q.sql(
+    "p17_multimodal_waveform",
+    """WITH win AS (
+      |  SELECT doc_id, text,
+      |    unnest(range(0, CAST(ceil(length(text) / 32.0) AS BIGINT))) AS w
+      |  FROM documents),
+      |e AS (
+      |  SELECT doc_id, w,
+      |    ('0x' || substr(md5(substr(text, (w * 32 + 1)::INT, 32)), 1, 15))::BIGINT
+      |      / 1152921504606846976.0 AS energy
+      |  FROM win)
+      |SELECT doc_id, count(*)::BIGINT AS n_windows,
+      |  round(max(energy), 5) AS peak_energy,
+      |  arg_max(w, energy)::BIGINT AS peak_w
+      |FROM e GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    Multimodal.waveformStats(Multimodal.asMediaTable(Tables.documents(s, d)))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
-    p11, p12, p13, p14, p15, p16)
+    p11, p12, p13, p14, p15, p16, p17)
 }
