@@ -65,7 +65,8 @@ final class GraftSparkTable(table: GraftTable) extends SparkTable
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE)
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(table, options.asCaseSensitiveMap.asScala.toMap)
 
@@ -75,15 +76,25 @@ final class GraftSparkTable(table: GraftTable) extends SparkTable
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
-    new org.apache.spark.sql.connector.write.WriteBuilder {
+    new org.apache.spark.sql.connector.write.WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var truncateFirst = false
+      override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+        truncateFirst = true; this
+      }
       override def build(): org.apache.spark.sql.connector.write.Write =
         new org.apache.spark.sql.connector.write.V1Write {
           override def toInsertableRelation
               : org.apache.spark.sql.sources.InsertableRelation =
             (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
-              require(!overwrite, "INSERT OVERWRITE not wired; use overwriteWhere")
               // refresh: the handle may be stale relative to the session
-              GraftTable.load(table.name, table.catalog).append(data)
+              val live = GraftTable.load(table.name, table.catalog)
+              if (truncateFirst || overwrite)
+                // INSERT OVERWRITE = full-table overwrite commit: every
+                // current file strict-matches AlwaysTrue, so it's a
+                // whole-file drop + append (no data rewrite of old rows)
+                live.overwriteWhere(AlwaysTrue, data, data.sparkSession)
+              else live.append(data)
               ()
             }
         }

@@ -215,6 +215,28 @@ class GraftSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE graftsql.sql_made")
   }
 
+  test("INSERT OVERWRITE replaces table contents as an overwrite commit") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-iow").toString
+    val catalog = new graft.catalog.HadoopCatalog(wh, graft.io.FileIO.fromSpark(spark))
+    val schema = graft.spec.IcebergSchema(0, Seq(
+      graft.spec.NestedField(1, "id", graft.spec.IcebergType.LongT, required = false)))
+    graft.table.GraftTable.create("iow", catalog, schema)
+      .append((1L to 10L).toDF("id"))
+
+    spark.conf.set("spark.sql.catalog.graftiow", "graft.sources.GraftCatalogPlugin")
+    spark.conf.set("spark.sql.catalog.graftiow.warehouse", wh)
+    spark.sql("INSERT OVERWRITE graftiow.iow SELECT id FROM range(100, 105)")
+    val got = spark.sql("SELECT id FROM graftiow.iow ORDER BY id")
+      .as[Long].collect()
+    assert(got === Array(100L, 101L, 102L, 103L, 104L))
+    val t = graft.table.GraftTable.load("iow", catalog)
+    assert(t.metadata.currentSnapshot.get.operation === "overwrite")
+    // the old rows are still reachable via time travel
+    val first = t.metadata.snapshots.head.snapshotId
+    assert(t.atSnapshot(first).newScan().toDF(spark).count() === 10)
+  }
+
   test("SQL metadata tables: cat.table.snapshots/files/history resolve") {
     val t = IcebergFixtures.ordersBucket(spark, sfDir)
     val warehouse = t.location.stripSuffix(s"/${t.name}")
