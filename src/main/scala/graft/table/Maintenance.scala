@@ -73,12 +73,22 @@ object Maintenance {
       if (expired.isEmpty) (base, (_: Int) => table.refresh())
       else {
         val expiredIds = expired.map(_.snapshotId).toSet
+        // statistics registrations of expired snapshots are dangling —
+        // drop them and delete their files alongside the manifest lists
+        val droppedStats = base.statistics.filter(s => expiredIds(s.snapshotId))
+        val droppedPartStats =
+          base.partitionStatistics.filter(s => expiredIds(s.snapshotId))
         val updated = base.copy(
           snapshots = keep,
           snapshotLog = base.snapshotLog.filterNot { case (id, _) => expiredIds.contains(id) },
+          statistics = base.statistics.filterNot(s => expiredIds(s.snapshotId)),
+          partitionStatistics =
+            base.partitionStatistics.filterNot(s => expiredIds(s.snapshotId)),
           lastUpdatedMs = System.currentTimeMillis())
         (updated, (_: Int) => {
           expired.foreach(s => table.io.delete(s.manifestList))
+          droppedStats.foreach(s => table.io.delete(s.statisticsPath))
+          droppedPartStats.foreach(s => table.io.delete(s.statisticsPath))
           table.refresh()
         })
       }

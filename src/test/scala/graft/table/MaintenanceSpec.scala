@@ -166,6 +166,16 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     // remove drops the registration
     t = t.updatePartitionStatistics(removeSnapshotIds = Set(sid))
     assert(t.metadata.partitionStatisticsFor(sid).isEmpty)
+
+    // expire: stats registered for an expired snapshot drop with it and
+    // the stats file itself is deleted
+    val statsPath = t.metadata.partitionStatistics.head.statisticsPath
+    t = t.expireSnapshots(System.currentTimeMillis() + 60000, retainLast = 1)
+    assert(t.metadata.partitionStatistics.isEmpty ||
+      t.metadata.partitionStatistics.forall(s =>
+        t.metadata.snapshotById(s.snapshotId).isDefined))
+    if (t.metadata.partitionStatistics.isEmpty)
+      assert(!t.io.exists(statsPath))
   }
 
   test("object-storage layout: hashed entropy prefixes, reads + GC unaffected") {
