@@ -57,7 +57,7 @@ object SparkFilters {
     * pruning with ¬l could skip files whose rows satisfy the original
     * filter via ¬r. Anything under a Not must translate completely or the
     * whole Not stays residual (same refusal as Iceberg's SparkFilters). */
-  private def toPredicateExact(f: Filter, schema: IcebergSchema): Option[Predicate] = f match {
+  def toPredicateExact(f: Filter, schema: IcebergSchema): Option[Predicate] = f match {
     case And(l, r) =>
       for (lp <- toPredicateExact(l, schema); rp <- toPredicateExact(r, schema)) yield lp.and(rp)
     case Or(l, r) =>
@@ -70,6 +70,16 @@ object SparkFilters {
   def toPredicate(filters: Seq[Filter], schema: IcebergSchema): Predicate =
     filters.flatMap(toPredicate(_, schema))
       .foldLeft(graft.expr.AlwaysTrue: Predicate)(_.and(_))
+
+  /** Exact conjunction of ALL filters, or None if any filter translates
+    * partially or not at all. This is the `SupportsDelete` contract: a
+    * metadata delete removes exactly the matching rows, so a weakened
+    * (superset) translation — fine for pruning — would over-delete. */
+  def exactConjunction(filters: Seq[Filter], schema: IcebergSchema): Option[Predicate] = {
+    val exact = filters.map(toPredicateExact(_, schema))
+    if (exact.exists(_.isEmpty)) None
+    else Some(exact.flatten.foldLeft(graft.expr.AlwaysTrue: Predicate)(_.and(_)))
+  }
 
   private def known(schema: IcebergSchema, name: String): Option[NestedField] =
     schema.findField(name)

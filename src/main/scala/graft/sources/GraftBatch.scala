@@ -44,19 +44,35 @@ import graft.table.GraftTable
   */
 final class GraftBatchScan(table: GraftTable, predicate: Predicate,
     pushedFilters: Seq[Filter], required: Option[StructType],
-    options: Map[String, String] = Map.empty)
+    options: Map[String, String] = Map.empty,
+    onPlanned: Seq[graft.table.FileScanTask] => Unit = _ => ())
     extends Scan with Batch with SupportsReportPartitioning {
 
-  private val projected: Seq[String] = required match {
-    case Some(s) if s.fields.nonEmpty => s.fieldNames.toSeq
-    case _ => table.schema.fields.map(_.name)
+  // `_file` metadata column (SupportsMetadataColumns): constant per split,
+  // appended by the reader — row-level operations project their row attrs
+  // through it (Spark only strips the rewrite's internal operation column
+  // when at least one metadata attribute is present)
+  private val (projected: Seq[String], emitFile: Boolean) = required match {
+    case Some(s) if s.fields.nonEmpty =>
+      (s.fieldNames.toSeq.filterNot(_ == GraftBatchScan.FileColumn),
+        s.fieldNames.contains(GraftBatchScan.FileColumn))
+    case _ => (table.schema.fields.map(_.name), false)
   }
 
   // projected schema rebuilt from the table schema so parquet.field.id
   // metadata survives whatever Spark passed through pruneColumns
-  override def readSchema(): StructType = {
+  private def dataSchema(): StructType = {
     val full = table.schema.toSpark
     StructType(projected.flatMap(n => full.fields.find(_.name == n)))
+  }
+
+  override def readSchema(): StructType = {
+    val data = dataSchema()
+    if (emitFile)
+      StructType(data.fields :+ org.apache.spark.sql.types.StructField(
+        GraftBatchScan.FileColumn, org.apache.spark.sql.types.StringType,
+        nullable = false))
+    else data
   }
 
   override def toBatch: Batch = this
@@ -144,7 +160,9 @@ final class GraftBatchScan(table: GraftTable, predicate: Predicate,
           d.file.contentSizeInBytes.getOrElse(0L)))))
       .toMap
 
-    scan.planFiles().flatMap { t =>
+    val tasks = scan.planFiles()
+    onPlanned(tasks) // row-level ops record the replaced groups here
+    tasks.flatMap { t =>
       val path = qualify(t.file.filePath)
       val size = t.file.fileSizeInBytes
       val dv = dvByFile.get(path)
@@ -168,9 +186,14 @@ final class GraftBatchScan(table: GraftTable, predicate: Predicate,
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val spark = SparkSession.active
-    GraftReaderFactory.build(spark, table.schema.toSpark, readSchema(), pushedFilters,
-      graft.crypto.Encryption.confFor(table.metadata.properties))
+    GraftReaderFactory.build(spark, table.schema.toSpark, dataSchema(), pushedFilters,
+      graft.crypto.Encryption.confFor(table.metadata.properties), emitFile)
   }
+}
+
+object GraftBatchScan {
+  /** Metadata column: the data file path of each row. */
+  val FileColumn = "_file"
 }
 
 /** One byte-range slice of a data file plus its delete context. */
@@ -231,7 +254,8 @@ object GraftReaderFactory {
     * captured closure state at build time, and the caller's session is
     * never mutated (the concurrent-scan hygiene contract). */
   def build(spark: SparkSession, dataSchema: StructType, readSchema: StructType,
-      filters: Seq[Filter], encConf: Map[String, String] = Map.empty): GraftReaderFactory = {
+      filters: Seq[Filter], encConf: Map[String, String] = Map.empty,
+      emitFile: Boolean = false): GraftReaderFactory = {
     val scanSpark = graft.SessionConf.scanSession(spark)
     val fmt = new ParquetFileFormat()
     val hc = scanSpark.sparkContext.hadoopConfiguration
@@ -249,7 +273,8 @@ object GraftReaderFactory {
         Nil, rowOpts, conf()),
       fmt.buildReaderWithPartitionValues(scanSpark, PosDeleteSchema, empty, PosDeleteSchema,
         Nil, rowOpts, conf()),
-      spark.sparkContext.broadcast(new SerializableConfiguration(conf())))
+      spark.sparkContext.broadcast(new SerializableConfiguration(conf())),
+      emitFile)
   }
 }
 
@@ -257,7 +282,8 @@ final class GraftReaderFactory(
     filteredRead: PartitionedFile => Iterator[InternalRow],
     plainRead: PartitionedFile => Iterator[InternalRow],
     posDeleteRead: PartitionedFile => Iterator[InternalRow],
-    conf: Broadcast[SerializableConfiguration]) extends PartitionReaderFactory {
+    conf: Broadcast[SerializableConfiguration],
+    emitFile: Boolean = false) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition match {
@@ -265,7 +291,7 @@ final class GraftReaderFactory(
       case g: GraftInputPartition => g
     }
     val read = if (p.needsRowIndex) plainRead else filteredRead
-    new GraftPartitionReader(p, read, posDeleteRead, conf)
+    new GraftPartitionReader(p, read, posDeleteRead, conf, emitFile)
   }
 }
 
@@ -275,10 +301,16 @@ final class GraftPartitionReader(
     part: GraftInputPartition,
     read: PartitionedFile => Iterator[InternalRow],
     posDeleteRead: PartitionedFile => Iterator[InternalRow],
-    conf: Broadcast[SerializableConfiguration]) extends PartitionReader[InternalRow] {
+    conf: Broadcast[SerializableConfiguration],
+    emitFile: Boolean = false) extends PartitionReader[InternalRow] {
 
   private var current: InternalRow = _
   private var rowIndex: Long = -1L
+
+  // `_file` appended as a constant column (JoinedRow: zero-copy wrapper)
+  private lazy val fileRow = new GenericInternalRow(
+    Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(part.path)))
+  private lazy val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow()
 
   private lazy val deleted: Roaring64 = {
     var bm = Roaring64.fromPositions(Nil)
@@ -322,7 +354,8 @@ final class GraftPartitionReader(
     false
   }
 
-  override def get(): InternalRow = current
+  override def get(): InternalRow =
+    if (emitFile) joined(current, fileRow) else current
 
   override def close(): Unit = ()
 }

@@ -59,46 +59,68 @@ final class GraftSource extends TableProvider with DataSourceRegister {
 
 final class GraftSparkTable(table: GraftTable) extends SparkTable
     with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   override def name(): String = table.name
   override def schema(): StructType = table.schema.toSpark
+
+  /** `_file`: the data file path of each row — queryable
+    * (`SELECT _file, * FROM t`) and the anchor for row-level rewrites
+    * (the CoW operation requires it so Spark's ReplaceData projections
+    * strip the internal operation column before rows reach the writer). */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = GraftBatchScan.FileColumn
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.StringType
+      override def isNullable: Boolean = true
+    })
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(table, options.asCaseSensitiveMap.asScala.toMap)
 
-  /** INSERT INTO via the V1 write fallback: the insert plan hands us the
-    * materialized DataFrame and the append commit path does the rest
-    * (executor writes + stats harvest + CAS commit). */
+  /** INSERT INTO / INSERT OVERWRITE through the native DSv2 batch writer
+    * (GraftBatchWrite): rows stay InternalRow into the executors' fanout
+    * parquet writers, stats harvest is per-task, and the commit is the
+    * append (or truncate-overwrite) snapshot path. */
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
-    new org.apache.spark.sql.connector.write.WriteBuilder
-        with org.apache.spark.sql.connector.write.SupportsTruncate {
-      private var truncateFirst = false
-      override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
-        truncateFirst = true; this
-      }
-      override def build(): org.apache.spark.sql.connector.write.Write =
-        new org.apache.spark.sql.connector.write.V1Write {
-          override def toInsertableRelation
-              : org.apache.spark.sql.sources.InsertableRelation =
-            (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
-              // refresh: the handle may be stale relative to the session
-              val live = GraftTable.load(table.name, table.catalog)
-              if (truncateFirst || overwrite)
-                // INSERT OVERWRITE = full-table overwrite commit: every
-                // current file strict-matches AlwaysTrue, so it's a
-                // whole-file drop + append (no data rewrite of old rows)
-                live.overwriteWhere(AlwaysTrue, data, data.sparkSession)
-              else live.append(data)
-              ()
-            }
-        }
-    }
+    new GraftWriteBuilder(table, info.schema())
+
+  /** `DELETE FROM t WHERE p`, metadata path: when every filter translates
+    * EXACTLY (SparkFilters.exactConjunction — a weakened pruning
+    * translation would over-delete), the existing MoR delete commit
+    * removes precisely the matching rows: strict-proven whole files drop
+    * at the manifest level, boundary files get position deletes. No data
+    * rewrite. Untranslatable conditions fall to the row-level CoW path. */
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Boolean =
+    SparkFilters.exactConjunction(filters.toSeq, table.schema).isDefined
+
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Unit = {
+    val live = GraftTable.load(table.name, table.catalog)
+    val pred = SparkFilters.exactConjunction(filters.toSeq, live.schema)
+      .getOrElse(throw new IllegalStateException(
+        s"deleteWhere called with untranslatable filters: ${filters.mkString(",")}"))
+    live.deleteWhere(pred, SparkSession.active)
+    ()
+  }
+
+  /** SQL UPDATE / MERGE INTO / non-translatable DELETE: group-based
+    * copy-on-write rewrite (see GraftRowLevel). */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    new GraftRowLevelOperationBuilder(table, info)
 }
 
 final class GraftScanBuilder(table: GraftTable, options: Map[String, String] = Map.empty)
@@ -137,7 +159,11 @@ final class GraftV1Scan(table: GraftTable, predicate: Predicate,
     required: Option[StructType]) extends V1Scan {
 
   private val projected: Seq[String] = required match {
-    case Some(s) if s.fields.nonEmpty => s.fieldNames.toSeq
+    case Some(s) if s.fields.nonEmpty =>
+      require(!s.fieldNames.contains(GraftBatchScan.FileColumn),
+        "_file is not available on the V1 fallback path (equality deletes " +
+          "or name mapping); compact first or drop the metadata column")
+      s.fieldNames.toSeq
     case _ => table.schema.fields.map(_.name)
   }
 

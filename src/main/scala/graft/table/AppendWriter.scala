@@ -223,7 +223,8 @@ object AppendWriter {
       stagingPrefix: String,
       fieldTypes: Map[String, (Int, IcebergType)],
       partFieldTypes: Seq[IcebergType],
-      encConf: Map[String, String] = Map.empty): DataFile = {
+      encConf: Map[String, String] = Map.empty,
+      explicitPartition: Option[Seq[Any]] = None): DataFile = {
     // executor-local conf; staging paths use the same FS as the table.
     // Encrypted tables carry decryption entries for the footer read —
     // HadoopReadOptions resolves FileDecryptionProperties through the
@@ -272,7 +273,10 @@ object AppendWriter {
           }
         }
       }
-      val partition = parsePartition(path, stagingPrefix, partFieldTypes)
+      // the native DSv2 writer computes the tuple itself (fanout routing);
+      // the DataFrame path parses it back out of the Hive-style dirs
+      val partition = explicitPartition.getOrElse(
+        parsePartition(path, stagingPrefix, partFieldTypes))
       DataFile(
         content = FileContent.Data,
         filePath = path,
@@ -353,8 +357,9 @@ object AppendWriter {
   }
 
   /** Build manifest, manifest list, snapshot; commit with optimistic retry
-    * (fast-append: one new manifest prepended to the base's list). */
-  private def commitAppend(table: GraftTable, files: Seq[DataFile],
+    * (fast-append: one new manifest prepended to the base's list). Shared
+    * with the native DSv2 batch writer (GraftBatchWrite). */
+  private[graft] def commitAppend(table: GraftTable, files: Seq[DataFile],
       commitUuid: String, extraSummary: Map[String, String] = Map.empty): GraftTable = {
     val extra = extraSummary ++ Map(
       "added-data-files" -> files.size.toString,
