@@ -162,6 +162,36 @@ object IcebergFixtures {
       GraftTable.load("supplier_sql", catalog)
     }
 
+  /** customer table driven ENTIRELY through SQL row-level operations:
+    * INSERT INTO (native DSv2 write), DELETE FROM (metadata/MoR path),
+    * UPDATE (group-based CoW rewrite), MERGE INTO (matched update +
+    * not-matched re-insert of the deleted keys). */
+  def customerSqlRowLevel(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "customer_rowlevel") { catalog =>
+      val wh = warehouse(sfDir)
+      spark.conf.set("spark.sql.catalog.graftfix", "graft.sources.GraftCatalogPlugin")
+      spark.conf.set("spark.sql.catalog.graftfix.warehouse", wh)
+      val src = Tables.customer(spark, sfDir)
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+      src.createOrReplaceTempView("raw_customer_rl")
+      val cols = src.schema.fields
+        .map(f => s"${f.name} ${f.dataType.sql}").mkString(", ")
+      spark.sql(s"CREATE TABLE graftfix.customer_rowlevel ($cols) USING graft")
+      spark.sql("INSERT INTO graftfix.customer_rowlevel SELECT * FROM raw_customer_rl")
+      spark.sql(
+        "DELETE FROM graftfix.customer_rowlevel WHERE c_mktsegment = 'BUILDING'")
+      spark.sql("""UPDATE graftfix.customer_rowlevel
+        SET c_acctbal = c_acctbal + 100.0 WHERE c_mktsegment = 'MACHINERY'""")
+      spark.sql("""MERGE INTO graftfix.customer_rowlevel t
+        USING (SELECT c_custkey, 'MERGED' AS seg, 0.0 AS bal
+               FROM raw_customer_rl WHERE c_custkey % 97 = 0) s
+        ON t.c_custkey = s.c_custkey
+        WHEN MATCHED THEN UPDATE SET c_mktsegment = s.seg, c_acctbal = s.bal
+        WHEN NOT MATCHED THEN INSERT (c_custkey, c_mktsegment, c_acctbal)
+          VALUES (s.c_custkey, s.seg, s.bal)""")
+      GraftTable.load("customer_rowlevel", catalog)
+    }
+
   /** plain (undeleted) customer table for stats/sketch queries. */
   def plainCustomer(spark: SparkSession, sfDir: String): GraftTable =
     build(spark, sfDir, "customer_plain") { catalog =>
