@@ -42,7 +42,7 @@ import graft.table.GraftTable
   * back to the V1 relation path (`GraftV1Scan`), whose anti-join plans
   * remain the right distributed shape for key-based deletes.
   */
-final class GraftBatchScan(table: GraftTable, predicate: Predicate,
+class GraftBatchScan(table: GraftTable, predicate: Predicate,
     pushedFilters: Seq[Filter], required: Option[StructType],
     options: Map[String, String] = Map.empty,
     onPlanned: Seq[graft.table.FileScanTask] => Unit = _ => ())
@@ -109,8 +109,34 @@ final class GraftBatchScan(table: GraftTable, predicate: Predicate,
       new KeyGroupedPartitioning(keys.toArray, distinctKeyCount)
     } else new UnknownPartitioning(planned.length)
 
-  private lazy val (planned: Array[InputPartition], distinctKeyCount: Int) = {
-    val parts = doPlan()
+  /** Runtime file filter (SupportsRuntimeV2Filtering on the CoW subclass):
+    * set AFTER initial planning, so the plan cache is keyed by it and
+    * re-computed — `planInputPartitions` then serves the narrowed set and
+    * `onPlanned` re-fires with the files that actually get replaced. */
+  @volatile private var runtimeFileFilter: Option[Set[String]] = None
+  @volatile private var planCache
+      : Option[(Option[Set[String]], (Array[InputPartition], Int))] = None
+
+  protected def setRuntimeFileFilter(paths: Set[String]): Unit =
+    runtimeFileFilter = Some(paths)
+
+  private def plannedAndKeys: (Array[InputPartition], Int) = {
+    val key = runtimeFileFilter
+    planCache match {
+      case Some((k, r)) if k == key => r
+      case _ =>
+        val r = buildPlan(key)
+        planCache = Some((key, r))
+        r
+    }
+  }
+
+  private def planned: Array[InputPartition] = plannedAndKeys._1
+  private def distinctKeyCount: Int = plannedAndKeys._2
+
+  private def buildPlan(fileFilter: Option[Set[String]])
+      : (Array[InputPartition], Int) = {
+    val parts = doPlan(fileFilter)
     val spec = table.spec
     // identity resolves catalog-free; bucket needs the plugin's
     // FunctionCatalog (graft.functions.GraftBucketFunction) on the read
@@ -142,7 +168,8 @@ final class GraftBatchScan(table: GraftTable, predicate: Predicate,
     }
   }
 
-  private def doPlan(): Array[(graft.table.FileScanTask, GraftInputPartition)] = {
+  private def doPlan(fileFilter: Option[Set[String]])
+      : Array[(graft.table.FileScanTask, GraftInputPartition)] = {
     val scan = predicate match {
       case AlwaysTrue => table.newScan()
       case p => table.newScan().withFilter(p)
@@ -160,7 +187,11 @@ final class GraftBatchScan(table: GraftTable, predicate: Predicate,
           d.file.contentSizeInBytes.getOrElse(0L)))))
       .toMap
 
-    val tasks = scan.planFiles()
+    val all = scan.planFiles()
+    val tasks = fileFilter match {
+      case Some(keep) => all.filter(t => keep.contains(qualify(t.file.filePath)))
+      case None => all
+    }
     onPlanned(tasks) // row-level ops record the replaced groups here
     tasks.flatMap { t =>
       val path = qualify(t.file.filePath)

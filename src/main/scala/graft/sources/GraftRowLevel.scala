@@ -97,7 +97,58 @@ final class GraftCowScanBuilder(table: GraftTable, op: GraftRowLevelOperation)
           "supported; compact first (rewriteDataFiles) or use the table API")
     // pushedFilters = Nil: no parquet row/row-group filtering — every live
     // row of every planned file must reach the rewrite
-    new GraftBatchScan(table, predicate, Nil, required,
+    new GraftCowBatchScan(table, predicate, required, op)
+  }
+}
+
+/** CoW scan with RUNTIME group filtering (SupportsRuntimeV2Filtering on
+  * `_file`): before the rewrite runs, Spark evaluates a subquery finding
+  * the distinct `_file`s whose rows actually match the command (for MERGE,
+  * a join against the source — the case with NO static pushdown at all)
+  * and narrows this scan to those files. At 100 TB this is what keeps a
+  * sparse MERGE from rewriting the whole table: only files containing a
+  * matched row are re-planned, re-read, and replaced. */
+final class GraftCowBatchScan(table: GraftTable, predicate: Predicate,
+    required: Option[StructType], op: GraftRowLevelOperation)
+    extends GraftBatchScan(table, predicate, Nil, required,
       onPlanned = tasks => op.scannedPaths = tasks.map(_.file.filePath).toSet)
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+
+  import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+  import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column(GraftBatchScan.FileColumn))
+
+  override def filter(predicates: Array[V2Predicate]): Unit = {
+    val pathSets = predicates.flatMap(filePathsOf)
+    if (pathSets.nonEmpty)
+      setRuntimeFileFilter(pathSets.reduce(_ intersect _))
+  }
+
+  /** `IN(_file, ...)` / `=(_file, lit)` → the referenced path set; None
+    * for anything unrecognized (never narrows on a guess). */
+  private def filePathsOf(p: V2Predicate): Option[Set[String]] = {
+    def isFileRef(e: org.apache.spark.sql.connector.expressions.Expression) =
+      e match {
+        case r: NamedReference =>
+          r.fieldNames.sameElements(Array(GraftBatchScan.FileColumn))
+        case _ => false
+      }
+    def lit(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] =
+      e match {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+          Some(String.valueOf(l.value))
+        case _ => None
+      }
+    p.name() match {
+      case "IN" if p.children().nonEmpty && isFileRef(p.children()(0)) =>
+        val vals = p.children().drop(1).map(lit)
+        if (vals.forall(_.isDefined)) Some(vals.flatten.toSet) else None
+      case "=" if p.children().length == 2 && isFileRef(p.children()(0)) =>
+        lit(p.children()(1)).map(Set(_))
+      case _ => None
+    }
   }
 }

@@ -148,6 +148,32 @@ class SqlRowLevelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows("SELECT id, v FROM rl5.t5") == Seq("[1,A]", "[3,C]", "[4,D]"))
   }
 
+  test("MERGE runtime group filter rewrites only files with matches") {
+    registerCatalog("rl7")
+    spark.sql("CREATE TABLE rl7.t7 (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO rl7.t7 VALUES (1,'a'),(2,'b')")
+    spark.sql("INSERT INTO rl7.t7 VALUES (100,'x'),(200,'y')")
+    spark.sql("CREATE TABLE rl7.s7 (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO rl7.s7 VALUES (1,'A2')")
+
+    val before = GraftTable.load("t7", catalog).newScan().planFiles()
+      .map(_.file.filePath).toSet
+    assert(before.size >= 2)
+
+    spark.sql("""MERGE INTO rl7.t7 t USING rl7.s7 s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET v = s.v""")
+
+    assert(rows("SELECT id, v FROM rl7.t7") ==
+      Seq("[1,A2]", "[100,x]", "[2,b]", "[200,y]"))
+    val after = GraftTable.load("t7", catalog).newScan().planFiles()
+      .map(_.file.filePath).toSet
+    // the second insert's files hold no matching id — the runtime group
+    // filter (SupportsRuntimeV2Filtering on _file) must keep them out of
+    // the rewrite entirely
+    assert((before intersect after).nonEmpty,
+      s"runtime group filter did not prune: before=$before after=$after")
+  }
+
   test("INSERT OVERWRITE through the native truncate write") {
     registerCatalog("rl6")
     spark.sql("CREATE TABLE rl6.t6 (id BIGINT, v STRING)")
