@@ -104,6 +104,57 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  // ---- exact n-gram Jaccard (prefix filtering) ------------------------
+
+  /** doc_id + distinct character-n-gram set (lowercased; docs shorter
+    * than n dropped). */
+  def ngramSets(docs: DataFrame, n: Int = 5, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.filter(length(col(textCol)) >= n)
+      .select(col(idCol).as("doc_id"),
+        array_distinct(expr(
+          s"transform(sequence(1, length(lower($textCol)) - ${n - 1}), " +
+            s"i -> substring(lower($textCol), i, $n))")).as("s"))
+
+  /** EXACT character-n-gram Jaccard near-dup join via PREFIX FILTERING
+    * (AllPairs/PPJoin family): deterministic 100% recall, unlike the
+    * probabilistic MinHash path.
+    *
+    * Each doc's gram set is ordered rarest-first by global document
+    * frequency; if J(a,b) ≥ t then |a∩b| ≥ ceil(t·|a|), so the first
+    * |a| − ceil(t·|a|) + 1 grams of a (and symmetrically b) must contain
+    * a COMMON gram — docs sharing no prefix gram are provably below the
+    * threshold and never pair.
+    *
+    * 100 TB shape: three bounded shuffles (gram document-frequency
+    * aggregate, per-doc sort/prefix aggregate, prefix-bucket self-join) —
+    * never all-pairs. Rarest-first ordering makes prefix buckets tiny
+    * (a gram shared by every doc sorts LAST and never enters a prefix);
+    * the exact-Jaccard verify touches candidate pairs only. */
+  def ngramJaccardNearDups(docs: DataFrame, threshold: Double = 0.6,
+      n: Int = 5): DataFrame = {
+    val sets = ngramSets(docs, n)
+    val grams = sets.select(col("doc_id"), explode(col("s")).as("g"))
+    val freq = grams.groupBy(col("g")).agg(count(lit(1)).as("f"))
+    val prefixes = grams.join(freq, "g")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("f"), col("g")))).as("fg"))
+      .select(col("doc_id"),
+        expr(s"transform(slice(fg, 1, " +
+          s"size(fg) - CAST(ceil($threshold * size(fg)) AS INT) + 1), " +
+          "x -> x.g)").as("prefix"))
+      .select(col("doc_id"), explode(col("prefix")).as("g"))
+    val cand = prefixes.as("a").join(prefixes.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val j = TextHash.jaccard(col("sa.s"), col("sb.s"))
+    cand.join(sets.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sets.as("sb"), col("id_b") === col("sb.doc_id"))
+      .select(col("id_a"), col("id_b"), j.as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   // ---- SimHash --------------------------------------------------------
 
   /** 60-bit SimHash signatures over word unigrams (with multiplicity).

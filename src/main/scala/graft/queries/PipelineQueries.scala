@@ -515,6 +515,32 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** EXACT character-5-gram Jaccard near-dup join (prefix filtering,
+    * AllPairs/PPJoin family — deterministic recall, the exact counterpart
+    * to p02's probabilistic MinHash). Oracle is brute-force all-pairs;
+    * the Spark plan is the bounded prefix-bucket join, so a hash match
+    * PROVES the prefix filter lost no pair. Jaccard is a single int/int
+    * division → bit-exact. */
+  val p18 = Q.sql(
+    "p18_ngram_jaccard_dedup",
+    """WITH gr AS (
+      |  SELECT doc_id,
+      |    list_distinct([substring(lower(text), i, 5)
+      |                   for i in range(1, length(lower(text)) - 3)]) AS s
+      |  FROM documents WHERE length(text) >= 5)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  len(list_intersect(a.s, b.s)) /
+      |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+      |FROM gr a, gr b
+      |WHERE a.doc_id < b.doc_id
+      |  AND len(list_intersect(a.s, b.s)) /
+      |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.6
+      |ORDER BY id_a, id_b""".stripMargin
+  ) { (s, d) =>
+    Dedup.ngramJaccardNearDups(Tables.documents(s, d), threshold = 0.6, n = 5)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
-    p11, p12, p13, p14, p15, p16, p17)
+    p11, p12, p13, p14, p15, p16, p17, p18)
 }

@@ -51,6 +51,25 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exact.nonEmpty) // the corpus has planted near-dups
   }
 
+  test("ngram-jaccard prefix filtering equals brute force, no cartesian") {
+    val pf = Dedup.ngramJaccardNearDups(docs, threshold = 0.6)
+    val plan = pf.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+    val got = pf.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact ground truth: quadratic scan over the same gram sets
+    val sets = Dedup.ngramSets(docs)
+    val exact = sets.as("a").crossJoin(sets.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        TextHash.jaccard(col("a.s"), col("b.s")).as("j"))
+      .filter(col("j") >= 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    // prefix filtering is EXACT: recall and precision both 1
+    assert(got === exact)
+  }
+
   test("simhash: near-dup pairs are hamming-close, random pairs are not") {
     val sig = Dedup.simhash(docs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
