@@ -86,13 +86,19 @@ final class GraftCatalogPlugin extends CatalogPlugin with TableCatalog with View
   override def tableExists(ident: Identifier): Boolean =
     catalog.tableExists(ident.name())
 
+  /** `CREATE TABLE ... PARTITIONED BY (identity | bucket(N, c) |
+    * truncate(W, c) | years/months/days/hours(c))` → the Iceberg
+    * partition spec (spec/transform.rs names). */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): SparkTable = {
-    require(partitions.isEmpty,
-      "CREATE TABLE ... PARTITIONED BY is not wired; use GraftTable.create with a PartitionSpec")
     import scala.jdk.CollectionConverters._
-    val t = GraftTable.create(ident.name(), catalog,
-      IcebergSchema.fromSpark(schema), PartitionSpec.unpartitioned,
+    val iceSchema = IcebergSchema.fromSpark(schema)
+    val spec =
+      if (partitions.isEmpty) PartitionSpec.unpartitioned
+      else PartitionSpec(0, partitions.toSeq.zipWithIndex.map { case (t, i) =>
+        GraftCatalogPlugin.toPartitionField(iceSchema, t, 1000 + i)
+      })
+    val t = GraftTable.create(ident.name(), catalog, iceSchema, spec,
       properties.asScala.toMap)
     new GraftSparkTable(t)
   }
@@ -207,6 +213,35 @@ final class GraftCatalogPlugin extends CatalogPlugin with TableCatalog with View
 
   override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("view rename is not supported")
+}
+
+object GraftCatalogPlugin {
+  import graft.spec.{PartitionField, Transform => IceTransform}
+
+  /** One Spark DDL transform → one Iceberg partition field (Iceberg's
+    * Spark-DDL naming conventions: `c`, `c_bucket`, `c_trunc`,
+    * `c_year|month|day|hour`). */
+  private[sources] def toPartitionField(schema: IcebergSchema,
+      t: Transform, fieldId: Int): PartitionField = {
+    val (name, arg, path) =
+      org.apache.spark.sql.GraftTransformBridge.destructure(t)
+    require(path.length == 1,
+      s"nested partition source unsupported: ${path.mkString(".")}")
+    val f = schema.findField(path.head).getOrElse(
+      throw new IllegalArgumentException(
+        s"partition source column not found: ${path.head}"))
+    name match {
+      case "identity" => PartitionField(f.id, fieldId, f.name, IceTransform.Identity)
+      case "bucket" =>
+        PartitionField(f.id, fieldId, s"${f.name}_bucket", IceTransform.Bucket(arg.get))
+      case "truncate" =>
+        PartitionField(f.id, fieldId, s"${f.name}_trunc", IceTransform.Truncate(arg.get))
+      case "year" => PartitionField(f.id, fieldId, s"${f.name}_year", IceTransform.Year)
+      case "month" => PartitionField(f.id, fieldId, s"${f.name}_month", IceTransform.Month)
+      case "day" => PartitionField(f.id, fieldId, s"${f.name}_day", IceTransform.Day)
+      case "hour" => PartitionField(f.id, fieldId, s"${f.name}_hour", IceTransform.Hour)
+    }
+  }
 }
 
 /** Spark DSv2 View over graft ViewMetadata: the current version's Spark

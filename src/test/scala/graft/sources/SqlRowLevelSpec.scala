@@ -174,6 +174,37 @@ class SqlRowLevelSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"runtime group filter did not prune: before=$before after=$after")
   }
 
+  test("CREATE TABLE PARTITIONED BY: bucket + days spec, pruning works") {
+    registerCatalog("rl8")
+    spark.sql("""CREATE TABLE rl8.t8 (id BIGINT, cat STRING, ts TIMESTAMP)
+      PARTITIONED BY (bucket(4, id), days(ts))""")
+    val t = GraftTable.load("t8", catalog)
+    assert(t.spec.fields.map(f => (f.name, f.transform.name)) ==
+      Seq(("id_bucket", "bucket[4]"), ("ts_day", "day")))
+
+    spark.sql("""INSERT INTO rl8.t8 VALUES
+      (1, 'a', TIMESTAMP '2024-01-01 10:00:00'),
+      (2, 'b', TIMESTAMP '2024-01-01 11:00:00'),
+      (3, 'c', TIMESTAMP '2024-06-15 10:00:00')""")
+    assert(rows("SELECT id FROM rl8.t8") == Seq("[1]", "[2]", "[3]"))
+
+    // the fanout writer recorded real partition tuples: day pruning hits
+    val live = GraftTable.load("t8", catalog)
+    val juneOnly = live.newScan()
+      .withFilter(graft.expr.Predicate.gt("ts",
+        java.time.Instant.parse("2024-06-01T00:00:00Z").toEpochMilli * 1000L))
+      .planFiles()
+    assert(juneOnly.nonEmpty)
+    assert(juneOnly.size < live.newScan().planFiles().size,
+      "day-transform pruning did not narrow the scan")
+    // bucket pruning narrows too (the V2 bucket function path)
+    val one = live.newScan()
+      .withFilter(graft.expr.Predicate.eqTo("id", 1L)).planFiles()
+    assert(one.size < live.newScan().planFiles().size)
+    assert(rows("SELECT id FROM rl8.t8 WHERE ts > TIMESTAMP '2024-06-01 00:00:00'")
+      == Seq("[3]"))
+  }
+
   test("INSERT OVERWRITE through the native truncate write") {
     registerCatalog("rl6")
     spark.sql("CREATE TABLE rl6.t6 (id BIGINT, v STRING)")
