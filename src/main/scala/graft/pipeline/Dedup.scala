@@ -168,19 +168,20 @@ object Dedup {
       .select(col(idCol).as("doc_id"),
         explode(TextHash.words(col(textCol))).as("word"))
       .select(col("doc_id"), TextHash.hex60(col("word")).as("x"))
-    val contrib = wordHashes
-      .select(col("doc_id"), col("x"),
-        explode(sequence(lit(0), lit(bits - 1))).as("j"))
-      // functions.shiftright only takes a literal shift; SQL form takes
-      // a column
-      .select(col("doc_id"), col("j"),
-        (expr("shiftright(x, j) & 1") * 2 - 1).as("c"))
-    contrib
-      .groupBy(col("doc_id"), col("j"))
-      .agg(sum(col("c")).as("s"))
-      .groupBy(col("doc_id"))
-      .agg(sum(when(col("s") > 0, expr("shiftleft(1L, j)")).otherwise(0L))
-        .as("simhash"))
+    // ONE hash aggregation with `bits` cheap popcount sums (codegen'd,
+    // map-side combined). The previous bit-explode shape pushed
+    // words × bits rows through TWO shuffles — 60× the shuffle volume for
+    // the same integer result (same lesson as the minhash single-pass
+    // signature aggregate). Bit j is set iff 2·ones_j > n_words
+    // ⟺ Σ_words (2·bit_j − 1) > 0.
+    val ones = (0 until bits).map(j =>
+      sum(expr(s"shiftright(x, $j) & 1")).as(s"_o$j"))
+    wordHashes.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("_n"), ones: _*)
+      .select(col("doc_id"),
+        (0 until bits).map(j =>
+          when(col(s"_o$j") * 2 > col("_n"), lit(1L << j)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
   }
 
   /** SimHash near-duplicate pairs via pigeonhole band buckets: the
