@@ -8,7 +8,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.catalog.{HadoopCatalog, ViewStore}
+import graft.catalog.{Catalog => GraftCatalog, CatalogLoader, ViewStore}
 import graft.io.FileIO
 import graft.spec.{IcebergSchema, PartitionSpec, ViewMetadata}
 import graft.table.GraftTable
@@ -32,17 +32,22 @@ final class GraftCatalogPlugin extends CatalogPlugin with TableCatalog with View
 
   private var catalogName: String = _
   private var warehouse: String = _
-  private var catalog: HadoopCatalog = _
+  private var catalog: GraftCatalog = _
   private var views: ViewStore = _
 
+  /** `spark.sql.catalog.<name>.type` selects the backend through
+    * CatalogLoader (hadoop | memory | jdbc/sql | rest — the reference's
+    * catalog/loader registry); hadoop is the default. */
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
     warehouse = Option(options.get("warehouse")).getOrElse(
       throw new IllegalArgumentException(
         s"spark.sql.catalog.$name.warehouse is required"))
-    val io = new FileIO(new Configuration())
-    catalog = new HadoopCatalog(warehouse, io)
-    views = new ViewStore(warehouse, io)
+    import scala.jdk.CollectionConverters._
+    val props = options.asCaseSensitiveMap.asScala.toMap + ("name" -> name)
+    catalog = CatalogLoader.load(
+      Option(options.get("type")).getOrElse("hadoop"), props)
+    views = new ViewStore(warehouse, new FileIO(new Configuration()))
   }
 
   override def name(): String = catalogName

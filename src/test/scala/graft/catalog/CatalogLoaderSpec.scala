@@ -1,0 +1,58 @@
+package graft.catalog
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** CatalogLoader registry (reference catalog/loader) + the Spark plugin's
+  * `type` option: the whole SQL surface against a JDBC-backed catalog. */
+class CatalogLoaderSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("catalog-loader-spec")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("loader dispatches by type and validates required properties") {
+    val wh = Files.createTempDirectory("cl-wh").toString
+    assert(CatalogLoader.load("hadoop", Map("warehouse" -> wh))
+      .isInstanceOf[HadoopCatalog])
+    assert(CatalogLoader.load("memory", Map("warehouse" -> wh))
+      .isInstanceOf[MemoryCatalog])
+    assert(CatalogLoader.load("sql", Map(
+      "uri" -> s"jdbc:derby:$wh/cat;create=true", "warehouse" -> wh))
+      .isInstanceOf[JdbcCatalog])
+    val missing = intercept[IllegalArgumentException](
+      CatalogLoader.load("jdbc", Map("warehouse" -> wh)))
+    assert(missing.getMessage.contains("uri"))
+    val unknown = intercept[IllegalArgumentException](
+      CatalogLoader.load("glue", Map.empty))
+    assert(unknown.getMessage.contains("supported"))
+  }
+
+  test("spark.sql.catalog.<n>.type=jdbc: SQL DDL + DML on a JDBC catalog") {
+    val wh = Files.createTempDirectory("cl-jdbc").toString
+    spark.conf.set("spark.sql.catalog.cljdbc", "graft.sources.GraftCatalogPlugin")
+    spark.conf.set("spark.sql.catalog.cljdbc.type", "jdbc")
+    spark.conf.set("spark.sql.catalog.cljdbc.uri", s"jdbc:derby:$wh/cat;create=true")
+    spark.conf.set("spark.sql.catalog.cljdbc.warehouse", wh)
+
+    spark.sql("CREATE TABLE cljdbc.jt (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO cljdbc.jt VALUES (1,'a'),(2,'b'),(3,'c')")
+    spark.sql("DELETE FROM cljdbc.jt WHERE id = 2")
+    spark.sql("UPDATE cljdbc.jt SET v = upper(v) WHERE id = 3")
+    assert(spark.sql("SELECT id, v FROM cljdbc.jt ORDER BY id")
+      .collect().map(_.toString).toSeq == Seq("[1,a]", "[3,C]"))
+    // the catalog rows really live in the JDBC store
+    val cat = CatalogLoader.load("jdbc", Map(
+      "uri" -> s"jdbc:derby:$wh/cat", "warehouse" -> wh, "name" -> "cljdbc"))
+    assert(cat.listTables().contains("jt"))
+  }
+}
