@@ -48,16 +48,22 @@ class GraftBatchScan(table: GraftTable, predicate: Predicate,
     onPlanned: Seq[graft.table.FileScanTask] => Unit = _ => ())
     extends Scan with Batch with SupportsReportPartitioning {
 
-  // `_file` metadata column (SupportsMetadataColumns): constant per split,
-  // appended by the reader — row-level operations project their row attrs
-  // through it (Spark only strips the rewrite's internal operation column
-  // when at least one metadata attribute is present)
-  private val (projected: Seq[String], emitFile: Boolean) = required match {
-    case Some(s) if s.fields.nonEmpty =>
-      (s.fieldNames.toSeq.filterNot(_ == GraftBatchScan.FileColumn),
-        s.fieldNames.contains(GraftBatchScan.FileColumn))
-    case _ => (table.schema.fields.map(_.name), false)
-  }
+  // `_file` / `_pos` metadata columns (SupportsMetadataColumns): appended
+  // by the reader — `_file` is constant per split, `_pos` is the row's
+  // position in its data file (the Iceberg position-delete coordinate).
+  // Row-level operations project their row attrs through them (Spark only
+  // strips the rewrite's internal operation column when at least one
+  // metadata attribute is present), and the delta (merge-on-read) write
+  // path uses (_file, _pos) as the row id.
+  private val MetaCols = Seq(GraftBatchScan.FileColumn, GraftBatchScan.PosColumn)
+  private val (projected: Seq[String], emitFile: Boolean, emitPos: Boolean) =
+    required match {
+      case Some(s) if s.fields.nonEmpty =>
+        (s.fieldNames.toSeq.filterNot(MetaCols.contains),
+          s.fieldNames.contains(GraftBatchScan.FileColumn),
+          s.fieldNames.contains(GraftBatchScan.PosColumn))
+      case _ => (table.schema.fields.map(_.name), false, false)
+    }
 
   // projected schema rebuilt from the table schema so parquet.field.id
   // metadata survives whatever Spark passed through pruneColumns
@@ -67,12 +73,15 @@ class GraftBatchScan(table: GraftTable, predicate: Predicate,
   }
 
   override def readSchema(): StructType = {
-    val data = dataSchema()
-    if (emitFile)
-      StructType(data.fields :+ org.apache.spark.sql.types.StructField(
+    val data = dataSchema().fields
+    val metas =
+      (if (emitFile) Seq(org.apache.spark.sql.types.StructField(
         GraftBatchScan.FileColumn, org.apache.spark.sql.types.StringType,
-        nullable = false))
-    else data
+        nullable = false)) else Nil) ++
+      (if (emitPos) Seq(org.apache.spark.sql.types.StructField(
+        GraftBatchScan.PosColumn, org.apache.spark.sql.types.LongType,
+        nullable = false)) else Nil)
+    StructType(data ++ metas)
   }
 
   override def toBatch: Batch = this
@@ -199,8 +208,10 @@ class GraftBatchScan(table: GraftTable, predicate: Predicate,
       val dv = dvByFile.get(path)
       val withDeletes = dv.isDefined || posParquet.nonEmpty
       val splits =
-        if (withDeletes)
-          // whole file in one slice: row indexes must be exact
+        if (withDeletes || emitPos)
+          // whole file in one slice: row indexes must be exact (`_pos`
+          // emission counts rows, so splits and parquet row-group
+          // filtering are both off)
           Seq(GraftInputPartition(path, 0L, size, size,
             needsRowIndex = true, posParquet, dv))
         else GraftInputPartition.cleanSplits(path, size, t.file.splitOffsets)
@@ -218,13 +229,15 @@ class GraftBatchScan(table: GraftTable, predicate: Predicate,
   override def createReaderFactory(): PartitionReaderFactory = {
     val spark = SparkSession.active
     GraftReaderFactory.build(spark, table.schema.toSpark, dataSchema(), pushedFilters,
-      graft.crypto.Encryption.confFor(table.metadata.properties), emitFile)
+      graft.crypto.Encryption.confFor(table.metadata.properties), emitFile, emitPos)
   }
 }
 
 object GraftBatchScan {
   /** Metadata column: the data file path of each row. */
   val FileColumn = "_file"
+  /** Metadata column: the row's position within its data file. */
+  val PosColumn = "_pos"
 }
 
 /** One byte-range slice of a data file plus its delete context. */
@@ -286,7 +299,7 @@ object GraftReaderFactory {
     * never mutated (the concurrent-scan hygiene contract). */
   def build(spark: SparkSession, dataSchema: StructType, readSchema: StructType,
       filters: Seq[Filter], encConf: Map[String, String] = Map.empty,
-      emitFile: Boolean = false): GraftReaderFactory = {
+      emitFile: Boolean = false, emitPos: Boolean = false): GraftReaderFactory = {
     val scanSpark = graft.SessionConf.scanSession(spark)
     val fmt = new ParquetFileFormat()
     val hc = scanSpark.sparkContext.hadoopConfiguration
@@ -305,7 +318,7 @@ object GraftReaderFactory {
       fmt.buildReaderWithPartitionValues(scanSpark, PosDeleteSchema, empty, PosDeleteSchema,
         Nil, rowOpts, conf()),
       spark.sparkContext.broadcast(new SerializableConfiguration(conf())),
-      emitFile)
+      emitFile, emitPos)
   }
 }
 
@@ -314,7 +327,8 @@ final class GraftReaderFactory(
     plainRead: PartitionedFile => Iterator[InternalRow],
     posDeleteRead: PartitionedFile => Iterator[InternalRow],
     conf: Broadcast[SerializableConfiguration],
-    emitFile: Boolean = false) extends PartitionReaderFactory {
+    emitFile: Boolean = false,
+    emitPos: Boolean = false) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition match {
@@ -322,7 +336,7 @@ final class GraftReaderFactory(
       case g: GraftInputPartition => g
     }
     val read = if (p.needsRowIndex) plainRead else filteredRead
-    new GraftPartitionReader(p, read, posDeleteRead, conf, emitFile)
+    new GraftPartitionReader(p, read, posDeleteRead, conf, emitFile, emitPos)
   }
 }
 
@@ -333,14 +347,20 @@ final class GraftPartitionReader(
     read: PartitionedFile => Iterator[InternalRow],
     posDeleteRead: PartitionedFile => Iterator[InternalRow],
     conf: Broadcast[SerializableConfiguration],
-    emitFile: Boolean = false) extends PartitionReader[InternalRow] {
+    emitFile: Boolean = false,
+    emitPos: Boolean = false) extends PartitionReader[InternalRow] {
 
   private var current: InternalRow = _
   private var rowIndex: Long = -1L
 
-  // `_file` appended as a constant column (JoinedRow: zero-copy wrapper)
-  private lazy val fileRow = new GenericInternalRow(
-    Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(part.path)))
+  // `_file` / `_pos` appended as metadata columns (JoinedRow: zero-copy
+  // wrapper; the pos slot is updated in place per row)
+  private lazy val metaRow = new GenericInternalRow(
+    (if (emitFile)
+      Seq[Any](org.apache.spark.unsafe.types.UTF8String.fromString(part.path))
+    else Seq.empty[Any]).toArray ++
+      (if (emitPos) Array[Any](0L) else Array.empty[Any]))
+  private val posOrdinal = if (emitFile) 1 else 0
   private lazy val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow()
 
   private lazy val deleted: Roaring64 = {
@@ -386,7 +406,10 @@ final class GraftPartitionReader(
   }
 
   override def get(): InternalRow =
-    if (emitFile) joined(current, fileRow) else current
+    if (emitFile || emitPos) {
+      if (emitPos) metaRow.update(posOrdinal, rowIndex)
+      joined(current, metaRow)
+    } else current
 
   override def close(): Unit = ()
 }

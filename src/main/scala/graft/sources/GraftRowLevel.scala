@@ -38,8 +38,23 @@ import graft.table.GraftTable
   */
 final class GraftRowLevelOperationBuilder(table: GraftTable,
     info: RowLevelOperationInfo) extends RowLevelOperationBuilder {
-  override def build(): RowLevelOperation =
-    new GraftRowLevelOperation(table, info.command)
+
+  /** `write.delete|update|merge.mode` routes each command: copy-on-write
+    * (default) → group-based rewrite; merge-on-read → position-delta
+    * write (GraftDelta). */
+  override def build(): RowLevelOperation = {
+    val key = info.command match {
+      case Command.DELETE => "write.delete.mode"
+      case Command.UPDATE => "write.update.mode"
+      case Command.MERGE => "write.merge.mode"
+    }
+    table.metadata.properties.getOrElse(key, "copy-on-write") match {
+      case "merge-on-read" => new GraftDeltaOperation(table, info.command)
+      case "copy-on-write" => new GraftRowLevelOperation(table, info.command)
+      case other => throw new IllegalArgumentException(
+        s"$key must be copy-on-write or merge-on-read, got '$other'")
+    }
+  }
 }
 
 final class GraftRowLevelOperation(table: GraftTable, cmd: Command)

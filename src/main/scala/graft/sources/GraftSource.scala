@@ -66,18 +66,26 @@ final class GraftSparkTable(table: GraftTable) extends SparkTable
   override def name(): String = table.name
   override def schema(): StructType = table.schema.toSpark
 
-  /** `_file`: the data file path of each row — queryable
-    * (`SELECT _file, * FROM t`) and the anchor for row-level rewrites
-    * (the CoW operation requires it so Spark's ReplaceData projections
-    * strip the internal operation column before rows reach the writer). */
+  /** `_file` / `_pos`: the data file path and in-file position of each
+    * row — queryable (`SELECT _file, _pos, * FROM t`), the anchor for
+    * CoW rewrites (Spark's ReplaceData projections need a metadata
+    * attribute to strip the internal operation column), and together the
+    * ROW ID of the delta (merge-on-read) write path. */
   override def metadataColumns()
       : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
-      override def name(): String = GraftBatchScan.FileColumn
-      override def dataType(): org.apache.spark.sql.types.DataType =
-        org.apache.spark.sql.types.StringType
-      override def isNullable: Boolean = true
-    })
+    Array(
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = GraftBatchScan.FileColumn
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.StringType
+        override def isNullable: Boolean = false
+      },
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = GraftBatchScan.PosColumn
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.LongType
+        override def isNullable: Boolean = false
+      })
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
@@ -160,9 +168,10 @@ final class GraftV1Scan(table: GraftTable, predicate: Predicate,
 
   private val projected: Seq[String] = required match {
     case Some(s) if s.fields.nonEmpty =>
-      require(!s.fieldNames.contains(GraftBatchScan.FileColumn),
-        "_file is not available on the V1 fallback path (equality deletes " +
-          "or name mapping); compact first or drop the metadata column")
+      require(!s.fieldNames.contains(GraftBatchScan.FileColumn) &&
+          !s.fieldNames.contains(GraftBatchScan.PosColumn),
+        "_file/_pos are not available on the V1 fallback path (equality " +
+          "deletes or name mapping); compact first or drop the metadata column")
       s.fieldNames.toSeq
     case _ => table.schema.fields.map(_.name)
   }

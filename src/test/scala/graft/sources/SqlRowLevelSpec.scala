@@ -205,6 +205,48 @@ class SqlRowLevelSpec extends AnyFunSuite with BeforeAndAfterAll {
       == Seq("[3]"))
   }
 
+  test("merge-on-read DML: position deltas, zero data-file rewrites") {
+    registerCatalog("rl9")
+    spark.sql("""CREATE TABLE rl9.t9 (id BIGINT, v STRING)
+      TBLPROPERTIES ('write.delete.mode'='merge-on-read',
+        'write.update.mode'='merge-on-read',
+        'write.merge.mode'='merge-on-read')""")
+    spark.sql("INSERT INTO rl9.t9 VALUES (1,'a'),(2,'b'),(3,'c'),(4,'d'),(5,'e')")
+    val before = GraftTable.load("t9", catalog).newScan().planFiles()
+      .map(_.file.filePath).toSet
+
+    // non-translatable DELETE → the delta path (translatable ones take
+    // the metadata path, which is already MoR)
+    spark.sql("DELETE FROM rl9.t9 WHERE id % 2 = 0")
+    assert(rows("SELECT id FROM rl9.t9") == Seq("[1]", "[3]", "[5]"))
+    var t = GraftTable.load("t9", catalog)
+    assert(t.metadata.snapshots.last.operation == "delete")
+    // no data file was rewritten or dropped
+    assert(before.subsetOf(t.newScan().planFiles().map(_.file.filePath).toSet))
+    assert(t.newScan().planDeletes().nonEmpty)
+
+    spark.sql("UPDATE rl9.t9 SET v = upper(v) WHERE id >= 3")
+    assert(rows("SELECT id, v FROM rl9.t9") == Seq("[1,a]", "[3,C]", "[5,E]"))
+    t = GraftTable.load("t9", catalog)
+    assert(t.metadata.snapshots.last.operation == "overwrite")
+    assert(before.subsetOf(t.newScan().planFiles().map(_.file.filePath).toSet),
+      "update must not rewrite data files in merge-on-read mode")
+
+    spark.sql("CREATE TABLE rl9.s9 (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO rl9.s9 VALUES (5,'five'), (9,'nine')")
+    spark.sql("""MERGE INTO rl9.t9 t USING rl9.s9 s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""")
+    assert(rows("SELECT id, v FROM rl9.t9") ==
+      Seq("[1,a]", "[3,C]", "[5,five]", "[9,nine]"))
+
+    // compaction folds the accumulated deltas back into clean files
+    t = GraftTable.load("t9", catalog).rewriteDataFiles(spark)
+    assert(t.newScan().planDeletes().isEmpty)
+    assert(rows("SELECT id, v FROM rl9.t9") ==
+      Seq("[1,a]", "[3,C]", "[5,five]", "[9,nine]"))
+  }
+
   test("INSERT OVERWRITE through the native truncate write") {
     registerCatalog("rl6")
     spark.sql("CREATE TABLE rl6.t6 (id BIGINT, v STRING)")
