@@ -192,6 +192,39 @@ object IcebergFixtures {
       GraftTable.load("customer_rowlevel", catalog)
     }
 
+  /** same SQL row-level op sequence as customerSqlRowLevel but with
+    * write.*.mode = merge-on-read: UPDATE/MERGE/non-translatable DELETE
+    * run as position-delta commits (SupportsDelta) instead of CoW
+    * rewrites — same final rows, zero data-file rewrites. */
+  def customerSqlMor(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "customer_mor") { catalog =>
+      val wh = warehouse(sfDir)
+      spark.conf.set("spark.sql.catalog.graftfix", "graft.sources.GraftCatalogPlugin")
+      spark.conf.set("spark.sql.catalog.graftfix.warehouse", wh)
+      val src = Tables.customer(spark, sfDir)
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+      src.createOrReplaceTempView("raw_customer_mor")
+      val cols = src.schema.fields
+        .map(f => s"${f.name} ${f.dataType.sql}").mkString(", ")
+      spark.sql(s"""CREATE TABLE graftfix.customer_mor ($cols)
+        TBLPROPERTIES ('write.delete.mode'='merge-on-read',
+          'write.update.mode'='merge-on-read',
+          'write.merge.mode'='merge-on-read')""")
+      spark.sql("INSERT INTO graftfix.customer_mor SELECT * FROM raw_customer_mor")
+      spark.sql(
+        "DELETE FROM graftfix.customer_mor WHERE c_mktsegment = 'BUILDING'")
+      spark.sql("""UPDATE graftfix.customer_mor
+        SET c_acctbal = c_acctbal + 100.0 WHERE c_mktsegment = 'MACHINERY'""")
+      spark.sql("""MERGE INTO graftfix.customer_mor t
+        USING (SELECT c_custkey, 'MERGED' AS seg, 0.0 AS bal
+               FROM raw_customer_mor WHERE c_custkey % 97 = 0) s
+        ON t.c_custkey = s.c_custkey
+        WHEN MATCHED THEN UPDATE SET c_mktsegment = s.seg, c_acctbal = s.bal
+        WHEN NOT MATCHED THEN INSERT (c_custkey, c_mktsegment, c_acctbal)
+          VALUES (s.c_custkey, s.seg, s.bal)""")
+      GraftTable.load("customer_mor", catalog)
+    }
+
   /** plain (undeleted) customer table for stats/sketch queries. */
   def plainCustomer(spark: SparkSession, sfDir: String): GraftTable =
     build(spark, sfDir, "customer_plain") { catalog =>

@@ -491,6 +491,37 @@ object IcebergQueries {
       .orderBy(col("c_custkey"))
   }
 
+
+  /** Same mutation sequence as i24 but MERGE-ON-READ (SupportsDelta
+    * position deltas, write.*.mode=merge-on-read): the driver hash-match
+    * against the identical relational replay proves the delta path's
+    * delete/insert coordinates reconstruct the same table. */
+  val i25 = Q.sql(
+    "i25_sql_mor_scan",
+    """WITH base AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+      |     src AS (SELECT c_custkey, CAST('MERGED' AS VARCHAR) AS seg, 0.0 AS bal
+      |             FROM base WHERE c_custkey % 97 = 0),
+      |     t1 AS (SELECT * FROM base WHERE c_mktsegment <> 'BUILDING'),
+      |     t2 AS (SELECT c_custkey, c_mktsegment,
+      |              CASE WHEN c_mktsegment = 'MACHINERY'
+      |                   THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal
+      |            FROM t1)
+      |SELECT c_custkey, c_mktsegment, c_acctbal FROM (
+      |  SELECT t2.c_custkey, s.seg AS c_mktsegment, s.bal AS c_acctbal
+      |  FROM t2 JOIN src s USING (c_custkey)
+      |  UNION ALL
+      |  SELECT * FROM t2 WHERE c_custkey NOT IN (SELECT c_custkey FROM src)
+      |  UNION ALL
+      |  SELECT s.c_custkey, s.seg, s.bal FROM src s
+      |  WHERE s.c_custkey NOT IN (SELECT c_custkey FROM t2))
+      |ORDER BY c_custkey""".stripMargin
+  ) { (s, d) =>
+    val t = IcebergFixtures.customerSqlMor(s, d)
+    t.newScan().toDF(s)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+  }
+
   val all: Seq[Q] = Seq(i01, i02, i03, i04, i05, i06, i07, i08, i09, i10,
-    i11, i12, i13, i14, i15, i16, i17, i18, i19, i20, i21, i22, i23, i24)
+    i11, i12, i13, i14, i15, i16, i17, i18, i19, i20, i21, i22, i23, i24, i25)
 }
