@@ -28,7 +28,22 @@ import graft.table.GraftTable
   * table/mod.rs:68-151).
   */
 final class GraftCatalogPlugin extends CatalogPlugin with TableCatalog with ViewCatalog
-    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+
+  /** `CALL <cat>.system.<proc>(...)` — SQL maintenance procedures
+    * (GraftProcedures: rewrite/expire/orphans/rollback/branch/tag/stats). */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    val ok = ident.namespace().isEmpty ||
+      ident.namespace().sameElements(GraftProcedures.Namespace)
+    (if (ok) GraftProcedures.load(ident.name(), catalog) else None).getOrElse(
+      throw new RuntimeException(s"unknown procedure: $ident"))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.Names
+      .map(n => Identifier.of(GraftProcedures.Namespace, n)).toArray
 
   private var catalogName: String = _
   private var warehouse: String = _

@@ -1,0 +1,155 @@
+package graft.sources
+
+import java.util.{Collections, Iterator => JIterator}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.catalog.{Catalog => GraftCatalog}
+import graft.table.GraftTable
+
+/** SQL maintenance procedures — `CALL <cat>.system.<proc>(...)`, the
+  * Iceberg stored-procedure surface over the table actions
+  * (rewrite/expire/orphans/rollback/branch/tag/stats):
+  *
+  * {{{
+  * CALL cat.system.rewrite_data_files('t')
+  * CALL cat.system.expire_snapshots('t', 2)
+  * CALL cat.system.remove_orphan_files('t', <older_than_ms>)
+  * CALL cat.system.rollback_to_snapshot('t', <snapshot_id>)
+  * CALL cat.system.create_branch('t', 'audit')  -- and create_tag
+  * CALL cat.system.rewrite_manifests('t')
+  * CALL cat.system.write_partition_stats('t')
+  * }}}
+  *
+  * Each procedure loads the live table, runs the corresponding
+  * distributed action, and returns a one-row summary via `LocalScan`. */
+object GraftProcedures {
+
+  val Namespace: Array[String] = Array("system")
+
+  private def str(v: String): Any = UTF8String.fromString(v)
+
+  private abstract class Proc(catalog: GraftCatalog,
+      val procName: String,
+      params: Seq[(String, DataType)],
+      out: Seq[(String, DataType)]) extends UnboundProcedure with BoundProcedure {
+
+    protected def table(args: InternalRow): GraftTable =
+      GraftTable.load(args.getUTF8String(0).toString, catalog)
+
+    def run(args: InternalRow): Seq[Any]
+
+    override def name(): String = procName
+    override def description(): String = s"graft $procName"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] =
+      params.map { case (n, t) => ProcedureParameter.in(n, t).build() }.toArray
+
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val values = run(input)
+      val schema = StructType(out.map { case (n, t) => StructField(n, t) })
+      val scan: Scan = new LocalScan {
+        override def rows(): Array[InternalRow] =
+          Array(new GenericInternalRow(values.toArray))
+        override def readSchema(): StructType = schema
+      }
+      Collections.singletonList(scan).iterator()
+    }
+  }
+
+  def load(name: String, catalog: GraftCatalog): Option[UnboundProcedure] = {
+    def spark = SparkSession.active
+    name match {
+      case "rewrite_data_files" => Some(new Proc(catalog, name,
+          Seq("table" -> StringType),
+          Seq("rewritten_data_files_count" -> IntegerType,
+            "added_data_files_count" -> IntegerType)) {
+        def run(a: InternalRow): Seq[Any] = {
+          val t = table(a)
+          val before = t.newScan().planFiles().size
+          val after = t.rewriteDataFiles(spark).newScan().planFiles().size
+          Seq(before, after)
+        }
+      })
+      case "rewrite_manifests" => Some(new Proc(catalog, name,
+          Seq("table" -> StringType),
+          Seq("rewritten_manifests_count" -> IntegerType,
+            "added_manifests_count" -> IntegerType)) {
+        def run(a: InternalRow): Seq[Any] = {
+          val t = table(a)
+          val before = t.currentManifests.size
+          val after = t.rewriteManifests().currentManifests.size
+          Seq(before, after)
+        }
+      })
+      case "expire_snapshots" => Some(new Proc(catalog, name,
+          Seq("table" -> StringType, "retain_last" -> IntegerType),
+          Seq("deleted_snapshots_count" -> IntegerType)) {
+        def run(a: InternalRow): Seq[Any] = {
+          val t = table(a)
+          val before = t.metadata.snapshots.size
+          val after = t.expireSnapshots(System.currentTimeMillis() + 3600000L,
+            retainLast = a.getInt(1)).metadata.snapshots.size
+          Seq(before - after)
+        }
+      })
+      case "remove_orphan_files" => Some(new Proc(catalog, name,
+          Seq("table" -> StringType, "older_than_ms" -> LongType),
+          Seq("orphan_file_count" -> IntegerType)) {
+        def run(a: InternalRow): Seq[Any] =
+          Seq(table(a).removeOrphanFiles(a.getLong(1), spark).size)
+      })
+      case "rollback_to_snapshot" => Some(new Proc(catalog, name,
+          Seq("table" -> StringType, "snapshot_id" -> LongType),
+          Seq("previous_snapshot_id" -> LongType,
+            "current_snapshot_id" -> LongType)) {
+        def run(a: InternalRow): Seq[Any] = {
+          val t = table(a)
+          val prev = t.metadata.currentSnapshotId.getOrElse(-1L)
+          val cur = t.rollbackTo(a.getLong(1))
+            .metadata.currentSnapshotId.getOrElse(-1L)
+          Seq(prev, cur)
+        }
+      })
+      case "create_branch" => Some(new Proc(catalog, name,
+          Seq("table" -> StringType, "branch" -> StringType),
+          Seq("branch" -> StringType, "snapshot_id" -> LongType)) {
+        def run(a: InternalRow): Seq[Any] = {
+          val b = a.getUTF8String(1).toString
+          val t = table(a).createBranch(b)
+          Seq(str(b), t.metadata.refs(b).snapshotId)
+        }
+      })
+      case "create_tag" => Some(new Proc(catalog, name,
+          Seq("table" -> StringType, "tag" -> StringType),
+          Seq("tag" -> StringType, "snapshot_id" -> LongType)) {
+        def run(a: InternalRow): Seq[Any] = {
+          val b = a.getUTF8String(1).toString
+          val t = table(a).createTag(b)
+          Seq(str(b), t.metadata.refs(b).snapshotId)
+        }
+      })
+      case "write_partition_stats" => Some(new Proc(catalog, name,
+          Seq("table" -> StringType),
+          Seq("statistics_path" -> StringType)) {
+        def run(a: InternalRow): Seq[Any] = {
+          val t = table(a).writePartitionStats(spark)
+          Seq(str(t.metadata.partitionStatistics.lastOption
+            .map(_.statisticsPath).getOrElse("")))
+        }
+      })
+      case _ => None
+    }
+  }
+
+  val Names: Seq[String] = Seq("rewrite_data_files", "rewrite_manifests",
+    "expire_snapshots", "remove_orphan_files", "rollback_to_snapshot",
+    "create_branch", "create_tag", "write_partition_stats")
+}
