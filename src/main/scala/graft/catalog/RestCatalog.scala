@@ -6,47 +6,68 @@ import java.nio.charset.StandardCharsets
 import java.util.concurrent.ConcurrentHashMap
 import java.util.concurrent.atomic.AtomicInteger
 
-import com.fasterxml.jackson.databind.node.ObjectNode
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
 
 import graft.io.FileIO
-import graft.spec.{IcebergSchema, Json, PartitionSpec, TableMetadata}
+import graft.spec.{IcebergSchema, Json, PartitionSpec, TableMetadata, TableUpdates}
 import graft.spec.Json._
 
 /** REST catalog client (reference crates/catalog/rest): table state lives
-  * behind an HTTP service; commits are server-side CAS, which is what
-  * makes optimistic concurrency safe on object stores where a
-  * rename-based Hadoop catalog is not atomic.
+  * behind an HTTP service; commits are server-side, which is what makes
+  * optimistic concurrency safe on object stores where a rename-based
+  * Hadoop catalog is not atomic.
   *
-  * Routes follow the Iceberg REST spec shape
-  * (`/v1/namespaces/{ns}/tables[/{table}]`, LoadTableResult with
-  * `metadata-location` + `metadata`). Two deviations, documented here:
-  * create ships the full initial metadata document, and the commit body
-  * carries `{"base-metadata-location": …, "metadata": …}` instead of the
-  * spec's update-action list — the CAS contract (HTTP 409 on a stale
-  * base) is the same.
+  * Speaks the spec's commit model (catalog/mod.rs:382-404 CommitTableRequest):
+  *   - create: `CreateTableRequest {name, schema, partition-spec, properties}`
+  *     — the SERVICE assigns the location and builds the initial metadata.
+  *   - commit: `{"requirements": [...], "updates": [...]}` — the client
+  *     diffs its base against the updated metadata into declarative update
+  *     actions (`TableUpdates.diff`) guarded by requirement asserts; the
+  *     service validates the asserts against ITS current metadata, applies
+  *     the actions, and answers 409 on violation (`CommitConflict` here,
+  *     which `CommitRetry` resolves by re-loading). Derived fields and the
+  *     metadata log are service-owned — the full document never crosses the
+  *     wire on commit.
   *
-  * Versioning: the `Catalog` trait speaks integer versions; this client
-  * maps them to metadata locations per load (the REST analogue of an
-  * ETag) so `commitTable(baseVersion)` can assert the right base.
+  * Versioning: the `Catalog` trait speaks integer versions; this client maps
+  * them to (metadata-location, metadata) pairs per load (the REST analogue
+  * of an ETag) so `commitTable(baseVersion)` can diff from the right base.
   */
 final class RestCatalog(baseUri: String, namespace: String, val io: FileIO)
     extends Catalog {
 
   private val http = HttpClient.newHttpClient()
-  private val versions = new ConcurrentHashMap[String, ConcurrentHashMap[Int, String]]()
+  private val versions =
+    new ConcurrentHashMap[String, ConcurrentHashMap[Int, (String, TableMetadata)]]()
   private val counters = new ConcurrentHashMap[String, AtomicInteger]()
 
   private def tablesUri = s"$baseUri/v1/namespaces/$namespace/tables"
 
+  private def record(name: String, location: String, md: TableMetadata): Int = {
+    val v = counters.computeIfAbsent(name, _ => new AtomicInteger()).incrementAndGet()
+    val m = versions.computeIfAbsent(name,
+      _ => new ConcurrentHashMap[Int, (String, TableMetadata)]())
+    m.put(v, (location, md))
+    // retain a short window of bases (commit must follow a recent load)
+    m.keySet().removeIf(k => k < v - 16)
+    v
+  }
+
   override def createTable(name: String, schema: IcebergSchema, spec: PartitionSpec,
       properties: Map[String, String]): TableMetadata = {
-    val md = TableMetadata.newTable(s"$baseUri-warehouse/$name", schema, spec, properties)
     val body = obj()
     body.put("name", name)
-    body.set[ObjectNode]("metadata", md.toJson)
+    body.set[ObjectNode]("schema", schema.toJson)
+    body.set[ObjectNode]("partition-spec", spec.toJson)
+    val props = obj()
+    properties.toSeq.sortBy(_._1).foreach { case (k, v) => props.put(k, v) }
+    body.set[ObjectNode]("properties", props)
     val resp = send(post(tablesUri, body.toString))
     require(resp.statusCode() == 200 || resp.statusCode() == 201,
       s"create failed (${resp.statusCode()}): ${resp.body()}")
+    val n = Json.parse(resp.body())
+    val md = TableMetadata.fromJson(n("metadata"))
+    record(name, n("metadata-location").asText(), md)
     md
   }
 
@@ -57,10 +78,7 @@ final class RestCatalog(baseUri: String, namespace: String, val io: FileIO)
     require(resp.statusCode() == 200, s"load failed (${resp.statusCode()})")
     val n = Json.parse(resp.body())
     val md = TableMetadata.fromJson(n("metadata"))
-    val location = n("metadata-location").asText()
-    val v = counters.computeIfAbsent(name, _ => new AtomicInteger()).incrementAndGet()
-    versions.computeIfAbsent(name, _ => new ConcurrentHashMap[Int, String]())
-      .put(v, location)
+    val v = record(name, n("metadata-location").asText(), md)
     (md, v)
   }
 
@@ -78,19 +96,20 @@ final class RestCatalog(baseUri: String, namespace: String, val io: FileIO)
   }
 
   override def commitTable(name: String, baseVersion: Int, updated: TableMetadata): Int = {
-    val baseLocation = Option(versions.get(name)).flatMap(m => Option(m.get(baseVersion)))
+    val (_, base) = Option(versions.get(name)).flatMap(m => Option(m.get(baseVersion)))
       .getOrElse(throw new IllegalStateException(
         s"unknown base version $baseVersion for $name (commit must follow a load)"))
+    val updates = TableUpdates.diff(base, updated)
+    val reqs = TableUpdates.requirements(base, updates)
     val body = obj()
-    body.put("base-metadata-location", baseLocation)
-    body.set[ObjectNode]("metadata", updated.toJson)
+    body.set[ArrayNode]("requirements", TableUpdates.requirementsToJson(reqs))
+    body.set[ArrayNode]("updates", TableUpdates.updatesToJson(updates))
     val resp = send(post(s"$tablesUri/$name", body.toString))
     resp.statusCode() match {
       case 200 | 204 =>
-        val v = counters.get(name).incrementAndGet()
-        val newLocation = Json.parse(resp.body())("metadata-location").asText()
-        versions.get(name).put(v, newLocation)
-        v
+        val n = Json.parse(resp.body())
+        record(name, n("metadata-location").asText(),
+          TableMetadata.fromJson(n("metadata")))
       case 409 | 412 => throw CommitConflict(s"stale base for $name: ${resp.body()}")
       case other => throw new IllegalStateException(s"commit failed ($other): ${resp.body()}")
     }

@@ -1,0 +1,175 @@
+package graft.catalog
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.ConcurrentHashMap
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import graft.spec.{IcebergSchema, Json, PartitionSpec, TableMetadata,
+  TableRequirement, TableUpdate, TableUpdates}
+import graft.spec.Json._
+
+/** In-process REST catalog service speaking the spec's commit protocol —
+  * the server half the reference's REST client (crates/catalog/rest) talks
+  * to. JDK HttpServer, zero extra dependencies.
+  *
+  * The service OWNS the metadata: create builds the initial document and
+  * assigns the location under `warehouse`; commit validates the request's
+  * `requirements` against the CURRENT metadata, applies its `updates` via
+  * `TableUpdate.applyTo` (recomputing derived fields — nothing derived is
+  * trusted from the client), appends the metadata log, and answers 409 on
+  * any violated assert so clients refresh-and-retry. Because validation is
+  * per-requirement rather than a whole-document CAS, two non-overlapping
+  * commits from the same base (say set-properties and add-snapshot) BOTH
+  * land — the concurrency model the update-action protocol exists for.
+  *
+  * Routes (REST spec shape):
+  * {{{
+  *   GET    /v1/namespaces/{ns}/tables            list
+  *   POST   /v1/namespaces/{ns}/tables            create (CreateTableRequest)
+  *   GET    /v1/namespaces/{ns}/tables/{t}        load   (LoadTableResult)
+  *   HEAD   /v1/namespaces/{ns}/tables/{t}        exists
+  *   DELETE /v1/namespaces/{ns}/tables/{t}        drop
+  *   POST   /v1/namespaces/{ns}/tables/{t}        commit (requirements+updates)
+  * }}}
+  */
+final class RestCatalogServer(warehouse: String, namespace: String = "default") {
+
+  /** name -> (metadata-location, version, metadata); mutated only inside
+    * per-name synchronized commits. */
+  private val tables = new ConcurrentHashMap[String, (String, Int, TableMetadata)]()
+  private var server: HttpServer = _
+
+  def start(): Int = {
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext(s"/v1/namespaces/$namespace/tables", handle _)
+    server.start()
+    server.getAddress.getPort
+  }
+
+  def stop(): Unit = if (server != null) server.stop(0)
+
+  def uri: String = s"http://127.0.0.1:${server.getAddress.getPort}"
+
+  /** Direct metadata peek for tests/ops tooling. */
+  def currentMetadata(name: String): Option[TableMetadata] =
+    Option(tables.get(name)).map(_._3)
+
+  private def metadataLocation(name: String, v: Int) =
+    s"$warehouse/$name/metadata/v$v.metadata.json"
+
+  private def handle(ex: HttpExchange): Unit = {
+    val name = ex.getRequestURI.getPath
+      .stripPrefix(s"/v1/namespaces/$namespace/tables").stripPrefix("/")
+    try (ex.getRequestMethod, name) match {
+      case ("GET", "") =>
+        val ids = tables.keySet().toArray(Array.empty[String]).toSeq.sorted.map(n =>
+          s"""{"namespace":["$namespace"],"name":"$n"}""").mkString(",")
+        respond(ex, 200, s"""{"identifiers":[$ids]}""")
+
+      case ("POST", "") => create(ex)
+
+      case ("GET", n) =>
+        Option(tables.get(n)) match {
+          case Some((loc, _, md)) => respond(ex, 200, loadResult(loc, md))
+          case None => respond(ex, 404, """{"error":"no such table"}""")
+        }
+
+      case ("HEAD", n) =>
+        ex.sendResponseHeaders(if (tables.containsKey(n)) 200 else 404, -1)
+        ex.close()
+
+      case ("DELETE", n) =>
+        ex.sendResponseHeaders(if (tables.remove(n) != null) 204 else 404, -1)
+        ex.close()
+
+      case ("POST", n) => commit(ex, n)
+
+      case _ => respond(ex, 405, "{}")
+    } catch {
+      case e: Throwable =>
+        respond(ex, 500, s"""{"error":${quote(e.toString)}}""")
+    }
+  }
+
+  private def create(ex: HttpExchange): Unit = {
+    val body = Json.parse(readBody(ex))
+    val n = body("name").asText()
+    val schema = IcebergSchema.schemaFromJson(body("schema"))
+    val spec = body.opt("partition-spec").map(PartitionSpec.fromJson)
+      .getOrElse(PartitionSpec.unpartitioned)
+    val props = body.opt("properties")
+      .map(_.fieldsMap.map { case (k, v) => k -> v.asText() }).getOrElse(Map.empty)
+    // the service assigns the location — clients never pick paths
+    val md = TableMetadata.newTable(s"$warehouse/$n", schema, spec, props)
+    val loc = metadataLocation(n, 1)
+    if (tables.putIfAbsent(n, (loc, 1, md)) != null)
+      respond(ex, 409, """{"error":"table already exists"}""")
+    else respond(ex, 200, loadResult(loc, md))
+  }
+
+  private def commit(ex: HttpExchange, n: String): Unit = {
+    val body = Json.parse(readBody(ex))
+    val reqs = body.opt("requirements").map(_.elems.map(TableRequirement.fromJson))
+      .getOrElse(Nil)
+    val updates = body.opt("updates").map(_.elems.map(TableUpdate.fromJson))
+      .getOrElse(Nil)
+    // per-table critical section: requirement checks and apply must see a
+    // stable current metadata (the DB-transaction analogue)
+    val result = tables.synchronized {
+      Option(tables.get(n)) match {
+        case None => Left((404, """{"error":"no such table"}"""))
+        case Some((loc, v, current)) =>
+          try {
+            reqs.foreach(_.check(current))
+            val applied = TableUpdates.applyAll(current, updates)
+            // the metadata log is service-owned: record the predecessor,
+            // capped by write.metadata.previous-versions-max
+            val cap = applied.properties.get("write.metadata.previous-versions-max")
+              .flatMap(_.toIntOption).getOrElse(100)
+            val now = System.currentTimeMillis()
+            val stamped = applied.copy(
+              metadataLog = (applied.metadataLog :+ (loc, current.lastUpdatedMs))
+                .takeRight(cap),
+              lastUpdatedMs = math.max(applied.lastUpdatedMs, now))
+            val newLoc = metadataLocation(n, v + 1)
+            tables.put(n, (newLoc, v + 1, stamped))
+            Right(loadResult(newLoc, stamped))
+          } catch {
+            // violated requirement / non-monotonic update => concurrent
+            // writer won; client refreshes and retries
+            case e: IllegalStateException => Left((409, conflictBody(e)))
+            case e: IllegalArgumentException => Left((400, conflictBody(e)))
+          }
+      }
+    }
+    result match {
+      case Right(bodyOut) => respond(ex, 200, bodyOut)
+      case Left((code, bodyOut)) => respond(ex, code, bodyOut)
+    }
+  }
+
+  private def conflictBody(e: Throwable) = s"""{"error":${quote(e.getMessage)}}"""
+
+  private def loadResult(loc: String, md: TableMetadata): String = {
+    val o = obj()
+    o.put("metadata-location", loc)
+    o.set[com.fasterxml.jackson.databind.node.ObjectNode]("metadata", md.toJson)
+    Json.write(o)
+  }
+
+  private def readBody(ex: HttpExchange): String =
+    new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+
+  private def quote(s: String): String =
+    Json.write(Json.obj().put("m", if (s == null) "" else s)("m"))
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.add("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+}

@@ -132,11 +132,13 @@ final class GraftSparkTable(table: GraftTable) extends SparkTable
 }
 
 final class GraftScanBuilder(table: GraftTable, options: Map[String, String] = Map.empty)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var predicate: Predicate = AlwaysTrue
   private var required: Option[StructType] = None
+  private var aggResult: Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(f => SparkFilters.toPredicate(f, table.schema).isDefined)
@@ -149,17 +151,47 @@ final class GraftScanBuilder(table: GraftTable, options: Map[String, String] = M
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = Some(requiredSchema)
 
+  /** Metadata-only aggregates: COUNT(*) / COUNT(col) / MIN / MAX answered
+    * from manifest statistics without touching a single data file — at
+    * 100 TB the difference between milliseconds of driver work and a
+    * full-table scan. Mirrors the reference's statistics surface (manifest
+    * record_count / value_counts / null_value_counts / bounds,
+    * data_file.rs:36) and Iceberg Java's SparkScanBuilder.pushAggregation
+    * gating: only when the answer is provably exact —
+    *   - no residual filter (Spark only attempts the pushdown then),
+    *   - no delete files in scope (counts/bounds ignore MoR deletes),
+    *   - COUNT(col) needs value+null counts on every file,
+    *   - MIN/MAX need bounds on every file and a type whose bound order
+    *     is total (floats excluded: NaN never enters parquet bounds).
+    * Anything else returns false and Spark aggregates above the scan. */
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    if (predicate != AlwaysTrue || pushed.nonEmpty) return false
+    if (agg.groupByExpressions().nonEmpty) return false
+    aggResult = GraftMetadataAggregates.evaluate(table, agg)
+    aggResult.isDefined
+  }
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    if (predicate != AlwaysTrue || pushed.nonEmpty) return false
+    if (agg.groupByExpressions().nonEmpty) return false
+    GraftMetadataAggregates.evaluate(table, agg).isDefined
+  }
+
   /** Native DSv2 Batch for the common shapes (clean scans, position
     * deletes, DVs); V1 relation fallback for the join-shaped features —
     * name-mapping resolution and equality deletes — whose distributed
     * anti-join plans don't fit a per-file reader. */
-  override def build(): Scan = {
-    val usesNameMapping =
-      table.metadata.properties.get("graft.read.use-name-mapping").contains("true")
-    lazy val hasEqDeletes = table.newScan().planDeletes()
-      .exists(_.file.content == graft.meta.FileContent.EqualityDeletes)
-    if (usesNameMapping || hasEqDeletes) new GraftV1Scan(table, predicate, required)
-    else new GraftBatchScan(table, predicate, pushed.toSeq, required, options)
+  override def build(): Scan = aggResult match {
+    case Some((schema, row)) => new GraftAggScan(schema, row)
+    case None =>
+      val usesNameMapping =
+        table.metadata.properties.get("graft.read.use-name-mapping").contains("true")
+      lazy val hasEqDeletes = table.newScan().planDeletes()
+        .exists(_.file.content == graft.meta.FileContent.EqualityDeletes)
+      if (usesNameMapping || hasEqDeletes) new GraftV1Scan(table, predicate, required)
+      else new GraftBatchScan(table, predicate, pushed.toSeq, required, options)
   }
 }
 

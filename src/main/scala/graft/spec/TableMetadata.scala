@@ -13,7 +13,13 @@ final case class Snapshot(
     manifestList: String,
     operation: String, // append | replace | overwrite | delete (snapshot.rs:40-60)
     summary: Map[String, String],
-    schemaId: Option[Int]) {
+    schemaId: Option[Int],
+    /** v3 row-lineage range (snapshot.rs:76-81): first `_row_id` assigned to
+      * this snapshot's new rows + how many it added. Lets a catalog applying
+      * an `add-snapshot` update action re-derive `next-row-id` without
+      * trusting the client's whole metadata document. */
+    firstRowId: Option[Long] = None,
+    addedRows: Option[Long] = None) {
 
   def toJson: ObjectNode = {
     val o = obj()
@@ -27,6 +33,8 @@ final case class Snapshot(
     o.set[ObjectNode]("summary", s)
     o.put("manifest-list", manifestList)
     schemaId.foreach(o.put("schema-id", _))
+    firstRowId.foreach(o.put("first-row-id", _))
+    addedRows.foreach(o.put("added-rows", _))
     o
   }
 }
@@ -43,7 +51,9 @@ object Snapshot {
       manifestList = n("manifest-list").asText(),
       operation = summary.getOrElse("operation", "append"),
       summary = summary - "operation",
-      schemaId = n.opt("schema-id").map(_.asInt()))
+      schemaId = n.opt("schema-id").map(_.asInt()),
+      firstRowId = n.opt("first-row-id").map(_.asLong()),
+      addedRows = n.opt("added-rows").map(_.asLong()))
   }
 }
 

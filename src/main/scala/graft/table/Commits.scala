@@ -126,6 +126,15 @@ object Commits {
         "added-records" -> addedRecords.toString
       ) ++ extraSummary
 
+      // v3 row lineage: append commits consume a contiguous row-id block
+      // equal to the rows they added (AppendWriter assigned the per-file
+      // first_row_id from this same base.nextRowId). Only manifests THIS
+      // snapshot added count — carried base manifests keep historical
+      // added-row totals. The snapshot records its (first-row-id,
+      // added-rows) range (snapshot.rs:76-81) so an update-action catalog
+      // can re-derive next-row-id from `add-snapshot` alone.
+      val addedRows = if (operation == "append") addedRecords else 0L
+
       val snap = Snapshot(
         snapshotId = snapshotId,
         parentSnapshotId = base.currentSnapshotId,
@@ -134,14 +143,9 @@ object Commits {
         manifestList = listPath,
         operation = operation,
         summary = summary,
-        schemaId = Some(base.currentSchema.schemaId))
-
-      // v3 row lineage: append commits consume a contiguous row-id block
-      // equal to the rows they added (AppendWriter assigned the per-file
-      // first_row_id from this same base.nextRowId). Only manifests THIS
-      // snapshot added count — carried base manifests keep historical
-      // added-row totals.
-      val addedRows = if (operation == "append") addedRecords else 0L
+        schemaId = Some(base.currentSchema.schemaId),
+        firstRowId = Some(base.nextRowId),
+        addedRows = Some(addedRows))
       val updated = base.copy(
         lastSequenceNumber = seq,
         lastUpdatedMs = now,

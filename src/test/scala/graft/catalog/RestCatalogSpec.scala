@@ -1,10 +1,5 @@
 package graft.catalog
 
-import java.net.InetSocketAddress
-import java.nio.charset.StandardCharsets
-import java.util.concurrent.ConcurrentHashMap
-
-import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
@@ -14,9 +9,10 @@ import graft.spec._
 import graft.spec.IcebergType._
 import graft.table.GraftTable
 
-/** REST catalog client against an in-process CAS server (JDK HttpServer):
-  * create/load/commit/conflict/drop, plus a full append+scan through the
-  * remote catalog. */
+/** REST catalog client against the in-process update-action server
+  * (`RestCatalogServer`): create/load/commit/conflict/drop, the
+  * requirement-scoped concurrency model, and a full append+scan through
+  * the remote catalog. */
 class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private lazy val spark = SparkSession.builder()
@@ -27,72 +23,18 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     .appName("rest-catalog-spec")
     .getOrCreate()
 
-  // ---- in-memory REST catalog server (CAS on metadata-location) ----
-  private val tables = new ConcurrentHashMap[String, (String, String)]() // name -> (location, metadataJson)
-  private var server: HttpServer = _
+  private var server: RestCatalogServer = _
   private var port: Int = _
+  private var warehouse: String = _
 
   override def beforeAll(): Unit = {
-    server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
-    port = server.getAddress.getPort
-    server.createContext("/v1/namespaces/default/tables", (ex: HttpExchange) => {
-      val path = ex.getRequestURI.getPath.stripPrefix("/v1/namespaces/default/tables")
-      val name = path.stripPrefix("/")
-      try (ex.getRequestMethod, name) match {
-        case ("GET", "") =>
-          val ids = tables.keySet().toArray.toSeq.map(n =>
-            s"""{"namespace":["default"],"name":"$n"}""").mkString(",")
-          respond(ex, 200, s"""{"identifiers":[$ids]}""")
-        case ("POST", "") => // create
-          val body = Json.parse(new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
-          val n = body.get("name").asText()
-          val loc = s"mem://$n/v1"
-          val prev = tables.putIfAbsent(n, (loc, body.get("metadata").toString))
-          if (prev != null) respond(ex, 409, """{"error":"exists"}""")
-          else respond(ex, 200, s"""{"metadata-location":"$loc"}""")
-        case ("GET", n) =>
-          Option(tables.get(n)) match {
-            case Some((loc, md)) =>
-              respond(ex, 200, s"""{"metadata-location":"$loc","metadata":$md}""")
-            case None => respond(ex, 404, """{"error":"nope"}""")
-          }
-        case ("HEAD", n) =>
-          val code = if (tables.containsKey(n)) 200 else 404
-          ex.sendResponseHeaders(code, -1); ex.close()
-        case ("DELETE", n) =>
-          val code = if (tables.remove(n) != null) 204 else 404
-          ex.sendResponseHeaders(code, -1); ex.close()
-        case ("POST", n) => // commit (CAS on metadata-location)
-          val body = Json.parse(new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
-          val base = body.get("base-metadata-location").asText()
-          val newMd = body.get("metadata").toString
-          val updated = tables.computeIfPresent(n, (_, cur) =>
-            if (cur._1 == base) {
-              val ver = base.split("/v").last.toInt + 1
-              (s"mem://$n/v$ver", newMd)
-            } else cur)
-          if (updated == null) respond(ex, 404, """{"error":"nope"}""")
-          else if (updated._2 eq newMd) respond(ex, 200,
-            s"""{"metadata-location":"${updated._1}"}""")
-          else respond(ex, 409, """{"error":"stale base"}""")
-        case _ => respond(ex, 405, "{}")
-      } catch {
-        case e: Throwable => respond(ex, 500, s"""{"error":"${e.getMessage}"}""")
-      }
-    })
-    server.start()
-  }
-
-  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
-    val bytes = body.getBytes(StandardCharsets.UTF_8)
-    ex.getResponseHeaders.add("Content-Type", "application/json")
-    ex.sendResponseHeaders(code, bytes.length)
-    ex.getResponseBody.write(bytes)
-    ex.close()
+    warehouse = java.nio.file.Files.createTempDirectory("rest-wh-").toString
+    server = new RestCatalogServer(warehouse)
+    port = server.start()
   }
 
   override def afterAll(): Unit = {
-    server.stop(0)
+    server.stop()
     spark.stop()
   }
 
@@ -110,42 +52,73 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cat.listTables() === Seq("r1"))
     val (md, v) = cat.loadTable("r1")
     assert(md.currentSchema.fields.map(_.name) === Seq("id", "v"))
+    assert(md.location === s"$warehouse/r1") // service-assigned location
     assert(v >= 1) // client-side load counter (ETag analogue), not table version
     assert(cat.dropTable("r1"))
     assert(!cat.tableExists("r1"))
     intercept[IllegalArgumentException] { cat.loadTable("r1") }
   }
 
-  test("commit CAS: stale base is a CommitConflict and retry succeeds") {
+  test("commit CAS: overlapping ref change conflicts and CommitRetry recovers") {
+    import spark.implicits._
     val cat = catalog
-    GraftTable.create("r2", cat, schema)
-    val (md, v) = cat.loadTable("r2")
-    cat.commitTable("r2", v, md.copy(lastUpdatedMs = 111L))
-    // second commit against the consumed base version conflicts
+    var t = GraftTable.create("r2", cat, schema)
+    t = t.append(Seq((1L, 0.5)).toDF("id", "v"))
+    // two appends diffed from the SAME base both try to advance main —
+    // the second violates assert-ref-snapshot-id and must 409
+    val (base, v) = cat.loadTable("r2")
+    val loaded = GraftTable.load("r2", cat)
+    val t1 = loaded.append(Seq((2L, 1.5)).toDF("id", "v"))
+    assert(t1.newScan().toDF(spark).count() === 2)
+    // stale-base commit: reuse the consumed version with a snapshot-bearing diff
     intercept[CommitConflict] {
-      cat.commitTable("r2", v, md.copy(lastUpdatedMs = 222L))
+      cat.commitTable("r2", v, t1.metadata)
     }
     // CommitRetry-driven actions recover by re-loading
-    val t = GraftTable.load("r2", cat)
-    val t2 = t.updateProperties(Map("owner" -> "rest"))
+    val t2 = GraftTable.load("r2", cat).updateProperties(Map("owner" -> "rest"))
     assert(t2.metadata.properties("owner") === "rest")
   }
 
-  test("full append + scan through the REST catalog") {
+  test("non-overlapping commits from the same base BOTH land (requirement model)") {
+    val cat = catalog
+    GraftTable.create("r4", cat, schema)
+    val (base, v) = cat.loadTable("r4")
+    // commit A: property change, from version v
+    cat.commitTable("r4", v, base.copy(properties = base.properties + ("a" -> "1")))
+    // commit B: ALSO diffed from version v — a whole-document CAS would 409
+    // here; the update-action protocol lands it because B's requirements
+    // (uuid) still hold on the server's current metadata
+    cat.commitTable("r4", v, base.copy(
+      properties = base.properties + ("b" -> "2"),
+      location = base.location + "-moved"))
+    val (after, _) = cat.loadTable("r4")
+    assert(after.properties("a") === "1") // A's write survived B
+    assert(after.properties("b") === "2")
+    assert(after.location === base.location + "-moved")
+  }
+
+  test("full append + schema evolution + branch through the REST catalog") {
     import spark.implicits._
     val cat = catalog
-    // metadata lives on the server; data/manifests go through FileIO to a
-    // local warehouse dir (the server-assigned location is virtual, so
-    // create through a real location via the table's metadata)
     var t = GraftTable.create("r3", cat, schema)
-    // patch location to a writable dir through a property-free commit
-    val dir = java.nio.file.Files.createTempDirectory("rest-wh-").toString
-    val (md, v) = cat.loadTable("r3")
-    cat.commitTable("r3", v, md.copy(location = dir))
-    t = GraftTable.load("r3", cat)
     t = t.append(Seq((1L, 0.5), (2L, 1.5), (3L, 2.5)).toDF("id", "v"))
     assert(t.newScan().toDF(spark).count() === 3)
     assert(t.newScan().toDF(spark).orderBy("id").collect().map(_.getLong(0)).toSeq
       === Seq(1L, 2L, 3L))
+    // schema evolution travels as add-schema/set-current-schema actions
+    t = t.updateSchema().addColumn("tag", StringT).commit()
+    assert(t.schema.fields.map(_.name) === Seq("id", "v", "tag"))
+    // branch ref travels as set-snapshot-ref
+    val snap = t.metadata.currentSnapshotId.get
+    t = t.createBranch("audit", Some(snap))
+    val (srv, _) = cat.loadTable("r3")
+    assert(srv.refs("audit").snapshotId === snap)
+    // server re-derived row lineage from the snapshot's row range
+    assert(srv.nextRowId === 3L)
+    assert(srv.currentSnapshot.get.firstRowId === Some(0L))
+    // second append continues the row-id chain
+    t = t.append(Seq((4L, 3.5, "x")).toDF("id", "v", "tag"))
+    assert(cat.loadTable("r3")._1.nextRowId === 4L)
+    assert(t.newScan().toDF(spark).count() === 4)
   }
 }
