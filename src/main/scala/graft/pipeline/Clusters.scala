@@ -1,0 +1,121 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Duplicate-cluster construction: connected components over near-dup
+  * candidate pairs, turning pairwise similarity edges into dedup groups
+  * with one canonical (minimum-id) representative each — the step that
+  * converts a near-dup JOIN's output into an actual "keep one copy"
+  * decision at corpus scale.
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SOCC'14) — each round
+  * is two bounded shuffles (a per-node min aggregate + a join back to the
+  * edge list), and the edge set contracts toward star graphs rooted at
+  * each component's minimum id in O(log n) rounds even for adversarial
+  * path-shaped graphs (plain label propagation needs O(diameter)).
+  *
+  * 100 TB design notes:
+  *   - the driver holds NO graph state — only a per-round fingerprint
+  *     (count + xor of edge hashes) for the convergence test;
+  *   - `localCheckpoint` truncates lineage each round so the plan does
+  *     not grow with iterations (a growing plan re-executes every prior
+  *     round's shuffles on each action);
+  *   - duplicate clusters from LSH near-dup edges are near-cliques, so
+  *     typical convergence is 2–3 rounds; the log-n bound only matters
+  *     for pathological chain-of-near-dups graphs, which this handles
+  *     without assuming them away.
+  */
+object Clusters {
+
+  /** Connected components over an undirected edge list.
+    *
+    * @param edges two long columns (`src`, `dst`), one row per edge;
+    *              self-loops and duplicates are tolerated.
+    * @return (`id`, `component`) for every node that appears in `edges`,
+    *         where `component` is the minimum node id in its component.
+    */
+  def connectedComponents(edges: DataFrame, src: String = "id_a",
+      dst: String = "id_b", maxRounds: Int = 50): DataFrame = {
+    val spark = edges.sparkSession
+    var e = edges.select(col(src).cast("long").as("u"), col(dst).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+
+    var fp = fingerprint(e)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val nfp = fingerprint(next)
+      converged = nfp == fp
+      fp = nfp
+      e.unpersist()
+      e = next
+      round += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxRounds rounds")
+
+    // e is now a star forest oriented child(u) → root(v); roots map to themselves
+    val members = e.select(col("u").as("id"), col("v").as("component"))
+    val roots = e.select(col("v").as("id")).distinct()
+      .join(members.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("component"))
+    members.union(roots)
+  }
+
+  /** Large-star: every node links its strictly-LARGER neighbors to the
+    * minimum of its neighborhood (incl. itself). Keeps edge count bounded
+    * (never emits more edges than it consumes, SOCC'14 Lemma 1). */
+  private[pipeline] def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.select(col("u"), col("v"))
+      .union(e.select(col("v").as("u"), col("u").as("v")))
+    val mins = sym.groupBy(col("u"))
+      .agg(min(col("v")).as("mn"))
+      .select(col("u"), least(col("mn"), col("u")).as("m"))
+    sym.join(mins, "u")
+      .filter(col("v") > col("u"))
+      .select(greatest(col("v"), col("m")).as("u"), least(col("v"), col("m")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Small-star: every node links its smaller-or-equal neighbors (and
+    * itself) to the minimum of its smaller neighborhood. */
+  private[pipeline] def smallStar(e: DataFrame): DataFrame = {
+    val dir = e.select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+    val mins = dir.groupBy(col("u")).agg(min(col("v")).as("m"))
+    val linked = dir.join(mins, "u")
+      .select(col("v").as("n"), col("m"))
+    val self = mins.select(col("u").as("n"), col("m"))
+    linked.union(self)
+      .filter(col("n") =!= col("m"))
+      .select(greatest(col("n"), col("m")).as("u"), least(col("n"), col("m")).as("v"))
+      .distinct()
+  }
+
+  /** Per-round convergence fingerprint: (edge count, xor-fold of edge
+    * hashes — overflow-free under ANSI mode, order-independent). Two tiny
+    * full aggregates — no driver-side edge materialization. */
+  private def fingerprint(e: DataFrame): (Long, Long) = {
+    val row = e.agg(
+      count(lit(1)).as("n"),
+      coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)).as("h")).head()
+    (row.getLong(0), row.getLong(1))
+  }
+
+  /** End-to-end duplicate clustering: exact n-gram Jaccard near-dup edges
+    * (deterministic recall — see Dedup.ngramJaccardNearDups) → connected
+    * components → (doc_id, cluster_id) with cluster_id = min doc_id. Docs
+    * with no near-duplicate are omitted (singleton clusters are the
+    * overwhelming majority of a real corpus and carry no decision). */
+  def duplicateClusters(docs: DataFrame, threshold: Double = 0.6,
+      n: Int = 5): DataFrame = {
+    val pairs = Dedup.ngramJaccardNearDups(docs, threshold, n)
+    connectedComponents(pairs.select(col("id_a"), col("id_b")))
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+  }
+}

@@ -1,0 +1,100 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-data assembly: benchmark
+  * decontamination, per-domain token-budget sampling, and sequence
+  * packing — the steps between "deduplicated documents" and "training
+  * batches".
+  *
+  * 100 TB design notes:
+  *   - decontamination joins the corpus against the EVAL set's n-grams;
+  *     eval sets are small by construction (benchmarks, not corpora), so
+  *     the gram join broadcasts and the corpus never shuffles — one map
+  *     stage + one partial-aggregated count per doc.
+  *   - budget sampling and packing each shuffle once on the domain key,
+  *     then run a single window pass per domain partition; domains are
+  *     the natural unit of training-mix control, and a skewed mega-domain
+  *     can be pre-split by a salt on the deterministic hash order without
+  *     changing selection semantics.
+  */
+object Curation {
+
+  /** Word n-grams as strings, one row per (doc_id, gram), deduplicated
+    * per doc. Position-based (with multiplicity collapsed): docs shorter
+    * than n words produce no grams. */
+  def wordGrams(docs: DataFrame, n: Int): DataFrame = {
+    val w = TextHash.words(col("text"))
+    docs.select(col("doc_id"), w.as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(1), size(col("w")) - (n - 1)),
+          i => array_join(slice(col("w"), i, lit(n)), " ")))).as("g"))
+  }
+
+  /** Benchmark decontamination: flag every training doc sharing at least
+    * one word n-gram with the eval set (the standard exact-substring
+    * contamination test, n≈8–13 in published pipelines).
+    *
+    * Output: one row per training doc — (doc_id, n_shared_grams,
+    * contaminated). The eval gram set is broadcast (eval sets are
+    * orders of magnitude smaller than the corpus), so the corpus-side
+    * plan is scan → gram explode → broadcast-semi lookup → per-doc count:
+    * no corpus shuffle beyond the final per-doc aggregate. */
+  def decontaminate(train: DataFrame, eval: DataFrame, n: Int = 8): DataFrame = {
+    val evalGrams = wordGrams(eval, n).select(col("g")).distinct()
+    val shared = wordGrams(train, n)
+      .join(broadcast(evalGrams), "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+    train.select(col("doc_id"))
+      .join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"),
+        (coalesce(col("n_shared_grams"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** Deterministic per-domain token-budget sampling: within each domain
+    * (`source`), order docs by a content-independent deterministic hash
+    * (md5 of the doc id — a reproducible shuffle, no RNG) and keep docs
+    * while the running token total stays within `budgetTokens`.
+    *
+    * This is the training-mix primitive: "x tokens of web, y of code".
+    * One shuffle on the domain key; the window is a single streaming pass
+    * per domain partition. */
+  def budgetSample(docs: DataFrame, budgetTokens: Long): DataFrame = {
+    val toks = size(split(col("text"), "\\s+")).cast("long")
+    val h = md5(col("doc_id").cast("string"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    docs.select(col("source"), col("doc_id"), toks.as("tokens"), h.as("h"))
+      .withColumn("cum_tokens", sum(col("tokens")).over(win))
+      .filter(col("cum_tokens") <= budgetTokens)
+      .select(col("source"), col("doc_id"), col("tokens"), col("cum_tokens"))
+  }
+
+  /** Sequence packing, concat-and-chunk semantics (the GPT-style batch
+    * prep): per domain, documents are concatenated in doc_id order into
+    * one token stream that is then cut into fixed-`seqLen` windows; a doc
+    * belongs to the sequence its FIRST token lands in.
+    *
+    * Output: one row per (source, seq_id) — doc span and token mass —
+    * ready to drive the actual tensor-assembly job. Same scale shape as
+    * budgetSample: one domain-key shuffle + one window pass. */
+  def packSequences(docs: DataFrame, seqLen: Int = 2048): DataFrame = {
+    val toks = size(split(col("text"), "\\s+")).cast("long")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    docs.select(col("source"), col("doc_id"), toks.as("tokens"))
+      .withColumn("cum", sum(col("tokens")).over(win))
+      .withColumn("seq_id", floor((col("cum") - col("tokens")) / seqLen))
+      .groupBy(col("source"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tokens")).as("tok_sum"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+  }
+}

@@ -74,6 +74,56 @@ object TextAnalysis {
       length(col("text")).cast("long").as("n_chars"))
       .withColumn("chars_per_token", col("n_chars") / col("bpe_tokens"))
 
+  /** PII patterns, deliberately restricted to the regex subset with
+    * identical semantics in Java (Spark) and RE2 (DuckDB): no
+    * lookaround, no backreferences. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  val PhoneRe = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** PII scan + redaction: per-row counts of email / IPv4 / phone-shaped
+    * spans and the text with each span replaced by a typed placeholder.
+    * Pure codegen'd regex projections — a map stage at 100 TB. Phone
+    * masks first so its digit runs can't be half-eaten as IPv4 octets. */
+  def pii(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"),
+      regexp_count(col(textCol), lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(col(textCol), lit(Ipv4Re)).cast("long").as("n_ipv4"),
+      regexp_count(col(textCol), lit(PhoneRe)).cast("long").as("n_phones"),
+      regexp_replace(regexp_replace(regexp_replace(col(textCol),
+        PhoneRe, "[PHONE]"), EmailRe, "[EMAIL]"), Ipv4Re, "[IP]")
+        .as("redacted"))
+      .withColumn("has_pii",
+        col("n_emails") + col("n_ipv4") + col("n_phones") > 0)
+
+  /** Gopher-style repetition metrics: the fraction of word-bigram mass
+    * taken by the single most frequent bigram, and the fraction of
+    * 4-gram occurrences that are repeats (both ≈0 for natural prose,
+    * →1 for looping boilerplate — the standard repetitious-text gates).
+    *
+    * Shape: one explode per n-gram size + two hash aggregations (per
+    * (doc, gram) count, then per-doc rollup) — the same two-shuffle
+    * profile as simhash, with map-side partial aggregation throughout. */
+  def repetition(docs: DataFrame): DataFrame = {
+    val w = TextHash.words(col("text"))
+    def gramCounts(n: Int) = docs
+      .select(col("doc_id"), w.as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(1), size(col("w")) - (n - 1)),
+          i => array_join(slice(col("w"), i, lit(n)), " "))).as("g"))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("c"))
+    val bi = gramCounts(2).groupBy(col("doc_id"))
+      .agg((max(col("c")) / sum(col("c"))).as("top_bigram_frac"))
+    val four = gramCounts(4).groupBy(col("doc_id"))
+      .agg((sum(when(col("c") > 1, col("c")).otherwise(lit(0L))) / sum(col("c")))
+        .as("dup_4gram_frac"))
+    bi.join(four, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("top_bigram_frac"),
+        coalesce(col("dup_4gram_frac"), lit(0.0)).as("dup_4gram_frac"))
+  }
+
   /** Document fingerprint: min / max / xor-fold of the 3-shingle hash set
     * (winnowing-style content signature; equal fingerprints ⇒ near-equal
     * shingle sets). Pure integer arithmetic. */

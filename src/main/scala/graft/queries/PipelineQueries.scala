@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Clusters, Curation, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** LLM-training-data pipeline operators (dedup / similarity / text
   * analysis / multimodal) registered as driver-checked queries over the
@@ -541,6 +541,170 @@ object PipelineQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Duplicate clusters: connected components (alternating large-star /
+    * small-star) over the exact n-gram Jaccard near-dup edges, labeling
+    * every clustered doc with its component's min doc_id. The oracle
+    * recomputes reachability with a recursive CTE — a green hash proves
+    * the distributed star contraction found exactly the transitive
+    * closure's components. */
+  val p19 = Q.sql(
+    "p19_duplicate_clusters",
+    """WITH RECURSIVE gr AS (
+      |  SELECT doc_id, list_distinct([substring(lower(text), i, 5)
+      |                                for i in range(1, length(lower(text)) - 3)]) AS s
+      |  FROM documents WHERE length(text) >= 5),
+      |pr AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM gr a, gr b
+      |  WHERE a.doc_id < b.doc_id
+      |    AND len(list_intersect(a.s, b.s)) /
+      |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.6),
+      |e AS (SELECT id_a AS u, id_b AS v FROM pr
+      |      UNION SELECT id_b, id_a FROM pr),
+      |walk(u, v) AS (
+      |  SELECT u, v FROM e
+      |  UNION SELECT w.u, e.v FROM walk w JOIN e ON w.v = e.u WHERE e.v <> w.u),
+      |comp AS (SELECT u AS doc_id, least(u, min(v))::BIGINT AS cluster_id
+      |         FROM walk GROUP BY u)
+      |SELECT doc_id, cluster_id FROM comp ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    Clusters.duplicateClusters(Tables.documents(s, d), threshold = 0.6, n = 5)
+      .orderBy(col("doc_id"))
+  }
+
+  /** PII detect + redact over docs with deterministically planted contact
+    * lines (the synthetic corpus carries no natural PII; both engines
+    * append the identical spans, so counts and redacted text crosscheck
+    * exactly). Per-row codegen regex — a pure map stage. */
+  val p20 = Q.sql(
+    "p20_pii_redaction",
+    """WITH planted AS (
+      |  SELECT doc_id,
+      |    text || ' Contact user' || doc_id ||
+      |    '@example.com or +1-555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0') ||
+      |    '-0199 from 10.' || (doc_id % 256) || '.0.1 today.' AS text
+      |  FROM documents)
+      |SELECT doc_id,
+      |  len(regexp_extract_all(text,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+      |  len(regexp_extract_all(text,
+      |    '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b'))::BIGINT AS n_ipv4,
+      |  len(regexp_extract_all(text,
+      |    '\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}'))::BIGINT AS n_phones,
+      |  regexp_replace(regexp_replace(regexp_replace(text,
+      |      '\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g'),
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      |      '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '[IP]', 'g') AS redacted,
+      |  true AS has_pii
+      |FROM planted ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val planted = Tables.documents(s, d).select(col("doc_id"),
+      concat(col("text"), lit(" Contact user"), col("doc_id"),
+        lit("@example.com or +1-555-"),
+        lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+        lit("-0199 from 10."), col("doc_id") % 256, lit(".0.1 today.")).as("text"))
+    TextAnalysis.pii(planted).orderBy(col("doc_id"))
+  }
+
+  /** Benchmark decontamination: train docs sharing any word-8-gram with
+    * the (deterministic) eval slice. Corpus-side plan is explode →
+    * broadcast lookup → per-doc count: no corpus shuffle. */
+  val p21 = Q.sql(
+    "p21_decontamination",
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      |grams AS (
+      |  SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS g
+      |  FROM toks, unnest(range(1, len(w) - 6)) AS t(i)),
+      |ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+      |shared AS (
+      |  SELECT doc_id, count(*)::BIGINT AS n_shared_grams
+      |  FROM grams JOIN ev USING (g) WHERE doc_id % 50 <> 0 GROUP BY doc_id)
+      |SELECT d.doc_id, coalesce(s.n_shared_grams, 0)::BIGINT AS n_shared_grams,
+      |  coalesce(s.n_shared_grams, 0) > 0 AS contaminated
+      |FROM documents d LEFT JOIN shared s ON d.doc_id = s.doc_id
+      |WHERE d.doc_id % 50 <> 0
+      |ORDER BY d.doc_id""".stripMargin
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    Curation.decontaminate(
+      docs.filter(col("doc_id") % 50 =!= 0),
+      docs.filter(col("doc_id") % 50 === 0), n = 8)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Gopher-style repetition gates: top-bigram mass fraction + duplicate
+    * 4-gram occurrence fraction per doc. */
+  val p22 = Q.sql(
+    "p22_repetition_quality",
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      |bg AS (
+      |  SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g
+      |  FROM toks, unnest(range(1, len(w))) AS t(i)),
+      |bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+      |bi AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS top_bigram_frac
+      |       FROM bgc GROUP BY doc_id),
+      |fg AS (
+      |  SELECT doc_id, array_to_string(w[i:i+3], ' ') AS g
+      |  FROM toks, unnest(range(1, len(w) - 2)) AS t(i)),
+      |fgc AS (SELECT doc_id, g, count(*) AS c FROM fg GROUP BY 1, 2),
+      |four AS (SELECT doc_id,
+      |           sum(CASE WHEN c > 1 THEN c ELSE 0 END)::DOUBLE / sum(c)
+      |             AS dup_4gram_frac
+      |         FROM fgc GROUP BY doc_id)
+      |SELECT bi.doc_id, bi.top_bigram_frac,
+      |  coalesce(four.dup_4gram_frac, 0.0) AS dup_4gram_frac
+      |FROM bi LEFT JOIN four ON bi.doc_id = four.doc_id
+      |ORDER BY bi.doc_id""".stripMargin
+  ) { (s, d) =>
+    TextAnalysis.repetition(Tables.documents(s, d)).orderBy(col("doc_id"))
+  }
+
+  /** Deterministic per-domain token-budget sampling (training-mix
+    * control): hash-ordered prefix per source under a running token cap. */
+  val p23 = Q.sql(
+    "p23_budget_sampling",
+    """WITH t AS (
+      |  SELECT source, doc_id,
+      |    len(regexp_split_to_array(text, '\s+'))::BIGINT AS tokens,
+      |    md5(doc_id::VARCHAR) AS h
+      |  FROM documents),
+      |c AS (
+      |  SELECT source, doc_id, tokens,
+      |    sum(tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+      |                      ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      |  FROM t)
+      |SELECT source, doc_id, tokens, cum_tokens::BIGINT AS cum_tokens
+      |FROM c WHERE cum_tokens <= 2000
+      |ORDER BY source, doc_id""".stripMargin
+  ) { (s, d) =>
+    Curation.budgetSample(Tables.documents(s, d), budgetTokens = 2000L)
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  /** Sequence packing (concat-and-chunk): per-source token stream cut
+    * into 512-token windows; one row per packed sequence. */
+  val p24 = Q.sql(
+    "p24_sequence_packing",
+    """WITH t AS (
+      |  SELECT source, doc_id,
+      |    len(regexp_split_to_array(text, '\s+'))::BIGINT AS tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT source, doc_id, tokens,
+      |    sum(tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |                      ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM t)
+      |SELECT source, ((cum - tokens) // 512)::BIGINT AS seq_id,
+      |  count(*)::BIGINT AS n_docs, sum(tokens)::BIGINT AS tok_sum,
+      |  min(doc_id)::BIGINT AS first_doc, max(doc_id)::BIGINT AS last_doc
+      |FROM c GROUP BY source, seq_id
+      |ORDER BY source, seq_id""".stripMargin
+  ) { (s, d) =>
+    Curation.packSequences(Tables.documents(s, d), seqLen = 512)
+      .orderBy(col("source"), col("seq_id"))
+  }
+
   val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
-    p11, p12, p13, p14, p15, p16, p17, p18)
+    p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24)
 }

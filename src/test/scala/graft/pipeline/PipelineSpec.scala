@@ -240,4 +240,109 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .count()
     assert(wrong === 0)
   }
+
+  test("connected components match brute-force union-find, incl. long chains") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 3) {
+      val n = 60
+      // random sparse graph + an adversarial 40-node path (worst case for
+      // label propagation; star contraction must still converge)
+      val chain = (200L until 240L).sliding(2).map(s => (s(0), s(1))).toSeq
+      val edges = Seq.fill(70)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b } ++ chain
+      val got = Clusters.connectedComponents(edges.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val want = nodes.map(x => x -> nodes.filter(y => find(y) == find(x)).min).toMap
+      assert(got === want)
+    }
+  }
+
+  test("pii scan finds and redacts every planted span") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "call me at +1-555-123-4567 or mail a.b-c_1@ex-ample.org ok"),
+      (2L, "server 192.168.0.1 and 10.0.0.255 no mail here"),
+      (3L, "clean text with no identifiers at all"),
+      (4L, "version 1.2.3.4.5 is not an ip boundary test"))
+    val out = TextAnalysis.pii(rows.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(out(1L)._1 === 1 && out(1L)._3 === 1)
+    assert(out(1L)._4 === "call me at [PHONE] or mail [EMAIL] ok")
+    assert(out(2L)._2 === 2 && out(2L)._4 === "server [IP] and [IP] no mail here")
+    assert(out(3L) === ((0L, 0L, 0L, "clean text with no identifiers at all")))
+    // "1.2.3.4.5": \b…\b still matches a 4-octet prefix — documents the
+    // known greedy-boundary behavior (flagging MORE than strict IPs is
+    // the safe direction for a redactor)
+    assert(out(4L)._2 === 1)
+  }
+
+  test("decontamination flags exactly the docs sharing an 8-gram with eval") {
+    val all = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def grams(t: String): Set[String] =
+      t.toLowerCase.split(" ").sliding(8).filter(_.length == 8)
+        .map(_.mkString(" ")).toSet
+    val evalIds = all.keySet.filter(_ % 10 == 0)
+    val evalGrams = evalIds.flatMap(id => grams(all(id)))
+    val want = (all.keySet -- evalIds)
+      .map(id => id -> grams(all(id)).count(evalGrams.contains).toLong).toMap
+
+    val got = Curation.decontaminate(
+      docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0), n = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+  }
+
+  test("budget sampling: per-source prefix under the cap, deterministic") {
+    val out = Curation.budgetSample(docs, budgetTokens = 300L)
+    assert(out.filter(col("cum_tokens") > 300).count() === 0)
+    // re-running yields the identical selection (no RNG anywhere)
+    val a = out.collect().map(_.toString).sorted
+    val b = Curation.budgetSample(docs, budgetTokens = 300L)
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+    // greedy maximality: the next doc in hash order would blow the cap
+    val full = Curation.budgetSample(docs, budgetTokens = Long.MaxValue)
+    val taken = out.groupBy("source")
+      .agg(max(col("cum_tokens")).as("used"), count(lit(1)).as("k"))
+    val viol = full.as("f").join(taken.as("t"), "source")
+      .filter(col("f.cum_tokens") > col("t.used"))
+      .groupBy(col("source"), col("t.used"))
+      .agg(min(col("f.cum_tokens")).as("next_cum"))
+      .filter(col("next_cum") <= 300)
+      .count()
+    assert(viol === 0)
+  }
+
+  test("sequence packing partitions each source's doc stream completely") {
+    val packed = Curation.packSequences(docs, seqLen = 256)
+    val fromPacked = packed.groupBy("source").agg(
+      sum(col("tok_sum")).as("toks"), sum(col("n_docs")).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val direct = docs.groupBy("source").agg(
+      sum(size(split(col("text"), "\\s+")).cast("long")).as("toks"),
+      count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(fromPacked === direct)
+    // doc spans of consecutive sequences never overlap (stream is cut, not resampled)
+    val bad = packed.as("a").join(packed.as("b"),
+        col("a.source") === col("b.source") && col("a.seq_id") < col("b.seq_id") &&
+          col("a.last_doc") >= col("b.first_doc"))
+      .count()
+    assert(bad === 0)
+  }
 }
