@@ -95,4 +95,82 @@ object SingleValue {
     case d: Double => d.isNaN
     case _ => false
   }
+
+  // ---- JSON single-value serde (spec Appendix D; reference
+  // values/ser.rs Literal::try_into_json) — used for v3 field defaults
+  // ("initial-default"/"write-default" in schema JSON). ----
+
+  import com.fasterxml.jackson.databind.JsonNode
+
+  def toJsonValue(t: IcebergType, v: Any): JsonNode = {
+    val nf = graft.spec.Json.mapper.getNodeFactory
+    t match {
+      case BooleanT => nf.booleanNode(v.asInstanceOf[Boolean])
+      case IntT => nf.numberNode(v.asInstanceOf[Int])
+      case LongT => nf.numberNode(v.asInstanceOf[Long])
+      case FloatT => nf.numberNode(v.asInstanceOf[Float])
+      case DoubleT => nf.numberNode(v.asInstanceOf[Double])
+      case StringT => nf.textNode(v.asInstanceOf[String])
+      case DateT =>
+        nf.textNode(java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong).toString)
+      case TimeT => // micros since midnight → "HH:mm:ss.ffffff"
+        nf.textNode(java.time.LocalTime.ofNanoOfDay(v.asInstanceOf[Long] * 1000L).toString)
+      case TimestampT =>
+        nf.textNode(java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(v.asInstanceOf[Long], 1000000L),
+          (Math.floorMod(v.asInstanceOf[Long], 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC).toString)
+      case TimestamptzT =>
+        nf.textNode(java.time.OffsetDateTime.of(
+          java.time.LocalDateTime.ofEpochSecond(
+            Math.floorDiv(v.asInstanceOf[Long], 1000000L),
+            (Math.floorMod(v.asInstanceOf[Long], 1000000L) * 1000L).toInt,
+            java.time.ZoneOffset.UTC), java.time.ZoneOffset.UTC).toString)
+      case DecimalT(_, _) => nf.textNode(v.asInstanceOf[java.math.BigDecimal].toPlainString)
+      case UuidT => nf.textNode(v.asInstanceOf[java.util.UUID].toString)
+      case BinaryT | FixedT(_) =>
+        nf.textNode(v.asInstanceOf[Array[Byte]].map(b => f"$b%02X").mkString)
+      case other => throw new IllegalArgumentException(s"no JSON single-value serde for $other")
+    }
+  }
+
+  /** Spark literal for an Iceberg-internal value (micros/epoch-days ints
+    * become real temporal literals), cast to the field's Spark type —
+    * used to materialize v3 field defaults in scans and writes. */
+  def toSparkLiteral(t: IcebergType, v: Any): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.lit
+    val c = (t, v) match {
+      case (DateT, d: Int) => lit(java.time.LocalDate.ofEpochDay(d.toLong))
+      case (TimestampT, us: Long) => lit(java.time.LocalDateTime.ofEpochSecond(
+        Math.floorDiv(us, 1000000L), (Math.floorMod(us, 1000000L) * 1000L).toInt,
+        java.time.ZoneOffset.UTC))
+      case (TimestamptzT, us: Long) => lit(java.time.Instant.ofEpochSecond(
+        Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
+      case (UuidT, u: java.util.UUID) => lit(u.toString)
+      case _ => lit(v)
+    }
+    c.cast(IcebergType.toSpark(t))
+  }
+
+  def fromJsonValue(t: IcebergType, n: JsonNode): Any = t match {
+    case BooleanT => n.asBoolean()
+    case IntT => n.asInt()
+    case LongT => n.asLong()
+    case FloatT => n.asDouble().toFloat
+    case DoubleT => n.asDouble()
+    case StringT => n.asText()
+    case DateT => java.time.LocalDate.parse(n.asText()).toEpochDay.toInt
+    case TimeT => java.time.LocalTime.parse(n.asText()).toNanoOfDay / 1000L
+    case TimestampT =>
+      val ldt = java.time.LocalDateTime.parse(n.asText())
+      ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L
+    case TimestamptzT =>
+      val odt = java.time.OffsetDateTime.parse(n.asText())
+      odt.toEpochSecond * 1000000L + odt.getNano / 1000L
+    case DecimalT(_, s) => new java.math.BigDecimal(n.asText()).setScale(s)
+    case UuidT => java.util.UUID.fromString(n.asText())
+    case BinaryT | FixedT(_) =>
+      n.asText().grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray
+    case other => throw new IllegalArgumentException(s"no JSON single-value serde for $other")
+  }
 }

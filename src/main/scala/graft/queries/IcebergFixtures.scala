@@ -262,4 +262,24 @@ object IcebergFixtures {
         .withColumnRenamed("c_acctbal", "balance")
         .withColumn("bonus", col("balance") * 0.125))
     }
+
+  /** supplier on a v3 table exercising every field-default path
+    * (datatypes.rs:573-575): keys %3==0 written BEFORE the `rating`
+    * column existed (read serves the initial-default), %3==1 written with
+    * explicit values, %3==2 appended while OMITTING the column after a
+    * write-default change (writer materializes the new write-default). */
+  def supplierDefaults(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "supplier_defaults") { catalog =>
+      val src = Tables.supplier(spark, sfDir)
+      var t = GraftTable
+        .create("supplier_defaults", catalog, IcebergSchema.fromSpark(src.schema))
+        .append(src.filter(col("s_suppkey") % 3 === 0))
+      t = graft.table.Transactions.upgradeFormatVersion(t, 3)
+      t = t.updateSchema()
+        .addColumnWithDefault("rating", graft.spec.IcebergType.IntT, 42).commit()
+      t = t.append(src.filter(col("s_suppkey") % 3 === 1)
+        .withColumn("rating", (col("s_suppkey") % 5).cast("int")))
+      t = t.updateSchema().updateColumnDefault("rating", 7).commit()
+      t.append(src.filter(col("s_suppkey") % 3 === 2))
+    }
 }

@@ -522,6 +522,24 @@ object IcebergQueries {
       .orderBy(col("c_custkey"))
   }
 
+  /** v3 field defaults end-to-end: files from before the column addition
+    * serve the initial-default, an explicit append keeps its values, and
+    * an append omitting the column materializes the (updated)
+    * write-default — all three generations in one scan. */
+  val i26 = Q.sql(
+    "i26_field_defaults_scan",
+    """SELECT s_suppkey,
+      |  CAST(CASE WHEN s_suppkey % 3 = 0 THEN 42
+      |            WHEN s_suppkey % 3 = 1 THEN s_suppkey % 5
+      |            ELSE 7 END AS INT) AS rating
+      |FROM supplier ORDER BY s_suppkey""".stripMargin
+  ) { (s, d) =>
+    IcebergFixtures.supplierDefaults(s, d).newScan().toDF(s)
+      .select(col("s_suppkey"), col("rating"))
+      .orderBy(col("s_suppkey"))
+  }
+
   val all: Seq[Q] = Seq(i01, i02, i03, i04, i05, i06, i07, i08, i09, i10,
-    i11, i12, i13, i14, i15, i16, i17, i18, i19, i20, i21, i22, i23, i24, i25)
+    i11, i12, i13, i14, i15, i16, i17, i18, i19, i20, i21, i22, i23, i24, i25,
+    i26)
 }

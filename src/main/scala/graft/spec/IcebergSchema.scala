@@ -122,6 +122,11 @@ object IcebergSchema {
     o.put("required", f.required)
     o.set[ObjectNode]("type", typeToJson(f.fieldType))
     f.doc.foreach(o.put("doc", _))
+    // v3 field defaults (datatypes.rs:589-591 initial_default/write_default)
+    f.initialDefault.foreach(v =>
+      o.set[ObjectNode]("initial-default", graft.meta.SingleValue.toJsonValue(f.fieldType, v)))
+    f.writeDefault.foreach(v =>
+      o.set[ObjectNode]("write-default", graft.meta.SingleValue.toJsonValue(f.fieldType, v)))
     o
   }
 
@@ -140,13 +145,17 @@ object IcebergSchema {
       case other => throw new IllegalArgumentException(s"unknown type: $other")
     }
 
-  def fieldFromJson(n: JsonNode): NestedField =
+  def fieldFromJson(n: JsonNode): NestedField = {
+    val t = typeFromJson(n("type"))
     NestedField(
       id = n("id").asInt(),
       name = n("name").asText(),
-      fieldType = typeFromJson(n("type")),
+      fieldType = t,
       required = n("required").asBoolean(),
-      doc = n.opt("doc").map(_.asText()))
+      doc = n.opt("doc").map(_.asText()),
+      initialDefault = n.opt("initial-default").map(graft.meta.SingleValue.fromJsonValue(t, _)),
+      writeDefault = n.opt("write-default").map(graft.meta.SingleValue.fromJsonValue(t, _)))
+  }
 
   def schemaToJson(s: IcebergSchema): ObjectNode = {
     val o = obj()

@@ -140,9 +140,16 @@ object IcebergType {
 }
 
 /** One named, id-addressed field (datatypes.rs:561 NestedField). */
+/** @param initialDefault v3 field default served for rows written BEFORE
+  *   the field existed (datatypes.rs:573 `initial_default`) — fixed at
+  *   add-column time, applied at read to files lacking the column.
+  * @param writeDefault v3 default written when an insert omits the column
+  *   (datatypes.rs:575 `write_default`) — may be updated later. */
 final case class NestedField(
     id: Int,
     name: String,
     fieldType: IcebergType,
     required: Boolean,
-    doc: Option[String] = None)
+    doc: Option[String] = None,
+    initialDefault: Option[Any] = None,
+    writeDefault: Option[Any] = None)

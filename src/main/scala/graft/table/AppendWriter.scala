@@ -45,15 +45,21 @@ object AppendWriter {
     val schema = table.schema
 
     // --- validate + canonicalize column order ---
+    // v3 write-defaults: a missing column with a declared write-default is
+    // filled rather than rejected (datatypes.rs:575 write_default)
+    val withDefaults = schema.fields
+      .filter(f => f.writeDefault.isDefined && !df.columns.contains(f.name))
+      .foldLeft(df)((d, f) => d.withColumn(f.name,
+        graft.meta.SingleValue.toSparkLiteral(f.fieldType, f.writeDefault.get)))
     val expected = schema.fields.map(_.name)
-    val missing = expected.toSet -- df.columns.toSet
+    val missing = expected.toSet -- withDefaults.columns.toSet
     require(missing.isEmpty, s"append is missing columns: ${missing.mkString(",")}")
     // Attach the Iceberg field ids as parquet.field.id column metadata so
     // Spark's parquet writer embeds them (fieldId.write.enabled) and the
     // scan's id-based projection resolves (arrow/reader/pipeline.rs:160-168:
     // "projection must be done using field ids").
     val sparkFields = schema.toSpark.fields
-    val input = df.select(sparkFields.map(f =>
+    val input = withDefaults.select(sparkFields.map(f =>
       col(f.name).cast(f.dataType).as(f.name, f.metadata)): _*)
     // Temporal partition transforms and Hive path rendering of timestamp
     // values are session-timezone dependent; the spec computes them in UTC

@@ -676,14 +676,39 @@ final class TableScan private[table] (
                   col(pf.name).cast(sf.dataType).as(f.name)
                 }: _*)
           case None =>
-            val raw = reader.read.options(encConf).schema(sparkSchema)
-              .parquet(tasks.map(_.file.filePath): _*)
-            applyDeletes(spark, raw, tasks)
+            // v3 initial-defaults: files written BEFORE a defaulted field
+            // existed serve the default, not null. Column presence is
+            // decided per file from the harvested stats maps (a file
+            // written without the field has no entry for its id —
+            // metadata-only, no footer reads); stat-less imported files
+            // conservatively count as having every column (null-fill).
+            // Tasks group by their missing-default set — one parquet
+            // read per group (almost always 1–2 groups), unioned.
+            val defaulted = table.schema.fields.filter(_.initialDefault.isDefined)
+            def missingFor(t: FileScanTask): Seq[NestedField] =
+              if (t.file.columnSizes.isEmpty && t.file.valueCounts.isEmpty) Nil
+              else defaulted.filter(f =>
+                !t.file.columnSizes.contains(f.id) && !t.file.valueCounts.contains(f.id))
+            val groups =
+              if (defaulted.isEmpty) Seq(tasks -> Seq.empty[NestedField])
+              else tasks.groupBy(missingFor).toSeq.map(_.swap)
+            groups.map { case (ts, missing) =>
+              val raw = reader.read.options(encConf).schema(sparkSchema)
+                .parquet(ts.map(_.file.filePath): _*)
+              val filled = missing.foldLeft(raw) { (df, f) =>
+                df.withColumn(f.name, defaultLiteral(f))
+              }
+              applyDeletes(spark, filled, ts)
+            }.reduce(_ unionByName _)
         }
       }
     if (!metaCols || tasks.isEmpty) base
     else addMetadataColumns(spark, base, tasks)
   }
+
+  /** Spark literal for a field's initial-default. */
+  private def defaultLiteral(f: NestedField): Column =
+    SingleValue.toSparkLiteral(f.fieldType, f.initialDefault.get)
 
   /** Reserved metadata columns (metadata_columns.rs:33-90): `_file` and
     * `_pos` come from Spark's parquet `_metadata` struct (exactly what the

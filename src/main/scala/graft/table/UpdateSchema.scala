@@ -14,13 +14,28 @@ import graft.spec.IcebergType._
   */
 final class UpdateSchema private[table] (table: GraftTable) {
 
-  private var adds = Vector.empty[(String, IcebergType, Option[String])]
+  private var adds = Vector.empty[(String, IcebergType, Option[String], Option[Any])]
   private var drops = Set.empty[String]
   private var renames = Map.empty[String, String]
   private var promotions = Map.empty[String, IcebergType]
+  private var newWriteDefaults = Map.empty[String, Any]
 
   def addColumn(name: String, t: IcebergType, doc: Option[String] = None): UpdateSchema = {
-    adds :+= ((name, t, doc)); this
+    adds :+= ((name, t, doc, None)); this
+  }
+
+  /** Add a column with a v3 default: rows written before the column
+    * existed read back `default` (initial-default), and writers omitting
+    * the column get it too (write-default). datatypes.rs:573-575,681-687. */
+  def addColumnWithDefault(name: String, t: IcebergType, default: Any,
+      doc: Option[String] = None): UpdateSchema = {
+    adds :+= ((name, t, doc, Some(default))); this
+  }
+
+  /** Change an existing column's WRITE default (initial-default is
+    * immutable once set — it defines what already-written rows mean). */
+  def updateColumnDefault(name: String, default: Any): UpdateSchema = {
+    newWriteDefaults += name -> default; this
   }
   def dropColumn(name: String): UpdateSchema = { drops += name; this }
   def renameColumn(from: String, to: String): UpdateSchema = { renames += from -> to; this }
@@ -43,13 +58,17 @@ final class UpdateSchema private[table] (table: GraftTable) {
     val cur = base.currentSchema
 
     // validation: every referenced column must exist
-    (drops ++ renames.keySet ++ promotions.keySet).foreach { n =>
+    (drops ++ renames.keySet ++ promotions.keySet ++ newWriteDefaults.keySet).foreach { n =>
       require(cur.findField(n).isDefined, s"cannot evolve unknown column: $n")
     }
-    adds.foreach { case (n, _, _) =>
+    adds.foreach { case (n, _, _, d) =>
       require(cur.findField(n).isEmpty, s"column already exists: $n")
       require(!drops.contains(n), s"cannot add and drop the same column: $n")
+      require(d.isEmpty || base.formatVersion >= 3,
+        s"field defaults require format-version 3 (table is v${base.formatVersion}): $n")
     }
+    require(newWriteDefaults.isEmpty || base.formatVersion >= 3,
+      s"field defaults require format-version 3 (table is v${base.formatVersion})")
     // partition-spec source columns are load-bearing for pruning
     val specSources = base.partitionSpecs.flatMap(_.fields.map(_.sourceId)).toSet
     drops.foreach { n =>
@@ -70,13 +89,17 @@ final class UpdateSchema private[table] (table: GraftTable) {
             t
           case None => f.fieldType
         }
-        Some(f.copy(name = renamed, fieldType = newType))
+        val newWriteDefault = newWriteDefaults.get(f.name).orElse(f.writeDefault)
+        Some(f.copy(name = renamed, fieldType = newType,
+          writeDefault = newWriteDefault))
       }
     }
-    val added: Seq[NestedField] = adds.map { case (n, t, doc) =>
+    val added: Seq[NestedField] = adds.map { case (n, t, doc, default) =>
       nextId += 1
-      // added columns are optional: existing files null-fill them
-      NestedField(nextId, n, t, required = false, doc = doc)
+      // added columns are optional: existing files null-fill them (or
+      // serve the initial-default when one is declared)
+      NestedField(nextId, n, t, required = false, doc = doc,
+        initialDefault = default, writeDefault = default)
     }
 
     // name-based binding (Predicate.bind, Spark reads) requires unique names:

@@ -328,6 +328,22 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viol === 0)
   }
 
+  test("curation plans: broadcast decontamination lookup, no cartesian products") {
+    def phys(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.toString
+    val dec = phys(Curation.decontaminate(
+      docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0), n = 8))
+    // eval grams broadcast: the corpus side never shuffles for the lookup
+    assert(dec.contains("BroadcastHashJoin"), s"expected broadcast gram join:\n$dec")
+    val plans = Seq(dec,
+      phys(Curation.budgetSample(docs, 2000L)),
+      phys(Curation.packSequences(docs, 512)),
+      phys(TextAnalysis.repetition(docs)),
+      phys(TextAnalysis.pii(docs)))
+    plans.foreach(p => assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p"))
+  }
+
   test("sequence packing partitions each source's doc stream completely") {
     val packed = Curation.packSequences(docs, seqLen = 256)
     val fromPacked = packed.groupBy("source").agg(

@@ -147,6 +147,33 @@ class SpecCoreSpec extends AnyFunSuite {
     assert(back == s)
   }
 
+  test("v3 field defaults: JSON single-value serde round-trip per type") {
+    import graft.meta.SingleValue.{toJsonValue, fromJsonValue}
+    import IcebergType._
+    // spec Appendix D JSON single-value forms (values/ser.rs try_into_json)
+    val cases: Seq[(IcebergType, Any, String)] = Seq(
+      (BooleanT, true, "true"),
+      (IntT, 42, "42"),
+      (LongT, 9007199254740993L, "9007199254740993"), // > 2^53: must not go through double
+      (DoubleT, 2.5d, "2.5"),
+      (StringT, "dflt", "\"dflt\""),
+      (DateT, 19723, "\"2024-01-01\""), // epoch-day → ISO date string
+      (TimestampT, 1700000000000000L, "\"2023-11-14T22:13:20\""),
+      (DecimalT(9, 2), new java.math.BigDecimal("12.34"), "\"12.34\""))
+    cases.foreach { case (t, v, json) =>
+      assert(toJsonValue(t, v).toString === json, s"serialize $t")
+      assert(fromJsonValue(t, toJsonValue(t, v)) === v, s"round-trip $t")
+    }
+    // defaults embed in field JSON and survive the schema round trip
+    val s = IcebergSchema(0, Seq(
+      NestedField(1, "d", DateT, required = false,
+        initialDefault = Some(19723), writeDefault = Some(19724)),
+      NestedField(2, "n", LongT, required = false)))
+    val back = IcebergSchema.schemaFromJson(s.toJson)
+    assert(back === s)
+    assert(s.toJson.toString.contains("\"initial-default\":\"2024-01-01\""))
+  }
+
   test("partition spec build + path rendering") {
     val schema = IcebergSchema(0, Seq(
       NestedField(1, "l_orderkey", IcebergType.LongT, required = true),

@@ -129,6 +129,49 @@ class SchemaEvolutionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(err.getMessage.contains("illegal promotion"))
   }
 
+  test("v3 field defaults: initial-default on old files, write-default on writes") {
+    import spark.implicits._
+    val catalog = freshCatalog()
+    val schema = IcebergSchema(0, Seq(
+      NestedFieldOf(1, "id", LongT), NestedFieldOf(2, "v", StringT)))
+    var t = GraftTable.create("evo_default", catalog, schema)
+    t = t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+
+    // defaults are a v3 feature: rejected on a v2 table
+    val err = intercept[IllegalArgumentException] {
+      t.updateSchema().addColumnWithDefault("score", DoubleT, 9.5).commit()
+    }
+    assert(err.getMessage.contains("format-version 3"))
+
+    t = Transactions.upgradeFormatVersion(t, 3)
+    t = t.updateSchema().addColumnWithDefault("score", DoubleT, 9.5).commit()
+
+    // serde: defaults survive the metadata.json round trip
+    val f = GraftTable.load("evo_default", catalog).schema.findField("score").get
+    assert(f.initialDefault === Some(9.5) && f.writeDefault === Some(9.5))
+
+    // pre-evolution files serve the initial-default, not null
+    assert(t.newScan().toDF(spark).orderBy("id").collect()
+      .map(_.getDouble(2)).toSeq === Seq(9.5, 9.5))
+
+    // an append omitting the column materializes the write-default;
+    // explicit values are untouched (per-file default grouping)
+    t = t.append(Seq((3L, "c")).toDF("id", "v"))
+    t = t.append(Seq((4L, "d", 1.25)).toDF("id", "v", "score"))
+    assert(t.newScan().toDF(spark).orderBy("id").collect()
+      .map(_.getDouble(2)).toSeq === Seq(9.5, 9.5, 9.5, 1.25))
+
+    // updateColumnDefault changes the write-default only
+    t = t.updateSchema().updateColumnDefault("score", 2.5).commit()
+    t = t.append(Seq((5L, "e")).toDF("id", "v"))
+    assert(t.newScan().toDF(spark).orderBy("id").collect()
+      .map(_.getDouble(2)).toSeq === Seq(9.5, 9.5, 9.5, 1.25, 2.5))
+    assert(t.schema.findField("score").get.initialDefault === Some(9.5))
+
+    // filters over the defaulted column apply to default-served rows too
+    assert(t.newScan().toDF(spark).filter(col("score") === 9.5).count() === 3)
+  }
+
   private def NestedFieldOf(id: Int, name: String, t: IcebergType) =
     graft.spec.NestedField(id, name, t, required = false)
 }
