@@ -107,14 +107,14 @@ object Clusters {
     (row.getLong(0), row.getLong(1))
   }
 
-  /** End-to-end duplicate clustering: exact n-gram Jaccard near-dup edges
-    * (deterministic recall — see Dedup.ngramJaccardNearDups) → connected
-    * components → (doc_id, cluster_id) with cluster_id = min doc_id. Docs
-    * with no near-duplicate are omitted (singleton clusters are the
-    * overwhelming majority of a real corpus and carry no decision). */
-  def duplicateClusters(docs: DataFrame, threshold: Double = 0.6,
-      n: Int = 5): DataFrame = {
-    val pairs = Dedup.ngramJaccardNearDups(docs, threshold, n)
+  /** End-to-end duplicate clustering: MinHash-LSH near-dup edges (bucket-
+    * bounded candidates, exact-Jaccard verified — the join that runs at
+    * 100 TB; see Dedup.minhashNearDups) → connected components →
+    * (doc_id, cluster_id) with cluster_id = min doc_id. Docs with no
+    * near-duplicate are omitted (singleton clusters are the overwhelming
+    * majority of a real corpus and carry no decision). */
+  def duplicateClusters(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val pairs = Dedup.minhashNearDups(docs, threshold)
     connectedComponents(pairs.select(col("id_a"), col("id_b")))
       .select(col("id").as("doc_id"), col("component").as("cluster_id"))
   }

@@ -130,7 +130,16 @@ object Dedup {
     * aggregate, per-doc sort/prefix aggregate, prefix-bucket self-join) —
     * never all-pairs. Rarest-first ordering makes prefix buckets tiny
     * (a gram shared by every doc sorts LAST and never enters a prefix);
-    * the exact-Jaccard verify touches candidate pairs only. */
+    * PPJoin length + positional filters then drop provably-below-threshold
+    * candidates before the exact-Jaccard verify.
+    *
+    * Applicability: exact prefix-filter joins assume a SPARSE (Zipfian)
+    * feature space — real text with a large vocabulary, where candidate
+    * sets are tiny. On a pathologically dense corpus (measured here at
+    * sf0.1: 2k distinct grams over 5k docs, max document frequency 78%),
+    * ~37% of ALL pairs are genuine candidates and no filter can save the
+    * verify — that regime is what MinHash-LSH ([[minhashNearDups]], the
+    * [[Clusters.duplicateClusters]] edge source) is for. */
   def ngramJaccardNearDups(docs: DataFrame, threshold: Double = 0.6,
       n: Int = 5): DataFrame = {
     val sets = ngramSets(docs, n)
@@ -139,13 +148,27 @@ object Dedup {
     val prefixes = grams.join(freq, "g")
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("f"), col("g")))).as("fg"))
-      .select(col("doc_id"),
+      .select(col("doc_id"), size(col("fg")).as("sz"),
         expr(s"transform(slice(fg, 1, " +
           s"size(fg) - CAST(ceil($threshold * size(fg)) AS INT) + 1), " +
           "x -> x.g)").as("prefix"))
-      .select(col("doc_id"), explode(col("prefix")).as("g"))
+      .select(col("doc_id"), col("sz"),
+        posexplode(col("prefix")).as(Seq("pos", "g")))
+    // PPJoin candidate filters (both only DROP provably-below-threshold
+    // pairs; the brute-force equality spec proves no pair is lost):
+    //  - length: J ≥ t ⇒ min(|a|,|b|) ≥ t·max(|a|,|b|)
+    //  - positional: at the pair's FIRST shared prefix gram (positions in
+    //    the same global rarest-first order), overlap ≤ min(|a|-posA,
+    //    |b|-posB); J ≥ t needs overlap ≥ t/(1+t)·(|a|+|b|). Later shared
+    //    grams give tighter (still sound) bounds, and a pair survives if
+    //    any of its occurrences passes — i.e. exactly the first-gram test.
+    val alpha = threshold / (1 + threshold)
     val cand = prefixes.as("a").join(prefixes.as("b"),
-        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id") &&
+          greatest(col("a.sz"), col("b.sz")) * threshold <=
+            least(col("a.sz"), col("b.sz")) &&
+          least(col("a.sz") - col("a.pos"), col("b.sz") - col("b.pos")) >=
+            ceil((col("a.sz") + col("b.sz")) * alpha))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
     val j = TextHash.jaccard(col("sa.s"), col("sb.s"))

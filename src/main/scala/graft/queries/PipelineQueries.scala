@@ -542,22 +542,27 @@ object PipelineQueries {
   }
 
   /** Duplicate clusters: connected components (alternating large-star /
-    * small-star) over the exact n-gram Jaccard near-dup edges, labeling
-    * every clustered doc with its component's min doc_id. The oracle
-    * recomputes reachability with a recursive CTE — a green hash proves
-    * the distributed star contraction found exactly the transitive
+    * small-star) over MinHash-LSH near-dup edges (p02's verified join —
+    * the shape that actually runs at 100 TB), labeling every clustered
+    * doc with its component's min doc_id. The oracle recomputes the pair
+    * set with an all-pairs Jaccard scan and reachability with a recursive
+    * CTE — a green hash proves BOTH full LSH recall on this corpus and
+    * that the distributed star contraction found exactly the transitive
     * closure's components. */
   val p19 = Q.sql(
     "p19_duplicate_clusters",
-    """WITH RECURSIVE gr AS (
-      |  SELECT doc_id, list_distinct([substring(lower(text), i, 5)
-      |                                for i in range(1, length(lower(text)) - 3)]) AS s
-      |  FROM documents WHERE length(text) >= 5),
+    """WITH RECURSIVE sh AS (
+      |  SELECT doc_id,
+      |    list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]
+      |                   for i in range(1, len(w)-1)]) AS s
+      |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+      |        FROM documents)
+      |  WHERE len(w) >= 3),
       |pr AS (
-      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM gr a, gr b
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh a, sh b
       |  WHERE a.doc_id < b.doc_id
       |    AND len(list_intersect(a.s, b.s)) /
-      |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.6),
+      |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
       |e AS (SELECT id_a AS u, id_b AS v FROM pr
       |      UNION SELECT id_b, id_a FROM pr),
       |walk(u, v) AS (
@@ -565,9 +570,10 @@ object PipelineQueries {
       |  UNION SELECT w.u, e.v FROM walk w JOIN e ON w.v = e.u WHERE e.v <> w.u),
       |comp AS (SELECT u AS doc_id, least(u, min(v))::BIGINT AS cluster_id
       |         FROM walk GROUP BY u)
-      |SELECT doc_id, cluster_id FROM comp ORDER BY doc_id""".stripMargin
+      |SELECT doc_id, cluster_id FROM comp ORDER BY doc_id""".stripMargin,
+    bench = true
   ) { (s, d) =>
-    Clusters.duplicateClusters(Tables.documents(s, d), threshold = 0.6, n = 5)
+    Clusters.duplicateClusters(Tables.documents(s, d), threshold = 0.5)
       .orderBy(col("doc_id"))
   }
 
@@ -623,7 +629,8 @@ object PipelineQueries {
       |  coalesce(s.n_shared_grams, 0) > 0 AS contaminated
       |FROM documents d LEFT JOIN shared s ON d.doc_id = s.doc_id
       |WHERE d.doc_id % 50 <> 0
-      |ORDER BY d.doc_id""".stripMargin
+      |ORDER BY d.doc_id""".stripMargin,
+    bench = true
   ) { (s, d) =>
     val docs = Tables.documents(s, d)
     Curation.decontaminate(
