@@ -46,7 +46,8 @@ class GraftBatchScan(table: GraftTable, predicate: Predicate,
     pushedFilters: Seq[Filter], required: Option[StructType],
     options: Map[String, String] = Map.empty,
     onPlanned: Seq[graft.table.FileScanTask] => Unit = _ => ())
-    extends Scan with Batch with SupportsReportPartitioning {
+    extends Scan with Batch with SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
 
   // `_file` / `_pos` metadata columns (SupportsMetadataColumns): appended
   // by the reader — `_file` is constant per split, `_pos` is the row's
@@ -118,19 +119,46 @@ class GraftBatchScan(table: GraftTable, predicate: Predicate,
       new KeyGroupedPartitioning(keys.toArray, distinctKeyCount)
     } else new UnknownPartitioning(planned.length)
 
-  /** Runtime file filter (SupportsRuntimeV2Filtering on the CoW subclass):
-    * set AFTER initial planning, so the plan cache is keyed by it and
-    * re-computed — `planInputPartitions` then serves the narrowed set and
-    * `onPlanned` re-fires with the files that actually get replaced. */
+  /** Runtime narrowing (SupportsRuntimeV2Filtering), set AFTER initial
+    * planning, so the plan cache is keyed by it and re-computed —
+    * `planInputPartitions` then serves the narrowed set and `onPlanned`
+    * re-fires with the files that actually survive. Two forms:
+    *   - a file-path set (the CoW subclass's `_file` group filter);
+    *   - a metadata predicate (dynamic-partition-pruning joins: Spark
+    *     evaluates the dim side and hands this scan `IN(part_col, keys)`,
+    *     which re-plans through the partition/metrics evaluators — at
+    *     100 TB this is what keeps a star join from scanning every fact
+    *     file when the dim filter only touches a few partitions). */
   @volatile private var runtimeFileFilter: Option[Set[String]] = None
+  @volatile private var runtimePredicate: Predicate = AlwaysTrue
+  private type PlanKey = (Option[Set[String]], Predicate)
   @volatile private var planCache
-      : Option[(Option[Set[String]], (Array[InputPartition], Int))] = None
+      : Option[(PlanKey, (Array[InputPartition], Int))] = None
 
   protected def setRuntimeFileFilter(paths: Set[String]): Unit =
     runtimeFileFilter = Some(paths)
 
+  /** Dynamic pruning hook: partition-spec source columns are the join
+    * keys whose runtime values can prune files. The CoW subclass
+    * overrides this with `_file` (group filtering). */
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    table.spec.fields
+      .flatMap(f => table.schema.idToField.get(f.sourceId).map(_.name))
+      .distinct
+      .map(Expressions.column)
+      .toArray
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Unit = {
+    val translated =
+      predicates.flatMap(p => graft.expr.V2Filters.toPredicate(p, table.schema))
+    if (translated.nonEmpty) runtimePredicate = translated.reduce(_ and _)
+  }
+
   private def plannedAndKeys: (Array[InputPartition], Int) = {
-    val key = runtimeFileFilter
+    val key: PlanKey = (runtimeFileFilter, runtimePredicate)
     planCache match {
       case Some((k, r)) if k == key => r
       case _ =>
@@ -143,9 +171,8 @@ class GraftBatchScan(table: GraftTable, predicate: Predicate,
   private def planned: Array[InputPartition] = plannedAndKeys._1
   private def distinctKeyCount: Int = plannedAndKeys._2
 
-  private def buildPlan(fileFilter: Option[Set[String]])
-      : (Array[InputPartition], Int) = {
-    val parts = doPlan(fileFilter)
+  private def buildPlan(key: PlanKey): (Array[InputPartition], Int) = {
+    val parts = doPlan(key)
     val spec = table.spec
     // identity resolves catalog-free; bucket needs the plugin's
     // FunctionCatalog (graft.functions.GraftBucketFunction) on the read
@@ -177,9 +204,10 @@ class GraftBatchScan(table: GraftTable, predicate: Predicate,
     }
   }
 
-  private def doPlan(fileFilter: Option[Set[String]])
+  private def doPlan(key: PlanKey)
       : Array[(graft.table.FileScanTask, GraftInputPartition)] = {
-    val scan = predicate match {
+    val (fileFilter, runtimePred) = key
+    val scan = predicate.and(runtimePred) match {
       case AlwaysTrue => table.newScan()
       case p => table.newScan().withFilter(p)
     }

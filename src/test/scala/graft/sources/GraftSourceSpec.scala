@@ -153,6 +153,49 @@ class GraftSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("runtime filtering (DPP): dim join keys prune fact files at runtime") {
+    import spark.implicits._
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
+
+    val wh = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    val catalog = new graft.catalog.HadoopCatalog(wh, graft.io.FileIO.fromSpark(spark))
+    val src = (1L to 80L).map(i => (i, s"g${i % 8}")).toDF("id", "grp")
+    val schema = graft.spec.IcebergSchema.fromSpark(src.schema)
+    val spec = graft.spec.PartitionSpec.build(schema,
+      Seq("grp" -> graft.spec.Transform.Identity))
+    graft.table.GraftTable.create("dpp_fact", catalog, schema, spec).append(src)
+    val t = graft.table.GraftTable.load("dpp_fact", catalog)
+
+    // mechanics: a runtime IN over the partition source column re-plans
+    // the scan to exactly the statically-pruned file set
+    val scan = new GraftBatchScan(t, graft.expr.AlwaysTrue, Nil, None)
+    val before = scan.planInputPartitions().length
+    val in = new V2Predicate("IN", Array(
+      Expressions.column("grp"),
+      Expressions.literal("g1"), Expressions.literal("g2")))
+    assert(scan.filterAttributes().map(_.describe()).toSeq === Seq("grp"))
+    scan.filter(Array(in))
+    val after = scan.planInputPartitions().length
+    val expected = new GraftBatchScan(t,
+      graft.expr.SetPred(graft.expr.In, "grp", Set("g1", "g2")), Nil, None)
+      .planInputPartitions().length
+    assert(after === expected, "runtime IN must match static pruning")
+    assert(after < before, s"runtime filter must narrow ($after vs $before)")
+
+    // untranslatable predicates must never narrow
+    val scan2 = new GraftBatchScan(t, graft.expr.AlwaysTrue, Nil, None)
+    scan2.filter(Array(new V2Predicate("ALWAYS_UNKNOWN", Array.empty)))
+    assert(scan2.planInputPartitions().length === before)
+
+    // end-to-end: broadcast star join stays correct with DPP active
+    def read() = spark.read.format("graft")
+      .option("warehouse", wh).option("table", "dpp_fact").load()
+    val dim = Seq(("g1", 1), ("g3", 3)).toDF("grp", "tag")
+    val joined = read().join(broadcast(dim), Seq("grp"))
+    assert(joined.count() === 20L) // two groups × 10 fact rows
+  }
+
   test("bucket SPJ: bucket-partitioned tables join shuffle-free via the function catalog") {
     import spark.implicits._
     val wh = java.nio.file.Files.createTempDirectory("graft-spjb").toString
