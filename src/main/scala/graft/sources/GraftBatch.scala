@@ -47,7 +47,8 @@ class GraftBatchScan(table: GraftTable, predicate: Predicate,
     options: Map[String, String] = Map.empty,
     onPlanned: Seq[graft.table.FileScanTask] => Unit = _ => ())
     extends Scan with Batch with SupportsReportPartitioning
-    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   // `_file` / `_pos` metadata columns (SupportsMetadataColumns): appended
   // by the reader — `_file` is constant per split, `_pos` is the row's
@@ -171,6 +172,60 @@ class GraftBatchScan(table: GraftTable, predicate: Predicate,
   private def planned: Array[InputPartition] = plannedAndKeys._1
   private def distinctKeyCount: Int = plannedAndKeys._2
 
+  /** Post-pruning scan statistics (SupportsReportStatistics — the
+    * reference reports the same through DataFusion's TableProvider
+    * statistics). Spark's join planning consumes these: a fact table
+    * whose static + runtime pruning leaves a handful of files reports a
+    * correspondingly small size and gets broadcast, which at 100 TB is
+    * the difference between a map-side join and a full shuffle. Sizes are
+    * rowCount × Spark row width (parquet's compressed bytes understate
+    * in-memory size); row counts are manifest record counts, an upper
+    * bound under merge-on-read deletes. NDV comes from the snapshot's
+    * registered KMV sketches (statistics files, i15), null counts from
+    * the planned files' stats maps. */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    plannedAndKeys // ensure lastPlannedTasks matches the current runtime key
+    val tasks = lastPlannedTasks
+    val rows = tasks.map(_.file.recordCount).sum
+    val width = readSchema().defaultSize.toLong max 1L
+    val ndv: Map[String, Long] =
+      try graft.puffin.Sketches.readCurrentStats(table)
+        .map(s => s.column -> s.estimate).toMap
+      catch { case _: Throwable => Map.empty } // stats are advisory, never fail a plan
+    val nulls: Map[String, Long] = table.schema.fields.flatMap { f =>
+      val counts = tasks.map(_.file.nullValueCounts.get(f.id))
+      if (counts.nonEmpty && counts.forall(_.isDefined))
+        Some(f.name -> counts.flatten.sum)
+      else None
+    }.toMap
+    val colStats = new java.util.HashMap[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+    projected.foreach { name =>
+      val d = ndv.get(name)
+      val n = nulls.get(name)
+      if (d.isDefined || n.isDefined)
+        colStats.put(Expressions.column(name),
+          new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+            override def distinctCount(): java.util.OptionalLong =
+              d.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
+            override def nullCount(): java.util.OptionalLong =
+              n.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
+          })
+    }
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows * width)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+      override def columnStats(): java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = colStats
+    }
+  }
+
+  @volatile private var lastPlannedTasks: Seq[graft.table.FileScanTask] = Nil
+
   private def buildPlan(key: PlanKey): (Array[InputPartition], Int) = {
     val parts = doPlan(key)
     val spec = table.spec
@@ -229,6 +284,7 @@ class GraftBatchScan(table: GraftTable, predicate: Predicate,
       case Some(keep) => all.filter(t => keep.contains(qualify(t.file.filePath)))
       case None => all
     }
+    lastPlannedTasks = tasks // estimateStatistics reads the pruned set
     onPlanned(tasks) // row-level ops record the replaced groups here
     tasks.flatMap { t =>
       val path = qualify(t.file.filePath)

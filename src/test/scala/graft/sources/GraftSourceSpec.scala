@@ -196,6 +196,46 @@ class GraftSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(joined.count() === 20L) // two groups × 10 fact rows
   }
 
+  test("scan statistics: post-pruning rows and size, NDV from registered sketches") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-stats").toString
+    val catalog = new graft.catalog.HadoopCatalog(wh, graft.io.FileIO.fromSpark(spark))
+    val src = (1L to 80L).map(i => (i, s"g${i % 8}")).toDF("id", "grp")
+    val schema = graft.spec.IcebergSchema.fromSpark(src.schema)
+    val spec = graft.spec.PartitionSpec.build(schema,
+      Seq("grp" -> graft.spec.Transform.Identity))
+    graft.table.GraftTable.create("stats_t", catalog, schema, spec).append(src)
+    val t = graft.table.GraftTable.load("stats_t", catalog)
+
+    val all = new GraftBatchScan(t, graft.expr.AlwaysTrue, Nil, None)
+      .estimateStatistics()
+    assert(all.numRows().getAsLong === 80)
+    // static pruning must shrink BOTH reported stats (broadcast decisions
+    // key off sizeInBytes of the pruned relation, not the whole table)
+    val pruned = new GraftBatchScan(t,
+      graft.expr.SetPred(graft.expr.In, "grp", Set("g1")), Nil, None)
+      .estimateStatistics()
+    assert(pruned.numRows().getAsLong === 10)
+    assert(pruned.sizeInBytes().getAsLong < all.sizeInBytes().getAsLong)
+
+    // NDV surfaces from the snapshot's registered KMV sketch; null counts
+    // from the planned files' stats maps
+    val (t2, _) = graft.puffin.Sketches.writeDistinctStats(t, spark, Seq("grp"))
+    val cs = new GraftBatchScan(t2, graft.expr.AlwaysTrue, Nil, None)
+      .estimateStatistics().columnStats()
+    val grpStats = cs.entrySet().iterator()
+    var found = false
+    while (grpStats.hasNext) {
+      val e = grpStats.next()
+      if (e.getKey.describe() == "grp") {
+        found = true
+        assert(e.getValue.distinctCount().getAsLong === 8)
+        assert(e.getValue.nullCount().getAsLong === 0)
+      }
+    }
+    assert(found, "grp column statistics missing")
+  }
+
   test("bucket SPJ: bucket-partitioned tables join shuffle-free via the function catalog") {
     import spark.implicits._
     val wh = java.nio.file.Files.createTempDirectory("graft-spjb").toString
