@@ -57,10 +57,20 @@ object Snapshot {
   }
 }
 
-/** Named snapshot reference — branch or tag (spec/snapshot.rs SnapshotReference;
-  * table_metadata.rs refs). */
-final case class SnapshotRef(snapshotId: Long, refType: String) {
+/** Named snapshot reference — branch or tag (spec/snapshot.rs
+  * SnapshotReference; table_metadata.rs refs) with the spec's optional
+  * per-ref retention policy (expire_snapshots.rs:40-50):
+  *   - minSnapshotsToKeep / maxSnapshotAgeMs govern how many of a
+  *     BRANCH's ancestors expiry retains (branch-only per the spec);
+  *   - maxRefAgeMs ages out the ref itself (main never expires). */
+final case class SnapshotRef(snapshotId: Long, refType: String,
+    minSnapshotsToKeep: Option[Int] = None,
+    maxSnapshotAgeMs: Option[Long] = None,
+    maxRefAgeMs: Option[Long] = None) {
   require(refType == "branch" || refType == "tag", s"bad ref type $refType")
+  require(refType == "branch" ||
+    (minSnapshotsToKeep.isEmpty && maxSnapshotAgeMs.isEmpty),
+    "min-snapshots-to-keep / max-snapshot-age-ms apply to branches only")
 }
 
 /** Statistics file registered in table metadata (spec/statistic_file.rs:27):
@@ -235,6 +245,9 @@ final case class TableMetadata(
         val e = obj()
         e.put("snapshot-id", r.snapshotId)
         e.put("type", r.refType)
+        r.minSnapshotsToKeep.foreach(e.put("min-snapshots-to-keep", _))
+        r.maxSnapshotAgeMs.foreach(e.put("max-snapshot-age-ms", _))
+        r.maxRefAgeMs.foreach(e.put("max-ref-age-ms", _))
         ro.set[ObjectNode](name, e)
       }
       o.set[ObjectNode]("refs", ro)
@@ -285,7 +298,10 @@ object TableMetadata {
       metadataLog = n.opt("metadata-log").map(_.elems.map(e =>
         (e("metadata-file").asText(), e("timestamp-ms").asLong()))).getOrElse(Nil),
       refs = n.opt("refs").map(_.fieldsMap.map { case (name, r) =>
-        name -> SnapshotRef(r("snapshot-id").asLong(), r("type").asText())
+        name -> SnapshotRef(r("snapshot-id").asLong(), r("type").asText(),
+          minSnapshotsToKeep = r.opt("min-snapshots-to-keep").map(_.asInt()),
+          maxSnapshotAgeMs = r.opt("max-snapshot-age-ms").map(_.asLong()),
+          maxRefAgeMs = r.opt("max-ref-age-ms").map(_.asLong()))
       }).getOrElse(Map.empty),
       statistics = n.opt("statistics").map(_.elems.map(StatisticsFile.fromJson))
         .getOrElse(Nil),

@@ -62,12 +62,50 @@ object Maintenance {
     * `retainLast` ancestors of the current snapshot (current is never
     * expired). Metadata-only commit; expired manifest lists are deleted,
     * unreachable data-file GC is a separate concern (remove_orphan_files).
+    *
+    * Ref-aware retention (expire_snapshots.rs:40-50 semantics):
+    *   - refs older than their `max-ref-age-ms` (per-ref, falling back to
+    *     `history.expire.max-ref-age-ms`) are removed first — main never;
+    *   - each surviving BRANCH retains its latest `min-snapshots-to-keep`
+    *     ancestors (per-ref, falling back to the
+    *     `history.expire.min-snapshots-to-keep` property, then 1) plus
+    *     every ancestor newer than the branch cutoff (`max-snapshot-age-
+    *     ms` per-ref, else the global `olderThanMs`);
+    *   - tags pin exactly their target snapshot.
     */
   def expireSnapshots(table: GraftTable, olderThanMs: Long,
-      retainLast: Int = 1): GraftTable = {
-    CommitRetry.run(table.catalog, table.name) { (base, version) =>
-      // branch/tag targets are always retained (refs pin history)
-      val retained = retainedIds(base, retainLast) ++ base.refs.values.map(_.snapshotId)
+      retainLast: Int = 1, nowMs: Long = System.currentTimeMillis()): GraftTable = {
+    CommitRetry.run(table.catalog, table.name) { (base0, version) =>
+      // phase 1: age out refs (never main)
+      val base = {
+        val defaultRefAge = base0.properties.get("history.expire.max-ref-age-ms").map(_.toLong)
+        val byId = base0.snapshots.map(s => s.snapshotId -> s).toMap
+        val survivors = base0.refs.filter { case (name, r) =>
+          name == "main" || {
+            val age = r.maxRefAgeMs.orElse(defaultRefAge)
+            val ts = byId.get(r.snapshotId).map(_.timestampMs)
+            age.isEmpty || ts.isEmpty || nowMs - ts.get <= age.get
+          }
+        }
+        base0.copy(refs = survivors)
+      }
+      // phase 2: per-branch ancestor retention
+      val defaultKeep = base.properties
+        .get("history.expire.min-snapshots-to-keep").map(_.toInt)
+      val byId = base.snapshots.map(s => s.snapshotId -> s).toMap
+      def ancestors(headId: Long): Iterator[graft.spec.Snapshot] =
+        Iterator.iterate(byId.get(headId))(_.flatMap(_.parentSnapshotId).flatMap(byId.get))
+          .takeWhile(_.isDefined).flatten
+      val branchRetained = base.refs.flatMap {
+        case (_, r) if r.refType == "branch" =>
+          val keepCount = r.minSnapshotsToKeep.orElse(defaultKeep).getOrElse(1)
+          val cutoff = r.maxSnapshotAgeMs.map(nowMs - _).getOrElse(olderThanMs)
+          val chain = ancestors(r.snapshotId).toSeq
+          (chain.take(math.max(1, keepCount)) ++
+            chain.filter(_.timestampMs >= cutoff)).map(_.snapshotId)
+        case (_, r) => Seq(r.snapshotId) // tag pins its target only
+      }.toSet
+      val retained = retainedIds(base, retainLast) ++ branchRetained
       val (keep, expired) = base.snapshots.partition(s =>
         retained.contains(s.snapshotId) || s.timestampMs >= olderThanMs)
       if (expired.isEmpty) (base, (_: Int) => table.refresh())

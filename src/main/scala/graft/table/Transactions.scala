@@ -82,12 +82,16 @@ object Transactions {
     * Tags pin history for reproducible reads (the training-data
     * provenance case); branches get their own lineage via useRef scans. */
   def setRef(table: GraftTable, name: String, snapshotId: Long,
-      refType: String): GraftTable = {
+      refType: String, minSnapshotsToKeep: Option[Int] = None,
+      maxSnapshotAgeMs: Option[Long] = None,
+      maxRefAgeMs: Option[Long] = None): GraftTable = {
     CommitRetry.run(table.catalog, table.name) { (base, _) =>
       require(base.snapshotById(snapshotId).isDefined,
         s"snapshot $snapshotId not found")
+      val ref = graft.spec.SnapshotRef(snapshotId, refType,
+        minSnapshotsToKeep, maxSnapshotAgeMs, maxRefAgeMs)
       val updated = base.copy(
-        refs = base.refs + (name -> graft.spec.SnapshotRef(snapshotId, refType)),
+        refs = base.refs + (name -> ref),
         lastUpdatedMs = System.currentTimeMillis())
       (updated, (_: Int) => table.refresh())
     }

@@ -97,6 +97,47 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("expire snapshots: per-ref retention — branch ancestors kept, aged refs removed") {
+    val src = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    val schema = IcebergSchema.fromSpark(src.schema)
+    var t = GraftTable.create("nation_refexpire", catalog, schema)
+    t = t.append(src); t = t.append(src); t = t.append(src); t = t.append(src)
+    val snaps = t.metadata.snapshots.map(_.snapshotId)
+    assert(snaps.size === 4)
+
+    // branch at snapshot 3 keeping 2 ancestors regardless of age; a tag
+    // pinning snapshot 1; an aged-out tag on snapshot 2
+    t = Transactions.setRef(t, "dev", snaps(2), "branch",
+      minSnapshotsToKeep = Some(2))
+    t = Transactions.setRef(t, "pin", snaps(0), "tag")
+    t = Transactions.setRef(t, "stale", snaps(1), "tag",
+      maxRefAgeMs = Some(1L)) // ages out immediately
+
+    val now = System.currentTimeMillis() + 60000
+    t = Maintenance.expireSnapshots(t, olderThanMs = now, retainLast = 1,
+      nowMs = now)
+
+    assert(!t.metadata.refs.contains("stale"), "aged ref removed")
+    assert(t.metadata.refs.contains("dev") && t.metadata.refs.contains("pin"))
+    val kept = t.metadata.snapshots.map(_.snapshotId).toSet
+    // current (4th), dev branch head (3rd) + one more ancestor (2nd) via
+    // min-snapshots-to-keep, tag target (1st) — everything survives here
+    assert(kept === Set(snaps(0), snaps(1), snaps(2), snaps(3)))
+
+    // retention serde round-trips through metadata.json
+    val reloaded = GraftTable.load("nation_refexpire", catalog)
+    assert(reloaded.metadata.refs("dev").minSnapshotsToKeep === Some(2))
+
+    // drop the protective refs: with everything past cutoff, only the
+    // current snapshot survives a re-run
+    t = Transactions.removeRef(t, "dev")
+    t = Transactions.removeRef(t, "pin")
+    t = Maintenance.expireSnapshots(t, olderThanMs = now, retainLast = 1,
+      nowMs = now)
+    assert(t.metadata.snapshots.map(_.snapshotId) === Seq(snaps(3)))
+    assert(t.newScan().toDF(spark).count() === 4 * src.count())
+  }
+
   test("rewrite manifests: consolidates per spec, preserves rows, deletes, pruning") {
     val ss = spark
     import ss.implicits._
