@@ -31,10 +31,12 @@ import graft.spec.IcebergType._
 object AppendWriter {
 
   def append(table: GraftTable, df: DataFrame,
-      extraSummary: Map[String, String] = Map.empty): GraftTable = {
+      extraSummary: Map[String, String] = Map.empty,
+      branch: Option[String] = None): GraftTable = {
     val commitUuid = UUID.randomUUID().toString
     val files = writeDataFiles(table, df, commitUuid)
-    if (files.isEmpty) table else commitAppend(table, files, commitUuid, extraSummary)
+    if (files.isEmpty) table
+    else commitAppend(table, files, commitUuid, extraSummary, branch)
   }
 
   /** Stage, harvest and place data files for `df` under the table layout —
@@ -153,6 +155,23 @@ object AppendWriter {
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     table.metadata.properties.get("write.spark.max-records-per-file")
       .foreach(v => writer.option("maxRecordsPerFile", v))
+    // parquet encoding knobs (table_properties.rs:238-240 row-group/page
+    // sizes + compression level; Iceberg's per-column bloom-filter
+    // convention) pass through to parquet-mr via writer options — bloom
+    // filters turn point-lookup residuals into row-group skips at read.
+    Seq("write.parquet.row-group-size-bytes" -> "parquet.block.size",
+      "write.parquet.page-size-bytes" -> "parquet.page.size",
+      "write.parquet.dict-size-bytes" -> "parquet.dictionary.page.size",
+      "write.parquet.compression-level" -> "parquet.compression.codec.zstd.level")
+      .foreach { case (tp, po) =>
+        table.metadata.properties.get(tp).foreach(writer.option(po, _))
+      }
+    val BloomPrefix = "write.parquet.bloom-filter-enabled.column."
+    table.metadata.properties.foreach {
+      case (k, v) if k.startsWith(BloomPrefix) =>
+        writer.option(s"parquet.bloom.filter.enabled#${k.stripPrefix(BloomPrefix)}", v)
+      case _ =>
+    }
     // rolling-writer size target (write.target-file-size-bytes, reference
     // RollingFileWriter): Spark's writer rolls by record count, so convert
     // the byte target using the optimizer's row-width estimate. In-memory
@@ -366,12 +385,13 @@ object AppendWriter {
     * (fast-append: one new manifest prepended to the base's list). Shared
     * with the native DSv2 batch writer (GraftBatchWrite). */
   private[graft] def commitAppend(table: GraftTable, files: Seq[DataFile],
-      commitUuid: String, extraSummary: Map[String, String] = Map.empty): GraftTable = {
+      commitUuid: String, extraSummary: Map[String, String] = Map.empty,
+      branch: Option[String] = None): GraftTable = {
     val extra = extraSummary ++ Map(
       "added-data-files" -> files.size.toString,
       "added-records" -> files.map(_.recordCount).sum.toString,
       "added-files-size" -> files.map(_.fileSizeInBytes).sum.toString)
-    Commits.commit(table, "append", commitUuid, extra) { (base, seq, snapshotId) =>
+    Commits.commit(table, "append", commitUuid, extra, branch) { (base, seq, snapshotId) =>
       // v3 row lineage: each file takes a contiguous first_row_id block
       // from the refreshed base's nextRowId (re-derived per retry; the
       // commit bumps next-row-id by the same added-row total)

@@ -101,14 +101,30 @@ object Commits {
 
   /** One snapshot commit with optimistic retry. `manifests` is re-invoked
     * per attempt against the refreshed base and must return the FULL new
-    * manifest list. */
+    * manifest list.
+    *
+    * With `branch` set, the commit targets that ref instead of the main
+    * line (write-audit-publish staging): the new snapshot's parent and
+    * manifest base are the BRANCH head, the ref moves to the new
+    * snapshot, and `current-snapshot-id` / `snapshot-log` are untouched —
+    * readers of the table see nothing until a fast-forward publish. */
   def commit(table: GraftTable, operation: String, commitUuid: String,
-      extraSummary: Map[String, String] = Map.empty)(
+      extraSummary: Map[String, String] = Map.empty,
+      branch: Option[String] = None)(
       manifests: (TableMetadata, Long, Long) => Seq[ManifestFile]): GraftTable = {
     val io = table.io
     val snapshotId = math.abs(UUID.randomUUID().getMostSignificantBits)
 
-    graft.catalog.CommitRetry.run(table.catalog, table.name) { (base, version) =>
+    graft.catalog.CommitRetry.run(table.catalog, table.name) { (base0, version) =>
+      // manifest building and parentage resolve against the branch head;
+      // ref/current bookkeeping below applies to the true base
+      val base = branch match {
+        case Some(b) =>
+          val head = base0.refs.getOrElse(b, throw new IllegalArgumentException(
+            s"unknown branch: $b")).snapshotId
+          base0.copy(currentSnapshotId = Some(head))
+        case None => base0
+      }
       val seq = base.lastSequenceNumber + 1
       val all = manifests(base, seq, snapshotId)
       val listPath = s"${base.location}/metadata/snap-$snapshotId-$commitUuid.avro"
@@ -146,14 +162,24 @@ object Commits {
         schemaId = Some(base.currentSchema.schemaId),
         firstRowId = Some(base.nextRowId),
         addedRows = Some(addedRows))
-      val updated = base.copy(
-        lastSequenceNumber = seq,
-        lastUpdatedMs = now,
-        currentSnapshotId = Some(snapshotId),
-        snapshots = base.snapshots :+ snap,
-        snapshotLog = base.snapshotLog :+ (snapshotId, now),
-        // metadataLog entry appended centrally by CommitRetry.run
-        nextRowId = base.nextRowId + addedRows)
+      val updated = branch match {
+        case None => base0.copy(
+          lastSequenceNumber = seq,
+          lastUpdatedMs = now,
+          currentSnapshotId = Some(snapshotId),
+          snapshots = base0.snapshots :+ snap,
+          snapshotLog = base0.snapshotLog :+ (snapshotId, now),
+          // metadataLog entry appended centrally by CommitRetry.run
+          nextRowId = base0.nextRowId + addedRows)
+        case Some(b) => base0.copy(
+          lastSequenceNumber = seq,
+          lastUpdatedMs = now,
+          // current snapshot and snapshot-log untouched: the spec's
+          // snapshot-log records the MAIN line's history only
+          snapshots = base0.snapshots :+ snap,
+          refs = base0.refs + (b -> base0.refs(b).copy(snapshotId = snapshotId)),
+          nextRowId = base0.nextRowId + addedRows)
+      }
 
       (updated, (_: Int) => table.refresh())
     }

@@ -46,6 +46,15 @@ final class GraftTable(
 
   def append(df: DataFrame): GraftTable = AppendWriter.append(this, df)
 
+  /** Stage an append on a branch (write-audit-publish): the table's main
+    * line is untouched until `publish` fast-forwards to the branch. */
+  def appendToBranch(df: DataFrame, branch: String): GraftTable =
+    AppendWriter.append(this, df, branch = Some(branch))
+
+  /** Publish a staged branch: fast-forward main to its head (refused if
+    * the branch has diverged from current). */
+  def publish(branch: String): GraftTable = Transactions.fastForward(this, branch)
+
   /** Row-level DELETE WHERE as a MoR position-delete commit. */
   def deleteWhere(p: Predicate, spark: SparkSession): GraftTable =
     DeleteWriter.deleteWhere(this, p, spark)

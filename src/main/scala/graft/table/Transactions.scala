@@ -97,6 +97,32 @@ object Transactions {
     }
   }
 
+  /** Fast-forward publish (the write-audit-publish primitive): move the
+    * current table state to `ref`'s head, required to be a DESCENDANT of
+    * the current snapshot — audited staged work on a branch becomes the
+    * table's truth atomically, with no history rewrite. Refuses diverged
+    * branches (that's a merge, not a fast-forward). */
+  def fastForward(table: GraftTable, ref: String): GraftTable =
+    CommitRetry.run(table.catalog, table.name) { (base, _) =>
+      val target = base.refs.getOrElse(ref,
+        throw new IllegalArgumentException(s"unknown ref: $ref"))
+      val byId = base.snapshots.map(s => s.snapshotId -> s).toMap
+      val ancestorsOfTarget = Iterator.iterate(byId.get(target.snapshotId))(
+        _.flatMap(_.parentSnapshotId).flatMap(byId.get))
+        .takeWhile(_.isDefined).flatten.map(_.snapshotId).toSet
+      base.currentSnapshotId.foreach { cur =>
+        require(ancestorsOfTarget.contains(cur),
+          s"$ref (${target.snapshotId}) is not a descendant of current ($cur): not a fast-forward")
+      }
+      val updated = base.copy(
+        currentSnapshotId = Some(target.snapshotId),
+        refs = base.refs + ("main" -> base.refs.get("main")
+          .map(_.copy(snapshotId = target.snapshotId))
+          .getOrElse(graft.spec.SnapshotRef(target.snapshotId, "branch"))),
+        lastUpdatedMs = System.currentTimeMillis())
+      (updated, (_: Int) => table.refresh())
+    }
+
   def removeRef(table: GraftTable, name: String): GraftTable =
     CommitRetry.run(table.catalog, table.name) { (base, _) =>
       (base.copy(refs = base.refs - name,

@@ -381,6 +381,61 @@ class TransactionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.newScan().toDF(spark).count() === 100)
   }
 
+  test("write-audit-publish: branch-staged appends invisible until fast-forward") {
+    import spark.implicits._
+    var t = GraftTable.create("wap", freshHadoop(), schema)
+    t = t.append(sampleDf)
+    val baseCount = t.newScan().toDF(spark).count()
+    t = t.createBranch("audit")
+
+    // two staged commits on the branch
+    t = t.appendToBranch((101L to 110L).map(i => (i, 0.0, "staged")).toDF("id", "v", "s"), "audit")
+    t = t.appendToBranch((111L to 120L).map(i => (i, 0.0, "staged")).toDF("id", "v", "s"), "audit")
+
+    // main line untouched: current scan, snapshot-log, time-travel history
+    assert(t.newScan().toDF(spark).count() === baseCount)
+    assert(t.metadata.snapshotLog.size === 1, "snapshot-log tracks main only")
+    // the branch sees staged data (ref-scoped audit read)
+    assert(t.newScan().useRef("audit").toDF(spark).count() === baseCount + 20)
+    // branch head's parent chain reaches the staged-from snapshot
+    val head = t.metadata.snapshotById(t.metadata.refs("audit").snapshotId).get
+    assert(t.metadata.snapshotById(head.parentSnapshotId.get).get
+      .parentSnapshotId === t.metadata.currentSnapshotId)
+
+    // publish = fast-forward; afterwards main serves the staged rows
+    t = t.publish("audit")
+    assert(t.newScan().toDF(spark).count() === baseCount + 20)
+    assert(t.metadata.currentSnapshotId === Some(t.metadata.refs("audit").snapshotId))
+
+    // diverged branch refuses to fast-forward
+    t = t.createBranch("other", Some(t.metadata.snapshots.head.snapshotId))
+    val err = intercept[IllegalArgumentException] {
+      t.publish("other")
+    }
+    assert(err.getMessage.contains("not a fast-forward"))
+  }
+
+  test("parquet write knobs: per-column bloom filter from table property") {
+    var t = GraftTable.create("bloomy", freshHadoop(), schema,
+      properties = Map(
+        "write.parquet.bloom-filter-enabled.column.s" -> "true",
+        "write.parquet.row-group-size-bytes" -> (1L << 20).toString))
+    t = t.append(sampleDf)
+    val file = t.newScan().planFiles().head.file.filePath
+    val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file),
+        new org.apache.hadoop.conf.Configuration()))
+    try {
+      import scala.jdk.CollectionConverters._
+      val cols = rd.getFooter.getBlocks.get(0).getColumns.asScala
+      assert(cols.find(_.getPath.toDotString == "s").get.getBloomFilterOffset > 0,
+        "bloom filter written for configured column")
+      assert(cols.find(_.getPath.toDotString == "id").get.getBloomFilterOffset <= 0,
+        "no bloom filter for unconfigured column")
+    } finally rd.close()
+  }
+
   test("memory catalog: create/load/commit/conflict semantics") {
     val cat = new MemoryCatalog(
       java.nio.file.Files.createTempDirectory("graft-mem-").toString,
