@@ -539,7 +539,23 @@ object IcebergQueries {
       .orderBy(col("s_suppkey"))
   }
 
+  /** Incremental append scan: rows added by snapshots in (s1, s2] only —
+    * the two-snapshot fixture's second (odd-key) append. The batch
+    * counterpart of the streaming source's per-micro-batch planning. */
+  val i27 = Q.sql(
+    "i27_incremental_append_scan",
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders WHERE o_orderkey % 2 = 1
+      |ORDER BY o_orderkey""".stripMargin
+  ) { (s, d) =>
+    val t = IcebergFixtures.ordersTwoSnapshots(s, d)
+    val snaps = t.metadata.snapshots.sortBy(_.sequenceNumber)
+    t.newScan().appendsBetween(snaps.head.snapshotId, snaps.last.snapshotId).toDF(s)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
   val all: Seq[Q] = Seq(i01, i02, i03, i04, i05, i06, i07, i08, i09, i10,
     i11, i12, i13, i14, i15, i16, i17, i18, i19, i20, i21, i22, i23, i24, i25,
-    i26)
+    i26, i27)
 }
