@@ -163,6 +163,16 @@ final class GraftBatchWrite(table: GraftTable, writeSchema: StructType,
       dropAllBase: Boolean, fixedDrop: Set[String]): Unit = {
     Commits.commit(live, "overwrite", commitUuid, Map(
       "added-data-files" -> files.size.toString)) { (base, seq, snapshotId) =>
+      // group-based CoW: the fixed drop set was scanned earlier — its
+      // files must still be alive, and under serializable isolation no
+      // concurrent data may have appeared (the command's row condition
+      // is not recoverable here, so the filter is conservatively true).
+      // The dropAllBase (truncate) path re-derives its set per retry and
+      // needs no validation.
+      if (!dropAllBase && fixedDrop.nonEmpty)
+        Commits.validateReplace(live.io, base, table.metadata.currentSnapshotId,
+          fixedDrop, Commits.conflictFilterFor(base, "update", graft.expr.AlwaysTrue),
+          base.currentSchema)
       val dropPaths =
         if (!dropAllBase) fixedDrop
         else Commits.baseManifests(live.io, base)

@@ -137,6 +137,10 @@ final class GraftDeltaBatchWrite(table: GraftTable, writeSchema: StructType)
       "added-delete-files" -> deleteFiles.size.toString,
       "added-position-deletes" -> deleteFiles.map(_.recordCount).sum.toString,
       "added-data-files" -> dataFiles.size.toString)) { (base, seq, snapshotId) =>
+      // the delta's position deletes address rows by (_file, _pos) read at
+      // scan time — any concurrent non-append commit may have moved them
+      Commits.validateReplace(live.io, base, table.metadata.currentSnapshotId,
+        Set.empty, None, base.currentSchema, failOnNewReplaceOps = true)
       val delM =
         if (deleteFiles.isEmpty) Nil
         else {

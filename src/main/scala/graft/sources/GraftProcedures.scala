@@ -136,6 +136,18 @@ object GraftProcedures {
           Seq(str(b), t.metadata.refs(b).snapshotId)
         }
       })
+      case "fast_forward" => Some(new Proc(catalog, name,
+          Seq("table" -> StringType, "branch" -> StringType),
+          Seq("previous_snapshot_id" -> LongType,
+            "current_snapshot_id" -> LongType)) {
+        def run(a: InternalRow): Seq[Any] = {
+          val t = table(a)
+          val prev = t.metadata.currentSnapshotId.getOrElse(-1L)
+          val cur = t.publish(a.getUTF8String(1).toString)
+            .metadata.currentSnapshotId.getOrElse(-1L)
+          Seq(prev, cur)
+        }
+      })
       case "write_partition_stats" => Some(new Proc(catalog, name,
           Seq("table" -> StringType),
           Seq("statistics_path" -> StringType)) {
@@ -151,5 +163,5 @@ object GraftProcedures {
 
   val Names: Seq[String] = Seq("rewrite_data_files", "rewrite_manifests",
     "expire_snapshots", "remove_orphan_files", "rollback_to_snapshot",
-    "create_branch", "create_tag", "write_partition_stats")
+    "create_branch", "create_tag", "fast_forward", "write_partition_stats")
 }

@@ -67,6 +67,112 @@ object Commits {
       partitions = summaries)
   }
 
+  /** Thrown when a concurrent commit invalidated an operation's scan
+    * basis. Deliberately NOT the catalog's retryable CommitConflict:
+    * retrying would re-commit results derived from a stale scan — the
+    * operation must replan against fresh state. */
+  final class ValidationException(msg: String) extends RuntimeException(msg)
+
+  /** Replace/rewrite-commit validation against the REFRESHED base (the
+    * role of Iceberg's validateDataFilesExist / validateAddedDataFiles,
+    * run per optimistic-retry attempt):
+    *   - every path in `mustBeAlive` (files this commit drops, folds, or
+    *     position-references) must still be alive — a concurrent
+    *     compaction or delete that removed one would make this commit
+    *     silently resurrect or duplicate rows;
+    *   - with `conflictFilter` set (serializable isolation), no snapshot
+    *     committed after `scanSnapshotId` may have ADDED a data file that
+    *     might match it — pass None for snapshot isolation;
+    *   - with `failOnNewDeletes`, any delete file committed after the
+    *     scan aborts (compaction folds the delete set it scanned; a
+    *     newer delete targeting its sources would be lost).
+    *
+    * Cost: one manifest-list + targeted manifest read per attempt — the
+    * same files the rewrite itself is about to read (and served by the
+    * table's manifest cache at scale). */
+  def validateReplace(io: graft.io.FileIO, base: TableMetadata,
+      scanSnapshotId: Option[Long], mustBeAlive: Set[String],
+      conflictFilter: Option[graft.expr.Predicate],
+      schema: graft.spec.IcebergSchema,
+      failOnNewDeletes: Boolean = false,
+      failOnNewReplaceOps: Boolean = false): Unit = {
+    if (base.currentSnapshotId == scanSnapshotId) return // no concurrent commit
+    val byId = base.snapshots.map(s => s.snapshotId -> s).toMap
+    val newIds = scala.collection.mutable.Set[Long]()
+    var cur = base.currentSnapshotId.flatMap(byId.get)
+    var reached = scanSnapshotId.isEmpty
+    while (cur.isDefined && !reached) {
+      if (scanSnapshotId.contains(cur.get.snapshotId)) reached = true
+      else { newIds += cur.get.snapshotId; cur = cur.get.parentSnapshotId.flatMap(byId.get) }
+    }
+    if (!reached)
+      throw new ValidationException(
+        s"scan snapshot $scanSnapshotId is no longer an ancestor of " +
+          s"current ${base.currentSnapshotId} (rollback or rewritten history)")
+    if (failOnNewReplaceOps) {
+      // row-id (position) deltas survive concurrent APPENDS but not any
+      // commit that may have moved rows between files
+      val bad = newIds.flatMap(byId.get).filter(_.operation != "append")
+      if (bad.nonEmpty)
+        throw new ValidationException(
+          s"concurrent ${bad.head.operation} commit may have rewritten " +
+            "rows this operation addresses by position")
+    }
+    val manifests = baseManifests(io, base)
+    def entriesOf(m: ManifestFile) = {
+      val spec = base.partitionSpecs.find(_.specId == m.partitionSpecId)
+        .getOrElse(base.defaultSpec)
+      ManifestIO.readManifest(io, m.manifestPath, base.currentSchema, spec)
+    }
+    if (mustBeAlive.nonEmpty) {
+      // scheme-insensitive compare: scan-side paths arrive qualified
+      // (file:///…) while manifests store them as written
+      def norm(p: String): String = {
+        val i = p.indexOf(":/")
+        if (i > 0 && p.substring(0, i).forall(_.isLetter))
+          "/" + p.substring(i + 2).dropWhile(_ == '/')
+        else p
+      }
+      val alive = manifests.filter(_.content == ManifestContent.Data)
+        .iterator.flatMap(m => entriesOf(m).filter(_.isAlive).map(e => norm(e.dataFile.filePath)))
+        .toSet
+      val gone = mustBeAlive.map(norm) -- alive
+      if (gone.nonEmpty)
+        throw new ValidationException(
+          s"concurrent commit removed/rewrote ${gone.size} file(s) this " +
+            s"operation depends on, e.g. ${gone.head}")
+    }
+    conflictFilter.foreach { f =>
+      val hit = manifests
+        .filter(m => m.content == ManifestContent.Data && newIds(m.addedSnapshotId))
+        .exists(m => entriesOf(m).exists(e =>
+          e.status == ManifestStatus.Added && e.snapshotId.exists(newIds) &&
+            graft.expr.InclusiveMetricsEvaluator.fileMightMatch(f, e.dataFile, schema)))
+      if (hit)
+        throw new ValidationException(
+          "serializable isolation: a concurrent commit added data that may " +
+            "match this operation's condition")
+    }
+    if (failOnNewDeletes) {
+      val hit = manifests.exists(m =>
+        m.content == ManifestContent.Deletes && newIds(m.addedSnapshotId))
+      if (hit)
+        throw new ValidationException(
+          "a concurrent commit added delete files during this rewrite; " +
+            "folding would lose them")
+    }
+  }
+
+  /** Isolation level for a row-level operation from table properties
+    * (write.<op>.isolation-level ∈ serializable|snapshot, Iceberg's
+    * property names; default serializable). */
+  def conflictFilterFor(base: TableMetadata, op: String,
+      filter: graft.expr.Predicate): Option[graft.expr.Predicate] =
+    base.properties.getOrElse(s"write.$op.isolation-level", "serializable") match {
+      case "snapshot" => None
+      case _ => Some(filter)
+    }
+
   /** Rewrite the base's data manifests dropping `dropPaths`: dropped files
     * become Deleted tombstones, survivors become Existing with resolved
     * sequence numbers; untouched manifests pass through. Delete manifests

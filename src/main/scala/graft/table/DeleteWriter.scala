@@ -60,7 +60,8 @@ object DeleteWriter {
         .sortWithinPartitions("file_path", "pos")
 
     if (whole.isEmpty)
-      return writeDeleteFiles(table, matches, FileContent.PositionDeletes, Nil, spark)
+      return writeDeleteFiles(table, matches, FileContent.PositionDeletes, Nil, spark,
+        referencedPaths = partial.map(_.file.filePath).toSet)
 
     // stage position-delete parquet for the boundary files (pre-commit)
     val commitUuid = UUID.randomUUID().toString
@@ -72,6 +73,11 @@ object DeleteWriter {
     Commits.commit(table, "delete", commitUuid, Map(
       "deleted-data-files" -> whole.size.toString,
       "added-delete-files" -> posFiles.size.toString)) { (base, seq, snapshotId) =>
+      // positions reference files by (path, row index): a concurrently
+      // rewritten target would silently resurrect its rows
+      Commits.validateReplace(table.io, base, table.metadata.currentSnapshotId,
+        wholePaths ++ partial.map(_.file.filePath),
+        Commits.conflictFilterFor(base, "delete", bound), table.schema)
       val rewritten = Commits.rewriteManifestsDropping(table.io, base, wholePaths,
         commitUuid, snapshotId, seq)
       val deleteManifest =
@@ -150,6 +156,9 @@ object DeleteWriter {
       // tombstone the superseded entries in their manifests. Runs inside the
       // commit closure so optimistic retries merge against the refreshed base.
       val touched = blobs.map(_._1).toSet
+      // DV positions address the touched files: targets must still be alive
+      Commits.validateReplace(table.io, base, table.metadata.currentSnapshotId,
+        touched, None, table.schema)
       val baseMs = Commits.baseManifests(table.io, base)
       def specOf(m: ManifestFile) = base.partitionSpecs
         .find(_.specId == m.partitionSpecId).getOrElse(base.defaultSpec)
@@ -233,7 +242,8 @@ object DeleteWriter {
   }
 
   private def writeDeleteFiles(table: GraftTable, rows: DataFrame, content: Int,
-      equalityIds: Seq[Int], spark: SparkSession): GraftTable = {
+      equalityIds: Seq[Int], spark: SparkSession,
+      referencedPaths: Set[String] = Set.empty): GraftTable = {
     val encConf = graft.crypto.Encryption.confFor(table.metadata.properties)
     val commitUuid = UUID.randomUUID().toString
     val outDir = Locations.commitDir(table, "deletes", commitUuid)
@@ -262,6 +272,12 @@ object DeleteWriter {
       Map("added-delete-files" -> files.size.toString,
         "added-position-deletes" -> (if (content == FileContent.PositionDeletes)
           files.map(_.recordCount).sum.toString else "0"))) { (base, seq, snapshotId) =>
+      // position deletes address (path, row index): their target files must
+      // survive any concurrent rewrite. Equality deletes pass an empty set
+      // (they bind by key + sequence number, immune to file identity).
+      if (referencedPaths.nonEmpty)
+        Commits.validateReplace(table.io, base, table.metadata.currentSnapshotId,
+          referencedPaths, None, table.schema)
       val entries = files.map(f => ManifestEntry(ManifestStatus.Added, Some(snapshotId),
         Some(seq), Some(seq), f))
       val m = Commits.writeManifest(table.io, base, s"$commitUuid-d0", entries,

@@ -45,16 +45,26 @@ object Maintenance {
     val commitUuid = UUID.randomUUID().toString
     val files = AppendWriter.writeDataFiles(table, df, commitUuid)
 
+    val sourcePaths = tasks.map(_.file.filePath).toSet
     Commits.commit(table, "replace", commitUuid, Map(
       "rewritten-data-files" -> tasks.size.toString,
       "added-data-files" -> files.size.toString)) { (base, seq, snapshotId) =>
-      if (base.currentSnapshotId != baseSnapshotId)
-        throw new IllegalStateException(
-          "concurrent commit during rewrite; re-run compaction")
+      // Concurrent APPENDS are fine — their manifests pass through the
+      // rewrite untouched. What must abort: a concurrent commit that
+      // removed one of our sources (rows would duplicate — the new files
+      // re-add them) or added DELETE files (folded set becomes stale and
+      // their rows would resurrect). Serializable-lite for compaction.
+      Commits.validateReplace(table.io, base, baseSnapshotId, sourcePaths,
+        None, table.schema, failOnNewDeletes = true)
       val entries = files.map(f => ManifestEntry(ManifestStatus.Added, Some(snapshotId),
         Some(seq), Some(seq), f))
-      Seq(Commits.writeManifest(table.io, base, s"$commitUuid-m0", entries,
-        table.schema, table.spec, ManifestContent.Data, snapshotId, seq))
+      val rewritten = Commits.rewriteManifestsDropping(table.io, base,
+        sourcePaths, commitUuid, snapshotId, seq,
+        // the rewrite folded every delete in scope; validation above
+        // guarantees no newer ones exist
+        dropDeleteManifests = true)
+      Commits.writeManifest(table.io, base, s"$commitUuid-m0", entries,
+        table.schema, table.spec, ManifestContent.Data, snapshotId, seq) +: rewritten
     }
   }
 

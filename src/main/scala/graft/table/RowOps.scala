@@ -57,6 +57,8 @@ object RowOps {
     Commits.commit(table, "overwrite", commitUuid, Map(
       "deleted-data-files" -> dropPaths.size.toString,
       "added-data-files" -> newFiles.size.toString)) { (base, seq, snapshotId) =>
+      Commits.validateReplace(table.io, base, table.metadata.currentSnapshotId,
+        dropPaths, Commits.conflictFilterFor(base, "delete", bound), table.schema)
       val rewritten = Commits.rewriteManifestsDropping(table.io, base, dropPaths,
         commitUuid, snapshotId, seq)
       val added =
@@ -114,6 +116,12 @@ object RowOps {
     Commits.commit(table, "overwrite", commitUuid, Map(
       "merged-data-files" -> dropPaths.size.toString,
       "added-data-files" -> newFiles.size.toString)) { (base, seq, snapshotId) =>
+      // merge has no static predicate bounding the conflict region: under
+      // serializable isolation ANY concurrently-added data row may match
+      // a source key, so the filter is AlwaysTrue (every new file trips)
+      Commits.validateReplace(table.io, base, table.metadata.currentSnapshotId,
+        dropPaths, Commits.conflictFilterFor(base, "merge", graft.expr.AlwaysTrue),
+        table.schema)
       val rewritten = Commits.rewriteManifestsDropping(table.io, base, dropPaths,
         commitUuid, snapshotId, seq)
       val added =

@@ -1,0 +1,113 @@
+package graft.table
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.HadoopCatalog
+import graft.expr.{BinaryPred, Gt, LtEq}
+import graft.io.FileIO
+import graft.spec._
+import graft.spec.IcebergType._
+
+/** Commit-time conflict validation (serializable/snapshot isolation):
+  * operations whose scan basis was invalidated by a concurrent commit
+  * must ABORT, not silently resurrect or duplicate rows. Concurrency is
+  * simulated with two table handles — one scans, the other commits in
+  * between. */
+class ConflictSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("conflict-spec")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def freshCatalog() = new HadoopCatalog(
+    java.nio.file.Files.createTempDirectory("graft-conflict-").toString,
+    FileIO.fromSpark(spark))
+
+  private val schema = IcebergSchema(0, Seq(
+    NestedField(1, "id", LongT, required = false),
+    NestedField(2, "v", DoubleT, required = false)))
+
+  private def df(r: Range) = {
+    import spark.implicits._
+    r.map(i => (i.toLong, i * 1.0)).toDF("id", "v")
+  }
+
+  test("CoW delete from a stale handle aborts after concurrent compaction") {
+    val catalog = freshCatalog()
+    var t = GraftTable.create("c1", catalog, schema)
+    t = t.append(df(1 to 50)); t = t.append(df(51 to 100))
+
+    val stale = GraftTable.load("c1", catalog) // scans at this snapshot
+    Maintenance.rewriteDataFiles(GraftTable.load("c1", catalog), spark) // concurrent
+
+    val err = intercept[Commits.ValidationException] {
+      RowOps.overwriteWhere(stale, BinaryPred(Gt, "id", 90L), null, spark)
+    }
+    assert(err.getMessage.contains("removed/rewrote"))
+    // and the table is intact: nothing half-committed
+    assert(GraftTable.load("c1", catalog).newScan().toDF(spark).count() === 100)
+  }
+
+  test("MoR position delete from a stale handle aborts after concurrent compaction") {
+    val catalog = freshCatalog()
+    var t = GraftTable.create("c2", catalog, schema)
+    t = t.append(df(1 to 50)); t = t.append(df(51 to 100))
+    val stale = GraftTable.load("c2", catalog)
+    Maintenance.rewriteDataFiles(GraftTable.load("c2", catalog), spark)
+    intercept[Commits.ValidationException] {
+      stale.deleteWhere(BinaryPred(LtEq, "id", 10L), spark)
+    }
+    assert(GraftTable.load("c2", catalog).newScan().toDF(spark).count() === 100)
+  }
+
+  test("serializable CoW delete aborts on concurrent matching append; snapshot isolation proceeds") {
+    val catalog = freshCatalog()
+    var t = GraftTable.create("c3", catalog, schema)
+    t = t.append(df(1 to 100))
+
+    val stale = GraftTable.load("c3", catalog)
+    GraftTable.load("c3", catalog).append(df(101 to 110)) // concurrent append
+
+    intercept[Commits.ValidationException] {
+      RowOps.overwriteWhere(stale, BinaryPred(Gt, "id", 90L), null, spark)
+    }
+
+    // snapshot isolation: the same race is allowed — the delete applies
+    // to the rows it scanned (1..110), the concurrent append's stay
+    GraftTable.load("c3", catalog)
+      .updateProperties(Map("write.delete.isolation-level" -> "snapshot"))
+    val stale2 = GraftTable.load("c3", catalog) // sees 1..110
+    GraftTable.load("c3", catalog).append(df(111 to 120))
+    RowOps.overwriteWhere(stale2, BinaryPred(Gt, "id", 95L), null, spark)
+    // 1..95 survive the delete, 111..120 survive the race
+    assert(GraftTable.load("c3", catalog).newScan().toDF(spark).count() === 105)
+  }
+
+  test("compaction tolerates a concurrent append but aborts on concurrent deletes") {
+    val catalog = freshCatalog()
+    var t = GraftTable.create("c4", catalog, schema)
+    t = t.append(df(1 to 50)); t = t.append(df(51 to 100))
+
+    // append lands while compaction is underway: both survive
+    val compactor = GraftTable.load("c4", catalog)
+    GraftTable.load("c4", catalog).append(df(101 to 150))
+    val compacted = Maintenance.rewriteDataFiles(compactor, spark)
+    assert(GraftTable.load("c4", catalog).newScan().toDF(spark).count() === 150)
+
+    // a delete file committed mid-compaction must abort the rewrite
+    val compactor2 = GraftTable.load("c4", catalog)
+    GraftTable.load("c4", catalog).deleteWhere(BinaryPred(LtEq, "id", 5L), spark)
+    intercept[Commits.ValidationException] {
+      Maintenance.rewriteDataFiles(compactor2, spark)
+    }
+    assert(GraftTable.load("c4", catalog).newScan().toDF(spark).count() === 145)
+  }
+}
