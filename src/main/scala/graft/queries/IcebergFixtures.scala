@@ -263,6 +263,18 @@ object IcebergFixtures {
         .withColumn("bonus", col("balance") * 0.125))
     }
 
+  /** lineitem z-ordered on (l_quantity, l_extendedprice): appended in
+    * shuffled order, then rewritten along the Morton curve so box
+    * queries over BOTH measures prune from file stats. */
+  def lineitemZOrder(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "lineitem_zorder") { catalog =>
+      val src = Tables.lineitem(spark, sfDir)
+      val schema = IcebergSchema.fromSpark(src.schema)
+      val t = GraftTable.create("lineitem_zorder", catalog, schema).append(src)
+      graft.table.Maintenance.rewriteDataFilesZOrder(t, spark,
+        Seq("l_quantity", "l_extendedprice"), targetFileSizeBytes = 256 << 10)
+    }
+
   /** supplier on a v3 table exercising every field-default path
     * (datatypes.rs:573-575): keys %3==0 written BEFORE the `rating`
     * column existed (read serves the initial-default), %3==1 written with

@@ -555,7 +555,31 @@ object IcebergQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Z-order rewrite correctness + utility: a two-measure box over the
+    * Morton-clustered table returns exactly the raw rows (the rewrite
+    * moved rows between files, never changed them), while planFiles
+    * prunes on both box dimensions (asserted in MaintenanceSpec). */
+  val i28 = Q.sql(
+    "i28_zorder_box_scan",
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      |FROM lineitem
+      |WHERE l_quantity <= 5 AND l_extendedprice <= 20000
+      |ORDER BY 1, 2, 3, 4""".stripMargin
+  ) { (s, d) =>
+    import graft.expr.{And => PAnd, BinaryPred, LtEq}
+    IcebergFixtures.lineitemZOrder(s, d).newScan()
+      .withFilter(graft.expr.Predicate.bind(
+        PAnd(BinaryPred(LtEq, "l_quantity", 5.0),
+          BinaryPred(LtEq, "l_extendedprice", 20000.0)),
+        IcebergFixtures.lineitemZOrder(s, d).schema))
+      .toDF(s)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"))
+  }
+
   val all: Seq[Q] = Seq(i01, i02, i03, i04, i05, i06, i07, i08, i09, i10,
     i11, i12, i13, i14, i15, i16, i17, i18, i19, i20, i21, i22, i23, i24, i25,
-    i26, i27)
+    i26, i27, i28)
 }

@@ -78,6 +78,19 @@ object GraftProcedures {
           Seq(before, after)
         }
       })
+      case "rewrite_data_files_zorder" => Some(new Proc(catalog, name,
+          Seq("table" -> StringType, "columns" -> StringType),
+          Seq("rewritten_data_files_count" -> IntegerType,
+            "added_data_files_count" -> IntegerType)) {
+        def run(a: InternalRow): Seq[Any] = {
+          val t = table(a)
+          val cols = a.getUTF8String(1).toString.split(",").map(_.trim).toSeq
+          val before = t.newScan().planFiles().size
+          val after = t.rewriteDataFilesZOrder(spark, cols)
+            .newScan().planFiles().size
+          Seq(before, after)
+        }
+      })
       case "rewrite_manifests" => Some(new Proc(catalog, name,
           Seq("table" -> StringType),
           Seq("rewritten_manifests_count" -> IntegerType,
@@ -161,7 +174,8 @@ object GraftProcedures {
     }
   }
 
-  val Names: Seq[String] = Seq("rewrite_data_files", "rewrite_manifests",
+  val Names: Seq[String] = Seq("rewrite_data_files",
+    "rewrite_data_files_zorder", "rewrite_manifests",
     "expire_snapshots", "remove_orphan_files", "rollback_to_snapshot",
     "create_branch", "create_tag", "fast_forward", "write_partition_stats")
 }

@@ -87,6 +87,11 @@ final class GraftTable(
   def rewriteManifests(smallManifestBytes: Long = 8L << 20): GraftTable =
     Maintenance.rewriteManifests(this, smallManifestBytes)
 
+  /** Z-order rewrite over `cols` (multi-dimensional clustering). */
+  def rewriteDataFilesZOrder(spark: SparkSession, cols: Seq[String],
+      targetFileSizeBytes: Long = 512L << 20): GraftTable =
+    Maintenance.rewriteDataFilesZOrder(this, spark, cols, targetFileSizeBytes)
+
   def rewriteDataFiles(spark: SparkSession,
       targetFileSizeBytes: Long = 512L << 20): GraftTable =
     Maintenance.rewriteDataFiles(this, spark, targetFileSizeBytes)

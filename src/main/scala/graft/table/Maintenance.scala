@@ -68,6 +68,67 @@ object Maintenance {
     }
   }
 
+  /** Z-ORDER rewrite: like rewriteDataFiles but the data is re-clustered
+    * along a Morton curve over `cols` before writing, so per-file min/max
+    * stats become selective on EVERY listed column — a box query over
+    * (x, y) prunes files on both, where a linear sort serves only its
+    * leading column. Column bounds come from the planned files' stats
+    * (metadata-only, no extra data pass); the key itself is a native
+    * codegen expression (functions.ZOrderExpr).
+    *
+    * Scale shape: one range shuffle on the z-key (+ the write). Same
+    * conflict validation as plain compaction. */
+  def rewriteDataFilesZOrder(table: GraftTable, spark: SparkSession,
+      cols: Seq[String], targetFileSizeBytes: Long = 512L << 20): GraftTable = {
+    require(cols.nonEmpty, "zorder needs at least one column")
+    val scan = table.newScan()
+    val tasks = scan.planFiles()
+    if (tasks.isEmpty) return table
+    val baseSnapshotId = table.metadata.currentSnapshotId
+
+    val fields = cols.map(c => table.schema.findField(c).getOrElse(
+      throw new IllegalArgumentException(s"unknown zorder column: $c")))
+    def boundOf(id: Int,
+        side: graft.meta.DataFile => Map[Int, Any]): Seq[Double] =
+      tasks.flatMap(tk => side(tk.file).get(id)).map {
+        case n: Number => n.doubleValue()
+        case d: java.math.BigDecimal => d.doubleValue()
+        case other => throw new IllegalArgumentException(
+          s"zorder needs numeric bounds, got $other")
+      }
+    val mins = fields.map(f => boundOf(f.id, _.lowerBounds)
+      .reduceOption(math.min(_, _)).getOrElse(0.0))
+    val maxs = fields.map(f => boundOf(f.id, _.upperBounds)
+      .reduceOption(math.max(_, _)).getOrElse(0.0))
+
+    val totalBytes = tasks.map(_.file.fileSizeInBytes).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileSizeBytes).toInt)
+    val zcol = graft.functions.ZOrderExpr.column(
+      cols.map(org.apache.spark.sql.functions.col), mins, maxs)
+    val df = scan.toDF(spark)
+      .withColumn("__z", zcol)
+      .repartitionByRange(nOut, org.apache.spark.sql.functions.col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+
+    val commitUuid = UUID.randomUUID().toString
+    val files = AppendWriter.writeDataFiles(table, df, commitUuid)
+    val sourcePaths = tasks.map(_.file.filePath).toSet
+    Commits.commit(table, "replace", commitUuid, Map(
+      "rewritten-data-files" -> tasks.size.toString,
+      "added-data-files" -> files.size.toString,
+      "zorder-columns" -> cols.mkString(","))) { (base, seq, snapshotId) =>
+      Commits.validateReplace(table.io, base, baseSnapshotId, sourcePaths,
+        None, table.schema, failOnNewDeletes = true)
+      val entries = files.map(f => ManifestEntry(ManifestStatus.Added, Some(snapshotId),
+        Some(seq), Some(seq), f))
+      val rewritten = Commits.rewriteManifestsDropping(table.io, base,
+        sourcePaths, commitUuid, snapshotId, seq, dropDeleteManifests = true)
+      Commits.writeManifest(table.io, base, s"$commitUuid-m0", entries,
+        table.schema, table.spec, ManifestContent.Data, snapshotId, seq) +: rewritten
+    }
+  }
+
   /** Expire snapshots older than `olderThanMs`, retaining at least
     * `retainLast` ancestors of the current snapshot (current is never
     * expired). Metadata-only commit; expired manifest lists are deleted,

@@ -138,6 +138,41 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.newScan().toDF(spark).count() === 4 * src.count())
   }
 
+  test("z-order rewrite: box pruning works on BOTH dimensions afterwards") {
+    val sp = spark
+    import sp.implicits._
+    import graft.expr.{BinaryPred, LtEq}
+    import graft.spec.IcebergType.LongT
+    var t = GraftTable.create("zord", catalog, IcebergSchema(0, Seq(
+      NestedField(1, "x", LongT, required = false),
+      NestedField(2, "y", LongT, required = false))))
+    // 8 appends, each an x-slab spanning ALL of y: a y-box can never
+    // prune this layout
+    for (x <- 0 until 8)
+      t = t.append((0 until 8).map(y => (x.toLong, y.toLong))
+        .toDF("x", "y").coalesce(1))
+    val pre = t.newScan().planFiles().size
+    val preY = t.newScan()
+      .withFilter(Predicate.bind(BinaryPred(LtEq, "y", 1L), t.schema))
+      .planFiles().size
+    assert(pre === 8 && preY === 8, "y never prunes the x-slab layout")
+    val before = t.newScan().toDF(spark).collect().map(_.toString).sorted
+
+    t = t.rewriteDataFilesZOrder(spark, Seq("x", "y"), targetFileSizeBytes = 1000)
+    assert(t.newScan().toDF(spark).collect().map(_.toString).sorted
+      .sameElements(before), "rewrite preserves rows")
+    val postFiles = t.newScan().planFiles().size
+    val postY = t.newScan()
+      .withFilter(Predicate.bind(BinaryPred(LtEq, "y", 1L), t.schema))
+      .planFiles().size
+    val postX = t.newScan()
+      .withFilter(Predicate.bind(BinaryPred(LtEq, "x", 1L), t.schema))
+      .planFiles().size
+    assert(postFiles > 1, s"need multiple files to demonstrate pruning")
+    assert(postY < postFiles, s"y-box must prune the z-ordered layout ($postY/$postFiles)")
+    assert(postX < postFiles, s"x-box must still prune too ($postX/$postFiles)")
+  }
+
   test("rewrite manifests: consolidates per spec, preserves rows, deletes, pruning") {
     val ss = spark
     import ss.implicits._
