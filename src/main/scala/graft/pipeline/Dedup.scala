@@ -59,9 +59,12 @@ object Dedup {
     *
     * Shape: explode shingle hashes once (md5 computed exactly once per
     * shingle), then ONE hash aggregation computing all b·r affine minima
-    * as codegen'd partial aggregates. The naive per-column formulation
-    * (b·r array expressions over the shingle array) re-inlines the md5
-    * hashing b·r times — 64× the hash work, measured 30× slower at sf0.1. */
+    * as codegen'd partial aggregates. Shapes tried and rejected by
+    * measurement: per-band array expressions re-inlining the md5 b·r
+    * times (30× slower), and a zero-shuffle `array_min(transform(...))`
+    * per-row form (2× slower — each of the 64 transforms materializes a
+    * fresh array per row; the aggregates stay primitive and the exchange
+    * is cheaper than the allocation storm). */
   def minhashBands(sets: DataFrame, bands: Int, rows: Int): DataFrame = {
     val hashed = sets
       .select(col("doc_id"), explode(TextHash.hashAll(col("s"))).as("x0"))
