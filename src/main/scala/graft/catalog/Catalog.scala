@@ -20,6 +20,49 @@ trait Catalog {
   def listTables(): Seq[String]
   /** Atomic swap: succeeds only if current version == baseVersion. */
   def commitTable(name: String, baseVersion: Int, updated: TableMetadata): Int
+
+  /** Register an EXISTING table by its metadata file (catalog/mod.rs:121
+    * register_table): the metadata JSON is read from `metadataLocation`
+    * and becomes the catalog's current version for `name` — data and
+    * manifest files stay exactly where they are (manifests address files
+    * absolutely). The migration path between catalogs. */
+  def registerTable(name: String, metadataLocation: String): TableMetadata = {
+    require(!tableExists(name), s"table already exists: $name")
+    val md = TableMetadata.fromJsonString(io.readString(metadataLocation))
+    registerParsed(name, md)
+    md
+  }
+
+  /** Catalog-specific "adopt this metadata as v1 of `name`". */
+  protected def registerParsed(name: String, md: TableMetadata): Unit
+
+  /** Drop the table AND delete its files (catalog/mod.rs:112 purge_table):
+    * every data/delete file reachable from any snapshot, every manifest +
+    * manifest list, statistics files, and the metadata generations.
+    * dropTable alone leaves files for an external GC. */
+  def purgeTable(name: String): Boolean = {
+    if (!tableExists(name)) return false
+    val (md, _) = loadTable(name)
+    md.snapshots.foreach { s =>
+      graft.meta.ManifestIO.readManifestList(io, s.manifestList,
+        md.partitionSpecs.map(sp => sp.specId -> sp.partitionType(md.currentSchema)).toMap)
+        .foreach { m =>
+          val spec = md.partitionSpecs.find(_.specId == m.partitionSpecId)
+            .getOrElse(md.defaultSpec)
+          graft.meta.ManifestIO.readManifest(io, m.manifestPath, md.currentSchema, spec)
+            .foreach(e => quietDelete(e.dataFile.filePath))
+          quietDelete(m.manifestPath)
+        }
+      quietDelete(s.manifestList)
+    }
+    (md.statistics.map(_.statisticsPath) ++
+      md.partitionStatistics.map(_.statisticsPath)).foreach(quietDelete)
+    md.metadataLog.map(_._1).foreach(quietDelete)
+    dropTable(name)
+  }
+
+  private def quietDelete(path: String): Unit =
+    try { io.delete(path); () } catch { case _: Throwable => () }
 }
 
 /** Directory-layout catalog with atomic-rename commits (the reference's
@@ -50,6 +93,9 @@ final class HadoopCatalog(warehouse: String, val io: FileIO) extends Catalog {
     writeVersion(name, 1, md)
     md
   }
+
+  override protected def registerParsed(name: String, md: TableMetadata): Unit =
+    writeVersion(name, 1, md)
 
   override def loadTable(name: String): (TableMetadata, Int) = {
     val v = currentVersion(name).getOrElse(
@@ -131,6 +177,11 @@ final class MemoryCatalog(warehouse: String, val io: FileIO) extends Catalog {
     val prev = tables.putIfAbsent(name, Vector(md))
     require(prev == null, s"table already exists: $name")
     md
+  }
+
+  override protected def registerParsed(name: String, md: TableMetadata): Unit = {
+    val prev = tables.putIfAbsent(name, Vector(md))
+    require(prev == null, s"table already exists: $name")
   }
 
   override def loadTable(name: String): (TableMetadata, Int) = {

@@ -76,27 +76,36 @@ final class JdbcCatalog(jdbcUrl: String, warehouse: String, val io: FileIO,
     } finally ps.close()
   }
 
+  override protected def registerParsed(name: String, md: TableMetadata): Unit = {
+    val loc = versionFile(name, 1)
+    io.writeString(loc, md.toJsonString, overwrite = false)
+    registerRow(name, loc)
+  }
+
   override def createTable(name: String, schema: IcebergSchema, spec: PartitionSpec,
       properties: Map[String, String]): TableMetadata = {
     val md = TableMetadata.newTable(tableDir(name), schema, spec, properties)
     val loc = versionFile(name, 1)
     io.writeString(loc, md.toJsonString, overwrite = false)
-    withConn { c =>
-      val ps = c.prepareStatement(
-        s"""INSERT INTO $TableName (catalog_name, table_namespace, table_name,
-           |  metadata_location, previous_metadata_location)
-           |  VALUES (?, ?, ?, ?, NULL)""".stripMargin)
-      try {
-        ps.setString(1, catalogName); ps.setString(2, namespace)
-        ps.setString(3, name); ps.setString(4, loc)
-        ps.executeUpdate()
-      } catch {
-        case e: java.sql.SQLIntegrityConstraintViolationException =>
-          io.delete(loc)
-          throw new IllegalArgumentException(s"table already exists: $name", e)
-      } finally ps.close()
-    }
+    registerRow(name, loc)
     md
+  }
+
+  private def registerRow(name: String, loc: String): Unit = withConn { c =>
+    val ps = c.prepareStatement(
+      s"""INSERT INTO $TableName (catalog_name, table_namespace, table_name,
+         |  metadata_location, previous_metadata_location)
+         |  VALUES (?, ?, ?, ?, NULL)""".stripMargin)
+    try {
+      ps.setString(1, catalogName); ps.setString(2, namespace)
+      ps.setString(3, name); ps.setString(4, loc)
+      ps.executeUpdate()
+      ()
+    } catch {
+      case e: java.sql.SQLIntegrityConstraintViolationException =>
+        io.delete(loc)
+        throw new IllegalArgumentException(s"table already exists: $name", e)
+    } finally ps.close()
   }
 
   override def loadTable(name: String): (TableMetadata, Int) = withConn { c =>

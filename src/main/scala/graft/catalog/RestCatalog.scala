@@ -43,6 +43,22 @@ final class RestCatalog(baseUri: String, namespace: String, val io: FileIO)
 
   private def tablesUri = s"$baseUri/v1/namespaces/$namespace/tables"
 
+  /** REST register sends the LOCATION — the service reads the metadata
+    * (RegisterTableRequest), so the default read-then-adopt path is
+    * bypassed. */
+  override def registerTable(name: String, metadataLocation: String): TableMetadata = {
+    val body = obj()
+    body.put("name", name)
+    body.put("metadata-location", metadataLocation)
+    val resp = send(post(s"$baseUri/v1/namespaces/$namespace/register", body.toString))
+    require(resp.statusCode() == 200 || resp.statusCode() == 201,
+      s"register failed: ${resp.statusCode()} ${resp.body()}")
+    loadTable(name)._1
+  }
+
+  override protected def registerParsed(name: String, md: TableMetadata): Unit =
+    throw new UnsupportedOperationException("REST register goes through registerTable")
+
   private def record(name: String, location: String, md: TableMetadata): Int = {
     val v = counters.computeIfAbsent(name, _ => new AtomicInteger()).incrementAndGet()
     val m = versions.computeIfAbsent(name,

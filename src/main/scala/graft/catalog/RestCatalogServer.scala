@@ -44,9 +44,28 @@ final class RestCatalogServer(warehouse: String, namespace: String = "default") 
   def start(): Int = {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext(s"/v1/namespaces/$namespace/tables", handle _)
+    server.createContext(s"/v1/namespaces/$namespace/register", register _)
     server.start()
     server.getAddress.getPort
   }
+
+  /** POST /register {name, metadata-location}: adopt an existing table's
+    * metadata file as this catalog's current version (REST spec
+    * RegisterTableRequest). */
+  private def register(ex: HttpExchange): Unit =
+    try {
+      if (ex.getRequestMethod != "POST") { respond(ex, 405, "{}"); return }
+      val body = Json.parse(readBody(ex))
+      val n = body("name").asText()
+      val loc = body("metadata-location").asText()
+      val md = TableMetadata.fromJsonString(
+        graft.io.FileIO.local().readString(loc))
+      if (tables.putIfAbsent(n, (loc, 1, md)) != null)
+        respond(ex, 409, """{"error":"table already exists"}""")
+      else respond(ex, 200, loadResult(loc, md))
+    } catch {
+      case e: Throwable => respond(ex, 400, s"""{"error":"${e.getMessage}"}""")
+    }
 
   def stop(): Unit = if (server != null) server.stop(0)
 

@@ -121,4 +121,25 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cat.loadTable("r3")._1.nextRowId === 4L)
     assert(t.newScan().toDF(spark).count() === 4)
   }
+
+  test("register endpoint adopts an existing metadata file") {
+    import spark.implicits._
+    // build a real table in a hadoop catalog, then register its metadata
+    // file with the REST service (RegisterTableRequest)
+    val wh = java.nio.file.Files.createTempDirectory("graft-rest-reg").toString
+    val hc = new graft.catalog.HadoopCatalog(wh, graft.io.FileIO.fromSpark(spark))
+    var src = graft.table.GraftTable.create("ext", hc,
+      graft.spec.IcebergSchema.fromSpark(Seq((1L, "a")).toDF("id", "s").schema))
+    src = src.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+
+    val cat = catalog
+    val md = cat.registerTable("ext_adopted", s"${src.location}/metadata/v2.metadata.json")
+    assert(md.currentSnapshotId === src.metadata.currentSnapshotId)
+    val t = graft.table.GraftTable.load("ext_adopted", cat)
+    assert(t.newScan().toDF(spark).count() === 2)
+    // duplicate register refuses
+    intercept[Exception] {
+      cat.registerTable("ext_adopted", s"${src.location}/metadata/v2.metadata.json")
+    }
+  }
 }

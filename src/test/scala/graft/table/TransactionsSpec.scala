@@ -436,6 +436,35 @@ class TransactionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally rd.close()
   }
 
+  test("register_table adopts an existing metadata file; purge_table deletes files") {
+    val catA = freshHadoop()
+    var t = GraftTable.create("reg_src", catA, schema)
+    t = t.append(sampleDf)
+    val metadataLoc = s"${t.location}/metadata/v2.metadata.json"
+    assert(t.io.exists(metadataLoc))
+
+    // adopt into a different catalog: same files, independent history
+    val catB = new MemoryCatalog(
+      java.nio.file.Files.createTempDirectory("graft-reg-b-").toString,
+      FileIO.local())
+    val adopted = catB.registerTable("adopted", metadataLoc)
+    assert(adopted.currentSnapshotId === t.metadata.currentSnapshotId)
+    val t2 = GraftTable.load("adopted", catB)
+    assert(t2.newScan().toDF(spark).count() === 100)
+    // and the adopted table keeps committing in its new catalog
+    assert(t2.append(sampleDf).newScan().toDF(spark).count() === 200)
+    intercept[IllegalArgumentException] {
+      catB.registerTable("adopted", metadataLoc)
+    }
+
+    // purge deletes data, manifests, lists and metadata generations
+    val dataFiles = t.newScan().planFiles().map(_.file.filePath)
+    assert(dataFiles.nonEmpty && dataFiles.forall(t.io.exists))
+    assert(catA.purgeTable("reg_src"))
+    assert(!catA.tableExists("reg_src"))
+    assert(dataFiles.forall(p => !t.io.exists(p)), "purged data files remain")
+  }
+
   test("memory catalog: create/load/commit/conflict semantics") {
     val cat = new MemoryCatalog(
       java.nio.file.Files.createTempDirectory("graft-mem-").toString,
