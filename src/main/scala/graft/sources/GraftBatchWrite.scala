@@ -45,7 +45,8 @@ import graft.table.{AppendWriter, Commits, GraftTable, Locations}
   *     planned, add the rewritten ones (SQL DELETE/UPDATE/MERGE, CoW)
   */
 final class GraftWriteBuilder(table: GraftTable, writeSchema: StructType,
-    replaceOp: Option[GraftRowLevelOperation] = None)
+    replaceOp: Option[GraftRowLevelOperation] = None,
+    queryId: Option[String] = None)
     extends WriteBuilder with SupportsTruncate {
 
   private var truncateFirst = false
@@ -58,7 +59,7 @@ final class GraftWriteBuilder(table: GraftTable, writeSchema: StructType,
       case None if truncateFirst => GraftWriteMode.Truncate
       case None => GraftWriteMode.Append
     }
-    new GraftWrite(table, writeSchema, mode)
+    new GraftWrite(table, writeSchema, mode, queryId)
   }
 }
 
@@ -70,7 +71,8 @@ private[sources] object GraftWriteMode {
 }
 
 final class GraftWrite(table: GraftTable, writeSchema: StructType,
-    mode: GraftWriteMode) extends Write with RequiresDistributionAndOrdering {
+    mode: GraftWriteMode, queryId: Option[String] = None)
+    extends Write with RequiresDistributionAndOrdering {
 
   /** Identity specs cluster by the source columns (one shuffle, few files
     * per partition — the DataFrame path's `hash` distribution mode).
@@ -92,7 +94,68 @@ final class GraftWrite(table: GraftTable, writeSchema: StructType,
 
   override def toBatch: BatchWrite = new GraftBatchWrite(table, writeSchema, mode)
 
+  /** Native streaming sink (`df.writeStream.format("graft")` /
+    * `.toTable`): each micro-batch is one atomic append commit whose
+    * snapshot summary records (query-id, epoch-id); a checkpoint-rewind
+    * replay of an already-committed epoch is skipped — the same
+    * exactly-once contract as the foreachBatch path
+    * (streaming/GraftStreamWriter), without leaving the DSv2 surface.
+    * Only append mode: streaming truncate/CoW have no epoch semantics
+    * here. */
+  override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+    require(mode == GraftWriteMode.Append,
+      s"graft streaming sink supports append output mode only, got $mode")
+    val qid = queryId.getOrElse(
+      throw new IllegalStateException("streaming write without a query id"))
+    new GraftStreamingWrite(table, writeSchema, qid)
+  }
+
   override def description(): String = s"graft-write ${table.name} $mode"
+}
+
+/** Micro-batch streaming writes: tasks reuse the batch fanout writers
+  * (epoch id folded into the task path for uniqueness), the driver
+  * commits one append per epoch with exactly-once replay skip. */
+final class GraftStreamingWrite(table: GraftTable, writeSchema: StructType,
+    queryId: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+
+  private val commitUuid = UUID.randomUUID().toString
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    val batch = new GraftBatchWrite(table, writeSchema, GraftWriteMode.Append)
+    val f = batch.createBatchWriterFactory(info)
+    new StreamingDataWriterFactory {
+      override def createWriter(partitionId: Int, taskId: Long,
+          epochId: Long): DataWriter[org.apache.spark.sql.catalyst.InternalRow] =
+        // fold the epoch into the task id so two epochs' files never collide
+        f.createWriter(partitionId, taskId * 31L + epochId)
+    }
+  }
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val files: Seq[graft.meta.DataFile] =
+      messages.toSeq.collect { case m: GraftCommitMessage => m.files }.flatten
+    val live = GraftTable.load(table.name, table.catalog)
+    val replayed = live.metadata.snapshots.exists(s =>
+      s.summary.get(graft.streaming.GraftStreamWriter.QueryIdKey).contains(queryId) &&
+        s.summary.get(graft.streaming.GraftStreamWriter.BatchIdKey)
+          .exists(_.toLong >= epochId))
+    if (!replayed && files.nonEmpty) {
+      graft.table.AppendWriter.commitAppend(live, files, s"$commitUuid-e$epochId",
+        Map(graft.streaming.GraftStreamWriter.QueryIdKey -> queryId,
+          graft.streaming.GraftStreamWriter.BatchIdKey -> epochId.toString))
+      ()
+    }
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = ()
+    // staged files of an aborted epoch are unreferenced; the orphan sweep
+    // (remove_orphan_files) reclaims them, same as failed batch writes
 }
 
 final class GraftBatchWrite(table: GraftTable, writeSchema: StructType,

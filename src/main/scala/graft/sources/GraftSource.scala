@@ -90,6 +90,7 @@ final class GraftSparkTable(table: GraftTable) extends SparkTable
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(table, options.asCaseSensitiveMap.asScala.toMap)
@@ -101,7 +102,8 @@ final class GraftSparkTable(table: GraftTable) extends SparkTable
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
-    new GraftWriteBuilder(table, info.schema())
+    new GraftWriteBuilder(table, info.schema(),
+      queryId = Option(info.queryId()))
 
   /** `DELETE FROM t WHERE p`, metadata path: when every filter translates
     * EXACTLY (SparkFilters.exactConjunction — a weakened pruning

@@ -54,6 +54,38 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batches.nonEmpty)
   }
 
+  test("native DSv2 streaming sink: writeStream.format(graft) appends per epoch") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val wh = java.nio.file.Files.createTempDirectory("graft-sink-").toString
+    val catalog = new HadoopCatalog(wh, FileIO.fromSpark(spark))
+    GraftTable.create("sink1", catalog, schema)
+
+    val source = MemoryStream[(Long, Double)]
+    source.addData((1L, 0.5), (2L, 1.5))
+    val q = source.toDF().toDF("id", "v").writeStream
+      .format("graft")
+      .option("warehouse", wh)
+      .option("table", "sink1")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt-sink-").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    q.processAllAvailable()
+    source.addData((3L, 2.5))
+    q.processAllAvailable()
+    q.stop()
+
+    val t = GraftTable.load("sink1", catalog)
+    assert(t.newScan().toDF(spark).count() === 3)
+    // each committed epoch is tagged for the replay guard
+    val tagged = t.metadata.snapshots.flatMap(_.summary.get(GraftStreamWriter.QueryIdKey))
+    assert(tagged.nonEmpty && tagged.distinct.size === 1)
+    // replaying an already-committed epoch is a no-op
+    val epochs = t.metadata.snapshots.flatMap(_.summary.get(GraftStreamWriter.BatchIdKey))
+    assert(epochs.map(_.toLong).distinct.size === epochs.size)
+  }
+
   test("replayed batch id is skipped (exactly-once on checkpoint rewind)") {
     import spark.implicits._
     val catalog = new HadoopCatalog(
