@@ -712,6 +712,32 @@ object PipelineQueries {
       .orderBy(col("source"), col("seq_id"))
   }
 
+  /** Symmetric int8 embedding quantization — the 4× ANN memory cut.
+    * floor/div/add are IEEE-identical across engines so the quantized
+    * vectors hash-match exactly. */
+  val p25 = Q.sql(
+    "p25_embedding_quantization",
+    """SELECT vec_id,
+      |  list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS scale,
+      |  array_to_string(
+      |    CASE WHEN list_max(list_transform(embedding, x -> abs(x::DOUBLE))) = 0
+      |      THEN list_transform(embedding, x -> 0)
+      |      ELSE list_transform(embedding, x ->
+      |        floor(x::DOUBLE /
+      |          (list_max(list_transform(embedding, y -> abs(y::DOUBLE))) / 127.0)
+      |          + 0.5)::INT)
+      |    END, ',') AS q_csv
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+  ) { (s, d) =>
+    // the vector rides as CSV in the driver compare: parquet list-element
+    // FIELD NAMES differ between engines and could trip a schema hash
+    Similarity.quantizeInt8(Tables.embeddings(s, d))
+      .select(col("vec_id"), col("scale"),
+        concat_ws(",", col("q")).as("q_csv"))
+      .orderBy(col("vec_id"))
+  }
+
   val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
-    p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24)
+    p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24,
+    p25)
 }

@@ -92,8 +92,22 @@ final class GraftSparkTable(table: GraftTable) extends SparkTable
       TableCapability.BATCH_WRITE,
       TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(table, options.asCaseSensitiveMap.asScala.toMap)
+  /** DataFrame-level time travel: `.option("snapshot-id"|"branch"|"tag"|
+    * "ref"|"as-of-timestamp", ...)` pins this read's snapshot — the
+    * reader-option mirror of SQL `VERSION AS OF` / `TIMESTAMP AS OF`. */
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val pinned = Option(options.get("snapshot-id")).map(id => table.atSnapshot(id.toLong))
+      .orElse(Seq("branch", "tag", "ref").flatMap(k => Option(options.get(k))).headOption
+        .map { r =>
+          val ref = table.metadata.refs.getOrElse(r,
+            throw new IllegalArgumentException(s"no such ref: $r"))
+          table.atSnapshot(ref.snapshotId)
+        })
+      .orElse(Option(options.get("as-of-timestamp"))
+        .map(ts => table.asOfTimestamp(ts.toLong)))
+      .getOrElse(table)
+    new GraftScanBuilder(pinned, options.asCaseSensitiveMap.asScala.toMap)
+  }
 
   /** INSERT INTO / INSERT OVERWRITE through the native DSv2 batch writer
     * (GraftBatchWrite): rows stay InternalRow into the executors' fanout

@@ -344,6 +344,27 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     plans.foreach(p => assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p"))
   }
 
+  test("int8 quantization: bounded range, cosine preserved within tolerance") {
+    val q = Similarity.quantizeInt8(embs)
+    // every component within [-127, 127]
+    assert(q.filter(exists(col("q"), x => abs(x) > 127)).count() === 0)
+    // dequantized cosine close to full-precision cosine on a sample pair
+    val rows = q.join(embs, "vec_id").orderBy("vec_id").limit(2).collect()
+    def vec(r: org.apache.spark.sql.Row) = {
+      val s = r.getDouble(r.fieldIndex("scale"))
+      r.getSeq[Int](r.fieldIndex("q")).map(_ * s).toArray
+    }
+    def full(r: org.apache.spark.sql.Row) =
+      r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val cq = cos(vec(rows(0)), vec(rows(1)))
+    val cf = cos(full(rows(0)), full(rows(1)))
+    assert(math.abs(cq - cf) < 0.01, s"quantized cosine drifted: $cq vs $cf")
+  }
+
   test("sequence packing partitions each source's doc stream completely") {
     val packed = Curation.packSequences(docs, seqLen = 256)
     val fromPacked = packed.groupBy("source").agg(

@@ -196,6 +196,27 @@ class GraftSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(joined.count() === 20L) // two groups × 10 fact rows
   }
 
+  test("reader options pin snapshots: snapshot-id, branch, as-of-timestamp") {
+    val t = IcebergFixtures.ordersTwoSnapshots(spark, sfDir)
+    val wh = new java.io.File(t.location).getParentFile.getPath
+    val snaps = t.metadata.snapshots.sortBy(_.sequenceNumber)
+    val first = snaps.head
+    val t2 = t.createBranch("halfway", Some(first.snapshotId))
+
+    def read(opts: (String, String)*) = {
+      val r = spark.read.format("graft")
+        .option("warehouse", wh).option("table", "orders_tt")
+      opts.foldLeft(r) { case (b, (k, v)) => b.option(k, v) }.load()
+    }
+    val full = read().count()
+    val atFirst = read("snapshot-id" -> first.snapshotId.toString).count()
+    assert(atFirst < full && atFirst > 0)
+    assert(read("branch" -> "halfway").count() === atFirst)
+    assert(read("as-of-timestamp" ->
+      (first.timestampMs + 1).toString).count() === atFirst)
+    intercept[Exception] { read("branch" -> "nope").count() }
+  }
+
   test("scan statistics: post-pruning rows and size, NDV from registered sketches") {
     import spark.implicits._
     val wh = java.nio.file.Files.createTempDirectory("graft-stats").toString
