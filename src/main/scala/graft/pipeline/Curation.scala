@@ -75,6 +75,33 @@ object Curation {
       .select(col("source"), col("doc_id"), col("tokens"), col("cum_tokens"))
   }
 
+  /** The composed curation DAG over this round's operators — the order a
+    * real corpus build runs them:
+    *   1. decontaminate against the eval slice (doc_id % 50 == 0),
+    *   2. collapse near-duplicate clusters to their canonical doc
+    *      (MinHash-LSH edges → connected components → keep cluster min),
+    *   3. gate looping text (top-bigram mass ≤ `maxTopBigramFrac`),
+    *   4. sample each domain to its token budget.
+    * Scale shape: broadcast gram lookup + the clustering's bounded
+    * shuffles + per-row gates + one domain-window pass — nothing
+    * quadratic anywhere. */
+  def curateCorpus(docs: DataFrame, budgetTokens: Long = 1500L,
+      maxTopBigramFrac: Double = 0.05): DataFrame = {
+    val train = docs.filter(col("doc_id") % 50 =!= 0)
+    val evalSet = docs.filter(col("doc_id") % 50 === 0)
+    val clean = train.join(
+      decontaminate(train, evalSet, n = 8)
+        .filter(!col("contaminated")).select("doc_id"), "doc_id")
+    val canon = clean
+      .join(Clusters.duplicateClusters(clean, threshold = 0.5), Seq("doc_id"), "left")
+      .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
+      .drop("cluster_id")
+    val calm = canon.join(TextAnalysis.repetition(canon)
+      .filter(col("top_bigram_frac") <= maxTopBigramFrac)
+      .select("doc_id"), "doc_id")
+    budgetSample(calm, budgetTokens)
+  }
+
   /** Sequence packing, concat-and-chunk semantics (the GPT-style batch
     * prep): per domain, documents are concatenated in doc_id order into
     * one token stream that is then cut into fixed-`seqLen` windows; a doc

@@ -737,7 +737,69 @@ object PipelineQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** The composed curation DAG (decontaminate → cluster-dedup →
+    * repetition gate → budget sample): one green hash proves the four
+    * operators compose exactly — including full LSH recall inside the
+    * composition, since the oracle recomputes clusters from an all-pairs
+    * scan. */
+  val p26 = Q.sql(
+    "p26_curation_dag",
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      |grams8 AS (
+      |  SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS g
+      |  FROM toks, unnest(range(1, len(w) - 6)) AS t(i)),
+      |ev AS (SELECT DISTINCT g FROM grams8 WHERE doc_id % 50 = 0),
+      |clean AS (
+      |  SELECT d.doc_id FROM documents d
+      |  WHERE d.doc_id % 50 <> 0
+      |    AND NOT EXISTS (SELECT 1 FROM grams8 t JOIN ev USING (g)
+      |                    WHERE t.doc_id = d.doc_id)),
+      |sh AS (
+      |  SELECT doc_id, list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]
+      |                                for i in range(1, len(w)-1)]) AS s
+      |  FROM toks WHERE len(w) >= 3 AND doc_id IN (SELECT doc_id FROM clean)),
+      |pr AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh a, sh b
+      |  WHERE a.doc_id < b.doc_id
+      |    AND len(list_intersect(a.s, b.s)) /
+      |      (len(a.s)+len(b.s)-len(list_intersect(a.s, b.s))) >= 0.5),
+      |e AS (SELECT id_a AS u, id_b AS v FROM pr
+      |      UNION SELECT id_b, id_a FROM pr),
+      |walk(u, v) AS (
+      |  SELECT u, v FROM e
+      |  UNION SELECT w.u, e.v FROM walk w JOIN e ON w.v = e.u WHERE e.v <> w.u),
+      |comp AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+      |         FROM walk GROUP BY u),
+      |canon AS (
+      |  SELECT c.doc_id FROM clean c LEFT JOIN comp ON c.doc_id = comp.doc_id
+      |  WHERE comp.cluster_id IS NULL OR comp.cluster_id = c.doc_id),
+      |bg AS (
+      |  SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g
+      |  FROM toks, unnest(range(1, len(w))) AS t(i)
+      |  WHERE doc_id IN (SELECT doc_id FROM canon)),
+      |bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+      |rep AS (SELECT doc_id FROM bgc GROUP BY doc_id
+      |        HAVING max(c)::DOUBLE / sum(c) <= 0.05),
+      |t2 AS (
+      |  SELECT d.source, d.doc_id,
+      |    len(regexp_split_to_array(d.text, '\s+'))::BIGINT AS tokens,
+      |    md5(d.doc_id::VARCHAR) AS h
+      |  FROM documents d JOIN rep USING (doc_id)),
+      |c2 AS (
+      |  SELECT source, doc_id, tokens,
+      |    sum(tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+      |                      ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM t2)
+      |SELECT source, doc_id, tokens, cum::BIGINT AS cum_tokens
+      |FROM c2 WHERE cum <= 1500
+      |ORDER BY source, doc_id""".stripMargin
+  ) { (s, d) =>
+    Curation.curateCorpus(Tables.documents(s, d))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
     p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24,
-    p25)
+    p25, p26)
 }
