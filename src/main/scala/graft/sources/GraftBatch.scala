@@ -48,7 +48,8 @@ class GraftBatchScan(table: GraftTable, predicate: Predicate,
     onPlanned: Seq[graft.table.FileScanTask] => Unit = _ => ())
     extends Scan with Batch with SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
 
   // `_file` / `_pos` metadata columns (SupportsMetadataColumns): appended
   // by the reader — `_file` is constant per split, `_pos` is the row's
@@ -225,6 +226,49 @@ class GraftBatchScan(table: GraftTable, predicate: Predicate,
   }
 
   @volatile private var lastPlannedTasks: Seq[graft.table.FileScanTask] = Nil
+
+  /** Report per-partition row ordering (SupportsReportOrdering) when it is
+    * PROVABLE: the table's default sort order is identity-only, every
+    * planned file is stamped with that order id (written sorted), and the
+    * sort columns survive the projection. Identity partition source
+    * columns lead the reported order — they are constant within a split
+    * (fanout writes one partition per file), so a file sorted by the sort
+    * order is also sorted by (partition cols, sort cols), which is
+    * exactly the ordering a sort-merge join over a storage-partitioned
+    * join requires. Spark then elides BOTH the exchange (SPJ) and the
+    * sorts — at 100 TB the whole cost of a fact-fact merge join. Byte-
+    * range splits preserve within-file order; in-reader deletes only
+    * filter rows. */
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.{NullOrdering, SortDirection}
+    val md = table.metadata
+    val order = md.sortOrders.find(_.orderId == md.defaultSortOrderId)
+      .filter(_.fields.nonEmpty).getOrElse(return Array.empty)
+    val identityOnly =
+      order.fields.forall(_.transform == graft.spec.Transform.Identity) &&
+        table.spec.fields.forall(_.transform == graft.spec.Transform.Identity)
+    if (!identityOnly) return Array.empty
+    plannedAndKeys
+    val tasks = lastPlannedTasks
+    if (tasks.isEmpty ||
+        !tasks.forall(_.file.sortOrderId.contains(order.orderId)))
+      return Array.empty
+    val partCols = table.spec.fields
+      .map(f => table.schema.idToField(f.sourceId).name)
+    val orderCols = order.fields
+      .map(f => (table.schema.idToField(f.sourceId).name, f))
+    if (!(partCols ++ orderCols.map(_._1)).forall(projected.contains))
+      return Array.empty
+    val lead = partCols.map(n => Expressions.sort(Expressions.column(n),
+      SortDirection.ASCENDING, NullOrdering.NULLS_FIRST))
+    val rest = orderCols.map { case (n, f) =>
+      Expressions.sort(Expressions.column(n),
+        if (f.ascending) SortDirection.ASCENDING else SortDirection.DESCENDING,
+        if (f.nullsFirst) NullOrdering.NULLS_FIRST else NullOrdering.NULLS_LAST)
+    }
+    (lead ++ rest).toArray
+  }
 
   private def buildPlan(key: PlanKey): (Array[InputPartition], Int) = {
     val parts = doPlan(key)

@@ -203,7 +203,13 @@ object AppendWriter {
           encConf)
       }.collect().toSeq
 
-    withNanCounts(table, spark, staging, dataFiles)
+    // files written under the active sort order carry its id
+    // (data_file.rs sort_order_id) — the scan reports ordering to Spark
+    // only when every planned file is stamped with the current order
+    val stamped =
+      if (order.fields.isEmpty) dataFiles
+      else dataFiles.map(_.copy(sortOrderId = Some(order.orderId)))
+    withNanCounts(table, spark, staging, stamped)
   }
 
   /** NaN value counts (data_file.rs nan_value_counts): parquet footers

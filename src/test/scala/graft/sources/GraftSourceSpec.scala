@@ -217,6 +217,59 @@ class GraftSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[Exception] { read("branch" -> "nope").count() }
   }
 
+  test("reported ordering: sorted co-partitioned tables merge-join with no sort, no exchange") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-ord").toString
+    val catalog = new graft.catalog.HadoopCatalog(wh, graft.io.FileIO.fromSpark(spark))
+    def mkTable(name: String, n: Long, sorted: Boolean): Unit = {
+      val src = (1L to n).map(i => (i, s"g${i % 4}")).toDF("id", "grp")
+      val schema = graft.spec.IcebergSchema.fromSpark(src.schema)
+      val spec = graft.spec.PartitionSpec.build(schema,
+        Seq("grp" -> graft.spec.Transform.Identity))
+      var t = graft.table.GraftTable.create(name, catalog, schema, spec)
+      if (sorted) t = t.replaceSortOrder(Seq(graft.spec.SortField(
+        schema.findField("id").get.id, graft.spec.Transform.Identity,
+        ascending = true, nullsFirst = true)))
+      t.append(src)
+      ()
+    }
+    mkTable("ord_a", 40L, sorted = true)
+    mkTable("ord_b", 20L, sorted = true)
+    mkTable("uns_a", 40L, sorted = false)
+    mkTable("uns_b", 20L, sorted = false)
+
+    val saved = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.autoBroadcastJoinThreshold", "spark.sql.adaptive.enabled",
+      "spark.sql.requireAllClusterKeysForCoPartition")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      // join keys (grp, id) ⊃ partition keys (grp): clustering by grp
+      // already co-locates equal (grp, id) pairs
+      spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      def read(name: String) = spark.read.format("graft")
+        .option("warehouse", wh).option("table", name).load()
+
+      val j = read("ord_a").join(read("ord_b").withColumnRenamed("id", "id")
+        .as("b"), Seq("grp", "id"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange"), s"SPJ must elide the shuffle:\n$plan")
+      assert(!plan.contains("Sort "), s"reported ordering must elide sorts:\n$plan")
+      assert(j.count() === 20L)
+
+      // control: same layout without a sort order still sorts
+      val j2 = read("uns_a").join(read("uns_b"), Seq("grp", "id"))
+      val plan2 = j2.queryExecution.executedPlan.toString
+      assert(plan2.contains("Sort "), s"unsorted tables must sort:\n$plan2")
+      assert(j2.count() === 20L)
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("scan statistics: post-pruning rows and size, NDV from registered sketches") {
     import spark.implicits._
     val wh = java.nio.file.Files.createTempDirectory("graft-stats").toString
