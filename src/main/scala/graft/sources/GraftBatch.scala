@@ -226,6 +226,39 @@ class GraftBatchScan(table: GraftTable, predicate: Predicate,
   }
 
   @volatile private var lastPlannedTasks: Seq[graft.table.FileScanTask] = Nil
+  @volatile private var lastScanMetrics: Option[graft.table.ScanMetrics] = None
+
+  /** Planning observability in the Spark UI (SQL tab metrics — the
+    * reference's ScanMetrics reporter role, metrics.rs): how many
+    * manifests the scan skipped and why files were pruned. Driver-side
+    * metrics; the SQL node shows them next to the BatchScan. */
+  override def supportedCustomMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    GraftBatchScan.MetricNames.map { case (n, d) =>
+      new org.apache.spark.sql.connector.metric.CustomSumMetric {
+        override def name(): String = n
+        override def description(): String = d
+      }: org.apache.spark.sql.connector.metric.CustomMetric
+    }.toArray
+
+  override def reportDriverMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = {
+    plannedAndKeys
+    lastScanMetrics.map { m =>
+      Seq(
+        "totalDataManifests" -> m.totalDataManifests.toLong,
+        "skippedDataManifests" -> m.skippedManifests.toLong,
+        "skippedByPartitionPruning" -> m.skippedByPartition,
+        "skippedByColumnStats" -> m.skippedByMetrics,
+        "plannedDataFiles" -> m.resultFiles.toLong
+      ).map { case (n, v) =>
+        new org.apache.spark.sql.connector.metric.CustomTaskMetric {
+          override def name(): String = n
+          override def value(): Long = v
+        }: org.apache.spark.sql.connector.metric.CustomTaskMetric
+      }.toArray
+    }.getOrElse(Array.empty)
+  }
 
   /** Report per-partition row ordering (SupportsReportOrdering) when it is
     * PROVABLE: the table's default sort order is identity-only, every
@@ -310,6 +343,8 @@ class GraftBatchScan(table: GraftTable, predicate: Predicate,
       case AlwaysTrue => table.newScan()
       case p => table.newScan().withFilter(p)
     }
+    val (allPlanned, planMetrics) = scan.planWithMetrics()
+    lastScanMetrics = Some(planMetrics)
     val deletes = scan.planDeletes()
     val posParquet = deletes
       .filter(d => d.file.content == FileContent.PositionDeletes &&
@@ -323,7 +358,7 @@ class GraftBatchScan(table: GraftTable, predicate: Predicate,
           d.file.contentSizeInBytes.getOrElse(0L)))))
       .toMap
 
-    val all = scan.planFiles()
+    val all = allPlanned
     val tasks = fileFilter match {
       case Some(keep) => all.filter(t => keep.contains(qualify(t.file.filePath)))
       case None => all
@@ -366,6 +401,13 @@ object GraftBatchScan {
   val FileColumn = "_file"
   /** Metadata column: the row's position within its data file. */
   val PosColumn = "_pos"
+  /** Driver planning metrics surfaced in the Spark UI. */
+  val MetricNames: Seq[(String, String)] = Seq(
+    "totalDataManifests" -> "total data manifests",
+    "skippedDataManifests" -> "data manifests skipped by partition summaries",
+    "skippedByPartitionPruning" -> "data files skipped by partition pruning",
+    "skippedByColumnStats" -> "data files skipped by column stats",
+    "plannedDataFiles" -> "data files planned")
 }
 
 /** One byte-range slice of a data file plus its delete context. */

@@ -270,6 +270,21 @@ class GraftSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("scan reports planning metrics for the Spark UI") {
+    val t = IcebergFixtures.lineitemMonth(spark, sfDir)
+    val scan = new GraftBatchScan(t, graft.expr.AlwaysTrue, Nil, None)
+    val names = scan.supportedCustomMetrics().map(_.name).toSet
+    assert(names === GraftBatchScan.MetricNames.map(_._1).toSet)
+    val reported = scan.reportDriverMetrics().map(m => m.name -> m.value).toMap
+    assert(reported("plannedDataFiles") > 0)
+    assert(reported("totalDataManifests") > 0)
+    // a pruning filter shows up as skipped files
+    val pruned = new GraftBatchScan(t, graft.expr.BinaryPred(graft.expr.Lt,
+      "l_shipdate", 0L), Nil, None)
+    val rp = pruned.reportDriverMetrics().map(m => m.name -> m.value).toMap
+    assert(rp("plannedDataFiles") === 0)
+  }
+
   test("scan statistics: post-pruning rows and size, NDV from registered sketches") {
     import spark.implicits._
     val wh = java.nio.file.Files.createTempDirectory("graft-stats").toString
