@@ -149,6 +149,31 @@ object GraftProcedures {
           Seq(str(b), t.metadata.refs(b).snapshotId)
         }
       })
+      case "add_partition_field" => Some(new Proc(catalog, name,
+          Seq("table" -> StringType, "field" -> StringType,
+            "transform" -> StringType),
+          Seq("spec_id" -> IntegerType)) {
+        def run(a: InternalRow): Seq[Any] = {
+          val t = table(a)
+          val cur = t.spec.fields.map(f =>
+            t.schema.idToField(f.sourceId).name -> f.transform)
+          val added = a.getUTF8String(1).toString ->
+            graft.spec.Transform.parse(a.getUTF8String(2).toString)
+          Seq(t.updateSpec(cur :+ added).spec.specId)
+        }
+      })
+      case "drop_partition_field" => Some(new Proc(catalog, name,
+          Seq("table" -> StringType, "field" -> StringType),
+          Seq("spec_id" -> IntegerType)) {
+        def run(a: InternalRow): Seq[Any] = {
+          val t = table(a)
+          val drop = a.getUTF8String(1).toString
+          val cur = t.spec.fields.map(f =>
+            t.schema.idToField(f.sourceId).name -> f.transform)
+          require(cur.exists(_._1 == drop), s"not a partition field: $drop")
+          Seq(t.updateSpec(cur.filterNot(_._1 == drop)).spec.specId)
+        }
+      })
       case "fast_forward" => Some(new Proc(catalog, name,
           Seq("table" -> StringType, "branch" -> StringType),
           Seq("previous_snapshot_id" -> LongType,
@@ -177,5 +202,6 @@ object GraftProcedures {
   val Names: Seq[String] = Seq("rewrite_data_files",
     "rewrite_data_files_zorder", "rewrite_manifests",
     "expire_snapshots", "remove_orphan_files", "rollback_to_snapshot",
-    "create_branch", "create_tag", "fast_forward", "write_partition_stats")
+    "create_branch", "create_tag", "fast_forward",
+    "add_partition_field", "drop_partition_field", "write_partition_stats")
 }
