@@ -104,21 +104,27 @@ final class HadoopCatalog(warehouse: String, val io: FileIO) extends Catalog {
   }
 
   def currentVersion(name: String): Option[Int] = {
-    if (io.exists(hintFile(name))) {
-      // hint is advisory: also probe forward in case a commit advanced the
-      // version but crashed before updating the hint
-      var v = io.readString(hintFile(name)).trim.toInt
-      while (io.exists(versionFile(name, v + 1))) v += 1
-      Some(v)
-    } else {
-      val vs = io.listFiles(metadataDir(name), recursive = false)
-        .map(_._1).flatMap { p =>
-          val n = p.substring(p.lastIndexOf('/') + 1)
-          if (n.startsWith("v") && n.endsWith(".metadata.json"))
-            n.stripPrefix("v").stripSuffix(".metadata.json").toIntOption
-          else None
-        }
-      if (vs.isEmpty) None else Some(vs.max)
+    // hint is ADVISORY twice over: a commit may have advanced the version
+    // without updating it yet, and a concurrent overwrite of the hint can
+    // expose a transient empty/partial read (truncate-then-write is not
+    // atomic on most filesystems) — fall back to listing in both cases
+    val hinted =
+      if (!io.exists(hintFile(name))) None
+      else scala.util.Try(io.readString(hintFile(name)).trim.toInt).toOption
+    hinted match {
+      case Some(h) =>
+        var v = h
+        while (io.exists(versionFile(name, v + 1))) v += 1
+        Some(v)
+      case None =>
+        val vs = io.listFiles(metadataDir(name), recursive = false)
+          .map(_._1).flatMap { p =>
+            val n = p.substring(p.lastIndexOf('/') + 1)
+            if (n.startsWith("v") && n.endsWith(".metadata.json"))
+              n.stripPrefix("v").stripSuffix(".metadata.json").toIntOption
+            else None
+          }
+        if (vs.isEmpty) None else Some(vs.max)
     }
   }
 
@@ -147,13 +153,23 @@ final class HadoopCatalog(warehouse: String, val io: FileIO) extends Catalog {
       io.delete(tmp)
       throw CommitConflict(s"concurrent commit won version $next")
     }
-    io.writeString(hintFile(name), next.toString, overwrite = true)
+    writeHint(name, next)
     next
+  }
+
+  /** Hint updates go through temp + rename: a truncate-then-write overwrite
+    * exposes concurrent readers to an empty hint (currentVersion tolerates
+    * that too, but atomically swapping keeps the fast path fast). */
+  private def writeHint(name: String, v: Int): Unit = {
+    val tmp = s"${metadataDir(name)}/.hint-${java.util.UUID.randomUUID()}.tmp"
+    io.writeString(tmp, v.toString, overwrite = true)
+    io.delete(hintFile(name))
+    if (!io.rename(tmp, hintFile(name))) io.delete(tmp) // loser of a hint race
   }
 
   private def writeVersion(name: String, v: Int, md: TableMetadata): Unit = {
     io.writeString(versionFile(name, v), md.toJsonString, overwrite = false)
-    io.writeString(hintFile(name), v.toString, overwrite = true)
+    writeHint(name, v)
   }
 }
 

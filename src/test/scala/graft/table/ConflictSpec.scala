@@ -4,6 +4,8 @@ import org.apache.spark.sql.SparkSession
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
+import org.apache.spark.sql.functions.col
+
 import graft.catalog.HadoopCatalog
 import graft.expr.{BinaryPred, Gt, LtEq}
 import graft.io.FileIO
@@ -89,6 +91,54 @@ class ConflictSpec extends AnyFunSuite with BeforeAndAfterAll {
     RowOps.overwriteWhere(stale2, BinaryPred(Gt, "id", 95L), null, spark)
     // 1..95 survive the delete, 111..120 survive the race
     assert(GraftTable.load("c3", catalog).newScan().toDF(spark).count() === 105)
+  }
+
+  test("mixed concurrent appends + CoW deletes converge exactly (replan on abort)") {
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val catalog = freshCatalog()
+    GraftTable.create("c5", catalog, schema)
+    GraftTable.load("c5", catalog).append(df(1 to 100))
+
+    // writers append disjoint ranges; deleters remove disjoint ranges,
+    // replanning from fresh state whenever validation aborts them —
+    // the client-side contract the ValidationException is designed for
+    def retrying[A](op: => A): A = {
+      var out: Option[A] = None
+      var attempts = 0
+      while (out.isEmpty) {
+        attempts += 1
+        require(attempts <= 50, "no convergence")
+        try out = Some(op)
+        catch { case _: Commits.ValidationException => Thread.sleep(10) }
+      }
+      out.get
+    }
+    val writers = (1 to 3).map { w =>
+      Future {
+        val lo = 1000 * w
+        GraftTable.load("c5", catalog).append(df(lo to lo + 49))
+      }
+    }
+    val deleters = Seq((1, 20), (41, 60)).map { case (lo, hi) =>
+      Future {
+        retrying {
+          RowOps.overwriteWhere(GraftTable.load("c5", catalog),
+            graft.expr.And(
+              BinaryPred(graft.expr.GtEq, "id", lo.toLong),
+              BinaryPred(LtEq, "id", hi.toLong)),
+            null, spark)
+        }
+      }
+    }
+    Await.result(Future.sequence(writers ++ deleters), 120.seconds)
+
+    // 100 base + 150 appended − 40 deleted, regardless of interleaving
+    val fin = GraftTable.load("c5", catalog)
+    assert(fin.newScan().toDF(spark).count() === 210)
+    assert(fin.newScan().toDF(spark)
+      .filter(col("id") >= 1 && col("id") <= 20).count() === 0)
   }
 
   test("compaction tolerates a concurrent append but aborts on concurrent deletes") {
