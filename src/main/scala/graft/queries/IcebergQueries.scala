@@ -579,7 +579,28 @@ object IcebergQueries {
         col("l_quantity"), col("l_extendedprice"))
   }
 
+  /** Metadata-only aggregates: COUNT(*) / COUNT(col) / MIN / MAX pushed
+    * into the scan and answered from manifest statistics with zero data
+    * reads (GraftMetadataAggregates; the plan is a LocalTableScan —
+    * asserted in GraftSourceSpec). The oracle recomputes from the raw
+    * rows, so a green hash proves the statistics ARE the data's truth. */
+  val i29 = Q.sql(
+    "i29_metadata_aggregates",
+    """SELECT count(*) AS n_rows, count(o_custkey) AS n_cust,
+      |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+      |  min(o_orderdate) AS min_date, max(o_orderdate) AS max_date
+      |FROM orders""".stripMargin
+  ) { (s, d) =>
+    val t = IcebergFixtures.ordersBucket(s, d)
+    val warehouse = t.location.stripSuffix(s"/${t.name}")
+    s.read.format("graft")
+      .option("warehouse", warehouse).option("table", t.name).load()
+      .agg(count(lit(1)).as("n_rows"), count(col("o_custkey")).as("n_cust"),
+        min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"),
+        min(col("o_orderdate")).as("min_date"), max(col("o_orderdate")).as("max_date"))
+  }
+
   val all: Seq[Q] = Seq(i01, i02, i03, i04, i05, i06, i07, i08, i09, i10,
     i11, i12, i13, i14, i15, i16, i17, i18, i19, i20, i21, i22, i23, i24, i25,
-    i26, i27, i28)
+    i26, i27, i28, i29)
 }

@@ -234,12 +234,9 @@ class GraftBatchScan(table: GraftTable, predicate: Predicate,
     * metrics; the SQL node shows them next to the BatchScan. */
   override def supportedCustomMetrics()
       : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
-    GraftBatchScan.MetricNames.map { case (n, d) =>
-      new org.apache.spark.sql.connector.metric.CustomSumMetric {
-        override def name(): String = n
-        override def description(): String = d
-      }: org.apache.spark.sql.connector.metric.CustomMetric
-    }.toArray
+    Array(new TotalDataManifestsMetric, new SkippedDataManifestsMetric,
+      new SkippedByPartitionMetric, new SkippedByColumnStatsMetric,
+      new PlannedDataFilesMetric)
 
   override def reportDriverMetrics()
       : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = {
@@ -408,6 +405,34 @@ object GraftBatchScan {
     "skippedByPartitionPruning" -> "data files skipped by partition pruning",
     "skippedByColumnStats" -> "data files skipped by column stats",
     "plannedDataFiles" -> "data files planned")
+}
+
+// Spark re-instantiates CustomMetric classes reflectively on the driver UI
+// path, so each metric is a top-level zero-arg class.
+final class TotalDataManifestsMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "totalDataManifests"
+  override def description(): String = "total data manifests"
+}
+final class SkippedDataManifestsMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "skippedDataManifests"
+  override def description(): String = "data manifests skipped by partition summaries"
+}
+final class SkippedByPartitionMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "skippedByPartitionPruning"
+  override def description(): String = "data files skipped by partition pruning"
+}
+final class SkippedByColumnStatsMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "skippedByColumnStats"
+  override def description(): String = "data files skipped by column stats"
+}
+final class PlannedDataFilesMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "plannedDataFiles"
+  override def description(): String = "data files planned"
 }
 
 /** One byte-range slice of a data file plus its delete context. */

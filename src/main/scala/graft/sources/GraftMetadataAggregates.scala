@@ -95,7 +95,17 @@ object GraftMetadataAggregates {
             if (perFile.exists(_.isEmpty)) None
             else {
               val folded = perFile.flatten.reduce((a, b) => pick(t, a, b))
-              val external = graft.expr.Predicate.sparkValue(t, folded)
+              // TimestampT maps to Spark's NTZ type, whose converter wants a
+              // LocalDateTime (sparkValue's java.sql.Timestamp is the
+              // zoned form)
+              val external = (t, folded) match {
+                case (IcebergType.TimestampT, us: Long) =>
+                  java.time.LocalDateTime.ofEpochSecond(
+                    Math.floorDiv(us, 1000000L),
+                    (Math.floorMod(us, 1000000L) * 1000L).toInt,
+                    java.time.ZoneOffset.UTC)
+                case _ => graft.expr.Predicate.sparkValue(t, folded)
+              }
               Some((field,
                 CatalystTypeConverters.createToCatalystConverter(sparkType)(external)))
             }

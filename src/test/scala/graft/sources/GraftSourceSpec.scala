@@ -270,6 +270,30 @@ class GraftSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("metadata aggregates: count/min/max answered without reading data") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-agg").toString
+    val catalog = new graft.catalog.HadoopCatalog(wh, graft.io.FileIO.fromSpark(spark))
+    val src = (1L to 60L).map(i => (i, s"v$i")).toDF("id", "s")
+    var t = graft.table.GraftTable.create("agg_t", catalog,
+      graft.spec.IcebergSchema.fromSpark(src.schema)).append(src)
+
+    def read() = spark.read.format("graft")
+      .option("warehouse", wh).option("table", "agg_t").load()
+    val agg = read().agg(count(lit(1)).as("n"),
+      min(col("id")).as("mn"), max(col("id")).as("mx"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan"), s"expected metadata answer:\n$plan")
+    assert(!plan.contains("BatchScan"), s"no data scan expected:\n$plan")
+    assert(agg.head() === org.apache.spark.sql.Row(60L, 1L, 60L))
+
+    // a delete file in scope poisons exactness: falls back to a real scan
+    t = t.deleteWhere(graft.expr.BinaryPred(graft.expr.LtEq, "id", 5L), spark)
+    val agg2 = read().agg(count(lit(1)).as("n"))
+    assert(agg2.queryExecution.executedPlan.toString.contains("BatchScan"))
+    assert(agg2.head().getLong(0) === 55L)
+  }
+
   test("scan reports planning metrics for the Spark UI") {
     val t = IcebergFixtures.lineitemMonth(spark, sfDir)
     val scan = new GraftBatchScan(t, graft.expr.AlwaysTrue, Nil, None)
