@@ -152,6 +152,24 @@ object SingleValue {
     c.cast(IcebergType.toSpark(t))
   }
 
+  /** Catalyst literal value → Iceberg-internal value (for v3 defaults
+    * arriving through SQL DDL: UTF8String → String, Decimal → BigDecimal;
+    * date/timestamp catalyst forms are already the internal ints). */
+  def fromCatalyst(t: IcebergType, v: Any): Any = (t, v) match {
+    case (_, null) => null
+    case (StringT, s) => s.toString
+    case (DecimalT(_, sc), d: org.apache.spark.sql.types.Decimal) =>
+      d.toJavaBigDecimal.setScale(sc)
+    case (IntT | DateT, n: java.lang.Integer) => n.intValue
+    case (LongT | TimestampT | TimestamptzT | TimeT, n: java.lang.Long) => n.longValue
+    case (LongT, n: java.lang.Integer) => n.longValue
+    case (FloatT, n: java.lang.Float) => n.floatValue
+    case (DoubleT, n: java.lang.Double) => n.doubleValue
+    case (BooleanT, b: java.lang.Boolean) => b.booleanValue
+    case (tt, other) => throw new IllegalArgumentException(
+      s"unsupported default literal $other for $tt")
+  }
+
   def fromJsonValue(t: IcebergType, n: JsonNode): Any = t match {
     case BooleanT => n.asBoolean()
     case IntT => n.asInt()

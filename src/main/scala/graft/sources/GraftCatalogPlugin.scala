@@ -142,9 +142,15 @@ final class GraftCatalogPlugin extends CatalogPlugin with TableCatalog with View
       val u = t.updateSchema()
       changes.foreach {
         case a: AddColumn =>
-          u.addColumn(topLevel(a.fieldNames()),
-            graft.spec.IcebergType.fromSpark(a.dataType(), () => 0),
-            Option(a.comment()))
+          val it = graft.spec.IcebergType.fromSpark(a.dataType(), () => 0)
+          Option(a.defaultValue()) match {
+            case Some(dv) => // v3 field default via SQL DDL (DEFAULT <lit>)
+              u.addColumnWithDefault(topLevel(a.fieldNames()), it,
+                graft.meta.SingleValue.fromCatalyst(it, dv.getValue().value()),
+                Option(a.comment()))
+            case None =>
+              u.addColumn(topLevel(a.fieldNames()), it, Option(a.comment()))
+          }
         case d: DeleteColumn => u.dropColumn(topLevel(d.fieldNames()))
         case r: RenameColumn => u.renameColumn(topLevel(r.fieldNames()), r.newName())
         case tt: UpdateColumnType =>
@@ -156,8 +162,14 @@ final class GraftCatalogPlugin extends CatalogPlugin with TableCatalog with View
     }
     val sets = changes.collect { case s: SetProperty => s.property() -> s.value() }.toMap
     val removes = changes.collect { case r: RemoveProperty => r.property() }.toSet
-    if (sets.nonEmpty || removes.nonEmpty)
-      GraftTable.load(ident.name(), catalog).updateProperties(sets, removes)
+    // 'format-version' is Iceberg's conventional upgrade knob, not a plain
+    // property: route it through the guarded upgrade transaction
+    sets.get("format-version").foreach(v =>
+      graft.table.Transactions.upgradeFormatVersion(
+        GraftTable.load(ident.name(), catalog), v.toInt))
+    val plainSets = sets - "format-version"
+    if (plainSets.nonEmpty || removes.nonEmpty)
+      GraftTable.load(ident.name(), catalog).updateProperties(plainSets, removes)
     new GraftSparkTable(GraftTable.load(ident.name(), catalog))
   }
 

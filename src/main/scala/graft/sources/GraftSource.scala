@@ -204,9 +204,14 @@ final class GraftScanBuilder(table: GraftTable, options: Map[String, String] = M
     case None =>
       val usesNameMapping =
         table.metadata.properties.get("graft.read.use-name-mapping").contains("true")
+      // v3 initial-defaults need the per-file-group fill in TableScan;
+      // the native reader null-fills absent columns. Only tables that
+      // actually declare defaults pay the fallback.
+      val hasFieldDefaults = table.schema.fields.exists(_.initialDefault.isDefined)
       lazy val hasEqDeletes = table.newScan().planDeletes()
         .exists(_.file.content == graft.meta.FileContent.EqualityDeletes)
-      if (usesNameMapping || hasEqDeletes) new GraftV1Scan(table, predicate, required)
+      if (usesNameMapping || hasFieldDefaults || hasEqDeletes)
+        new GraftV1Scan(table, predicate, required)
       else new GraftBatchScan(table, predicate, pushed.toSeq, required, options)
   }
 }
