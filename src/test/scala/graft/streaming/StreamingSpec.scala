@@ -86,6 +86,38 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(epochs.map(_.toLong).distinct.size === epochs.size)
   }
 
+  test("native sink restart on the same checkpoint: no duplicates, new data lands once") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val wh = java.nio.file.Files.createTempDirectory("graft-sink2-").toString
+    val catalog = new HadoopCatalog(wh, FileIO.fromSpark(spark))
+    GraftTable.create("sink2", catalog, schema)
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt-sink2-").toString
+
+    val source = MemoryStream[(Long, Double)]
+    def start() = source.toDF().toDF("id", "v").writeStream
+      .format("graft").option("warehouse", wh).option("table", "sink2")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+
+    source.addData((1L, 0.5), (2L, 1.5))
+    val q1 = start()
+    q1.processAllAvailable()
+    q1.stop()
+    assert(GraftTable.load("sink2", catalog).newScan().toDF(spark).count() === 2)
+
+    // restart from the same checkpoint: committed epochs replay as no-ops,
+    // fresh data commits exactly once
+    val q2 = start()
+    source.addData((3L, 2.5))
+    q2.processAllAvailable()
+    q2.stop()
+    val t = GraftTable.load("sink2", catalog)
+    assert(t.newScan().toDF(spark).count() === 3)
+    assert(t.newScan().toDF(spark).select("id").distinct().count() === 3)
+  }
+
   test("replayed batch id is skipped (exactly-once on checkpoint rewind)") {
     import spark.implicits._
     val catalog = new HadoopCatalog(
