@@ -64,7 +64,7 @@ final class RestCatalogServer(warehouse: String, namespace: String = "default") 
         respond(ex, 409, """{"error":"table already exists"}""")
       else respond(ex, 200, loadResult(loc, md))
     } catch {
-      case e: Throwable => respond(ex, 400, s"""{"error":"${e.getMessage}"}""")
+      case e: Throwable => respond(ex, 400, s"""{"error":${quote(e.getMessage)}}""")
     }
 
   def stop(): Unit = if (server != null) server.stop(0)

@@ -152,6 +152,20 @@ object SingleValue {
     c.cast(IcebergType.toSpark(t))
   }
 
+  /** Iceberg-internal value → Catalyst-internal value (the native batch
+    * reader materializes v3 defaults as codegen literals; dates and
+    * timestamps share the int-days / long-micros encodings, so only
+    * strings, uuids and decimals re-box). */
+  def toCatalystValue(t: IcebergType, v: Any): Any = (t, v) match {
+    case (_, null) => null
+    case (StringT, s: String) => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    case (UuidT, u: java.util.UUID) =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(u.toString)
+    case (DecimalT(p, s), d: java.math.BigDecimal) =>
+      org.apache.spark.sql.types.Decimal(d, p, s)
+    case _ => v
+  }
+
   /** Catalyst literal value → Iceberg-internal value (for v3 defaults
     * arriving through SQL DDL: UTF8String → String, Decimal → BigDecimal;
     * date/timestamp catalyst forms are already the internal ints). */

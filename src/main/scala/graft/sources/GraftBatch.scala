@@ -38,9 +38,16 @@ import graft.table.GraftTable
   * split at row-group boundaries and get the pushed filters for
   * row-group/page pruning.
   *
-  * Tables that need name-mapping resolution or equality-delete joins fall
-  * back to the V1 relation path (`GraftV1Scan`), whose anti-join plans
-  * remain the right distributed shape for key-based deletes.
+  * Equality deletes are ALSO applied in the reader (the reference's
+  * caching_delete_file_loader.rs shape): each task carries the delete
+  * groups whose sequence number exceeds its own; the reader loads those
+  * groups' key tuples into per-JVM-cached hash sets and drops matching
+  * rows. Key columns absent from the projection are read additionally and
+  * projected away afterwards. v3 initial-defaults likewise fill natively:
+  * files written before a defaulted field existed (decided per file from
+  * the harvested stats maps — metadata only) get a codegen literal in
+  * place of the parquet null-fill. Only name-mapping tables still fall
+  * back to the V1 relation path.
   */
 class GraftBatchScan(table: GraftTable, predicate: Predicate,
     pushedFilters: Seq[Filter], required: Option[StructType],
@@ -74,6 +81,44 @@ class GraftBatchScan(table: GraftTable, predicate: Predicate,
     val full = table.schema.toSpark
     StructType(projected.flatMap(n => full.fields.find(_.name == n)))
   }
+
+  /** Alive equality-delete groups, one per (key set, sequence number) —
+    * resolved once per scan from the (cached) delete manifests. Ordered
+    * deterministically so every task sees the same group list. */
+  private lazy val eqInfo: Seq[(Seq[String], Long, Seq[(String, Long)])] =
+    table.newScan().planDeletes()
+      .filter(_.file.content == FileContent.EqualityDeletes)
+      .groupBy(d => (d.file.equalityIds, d.sequenceNumber)).toSeq
+      .map { case ((ids, seq), g) =>
+        (ids.map(id => table.schema.idToField(id).name), seq,
+          g.map(d => (d.file.filePath, d.file.fileSizeInBytes)).sortBy(_._1))
+      }
+      .sortBy { case (names, seq, _) => (seq, names.mkString(",")) }
+
+  /** Equality-key columns the reader must materialize beyond the
+    * projection (projected away again before rows leave the reader). */
+  private lazy val extendedNames: Seq[String] =
+    projected ++ eqInfo.flatMap(_._1).distinct.filterNot(projected.contains)
+
+  private def extendedSchema(): StructType = {
+    val full = table.schema.toSpark
+    StructType(extendedNames.flatMap(n => full.fields.find(_.name == n)))
+  }
+
+  /** v3 initial-defaults the native reader serves for files written before
+    * the field existed (GraftTable.dfForTasks applies the same per-file
+    * rule on the V1 path): presence is decided from the harvested stats
+    * maps; stat-less imported files conservatively count as having every
+    * column. */
+  private lazy val defaultedFields: Seq[graft.spec.NestedField] =
+    table.schema.fields.filter(f =>
+      f.initialDefault.isDefined && extendedNames.contains(f.name))
+
+  private def missingDefaultNames(f: graft.meta.DataFile): Seq[String] =
+    if (defaultedFields.isEmpty) Nil
+    else if (f.columnSizes.isEmpty && f.valueCounts.isEmpty) Nil
+    else defaultedFields.filter(fd =>
+      !f.columnSizes.contains(fd.id) && !f.valueCounts.contains(fd.id)).map(_.name)
 
   override def readSchema(): StructType = {
     val data = dataSchema().fields
@@ -367,14 +412,20 @@ class GraftBatchScan(table: GraftTable, predicate: Predicate,
       val size = t.file.fileSizeInBytes
       val dv = dvByFile.get(path)
       val withDeletes = dv.isDefined || posParquet.nonEmpty
+      val missing = missingDefaultNames(t.file)
+      // only delete groups sequenced AFTER this file's rows apply (spec:
+      // data_seq < delete_seq; same scoping as GraftTable.applyDeletes)
+      val eqGroups = eqInfo.collect { case (names, seq, files)
+          if seq > t.sequenceNumber => EqDeleteTaskGroup(names, files) }
       val splits =
         if (withDeletes || emitPos)
           // whole file in one slice: row indexes must be exact (`_pos`
           // emission counts rows, so splits and parquet row-group
           // filtering are both off)
           Seq(GraftInputPartition(path, 0L, size, size,
-            needsRowIndex = true, posParquet, dv))
+            needsRowIndex = true, posParquet, dv, missing, eqGroups))
         else GraftInputPartition.cleanSplits(path, size, t.file.splitOffsets)
+          .map(s => s.copy(missingDefaults = missing, eqDeletes = eqGroups))
       splits.map(s => (t, s))
     }.toArray
   }
@@ -388,8 +439,17 @@ class GraftBatchScan(table: GraftTable, predicate: Predicate,
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val spark = SparkSession.active
-    GraftReaderFactory.build(spark, table.schema.toSpark, dataSchema(), pushedFilters,
-      graft.crypto.Encryption.confFor(table.metadata.properties), emitFile, emitPos)
+    val ext = extendedSchema()
+    val outputOrdinals =
+      if (extendedNames == projected) None
+      else Some(projected.map(extendedNames.indexOf))
+    val defaults: Map[String, Any] = defaultedFields.map(f =>
+      f.name -> graft.meta.SingleValue.toCatalystValue(
+        f.fieldType, f.initialDefault.get)).toMap
+    GraftReaderFactory.build(spark, table.schema.toSpark, ext, pushedFilters,
+      graft.crypto.Encryption.confFor(table.metadata.properties), emitFile, emitPos,
+      eqKeySets = eqInfo.map(_._1).distinct, outputOrdinals = outputOrdinals,
+      defaults = defaults)
   }
 }
 
@@ -435,6 +495,11 @@ final class PlannedDataFilesMetric
   override def description(): String = "data files planned"
 }
 
+/** Equality-delete files sharing one key set, applicable to a task
+  * (delete sequence > task sequence, pre-filtered at planning). */
+final case class EqDeleteTaskGroup(keyNames: Seq[String],
+    files: Seq[(String, Long)])
+
 /** One byte-range slice of a data file plus its delete context. */
 final case class GraftInputPartition(
     path: String,
@@ -443,7 +508,9 @@ final case class GraftInputPartition(
     fileSize: Long,
     needsRowIndex: Boolean,
     posDeleteFiles: Seq[(String, Long)],
-    dv: Option[(String, Long, Long)]) extends InputPartition
+    dv: Option[(String, Long, Long)],
+    missingDefaults: Seq[String] = Nil,
+    eqDeletes: Seq[EqDeleteTaskGroup] = Nil) extends InputPartition
 
 /** A split plus its partition tuple — lets Spark group splits by
   * partition value for storage-partitioned joins (HasPartitionKey). */
@@ -494,7 +561,10 @@ object GraftReaderFactory {
     * never mutated (the concurrent-scan hygiene contract). */
   def build(spark: SparkSession, dataSchema: StructType, readSchema: StructType,
       filters: Seq[Filter], encConf: Map[String, String] = Map.empty,
-      emitFile: Boolean = false, emitPos: Boolean = false): GraftReaderFactory = {
+      emitFile: Boolean = false, emitPos: Boolean = false,
+      eqKeySets: Seq[Seq[String]] = Nil,
+      outputOrdinals: Option[Seq[Int]] = None,
+      defaults: Map[String, Any] = Map.empty): GraftReaderFactory = {
     val scanSpark = graft.SessionConf.scanSession(spark)
     val fmt = new ParquetFileFormat()
     val hc = scanSpark.sparkContext.hadoopConfiguration
@@ -505,6 +575,18 @@ object GraftReaderFactory {
     }
     val rowOpts = Map(FileFormat.OPTION_RETURNING_BATCH -> "false")
     val empty = StructType(Nil)
+    // one delete-file read closure per distinct equality key set: the
+    // requested schema is just the key fields, resolved BY NAME (field-id
+    // metadata stripped — delete files carry the write-time column names
+    // but no embedded ids; same name-based read as the V1 anti-join path)
+    val eqReads = eqKeySets.map { names =>
+      val ks = StructType(names.map { n =>
+        val f = readSchema(readSchema.fieldIndex(n))
+        f.copy(metadata = org.apache.spark.sql.types.Metadata.empty)
+      })
+      names -> fmt.buildReaderWithPartitionValues(scanSpark, ks, empty, ks,
+        Nil, rowOpts, conf())
+    }.toMap
     new GraftReaderFactory(
       fmt.buildReaderWithPartitionValues(scanSpark, dataSchema, empty, readSchema,
         filters, rowOpts, conf()),
@@ -513,7 +595,7 @@ object GraftReaderFactory {
       fmt.buildReaderWithPartitionValues(scanSpark, PosDeleteSchema, empty, PosDeleteSchema,
         Nil, rowOpts, conf()),
       spark.sparkContext.broadcast(new SerializableConfiguration(conf())),
-      emitFile, emitPos)
+      emitFile, emitPos, readSchema, outputOrdinals, defaults, eqReads)
   }
 }
 
@@ -523,30 +605,111 @@ final class GraftReaderFactory(
     posDeleteRead: PartitionedFile => Iterator[InternalRow],
     conf: Broadcast[SerializableConfiguration],
     emitFile: Boolean = false,
-    emitPos: Boolean = false) extends PartitionReaderFactory {
+    emitPos: Boolean = false,
+    readSchema: StructType = StructType(Nil),
+    outputOrdinals: Option[Seq[Int]] = None,
+    defaults: Map[String, Any] = Map.empty,
+    eqReads: Map[Seq[String], PartitionedFile => Iterator[InternalRow]] = Map.empty)
+    extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition match {
       case k: GraftKeyedInputPartition => k.part
       case g: GraftInputPartition => g
     }
-    val read = if (p.needsRowIndex) plainRead else filteredRead
-    new GraftPartitionReader(p, read, posDeleteRead, conf, emitFile, emitPos)
+    // a file missing a defaulted column must not see pushed parquet
+    // filters: a predicate on that column would evaluate against the
+    // null-fill (possibly pruning whole row groups) instead of the default
+    val read = if (p.needsRowIndex || p.missingDefaults.nonEmpty) plainRead
+      else filteredRead
+    new GraftPartitionReader(p, read, posDeleteRead, conf, emitFile, emitPos,
+      readSchema, outputOrdinals, defaults, eqReads)
   }
 }
 
 /** Executor-side reader: streams InternalRows from the vectorized parquet
-  * reader, skipping deleted row indexes for files under MoR deletes. */
+  * reader, skipping deleted row indexes for files under MoR deletes,
+  * dropping equality-deleted rows against per-JVM-cached key sets, and
+  * filling v3 defaults for files that predate the defaulted column. */
 final class GraftPartitionReader(
     part: GraftInputPartition,
     read: PartitionedFile => Iterator[InternalRow],
     posDeleteRead: PartitionedFile => Iterator[InternalRow],
     conf: Broadcast[SerializableConfiguration],
     emitFile: Boolean = false,
-    emitPos: Boolean = false) extends PartitionReader[InternalRow] {
+    emitPos: Boolean = false,
+    readSchema: StructType = StructType(Nil),
+    outputOrdinals: Option[Seq[Int]] = None,
+    defaults: Map[String, Any] = Map.empty,
+    eqReads: Map[Seq[String], PartitionedFile => Iterator[InternalRow]] = Map.empty)
+    extends PartitionReader[InternalRow] {
+
+  import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression, Literal, UnsafeProjection, UnsafeRow}
 
   private var current: InternalRow = _
   private var rowIndex: Long = -1L
+
+  // v3 default fill: identity BoundReferences except the file's missing
+  // defaulted columns, which become codegen literals
+  private lazy val fillProj: Option[UnsafeProjection] =
+    if (part.missingDefaults.isEmpty) None
+    else Some(UnsafeProjection.create(readSchema.fields.toSeq.zipWithIndex.map {
+      case (f, i) =>
+        if (part.missingDefaults.contains(f.name))
+          Literal(defaults(f.name), f.dataType): Expression
+        else BoundReference(i, f.dataType, f.nullable): Expression
+    }))
+
+  // equality-key columns read beyond the projection get dropped here
+  private lazy val outProj: Option[UnsafeProjection] = outputOrdinals.map(ords =>
+    UnsafeProjection.create(ords.map(i => BoundReference(i,
+      readSchema(i).dataType, readSchema(i).nullable): Expression)))
+
+  /** Per equality-delete group: (data-row key projection, key ordinals,
+    * deleted key set). Key sets are cached per JVM keyed by the group's
+    * file list, so N tasks over one executor load each delete file once. */
+  private lazy val eqSets: Seq[(UnsafeProjection, Array[Int], java.util.HashSet[UnsafeRow])] =
+    part.eqDeletes.map { g =>
+      val ords = g.keyNames.map(readSchema.fieldIndex).toArray
+      val keySchema = StructType(ords.toSeq.map(readSchema(_)))
+      val set = GraftPartitionReader.eqSetCache.computeIfAbsent(
+        (g.keyNames, g.files), { _ =>
+          val s = new java.util.HashSet[UnsafeRow]()
+          val proj = UnsafeProjection.create(keySchema)
+          g.files.foreach { case (dp, dsize) =>
+            val pf = PartitionedFile(InternalRow.empty,
+              SparkPath.fromPathString(dp), 0L, dsize, Array.empty, 0L, dsize,
+              Map.empty)
+            val it = eqReads(g.keyNames)(pf)
+            while (it.hasNext) {
+              val r = it.next()
+              var i = 0; var hasNull = false
+              while (i < ords.length) { if (r.isNullAt(i)) hasNull = true; i += 1 }
+              // a delete row with a null key never matches (SQL `=`
+              // semantics — delete_filter.rs:190)
+              if (!hasNull) s.add(proj(r).copy())
+            }
+          }
+          s
+        })
+      val dataProj = UnsafeProjection.create(ords.toSeq.map(i =>
+        BoundReference(i, readSchema(i).dataType, readSchema(i).nullable): Expression))
+      (dataProj, ords, set)
+    }
+
+  /** True when some applicable equality-delete group holds this row's key
+    * tuple. Rows with a null in a key column are never deleted. */
+  private def eqDeleted(row: InternalRow): Boolean = {
+    var gi = 0
+    while (gi < eqSets.length) {
+      val (proj, ords, set) = eqSets(gi)
+      var i = 0; var hasNull = false
+      while (i < ords.length) { if (row.isNullAt(ords(i))) hasNull = true; i += 1 }
+      if (!hasNull && set.contains(proj(row))) return true
+      gi += 1
+    }
+    false
+  }
 
   // `_file` / `_pos` appended as metadata columns (JoinedRow: zero-copy
   // wrapper; the pos slot is updated in place per row)
@@ -593,8 +756,11 @@ final class GraftPartitionReader(
       val r = rows.next()
       rowIndex += 1
       if (!part.needsRowIndex || !deleted.contains(rowIndex)) {
-        current = r
-        return true
+        val filled = fillProj match { case Some(p) => p(r); case None => r }
+        if (part.eqDeletes.isEmpty || !eqDeleted(filled)) {
+          current = outProj match { case Some(p) => p(filled); case None => filled }
+          return true
+        }
       }
     }
     false
@@ -607,4 +773,14 @@ final class GraftPartitionReader(
     } else current
 
   override def close(): Unit = ()
+}
+
+object GraftPartitionReader {
+  /** JVM-wide equality-delete key-set cache: keyed by (key names, delete
+    * file list) — distinct snapshots/groups never collide because the file
+    * list identifies the group's content. Bounded by delete-set size, the
+    * same memory the V1 broadcast join would pin per executor. */
+  private val eqSetCache = new java.util.concurrent.ConcurrentHashMap[
+    (Seq[String], Seq[(String, Long)]),
+    java.util.HashSet[org.apache.spark.sql.catalyst.expressions.UnsafeRow]]()
 }

@@ -235,7 +235,7 @@ final class GraftBatchWrite(table: GraftTable, writeSchema: StructType,
       if (!dropAllBase && fixedDrop.nonEmpty)
         Commits.validateReplace(live.io, base, table.metadata.currentSnapshotId,
           fixedDrop, Commits.conflictFilterFor(base, "update", graft.expr.AlwaysTrue),
-          base.currentSchema)
+          base.currentSchema, failOnDeletesApplyingTo = fixedDrop)
       val dropPaths =
         if (!dropAllBase) fixedDrop
         else Commits.baseManifests(live.io, base)

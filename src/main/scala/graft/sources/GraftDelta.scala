@@ -76,15 +76,12 @@ final class GraftDeltaScanBuilder(table: GraftTable) extends ScanBuilder
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = Some(requiredSchema)
 
-  override def build(): Scan = {
-    val hasEqDeletes = table.newScan().planDeletes()
-      .exists(_.file.content == FileContent.EqualityDeletes)
-    if (hasEqDeletes)
-      throw new UnsupportedOperationException(
-        "merge-on-read SQL operations on tables with equality deletes are " +
-          "not supported; compact first (rewriteDataFiles) or use the table API")
+  override def build(): Scan =
+    // MoR deletes (position, DV, equality) and v3 defaults apply in the
+    // native reader, so condition evaluation sees live, defaulted rows;
+    // `_pos` stays the physical row index (positions under equality
+    // deletes still address the file's physical rows).
     new GraftBatchScan(table, predicate, Nil, required)
-  }
 }
 
 final class GraftDeltaWriteBuilder(table: GraftTable, writeSchema: StructType)

@@ -8,7 +8,6 @@ import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.expr.{AlwaysTrue, Predicate, SparkFilters}
-import graft.meta.FileContent
 import graft.table.GraftTable
 
 /** SQL row-level operations (`DELETE FROM` / `UPDATE` / `MERGE INTO`),
@@ -32,9 +31,6 @@ import graft.table.GraftTable
   * untouched metadata. (Translatable DELETEs don't even get here — Spark
   * prefers the `SupportsDelete` metadata path, which the table also
   * implements.)
-  *
-  * Equality-delete tables are refused (their MoR application is a
-  * distributed anti-join, not a per-file reader concern) — compact first.
   */
 final class GraftRowLevelOperationBuilder(table: GraftTable,
     info: RowLevelOperationInfo) extends RowLevelOperationBuilder {
@@ -103,17 +99,13 @@ final class GraftCowScanBuilder(table: GraftTable, op: GraftRowLevelOperation)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = Some(requiredSchema)
 
-  override def build(): Scan = {
-    val hasEqDeletes = table.newScan().planDeletes()
-      .exists(_.file.content == FileContent.EqualityDeletes)
-    if (hasEqDeletes)
-      throw new UnsupportedOperationException(
-        "SQL row-level operations on tables with equality deletes are not " +
-          "supported; compact first (rewriteDataFiles) or use the table API")
+  override def build(): Scan =
     // pushedFilters = Nil: no parquet row/row-group filtering — every live
-    // row of every planned file must reach the rewrite
+    // row of every planned file must reach the rewrite. MoR deletes of all
+    // three kinds (position, DV, equality) and v3 defaults apply in the
+    // native reader, so the rewrite re-emits exactly the live, defaulted
+    // rows of the replaced files.
     new GraftCowBatchScan(table, predicate, required, op)
-  }
 }
 
 /** CoW scan with RUNTIME group filtering (SupportsRuntimeV2Filtering on

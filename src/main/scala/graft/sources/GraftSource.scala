@@ -195,23 +195,16 @@ final class GraftScanBuilder(table: GraftTable, options: Map[String, String] = M
     GraftMetadataAggregates.evaluate(table, agg).isDefined
   }
 
-  /** Native DSv2 Batch for the common shapes (clean scans, position
-    * deletes, DVs); V1 relation fallback for the join-shaped features —
-    * name-mapping resolution and equality deletes — whose distributed
-    * anti-join plans don't fit a per-file reader. */
+  /** Native DSv2 Batch for every shape except name mapping: position
+    * deletes, DVs, equality deletes, and v3 initial-defaults all apply in
+    * the partition reader. Name-mapping resolution (alias column names per
+    * file) still routes through the V1 relation fallback. */
   override def build(): Scan = aggResult match {
     case Some((schema, row)) => new GraftAggScan(schema, row)
     case None =>
       val usesNameMapping =
         table.metadata.properties.get("graft.read.use-name-mapping").contains("true")
-      // v3 initial-defaults need the per-file-group fill in TableScan;
-      // the native reader null-fills absent columns. Only tables that
-      // actually declare defaults pay the fallback.
-      val hasFieldDefaults = table.schema.fields.exists(_.initialDefault.isDefined)
-      lazy val hasEqDeletes = table.newScan().planDeletes()
-        .exists(_.file.content == graft.meta.FileContent.EqualityDeletes)
-      if (usesNameMapping || hasFieldDefaults || hasEqDeletes)
-        new GraftV1Scan(table, predicate, required)
+      if (usesNameMapping) new GraftV1Scan(table, predicate, required)
       else new GraftBatchScan(table, predicate, pushed.toSeq, required, options)
   }
 }
@@ -223,8 +216,8 @@ final class GraftV1Scan(table: GraftTable, predicate: Predicate,
     case Some(s) if s.fields.nonEmpty =>
       require(!s.fieldNames.contains(GraftBatchScan.FileColumn) &&
           !s.fieldNames.contains(GraftBatchScan.PosColumn),
-        "_file/_pos are not available on the V1 fallback path (equality " +
-          "deletes or name mapping); compact first or drop the metadata column")
+        "_file/_pos are not available on the V1 fallback path (name " +
+          "mapping); drop the metadata column")
       s.fieldNames.toSeq
     case _ => table.schema.fields.map(_.name)
   }

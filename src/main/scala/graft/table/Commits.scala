@@ -85,7 +85,13 @@ object Commits {
     *     might match it — pass None for snapshot isolation;
     *   - with `failOnNewDeletes`, any delete file committed after the
     *     scan aborts (compaction folds the delete set it scanned; a
-    *     newer delete targeting its sources would be lost).
+    *     newer delete targeting its sources would be lost);
+    *   - with `failOnDeletesApplyingTo` (CoW delete/update/merge), a
+    *     delete FILE committed after the scan that can apply to one of
+    *     those data files aborts: the rewrite read pre-delete rows, so
+    *     folding would RESURRECT the concurrently deleted rows (Iceberg's
+    *     validateNoNewDeleteFiles — applies under snapshot isolation too,
+    *     it is row correctness, not phantom protection).
     *
     * Cost: one manifest-list + targeted manifest read per attempt — the
     * same files the rewrite itself is about to read (and served by the
@@ -95,7 +101,8 @@ object Commits {
       conflictFilter: Option[graft.expr.Predicate],
       schema: graft.spec.IcebergSchema,
       failOnNewDeletes: Boolean = false,
-      failOnNewReplaceOps: Boolean = false): Unit = {
+      failOnNewReplaceOps: Boolean = false,
+      failOnDeletesApplyingTo: Set[String] = Set.empty): Unit = {
     if (base.currentSnapshotId == scanSnapshotId) return // no concurrent commit
     val byId = base.snapshots.map(s => s.snapshotId -> s).toMap
     val newIds = scala.collection.mutable.Set[Long]()
@@ -124,15 +131,15 @@ object Commits {
         .getOrElse(base.defaultSpec)
       ManifestIO.readManifest(io, m.manifestPath, base.currentSchema, spec)
     }
+    // scheme-insensitive compare: scan-side paths arrive qualified
+    // (file:///…) while manifests store them as written
+    def norm(p: String): String = {
+      val i = p.indexOf(":/")
+      if (i > 0 && p.substring(0, i).forall(_.isLetter))
+        "/" + p.substring(i + 2).dropWhile(_ == '/')
+      else p
+    }
     if (mustBeAlive.nonEmpty) {
-      // scheme-insensitive compare: scan-side paths arrive qualified
-      // (file:///…) while manifests store them as written
-      def norm(p: String): String = {
-        val i = p.indexOf(":/")
-        if (i > 0 && p.substring(0, i).forall(_.isLetter))
-          "/" + p.substring(i + 2).dropWhile(_ == '/')
-        else p
-      }
       val alive = manifests.filter(_.content == ManifestContent.Data)
         .iterator.flatMap(m => entriesOf(m).filter(_.isAlive).map(e => norm(e.dataFile.filePath)))
         .toSet
@@ -160,6 +167,26 @@ object Commits {
         throw new ValidationException(
           "a concurrent commit added delete files during this rewrite; " +
             "folding would lose them")
+    }
+    if (failOnDeletesApplyingTo.nonEmpty) {
+      val dropped = failOnDeletesApplyingTo.map(norm)
+      val conflict = manifests.iterator
+        .filter(m => m.content == ManifestContent.Deletes && newIds(m.addedSnapshotId))
+        .flatMap(entriesOf)
+        .filter(e => e.isAlive && e.snapshotId.exists(newIds))
+        .exists { e =>
+          if (e.dataFile.content == FileContent.EqualityDeletes)
+            true // keyed: applies to any lower-sequence row, incl. the scanned ones
+          else e.dataFile.referencedDataFile match {
+            case Some(ref) => dropped(norm(ref)) // DV / scoped position delete
+            case None => true // unscoped parquet position delete: conservative
+          }
+        }
+      if (conflict)
+        throw new ValidationException(
+          "a concurrent commit added delete files that may apply to data " +
+            "files this operation rewrites; committing would resurrect the " +
+            "concurrently deleted rows — replan against the fresh snapshot")
     }
   }
 

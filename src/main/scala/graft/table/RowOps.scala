@@ -58,7 +58,8 @@ object RowOps {
       "deleted-data-files" -> dropPaths.size.toString,
       "added-data-files" -> newFiles.size.toString)) { (base, seq, snapshotId) =>
       Commits.validateReplace(table.io, base, table.metadata.currentSnapshotId,
-        dropPaths, Commits.conflictFilterFor(base, "delete", bound), table.schema)
+        dropPaths, Commits.conflictFilterFor(base, "delete", bound), table.schema,
+        failOnDeletesApplyingTo = dropPaths)
       val rewritten = Commits.rewriteManifestsDropping(table.io, base, dropPaths,
         commitUuid, snapshotId, seq)
       val added =
@@ -121,7 +122,7 @@ object RowOps {
       // a source key, so the filter is AlwaysTrue (every new file trips)
       Commits.validateReplace(table.io, base, table.metadata.currentSnapshotId,
         dropPaths, Commits.conflictFilterFor(base, "merge", graft.expr.AlwaysTrue),
-        table.schema)
+        table.schema, failOnDeletesApplyingTo = dropPaths)
       val rewritten = Commits.rewriteManifestsDropping(table.io, base, dropPaths,
         commitUuid, snapshotId, seq)
       val added =

@@ -114,12 +114,20 @@ object Transactions {
         require(ancestorsOfTarget.contains(cur),
           s"$ref (${target.snapshotId}) is not a descendant of current ($cur): not a fast-forward")
       }
+      val now = System.currentTimeMillis()
       val updated = base.copy(
         currentSnapshotId = Some(target.snapshotId),
         refs = base.refs + ("main" -> base.refs.get("main")
           .map(_.copy(snapshotId = target.snapshotId))
           .getOrElse(graft.spec.SnapshotRef(target.snapshotId, "branch"))),
-        lastUpdatedMs = System.currentTimeMillis())
+        // the spec requires snapshot-log to record EVERY change to main's
+        // current-snapshot-id: as-of-timestamp reads and the history
+        // metadata table resolve from it, so a publish without a log entry
+        // would be invisible to both
+        snapshotLog =
+          if (base.currentSnapshotId.contains(target.snapshotId)) base.snapshotLog
+          else base.snapshotLog :+ (target.snapshotId, now),
+        lastUpdatedMs = now)
       (updated, (_: Int) => table.refresh())
     }
 

@@ -114,6 +114,72 @@ class GraftSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.filter(col("id") <= 10).count() === 5)
   }
 
+  test("equality deletes apply in the native BatchScan reader") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-dsv2-eq").toString
+    val catalog = new graft.catalog.HadoopCatalog(wh, graft.io.FileIO.fromSpark(spark))
+    val schema = graft.spec.IcebergSchema(0, Seq(
+      graft.spec.NestedField(1, "id", graft.spec.IcebergType.LongT, required = false),
+      graft.spec.NestedField(2, "name", graft.spec.IcebergType.StringT, required = false),
+      graft.spec.NestedField(3, "v", graft.spec.IcebergType.DoubleT, required = false)))
+    var t = graft.table.GraftTable.create("dsv2eq", catalog, schema)
+    t = t.append(Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0),
+      (4L, null.asInstanceOf[String], 4.0)).toDF("id", "name", "v"))
+    // delete keys "b" and a null key (null never matches: row 4 survives)
+    t = t.equalityDelete(Seq(Some("b"), Option.empty[String]).toDF("name"), Seq("name"))
+    // re-insert "b" AFTER the delete: seq scoping keeps the new row
+    t = t.append(Seq((5L, "b", 5.0)).toDF("id", "name", "v"))
+
+    def read() = spark.read.format("graft")
+      .option("warehouse", wh).option("table", "dsv2eq").load()
+    val explained = read().queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(explained.contains("BatchScan"), explained)
+    assert(!explained.contains("ExistingRDD"), explained)
+    assert(read().orderBy("id").collect().map(_.getLong(0)).toSeq
+      === Seq(1L, 3L, 4L, 5L))
+    // projection WITHOUT the key column: reader reads the key internally
+    // and projects it away (extended-schema path)
+    assert(read().select("id").orderBy("id").collect().map(_.getLong(0)).toSeq
+      === Seq(1L, 3L, 4L, 5L))
+    assert(read().select("id").schema.fieldNames.toSeq === Seq("id"))
+    // metadata columns stay available under equality deletes
+    assert(read().select(col("id"), col("_file"), col("_pos"))
+      .collect().length === 4)
+  }
+
+  test("v3 field defaults serve natively in BatchScan") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-dsv2-def").toString
+    val catalog = new graft.catalog.HadoopCatalog(wh, graft.io.FileIO.fromSpark(spark))
+    val schema = graft.spec.IcebergSchema(0, Seq(
+      graft.spec.NestedField(1, "id", graft.spec.IcebergType.LongT, required = false),
+      graft.spec.NestedField(2, "v", graft.spec.IcebergType.StringT, required = false)))
+    var t = graft.table.GraftTable.create("dsv2def", catalog, schema)
+    t = t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    t = graft.table.Transactions.upgradeFormatVersion(t, 3)
+    t = t.updateSchema()
+      .addColumnWithDefault("score", graft.spec.IcebergType.DoubleT, 9.5).commit()
+    t = t.append(Seq((3L, "c", 1.25)).toDF("id", "v", "score"))
+
+    def read() = spark.read.format("graft")
+      .option("warehouse", wh).option("table", "dsv2def").load()
+    val explained = read().queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(explained.contains("BatchScan"), explained)
+    assert(!explained.contains("ExistingRDD"), explained)
+    // pre-evolution files serve the default, not the parquet null-fill
+    assert(read().orderBy("id").collect().map(_.getDouble(2)).toSeq
+      === Seq(9.5, 9.5, 1.25))
+    // a filter over the defaulted column evaluates against the default
+    // (pushed parquet filters are withheld from default-missing files)
+    assert(read().filter(col("score") === 9.5).count() === 2)
+    assert(read().filter(col("score") > 1.0).count() === 3)
+    // projection of only the defaulted column
+    assert(read().select("score").collect().map(_.getDouble(0)).sorted.toSeq
+      === Seq(1.25, 9.5, 9.5))
+  }
+
   test("storage-partitioned join: co-partitioned tables join with no exchange") {
     import spark.implicits._
     val wh = java.nio.file.Files.createTempDirectory("graft-spj").toString

@@ -148,6 +148,21 @@ class SqlRowLevelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows("SELECT id, v FROM rl5.t5") == Seq("[1,A]", "[3,C]", "[4,D]"))
   }
 
+  test("row-level ops on tables with equality deletes (native reader MoR)") {
+    import spark.implicits._
+    registerCatalog("rl8")
+    spark.sql("CREATE TABLE rl8.teq (id BIGINT, name STRING, v DOUBLE)")
+    spark.sql("INSERT INTO rl8.teq VALUES (1,'a',1.0),(2,'b',2.0),(3,'c',3.0)")
+    // stack an equality delete via the table API (same warehouse)
+    var t = GraftTable.load("teq", catalog)
+    t = t.equalityDelete(Seq("b").toDF("name"), Seq("name"))
+    assert(rows("SELECT id FROM rl8.teq") == Seq("[1]", "[3]"))
+    // CoW UPDATE over the eq-deleted file: the rewrite must NOT resurrect
+    // the deleted "b" row
+    spark.sql("UPDATE rl8.teq SET v = v * 10 WHERE id >= 1")
+    assert(rows("SELECT id, v FROM rl8.teq") == Seq("[1,10.0]", "[3,30.0]"))
+  }
+
   test("MERGE runtime group filter rewrites only files with matches") {
     registerCatalog("rl7")
     spark.sql("CREATE TABLE rl7.t7 (id BIGINT, v STRING)")

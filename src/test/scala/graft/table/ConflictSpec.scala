@@ -93,6 +93,36 @@ class ConflictSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(GraftTable.load("c3", catalog).newScan().toDF(spark).count() === 105)
   }
 
+  test("CoW rewrite aborts when a concurrent MoR delete targets its files") {
+    val catalog = freshCatalog()
+    var t = GraftTable.create("c6", catalog, schema)
+    t = t.append(df(1 to 100))
+
+    // stale handle scans pre-delete rows; a concurrent MoR position
+    // delete then removes id<=10. The CoW rewrite adds NO data files and
+    // removes none the delete tombstoned — only the Deletes-manifest
+    // check can catch it (committing would resurrect ids 1..10).
+    val stale = GraftTable.load("c6", catalog)
+    GraftTable.load("c6", catalog)
+      .deleteWhere(BinaryPred(LtEq, "id", 10L), spark) // concurrent MoR delete
+    val err = intercept[Commits.ValidationException] {
+      RowOps.updateWhere(stale, BinaryPred(Gt, "id", 0L),
+        Map("v" -> (col("v") * 2)), spark)
+    }
+    assert(err.getMessage.contains("delete files"))
+    assert(GraftTable.load("c6", catalog).newScan().toDF(spark).count() === 90)
+
+    // snapshot isolation does NOT waive the check: it is row correctness
+    GraftTable.load("c6", catalog)
+      .updateProperties(Map("write.delete.isolation-level" -> "snapshot"))
+    val stale2 = GraftTable.load("c6", catalog)
+    GraftTable.load("c6", catalog).deleteWhere(BinaryPred(Gt, "id", 95L), spark)
+    intercept[Commits.ValidationException] {
+      RowOps.overwriteWhere(stale2, BinaryPred(LtEq, "id", 50L), null, spark)
+    }
+    assert(GraftTable.load("c6", catalog).newScan().toDF(spark).count() === 85)
+  }
+
   test("mixed concurrent appends + CoW deletes converge exactly (replan on abort)") {
     import scala.concurrent.{Await, Future, ExecutionContext}
     import scala.concurrent.duration._

@@ -406,6 +406,13 @@ class TransactionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     t = t.publish("audit")
     assert(t.newScan().toDF(spark).count() === baseCount + 20)
     assert(t.metadata.currentSnapshotId === Some(t.metadata.refs("audit").snapshotId))
+    // the publish is a change to main's current-snapshot-id, so the spec
+    // requires a snapshot-log entry: as-of-timestamp reads AFTER the
+    // publish must serve the published state, and history must show it
+    assert(t.metadata.snapshotLog.size === 2, "publish must append to snapshot-log")
+    assert(t.metadata.snapshotLog.last._1 === t.metadata.currentSnapshotId.get)
+    assert(t.asOfTimestamp(System.currentTimeMillis() + 1)
+      .newScan().toDF(spark).count() === baseCount + 20)
 
     // diverged branch refuses to fast-forward
     t = t.createBranch("other", Some(t.metadata.snapshots.head.snapshotId))
