@@ -52,7 +52,7 @@ import graft.table.GraftTable
 class GraftBatchScan(table: GraftTable, predicate: Predicate,
     pushedFilters: Seq[Filter], required: Option[StructType],
     options: Map[String, String] = Map.empty,
-    onPlanned: Seq[graft.table.FileScanTask] => Unit = _ => ())
+    onPlanned: Seq[String] => Unit = _ => ())
     extends Scan with Batch with SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
@@ -232,14 +232,14 @@ class GraftBatchScan(table: GraftTable, predicate: Predicate,
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
     plannedAndKeys // ensure lastPlannedTasks matches the current runtime key
     val tasks = lastPlannedTasks
-    val rows = tasks.map(_.file.recordCount).sum
+    val rows = tasks.map(_.recordCount).sum
     val width = readSchema().defaultSize.toLong max 1L
     val ndv: Map[String, Long] =
       try graft.puffin.Sketches.readCurrentStats(table)
         .map(s => s.column -> s.estimate).toMap
       catch { case _: Throwable => Map.empty } // stats are advisory, never fail a plan
     val nulls: Map[String, Long] = table.schema.fields.flatMap { f =>
-      val counts = tasks.map(_.file.nullValueCounts.get(f.id))
+      val counts = tasks.map(_.nullCounts.get(f.id))
       if (counts.nonEmpty && counts.forall(_.isDefined))
         Some(f.name -> counts.flatten.sum)
       else None
@@ -270,7 +270,7 @@ class GraftBatchScan(table: GraftTable, predicate: Predicate,
     }
   }
 
-  @volatile private var lastPlannedTasks: Seq[graft.table.FileScanTask] = Nil
+  @volatile private var lastPlannedTasks: Seq[graft.table.CompactFileTask] = Nil
   @volatile private var lastScanMetrics: Option[graft.table.ScanMetrics] = None
 
   /** Planning observability in the Spark UI (SQL tab metrics — the
@@ -327,7 +327,7 @@ class GraftBatchScan(table: GraftTable, predicate: Predicate,
     plannedAndKeys
     val tasks = lastPlannedTasks
     if (tasks.isEmpty ||
-        !tasks.forall(_.file.sortOrderId.contains(order.orderId)))
+        !tasks.forall(_.sortOrderId.contains(order.orderId)))
       return Array.empty
     val partCols = table.spec.fields
       .map(f => table.schema.idToField(f.sourceId).name)
@@ -363,8 +363,8 @@ class GraftBatchScan(table: GraftTable, predicate: Predicate,
       val converters = partType.fields.map(f =>
         CatalystTypeConverters.createToCatalystConverter(
           graft.spec.IcebergType.toSpark(f.fieldType)))
-      def keyOf(t: graft.table.FileScanTask): InternalRow =
-        new GenericInternalRow(t.file.partition.zip(partType.fields)
+      def keyOf(t: graft.table.CompactFileTask): InternalRow =
+        new GenericInternalRow(t.partition.zip(partType.fields)
           .zip(converters).map { case ((v, f), conv) =>
             conv(Predicate.sparkValue(f.fieldType, v))
           }.toArray)
@@ -372,20 +372,56 @@ class GraftBatchScan(table: GraftTable, predicate: Predicate,
       if (!allDefaultSpec) (parts.map(p => p._2: InputPartition), 0)
       else {
         val keyed = parts.map { case (t, p) => GraftKeyedInputPartition(p, keyOf(t)) }
-        val distinct = parts.map(_._1.file.partition).distinct.size
+        val distinct = parts.map(_._1.partition).distinct.size
         (keyed.map(p => p: InputPartition), distinct)
       }
     }
   }
 
+  /** Planning-mode switch: `local` walks manifests on the driver (full
+    * FileScanTasks, cheapest for small snapshots), `distributed` runs the
+    * pruning as a Spark job collecting only compact descriptors, `auto`
+    * (default) picks distributed once the manifest-list counters estimate
+    * more live entries than `graft.plan.distributed-threshold` (default
+    * 20k files — below that the job round-trip costs more than it saves). */
+  private def planCompact(scan: graft.table.TableScan)
+      : (Seq[graft.table.CompactFileTask], graft.table.ScanMetrics) = {
+    val mode = options.getOrElse("plan-mode",
+      table.metadata.properties.getOrElse("graft.plan.mode", "auto"))
+    val threshold = table.metadata.properties
+      .getOrElse("graft.plan.distributed-threshold", "20000").toLong
+    val useDistributed = mode match {
+      case "distributed" => true
+      case "local" => false
+      case _ => scan.estimatedDataEntries >= threshold
+    }
+    if (useDistributed)
+      scan.planCompactDistributed(SparkSession.active, projectedFieldIds,
+        defaultedFields.map(f => (f.id, f.name)))
+    else {
+      val (tasks, m) = scan.planWithMetrics()
+      (tasks.map(toCompact), m)
+    }
+  }
+
+  private lazy val projectedFieldIds: Set[Int] =
+    table.schema.fields.filter(f => projected.contains(f.name)).map(_.id).toSet
+
+  private def toCompact(t: graft.table.FileScanTask): graft.table.CompactFileTask =
+    graft.table.CompactFileTask(t.file.filePath, t.file.fileSizeInBytes,
+      t.file.recordCount, t.specId, t.sequenceNumber, t.file.partition,
+      t.file.sortOrderId, missingDefaultNames(t.file),
+      GraftTable.splitRanges(t.file.fileSizeInBytes, t.file.splitOffsets),
+      t.file.nullValueCounts.filter(kv => projectedFieldIds(kv._1)))
+
   private def doPlan(key: PlanKey)
-      : Array[(graft.table.FileScanTask, GraftInputPartition)] = {
+      : Array[(graft.table.CompactFileTask, GraftInputPartition)] = {
     val (fileFilter, runtimePred) = key
     val scan = predicate.and(runtimePred) match {
       case AlwaysTrue => table.newScan()
       case p => table.newScan().withFilter(p)
     }
-    val (allPlanned, planMetrics) = scan.planWithMetrics()
+    val (allPlanned, planMetrics) = planCompact(scan)
     lastScanMetrics = Some(planMetrics)
     val deletes = scan.planDeletes()
     val posParquet = deletes
@@ -402,17 +438,16 @@ class GraftBatchScan(table: GraftTable, predicate: Predicate,
 
     val all = allPlanned
     val tasks = fileFilter match {
-      case Some(keep) => all.filter(t => keep.contains(qualify(t.file.filePath)))
+      case Some(keep) => all.filter(t => keep.contains(qualify(t.filePath)))
       case None => all
     }
     lastPlannedTasks = tasks // estimateStatistics reads the pruned set
-    onPlanned(tasks) // row-level ops record the replaced groups here
+    onPlanned(tasks.map(_.filePath)) // row-level ops record the replaced groups
     tasks.flatMap { t =>
-      val path = qualify(t.file.filePath)
-      val size = t.file.fileSizeInBytes
+      val path = qualify(t.filePath)
+      val size = t.fileSize
       val dv = dvByFile.get(path)
       val withDeletes = dv.isDefined || posParquet.nonEmpty
-      val missing = missingDefaultNames(t.file)
       // only delete groups sequenced AFTER this file's rows apply (spec:
       // data_seq < delete_seq; same scoping as GraftTable.applyDeletes)
       val eqGroups = eqInfo.collect { case (names, seq, files)
@@ -423,9 +458,11 @@ class GraftBatchScan(table: GraftTable, predicate: Predicate,
           // emission counts rows, so splits and parquet row-group
           // filtering are both off)
           Seq(GraftInputPartition(path, 0L, size, size,
-            needsRowIndex = true, posParquet, dv, missing, eqGroups))
-        else GraftInputPartition.cleanSplits(path, size, t.file.splitOffsets)
-          .map(s => s.copy(missingDefaults = missing, eqDeletes = eqGroups))
+            needsRowIndex = true, posParquet, dv, t.missingDefaults, eqGroups))
+        else t.splitRanges.map { case (start, len) =>
+          GraftInputPartition(path, start, len, size, needsRowIndex = false,
+            Nil, None, t.missingDefaults, eqGroups)
+        }
       splits.map(s => (t, s))
     }.toArray
   }

@@ -118,7 +118,7 @@ final class GraftCowScanBuilder(table: GraftTable, op: GraftRowLevelOperation)
 final class GraftCowBatchScan(table: GraftTable, predicate: Predicate,
     required: Option[StructType], op: GraftRowLevelOperation)
     extends GraftBatchScan(table, predicate, Nil, required,
-      onPlanned = tasks => op.scannedPaths = tasks.map(_.file.filePath).toSet)
+      onPlanned = paths => op.scannedPaths = paths.toSet)
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
 
   import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}

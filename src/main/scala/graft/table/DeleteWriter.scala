@@ -112,12 +112,16 @@ object DeleteWriter {
     }.filter(_.recordCount > 0)
   }
 
-  /** Row-level `DELETE WHERE` committed as v3 deletion vectors: one Puffin
-    * file holding a roaring-bitmap blob per touched data file
-    * (delete_vector.rs:27 + puffin writer). Bitmaps are BUILT ON THE
-    * EXECUTORS (mapGroups per file — at 100 TB a delete can touch millions
-    * of rows per file; only the compressed blobs ever reach the driver),
-    * then concatenated into a single container file at commit. */
+  /** Row-level `DELETE WHERE` committed as v3 deletion vectors: Puffin
+    * files holding a roaring-bitmap blob per touched data file
+    * (delete_vector.rs:27 + puffin writer). Bitmaps are built AND WRITTEN
+    * ON THE EXECUTORS — one Puffin container per write task, so a
+    * predicate delete touching 100k files with dense bitmaps never ships
+    * a serialized blob through the driver; only (path, referenced file,
+    * cardinality, offset, length) descriptors are collected. Blob-level
+    * snapshot-id is written as -1 (unassigned) since the container is
+    * sealed before the commit allocates ids — the manifest entries carry
+    * the authoritative snapshot/sequence numbers. */
   def deleteWhereDV(table: GraftTable, predicate: Predicate,
       spark: SparkSession): GraftTable = {
     import graft.puffin.{Puffin, Roaring64}
@@ -134,28 +138,49 @@ object DeleteWriter {
         col("_metadata.row_index").as("pos"))
 
     import spark.implicits._
-    val blobs: Seq[(String, Array[Byte], Long)] = matches
+    val commitUuid = UUID.randomUUID().toString
+    val outDir = Locations.commitDir(table, "deletes", commitUuid)
+    val tentativeSeq = table.metadata.lastSequenceNumber + 1
+    val conf = new org.apache.spark.util.SerializableConfiguration(table.io.conf)
+
+    // (puffinPath, referencedFile, cardinality, blobOffset, blobLength)
+    val descs: Seq[(String, String, Long, Long, Long)] = matches
       .as[(String, Long)]
       .groupByKey(_._1)
       .mapGroups { (file, rows) =>
         val bm = Roaring64.fromPositions(rows.map(_._2).toSeq)
         (file, Puffin.dvSerialize(bm), bm.cardinality)
       }
-      .collect().toSeq.sortBy(_._1)
-    if (blobs.isEmpty) return table
-
-    val commitUuid = UUID.randomUUID().toString
-    val puffinPath = Locations.commitDir(table, "deletes", commitUuid) + ".puffin"
+      .mapPartitions { it =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          val io = new graft.io.FileIO(conf.value)
+          val blobs = it.toSeq
+          val path = s"$outDir/dv-${UUID.randomUUID()}.puffin"
+          val metas = Puffin.write(io, path, blobs.map { case (file, data, card) =>
+            Puffin.Blob(Puffin.DeletionVectorV1, Nil, -1L, tentativeSeq, data,
+              Map("referenced-data-file" -> file, "cardinality" -> card.toString))
+          })
+          blobs.zip(metas).iterator.map { case ((file, _, card), meta) =>
+            (path, file, card, meta.offset, meta.length)
+          }
+        }
+      }
+      .collect().toSeq.sortBy(_._2)
+    if (descs.isEmpty) {
+      scala.util.Try(table.io.delete(outDir, recursive = true))
+      return table
+    }
 
     Commits.commit(table, "delete", commitUuid,
-      Map("added-delete-files" -> "1",
-        "added-position-deletes" -> blobs.map(_._3).sum.toString)) { (base, seq, snapshotId) =>
+      Map("added-delete-files" -> descs.size.toString,
+        "added-position-deletes" -> descs.map(_._3).sum.toString)) { (base, seq, snapshotId) =>
       // v3 invariant: a data file carries at most ONE deletion vector, and a
       // new DV must supersede (contain) the old (delete_vector.rs semantics).
       // Fold any existing DV for a touched file into the new bitmap, then
       // tombstone the superseded entries in their manifests. Runs inside the
       // commit closure so optimistic retries merge against the refreshed base.
-      val touched = blobs.map(_._1).toSet
+      val touched = descs.map(_._2).toSet
       // DV positions address the touched files: targets must still be alive
       Commits.validateReplace(table.io, base, table.metadata.currentSnapshotId,
         touched, None, table.schema)
@@ -174,37 +199,66 @@ object DeleteWriter {
       val oldDvs: Map[String, DataFile] = dvManifests.flatMap(_._2)
         .filter(isSupersededDv)
         .map(e => e.dataFile.referencedDataFile.get -> e.dataFile).toMap
-      val mergedBlobs = blobs.map { case (file, data, card) =>
-        oldDvs.get(file) match {
-          case None => (file, data, card)
-          case Some(old) =>
-            val oldMeta = Puffin.BlobMetadata(Puffin.DeletionVectorV1, Nil, 0L, 0L,
-              old.contentOffset.getOrElse(0L), old.contentSizeInBytes.getOrElse(0L),
-              Map.empty)
-            val merged = Puffin.dvDeserialize(data)
-              .or(Puffin.dvDeserialize(Puffin.readBlob(table.io, old.filePath, oldMeta)))
-            (file, Puffin.dvSerialize(merged), merged.cardinality)
-        }
-      }
 
-      val metas = Puffin.write(table.io, puffinPath,
-        mergedBlobs.map { case (file, data, card) =>
-          Puffin.Blob(Puffin.DeletionVectorV1, Nil, snapshotId, seq, data,
-            Map("referenced-data-file" -> file, "cardinality" -> card.toString))
-        })
-      val puffinLen = table.io.size(puffinPath)
+      // v3 invariant: the new DV must CONTAIN any DV it supersedes. Files
+      // that already carry one get old ∪ new merged EXECUTOR-SIDE (a
+      // small job over just those files, re-run per CAS attempt against
+      // the refreshed base) into fresh per-task Puffin files; the common
+      // no-prior-DV path keeps its already-written containers untouched.
+      val needMerge = descs.filter(d => oldDvs.contains(d._2))
+      val mergedDescs: Map[String, (String, Long, Long, Long)] =
+        if (needMerge.isEmpty) Map.empty
+        else {
+          val inputs = needMerge.map { case (newPath, file, _, newOff, newLen) =>
+            val old = oldDvs(file)
+            (file, newPath, newOff, newLen, old.filePath,
+              old.contentOffset.getOrElse(0L), old.contentSizeInBytes.getOrElse(0L))
+          }
+          spark.sparkContext
+            .parallelize(inputs, math.max(1, math.min(inputs.size, 64)))
+            .mapPartitions { it =>
+              val items = it.toSeq
+              if (items.isEmpty) Iterator.empty
+              else {
+                val io = new graft.io.FileIO(conf.value)
+                def blob(p: String, off: Long, len: Long) =
+                  Puffin.dvDeserialize(Puffin.readBlob(io, p, Puffin.BlobMetadata(
+                    Puffin.DeletionVectorV1, Nil, 0L, 0L, off, len, Map.empty)))
+                val merged = items.map { case (file, np, no, nl, op, oo, ol) =>
+                  val bm = blob(np, no, nl).or(blob(op, oo, ol))
+                  (file, Puffin.dvSerialize(bm), bm.cardinality)
+                }
+                val path = s"$outDir/dv-merge-${UUID.randomUUID()}.puffin"
+                val metas = Puffin.write(io, path,
+                  merged.map { case (file, data, card) =>
+                    Puffin.Blob(Puffin.DeletionVectorV1, Nil, -1L, seq, data,
+                      Map("referenced-data-file" -> file,
+                        "cardinality" -> card.toString))
+                  })
+                merged.zip(metas).iterator.map { case ((file, _, card), meta) =>
+                  (file, (path, card, meta.offset, meta.length))
+                }
+              }
+            }.collect().toMap
+        }
+
+      val sizeCache = scala.collection.mutable.HashMap[String, Long]()
+      def puffinLen(p: String) = sizeCache.getOrElseUpdate(p, table.io.size(p))
       val nullPartition = Seq.fill(table.spec.fields.size)(null)
-      val files = mergedBlobs.zip(metas).map { case ((file, _, card), meta) =>
+      val files = descs.map { case (path0, file, card0, off0, len0) =>
+        val (p, card, off, len) =
+          mergedDescs.get(file).map(m => (m._1, m._2, m._3, m._4))
+            .getOrElse((path0, card0, off0, len0))
         DataFile(
           content = FileContent.PositionDeletes,
-          filePath = puffinPath,
+          filePath = p,
           fileFormat = "PUFFIN",
           partition = nullPartition,
           recordCount = card,
-          fileSizeInBytes = puffinLen,
+          fileSizeInBytes = puffinLen(p),
           referencedDataFile = Some(file),
-          contentOffset = Some(meta.offset),
-          contentSizeInBytes = Some(meta.length))
+          contentOffset = Some(off),
+          contentSizeInBytes = Some(len))
       }
       val entries = files.map(f => ManifestEntry(ManifestStatus.Added, Some(snapshotId),
         Some(seq), Some(seq), f))

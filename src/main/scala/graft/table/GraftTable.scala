@@ -338,6 +338,27 @@ object GraftTable {
     catalog.createTable(name, schema, spec, properties)
     load(name, catalog)
   }
+
+  /** Greedy row-group packing into ~target-sized (start, length) read
+    * ranges — shared by local and distributed planning so both produce
+    * byte-identical splits. */
+  def splitRanges(size: Long, offsets: Seq[Long], target: Long = 128L << 20)
+      : Seq[(Long, Long)] =
+    if (offsets.size <= 1 || size <= target) Seq((0L, size))
+    else {
+      val bounds = offsets :+ size
+      val ranges = Seq.newBuilder[(Long, Long)]
+      var start = bounds.head
+      var i = 1
+      while (i < bounds.size) {
+        if (bounds(i) - start >= target || i == bounds.size - 1) {
+          ranges += ((start, bounds(i) - start))
+          start = bounds(i)
+        }
+        i += 1
+      }
+      ranges.result()
+    }
 }
 
 /** Unit of scan work (scan/task.rs:55-130). */
@@ -345,6 +366,26 @@ final case class FileScanTask(
     file: DataFile,
     specId: Int,
     sequenceNumber: Long)
+
+/** Driver-compact planning result: exactly what execution needs, WITHOUT
+  * the per-file stats maps (bounds/value-counts/column-sizes) that
+  * dominate task size. At ~200k planned files the full `DataFile` stats
+  * put GBs on the driver; this caps the footprint at ~100 bytes + the
+  * partition tuple per file. Everything pruning-derived (missing-default
+  * names, null counts for the projected columns, row-group split ranges)
+  * is pre-reduced where the stats still exist — on the executor in
+  * distributed planning, inline in local planning. */
+final case class CompactFileTask(
+    filePath: String,
+    fileSize: Long,
+    recordCount: Long,
+    specId: Int,
+    sequenceNumber: Long,
+    partition: Seq[Any],
+    sortOrderId: Option[Int],
+    missingDefaults: Seq[String],
+    splitRanges: Seq[(Long, Long)],
+    nullCounts: Map[Int, Long])
 
 /** A delete file in scope for the scanned snapshot (DeleteFileIndex entry,
   * delete_file_index.rs:37). */
@@ -559,6 +600,108 @@ final class TableScan private[table] (
       Await.result(Future.sequence(items.map(i => Future(f(i)))), Duration.Inf)
         .flatten
     }
+
+  /** Upper bound on live data-file entries in this snapshot, from the
+    * manifest-list counters alone (one cached KB-scale read) — the
+    * auto-mode trigger for distributed planning. */
+  def estimatedDataEntries: Long =
+    snapshot.map { snap =>
+      readListCached(snap.manifestList)
+        .filter(_.content == ManifestContent.Data)
+        .map(m => m.addedFilesCount.toLong + m.existingFilesCount.toLong).sum
+    }.getOrElse(0L)
+
+  /** DISTRIBUTED planning: the same manifest → entry pruning pipeline as
+    * `planWithMetrics`, run as a Spark job over the manifest files — the
+    * reference streams tasks through bounded channels so planning memory
+    * never scales with snapshot size (scan/mod.rs:381-498); here the
+    * manifest fan-out IS the parallelism and the driver only collects
+    * pre-reduced [[CompactFileTask]] descriptors (~100 bytes/file instead
+    * of the multi-KB stats maps). At 200k files that is the difference
+    * between ~20 MB and GBs of driver heap.
+    *
+    * The executors apply the IDENTICAL evaluator code
+    * (ExpressionEvaluator / InclusiveMetricsEvaluator) per entry, so
+    * pruning decisions are equal to the local planner by construction —
+    * asserted by PlanningSpec. The manifest LIST is still read on the
+    * driver (one small Avro file) because ManifestEvaluator pruning needs
+    * it anyway to build the job's input.
+    *
+    * `projectedFieldIds` bounds the null-count stats carried back;
+    * `defaulted` is (field id, name) of v3 initial-default columns so the
+    * per-file missing-default set is decided where the stats still exist. */
+  def planCompactDistributed(spark: org.apache.spark.sql.SparkSession,
+      projectedFieldIds: Set[Int],
+      defaulted: Seq[(Int, String)],
+      targetSplitSize: Long = 128L << 20): (Seq[CompactFileTask], ScanMetrics) = {
+    val snap = snapshot.getOrElse(return (Nil, ScanMetrics(0, 0, 0L, 0L, 0L, 0)))
+    val manifests = readListCached(snap.manifestList)
+    val dataManifests = manifests.filter(_.content == ManifestContent.Data)
+    val survivors = dataManifests.filter { m =>
+      val spec = table.metadata.specById(m.partitionSpecId).getOrElse(table.spec)
+      ManifestEvaluator.manifestMightMatch(
+        partitionFilters(m.partitionSpecId), m.partitions, spec, table.schema)
+    }
+    val emptyMetrics = ScanMetrics(dataManifests.size,
+      dataManifests.size - survivors.size, 0L, 0L, 0L, 0)
+    if (survivors.isEmpty) return (Nil, emptyMetrics)
+
+    // capture ONLY serializable locals (GraftTable holds a live hadoop
+    // Configuration via FileIO; executors rebuild their own from the
+    // broadcast conf — the AppendWriter footer-harvest pattern)
+    val schema = table.schema
+    val filter0 = filter
+    val partFilters = partitionFilters
+    val specById = table.metadata.partitionSpecs.map(s => s.specId -> s).toMap
+    val defaultSpec = table.spec
+    val conf = new org.apache.spark.util.SerializableConfiguration(table.io.conf)
+    val entriesSeen = spark.sparkContext.longAccumulator("graft.plan.entries")
+    val byPartition = spark.sparkContext.longAccumulator("graft.plan.skippedByPartition")
+    val byMetrics = spark.sparkContext.longAccumulator("graft.plan.skippedByMetrics")
+
+    val descs = survivors.map(m =>
+      (m.manifestPath, m.partitionSpecId, m.sequenceNumber))
+    val parallelism = math.max(1,
+      math.min(descs.size, spark.sparkContext.defaultParallelism * 2))
+    val tasks = spark.sparkContext.parallelize(descs, parallelism)
+      .flatMap { case (mpath, specId, mseq) =>
+        val io = new graft.io.FileIO(conf.value)
+        val spec = specById.getOrElse(specId, defaultSpec)
+        val pf = partFilters.getOrElse(specId, filter0)
+        ManifestIO.readManifest(io, mpath, schema, spec)
+          .filter(_.isAlive)
+          .filter { e =>
+            entriesSeen.add(1L)
+            val ok = ExpressionEvaluator.partitionMatches(
+              pf, e.dataFile.partition, spec, schema)
+            if (!ok) byPartition.add(1L)
+            ok
+          }
+          .filter { e =>
+            val ok = InclusiveMetricsEvaluator.fileMightMatch(filter0, e.dataFile, schema)
+            if (!ok) byMetrics.add(1L)
+            ok
+          }
+          .map { e =>
+            val f = e.dataFile
+            val missing =
+              if (defaulted.isEmpty ||
+                  (f.columnSizes.isEmpty && f.valueCounts.isEmpty)) Nil
+              else defaulted.collect { case (id, n)
+                if !f.columnSizes.contains(id) && !f.valueCounts.contains(id) => n }
+            CompactFileTask(f.filePath, f.fileSizeInBytes, f.recordCount,
+              specId, e.sequenceNumber.getOrElse(mseq), f.partition,
+              f.sortOrderId, missing,
+              GraftTable.splitRanges(f.fileSizeInBytes, f.splitOffsets, targetSplitSize),
+              f.nullValueCounts.filter(kv => projectedFieldIds(kv._1)))
+          }
+      }.collect().toSeq
+    (tasks, emptyMetrics.copy(
+      entriesConsidered = entriesSeen.value,
+      skippedByPartition = byPartition.value,
+      skippedByMetrics = byMetrics.value,
+      resultFiles = tasks.size))
+  }
 
   /** Alive delete files in scope for this snapshot. At 100 TB the delete
     * manifests are read once per scan; actual delete application happens

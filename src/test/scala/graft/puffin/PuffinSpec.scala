@@ -190,4 +190,49 @@ class PuffinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.newScan().planDeletes().isEmpty)
     assert(t.newScan().toDF(spark).count() === 50)
   }
+
+  test("DV delete writes per-task puffin files on executors, never one driver blob") {
+    import spark.implicits._
+    val catalog = new HadoopCatalog(
+      java.nio.file.Files.createTempDirectory("graft-dv-many-").toString,
+      FileIO.fromSpark(spark))
+    val schema = IcebergSchema(0, Seq(
+      NestedField(1, "id", LongT, required = false),
+      NestedField(2, "v", DoubleT, required = false)))
+    // ~150 data files so the delete touches files across every shuffle task
+    var t = GraftTable.create("dvmany", catalog, schema,
+      properties = Map("write.spark.max-records-per-file" -> "4"))
+    t = t.append((1L to 600L).map(i => (i, i * 1.0)).toDF("id", "v"))
+    assert(t.newScan().planFiles().size > 100)
+
+    // AQE rightly coalesces this KB-scale shuffle into one task; disable
+    // coalescing so the test exercises the many-task container layout a
+    // 100 TB delete would produce naturally
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try t = t.deleteWhereDV(Predicate.gt("v", 100.0), spark)
+    finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    val dvs = t.newScan().planDeletes().filter(_.file.fileFormat == "PUFFIN")
+    // one DV entry per touched file, spread over MULTIPLE puffin
+    // containers (one per write task — the executor-side write path; a
+    // driver-side collect would have produced exactly one)
+    assert(dvs.map(_.file.referencedDataFile.get).distinct.size === dvs.size)
+    val containers = dvs.map(_.file.filePath).distinct
+    assert(containers.size > 1,
+      s"expected per-task puffin files, got ${containers.size} container(s)")
+    assert(t.newScan().toDF(spark).count() === 100)
+
+    // supersede-merge across MANY files also stays executor-side and
+    // keeps the one-DV-per-file invariant
+    t = t.deleteWhereDV(Predicate.gt("v", 50.0), spark)
+    val dvs2 = t.newScan().planDeletes().filter(_.file.fileFormat == "PUFFIN")
+    val byFile = dvs2.groupBy(_.file.referencedDataFile.get)
+    assert(byFile.values.forall(_.size == 1))
+    assert(dvs2.map(_.file.recordCount).sum === 550)
+    assert(t.newScan().toDF(spark).count() === 50)
+    // deletes survive the native DSv2 read path too
+    val wh2 = t.location.stripSuffix("/dvmany")
+    val df = spark.read.format("graft")
+      .option("warehouse", wh2).option("table", "dvmany").load()
+    assert(df.count() === 50)
+  }
 }
