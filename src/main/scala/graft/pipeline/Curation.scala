@@ -13,13 +13,23 @@ import org.apache.spark.sql.functions._
   *     eval sets are small by construction (benchmarks, not corpora), so
   *     the gram join broadcasts and the corpus never shuffles — one map
   *     stage + one partial-aggregated count per doc.
-  *   - budget sampling and packing each shuffle once on the domain key,
-  *     then run a single window pass per domain partition; domains are
-  *     the natural unit of training-mix control, and a skewed mega-domain
-  *     can be pre-split by a salt on the deterministic hash order without
-  *     changing selection semantics.
+  *   - budget sampling and packing compute their per-domain running sums
+  *     as a SALTED TWO-PASS cumulative sum: rows are bucketed by a
+  *     contiguous range of the ordering key (md5-hex prefix for the hash
+  *     order, doc-id range for packing order), pass 1 aggregates
+  *     per-(domain, bucket) token totals (tiny), pass 2 runs the window
+  *     per (domain, bucket) and adds the broadcast prefix offset. A
+  *     Zipfian mega-domain ("web" = most of 100 TB) therefore spreads
+  *     over `SaltBuckets` window partitions instead of serializing into
+  *     ONE task — identical selection semantics (offset + local prefix
+  *     sum = global prefix sum over the same total order).
   */
 object Curation {
+
+  /** Contiguous order-range buckets per domain for the two-pass cumsum.
+    * 256 spreads a mega-domain over every executor of a large cluster
+    * while keeping the pass-1 aggregate at sources × 256 rows. */
+  val SaltBuckets = 256
 
   /** Word n-grams as strings, one row per (doc_id, gram), deduplicated
     * per doc. Position-based (with multiplicity collapsed): docs shorter
@@ -61,16 +71,33 @@ object Curation {
     * while the running token total stays within `budgetTokens`.
     *
     * This is the training-mix primitive: "x tokens of web, y of code".
-    * One shuffle on the domain key; the window is a single streaming pass
-    * per domain partition. */
+    * Two-pass salted cumsum: the bucket is the first two md5-hex chars —
+    * a CONTIGUOUS range of the (h, doc_id) total order, so
+    * local-prefix-sum + per-bucket offset equals the global prefix sum
+    * bit-for-bit. No single-task mega-domain window anywhere. */
   def budgetSample(docs: DataFrame, budgetTokens: Long): DataFrame = {
     val toks = size(split(col("text"), "\\s+")).cast("long")
     val h = md5(col("doc_id").cast("string"))
+    val base = docs
+      .select(col("source"), col("doc_id"), toks.as("tokens"), h.as("h"))
+      .withColumn("b", conv(substring(col("h"), 1, 2), 16, 10).cast("int"))
+    // pass 1: per-(domain, bucket) totals → running offset of every
+    // EARLIER bucket. sources × 256 rows — broadcast territory.
+    val offsets = base.groupBy(col("source"), col("b"))
+      .agg(sum(col("tokens")).as("bt"))
+      .withColumn("off", coalesce(sum(col("bt")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("b"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("source"), col("b"), col("off"))
+    // pass 2: window per (domain, bucket) — a mega-domain spreads over
+    // SaltBuckets tasks — plus the broadcast offset
     val win = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+      .partitionBy(col("source"), col("b")).orderBy(col("h"), col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    docs.select(col("source"), col("doc_id"), toks.as("tokens"), h.as("h"))
-      .withColumn("cum_tokens", sum(col("tokens")).over(win))
+    base.join(broadcast(offsets), Seq("source", "b"))
+      .withColumn("cum_tokens", sum(col("tokens")).over(win) + col("off"))
       .filter(col("cum_tokens") <= budgetTokens)
       .select(col("source"), col("doc_id"), col("tokens"), col("cum_tokens"))
   }
@@ -108,15 +135,34 @@ object Curation {
     * belongs to the sequence its FIRST token lands in.
     *
     * Output: one row per (source, seq_id) — doc span and token mass —
-    * ready to drive the actual tensor-assembly job. Same scale shape as
-    * budgetSample: one domain-key shuffle + one window pass. */
+    * ready to drive the actual tensor-assembly job. Same two-pass salted
+    * cumsum as budgetSample, bucketed by per-domain doc_id ranges
+    * (contiguous in the packing order, so the decomposition is exact). */
   def packSequences(docs: DataFrame, seqLen: Int = 2048): DataFrame = {
     val toks = size(split(col("text"), "\\s+")).cast("long")
+    val base0 = docs.select(col("source"), col("doc_id"), toks.as("tokens"))
+    // per-domain doc_id span → equal-width contiguous buckets (skewed id
+    // clustering only unbalances buckets, never correctness)
+    val spans = base0.groupBy(col("source"))
+      .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+      .withColumn("w", greatest(
+        floor((col("hi") - col("lo")) / SaltBuckets) + 1, lit(1L)))
+      .select(col("source"), col("lo"), col("w"))
+    val base = base0.join(broadcast(spans), Seq("source"))
+      .withColumn("b", floor((col("doc_id") - col("lo")) / col("w")).cast("int"))
+    val offsets = base.groupBy(col("source"), col("b"))
+      .agg(sum(col("tokens")).as("bt"))
+      .withColumn("off", coalesce(sum(col("bt")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("b"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("source"), col("b"), col("off"))
     val win = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .partitionBy(col("source"), col("b")).orderBy(col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    docs.select(col("source"), col("doc_id"), toks.as("tokens"))
-      .withColumn("cum", sum(col("tokens")).over(win))
+    base.join(broadcast(offsets), Seq("source", "b"))
+      .withColumn("cum", sum(col("tokens")).over(win) + col("off"))
       .withColumn("seq_id", floor((col("cum") - col("tokens")) / seqLen))
       .groupBy(col("source"), col("seq_id"))
       .agg(count(lit(1)).as("n_docs"),

@@ -14,8 +14,11 @@ import org.apache.spark.sql.functions._
   *     and self-joins per band bucket. The candidate join is bounded by
   *     bucket sizes (true near-dups + rare hash collisions), so total
   *     work is O(docs·b + Σ bucket²) with tiny buckets, not O(docs²).
-  *     Skewed buckets (a viral boilerplate string) can be salted or
-  *     capped via a bucket-size limit before the join.
+  *     Skewed buckets (a viral boilerplate string) are CAPPED before the
+  *     join: a windowed census on the band key drops buckets above
+  *     `MaxBucket` (deterministic, no RNG), bounding any bucket's pair
+  *     fan-out at MaxBucket² while true near-dup pairs keep their other,
+  *     small band buckets.
   *   - the exact-Jaccard verify joins only candidate pairs back to their
   *     shingle sets (two hash joins on doc_id).
   *   - SimHash is embarrassingly parallel (per-row) after a word-explode
@@ -81,15 +84,32 @@ object Dedup {
         posexplode(array(bandKeys: _*)).as(Seq("band_idx", "band_key")))
   }
 
+  /** Band buckets larger than this are dropped from candidate generation
+    * — a bucket this size is boilerplate pathology (one viral band key
+    * shared by ~everything), and its k² pair fan-out would dominate the
+    * join. True near-dup pairs keep their other, small buckets (b−1 more
+    * chances per pair), so recall on real dups is unaffected. */
+  val MaxBucket: Int = 10000
+
   /** Candidate pairs (id_a < id_b) sharing at least one band bucket —
-    * the bucket-bounded join. */
-  def lshCandidates(bandsDf: DataFrame): DataFrame =
-    bandsDf.as("a").join(bandsDf.as("b"),
+    * the bucket-bounded join, with the skew cap applied first. The census
+    * is a COUNT window over the same (band_idx, band_key) the join
+    * shuffles on — one exchange, no second signature computation, O(k)
+    * work even for the pathological bucket it then drops. */
+  def lshCandidates(bandsDf: DataFrame, maxBucket: Int = MaxBucket): DataFrame = {
+    val census = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band_idx"), col("band_key"))
+    val bounded = bandsDf
+      .withColumn("_bn", count(lit(1)).over(census))
+      .filter(col("_bn") <= maxBucket)
+      .drop("_bn")
+    bounded.as("a").join(bounded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
+  }
 
   /** Full near-dup pipeline: LSH candidates verified by exact Jaccard ≥
     * `threshold`. With b=16, r=4 a true pair at J=0.9 is missed with
@@ -97,9 +117,9 @@ object Dedup {
     * driver's all-pairs DuckDB oracle holds because the corpus has a wide
     * margin (planted dups at J≥0.9, background noise ≤0.07). */
   def minhashNearDups(docs: DataFrame, threshold: Double = 0.5,
-      bands: Int = 16, rows: Int = 4): DataFrame = {
+      bands: Int = 16, rows: Int = 4, maxBucket: Int = MaxBucket): DataFrame = {
     val sets = shingleSets(docs)
-    val cand = lshCandidates(minhashBands(sets, bands, rows))
+    val cand = lshCandidates(minhashBands(sets, bands, rows), maxBucket)
     val j = TextHash.jaccard(col("sa.s"), col("sb.s"))
     cand.join(sets.as("sa"), col("id_a") === col("sa.doc_id"))
       .join(sets.as("sb"), col("id_b") === col("sb.doc_id"))
@@ -219,22 +239,31 @@ object Dedup {
     *
     * Scale shape: one explode (×bands) + ONE shuffle by (band, chunk)
     * for the self-join; each bucket is a co-located hash-join cell and
-    * the n² pair space never materializes. A pathological bucket (e.g.
-    * a boilerplate chunk shared by millions of docs) is the same skew
-    * problem as MinHash-LSH bands — salt or cap that bucket. */
+    * the n² pair space never materializes. A pathological bucket (a
+    * boilerplate chunk shared by millions of docs) is capped exactly like
+    * the MinHash band buckets — the same windowed census, dropping
+    * buckets above `maxBucket`. The pigeonhole exact-recall guarantee
+    * then holds for every pair with at least one agreeing chunk bucket
+    * under the cap (an overflowing bucket is the boilerplate pathology
+    * itself, not a near-dup signal). */
   def simhashNearDups(docs: DataFrame, maxHamming: Int = 5,
-      bands: Int = 6, bits: Int = 60): DataFrame = {
+      bands: Int = 6, bits: Int = 60, maxBucket: Int = MaxBucket): DataFrame = {
     require(maxHamming < bands, s"pigeonhole needs maxHamming < bands")
     require(bits % bands == 0, s"bands must divide bits: $bits % $bands")
     val width = bits / bands
     val mask = (1L << width) - 1
     val sigs = simhash(docs, bits = bits)
+    val census = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("chunk"))
     val banded = sigs.select(col("doc_id"), col("simhash"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
           expr(s"shiftright(simhash, ${b * width}) & $mask").as("chunk"))): _*)).as("bc"))
       .select(col("doc_id"), col("simhash"), col("bc.band").as("band"),
         col("bc.chunk").as("chunk"))
+      .withColumn("_bn", count(lit(1)).over(census))
+      .filter(col("_bn") <= maxBucket)
+      .drop("_bn")
     banded.select(col("doc_id").as("id_a"), col("simhash").as("sig_a"),
         col("band"), col("chunk"))
       .join(banded.select(col("doc_id").as("id_b"), col("simhash").as("sig_b"),

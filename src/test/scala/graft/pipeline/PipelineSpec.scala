@@ -51,6 +51,51 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exact.nonEmpty) // the corpus has planted near-dups
   }
 
+  test("LSH bucket cap: viral boilerplate bounded, true-pair recall holds") {
+    import spark.implicits._
+    // 400 docs dominated by ONE viral boilerplate block (the band-bucket
+    // factory: shared shingles → shared band keys), plus 5 planted true
+    // near-dup pairs of ordinary docs in their own small buckets
+    val boiler = (0 until 60).map(j => s"boiler$j").mkString(" ")
+    val viral = (0 until 400).map { i =>
+      (1000L + i, s"$boiler tail$i end$i")
+    }
+    val truePairs = (0 until 5).flatMap { i =>
+      val body = (0 until 40).map(j => s"body$i token$j").mkString(" ")
+      Seq((2000L + i, s"$body alpha"), (3000L + i, s"$body beta"))
+    }
+    val corpus = (viral ++ truePairs).toDF("doc_id", "text")
+
+    val bands = Dedup.minhashBands(Dedup.shingleSets(corpus), 16, 4)
+    val uncapped = Dedup.lshCandidates(bands, maxBucket = Int.MaxValue).count()
+    val capped = Dedup.lshCandidates(bands, maxBucket = 50).count()
+    // the viral bucket's quadratic fan-out is gone...
+    assert(capped < uncapped / 2,
+      s"cap did not bound candidates: capped=$capped uncapped=$uncapped")
+    // ...and NO bucket in the capped plan exceeds the cap
+    val oversize = bands
+      .groupBy("band_idx", "band_key").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 50)
+    assert(oversize.count() > 0, "fixture must actually produce a viral bucket")
+    // recall: every planted true pair survives the capped pipeline
+    val found = Dedup.minhashNearDups(corpus, threshold = 0.5, maxBucket = 50)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 5).foreach { i =>
+      assert(found.contains((2000L + i, 3000L + i)),
+        s"true pair $i lost to the bucket cap")
+    }
+
+    // simhash path: same cap, same recall property
+    val sims = Dedup.simhashNearDups(corpus, maxHamming = 5, maxBucket = 50)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 5).foreach { i =>
+      assert(sims.contains((2000L + i, 3000L + i)),
+        s"true pair $i lost to the simhash bucket cap")
+    }
+  }
+
   test("ngram-jaccard prefix filtering equals brute force, no cartesian") {
     val pf = Dedup.ngramJaccardNearDups(docs, threshold = 0.6)
     val plan = pf.queryExecution.executedPlan.toString
@@ -342,6 +387,59 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       phys(TextAnalysis.repetition(docs)),
       phys(TextAnalysis.pii(docs)))
     plans.foreach(p => assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p"))
+  }
+
+  test("salted curation windows: mega-domain spreads over buckets, equals single-window cumsum") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.expressions.Window
+    // Zipfian worst case: EVERY doc in one domain — the shape that
+    // serialized into a single window task before the two-pass cumsum
+    val mega = docs.withColumn("source", lit("web"))
+
+    // budgetSample: identical selection to the naive global window
+    val toks = size(split(col("text"), "\\s+")).cast("long")
+    val h = md5(col("doc_id").cast("string"))
+    val naiveWin = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val naive = mega
+      .select(col("source"), col("doc_id"), toks.as("tokens"), h.as("h"))
+      .withColumn("cum_tokens", sum(col("tokens")).over(naiveWin))
+      .filter(col("cum_tokens") <= 5000L)
+      .select("source", "doc_id", "tokens", "cum_tokens")
+      .collect().map(_.toString).sorted
+    val salted = Curation.budgetSample(mega, 5000L)
+      .collect().map(_.toString).sorted
+    assert(salted.sameElements(naive))
+    assert(naive.length > 10)
+
+    // packSequences: same equality against the naive formulation
+    val packNaiveWin = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val packNaive = mega.select(col("source"), col("doc_id"), toks.as("tokens"))
+      .withColumn("cum", sum(col("tokens")).over(packNaiveWin))
+      .withColumn("seq_id", floor((col("cum") - col("tokens")) / 256))
+      .groupBy(col("source"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("tok_sum"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .collect().map(_.toString).sorted
+    val packSalted = Curation.packSequences(mega, 256)
+      .collect().map(_.toString).sorted
+    assert(packSalted.sameElements(packNaive))
+
+    // the per-row window is partitioned by (source, bucket) — a domain
+    // provably spreads over >1 window partition. (Asserted on the
+    // multi-source frame: the mega frame's literal source constant-folds
+    // out of the partition spec, which only strengthens the spread.)
+    Seq(Curation.budgetSample(docs, 5000L), Curation.packSequences(docs, 256))
+      .foreach { df =>
+        val winSpecs = df.queryExecution.sparkPlan.collect {
+          case w: WindowExec => w.partitionSpec.length
+        }
+        assert(winSpecs.contains(2), s"expected a salted window, got $winSpecs")
+      }
+    val buckets = mega.select(conv(substring(md5(col("doc_id").cast("string")),
+      1, 2), 16, 10).cast("int").as("b")).distinct().count()
+    assert(buckets > 64, s"salt must spread the domain, got $buckets buckets")
   }
 
   test("int8 quantization: bounded range, cosine preserved within tolerance") {
