@@ -9,7 +9,8 @@ object Registry {
   def modules: Seq[Seq[Q]] = Seq(
     RelationalQueries.all,
     IcebergQueries.all,
-    PipelineQueries.all
+    PipelineQueries.all,
+    WritePathQueries.all
   )
 
   lazy val all: Seq[Q] = {

@@ -11,6 +11,17 @@ final case class CommitConflict(message: String) extends RuntimeException(messag
   */
 trait Catalog {
   def io: FileIO
+
+  /** metadata.json bytes honoring `write.metadata.compression-codec`
+    * (reference compression.rs: gzip or none; reads sniff magic bytes,
+    * see FileIO.readString). */
+  protected def metadataBytes(md: TableMetadata): Array[Byte] =
+    md.properties.getOrElse("write.metadata.compression-codec", "none") match {
+      case "gzip" => io.gzipBytes(md.toJsonString)
+      case "none" | "" => md.toJsonString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      case other => throw new IllegalArgumentException(
+        s"unsupported write.metadata.compression-codec: $other (gzip|none)")
+    }
   def createTable(name: String, schema: IcebergSchema,
       spec: PartitionSpec = PartitionSpec.unpartitioned,
       properties: Map[String, String] = Map.empty): TableMetadata
@@ -147,7 +158,7 @@ final class HadoopCatalog(warehouse: String, val io: FileIO) extends Catalog {
       throw CommitConflict(s"base version $baseVersion is stale (current: $cur)")
     val next = baseVersion + 1
     val tmp = s"${metadataDir(name)}/.tmp-${java.util.UUID.randomUUID()}.json"
-    io.writeString(tmp, updated.toJsonString, overwrite = true)
+    io.writeBytes(tmp, metadataBytes(updated), overwrite = true)
     val target = versionFile(name, next)
     if (io.exists(target) || !io.rename(tmp, target)) {
       io.delete(tmp)
@@ -168,7 +179,7 @@ final class HadoopCatalog(warehouse: String, val io: FileIO) extends Catalog {
   }
 
   private def writeVersion(name: String, v: Int, md: TableMetadata): Unit = {
-    io.writeString(versionFile(name, v), md.toJsonString, overwrite = false)
+    io.writeBytes(versionFile(name, v), metadataBytes(md), overwrite = false)
     writeHint(name, v)
   }
 }

@@ -78,7 +78,7 @@ final class JdbcCatalog(jdbcUrl: String, warehouse: String, val io: FileIO,
 
   override protected def registerParsed(name: String, md: TableMetadata): Unit = {
     val loc = versionFile(name, 1)
-    io.writeString(loc, md.toJsonString, overwrite = false)
+    io.writeBytes(loc, metadataBytes(md), overwrite = false)
     registerRow(name, loc)
   }
 
@@ -86,7 +86,7 @@ final class JdbcCatalog(jdbcUrl: String, warehouse: String, val io: FileIO,
       properties: Map[String, String]): TableMetadata = {
     val md = TableMetadata.newTable(tableDir(name), schema, spec, properties)
     val loc = versionFile(name, 1)
-    io.writeString(loc, md.toJsonString, overwrite = false)
+    io.writeBytes(loc, metadataBytes(md), overwrite = false)
     registerRow(name, loc)
     md
   }
@@ -154,7 +154,7 @@ final class JdbcCatalog(jdbcUrl: String, warehouse: String, val io: FileIO,
       throw CommitConflict(
         s"base version $baseVersion is stale for $name (current: ${versionOf(prevLoc)})")
     val nextLoc = versionFile(name, baseVersion + 1)
-    io.writeString(nextLoc, updated.toJsonString, overwrite = false)
+    io.writeBytes(nextLoc, metadataBytes(updated), overwrite = false)
     val swapped = withConn { c =>
       val ps = c.prepareStatement(
         s"""UPDATE $TableName

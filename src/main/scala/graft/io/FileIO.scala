@@ -23,8 +23,29 @@ final class FileIO(val conf: Configuration) extends Serializable {
 
   def exists(path: String): Boolean = fs(path).exists(new Path(path))
 
-  def readString(path: String): String =
-    new String(readBytes(path), java.nio.charset.StandardCharsets.UTF_8)
+  /** Text read with gzip sniffing (reference compression.rs: metadata
+    * JSON may be gzip-compressed — e.g. `write.metadata.compression-codec
+    * = gzip`, or a foreign `.gz.metadata.json`). Detection is by magic
+    * bytes, not filename, so registered foreign files read either way. */
+  def readString(path: String): String = {
+    val b = readBytes(path)
+    val data =
+      if (b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b) {
+        val in = new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(b))
+        try in.readAllBytes() finally in.close()
+      } else b
+    new String(data, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** Gzip-compress a UTF-8 string (metadata.json compression). */
+  def gzipBytes(s: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    gz.close()
+    bos.toByteArray
+  }
 
   def readBytes(path: String): Array[Byte] = {
     val in = open(path)

@@ -157,19 +157,34 @@ object ManifestIO {
   private def nonNullBranch(unionSchema: Schema): Schema =
     unionSchema.getTypes.asScala.find(_.getType != Schema.Type.NULL).get
 
+  /** Avro block codec from `write.avro.compression-codec` (reference
+    * compression.rs: deflate|null). Reads need nothing — DataFileStream
+    * resolves the codec from the container header, so deflate-compressed
+    * manifests from foreign writers already deserialize. */
+  private[graft] def avroCodec(codec: String)
+      : Option[org.apache.avro.file.CodecFactory] = codec match {
+    case "deflate" | "gzip" => Some(org.apache.avro.file.CodecFactory.deflateCodec(
+      org.apache.avro.file.CodecFactory.DEFAULT_DEFLATE_LEVEL))
+    case "uncompressed" | "null" | "none" | "" => None
+    case other => throw new IllegalArgumentException(
+      s"unsupported write.avro.compression-codec: $other (deflate|uncompressed)")
+  }
+
   /** Write one manifest file; returns (path, length). */
   def writeManifest(
       io: FileIO,
       path: String,
       entries: Seq[ManifestEntry],
       schema: IcebergSchema,
-      spec: PartitionSpec): (String, Long) = {
+      spec: PartitionSpec,
+      codec: String = "uncompressed"): (String, Long) = {
     val partType = spec.partitionType(schema)
     val entrySchema = manifestEntrySchema(partType)
     val dfSchema = entrySchema.getField("data_file").schema()
     val partSchema = dfSchema.getField("partition").schema()
 
     val writer = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](entrySchema))
+    avroCodec(codec).foreach(writer.setCodec)
     writer.setMeta("schema", graft.spec.Json.write(schema.toJson))
     writer.setMeta("partition-spec", graft.spec.Json.write(spec.toJson.get("fields")))
     writer.setMeta("partition-spec-id", spec.specId.toString)
@@ -327,8 +342,9 @@ object ManifestIO {
   // ---------------- manifest list ----------------
 
   def writeManifestList(io: FileIO, path: String, manifests: Seq[ManifestFile],
-      partTypes: Map[Int, StructT]): Unit = {
+      partTypes: Map[Int, StructT], codec: String = "uncompressed"): Unit = {
     val writer = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](manifestFileSchema))
+    avroCodec(codec).foreach(writer.setCodec)
     writer.setMeta("format-version", "2")
     val out = io.create(path, overwrite = true)
     writer.create(manifestFileSchema, out)

@@ -28,10 +28,13 @@ object Puffin {
 
   /** Deletion vector blob type (v3 spec; puffin/blob.rs:25). */
   val DeletionVectorV1 = "deletion-vector-v1"
-  /** KMV distinct-count sketch (stand-in for apache-datasketches-theta-v1,
-    * which requires the DataSketches binary format; same role: mergeable
-    * per-column NDV estimates — puffin/blob.rs:23). */
+  /** KMV distinct-count sketch (engine-private portable companion blob:
+    * deterministic md5-based formulation reproducible in plain SQL). */
   val KmvDistinctV1 = "graft-kmv-distinct-v1"
+  /** The spec'd NDV blob type (puffin/blob.rs:23) — DataSketches theta
+    * CompactSketch bytes, written/read via [[ThetaSketch]] for
+    * mixed-engine stats interop. */
+  val ThetaV1 = "apache-datasketches-theta-v1"
 
   final case class Blob(
       blobType: String,

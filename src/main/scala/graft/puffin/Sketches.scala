@@ -30,11 +30,15 @@ object Sketches {
   val DefaultK = 64
 
   final case class ColumnSketch(fieldId: Int, column: String, k: Int,
-      minHashes: Seq[Long]) {
+      minHashes: Seq[Long],
+      /** Set when the sketch was read from a foreign theta blob — the
+        * estimate then comes from the theta math, not KMV. */
+      thetaEstimate: Option[Long] = None) {
     /** NDV estimate (exact when under-filled). */
-    def estimate: Long =
+    def estimate: Long = thetaEstimate.getOrElse {
       if (minHashes.size < k) minHashes.size.toLong
       else math.floor((k - 1).toDouble * math.pow(2.0, 60) / minHashes.last.toDouble).toLong
+    }
 
     def serialize(): Array[Byte] = {
       val buf = ByteBuffer.allocate(8 + minHashes.size * 8).order(ByteOrder.LITTLE_ENDIAN)
@@ -64,6 +68,40 @@ object Sketches {
       ColumnSketch(-1, c, k, hashes)
     }
 
+  /** Theta sketch per column, the same distributed top-k shape: distinct
+    * entry hashes ascending, first 2^lgK + 1 collected (the +1 supplies
+    * theta past the nominal count). Keys hash per-type the DataSketches
+    * way, so a foreign engine updating the same values lands on the same
+    * entries. The hash is a scalar udf — acceptable off the hot path: a
+    * stats job reads each value once and the collect is k-capped. */
+  def thetaColumns(df: DataFrame, cols: Seq[String],
+      lgK: Int = ThetaSketch.DefaultLgK): Seq[ThetaSketch.Theta] = {
+    import org.apache.spark.sql.types._
+    cols.map { c =>
+      val h: org.apache.spark.sql.Column = df.schema(c).dataType match {
+        case LongType | IntegerType | ShortType | ByteType =>
+          udf((v: java.lang.Long) =>
+            if (v == null) 0L else ThetaSketch.valueHash(v.longValue()))
+            .apply(col(c).cast("long"))
+        case DoubleType | FloatType =>
+          udf((v: java.lang.Double) =>
+            if (v == null) 0L else ThetaSketch.valueHash(v.doubleValue()))
+            .apply(col(c).cast("double"))
+        case _ =>
+          udf((v: String) => ThetaSketch.valueHash(v)).apply(col(c).cast("string"))
+      }
+      val k = 1 << lgK
+      val hashes = df.select(h.as("x"))
+        .where(col("x") =!= 0L)
+        .distinct()
+        .orderBy(col("x"))
+        .limit(k + 1)
+        .collect().map(_.getLong(0)).toSeq
+      if (hashes.size <= k) ThetaSketch.Theta(lgK, Long.MaxValue, hashes)
+      else ThetaSketch.Theta(lgK, hashes(k), hashes.take(k))
+    }
+  }
+
   /** Compute sketches for `cols` of the table's current snapshot, persist
     * them as a Puffin stats file AND register it in table metadata
     * (`statistics`, statistic_file.rs:27 / table_metadata.rs statistics
@@ -78,11 +116,19 @@ object Sketches {
     val sketches = sketchColumns(df, cols, k).map { s =>
       s.copy(fieldId = table.schema.findField(s.column).map(_.id).getOrElse(-1))
     }
+    val thetas = thetaColumns(df, cols)
     val path = s"${table.location}/metadata/stats-$snapshotId-${java.util.UUID.randomUUID()}.puffin"
-    val metas = Puffin.write(table.io, path, sketches.map { s =>
-      Puffin.Blob(Puffin.KmvDistinctV1, Seq(s.fieldId), snapshotId, seq,
-        s.serialize(), Map("column" -> s.column, "ndv" -> s.estimate.toString))
-    }, Map("created-by" -> "graft"))
+    val metas = Puffin.write(table.io, path,
+      sketches.map { s =>
+        Puffin.Blob(Puffin.KmvDistinctV1, Seq(s.fieldId), snapshotId, seq,
+          s.serialize(), Map("column" -> s.column, "ndv" -> s.estimate.toString))
+      } ++ sketches.zip(thetas).map { case (s, t) =>
+        // the spec'd interop blob: DataSketches CompactSketch bytes a
+        // foreign engine heapifies directly
+        Puffin.Blob(Puffin.ThetaV1, Seq(s.fieldId), snapshotId, seq,
+          ThetaSketch.serialize(t),
+          Map("column" -> s.column, "ndv" -> t.estimate.toString))
+      }, Map("created-by" -> "graft"))
     val fileSize = table.io.size(path)
     val statsFile = graft.spec.StatisticsFile(
       snapshotId = snapshotId,
@@ -109,13 +155,22 @@ object Sketches {
       .getOrElse(Nil)
   }
 
-  /** Load sketches back from a stats file. */
+  /** Load sketches back from a stats file. Our own files carry both blob
+    * types and the KMV wins (bit-reproducible in SQL); a FOREIGN stats
+    * file (theta-only — e.g. written by the reference or Trino) serves
+    * its NDV through the theta estimate. */
   def readDistinctStats(table: GraftTable, path: String): Seq[ColumnSketch] = {
     val (metas, _) = Puffin.readMetadata(table.io, path)
-    metas.filter(_.blobType == Puffin.KmvDistinctV1).map { m =>
+    val kmv = metas.filter(_.blobType == Puffin.KmvDistinctV1).map { m =>
       deserialize(m.fields.headOption.getOrElse(-1),
         m.properties.getOrElse("column", ""),
         Puffin.readBlob(table.io, path, m))
+    }
+    if (kmv.nonEmpty) kmv
+    else metas.filter(_.blobType == Puffin.ThetaV1).map { m =>
+      val t = ThetaSketch.deserialize(Puffin.readBlob(table.io, path, m))
+      ColumnSketch(m.fields.headOption.getOrElse(-1),
+        m.properties.getOrElse("column", ""), 0, Nil, Some(t.estimate))
     }
   }
 }

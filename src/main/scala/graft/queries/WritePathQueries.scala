@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.catalog.HadoopCatalog
+import graft.io.FileIO
+import graft.spec.IcebergSchema
+import graft.table.{GraftTable, Maintenance}
+
+/** Write/maintenance-path operators as BENCHED queries (VERDICT r3 item
+  * 9): each invocation builds a FRESH table and times the full write path
+  * — create + append + row-level op + read-back — so commit-path
+  * regressions show up in BENCH round-over-round, not just read scans.
+  * Fixtures are deliberately NOT cached (the write IS the benchmark);
+  * results are deterministic aggregates of the final table state, so the
+  * DuckDB oracle hash-checks the write's row-level correctness too. */
+object WritePathQueries {
+
+  private def fresh(spark: SparkSession, tag: String): (HadoopCatalog, String) = {
+    val wh = java.nio.file.Files.createTempDirectory(s"graft-wb-$tag-").toString
+    (new HadoopCatalog(wh, FileIO.fromSpark(spark)), wh)
+  }
+
+  private def sqlCatalog(spark: SparkSession, name: String, wh: String): Unit = {
+    spark.conf.set(s"spark.sql.catalog.$name", "graft.sources.GraftCatalogPlugin")
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+  }
+
+  /** Copy-on-write DELETE: non-translatable predicate forces the
+    * group-based ReplaceData rewrite over every matching file. l_quantity
+    * holds small integral values, so the double sum is order-exact. */
+  val w01 = Q.sql(
+    "w01_cow_delete",
+    """SELECT l_returnflag, count(*) AS n,
+      |  CAST(sum(l_quantity) AS BIGINT) AS qty,
+      |  CAST(sum(l_orderkey) AS BIGINT) AS keysum
+      |FROM lineitem WHERE l_orderkey % 7 <> 0
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    bench = true
+  ) { (s, d) =>
+    val (catalog, wh) = fresh(s, "cow")
+    val src = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    var t = GraftTable.create("wcow", catalog, IcebergSchema.fromSpark(src.schema))
+    t = t.append(src.repartition(8))
+    sqlCatalog(s, "wbench_cow", wh)
+    s.sql("DELETE FROM wbench_cow.wcow WHERE l_orderkey % 7 = 0")
+    GraftTable.load("wcow", catalog).newScan().toDF(s)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity")).cast("long").as("qty"),
+        sum(col("l_orderkey")).cast("long").as("keysum"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Merge-on-read MERGE: position-delta write (no data-file rewrite),
+    * then the read-back applies the deltas — timing covers the delta
+    * write AND the MoR read. Updates an int column for exactness. */
+  val w02 = Q.sql(
+    "w02_mor_merge",
+    """SELECT count(*) AS n,
+      |  CAST(sum(CASE WHEN o_orderkey % 10 = 0 THEN o_custkey + 1000000
+      |               ELSE o_custkey END) AS BIGINT) AS custsum,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS keysum
+      |FROM orders""".stripMargin,
+    bench = true
+  ) { (s, d) =>
+    val (catalog, wh) = fresh(s, "mor")
+    val src = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+    var t = GraftTable.create("wmor", catalog, IcebergSchema.fromSpark(src.schema),
+      properties = Map("write.merge.mode" -> "merge-on-read"))
+    t = t.append(src.repartition(8))
+    sqlCatalog(s, "wbench_mor", wh)
+    s.sql("""MERGE INTO wbench_mor.wmor t
+            |USING (SELECT o_orderkey AS k FROM wbench_mor.wmor WHERE o_orderkey % 10 = 0) src
+            |ON t.o_orderkey = src.k
+            |WHEN MATCHED THEN UPDATE SET o_custkey = t.o_custkey + 1000000""".stripMargin)
+    GraftTable.load("wmor", catalog).newScan().toDF(s)
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_custkey")).cast("long").as("custsum"),
+        sum(col("o_orderkey")).cast("long").as("keysum"))
+  }
+
+  /** Z-order compaction: rewrite the whole table into Morton-ordered
+    * files, then a 2-D box scan over the result — times the rewrite
+    * commit plus the post-rewrite pruned read (i28 reads a cached
+    * fixture; this one PAYS the rewrite every run). */
+  val w03 = Q.sql(
+    "w03_zorder_rewrite",
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      |FROM lineitem
+      |WHERE l_quantity <= 5 AND l_extendedprice <= 20000
+      |ORDER BY 1, 2, 3, 4""".stripMargin,
+    bench = true
+  ) { (s, d) =>
+    import graft.expr.{And => PAnd, BinaryPred, LtEq}
+    val (catalog, _) = fresh(s, "zo")
+    val src = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    var t = GraftTable.create("wzo", catalog, IcebergSchema.fromSpark(src.schema))
+    t = t.append(src.repartition(8))
+    t = Maintenance.rewriteDataFilesZOrder(t, s,
+      Seq("l_quantity", "l_extendedprice"), targetFileSizeBytes = 4L << 20)
+    t.newScan()
+      .withFilter(graft.expr.Predicate.bind(
+        PAnd(BinaryPred(LtEq, "l_quantity", 5.0),
+          BinaryPred(LtEq, "l_extendedprice", 20000.0)), t.schema))
+      .toDF(s)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"))
+  }
+
+  val all: Seq[Q] = Seq(w01, w02, w03)
+}

@@ -324,10 +324,26 @@ object AppendWriter {
     } finally reader.close()
   }
 
+  /** INT96 timestamp → µs since epoch (arrow/reader/int96.rs semantics:
+    * 8-byte LE nanos-of-day + 4-byte LE julian day). Hive/Impala-written
+    * files imported via addFiles carry timestamps in this layout. */
+  private def int96Micros(b: org.apache.parquet.io.api.Binary): Long = {
+    val bb = b.toByteBuffer.order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val nanosOfDay = bb.getLong(bb.position())
+    val julianDay = bb.getInt(bb.position() + 8)
+    (julianDay - 2440588L) * 86400000000L + nanosOfDay / 1000L
+  }
+
   /** parquet Statistics generic value → Iceberg-internal scalar. */
   private def statValue(t: IcebergType, v: AnyRef): Any = t match {
     case IntT | DateT => v.asInstanceOf[Number].intValue()
-    case LongT | TimeT | TimestampT | TimestamptzT => v.asInstanceOf[Number].longValue()
+    case TimestampT | TimestamptzT => v match {
+      // INT96-physical timestamps (imported legacy files); parquet-mr
+      // usually suppresses their stats entirely, but decode when present
+      case b: org.apache.parquet.io.api.Binary if b.length == 12 => int96Micros(b)
+      case n: Number => n.longValue()
+    }
+    case LongT | TimeT => v.asInstanceOf[Number].longValue()
     case FloatT => v.asInstanceOf[Number].floatValue()
     case DoubleT => v.asInstanceOf[Number].doubleValue()
     case BooleanT => v.asInstanceOf[java.lang.Boolean].booleanValue()

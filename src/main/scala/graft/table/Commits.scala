@@ -32,7 +32,8 @@ object Commits {
       snapshotId: Long,
       seq: Long): ManifestFile = {
     val path = s"${base.location}/metadata/$fileName.avro"
-    val (_, len) = ManifestIO.writeManifest(io, path, entries, schema, spec)
+    val (_, len) = ManifestIO.writeManifest(io, path, entries, schema, spec,
+      base.properties.getOrElse("write.avro.compression-codec", "uncompressed"))
     val partType = spec.partitionType(schema)
 
     val alive = entries.filter(_.isAlive).map(_.dataFile)
@@ -261,7 +262,8 @@ object Commits {
       val seq = base.lastSequenceNumber + 1
       val all = manifests(base, seq, snapshotId)
       val listPath = s"${base.location}/metadata/snap-$snapshotId-$commitUuid.avro"
-      ManifestIO.writeManifestList(io, listPath, all, partTypes(base))
+      ManifestIO.writeManifestList(io, listPath, all, partTypes(base),
+        base.properties.getOrElse("write.avro.compression-codec", "uncompressed"))
 
       val now = System.currentTimeMillis()
       val dataMs = all.filter(_.content == ManifestContent.Data)

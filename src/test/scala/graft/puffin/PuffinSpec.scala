@@ -131,8 +131,10 @@ class PuffinSpec extends AnyFunSuite with BeforeAndAfterAll {
     // registered: discoverable from metadata for the current snapshot
     val snapId = t2.metadata.currentSnapshotId.get
     val sf = t2.metadata.statisticsFor(snapId).get
-    assert(sf.blobMetadata.size === 2)
-    assert(sf.blobMetadata.forall(_.blobType === Puffin.KmvDistinctV1))
+    // KMV + theta interop blob per column
+    assert(sf.blobMetadata.size === 4)
+    assert(sf.blobMetadata.count(_.blobType === Puffin.KmvDistinctV1) === 2)
+    assert(sf.blobMetadata.count(_.blobType === Puffin.ThetaV1) === 2)
     assert(sf.fileSizeInBytes > 0 && sf.fileFooterSizeInBytes > 0)
     // discovery-based read returns the same sketches
     val read = Sketches.readCurrentStats(t2)
@@ -189,6 +191,95 @@ class PuffinSpec extends AnyFunSuite with BeforeAndAfterAll {
     t = t.rewriteDataFiles(spark)
     assert(t.newScan().planDeletes().isEmpty)
     assert(t.newScan().toDF(spark).count() === 50)
+  }
+
+  test("theta sketch: murmur3 x64/128 matches independent golden vectors") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    // vectors generated by a separate pure-python implementation; the
+    // "hello" pair renders to the canonical SMHasher digest
+    // cbd8a7b341bd9b025b1e906a48ae1d19
+    assert(ThetaSketch.hash128("hello".getBytes(UTF_8), 0L)
+      === ((-3758069500696749310L, 6565844092913065241L)))
+    assert(ThetaSketch.hash128(Array.empty[Byte], 0L) === ((0L, 0L)))
+    assert(ThetaSketch.hash128("The quick brown fox".getBytes(UTF_8), 9001L)._1
+      === 6273843067850937134L)
+    assert(ThetaSketch.hash128("SEGMENT_A".getBytes(UTF_8), 9001L)._1
+      === -219282177657193313L)
+    // the DataSketches library constant for the default update seed
+    assert((ThetaSketch.seedHash(9001L) & 0xffff) === 0x93cc)
+    // entry hashes are h1 >>> 1: always in [0, 2^63)
+    assert(ThetaSketch.valueHash("SEGMENT_A") === (-219282177657193313L >>> 1))
+    assert(ThetaSketch.valueHash(12345L) === (7473486348955536886L >>> 1))
+  }
+
+  test("theta sketch: compact serialization golden bytes + round trip") {
+    // exact-mode sketch of three entries
+    val t = ThetaSketch.fromHashes(Seq(300L, 100L, 200L, 100L))
+    assert(t.thetaLong === Long.MaxValue && t.entries === Seq(100L, 200L, 300L))
+    assert(t.estimate === 3L)
+    val bytes = ThetaSketch.serialize(t)
+    assert(bytes.length === 24 + 3 * 8)
+    // preamble a DataSketches reader expects: preLongs=3, serVer=3,
+    // family=3(Compact), flags=READ_ONLY|COMPACT|ORDERED, seedHash 0x93CC
+    assert(bytes(0) === 3.toByte && bytes(1) === 3.toByte && bytes(2) === 3.toByte)
+    assert(bytes(5) === (0x02 | 0x08 | 0x10).toByte)
+    assert((bytes(6) & 0xff) === 0xcc && (bytes(7) & 0xff) === 0x93)
+    assert(ThetaSketch.deserialize(bytes) === t)
+
+    // estimation mode: k+1 distinct hashes → theta = (k+1)-th smallest
+    val many = (1L to 5000L).map(i => ThetaSketch.valueHash(i))
+    val est = ThetaSketch.fromHashes(many, lgK = 12)
+    assert(est.entries.size === 4096 && est.thetaLong < Long.MaxValue)
+    val e = est.estimate.toDouble
+    assert(math.abs(e - 5000.0) / 5000.0 < 0.1, s"estimate $e off 5000")
+    assert(ThetaSketch.deserialize(ThetaSketch.serialize(est)) === est)
+    // foreign short forms parse too: exact-mode preLongs=2 and single-item
+    val two = java.nio.ByteBuffer.allocate(32)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put(2.toByte).put(3.toByte).put(3.toByte).put(12.toByte).put(0.toByte)
+      .put((0x02 | 0x08 | 0x10).toByte).putShort(ThetaSketch.seedHash())
+      .putInt(2).putInt(0).putLong(7L).putLong(9L).array()
+    assert(ThetaSketch.deserialize(two).entries === Seq(7L, 9L))
+    val single = java.nio.ByteBuffer.allocate(16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put(1.toByte).put(3.toByte).put(3.toByte).put(12.toByte).put(0.toByte)
+      .put((0x02 | 0x08 | 0x10).toByte).putShort(ThetaSketch.seedHash())
+      .putLong(42L).array()
+    assert(ThetaSketch.deserialize(single).entries === Seq(42L))
+  }
+
+  test("stats files carry theta interop blobs; foreign theta-only files read back") {
+    import spark.implicits._
+    val catalog = new HadoopCatalog(
+      java.nio.file.Files.createTempDirectory("graft-theta-").toString,
+      FileIO.fromSpark(spark))
+    val schema = IcebergSchema(0, Seq(
+      NestedField(1, "id", LongT, required = false),
+      NestedField(2, "seg", StringT, required = false)))
+    var t = GraftTable.create("th1", catalog, schema)
+    t = t.append((1L to 500L).map(i => (i, s"seg${i % 7}")).toDF("id", "seg"))
+
+    val (t2, _) = Sketches.writeDistinctStats(t, spark, Seq("id", "seg"))
+    val sf = t2.metadata.statisticsFor(t2.metadata.currentSnapshotId.get).get
+    // both blob types registered per column, spec'd type name exact
+    assert(sf.blobMetadata.count(_.blobType == Puffin.ThetaV1) === 2)
+    assert(sf.blobMetadata.count(_.blobType == Puffin.KmvDistinctV1) === 2)
+    // the theta blobs' ndv is exact at this scale
+    val (metas, _) = Puffin.readMetadata(t2.io, sf.statisticsPath)
+    val byCol = metas.filter(_.blobType == Puffin.ThetaV1)
+      .map(m => m.properties("column") ->
+        ThetaSketch.deserialize(Puffin.readBlob(t2.io, sf.statisticsPath, m)))
+      .toMap
+    assert(byCol("id").estimate === 500L)
+    assert(byCol("seg").estimate === 7L)
+
+    // a theta-ONLY stats file (what a foreign engine writes) serves NDV
+    // through the same discovery path
+    val foreign = s"${t2.location}/metadata/foreign-theta.puffin"
+    Puffin.write(t2.io, foreign, Seq(Puffin.Blob(Puffin.ThetaV1, Seq(2), 0L, 0L,
+      ThetaSketch.serialize(byCol("seg")), Map("column" -> "seg"))))
+    val read = Sketches.readDistinctStats(t2, foreign)
+    assert(read.map(s => (s.column, s.estimate)) === Seq(("seg", 7L)))
   }
 
   test("DV delete writes per-task puffin files on executors, never one driver blob") {

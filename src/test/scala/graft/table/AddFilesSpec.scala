@@ -101,6 +101,50 @@ class AddFilesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("INT96 timestamps: Hive-style legacy parquet imports with exact values") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("foreign-int96-").toString
+    val rows = Seq(
+      (1L, java.sql.Timestamp.valueOf("2001-03-04 05:06:07.123456")),
+      (2L, java.sql.Timestamp.valueOf("1969-12-31 23:59:59.5")), // pre-epoch
+      (3L, java.sql.Timestamp.valueOf("2024-06-15 00:00:00")))
+    // the Hive/Impala migration shape: INT96 physical timestamps, no ids
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+    try rows.toDF("id", "ts").repartition(1).write.parquet(s"$dir/raw")
+    finally spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    val files = new java.io.File(s"$dir/raw").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
+
+    // the footer really is INT96-physical
+    val pq = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(files.head),
+        new org.apache.hadoop.conf.Configuration()))
+    val physical = try {
+      val fields = pq.getFooter.getFileMetaData.getSchema.getFields
+      (0 until fields.size()).map(fields.get)
+        .find(_.getName == "ts").get
+        .asPrimitiveType().getPrimitiveTypeName.name()
+    } finally pq.close()
+    assert(physical === "INT96")
+
+    val catalog = new HadoopCatalog(
+      java.nio.file.Files.createTempDirectory("graft-int96-").toString,
+      FileIO.fromSpark(spark))
+    val schema = IcebergSchema.fromSpark(rows.toDF("id", "ts").schema)
+    var t = GraftTable.create("int96t", catalog, schema)
+    t = AddFiles.addFiles(t, spark, files)
+
+    // timestamps read back EXACTLY (µs precision survives the import)
+    val got = t.newScan().toDF(spark).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1))).toSeq
+    assert(got === rows)
+    // filters over the imported timestamp column evaluate correctly
+    assert(t.newScan().toDF(spark)
+      .filter(col("ts") > java.sql.Timestamp.valueOf("2000-01-01 00:00:00"))
+      .count() === 2)
+  }
+
   test("rename after migration: mapping alias keeps old files readable") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("foreign2-").toString

@@ -121,6 +121,47 @@ class TableRoundTripSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(planned == 1, s"metrics pruning failed: planned $planned of $total")
   }
 
+  test("compressed metadata: gzip metadata.json + deflate avro round-trip") {
+    val src = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    val schema = IcebergSchema.fromSpark(src.schema)
+    var t = GraftTable.create("nation_gz", catalog, schema,
+      properties = Map(
+        "write.metadata.compression-codec" -> "gzip",
+        "write.avro.compression-codec" -> "deflate"))
+    t = t.append(src)
+    t = t.append(src)
+
+    // the current metadata.json on disk IS gzip (magic bytes), yet loads
+    val io = t.io
+    val v = catalog.currentVersion("nation_gz").get
+    val mdPath = s"${t.location}/metadata/v$v.metadata.json"
+    val raw = io.readBytes(mdPath)
+    assert((raw(0) & 0xff) == 0x1f && (raw(1) & 0xff) == 0x8b,
+      "metadata.json should be gzip-compressed")
+    val reloaded = GraftTable.load("nation_gz", catalog)
+    assert(reloaded.metadata.snapshots.size === 2)
+
+    // manifests + manifest list carry the deflate codec, and still scan
+    val listPath = reloaded.metadata.currentSnapshot.get.manifestList
+    def avroCodecOf(p: String): String = {
+      val in = new org.apache.avro.file.DataFileStream[Object](io.open(p),
+        new org.apache.avro.generic.GenericDatumReader[Object]())
+      try in.getMetaString("avro.codec") finally in.close()
+    }
+    assert(avroCodecOf(listPath) === "deflate")
+    val m = graft.meta.ManifestIO.readManifestList(io, listPath,
+      Commits.partTypes(reloaded.metadata)).head
+    assert(avroCodecOf(m.manifestPath) === "deflate")
+    assert(reloaded.newScan().toDF(spark).count() === 2 * src.count())
+
+    // a PLAIN table registered from a gzip metadata file also loads
+    // (foreign .gz files are detected by content, not name)
+    val gzCopy = s"$wh/nation_gz_copy.metadata.json"
+    io.writeBytes(gzCopy, io.gzipBytes(reloaded.metadata.toJsonString))
+    val reg = catalog.registerTable("nation_gz_reg", gzCopy)
+    assert(reg.snapshots.size === 2)
+  }
+
   test("concurrent commits: one retries and both land") {
     val src = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
     val schema = IcebergSchema.fromSpark(src.schema)
