@@ -816,8 +816,15 @@ object GraftPartitionReader {
   /** JVM-wide equality-delete key-set cache: keyed by (key names, delete
     * file list) — distinct snapshots/groups never collide because the file
     * list identifies the group's content. Bounded by delete-set size, the
-    * same memory the V1 broadcast join would pin per executor. */
-  private val eqSetCache = new java.util.concurrent.ConcurrentHashMap[
+    * same memory the V1 broadcast join would pin per executor; entry
+    * count is capped so a long-lived executor serving many snapshots
+    * cannot accrete stale key sets (a clear just reloads on next use). */
+  private val MaxCachedGroups = 32
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
     (Seq[String], Seq[(String, Long)]),
     java.util.HashSet[org.apache.spark.sql.catalyst.expressions.UnsafeRow]]()
+  private[sources] def eqSetCache = {
+    if (cache.size > MaxCachedGroups) cache.clear()
+    cache
+  }
 }

@@ -76,6 +76,52 @@ final case class SnapshotRef(snapshotId: Long, refType: String,
 /** Statistics file registered in table metadata (spec/statistic_file.rs:27):
   * a Puffin file of sketch blobs, discoverable per snapshot — queries and
   * planners find ndv estimates without hand-carried paths. */
+/** v3 table-encryption key registry entry (encrypted_key.rs:27-39):
+  * wrapped (encrypted) key material addressed by `keyId`, with the
+  * encrypting entity recorded for rotation audits. `encryptedKeyMetadata`
+  * serializes base64 (encrypted_key.rs:84). */
+final case class EncryptedKey(
+    keyId: String,
+    encryptedKeyMetadata: Array[Byte],
+    encryptedById: Option[String] = None,
+    properties: Map[String, String] = Map.empty) {
+
+  def toJson: ObjectNode = {
+    val o = obj()
+    o.put("key-id", keyId)
+    o.put("encrypted-key-metadata",
+      java.util.Base64.getEncoder.encodeToString(encryptedKeyMetadata))
+    encryptedById.foreach(o.put("encrypted-by-id", _))
+    if (properties.nonEmpty) {
+      val p = obj()
+      properties.toSeq.sortBy(_._1).foreach { case (k, v) => p.put(k, v) }
+      o.set[ObjectNode]("properties", p)
+    }
+    o
+  }
+
+  // Array[Byte] breaks case-class equality; compare by value
+  override def equals(other: Any): Boolean = other match {
+    case k: EncryptedKey => keyId == k.keyId &&
+      java.util.Arrays.equals(encryptedKeyMetadata, k.encryptedKeyMetadata) &&
+      encryptedById == k.encryptedById && properties == k.properties
+    case _ => false
+  }
+  override def hashCode(): Int =
+    (keyId, java.util.Arrays.hashCode(encryptedKeyMetadata), encryptedById,
+      properties).hashCode()
+}
+
+object EncryptedKey {
+  def fromJson(n: JsonNode): EncryptedKey = EncryptedKey(
+    keyId = n("key-id").asText(),
+    encryptedKeyMetadata =
+      java.util.Base64.getDecoder.decode(n("encrypted-key-metadata").asText()),
+    encryptedById = n.opt("encrypted-by-id").map(_.asText()),
+    properties = n.opt("properties")
+      .map(_.fieldsMap.map { case (k, v) => k -> v.asText() }).getOrElse(Map.empty))
+}
+
 final case class StatisticsFile(
     snapshotId: Long,
     statisticsPath: String,
@@ -185,7 +231,15 @@ final case class TableMetadata(
     partitionStatistics: Seq[PartitionStatisticsFile] = Nil,
     /** v3 row lineage (table_metadata.rs:140,456): the next row id to
       * assign; append commits take a contiguous block for their files. */
-    nextRowId: Long = 0L) {
+    nextRowId: Long = 0L,
+    /** v3 snapshot-level encryption-key registry (encrypted_key.rs):
+      * wrapped key material addressable by id, the rotation surface —
+      * a new key is registered, new writes reference it, retired keys
+      * are removed once no live snapshot depends on them. */
+    encryptionKeys: Seq[EncryptedKey] = Nil) {
+
+  def encryptionKeyById(id: String): Option[EncryptedKey] =
+    encryptionKeys.find(_.keyId == id)
 
   def statisticsFor(snapshotId: Long): Option[StatisticsFile] =
     statistics.find(_.snapshotId == snapshotId)
@@ -261,6 +315,10 @@ final case class TableMetadata(
       o.set[ObjectNode]("partition-statistics", pst)
     }
     if (nextRowId > 0L) o.put("next-row-id", nextRowId)
+    if (encryptionKeys.nonEmpty) {
+      val ek = arr(); encryptionKeys.foreach(k => ek.add(k.toJson))
+      o.set[ObjectNode]("encryption-keys", ek)
+    }
     o
   }
 
@@ -307,7 +365,9 @@ object TableMetadata {
         .getOrElse(Nil),
       partitionStatistics = n.opt("partition-statistics")
         .map(_.elems.map(PartitionStatisticsFile.fromJson)).getOrElse(Nil),
-      nextRowId = n.opt("next-row-id").map(_.asLong()).getOrElse(0L))
+      nextRowId = n.opt("next-row-id").map(_.asLong()).getOrElse(0L),
+      encryptionKeys = n.opt("encryption-keys")
+        .map(_.elems.map(EncryptedKey.fromJson)).getOrElse(Nil))
   }
 
   /** Fresh metadata for a new V2 table. */

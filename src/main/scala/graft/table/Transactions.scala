@@ -154,6 +154,34 @@ object Transactions {
     }
   }
 
+  /** Register (or replace, by id) a snapshot-level encryption key
+    * (encrypted_key.rs; v3 `encryption-keys` registry). The rotation
+    * workflow: register the new wrapped key, point writers at it
+    * (`encryption.footer-key-id`), retire the old id with
+    * [[removeEncryptionKey]] once no live snapshot's files used it. */
+  def addEncryptionKey(table: GraftTable, key: graft.spec.EncryptedKey): GraftTable =
+    CommitRetry.run(table.catalog, table.name) { (base, _) =>
+      require(base.formatVersion >= 3,
+        s"encryption-keys require format-version 3 (table is v${base.formatVersion})")
+      val kept = base.encryptionKeys.filterNot(_.keyId == key.keyId)
+      (base.copy(encryptionKeys = kept :+ key,
+        lastUpdatedMs = System.currentTimeMillis()),
+        (_: Int) => table.refresh())
+    }
+
+  def removeEncryptionKey(table: GraftTable, keyId: String): GraftTable =
+    CommitRetry.run(table.catalog, table.name) { (base, _) =>
+      require(base.encryptionKeys.exists(_.keyId == keyId),
+        s"unknown encryption key: $keyId")
+      require(!base.properties.get(graft.crypto.Encryption.FooterKeyProp)
+          .contains(keyId),
+        s"key $keyId is the active footer key — rotate " +
+          s"${graft.crypto.Encryption.FooterKeyProp} first")
+      (base.copy(encryptionKeys = base.encryptionKeys.filterNot(_.keyId == keyId),
+        lastUpdatedMs = System.currentTimeMillis()),
+        (_: Int) => table.refresh())
+    }
+
   /** Move the table's root location (transaction/update_location.rs).
     * Existing files keep their absolute manifest-addressed paths, so
     * reads are unaffected; FUTURE commits place data files under the new

@@ -106,4 +106,48 @@ class EncryptionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.count() === 30)
     assert(back.agg(sum("v")).head.getDouble(0) === (1 to 30).map(_ * 0.5).sum)
   }
+
+  test("v3 encryption-key registry: register, rotate, JSON round-trip, guards") {
+    val catalog = new HadoopCatalog(
+      java.nio.file.Files.createTempDirectory("graft-enc-keys-").toString,
+      FileIO.fromSpark(spark))
+    var t = GraftTable.create("enc5", catalog, schema, properties = encProps)
+
+    val k1 = EncryptedKey("k-2024", Array[Byte](1, 2, 3, 4),
+      Some("kms://root-a"), Map("algorithm" -> "AES_GCM_256"))
+    // v3-only surface
+    intercept[IllegalArgumentException] {
+      graft.table.Transactions.addEncryptionKey(t, k1)
+    }
+    t = graft.table.Transactions.upgradeFormatVersion(t, 3)
+    t = graft.table.Transactions.addEncryptionKey(t, k1)
+    t = graft.table.Transactions.addEncryptionKey(t,
+      EncryptedKey("k-2025", Array[Byte](9, 8, 7), Some("kms://root-a")))
+    assert(t.metadata.encryptionKeys.map(_.keyId) === Seq("k-2024", "k-2025"))
+
+    // serde: base64 key material survives metadata.json + catalog reload
+    val round = TableMetadata.fromJsonString(t.metadata.toJsonString)
+    assert(round.encryptionKeys === t.metadata.encryptionKeys)
+    assert(GraftTable.load("enc5", catalog).metadata
+      .encryptionKeyById("k-2024").get.encryptedKeyMetadata.toSeq === Seq[Byte](1, 2, 3, 4))
+
+    // re-registering an id REPLACES (key rewrap), never duplicates
+    t = graft.table.Transactions.addEncryptionKey(t,
+      EncryptedKey("k-2024", Array[Byte](42), Some("kms://root-b")))
+    assert(t.metadata.encryptionKeys.count(_.keyId == "k-2024") === 1)
+    assert(t.metadata.encryptionKeyById("k-2024").get.encryptedById
+      === Some("kms://root-b"))
+
+    // rotation guard: the ACTIVE footer key cannot be removed
+    t = t.updateProperties(Map(Encryption.FooterKeyProp -> "k-2025"))
+    intercept[IllegalArgumentException] {
+      graft.table.Transactions.removeEncryptionKey(t, "k-2025")
+    }
+    t = t.updateProperties(Map(Encryption.FooterKeyProp -> "k-2024"))
+    t = graft.table.Transactions.removeEncryptionKey(t, "k-2025")
+    assert(t.metadata.encryptionKeys.map(_.keyId) === Seq("k-2024"))
+    intercept[IllegalArgumentException] {
+      graft.table.Transactions.removeEncryptionKey(t, "k-2025")
+    }
+  }
 }
