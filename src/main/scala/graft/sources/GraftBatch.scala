@@ -82,23 +82,37 @@ class GraftBatchScan(table: GraftTable, predicate: Predicate,
     StructType(projected.flatMap(n => full.fields.find(_.name == n)))
   }
 
-  /** Alive equality-delete groups, one per (key set, sequence number) —
-    * resolved once per scan from the (cached) delete manifests. Ordered
-    * deterministically so every task sees the same group list. */
-  private lazy val eqInfo: Seq[(Seq[String], Long, Seq[(String, Long)])] =
+  /** One equality-delete group per (key set, sequence number, partition
+    * scope) — resolved once per scan from the (cached) delete manifests,
+    * ordered deterministically so every task sees the same group list.
+    * Scope follows the reference's DeleteFileIndex: an all-null partition
+    * tuple (how this engine writes eq deletes) is GLOBAL; a partition-
+    * valued delete (foreign writers) applies only to data files of the
+    * same spec and tuple — applying it globally would over-delete. */
+  private case class EqGroup(keyNames: Seq[String], seq: Long,
+      scope: Option[(Int, Seq[Any])], files: Seq[(String, Long)]) {
+    def appliesTo(t: graft.table.CompactFileTask): Boolean =
+      seq > t.sequenceNumber && scope.forall { case (sid, tup) =>
+        sid == t.specId && tup == t.partition
+      }
+  }
+
+  private lazy val eqInfo: Seq[EqGroup] =
     table.newScan().planDeletes()
       .filter(_.file.content == FileContent.EqualityDeletes)
-      .groupBy(d => (d.file.equalityIds, d.sequenceNumber)).toSeq
-      .map { case ((ids, seq), g) =>
-        (ids.map(id => table.schema.idToField(id).name), seq,
+      .groupBy(d => (d.file.equalityIds, d.sequenceNumber,
+        if (d.file.partition.forall(_ == null)) None
+        else Some((d.specId, d.file.partition)))).toSeq
+      .map { case ((ids, seq, scope), g) =>
+        EqGroup(ids.map(id => table.schema.idToField(id).name), seq, scope,
           g.map(d => (d.file.filePath, d.file.fileSizeInBytes)).sortBy(_._1))
       }
-      .sortBy { case (names, seq, _) => (seq, names.mkString(",")) }
+      .sortBy(g => (g.seq, g.keyNames.mkString(","), g.files.headOption.map(_._1)))
 
   /** Equality-key columns the reader must materialize beyond the
     * projection (projected away again before rows leave the reader). */
   private lazy val extendedNames: Seq[String] =
-    projected ++ eqInfo.flatMap(_._1).distinct.filterNot(projected.contains)
+    projected ++ eqInfo.flatMap(_.keyNames).distinct.filterNot(projected.contains)
 
   private def extendedSchema(): StructType = {
     val full = table.schema.toSpark
@@ -448,10 +462,10 @@ class GraftBatchScan(table: GraftTable, predicate: Predicate,
       val size = t.fileSize
       val dv = dvByFile.get(path)
       val withDeletes = dv.isDefined || posParquet.nonEmpty
-      // only delete groups sequenced AFTER this file's rows apply (spec:
-      // data_seq < delete_seq; same scoping as GraftTable.applyDeletes)
-      val eqGroups = eqInfo.collect { case (names, seq, files)
-          if seq > t.sequenceNumber => EqDeleteTaskGroup(names, files) }
+      // delete groups sequenced AFTER this file's rows (spec: data_seq <
+      // delete_seq) whose partition scope covers this file
+      val eqGroups = eqInfo.collect { case g if g.appliesTo(t) =>
+        EqDeleteTaskGroup(g.keyNames, g.files) }
       val splits =
         if (withDeletes || emitPos)
           // whole file in one slice: row indexes must be exact (`_pos`
@@ -485,7 +499,7 @@ class GraftBatchScan(table: GraftTable, predicate: Predicate,
         f.fieldType, f.initialDefault.get)).toMap
     GraftReaderFactory.build(spark, table.schema.toSpark, ext, pushedFilters,
       graft.crypto.Encryption.confFor(table.metadata.properties), emitFile, emitPos,
-      eqKeySets = eqInfo.map(_._1).distinct, outputOrdinals = outputOrdinals,
+      eqKeySets = eqInfo.map(_.keyNames).distinct, outputOrdinals = outputOrdinals,
       defaults = defaults)
   }
 }

@@ -391,7 +391,10 @@ final case class CompactFileTask(
   * delete_file_index.rs:37). */
 final case class DeleteTask(
     file: DataFile,
-    sequenceNumber: Long)
+    sequenceNumber: Long,
+    /** Partition spec the delete file was written under — scopes
+      * equality deletes to their partition (delete_file_index.rs). */
+    specId: Int = -1)
 
 /** Append-only incremental scan over (from, to] — see
   * TableScan.appendsBetween. */
@@ -714,7 +717,8 @@ final class TableScan private[table] (
       val spec = table.metadata.specById(m.partitionSpecId).getOrElse(table.spec)
       readManifestCached(m, spec)
         .filter(_.isAlive)
-        .map(e => DeleteTask(e.dataFile, e.sequenceNumber.getOrElse(m.sequenceNumber)))
+        .map(e => DeleteTask(e.dataFile, e.sequenceNumber.getOrElse(m.sequenceNumber),
+          m.partitionSpecId))
     }
   }
 

@@ -35,6 +35,54 @@ class DeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private def catalog = new HadoopCatalog(wh, FileIO.fromSpark(spark))
 
+  test("partition-scoped equality deletes apply only within their partition") {
+    val s = spark
+    import s.implicits._
+    import graft.meta._
+    // identity-partitioned on `part`; both partitions hold key name="b"
+    val schema = IcebergSchema(0, Seq(
+      NestedField(1, "id", IcebergType.LongT, required = false),
+      NestedField(2, "part", IcebergType.StringT, required = false),
+      NestedField(3, "name", IcebergType.StringT, required = false)))
+    val spec = PartitionSpec(0, Seq(PartitionField(2, 1000, "part", Transform.Identity)))
+    var t = GraftTable.create("eqscope", catalog, schema, spec)
+    t = t.append(Seq(
+      (1L, "p1", "a"), (2L, "p1", "b"),
+      (3L, "p2", "a"), (4L, "p2", "b")).toDF("id", "part", "name"))
+
+    // a FOREIGN-style eq delete: partition tuple ("p1"), key name="b" —
+    // written by hand the way a partition-scoped writer would commit it
+    val delDir = s"${t.location}/data/foreign-del"
+    Seq("b").toDF("name").repartition(1).write.parquet(delDir)
+    val (delPath, delLen) = t.io.listFiles(delDir)
+      .filter(_._1.endsWith(".parquet")).head
+    val delFile = DataFile(
+      content = FileContent.EqualityDeletes,
+      filePath = delPath,
+      fileFormat = "PARQUET",
+      partition = Seq("p1"),
+      recordCount = 1L,
+      fileSizeInBytes = delLen,
+      equalityIds = Seq(3))
+    val uuid = java.util.UUID.randomUUID().toString
+    t = Commits.commit(t, "delete", uuid, Map.empty) { (base, seq, snapshotId) =>
+      val entry = ManifestEntry(ManifestStatus.Added, Some(snapshotId),
+        Some(seq), Some(seq), delFile)
+      Commits.writeManifest(t.io, base, s"$uuid-d0", Seq(entry),
+        base.currentSchema, base.defaultSpec, ManifestContent.Deletes,
+        snapshotId, seq) +: Commits.baseManifests(t.io, base)
+    }
+
+    // native DSv2 read: p1's "b" row is gone, p2's "b" row SURVIVES —
+    // applying the delete globally would drop id=4 too
+    val df = spark.read.format("graft")
+      .option("warehouse", wh).option("table", "eqscope").load()
+    assert(df.orderBy("id").collect().map(_.getLong(0)).toSeq === Seq(1L, 3L, 4L))
+    val explained = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(explained.contains("BatchScan"), explained)
+  }
+
   test("position deletes: DELETE WHERE then scan == filtered source") {
     val src = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     val schema = IcebergSchema.fromSpark(src.schema)
