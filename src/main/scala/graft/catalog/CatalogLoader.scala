@@ -5,8 +5,10 @@ import org.apache.hadoop.conf.Configuration
 import graft.io.FileIO
 
 /** Property-driven catalog construction — the reference's
-  * `crates/catalog/loader/src/lib.rs` registry (`type` → builder), minus
-  * the network-only backends (glue/hms/s3tables need cloud endpoints).
+  * `crates/catalog/loader/src/lib.rs` registry (`type` → builder). `glue`
+  * takes any Glue-protocol endpoint via `uri` (AWS or the embedded stub);
+  * `hms` is constructed directly (needs a live thrift client), s3tables
+  * needs a cloud endpoint.
   *
   * {{{
   * CatalogLoader.load("hadoop", Map("warehouse" -> "/wh"))
@@ -21,7 +23,8 @@ import graft.io.FileIO
   */
 object CatalogLoader {
 
-  val SupportedTypes: Seq[String] = Seq("hadoop", "memory", "jdbc", "sql", "rest")
+  val SupportedTypes: Seq[String] =
+    Seq("hadoop", "memory", "jdbc", "sql", "rest", "glue")
 
   def load(catalogType: String, props: Map[String, String]): Catalog = {
     def req(k: String): String = props.getOrElse(k,
@@ -36,6 +39,8 @@ object CatalogLoader {
         namespace = props.getOrElse("namespace", "default"))
       case "rest" => new RestCatalog(req("uri"),
         props.getOrElse("namespace", "default"), io)
+      case "glue" => new GlueCatalog(req("uri"),
+        props.getOrElse("database", "default"), req("warehouse"), io)
       case other => throw new IllegalArgumentException(
         s"unknown catalog type '$other'; supported: ${SupportedTypes.mkString(", ")}")
     }

@@ -65,6 +65,39 @@ object Curation {
         (coalesce(col("n_shared_grams"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** FUZZY benchmark decontamination: flag training docs that are
+    * NEAR-duplicates of an eval doc (Jaccard on 3-shingle sets ≥
+    * `threshold`) — catches paraphrased/reformatted benchmark leakage
+    * that the exact n-gram test of [[decontaminate]] misses.
+    *
+    * Output: one row per contaminated (doc_id, eval_id) pair with its
+    * exact Jaccard. Candidates come from cross-corpus MinHash-LSH: both
+    * sides get the SAME b×r banded signatures, and a pair is a candidate
+    * iff it collides in ≥1 band — recall at the planted J≥0.9 dup margin
+    * is 1−(1−0.9⁴)¹⁶ ≈ 1−2·10⁻⁹ (same bands/rows as the self-join path).
+    *
+    * Scale shape: the eval side is a benchmark suite — orders of
+    * magnitude smaller than the corpus — so its band table and shingle
+    * sets BROADCAST; the corpus-side plan is scan → shingle → signature
+    * aggregate → map-side broadcast hash join, with no corpus shuffle
+    * beyond the signature aggregate's own (doc-key, map-side-combined)
+    * exchange. The n_train × n_eval pair space never materializes. */
+  def fuzzyDecontaminate(train: DataFrame, eval: DataFrame,
+      threshold: Double = 0.5, bands: Int = 16, rows: Int = 4): DataFrame = {
+    val ts = Dedup.shingleSets(train)
+    val es = Dedup.shingleSets(eval)
+    val tb = Dedup.minhashBands(ts, bands, rows)
+    val eb = Dedup.minhashBands(es, bands, rows)
+      .select(col("doc_id").as("eval_id"), col("band_idx"), col("band_key"))
+    val cand = tb.join(broadcast(eb), Seq("band_idx", "band_key"))
+      .select(col("doc_id"), col("eval_id")).distinct()
+    val esR = es.select(col("doc_id").as("eval_id"), col("s").as("es"))
+    cand.join(ts, Seq("doc_id")).join(broadcast(esR), Seq("eval_id"))
+      .select(col("doc_id"), col("eval_id"),
+        TextHash.jaccard(col("s"), col("es")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Deterministic per-domain token-budget sampling: within each domain
     * (`source`), order docs by a content-independent deterministic hash
     * (md5 of the doc id — a reproducible shuffle, no RNG) and keep docs

@@ -224,6 +224,42 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** SemDeDup-style semantic deduplication: embeddings are clustered by
+    * the IVF coarse quantizer (nearest stride-sampled centroid), and
+    * within each cluster any vector whose cosine to a LOWER-id cluster
+    * member reaches `threshold` is dropped — the lower id survives as the
+    * representative. Output: surviving (vec_id, cell) rows.
+    *
+    * Scale shape (the reason SemDeDup clusters before comparing): the
+    * pairwise cosine is confined to each cell, so candidate generation is
+    * ONE shuffle by cell and O(Σ cell²) work with cells averaging
+    * `stride` vectors — the n² pair space never materializes and no
+    * cartesian product appears in the plan. A pathological mega-cell
+    * (degenerate centroid attracting everything) is census-capped exactly
+    * like the LSH band buckets: its members skip candidate generation and
+    * are all KEPT — a recall bound, never a wrong drop. The domination
+    * rule is "any earlier same-cell member ≥ threshold" (not a chain
+    * through kept docs), so keep/drop decisions are per-pair parallel
+    * with no sequential scan order. */
+  def semanticDedup(corpus: DataFrame, threshold: Double,
+      stride: Int = 31, maxCell: Int = Dedup.MaxBucket): DataFrame = {
+    val assigned = ivfAssign(corpus, corpus, stride)
+    val census = org.apache.spark.sql.expressions.Window.partitionBy(col("cell"))
+    val bounded = assigned
+      .withColumn("_cn", count(lit(1)).over(census))
+      .filter(col("_cn") <= maxCell)
+      .drop("_cn")
+    val dominated = bounded
+      .select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("cell"))
+      .join(bounded.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
+        col("cell")), Seq("cell"))
+      .filter(col("id_a") < col("id_b") &&
+        cosine(col("ea"), col("eb")) >= threshold)
+      .select(col("id_b").as("vec_id")).distinct()
+    assigned.join(dominated, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell"))
+  }
+
   /** Deterministic hyperplane weights for `planes`×`dims`. */
   def planeWeights(planes: Int, dims: Int): Array[Array[Long]] =
     Array.tabulate(planes, dims)((i, j) => TextHash.hex60(s"${i}_${j}") % 2001L - 1000L)

@@ -124,6 +124,31 @@ object TextAnalysis {
         coalesce(col("dup_4gram_frac"), lit(0.0)).as("dup_4gram_frac"))
   }
 
+  /** Vocabulary-coverage / out-of-vocabulary scoring (the LM-free rare-
+    * token quality gate): the corpus vocabulary is every token seen at
+    * least `minCount` times globally; each document reports its total
+    * tokens, in-vocabulary tokens, and distinct OOV types. All-integer
+    * outputs, so the oracle crosschecks bit-exactly — no float log-prob
+    * sums whose order could differ between engines.
+    *
+    * Scale shape: token frequency is one word-key shuffle with map-side
+    * partials; the frequent-token vocabulary is heavy-tail bounded (Zipf:
+    * types with count ≥ k shrink like 1/k) so it BROADCASTS and the
+    * per-token membership probe is a map-side hash lookup; the token
+    * stream then shuffles once, on doc_id, for the per-doc rollup. */
+  def vocabCoverage(docs: DataFrame, minCount: Long = 3L): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(TextHash.words(col("text"))).as("w"))
+    val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount)
+      .select(col("w"), lit(1).as("_iv"))
+    toks.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("_iv").isNotNull, 1L).otherwise(0L)).as("in_vocab"),
+        countDistinct(when(col("_iv").isNull, col("w"))).as("distinct_oov"))
+  }
+
   /** Document fingerprint: min / max / xor-fold of the 3-shingle hash set
     * (winnowing-style content signature; equal fingerprints ⇒ near-equal
     * shingle sets). Pure integer arithmetic. */

@@ -799,7 +799,98 @@ object PipelineQueries {
       .orderBy(col("source"), col("doc_id"))
   }
 
+  /** SemDeDup-style semantic dedup: IVF-cluster the embeddings (same
+    * stride-31 quantizer as p12), then drop any vector with an
+    * earlier-id same-cell member at cosine ≥ 0.35 — pairwise work is
+    * confined to cells, never all-pairs. The oracle replays assignment
+    * and domination exactly. */
+  val p27 = Q.sql(
+    "p27_semantic_dedup",
+    """WITH cent AS (
+      |  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 31 = 0),
+      |sc AS (
+      |  SELECT e.vec_id, e.embedding, c.cid,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> e.embedding[i]::DOUBLE * c.ce[i]::DOUBLE)) /
+      |    (sqrt(list_sum(list_transform(range(1, 65),
+      |       i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))) *
+      |     sqrt(list_sum(list_transform(range(1, 65),
+      |       i -> c.ce[i]::DOUBLE * c.ce[i]::DOUBLE)))) AS cs
+      |  FROM embeddings e, cent c),
+      |asg AS (
+      |  SELECT vec_id, embedding, cid AS cell FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id
+      |                                 ORDER BY cs DESC, cid) AS rn FROM sc)
+      |  WHERE rn = 1),
+      |dom AS (
+      |  SELECT DISTINCT b.vec_id
+      |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      |  WHERE list_sum(list_transform(range(1, 65),
+      |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
+      |    (sqrt(list_sum(list_transform(range(1, 65),
+      |       i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))) *
+      |     sqrt(list_sum(list_transform(range(1, 65),
+      |       i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))) >= 0.35)
+      |SELECT a.vec_id, a.cell FROM asg a
+      |WHERE a.vec_id NOT IN (SELECT vec_id FROM dom)
+      |ORDER BY a.vec_id""".stripMargin
+  ) { (s, d) =>
+    Similarity.semanticDedup(Tables.embeddings(s, d), 0.35)
+      .orderBy(col("vec_id"))
+  }
+
+  /** Vocabulary coverage / OOV scoring: vocab = tokens seen ≥ 3 times
+    * corpus-wide; per doc, total / in-vocab / distinct-OOV token counts.
+    * All-integer outputs — no cross-engine float log-prob sums. */
+  val p28 = Q.sql(
+    "p28_vocab_coverage",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+      |  FROM documents),
+      |vocab AS (
+      |  SELECT w FROM toks GROUP BY w HAVING count(*) >= 3)
+      |SELECT t.doc_id, count(*) AS n_tokens,
+      |  count(*) FILTER (v.w IS NOT NULL) AS in_vocab,
+      |  count(DISTINCT CASE WHEN v.w IS NULL THEN t.w END) AS distinct_oov
+      |FROM toks t LEFT JOIN vocab v ON t.w = v.w
+      |GROUP BY t.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+  ) { (s, d) =>
+    TextAnalysis.vocabCoverage(Tables.documents(s, d), minCount = 3L)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Fuzzy decontamination: training docs near-duplicating an eval doc
+    * (eval slice = doc_id % 20 == 0) at shingle-Jaccard ≥ 0.5, via
+    * cross-corpus MinHash-LSH with the eval side broadcast. The oracle is
+    * the independent quadratic train×eval scan; equality holds by the
+    * same b=16/r=4 recall margin as p02. */
+  val p29 = Q.sql(
+    "p29_fuzzy_decontamination",
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]
+      |                   for i in range(1, len(w)-1)]) AS s
+      |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+      |        FROM documents)
+      |  WHERE len(w) >= 3)
+      |SELECT t.doc_id, e.doc_id AS eval_id,
+      |  len(list_intersect(t.s, e.s)) /
+      |    (len(t.s) + len(e.s) - len(list_intersect(t.s, e.s))) AS jaccard
+      |FROM sh t, sh e
+      |WHERE t.doc_id % 20 <> 0 AND e.doc_id % 20 = 0
+      |  AND len(list_intersect(t.s, e.s)) /
+      |    (len(t.s) + len(e.s) - len(list_intersect(t.s, e.s))) >= 0.5
+      |ORDER BY t.doc_id, eval_id""".stripMargin
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    Curation.fuzzyDecontaminate(
+      docs.filter(col("doc_id") % 20 =!= 0),
+      docs.filter(col("doc_id") % 20 === 0))
+      .orderBy(col("doc_id"), col("eval_id"))
+  }
+
   val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
     p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24,
-    p25, p26)
+    p25, p26, p27, p28, p29)
 }

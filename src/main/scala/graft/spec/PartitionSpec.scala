@@ -61,6 +61,48 @@ object PartitionSpec {
 
   val unpartitioned: PartitionSpec = PartitionSpec(0, Nil)
 
+  /** Unified partition type across ALL of a table's specs — the struct
+    * behind the `_partition` metadata column once the partition spec has
+    * evolved (partitioning.rs:49-147, mirroring Java's
+    * `Partitioning.partitionType`). Rules:
+    *   - specs are scanned newest-first and fields dedupe by FIELD id —
+    *     the newer spec's name wins;
+    *   - fields whose source column has left the schema are skipped;
+    *   - when the newest occurrence is void but an older spec had a real
+    *     transform (v1 drop), the older REAL result type is kept under
+    *     the newer name;
+    *   - the same field id with a different source or incompatible
+    *     transforms (equal, or either void) is an error;
+    *   - output fields sort by field id, all optional. */
+  def unifiedPartitionType(specs: Seq[PartitionSpec],
+      schema: IcebergSchema): StructT = {
+    val active: Set[Int] = specs.flatMap(_.fields)
+      .filter(f => schema.idToField.contains(f.sourceId)).map(_.fieldId).toSet
+    val fieldMap =
+      scala.collection.mutable.Map[Int, (PartitionField, IcebergType, String)]()
+    for (spec <- specs.sortBy(-_.specId); f <- spec.fields)
+      if (active.contains(f.fieldId)) {
+        schema.idToField.get(f.sourceId).foreach { src =>
+          fieldMap.get(f.fieldId) match {
+            case None =>
+              fieldMap(f.fieldId) = (f, f.transform.resultType(src.fieldType), f.name)
+            case Some((existing, _, keptName)) =>
+              val compatible = f.sourceId == existing.sourceId &&
+                (f.transform == existing.transform ||
+                  f.transform == Transform.Void || existing.transform == Transform.Void)
+              require(compatible,
+                s"conflicting partition fields for field id ${f.fieldId}: " +
+                  s"'${f.name}' and '${existing.name}'")
+              if (existing.transform == Transform.Void && f.transform != Transform.Void)
+                fieldMap(f.fieldId) = (f, f.transform.resultType(src.fieldType), keptName)
+          }
+        }
+      }
+    StructT(fieldMap.toSeq.sortBy(_._1).map { case (fid, (_, ty, name)) =>
+      NestedField(fid, name, ty, required = false)
+    })
+  }
+
   def fromJson(n: JsonNode): PartitionSpec =
     PartitionSpec(
       specId = n("spec-id").asInt(),

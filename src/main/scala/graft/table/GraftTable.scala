@@ -883,7 +883,11 @@ final class TableScan private[table] (
       tasks: Seq[FileScanTask]): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.functions.broadcast
-    val partType = table.spec.partitionType(table.schema)
+    // UNIFIED across evolved specs (partitioning.rs): every file serves
+    // the fields its own spec defines, null elsewhere — a pre-evolution
+    // file no longer collapses to an all-null tuple
+    val partType = PartitionSpec.unifiedPartitionType(
+      table.metadata.partitionSpecs, table.schema)
     val partSchema = org.apache.spark.sql.types.StructType(
       partType.fields.map(f => org.apache.spark.sql.types.StructField(
         f.name, IcebergType.toSpark(f.fieldType), nullable = true)))
@@ -899,12 +903,17 @@ final class TableScan private[table] (
         org.apache.spark.sql.types.LongType, nullable = false)))
     val rows: java.util.List[Row] = new java.util.ArrayList[Row]()
     tasks.foreach { t =>
-      val part =
-        if (t.specId == table.spec.specId)
-          Row(t.file.partition.zip(partType.fields).map { case (v, f) =>
-            Predicate.sparkValue(f.fieldType, v)
-          }: _*)
-        else null // other specs have differently-shaped tuples
+      // project this file's spec-shaped tuple into the unified struct:
+      // field-id-addressed, so evolution reorders/drops never misalign
+      val spec = table.metadata.specById(t.specId).getOrElse(table.spec)
+      val idxById = spec.fields.zipWithIndex.map { case (f, i) => f.fieldId -> i }.toMap
+      val part = Row(partType.fields.map { uf =>
+        idxById.get(uf.id) match {
+          case Some(i) if i < t.file.partition.length =>
+            Predicate.sparkValue(uf.fieldType, t.file.partition(i))
+          case _ => null
+        }
+      }: _*)
       rows.add(Row(qualifyPath(t.file.filePath), t.specId, part,
         t.file.firstRowId.map(java.lang.Long.valueOf).orNull, t.sequenceNumber))
     }

@@ -480,4 +480,68 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .count()
     assert(bad === 0)
   }
+
+  test("semantic dedup: matches the brute-force in-cell domination, no cartesian") {
+    val t = 0.35
+    val kept = Similarity.semanticDedup(embs, t)
+    // brute-force expected set: cell assignment from the SAME quantizer
+    // path, domination recomputed with a quadratic in-cell scan
+    val asg = Similarity.ivfAssign(embs, embs, 31)
+      .select(col("vec_id"), col("embedding"), col("cell")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray, r.getLong(2)))
+    def cos(a: Array[Double], b: Array[Double]) = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = asg.filter { case (id, e, cell) =>
+      !asg.exists { case (id2, e2, cell2) =>
+        cell2 == cell && id2 < id && cos(e2, e) >= t }
+    }.map(_._1).toSet
+    val got = kept.collect().map(_.getLong(0)).toSet
+    assert(got === expected)
+    assert(got.size < asg.length, "threshold should drop at least one vector")
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+  }
+
+  test("vocab coverage: hand-built corpus counts exactly") {
+    val s = spark
+    import s.implicits._
+    // "a" x4 and "b" x3 are in-vocab (minCount 3); "c", "d", "e" are OOV
+    val tiny = Seq(
+      (1L, "a a b c"),
+      (2L, "a b d e"),
+      (3L, "a b c d")).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabCoverage(tiny, minCount = 3L)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (1L, 4L, 3L, 1L),   // a a b | c
+      (2L, 4L, 2L, 2L),   // a b | d e
+      (3L, 4L, 2L, 2L)))  // a b | c d
+  }
+
+  test("fuzzy decontamination: matches quadratic train x eval scan; eval side broadcasts") {
+    val train = docs.filter(col("doc_id") % 20 =!= 0)
+    val evalSet = docs.filter(col("doc_id") % 20 === 0)
+    val got = Curation.fuzzyDecontaminate(train, evalSet, threshold = 0.5)
+    // independent quadratic oracle over exact Jaccard
+    val ts = Dedup.shingleSets(train).collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).toSet))
+    val es = Dedup.shingleSets(evalSet).collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).toSet))
+    val expected = (for {
+      (tid, tset) <- ts; (eid, eset) <- es
+      inter = (tset & eset).size
+      j = inter.toDouble / (tset.size + eset.size - inter)
+      if j >= 0.5
+    } yield (tid, eid)).toSet
+    val pairs = got.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === expected)
+    assert(pairs.nonEmpty, "corpus should plant cross-slice near-dups")
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast eval side:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+  }
 }

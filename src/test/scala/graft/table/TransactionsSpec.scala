@@ -305,6 +305,49 @@ class TransactionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(meta.filter(_.getLong(2) > 10L).forall(_.getLong(1) === 2L))
   }
 
+  test("unified _partition spans evolved specs; old files keep their fields") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    var t = GraftTable.create("unipart", freshHadoop(), schema,
+      PartitionSpec(0, Seq(PartitionField(3, 1000, "s", Transform.Identity))))
+    t = t.append(Seq((1L, 1.0, "a"), (2L, 2.0, "b")).toDF("id", "v", "s"))
+    // evolve: drop s, partition by bucket(id) — new field id 1001
+    t = Transactions.updateSpec(t, Seq("id" -> Transform.Bucket(4)))
+    t = t.append(Seq((3L, 3.0, "c"), (4L, 4.0, "d")).toDF("id", "v", "s"))
+
+    // unified type = BOTH generations' fields, sorted by field id
+    val uni = PartitionSpec.unifiedPartitionType(
+      t.metadata.partitionSpecs, t.schema)
+    assert(uni.fields.map(f => (f.id, f.name)) === Seq(
+      (1000, "s"), (1001, "id_bucket")))
+
+    val rows = t.newScan().withMetadataColumns().toDF(spark)
+      .select(col("id"), col("_spec_id"),
+        col("_partition.s").as("ps"), col("_partition.id_bucket").as("pb"))
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        Option(r.get(2)), Option(r.get(3)))).sortBy(_._1)
+    // gen-0 files: s populated, bucket null; gen-1 files: the reverse —
+    // before unification gen-0 tuples collapsed to all-null
+    assert(rows.filter(_._2 == 0).forall { case (id, _, ps, pb) =>
+      ps.contains(if (id == 1L) "a" else "b") && pb.isEmpty })
+    assert(rows.filter(_._2 == 1).forall { case (_, _, ps, pb) =>
+      ps.isEmpty && pb.isDefined })
+    assert(rows.map(_._2).toSet === Set(0, 1))
+
+    // void-override rule: newest spec voids the field but keeps its id —
+    // older REAL transform's type survives under the newer name
+    val s0 = PartitionSpec(0, Seq(PartitionField(1, 1000, "id_bucket", Transform.Bucket(4))))
+    val s1 = PartitionSpec(1, Seq(PartitionField(1, 1000, "id_bucket_v", Transform.Void)))
+    val u2 = PartitionSpec.unifiedPartitionType(Seq(s0, s1), schema)
+    assert(u2.fields.map(f => (f.id, f.name, f.fieldType)) ===
+      Seq((1000, "id_bucket_v", IntT)))
+    // incompatible duplicate id (different source) is refused
+    val bad = PartitionSpec(2, Seq(PartitionField(2, 1000, "other", Transform.Identity)))
+    intercept[IllegalArgumentException] {
+      PartitionSpec.unifiedPartitionType(Seq(s0, bad), schema)
+    }
+  }
+
   test("variant (v3) column round-trips through a graft table") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, parse_json, variant_get}
