@@ -24,7 +24,7 @@ import graft.io.FileIO
 object CatalogLoader {
 
   val SupportedTypes: Seq[String] =
-    Seq("hadoop", "memory", "jdbc", "sql", "rest", "glue")
+    Seq("hadoop", "memory", "jdbc", "sql", "rest", "glue", "s3tables")
 
   def load(catalogType: String, props: Map[String, String]): Catalog = {
     def req(k: String): String = props.getOrElse(k,
@@ -41,6 +41,8 @@ object CatalogLoader {
         props.getOrElse("namespace", "default"), io)
       case "glue" => new GlueCatalog(req("uri"),
         props.getOrElse("database", "default"), req("warehouse"), io)
+      case "s3tables" => new S3TablesCatalog(req("uri"),
+        props.getOrElse("namespace", "default"), io)
       case other => throw new IllegalArgumentException(
         s"unknown catalog type '$other'; supported: ${SupportedTypes.mkString(", ")}")
     }
