@@ -50,11 +50,21 @@ object TextHash {
     inter / (size(a) + size(b) - inter)
   }
 
-  /** Left-to-right double dot product of two float arrays. Each
+  /** Left-to-right double dot product of two numeric arrays. Each
     * float×float product is exact in double (24+24 ≤ 53 mantissa bits);
     * the sequential fold matches DuckDB's list_sum order, so the result
-    * is bit-identical to the SQL oracle. */
+    * is bit-identical to the SQL oracle. Runs as a native codegen
+    * expression (one fused primitive loop per row — the HOF
+    * `aggregate(zip_with(...))` form computed the same fold as an
+    * interpreted lambda loop with a per-row intermediate array; see
+    * [[graft.functions.DotProductExpr]] which preserves its null
+    * semantics exactly). */
   def dot(a: Column, b: Column): Column =
+    graft.functions.DotProductExpr.column(a, b)
+
+  /** The previous higher-order-function form — kept as the semantics
+    * oracle for DotProductExpr's equivalence spec. */
+  private[graft] def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
       lit(0.0), (acc, v) => acc + v)
 

@@ -481,6 +481,55 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bad === 0)
   }
 
+  test("native dot product: bit-identical to the HOF fold, null semantics preserved") {
+    val s = spark
+    import s.implicits._
+    // full corpus, float×float: every pairwise value identical to the
+    // interpreted zip_with+aggregate fold (same left-to-right order)
+    val both = embs.select(col("vec_id"),
+        TextHash.dot(col("embedding"), col("embedding")).as("fast"),
+        TextHash.dotHof(col("embedding"), col("embedding")).as("slow"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(
+      java.lang.Double.doubleToRawLongBits(r.getDouble(1)) ===
+        java.lang.Double.doubleToRawLongBits(r.getDouble(2)),
+      s"bitwise drift at vec ${r.getLong(0)}"))
+    // mixed types: float embedding × long literal plane (the LSH shape)
+    val w = Similarity.planeWeights(1, 64)(0)
+    val planeLit = array(w.map(lit): _*)
+    val mixed = embs.select(
+        TextHash.dot(col("embedding"), planeLit).as("fast"),
+        TextHash.dotHof(col("embedding"), planeLit).as("slow"))
+      .collect()
+    mixed.foreach(r => assert(
+      java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1))))
+    // null semantics: null array, null element, length mismatch → null
+    val edge = Seq(
+      (Some(Seq(1.0f, 2.0f)), Some(Seq(3.0f, 4.0f))),
+      (None, Some(Seq(1.0f))),
+      (Some(Seq(1.0f, null.asInstanceOf[Float])), Some(Seq(1.0f, 2.0f))),
+      (Some(Seq(1.0f, 2.0f)), Some(Seq(1.0f)))).toDF("a", "b")
+    // row 2 has a 0.0f (boxing nulls in Float is lossy in Scala) — build
+    // the null-element case through SQL instead
+    val withNullElem = spark.sql(
+      "SELECT array(cast(1.0 as float), cast(null as float)) AS a, " +
+        "array(cast(1.0 as float), cast(2.0 as float)) AS b")
+    assert(withNullElem.select(TextHash.dot(col("a"), col("b"))).head.isNullAt(0))
+    assert(edge.filter(col("a").isNull)
+      .select(TextHash.dot(col("a"), col("b"))).head.isNullAt(0))
+    assert(edge.filter(size(col("a")) === 2 && size(col("b")) === 1)
+      .select(TextHash.dot(col("a"), col("b"))).head.isNullAt(0))
+    assert(edge.filter(size(col("a")) === 2 && size(col("b")) === 2)
+      .select(TextHash.dot(col("a"), col("b"))).head.getDouble(0) === 11.0)
+    // the plan carries the native expression, not an interpreted HOF
+    val plan = embs.select(TextHash.dot(col("embedding"), col("embedding")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_dot"), plan)
+    assert(!plan.contains("zip_with"), plan)
+  }
+
   test("semantic dedup: matches the brute-force in-cell domination, no cartesian") {
     val t = 0.35
     val kept = Similarity.semanticDedup(embs, t)
