@@ -106,9 +106,109 @@ final class RestCatalog(baseUri: String, namespace: String, val io: FileIO)
     send(delete(s"$tablesUri/$name")).statusCode() == 204
 
   override def listTables(): Seq[String] = {
-    val resp = send(get(tablesUri))
-    require(resp.statusCode() == 200, s"list failed (${resp.statusCode()})")
-    Json.parse(resp.body())("identifiers").elems.map(_("name").asText()).sorted
+    // page through next-page-token exactly like the reference client
+    // (catalog.rs:742-764) — a 100k-table namespace never arrives as one
+    // response body
+    val out = Seq.newBuilder[String]
+    var token: Option[String] = None
+    var more = true
+    while (more) {
+      val uri = tablesUri + s"?pageSize=$PageSize" +
+        token.map(t => s"&pageToken=$t").getOrElse("")
+      val resp = send(get(uri))
+      require(resp.statusCode() == 200, s"list failed (${resp.statusCode()})")
+      val n = Json.parse(resp.body())
+      out ++= n("identifiers").elems.map(_("name").asText())
+      token = n.opt("next-page-token").map(_.asText())
+      more = token.isDefined
+    }
+    out.result().sorted
+  }
+
+  private val PageSize = 1000
+
+  // ---- namespace surface (REST spec; reference catalog.rs:570-740) ----
+
+  def createNamespace(ns: String, properties: Map[String, String] = Map.empty): Unit = {
+    val body = obj()
+    val e = Json.arr(); e.add(ns)
+    body.set[ArrayNode]("namespace", e)
+    val props = obj()
+    properties.toSeq.sortBy(_._1).foreach { case (k, v) => props.put(k, v) }
+    body.set[ObjectNode]("properties", props)
+    val resp = send(post(s"$baseUri/v1/namespaces", body.toString))
+    require(resp.statusCode() == 200, s"createNamespace failed: ${resp.body()}")
+  }
+
+  def listNamespaces(): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var token: Option[String] = None
+    var more = true
+    while (more) {
+      val uri = s"$baseUri/v1/namespaces?pageSize=$PageSize" +
+        token.map(t => s"&pageToken=$t").getOrElse("")
+      val resp = send(get(uri))
+      require(resp.statusCode() == 200, s"listNamespaces failed (${resp.statusCode()})")
+      val n = Json.parse(resp.body())
+      out ++= n("namespaces").elems.map(_.elems.map(_.asText()).mkString("."))
+      token = n.opt("next-page-token").map(_.asText())
+      more = token.isDefined
+    }
+    out.result().sorted
+  }
+
+  def namespaceExists(ns: String): Boolean =
+    send(head(s"$baseUri/v1/namespaces/$ns")).statusCode() == 200
+
+  def loadNamespace(ns: String): Map[String, String] = {
+    val resp = send(get(s"$baseUri/v1/namespaces/$ns"))
+    require(resp.statusCode() == 200, s"no such namespace: $ns")
+    Json.parse(resp.body()).opt("properties")
+      .map(_.fieldsMap.map { case (k, v) => k -> v.asText() }).getOrElse(Map.empty)
+  }
+
+  /** Returns (updated, removed, missing) keys as echoed by the service. */
+  def updateNamespaceProperties(ns: String, updates: Map[String, String],
+      removals: Seq[String] = Nil): (Seq[String], Seq[String], Seq[String]) = {
+    val body = obj()
+    val rem = Json.arr(); removals.foreach(rem.add)
+    body.set[ArrayNode]("removals", rem)
+    val upd = obj()
+    updates.toSeq.sortBy(_._1).foreach { case (k, v) => upd.put(k, v) }
+    body.set[ObjectNode]("updates", upd)
+    val resp = send(post(s"$baseUri/v1/namespaces/$ns/properties", body.toString))
+    require(resp.statusCode() == 200, s"updateNamespaceProperties failed: ${resp.body()}")
+    val n = Json.parse(resp.body())
+    def ss(f: String) = n(f).elems.map(_.asText())
+    (ss("updated"), ss("removed"), ss("missing"))
+  }
+
+  def dropNamespace(ns: String): Boolean = {
+    val resp = send(delete(s"$baseUri/v1/namespaces/$ns"))
+    if (resp.statusCode() == 409)
+      throw new IllegalStateException(s"namespace $ns is not empty")
+    resp.statusCode() == 204
+  }
+
+  /** Catalog-pointer rename (reference catalog.rs:965 rename_table). */
+  def renameTable(src: String, dst: String): Unit = {
+    val body = obj()
+    def ident(n: String) = {
+      val o = obj()
+      val e = Json.arr(); e.add(namespace)
+      o.set[ArrayNode]("namespace", e)
+      o.put("name", n)
+      o
+    }
+    body.set[ObjectNode]("source", ident(src))
+    body.set[ObjectNode]("destination", ident(dst))
+    val resp = send(post(s"$baseUri/v1/tables/rename", body.toString))
+    resp.statusCode() match {
+      case 204 | 200 => ()
+      case 404 => throw new IllegalArgumentException(s"no such table: $src")
+      case 409 => throw new IllegalArgumentException(s"destination exists: $dst")
+      case other => throw new IllegalStateException(s"rename failed ($other): ${resp.body()}")
+    }
   }
 
   override def commitTable(name: String, baseVersion: Int, updated: TableMetadata): Int = {

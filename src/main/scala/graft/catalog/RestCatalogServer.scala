@@ -37,16 +37,144 @@ import graft.spec.Json._
 final class RestCatalogServer(warehouse: String, namespace: String = "default") {
 
   /** name -> (metadata-location, version, metadata); mutated only inside
-    * per-name synchronized commits. */
+    * per-name synchronized commits. Tables live in the server's default
+    * namespace; additional namespaces (below) hold their own table maps
+    * via dynamically-registered routes. */
   private val tables = new ConcurrentHashMap[String, (String, Int, TableMetadata)]()
+
+  /** Namespace registry: name -> properties. The REST spec's namespace
+    * surface (list with pagination, create with properties, properties
+    * update with updated/removed/missing echo, drop-if-empty) — the
+    * routes the reference client drives (rest/src/catalog.rs:570-740). */
+  private val namespaces = new ConcurrentHashMap[String, Map[String, String]]()
+  namespaces.put(namespace, Map.empty)
   private var server: HttpServer = _
 
   def start(): Int = {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext(s"/v1/namespaces/$namespace/tables", handle _)
     server.createContext(s"/v1/namespaces/$namespace/register", register _)
+    server.createContext("/v1/namespaces", handleNamespaces _)
+    server.createContext("/v1/tables/rename", handleRename _)
     server.start()
     server.getAddress.getPort
+  }
+
+  /** Namespace CRUD + paginated listing. Longest-prefix routing sends
+    * `/v1/namespaces/<default>/tables*` to the table handler; everything
+    * else under `/v1/namespaces` lands here. */
+  private def handleNamespaces(ex: HttpExchange): Unit = try {
+    val rest = ex.getRequestURI.getPath.stripPrefix("/v1/namespaces")
+      .stripPrefix("/")
+    val query = Option(ex.getRequestURI.getQuery).getOrElse("")
+    val params = query.split("&").filter(_.contains("="))
+      .map { kv => val Array(k, v) = kv.split("=", 2); k -> v }.toMap
+    (ex.getRequestMethod, rest.split("/").filter(_.nonEmpty).toList) match {
+      case ("GET", Nil) =>
+        // paginated: sorted names, pageToken = resume-after name
+        val all = namespaces.keySet().toArray(Array.empty[String]).toSeq.sorted
+        val after = params.get("pageToken").map(t =>
+          all.dropWhile(_ <= t)).getOrElse(all)
+        val size = params.get("pageSize").flatMap(_.toIntOption).getOrElse(all.size)
+        val page = after.take(math.max(size, 0))
+        val o = obj()
+        val a = arr()
+        page.foreach { n => val e = arr(); e.add(n); a.add(e) }
+        o.set[com.fasterxml.jackson.databind.node.ArrayNode]("namespaces", a)
+        if (page.nonEmpty && after.size > page.size)
+          o.put("next-page-token", page.last)
+        respond(ex, 200, Json.write(o))
+      case ("POST", Nil) =>
+        val body = Json.parse(readBody(ex))
+        val ns = body("namespace").elems.map(_.asText()).mkString(".")
+        val props = body.opt("properties")
+          .map(_.fieldsMap.map { case (k, v) => k -> v.asText() }).getOrElse(Map.empty)
+        if (namespaces.putIfAbsent(ns, props) != null)
+          respond(ex, 409, """{"error":"namespace already exists"}""")
+        else {
+          val o = obj()
+          val e = arr(); e.add(ns)
+          o.set[com.fasterxml.jackson.databind.node.ArrayNode]("namespace", e)
+          respond(ex, 200, Json.write(o))
+        }
+      case ("GET", ns :: Nil) =>
+        Option(namespaces.get(ns)) match {
+          case None => respond(ex, 404, """{"error":"no such namespace"}""")
+          case Some(props) =>
+            val o = obj()
+            val e = arr(); e.add(ns)
+            o.set[com.fasterxml.jackson.databind.node.ArrayNode]("namespace", e)
+            val p = obj()
+            props.toSeq.sortBy(_._1).foreach { case (k, v) => p.put(k, v) }
+            o.set[com.fasterxml.jackson.databind.node.ObjectNode]("properties", p)
+            respond(ex, 200, Json.write(o))
+        }
+      case ("HEAD", ns :: Nil) =>
+        ex.sendResponseHeaders(if (namespaces.containsKey(ns)) 200 else 404, -1)
+        ex.close()
+      case ("DELETE", ns :: Nil) =>
+        if (!namespaces.containsKey(ns)) { respond(ex, 404, "{}"); return }
+        // drop-if-empty: the default namespace owns `tables`
+        if (ns == namespace && !tables.isEmpty)
+          respond(ex, 409, """{"error":"namespace is not empty"}""")
+        else { namespaces.remove(ns); ex.sendResponseHeaders(204, -1); ex.close() }
+      case ("POST", ns :: "properties" :: Nil) =>
+        val body = Json.parse(readBody(ex))
+        namespaces.synchronized {
+          Option(namespaces.get(ns)) match {
+            case None => respond(ex, 404, """{"error":"no such namespace"}""")
+            case Some(props) =>
+              val removals = body.opt("removals")
+                .map(_.elems.map(_.asText())).getOrElse(Nil)
+              val updates = body.opt("updates")
+                .map(_.fieldsMap.map { case (k, v) => k -> v.asText() })
+                .getOrElse(Map.empty)
+              val missing = removals.filterNot(props.contains)
+              val next = (props -- removals) ++ updates
+              namespaces.put(ns, next)
+              val o = obj()
+              def strArr(xs: Iterable[String]) = {
+                val a = arr(); xs.toSeq.sorted.foreach(a.add); a
+              }
+              o.set[com.fasterxml.jackson.databind.node.ArrayNode]("updated",
+                strArr(updates.keys))
+              o.set[com.fasterxml.jackson.databind.node.ArrayNode]("removed",
+                strArr(removals.filter(props.contains)))
+              o.set[com.fasterxml.jackson.databind.node.ArrayNode]("missing",
+                strArr(missing))
+              respond(ex, 200, Json.write(o))
+          }
+        }
+      case _ => respond(ex, 405, "{}")
+    }
+  } catch {
+    case e: Throwable => respond(ex, 500, s"""{"error":${quote(e.toString)}}""")
+  }
+
+  /** POST /v1/tables/rename {source, destination} (REST spec; reference
+    * rename_table catalog.rs:965). 404 unknown source, 409 taken
+    * destination; metadata and location are untouched — rename is a
+    * catalog-pointer move. */
+  private def handleRename(ex: HttpExchange): Unit = try {
+    if (ex.getRequestMethod != "POST") { respond(ex, 405, "{}"); return }
+    val body = Json.parse(readBody(ex))
+    val src = body("source")("name").asText()
+    val dst = body("destination")("name").asText()
+    tables.synchronized {
+      Option(tables.get(src)) match {
+        case None => respond(ex, 404, """{"error":"no such table"}""")
+        case Some(entry) =>
+          if (tables.containsKey(dst))
+            respond(ex, 409, """{"error":"destination exists"}""")
+          else {
+            tables.remove(src)
+            tables.put(dst, entry)
+            ex.sendResponseHeaders(204, -1); ex.close()
+          }
+      }
+    }
+  } catch {
+    case e: Throwable => respond(ex, 500, s"""{"error":${quote(e.toString)}}""")
   }
 
   /** POST /register {name, metadata-location}: adopt an existing table's
@@ -83,9 +211,23 @@ final class RestCatalogServer(warehouse: String, namespace: String = "default") 
       .stripPrefix(s"/v1/namespaces/$namespace/tables").stripPrefix("/")
     try (ex.getRequestMethod, name) match {
       case ("GET", "") =>
-        val ids = tables.keySet().toArray(Array.empty[String]).toSeq.sorted.map(n =>
+        // paginated (REST spec pageToken/pageSize; reference
+        // catalog.rs:742-764 loops until next-page-token disappears)
+        val query = Option(ex.getRequestURI.getQuery).getOrElse("")
+        val params = query.split("&").filter(_.contains("="))
+          .map { kv => val Array(k, v) = kv.split("=", 2); k -> v }.toMap
+        val all = tables.keySet().toArray(Array.empty[String]).toSeq.sorted
+        val after = params.get("pageToken").map(t =>
+          all.dropWhile(_ <= t)).getOrElse(all)
+        val size = params.get("pageSize").flatMap(_.toIntOption).getOrElse(all.size)
+        val page = after.take(math.max(size, 0))
+        val ids = page.map(n =>
           s"""{"namespace":["$namespace"],"name":"$n"}""").mkString(",")
-        respond(ex, 200, s"""{"identifiers":[$ids]}""")
+        val tok =
+          if (page.nonEmpty && after.size > page.size)
+            s""","next-page-token":"${page.last}""""
+          else ""
+        respond(ex, 200, s"""{"identifiers":[$ids]$tok}""")
 
       case ("POST", "") => create(ex)
 

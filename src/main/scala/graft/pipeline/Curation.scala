@@ -162,6 +162,35 @@ object Curation {
     budgetSample(calm, budgetTokens)
   }
 
+  /** Per-domain corpus composition — the numbers a training-mix design
+    * starts from: document count, token mass, and each domain's share of
+    * the corpus in INTEGER parts-per-million (exact integer division —
+    * no cross-engine float sums).
+    *
+    * Scale shape: one map-side-combined aggregate by `source` reduces
+    * 100 TB to #domains rows; the share window then runs over that tiny
+    * aggregate (domain counts are O(100) in real corpora), so the
+    * single-partition window is over an already-reduced frame, never
+    * over data. */
+  def domainMix(docs: DataFrame): DataFrame = {
+    val toks = size(split(col("text"), "\\s+")).cast("long")
+    val perSource = docs.select(col("source"), toks.as("tokens"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("tok_sum"))
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    perSource
+      .withColumn("_tt", sum(col("tok_sum")).over(all))
+      .withColumn("_td", sum(col("n_docs")).over(all))
+      // integer DIV: Column./ is float division, which would reintroduce
+      // the cross-engine float hazard ppm exists to avoid
+      .withColumn("tok_ppm", expr("tok_sum * 1000000 DIV _tt"))
+      .withColumn("doc_ppm", expr("n_docs * 1000000 DIV _td"))
+      .drop("_tt", "_td")
+  }
+
   /** Sequence packing, concat-and-chunk semantics (the GPT-style batch
     * prep): per domain, documents are concatenated in doc_id order into
     * one token stream that is then cut into fixed-`seqLen` windows; a doc

@@ -890,7 +890,27 @@ object PipelineQueries {
       .orderBy(col("doc_id"), col("eval_id"))
   }
 
+  /** Per-domain corpus composition with integer parts-per-million
+    * shares — the training-mix design input (exact integer division;
+    * the share window runs over the already-reduced per-domain frame). */
+  val p30 = Q.sql(
+    "p30_domain_mix",
+    """WITH t AS (
+      |  SELECT source,
+      |    len(regexp_split_to_array(text, '\s+'))::BIGINT AS tokens
+      |  FROM documents),
+      |s AS (
+      |  SELECT source, count(*) AS n_docs, sum(tokens)::BIGINT AS tok_sum
+      |  FROM t GROUP BY source)
+      |SELECT source, n_docs, tok_sum,
+      |  (tok_sum * 1000000 // sum(tok_sum) OVER ())::BIGINT AS tok_ppm,
+      |  (n_docs * 1000000 // sum(n_docs) OVER ())::BIGINT AS doc_ppm
+      |FROM s ORDER BY source""".stripMargin
+  ) { (s, d) =>
+    Curation.domainMix(Tables.documents(s, d)).orderBy(col("source"))
+  }
+
   val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
     p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24,
-    p25, p26, p27, p28, p29)
+    p25, p26, p27, p28, p29, p30)
 }

@@ -58,22 +58,37 @@ class GraftBatchScan(table: GraftTable, predicate: Predicate,
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportOrdering {
 
-  // `_file` / `_pos` metadata columns (SupportsMetadataColumns): appended
-  // by the reader — `_file` is constant per split, `_pos` is the row's
-  // position in its data file (the Iceberg position-delete coordinate).
-  // Row-level operations project their row attrs through them (Spark only
-  // strips the rewrite's internal operation column when at least one
-  // metadata attribute is present), and the delta (merge-on-read) write
-  // path uses (_file, _pos) as the row id.
-  private val MetaCols = Seq(GraftBatchScan.FileColumn, GraftBatchScan.PosColumn)
-  private val (projected: Seq[String], emitFile: Boolean, emitPos: Boolean) =
+  // `_file` / `_pos` / `_spec_id` / `_partition` metadata columns
+  // (SupportsMetadataColumns, metadata_columns.rs:33-90): appended by the
+  // reader — `_file`, `_spec_id` and the `_partition` tuple are constant
+  // per split, `_pos` is the row's position in its data file (the Iceberg
+  // position-delete coordinate). Row-level operations project their row
+  // attrs through `_file`/`_pos` (Spark only strips the rewrite's
+  // internal operation column when at least one metadata attribute is
+  // present), and the delta (merge-on-read) write path uses (_file, _pos)
+  // as the row id.
+  private val MetaCols = Seq(GraftBatchScan.FileColumn, GraftBatchScan.PosColumn,
+    GraftBatchScan.SpecIdColumn, GraftBatchScan.PartitionColumn)
+  private val (projected: Seq[String], emitFile: Boolean, emitPos: Boolean,
+      emitSpecId: Boolean, emitPartition: Boolean) =
     required match {
       case Some(s) if s.fields.nonEmpty =>
         (s.fieldNames.toSeq.filterNot(MetaCols.contains),
           s.fieldNames.contains(GraftBatchScan.FileColumn),
-          s.fieldNames.contains(GraftBatchScan.PosColumn))
-      case _ => (table.schema.fields.map(_.name), false, false)
+          s.fieldNames.contains(GraftBatchScan.PosColumn),
+          s.fieldNames.contains(GraftBatchScan.SpecIdColumn),
+          s.fieldNames.contains(GraftBatchScan.PartitionColumn))
+      case _ => (table.schema.fields.map(_.name), false, false, false, false)
     }
+
+  /** Unified `_partition` struct across evolved specs (partitioning.rs —
+    * same type the V1 metadata-column path serves). */
+  private lazy val unifiedPartType: graft.spec.IcebergType.StructT =
+    graft.spec.PartitionSpec.unifiedPartitionType(
+      table.metadata.partitionSpecs, table.schema)
+  private lazy val unifiedPartSchema: StructType =
+    StructType(unifiedPartType.fields.map(f => org.apache.spark.sql.types.StructField(
+      f.name, graft.spec.IcebergType.toSpark(f.fieldType), nullable = true)))
 
   // projected schema rebuilt from the table schema so parquet.field.id
   // metadata survives whatever Spark passed through pruneColumns
@@ -142,7 +157,13 @@ class GraftBatchScan(table: GraftTable, predicate: Predicate,
         nullable = false)) else Nil) ++
       (if (emitPos) Seq(org.apache.spark.sql.types.StructField(
         GraftBatchScan.PosColumn, org.apache.spark.sql.types.LongType,
-        nullable = false)) else Nil)
+        nullable = false)) else Nil) ++
+      (if (emitSpecId) Seq(org.apache.spark.sql.types.StructField(
+        GraftBatchScan.SpecIdColumn, org.apache.spark.sql.types.IntegerType,
+        nullable = false)) else Nil) ++
+      (if (emitPartition) Seq(org.apache.spark.sql.types.StructField(
+        GraftBatchScan.PartitionColumn, unifiedPartSchema,
+        nullable = true)) else Nil)
     StructType(data ++ metas)
   }
 
@@ -466,16 +487,33 @@ class GraftBatchScan(table: GraftTable, predicate: Predicate,
       // delete_seq) whose partition scope covers this file
       val eqGroups = eqInfo.collect { case g if g.appliesTo(t) =>
         EqDeleteTaskGroup(g.keyNames, g.files) }
+      // the file's spec-shaped tuple projected into the unified struct
+      // (field-id addressed — same rule as the V1 metadata-column path)
+      val partVals: Seq[Any] =
+        if (!emitPartition) Nil
+        else {
+          val spec = table.metadata.specById(t.specId).getOrElse(table.spec)
+          val idxById = spec.fields.zipWithIndex
+            .map { case (f, i) => f.fieldId -> i }.toMap
+          unifiedPartType.fields.map { uf =>
+            idxById.get(uf.id) match {
+              case Some(i) if i < t.partition.length =>
+                graft.expr.Predicate.sparkValue(uf.fieldType, t.partition(i))
+              case _ => null
+            }
+          }
+        }
       val splits =
         if (withDeletes || emitPos)
           // whole file in one slice: row indexes must be exact (`_pos`
           // emission counts rows, so splits and parquet row-group
           // filtering are both off)
           Seq(GraftInputPartition(path, 0L, size, size,
-            needsRowIndex = true, posParquet, dv, t.missingDefaults, eqGroups))
+            needsRowIndex = true, posParquet, dv, t.missingDefaults, eqGroups,
+            t.specId, partVals))
         else t.splitRanges.map { case (start, len) =>
           GraftInputPartition(path, start, len, size, needsRowIndex = false,
-            Nil, None, t.missingDefaults, eqGroups)
+            Nil, None, t.missingDefaults, eqGroups, t.specId, partVals)
         }
       splits.map(s => (t, s))
     }.toArray
@@ -500,7 +538,8 @@ class GraftBatchScan(table: GraftTable, predicate: Predicate,
     GraftReaderFactory.build(spark, table.schema.toSpark, ext, pushedFilters,
       graft.crypto.Encryption.confFor(table.metadata.properties), emitFile, emitPos,
       eqKeySets = eqInfo.map(_.keyNames).distinct, outputOrdinals = outputOrdinals,
-      defaults = defaults)
+      defaults = defaults, emitSpecId = emitSpecId,
+      partSchema = if (emitPartition) Some(unifiedPartSchema) else None)
   }
 }
 
@@ -509,6 +548,11 @@ object GraftBatchScan {
   val FileColumn = "_file"
   /** Metadata column: the row's position within its data file. */
   val PosColumn = "_pos"
+  /** Metadata column: the partition spec id of the row's file. */
+  val SpecIdColumn = "_spec_id"
+  /** Metadata column: the file's typed partition tuple (unified across
+    * evolved specs — partitioning.rs). */
+  val PartitionColumn = "_partition"
   /** Driver planning metrics surfaced in the Spark UI. */
   val MetricNames: Seq[(String, String)] = Seq(
     "totalDataManifests" -> "total data manifests",
@@ -551,7 +595,9 @@ final class PlannedDataFilesMetric
 final case class EqDeleteTaskGroup(keyNames: Seq[String],
     files: Seq[(String, Long)])
 
-/** One byte-range slice of a data file plus its delete context. */
+/** One byte-range slice of a data file plus its delete context.
+  * `partitionValues` are EXTERNAL Scala values aligned to the scan's
+  * unified `_partition` schema (empty unless that column is projected). */
 final case class GraftInputPartition(
     path: String,
     start: Long,
@@ -561,7 +607,9 @@ final case class GraftInputPartition(
     posDeleteFiles: Seq[(String, Long)],
     dv: Option[(String, Long, Long)],
     missingDefaults: Seq[String] = Nil,
-    eqDeletes: Seq[EqDeleteTaskGroup] = Nil) extends InputPartition
+    eqDeletes: Seq[EqDeleteTaskGroup] = Nil,
+    specId: Int = -1,
+    partitionValues: Seq[Any] = Nil) extends InputPartition
 
 /** A split plus its partition tuple — lets Spark group splits by
   * partition value for storage-partitioned joins (HasPartitionKey). */
@@ -615,7 +663,9 @@ object GraftReaderFactory {
       emitFile: Boolean = false, emitPos: Boolean = false,
       eqKeySets: Seq[Seq[String]] = Nil,
       outputOrdinals: Option[Seq[Int]] = None,
-      defaults: Map[String, Any] = Map.empty): GraftReaderFactory = {
+      defaults: Map[String, Any] = Map.empty,
+      emitSpecId: Boolean = false,
+      partSchema: Option[StructType] = None): GraftReaderFactory = {
     val scanSpark = graft.SessionConf.scanSession(spark)
     val fmt = new ParquetFileFormat()
     val hc = scanSpark.sparkContext.hadoopConfiguration
@@ -646,7 +696,8 @@ object GraftReaderFactory {
       fmt.buildReaderWithPartitionValues(scanSpark, PosDeleteSchema, empty, PosDeleteSchema,
         Nil, rowOpts, conf()),
       spark.sparkContext.broadcast(new SerializableConfiguration(conf())),
-      emitFile, emitPos, readSchema, outputOrdinals, defaults, eqReads)
+      emitFile, emitPos, readSchema, outputOrdinals, defaults, eqReads,
+      emitSpecId, partSchema)
   }
 }
 
@@ -660,7 +711,9 @@ final class GraftReaderFactory(
     readSchema: StructType = StructType(Nil),
     outputOrdinals: Option[Seq[Int]] = None,
     defaults: Map[String, Any] = Map.empty,
-    eqReads: Map[Seq[String], PartitionedFile => Iterator[InternalRow]] = Map.empty)
+    eqReads: Map[Seq[String], PartitionedFile => Iterator[InternalRow]] = Map.empty,
+    emitSpecId: Boolean = false,
+    partSchema: Option[StructType] = None)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -674,7 +727,7 @@ final class GraftReaderFactory(
     val read = if (p.needsRowIndex || p.missingDefaults.nonEmpty) plainRead
       else filteredRead
     new GraftPartitionReader(p, read, posDeleteRead, conf, emitFile, emitPos,
-      readSchema, outputOrdinals, defaults, eqReads)
+      readSchema, outputOrdinals, defaults, eqReads, emitSpecId, partSchema)
   }
 }
 
@@ -692,7 +745,9 @@ final class GraftPartitionReader(
     readSchema: StructType = StructType(Nil),
     outputOrdinals: Option[Seq[Int]] = None,
     defaults: Map[String, Any] = Map.empty,
-    eqReads: Map[Seq[String], PartitionedFile => Iterator[InternalRow]] = Map.empty)
+    eqReads: Map[Seq[String], PartitionedFile => Iterator[InternalRow]] = Map.empty,
+    emitSpecId: Boolean = false,
+    partSchema: Option[StructType] = None)
     extends PartitionReader[InternalRow] {
 
   import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression, Literal, UnsafeProjection, UnsafeRow}
@@ -762,13 +817,22 @@ final class GraftPartitionReader(
     false
   }
 
-  // `_file` / `_pos` appended as metadata columns (JoinedRow: zero-copy
-  // wrapper; the pos slot is updated in place per row)
+  // `_file` / `_pos` / `_spec_id` / `_partition` appended as metadata
+  // columns (JoinedRow: zero-copy wrapper; only the pos slot mutates per
+  // row — file, spec id and the partition tuple are split constants)
+  private def emitMeta = emitFile || emitPos || emitSpecId || partSchema.isDefined
+  private lazy val partStruct: Any = partSchema.map { ps =>
+    org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .createToCatalystConverter(ps)(
+        org.apache.spark.sql.Row(part.partitionValues: _*))
+  }.orNull
   private lazy val metaRow = new GenericInternalRow(
     (if (emitFile)
       Seq[Any](org.apache.spark.unsafe.types.UTF8String.fromString(part.path))
     else Seq.empty[Any]).toArray ++
-      (if (emitPos) Array[Any](0L) else Array.empty[Any]))
+      (if (emitPos) Array[Any](0L) else Array.empty[Any]) ++
+      (if (emitSpecId) Array[Any](part.specId) else Array.empty[Any]) ++
+      (if (partSchema.isDefined) Array[Any](partStruct) else Array.empty[Any]))
   private val posOrdinal = if (emitFile) 1 else 0
   private lazy val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow()
 
@@ -818,7 +882,7 @@ final class GraftPartitionReader(
   }
 
   override def get(): InternalRow =
-    if (emitFile || emitPos) {
+    if (emitMeta) {
       if (emitPos) metaRow.update(posOrdinal, rowIndex)
       joined(current, metaRow)
     } else current

@@ -66,26 +66,32 @@ final class GraftSparkTable(table: GraftTable) extends SparkTable
   override def name(): String = table.name
   override def schema(): StructType = table.schema.toSpark
 
-  /** `_file` / `_pos`: the data file path and in-file position of each
-    * row — queryable (`SELECT _file, _pos, * FROM t`), the anchor for
-    * CoW rewrites (Spark's ReplaceData projections need a metadata
-    * attribute to strip the internal operation column), and together the
-    * ROW ID of the delta (merge-on-read) write path. */
+  /** Reserved metadata columns (metadata_columns.rs:33-90), queryable via
+    * SQL: `_file` / `_pos` (the row id of CoW/MoR row-level ops — Spark's
+    * ReplaceData projections need a metadata attribute to strip the
+    * internal operation column), `_spec_id`, and the typed `_partition`
+    * tuple with the UNIFIED struct across evolved specs
+    * (partitioning.rs). */
   override def metadataColumns()
-      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] = {
+    def col(n: String, dt: org.apache.spark.sql.types.DataType,
+        nul: Boolean): org.apache.spark.sql.connector.catalog.MetadataColumn =
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = n
+        override def dataType(): org.apache.spark.sql.types.DataType = dt
+        override def isNullable: Boolean = nul
+      }
+    val partType = graft.spec.PartitionSpec.unifiedPartitionType(
+      table.metadata.partitionSpecs, table.schema)
+    val partSchema = org.apache.spark.sql.types.StructType(partType.fields.map(
+      f => org.apache.spark.sql.types.StructField(f.name,
+        graft.spec.IcebergType.toSpark(f.fieldType), nullable = true)))
     Array(
-      new org.apache.spark.sql.connector.catalog.MetadataColumn {
-        override def name(): String = GraftBatchScan.FileColumn
-        override def dataType(): org.apache.spark.sql.types.DataType =
-          org.apache.spark.sql.types.StringType
-        override def isNullable: Boolean = false
-      },
-      new org.apache.spark.sql.connector.catalog.MetadataColumn {
-        override def name(): String = GraftBatchScan.PosColumn
-        override def dataType(): org.apache.spark.sql.types.DataType =
-          org.apache.spark.sql.types.LongType
-        override def isNullable: Boolean = false
-      })
+      col(GraftBatchScan.FileColumn, org.apache.spark.sql.types.StringType, false),
+      col(GraftBatchScan.PosColumn, org.apache.spark.sql.types.LongType, false),
+      col(GraftBatchScan.SpecIdColumn, org.apache.spark.sql.types.IntegerType, false),
+      col(GraftBatchScan.PartitionColumn, partSchema, true))
+  }
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
@@ -214,10 +220,11 @@ final class GraftV1Scan(table: GraftTable, predicate: Predicate,
 
   private val projected: Seq[String] = required match {
     case Some(s) if s.fields.nonEmpty =>
-      require(!s.fieldNames.contains(GraftBatchScan.FileColumn) &&
-          !s.fieldNames.contains(GraftBatchScan.PosColumn),
-        "_file/_pos are not available on the V1 fallback path (name " +
-          "mapping); drop the metadata column")
+      require(Seq(GraftBatchScan.FileColumn, GraftBatchScan.PosColumn,
+          GraftBatchScan.SpecIdColumn, GraftBatchScan.PartitionColumn)
+          .forall(!s.fieldNames.contains(_)),
+        "metadata columns are not available on the V1 fallback path " +
+          "(name mapping); drop the metadata column")
       s.fieldNames.toSeq
     case _ => table.schema.fields.map(_.name)
   }

@@ -53,21 +53,32 @@ object Transactions {
       fields: Seq[(String, graft.spec.Transform)]): GraftTable = {
     CommitRetry.run(table.catalog, table.name) { (base, _) =>
       val newSpecId = base.partitionSpecs.map(_.specId).max + 1
-      val startFieldId = math.max(graft.spec.PartitionSpec.StartFieldId - 1,
-        base.lastPartitionId) + 1
       val schema = base.currentSchema
-      var fid = startFieldId - 1
+      // spec rule (partition evolution): a field with the same
+      // (source id, transform) as one in ANY earlier spec keeps that
+      // field id and name — ids are stable across evolution, so the
+      // unified `_partition` struct and partition stats stay
+      // field-id-addressed; only genuinely new fields mint fresh ids
+      val existing: Map[(Int, graft.spec.Transform), graft.spec.PartitionField] =
+        base.partitionSpecs.flatMap(_.fields)
+          .map(f => (f.sourceId, f.transform) -> f).toMap
+      var fid = math.max(graft.spec.PartitionSpec.StartFieldId - 1,
+        base.lastPartitionId)
       val spec = graft.spec.PartitionSpec(newSpecId, fields.map { case (colName, t) =>
         val f = schema.findField(colName).getOrElse(
           throw new IllegalArgumentException(s"no such column: $colName"))
-        fid += 1
-        val name = t match {
-          case graft.spec.Transform.Identity => f.name
-          case graft.spec.Transform.Bucket(_) => s"${f.name}_bucket"
-          case graft.spec.Transform.Truncate(_) => s"${f.name}_trunc"
-          case other => s"${f.name}_${other.name}"
+        existing.get((f.id, t)) match {
+          case Some(prior) => prior
+          case None =>
+            fid += 1
+            val name = t match {
+              case graft.spec.Transform.Identity => f.name
+              case graft.spec.Transform.Bucket(_) => s"${f.name}_bucket"
+              case graft.spec.Transform.Truncate(_) => s"${f.name}_trunc"
+              case other => s"${f.name}_${other.name}"
+            }
+            graft.spec.PartitionField(f.id, fid, name, t)
         }
-        graft.spec.PartitionField(f.id, fid, name, t)
       })
       val updated = base.copy(
         partitionSpecs = base.partitionSpecs :+ spec,

@@ -32,8 +32,22 @@ class CatalogLoaderSpec extends AnyFunSuite with BeforeAndAfterAll {
     val missing = intercept[IllegalArgumentException](
       CatalogLoader.load("jdbc", Map("warehouse" -> wh)))
     assert(missing.getMessage.contains("uri"))
-    val unknown = intercept[IllegalArgumentException](
+    // glue/s3tables are dispatched (endpoint required); unknown types name
+    // the supported list
+    val glueMissing = intercept[IllegalArgumentException](
       CatalogLoader.load("glue", Map.empty))
+    assert(glueMissing.getMessage.contains("uri"))
+    val s3tMissing = intercept[IllegalArgumentException](
+      CatalogLoader.load("s3tables", Map.empty))
+    assert(s3tMissing.getMessage.contains("uri"))
+    val glueStub = new GlueStubServer()
+    val gluePort = glueStub.start()
+    try assert(CatalogLoader.load("glue", Map(
+        "uri" -> s"http://127.0.0.1:$gluePort", "warehouse" -> wh))
+      .isInstanceOf[GlueCatalog])
+    finally glueStub.stop()
+    val unknown = intercept[IllegalArgumentException](
+      CatalogLoader.load("nessie", Map.empty))
     assert(unknown.getMessage.contains("supported"))
   }
 

@@ -142,4 +142,83 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       cat.registerTable("ext_adopted", s"${src.location}/metadata/v2.metadata.json")
     }
   }
+
+  test("namespace surface: CRUD, property update echo, drop-if-empty") {
+    val cat = catalog
+    cat.createNamespace("analytics", Map("owner" -> "ml", "tier" -> "gold"))
+    assert(cat.namespaceExists("analytics"))
+    assert(!cat.namespaceExists("nope"))
+    assert(cat.listNamespaces().contains("analytics"))
+    assert(cat.loadNamespace("analytics") ===
+      Map("owner" -> "ml", "tier" -> "gold"))
+    // duplicate create refuses
+    intercept[Exception] { cat.createNamespace("analytics") }
+    // spec echo: updated / removed / missing
+    val (updated, removed, missing) = cat.updateNamespaceProperties("analytics",
+      updates = Map("tier" -> "silver", "region" -> "eu"),
+      removals = Seq("owner", "ghost"))
+    assert(updated.toSet === Set("region", "tier"))
+    assert(removed === Seq("owner"))
+    assert(missing === Seq("ghost"))
+    assert(cat.loadNamespace("analytics") ===
+      Map("tier" -> "silver", "region" -> "eu"))
+    assert(cat.dropNamespace("analytics"))
+    assert(!cat.namespaceExists("analytics"))
+    // the DEFAULT namespace holds tables from earlier tests → not empty
+    intercept[IllegalStateException] { cat.dropNamespace("default") }
+  }
+
+  test("list pagination: pages chain via next-page-token and cover everything") {
+    val cat = catalog
+    (1 to 5).foreach(i => cat.createTable(s"pg$i", schema))
+    // drive the wire with pageSize=2 and assert the token chain
+    def rawList(token: Option[String]): (Seq[String], Option[String]) = {
+      val uri = java.net.URI.create(
+        s"http://127.0.0.1:$port/v1/namespaces/default/tables?pageSize=2" +
+          token.map(t => s"&pageToken=$t").getOrElse(""))
+      val resp = java.net.http.HttpClient.newHttpClient().send(
+        java.net.http.HttpRequest.newBuilder(uri).GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() === 200)
+      val n = Json.parse(resp.body())
+      import Json.NodeOps
+      (n("identifiers").elems.map(_("name").asText()),
+        n.opt("next-page-token").map(_.asText()))
+    }
+    var token: Option[String] = None
+    var pages = Seq.empty[Seq[String]]
+    var more = true
+    while (more) {
+      val (page, next) = rawList(token)
+      pages :+= page
+      token = next
+      more = next.isDefined
+    }
+    assert(pages.forall(_.size <= 2))
+    assert(pages.size >= 3, s"expected multiple pages, got $pages")
+    val all = pages.flatten
+    assert(all.distinct === all, "pages must not overlap")
+    assert(all.filter(_.startsWith("pg")).sorted ===
+      (1 to 5).map(i => s"pg$i"))
+    // the paginated client loop sees the same complete set
+    assert(cat.listTables().filter(_.startsWith("pg")).sorted ===
+      (1 to 5).map(i => s"pg$i"))
+    (1 to 5).foreach(i => cat.dropTable(s"pg$i"))
+  }
+
+  test("rename moves the catalog pointer; data and history ride along") {
+    import spark.implicits._
+    val cat = catalog
+    var t = GraftTable.create("rn_src", cat, schema)
+    t = t.append(Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v"))
+    cat.renameTable("rn_src", "rn_dst")
+    assert(!cat.tableExists("rn_src"))
+    val moved = GraftTable.load("rn_dst", cat)
+    assert(moved.metadata.snapshots.size === 1)
+    assert(moved.newScan().toDF(spark).count() === 2)
+    // source gone, destination collision refused
+    intercept[IllegalArgumentException] { cat.renameTable("rn_src", "x") }
+    GraftTable.create("rn_other", cat, schema)
+    intercept[IllegalArgumentException] { cat.renameTable("rn_other", "rn_dst") }
+  }
 }
