@@ -47,6 +47,14 @@ trait Catalog {
   /** Catalog-specific "adopt this metadata as v1 of `name`". */
   protected def registerParsed(name: String, md: TableMetadata): Unit
 
+  /** Catalog-pointer rename (catalog/mod.rs rename_table): only the
+    * name→table binding moves; metadata location, data and history stay
+    * put. Unsupported where the layout couples name to path (the Hadoop
+    * catalog — same refusal as the reference and Java). */
+  def renameTable(src: String, dst: String): Unit =
+    throw new UnsupportedOperationException(
+      s"rename is not supported by ${getClass.getSimpleName}")
+
   /** Drop the table AND delete its files (catalog/mod.rs:112 purge_table):
     * every data/delete file reachable from any snapshot, every manifest +
     * manifest list, statistics files, and the metadata generations.
@@ -220,6 +228,15 @@ final class MemoryCatalog(warehouse: String, val io: FileIO) extends Catalog {
   override def tableExists(name: String): Boolean = tables.containsKey(name)
 
   override def dropTable(name: String): Boolean = tables.remove(name) != null
+
+  override def renameTable(src: String, dst: String): Unit =
+    tables.synchronized {
+      val versions = Option(tables.get(src)).getOrElse(
+        throw new IllegalArgumentException(s"no such table: $src"))
+      require(tables.putIfAbsent(dst, versions) == null,
+        s"destination exists: $dst")
+      tables.remove(src)
+    }
 
   override def listTables(): Seq[String] = {
     import scala.jdk.CollectionConverters._

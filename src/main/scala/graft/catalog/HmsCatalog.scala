@@ -159,6 +159,21 @@ final class HmsCatalog(client: ThriftHiveMetastore.Iface, db: String,
     } finally releaseLock(lockId)
   }
 
+  /** HMS rename = alter_table carrying the new name under the table lock
+    * (Iceberg-on-Hive semantics; the metadata pointer rides along
+    * unchanged, data never moves). */
+  override def renameTable(src: String, dst: String): Unit = {
+    val lockId = acquireLock(src)
+    try {
+      val t = getTable(src).getOrElse(
+        throw new IllegalArgumentException(s"no such table: $db.$src"))
+      t.setTableName(dst)
+      try client.alter_table(db, src, t)
+      catch { case e: InvalidOperationException =>
+        throw new IllegalArgumentException(s"rename refused: ${e.getMessage}") }
+    } finally releaseLock(lockId)
+  }
+
   private def acquireLock(name: String): Long = {
     val comp = new LockComponent(LockType.EXCLUSIVE, LockLevel.TABLE, db)
     comp.setTablename(name)

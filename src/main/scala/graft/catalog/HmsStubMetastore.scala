@@ -88,9 +88,19 @@ final class HmsStubMetastore {
             .getOrElse(throw new NoSuchObjectException(s"no table: ${args(1)}"))
         case "alter_table" =>
           val (db, name) = (args(0).asInstanceOf[String], args(1).asInstanceOf[String])
-          if (!tables.containsKey((db, name)))
-            throw new InvalidOperationException(s"no table: $name")
-          tables.put((db, name), args(2).asInstanceOf[Table].deepCopy())
+          val newT = args(2).asInstanceOf[Table].deepCopy()
+          // real HMS moves the binding when the new table object carries a
+          // different name (the Iceberg rename path)
+          tables.synchronized {
+            if (!tables.containsKey((db, name)))
+              throw new InvalidOperationException(s"no table: $name")
+            val newKey = (newT.getDbName, newT.getTableName)
+            if (newKey != ((db, name)) && tables.containsKey(newKey))
+              throw new InvalidOperationException(
+                s"table exists: ${newT.getTableName}")
+            if (newKey != ((db, name))) tables.remove((db, name))
+            tables.put(newKey, newT)
+          }
           null
         case "drop_table" =>
           val (db, name) = (args(0).asInstanceOf[String], args(1).asInstanceOf[String])

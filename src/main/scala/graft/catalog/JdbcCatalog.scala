@@ -129,6 +129,24 @@ final class JdbcCatalog(jdbcUrl: String, warehouse: String, val io: FileIO,
     } finally ps.close()
   }
 
+  /** Atomic one-row UPDATE of the name binding (the reference sql
+    * catalog's rename — metadata files never move); the primary key
+    * makes a taken destination fail the statement. */
+  override def renameTable(src: String, dst: String): Unit = withConn { c =>
+    val ps = c.prepareStatement(
+      s"""UPDATE $TableName SET table_name = ?
+         | WHERE catalog_name = ? AND table_namespace = ? AND table_name = ?""".stripMargin)
+    try {
+      ps.setString(1, dst)
+      ps.setString(2, catalogName); ps.setString(3, namespace); ps.setString(4, src)
+      val n =
+        try ps.executeUpdate()
+        catch { case e: java.sql.SQLException =>
+          throw new IllegalArgumentException(s"destination exists: $dst", e) }
+      if (n == 0) throw new IllegalArgumentException(s"no such table: $src")
+    } finally ps.close()
+  }
+
   override def listTables(): Seq[String] = withConn { c =>
     val ps = c.prepareStatement(
       s"""SELECT table_name FROM $TableName

@@ -191,7 +191,7 @@ final class RestCatalog(baseUri: String, namespace: String, val io: FileIO)
   }
 
   /** Catalog-pointer rename (reference catalog.rs:965 rename_table). */
-  def renameTable(src: String, dst: String): Unit = {
+  override def renameTable(src: String, dst: String): Unit = {
     val body = obj()
     def ident(n: String) = {
       val o = obj()

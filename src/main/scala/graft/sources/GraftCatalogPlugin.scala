@@ -176,8 +176,11 @@ final class GraftCatalogPlugin extends CatalogPlugin with TableCatalog with View
   override def dropTable(ident: Identifier): Boolean =
     catalog.dropTable(ident.name())
 
+  /** SQL `ALTER TABLE x RENAME TO y`: delegated to the catalog's pointer
+    * rename (jdbc/memory/rest/hms support it; hadoop refuses — name is
+    * path-coupled, same as the reference). */
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException("rename is not supported")
+    catalog.renameTable(oldIdent.name(), newIdent.name())
 
   // ---- ViewCatalog (view_metadata.rs:59 surface over the ViewStore) ----
 

@@ -195,6 +195,32 @@ object GraftProcedures {
             .map(_.statisticsPath).getOrElse("")))
         }
       })
+      case "create_changelog_view" => Some(new Proc(catalog, name,
+          Seq("table" -> StringType, "view" -> StringType,
+            "net_changes" -> BooleanType),
+          Seq("view_name" -> StringType, "change_count" -> LongType)) {
+        // Iceberg's create_changelog_view procedure: register the CDC
+        // frame (inserts + parent-resolved deletes per snapshot, with
+        // _change_type/_change_ordinal/_commit_snapshot_id) as a temp
+        // view so downstream SQL can consume row-level changes
+        def run(a: InternalRow): Seq[Any] = {
+          val t = table(a)
+          val viewName = a.getUTF8String(1).toString
+          val head = t.metadata.currentSnapshotId.getOrElse(
+            throw new IllegalArgumentException("table has no snapshots"))
+          val sess = SparkSession.getDefaultSession.getOrElse(spark)
+          val df = graft.table.Changelog.changesBetween(
+            t, sess, fromSnapshotId = -1L, toSnapshotId = head,
+            netChanges = a.getBoolean(2))
+          // the frame rides the scan-conf session CLONE (SessionConf), so
+          // a plain createOrReplaceTempView would register the view on the
+          // clone and strand it — rebind the plan onto the USER's session
+          org.apache.spark.sql.GraftBridge
+            .ofRows(sess, df.queryExecution.logical)
+            .createOrReplaceTempView(viewName)
+          Seq(str(viewName), df.count())
+        }
+      })
       case _ => None
     }
   }
@@ -203,5 +229,6 @@ object GraftProcedures {
     "rewrite_data_files_zorder", "rewrite_manifests",
     "expire_snapshots", "remove_orphan_files", "rollback_to_snapshot",
     "create_branch", "create_tag", "fast_forward",
-    "add_partition_field", "drop_partition_field", "write_partition_stats")
+    "add_partition_field", "drop_partition_field", "write_partition_stats",
+    "create_changelog_view")
 }

@@ -68,5 +68,12 @@ class CatalogLoaderSpec extends AnyFunSuite with BeforeAndAfterAll {
     val cat = CatalogLoader.load("jdbc", Map(
       "uri" -> s"jdbc:derby:$wh/cat", "warehouse" -> wh, "name" -> "cljdbc"))
     assert(cat.listTables().contains("jt"))
+
+    // SQL rename: pointer move in the JDBC row, data and history intact
+    spark.sql("ALTER TABLE cljdbc.jt RENAME TO cljdbc.jt_renamed")
+    assert(spark.sql("SELECT id, v FROM cljdbc.jt_renamed ORDER BY id")
+      .collect().map(_.toString).toSeq == Seq("[1,a]", "[3,C]"))
+    assert(!cat.tableExists("jt") && cat.tableExists("jt_renamed"))
+    intercept[Exception] { spark.sql("SELECT * FROM cljdbc.jt").collect() }
   }
 }

@@ -99,6 +99,21 @@ class HmsCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(v === 7)
   }
 
+  test("rename moves the HMS binding under the table lock") {
+    import spark.implicits._
+    var t = GraftTable.create("h5", catalog, schema)
+    t = t.append(Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "seg", "v"))
+    catalog.renameTable("h5", "h5r")
+    assert(!catalog.tableExists("h5") && catalog.tableExists("h5r"))
+    val moved = GraftTable.load("h5r", catalog)
+    assert(moved.metadata.snapshots.size === 1)
+    assert(moved.newScan().toDF(spark).count() === 2)
+    // taken destination refuses; missing source refuses
+    GraftTable.create("h5b", catalog, schema)
+    intercept[IllegalArgumentException] { catalog.renameTable("h5b", "h5r") }
+    intercept[IllegalArgumentException] { catalog.renameTable("h5", "x") }
+  }
+
   test("register adopts an existing table; conflicting create refuses") {
     import spark.implicits._
     var src = GraftTable.create("h4src", catalog, schema)
