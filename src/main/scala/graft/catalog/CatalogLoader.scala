@@ -38,7 +38,10 @@ object CatalogLoader {
         catalogName = props.getOrElse("name", "graft"),
         namespace = props.getOrElse("namespace", "default"))
       case "rest" => new RestCatalog(req("uri"),
-        props.getOrElse("namespace", "default"), io)
+        props.getOrElse("namespace", "default"), io,
+        // auth passthrough: `token` / `credential` / `oauth2-server-uri`
+        props.view.filterKeys(
+          Set("token", "credential", "oauth2-server-uri")).toMap)
       case "glue" => new GlueCatalog(req("uri"),
         props.getOrElse("database", "default"), req("warehouse"), io)
       case "s3tables" => new S3TablesCatalog(req("uri"),

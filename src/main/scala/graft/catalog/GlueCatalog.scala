@@ -77,11 +77,16 @@ final class GlueCatalog(endpoint: String, db: String, warehouse: String,
   // ---- table input construction ---------------------------------------
 
   private def tableDir(name: String) = s"$warehouse/$name"
+  /** UUID-suffixed (Iceberg's `00001-<uuid>.metadata.json` shape): racing
+    * committers each write their own file and the VersionId CAS picks the
+    * winner — a shared deterministic path would let the loser clobber the
+    * winner's committed metadata. The loser's file is an orphan for
+    * remove_orphan_files. */
   private def versionPath(name: String, v: Int) =
-    s"${tableDir(name)}/metadata/v$v.metadata.json"
+    s"${tableDir(name)}/metadata/v$v-${java.util.UUID.randomUUID().toString.take(8)}.metadata.json"
   private def versionOf(location: String): Int = {
     val file = location.substring(location.lastIndexOf('/') + 1)
-    file.stripPrefix("v").stripSuffix(".metadata.json").toInt
+    file.stripPrefix("v").stripSuffix(".metadata.json").takeWhile(_ != '-').toInt
   }
 
   /** Iceberg → Glue column type string (glue schema.rs GlueSchemaBuilder —
@@ -189,6 +194,11 @@ final class GlueCatalog(endpoint: String, db: String, warehouse: String,
     (TableMetadata.fromJsonString(io.readString(loc)), versionOf(loc))
   }
 
+  /** The catalog's current metadata pointer (`metadata_location` table
+    * parameter) — the handle register/ops tooling passes around. */
+  def currentMetadataLocation(name: String): Option[String] =
+    getTable(name).map { case (t, _) => metadataLocationOf(t, name) }
+
   override def tableExists(name: String): Boolean = getTable(name).isDefined
 
   override def dropTable(name: String): Boolean =
@@ -214,7 +224,7 @@ final class GlueCatalog(endpoint: String, db: String, warehouse: String,
       throw CommitConflict(s"base version $baseVersion is stale (current: $cur)")
     val next = baseVersion + 1
     val nextLoc = versionPath(name, next)
-    io.writeBytes(nextLoc, metadataBytes(updated), overwrite = true)
+    io.writeBytes(nextLoc, metadataBytes(updated), overwrite = false)
     val req = Json.obj()
     req.put("DatabaseName", db)
     req.put("VersionId", glueVersion) // optimistic lock (catalog.rs:934)

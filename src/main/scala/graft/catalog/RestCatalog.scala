@@ -32,11 +32,74 @@ import graft.spec.Json._
   * Versioning: the `Catalog` trait speaks integer versions; this client maps
   * them to (metadata-location, metadata) pairs per load (the REST analogue
   * of an ETag) so `commitTable(baseVersion)` can diff from the right base.
+  *
+  * Auth (reference rest/src/client.rs:34-245): three modes — none, a static
+  * bearer `token`, or OAuth2 client-credentials (`credential` =
+  * `client_id:client_secret` or bare secret) exchanged at
+  * `oauth2-server-uri` (default `{uri}/v1/oauth/tokens`) and cached. The
+  * static token takes precedence over the credential. With a credential, a
+  * 401 invalidates the cached token and retries once on a fresh one (the
+  * reference's invalidate/regenerate pair).
   */
-final class RestCatalog(baseUri: String, namespace: String, val io: FileIO)
-    extends Catalog {
+final class RestCatalog(baseUri: String, namespace: String, val io: FileIO,
+    props: Map[String, String] = Map.empty) extends Catalog {
 
   private val http = HttpClient.newHttpClient()
+
+  private val staticToken: Option[String] = props.get("token")
+  /** (client_id?, client_secret) per the reference's split-once parse
+    * (catalog.rs:254-263). */
+  private val credential: Option[(Option[String], String)] =
+    props.get("credential").map { c =>
+      c.split(":", 2) match {
+        case Array(id, secret) => (Some(id), secret)
+        case _ => (None, c)
+      }
+    }
+  private val tokenEndpoint: String =
+    props.getOrElse("oauth2-server-uri", s"$baseUri/v1/oauth/tokens")
+  @volatile private var cachedToken: Option[String] = staticToken
+
+  /** form-POST `grant_type=client_credentials` (client.rs:113-180). */
+  private def exchangeCredentialForToken(): String = {
+    val (id, secret) = credential.getOrElse(throw new IllegalStateException(
+      "credential must be provided for authentication"))
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    val form = (Seq("grant_type" -> "client_credentials") ++
+      id.map("client_id" -> _) ++ Seq("client_secret" -> secret))
+      .map { case (k, v) => s"$k=${enc(v)}" }.mkString("&")
+    val req = HttpRequest.newBuilder(URI.create(tokenEndpoint))
+      .header("Content-Type", "application/x-www-form-urlencoded")
+      .POST(HttpRequest.BodyPublishers.ofString(form, StandardCharsets.UTF_8))
+      .build()
+    val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
+    require(resp.statusCode() == 200,
+      s"token exchange failed (${resp.statusCode()}): ${resp.body()}")
+    Json.parse(resp.body())("access_token").asText()
+  }
+
+  private def bearer(): Option[String] =
+    if (staticToken.isEmpty && credential.isEmpty) None
+    else cachedToken.orElse {
+      val t = exchangeCredentialForToken()
+      cachedToken = Some(t)
+      Some(t)
+    }
+
+  /** Server-advertised config (reference config_endpoint + ConfigResponse):
+    * effective props = server defaults ++ client props ++ server overrides.
+    * A service without the endpoint just yields the client props. */
+  lazy val effectiveProps: Map[String, String] = {
+    val resp = send(get(s"$baseUri/v1/config"))
+    if (resp.statusCode() != 200) props
+    else {
+      val n = Json.parse(resp.body())
+      def m(f: String) = n.opt(f)
+        .map(_.fieldsMap.map { case (k, v) => k -> v.asText() })
+        .getOrElse(Map.empty[String, String])
+      m("defaults") ++ props ++ m("overrides")
+    }
+  }
   private val versions =
     new ConcurrentHashMap[String, ConcurrentHashMap[Int, (String, TableMetadata)]]()
   private val counters = new ConcurrentHashMap[String, AtomicInteger]()
@@ -231,14 +294,28 @@ final class RestCatalog(baseUri: String, namespace: String, val io: FileIO)
     }
   }
 
-  private def get(uri: String) = HttpRequest.newBuilder(URI.create(uri)).GET().build()
+  private def get(uri: String) = HttpRequest.newBuilder(URI.create(uri)).GET()
   private def head(uri: String) =
-    HttpRequest.newBuilder(URI.create(uri)).method("HEAD", HttpRequest.BodyPublishers.noBody()).build()
-  private def delete(uri: String) = HttpRequest.newBuilder(URI.create(uri)).DELETE().build()
+    HttpRequest.newBuilder(URI.create(uri)).method("HEAD", HttpRequest.BodyPublishers.noBody())
+  private def delete(uri: String) = HttpRequest.newBuilder(URI.create(uri)).DELETE()
   private def post(uri: String, body: String) =
     HttpRequest.newBuilder(URI.create(uri))
       .header("Content-Type", "application/json")
-      .POST(HttpRequest.BodyPublishers.ofString(body, StandardCharsets.UTF_8)).build()
-  private def send(r: HttpRequest): HttpResponse[String] =
-    http.send(r, HttpResponse.BodyHandlers.ofString())
+      .POST(HttpRequest.BodyPublishers.ofString(body, StandardCharsets.UTF_8))
+  private def send(b: HttpRequest.Builder): HttpResponse[String] = {
+    def doSend(): HttpResponse[String] = {
+      val req = bearer() match {
+        case Some(t) => b.copy().setHeader("Authorization", s"Bearer $t").build()
+        case None => b.copy().build()
+      }
+      http.send(req, HttpResponse.BodyHandlers.ofString())
+    }
+    val r = doSend()
+    // expired/revoked bearer: with a credential we can mint a fresh token
+    // and replay once (client.rs invalidate_token/regenerate_token roles)
+    if (r.statusCode() == 401 && credential.isDefined && staticToken.isEmpty) {
+      cachedToken = None
+      doSend()
+    } else r
+  }
 }

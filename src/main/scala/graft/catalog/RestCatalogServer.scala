@@ -50,20 +50,102 @@ final class RestCatalogServer(warehouse: String, namespace: String = "default") 
   namespaces.put(namespace, Map.empty)
   private var server: HttpServer = _
 
+  // ---- optional OAuth2 (the server half of the reference client's
+  //      client-credentials flow, client.rs:113-245) ----
+  private var authClientId: Option[String] = None
+  private var authClientSecret: Option[String] = None
+  private val issuedTokens = ConcurrentHashMap.newKeySet[String]()
+  private val tokenCounter = new java.util.concurrent.atomic.AtomicInteger()
+
+  /** Demand `Authorization: Bearer <issued>` on every catalog route;
+    * `/v1/oauth/tokens` mints tokens for this client-credentials pair. */
+  def requireAuth(clientId: Option[String], clientSecret: String): Unit = {
+    authClientId = clientId
+    authClientSecret = Some(clientSecret)
+  }
+
+  /** Provision a bearer out of band (the static-`token` client mode). */
+  def issueToken(): String = {
+    val t = s"tok-${tokenCounter.incrementAndGet()}"
+    issuedTokens.add(t)
+    t
+  }
+
+  /** Test/ops hook: revoke every issued token (expiry simulation). */
+  def invalidateTokens(): Unit = issuedTokens.clear()
+
+  /** Config advertised at GET /v1/config (ConfigResponse: the client
+    * merges defaults ++ its props ++ overrides). */
+  @volatile var configDefaults: Map[String, String] = Map.empty
+  @volatile var configOverrides: Map[String, String] = Map.empty
+
   def start(): Int = {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext(s"/v1/namespaces/$namespace/tables", handle _)
     server.createContext(s"/v1/namespaces/$namespace/register", register _)
     server.createContext("/v1/namespaces", handleNamespaces _)
     server.createContext("/v1/tables/rename", handleRename _)
+    server.createContext("/v1/oauth/tokens", handleTokens _)
+    server.createContext("/v1/config", handleConfig _)
     server.start()
     server.getAddress.getPort
+  }
+
+  /** POST /v1/oauth/tokens: the client-credentials grant, form-encoded
+    * (grant_type/client_id/client_secret) → `{"access_token": ...}`.
+    * Never itself bearer-guarded. */
+  private def handleTokens(ex: HttpExchange): Unit = try {
+    if (ex.getRequestMethod != "POST") { respond(ex, 405, "{}"); return }
+    val form = readBody(ex).split("&").filter(_.contains("="))
+      .map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        k -> java.net.URLDecoder.decode(v, "UTF-8")
+      }.toMap
+    val ok = authClientSecret.nonEmpty &&
+      form.get("grant_type").contains("client_credentials") &&
+      form.get("client_secret") == authClientSecret &&
+      authClientId.forall(id => form.get("client_id").contains(id))
+    if (!ok) respond(ex, 401, """{"error":"invalid_client"}""")
+    else {
+      val t = issueToken()
+      respond(ex, 200,
+        s"""{"access_token":"$t","token_type":"bearer","expires_in":3600}""")
+    }
+  } catch {
+    case e: Throwable => respond(ex, 500, s"""{"error":${quote(e.toString)}}""")
+  }
+
+  private def handleConfig(ex: HttpExchange): Unit = try {
+    if (!authorized(ex)) return
+    val o = obj()
+    def m(props: Map[String, String]) = {
+      val p = obj()
+      props.toSeq.sortBy(_._1).foreach { case (k, v) => p.put(k, v) }
+      p
+    }
+    o.set[com.fasterxml.jackson.databind.node.ObjectNode]("defaults",
+      m(configDefaults))
+    o.set[com.fasterxml.jackson.databind.node.ObjectNode]("overrides",
+      m(configOverrides))
+    respond(ex, 200, Json.write(o))
+  } catch {
+    case e: Throwable => respond(ex, 500, s"""{"error":${quote(e.toString)}}""")
+  }
+
+  /** Bearer gate for catalog routes; 401 closes the exchange. */
+  private def authorized(ex: HttpExchange): Boolean = {
+    if (authClientSecret.isEmpty) return true
+    val h = Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("")
+    val ok = h.startsWith("Bearer ") && issuedTokens.contains(h.stripPrefix("Bearer "))
+    if (!ok) respond(ex, 401, """{"error":"unauthorized"}""")
+    ok
   }
 
   /** Namespace CRUD + paginated listing. Longest-prefix routing sends
     * `/v1/namespaces/<default>/tables*` to the table handler; everything
     * else under `/v1/namespaces` lands here. */
   private def handleNamespaces(ex: HttpExchange): Unit = try {
+    if (!authorized(ex)) return
     val rest = ex.getRequestURI.getPath.stripPrefix("/v1/namespaces")
       .stripPrefix("/")
     val query = Option(ex.getRequestURI.getQuery).getOrElse("")
@@ -156,6 +238,7 @@ final class RestCatalogServer(warehouse: String, namespace: String = "default") 
     * destination; metadata and location are untouched — rename is a
     * catalog-pointer move. */
   private def handleRename(ex: HttpExchange): Unit = try {
+    if (!authorized(ex)) return
     if (ex.getRequestMethod != "POST") { respond(ex, 405, "{}"); return }
     val body = Json.parse(readBody(ex))
     val src = body("source")("name").asText()
@@ -182,6 +265,7 @@ final class RestCatalogServer(warehouse: String, namespace: String = "default") 
     * RegisterTableRequest). */
   private def register(ex: HttpExchange): Unit =
     try {
+      if (!authorized(ex)) return
       if (ex.getRequestMethod != "POST") { respond(ex, 405, "{}"); return }
       val body = Json.parse(readBody(ex))
       val n = body("name").asText()
@@ -207,6 +291,7 @@ final class RestCatalogServer(warehouse: String, namespace: String = "default") 
     s"$warehouse/$name/metadata/v$v.metadata.json"
 
   private def handle(ex: HttpExchange): Unit = {
+    if (!authorized(ex)) return
     val name = ex.getRequestURI.getPath
       .stripPrefix(s"/v1/namespaces/$namespace/tables").stripPrefix("/")
     try (ex.getRequestMethod, name) match {

@@ -52,11 +52,17 @@ final class S3TablesCatalog(endpoint: String, namespace: String,
     throw new IllegalArgumentException(s"$t: $m")
   }
 
+  /** UUID-suffixed, like Iceberg's `00001-<uuid>.metadata.json`: two
+    * committers racing from the same base each write their OWN file and
+    * let the versionToken CAS arbitrate — a shared deterministic path
+    * would let the loser clobber the winner's committed metadata (readers
+    * catch a torn file). The loser's file is an orphan, reclaimed by
+    * remove_orphan_files. */
   private def versionPath(tableLocation: String, v: Int) =
-    s"$tableLocation/metadata/v$v.metadata.json"
+    s"$tableLocation/metadata/v$v-${java.util.UUID.randomUUID().toString.take(8)}.metadata.json"
   private def versionOf(location: String): Int = {
     val file = location.substring(location.lastIndexOf('/') + 1)
-    file.stripPrefix("v").stripSuffix(".metadata.json").toInt
+    file.stripPrefix("v").stripSuffix(".metadata.json").takeWhile(_ != '-').toInt
   }
 
   /** (warehouseLocation, metadataLocation option, versionToken). */
@@ -117,6 +123,11 @@ final class S3TablesCatalog(endpoint: String, namespace: String,
 
   override def tableExists(name: String): Boolean = getTable(name).isDefined
 
+  /** The service's current metadata pointer (GetTable.metadataLocation) —
+    * the handle register/ops tooling passes around. */
+  def currentMetadataLocation(name: String): Option[String] =
+    getTable(name).flatMap(_._2)
+
   override def dropTable(name: String): Boolean = {
     val (code, node) = call("DELETE", s"/tables/$namespace/$name")
     if (code == 404) false
@@ -142,7 +153,7 @@ final class S3TablesCatalog(endpoint: String, namespace: String,
     val next = baseVersion + 1
     val tableLocation = currentLoc.substring(0, currentLoc.lastIndexOf("/metadata/"))
     val nextLoc = versionPath(tableLocation, next)
-    io.writeBytes(nextLoc, metadataBytes(updated), overwrite = true)
+    io.writeBytes(nextLoc, metadataBytes(updated), overwrite = false)
     updateMetadataLocation(name, nextLoc, token) // CAS; conflict → retry
     next
   }

@@ -58,7 +58,9 @@ class GlueCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     import Json.NodeOps
     val t = Json.parse(new String(conn.getInputStream.readAllBytes(), "UTF-8"))("Table")
     assert(t("Parameters")("table_type").asText() === "ICEBERG")
-    assert(t("Parameters")("metadata_location").asText().endsWith("v1.metadata.json"))
+    // UUID-suffixed so racing committers never share a path
+    assert(t("Parameters")("metadata_location").asText()
+      .matches(""".*/metadata/v1-[0-9a-f]{8}\.metadata\.json"""))
     assert(t("TableType").asText() === "EXTERNAL_TABLE")
     val cols = t("StorageDescriptor")("Columns").elems
     assert(cols.map(c => (c("Name").asText(), c("Type").asText())) ===
@@ -116,8 +118,7 @@ class GlueCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     import spark.implicits._
     var src = GraftTable.create("g4src", catalog, schema)
     src = src.append(Seq((1L, "a", 1.0)).toDF("id", "seg", "v"))
-    val (_, srcVer) = catalog.loadTable("g4src")
-    val loc = s"$wh/g4src/metadata/v$srcVer.metadata.json"
+    val loc = catalog.currentMetadataLocation("g4src").get
     val md = catalog.registerTable("g4reg", loc)
     assert(md.snapshots.size === 1)
     assert(GraftTable.load("g4reg", catalog).newScan().toDF(spark).count() === 1)

@@ -221,4 +221,47 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     GraftTable.create("rn_other", cat, schema)
     intercept[IllegalArgumentException] { cat.renameTable("rn_other", "rn_dst") }
   }
+
+  test("OAuth2 client-credentials, bearer enforcement, token refresh, config merge") {
+    import spark.implicits._
+    val wh2 = java.nio.file.Files.createTempDirectory("rest-auth-wh-").toString
+    val srv = new RestCatalogServer(wh2)
+    srv.requireAuth(Some("acct"), "s3cr3t")
+    srv.configDefaults = Map("write.metadata.compression-codec" -> "gzip", "a" -> "d")
+    srv.configOverrides = Map("a" -> "o")
+    val p = srv.start()
+    try {
+      val base = s"http://127.0.0.1:$p"
+      val io = FileIO.fromSpark(spark)
+      // unauthenticated requests bounce off the bearer gate
+      val anon = new RestCatalog(base, "default", io)
+      intercept[Exception] { GraftTable.create("a0", anon, schema) }
+      // a wrong secret is refused at the token endpoint
+      val bad = new RestCatalog(base, "default", io,
+        Map("credential" -> "acct:wrong"))
+      intercept[Exception] { bad.listTables() }
+      // the client-credentials exchange carries a full create/append/scan
+      val cat = new RestCatalog(base, "default", io,
+        Map("credential" -> "acct:s3cr3t"))
+      var t = GraftTable.create("a1", cat, schema)
+      t = t.append(Seq((1L, 0.5), (2L, 1.5)).toDF("id", "v"))
+      assert(t.newScan().toDF(spark).count() === 2)
+      // revoked token (expiry): the credential client mints afresh and replays
+      srv.invalidateTokens()
+      assert(cat.listTables() === Seq("a1"))
+      // static-token mode: provisioned out of band, no exchange involved...
+      val tok = srv.issueToken()
+      val statik = new RestCatalog(base, "default", io, Map("token" -> tok))
+      assert(statik.tableExists("a1"))
+      // ...so a revoked static token cannot self-heal
+      srv.invalidateTokens()
+      intercept[Exception] { statik.listTables() }
+      // config endpoint: server defaults ++ client props ++ server overrides
+      val merged = new RestCatalog(base, "default", io,
+        Map("credential" -> "acct:s3cr3t", "a" -> "client", "b" -> "client"))
+      assert(merged.effectiveProps("a") === "o")
+      assert(merged.effectiveProps("b") === "client")
+      assert(merged.effectiveProps("write.metadata.compression-codec") === "gzip")
+    } finally srv.stop()
+  }
 }

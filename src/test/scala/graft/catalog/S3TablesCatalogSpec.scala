@@ -97,7 +97,7 @@ class S3TablesCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     import spark.implicits._
     var src = GraftTable.create("t5src", catalog, schema)
     src = src.append(Seq((1L, "a", 1.0)).toDF("id", "seg", "v"))
-    val srcLoc = s"${src.location}/metadata/v2.metadata.json"
+    val srcLoc = catalog.currentMetadataLocation("t5src").get
     val reg = catalog.registerTable("t5reg", srcLoc)
     assert(reg.snapshots.size === 1)
     assert(GraftTable.load("t5reg", catalog).newScan().toDF(spark).count() === 1)
