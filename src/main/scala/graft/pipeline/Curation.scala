@@ -191,6 +191,65 @@ object Curation {
       .drop("_tt", "_td")
   }
 
+  /** Deterministic stratified train/val/test split: within each domain
+    * (`source`), docs are ordered by the md5 hash of their id (a
+    * reproducible shuffle, no RNG) and the first `testPct`% of the
+    * domain's docs go to test, the next `valPct`% to val, the rest to
+    * train — exact integer-arithmetic quotas per domain, not
+    * expected-value hash thresholds, so every domain lands its fraction
+    * exactly even when it is tiny.
+    *
+    * Same salted two-pass as [[budgetSample]], here for the RANK: bucket
+    * by the first two md5-hex chars (a contiguous range of the order),
+    * pass 1 counts per (domain, bucket) → broadcast rank offsets and
+    * domain totals, pass 2 row-numbers within (domain, bucket) — a
+    * mega-domain spreads over [[SaltBuckets]] tasks. */
+  def stratifiedSplit(docs: DataFrame, testPct: Int = 10,
+      valPct: Int = 10): DataFrame = {
+    val h = md5(col("doc_id").cast("string"))
+    val base = docs.select(col("source"), col("doc_id"), h.as("h"))
+      .withColumn("b", conv(substring(col("h"), 1, 2), 16, 10).cast("int"))
+    val offsets = base.groupBy(col("source"), col("b"))
+      .agg(count(lit(1)).as("bn"))
+      .withColumn("off", coalesce(sum(col("bn")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("b"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("n", sum(col("bn")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))))
+      .select(col("source"), col("b"), col("off"), col("n"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"), col("b")).orderBy(col("h"), col("doc_id"))
+    base.join(broadcast(offsets), Seq("source", "b"))
+      .withColumn("rank", row_number().over(win) + col("off"))
+      .withColumn("split",
+        when(col("rank") * 100 <= col("n") * testPct, "test")
+          .when(col("rank") * 100 <= col("n") * (testPct + valPct), "val")
+          .otherwise("train"))
+      .select(col("source"), col("doc_id"), col("rank"), col("split"))
+  }
+
+  /** Deterministic training-order shuffle + shard assignment: shard =
+    * leading `hexChars` of md5(doc_id) (16^hexChars shards), position
+    * within shard = rank in (md5, doc_id) order — the reproducible
+    * global shuffle a training run reads back shard-by-shard.
+    *
+    * Scale shape: one exchange on the shard key; each window partition
+    * is ONE OUTPUT SHARD, which is the natural writer-task unit — real
+    * runs pick `hexChars` (2→256, 3→4096 shards) so a shard fits one
+    * task, making the per-shard window the job's intended parallelism,
+    * not a funnel. */
+  def shardShuffle(docs: DataFrame, hexChars: Int = 1): DataFrame = {
+    val h = md5(col("doc_id").cast("string"))
+    val base = docs.select(col("doc_id"), h.as("h"))
+      .withColumn("shard", substring(col("h"), 1, hexChars))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    base.withColumn("pos", row_number().over(win).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
   /** Sequence packing, concat-and-chunk semantics (the GPT-style batch
     * prep): per domain, documents are concatenated in doc_id order into
     * one token stream that is then cut into fixed-`seqLen` windows; a doc

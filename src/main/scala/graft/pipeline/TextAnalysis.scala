@@ -164,4 +164,23 @@ object TextAnalysis {
         aggregate(col("xs"), lit(0L), (acc, x) => acc.bitwiseXOR(x)).as("fp_xor"),
         size(col("xs")).cast("long").as("n_shingles"))
   }
+
+  /** Corpus-level boilerplate mining: the `k` most frequent word
+    * `n`-grams with total occurrence counts (multiplicity INCLUDED —
+    * unlike dedup shingles, boilerplate mining wants mass). Ties break
+    * on the gram string, making the top-k deterministic.
+    *
+    * Scale shape: one map-side-combined aggregate on the gram key
+    * reduces the corpus to distinct grams; the top-k runs as
+    * TakeOrdered (per-partition heaps, no global sort materialization). */
+  def topGrams(docs: DataFrame, n: Int = 3, k: Int = 100): DataFrame = {
+    val w = TextHash.words(col("text"))
+    docs.select(w.as("w"))
+      .filter(size(col("w")) >= n)
+      .select(explode(transform(sequence(lit(1), size(col("w")) - (n - 1)),
+        i => array_join(slice(col("w"), i, lit(n)), " "))).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram"))
+      .limit(k)
+  }
 }

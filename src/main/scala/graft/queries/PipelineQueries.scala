@@ -910,7 +910,58 @@ object PipelineQueries {
     Curation.domainMix(Tables.documents(s, d)).orderBy(col("source"))
   }
 
+  /** Stratified train/val/test split: exact integer per-domain quotas
+    * over the md5 doc order (the salted two-pass rank — the naive
+    * single-window equivalent is the oracle). */
+  val p31 = Q.sql(
+    "p31_stratified_split",
+    """WITH t AS (
+      |  SELECT source, doc_id, md5(doc_id::VARCHAR) AS h FROM documents),
+      |r AS (
+      |  SELECT source, doc_id,
+      |    row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rank,
+      |    count(*) OVER (PARTITION BY source) AS n
+      |  FROM t)
+      |SELECT source, doc_id, rank,
+      |  CASE WHEN rank * 100 <= n * 10 THEN 'test'
+      |       WHEN rank * 100 <= n * 20 THEN 'val'
+      |       ELSE 'train' END AS split
+      |FROM r ORDER BY source, doc_id""".stripMargin
+  ) { (s, d) =>
+    Curation.stratifiedSplit(Tables.documents(s, d))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  /** Corpus-level top-k 3-gram boilerplate mining (multiplicity counted,
+    * gram-string tiebreak). */
+  val p32 = Q.sql(
+    "p32_topgram_mining",
+    """WITH w AS (
+      |  SELECT string_split(lower(text), ' ') AS w FROM documents
+      |  WHERE len(string_split(lower(text), ' ')) >= 3),
+      |g AS (
+      |  SELECT array_to_string(w[i:i+2], ' ') AS gram
+      |  FROM w, unnest(range(1, len(w) - 1)) AS t(i))
+      |SELECT gram, count(*)::BIGINT AS n FROM g GROUP BY gram
+      |ORDER BY n DESC, gram LIMIT 100""".stripMargin
+  ) { (s, d) =>
+    TextAnalysis.topGrams(Tables.documents(s, d))
+  }
+
+  /** Deterministic training shuffle: md5-bucket shard + in-shard rank. */
+  val p33 = Q.sql(
+    "p33_shard_shuffle",
+    """WITH t AS (SELECT doc_id, md5(doc_id::VARCHAR) AS h FROM documents)
+      |SELECT doc_id, substr(h, 1, 1) AS shard,
+      |  row_number() OVER (PARTITION BY substr(h, 1, 1)
+      |                     ORDER BY h, doc_id) AS pos
+      |FROM t ORDER BY shard, pos""".stripMargin
+  ) { (s, d) =>
+    Curation.shardShuffle(Tables.documents(s, d))
+      .orderBy(col("shard"), col("pos"))
+  }
+
   val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
     p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24,
-    p25, p26, p27, p28, p29, p30)
+    p25, p26, p27, p28, p29, p30, p31, p32, p33)
 }

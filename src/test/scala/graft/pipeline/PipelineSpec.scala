@@ -442,6 +442,56 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(buckets > 64, s"salt must spread the domain, got $buckets buckets")
   }
 
+  test("stratified split: exact quotas, salted rank equals naive window; shard shuffle dense") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.expressions.Window
+    // salted two-pass rank == naive per-domain window rank, on the
+    // Zipfian worst case (every doc one domain)
+    val mega = docs.withColumn("source", lit("web"))
+    val h = md5(col("doc_id").cast("string"))
+    val naive = mega.select(col("source"), col("doc_id"), h.as("h"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("source"))))
+      .withColumn("split",
+        when(col("rank") * 100 <= col("n") * 10, "test")
+          .when(col("rank") * 100 <= col("n") * 20, "val")
+          .otherwise("train"))
+      .select("source", "doc_id", "rank", "split")
+      .collect().map(_.toString).sorted
+    val salted = Curation.stratifiedSplit(mega)
+      .collect().map(_.toString).sorted
+    assert(salted.sameElements(naive))
+    // exact per-domain quotas: |test| = floor-style n*10/100 bound via
+    // the integer rule rank*100 <= n*10
+    val counts = Curation.stratifiedSplit(docs)
+      .groupBy("source", "split").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val totals = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    totals.foreach { case (src, n) =>
+      assert(counts.getOrElse((src, "test"), 0L) === n * 10 / 100)
+      assert(counts.getOrElse((src, "val"), 0L) === n * 20 / 100 - n * 10 / 100)
+    }
+    // the per-row window partitions on (source, bucket): mega-domains spread
+    val winSpecs = Curation.stratifiedSplit(docs)
+      .queryExecution.sparkPlan.collect {
+        case w: WindowExec => w.partitionSpec.length
+      }
+    assert(winSpecs.contains(2), s"expected a salted window, got $winSpecs")
+
+    // shard shuffle: every shard present, positions dense 1..|shard|
+    val sh = Curation.shardShuffle(docs).cache()
+    try {
+      assert(sh.select("shard").distinct().count() === 16)
+      val bad = sh.groupBy("shard")
+        .agg(count(lit(1)).as("c"), max(col("pos")).as("m"), min(col("pos")).as("lo"))
+        .filter(col("c") =!= col("m") || col("lo") =!= 1L).count()
+      assert(bad === 0, "positions must be dense per shard")
+      assert(sh.count() === docs.count())
+    } finally sh.unpersist()
+  }
+
   test("int8 quantization: bounded range, cosine preserved within tolerance") {
     val q = Similarity.quantizeInt8(embs)
     // every component within [-127, 127]
