@@ -43,4 +43,53 @@ object Sessions {
         max(col("ts_us")).as("end_us"))
       .withColumn("duration_us", col("end_us") - col("start_us"))
   }
+
+  /** The event frame's ts as integer µs (nanos-long or timestamp input —
+    * same normalization as [[sessionize]]). */
+  private def tsUs(events: DataFrame) =
+    (events.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ => unix_micros(col("ts").cast("timestamp"))
+    }).as("ts_us")
+
+  /** As-of join: each left event picks the LATEST right event of the
+    * same user with `right.ts <= left.ts` — the feature-attribution
+    * join (DuckDB/kdb `ASOF JOIN` semantics; Spark has no native
+    * operator). Ties: a right row AT the left ts matches; among right
+    * rows sharing that ts the highest event_id wins (deterministic).
+    *
+    * Implemented as union + running `last_value` rather than a range
+    * join: right rows tag 0, left rows tag 1, each user's merged stream
+    * sorts by (ts, tag, event_id) and carries the last non-null right
+    * payload forward. ONE shuffle on the by-key and an in-partition
+    * sort — no per-left right-window expansion, so a 100 TB event log
+    * joins at the cost of a sort-merge pass. Skewed users salt by
+    * (user_id, day) with boundary stitching when one user outgrows an
+    * executor partition.
+    *
+    * Output: left (event_id, user_id, ts_us, value) + nullable
+    * (r_event_id, r_ts_us, r_value). */
+  def asOfJoin(left: DataFrame, right: DataFrame): DataFrame = {
+    val l = left.select(col("user_id"), tsUs(left), col("event_id"),
+      col("value"), lit(1).as("_tag"),
+      lit(null).cast("long").as("_r_id"),
+      lit(null).cast("long").as("_r_ts"),
+      lit(null).cast("double").as("_r_value"))
+    val r = right
+      .select(col("user_id"), tsUs(right), col("event_id"), col("value").as("_rv"))
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        lit(null).cast("double").as("value"), lit(0).as("_tag"),
+        col("event_id").as("_r_id"), col("ts_us").as("_r_ts"),
+        col("_rv").as("_r_value"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("_tag"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    l.unionByName(r)
+      .withColumn("r_event_id", last(col("_r_id"), ignoreNulls = true).over(w))
+      .withColumn("r_ts_us", last(col("_r_ts"), ignoreNulls = true).over(w))
+      .withColumn("r_value", last(col("_r_value"), ignoreNulls = true).over(w))
+      .filter(col("_tag") === 1)
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("value"),
+        col("r_event_id"), col("r_ts_us"), col("r_value"))
+  }
 }

@@ -442,6 +442,56 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(buckets > 64, s"salt must spread the domain, got $buckets buckets")
   }
 
+  test("as-of join matches brute-force range scan, incl. ties; single-exchange plan") {
+    import spark.implicits._
+    // planted edge cases: exact-ts tie (matches), two right rows at the
+    // SAME ts (highest event_id wins), left before any right (nulls),
+    // user with no right rows at all
+    val left = Seq(
+      (100L, 10000L, 1L, 1.0), (101L, 20000L, 1L, 2.0), (102L, 5000L, 1L, 3.0),
+      (103L, 15000L, 2L, 4.0), (104L, 50000L, 3L, 5.0)
+    ).toDF("event_id", "ts", "user_id", "value")
+    val right = Seq(
+      (200L, 10000L, 1L, 9.0), (201L, 10000L, 1L, 8.0), (202L, 18000L, 1L, 7.0),
+      (203L, 99000L, 2L, 6.0)
+    ).toDF("event_id", "ts", "user_id", "value")
+    // ts LongType branch treats longs as NANOS (div 1000 → µs)
+    val got = Sessions.asOfJoin(left, right)
+      .collect().map(r => (r.getLong(0), Option(r.get(4)).map(_.toString.toLong)))
+      .toMap
+    // brute force: max ts <= l.ts, then max event_id
+    assert(got(100L) === Some(201L)) // tie at ts=10: both right rows, id 201 wins
+    assert(got(101L) === Some(202L)) // latest prior
+    assert(got(102L) === None)       // before any right
+    assert(got(103L) === None)       // user 2's right is later
+    assert(got(104L) === None)       // user 3 has no right rows
+    // full-frame equality vs an independent brute-force formulation
+    val l = left.select(col("event_id"), col("user_id"),
+      expr("ts div 1000").as("ts_us"), col("value"))
+    val r = right.select(col("event_id").as("r_event_id"),
+      col("user_id").as("r_user"), expr("ts div 1000").as("r_ts_us"),
+      col("value").as("r_value"))
+    val brute = l.join(r, col("user_id") === col("r_user") &&
+        col("r_ts_us") <= col("ts_us"), "left")
+      .withColumn("_rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_id"))
+          .orderBy(col("r_ts_us").desc_nulls_last, col("r_event_id").desc_nulls_last)))
+      .filter(col("_rk") === 1)
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("value"),
+        col("r_event_id"), col("r_ts_us"), col("r_value"))
+      .collect().map(_.toString).sorted
+    val asOf = Sessions.asOfJoin(left, right).collect().map(_.toString).sorted
+    assert(asOf.sameElements(brute))
+    // plan shape: ONE exchange (the window's user_id shuffle beyond the
+    // local union inputs), no join operator anywhere
+    val plan = Sessions.asOfJoin(left, right).queryExecution.sparkPlan
+    val joins = plan.collect {
+      case j if j.nodeName.toLowerCase.contains("join") => j.nodeName
+    }
+    assert(joins.isEmpty, s"as-of must not plan a join, got $joins")
+  }
+
   test("stratified split: exact quotas, salted rank equals naive window; shard shuffle dense") {
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.expressions.Window
