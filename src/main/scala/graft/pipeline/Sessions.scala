@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -89,6 +89,48 @@ object Sessions {
       .withColumn("r_ts_us", last(col("_r_ts"), ignoreNulls = true).over(w))
       .withColumn("r_value", last(col("_r_value"), ignoreNulls = true).over(w))
       .filter(col("_tag") === 1)
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("value"),
+        col("r_event_id"), col("r_ts_us"), col("r_value"))
+  }
+
+  /** Floor division of a long µs column by a positive long width.
+    * `c - pmod(c, w)` is an exact multiple of w, so the double divide is
+    * exact while |c| < 2^53 (µs epochs stay under that until year ~2255)
+    * and correct for negative c where SQL `div` (truncate-toward-zero)
+    * is not. */
+  private def floorDiv(c: Column, w: Long): Column =
+    ((c - pmod(c, lit(w))) / lit(w)).cast("long")
+
+  /** Range (interval) join: all pairs of same-user events with
+    * `r.ts ∈ [l.ts + loUs, l.ts + hiUs]` (both ends inclusive) — the
+    * windowed-correlation join (SQL inequality join; Spark would plan a
+    * per-key nested loop or, without an equi-key, a cartesian).
+    *
+    * Implemented by time-bucketing: bucket width = the interval span, so
+    * each LEFT row covers at most TWO buckets (explode fan-out ≤ 2) and
+    * each RIGHT row lands in exactly ONE — every qualifying (l, r) pair
+    * meets in exactly one (user_id, bucket) cell, so the equi-join is
+    * duplicate-free by construction and the exact range filter only
+    * discards. At 100 TB this is one hash-partitioned shuffle on
+    * (user_id, bucket) with ≤2× left amplification — no cartesian, no
+    * per-user quadratic blow-up beyond the true output size.
+    *
+    * Output: left (event_id, user_id, ts_us, value) × matching right
+    * (r_event_id, r_ts_us, r_value); inner-join semantics. */
+  def rangeJoin(left: DataFrame, right: DataFrame, loUs: Long, hiUs: Long): DataFrame = {
+    require(hiUs >= loUs, s"empty interval [$loUs, $hiUs]")
+    val width = math.max(hiUs - loUs, 1L)
+    val l = left.select(col("event_id"), col("user_id"), tsUs(left), col("value"))
+    val r = right.select(col("event_id").as("r_event_id"),
+        col("user_id").as("r_user_id"), tsUs(right), col("value").as("r_value"))
+      .withColumnRenamed("ts_us", "r_ts_us")
+    val lb = l.withColumn("_b",
+      explode(sequence(floorDiv(col("ts_us") + loUs, width),
+        floorDiv(col("ts_us") + hiUs, width))))
+    val rb = r.withColumn("_b", floorDiv(col("r_ts_us"), width))
+    lb.join(rb, lb("user_id") === rb("r_user_id") && lb("_b") === rb("_b"))
+      .filter(col("r_ts_us") >= col("ts_us") + loUs &&
+        col("r_ts_us") <= col("ts_us") + hiUs)
       .select(col("event_id"), col("user_id"), col("ts_us"), col("value"),
         col("r_event_id"), col("r_ts_us"), col("r_value"))
   }

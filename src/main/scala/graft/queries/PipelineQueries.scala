@@ -982,7 +982,31 @@ object PipelineQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Range join (purchases within the 24 h before each click). Oracle is
+    * DuckDB's native inequality join (IEJoin) — an independent
+    * implementation of interval semantics, not our bucketed plan. */
+  val p35 = Q.sql(
+    "p35_range_join",
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value, event_type
+      |  FROM events)
+      |SELECT l.event_id, l.user_id, l.ts_us, l.value,
+      |  r.event_id AS r_event_id, r.ts_us AS r_ts_us, r.value AS r_value
+      |FROM (SELECT * FROM e WHERE event_type = 'click') l
+      |JOIN (SELECT * FROM e WHERE event_type = 'purchase') r
+      |  ON l.user_id = r.user_id
+      | AND r.ts_us BETWEEN l.ts_us - 86400000000 AND l.ts_us
+      |ORDER BY l.event_id, r_event_id""".stripMargin
+  ) { (s, d) =>
+    val ev = Tables.events(s, d)
+    graft.pipeline.Sessions.rangeJoin(
+      ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "purchase"),
+      loUs = -86400L * 1000000, hiUs = 0L)
+      .orderBy(col("event_id"), col("r_event_id"))
+  }
+
   val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
     p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24,
-    p25, p26, p27, p28, p29, p30, p31, p32, p33, p34)
+    p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p35)
 }

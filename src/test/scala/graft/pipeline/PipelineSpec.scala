@@ -492,6 +492,50 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(joins.isEmpty, s"as-of must not plan a join, got $joins")
   }
 
+  test("range join matches brute-force inequality join; no cartesian, bounded fan-out") {
+    import spark.implicits._
+    // ts longs are NANOS (÷1000 → µs). Planted: both-ends-inclusive
+    // boundaries, a pair whose two sides land in DIFFERENT buckets
+    // (bucket width = span = 10000 µs), a just-outside miss on each
+    // side, and multiple matches for one left row.
+    val left = Seq(
+      (100L, 50000000L, 1L, 1.0),  // 50000 µs: window [40000, 50000]
+      (101L, 95000000L, 1L, 2.0),  // 95000 µs: window [85000, 95000]
+      (102L, 50000000L, 2L, 3.0)   // user with no right rows
+    ).toDF("event_id", "ts", "user_id", "value")
+    val right = Seq(
+      (200L, 40000000L, 1L, 9.0),  // = lower bound of 100 (inclusive)
+      (201L, 50000000L, 1L, 8.0),  // = upper bound of 100 (inclusive)
+      (202L, 39999000L, 1L, 7.0),  // 1 µs below 100's window — out
+      (203L, 50001000L, 1L, 6.0),  // 1 µs above 100's window — out
+      (204L, 89000000L, 1L, 5.0)   // bucket 8, left 101 is bucket 9 — crosses
+    ).toDF("event_id", "ts", "user_id", "value")
+    val got = Sessions.rangeJoin(left, right, loUs = -10000L, hiUs = 0L)
+    val pairs = got.collect().map(r => (r.getLong(0), r.getLong(4))).toSet
+    assert(pairs === Set((100L, 200L), (100L, 201L), (101L, 204L)))
+    // full-frame equality vs Spark's own inequality join (independent plan)
+    val l = left.select(col("event_id"), col("user_id"),
+      expr("ts div 1000").as("ts_us"), col("value"))
+    val r = right.select(col("event_id").as("r_event_id"),
+      col("user_id").as("r_user"), expr("ts div 1000").as("r_ts_us"),
+      col("value").as("r_value"))
+    val brute = l.join(r, col("user_id") === col("r_user") &&
+        col("r_ts_us") >= col("ts_us") - 10000L &&
+        col("r_ts_us") <= col("ts_us"))
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("value"),
+        col("r_event_id"), col("r_ts_us"), col("r_value"))
+      .collect().map(_.toString).sorted
+    assert(got.collect().map(_.toString).sorted.sameElements(brute))
+    // plan shape: an equi-join (hash/sort-merge), never cartesian or
+    // broadcast-nested-loop; the range predicate rides as a filter
+    val plan = Sessions.rangeJoin(left, right, -10000L, 0L).queryExecution.sparkPlan
+    val bad = plan.collect {
+      case j if j.nodeName.contains("Cartesian") ||
+        j.nodeName.contains("NestedLoop") => j.nodeName
+    }
+    assert(bad.isEmpty, s"range join must stay equi-keyed, got $bad")
+  }
+
   test("stratified split: exact quotas, salted rank equals naive window; shard shuffle dense") {
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.expressions.Window
