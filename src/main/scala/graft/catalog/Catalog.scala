@@ -22,6 +22,17 @@ trait Catalog {
       case other => throw new IllegalArgumentException(
         s"unsupported write.metadata.compression-codec: $other (gzip|none)")
     }
+
+  /** Version-file suffix for the codec the bytes carry: compressed
+    * metadata must be NAMED `<v>.gz.metadata.json` (reference
+    * catalog/metadata_location.rs:33) — foreign engines select the read
+    * codec from the filename, so gzip bytes under a plain name are
+    * unreadable to them (this engine's own reads sniff magic bytes). */
+  protected def metadataSuffix(md: TableMetadata): String =
+    md.properties.getOrElse("write.metadata.compression-codec", "none") match {
+      case "gzip" => ".gz.metadata.json"
+      case _ => ".metadata.json"
+    }
   def createTable(name: String, schema: IcebergSchema,
       spec: PartitionSpec = PartitionSpec.unpartitioned,
       properties: Map[String, String] = Map.empty): TableMetadata
@@ -102,7 +113,12 @@ final class HadoopCatalog(warehouse: String, val io: FileIO) extends Catalog {
 
   private def tableDir(name: String) = s"$warehouse/$name"
   private def metadataDir(name: String) = s"${tableDir(name)}/metadata"
-  private def versionFile(name: String, v: Int) = s"${metadataDir(name)}/v$v.metadata.json"
+  private def versionFile(name: String, v: Int, suffix: String = ".metadata.json") =
+    s"${metadataDir(name)}/v$v$suffix"
+  /** A version may exist under either codec suffix. */
+  private def existingVersionFile(name: String, v: Int): Option[String] =
+    Seq(".metadata.json", ".gz.metadata.json")
+      .map(versionFile(name, v, _)).find(io.exists)
   private def hintFile(name: String) = s"${metadataDir(name)}/version-hint.text"
 
   override def createTable(name: String, schema: IcebergSchema, spec: PartitionSpec,
@@ -119,7 +135,8 @@ final class HadoopCatalog(warehouse: String, val io: FileIO) extends Catalog {
   override def loadTable(name: String): (TableMetadata, Int) = {
     val v = currentVersion(name).getOrElse(
       throw new IllegalArgumentException(s"no such table: $name"))
-    (TableMetadata.fromJsonString(io.readString(versionFile(name, v))), v)
+    val loc = existingVersionFile(name, v).getOrElse(versionFile(name, v))
+    (TableMetadata.fromJsonString(io.readString(loc)), v)
   }
 
   def currentVersion(name: String): Option[Int] = {
@@ -133,14 +150,15 @@ final class HadoopCatalog(warehouse: String, val io: FileIO) extends Catalog {
     hinted match {
       case Some(h) =>
         var v = h
-        while (io.exists(versionFile(name, v + 1))) v += 1
+        while (existingVersionFile(name, v + 1).isDefined) v += 1
         Some(v)
       case None =>
         val vs = io.listFiles(metadataDir(name), recursive = false)
           .map(_._1).flatMap { p =>
             val n = p.substring(p.lastIndexOf('/') + 1)
             if (n.startsWith("v") && n.endsWith(".metadata.json"))
-              n.stripPrefix("v").stripSuffix(".metadata.json").toIntOption
+              n.stripPrefix("v").stripSuffix(".metadata.json")
+                .stripSuffix(".gz").toIntOption
             else None
           }
         if (vs.isEmpty) None else Some(vs.max)
@@ -167,8 +185,8 @@ final class HadoopCatalog(warehouse: String, val io: FileIO) extends Catalog {
     val next = baseVersion + 1
     val tmp = s"${metadataDir(name)}/.tmp-${java.util.UUID.randomUUID()}.json"
     io.writeBytes(tmp, metadataBytes(updated), overwrite = true)
-    val target = versionFile(name, next)
-    if (io.exists(target) || !io.rename(tmp, target)) {
+    val target = versionFile(name, next, metadataSuffix(updated))
+    if (existingVersionFile(name, next).isDefined || !io.rename(tmp, target)) {
       io.delete(tmp)
       throw CommitConflict(s"concurrent commit won version $next")
     }
@@ -187,7 +205,8 @@ final class HadoopCatalog(warehouse: String, val io: FileIO) extends Catalog {
   }
 
   private def writeVersion(name: String, v: Int, md: TableMetadata): Unit = {
-    io.writeBytes(versionFile(name, v), metadataBytes(md), overwrite = false)
+    io.writeBytes(versionFile(name, v, metadataSuffix(md)), metadataBytes(md),
+      overwrite = false)
     writeHint(name, v)
   }
 }
@@ -274,7 +293,12 @@ object CommitRetry {
         else {
           val cap = updated0.properties.get("write.metadata.previous-versions-max")
             .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(100)
-          val entry = (s"${base.location}/metadata/v$version.metadata.json",
+          val prevSuffix = base.properties
+            .getOrElse("write.metadata.compression-codec", "none") match {
+              case "gzip" => ".gz.metadata.json"
+              case _ => ".metadata.json"
+            }
+          val entry = (s"${base.location}/metadata/v$version$prevSuffix",
             base.lastUpdatedMs)
           val log =
             if (updated0.metadataLog.lastOption.contains(entry)) updated0.metadataLog

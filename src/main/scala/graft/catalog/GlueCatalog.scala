@@ -82,8 +82,9 @@ final class GlueCatalog(endpoint: String, db: String, warehouse: String,
     * winner — a shared deterministic path would let the loser clobber the
     * winner's committed metadata. The loser's file is an orphan for
     * remove_orphan_files. */
-  private def versionPath(name: String, v: Int) =
-    s"${tableDir(name)}/metadata/v$v-${java.util.UUID.randomUUID().toString.take(8)}.metadata.json"
+  private def versionPath(name: String, v: Int,
+      suffix: String = ".metadata.json") =
+    s"${tableDir(name)}/metadata/v$v-${java.util.UUID.randomUUID().toString.take(8)}$suffix"
   private def versionOf(location: String): Int = {
     val file = location.substring(location.lastIndexOf('/') + 1)
     file.stripPrefix("v").stripSuffix(".metadata.json").takeWhile(_ != '-').toInt
@@ -149,7 +150,7 @@ final class GlueCatalog(endpoint: String, db: String, warehouse: String,
   override def createTable(name: String, schema: IcebergSchema,
       spec: PartitionSpec, properties: Map[String, String]): TableMetadata = {
     val md = TableMetadata.newTable(tableDir(name), schema, spec, properties)
-    val loc = versionPath(name, 1)
+    val loc = versionPath(name, 1, metadataSuffix(md))
     io.writeBytes(loc, metadataBytes(md), overwrite = false)
     val req = Json.obj()
     req.put("DatabaseName", db)
@@ -159,7 +160,7 @@ final class GlueCatalog(endpoint: String, db: String, warehouse: String,
   }
 
   override protected def registerParsed(name: String, md: TableMetadata): Unit = {
-    val loc = versionPath(name, 1)
+    val loc = versionPath(name, 1, metadataSuffix(md))
     io.writeBytes(loc, metadataBytes(md), overwrite = false)
     val req = Json.obj()
     req.put("DatabaseName", db)
@@ -223,7 +224,7 @@ final class GlueCatalog(endpoint: String, db: String, warehouse: String,
     if (cur != baseVersion)
       throw CommitConflict(s"base version $baseVersion is stale (current: $cur)")
     val next = baseVersion + 1
-    val nextLoc = versionPath(name, next)
+    val nextLoc = versionPath(name, next, metadataSuffix(updated))
     io.writeBytes(nextLoc, metadataBytes(updated), overwrite = false)
     val req = Json.obj()
     req.put("DatabaseName", db)

@@ -42,11 +42,12 @@ final class HmsCatalog(client: ThriftHiveMetastore.Iface, db: String,
     }
 
   private def tableDir(name: String) = s"$warehouse/$name"
-  private def versionPath(name: String, v: Int) =
-    s"${tableDir(name)}/metadata/v$v.metadata.json"
+  private def versionPath(name: String, v: Int,
+      suffix: String = ".metadata.json") =
+    s"${tableDir(name)}/metadata/v$v$suffix"
   private def versionOf(location: String): Int = {
     val file = location.substring(location.lastIndexOf('/') + 1)
-    file.stripPrefix("v").stripSuffix(".metadata.json").toInt
+    file.stripPrefix("v").stripSuffix(".metadata.json").stripSuffix(".gz").toInt
   }
 
   /** Iceberg → Hive column type string (hms schema.rs HiveSchemaBuilder). */
@@ -103,14 +104,14 @@ final class HmsCatalog(client: ThriftHiveMetastore.Iface, db: String,
   override def createTable(name: String, schema: IcebergSchema,
       spec: PartitionSpec, properties: Map[String, String]): TableMetadata = {
     val md = TableMetadata.newTable(tableDir(name), schema, spec, properties)
-    val loc = versionPath(name, 1)
+    val loc = versionPath(name, 1, metadataSuffix(md))
     io.writeBytes(loc, metadataBytes(md), overwrite = false)
     client.create_table(hmsTable(name, md, loc, None))
     md
   }
 
   override protected def registerParsed(name: String, md: TableMetadata): Unit = {
-    val loc = versionPath(name, 1)
+    val loc = versionPath(name, 1, metadataSuffix(md))
     io.writeBytes(loc, metadataBytes(md), overwrite = false)
     client.create_table(hmsTable(name, md, loc, None))
   }
@@ -151,7 +152,7 @@ final class HmsCatalog(client: ThriftHiveMetastore.Iface, db: String,
       if (cur != baseVersion)
         throw CommitConflict(s"base version $baseVersion is stale (current: $cur)")
       val next = baseVersion + 1
-      val nextLoc = versionPath(name, next)
+      val nextLoc = versionPath(name, next, metadataSuffix(updated))
       io.writeBytes(nextLoc, metadataBytes(updated), overwrite = true)
       val newT = hmsTable(name, updated, nextLoc, Some(currentLoc))
       client.alter_table(db, name, newT)

@@ -56,8 +56,9 @@ final class JdbcCatalog(jdbcUrl: String, warehouse: String, val io: FileIO,
   // UUID-suffixed like the reference's MetadataLocation: every commit
   // attempt writes a DISTINCT file, so a losing racer can clean up its own
   // file without ever touching the winner's
-  private def versionFile(name: String, v: Int) =
-    s"${tableDir(name)}/metadata/v$v-${java.util.UUID.randomUUID()}.metadata.json"
+  private def versionFile(name: String, v: Int,
+      suffix: String = ".metadata.json") =
+    s"${tableDir(name)}/metadata/v$v-${java.util.UUID.randomUUID()}$suffix"
   private def versionOf(location: String): Int = {
     val tail = location.substring(location.lastIndexOf("/v") + 2)
     tail.substring(0, tail.indexOf('-')).toInt
@@ -77,7 +78,7 @@ final class JdbcCatalog(jdbcUrl: String, warehouse: String, val io: FileIO,
   }
 
   override protected def registerParsed(name: String, md: TableMetadata): Unit = {
-    val loc = versionFile(name, 1)
+    val loc = versionFile(name, 1, metadataSuffix(md))
     io.writeBytes(loc, metadataBytes(md), overwrite = false)
     registerRow(name, loc)
   }
@@ -85,7 +86,7 @@ final class JdbcCatalog(jdbcUrl: String, warehouse: String, val io: FileIO,
   override def createTable(name: String, schema: IcebergSchema, spec: PartitionSpec,
       properties: Map[String, String]): TableMetadata = {
     val md = TableMetadata.newTable(tableDir(name), schema, spec, properties)
-    val loc = versionFile(name, 1)
+    val loc = versionFile(name, 1, metadataSuffix(md))
     io.writeBytes(loc, metadataBytes(md), overwrite = false)
     registerRow(name, loc)
     md
@@ -142,7 +143,14 @@ final class JdbcCatalog(jdbcUrl: String, warehouse: String, val io: FileIO,
       val n =
         try ps.executeUpdate()
         catch { case e: java.sql.SQLException =>
-          throw new IllegalArgumentException(s"destination exists: $dst", e) }
+          // only a duplicate-key violation means "destination exists"
+          // (SQLState class 23 / the JDBC subclass); a transient
+          // connection or lock failure must surface unchanged so the
+          // caller can retry instead of seeing a phantom name conflict
+          if (e.isInstanceOf[java.sql.SQLIntegrityConstraintViolationException] ||
+              Option(e.getSQLState).exists(_.startsWith("23")))
+            throw new IllegalArgumentException(s"destination exists: $dst", e)
+          else throw e }
       if (n == 0) throw new IllegalArgumentException(s"no such table: $src")
     } finally ps.close()
   }
@@ -171,7 +179,7 @@ final class JdbcCatalog(jdbcUrl: String, warehouse: String, val io: FileIO,
     if (versionOf(prevLoc) != baseVersion)
       throw CommitConflict(
         s"base version $baseVersion is stale for $name (current: ${versionOf(prevLoc)})")
-    val nextLoc = versionFile(name, baseVersion + 1)
+    val nextLoc = versionFile(name, baseVersion + 1, metadataSuffix(updated))
     io.writeBytes(nextLoc, metadataBytes(updated), overwrite = false)
     val swapped = withConn { c =>
       val ps = c.prepareStatement(

@@ -58,8 +58,9 @@ final class S3TablesCatalog(endpoint: String, namespace: String,
     * would let the loser clobber the winner's committed metadata (readers
     * catch a torn file). The loser's file is an orphan, reclaimed by
     * remove_orphan_files. */
-  private def versionPath(tableLocation: String, v: Int) =
-    s"$tableLocation/metadata/v$v-${java.util.UUID.randomUUID().toString.take(8)}.metadata.json"
+  private def versionPath(tableLocation: String, v: Int,
+      suffix: String = ".metadata.json") =
+    s"$tableLocation/metadata/v$v-${java.util.UUID.randomUUID().toString.take(8)}$suffix"
   private def versionOf(location: String): Int = {
     val file = location.substring(location.lastIndexOf('/') + 1)
     file.stripPrefix("v").stripSuffix(".metadata.json").takeWhile(_ != '-').toInt
@@ -95,7 +96,7 @@ final class S3TablesCatalog(endpoint: String, namespace: String,
     val tableLocation = node("warehouseLocation").asText()
     val token = node("versionToken").asText()
     val md = TableMetadata.newTable(tableLocation, schema, spec, properties)
-    val loc = versionPath(tableLocation, 1)
+    val loc = versionPath(tableLocation, 1, metadataSuffix(md))
     io.writeBytes(loc, metadataBytes(md), overwrite = false)
     updateMetadataLocation(name, loc, token)
     md
@@ -108,7 +109,7 @@ final class S3TablesCatalog(endpoint: String, namespace: String,
     val token = node("versionToken").asText()
     // metadata generations live under the SERVICE's location; the
     // adopted table's data/manifests stay at md.location untouched
-    val loc = versionPath(tableLocation, 1)
+    val loc = versionPath(tableLocation, 1, metadataSuffix(md))
     io.writeBytes(loc, metadataBytes(md), overwrite = false)
     updateMetadataLocation(name, loc, token)
   }
@@ -152,7 +153,7 @@ final class S3TablesCatalog(endpoint: String, namespace: String,
       throw CommitConflict(s"base version $baseVersion is stale (current: $cur)")
     val next = baseVersion + 1
     val tableLocation = currentLoc.substring(0, currentLoc.lastIndexOf("/metadata/"))
-    val nextLoc = versionPath(tableLocation, next)
+    val nextLoc = versionPath(tableLocation, next, metadataSuffix(updated))
     io.writeBytes(nextLoc, metadataBytes(updated), overwrite = false)
     updateMetadataLocation(name, nextLoc, token) // CAS; conflict → retry
     next

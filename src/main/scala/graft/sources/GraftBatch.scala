@@ -100,10 +100,12 @@ class GraftBatchScan(table: GraftTable, predicate: Predicate,
   /** One equality-delete group per (key set, sequence number, partition
     * scope) — resolved once per scan from the (cached) delete manifests,
     * ordered deterministically so every task sees the same group list.
-    * Scope follows the reference's DeleteFileIndex: an all-null partition
-    * tuple (how this engine writes eq deletes) is GLOBAL; a partition-
-    * valued delete (foreign writers) applies only to data files of the
-    * same spec and tuple — applying it globally would over-delete. */
+    * Scope follows the reference's DeleteFileIndex (delete_file_index.rs:
+    * 137-141): a delete stored under an UNPARTITIONED spec is GLOBAL (how
+    * this engine writes eq deletes); one under a partitioned spec applies
+    * only to data files of the same spec and tuple — even when the tuple
+    * is all-null (a foreign writer's genuine null partition), where
+    * treating it as global would over-delete every partition. */
   private case class EqGroup(keyNames: Seq[String], seq: Long,
       scope: Option[(Int, Seq[Any])], files: Seq[(String, Long)]) {
     def appliesTo(t: graft.table.CompactFileTask): Boolean =
@@ -116,7 +118,7 @@ class GraftBatchScan(table: GraftTable, predicate: Predicate,
     table.newScan().planDeletes()
       .filter(_.file.content == FileContent.EqualityDeletes)
       .groupBy(d => (d.file.equalityIds, d.sequenceNumber,
-        if (d.file.partition.forall(_ == null)) None
+        if (table.metadata.specById(d.specId).forall(_.fields.isEmpty)) None
         else Some((d.specId, d.file.partition)))).toSeq
       .map { case ((ids, seq, scope), g) =>
         EqGroup(ids.map(id => table.schema.idToField(id).name), seq, scope,
@@ -778,8 +780,8 @@ final class GraftPartitionReader(
     part.eqDeletes.map { g =>
       val ords = g.keyNames.map(readSchema.fieldIndex).toArray
       val keySchema = StructType(ords.toSeq.map(readSchema(_)))
-      val set = GraftPartitionReader.eqSetCache.computeIfAbsent(
-        (g.keyNames, g.files), { _ =>
+      val set = GraftPartitionReader.eqSetLoad(
+        (g.keyNames, g.files)) {
           val s = new java.util.HashSet[UnsafeRow]()
           val proj = UnsafeProjection.create(keySchema)
           g.files.foreach { case (dp, dsize) =>
@@ -797,7 +799,7 @@ final class GraftPartitionReader(
             }
           }
           s
-        })
+        }
       val dataProj = UnsafeProjection.create(ords.toSeq.map(i =>
         BoundReference(i, readSchema(i).dataType, readSchema(i).nullable): Expression))
       (dataProj, ords, set)
@@ -895,14 +897,30 @@ object GraftPartitionReader {
     * file list) — distinct snapshots/groups never collide because the file
     * list identifies the group's content. Bounded by delete-set size, the
     * same memory the V1 broadcast join would pin per executor; entry
-    * count is capped so a long-lived executor serving many snapshots
-    * cannot accrete stale key sets (a clear just reloads on next use). */
+    * count is LRU-capped so a long-lived executor serving many snapshots
+    * cannot accrete stale key sets, and two concurrent scans whose
+    * combined group count exceeds the cap evict only the coldest entries
+    * rather than thrashing each other's hot ones. */
   private val MaxCachedGroups = 32
-  private val cache = new java.util.concurrent.ConcurrentHashMap[
-    (Seq[String], Seq[(String, Long)]),
-    java.util.HashSet[org.apache.spark.sql.catalyst.expressions.UnsafeRow]]()
-  private[sources] def eqSetCache = {
-    if (cache.size > MaxCachedGroups) cache.clear()
-    cache
+  private type EqKey = (Seq[String], Seq[(String, Long)])
+  private type EqSet = java.util.HashSet[org.apache.spark.sql.catalyst.expressions.UnsafeRow]
+  private val cache = new java.util.LinkedHashMap[EqKey, EqSet](64, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[EqKey, EqSet]): Boolean =
+      size() > MaxCachedGroups
+  }
+  /** Loads run OUTSIDE the map lock (a load reads delete parquet — holding
+    * the lock would serialize distinct groups across tasks); a racing
+    * duplicate load is idempotent and the first insert wins. */
+  private[sources] def eqSetLoad(key: EqKey)(load: => EqSet): EqSet = {
+    cache.synchronized {
+      val hit = cache.get(key)
+      if (hit != null) return hit
+    }
+    val loaded = load
+    cache.synchronized {
+      val prior = cache.get(key)
+      if (prior != null) prior
+      else { cache.put(key, loaded); loaded }
+    }
   }
 }

@@ -242,14 +242,32 @@ object Commits {
     * manifest base are the BRANCH head, the ref moves to the new
     * snapshot, and `current-snapshot-id` / `snapshot-log` are untouched —
     * readers of the table see nothing until a fast-forward publish. */
+  /** Spec id of an unpartitioned spec in `md`, registering one (fresh id)
+    * when the table has none. Engine-global delete files are written under
+    * it: the reference scopes equality deletes as global iff their spec has
+    * no fields (delete_file_index.rs:137-141) — an all-null tuple under a
+    * partitioned spec means the NULL partition, not "applies everywhere". */
+  def ensureUnpartitionedSpec(md: TableMetadata): (TableMetadata, Int) =
+    md.partitionSpecs.find(_.fields.isEmpty) match {
+      case Some(s) => (md, s.specId)
+      case None =>
+        val id = md.partitionSpecs.map(_.specId).max + 1
+        (md.copy(partitionSpecs = md.partitionSpecs :+ PartitionSpec(id, Nil)), id)
+    }
+
   def commit(table: GraftTable, operation: String, commitUuid: String,
       extraSummary: Map[String, String] = Map.empty,
-      branch: Option[String] = None)(
+      branch: Option[String] = None,
+      prepare: TableMetadata => TableMetadata = identity)(
       manifests: (TableMetadata, Long, Long) => Seq[ManifestFile]): GraftTable = {
     val io = table.io
     val snapshotId = math.abs(UUID.randomUUID().getMostSignificantBits)
 
-    graft.catalog.CommitRetry.run(table.catalog, table.name) { (base0, version) =>
+    graft.catalog.CommitRetry.run(table.catalog, table.name) { (base0raw, version) =>
+      // metadata-shaping the commit needs in place before manifests are
+      // written (e.g. registering the unpartitioned spec for global
+      // deletes) — applied per attempt so it sees the refreshed base
+      val base0 = prepare(base0raw)
       // manifest building and parentage resolve against the branch head;
       // ref/current bookkeeping below applies to the true base
       val base = branch match {

@@ -72,7 +72,8 @@ object DeleteWriter {
     val wholePaths = whole.map(_.file.filePath).toSet
     Commits.commit(table, "delete", commitUuid, Map(
       "deleted-data-files" -> whole.size.toString,
-      "added-delete-files" -> posFiles.size.toString)) { (base, seq, snapshotId) =>
+      "added-delete-files" -> posFiles.size.toString),
+      prepare = md => Commits.ensureUnpartitionedSpec(md)._1) { (base, seq, snapshotId) =>
       // positions reference files by (path, row index): a concurrently
       // rewritten target would silently resurrect its rows
       Commits.validateReplace(table.io, base, table.metadata.currentSnapshotId,
@@ -86,7 +87,8 @@ object DeleteWriter {
           val entries = posFiles.map(f => ManifestEntry(ManifestStatus.Added,
             Some(snapshotId), Some(seq), Some(seq), f))
           Seq(Commits.writeManifest(table.io, base, s"$commitUuid-d0", entries,
-            base.currentSchema, base.defaultSpec, ManifestContent.Deletes, snapshotId, seq))
+            base.currentSchema, base.partitionSpecs.find(_.fields.isEmpty).get,
+            ManifestContent.Deletes, snapshotId, seq))
         }
       deleteManifest ++ rewritten
     }
@@ -100,13 +102,12 @@ object DeleteWriter {
     val outDir = Locations.commitDir(table, "deletes", commitUuid)
     rows.write.options(encConf).option("compression", "zstd").parquet(outDir)
     val written = table.io.listFiles(outDir).filter(_._1.endsWith(".parquet"))
-    val nullPartition = Seq.fill(table.spec.fields.size)(null)
     written.map { case (p, len) =>
       DataFile(
         content = FileContent.PositionDeletes,
         filePath = p,
         fileFormat = "PARQUET",
-        partition = nullPartition,
+        partition = Nil, // global: committed under the unpartitioned spec
         recordCount = countRows(p, encConf),
         fileSizeInBytes = len)
     }.filter(_.recordCount > 0)
@@ -140,7 +141,6 @@ object DeleteWriter {
     import spark.implicits._
     val commitUuid = UUID.randomUUID().toString
     val outDir = Locations.commitDir(table, "deletes", commitUuid)
-    val tentativeSeq = table.metadata.lastSequenceNumber + 1
     val conf = new org.apache.spark.util.SerializableConfiguration(table.io.conf)
 
     // (puffinPath, referencedFile, cardinality, blobOffset, blobLength)
@@ -158,7 +158,11 @@ object DeleteWriter {
           val blobs = it.toSeq
           val path = s"$outDir/dv-${UUID.randomUUID()}.puffin"
           val metas = Puffin.write(io, path, blobs.map { case (file, data, card) =>
-            Puffin.Blob(Puffin.DeletionVectorV1, Nil, -1L, tentativeSeq, data,
+            // snapshot-id AND sequence-number both -1 (unassigned, Java's
+            // convention): the container is sealed before the commit — a
+            // CAS retry can shift the committed sequence, so the manifest
+            // entry alone carries the authoritative numbers
+            Puffin.Blob(Puffin.DeletionVectorV1, Nil, -1L, -1L, data,
               Map("referenced-data-file" -> file, "cardinality" -> card.toString))
           })
           blobs.zip(metas).iterator.map { case ((file, _, card), meta) =>
@@ -174,7 +178,8 @@ object DeleteWriter {
 
     Commits.commit(table, "delete", commitUuid,
       Map("added-delete-files" -> descs.size.toString,
-        "added-position-deletes" -> descs.map(_._3).sum.toString)) { (base, seq, snapshotId) =>
+        "added-position-deletes" -> descs.map(_._3).sum.toString),
+      prepare = md => Commits.ensureUnpartitionedSpec(md)._1) { (base, seq, snapshotId) =>
       // v3 invariant: a data file carries at most ONE deletion vector, and a
       // new DV must supersede (contain) the old (delete_vector.rs semantics).
       // Fold any existing DV for a touched file into the new bitmap, then
@@ -231,7 +236,7 @@ object DeleteWriter {
                 val path = s"$outDir/dv-merge-${UUID.randomUUID()}.puffin"
                 val metas = Puffin.write(io, path,
                   merged.map { case (file, data, card) =>
-                    Puffin.Blob(Puffin.DeletionVectorV1, Nil, -1L, seq, data,
+                    Puffin.Blob(Puffin.DeletionVectorV1, Nil, -1L, -1L, data,
                       Map("referenced-data-file" -> file,
                         "cardinality" -> card.toString))
                   })
@@ -244,7 +249,6 @@ object DeleteWriter {
 
       val sizeCache = scala.collection.mutable.HashMap[String, Long]()
       def puffinLen(p: String) = sizeCache.getOrElseUpdate(p, table.io.size(p))
-      val nullPartition = Seq.fill(table.spec.fields.size)(null)
       val files = descs.map { case (path0, file, card0, off0, len0) =>
         val (p, card, off, len) =
           mergedDescs.get(file).map(m => (m._1, m._2, m._3, m._4))
@@ -253,7 +257,7 @@ object DeleteWriter {
           content = FileContent.PositionDeletes,
           filePath = p,
           fileFormat = "PUFFIN",
-          partition = nullPartition,
+          partition = Nil, // global: committed under the unpartitioned spec
           recordCount = card,
           fileSizeInBytes = puffinLen(p),
           referencedDataFile = Some(file),
@@ -263,7 +267,8 @@ object DeleteWriter {
       val entries = files.map(f => ManifestEntry(ManifestStatus.Added, Some(snapshotId),
         Some(seq), Some(seq), f))
       val m = Commits.writeManifest(table.io, base, s"$commitUuid-dv0", entries,
-        table.schema, table.spec, ManifestContent.Deletes, snapshotId, seq)
+        table.schema, base.partitionSpecs.find(_.fields.isEmpty).get,
+        ManifestContent.Deletes, snapshotId, seq)
       // rewrite manifests that held a superseded DV, tombstoning those entries
       val kept = baseMs.map { bm =>
         dvManifests.find(_._1.manifestPath == bm.manifestPath) match {
@@ -308,15 +313,17 @@ object DeleteWriter {
       table.io.delete(outDir, recursive = true)
       return table
     }
-    // delete files are globally-scoped (unpartitioned layout): the partition
-    // tuple is all-null under the table's spec
-    val nullPartition = Seq.fill(table.spec.fields.size)(null)
+    // delete files are globally-scoped: written under the UNPARTITIONED
+    // spec with an EMPTY partition tuple — the spec (and the reference's
+    // DeleteFileIndex, delete_file_index.rs:137-141) read "global" off the
+    // spec having no fields; an all-null tuple under a partitioned spec
+    // would scope them to the null partition for compliant readers
     val files = written.map { case (p, len) =>
       DataFile(
         content = content,
         filePath = p,
         fileFormat = "PARQUET",
-        partition = nullPartition,
+        partition = Nil,
         recordCount = countRows(p, encConf),
         fileSizeInBytes = len,
         equalityIds = equalityIds)
@@ -325,7 +332,8 @@ object DeleteWriter {
     Commits.commit(table, "delete", commitUuid,
       Map("added-delete-files" -> files.size.toString,
         "added-position-deletes" -> (if (content == FileContent.PositionDeletes)
-          files.map(_.recordCount).sum.toString else "0"))) { (base, seq, snapshotId) =>
+          files.map(_.recordCount).sum.toString else "0")),
+      prepare = md => Commits.ensureUnpartitionedSpec(md)._1) { (base, seq, snapshotId) =>
       // position deletes address (path, row index): their target files must
       // survive any concurrent rewrite. Equality deletes pass an empty set
       // (they bind by key + sequence number, immune to file identity).
@@ -334,8 +342,9 @@ object DeleteWriter {
           referencedPaths, None, table.schema)
       val entries = files.map(f => ManifestEntry(ManifestStatus.Added, Some(snapshotId),
         Some(seq), Some(seq), f))
+      val unpartSpec = base.partitionSpecs.find(_.fields.isEmpty).get
       val m = Commits.writeManifest(table.io, base, s"$commitUuid-d0", entries,
-        table.schema, table.spec, ManifestContent.Deletes, snapshotId, seq)
+        table.schema, unpartSpec, ManifestContent.Deletes, snapshotId, seq)
       m +: Commits.baseManifests(table.io, base)
     }
   }

@@ -1004,23 +1004,40 @@ final class TableScan private[table] (
         .toDF("_gf_seq_file", SEQ)
       work = work.join(org.apache.spark.sql.functions.broadcast(seqDf),
         work(FILE) === seqDf("_gf_seq_file"), "left").drop("_gf_seq_file")
-      // one anti-join per (key set, sequence number) group — plan depth
-      // grows with delete commits until compaction folds them away; warn
-      // before the plan gets pathological (hundreds of stacked joins slow
-      // analysis and risk codegen limits)
-      val eqGroups = eqDeletes.groupBy(d => (d.file.equalityIds, d.sequenceNumber))
+      // one anti-join per (key set, sequence number, partition scope)
+      // group — plan depth grows with delete commits until compaction
+      // folds them away; warn before the plan gets pathological (hundreds
+      // of stacked joins slow analysis and risk codegen limits).
+      // Scope rule (delete_file_index.rs:137-141): global iff the delete's
+      // spec is unpartitioned; otherwise only data files of the same spec
+      // and partition tuple are affected (see the native reader's EqGroup).
+      val eqGroups = eqDeletes.groupBy(d => (d.file.equalityIds, d.sequenceNumber,
+        if (table.metadata.specById(d.specId).forall(_.fields.isEmpty)) None
+        else Some((d.specId, d.file.partition))))
       if (eqGroups.size > 20)
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
           s"table ${table.name}: ${eqGroups.size} equality-delete groups stack " +
             s"${eqGroups.size} anti-joins onto every scan — run rewriteDataFiles " +
             "to fold them into the data")
       eqGroups.foreach {
-        case ((ids, delSeq), group) =>
+        case ((ids, delSeq, scope), group) =>
           val keyNames = ids.map(id => table.schema.idToField(id).name)
           val dels = spark.read.options(encConf).parquet(group.map(_.file.filePath): _*)
             .select(keyNames.map(col): _*).distinct()
           val keyCond = keyNames.map(n => work(n) === dels(n)).reduce(_ && _)
-          work = work.join(dels, keyCond && work(SEQ) < lit(delSeq), "left_anti")
+          val scopeCond = scope match {
+            case None => lit(true)
+            case Some((sid, tup)) =>
+              // partition-scoped: restrict the anti-join to rows from
+              // same-spec-same-tuple files (scoped foreign deletes are
+              // rare and the file list is the already-pruned task set)
+              val inScope = tasks.filter(t =>
+                t.specId == sid && t.file.partition == tup)
+                .map(t => qualify(t.file.filePath))
+              if (inScope.isEmpty) lit(false) else work(FILE).isin(inScope: _*)
+          }
+          work = work.join(dels, keyCond && work(SEQ) < lit(delSeq) && scopeCond,
+            "left_anti")
       }
       work = work.drop(SEQ)
     }

@@ -83,6 +83,87 @@ class DeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(explained.contains("BatchScan"), explained)
   }
 
+  test("engine-global eq deletes commit under the unpartitioned spec") {
+    val s = spark
+    import s.implicits._
+    import graft.meta._
+    val schema = IcebergSchema(0, Seq(
+      NestedField(1, "id", IcebergType.LongT, required = false),
+      NestedField(2, "part", IcebergType.StringT, required = false),
+      NestedField(3, "name", IcebergType.StringT, required = false)))
+    val spec = PartitionSpec(0, Seq(PartitionField(2, 1000, "part", Transform.Identity)))
+    var t = GraftTable.create("eqglobal", catalog, schema, spec)
+    t = t.append(Seq(
+      (1L, "p1", "a"), (2L, "p1", "b"),
+      (3L, "p2", "a"), (4L, "p2", "b")).toDF("id", "part", "name"))
+    t = t.equalityDelete(Seq("b").toDF("name"), Seq("name"))
+
+    // the delete landed in BOTH partitions (global scope)
+    val df = spark.read.format("graft")
+      .option("warehouse", wh).option("table", "eqglobal").load()
+    assert(df.orderBy("id").collect().map(_.getLong(0)).toSeq === Seq(1L, 3L))
+
+    // and it is carried by a manifest whose spec is UNPARTITIONED — the
+    // spec-compliant global marker (delete_file_index.rs:137-141); an
+    // all-null tuple under the partitioned spec would be read by foreign
+    // engines as "the null partition" and under-delete
+    val unpartIds = t.metadata.partitionSpecs.filter(_.fields.isEmpty).map(_.specId)
+    assert(unpartIds.nonEmpty, "commit must register an unpartitioned spec")
+    val snap = t.metadata.currentSnapshot.get
+    val partTypes = t.metadata.partitionSpecs
+      .map(s => s.specId -> s.partitionType(t.metadata.currentSchema)).toMap
+    val delMs = graft.meta.ManifestIO
+      .readManifestList(t.io, snap.manifestList, partTypes)
+      .filter(_.content == ManifestContent.Deletes)
+    assert(delMs.nonEmpty && delMs.forall(m => unpartIds.contains(m.partitionSpecId)),
+      s"delete manifests must use the unpartitioned spec, got ${delMs.map(_.partitionSpecId)}")
+  }
+
+  test("all-null partition tuple under a partitioned spec scopes to the null partition") {
+    val s = spark
+    import s.implicits._
+    import graft.meta._
+    val schema = IcebergSchema(0, Seq(
+      NestedField(1, "id", IcebergType.LongT, required = false),
+      NestedField(2, "part", IcebergType.StringT, required = false),
+      NestedField(3, "name", IcebergType.StringT, required = false)))
+    val spec = PartitionSpec(0, Seq(PartitionField(2, 1000, "part", Transform.Identity)))
+    var t = GraftTable.create("eqnullpart", catalog, schema, spec)
+    t = t.append(Seq(
+      (1L, null.asInstanceOf[String], "b"),
+      (2L, "p1", "b"),
+      (3L, "p2", "a")).toDF("id", "part", "name"))
+
+    // a FOREIGN delete whose partition value is GENUINELY null: tuple
+    // [null] under the PARTITIONED spec — scoped to the null partition,
+    // NOT global (the old all-null-means-global rule would drop id=2 too)
+    val delDir = s"${t.location}/data/foreign-nulldel"
+    Seq("b").toDF("name").repartition(1).write.parquet(delDir)
+    val (delPath, delLen) = t.io.listFiles(delDir)
+      .filter(_._1.endsWith(".parquet")).head
+    val delFile = DataFile(
+      content = FileContent.EqualityDeletes,
+      filePath = delPath,
+      fileFormat = "PARQUET",
+      partition = Seq(null),
+      recordCount = 1L,
+      fileSizeInBytes = delLen,
+      equalityIds = Seq(3))
+    val uuid = java.util.UUID.randomUUID().toString
+    t = Commits.commit(t, "delete", uuid, Map.empty) { (base, seq, snapshotId) =>
+      val entry = ManifestEntry(ManifestStatus.Added, Some(snapshotId),
+        Some(seq), Some(seq), delFile)
+      Commits.writeManifest(t.io, base, s"$uuid-d0", Seq(entry),
+        base.currentSchema, base.defaultSpec, ManifestContent.Deletes,
+        snapshotId, seq) +: Commits.baseManifests(t.io, base)
+    }
+
+    val df = spark.read.format("graft")
+      .option("warehouse", wh).option("table", "eqnullpart").load()
+    assert(df.orderBy("id").collect().map(_.getLong(0)).toSeq === Seq(2L, 3L),
+      "only the null-partition row may be deleted; p1's matching key survives")
+  }
+
   test("position deletes: DELETE WHERE then scan == filtered source") {
     val src = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     val schema = IcebergSchema.fromSpark(src.schema)

@@ -131,10 +131,15 @@ class TableRoundTripSpec extends AnyFunSuite with BeforeAndAfterAll {
     t = t.append(src)
     t = t.append(src)
 
-    // the current metadata.json on disk IS gzip (magic bytes), yet loads
+    // gzip metadata is NAMED `.gz.metadata.json` (foreign engines pick the
+    // codec from the filename, reference metadata_location.rs:33) and the
+    // bytes on disk ARE gzip — yet the table loads transparently
     val io = t.io
     val v = catalog.currentVersion("nation_gz").get
-    val mdPath = s"${t.location}/metadata/v$v.metadata.json"
+    val mdPath = s"${t.location}/metadata/v$v.gz.metadata.json"
+    assert(io.exists(mdPath), s"expected gz-suffixed metadata at $mdPath")
+    assert(!io.exists(s"${t.location}/metadata/v$v.metadata.json"),
+      "gzip bytes must not hide under the plain suffix")
     val raw = io.readBytes(mdPath)
     assert((raw(0) & 0xff) == 0x1f && (raw(1) & 0xff) == 0x8b,
       "metadata.json should be gzip-compressed")
