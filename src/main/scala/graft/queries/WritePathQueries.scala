@@ -114,5 +114,35 @@ object WritePathQueries {
         col("l_quantity"), col("l_extendedprice"))
   }
 
-  val all: Seq[Q] = Seq(w01, w02, w03)
+  /** Position-delete compaction: two MoR DELETE commits stack two delete
+    * file sets; rewritePositionDeletes folds them into one compacted,
+    * (file,pos)-sorted set and the MoR read-back must be unchanged —
+    * times the delta writes, the compaction (read + broadcast semi-join
+    * + range-sorted write + manifest tombstoning) and the final read. */
+  val w04 = Q.sql(
+    "w04_posdelete_rewrite",
+    """SELECT o_orderstatus, count(*) AS n,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS keysum
+      |FROM orders
+      |WHERE o_orderkey % 5 <> 0 AND o_custkey % 7 <> 0
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    bench = true
+  ) { (s, d) =>
+    val (catalog, wh) = fresh(s, "pdr")
+    val src = Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_orderstatus")
+    var t = GraftTable.create("wpdr", catalog, IcebergSchema.fromSpark(src.schema),
+      properties = Map("write.delete.mode" -> "merge-on-read"))
+    t = t.append(src.repartition(8))
+    sqlCatalog(s, "wbench_pdr", wh)
+    s.sql("DELETE FROM wbench_pdr.wpdr WHERE o_orderkey % 5 = 0")
+    s.sql("DELETE FROM wbench_pdr.wpdr WHERE o_custkey % 7 = 0")
+    t = GraftTable.load("wpdr", catalog).rewritePositionDeletes(s)
+    t.newScan().toDF(s)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_orderkey")).cast("long").as("keysum"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val all: Seq[Q] = Seq(w01, w02, w03, w04)
 }

@@ -119,8 +119,7 @@ final class GraftDeltaBatchWrite(table: GraftTable, writeSchema: StructType)
       .foreach { case (k, v) => job.getConfiguration.set(k, v) }
     new GraftDeltaWriterFactory(dataFactory, posFactory,
       new org.apache.spark.util.SerializableConfiguration(job.getConfiguration),
-      Locations.commitDir(table, "deletes", commitUuid),
-      table.spec.fields.size)
+      Locations.commitDir(table, "deletes", commitUuid))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -133,7 +132,8 @@ final class GraftDeltaBatchWrite(table: GraftTable, writeSchema: StructType)
     Commits.commit(live, op, commitUuid, Map(
       "added-delete-files" -> deleteFiles.size.toString,
       "added-position-deletes" -> deleteFiles.map(_.recordCount).sum.toString,
-      "added-data-files" -> dataFiles.size.toString)) { (base, seq, snapshotId) =>
+      "added-data-files" -> dataFiles.size.toString),
+      prepare = m => Commits.ensureUnpartitionedSpec(m)._1) { (base, seq, snapshotId) =>
       // the delta's position deletes address rows by (_file, _pos) read at
       // scan time — any concurrent non-append commit may have moved them
       Commits.validateReplace(live.io, base, table.metadata.currentSnapshotId,
@@ -144,8 +144,8 @@ final class GraftDeltaBatchWrite(table: GraftTable, writeSchema: StructType)
           val entries = deleteFiles.map(f => ManifestEntry(ManifestStatus.Added,
             Some(snapshotId), Some(seq), Some(seq), f))
           Seq(Commits.writeManifest(live.io, base, s"$commitUuid-d0", entries,
-            base.currentSchema, base.defaultSpec, ManifestContent.Deletes,
-            snapshotId, seq))
+            base.currentSchema, base.partitionSpecs.find(_.fields.isEmpty).get,
+            ManifestContent.Deletes, snapshotId, seq))
         }
       val dataM =
         if (dataFiles.isEmpty) Nil
@@ -186,14 +186,13 @@ final class GraftDeltaWriterFactory(
     dataFactory: GraftDataWriterFactory,
     posFactory: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
     conf: org.apache.spark.util.SerializableConfiguration,
-    deleteDir: String,
-    nPartFields: Int) extends DeltaWriterFactory {
+    deleteDir: String) extends DeltaWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
     new GraftDeltaWriter(
       dataFactory.createWriter(partitionId, taskId)
         .asInstanceOf[GraftDataWriter],
-      posFactory, conf, deleteDir, nPartFields, partitionId, taskId)
+      posFactory, conf, deleteDir, partitionId, taskId)
 }
 
 /** Per-task delta writer: inserts go through the fanout data writer,
@@ -204,7 +203,6 @@ final class GraftDeltaWriter(
     posFactory: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
     conf: org.apache.spark.util.SerializableConfiguration,
     deleteDir: String,
-    nPartFields: Int,
     partitionId: Int,
     taskId: Long) extends DeltaWriter[InternalRow] {
 
@@ -249,7 +247,7 @@ final class GraftDeltaWriter(
           content = FileContent.PositionDeletes,
           filePath = path,
           fileFormat = "PARQUET",
-          partition = Seq.fill(nPartFields)(null),
+          partition = Nil, // global: committed under the unpartitioned spec
           recordCount = sorted.size.toLong,
           fileSizeInBytes = len))
       }

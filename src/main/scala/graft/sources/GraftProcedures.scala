@@ -45,6 +45,10 @@ object GraftProcedures {
 
     def run(args: InternalRow): Seq[Any]
 
+    /** Multi-row procedures (e.g. ancestors_of) override this; the
+      * default wraps the single-row `run`. */
+    def runRows(args: InternalRow): Seq[Seq[Any]] = Seq(run(args))
+
     override def name(): String = procName
     override def description(): String = s"graft $procName"
     override def bind(inputType: StructType): BoundProcedure = this
@@ -53,11 +57,11 @@ object GraftProcedures {
       params.map { case (n, t) => ProcedureParameter.in(n, t).build() }.toArray
 
     override def call(input: InternalRow): JIterator[Scan] = {
-      val values = run(input)
+      val values = runRows(input)
       val schema = StructType(out.map { case (n, t) => StructField(n, t) })
       val scan: Scan = new LocalScan {
         override def rows(): Array[InternalRow] =
-          Array(new GenericInternalRow(values.toArray))
+          values.map(r => new GenericInternalRow(r.toArray): InternalRow).toArray
         override def readSchema(): StructType = schema
       }
       Collections.singletonList(scan).iterator()
@@ -192,6 +196,98 @@ object GraftProcedures {
         def run(a: InternalRow): Seq[Any] = {
           val t = table(a).writePartitionStats(spark)
           Seq(str(t.metadata.partitionStatistics.lastOption
+            .map(_.statisticsPath).getOrElse("")))
+        }
+      })
+      case "cherrypick_snapshot" => Some(new Proc(catalog, name,
+          Seq("table" -> StringType, "snapshot_id" -> LongType),
+          Seq("source_snapshot_id" -> LongType,
+            "current_snapshot_id" -> LongType)) {
+        def run(a: InternalRow): Seq[Any] = {
+          val src = a.getLong(1)
+          val cur = table(a).cherrypick(src)
+            .metadata.currentSnapshotId.getOrElse(-1L)
+          Seq(src, cur)
+        }
+      })
+      case "set_current_snapshot" => Some(new Proc(catalog, name,
+          Seq("table" -> StringType, "snapshot_id" -> LongType),
+          Seq("previous_snapshot_id" -> LongType,
+            "current_snapshot_id" -> LongType)) {
+        // Iceberg's set_current_snapshot: rollbackTo already moves the
+        // head to ANY existing snapshot (forward or back), which is the
+        // whole contract — the separate name is the Java procedure surface
+        def run(a: InternalRow): Seq[Any] = {
+          val t = table(a)
+          val prev = t.metadata.currentSnapshotId.getOrElse(-1L)
+          val cur = t.rollbackTo(a.getLong(1))
+            .metadata.currentSnapshotId.getOrElse(-1L)
+          Seq(prev, cur)
+        }
+      })
+      case "rewrite_position_delete_files" => Some(new Proc(catalog, name,
+          Seq("table" -> StringType),
+          Seq("rewritten_delete_files_count" -> IntegerType,
+            "added_delete_files_count" -> IntegerType)) {
+        def run(a: InternalRow): Seq[Any] = {
+          val t = table(a).rewritePositionDeletes(spark)
+          val s = t.metadata.currentSnapshot.map(_.summary).getOrElse(Map.empty)
+          Seq(s.getOrElse("rewritten-delete-files", "0").toInt,
+            s.getOrElse("added-delete-files", "0").toInt)
+        }
+      })
+      case "ancestors_of" => Some(new Proc(catalog, name,
+          Seq("table" -> StringType),
+          Seq("snapshot_id" -> LongType, "timestamp_ms" -> LongType)) {
+        def run(a: InternalRow): Seq[Any] = Nil
+        override def runRows(a: InternalRow): Seq[Seq[Any]] = {
+          val md = table(a).metadata
+          val byId = md.snapshots.map(s => s.snapshotId -> s).toMap
+          Iterator.iterate(md.currentSnapshotId.flatMap(byId.get))(
+            _.flatMap(_.parentSnapshotId).flatMap(byId.get))
+            .takeWhile(_.isDefined).flatten
+            .map(s => Seq[Any](s.snapshotId, s.timestampMs)).toSeq
+        }
+      })
+      case "register_table" => Some(new Proc(catalog, name,
+          Seq("table" -> StringType, "metadata_file" -> StringType),
+          Seq("current_snapshot_id" -> LongType, "total_records" -> LongType)) {
+        def run(a: InternalRow): Seq[Any] = {
+          val md = catalog.registerTable(a.getUTF8String(0).toString,
+            a.getUTF8String(1).toString)
+          Seq(md.currentSnapshotId.getOrElse(-1L),
+            md.currentSnapshot.flatMap(_.summary.get("total-records"))
+              .map(_.toLong).getOrElse(-1L))
+        }
+      })
+      case "add_files" => Some(new Proc(catalog, name,
+          Seq("table" -> StringType, "source_dir" -> StringType),
+          Seq("added_files_count" -> IntegerType)) {
+        // Iceberg's add_files migration procedure, directory form: adopt
+        // every parquet file under source_dir in place (no copy)
+        def run(a: InternalRow): Seq[Any] = {
+          val t = table(a)
+          val paths = t.io.listFiles(a.getUTF8String(1).toString)
+            .map(_._1).filter(_.endsWith(".parquet")).sorted
+          t.addFiles(spark, paths)
+          Seq(paths.size)
+        }
+      })
+      case "compute_table_stats" => Some(new Proc(catalog, name,
+          Seq("table" -> StringType, "columns" -> StringType),
+          Seq("statistics_path" -> StringType)) {
+        // Java's compute_table_stats: NDV sketches per column into a
+        // Puffin statistics file registered in table metadata
+        def run(a: InternalRow): Seq[Any] = {
+          val t = table(a)
+          val cols0 = a.getUTF8String(1).toString
+          val cols =
+            if (cols0.isEmpty)
+              t.schema.fields.filter(_.fieldType.isPrimitive).map(_.name)
+            else cols0.split(",").map(_.trim).toSeq
+          val (withStats, _) =
+            graft.puffin.Sketches.writeDistinctStats(t, spark, cols)
+          Seq(str(withStats.metadata.statistics.lastOption
             .map(_.statisticsPath).getOrElse("")))
         }
       })

@@ -233,15 +233,6 @@ object Commits {
       }
     }
 
-  /** One snapshot commit with optimistic retry. `manifests` is re-invoked
-    * per attempt against the refreshed base and must return the FULL new
-    * manifest list.
-    *
-    * With `branch` set, the commit targets that ref instead of the main
-    * line (write-audit-publish staging): the new snapshot's parent and
-    * manifest base are the BRANCH head, the ref moves to the new
-    * snapshot, and `current-snapshot-id` / `snapshot-log` are untouched —
-    * readers of the table see nothing until a fast-forward publish. */
   /** Spec id of an unpartitioned spec in `md`, registering one (fresh id)
     * when the table has none. Engine-global delete files are written under
     * it: the reference scopes equality deletes as global iff their spec has
@@ -255,6 +246,15 @@ object Commits {
         (md.copy(partitionSpecs = md.partitionSpecs :+ PartitionSpec(id, Nil)), id)
     }
 
+  /** One snapshot commit with optimistic retry. `manifests` is re-invoked
+    * per attempt against the refreshed base and must return the FULL new
+    * manifest list.
+    *
+    * With `branch` set, the commit targets that ref instead of the main
+    * line (write-audit-publish staging): the new snapshot's parent and
+    * manifest base are the BRANCH head, the ref moves to the new
+    * snapshot, and `current-snapshot-id` / `snapshot-log` are untouched —
+    * readers of the table see nothing until a fast-forward publish. */
   def commit(table: GraftTable, operation: String, commitUuid: String,
       extraSummary: Map[String, String] = Map.empty,
       branch: Option[String] = None,

@@ -355,7 +355,7 @@ object DeleteWriter {
   /** Footer-only row count (delete commits write few files; driver-side).
     * HadoopReadOptions resolves decryption via the crypto factory when the
     * table is encrypted. */
-  private def countRows(path: String, encConf: Map[String, String] = Map.empty): Long = {
+  private[table] def countRows(path: String, encConf: Map[String, String] = Map.empty): Long = {
     val conf = new Configuration()
     encConf.foreach { case (k, v) => conf.set(k, v) }
     val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(path), conf),

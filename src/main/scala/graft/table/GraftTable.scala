@@ -109,6 +109,15 @@ final class GraftTable(
   def rollbackTo(snapshotId: Long): GraftTable =
     Maintenance.rollbackTo(this, snapshotId)
 
+  /** Re-commit an append snapshot's files onto the current head
+    * (write-audit-publish when fast-forward is impossible). */
+  def cherrypick(snapshotId: Long): GraftTable =
+    Maintenance.cherrypickSnapshot(this, snapshotId)
+
+  /** Compact position-delete files, dropping dangling rows. */
+  def rewritePositionDeletes(spark: SparkSession): GraftTable =
+    Maintenance.rewritePositionDeletes(this, spark)
+
   /** Schema-evolution builder (metadata-only commit;
     * transaction/update_schema.rs:116-147). */
   def updateSchema(): UpdateSchema = new UpdateSchema(this)

@@ -268,6 +268,173 @@ object Maintenance {
   /** Roll the table back to an earlier snapshot (set-current-snapshot /
     * rollback action): metadata-only, the abandoned snapshots stay until
     * expire. */
+  /** Cherry-pick an APPEND snapshot onto the current head (Java
+    * ManageSnapshots.cherrypick; the write-audit-publish path when main
+    * has advanced past the staged snapshot's parent so a fast-forward is
+    * impossible). The source snapshot's added data files are re-committed
+    * as a NEW append whose parent is the current snapshot — history is
+    * not rewritten and the source snapshot stays in place. No-op when the
+    * source is already an ancestor of the head. Non-append operations are
+    * refused: replace/delete semantics depend on the exact base they were
+    * staged against and cannot be replayed safely. */
+  def cherrypickSnapshot(table: GraftTable, snapshotId: Long): GraftTable = {
+    val md = table.metadata
+    val src = md.snapshotById(snapshotId).getOrElse(
+      throw new IllegalArgumentException(s"snapshot $snapshotId not found"))
+    require(src.operation == "append",
+      s"cherry-pick supports append snapshots only, not '${src.operation}'")
+    val byId = md.snapshots.map(s => s.snapshotId -> s).toMap
+    val ancestors = Iterator.iterate(md.currentSnapshotId.flatMap(byId.get))(
+      _.flatMap(_.parentSnapshotId).flatMap(byId.get))
+      .takeWhile(_.isDefined).flatten.toSeq
+    // already published: either literally an ancestor, or an ancestor IS a
+    // cherry-pick of it (the re-commit carries a fresh snapshot id, so raw
+    // ancestry alone would re-publish the same files — Java's wap guard)
+    val published = ancestors.exists(s => s.snapshotId == snapshotId ||
+      s.summary.get("source-snapshot-id").contains(snapshotId.toString))
+    if (published) return table
+
+    // files ADDED by the source snapshot, grouped by their spec
+    val srcManifests = ManifestIO
+      .readManifestList(table.io, src.manifestList, Commits.partTypes(md))
+      .filter(m => m.content == ManifestContent.Data &&
+        m.addedSnapshotId == snapshotId)
+    val bySpec: Seq[(Int, Seq[DataFile])] = srcManifests.flatMap { m =>
+      val spec = md.specById(m.partitionSpecId).getOrElse(md.defaultSpec)
+      ManifestIO.readManifest(table.io, m.manifestPath, md.currentSchema, spec)
+        .filter(e => e.status == ManifestStatus.Added &&
+          e.snapshotId.contains(snapshotId))
+        .map(e => m.partitionSpecId -> e.dataFile)
+    }.groupBy(_._1).view.mapValues(_.map(_._2)).toSeq.sortBy(_._1)
+    require(bySpec.nonEmpty, s"snapshot $snapshotId added no data files")
+
+    val commitUuid = UUID.randomUUID().toString
+    val summary = Map("source-snapshot-id" -> snapshotId.toString) ++
+      src.summary.get("wap.id").map("published-wap-id" -> _)
+    Commits.commit(table, "append", commitUuid, summary) { (base, seq, newId) =>
+      val fresh = bySpec.zipWithIndex.map { case ((sid, files), i) =>
+        val spec = base.partitionSpecs.find(_.specId == sid)
+          .getOrElse(base.defaultSpec)
+        val entries = files.map(f => ManifestEntry(ManifestStatus.Added,
+          Some(newId), Some(seq), Some(seq), f))
+        Commits.writeManifest(table.io, base, s"$commitUuid-cp$i", entries,
+          base.currentSchema, spec, ManifestContent.Data, newId, seq)
+      }
+      fresh ++ Commits.baseManifests(table.io, base)
+    }
+  }
+
+  /** Compact position-delete parquet files and drop DANGLING delete rows
+    * (Java's rewrite_position_delete_files + remove_dangling_deletes,
+    * tracked as planned surface by the reference). Every alive parquet
+    * pos-delete file is read DISTRIBUTED; rows whose referenced data file
+    * is no longer alive in the current snapshot are discarded; survivors
+    * are rewritten clustered and sorted by (file_path, pos) and committed
+    * as a `replace` snapshot that tombstones all source delete files.
+    * Deletion vectors (PUFFIN) are already one-per-data-file and supersede
+    * on write; equality deletes bind by key, not path — both pass through
+    * untouched. The compacted entries PRESERVE the sources' max data
+    * sequence number so MoR scoping is unchanged.
+    *
+    * Scale shape: delete rows never touch the driver — a DataFrame read,
+    * one broadcast semi-join against the alive-path list, one range
+    * shuffle for the sorted write. A long-lived MoR table accretes one
+    * delete file per commit; this folds them to ~target-sized files so
+    * scans stop stacking reader-side delete loads. */
+  def rewritePositionDeletes(table: GraftTable, spark: SparkSession,
+      targetFileSizeBytes: Long = 64L << 20): GraftTable = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val sources = table.newScan().planDeletes().filter(d =>
+      d.file.content == FileContent.PositionDeletes &&
+        d.file.fileFormat != "PUFFIN")
+    if (sources.isEmpty) return table
+    val baseSnapshotId = table.metadata.currentSnapshotId
+    val encConf = graft.crypto.Encryption.confFor(table.metadata.properties)
+
+    // alive data-file paths in BOTH forms delete rows may carry: as the
+    // manifests record them AND filesystem-qualified (this engine's delta
+    // writer stores the reader's qualified `_file`, e.g. file:/…)
+    def qualify(p: String): String = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      table.io.fs(p).makeQualified(hp).toString
+    }
+    val alive0 = table.newScan().planFiles().map(_.file.filePath)
+    val alive = (alive0 ++ alive0.map(qualify)).distinct
+    val session = spark
+    import session.implicits._
+    val aliveDf = alive.toDF("file_path")
+
+    val totalBytes = sources.map(_.file.fileSizeInBytes).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileSizeBytes).toInt)
+    val survivors = spark.read.options(encConf)
+      .parquet(sources.map(_.file.filePath): _*)
+      .select("file_path", "pos")
+      .join(broadcast(aliveDf), Seq("file_path"), "left_semi")
+      .repartitionByRange(nOut, col("file_path"), col("pos"))
+      .sortWithinPartitions("file_path", "pos")
+
+    val commitUuid = UUID.randomUUID().toString
+    val outDir = Locations.commitDir(table, "deletes", commitUuid)
+    survivors.write.options(encConf).option("compression", "zstd").parquet(outDir)
+    val written = table.io.listFiles(outDir).filter(_._1.endsWith(".parquet"))
+    val maxSeq = sources.map(_.sequenceNumber).max
+    val compacted = written.map { case (p, len) =>
+      DataFile(
+        content = FileContent.PositionDeletes,
+        filePath = p,
+        fileFormat = "PARQUET",
+        partition = Nil, // global: committed under the unpartitioned spec
+        recordCount = DeleteWriter.countRows(p, encConf),
+        fileSizeInBytes = len)
+    }.filter(_.recordCount > 0)
+
+    val sourcePaths = sources.map(_.file.filePath).toSet
+    Commits.commit(table, "replace", commitUuid, Map(
+      "rewritten-delete-files" -> sources.size.toString,
+      "added-delete-files" -> compacted.size.toString),
+      prepare = m => Commits.ensureUnpartitionedSpec(m)._1) { (base, seq, snapshotId) =>
+      // concurrent appends pass through; any concurrent replace/delete may
+      // have moved rows our surviving positions address — abort and rerun
+      Commits.validateReplace(table.io, base, baseSnapshotId, Set.empty,
+        None, table.schema, failOnNewReplaceOps = true)
+      val kept = Commits.baseManifests(table.io, base).map { m =>
+        if (m.content != ManifestContent.Deletes) m
+        else {
+          val spec = base.partitionSpecs.find(_.specId == m.partitionSpecId)
+            .getOrElse(base.defaultSpec)
+          val entries = ManifestIO.readManifest(table.io, m.manifestPath,
+            base.currentSchema, spec)
+          if (!entries.exists(e => e.isAlive && sourcePaths(e.dataFile.filePath))) m
+          else {
+            val rewrittenEntries = entries.filter(_.isAlive).map { e =>
+              val resolvedSeq = e.sequenceNumber.orElse(Some(m.sequenceNumber))
+              if (sourcePaths(e.dataFile.filePath))
+                e.copy(status = ManifestStatus.Deleted,
+                  snapshotId = Some(snapshotId), sequenceNumber = resolvedSeq)
+              else e.copy(status = ManifestStatus.Existing,
+                sequenceNumber = resolvedSeq)
+            }
+            Commits.writeManifest(table.io, base,
+              s"$commitUuid-pdrw${m.manifestPath.hashCode.abs}", rewrittenEntries,
+              base.currentSchema, spec, ManifestContent.Deletes, snapshotId, seq)
+          }
+        }
+      }
+      val added =
+        if (compacted.isEmpty) Nil
+        else {
+          // data sequence PRESERVED (max of sources): a fresh seq would
+          // re-scope the deletes onto files written after the sources
+          val entries = compacted.map(f => ManifestEntry(ManifestStatus.Added,
+            Some(snapshotId), Some(maxSeq), Some(seq), f))
+          Seq(Commits.writeManifest(table.io, base, s"$commitUuid-pd0", entries,
+            base.currentSchema, base.partitionSpecs.find(_.fields.isEmpty).get,
+            ManifestContent.Deletes, snapshotId, seq))
+        }
+      added ++ kept
+    }
+  }
+
   def rollbackTo(table: GraftTable, snapshotId: Long): GraftTable =
     CommitRetry.run(table.catalog, table.name) { (base, _) =>
       require(base.snapshotById(snapshotId).isDefined, s"snapshot $snapshotId not found")

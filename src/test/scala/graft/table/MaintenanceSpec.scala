@@ -7,6 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.catalog.HadoopCatalog
 import graft.expr.Predicate
 import graft.io.FileIO
+import graft.meta.FileContent
 import graft.spec._
 
 class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
@@ -28,6 +29,97 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
   private def catalog = new HadoopCatalog(wh, FileIO.fromSpark(spark))
+
+  test("cherrypick publishes a staged append after main advanced") {
+    val ss = spark; import ss.implicits._
+    val schema = IcebergSchema(0, Seq(
+      NestedField(1, "id", IcebergType.LongT, required = false),
+      NestedField(2, "v", IcebergType.StringT, required = false)))
+    var t = GraftTable.create("cherry", catalog, schema)
+    t = t.append(Seq((1L, "base")).toDF("id", "v"))
+
+    // stage an audit append on a branch, then advance MAIN independently —
+    // fast-forward is now impossible (diverged), cherry-pick is the publish
+    t = t.createBranch("audit")
+    t = t.appendToBranch(Seq((2L, "staged")).toDF("id", "v"), "audit")
+    val staged = t.metadata.refs("audit").snapshotId
+    t = t.append(Seq((3L, "mainline")).toDF("id", "v"))
+    intercept[IllegalArgumentException](t.publish("audit"))
+
+    t = t.cherrypick(staged)
+    val got = t.newScan().toDF(spark).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got === Seq((1L, "base"), (2L, "staged"), (3L, "mainline")))
+    val snap = t.metadata.currentSnapshot.get
+    assert(snap.operation === "append")
+    assert(snap.summary.get("source-snapshot-id").contains(staged.toString))
+
+    // already an ancestor → no-op; non-append snapshots are refused
+    assert(t.cherrypick(staged).metadata.currentSnapshotId ===
+      t.metadata.currentSnapshotId)
+    t = t.deleteWhere(Predicate.eqTo("id", 3L), spark)
+    val delSnap = t.metadata.currentSnapshotId.get
+    t = t.rollbackTo(snap.snapshotId)
+    intercept[IllegalArgumentException](t.cherrypick(delSnap))
+  }
+
+  test("rewritePositionDeletes compacts delete files and drops dangling rows") {
+    val src = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val schema = IcebergSchema.fromSpark(src.schema)
+    var t = GraftTable.create("orders_pdrw", catalog, schema)
+    t = t.append(src.filter("o_orderkey % 2 = 0"))
+    t = t.append(src.filter("o_orderkey % 2 = 1"))
+    // three separate delete commits → three (or more) pos-delete files
+    t = t.deleteWhere(Predicate.gt("o_totalprice", 250000.0), spark)
+    t = t.deleteWhere(Predicate.eqTo("o_orderstatus", "F"), spark)
+    t = t.deleteWhere(Predicate.lt("o_totalprice", 1000.0), spark)
+    def posFiles(tb: GraftTable) = tb.newScan().planDeletes().filter(d =>
+      d.file.content == FileContent.PositionDeletes && d.file.fileFormat != "PUFFIN")
+    val before = posFiles(t)
+    assert(before.size >= 3, s"expected ≥3 pos-delete files, got ${before.size}")
+    val expected = t.newScan().toDF(spark).collect().toSeq
+
+    // plant a DANGLING delete row: references a data file that is not
+    // alive (foreign engines leave these behind after compactions)
+    val ss = spark; import ss.implicits._
+    t = {
+      val rows = Seq((s"${t.location}/data/no-such-file.parquet", 0L))
+        .toDF("file_path", "pos")
+      val dir = s"${t.location}/data/dangling"
+      rows.write.parquet(dir)
+      val (p, len) = t.io.listFiles(dir).filter(_._1.endsWith(".parquet")).head
+      val df = graft.meta.DataFile(content = FileContent.PositionDeletes,
+        filePath = p, fileFormat = "PARQUET", partition = Nil,
+        recordCount = 1L, fileSizeInBytes = len)
+      val uuid = java.util.UUID.randomUUID().toString
+      Commits.commit(t, "delete", uuid, Map.empty,
+        prepare = m => Commits.ensureUnpartitionedSpec(m)._1) { (base, seq, snapId) =>
+        val e = graft.meta.ManifestEntry(graft.meta.ManifestStatus.Added,
+          Some(snapId), Some(seq), Some(seq), df)
+        Commits.writeManifest(t.io, base, s"$uuid-d0", Seq(e),
+          base.currentSchema, base.partitionSpecs.find(_.fields.isEmpty).get,
+          graft.meta.ManifestContent.Deletes, snapId, seq) +:
+          Commits.baseManifests(t.io, base)
+      }
+    }
+    val totalRowsBefore = posFiles(t).map(_.file.recordCount).sum
+
+    t = t.rewritePositionDeletes(spark)
+    assert(t.metadata.currentSnapshot.get.operation === "replace")
+    val after = posFiles(t)
+    assert(after.size < before.size + 1,
+      s"compaction must reduce delete-file count: ${before.size + 1} -> ${after.size}")
+    // the planted dangling row is GONE from the compacted set
+    assert(after.map(_.file.recordCount).sum === totalRowsBefore - 1,
+      "dangling delete row must be dropped")
+    // preserved data sequence: compacted deletes still apply to all data
+    val got = t.newScan().toDF(spark).collect().toSeq
+    assert(got.size === expected.size)
+    assert(got.toSet === expected.toSet)
+    // rows appended AFTER the rewrite are untouched by the old deletes
+    t = t.append(src.filter("o_totalprice > 250000.0").limit(5))
+    assert(t.newScan().toDF(spark).count() === expected.size + 5)
+  }
 
   test("compaction folds deletes in, drops file count, preserves rows") {
     val src = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
