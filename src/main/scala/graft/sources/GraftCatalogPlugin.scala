@@ -293,13 +293,21 @@ final class GraftMetadataSparkTable(table: GraftTable, metaName: String)
       case "snapshots" => table.snapshotsDf(spark)
       case "manifests" => table.manifestsDf(spark)
       case "history" => table.historyDf(spark)
-      case "files" => table.filesDf(spark)
+      case "files" | "data_files" => table.filesDf(spark)
+      case "delete_files" => table.deleteFilesDf(spark)
+      case "position_deletes" => table.positionDeletesDf(spark)
       case "entries" => table.entriesDf(spark)
       case "partitions" => table.partitionsDf(spark)
       case "refs" => table.refsDf(spark)
       case "metadata_log_entries" => table.metadataLogEntriesDf(spark)
       case "all_manifests" => table.allManifestsDf(spark)
       case "all_files" => table.allFilesDf(spark)
+      case "all_data_files" =>
+        table.allFilesDf(spark).filter(org.apache.spark.sql.functions
+          .col("content") === graft.meta.FileContent.Data)
+      case "all_delete_files" =>
+        table.allFilesDf(spark).filter(org.apache.spark.sql.functions
+          .col("content") =!= graft.meta.FileContent.Data)
       case "all_entries" => table.allEntriesDf(spark)
       case other => throw new IllegalArgumentException(s"no metadata table $other")
     }
@@ -331,8 +339,10 @@ final class GraftMetadataSparkTable(table: GraftTable, metaName: String)
 
 object GraftMetadataSparkTable {
   val Names: Set[String] = Set("snapshots", "manifests", "history", "files",
+    "data_files", "delete_files", "position_deletes",
     "entries", "partitions", "refs", "metadata_log_entries",
-    "all_manifests", "all_files", "all_entries")
+    "all_manifests", "all_files", "all_data_files", "all_delete_files",
+    "all_entries")
 }
 
 final class GraftSparkView(viewName: String, md: graft.spec.ViewMetadata) extends View {

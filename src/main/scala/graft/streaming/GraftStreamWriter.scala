@@ -58,12 +58,48 @@ object GraftStreamWriter {
   def commitBatch(tableName: String, catalog: Catalog, batch: DataFrame,
       queryId: String, batchId: Long): GraftTable = {
     val table = GraftTable.load(tableName, catalog)
-    val alreadyCommitted = table.metadata.snapshots
+    if (alreadyCommitted(table, queryId, batchId)) table
+    else AppendWriter.append(table, batch,
+      Map(QueryIdKey -> queryId, BatchIdKey -> batchId.toString))
+  }
+
+  private def alreadyCommitted(table: GraftTable, queryId: String,
+      batchId: Long): Boolean =
+    table.metadata.snapshots
       .filter(_.summary.get(QueryIdKey).contains(queryId))
       .flatMap(_.summary.get(BatchIdKey))
       .exists(_.toLong >= batchId)
-    if (alreadyCommitted) table
-    else AppendWriter.append(table, batch,
+
+  /** UPSERT-mode streaming sink (Flink's `upsert=true` shape): each
+    * micro-batch lands as ONE atomic eq-delete+append commit on
+    * `keyCols` — a key seen again replaces its earlier row; a key never
+    * seen inserts. Within one micro-batch duplicate keys collapse first
+    * (`dropDuplicates` — micro-batches carry no row order, so upstream
+    * should pre-aggregate if last-event-wins matters). Same
+    * (queryId, batchId) exactly-once replay skip as the append sink. */
+  def startUpsert(stream: DataFrame, tableName: String, catalog: Catalog,
+      keyCols: Seq[String], checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val queryId = Option(batch.sparkSession.sparkContext.getLocalProperty(
+          "sql.streaming.queryId")).getOrElse(
+          throw new IllegalStateException(
+            "sql.streaming.queryId local property unset inside foreachBatch; " +
+              "cannot establish an exactly-once commit key"))
+        commitUpsertBatch(tableName, catalog, batch, keyCols, queryId, batchId)
+        ()
+      }
+      .start()
+
+  def commitUpsertBatch(tableName: String, catalog: Catalog, batch: DataFrame,
+      keyCols: Seq[String], queryId: String, batchId: Long): GraftTable = {
+    val table = GraftTable.load(tableName, catalog)
+    if (alreadyCommitted(table, queryId, batchId)) table
+    else graft.table.DeleteWriter.upsert(table,
+      batch.dropDuplicates(keyCols), keyCols, batch.sparkSession,
       Map(QueryIdKey -> queryId, BatchIdKey -> batchId.toString))
   }
 }

@@ -290,6 +290,70 @@ object DeleteWriter {
     }
   }
 
+  /** Atomic UPSERT (the Flink/iceberg upsert-mode commit shape): ONE
+    * `overwrite` snapshot carrying an equality delete on `keyCols` for
+    * every incoming key AND the incoming rows as new data files, both at
+    * the commit's sequence number. Old rows with matching keys sit at a
+    * LOWER data sequence and fall to the delete; the new rows share the
+    * delete's sequence and survive (eq deletes bind strictly to
+    * seq < delete_seq); a reader can never observe the delete without
+    * the insert. Rows with a NULL key are plain inserts (null never
+    * matches an equality delete — spec rule), mirroring Flink.
+    *
+    * 100 TB shape: the data write is the fanout append path; the delete
+    * side writes only the (distinct) key columns. No read of the
+    * existing table at all — cheaper than MERGE for pure upserts since
+    * no target files are scanned or rewritten; scans pay one eq-delete
+    * load until compaction folds it. */
+  def upsert(table: GraftTable, df: DataFrame, keyCols: Seq[String],
+      spark: SparkSession,
+      extraSummary: Map[String, String] = Map.empty): GraftTable = {
+    val ids = keyCols.map(n => table.schema.findField(n).getOrElse(
+      throw new IllegalArgumentException(s"unknown upsert key column: $n")).id)
+    val commitUuid = UUID.randomUUID().toString
+    val dataFiles = AppendWriter.writeDataFiles(table, df, commitUuid)
+    if (dataFiles.isEmpty) return table
+
+    val encConf = graft.crypto.Encryption.confFor(table.metadata.properties)
+    val delDir = Locations.commitDir(table, "deletes", commitUuid)
+    df.select(keyCols.map(col): _*).na.drop("any", keyCols).distinct()
+      .write.options(encConf).option("compression", "zstd").parquet(delDir)
+    val delFiles = table.io.listFiles(delDir).filter(_._1.endsWith(".parquet"))
+      .map { case (p, len) =>
+        DataFile(
+          content = FileContent.EqualityDeletes,
+          filePath = p,
+          fileFormat = "PARQUET",
+          partition = Nil, // global: committed under the unpartitioned spec
+          recordCount = countRows(p, encConf),
+          fileSizeInBytes = len,
+          equalityIds = ids)
+      }.filter(_.recordCount > 0)
+
+    Commits.commit(table, "overwrite", commitUuid, extraSummary ++ Map(
+      "added-data-files" -> dataFiles.size.toString,
+      "added-records" -> dataFiles.map(_.recordCount).sum.toString,
+      "added-delete-files" -> delFiles.size.toString),
+      prepare = md => Commits.ensureUnpartitionedSpec(md)._1) { (base, seq, snapshotId) =>
+      val dataEntries = dataFiles.map(f => ManifestEntry(ManifestStatus.Added,
+        Some(snapshotId), Some(seq), Some(seq), f))
+      val dataM = Commits.writeManifest(table.io, base, s"$commitUuid-m0",
+        dataEntries, table.schema, table.spec, ManifestContent.Data,
+        snapshotId, seq)
+      val delM =
+        if (delFiles.isEmpty) Nil
+        else {
+          val delEntries = delFiles.map(f => ManifestEntry(ManifestStatus.Added,
+            Some(snapshotId), Some(seq), Some(seq), f))
+          Seq(Commits.writeManifest(table.io, base, s"$commitUuid-d0",
+            delEntries, table.schema,
+            base.partitionSpecs.find(_.fields.isEmpty).get,
+            ManifestContent.Deletes, snapshotId, seq))
+        }
+      (dataM +: delM) ++ Commits.baseManifests(table.io, base)
+    }
+  }
+
   /** Equality-delete commit: `keys` rows (columns = `keyCols`) mark any data
     * row with equal key values in earlier sequence numbers as deleted. */
   def equalityDelete(table: GraftTable, keys: DataFrame, keyCols: Seq[String],

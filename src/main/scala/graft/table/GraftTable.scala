@@ -67,6 +67,11 @@ final class GraftTable(
   def equalityDelete(keys: DataFrame, keyCols: Seq[String]): GraftTable =
     DeleteWriter.equalityDelete(this, keys, keyCols, keys.sparkSession)
 
+  /** Atomic upsert: equality delete on `keyCols` + append of `df` in ONE
+    * snapshot (the Flink upsert-mode commit shape). */
+  def upsert(df: DataFrame, keyCols: Seq[String]): GraftTable =
+    DeleteWriter.upsert(this, df, keyCols, df.sparkSession)
+
   /** Atomic OVERWRITE WHERE: delete matching rows + insert replacement
     * in one snapshot (copy-on-write). */
   def overwriteWhere(p: Predicate, replacement: DataFrame,
@@ -261,6 +266,57 @@ final class GraftTable(
       (t.file.filePath, t.file.content, t.file.recordCount, t.file.fileSizeInBytes,
         spec.partitionPath(t.file.partition))
     }.toDF("file_path", "content", "record_count", "file_size_in_bytes", "partition")
+  }
+
+  /** delete_files inspect table (Java's delete_files — `files` lists the
+    * data side): one row per alive delete file in the current snapshot. */
+  def deleteFilesDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    newScan().planDeletes().map { d =>
+      (d.file.filePath, d.file.content, d.file.fileFormat,
+        d.file.recordCount, d.file.fileSizeInBytes, d.specId,
+        d.sequenceNumber, d.file.equalityIds)
+    }.toDF("file_path", "content", "file_format", "record_count",
+      "file_size_in_bytes", "spec_id", "sequence_number", "equality_ids")
+  }
+
+  /** position_deletes inspect table (Java's position_deletes): the actual
+    * delete ROWS across formats — parquet pos-delete files are read
+    * DISTRIBUTED; DV bitmaps decode on executors (same shape as the MoR
+    * read path, no positions ever materialize on the driver). */
+  def positionDeletesDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, input_file_name, lit}
+    val deletes = newScan().planDeletes()
+      .filter(_.file.content == FileContent.PositionDeletes)
+    val (dvs, parquets) = deletes.partition(_.file.fileFormat == "PUFFIN")
+    val empty = Seq.empty[(String, Long, String)]
+      .toDF("file_path", "pos", "delete_file_path")
+    val enc = graft.crypto.Encryption.confFor(metadata.properties)
+    val pdf =
+      if (parquets.isEmpty) empty
+      else spark.read.options(enc).parquet(parquets.map(_.file.filePath): _*)
+        .select(col("file_path"), col("pos"),
+          input_file_name().as("delete_file_path"))
+    val ddf =
+      if (dvs.isEmpty) empty
+      else {
+        val descriptors = dvs.flatMap(d => d.file.referencedDataFile.map(ref =>
+          (d.file.filePath, d.file.contentOffset.getOrElse(0L),
+            d.file.contentSizeInBytes.getOrElse(0L), ref)))
+        spark.sparkContext
+          .parallelize(descriptors, math.max(1, math.min(descriptors.size, 64)))
+          .flatMap { case (puffin, offset, len, ref) =>
+            val io = new graft.io.FileIO(new org.apache.hadoop.conf.Configuration())
+            val meta = graft.puffin.Puffin.BlobMetadata(
+              graft.puffin.Puffin.DeletionVectorV1, Nil, 0L, 0L, offset, len,
+              Map.empty)
+            graft.puffin.Puffin.dvDeserialize(
+              graft.puffin.Puffin.readBlob(io, puffin, meta))
+              .iterator.map(pos => (ref, pos, puffin))
+          }.toDF("file_path", "pos", "delete_file_path")
+      }
+    pdf.union(ddf)
   }
 
   /** all_manifests: every manifest reachable from ANY snapshot (Iceberg's

@@ -54,6 +54,56 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batches.nonEmpty)
   }
 
+  test("upsert-mode stream: later batches replace keys, restart replays as no-ops") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val catalog = new HadoopCatalog(
+      java.nio.file.Files.createTempDirectory("graft-upstream-").toString,
+      FileIO.fromSpark(spark))
+    GraftTable.create("ust", catalog, schema)
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt-ups-").toString
+
+    val source = MemoryStream[(Long, Double)]
+    def start() = GraftStreamWriter.startUpsert(
+      source.toDF().toDF("id", "v"), "ust", catalog, Seq("id"), ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+
+    source.addData((1L, 0.5), (2L, 1.5))
+    val q = start()
+    q.processAllAvailable()
+    // batch 2: replace key 2, insert key 3
+    source.addData((2L, 9.5), (3L, 2.5))
+    q.processAllAvailable()
+    q.stop()
+
+    val t = GraftTable.load("ust", catalog)
+    val got = t.newScan().toDF(spark).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got === Set((1L, 0.5), (2L, 9.5), (3L, 2.5)),
+      "key 2 must carry the LATEST batch's value")
+    assert(t.metadata.currentSnapshot.get.operation === "overwrite")
+
+    // restart on the same checkpoint: committed epochs replay as no-ops,
+    // fresh data upserts exactly once
+    val before = t.metadata.snapshots.size
+    val q2 = start()
+    source.addData((3L, 7.5))
+    q2.processAllAvailable()
+    q2.stop()
+    val after = GraftTable.load("ust", catalog)
+    assert(after.newScan().toDF(spark).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet ===
+      Set((1L, 0.5), (2L, 9.5), (3L, 7.5)))
+    assert(after.metadata.snapshots.size === before + 1,
+      "one new commit for the fresh batch, none for replays")
+
+    // direct failure-replay of an already-committed batch id is a no-op
+    val replayed = GraftStreamWriter.commitUpsertBatch("ust", catalog,
+      Seq((2L, 0.0)).toDF("id", "v"), Seq("id"),
+      queryId = q2.id.toString, batchId = 0)
+    assert(replayed.metadata.snapshots.size === before + 1)
+  }
+
   test("native DSv2 streaming sink: writeStream.format(graft) appends per epoch") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

@@ -164,6 +164,44 @@ class DeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
       "only the null-partition row may be deleted; p1's matching key survives")
   }
 
+  test("upsert: eq-delete + append in ONE atomic snapshot, null keys insert") {
+    val ss = spark; import ss.implicits._
+    val src = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)).toDF("id", "name", "v")
+    var t = GraftTable.create("ups", catalog, IcebergSchema.fromSpark(src.schema))
+    t = t.append(src)
+
+    // key 2 replaced, key 4 inserted, null-key row is a plain insert
+    val batch = Seq((2L, "b2", 21), (4L, "d", 40)).toDF("id", "name", "v")
+      .union(Seq((null.asInstanceOf[java.lang.Long], "nk", 50))
+        .toDF("id", "name", "v"))
+    val before = t.metadata.snapshots.size
+    t = t.upsert(batch, Seq("id"))
+
+    assert(t.metadata.snapshots.size === before + 1, "exactly ONE commit")
+    val snap = t.metadata.currentSnapshot.get
+    assert(snap.operation === "overwrite")
+    assert(snap.summary("added-delete-files").toInt >= 1)
+
+    val got = t.newScan().toDF(spark)
+      .collect().map(r => (Option(r.get(0)), r.getString(1), r.getInt(2))).toSet
+    assert(got === Set(
+      (Some(1L), "a", 10), (Some(2L), "b2", 21), (Some(3L), "c", 30),
+      (Some(4L), "d", 40), (None, "nk", 50)))
+
+    // a second upsert of the SAME key replaces the replacement (stacking
+    // eq deletes scope strictly by sequence number)
+    t = t.upsert(Seq((2L, "b3", 22)).toDF("id", "name", "v"), Seq("id"))
+    val v2 = t.newScan().toDF(spark).filter("id = 2")
+      .collect().map(r => (r.getString(1), r.getInt(2))).toSeq
+    assert(v2 === Seq(("b3", 22)))
+
+    // compaction folds the upsert deletes away; rows unchanged
+    val pre = t.newScan().toDF(spark).collect().toSet
+    t = t.rewriteDataFiles(spark)
+    assert(t.newScan().planDeletes().isEmpty)
+    assert(t.newScan().toDF(spark).collect().toSet === pre)
+  }
+
   test("position deletes: DELETE WHERE then scan == filtered source") {
     val src = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     val schema = IcebergSchema.fromSpark(src.schema)
