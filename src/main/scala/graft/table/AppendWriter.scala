@@ -408,12 +408,23 @@ object AppendWriter {
     * with the native DSv2 batch writer (GraftBatchWrite). */
   private[graft] def commitAppend(table: GraftTable, files: Seq[DataFile],
       commitUuid: String, extraSummary: Map[String, String] = Map.empty,
-      branch: Option[String] = None): GraftTable = {
-    val extra = extraSummary ++ Map(
+      branch: Option[String] = None): GraftTable =
+    Commits.commit(table, "append", commitUuid,
+      extraSummary ++ appendSummary(files), branch)(
+      appendManifests(table, files, commitUuid))
+
+  private[table] def appendSummary(files: Seq[DataFile]): Map[String, String] =
+    Map(
       "added-data-files" -> files.size.toString,
       "added-records" -> files.map(_.recordCount).sum.toString,
       "added-files-size" -> files.map(_.fileSizeInBytes).sum.toString)
-    Commits.commit(table, "append", commitUuid, extra, branch) { (base, seq, snapshotId) =>
+
+  /** Fast-append manifest builder, re-invoked per commit attempt: one new
+    * manifest prepended to the refreshed base's list. Shared by
+    * [[commitAppend]] and [[Transaction.fastAppend]]. */
+  private[table] def appendManifests(table: GraftTable, files: Seq[DataFile],
+      commitUuid: String): (graft.spec.TableMetadata, Long, Long) => Seq[graft.meta.ManifestFile] =
+    (base, seq, snapshotId) => {
       // v3 row lineage: each file takes a contiguous first_row_id block
       // from the refreshed base's nextRowId (re-derived per retry; the
       // commit bumps next-row-id by the same added-row total)
@@ -429,5 +440,4 @@ object AppendWriter {
         table.schema, table.spec, ManifestContent.Data, snapshotId, seq)
       m +: Commits.baseManifests(table.io, base)
     }
-  }
 }

@@ -260,10 +260,26 @@ object Commits {
       branch: Option[String] = None,
       prepare: TableMetadata => TableMetadata = identity)(
       manifests: (TableMetadata, Long, Long) => Seq[ManifestFile]): GraftTable = {
-    val io = table.io
     val snapshotId = math.abs(UUID.randomUUID().getMostSignificantBits)
+    graft.catalog.CommitRetry.run(table.catalog, table.name) { (base0raw, _) =>
+      (applyCommit(table, base0raw, operation, commitUuid, snapshotId,
+        extraSummary, branch, prepare)(manifests),
+        (_: Int) => table.refresh())
+    }
+  }
 
-    graft.catalog.CommitRetry.run(table.catalog, table.name) { (base0raw, version) =>
+  /** The body of one commit attempt: builds manifests + manifest list +
+    * snapshot against `base0raw` and returns the updated metadata WITHOUT
+    * touching the catalog. [[commit]] wraps it in the optimistic-retry
+    * loop; [[Transaction]] chains several of these (plus metadata-only
+    * actions) into one catalog swap. */
+  private[table] def applyCommit(table: GraftTable, base0raw: TableMetadata,
+      operation: String, commitUuid: String, snapshotId: Long,
+      extraSummary: Map[String, String], branch: Option[String],
+      prepare: TableMetadata => TableMetadata)(
+      manifests: (TableMetadata, Long, Long) => Seq[ManifestFile]): TableMetadata = {
+    val io = table.io
+    locally {
       // metadata-shaping the commit needs in place before manifests are
       // written (e.g. registering the unpartitioned spec for global
       // deletes) — applied per attempt so it sees the refreshed base
@@ -334,7 +350,7 @@ object Commits {
           nextRowId = base0.nextRowId + addedRows)
       }
 
-      (updated, (_: Int) => table.refresh())
+      updated
     }
   }
 }

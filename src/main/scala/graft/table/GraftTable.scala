@@ -25,6 +25,10 @@ final class GraftTable(
 
   def newScan(): TableScan = new TableScan(this)
 
+  /** Multi-action transaction: stage several actions, land them in ONE
+    * catalog swap (reference transaction/mod.rs). */
+  def newTransaction: Transaction = new Transaction(this)
+
   /** A read-only view of this table pinned at `snapshotId` — scans and
     * metadata tables see that snapshot as current (time travel; writes
     * are unaffected because commits re-load the live base via CAS). */

@@ -146,7 +146,22 @@ object Maintenance {
     */
   def expireSnapshots(table: GraftTable, olderThanMs: Long,
       retainLast: Int = 1, nowMs: Long = System.currentTimeMillis()): GraftTable = {
-    CommitRetry.run(table.catalog, table.name) { (base0, version) =>
+    CommitRetry.run(table.catalog, table.name) { (base0, _) =>
+      val (updated, toDelete) = expireTransform(base0, olderThanMs, retainLast, nowMs)
+      (updated, (_: Int) => {
+        toDelete.foreach(p => table.io.delete(p))
+        table.refresh()
+      })
+    }
+  }
+
+  /** The metadata transform of [[expireSnapshots]] plus the file paths
+    * (manifest lists, dangling statistics) to delete once the commit
+    * lands — shared with [[Transaction.expireSnapshots]]. */
+  private[table] def expireTransform(base0: graft.spec.TableMetadata,
+      olderThanMs: Long, retainLast: Int,
+      nowMs: Long): (graft.spec.TableMetadata, Seq[String]) = {
+    {
       // phase 1: age out refs (never main)
       val base = {
         val defaultRefAge = base0.properties.get("history.expire.max-ref-age-ms").map(_.toLong)
@@ -179,7 +194,7 @@ object Maintenance {
       val retained = retainedIds(base, retainLast) ++ branchRetained
       val (keep, expired) = base.snapshots.partition(s =>
         retained.contains(s.snapshotId) || s.timestampMs >= olderThanMs)
-      if (expired.isEmpty) (base, (_: Int) => table.refresh())
+      if (expired.isEmpty) (base, Nil)
       else {
         val expiredIds = expired.map(_.snapshotId).toSet
         // statistics registrations of expired snapshots are dangling —
@@ -194,12 +209,10 @@ object Maintenance {
           partitionStatistics =
             base.partitionStatistics.filterNot(s => expiredIds(s.snapshotId)),
           lastUpdatedMs = System.currentTimeMillis())
-        (updated, (_: Int) => {
-          expired.foreach(s => table.io.delete(s.manifestList))
-          droppedStats.foreach(s => table.io.delete(s.statisticsPath))
-          droppedPartStats.foreach(s => table.io.delete(s.statisticsPath))
-          table.refresh()
-        })
+        (updated,
+          expired.map(_.manifestList) ++
+            droppedStats.map(_.statisticsPath) ++
+            droppedPartStats.map(_.statisticsPath))
       }
     }
   }
