@@ -11,6 +11,15 @@ object FileContent {
   val EqualityDeletes = 2
 }
 
+/** Reserved field ids of the position-delete file schema (spec Appendix;
+  * metadata_columns.rs:84-87). Stats maps on pos-delete DataFiles key
+  * their `file_path` bounds by these, letting planners bind a delete
+  * file to the data files it can touch without opening it. */
+object ReservedFieldIds {
+  val FilePath: Int = Int.MaxValue - 101 // 2147483546, string
+  val Pos: Int = Int.MaxValue - 102 // 2147483545, long
+}
+
 final case class DataFile(
     content: Int,
     filePath: String,

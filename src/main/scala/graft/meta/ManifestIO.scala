@@ -20,6 +20,14 @@ import graft.spec.IcebergType._
   */
 object ManifestIO {
 
+  /** Bound types for the reserved position-delete schema ids, which are
+    * outside every table schema (ReservedFieldIds). */
+  private def reservedBoundType(id: Int): Option[IcebergType] = id match {
+    case ReservedFieldIds.FilePath => Some(StringT)
+    case ReservedFieldIds.Pos => Some(LongT)
+    case _ => None
+  }
+
   // ---------------- Avro schema construction ----------------
 
   private def nullable(s: Schema): Schema =
@@ -219,7 +227,10 @@ object ManifestIO {
       if (df.valueCounts.nonEmpty) dfRec.put("value_counts", kvRecords(kvSchema("value_counts"), df.valueCounts))
       if (df.nullValueCounts.nonEmpty) dfRec.put("null_value_counts", kvRecords(kvSchema("null_value_counts"), df.nullValueCounts))
       if (df.nanValueCounts.nonEmpty) dfRec.put("nan_value_counts", kvRecords(kvSchema("nan_value_counts"), df.nanValueCounts))
-      val boundType = (id: Int) => schema.idToField.get(id).map(_.fieldType)
+      // pos-delete files carry file_path/pos bounds under the reserved
+      // delete-schema ids, which are never in the table schema
+      val boundType = (id: Int) =>
+        schema.idToField.get(id).map(_.fieldType).orElse(reservedBoundType(id))
       if (df.lowerBounds.nonEmpty)
         dfRec.put("lower_bounds", kvBytesRecords(kvSchema("lower_bounds"),
           df.lowerBounds.flatMap { case (k, v) => boundType(k).map(t => k -> SingleValue.toBytes(t, v)) }))
@@ -297,8 +308,8 @@ object ManifestIO {
             a.asScala.flatMap { r0 =>
               val r = r0.asInstanceOf[GenericRecord]
               val id = r.get("key").asInstanceOf[Int]
-              schema.idToField.get(id).map(f =>
-                id -> SingleValue.fromBytes(f.fieldType, bytes(r.get("value"))))
+              schema.idToField.get(id).map(_.fieldType).orElse(reservedBoundType(id))
+                .map(t => id -> SingleValue.fromBytes(t, bytes(r.get("value"))))
             }.toMap
           case _ => Map.empty
         }

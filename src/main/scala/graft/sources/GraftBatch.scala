@@ -461,10 +461,12 @@ class GraftBatchScan(table: GraftTable, predicate: Predicate,
     val (allPlanned, planMetrics) = planCompact(scan)
     lastScanMetrics = Some(planMetrics)
     val deletes = scan.planDeletes()
-    val posParquet = deletes
-      .filter(d => d.file.content == FileContent.PositionDeletes &&
-        d.file.fileFormat != "PUFFIN")
-      .map(d => (d.file.filePath, d.file.fileSizeInBytes))
+    // pos-delete parquet is bound per data file through the
+    // DeleteFileIndex analogue (referenced-data-file + file_path bounds)
+    // instead of attaching every delete file to every task
+    val posIndex = new graft.table.PosDeleteIndex(
+      deletes.filter(d => d.file.content == FileContent.PositionDeletes &&
+        d.file.fileFormat != "PUFFIN"), qualify)
     val dvByFile: Map[String, (String, Long, Long)] = deletes
       .filter(d => d.file.content == FileContent.PositionDeletes &&
         d.file.fileFormat == "PUFFIN")
@@ -484,6 +486,8 @@ class GraftBatchScan(table: GraftTable, predicate: Predicate,
       val path = qualify(t.filePath)
       val size = t.fileSize
       val dv = dvByFile.get(path)
+      val posParquet = posIndex.candidatesFor(path)
+        .map(d => (d.file.filePath, d.file.fileSizeInBytes))
       val withDeletes = dv.isDefined || posParquet.nonEmpty
       // delete groups sequenced AFTER this file's rows (spec: data_seq <
       // delete_seq) whose partition scope covers this file

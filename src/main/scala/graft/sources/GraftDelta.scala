@@ -243,13 +243,17 @@ final class GraftDeltaWriter(
         w.close()
         val hp = new org.apache.hadoop.fs.Path(path)
         val len = hp.getFileSystem(conf.value).getFileStatus(hp).getLen
-        Seq(DataFile(
+        // the in-memory sort already yields the file_path bounds — no
+        // footer read; planners use them to bind this delete file to the
+        // data files it can touch
+        Seq(graft.table.DeleteWriter.withPathBounds(DataFile(
           content = FileContent.PositionDeletes,
           filePath = path,
           fileFormat = "PARQUET",
           partition = Nil, // global: committed under the unpartitioned spec
           recordCount = sorted.size.toLong,
-          fileSizeInBytes = len))
+          fileSizeInBytes = len),
+          Some((sorted.head._1, sorted.last._1))))
       }
     GraftDeltaCommitMessage(dataMsg.files, delFiles)
   }

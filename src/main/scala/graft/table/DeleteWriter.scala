@@ -103,13 +103,14 @@ object DeleteWriter {
     rows.write.options(encConf).option("compression", "zstd").parquet(outDir)
     val written = table.io.listFiles(outDir).filter(_._1.endsWith(".parquet"))
     written.map { case (p, len) =>
-      DataFile(
+      val (rows, bounds) = posDeleteStats(p, encConf)
+      withPathBounds(DataFile(
         content = FileContent.PositionDeletes,
         filePath = p,
         fileFormat = "PARQUET",
         partition = Nil, // global: committed under the unpartitioned spec
-        recordCount = countRows(p, encConf),
-        fileSizeInBytes = len)
+        recordCount = rows,
+        fileSizeInBytes = len), bounds)
     }.filter(_.recordCount > 0)
   }
 
@@ -383,14 +384,17 @@ object DeleteWriter {
     // spec having no fields; an all-null tuple under a partitioned spec
     // would scope them to the null partition for compliant readers
     val files = written.map { case (p, len) =>
-      DataFile(
+      val (rows, bounds) =
+        if (content == FileContent.PositionDeletes) posDeleteStats(p, encConf)
+        else (countRows(p, encConf), None)
+      withPathBounds(DataFile(
         content = content,
         filePath = p,
         fileFormat = "PARQUET",
         partition = Nil,
-        recordCount = countRows(p, encConf),
+        recordCount = rows,
         fileSizeInBytes = len,
-        equalityIds = equalityIds)
+        equalityIds = equalityIds), bounds)
     }.filter(_.recordCount > 0)
 
     Commits.commit(table, "delete", commitUuid,
@@ -425,5 +429,50 @@ object DeleteWriter {
     val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(path), conf),
       org.apache.parquet.HadoopReadOptions.builder(conf, new Path(path)).build())
     try r.getRecordCount finally r.close()
+  }
+
+  /** Footer-only (row count, file_path min/max) for a staged position-
+    * delete parquet file. The bounds key the DataFile's lower/upper maps
+    * under the reserved file_path field id so planners can bind the
+    * delete file to the data files it can touch without opening it
+    * (the reference's DeleteFileIndex evaluates delete files against
+    * data-file paths the same way). */
+  private[table] def posDeleteStats(path: String,
+      encConf: Map[String, String] = Map.empty): (Long, Option[(String, String)]) = {
+    val conf = new Configuration()
+    encConf.foreach { case (k, v) => conf.set(k, v) }
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(path), conf),
+      org.apache.parquet.HadoopReadOptions.builder(conf, new Path(path)).build())
+    try {
+      import scala.jdk.CollectionConverters._
+      var lo: String = null
+      var hi: String = null
+      r.getFooter.getBlocks.asScala.foreach { block =>
+        block.getColumns.asScala
+          .filter(_.getPath.toDotString == "file_path")
+          .foreach { c =>
+            val s = c.getStatistics
+            if (s != null && !s.isEmpty && s.hasNonNullValue) {
+              val mn = new String(s.getMinBytes, java.nio.charset.StandardCharsets.UTF_8)
+              val mx = new String(s.getMaxBytes, java.nio.charset.StandardCharsets.UTF_8)
+              if (lo == null || mn < lo) lo = mn
+              if (hi == null || mx > hi) hi = mx
+            }
+          }
+      }
+      (r.getRecordCount, Option(lo).zip(Option(hi)))
+    } finally r.close()
+  }
+
+  /** Attach file_path bounds (+ referenced-data-file when the whole file
+    * targets ONE data file) to a position-delete DataFile. */
+  private[graft] def withPathBounds(f: DataFile,
+      bounds: Option[(String, String)]): DataFile = bounds match {
+    case Some((lo, hi)) => f.copy(
+      lowerBounds = f.lowerBounds + (ReservedFieldIds.FilePath -> lo),
+      upperBounds = f.upperBounds + (ReservedFieldIds.FilePath -> hi),
+      referencedDataFile =
+        f.referencedDataFile.orElse(if (lo == hi) Some(lo) else None))
+    case None => f
   }
 }

@@ -1023,8 +1023,19 @@ final class TableScan private[table] (
       .withColumn(FILE, col("_metadata.file_path"))
       .withColumn(POS, col("_metadata.row_index"))
 
-    val posParquet = deletes.filter(d =>
+    // only read the delete files that can touch a scanned data file
+    // (referenced-data-file + file_path bounds — DeleteFileIndex role)
+    val posAll = deletes.filter(d =>
       d.file.content == FileContent.PositionDeletes && d.file.fileFormat != "PUFFIN")
+    val posParquet =
+      if (posAll.isEmpty) Nil
+      else {
+        val idx = new PosDeleteIndex(posAll, qualifyPath)
+        val keep = scala.collection.mutable.LinkedHashSet.empty[String]
+        tasks.foreach(t => idx.candidatesFor(qualifyPath(t.file.filePath))
+          .foreach(d => keep += d.file.filePath))
+        posAll.filter(d => keep.contains(d.file.filePath))
+      }
     if (posParquet.nonEmpty) {
       val pd = spark.read.options(encConf).parquet(posParquet.map(_.file.filePath): _*)
       work = work.join(pd,

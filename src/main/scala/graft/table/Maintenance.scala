@@ -392,13 +392,14 @@ object Maintenance {
     val written = table.io.listFiles(outDir).filter(_._1.endsWith(".parquet"))
     val maxSeq = sources.map(_.sequenceNumber).max
     val compacted = written.map { case (p, len) =>
-      DataFile(
+      val (rows, bounds) = DeleteWriter.posDeleteStats(p, encConf)
+      DeleteWriter.withPathBounds(DataFile(
         content = FileContent.PositionDeletes,
         filePath = p,
         fileFormat = "PARQUET",
         partition = Nil, // global: committed under the unpartitioned spec
-        recordCount = DeleteWriter.countRows(p, encConf),
-        fileSizeInBytes = len)
+        recordCount = rows,
+        fileSizeInBytes = len), bounds)
     }.filter(_.recordCount > 0)
 
     val sourcePaths = sources.map(_.file.filePath).toSet

@@ -632,4 +632,39 @@ class GraftSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.schema.fieldNames.toSeq === Seq("o_orderkey"))
     assert(df.count() === graft.Tables.orders(spark, sfDir).count())
   }
+
+  test("pos-delete files bind per data file — untouched files keep splits") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-pdi").toString
+    val catalog = new graft.catalog.HadoopCatalog(wh, graft.io.FileIO.fromSpark(spark))
+    val schema = graft.spec.IcebergSchema.fromSpark(
+      Seq((1L, "x")).toDF("id", "v").schema)
+    var t = graft.table.GraftTable.create("pdi", catalog, schema)
+    // two appends → (at least) two data files with disjoint id ranges
+    t = t.append((1L to 100L).map(i => (i, s"a$i")).toDF("id", "v").coalesce(1))
+    t = t.append((101L to 200L).map(i => (i, s"b$i")).toDF("id", "v").coalesce(1))
+    // MoR delete matching rows only in the FIRST file
+    t = t.deleteWhere(graft.expr.BinaryPred(graft.expr.LtEq, "id", 5L), spark)
+    val delTasks = t.newScan().planDeletes()
+    assert(delTasks.nonEmpty)
+    assert(delTasks.forall(d =>
+      d.file.lowerBounds.contains(graft.meta.ReservedFieldIds.FilePath)),
+      "staged pos-delete files must carry file_path bounds")
+
+    val parts = new GraftBatchScan(t, graft.expr.AlwaysTrue, Nil, None)
+      .planInputPartitions().map(_.asInstanceOf[GraftInputPartition])
+    val withDel = parts.filter(_.posDeleteFiles.nonEmpty)
+    val without = parts.filter(_.posDeleteFiles.isEmpty)
+    assert(withDel.map(_.path).distinct.length === 1,
+      "only the deleted-from data file may carry pos-delete work")
+    assert(without.nonEmpty)
+    assert(without.forall(!_.needsRowIndex),
+      "unbound files must keep split/row-group freedom")
+
+    // correctness unchanged
+    val df = spark.read.format("graft")
+      .option("warehouse", wh).option("table", "pdi").load()
+    assert(df.count() === 195)
+    assert(df.filter($"id" <= 5).count() === 0)
+  }
 }
