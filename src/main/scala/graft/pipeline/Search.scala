@@ -1,0 +1,70 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Keyword retrieval over the documents table: BM25 (Robertson/Sparck
+  * Jones probabilistic ranking, the standard inverted-index scoring
+  * function) — the lexical complement of the embedding ANN operators
+  * (Similarity): hybrid search pipelines run both and merge.
+  *
+  * Scale shape (no inverted index needed on Spark): ONE tokenizing pass
+  * computes per-doc term frequencies for the (few) query terms; corpus
+  * statistics (N, total length, per-term document frequencies) reduce to
+  * a single driver row whose values become literals — the corpus is
+  * never shuffled and never joined, the scoring stage is a pure codegen
+  * map, and the top-k runs as TakeOrdered (per-partition heaps). At
+  * 100 TB: two columnar scans of one string column, zero exchanges.
+  *
+  * Determinism (cross-engine oracle): per-term idf is rounded to 6
+  * decimals BEFORE use, the per-doc score sums terms in FIXED query
+  * order (ln is the only non-IEEE-exact op, and it only reaches the
+  * output through the rounded idf), avgdl is an exact integer ratio
+  * (sum/count, not an incremental mean), and the final score rounds to
+  * 4 decimals with doc_id as the total-order tiebreak.
+  */
+object Search {
+
+  /** Top-`k` docs for `terms` under BM25(k1, b). Output:
+    * (doc_id, score, matched) ordered by score desc, doc_id. */
+  def bm25(docs: DataFrame, terms: Seq[String], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 8, "1..8 query terms")
+    val w = TextHash.words(col("text"))
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      size(filter(w, x => x === lit(t))).cast("long").as(s"_tf$i")
+    }
+    val tf = docs.select(col("doc_id") +: (w.as("_w") +: tfCols): _*)
+      .withColumn("_dl", size(col("_w")).cast("long")).drop("_w")
+
+    // corpus statistics: one aggregate → one driver row → literals
+    val statCols = Seq(count(lit(1)).as("n"), sum(col("_dl")).as("sumdl")) ++
+      terms.indices.map(i =>
+        sum(when(col(s"_tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val stat = tf.agg(statCols.head, statCols.tail: _*).collect()(0)
+    val n = stat.getLong(0)
+    val avgdl = stat.getLong(1).toDouble / n // exact integer ratio
+    val idf = terms.indices.map { i =>
+      val df = stat.getLong(2 + i).toDouble
+      BigDecimal(math.log(1.0 + (n - df + 0.5) / (df + 0.5)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+
+    def tfPart(tfc: Column): Column =
+      tfc.cast("double") * (k1 + 1.0) /
+        (tfc.cast("double") + lit(k1) * (lit(1.0 - b) +
+          lit(b) * col("_dl").cast("double") / lit(avgdl)))
+    val score = terms.indices
+      .map(i => lit(idf(i)) * tfPart(col(s"_tf$i")))
+      .reduce(_ + _) // fixed query-term order: deterministic double sum
+    val matched = terms.indices
+      .map(i => when(col(s"_tf$i") > 0, 1L).otherwise(0L))
+      .reduce(_ + _)
+
+    tf.filter(terms.indices.map(i => col(s"_tf$i") > 0).reduce(_ || _))
+      .select(col("doc_id"), round(score, 4).as("score"),
+        matched.as("matched"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+}

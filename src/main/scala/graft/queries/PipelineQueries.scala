@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.pipeline.{Clusters, Curation, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Clusters, Curation, Dedup, Multimodal, Search, Similarity, TextAnalysis}
 
 /** LLM-training-data pipeline operators (dedup / similarity / text
   * analysis / multimodal) registered as driver-checked queries over the
@@ -1006,7 +1006,46 @@ object PipelineQueries {
       .orderBy(col("event_id"), col("r_event_id"))
   }
 
+  /** BM25 top-k keyword search ("dup" is the rare high-idf term). The
+    * oracle recomputes idf/avgdl/score independently in DuckDB; both
+    * sides round idf to 6 decimals before use and sum terms in fixed
+    * query order, so ln (the only non-IEEE-exact op) never leaks ulp
+    * differences into the compared values. */
+  val p36 = Q.sql(
+    "p36_bm25_search",
+    """WITH tf AS (
+      |  SELECT doc_id, len(w) AS dl,
+      |    len(list_filter(w, x -> x = 'dup')) AS tf0,
+      |    len(list_filter(w, x -> x = 'vector')) AS tf1,
+      |    len(list_filter(w, x -> x = 'stream')) AS tf2
+      |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)),
+      |stat AS (
+      |  SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl,
+      |    count(*) FILTER (tf0 > 0) AS df0,
+      |    count(*) FILTER (tf1 > 0) AS df1,
+      |    count(*) FILTER (tf2 > 0) AS df2
+      |  FROM tf),
+      |idf AS (
+      |  SELECT n, avgdl,
+      |    round(ln(1 + (n - df0 + 0.5) / (df0 + 0.5)), 6) AS idf0,
+      |    round(ln(1 + (n - df1 + 0.5) / (df1 + 0.5)), 6) AS idf1,
+      |    round(ln(1 + (n - df2 + 0.5) / (df2 + 0.5)), 6) AS idf2
+      |  FROM stat)
+      |SELECT doc_id,
+      |  round(idf0 * (tf0 * (1.2 + 1)) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+      |      + idf1 * (tf1 * (1.2 + 1)) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+      |      + idf2 * (tf2 * (1.2 + 1)) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+      |    4) AS score,
+      |  (CASE WHEN tf0 > 0 THEN 1 ELSE 0 END + CASE WHEN tf1 > 0 THEN 1 ELSE 0 END
+      |   + CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)::BIGINT AS matched
+      |FROM tf, idf
+      |WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
+      |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+  ) { (s, d) =>
+    Search.bm25(Tables.documents(s, d), Seq("dup", "vector", "stream"), k = 10)
+  }
+
   val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
     p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24,
-    p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p35)
+    p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p35, p36)
 }

@@ -737,4 +737,19 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast eval side:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
   }
+
+  test("bm25: scoring stage is map-only — no join, no shuffle, TakeOrdered top-k") {
+    val got = graft.pipeline.Search.bm25(docs, Seq("dup", "vector", "stream"), k = 10)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k must be heap-based:\n$plan")
+    assert(!plan.contains("Exchange"), s"scoring must not shuffle the corpus:\n$plan")
+    assert(!plan.contains("Join"), s"idf must be literals, not a join:\n$plan")
+    // rare term dominates: every doc containing 'dup' outranks the rest
+    val rows = got.collect()
+    assert(rows.length === 10)
+    val dupDocs = docs.filter(array_contains(
+      graft.pipeline.TextHash.words(col("text")), "dup")).count()
+    assert(rows.count(_.getLong(2) == 3) >= 1)
+    assert(dupDocs < 50, "corpus sanity: 'dup' stays rare")
+  }
 }
