@@ -58,6 +58,13 @@ trait Catalog {
   /** Catalog-specific "adopt this metadata as v1 of `name`". */
   protected def registerParsed(name: String, md: TableMetadata): Unit
 
+  /** Adopt an in-memory metadata tree as a NEW table (the `snapshot`
+    * procedure's registration path — no metadata file exists yet). */
+  def adoptTable(name: String, md: TableMetadata): Unit = {
+    require(!tableExists(name), s"table already exists: $name")
+    registerParsed(name, md)
+  }
+
   /** Catalog-pointer rename (catalog/mod.rs rename_table): only the
     * name→table binding moves; metadata location, data and history stay
     * put. Unsupported where the layout couples name to path (the Hadoop
@@ -73,6 +80,12 @@ trait Catalog {
   def purgeTable(name: String): Boolean = {
     if (!tableExists(name)) return false
     val (md, _) = loadTable(name)
+    // snapshot tables share files with their source (Maintenance
+    // .snapshotTable stamps gc.enabled=false, like Iceberg): purging
+    // them would delete data the source still owns
+    require(!md.properties.get("gc.enabled").contains("false"),
+      s"cannot purge $name: gc.enabled=false (files may be shared); " +
+        "use dropTable to remove only the catalog entry")
     md.snapshots.foreach { s =>
       graft.meta.ManifestIO.readManifestList(io, s.manifestList,
         md.partitionSpecs.map(sp => sp.specId -> sp.partitionType(md.currentSchema)).toMap)

@@ -210,6 +210,60 @@ object GraftProcedures {
           Seq(src, cur)
         }
       })
+      case "rollback_to_timestamp" => Some(new Proc(catalog, name,
+          Seq("table" -> StringType, "timestamp_ms" -> LongType),
+          Seq("previous_snapshot_id" -> LongType,
+            "current_snapshot_id" -> LongType)) {
+        def run(a: InternalRow): Seq[Any] = {
+          val t = table(a)
+          val prev = t.metadata.currentSnapshotId.getOrElse(-1L)
+          val cur = graft.table.Maintenance
+            .rollbackToTimestamp(t, a.getLong(1))
+            .metadata.currentSnapshotId.getOrElse(-1L)
+          Seq(prev, cur)
+        }
+      })
+      case "publish_changes" => Some(new Proc(catalog, name,
+          Seq("table" -> StringType, "wap_id" -> StringType),
+          Seq("source_snapshot_id" -> LongType,
+            "current_snapshot_id" -> LongType)) {
+        def run(a: InternalRow): Seq[Any] = {
+          val t = table(a)
+          val wapId = a.getUTF8String(1).toString
+          val srcId = t.metadata.snapshots
+            .find(_.summary.get("wap.id").contains(wapId))
+            .map(_.snapshotId).getOrElse(-1L)
+          val cur = graft.table.Maintenance.publishChanges(t, wapId)
+            .metadata.currentSnapshotId.getOrElse(-1L)
+          Seq(srcId, cur)
+        }
+      })
+      case "drop_branch" | "drop_tag" => Some(new Proc(catalog, name,
+          Seq("table" -> StringType,
+            (if (name == "drop_branch") "branch" else "tag") -> StringType),
+          Seq("ref" -> StringType, "snapshot_id" -> LongType)) {
+        def run(a: InternalRow): Seq[Any] = {
+          val t = table(a)
+          val ref = a.getUTF8String(1).toString
+          require(ref != "main", "cannot drop the main branch")
+          val wantType = if (procName == "drop_branch") "branch" else "tag"
+          val r = t.metadata.refs.getOrElse(ref,
+            throw new IllegalArgumentException(s"unknown ref: $ref"))
+          require(r.refType == wantType,
+            s"$ref is a ${r.refType}, not a $wantType")
+          t.removeRef(ref)
+          Seq(str(ref), r.snapshotId)
+        }
+      })
+      case "snapshot" => Some(new Proc(catalog, name,
+          Seq("table" -> StringType, "dest" -> StringType),
+          Seq("dest" -> StringType, "snapshot_id" -> LongType)) {
+        def run(a: InternalRow): Seq[Any] = {
+          val dest = a.getUTF8String(1).toString
+          val snap = graft.table.Maintenance.snapshotTable(table(a), dest)
+          Seq(str(dest), snap.metadata.currentSnapshotId.getOrElse(-1L))
+        }
+      })
       case "set_current_snapshot" => Some(new Proc(catalog, name,
           Seq("table" -> StringType, "snapshot_id" -> LongType),
           Seq("previous_snapshot_id" -> LongType,

@@ -161,7 +161,12 @@ object Maintenance {
   private[table] def expireTransform(base0: graft.spec.TableMetadata,
       olderThanMs: Long, retainLast: Int,
       nowMs: Long): (graft.spec.TableMetadata, Seq[String]) = {
-    {
+    // snapshot tables (gc.enabled=false) share manifest lists with their
+    // source — expiry would delete files the source still reads
+    require(!base0.properties.get("gc.enabled").contains("false"),
+      "cannot expire snapshots: gc.enabled=false (files may be shared " +
+        "with a snapshot source)")
+    locally {
       // phase 1: age out refs (never main)
       val base = {
         val defaultRefAge = base0.properties.get("history.expire.max-ref-age-ms").map(_.toLong)
@@ -228,6 +233,9 @@ object Maintenance {
     * the (small) orphan list it returns, never the O(files) path sets. */
   def removeOrphanFiles(table: GraftTable, olderThanMs: Long,
       spark: SparkSession): Seq[String] = {
+    require(!table.metadata.properties.get("gc.enabled").contains("false"),
+      s"cannot GC ${table.name}: gc.enabled=false (files may be shared " +
+        "with a snapshot source)")
     val io = table.io
     val sc = spark.sparkContext
     val dataDir = s"${table.location}/data"
@@ -539,5 +547,56 @@ object Maintenance {
     Iterator.iterate(base.currentSnapshot)(_.flatMap(_.parentSnapshotId).flatMap(byId.get))
       .takeWhile(_.isDefined).flatten.map(_.snapshotId)
       .take(math.max(1, retainLast)).toSet
+  }
+
+  /** Roll back to the snapshot that was CURRENT at `timestampMs`
+    * (Iceberg's rollback_to_timestamp: snapshot-log resolution, same
+    * rule as as-of-timestamp reads). */
+  def rollbackToTimestamp(table: GraftTable, timestampMs: Long): GraftTable = {
+    val id = table.metadata.snapshotLog.filter(_._2 <= timestampMs).lastOption
+      .map(_._1).getOrElse(throw new IllegalArgumentException(
+        s"no snapshot committed at or before $timestampMs"))
+    rollbackTo(table, id)
+  }
+
+  /** Publish a staged WAP commit by its audit id (Iceberg's
+    * publish_changes): resolve the snapshot whose summary carries
+    * `wap.id = wapId`, then cherry-pick it onto the current head. */
+  def publishChanges(table: GraftTable, wapId: String): GraftTable = {
+    val matches = table.metadata.snapshots
+      .filter(_.summary.get("wap.id").contains(wapId))
+    require(matches.nonEmpty, s"no snapshot with wap.id = $wapId")
+    require(matches.size == 1,
+      s"wap.id $wapId is ambiguous: ${matches.map(_.snapshotId).mkString(", ")}")
+    cherrypickSnapshot(table, matches.head.snapshotId)
+  }
+
+  /** Create an independent table at `dest` whose initial state IS the
+    * source's current snapshot — no data is copied (Iceberg's `snapshot`
+    * procedure): manifests address files absolutely, so the new table
+    * reads the same files while its own future commits diverge freely
+    * under a fresh location. The snapshot table gets `gc.enabled=false`
+    * (again like Iceberg) so purge / orphan-GC on it can never delete
+    * files the source still owns. */
+  def snapshotTable(table: GraftTable, dest: String,
+      destLocation: Option[String] = None): GraftTable = {
+    val md = table.metadata
+    val cur = md.currentSnapshot.getOrElse(
+      throw new IllegalArgumentException(s"${table.name} has no current snapshot"))
+    val now = System.currentTimeMillis()
+    val snapMd = md.copy(
+      tableUuid = java.util.UUID.randomUUID().toString,
+      location = destLocation.getOrElse(s"${md.location}_snapshot_$dest"),
+      snapshots = Seq(cur.copy(parentSnapshotId = None)),
+      snapshotLog = Seq((cur.snapshotId, now)),
+      metadataLog = Nil,
+      refs = Map("main" -> graft.spec.SnapshotRef(cur.snapshotId, "branch")),
+      statistics = md.statistics.filter(_.snapshotId == cur.snapshotId),
+      partitionStatistics =
+        md.partitionStatistics.filter(_.snapshotId == cur.snapshotId),
+      properties = md.properties + ("gc.enabled" -> "false"),
+      lastUpdatedMs = now)
+    table.catalog.adoptTable(dest, snapMd)
+    GraftTable.load(dest, table.catalog)
   }
 }

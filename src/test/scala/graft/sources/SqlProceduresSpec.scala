@@ -138,4 +138,91 @@ class SqlProceduresSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sketches.find(_.column == "id").exists(_.estimate === 3L))
     assert(sketches.find(_.column == "v").exists(_.estimate === 2L))
   }
+
+  test("rollback_to_timestamp resolves through the snapshot log") {
+    registerCatalog("pc5")
+    spark.sql("CREATE TABLE pc5.rbt (id BIGINT)")
+    spark.sql("INSERT INTO pc5.rbt VALUES (1)")
+    val afterFirst = System.currentTimeMillis()
+    Thread.sleep(10)
+    spark.sql("INSERT INTO pc5.rbt VALUES (2)")
+    assert(spark.sql("SELECT count(*) FROM pc5.rbt").collect().head.getLong(0) === 2)
+
+    val out = spark.sql(
+      s"CALL pc5.system.rollback_to_timestamp('rbt', ${afterFirst}L)").collect().head
+    assert(out.getLong(0) !== out.getLong(1))
+    assert(spark.sql("SELECT count(*) FROM pc5.rbt").collect().head.getLong(0) === 1)
+  }
+
+  test("publish_changes lands a staged WAP commit by audit id") {
+    registerCatalog("pc6")
+    spark.sql("CREATE TABLE pc6.wap (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO pc6.wap VALUES (1,'base')")
+    spark.sql("CALL pc6.system.create_branch('wap', 'audit')")
+    import spark.implicits._
+    val t = GraftTable.load("wap", catalog)
+    graft.table.AppendWriter.append(t,
+      Seq((2L, "staged")).toDF("id", "v"),
+      extraSummary = Map("wap.id" -> "job-42"), branch = Some("audit"))
+    // main advances → fast-forward impossible; publish cherry-picks
+    spark.sql("INSERT INTO pc6.wap VALUES (3,'mainline')")
+
+    val out = spark.sql(
+      "CALL pc6.system.publish_changes('wap', 'job-42')").collect().head
+    assert(out.getLong(0) > 0)
+    assert(spark.sql("SELECT id FROM pc6.wap ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    intercept[Exception](
+      spark.sql("CALL pc6.system.publish_changes('wap', 'nope')").collect())
+  }
+
+  test("drop_branch / drop_tag validate ref type and protect main") {
+    registerCatalog("pc7")
+    spark.sql("CREATE TABLE pc7.refs (id BIGINT)")
+    spark.sql("INSERT INTO pc7.refs VALUES (1)")
+    spark.sql("CALL pc7.system.create_branch('refs', 'b1')")
+    spark.sql("CALL pc7.system.create_tag('refs', 't1')")
+
+    intercept[Exception](
+      spark.sql("CALL pc7.system.drop_branch('refs', 't1')").collect())
+    intercept[Exception](
+      spark.sql("CALL pc7.system.drop_branch('refs', 'main')").collect())
+    spark.sql("CALL pc7.system.drop_branch('refs', 'b1')").collect()
+    spark.sql("CALL pc7.system.drop_tag('refs', 't1')").collect()
+    // main may or may not be materialized as a ref; b1/t1 must be gone
+    assert((GraftTable.load("refs", catalog).metadata.refs.keySet -- Set("main"))
+      === Set.empty)
+  }
+
+  test("snapshot: zero-copy table clone, GC fenced, divergent writes") {
+    registerCatalog("pc8")
+    spark.sql("CREATE TABLE pc8.snapsrc (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO pc8.snapsrc VALUES (1,'a'), (2,'b')")
+
+    val out = spark.sql("CALL pc8.system.snapshot('snapsrc', 'clone')").collect().head
+    assert(out.getString(0) === "clone")
+    assert(spark.sql("SELECT id FROM pc8.clone ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 2L))
+
+    // same physical data files — nothing was copied
+    val srcT = GraftTable.load("snapsrc", catalog)
+    val cloneT = GraftTable.load("clone", catalog)
+    assert(cloneT.newScan().planFiles().map(_.file.filePath).toSet
+      === srcT.newScan().planFiles().map(_.file.filePath).toSet)
+    assert(cloneT.metadata.properties("gc.enabled") === "false")
+
+    // divergence: writes to the clone don't touch the source
+    spark.sql("INSERT INTO pc8.clone VALUES (3,'c')")
+    assert(spark.sql("SELECT count(*) FROM pc8.clone").collect().head.getLong(0) === 3)
+    assert(spark.sql("SELECT count(*) FROM pc8.snapsrc").collect().head.getLong(0) === 2)
+
+    // GC fences: purge / orphan-GC / expire refuse on the clone
+    intercept[Exception](catalog.purgeTable("clone"))
+    intercept[Exception](
+      cloneT.refresh().removeOrphanFiles(System.currentTimeMillis(), spark))
+    intercept[Exception](cloneT.refresh()
+      .expireSnapshots(System.currentTimeMillis() + 1000))
+    // source still fully readable after all refusals
+    assert(spark.sql("SELECT count(*) FROM pc8.snapsrc").collect().head.getLong(0) === 2)
+  }
 }
