@@ -88,11 +88,13 @@ trait Catalog {
         "use dropTable to remove only the catalog entry")
     md.snapshots.foreach { s =>
       graft.meta.ManifestIO.readManifestList(io, s.manifestList,
-        md.partitionSpecs.map(sp => sp.specId -> sp.partitionType(md.currentSchema)).toMap)
+        md.partitionSpecs.map(sp => sp.specId -> sp.partitionType(md.currentSchema)).toMap,
+        graft.crypto.MetadataEncryption.listKeyFor(md, s))
         .foreach { m =>
           val spec = md.partitionSpecs.find(_.specId == m.partitionSpecId)
             .getOrElse(md.defaultSpec)
-          graft.meta.ManifestIO.readManifest(io, m.manifestPath, md.currentSchema, spec)
+          graft.meta.ManifestIO.readManifest(io, m.manifestPath, md.currentSchema, spec,
+              m.keyMetadata)
             .foreach(e => quietDelete(e.dataFile.filePath))
           quietDelete(m.manifestPath)
         }

@@ -1,0 +1,133 @@
+package graft.crypto
+
+import java.security.SecureRandom
+
+import graft.spec.{EncryptedKey, Snapshot, TableMetadata}
+
+/** Envelope key management for AGS1-encrypted metadata files — the
+  * reference's EncryptionManager (encryption/manager.rs) over the v3
+  * table-metadata key registry:
+  *
+  *   - each manifest gets a fresh DEK; its [[StandardKeyMetadata]] rides
+  *     the manifest-list entry `key_metadata` column (inside the
+  *     encrypted list, so DEKs are never exposed in plaintext files);
+  *   - the manifest LIST's key metadata is AES-GCM-wrapped by a KEK and
+  *     stored in `encryption-keys`; the snapshot records the wrapped
+  *     entry's id as `key-id` (snapshot.rs:112);
+  *   - the KEK is wrapped by the master key named by table property
+  *     `encryption.key-id` and stored in `encryption-keys` with a
+  *     `KEY_TIMESTAMP` property (manager.rs:49); the timestamp doubles
+  *     as the wrap AAD so it cannot be tampered to dodge rotation, and
+  *     KEKs older than 730 days (NIST SP 800-57) are rotated.
+  *
+  * The master key itself resolves from the `encryption.master-keys`
+  * keyring property — the same local/dev KMS seam [[LocalWrapKms]] uses
+  * for parquet data files; production swaps the keyring lookup for a
+  * real KMS call without touching the envelope layout. */
+object MetadataEncryption {
+
+  val KeyIdProp = "encryption.key-id"
+  val DataKeyLengthProp = "encryption.data-key-length"
+  val KekTimestampProp = "KEY_TIMESTAMP" // manager.rs KEK_CREATED_AT_PROPERTY
+  val KekLifespanMs: Long = 730L * 24 * 60 * 60 * 1000
+  val AadPrefixLength = 16 // manager.rs AAD_PREFIX_LENGTH
+
+  private val rng = new SecureRandom()
+
+  def enabled(md: TableMetadata): Boolean =
+    md.properties.contains(KeyIdProp) && {
+      // refuse silently-unencrypted v2 tables: the key registry and
+      // snapshot key-id are v3 metadata surfaces
+      require(md.formatVersion >= 3,
+        s"$KeyIdProp requires format-version >= 3 (table is v${md.formatVersion})")
+      true
+    }
+
+  private def randomBytes(n: Int): Array[Byte] = {
+    val a = new Array[Byte](n)
+    rng.synchronized(rng.nextBytes(a))
+    a
+  }
+
+  private def dekLength(md: TableMetadata): Int = {
+    val n = md.properties.get(DataKeyLengthProp).map(_.toInt).getOrElse(16)
+    require(Set(16, 24, 32).contains(n),
+      s"$DataKeyLengthProp must be 16, 24 or 32: $n")
+    n
+  }
+
+  /** Resolve a master key from the `encryption.master-keys` keyring. */
+  private def masterKey(md: TableMetadata, id: String): Array[Byte] = {
+    val ring = md.properties.getOrElse(Encryption.MasterKeysProp,
+      throw new IllegalStateException(
+        s"$KeyIdProp set but no ${Encryption.MasterKeysProp} keyring"))
+    ring.split(",").map(_.trim.split(":", 2)).collectFirst {
+      case Array(k, b64) if k == id => java.util.Base64.getDecoder.decode(b64)
+    }.getOrElse(throw new IllegalArgumentException(s"unknown master key: $id"))
+  }
+
+  /** Fresh per-file key metadata: random DEK + random 16-byte AAD
+    * prefix (manager.rs:153-158). */
+  def newFileKey(md: TableMetadata): StandardKeyMetadata =
+    StandardKeyMetadata(randomBytes(dekLength(md)),
+      aadPrefix = Some(randomBytes(AadPrefixLength)))
+
+  private def kekIsActive(md: TableMetadata, nowMs: Long)(k: EncryptedKey): Boolean =
+    k.encryptedById.contains(md.properties(KeyIdProp)) &&
+      k.properties.get(KekTimestampProp).flatMap(_.toLongOption)
+        .exists(ts => nowMs - ts < KekLifespanMs)
+
+  /** Wrap the manifest-list key metadata for the registry. Returns the
+    * wrapped entry's id (→ snapshot `key-id`) and the FULL key list to
+    * store in metadata (existing ++ any new KEK ++ the wrapped entry). */
+  def wrapListKey(md: TableMetadata, listMeta: StandardKeyMetadata)
+      : (String, Seq[EncryptedKey]) = {
+    val nowMs = System.currentTimeMillis()
+    val masterKeyId = md.properties(KeyIdProp)
+    val (kek, kekBytes, withKek) =
+      md.encryptionKeys.filter(kekIsActive(md, nowMs))
+        .sortBy(_.properties(KekTimestampProp).toLong).lastOption match {
+        case Some(existing) =>
+          (existing, AesGcmWrap.decrypt(masterKey(md, masterKeyId),
+            existing.encryptedKeyMetadata), md.encryptionKeys)
+        case None =>
+          val bytes = randomBytes(dekLength(md))
+          val fresh = EncryptedKey(
+            keyId = java.util.UUID.randomUUID().toString,
+            encryptedKeyMetadata =
+              AesGcmWrap.encrypt(masterKey(md, masterKeyId), bytes),
+            encryptedById = Some(masterKeyId),
+            properties = Map(KekTimestampProp -> nowMs.toString))
+          (fresh, bytes, md.encryptionKeys :+ fresh)
+      }
+    // KEK timestamp as wrap AAD (manager.rs:179-181)
+    val aad = kek.properties(KekTimestampProp).getBytes("UTF-8")
+    val wrapped = EncryptedKey(
+      keyId = java.util.UUID.randomUUID().toString,
+      encryptedKeyMetadata =
+        AesGcmWrap.encrypt(kekBytes, listMeta.encode, Some(aad)),
+      encryptedById = Some(kek.keyId))
+    (wrapped.keyId, withKek :+ wrapped)
+  }
+
+  /** Resolve a snapshot's manifest-list key metadata through the
+    * registry chain: snapshot key-id → wrapped entry → KEK → master
+    * key (manager.rs:196-232). None when the snapshot is unencrypted. */
+  def listKeyFor(md: TableMetadata, snap: Snapshot): Option[Array[Byte]] =
+    snap.keyId.map { id =>
+      val wrapped = md.encryptionKeyById(id).getOrElse(
+        throw new IllegalArgumentException(s"encryption key '$id' not found"))
+      val kekId = wrapped.encryptedById.getOrElse(
+        throw new IllegalArgumentException(s"key '$id' has no encrypted-by-id"))
+      val kek = md.encryptionKeyById(kekId).getOrElse(
+        throw new IllegalArgumentException(s"KEK '$kekId' not found"))
+      val masterKeyId = kek.encryptedById.getOrElse(
+        throw new IllegalArgumentException(s"KEK '$kekId' has no encrypted-by-id"))
+      val kekBytes =
+        AesGcmWrap.decrypt(masterKey(md, masterKeyId), kek.encryptedKeyMetadata)
+      val aad = kek.properties.get(KekTimestampProp).map(_.getBytes("UTF-8"))
+        .getOrElse(throw new IllegalArgumentException(
+          s"KEK '$kekId' missing $KekTimestampProp"))
+      AesGcmWrap.decrypt(kekBytes, wrapped.encryptedKeyMetadata, Some(aad))
+    }
+}

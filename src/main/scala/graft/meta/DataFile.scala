@@ -97,4 +97,7 @@ final case class ManifestFile(
     addedRowsCount: Long,
     existingRowsCount: Long,
     deletedRowsCount: Long,
-    partitions: Seq[FieldSummary])
+    partitions: Seq[FieldSummary],
+    /** Serialized [[graft.crypto.StandardKeyMetadata]] when the manifest
+      * is AGS1-encrypted (manifest_list key_metadata, field 519). */
+    keyMetadata: Option[Array[Byte]] = None)

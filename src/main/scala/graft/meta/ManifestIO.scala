@@ -133,7 +133,8 @@ object ManifestIO {
       new Schema.Field("added_rows_count", prim(Schema.Type.LONG), null, null),
       new Schema.Field("existing_rows_count", prim(Schema.Type.LONG), null, null),
       new Schema.Field("deleted_rows_count", prim(Schema.Type.LONG), null, null),
-      new Schema.Field("partitions", nullable(Schema.createArray(fieldSummarySchema)), null, Schema.Field.NULL_DEFAULT_VALUE)))
+      new Schema.Field("partitions", nullable(Schema.createArray(fieldSummarySchema)), null, Schema.Field.NULL_DEFAULT_VALUE),
+      new Schema.Field("key_metadata", nullable(prim(Schema.Type.BYTES)), null, Schema.Field.NULL_DEFAULT_VALUE)))
     rec
   }
 
@@ -178,14 +179,53 @@ object ManifestIO {
       s"unsupported write.avro.compression-codec: $other (deflate|uncompressed)")
   }
 
-  /** Write one manifest file; returns (path, length). */
+  /** AGS1-encrypt `plain` under `key` and write it to `path`; returns
+    * the encrypted length (the manifest_length / file_length value). */
+  private def writeEncrypted(io: FileIO, path: String,
+      plain: Array[Byte], key: graft.crypto.StandardKeyMetadata): Long = {
+    val cipher = graft.crypto.AgsStream.encrypt(plain, key.encryptionKey,
+      key.aadPrefix.getOrElse(Array.emptyByteArray))
+    io.writeBytes(path, cipher, overwrite = true)
+    cipher.length.toLong
+  }
+
+  /** Open `path` for Avro streaming, transparently decrypting AGS1
+    * content with the serialized [[graft.crypto.StandardKeyMetadata]]
+    * from the manifest-list entry / key registry. Plain files stream
+    * straight through (key ignored); an AGS1 file without a key is a
+    * hard error — never a silent garbled read. */
+  private def openMaybeEncrypted(io: FileIO, path: String,
+      keyMeta: Option[Array[Byte]]): java.io.InputStream = {
+    val in = new java.io.PushbackInputStream(io.open(path), 4)
+    val head = new Array[Byte](4)
+    val n = in.readNBytes(head, 0, 4)
+    if (n == 4 && java.util.Arrays.equals(head, graft.crypto.AgsStream.Magic)) {
+      val key = graft.crypto.StandardKeyMetadata.decode(keyMeta.getOrElse(
+        throw new IllegalStateException(
+          s"$path is AGS1-encrypted but no key metadata was provided")))
+      val cipher = try head ++ in.readAllBytes() finally in.close()
+      key.fileLength.foreach(l => require(l == cipher.length,
+        s"$path: encrypted length ${cipher.length} != recorded $l (truncated?)"))
+      new java.io.ByteArrayInputStream(graft.crypto.AgsStream.decrypt(
+        cipher, key.encryptionKey,
+        key.aadPrefix.getOrElse(Array.emptyByteArray)))
+    } else {
+      in.unread(head, 0, n)
+      in
+    }
+  }
+
+  /** Write one manifest file; returns (path, length). With `encrypt`
+    * set the Avro content is AGS1-wrapped under that key (the caller
+    * records the key metadata on the manifest-list entry). */
   def writeManifest(
       io: FileIO,
       path: String,
       entries: Seq[ManifestEntry],
       schema: IcebergSchema,
       spec: PartitionSpec,
-      codec: String = "uncompressed"): (String, Long) = {
+      codec: String = "uncompressed",
+      encrypt: Option[graft.crypto.StandardKeyMetadata] = None): (String, Long) = {
     val partType = spec.partitionType(schema)
     val entrySchema = manifestEntrySchema(partType)
     val dfSchema = entrySchema.getField("data_file").schema()
@@ -197,7 +237,9 @@ object ManifestIO {
     writer.setMeta("partition-spec", graft.spec.Json.write(spec.toJson.get("fields")))
     writer.setMeta("partition-spec-id", spec.specId.toString)
     writer.setMeta("format-version", "2")
-    val out = io.create(path, overwrite = true)
+    val buffer = encrypt.map(_ => new java.io.ByteArrayOutputStream(1 << 16))
+    val out: java.io.OutputStream =
+      buffer.getOrElse(io.create(path, overwrite = true))
     writer.create(entrySchema, out)
 
     entries.foreach { e =>
@@ -251,7 +293,11 @@ object ManifestIO {
       writer.append(rec)
     }
     writer.close()
-    (path, io.size(path))
+    (encrypt, buffer) match {
+      case (Some(key), Some(buf)) =>
+        (path, writeEncrypted(io, path, buf.toByteArray, key))
+      case _ => (path, io.size(path))
+    }
   }
 
   private def partitionValueToAvro(t: IcebergType, v: Any): Any =
@@ -283,9 +329,11 @@ object ManifestIO {
       io: FileIO,
       path: String,
       schema: IcebergSchema,
-      spec: PartitionSpec): Seq[ManifestEntry] = {
+      spec: PartitionSpec,
+      keyMeta: Option[Array[Byte]] = None): Seq[ManifestEntry] = {
     val partType = spec.partitionType(schema)
-    val reader = new DataFileStream[GenericRecord](io.open(path), new GenericDatumReader[GenericRecord]())
+    val reader = new DataFileStream[GenericRecord](
+      openMaybeEncrypted(io, path, keyMeta), new GenericDatumReader[GenericRecord]())
     val out = Seq.newBuilder[ManifestEntry]
     try {
       while (reader.hasNext) {
@@ -352,12 +400,18 @@ object ManifestIO {
 
   // ---------------- manifest list ----------------
 
+  /** Write the manifest list; returns the on-disk length. With
+    * `encrypt` set the content is AGS1-wrapped (the caller wraps that
+    * key with a KEK into the table-metadata registry). */
   def writeManifestList(io: FileIO, path: String, manifests: Seq[ManifestFile],
-      partTypes: Map[Int, StructT], codec: String = "uncompressed"): Unit = {
+      partTypes: Map[Int, StructT], codec: String = "uncompressed",
+      encrypt: Option[graft.crypto.StandardKeyMetadata] = None): Long = {
     val writer = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](manifestFileSchema))
     avroCodec(codec).foreach(writer.setCodec)
     writer.setMeta("format-version", "2")
-    val out = io.create(path, overwrite = true)
+    val buffer = encrypt.map(_ => new java.io.ByteArrayOutputStream(1 << 16))
+    val out: java.io.OutputStream =
+      buffer.getOrElse(io.create(path, overwrite = true))
     writer.create(manifestFileSchema, out)
     manifests.foreach { m =>
       val rec = new GenericData.Record(manifestFileSchema)
@@ -388,14 +442,23 @@ object ManifestIO {
         }
         rec.put("partitions", a)
       }
+      rec.put("key_metadata",
+        m.keyMetadata.map(java.nio.ByteBuffer.wrap).orNull)
       writer.append(rec)
     }
     writer.close()
+    (encrypt, buffer) match {
+      case (Some(key), Some(buf)) =>
+        writeEncrypted(io, path, buf.toByteArray, key)
+      case _ => io.size(path)
+    }
   }
 
   def readManifestList(io: FileIO, path: String,
-      partTypes: Map[Int, StructT]): Seq[ManifestFile] = {
-    val reader = new DataFileStream[GenericRecord](io.open(path), new GenericDatumReader[GenericRecord]())
+      partTypes: Map[Int, StructT],
+      keyMeta: Option[Array[Byte]] = None): Seq[ManifestFile] = {
+    val reader = new DataFileStream[GenericRecord](
+      openMaybeEncrypted(io, path, keyMeta), new GenericDatumReader[GenericRecord]())
     val out = Seq.newBuilder[ManifestFile]
     try {
       while (reader.hasNext) {
@@ -428,7 +491,9 @@ object ManifestIO {
           addedRowsCount = rec.get("added_rows_count").asInstanceOf[Long],
           existingRowsCount = rec.get("existing_rows_count").asInstanceOf[Long],
           deletedRowsCount = rec.get("deleted_rows_count").asInstanceOf[Long],
-          partitions = partitions)
+          partitions = partitions,
+          keyMetadata = Option(rec.getSchema.getField("key_metadata"))
+            .flatMap(_ => Option(rec.get("key_metadata"))).map(bytes))
       }
     } finally reader.close()
     out.result()

@@ -243,7 +243,8 @@ final class GraftBatchWrite(table: GraftTable, writeSchema: StructType,
           .flatMap { m =>
             val spec = base.partitionSpecs.find(_.specId == m.partitionSpecId)
               .getOrElse(base.defaultSpec)
-            ManifestIO.readManifest(live.io, m.manifestPath, base.currentSchema, spec)
+            ManifestIO.readManifest(live.io, m.manifestPath, base.currentSchema, spec,
+                m.keyMetadata)
               .filter(_.isAlive).map(_.dataFile.filePath)
           }.toSet
       val rewritten = Commits.rewriteManifestsDropping(live.io, base, dropPaths,

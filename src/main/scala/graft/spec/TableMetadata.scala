@@ -19,7 +19,10 @@ final case class Snapshot(
       * an `add-snapshot` update action re-derive `next-row-id` without
       * trusting the client's whole metadata document. */
     firstRowId: Option[Long] = None,
-    addedRows: Option[Long] = None) {
+    addedRows: Option[Long] = None,
+    /** v3 encrypted tables (snapshot.rs:112): id of the registry entry
+      * holding this snapshot's KEK-wrapped manifest-list key metadata. */
+    keyId: Option[String] = None) {
 
   def toJson: ObjectNode = {
     val o = obj()
@@ -35,6 +38,7 @@ final case class Snapshot(
     schemaId.foreach(o.put("schema-id", _))
     firstRowId.foreach(o.put("first-row-id", _))
     addedRows.foreach(o.put("added-rows", _))
+    keyId.foreach(o.put("key-id", _))
     o
   }
 }
@@ -53,7 +57,8 @@ object Snapshot {
       summary = summary - "operation",
       schemaId = n.opt("schema-id").map(_.asInt()),
       firstRowId = n.opt("first-row-id").map(_.asLong()),
-      addedRows = n.opt("added-rows").map(_.asLong()))
+      addedRows = n.opt("added-rows").map(_.asLong()),
+      keyId = n.opt("key-id").map(_.asText()))
   }
 }
 
@@ -370,14 +375,17 @@ object TableMetadata {
         .map(_.elems.map(EncryptedKey.fromJson)).getOrElse(Nil))
   }
 
-  /** Fresh metadata for a new V2 table. */
+  /** Fresh metadata for a new table — v2 unless the Iceberg
+    * `format-version` table property asks otherwise at create time. */
   def newTable(
       location: String,
       schema: IcebergSchema,
       spec: PartitionSpec,
-      properties: Map[String, String] = Map.empty): TableMetadata =
+      properties: Map[String, String] = Map.empty): TableMetadata = {
+    val fv = properties.get("format-version").map(_.toInt).getOrElse(2)
+    require(fv >= 1 && fv <= 3, s"unsupported format-version $fv")
     TableMetadata(
-      formatVersion = 2,
+      formatVersion = fv,
       tableUuid = java.util.UUID.randomUUID().toString,
       location = location,
       lastSequenceNumber = 0L,
@@ -390,9 +398,10 @@ object TableMetadata {
       lastPartitionId = spec.lastAssignedFieldId,
       sortOrders = Seq(SortOrder.unsorted),
       defaultSortOrderId = 0,
-      properties = properties,
+      properties = properties - "format-version",
       currentSnapshotId = None,
       snapshots = Nil,
       snapshotLog = Nil,
       metadataLog = Nil)
+  }
 }

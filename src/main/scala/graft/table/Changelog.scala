@@ -113,11 +113,13 @@ object Changelog {
     * `to`'s) keeps attribution correct even after later rewrites. */
   private def entriesOf(table: GraftTable, s: Snapshot, content: Int)
       : Seq[graft.meta.ManifestEntry] =
-    ManifestIO.readManifestList(table.io, s.manifestList, table.partTypes)
+    ManifestIO.readManifestList(table.io, s.manifestList, table.partTypes,
+        graft.crypto.MetadataEncryption.listKeyFor(table.metadata, s))
       .filter(_.content == content)
       .flatMap { m =>
         val spec = table.metadata.specById(m.partitionSpecId).getOrElse(table.spec)
-        ManifestIO.readManifest(table.io, m.manifestPath, table.schema, spec)
+        ManifestIO.readManifest(table.io, m.manifestPath, table.schema, spec,
+          m.keyMetadata)
       }
 
   private def addedRows(table: GraftTable, spark: SparkSession,

@@ -15,7 +15,8 @@ object Commits {
   /** Read the base metadata's current manifest list ([] for empty tables). */
   def baseManifests(io: graft.io.FileIO, base: TableMetadata): Seq[ManifestFile] =
     base.currentSnapshot.map(s =>
-      ManifestIO.readManifestList(io, s.manifestList, partTypes(base))).getOrElse(Nil)
+      ManifestIO.readManifestList(io, s.manifestList, partTypes(base),
+        graft.crypto.MetadataEncryption.listKeyFor(base, s))).getOrElse(Nil)
 
   def partTypes(base: TableMetadata): Map[Int, graft.spec.IcebergType.StructT] =
     base.partitionSpecs.map(s => s.specId -> s.partitionType(base.currentSchema)).toMap
@@ -32,8 +33,15 @@ object Commits {
       snapshotId: Long,
       seq: Long): ManifestFile = {
     val path = s"${base.location}/metadata/$fileName.avro"
+    // encrypted tables: fresh DEK per manifest; its key metadata (with
+    // the encrypted length for truncation detection) rides the list entry
+    val fileKey =
+      if (graft.crypto.MetadataEncryption.enabled(base))
+        Some(graft.crypto.MetadataEncryption.newFileKey(base))
+      else None
     val (_, len) = ManifestIO.writeManifest(io, path, entries, schema, spec,
-      base.properties.getOrElse("write.avro.compression-codec", "uncompressed"))
+      base.properties.getOrElse("write.avro.compression-codec", "uncompressed"),
+      encrypt = fileKey)
     val partType = spec.partitionType(schema)
 
     val alive = entries.filter(_.isAlive).map(_.dataFile)
@@ -65,7 +73,8 @@ object Commits {
       addedRowsCount = rows(ManifestStatus.Added),
       existingRowsCount = rows(ManifestStatus.Existing),
       deletedRowsCount = rows(ManifestStatus.Deleted),
-      partitions = summaries)
+      partitions = summaries,
+      keyMetadata = fileKey.map(_.withFileLength(len).encode))
   }
 
   /** Thrown when a concurrent commit invalidated an operation's scan
@@ -130,7 +139,8 @@ object Commits {
     def entriesOf(m: ManifestFile) = {
       val spec = base.partitionSpecs.find(_.specId == m.partitionSpecId)
         .getOrElse(base.defaultSpec)
-      ManifestIO.readManifest(io, m.manifestPath, base.currentSchema, spec)
+      ManifestIO.readManifest(io, m.manifestPath, base.currentSchema, spec,
+        m.keyMetadata)
     }
     // scheme-insensitive compare: scan-side paths arrive qualified
     // (file:///…) while manifests store them as written
@@ -215,7 +225,7 @@ object Commits {
         val spec = base.partitionSpecs.find(_.specId == m.partitionSpecId)
           .getOrElse(base.defaultSpec)
         val entries = ManifestIO.readManifest(io, m.manifestPath,
-          base.currentSchema, spec)
+          base.currentSchema, spec, m.keyMetadata)
         if (!entries.exists(e => e.isAlive && dropPaths(e.dataFile.filePath))) Some(m)
         else {
           val newEntries = entries.filter(_.isAlive).map { e =>
@@ -296,8 +306,18 @@ object Commits {
       val seq = base.lastSequenceNumber + 1
       val all = manifests(base, seq, snapshotId)
       val listPath = s"${base.location}/metadata/snap-$snapshotId-$commitUuid.avro"
-      ManifestIO.writeManifestList(io, listPath, all, partTypes(base),
-        base.properties.getOrElse("write.avro.compression-codec", "uncompressed"))
+      // encrypted tables: the list gets its own DEK, KEK-wrapped into the
+      // key registry; the snapshot records the wrapped entry id (key-id)
+      val listKey =
+        if (graft.crypto.MetadataEncryption.enabled(base))
+          Some(graft.crypto.MetadataEncryption.newFileKey(base))
+        else None
+      val listLen = ManifestIO.writeManifestList(io, listPath, all, partTypes(base),
+        base.properties.getOrElse("write.avro.compression-codec", "uncompressed"),
+        encrypt = listKey)
+      val wrappedListKey = listKey.map(k =>
+        graft.crypto.MetadataEncryption.wrapListKey(base,
+          k.withFileLength(listLen)))
 
       val now = System.currentTimeMillis()
       val dataMs = all.filter(_.content == ManifestContent.Data)
@@ -330,9 +350,12 @@ object Commits {
         summary = summary,
         schemaId = Some(base.currentSchema.schemaId),
         firstRowId = Some(base.nextRowId),
-        addedRows = Some(addedRows))
+        addedRows = Some(addedRows),
+        keyId = wrappedListKey.map(_._1))
+      val keysAfter = wrappedListKey.map(_._2).getOrElse(base0.encryptionKeys)
       val updated = branch match {
         case None => base0.copy(
+          encryptionKeys = keysAfter,
           lastSequenceNumber = seq,
           lastUpdatedMs = now,
           currentSnapshotId = Some(snapshotId),
@@ -341,6 +364,7 @@ object Commits {
           // metadataLog entry appended centrally by CommitRetry.run
           nextRowId = base0.nextRowId + addedRows)
         case Some(b) => base0.copy(
+          encryptionKeys = keysAfter,
           lastSequenceNumber = seq,
           lastUpdatedMs = now,
           // current snapshot and snapshot-log untouched: the spec's

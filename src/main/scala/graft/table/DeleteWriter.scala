@@ -200,7 +200,7 @@ object DeleteWriter {
       val dvManifests: Seq[(ManifestFile, Seq[ManifestEntry])] = baseMs
         .filter(_.content == ManifestContent.Deletes)
         .map(m => m -> ManifestIO.readManifest(table.io, m.manifestPath,
-          base.currentSchema, specOf(m)))
+          base.currentSchema, specOf(m), m.keyMetadata))
         .filter(_._2.exists(isSupersededDv))
       val oldDvs: Map[String, DataFile] = dvManifests.flatMap(_._2)
         .filter(isSupersededDv)

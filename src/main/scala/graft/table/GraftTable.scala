@@ -198,7 +198,8 @@ final class GraftTable(
   /** All manifests of the current snapshot ([] if table is empty). */
   def currentManifests: Seq[ManifestFile] =
     metadata.currentSnapshot.map { snap =>
-      ManifestIO.readManifestList(io, snap.manifestList, partTypes)
+      ManifestIO.readManifestList(io, snap.manifestList, partTypes,
+        graft.crypto.MetadataEncryption.listKeyFor(metadata, snap))
     }.getOrElse(Nil)
 
   def partTypes: Map[Int, IcebergType.StructT] =
@@ -241,7 +242,7 @@ final class GraftTable(
     import spark.implicits._
     currentManifests.flatMap { m =>
       val sp = metadata.specById(m.partitionSpecId).getOrElse(spec)
-      ManifestIO.readManifest(io, m.manifestPath, schema, sp).map { e =>
+      ManifestIO.readManifest(io, m.manifestPath, schema, sp, m.keyMetadata).map { e =>
         (e.status, e.snapshotId, e.sequenceNumber.getOrElse(m.sequenceNumber),
           e.dataFile.content, e.dataFile.filePath, e.dataFile.recordCount,
           e.dataFile.fileSizeInBytes)
@@ -328,7 +329,8 @@ final class GraftTable(
   def allManifestsDf(spark: SparkSession): DataFrame = {
     import spark.implicits._
     metadata.snapshots.flatMap { s =>
-      ManifestIO.readManifestList(io, s.manifestList, partTypes)
+      ManifestIO.readManifestList(io, s.manifestList, partTypes,
+          graft.crypto.MetadataEncryption.listKeyFor(metadata, s))
         .map(m => (s.snapshotId, m.manifestPath, m.manifestLength, m.content,
           m.partitionSpecId, m.addedFilesCount, m.existingFilesCount,
           m.deletedFilesCount))
@@ -342,9 +344,10 @@ final class GraftTable(
   def allFilesDf(spark: SparkSession): DataFrame = {
     import spark.implicits._
     metadata.snapshots.flatMap { s =>
-      ManifestIO.readManifestList(io, s.manifestList, partTypes).flatMap { m =>
+      ManifestIO.readManifestList(io, s.manifestList, partTypes,
+          graft.crypto.MetadataEncryption.listKeyFor(metadata, s)).flatMap { m =>
         val sp = metadata.specById(m.partitionSpecId).getOrElse(spec)
-        ManifestIO.readManifest(io, m.manifestPath, schema, sp)
+        ManifestIO.readManifest(io, m.manifestPath, schema, sp, m.keyMetadata)
           .filter(_.isAlive)
           .map(e => (e.dataFile.filePath, e.dataFile.content,
             e.dataFile.recordCount, e.dataFile.fileSizeInBytes))
@@ -358,9 +361,10 @@ final class GraftTable(
   def allEntriesDf(spark: SparkSession): DataFrame = {
     import spark.implicits._
     metadata.snapshots.flatMap { s =>
-      ManifestIO.readManifestList(io, s.manifestList, partTypes).flatMap { m =>
+      ManifestIO.readManifestList(io, s.manifestList, partTypes,
+          graft.crypto.MetadataEncryption.listKeyFor(metadata, s)).flatMap { m =>
         val sp = metadata.specById(m.partitionSpecId).getOrElse(spec)
-        ManifestIO.readManifest(io, m.manifestPath, schema, sp).map { e =>
+        ManifestIO.readManifest(io, m.manifestPath, schema, sp, m.keyMetadata).map { e =>
           (s.snapshotId, e.status, e.snapshotId,
             e.sequenceNumber.getOrElse(m.sequenceNumber),
             e.dataFile.content, e.dataFile.filePath, e.dataFile.recordCount)
@@ -472,11 +476,13 @@ final class IncrementalScan private[table] (
 
   def planFiles(): Seq[FileScanTask] = {
     val snap = table.metadata.snapshotById(toSnapshotId).get
-    ManifestIO.readManifestList(table.io, snap.manifestList, table.partTypes)
+    ManifestIO.readManifestList(table.io, snap.manifestList, table.partTypes,
+        graft.crypto.MetadataEncryption.listKeyFor(table.metadata, snap))
       .filter(_.content == ManifestContent.Data)
       .flatMap { m =>
         val spec = table.metadata.specById(m.partitionSpecId).getOrElse(table.spec)
-        ManifestIO.readManifest(table.io, m.manifestPath, table.schema, spec)
+        ManifestIO.readManifest(table.io, m.manifestPath, table.schema, spec,
+          m.keyMetadata)
           .filter(e => e.status == ManifestStatus.Added &&
             e.snapshotId.exists(rangeIds.contains))
           .map(e => FileScanTask(e.dataFile, m.partitionSpecId,
@@ -602,14 +608,16 @@ final class TableScan private[table] (
   private def cacheKey(path: String): String =
     s"$path#${table.schema.schemaId}"
 
-  private def readListCached(listPath: String): Seq[ManifestFile] =
-    ManifestCache.manifestList(cacheKey(listPath)) {
-      ManifestIO.readManifestList(table.io, listPath, table.partTypes)
+  private def readListCached(snap: graft.spec.Snapshot): Seq[ManifestFile] =
+    ManifestCache.manifestList(cacheKey(snap.manifestList)) {
+      ManifestIO.readManifestList(table.io, snap.manifestList, table.partTypes,
+        graft.crypto.MetadataEncryption.listKeyFor(table.metadata, snap))
     }
 
   private def readManifestCached(m: ManifestFile, spec: PartitionSpec): Seq[ManifestEntry] =
     ManifestCache.manifest(cacheKey(m.manifestPath)) {
-      ManifestIO.readManifest(table.io, m.manifestPath, table.schema, spec)
+      ManifestIO.readManifest(table.io, m.manifestPath, table.schema, spec,
+        m.keyMetadata)
     }
 
   def planFiles(): Seq[FileScanTask] = planWithMetrics()._1
@@ -618,7 +626,7 @@ final class TableScan private[table] (
     * arrow/scan_metrics.rs:54-72). */
   def planWithMetrics(): (Seq[FileScanTask], ScanMetrics) = {
     val snap = snapshot.getOrElse(return (Nil, ScanMetrics(0, 0, 0L, 0L, 0L, 0)))
-    val manifests = readListCached(snap.manifestList)
+    val manifests = readListCached(snap)
 
     val dataManifests = manifests.filter(_.content == ManifestContent.Data)
     val survivors = dataManifests.filter { m =>
@@ -678,7 +686,7 @@ final class TableScan private[table] (
     * auto-mode trigger for distributed planning. */
   def estimatedDataEntries: Long =
     snapshot.map { snap =>
-      readListCached(snap.manifestList)
+      readListCached(snap)
         .filter(_.content == ManifestContent.Data)
         .map(m => m.addedFilesCount.toLong + m.existingFilesCount.toLong).sum
     }.getOrElse(0L)
@@ -707,7 +715,7 @@ final class TableScan private[table] (
       defaulted: Seq[(Int, String)],
       targetSplitSize: Long = 128L << 20): (Seq[CompactFileTask], ScanMetrics) = {
     val snap = snapshot.getOrElse(return (Nil, ScanMetrics(0, 0, 0L, 0L, 0L, 0)))
-    val manifests = readListCached(snap.manifestList)
+    val manifests = readListCached(snap)
     val dataManifests = manifests.filter(_.content == ManifestContent.Data)
     val survivors = dataManifests.filter { m =>
       val spec = table.metadata.specById(m.partitionSpecId).getOrElse(table.spec)
@@ -732,15 +740,16 @@ final class TableScan private[table] (
     val byMetrics = spark.sparkContext.longAccumulator("graft.plan.skippedByMetrics")
 
     val descs = survivors.map(m =>
-      (m.manifestPath, m.partitionSpecId, m.sequenceNumber))
+      (m.manifestPath, m.partitionSpecId, m.sequenceNumber,
+        m.keyMetadata.orNull))
     val parallelism = math.max(1,
       math.min(descs.size, spark.sparkContext.defaultParallelism * 2))
     val tasks = spark.sparkContext.parallelize(descs, parallelism)
-      .flatMap { case (mpath, specId, mseq) =>
+      .flatMap { case (mpath, specId, mseq, keyMeta) =>
         val io = new graft.io.FileIO(conf.value)
         val spec = specById.getOrElse(specId, defaultSpec)
         val pf = partFilters.getOrElse(specId, filter0)
-        ManifestIO.readManifest(io, mpath, schema, spec)
+        ManifestIO.readManifest(io, mpath, schema, spec, Option(keyMeta))
           .filter(_.isAlive)
           .filter { e =>
             entriesSeen.add(1L)
@@ -780,7 +789,7 @@ final class TableScan private[table] (
     * distributed (anti-joins in toDF), never on the driver. */
   def planDeletes(): Seq[DeleteTask] = {
     val snap = snapshot.getOrElse(return Nil)
-    val deleteManifests = readListCached(snap.manifestList)
+    val deleteManifests = readListCached(snap)
       .filter(_.content == ManifestContent.Deletes)
     parallelFlatMap(deleteManifests) { m =>
       val spec = table.metadata.specById(m.partitionSpecId).getOrElse(table.spec)
@@ -794,7 +803,7 @@ final class TableScan private[table] (
   /** Planned file count with vs without pruning — for tests/metrics. */
   def planSummary(): (Int, Int) = {
     val all = snapshot.map { snap =>
-      readListCached(snap.manifestList)
+      readListCached(snap)
         .filter(_.content == ManifestContent.Data)
         .map(m => m.addedFilesCount + m.existingFilesCount).sum
     }.getOrElse(0)

@@ -246,15 +246,17 @@ object Maintenance {
     val specById = table.metadata.partitionSpecs.map(s => s.specId -> s).toMap
     val defaultSpec = table.metadata.defaultSpec
     val schema = table.metadata.currentSchema
-    val manifests: Seq[(String, Int)] = table.metadata.snapshots.flatMap { s =>
-      ManifestIO.readManifestList(io, s.manifestList, Commits.partTypes(table.metadata))
-        .map(m => (m.manifestPath, m.partitionSpecId))
-    }.distinct
+    val manifests: Seq[(String, Int, Array[Byte])] = table.metadata.snapshots.flatMap { s =>
+      ManifestIO.readManifestList(io, s.manifestList, Commits.partTypes(table.metadata),
+        graft.crypto.MetadataEncryption.listKeyFor(table.metadata, s))
+        .map(m => (m.manifestPath, m.partitionSpecId, m.keyMetadata.orNull))
+    }.distinctBy(t => (t._1, t._2))
     val referenced = sc.parallelize(manifests,
         math.max(1, math.min(manifests.size, 64)))
-      .flatMap { case (mp, specId) =>
+      .flatMap { case (mp, specId, keyMeta) =>
         val exIo = new graft.io.FileIO(new org.apache.hadoop.conf.Configuration())
-        ManifestIO.readManifest(exIo, mp, schema, specById.getOrElse(specId, defaultSpec))
+        ManifestIO.readManifest(exIo, mp, schema, specById.getOrElse(specId, defaultSpec),
+            Option(keyMeta))
           .map(e => (normalize(e.dataFile.filePath), ()))
       }
 
@@ -317,12 +319,14 @@ object Maintenance {
 
     // files ADDED by the source snapshot, grouped by their spec
     val srcManifests = ManifestIO
-      .readManifestList(table.io, src.manifestList, Commits.partTypes(md))
+      .readManifestList(table.io, src.manifestList, Commits.partTypes(md),
+        graft.crypto.MetadataEncryption.listKeyFor(md, src))
       .filter(m => m.content == ManifestContent.Data &&
         m.addedSnapshotId == snapshotId)
     val bySpec: Seq[(Int, Seq[DataFile])] = srcManifests.flatMap { m =>
       val spec = md.specById(m.partitionSpecId).getOrElse(md.defaultSpec)
-      ManifestIO.readManifest(table.io, m.manifestPath, md.currentSchema, spec)
+      ManifestIO.readManifest(table.io, m.manifestPath, md.currentSchema, spec,
+          m.keyMetadata)
         .filter(e => e.status == ManifestStatus.Added &&
           e.snapshotId.contains(snapshotId))
         .map(e => m.partitionSpecId -> e.dataFile)
@@ -425,7 +429,7 @@ object Maintenance {
           val spec = base.partitionSpecs.find(_.specId == m.partitionSpecId)
             .getOrElse(base.defaultSpec)
           val entries = ManifestIO.readManifest(table.io, m.manifestPath,
-            base.currentSchema, spec)
+            base.currentSchema, spec, m.keyMetadata)
           if (!entries.exists(e => e.isAlive && sourcePaths(e.dataFile.filePath))) m
           else {
             val rewrittenEntries = entries.filter(_.isAlive).map { e =>
@@ -497,7 +501,8 @@ object Maintenance {
             val spec = base.partitionSpecs.find(_.specId == specId)
               .getOrElse(base.defaultSpec)
             val entries = group.flatMap { m =>
-              ManifestIO.readManifest(io, m.manifestPath, base.currentSchema, spec)
+              ManifestIO.readManifest(io, m.manifestPath, base.currentSchema, spec,
+                  m.keyMetadata)
                 .filter(_.isAlive)
                 .map(e => e.copy(status = ManifestStatus.Existing,
                   sequenceNumber = e.sequenceNumber.orElse(Some(m.sequenceNumber))))

@@ -150,4 +150,160 @@ class EncryptionSpec extends AnyFunSuite with BeforeAndAfterAll {
       graft.table.Transactions.removeEncryptionKey(t, "k-2025")
     }
   }
+
+  // ---------- AGS1 stream format (encryption/stream.rs) ----------
+
+  private def rnd(n: Int, seed: Long): Array[Byte] = {
+    val r = new java.util.Random(seed)
+    val a = new Array[Byte](n); r.nextBytes(a); a
+  }
+
+  test("AGS1: header layout, single/multi-block/empty round-trips") {
+    val key = rnd(16, 1)
+    val aad = rnd(16, 2)
+    for (n <- Seq(0, 1, 100, AgsStream.PlainBlockSize,
+        AgsStream.PlainBlockSize + 1, (2.5 * AgsStream.PlainBlockSize).toInt)) {
+      val plain = rnd(n, n)
+      val cipher = AgsStream.encrypt(plain, key, aad)
+      // header: "AGS1" magic + 1 MiB plain block size, little-endian
+      assert(cipher.take(4).toSeq === "AGS1".getBytes("UTF-8").toSeq)
+      assert(java.nio.ByteBuffer.wrap(cipher, 4, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt === 1024 * 1024)
+      val blocks = math.max(1, (n + AgsStream.PlainBlockSize - 1) / AgsStream.PlainBlockSize)
+      assert(cipher.length === 8 + n + blocks * 28, s"n=$n") // 12B nonce + 16B tag per block
+      assert(AgsStream.decrypt(cipher, key, aad).toSeq === plain.toSeq, s"n=$n")
+    }
+  }
+
+  test("AGS1: wrong key, wrong AAD prefix, tampering, and block reorder all fail") {
+    val key = rnd(16, 3)
+    val aad = rnd(16, 4)
+    val plain = rnd((2.2 * AgsStream.PlainBlockSize).toInt, 5)
+    val cipher = AgsStream.encrypt(plain, key, aad)
+
+    intercept[Exception](AgsStream.decrypt(cipher, rnd(16, 99), aad))
+    intercept[Exception](AgsStream.decrypt(cipher, key, rnd(16, 98)))
+
+    val tampered = cipher.clone(); tampered(8 + 12 + 5) = (tampered(8 + 12 + 5) ^ 1).toByte
+    intercept[Exception](AgsStream.decrypt(tampered, key, aad))
+
+    // swapping two full cipher blocks breaks the per-block index AAD
+    val swapped = cipher.clone()
+    val b = AgsStream.CipherBlockSize
+    System.arraycopy(cipher, 8, swapped, 8 + b, b)
+    System.arraycopy(cipher, 8 + b, swapped, 8, b)
+    intercept[Exception](AgsStream.decrypt(swapped, key, aad))
+  }
+
+  test("StandardKeyMetadata: golden bytes + round-trips") {
+    // version byte 1, then one Avro datum: required bytes + two
+    // null-union optionals (branch 0 = null, 1 = value)
+    val key16 = Array.tabulate[Byte](16)(_.toByte)
+    val minimal = StandardKeyMetadata(key16).encode
+    assert(minimal.toSeq ===
+      (Seq[Byte](1, 0x20) ++ key16 ++ Seq[Byte](0, 0)), "minimal golden")
+
+    val full = StandardKeyMetadata(key16,
+      aadPrefix = Some(Array[Byte](10, 20, 30, 40)),
+      fileLength = Some(100L)).encode
+    assert(full.toSeq === (Seq[Byte](1, 0x20) ++ key16 ++
+      Seq[Byte](2, 8, 10, 20, 30, 40) ++      // union branch 1, 4 bytes
+      Seq[Byte](2, -56, 1)), "full golden")   // zigzag(100) = 200 = 0xC8 0x01
+
+    for (m <- Seq(
+        StandardKeyMetadata(rnd(32, 7)),
+        StandardKeyMetadata(rnd(24, 8), Some(rnd(16, 9))),
+        StandardKeyMetadata(rnd(16, 10), Some(rnd(16, 11)), Some(Long.MaxValue)))) {
+      val back = StandardKeyMetadata.decode(m.encode)
+      assert(back.encryptionKey.toSeq === m.encryptionKey.toSeq)
+      assert(back.aadPrefix.map(_.toSeq) === m.aadPrefix.map(_.toSeq))
+      assert(back.fileLength === m.fileLength)
+    }
+    intercept[IllegalArgumentException](StandardKeyMetadata.decode(Array[Byte](2, 0)))
+    intercept[IllegalArgumentException](StandardKeyMetadata(rnd(15, 12)))
+  }
+
+  // ---------- encrypted metadata end-to-end ----------
+
+  private val metaEncProps = encProps ++ Map(
+    MetadataEncryption.KeyIdProp -> "mk1",
+    "format-version" -> "3")
+
+  test("AGS1 metadata e2e: manifests + list encrypted on disk, scans/DML/time-travel work") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-enc-meta-").toString
+    val catalog = new HadoopCatalog(wh, FileIO.fromSpark(spark))
+    var t = GraftTable.create("encm", catalog, schema, properties = metaEncProps)
+    assert(t.metadata.formatVersion === 3)
+    t = t.append((1L to 100L).map(i => (i, i * 0.5, s"s$i")).toDF("id", "v", "s"))
+
+    // on disk: manifest list and manifests are AGS1, NOT plain avro
+    val snap = t.metadata.currentSnapshot.get
+    val io = t.io
+    def head4(p: String) = io.readBytes(p).take(4).toSeq
+    assert(head4(snap.manifestList) === "AGS1".getBytes("UTF-8").toSeq)
+    for (m <- t.currentManifests)
+      assert(head4(m.manifestPath) === "AGS1".getBytes("UTF-8").toSeq)
+
+    // snapshot carries key-id; registry holds the KEK + one wrapped entry
+    assert(snap.keyId.isDefined)
+    assert(t.metadata.encryptionKeys.size === 2)
+    val kek = t.metadata.encryptionKeys.find(_.encryptedById.contains("mk1"))
+    assert(kek.isDefined, "KEK wrapped by the master key")
+    assert(kek.get.properties.contains(MetadataEncryption.KekTimestampProp))
+    assert(t.metadata.encryptionKeyById(snap.keyId.get).get
+      .encryptedById === Some(kek.get.keyId))
+
+    // scans, pruning, metadata tables all pass through decryption
+    assert(t.newScan().toDF(spark).count() === 100)
+    val (planned, all) = t.newScan()
+      .withFilter(Predicate.eqTo("id", 1L)).planSummary()
+    assert(planned <= all && all > 0)
+    assert(t.filesDf(spark).count() > 0)
+
+    // second commit REUSES the active KEK: +1 wrapped entry, not +2
+    t = t.append(Seq((101L, 1.0, "x")).toDF("id", "v", "s"))
+    assert(t.metadata.encryptionKeys.size === 3)
+    assert(t.metadata.encryptionKeys.count(_.encryptedById.contains("mk1")) === 1)
+
+    // MoR delete + compaction on encrypted metadata: ids 51..100 have
+    // v in (25, 50], so 50 of the 101 rows fall
+    t = t.deleteWhere(Predicate.gt("v", 25.0), spark)
+    assert(t.newScan().toDF(spark).count() === 51)
+    t = t.rewriteDataFiles(spark)
+    assert(t.newScan().toDF(spark).count() === 51)
+
+    // time travel through an encrypted older snapshot
+    assert(t.newScan().useSnapshot(snap.snapshotId).toDF(spark).count() === 100)
+
+    // without the master keyring the registry chain cannot be unwrapped
+    val stripped = t.metadata.copy(
+      properties = t.metadata.properties - Encryption.MasterKeysProp)
+    intercept[Exception](
+      MetadataEncryption.listKeyFor(stripped, t.metadata.currentSnapshot.get))
+  }
+
+  test("AGS1 metadata: distributed planning decrypts manifests executor-side") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-enc-dist-").toString
+    val catalog = new HadoopCatalog(wh, FileIO.fromSpark(spark))
+    var t = GraftTable.create("encd", catalog, schema,
+      properties = metaEncProps + ("write.spark.max-records-per-file" -> "10"))
+    t = t.append((1L to 200L).map(i => (i, i * 0.5, s"s$i")).toDF("id", "v", "s"))
+    val local = t.newScan().planFiles()
+    val (dist, _) = t.newScan().planCompactDistributed(spark, Set(1, 2, 3), Nil)
+    assert(dist.map(_.filePath).toSet === local.map(_.file.filePath).toSet)
+    assert(local.size > 1)
+  }
+
+  test("encryption.key-id on a v2 table is refused, not silently unencrypted") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-enc-v2-").toString
+    val catalog = new HadoopCatalog(wh, FileIO.fromSpark(spark))
+    val t = GraftTable.create("encv2", catalog, schema,
+      properties = encProps + (MetadataEncryption.KeyIdProp -> "mk1"))
+    intercept[IllegalArgumentException] {
+      t.append(Seq((1L, 1.0, "a")).toDF("id", "v", "s"))
+    }
+  }
 }

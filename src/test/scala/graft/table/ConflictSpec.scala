@@ -112,15 +112,28 @@ class ConflictSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(err.getMessage.contains("delete files"))
     assert(GraftTable.load("c6", catalog).newScan().toDF(spark).count() === 90)
 
-    // snapshot isolation does NOT waive the check: it is row correctness
+    // file-PRECISE validation (PosDeleteIndex binding): a concurrent
+    // delete whose referenced data file is DISJOINT from the rewritten
+    // set does not abort — ids>95 live in the last 25-row file, the
+    // rewrite folds only the id<=50 files. The rewrite commits and both
+    // effects land exactly: 85 rows minus the 40 still-live ids<=50.
     GraftTable.load("c6", catalog)
       .updateProperties(Map("write.delete.isolation-level" -> "snapshot"))
     val stale2 = GraftTable.load("c6", catalog)
     GraftTable.load("c6", catalog).deleteWhere(BinaryPred(Gt, "id", 95L), spark)
+    RowOps.overwriteWhere(stale2, BinaryPred(LtEq, "id", 50L), null, spark)
+    assert(GraftTable.load("c6", catalog).newScan().toDF(spark).count() === 45)
+
+    // snapshot isolation does NOT waive the check when the delete DOES
+    // bind to a rewritten file: ids>=90 reference the same last file the
+    // id>80 rewrite folds — committing would resurrect them
+    val stale3 = GraftTable.load("c6", catalog)
+    GraftTable.load("c6", catalog)
+      .deleteWhere(BinaryPred(Gt, "id", 89L), spark)
     intercept[Commits.ValidationException] {
-      RowOps.overwriteWhere(stale2, BinaryPred(LtEq, "id", 50L), null, spark)
+      RowOps.overwriteWhere(stale3, BinaryPred(Gt, "id", 80L), null, spark)
     }
-    assert(GraftTable.load("c6", catalog).newScan().toDF(spark).count() === 85)
+    assert(GraftTable.load("c6", catalog).newScan().toDF(spark).count() === 39)
   }
 
   test("mixed concurrent appends + CoW deletes converge exactly (replan on abort)") {
