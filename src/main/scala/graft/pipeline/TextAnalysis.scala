@@ -183,4 +183,48 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("gram"))
       .limit(k)
   }
+
+  /** CCNet-style shared-passage removal: segment each document into
+    * fixed-width word windows, drop every segment that occurs in at
+    * least `minDocs` DISTINCT documents (cross-document repetition =
+    * boilerplate, not content), and reassemble the survivors in their
+    * original order. Corpora with real line structure would segment on
+    * newlines; this corpus is single-line, so the deterministic
+    * `segLen`-word windowing plays that role in BOTH engines.
+    *
+    * Scale shape: three bounded shuffles — (1) map-side-combined
+    * distinct-doc counts per segment (the combiner collapses within-doc
+    * repeats before the exchange), (2) a hash join of segments against
+    * the flagged set (AQE broadcasts it when small; at trillions of
+    * segments the flagged side can exceed broadcast, so no forced
+    * hint), (3) the per-document regroup. No collect, no window over an
+    * unbounded partition; per-doc segment lists are document-sized. */
+  def removeSharedSegments(docs: DataFrame, segLen: Int = 4,
+      minDocs: Long = 3L): DataFrame = {
+    val w = TextHash.words(col("text"))
+    val segs = docs.select(col("doc_id"), w.as("w"))
+      .select(col("doc_id"),
+        transform(
+          sequence(lit(0),
+            ceil(size(col("w")) / lit(segLen.toDouble)).cast("int") - 1),
+          i => array_join(slice(col("w"), i * segLen + 1, lit(segLen)), " "))
+          .as("segs"))
+      .select(col("doc_id"), posexplode(col("segs")).as(Seq("ord", "seg")))
+    val flagged = segs.groupBy(col("seg"))
+      .agg(countDistinct(col("doc_id")).as("docs"))
+      .filter(col("docs") >= minDocs)
+      .select(col("seg"), lit(1).as("dup"))
+    segs.join(flagged, Seq("seg"), "left")
+      .groupBy(col("doc_id")).agg(
+        count(lit(1)).cast("long").as("n_segs"),
+        sum(when(col("dup").isNotNull, 1L).otherwise(0L)).as("n_removed"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("dup").isNull, struct(col("ord"), col("seg"))))),
+            _.getField("seg")), " ").as("cleaned0"))
+      .select(col("doc_id"), col("n_segs"), col("n_removed"),
+        when(col("n_removed") === col("n_segs"), lit(null))
+          .otherwise(col("cleaned0")).as("cleaned"))
+  }
 }

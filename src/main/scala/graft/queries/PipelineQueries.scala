@@ -1045,7 +1045,38 @@ object PipelineQueries {
     Search.bm25(Tables.documents(s, d), Seq("dup", "vector", "stream"), k = 10)
   }
 
+  /** CCNet-style shared-passage removal: 4-word segments occurring in
+    * >= 3 distinct docs are boilerplate; documents are reassembled
+    * without them. The oracle independently segments, counts, joins and
+    * re-aggregates — order, tail-segment and all-removed NULL semantics
+    * included. */
+  val p37 = Q.sql(
+    "p37_shared_segment_removal",
+    """WITH w AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      |segs AS (
+      |  SELECT doc_id,
+      |    [{'o': i, 's': array_to_string(w[i*4+1:i*4+4], ' ')}
+      |     for i in range(0, cast(ceil(len(w)/4.0) as int))] AS ps
+      |  FROM w),
+      |e AS (
+      |  SELECT doc_id, unnest(ps, recursive := true) FROM segs),
+      |flagged AS (
+      |  SELECT s FROM e GROUP BY s HAVING count(DISTINCT doc_id) >= 3),
+      |m AS (
+      |  SELECT e.doc_id, e.o, e.s, f.s IS NOT NULL AS dup
+      |  FROM e LEFT JOIN flagged f ON e.s = f.s)
+      |SELECT doc_id, count(*)::BIGINT AS n_segs,
+      |  count(*) FILTER (dup)::BIGINT AS n_removed,
+      |  CASE WHEN count(*) FILTER (dup) = count(*) THEN NULL
+      |       ELSE string_agg(s, ' ' ORDER BY o) FILTER (NOT dup) END AS cleaned
+      |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    TextAnalysis.removeSharedSegments(Tables.documents(s, d))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
     p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24,
-    p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p35, p36)
+    p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p35, p36, p37)
 }

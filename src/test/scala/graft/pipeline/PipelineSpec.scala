@@ -752,4 +752,34 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.count(_.getLong(2) == 3) >= 1)
     assert(dupDocs < 50, "corpus sanity: 'dup' stays rare")
   }
+
+  test("shared-segment removal: conservation, planted boilerplate, all-removed NULL") {
+    import spark.implicits._
+    // plant a 4-word passage into every doc of a small corpus, plus one
+    // doc that is ONLY the passage
+    val boiler = "click here to subscribe"
+    val base = docs.limit(20).select(col("doc_id"),
+      concat(lit(boiler + " "), col("text")).as("text"))
+    val pure = Seq((999999L, boiler)).toDF("doc_id", "text")
+    val out = TextAnalysis.removeSharedSegments(base.unionAll(pure),
+      segLen = 4, minDocs = 3).cache()
+
+    // the planted passage aligns at segment 0 everywhere → removed from all
+    assert(out.count() === 21)
+    assert(out.filter(col("n_removed") >= 1).count() === 21,
+      "planted segment must be flagged in every doc")
+    assert(!out.filter(col("cleaned").isNotNull).head
+      .getString(3).contains(boiler))
+    // the passage-only doc loses everything → NULL cleaned text
+    assert(out.filter(col("doc_id") === 999999L).head.get(3) == null)
+
+    // conservation on the untouched corpus: nothing below threshold in a
+    // tiny disjoint slice → cleaned text reassembles the original words
+    val lone = docs.limit(3).select(col("doc_id"), col("text"))
+    val untouched = TextAnalysis.removeSharedSegments(lone, 4, minDocs = 3L)
+    val back = untouched.select(col("doc_id"), col("cleaned")).as[(Long, String)]
+      .collect().toMap
+    lone.select(col("doc_id"), lower(col("text"))).as[(Long, String)].collect()
+      .foreach { case (id, t) => assert(back(id) === t, s"doc $id altered") }
+  }
 }
