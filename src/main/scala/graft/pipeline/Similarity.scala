@@ -287,4 +287,58 @@ object Similarity {
         cosine(col("qe"), col("ce")).as("cos"))
     rankTopK(scored, k)
   }
+
+  /** Deterministic distributed k-means (Lloyd's, cosine assignment) —
+    * the clustering primitive behind cluster-balanced sampling and
+    * SemDeDup-style curation, here as a standalone driver-checked
+    * operator. Initial centroids are the stride sample (cluster id =
+    * seed vec_id, stable across iterations); each iteration assigns
+    * map-side against broadcast centroid literals (same codegen argmax
+    * as IVF, no shuffle, no (vector, centroid) rows), then recomputes
+    * centroids with ONE map-side-combined (cluster, dim) average
+    * shuffle of n×dims skinny rows. Only k×dims rounded means ever
+    * reach the driver.
+    *
+    * Cross-engine determinism: per-dim means are rounded to 6 decimals
+    * before re-use, collapsing summation-order ulps, so Spark and the
+    * DuckDB oracle see bit-identical centroids; dot products and norms
+    * are left-to-right double folds on both sides. Ties in assignment
+    * break to the smallest cluster id. */
+  def kmeans(corpus: DataFrame, stride: Int = 31, iters: Int = 2): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    var cents = quantizer(corpus, stride)
+    var assigned: DataFrame = null
+    for (it <- 1 to iters) {
+      assigned = corpus.select(col("vec_id"), col("embedding"),
+        cellOf(col("embedding"), cents).as("cluster"))
+      if (it < iters) {
+        val dm = assigned
+          .select(col("cluster"), posexplode(col("embedding")).as(Seq("d", "v")))
+          .groupBy(col("cluster"), col("d"))
+          .agg(round(avg(col("v").cast("double")), 6).as("m"))
+          .collect()
+        cents = dm.groupBy(_.getLong(0)).toSeq.map { case (cid, rows) =>
+          val ce = rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+          (cid, ce, math.sqrt(ce.map(x => x * x).sum))
+        }.sortBy(_._1)
+      }
+    }
+    assigned.select(col("vec_id"), col("cluster"),
+      round(cosineToLit(col("embedding"), cents), 5).as("cos_sim"))
+  }
+
+  /** Cosine of `emb` against its assigned centroid from the literal
+    * table — a second map-side pass so the output carries the final
+    * similarity without a join. */
+  private def cosineToLit(emb: Column,
+      cents: Seq[(Long, Seq[Double], Double)]): Column = {
+    val scored = transform(typedLit(cents), c =>
+      struct((TextHash.dot(emb, c.getField("_2")) /
+        (TextHash.l2norm(emb) * c.getField("_3"))).as("cos"),
+        c.getField("_1").as("cid")))
+    aggregate(scored,
+      struct(lit(-2.0).as("cos"), lit(-1L).as("cid")),
+      (acc, s) => when(s.getField("cos") > acc.getField("cos"), s).otherwise(acc))
+      .getField("cos")
+  }
 }

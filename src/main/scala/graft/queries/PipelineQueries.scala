@@ -1076,7 +1076,51 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Distributed k-means (2 Lloyd iterations, stride-sampled init,
+    * cosine assignment). The oracle replays both iterations: argmax
+    * assignment, per-(cluster, dim) means rounded to 6 dp (collapsing
+    * summation-order ulps on both engines), reassignment. */
+  val p38 = Q.sql(
+    "p38_kmeans_clusters",
+    """WITH c0 AS (
+      |  SELECT vec_id AS cid,
+      |    list_transform(embedding, x -> x::DOUBLE) AS ce
+      |  FROM embeddings WHERE vec_id % 31 = 0),
+      |s1 AS (
+      |  SELECT e.vec_id, e.embedding, c.cid,
+      |    list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * c.ce[i])) /
+      |    (sqrt(list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))) *
+      |     sqrt(list_sum(list_transform(range(1, 65), i -> c.ce[i] * c.ce[i])))) AS cs
+      |  FROM embeddings e, c0 c),
+      |a1 AS (
+      |  SELECT vec_id, embedding, cid AS cluster FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+      |    FROM s1) WHERE rn = 1),
+      |dm AS (
+      |  SELECT cluster, d, round(avg(v), 6) AS m
+      |  FROM (SELECT cluster,
+      |          unnest([{'d': i, 'v': embedding[i]::DOUBLE} for i in range(1, 65)],
+      |                 recursive := true)
+      |        FROM a1)
+      |  GROUP BY cluster, d),
+      |c1 AS (SELECT cluster AS cid, list(m ORDER BY d) AS ce FROM dm GROUP BY cluster),
+      |s2 AS (
+      |  SELECT e.vec_id, c.cid,
+      |    list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * c.ce[i])) /
+      |    (sqrt(list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))) *
+      |     sqrt(list_sum(list_transform(range(1, 65), i -> c.ce[i] * c.ce[i])))) AS cs
+      |  FROM embeddings e, c1 c),
+      |a2 AS (
+      |  SELECT vec_id, cid AS cluster, round(cs, 5) AS cos_sim FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+      |    FROM s2) WHERE rn = 1)
+      |SELECT vec_id, cluster, cos_sim FROM a2 ORDER BY vec_id""".stripMargin
+  ) { (s, d) =>
+    Similarity.kmeans(Tables.embeddings(s, d), stride = 31, iters = 2)
+      .orderBy(col("vec_id"))
+  }
+
   val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
     p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24,
-    p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p35, p36, p37)
+    p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p35, p36, p37, p38)
 }

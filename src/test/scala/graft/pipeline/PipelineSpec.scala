@@ -753,6 +753,28 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dupDocs < 50, "corpus sanity: 'dup' stays rare")
   }
 
+  test("kmeans: assignment is map-side (no join), nearest-centroid consistent, deterministic") {
+    val out = Similarity.kmeans(embs, stride = 31, iters = 2).cache()
+    val n = embs.count()
+    assert(out.count() === n)
+    // cluster ids come from the stride seed set
+    val seeds = embs.filter(col("vec_id") % 31 === 0)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val used = out.select(col("cluster")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(used.subsetOf(seeds))
+    assert(used.size > 1, "more than one cluster survives")
+    assert(out.filter(col("cos_sim") < -1.0 || col("cos_sim") > 1.0).count() === 0)
+
+    // the per-row stage is pure projection: no join anywhere in the plan
+    val plan = Similarity.kmeans(embs, 31, 1).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"assignment must not join:\n$plan")
+
+    // deterministic end to end
+    val again = Similarity.kmeans(embs, stride = 31, iters = 2)
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+  }
+
   test("shared-segment removal: conservation, planted boilerplate, all-removed NULL") {
     import spark.implicits._
     // plant a 4-word passage into every doc of a small corpus, plus one
