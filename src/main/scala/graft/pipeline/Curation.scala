@@ -240,6 +240,49 @@ object Curation {
     * runs pick `hexChars` (2→256, 3→4096 shards) so a shard fits one
     * task, making the per-shard window the job's intended parallelism,
     * not a funnel. */
+  /** Temperature-reweighted domain sampling (the multilingual-training
+    * mix rule, alpha = 0.5): domain quotas follow n_d^alpha normalized
+    * over domains — flattening the natural Zipfian mix so small domains
+    * keep representation — and each quota fills deterministically in
+    * md5 document order.
+    *
+    * Cross-engine determinism: per-domain weights are round(sqrt(n), 6)
+    * (IEEE sqrt is bit-identical on both engines); the weight TOTAL is
+    * an exact decimal sum of those rounded values (order-free), and the
+    * quota is floor(T * w / W) on identical doubles.
+    *
+    * Scale shape: one map-side-combined count per domain (tiny), quotas
+    * broadcast back; the per-domain rank is the same salted two-pass
+    * as [[stratifiedSplit]] — a mega-domain ranks across `SaltBuckets`
+    * tasks, never one. */
+  def temperatureSample(docs: DataFrame, totalDocs: Long): DataFrame = {
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .withColumn("wt", round(sqrt(col("n")), 6))
+    val wsum = counts.agg(sum(col("wt").cast("decimal(28,6)")))
+      .head.getDecimal(0).doubleValue()
+    val quotas = counts.select(col("source"),
+      floor(lit(totalDocs.toDouble) * col("wt") / lit(wsum)).cast("long").as("quota"))
+
+    val h = md5(col("doc_id").cast("string"))
+    val base = docs.select(col("source"), col("doc_id"), h.as("h"))
+      .withColumn("b", conv(substring(col("h"), 1, 2), 16, 10).cast("int"))
+    val offsets = base.groupBy(col("source"), col("b"))
+      .agg(count(lit(1)).as("bn"))
+      .withColumn("off", coalesce(sum(col("bn")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("b"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("source"), col("b"), col("off"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"), col("b")).orderBy(col("h"), col("doc_id"))
+    base.join(broadcast(offsets), Seq("source", "b"))
+      .withColumn("rank", row_number().over(win) + col("off"))
+      .join(broadcast(quotas), Seq("source"))
+      .filter(col("rank") <= col("quota"))
+      .select(col("source"), col("doc_id"), col("rank"))
+  }
+
   def shardShuffle(docs: DataFrame, hexChars: Int = 1): DataFrame = {
     val h = md5(col("doc_id").cast("string"))
     val base = docs.select(col("doc_id"), h.as("h"))

@@ -1120,7 +1120,31 @@ object PipelineQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** Temperature-reweighted (alpha = 0.5) domain sampling: quotas
+    * follow sqrt(domain size) normalized over domains, filled in md5
+    * doc order. Weights round before an exact decimal total, so quota
+    * arithmetic is bit-identical on both engines. */
+  val p39 = Q.sql(
+    "p39_temperature_sampling",
+    """WITH d AS (SELECT source, count(*)::BIGINT AS n FROM documents GROUP BY source),
+      |w AS (SELECT source, round(sqrt(n), 6) AS wt FROM d),
+      |tot AS (SELECT sum(CAST(wt AS DECIMAL(28,6))) AS wsum FROM w),
+      |q AS (SELECT source,
+      |        CAST(floor(137 * wt / (SELECT wsum::DOUBLE FROM tot)) AS BIGINT) AS quota
+      |      FROM w),
+      |r AS (SELECT source, doc_id,
+      |        row_number() OVER (PARTITION BY source
+      |                           ORDER BY md5(doc_id::VARCHAR), doc_id) AS rank
+      |      FROM documents)
+      |SELECT r.source, r.doc_id, r.rank FROM r JOIN q USING (source)
+      |WHERE r.rank <= q.quota ORDER BY source, rank""".stripMargin
+  ) { (s, d) =>
+    Curation.temperatureSample(Tables.documents(s, d), totalDocs = 137L)
+      .orderBy(col("source"), col("rank"))
+  }
+
   val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
     p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24,
-    p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p35, p36, p37, p38)
+    p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p35, p36, p37, p38,
+    p39)
 }

@@ -753,6 +753,26 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dupDocs < 50, "corpus sanity: 'dup' stays rare")
   }
 
+  test("temperature sampling: sqrt flattening on a skewed corpus, salted rank, exact quotas") {
+    import spark.implicits._
+    // 900 docs in 'web', 100 in 'books': natural mix 9:1, sqrt mix 3:1
+    val skewed = ((1 to 900).map(i => (i.toLong, "web")) ++
+      (1001 to 1100).map(i => (i.toLong, "books")))
+      .toDF("doc_id", "source")
+    val out = Curation.temperatureSample(skewed, totalDocs = 400L).cache()
+    val byDomain = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // quotas: W = 30 + 10 = 40; web = floor(400*30/40) = 300, books = 100
+    assert(byDomain("web") === 300L)
+    assert(byDomain("books") === 100L)
+    // ranks are dense 1..quota within each domain
+    assert(out.filter(col("source") === "web").agg(max("rank")).head.getLong(0) === 300L)
+    assert(out.filter(col("source") === "books").agg(max("rank")).head.getLong(0) === 100L)
+    // the mega-domain's window runs per (source, bucket), never one task
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("b#") || plan.contains(", b"), s"salted window key missing:\n$plan")
+  }
+
   test("kmeans: assignment is map-side (no join), nearest-centroid consistent, deterministic") {
     val out = Similarity.kmeans(embs, stride = 31, iters = 2).cache()
     val n = embs.count()
