@@ -833,7 +833,8 @@ object PipelineQueries {
       |       i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))) >= 0.35)
       |SELECT a.vec_id, a.cell FROM asg a
       |WHERE a.vec_id NOT IN (SELECT vec_id FROM dom)
-      |ORDER BY a.vec_id""".stripMargin
+      |ORDER BY a.vec_id""".stripMargin,
+    bench = true
   ) { (s, d) =>
     Similarity.semanticDedup(Tables.embeddings(s, d), 0.35)
       .orderBy(col("vec_id"))
@@ -974,7 +975,8 @@ object PipelineQueries {
       |FROM (SELECT * FROM e WHERE event_type = 'click') l
       |ASOF LEFT JOIN (SELECT * FROM e WHERE event_type = 'purchase') r
       |  ON l.user_id = r.user_id AND l.ts_us >= r.ts_us
-      |ORDER BY l.event_id""".stripMargin
+      |ORDER BY l.event_id""".stripMargin,
+    bench = true
   ) { (s, d) =>
     val ev = Tables.events(s, d)
     graft.pipeline.Sessions.asOfJoin(ev.filter(col("event_type") === "click"),
@@ -1114,7 +1116,8 @@ object PipelineQueries {
       |  SELECT vec_id, cid AS cluster, round(cs, 5) AS cos_sim FROM (
       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
       |    FROM s2) WHERE rn = 1)
-      |SELECT vec_id, cluster, cos_sim FROM a2 ORDER BY vec_id""".stripMargin
+      |SELECT vec_id, cluster, cos_sim FROM a2 ORDER BY vec_id""".stripMargin,
+    bench = true
   ) { (s, d) =>
     Similarity.kmeans(Tables.embeddings(s, d), stride = 31, iters = 2)
       .orderBy(col("vec_id"))
