@@ -4,12 +4,19 @@ import java.nio.file.{Files, Paths}
 
 /** Per-round benchmark harness (driver → BENCH_r{N}.json).
   *
-  * Discipline (VERDICT r1 item 10): fixed query order, a full warmup pass
-  * so no query pays JVM/codegen/first-read cost, and materialization via
-  * the `noop` sink so every output column is actually computed (a bare
-  * `.count()` lets Catalyst prune the projection and under-measures wide
-  * scans). The JSON line is printed last after spark.stop() AND written to
-  * BENCH_LOCAL.json so the driver's parse survives log interleaving.
+  * Discipline (VERDICT r5 item 6): fixed query order, a full warmup pass
+  * (JIT, codegen cache, FS metadata, parquet footers), then THREE measured
+  * runs per query with the MEDIAN reported — cross-round comparisons were
+  * drowning in single-shot variance. Between runs all persistent RDDs
+  * (localCheckpoint residue) and the SQL cache are dropped, so no query is
+  * taxed by a predecessor's leaked storage. The JSON carries a fixture
+  * fingerprint (per-table file size + mtime + row count) so a testdata
+  * regen between rounds is visible instead of silently masquerading as a
+  * code regression. Materialization is the `noop` sink so every output
+  * column is computed (a bare `.count()` lets Catalyst prune the
+  * projection and under-measures wide scans). The JSON line is printed
+  * last after spark.stop() AND written to BENCH_LOCAL.json so the
+  * driver's parse survives log interleaving.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -25,27 +32,48 @@ object Bench {
 
     val queries = Registry.benchQueries.sortBy(_.name)
 
+    def cleanup(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+
     def runOnce(q: graft.queries.Q): Double = {
       val t0 = System.nanoTime()
       q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      cleanup()
+      sec
     }
 
-    // warmup: full pass (JIT, codegen cache, FS metadata, parquet footers)
+    // warmup: full pass
     queries.foreach { q =>
       try runOnce(q) catch { case e: Throwable =>
         System.err.println(s"[bench warmup] ${q.name}: ${e.getMessage}")
       }
     }
-    // measured pass, fixed (alphabetical) order
+    // measured: median of 3 per query, fixed (alphabetical) order
     val results = queries.map { q =>
-      val sec = try runOnce(q) catch { case _: Throwable => -1.0 }
-      q.name -> sec
+      val runs = (1 to 3).map { _ =>
+        try runOnce(q) catch { case _: Throwable => -1.0 }
+      }.sorted
+      q.name -> (runs(1), runs.head)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+
+    // fixture fingerprint: regen detection across rounds
+    val fixture = Tables.names.map { t =>
+      val f = new java.io.File(s"$sfDir/$t.parquet")
+      val rows =
+        try spark.read.parquet(f.getPath).count()
+        catch { case _: Throwable => -1L }
+      s""""$t":{"bytes":${f.length()},"mtime":${f.lastModified()},"rows":$rows}"""
+    }.mkString("{", ",", "}")
+
+    val qMedians = results.map { case (k, (med, _)) => "\"" + k + "\":" + med }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val qMins = results.map { case (k, (_, mn)) => "\"" + k + "\":" + mn }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2._1).filter(_ >= 0).sum
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qMedians,"queries_min":$qMins,"fixture":$fixture,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("BENCH_LOCAL.json"), json + "\n")
     spark.stop()
     println(json)

@@ -22,9 +22,13 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = t(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = t(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = t(s, d, "region")
-  /** events.parquet carries a TIMESTAMP(NANOS) column: read through the
-    * scan-configured session clone so ns surfaces as exact long ns
-    * (TimestampNsT mapping) without mutating the caller's session. */
+  /** events.parquet's `ts` unit is the driver's choice and has changed
+    * across regens (ns ↔ µs) — stay unit-tolerant: read through the
+    * scan-configured session clone, where a NANOS-annotated column
+    * surfaces as exact long ns (`nanosAsLong`) and a MICROS one is
+    * untouched (normal TimestampType). Downstream consumers
+    * ([[graft.pipeline.Sessions]]) normalize on the observed dtype, so
+    * either unit flows through without loss or 1000× rescale bugs. */
   def events(s: SparkSession, d: String): DataFrame =
     t(SessionConf.scanSession(s), d, "events")
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")

@@ -64,7 +64,14 @@ object Clusters {
     val roots = e.select(col("v").as("id")).distinct()
       .join(members.select(col("id")), Seq("id"), "left_anti")
       .select(col("id"), col("id").as("component"))
-    members.union(roots)
+    // materialize the (small: one row per clustered node) result and drop
+    // the last round's cached edges — without this, every CC invocation
+    // leaked one checkpointed edge RDD into the session for its lifetime,
+    // which in a long-lived session (or a bench loop) accretes into
+    // storage-memory pressure that taxes every later query
+    val result = members.union(roots).localCheckpoint(true)
+    e.unpersist()
+    result
   }
 
   /** Large-star: every node links its strictly-LARGER neighbors to the

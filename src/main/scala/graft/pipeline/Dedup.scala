@@ -91,23 +91,35 @@ object Dedup {
     * chances per pair), so recall on real dups is unaffected. */
   val MaxBucket: Int = 10000
 
-  /** Candidate pairs (id_a < id_b) sharing at least one band bucket —
-    * the bucket-bounded join, with the skew cap applied first. The census
-    * is a COUNT window over the same (band_idx, band_key) the join
-    * shuffles on — one exchange, no second signature computation, O(k)
-    * work even for the pathological bucket it then drops. */
+  /** Candidate pairs (id_a < id_b) sharing at least one band bucket.
+    *
+    * ONE exchange on (band_idx, band_key): the census COUNT window, the
+    * size filter, and the per-bucket collect all reuse the same hash
+    * partitioning, and in-bucket pairs are emitted by a codegen'd nested
+    * `transform` over the collected id list — no self-join, no second
+    * evaluation of the signature subtree, ~half the stages of the join
+    * form (measured: the join form re-planned the band aggregation per
+    * side and paid an extra sort-merge pass for identical output).
+    *
+    * Memory safety at 100 TB: the window census runs BEFORE the collect
+    * with O(1) state, so a viral bucket (shared boilerplate key) is
+    * dropped before any list materializes; kept buckets are ≤ maxBucket
+    * ids ≈ 80 KB. Pair fan-out per bucket is the same k² the join form
+    * produced, on the same single partition that bucket's key hashed to. */
   def lshCandidates(bandsDf: DataFrame, maxBucket: Int = MaxBucket): DataFrame = {
     val census = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band_idx"), col("band_key"))
-    val bounded = bandsDf
+    bandsDf
       .withColumn("_bn", count(lit(1)).over(census))
       .filter(col("_bn") <= maxBucket)
-      .drop("_bn")
-    bounded.as("a").join(bounded.as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_key") === col("b.band_key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .groupBy(col("band_idx"), col("band_key"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(ids, (a, i) -> " +
+          "transform(slice(ids, i + 2, size(ids) - i - 1), " +
+          "b -> struct(least(a, b) AS id_a, greatest(a, b) AS id_b))))")).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
       .distinct()
   }
 

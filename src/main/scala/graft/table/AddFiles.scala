@@ -47,6 +47,7 @@ object AddFiles {
     val dataFiles = spark.sparkContext
       .parallelize(withSizes, math.max(1, math.min(withSizes.size, 64)))
       .map { case (p, len) =>
+        validateTimeUnits(p, fieldTypes)
         AppendWriter.harvestDataFile(p, len, stagingPrefix = "", fieldTypes, Seq.empty)
       }.collect().toSeq
 
@@ -76,6 +77,47 @@ object AddFiles {
           base.currentSchema, base.defaultSpec, ManifestContent.Data, snapshotId, seq)
         m +: Commits.baseManifests(prepared.io, base)
     }
+  }
+
+  /** Refuse files whose parquet timestamp unit contradicts the declared
+    * Iceberg type. Without this gate a µs-annotated file registered under
+    * `timestamp_ns` would be served as raw longs 1000× off (the reference
+    * resolves by declared ids/types, arrow/reader/pipeline.rs:160-200 —
+    * a unit mismatch there is a decode error, never a silent rescale). */
+  private[table] def validateTimeUnits(
+      path: String, fieldTypes: Map[String, (Int, graft.spec.IcebergType)]): Unit = {
+    import graft.spec.IcebergType._
+    import org.apache.parquet.schema.LogicalTypeAnnotation.{TimeUnit, TimestampLogicalTypeAnnotation}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    val declared = fieldTypes.collect {
+      case (name, (_, t @ (TimestampT | TimestamptzT | TimestampNsT | TimestamptzNsT))) =>
+        name -> t
+    }
+    if (declared.isEmpty) return
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(path), new Configuration()))
+    try {
+      reader.getFooter.getFileMetaData.getSchema.getFields.asScala.foreach { f =>
+        declared.get(f.getName).foreach { t =>
+          val prim = f.asPrimitiveType()
+          val unit = prim.getLogicalTypeAnnotation match {
+            case ts: TimestampLogicalTypeAnnotation => Some(ts.getUnit)
+            case _ if prim.getPrimitiveTypeName == PrimitiveTypeName.INT96 => None // legacy
+            case other => throw new IllegalArgumentException(
+              s"addFiles: $path column '${f.getName}' is not a parquet timestamp " +
+                s"(annotation $other) but the table declares $t")
+          }
+          val ok = t match {
+            case TimestampNsT | TimestamptzNsT => unit.contains(TimeUnit.NANOS)
+            case _ => unit.isEmpty || unit.contains(TimeUnit.MICROS)
+          }
+          if (!ok) throw new IllegalArgumentException(
+            s"addFiles: $path column '${f.getName}' carries parquet time unit " +
+              s"${unit.map(_.toString).getOrElse("INT96")} but the table declares $t; " +
+              "registering it would mis-scale values — rewrite the file or fix the schema")
+        }
+      }
+    } finally reader.close()
   }
 
   private implicit class JListOps[A](l: java.util.List[A]) {

@@ -64,34 +64,59 @@ class AddFilesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(planned <= all)
   }
 
-  test("v3 ns timestamps: events.parquet registers schema-native, no conf leak") {
-    // the driver's events table carries a TIMESTAMP(NANOS) column — the
-    // TimestampNsT mapping reads it as exact long ns through the scan
-    // session clone, with the caller's session conf untouched
+  /** TIMESTAMP(NANOS)-annotated parquet written directly (Spark's own
+    * writer tops out at µs, so the ns fixture is self-made — never
+    * assume the driver's testdata unit, it has changed under us). */
+  private def writeNsParquet(path: String, rows: Seq[(Long, Long)]): Unit = {
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    val schema = Types.buildMessage()
+      .optional(INT64).named("event_id")
+      .optional(INT64)
+      .as(LogicalTypeAnnotation.timestampType(true, TimeUnit.NANOS))
+      .named("ts")
+      .named("events")
+    val writer = ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
+        new org.apache.hadoop.fs.Path(path), new org.apache.hadoop.conf.Configuration()))
+      .withType(schema).build()
+    val gf = new SimpleGroupFactory(schema)
+    try rows.foreach { case (id, ns) =>
+      val g = gf.newGroup(); g.add("event_id", id); g.add("ts", ns); writer.write(g)
+    } finally writer.close()
+  }
+
+  test("v3 ns timestamps: ns-annotated parquet registers schema-native, no conf leak") {
+    // a TIMESTAMP(NANOS) column under TimestampNsT reads as exact long ns
+    // through the scan session clone, with the caller's conf untouched
+    val dir = java.nio.file.Files.createTempDirectory("foreign-ns-").toString
+    val rows = Seq( // sub-µs precision: exactness is visible in the low digits
+      (1L, 1700000000123456789L),
+      (2L, 1700000000123456790L),
+      (3L, -42L)) // pre-epoch ns
+    writeNsParquet(s"$dir/events-ns.parquet", rows)
+
     val catalog = new HadoopCatalog(
       java.nio.file.Files.createTempDirectory("graft-ns-").toString,
       FileIO.fromSpark(spark))
     val schema = IcebergSchema(0, Seq(
       NestedField(1, "event_id", LongT, required = false),
-      NestedField(2, "ts", TimestampNsT, required = false),
-      NestedField(3, "user_id", LongT, required = false),
-      NestedField(4, "event_type", StringT, required = false),
-      NestedField(5, "value", DoubleT, required = false),
-      NestedField(6, "props", StringT, required = false)))
+      NestedField(2, "ts", TimestampNsT, required = false)))
     // conf snapshot: the scan clone must never write through to this session
     val confBefore = graft.SessionConf.ScanConf.map { case (k, _) =>
       k -> spark.conf.getOption(k) }
     var t = GraftTable.create("events_ns", catalog, schema)
-    t = t.addFiles(spark, Seq("/root/testdata/sf0.001/events.parquet"))
+    t = t.addFiles(spark, Seq(s"$dir/events-ns.parquet"))
 
     val df = t.newScan().select("event_id", "ts").toDF(spark)
     assert(df.schema("ts").dataType === org.apache.spark.sql.types.LongType)
-    val raw = graft.Tables.events(spark, "/root/testdata/sf0.001")
-    assert(df.count() === raw.count())
-    // ns values are exact: min/max agree with the clone-read raw table
-    val (lo, hi) = (raw.agg(min("ts")).head.getLong(0), raw.agg(max("ts")).head.getLong(0))
-    assert(df.agg(min("ts")).head.getLong(0) === lo)
-    assert(df.agg(max("ts")).head.getLong(0) === hi)
+    assert(df.count() === rows.size)
+    // ns values are EXACT longs — no µs truncation anywhere in the path
+    assert(df.orderBy("event_id").collect().map(_.getLong(1)).toSeq ===
+      rows.map(_._2))
 
     // hygiene: no scan path mutated the caller's session conf (the clone
     // carries "true"; the parent must still report its pre-scan values)
@@ -100,6 +125,45 @@ class AddFilesSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(!spark.conf.getOption(k).contains("true"), s"session conf leaked: $k")
     }
   }
+
+  test("addFiles refuses a time-unit mismatch instead of mis-scaling") {
+    import spark.implicits._
+    val catalog = new HadoopCatalog(
+      java.nio.file.Files.createTempDirectory("graft-unit-").toString,
+      FileIO.fromSpark(spark))
+
+    // µs-annotated file (plain Spark write) under a declared timestamp_ns:
+    // serving those integers as ns would be 1000× off — must refuse
+    val usDir = java.nio.file.Files.createTempDirectory("foreign-us-").toString
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try Seq((1L, java.sql.Timestamp.valueOf("2024-01-02 03:04:05.123456")))
+      .toDF("event_id", "ts").repartition(1).write.parquet(s"$usDir/raw")
+    finally spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    val usFiles = FileIO.fromSpark(spark).listFiles(s"$usDir/raw")
+      .map(_._1).filter(_.endsWith(".parquet"))
+    val nsSchema = IcebergSchema(0, Seq(
+      NestedField(1, "event_id", LongT, required = false),
+      NestedField(2, "ts", TimestampNsT, required = false)))
+    val tNs = GraftTable.create("unit_ns", catalog, nsSchema)
+    val e1 = intercept[Exception] { tNs.addFiles(spark, usFiles) }
+    assert(causeChain(e1).exists(_.getMessage != null) &&
+      causeChain(e1).flatMap(c => Option(c.getMessage)).exists(m =>
+        m.contains("time unit") && m.contains("MICROS")), s"got: $e1")
+
+    // and the mirror image: ns-annotated file under a declared µs timestamp
+    val nsDir = java.nio.file.Files.createTempDirectory("foreign-ns2-").toString
+    writeNsParquet(s"$nsDir/ns.parquet", Seq((1L, 123456789L)))
+    val usSchema = IcebergSchema(0, Seq(
+      NestedField(1, "event_id", LongT, required = false),
+      NestedField(2, "ts", TimestamptzT, required = false)))
+    val tUs = GraftTable.create("unit_us", catalog, usSchema)
+    val e2 = intercept[Exception] { tUs.addFiles(spark, Seq(s"$nsDir/ns.parquet")) }
+    assert(causeChain(e2).flatMap(c => Option(c.getMessage)).exists(m =>
+      m.contains("time unit") && m.contains("NANOS")), s"got: $e2")
+  }
+
+  private def causeChain(e: Throwable): Seq[Throwable] =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10).toSeq
 
   test("INT96 timestamps: Hive-style legacy parquet imports with exact values") {
     import spark.implicits._
