@@ -131,34 +131,38 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cos"), 5).as("cos_sim"))
   }
 
-  /** IVF (inverted-file) ANN: corpus vectors are assigned to their
-    * nearest coarse centroid (deterministic sample: every `stride`-th
-    * vector), queries search only their own cell.
+  /** Default coarse-quantizer size. FIXED, never corpus-proportional:
+    * driver memory and per-row argmax cost are O(cells), so cells must
+    * not grow with the data (a stride-style "every Nth vector" sample is
+    * a driver OOM and an O(N²/stride) argmax bill at 100 TB). */
+  val DefaultCells: Int = 64
+
+  /** Coarse quantizer: (cid, centroid as double[], l2 norm) sorted by
+    * cid — the `cells` corpus vectors with the SMALLEST md5-derived hash
+    * of their vec_id (hash-ranked sample: deterministic, engine-portable,
+    * uniformly spread over the id space, and CORPUS-SIZE-INDEPENDENT).
     *
-    * Scale shape: the coarse quantizer is collected once on the driver
-    * (IVF centroid tables are small and fixed-size by construction — a
-    * 65k×64-dim quantizer is ~16 MB) and shipped as ONE array literal;
-    * cell assignment is then a map-side argmax inside whole-stage codegen
-    * — a single projection over the corpus with NO shuffle and no
-    * per-(vector,centroid) row ever materialized. The only corpus shuffle
-    * is the per-cell broadcast-join + top-k window. Recall is tuned by
-    * probing adjacent cells (nprobe, not implemented — single-probe keeps
-    * the driver-checked output deterministic). */
-  /** Coarse quantizer: (cid, centroid as double[], l2 norm) sorted by cid.
-    * The sort is the tie-break: `cellOf` takes the FIRST strictly-greater
-    * update, so equal-cos ties resolve to the smallest cid, matching
-    * ORDER BY cos DESC, cid in the oracle. Norms use a left-to-right sum,
-    * bit-identical to list_sum in the SQL oracle. */
-  private def quantizer(corpus: DataFrame, stride: Int): Seq[(Long, Seq[Double], Double)] = {
+    * Scale shape: the ranking runs as a distributed TakeOrdered — each
+    * partition keeps its local `cells` smallest, only `cells` rows ever
+    * reach the driver (~16 KB at 64×64 dims), regardless of corpus size.
+    * The cid-sorted order is the tie-break: `cellOf` takes the FIRST
+    * strictly-greater update, so equal-cos ties resolve to the smallest
+    * cid, matching ORDER BY cos DESC, cid in the oracle. Norms use a
+    * left-to-right sum, bit-identical to list_sum in the SQL oracle. */
+  private def quantizer(corpus: DataFrame, cells: Int): Seq[(Long, Seq[Double], Double)] = {
+    require(cells >= 1, s"cells must be >= 1: $cells")
     val cents = corpus
-      .filter(col("vec_id") % stride === 0)
+      .select(col("vec_id"), col("embedding"),
+        TextHash.hex60(col("vec_id").cast("string")).as("_h"))
+      .orderBy(col("_h"), col("vec_id"))
+      .limit(cells)
       .select(col("vec_id"), col("embedding"))
       .collect()
       .map { r =>
         val ce = r.getSeq[Float](1).map(_.toDouble)
         (r.getLong(0), ce, math.sqrt(ce.map(x => x * x).sum))
       }.sortBy(_._1).toSeq
-    require(cents.nonEmpty, s"no centroids: corpus has no vec_id % $stride == 0")
+    require(cents.nonEmpty, "no centroids: corpus is empty")
     cents
   }
 
@@ -176,9 +180,9 @@ object Similarity {
   }
 
   /** `df` plus its IVF `cell` column (map-side assignment against
-    * `corpus`'s stride-sampled quantizer). */
-  def ivfAssign(df: DataFrame, corpus: DataFrame, stride: Int = 31): DataFrame = {
-    val cents = quantizer(corpus, stride)
+    * `corpus`'s hash-ranked fixed-size quantizer). */
+  def ivfAssign(df: DataFrame, corpus: DataFrame, cells: Int = DefaultCells): DataFrame = {
+    val cents = quantizer(corpus, cells)
     df.select(col("vec_id"), col("embedding"), cellOf(col("embedding"), cents).as("cell"))
   }
 
@@ -205,9 +209,9 @@ object Similarity {
     * explode ×nprobe before the broadcast join; nprobe = cell count
     * degenerates to exact kNN). */
   def annIvf(queries: DataFrame, corpus: DataFrame, k: Int,
-      stride: Int = 31, nprobe: Int = 1): DataFrame = {
+      cells: Int = DefaultCells, nprobe: Int = 1): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1: $nprobe")
-    val cents = quantizer(corpus, stride)
+    val cents = quantizer(corpus, cells)
     val assigned = corpus.select(col("vec_id"), col("embedding"),
       cellOf(col("embedding"), cents).as("cell"))
     val q =
@@ -225,15 +229,15 @@ object Similarity {
   }
 
   /** SemDeDup-style semantic deduplication: embeddings are clustered by
-    * the IVF coarse quantizer (nearest stride-sampled centroid), and
+    * the IVF coarse quantizer (nearest hash-ranked-sample centroid), and
     * within each cluster any vector whose cosine to a LOWER-id cluster
     * member reaches `threshold` is dropped — the lower id survives as the
     * representative. Output: surviving (vec_id, cell) rows.
     *
     * Scale shape (the reason SemDeDup clusters before comparing): the
     * pairwise cosine is confined to each cell, so candidate generation is
-    * ONE shuffle by cell and O(Σ cell²) work with cells averaging
-    * `stride` vectors — the n² pair space never materializes and no
+    * ONE shuffle by cell and O(Σ cell²) work with ~corpus/cells vectors
+    * per cell — the n² pair space never materializes and no
     * cartesian product appears in the plan. A pathological mega-cell
     * (degenerate centroid attracting everything) is census-capped exactly
     * like the LSH band buckets: its members skip candidate generation and
@@ -242,8 +246,8 @@ object Similarity {
     * through kept docs), so keep/drop decisions are per-pair parallel
     * with no sequential scan order. */
   def semanticDedup(corpus: DataFrame, threshold: Double,
-      stride: Int = 31, maxCell: Int = Dedup.MaxBucket): DataFrame = {
-    val assigned = ivfAssign(corpus, corpus, stride)
+      cells: Int = DefaultCells, maxCell: Int = Dedup.MaxBucket): DataFrame = {
+    val assigned = ivfAssign(corpus, corpus, cells)
     val census = org.apache.spark.sql.expressions.Window.partitionBy(col("cell"))
     val bounded = assigned
       .withColumn("_cn", count(lit(1)).over(census))
@@ -291,22 +295,23 @@ object Similarity {
   /** Deterministic distributed k-means (Lloyd's, cosine assignment) —
     * the clustering primitive behind cluster-balanced sampling and
     * SemDeDup-style curation, here as a standalone driver-checked
-    * operator. Initial centroids are the stride sample (cluster id =
-    * seed vec_id, stable across iterations); each iteration assigns
-    * map-side against broadcast centroid literals (same codegen argmax
-    * as IVF, no shuffle, no (vector, centroid) rows), then recomputes
-    * centroids with ONE map-side-combined (cluster, dim) average
-    * shuffle of n×dims skinny rows. Only k×dims rounded means ever
-    * reach the driver.
+    * operator. Initial centroids are the hash-ranked fixed-size sample
+    * (cluster id = seed vec_id, stable across iterations); each
+    * iteration assigns map-side against broadcast centroid literals
+    * (same codegen argmax as IVF, no shuffle, no (vector, centroid)
+    * rows), then recomputes centroids with ONE map-side-combined
+    * (cluster, dim) average shuffle of n×dims skinny rows. Only
+    * cells×dims rounded means ever reach the driver — O(cells), never
+    * O(corpus).
     *
     * Cross-engine determinism: per-dim means are rounded to 6 decimals
     * before re-use, collapsing summation-order ulps, so Spark and the
     * DuckDB oracle see bit-identical centroids; dot products and norms
     * are left-to-right double folds on both sides. Ties in assignment
     * break to the smallest cluster id. */
-  def kmeans(corpus: DataFrame, stride: Int = 31, iters: Int = 2): DataFrame = {
+  def kmeans(corpus: DataFrame, cells: Int = DefaultCells, iters: Int = 2): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
-    var cents = quantizer(corpus, stride)
+    var cents = quantizer(corpus, cells)
     var assigned: DataFrame = null
     for (it <- 1 to iters) {
       assigned = corpus.select(col("vec_id"), col("embedding"),

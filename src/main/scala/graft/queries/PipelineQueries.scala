@@ -307,13 +307,17 @@ object PipelineQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** IVF ANN: nearest-coarse-centroid cells (deterministic stride-31
-    * sample as centroids), query searches its own cell only. The oracle
-    * replays assignment + in-cell search exactly. */
+  /** IVF ANN: nearest-coarse-centroid cells (centroids = the 64 vectors
+    * with the smallest md5-hash-ranked vec_id — deterministic AND
+    * corpus-size-independent, so the quantizer is O(cells) on the driver
+    * at any scale), query searches its own cell only. The oracle replays
+    * assignment + in-cell search exactly. */
   val p12 = Q.sql(
     "p12_ann_ivf",
     """WITH cent AS (
-      |  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 31 = 0),
+      |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+      |  ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT, vec_id
+      |  LIMIT 64),
       |sc AS (
       |  SELECT e.vec_id, e.embedding, c.cid,
       |    list_sum(list_transform(range(1, 65),
@@ -800,14 +804,16 @@ object PipelineQueries {
   }
 
   /** SemDeDup-style semantic dedup: IVF-cluster the embeddings (same
-    * stride-31 quantizer as p12), then drop any vector with an
-    * earlier-id same-cell member at cosine ≥ 0.35 — pairwise work is
-    * confined to cells, never all-pairs. The oracle replays assignment
-    * and domination exactly. */
+    * hash-ranked 64-centroid quantizer as p12), then drop any vector
+    * with an earlier-id same-cell member at cosine ≥ 0.35 — pairwise
+    * work is confined to cells, never all-pairs. The oracle replays
+    * assignment and domination exactly. */
   val p27 = Q.sql(
     "p27_semantic_dedup",
     """WITH cent AS (
-      |  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 31 = 0),
+      |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+      |  ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT, vec_id
+      |  LIMIT 64),
       |sc AS (
       |  SELECT e.vec_id, e.embedding, c.cid,
       |    list_sum(list_transform(range(1, 65),
@@ -1078,16 +1084,18 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
-  /** Distributed k-means (2 Lloyd iterations, stride-sampled init,
-    * cosine assignment). The oracle replays both iterations: argmax
-    * assignment, per-(cluster, dim) means rounded to 6 dp (collapsing
-    * summation-order ulps on both engines), reassignment. */
+  /** Distributed k-means (2 Lloyd iterations, hash-ranked fixed-64
+    * init, cosine assignment). The oracle replays both iterations:
+    * argmax assignment, per-(cluster, dim) means rounded to 6 dp
+    * (collapsing summation-order ulps on both engines), reassignment. */
   val p38 = Q.sql(
     "p38_kmeans_clusters",
     """WITH c0 AS (
       |  SELECT vec_id AS cid,
       |    list_transform(embedding, x -> x::DOUBLE) AS ce
-      |  FROM embeddings WHERE vec_id % 31 = 0),
+      |  FROM embeddings
+      |  ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT, vec_id
+      |  LIMIT 64),
       |s1 AS (
       |  SELECT e.vec_id, e.embedding, c.cid,
       |    list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * c.ce[i])) /
@@ -1119,7 +1127,7 @@ object PipelineQueries {
       |SELECT vec_id, cluster, cos_sim FROM a2 ORDER BY vec_id""".stripMargin,
     bench = true
   ) { (s, d) =>
-    Similarity.kmeans(Tables.embeddings(s, d), stride = 31, iters = 2)
+    Similarity.kmeans(Tables.embeddings(s, d), cells = 64, iters = 2)
       .orderBy(col("vec_id"))
   }
 

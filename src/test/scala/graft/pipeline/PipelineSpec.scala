@@ -197,7 +197,11 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val fast = Similarity.ivfAssign(embs, embs).select("vec_id", "cell")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     import org.apache.spark.sql.expressions.Window
-    val cents = embs.filter(col("vec_id") % 31 === 0)
+    // same hash-ranked fixed-64 seed rule as the production quantizer
+    val cents = embs
+      .select(col("vec_id"), col("embedding"),
+        TextHash.hex60(col("vec_id").cast("string")).as("_h"))
+      .orderBy(col("_h"), col("vec_id")).limit(64)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
     val slow = embs.crossJoin(broadcast(cents))
@@ -214,7 +218,7 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val queries = embs.filter(col("vec_id") < 15)
     val exact = Similarity.knnBruteForce(queries, embs, 5)
       .collect().map(_.toSeq).toSet
-    val nCells = embs.filter(col("vec_id") % 31 === 0).count().toInt
+    val nCells = math.min(Similarity.DefaultCells.toLong, embs.count()).toInt
     def recallOf(nprobe: Int): Double = {
       val got = Similarity.annIvf(queries, embs, 5, nprobe = nprobe)
         .collect().map(_.toSeq).toSet
@@ -679,7 +683,7 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val kept = Similarity.semanticDedup(embs, t)
     // brute-force expected set: cell assignment from the SAME quantizer
     // path, domination recomputed with a quadratic in-cell scan
-    val asg = Similarity.ivfAssign(embs, embs, 31)
+    val asg = Similarity.ivfAssign(embs, embs)
       .select(col("vec_id"), col("embedding"), col("cell")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray, r.getLong(2)))
     def cos(a: Array[Double], b: Array[Double]) = {
@@ -774,12 +778,16 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("kmeans: assignment is map-side (no join), nearest-centroid consistent, deterministic") {
-    val out = Similarity.kmeans(embs, stride = 31, iters = 2).cache()
+    val out = Similarity.kmeans(embs, cells = 16, iters = 2).cache()
     val n = embs.count()
     assert(out.count() === n)
-    // cluster ids come from the stride seed set
-    val seeds = embs.filter(col("vec_id") % 31 === 0)
+    // cluster ids come from the hash-ranked fixed-size seed set (the 16
+    // vec_ids with the smallest md5-derived hash — corpus-size-independent)
+    val seeds = embs
+      .select(col("vec_id"), TextHash.hex60(col("vec_id").cast("string")).as("_h"))
+      .orderBy(col("_h"), col("vec_id")).limit(16)
       .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(seeds.size === 16)
     val used = out.select(col("cluster")).distinct()
       .collect().map(_.getLong(0)).toSet
     assert(used.subsetOf(seeds))
@@ -787,11 +795,11 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.filter(col("cos_sim") < -1.0 || col("cos_sim") > 1.0).count() === 0)
 
     // the per-row stage is pure projection: no join anywhere in the plan
-    val plan = Similarity.kmeans(embs, 31, 1).queryExecution.executedPlan.toString
+    val plan = Similarity.kmeans(embs, 16, 1).queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), s"assignment must not join:\n$plan")
 
     // deterministic end to end
-    val again = Similarity.kmeans(embs, stride = 31, iters = 2)
+    val again = Similarity.kmeans(embs, cells = 16, iters = 2)
     assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
   }
 
