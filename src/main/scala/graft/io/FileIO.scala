@@ -18,6 +18,10 @@ final class FileIO(val conf: Configuration) extends Serializable {
   def fs(path: String): FileSystem = {
     val p = new Path(path)
     val scheme = Option(p.toUri.getScheme).getOrElse("file")
+    if (scheme == "hf")
+      throw new UnsupportedOperationException(
+        s"hf:// is not a filesystem; resolve to HTTP via graft.io.HfUri: " +
+          HfUri.parse(path).map(_.resolveUrl()).getOrElse(path))
     fsCache.computeIfAbsent(scheme, _ => p.getFileSystem(conf))
   }
 
@@ -114,4 +118,11 @@ object FileIO {
     new FileIO(spark.sessionState.newHadoopConf())
 
   def local(): FileIO = new FileIO(new Configuration())
+
+  /** FileIO configured from reference-style cloud storage properties
+    * (`s3.endpoint`, `gcs.project-id`, `adls.account-key`, …) — the
+    * scheme→connector translation lives in [[CloudStorage]]. */
+  def withProperties(props: Map[String, String],
+      base: Configuration = new Configuration()): FileIO =
+    new FileIO(CloudStorage.configure(props, base))
 }
