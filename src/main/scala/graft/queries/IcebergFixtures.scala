@@ -294,4 +294,27 @@ object IcebergFixtures {
       t = t.updateSchema().updateColumnDefault("rating", 7).commit()
       t.append(src.filter(col("s_suppkey") % 3 === 2))
     }
+
+  /** customer on a FULLY ENCRYPTED v3 table: PME (AES-GCM parquet
+    * modular encryption) on the data files AND AGS1 stream encryption on
+    * the manifest list + manifests (encryption/stream.rs format), with
+    * the snapshot key wrapped by a KEK wrapped by the table master key.
+    * Includes a MoR position-delete commit so the delete file and its
+    * application also run under encryption. The deterministic test-only
+    * master key lives in table properties via the local keyring seam —
+    * a real deployment resolves it through a KMS. */
+  def customerEncrypted(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "customer_enc") { catalog =>
+      val src = Tables.customer(spark, sfDir)
+      val masterKey = java.util.Base64.getEncoder.encodeToString(
+        Array.tabulate[Byte](32)(i => (i * 7 + 3).toByte))
+      val props = Map(
+        graft.crypto.Encryption.MasterKeysProp -> s"mk1:$masterKey",
+        graft.crypto.MetadataEncryption.KeyIdProp -> "mk1",
+        "format-version" -> "3")
+      GraftTable.create("customer_enc", catalog,
+          IcebergSchema.fromSpark(src.schema), properties = props)
+        .append(src)
+        .deleteWhere(graft.expr.Predicate.lt("c_acctbal", 0.0), spark)
+    }
 }

@@ -600,7 +600,27 @@ object IcebergQueries {
         min(col("o_orderdate")).as("min_date"), max(col("o_orderdate")).as("max_date"))
   }
 
+  /** Fully encrypted table round trip: PME data files + AGS1 manifests
+    * (write → MoR delete → plan → prune → read, every byte on disk
+    * ciphertext — EncryptionSpec asserts the AGS1 magic and keyless-read
+    * refusal; this query proves VALUES survive the crypto path, because
+    * the oracle reads the raw plaintext parquet the fixture was built
+    * from). Filter drives metrics pruning through encrypted footers. */
+  val i30 = Q.sql(
+    "i30_encrypted_table_scan",
+    """SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+      |FROM customer
+      |WHERE c_acctbal >= 0 AND c_mktsegment = 'BUILDING'
+      |ORDER BY c_custkey""".stripMargin
+  ) { (s, d) =>
+    IcebergFixtures.customerEncrypted(s, d).newScan()
+      .withFilter(Predicate.eqTo("c_mktsegment", "BUILDING"))
+      .toDF(s)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
   val all: Seq[Q] = Seq(i01, i02, i03, i04, i05, i06, i07, i08, i09, i10,
     i11, i12, i13, i14, i15, i16, i17, i18, i19, i20, i21, i22, i23, i24, i25,
-    i26, i27, i28, i29)
+    i26, i27, i28, i29, i30)
 }
