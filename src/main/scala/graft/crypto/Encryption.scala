@@ -1,8 +1,5 @@
 package graft.crypto
 
-import javax.crypto.Cipher
-import javax.crypto.spec.{GCMParameterSpec, SecretKeySpec}
-
 import org.apache.hadoop.conf.Configuration
 
 /** Parquet Modular Encryption for graft tables (the reference's
@@ -39,6 +36,10 @@ object Encryption {
   /** Conf key LocalWrapKms reads its keyring from. */
   val KeyListConfKey = "graft.encryption.key.list"
 
+  /** Conf prefix carrying the table's encryption.* properties to the
+    * parquet-side KMS bridge (executors see only the hadoop conf). */
+  val PropConfPrefix = "graft.encryption.prop."
+
   /** Parquet/hadoop conf entries to read or write this table's files;
     * empty for unencrypted tables. Safe to apply as Spark reader/writer
     * options or directly on a hadoop Configuration. */
@@ -48,11 +49,16 @@ object Encryption {
       case Some(keys) =>
         val footerKey = properties.getOrElse(FooterKeyProp,
           keys.split(",").head.split(":").head.trim)
+        // a custom KMS factory (encryption.kms-impl) rides along so the
+        // parquet bridge resolves the same client as the metadata layer
+        val kmsPassthrough = properties.view
+          .filterKeys(_.startsWith("encryption."))
+          .map { case (k, v) => s"$PropConfPrefix$k" -> v }.toMap
         val base = Map(
           "parquet.crypto.factory.class" ->
             "org.apache.parquet.crypto.keytools.PropertiesDrivenCryptoFactory",
           "parquet.encryption.kms.client.class" -> classOf[LocalWrapKms].getName,
-          KeyListConfKey -> keys)
+          KeyListConfKey -> keys) ++ kmsPassthrough
         val keying = properties.get(ColumnKeysProp) match {
           case Some(ck) => Map(
             "parquet.encryption.footer.key" -> footerKey,
@@ -75,43 +81,46 @@ object Encryption {
   }
 }
 
-/** Master-key KMS backed by the job configuration — the local/dev keyring
-  * (same role as parquet's test InMemoryKMS). KEKs arrive from parquet's
-  * KeyToolkit; we AES-GCM wrap them under the named master key. */
+/** Parquet-side KMS bridge (parquet-mr KmsClient): delegates master-key
+  * wrap/unwrap to the [[KmsClient]] the table's properties resolve —
+  * custom factory via `encryption.kms-impl` (carried through the conf by
+  * [[Encryption.PropConfPrefix]]) or the local keyring from the conf's
+  * key list (byte-identical to the pre-seam inline AES-GCM wrap, so
+  * existing encrypted files keep reading). KEKs arrive from parquet's
+  * KeyToolkit; only the outermost wrap crosses this boundary. */
 final class LocalWrapKms extends org.apache.parquet.crypto.keytools.KmsClient {
 
-  private var masterKeys: Map[String, Array[Byte]] = Map.empty
+  private var delegate: KmsClient = _
 
   override def initialize(conf: Configuration, kmsInstanceID: String,
       kmsInstanceURL: String, accessToken: String): Unit = {
-    val list = Option(conf.getTrimmed(Encryption.KeyListConfKey)).getOrElse(
+    val props = {
+      val b = Map.newBuilder[String, String]
+      conf.iterator().forEachRemaining { e =>
+        if (e.getKey.startsWith(Encryption.PropConfPrefix))
+          b += e.getKey.substring(Encryption.PropConfPrefix.length) -> e.getValue
+      }
+      Option(conf.getTrimmed(Encryption.KeyListConfKey))
+        .foreach(list => b += Encryption.MasterKeysProp -> list)
+      b.result()
+    }
+    if (!props.contains(Encryption.MasterKeysProp) && !props.contains(Kms.KmsImplProp))
       throw new IllegalStateException(
-        s"${Encryption.KeyListConfKey} unset: no master keys available"))
-    masterKeys = list.split(",").map { e =>
-      val Array(id, b64) = e.trim.split(":", 2)
-      id -> java.util.Base64.getDecoder.decode(b64)
-    }.toMap
+        s"${Encryption.KeyListConfKey} unset: no master keys available")
+    delegate = Kms.clientFor(props)
   }
 
-  private def key(id: String): SecretKeySpec =
-    new SecretKeySpec(masterKeys.getOrElse(id,
-      throw new org.apache.parquet.crypto.KeyAccessDeniedException(
-        s"unknown master key: $id")), "AES")
+  override def wrapKey(keyBytes: Array[Byte], masterKeyIdentifier: String): String =
+    java.util.Base64.getEncoder.encodeToString(
+      try delegate.wrapKey(keyBytes, masterKeyIdentifier)
+      catch { case e: IllegalArgumentException =>
+        throw new org.apache.parquet.crypto.KeyAccessDeniedException(e.getMessage)
+      })
 
-  override def wrapKey(keyBytes: Array[Byte], masterKeyIdentifier: String): String = {
-    val iv = new Array[Byte](12)
-    new java.security.SecureRandom().nextBytes(iv)
-    val cipher = Cipher.getInstance("AES/GCM/NoPadding")
-    cipher.init(Cipher.ENCRYPT_MODE, key(masterKeyIdentifier),
-      new GCMParameterSpec(128, iv))
-    java.util.Base64.getEncoder.encodeToString(iv ++ cipher.doFinal(keyBytes))
-  }
-
-  override def unwrapKey(wrappedKey: String, masterKeyIdentifier: String): Array[Byte] = {
-    val all = java.util.Base64.getDecoder.decode(wrappedKey)
-    val cipher = Cipher.getInstance("AES/GCM/NoPadding")
-    cipher.init(Cipher.DECRYPT_MODE, key(masterKeyIdentifier),
-      new GCMParameterSpec(128, all.take(12)))
-    cipher.doFinal(all.drop(12))
-  }
+  override def unwrapKey(wrappedKey: String, masterKeyIdentifier: String): Array[Byte] =
+    try delegate.unwrapKey(
+      java.util.Base64.getDecoder.decode(wrappedKey), masterKeyIdentifier)
+    catch { case e: IllegalArgumentException =>
+      throw new org.apache.parquet.crypto.KeyAccessDeniedException(e.getMessage)
+    }
 }

@@ -20,10 +20,13 @@ import graft.spec.{EncryptedKey, Snapshot, TableMetadata}
   *     as the wrap AAD so it cannot be tampered to dodge rotation, and
   *     KEKs older than 730 days (NIST SP 800-57) are rotated.
   *
-  * The master key itself resolves from the `encryption.master-keys`
-  * keyring property — the same local/dev KMS seam [[LocalWrapKms]] uses
-  * for parquet data files; production swaps the keyring lookup for a
-  * real KMS call without touching the envelope layout. */
+  * The master key never touches this module: wrap/unwrap of the KEK is
+  * delegated to the [[KmsClient]] resolved by [[Kms.clientFor]] — the
+  * local keyring by default, or any [[KmsClientFactory]] named in
+  * `encryption.kms-impl` (the reference's kms/factory.rs seam), so
+  * production swaps in a real KMS without touching the envelope layout.
+  * A KMS that supports server-side generation gets the KEK generated
+  * atomically (generate_key, client.rs:73) instead of wrap-after-random. */
 object MetadataEncryption {
 
   val KeyIdProp = "encryption.key-id"
@@ -56,16 +59,6 @@ object MetadataEncryption {
     n
   }
 
-  /** Resolve a master key from the `encryption.master-keys` keyring. */
-  private def masterKey(md: TableMetadata, id: String): Array[Byte] = {
-    val ring = md.properties.getOrElse(Encryption.MasterKeysProp,
-      throw new IllegalStateException(
-        s"$KeyIdProp set but no ${Encryption.MasterKeysProp} keyring"))
-    ring.split(",").map(_.trim.split(":", 2)).collectFirst {
-      case Array(k, b64) if k == id => java.util.Base64.getDecoder.decode(b64)
-    }.getOrElse(throw new IllegalArgumentException(s"unknown master key: $id"))
-  }
-
   /** Fresh per-file key metadata: random DEK + random 16-byte AAD
     * prefix (manager.rs:153-158). */
   def newFileKey(md: TableMetadata): StandardKeyMetadata =
@@ -84,18 +77,25 @@ object MetadataEncryption {
       : (String, Seq[EncryptedKey]) = {
     val nowMs = System.currentTimeMillis()
     val masterKeyId = md.properties(KeyIdProp)
+    val kms = Kms.clientFor(md.properties)
     val (kek, kekBytes, withKek) =
       md.encryptionKeys.filter(kekIsActive(md, nowMs))
         .sortBy(_.properties(KekTimestampProp).toLong).lastOption match {
         case Some(existing) =>
-          (existing, AesGcmWrap.decrypt(masterKey(md, masterKeyId),
-            existing.encryptedKeyMetadata), md.encryptionKeys)
+          (existing, kms.unwrapKey(existing.encryptedKeyMetadata, masterKeyId),
+            md.encryptionKeys)
         case None =>
-          val bytes = randomBytes(dekLength(md))
+          val (bytes, wrappedBytes) =
+            if (kms.supportsKeyGeneration) {
+              val g = kms.generateKey(masterKeyId)
+              (g.key, g.wrappedKey)
+            } else {
+              val b = randomBytes(dekLength(md))
+              (b, kms.wrapKey(b, masterKeyId))
+            }
           val fresh = EncryptedKey(
             keyId = java.util.UUID.randomUUID().toString,
-            encryptedKeyMetadata =
-              AesGcmWrap.encrypt(masterKey(md, masterKeyId), bytes),
+            encryptedKeyMetadata = wrappedBytes,
             encryptedById = Some(masterKeyId),
             properties = Map(KekTimestampProp -> nowMs.toString))
           (fresh, bytes, md.encryptionKeys :+ fresh)
@@ -124,7 +124,7 @@ object MetadataEncryption {
       val masterKeyId = kek.encryptedById.getOrElse(
         throw new IllegalArgumentException(s"KEK '$kekId' has no encrypted-by-id"))
       val kekBytes =
-        AesGcmWrap.decrypt(masterKey(md, masterKeyId), kek.encryptedKeyMetadata)
+        Kms.clientFor(md.properties).unwrapKey(kek.encryptedKeyMetadata, masterKeyId)
       val aad = kek.properties.get(KekTimestampProp).map(_.getBytes("UTF-8"))
         .getOrElse(throw new IllegalArgumentException(
           s"KEK '$kekId' missing $KekTimestampProp"))

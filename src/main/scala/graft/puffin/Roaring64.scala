@@ -17,12 +17,15 @@ import scala.collection.immutable.SortedMap
   *   per container, u32 LE offset header per container, then containers —
   *   array (sorted u16 values, card ≤ 4096) or bitmap (8 KiB, 1024×u64 LE).
   *
-  * Run containers (cookie 12347: run-flag bitset after the cookie, per
-  * container u16 run count + (start, length-1) u16 pairs, offset header
-  * only when ≥4 containers) are READ but never written: vectors we build
-  * serialize as array/bitmap containers (the reference's writer behaves
-  * the same for freshly-built bitmaps), while spec-compliant DVs written
-  * by other engines — which do run-optimize — deserialize correctly.
+  * Run containers (cookie 12347: container count embedded in the cookie
+  * high bits, run-flag bitset after it, per container u16 run count +
+  * (start, length-1) u16 pairs, offset header only when ≥4 containers)
+  * are both read AND written: `serialize` run-optimizes each container
+  * exactly like the roaring crate the reference wraps
+  * (delete_vector.rs:27) — a container is run-encoded when
+  * 2 + 4·runs < min(2·cardinality, 8192), so dense delete ranges (the
+  * common compaction/backfill shape) serialize near-minimal instead of
+  * as 8 KiB bitmaps, and our bytes stay readable by every spec reader.
   */
 final class Roaring64 private (
     private val containers: SortedMap[Long, Array[Long]]) { // key=(high32<<16|key16), value=bitset words
@@ -80,25 +83,71 @@ final class Roaring64 private (
     out.toByteArray
   }
 
+  /** Runs of consecutive set bits as (start, length-1) pairs. */
+  private def runsOf(words: Array[Long]): IndexedSeq[(Int, Int)] = {
+    val runs = IndexedSeq.newBuilder[(Int, Int)]
+    var i = 0
+    var runStart = -1
+    while (i < 65536) {
+      val set = (words(i >>> 6) & (1L << (i & 63))) != 0
+      if (set && runStart < 0) runStart = i
+      else if (!set && runStart >= 0) { runs += ((runStart, i - 1 - runStart)); runStart = -1 }
+      i += 1
+    }
+    if (runStart >= 0) runs += ((runStart, 65535 - runStart))
+    runs.result()
+  }
+
   private def serialize32(conts: SortedMap[Int, Array[Long]]): Array[Byte] = {
     val entries = conts.toSeq
+    val n = entries.size
     val cards = entries.map { case (_, w) => w.map(java.lang.Long.bitCount).sum }
-    val sizes = cards.map(c => if (c <= ArrayMax) c * 2 else BitmapBytes)
-    val headerLen = 8 + entries.size * 4 + entries.size * 4
+    val runs = entries.map { case (_, w) => runsOf(w) }
+    // roaring runOptimize rule: run-encode when strictly smaller than
+    // both alternatives; otherwise array (card ≤ 4096) or bitmap
+    val asRun = cards.zip(runs).map { case (card, rs) =>
+      2 + 4 * rs.size < math.min(if (card <= ArrayMax) 2 * card else Int.MaxValue, BitmapBytes)
+    }
+    val sizes = cards.indices.map { i =>
+      if (asRun(i)) 2 + 4 * runs(i).size
+      else if (cards(i) <= ArrayMax) cards(i) * 2
+      else BitmapBytes
+    }
+    val hasRun = asRun.contains(true)
+    val hasOffsets = !hasRun || n >= NoOffsetThreshold
+    val headerLen =
+      (if (hasRun) 4 + (n + 7) / 8 else 8) + n * 4 + (if (hasOffsets) n * 4 else 0)
     val buf = ByteBuffer.allocate(headerLen + sizes.sum).order(ByteOrder.LITTLE_ENDIAN)
-    buf.putInt(CookieNoRun)
-    buf.putInt(entries.size)
+    if (hasRun) {
+      buf.putInt(CookieRun | ((n - 1) << 16))
+      val flags = new Array[Byte]((n + 7) / 8)
+      asRun.zipWithIndex.foreach { case (r, i) =>
+        if (r) flags(i / 8) = (flags(i / 8) | (1 << (i % 8))).toByte
+      }
+      buf.put(flags)
+    } else {
+      buf.putInt(CookieNoRun)
+      buf.putInt(n)
+    }
     entries.zip(cards).foreach { case ((key, _), card) =>
       buf.putShort(key.toShort); buf.putShort((card - 1).toShort)
     }
-    var off = headerLen
-    sizes.foreach { s => buf.putInt(off); off += s }
-    entries.zip(cards).foreach { case ((_, words), card) =>
-      if (card <= ArrayMax) {
-        var i = 0
-        while (i < 65536) {
-          if ((words(i >>> 6) & (1L << (i & 63))) != 0) buf.putShort(i.toShort)
-          i += 1
+    if (hasOffsets) {
+      var off = headerLen
+      sizes.foreach { s => buf.putInt(off); off += s }
+    }
+    entries.indices.foreach { i =>
+      val (_, words) = entries(i)
+      if (asRun(i)) {
+        buf.putShort(runs(i).size.toShort)
+        runs(i).foreach { case (start, lenM1) =>
+          buf.putShort(start.toShort); buf.putShort(lenM1.toShort)
+        }
+      } else if (cards(i) <= ArrayMax) {
+        var v = 0
+        while (v < 65536) {
+          if ((words(v >>> 6) & (1L << (v & 63))) != 0) buf.putShort(v.toShort)
+          v += 1
         }
       } else words.foreach(buf.putLong)
     }

@@ -89,9 +89,58 @@ class PuffinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bmC.iterator.toSeq ===
       ((10L to 14L) ++ Seq(65536L + 7L, 65536L + 9L)))
 
-    // our writer still never emits runs: round-trip stays run-free
+    // round-trip through our writer (which may itself run-encode)
     val rt = Roaring64.deserialize(bmC.serialize())
     assert(rt.iterator.toSeq === bmC.iterator.toSeq)
+  }
+
+  test("roaring64: writer run-optimizes — golden bytes, size win, interop") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // one dense range in one container → exactly one run container
+    val dense = Roaring64.fromPositions(0L until 1000L)
+    val got = dense.serialize()
+    val expected = {
+      val b = ByteBuffer.allocate(8 + 4 + 4 + 1 + 4 + 2 + 4)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      b.putLong(1L); b.putInt(0)        // one 32-bit map, high=0
+      b.putInt(12347 | (0 << 16))       // run cookie, n-1=0
+      b.put(0x01.toByte)                // container 0 is a run
+      b.putShort(0); b.putShort(999)    // key 0, card-1
+      // n=1 < NO_OFFSET_THRESHOLD → no offset header
+      b.putShort(1)                     // one run
+      b.putShort(0); b.putShort(999)    // [0, 0+999]
+      b.array()
+    }
+    assert(got.toSeq === expected.toSeq)
+    assert(Roaring64.deserialize(got).iterator.toSeq === (0L until 1000L))
+
+    // a 100k-position contiguous delete (the compaction/backfill shape):
+    // runs beat both the array form (2 B/position) and the bitmap form
+    val big = Roaring64.fromPositions(0L until 100000L)
+    val bytes = big.serialize()
+    assert(bytes.length < 100, s"dense-range DV should be tiny, got ${bytes.length} B")
+    assert(bytes.length < 100000 * 2 / 100, "≥100× smaller than the array form")
+    assert(Roaring64.deserialize(bytes).cardinality === 100000L)
+
+    // run encoding only wins when it IS smaller: alternating bits keep
+    // the array form (8 runs × 4 B + 2 > 8 values × 2 B)
+    val alt = Roaring64.fromPositions(Seq(0L, 2L, 4L, 6L, 8L, 10L, 12L, 14L))
+    val altBytes = alt.serialize()
+    val cookie = ByteBuffer.wrap(altBytes, 12, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
+    assert((cookie & 0xFFFF) === 12346, "sparse container must stay array-encoded")
+    assert(Roaring64.deserialize(altBytes).iterator.toSeq === alt.iterator.toSeq)
+
+    // mixed bitmap: a run container and an array container in one map,
+    // n=2 < 4 → run format without offsets, sequential reads line up
+    val mixed = Roaring64.fromPositions((0L until 5000L) ++ Seq(65536L + 7, 65536L + 9))
+    assert(Roaring64.deserialize(mixed.serialize()).iterator.toSeq
+      === mixed.iterator.toSeq)
+
+    // ≥4 containers with at least one run → offset header present and
+    // every offset lands on its container (positional reads line up)
+    val wide = Roaring64.fromPositions(
+      (0 until 5).flatMap(k => (0L until 300L).map(v => (k.toLong << 16) | v)))
+    assert(Roaring64.deserialize(wide.serialize()).cardinality === 1500L)
   }
 
   test("puffin container: write/readMetadata/readBlob round-trip") {
