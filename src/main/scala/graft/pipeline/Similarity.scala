@@ -179,11 +179,46 @@ object Similarity {
       .getField("cid")
   }
 
-  /** `df` plus its IVF `cell` column (map-side assignment against
-    * `corpus`'s hash-ranked fixed-size quantizer). */
+  /** Above this centroid count, nearest-cell assignment switches from
+    * the literal-array argmax (one codegen expression — unbeatable at
+    * IVF-coarse sizes, but the generated code grows with K) to a
+    * broadcast-join argmax (K-row broadcast + map-side partial max —
+    * one n-row shuffle, no K-proportional codegen). Both paths compute
+    * the identical IEEE double cosine with the identical smallest-cid
+    * tie-break, so the switch is invisible in results. */
+  val LiteralArgmaxMaxCells: Int = 1024
+
+  /** Broadcast-join nearest-centroid: `df` + `outCol` = argmax-cosine
+    * cid. max(struct(cos, -cid)) reproduces `cellOf`'s first-strictly-
+    * greater rule (ties → smallest cid) bit-for-bit. */
+  private[pipeline] def assignByJoin(df: DataFrame,
+      cents: Seq[(Long, Seq[Double], Double)],
+      idCol: String, embCol: String, outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val centsDf = cents.toDF("_cid", "_ce", "_cnorm")
+    df.crossJoin(broadcast(centsDf))
+      .select(col(idCol), col(embCol), col("_cid"),
+        (TextHash.dot(col(embCol), col("_ce")) /
+          (TextHash.l2norm(col(embCol)) * col("_cnorm"))).as("_cs"))
+      .groupBy(col(idCol))
+      .agg(first(col(embCol)).as(embCol),
+        max(struct(col("_cs").as("cos"), (-col("_cid")).as("ncid"))).as("_m"))
+      .select(col(idCol), col(embCol), (-col("_m.ncid")).as(outCol))
+  }
+
+  /** Nearest-cell assignment, path chosen by centroid count. */
+  private def assignCells(df: DataFrame, cents: Seq[(Long, Seq[Double], Double)],
+      idCol: String, embCol: String, outCol: String): DataFrame =
+    if (cents.size <= LiteralArgmaxMaxCells)
+      df.select(col(idCol), col(embCol), cellOf(col(embCol), cents).as(outCol))
+    else assignByJoin(df, cents, idCol, embCol, outCol)
+
+  /** `df` plus its IVF `cell` column (assignment against `corpus`'s
+    * hash-ranked fixed-size quantizer). */
   def ivfAssign(df: DataFrame, corpus: DataFrame, cells: Int = DefaultCells): DataFrame = {
     val cents = quantizer(corpus, cells)
-    df.select(col("vec_id"), col("embedding"), cellOf(col("embedding"), cents).as("cell"))
+    assignCells(df, cents, "vec_id", "embedding", "cell")
   }
 
   /** Top-`nprobe` nearest cells (map-side, zero shuffle): the scored
@@ -212,12 +247,11 @@ object Similarity {
       cells: Int = DefaultCells, nprobe: Int = 1): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1: $nprobe")
     val cents = quantizer(corpus, cells)
-    val assigned = corpus.select(col("vec_id"), col("embedding"),
-      cellOf(col("embedding"), cents).as("cell"))
+    val assigned = assignCells(corpus, cents, "vec_id", "embedding", "cell")
     val q =
       if (nprobe == 1)
-        queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-          cellOf(col("embedding"), cents).as("cell"))
+        assignCells(queries.select(col("vec_id").as("query_id"),
+          col("embedding").as("qe")), cents, "query_id", "qe", "cell")
       else
         queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
           explode(cellsOf(col("embedding"), cents, nprobe)).as("cell"))
@@ -314,8 +348,7 @@ object Similarity {
     var cents = quantizer(corpus, cells)
     var assigned: DataFrame = null
     for (it <- 1 to iters) {
-      assigned = corpus.select(col("vec_id"), col("embedding"),
-        cellOf(col("embedding"), cents).as("cluster"))
+      assigned = assignCells(corpus, cents, "vec_id", "embedding", "cluster")
       if (it < iters) {
         val dm = assigned
           .select(col("cluster"), posexplode(col("embedding")).as(Seq("d", "v")))
@@ -328,8 +361,20 @@ object Similarity {
         }.sortBy(_._1)
       }
     }
-    assigned.select(col("vec_id"), col("cluster"),
-      round(cosineToLit(col("embedding"), cents), 5).as("cos_sim"))
+    if (cents.size <= LiteralArgmaxMaxCells)
+      assigned.select(col("vec_id"), col("cluster"),
+        round(cosineToLit(col("embedding"), cents), 5).as("cos_sim"))
+    else {
+      // large K: cosine to the ASSIGNED centroid via broadcast join —
+      // equal to the max-cosine by construction, same IEEE formula
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      val centsDf = cents.toDF("_cid", "_ce", "_cnorm")
+      assigned.join(broadcast(centsDf), col("cluster") === col("_cid"))
+        .select(col("vec_id"), col("cluster"),
+          round(TextHash.dot(col("embedding"), col("_ce")) /
+            (TextHash.l2norm(col("embedding")) * col("_cnorm")), 5).as("cos_sim"))
+    }
   }
 
   /** Cosine of `emb` against its assigned centroid from the literal

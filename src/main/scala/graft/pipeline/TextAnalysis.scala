@@ -227,4 +227,65 @@ object TextAnalysis {
         when(col("n_removed") === col("n_segs"), lit(null))
           .otherwise(col("cleaned0")).as("cleaned"))
   }
+
+  /** Gopher-style repetition-independent quality rules (Rae et al. 2021,
+    * Table A1 — the published heuristics every pretraining pipeline
+    * reimplements): word-count bounds, mean word length window,
+    * symbol-to-word ratio (`#` + `…` as `...`), alphabetic-word
+    * fraction, and a minimum count of distinct English stopwords. One
+    * codegen map stage — no shuffle, no UDFs; all ratios are exact-int
+    * divisions rounded to 5 dp BEFORE the keep decision so the verdict
+    * is bit-identical cross-engine. `keep` is 0/1. */
+  def gopherQuality(docs: DataFrame,
+      minWords: Long = 50, maxWords: Long = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, minAlphaRatio: Double = 0.8,
+      minStopwords: Long = 2): DataFrame = {
+    val stopwords = Seq("the", "be", "to", "of", "and", "that", "have", "with", "a", "in")
+    docs
+      .select(col("doc_id"), col("text"), split(lower(col("text")), " ").as("w"))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_words"),
+        round(expr("aggregate(transform(w, x -> length(x)), 0L, (a, x) -> a + x)") /
+          size(col("w")), 5).as("mean_word_len"),
+        round(((length(col("text")) - length(replace(col("text"), lit("#"), lit("")))) +
+          expr("(length(text) - length(replace(text, '...', ''))) div 3")) /
+          size(col("w")), 5).as("symbol_ratio"),
+        round(expr("size(filter(w, x -> x rlike '[a-z]'))") / size(col("w")), 5)
+          .as("alpha_ratio"),
+        size(array_intersect(array_distinct(col("w")),
+          array(stopwords.map(lit): _*))).cast("long").as("stop_hits"))
+      .withColumn("keep",
+        (col("n_words").between(minWords, maxWords) &&
+          col("mean_word_len").between(minMeanLen, maxMeanLen) &&
+          col("symbol_ratio") < maxSymbolRatio &&
+          col("alpha_ratio") > minAlphaRatio &&
+          col("stop_hits") >= minStopwords).cast("long"))
+  }
+
+  /** Within-domain quality-percentile filter — the "keep the best q of
+    * each domain" curation step that follows scoring in a mixture
+    * pipeline. Score = distinct-word ratio (a cheap proxy; any scored
+    * column composes the same way); each `source` keeps its top
+    * ceil(frac·n) docs by (score desc, doc_id).
+    *
+    * Shape at 100 TB: ONE shuffle on the domain key; rank + census are
+    * in-partition window aggregates. A mega-domain outgrowing one
+    * executor partition salts by (source, hash-bucket) with a two-pass
+    * global rank exactly like the stratified-split operator
+    * ([[Curation]] p31) — same window, same fix. */
+  def domainQualityFilter(docs: DataFrame, frac: Double = 0.5): DataFrame = {
+    require(frac > 0 && frac <= 1, s"frac must be in (0,1]: $frac")
+    val w = split(lower(col("text")), " ")
+    val scored = docs.select(col("doc_id"), col("source"),
+      round(size(array_distinct(w)) / size(w), 6).as("score"))
+    val rankWin = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("score").desc, col("doc_id"))
+    val census = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+    scored
+      .withColumn("rnk", row_number().over(rankWin).cast("long"))
+      .withColumn("_n", count(lit(1)).over(census))
+      .filter(col("rnk") <= ceil(col("_n") * frac))
+      .select(col("source"), col("doc_id"), col("score"), col("rnk"))
+  }
 }

@@ -1154,8 +1154,68 @@ object PipelineQueries {
       .orderBy(col("source"), col("rank"))
   }
 
+  /** Gopher quality rules (Rae et al. Table A1): word-count bounds,
+    * mean-word-length window, symbol-to-word ratio, alphabetic-word
+    * fraction, distinct-stopword minimum — all computed as exact-int
+    * ratios rounded to 5 dp before the keep verdict, so DuckDB's replay
+    * is bit-identical. Pure map stage. */
+  val p40 = Q.sql(
+    "p40_gopher_quality",
+    """WITH t AS (
+      |  SELECT doc_id, text, string_split(lower(text), ' ') AS w
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id,
+      |    len(w)::BIGINT AS n_words,
+      |    round(list_sum(list_transform(w, x -> length(x))) / len(w), 5)
+      |      AS mean_word_len,
+      |    round(((length(text) - length(replace(text, '#', ''))) +
+      |      (length(text) - length(replace(text, '...', ''))) // 3) / len(w), 5)
+      |      AS symbol_ratio,
+      |    round(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) / len(w), 5)
+      |      AS alpha_ratio,
+      |    len(list_intersect(list_distinct(w),
+      |      ['the','be','to','of','and','that','have','with','a','in']))::BIGINT
+      |      AS stop_hits
+      |  FROM t)
+      |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_ratio,
+      |  stop_hits,
+      |  CASE WHEN n_words BETWEEN 50 AND 100000
+      |        AND mean_word_len BETWEEN 3.0 AND 10.0
+      |        AND symbol_ratio < 0.1 AND alpha_ratio > 0.8
+      |        AND stop_hits >= 2 THEN 1 ELSE 0 END::BIGINT AS keep
+      |FROM m ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    TextAnalysis.gopherQuality(Tables.documents(s, d)).orderBy(col("doc_id"))
+  }
+
+  /** Within-domain quality-percentile filter: each source keeps its top
+    * half by distinct-word-ratio score (desc, doc_id tie-break) — the
+    * post-scoring curation cut of a mixture pipeline. One shuffle on
+    * the domain key; the oracle replays the ranked window. */
+  val p41 = Q.sql(
+    "p41_domain_quality_filter",
+    """WITH scored AS (
+      |  SELECT source, doc_id,
+      |    round(len(list_distinct(string_split(lower(text), ' '))) /
+      |      len(string_split(lower(text), ' ')), 6) AS score
+      |  FROM documents),
+      |ranked AS (
+      |  SELECT source, doc_id, score,
+      |    row_number() OVER (PARTITION BY source
+      |                       ORDER BY score DESC, doc_id) AS rnk,
+      |    count(*) OVER (PARTITION BY source) AS n
+      |  FROM scored)
+      |SELECT source, doc_id, score, rnk::BIGINT AS rnk
+      |FROM ranked WHERE rnk <= ceil(n * 0.5)
+      |ORDER BY source, rnk""".stripMargin
+  ) { (s, d) =>
+    TextAnalysis.domainQualityFilter(Tables.documents(s, d), frac = 0.5)
+      .orderBy(col("source"), col("rnk"))
+  }
+
   val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
     p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24,
     p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p35, p36, p37, p38,
-    p39)
+    p39, p40, p41)
 }

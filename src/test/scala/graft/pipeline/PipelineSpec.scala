@@ -214,6 +214,32 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ivf.groupBy("query_id").count().filter(col("count") > 3).count() === 0)
   }
 
+  test("large-K assignment path: broadcast-join argmax equals literal argmax bit-for-bit") {
+    // the join path must reproduce the literal path EXACTLY (same IEEE
+    // cosine, same smallest-cid tie-break) — it is what kicks in when
+    // K > LiteralArgmaxMaxCells and the literal codegen would blow up
+    val litPath = Similarity.ivfAssign(embs, embs) // K=64 → literal argmax
+    val cents = embs
+      .select(col("vec_id"), col("embedding"),
+        TextHash.hex60(col("vec_id").cast("string")).as("_h"))
+      .orderBy(col("_h"), col("vec_id")).limit(64)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map { r =>
+        val ce = r.getSeq[Float](1).map(_.toDouble)
+        (r.getLong(0), ce, math.sqrt(ce.map(x => x * x).sum))
+      }.sortBy(_._1).toSeq
+    val joinPath = Similarity.assignByJoin(embs, cents, "vec_id", "embedding", "cell")
+    val a = litPath.select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = joinPath.select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+    // the join path broadcasts the K-row side — corpus never shuffles
+    // before the per-id partial max
+    val plan = joinPath.queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"), s"centroids must broadcast:\n$plan")
+  }
+
   test("ivf nprobe: recall grows with probes; all-cells degenerates to exact knn") {
     val queries = embs.filter(col("vec_id") < 15)
     val exact = Similarity.knnBruteForce(queries, embs, 5)
