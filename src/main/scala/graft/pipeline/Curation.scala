@@ -334,4 +334,43 @@ object Curation {
         min(col("doc_id")).as("first_doc"),
         max(col("doc_id")).as("last_doc"))
   }
+
+  /** DSIR-style importance weights (Xie et al. 2023 "Data Selection for
+    * Language Models via Importance Resampling", hashed-unigram variant):
+    * each doc scores Σ_w log( P_target(w) / P_corpus(w) ) over its
+    * tokens, with add-1 smoothing over the corpus vocabulary — the
+    * standard recipe for up-weighting corpus docs that look like a
+    * target domain before sampling.
+    *
+    * Determinism across engines: the per-word log-ratio is rounded to
+    * MICRO-LOG INTEGER units (round(lr·1e6) as long) and the per-doc
+    * score is a LONG sum — float summation order never touches the
+    * result, so the DuckDB oracle matches exactly (ulp differences in
+    * `ln` itself are absorbed by the 1e-6 rounding, the same margin the
+    * BM25 idf uses).
+    *
+    * Shape at 100 TB: token explode → two map-side-combined unigram
+    * aggregates (corpus + target), ONE driver stats row (totals +
+    * vocab size → literals), a vocab-sized ratio table joined back on
+    * the word key (AQE handles Zipfian skew / broadcasts small vocabs),
+    * and one per-doc aggregate. The corpus shuffles once. */
+  def dsirWeights(docs: DataFrame, evalMod: Long = 20): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(TextHash.words(col("text"))).as("w"))
+    val cc = toks.groupBy(col("w")).agg(count(lit(1)).as("cc"))
+    val tc = toks.filter(col("doc_id") % evalMod === 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("tc"))
+    val stat = toks.agg(count(lit(1)).as("cn"),
+      sum(when(col("doc_id") % evalMod === 0, 1L).otherwise(0L)).as("tn"),
+      countDistinct(col("w")).as("v")).head
+    val (cn, tn, v) = (stat.getLong(0), stat.getLong(1), stat.getLong(2))
+    val ratios = cc.join(tc, Seq("w"), "left")
+      .select(col("w"),
+        round((log((coalesce(col("tc"), lit(0L)) + lit(1.0)) / lit((tn + v).toDouble)) -
+          log((col("cc") + lit(1.0)) / lit((cn + v).toDouble))) * 1e6, 0)
+          .cast("long").as("lr"))
+    toks.join(ratios, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lr")).as("score_micro"))
+  }
 }

@@ -1214,8 +1214,38 @@ object PipelineQueries {
       .orderBy(col("source"), col("rnk"))
   }
 
+  /** DSIR importance weights: per-doc Σ log(P_target/P_corpus) over
+    * add-1-smoothed unigrams (target = the doc_id%20 eval slice, same
+    * convention as p21/p29). Per-word ratios quantized to micro-log
+    * integers BEFORE the per-doc LONG sum, so the score is summation-
+    * order-free and the oracle hash-matches despite `ln` being involved. */
+  val p42 = Q.sql(
+    "p42_dsir_weights",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+      |  FROM documents),
+      |cc AS (SELECT w, count(*) AS cc FROM toks GROUP BY w),
+      |tc AS (SELECT w, count(*) AS tc FROM toks WHERE doc_id % 20 = 0 GROUP BY w),
+      |tot AS (SELECT (SELECT count(*) FROM toks) AS cn,
+      |               (SELECT count(*) FROM toks WHERE doc_id % 20 = 0) AS tn,
+      |               (SELECT count(*) FROM cc) AS v),
+      |r AS (
+      |  SELECT cc.w,
+      |    CAST(round((ln((coalesce(tc.tc, 0) + 1.0) / (tot.tn + tot.v)) -
+      |                ln((cc.cc + 1.0) / (tot.cn + tot.v))) * 1000000)
+      |      AS BIGINT) AS lr
+      |  FROM cc LEFT JOIN tc ON cc.w = tc.w, tot)
+      |SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+      |  sum(r.lr)::BIGINT AS score_micro
+      |FROM toks t JOIN r ON t.w = r.w
+      |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+  ) { (s, d) =>
+    Curation.dsirWeights(Tables.documents(s, d), evalMod = 20)
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
     p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24,
     p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p35, p36, p37, p38,
-    p39, p40, p41)
+    p39, p40, p41, p42)
 }
