@@ -225,7 +225,7 @@ object Similarity {
     * centroid array sorts by (cos desc, cid asc) and the first nprobe
     * cids come back — same tie-break as `cellOf`, so nprobe=1 reproduces
     * single-probe assignment exactly. */
-  private def cellsOf(emb: Column, cents: Seq[(Long, Seq[Double], Double)],
+  private[pipeline] def cellsOf(emb: Column, cents: Seq[(Long, Seq[Double], Double)],
       nprobe: Int): Column = {
     val scored = transform(typedLit(cents), c =>
       struct((TextHash.dot(emb, c.getField("_2")) /
@@ -237,6 +237,27 @@ object Similarity {
         .otherwise(when(l.getField("cid") < r.getField("cid"), -1)
           .when(l.getField("cid") > r.getField("cid"), 1).otherwise(0)))
     transform(slice(sorted, 1, nprobe), s => s.getField("cid"))
+  }
+
+  /** Large-K top-`nprobe` cells: broadcast centroid join + bounded
+    * TopKByScore partial aggregate (same (cos desc, cid asc) order as
+    * `cellsOf`'s sort, so the probe SET is identical) — the multi-probe
+    * analogue of [[assignByJoin]] for quantizers past the literal-
+    * codegen limit. Output: one (query_id, qe, cell) row per probe. */
+  private[pipeline] def probeByJoin(q: DataFrame,
+      cents: Seq[(Long, Seq[Double], Double)], nprobe: Int): DataFrame = {
+    val spark = q.sparkSession
+    import spark.implicits._
+    val centsDf = cents.toDF("_cid", "_ce", "_cnorm")
+    q.crossJoin(broadcast(centsDf))
+      .select(col("query_id"), col("qe"), col("_cid"),
+        (TextHash.dot(col("qe"), col("_ce")) /
+          (TextHash.l2norm(col("qe")) * col("_cnorm"))).as("_cs"))
+      .groupBy(col("query_id"))
+      .agg(first(col("qe")).as("qe"),
+        TopKByScore.column(col("_cs"), col("_cid"), nprobe).as("_nb"))
+      .select(col("query_id"), col("qe"),
+        explode(expr("transform(_nb, x -> x.neighbor_id)")).as("cell"))
   }
 
   /** IVF ANN; `nprobe > 1` searches the query's nprobe nearest cells
@@ -252,9 +273,12 @@ object Similarity {
       if (nprobe == 1)
         assignCells(queries.select(col("vec_id").as("query_id"),
           col("embedding").as("qe")), cents, "query_id", "qe", "cell")
-      else
+      else if (cents.size <= LiteralArgmaxMaxCells)
         queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
           explode(cellsOf(col("embedding"), cents, nprobe)).as("cell"))
+      else
+        probeByJoin(queries.select(col("vec_id").as("query_id"),
+          col("embedding").as("qe")), cents, nprobe)
     val scored = assigned.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),

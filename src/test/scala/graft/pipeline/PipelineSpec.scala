@@ -240,6 +240,27 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("Broadcast"), s"centroids must broadcast:\n$plan")
   }
 
+  test("large-K multi-probe: join top-nprobe equals literal cellsOf probe set") {
+    val cents = embs
+      .select(col("vec_id"), col("embedding"),
+        TextHash.hex60(col("vec_id").cast("string")).as("_h"))
+      .orderBy(col("_h"), col("vec_id")).limit(64)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map { r =>
+        val ce = r.getSeq[Float](1).map(_.toDouble)
+        (r.getLong(0), ce, math.sqrt(ce.map(x => x * x).sum))
+      }.sortBy(_._1).toSeq
+    val q = embs.filter(col("vec_id") < 25)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val lit3 = q.select(col("query_id"),
+        explode(Similarity.cellsOf(col("qe"), cents, 3)).as("cell"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val join3 = Similarity.probeByJoin(q, cents, 3)
+      .select("query_id", "cell")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lit3 === join3)
+  }
+
   test("ivf nprobe: recall grows with probes; all-cells degenerates to exact knn") {
     val queries = embs.filter(col("vec_id") < 15)
     val exact = Similarity.knnBruteForce(queries, embs, 5)

@@ -45,11 +45,18 @@ class SerdePropertySpec extends AnyFunSuite {
   }
 
   test("roaring64 round-trips arbitrary position sets") {
+    // scalars across containers + CONTIGUOUS ranges (exercising the run
+    // writer: run/array/bitmap choices, container-boundary straddles)
+    val range: Gen[Seq[Long]] = for {
+      start <- Gen.oneOf(Gen.chooseNum(0L, 200000L),
+        Gen.chooseNum(0L, 1000L).map(_ + 65530L)) // straddle a container edge
+      len <- Gen.chooseNum(1L, 9000L)
+    } yield start until (start + len)
     val positions = Gen.listOf(Gen.oneOf(
-      Gen.chooseNum(0L, 100000L),
-      Gen.chooseNum(0L, 1L << 40),
-      // dense run to force bitmap containers
-      Gen.chooseNum(0L, 5000L).map(_ + (1L << 20))))
+      Gen.chooseNum(0L, 100000L).map(Seq(_)),
+      Gen.chooseNum(0L, 1L << 40).map(Seq(_)),
+      Gen.chooseNum(0L, 5000L).map(v => Seq(v + (1L << 20))),
+      range)).map(_.flatten)
     forAll(positions) { ps =>
       val set = ps.toSet
       val bm = Roaring64.fromPositions(set)
