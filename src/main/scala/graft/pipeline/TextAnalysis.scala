@@ -263,6 +263,24 @@ object TextAnalysis {
           col("stop_hits") >= minStopwords).cast("long"))
   }
 
+  /** BPE-step pair counts: global frequencies of ADJACENT CHARACTER
+    * PAIRS inside words — the statistic a byte-pair-encoding tokenizer
+    * trainer computes each merge iteration (this is iteration 0 over
+    * the raw corpus; subsequent iterations re-run it over the merged
+    * symbol sequences). Top-k by (count desc, pair asc).
+    *
+    * Shape at 100 TB: explode to pairs → map-side-combined count over a
+    * BOUNDED key space (char-bigram vocabulary) → TakeOrdered k. The
+    * corpus never shuffles; only (pair, partial-count) rows do. */
+  def bpePairCounts(docs: DataFrame, k: Int = 100): DataFrame =
+    docs.select(explode(TextHash.words(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(k)
+
   /** Within-domain quality-percentile filter — the "keep the best q of
     * each domain" curation step that follows scoring in a mixture
     * pipeline. Score = distinct-word ratio (a cheap proxy; any scored

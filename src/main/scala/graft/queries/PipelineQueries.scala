@@ -1244,8 +1244,25 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** BPE-step pair counts (tokenizer-training prep): top-100 adjacent
+    * char pairs inside words, map-side-combined over the bounded
+    * bigram key space, TakeOrdered with a pair tie-break. */
+  val p43 = Q.sql(
+    "p43_bpe_pair_counts",
+    """WITH w AS (
+      |  SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents),
+      |p AS (
+      |  SELECT unnest([substring(w, i, 2) for i in range(1, length(w))]) AS pair
+      |  FROM w WHERE length(w) >= 2)
+      |SELECT pair, count(*)::BIGINT AS n
+      |FROM p GROUP BY pair
+      |ORDER BY n DESC, pair LIMIT 100""".stripMargin
+  ) { (s, d) =>
+    TextAnalysis.bpePairCounts(Tables.documents(s, d), k = 100)
+  }
+
   val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
     p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24,
     p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p35, p36, p37, p38,
-    p39, p40, p41, p42)
+    p39, p40, p41, p42, p43)
 }
