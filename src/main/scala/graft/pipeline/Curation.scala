@@ -373,4 +373,39 @@ object Curation {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("lr")).as("score_micro"))
   }
+
+  /** CCNet-style unigram language-model perplexity score: train a
+    * unigram LM on the corpus itself (maximum-likelihood, no smoothing —
+    * every scored token is in the vocabulary by construction), score
+    * each doc by its total negative log-likelihood. High-NLL docs are
+    * "surprising" (rare-word soup); low-NLL docs are head-heavy
+    * boilerplate — CCNet buckets the corpus into head/middle/tail by
+    * this statistic (Wenzek et al. 2020 use a KenLM 5-gram; the unigram
+    * is the order-0 member of the same family).
+    *
+    * Determinism: per-word −ln p(w) is rounded to micro-log integer
+    * units once, per-doc scores are LONG sums (summation-order-free;
+    * the same contract as [[dsirWeights]]). The mean-NLL bucket is an
+    * integer floor division — ppl_bucket b means mean NLL ∈ [b, b+1)
+    * nats, i.e. perplexity ∈ [e^b, e^{b+1}).
+    *
+    * Shape at 100 TB: token explode → one map-side-combined unigram
+    * count, ONE driver stats row (corpus total as a literal), ratio
+    * table joined back on the word key (Zipfian skew handled by AQE;
+    * small vocabs broadcast), one per-doc aggregate. The corpus
+    * shuffles once — identical cost profile to [[dsirWeights]]. */
+  def unigramPerplexity(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(TextHash.words(col("text"))).as("w"))
+    val cc = toks.groupBy(col("w")).agg(count(lit(1)).as("cc"))
+    val total = toks.agg(count(lit(1))).head.getLong(0)
+    val nll = cc.select(col("w"),
+      round(-log(col("cc") / lit(total.toDouble)) * 1e6, 0)
+        .cast("long").as("nll_w"))
+    toks.join(nll, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("nll_w")).as("nll_micro"))
+      .withColumn("ppl_bucket",
+        expr("nll_micro div (n_tokens * 1000000)"))
+  }
 }

@@ -101,6 +101,75 @@ object Sessions {
   private def floorDiv(c: Column, w: Long): Column =
     ((c - pmod(c, lit(w))) / lit(w)).cast("long")
 
+  /** Funnel analysis: per user, the earliest time each ordered step of
+    * `steps` is reached, where step k+1 must occur at-or-after step k
+    * and the WHOLE funnel must fit inside `windowUs` of step 1 — the
+    * standard product-analytics conversion funnel (Amplitude/Mixpanel
+    * semantics, "strict order, conversion window" variant).
+    *
+    * Shape at 100 TB: ONE shuffle on user_id; each step's earliest-time
+    * is a whole-partition conditional `min` over the same window
+    * partitioning, so Catalyst reuses a single exchange for all steps
+    * (steps are sequential selects, not extra shuffles). Per-user state
+    * is O(steps). Skewed users cannot arise (a user's events all hash
+    * to one partition, and the aggregate is a scalar per step).
+    *
+    * Output: (user_id, t1_us..tN_us nullable, steps_completed). */
+  def funnel(events: DataFrame, steps: Seq[String],
+             windowUs: Long = 7L * 24 * 3600 * 1000000): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val w = Window.partitionBy(col("user_id"))
+    val base = events.select(col("user_id"), col("event_type"), tsUs(events))
+    val withSteps = steps.zipWithIndex.foldLeft(base) { case (df, (step, i)) =>
+      val cond =
+        if (i == 0) col("event_type") === step
+        else col("event_type") === step &&
+          col(s"t${i}_us").isNotNull &&
+          col("ts_us") >= col(s"t${i}_us") &&
+          col("ts_us") - col("t1_us") <= windowUs
+      df.withColumn(s"t${i + 1}_us", min(when(cond, col("ts_us"))).over(w))
+    }
+    val stepCols = steps.indices.map(i => col(s"t${i + 1}_us"))
+    withSteps
+      .groupBy(col("user_id"))
+      .agg(first(stepCols.head).as("t1_us"),
+        stepCols.tail.zipWithIndex.map { case (c, i) =>
+          first(c).as(s"t${i + 2}_us")
+        }: _*)
+      .withColumn("steps_completed",
+        stepCols.indices.map(i => when(col(s"t${i + 1}_us").isNotNull, 1)
+          .otherwise(0)).reduce(_ + _).cast("long"))
+  }
+
+  /** Cohort retention: users cohorted by the week of their first event
+    * (week 0 = epoch-aligned 7-day bins of the first-event µs timestamp);
+    * for each (cohort_week, k) count the distinct users with ANY event
+    * during week `cohort_week + k`, k = 0..maxWeeks.
+    *
+    * Shape at 100 TB: first-event per user is one hash aggregate on
+    * user_id; events re-join their user's cohort on the same user_id
+    * hash partitioning (co-partitioned shuffle, no broadcast needed —
+    * the user dimension is corpus-sized); the distinct + rollup is one
+    * more bounded shuffle on (cohort, k). No window over raw events, no
+    * skew beyond a single user's row count.
+    *
+    * Output: (cohort_week, week_k, n_users), weeks with zero retained
+    * users absent (inner semantics). */
+  def cohortRetention(events: DataFrame, maxWeeks: Int = 4): DataFrame = {
+    val weekUs = 7L * 24 * 3600 * 1000000
+    val e = events.select(col("user_id"), tsUs(events))
+    val cohorts = e.groupBy(col("user_id"))
+      .agg(min(col("ts_us")).as("first_us"))
+      .select(col("user_id"), floorDiv(col("first_us"), weekUs).as("cohort_week"))
+    e.join(cohorts, Seq("user_id"))
+      .select(col("user_id"), col("cohort_week"),
+        (floorDiv(col("ts_us"), weekUs) - col("cohort_week")).as("week_k"))
+      .filter(col("week_k") <= maxWeeks)
+      .distinct()
+      .groupBy(col("cohort_week"), col("week_k"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Range (interval) join: all pairs of same-user events with
     * `r.ts ∈ [l.ts + loUs, l.ts + hiUs]` (both ends inclusive) — the
     * windowed-correlation join (SQL inequality join; Spark would plan a

@@ -52,6 +52,74 @@ object Similarity {
             x => floor(x.cast("double") / col("scale") + 0.5).cast("int")))
           .as("q"))
 
+  /** Label-centroid margin filter (the CLIP-score-style consistency
+    * gate, integer-exact): each embedding scores against its OWN
+    * label's centroid and the best OTHER label's centroid; vectors
+    * whose own-label mean-dot is beaten by another label's are flagged
+    * misaligned — the standard cross-modal / weak-label cleaning cut
+    * (keep pairs whose claimed label is also their nearest).
+    *
+    * Exactness across engines: vectors are first int8-quantized
+    * ([[quantizeInt8]]'s formula), centroids are per-dim LONG SUMS of
+    * the quantized values (no float accumulation anywhere), a vector×
+    * centroid dot is a LONG, and the only float op is ONE IEEE division
+    * dot/n per (vector, label) — identical operands → identical bits →
+    * the 1e-6 micro rounding can never disagree.
+    *
+    * Shape at 100 TB: one posexplode + groupBy(label, dim) map-side-
+    * combined aggregate; ONLY O(labels·dims) longs ever reach the
+    * driver (corpus-size-independent, like the k-means means), and the
+    * per-vector argmax is a codegen fold over L literal centroids — no
+    * join, no second shuffle over the corpus.
+    *
+    * Output: (vec_id, label, own_micro, best_other_label,
+    * best_other_micro, aligned). */
+  def labelCentroidMargin(embs: DataFrame): DataFrame = {
+    val scale = array_max(transform(col("embedding"), x => abs(x.cast("double")))) / 127.0
+    val q = embs.select(col("vec_id"), col("label"), col("embedding"),
+        scale.as("scale"))
+      .withColumn("q",
+        when(col("scale") === 0.0, transform(col("embedding"), _ => lit(0)))
+          .otherwise(transform(col("embedding"),
+            x => floor(x.cast("double") / col("scale") + 0.5).cast("int"))))
+      .select(col("vec_id"), col("label"), col("q"))
+    val sums = q.select(col("label"), posexplode(col("q")).as(Seq("d", "v")))
+      .groupBy(col("label"), col("d"))
+      .agg(sum(col("v").cast("long")).as("cs"), count(lit(1)).as("n"))
+      .collect()
+    require(sums.nonEmpty, "empty embedding corpus")
+    val cents: Seq[(Int, Array[Long], Long)] = sums
+      .groupBy(_.getInt(0)).toSeq
+      .map { case (l, rows) =>
+        (l, rows.sortBy(_.getInt(1)).map(_.getLong(2)).toArray, rows.head.getLong(3))
+      }.sortBy(_._1)
+    val dims = cents.head._2.length
+    // per-label mean dot: (Σ_d q[d]·cs_l[d]) / n_l — long dot, one division.
+    // Means land in ONE array column first; everything downstream is an
+    // attribute reference, so the argmax never duplicates the 64-term
+    // dot subtrees (a naive when-chain fold is exponential in L).
+    def meanDot(l: (Int, Array[Long], Long)): Column = {
+      val dot = (0 until dims).map(d =>
+        element_at(col("q"), d + 1).cast("long") * lit(l._2(d))).reduce(_ + _)
+      dot.cast("double") / lit(l._3.toDouble)
+    }
+    val withMeans = q.withColumn("_means", array(cents.map(meanDot): _*))
+    val own = cents.zipWithIndex.map { case (c, i) =>
+        when(col("label") === c._1, element_at(col("_means"), i + 1)) }
+      .reduceRight((a, b) => a.otherwise(b))
+    // struct max orders by (m, -l): largest mean, then SMALLEST label
+    val candidates = array(cents.zipWithIndex.map { case (c, i) =>
+      struct(element_at(col("_means"), i + 1).as("m"), lit(-c._1).as("nl")) }: _*)
+    withMeans
+      .withColumn("_best",
+        array_max(filter(candidates, x => x.getField("nl") =!= -col("label"))))
+      .select(col("vec_id"), col("label"),
+        round(own * 1e6, 0).cast("long").as("own_micro"),
+        (-col("_best").getField("nl")).as("best_other_label"),
+        round(col("_best").getField("m") * 1e6, 0).cast("long").as("best_other_micro"))
+      .withColumn("aligned", col("own_micro") >= col("best_other_micro"))
+  }
+
   /** Exact top-k neighbors by cosine for each query vector.
     * Output: (query_id, rank, neighbor_id, cos_sim rounded to 5 dp).
     * Ties broken by neighbor id (ascending) for determinism. */

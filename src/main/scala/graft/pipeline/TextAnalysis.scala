@@ -306,4 +306,45 @@ object TextAnalysis {
       .filter(col("rnk") <= ceil(col("_n") * frac))
       .select(col("source"), col("doc_id"), col("score"), col("rnk"))
   }
+
+  /** Per-document duplicated-span measurement (Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better", the
+    * EXACTSUBSTR statistic at word-span granularity): every OVERLAPPING
+    * `spanLen`-word window (stride 1) of every doc, a span is
+    * "duplicated" when its text occurs in ≥2 distinct docs, and each
+    * doc reports how much of it is covered by cross-document repeats —
+    * the per-doc dup fraction that decides trim-vs-drop in that paper.
+    *
+    * Differs from [[removeSharedSegments]] (non-overlapping CCNet
+    * segments, rewrite output) and from Dedup's pairwise Jaccard (this
+    * is per-doc measurement, not pairing): overlapping windows catch
+    * duplicated passages at ANY alignment.
+    *
+    * Shape at 100 TB: explode is ~n_tokens rows; the span census is one
+    * map-side-combined groupBy on the span text (Zipfian span skew is
+    * capped by the distinct-doc HAVING — viral spans aggregate to one
+    * row) and the join back is the same key. Nothing collects; permille
+    * is integer math. Spans could key on a 128-bit hash instead of the
+    * text to cut shuffle bytes — kept textual so the SQL oracle shares
+    * the exact key. */
+  def dupSpans(docs: DataFrame, spanLen: Int = 6, minDocs: Int = 2): DataFrame = {
+    require(spanLen >= 1 && minDocs >= 2, s"bad args: $spanLen/$minDocs")
+    val w = TextHash.words(col("text"))
+    val spans = when(size(w) >= spanLen,
+      transform(sequence(lit(0), size(w) - spanLen),
+        i => concat_ws(" ", slice(w, i + 1, lit(spanLen)))))
+      .otherwise(array().cast("array<string>"))
+    val e = docs.select(col("doc_id"), explode_outer(spans).as("s"))
+    val dup = e.filter(col("s").isNotNull)
+      .groupBy(col("s"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("s"), lit(1L).as("_dup"))
+    e.join(dup, Seq("s"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(col("s")).as("n_spans"),
+        coalesce(sum(col("_dup")), lit(0L)).as("n_dup"))
+      .withColumn("dup_permille",
+        when(col("n_spans") > 0, expr("(1000 * n_dup) div n_spans")))
+  }
 }

@@ -1261,8 +1261,171 @@ object PipelineQueries {
     TextAnalysis.bpePairCounts(Tables.documents(s, d), k = 100)
   }
 
+  /** CCNet-style unigram perplexity gate: corpus-trained unigram LM,
+    * per-doc total NLL in micro-log integer units (summation-order-free
+    * LONG sum) and the integer mean-NLL bucket that splits the corpus
+    * head/middle/tail. */
+  val p44 = Q.sql(
+    "p44_unigram_perplexity",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+      |  FROM documents),
+      |cc AS (SELECT w, count(*) AS cc FROM toks GROUP BY w),
+      |tot AS (SELECT count(*) AS n FROM toks),
+      |r AS (
+      |  SELECT cc.w,
+      |    CAST(round(-ln(cc.cc / tot.n) * 1000000) AS BIGINT) AS nw
+      |  FROM cc, tot)
+      |SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+      |  sum(r.nw)::BIGINT AS nll_micro,
+      |  (sum(r.nw)::BIGINT // (count(*)::BIGINT * 1000000)) AS ppl_bucket
+      |FROM toks t JOIN r ON t.w = r.w
+      |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+    bench = true
+  ) { (s, d) =>
+    Curation.unigramPerplexity(Tables.documents(s, d)).orderBy(col("doc_id"))
+  }
+
+  /** Per-doc duplicated-span fraction (Lee et al. EXACTSUBSTR statistic
+    * at 6-word-window granularity, stride 1): spans occurring in ≥2
+    * distinct docs are "duplicated"; each doc reports its coverage in
+    * integer permille. */
+  val p45 = Q.sql(
+    "p45_dup_spans",
+    """WITH w AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      |sp AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(w) >= 6
+      |      THEN [array_to_string(w[i+1:i+6], ' ') for i in range(0, len(w)-5)]
+      |      ELSE [] END AS ss
+      |  FROM w),
+      |e AS (SELECT doc_id, unnest(ss) AS s FROM sp),
+      |dup AS (SELECT s FROM e GROUP BY s HAVING count(DISTINCT doc_id) >= 2),
+      |agg AS (
+      |  SELECT e.doc_id, count(*)::BIGINT AS n_spans, count(d.s)::BIGINT AS n_dup
+      |  FROM e LEFT JOIN dup d ON e.s = d.s GROUP BY e.doc_id)
+      |SELECT w.doc_id, coalesce(a.n_spans, 0)::BIGINT AS n_spans,
+      |  coalesce(a.n_dup, 0)::BIGINT AS n_dup,
+      |  CASE WHEN coalesce(a.n_spans, 0) > 0
+      |    THEN (1000 * a.n_dup) // a.n_spans END AS dup_permille
+      |FROM w LEFT JOIN agg a ON w.doc_id = a.doc_id
+      |ORDER BY w.doc_id""".stripMargin,
+    bench = true
+  ) { (s, d) =>
+    TextAnalysis.dupSpans(Tables.documents(s, d)).orderBy(col("doc_id"))
+  }
+
+  /** Label-centroid margin (CLIP-score-style consistency gate),
+    * integer-exact: int8-quantized vectors, LONG centroid sums, one
+    * IEEE division per (vector, label) — see Similarity scaladoc. The
+    * oracle replays quantization, centroid sums and the argmax with
+    * the same smallest-label tie-break. */
+  val p46 = Q.sql(
+    "p46_label_centroid_margin",
+    """WITH q AS (
+      |  SELECT vec_id, label,
+      |    CASE WHEN list_max(list_transform(embedding, x -> abs(x::DOUBLE))) = 0
+      |      THEN list_transform(embedding, x -> 0)
+      |      ELSE list_transform(embedding, x ->
+      |        floor(x::DOUBLE /
+      |          (list_max(list_transform(embedding, y -> abs(y::DOUBLE))) / 127.0)
+      |          + 0.5)::INT)
+      |    END AS q
+      |  FROM embeddings),
+      |cd AS (
+      |  SELECT label,
+      |    unnest([{'d': i, 'v': q[i]} for i in range(1, len(q)+1)],
+      |           recursive := true)
+      |  FROM q),
+      |cl AS (
+      |  SELECT label AS l, list(cs ORDER BY d) AS cv FROM (
+      |    SELECT label, d, sum(v)::BIGINT AS cs FROM cd GROUP BY label, d)
+      |  GROUP BY label),
+      |n AS (SELECT label AS l, count(*)::BIGINT AS n FROM q GROUP BY label),
+      |sc AS (
+      |  SELECT q.vec_id, q.label, cl.l,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> q.q[i]::BIGINT * cl.cv[i]))::DOUBLE / n.n AS m
+      |  FROM q, cl JOIN n ON cl.l = n.l),
+      |agg AS (
+      |  SELECT vec_id, label,
+      |    CAST(round(max(CASE WHEN l = label THEN m END) * 1000000) AS BIGINT)
+      |      AS own_micro,
+      |    max(CASE WHEN l <> label THEN m END) AS bo
+      |  FROM sc GROUP BY vec_id, label),
+      |bl AS (
+      |  SELECT s.vec_id, min(s.l) AS best_other_label
+      |  FROM sc s JOIN agg a ON s.vec_id = a.vec_id
+      |  WHERE s.l <> s.label AND s.m = a.bo GROUP BY s.vec_id)
+      |SELECT a.vec_id, a.label, a.own_micro, bl.best_other_label,
+      |  CAST(round(a.bo * 1000000) AS BIGINT) AS best_other_micro,
+      |  a.own_micro >= CAST(round(a.bo * 1000000) AS BIGINT) AS aligned
+      |FROM agg a JOIN bl ON a.vec_id = bl.vec_id
+      |ORDER BY a.vec_id""".stripMargin
+  ) { (s, d) =>
+    Similarity.labelCentroidMargin(Tables.embeddings(s, d))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Conversion funnel view→click→purchase, strict order inside a
+    * 7-day window from step 1 (Amplitude/Mixpanel semantics): one
+    * shuffle on user_id, per-step conditional mins over one window
+    * partitioning. */
+  val p47 = Q.sql(
+    "p47_funnel",
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+      |t1 AS (SELECT user_id, min(ts_us) AS t1_us
+      |       FROM e WHERE event_type = 'view' GROUP BY user_id),
+      |t2 AS (SELECT e.user_id, min(e.ts_us) AS t2_us
+      |       FROM e JOIN t1 ON e.user_id = t1.user_id
+      |       WHERE e.event_type = 'click' AND e.ts_us >= t1.t1_us
+      |         AND e.ts_us - t1.t1_us <= 604800000000
+      |       GROUP BY e.user_id),
+      |t3 AS (SELECT e.user_id, min(e.ts_us) AS t3_us
+      |       FROM e JOIN t2 ON e.user_id = t2.user_id
+      |            JOIN t1 ON e.user_id = t1.user_id
+      |       WHERE e.event_type = 'purchase' AND e.ts_us >= t2.t2_us
+      |         AND e.ts_us - t1.t1_us <= 604800000000
+      |       GROUP BY e.user_id)
+      |SELECT u.user_id, t1.t1_us, t2.t2_us, t3.t3_us,
+      |  (CASE WHEN t1.t1_us IS NOT NULL THEN 1 ELSE 0 END +
+      |   CASE WHEN t2.t2_us IS NOT NULL THEN 1 ELSE 0 END +
+      |   CASE WHEN t3.t3_us IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+      |    AS steps_completed
+      |FROM (SELECT DISTINCT user_id FROM e) u
+      |LEFT JOIN t1 ON u.user_id = t1.user_id
+      |LEFT JOIN t2 ON u.user_id = t2.user_id
+      |LEFT JOIN t3 ON u.user_id = t3.user_id
+      |ORDER BY u.user_id""".stripMargin,
+    bench = true
+  ) { (s, d) =>
+    graft.pipeline.Sessions.funnel(Tables.events(s, d), Seq("view", "click", "purchase"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Cohort retention: users cohorted by epoch-aligned first-event
+    * week; distinct actives per (cohort_week, week offset 0..4). */
+  val p48 = Q.sql(
+    "p48_cohort_retention",
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+      |c AS (SELECT user_id, min(ts_us) // 604800000000 AS cohort_week
+      |      FROM e GROUP BY user_id),
+      |k AS (SELECT DISTINCT e.user_id, c.cohort_week,
+      |        (e.ts_us // 604800000000) - c.cohort_week AS week_k
+      |      FROM e JOIN c ON e.user_id = c.user_id
+      |      WHERE (e.ts_us // 604800000000) - c.cohort_week <= 4)
+      |SELECT cohort_week, week_k, count(*)::BIGINT AS n_users
+      |FROM k GROUP BY cohort_week, week_k
+      |ORDER BY cohort_week, week_k""".stripMargin
+  ) { (s, d) =>
+    graft.pipeline.Sessions.cohortRetention(Tables.events(s, d), maxWeeks = 4)
+      .orderBy(col("cohort_week"), col("week_k"))
+  }
+
   val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
     p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24,
     p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p35, p36, p37, p38,
-    p39, p40, p41, p42, p43)
+    p39, p40, p41, p42, p43, p44, p45, p46, p47, p48)
 }

@@ -879,4 +879,111 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     lone.select(col("doc_id"), lower(col("text"))).as[(Long, String)].collect()
       .foreach { case (id, t) => assert(back(id) === t, s"doc $id altered") }
   }
+
+  test("funnel: strict order + conversion window on a hand-built event log") {
+    import spark.implicits._
+    val us = 1000000L
+    val day = 86400L * us
+    // user 1: full funnel inside the window
+    // user 2: click BEFORE view (order violated) → stops at view
+    // user 3: purchase 8 days after view (window exceeded) → 2 steps
+    //         (click inside window)
+    // user 4: no view at all → 0 steps
+    // user 5: view and click at the SAME ts (at-or-after ⇒ counts)
+    val ev = Seq(
+      (1L, 1L, "view", 0L), (2L, 1L, "click", day), (3L, 1L, "purchase", 2 * day),
+      (4L, 2L, "click", 0L), (5L, 2L, "view", day),
+      (6L, 3L, "view", 0L), (7L, 3L, "click", day), (8L, 3L, "purchase", 8 * day),
+      (9L, 4L, "purchase", 0L),
+      (10L, 5L, "view", day), (11L, 5L, "click", day), (12L, 5L, "purchase", 3 * day)
+    ).toDF("event_id", "user_id", "event_type", "ts_raw")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        timestamp_micros(col("ts_raw")).as("ts"))
+    val out = Sessions.funnel(ev, Seq("view", "click", "purchase"),
+      windowUs = 7 * day)
+      .select(col("user_id"), col("steps_completed"))
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 3L, 2L -> 1L, 3L -> 2L, 4L -> 0L, 5L -> 3L))
+
+    // plan shape: one exchange on user_id total — the per-step windows
+    // and the final groupBy all reuse a single hash partitioning
+    val plan = Sessions.funnel(ev, Seq("view", "click", "purchase"))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+  }
+
+  test("cohort retention: epoch-week cohorts, week-0 covers every user") {
+    import spark.implicits._
+    val us = 1000000L
+    val week = 7 * 86400L * us
+    val ev = Seq(
+      (1L, 1L, 2 * week), (2L, 1L, 2 * week + week / 2), (3L, 1L, 4 * week),
+      (4L, 2L, 2 * week + 1), (5L, 2L, 9 * week), // week_k=7 > maxWeeks → dropped
+      (6L, 3L, 3 * week)
+    ).toDF("event_id", "user_id", "ts_raw")
+      .select(col("event_id"), col("user_id"),
+        timestamp_micros(col("ts_raw")).as("ts"))
+    val out = Sessions.cohortRetention(ev, maxWeeks = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    // cohort week 2: users 1,2 at k=0; user 1 again at k=2. cohort 3: user 3.
+    assert(out === Set((2L, 0L, 2L), (2L, 2L, 1L), (3L, 0L, 1L)))
+    // week-0 row of each cohort equals its cohort size
+    val w0 = out.filter(_._2 == 0L).map(r => r._1 -> r._3).toMap
+    assert(w0 === Map(2L -> 2L, 3L -> 1L))
+  }
+
+  test("unigram perplexity: hand corpus NLL exact, bucket is floor(mean)") {
+    import spark.implicits._
+    // corpus: "a a a b" → p(a)=3/4, p(b)=1/4
+    val d = Seq((1L, "a a a"), (2L, "b")).toDF("doc_id", "text")
+    val out = Curation.unigramPerplexity(d)
+      .select(col("doc_id"), col("n_tokens"), col("nll_micro"), col("ppl_bucket"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (a, b, c, dd) => a -> ((b, c, dd)) }.toMap
+    val nllA = math.round(-math.log(3.0 / 4.0) * 1e6)
+    val nllB = math.round(-math.log(1.0 / 4.0) * 1e6)
+    assert(out(1L) === ((3L, 3 * nllA, (3 * nllA) / (3L * 1000000L))))
+    assert(out(2L) === ((1L, nllB, nllB / 1000000L)))
+  }
+
+  test("dup spans: any-alignment cross-doc repeats, within-doc repeats don't count") {
+    import spark.implicits._
+    val passage = "one two three four five six" // exactly one 6-word span
+    val d = Seq(
+      (1L, s"alpha beta $passage gamma delta"),           // planted at offset 2
+      (2L, s"$passage tail1 tail2 tail3 tail4 tail5"),    // planted at offset 0
+      (3L, "x1 x2 x3 x4 x5 x6 x1 x2 x3 x4 x5 x6"),        // within-doc repeat ONLY
+      (4L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10 z11")          // unique
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.dupSpans(d, spanLen = 6, minDocs = 2)
+      .select(col("doc_id"), col("n_spans"), col("n_dup"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (a, b, c) => a -> ((b, c)) }.toMap
+    // n_spans conservation: words - 5
+    assert(out(1L)._1 === 5L && out(2L)._1 === 6L &&
+      out(3L)._1 === 7L && out(4L)._1 === 6L)
+    // the planted passage is found at BOTH alignments, exactly once each
+    assert(out(1L)._2 === 1L, "doc 1 must flag the planted span")
+    assert(out(2L)._2 === 1L, "doc 2 must flag the planted span")
+    // within-doc-only repetition is not cross-document duplication
+    assert(out(3L)._2 === 0L && out(4L)._2 === 0L)
+  }
+
+  test("label-centroid margin: planted mislabel flagged, centroid members aligned") {
+    import spark.implicits._
+    // two tight clusters in 4-d; vector 99 carries label 0 but sits on
+    // cluster 1's centroid → misaligned. All true members aligned.
+    def v(base: Array[Float], eps: Float) = base.map(_ + eps)
+    val c0 = Array(1f, 0f, 0f, 0f); val c1 = Array(0f, 1f, 0f, 0f)
+    val rows =
+      (0 until 5).map(i => (i.toLong, v(c0, i * 0.01f).toSeq, 0)) ++
+      (5 until 10).map(i => (i.toLong, v(c1, (i - 5) * 0.01f).toSeq, 1)) :+
+      ((99L, c1.toSeq, 0))
+    val out = Similarity.labelCentroidMargin(
+        rows.toDF("vec_id", "embedding", "label"))
+      .select(col("vec_id"), col("aligned")).as[(Long, Boolean)].collect().toMap
+    assert(!out(99L), "planted mislabel must be misaligned")
+    assert((0L until 10L).forall(out(_)), "cluster members must be aligned")
+  }
 }
