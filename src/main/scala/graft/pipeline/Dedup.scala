@@ -259,15 +259,29 @@ object Dedup {
     * under the cap (an overflowing bucket is the boilerplate pathology
     * itself, not a near-dup signal). */
   def simhashNearDups(docs: DataFrame, maxHamming: Int = 5,
-      bands: Int = 6, bits: Int = 60, maxBucket: Int = MaxBucket): DataFrame = {
+      bands: Int = 6, bits: Int = 60, maxBucket: Int = MaxBucket): DataFrame =
+    hammingNearDups(simhash(docs, bits = bits), "simhash",
+      maxHamming, bands, bits, maxBucket)
+
+  /** Banded hamming join over ANY long-signature frame (doc_id, sigCol)
+    * — the pigeonhole machinery shared by simhash text near-dup and the
+    * multimodal fingerprint near-dup: split the signature into `bands`
+    * chunks; a pair within `maxHamming < bands` bit flips must agree on
+    * at least one chunk, so the (band, chunk) equi-join has EXACT recall
+    * and the explicit hamming filter gives exact precision. Viral
+    * buckets are census-capped BEFORE the join (O(1) state per row). */
+  def hammingNearDups(sigs: DataFrame, sigCol: String, maxHamming: Int,
+      bands: Int, bits: Int, maxBucket: Int = MaxBucket): DataFrame = {
     require(maxHamming < bands, s"pigeonhole needs maxHamming < bands")
     require(bits % bands == 0, s"bands must divide bits: $bits % $bands")
     val width = bits / bands
     val mask = (1L << width) - 1
-    val sigs = simhash(docs, bits = bits)
     val census = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band"), col("chunk"))
-    val banded = sigs.select(col("doc_id"), col("simhash"),
+    // two-step projection: the chunk exprs below resolve `simhash` against
+    // the input, never as a lateral alias of the same select
+    val normalized = sigs.select(col("doc_id"), col(sigCol).as("simhash"))
+    val banded = normalized.select(col("doc_id"), col("simhash"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
           expr(s"shiftright(simhash, ${b * width}) & $mask").as("chunk"))): _*)).as("bc"))

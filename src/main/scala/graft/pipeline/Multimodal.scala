@@ -91,6 +91,31 @@ object Multimodal {
       expr("max_by(w, energy)").cast(LongType).as("peak_w"))
   }
 
+  /** Perceptual-hash-style media fingerprint: 60 one-bit block features
+    * over the decoded payload (bit b = low bit of the 60-bit hash of the
+    * b-th fixed-width block — standing in for "block-mean > global
+    * median" over decoded pixels, which a real pHash computes after a
+    * DCT). Identical payloads collide exactly; payloads differing in a
+    * few localized blocks land within a small hamming distance. Pure
+    * map stage — one signature long per row. */
+  def phash(media: DataFrame, blockChars: Int = 8, bits: Int = 60): DataFrame = {
+    val t = decode(col("payload"), "UTF-8")
+    val sig = (0 until bits).map { b =>
+      TextHash.hex60(substring(t, b * blockChars + 1, blockChars))
+        .bitwiseAND(lit(1L)) * lit(1L << b)
+    }.reduce(_ + _)
+    media.select(col("doc_id"), sig.as("phash"))
+  }
+
+  /** Media near-duplicate pairs by fingerprint hamming distance: the
+    * image/video dedup pass of a multimodal pipeline, sharing the exact
+    * banded pigeonhole join of the text simhash path
+    * ([[Dedup.hammingNearDups]] — exact recall for
+    * maxHamming < bands, census-capped viral buckets, no all-pairs). */
+  def phashNearDups(media: DataFrame, maxHamming: Int = 5,
+      bands: Int = 6): DataFrame =
+    Dedup.hammingNearDups(phash(media), "phash", maxHamming, bands, 60)
+
   /** Frame sampling: fixed-width character frames of the decoded payload
     * with per-frame md5 — the "extract frames + per-frame features"
     * pipeline shape, fully crosscheckable in SQL. */

@@ -1424,8 +1424,32 @@ object PipelineQueries {
       .orderBy(col("cohort_week"), col("week_k"))
   }
 
+  /** Multimodal fingerprint near-dup: pHash-style 60-bit block signature
+    * over the (stub-decoded) payload, pairs within hamming ≤ 5 via the
+    * same banded pigeonhole join as text simhash (exact recall for
+    * hd < bands, so the all-pairs oracle matches bit-for-bit). */
+  val p49 = Q.sql(
+    "p49_media_phash_neardup",
+    """WITH sig AS (
+      |  SELECT doc_id,
+      |    list_sum(list_transform(range(0, 60), b ->
+      |      ((('0x' || substr(md5(substr(text, b*8+1, 8)), 1, 15))::BIGINT & 1)
+      |        * (1::BIGINT << b))))::BIGINT AS phash
+      |  FROM documents)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  bit_count(xor(a.phash, b.phash))::BIGINT AS hamming
+      |FROM sig a, sig b
+      |WHERE a.doc_id < b.doc_id
+      |  AND bit_count(xor(a.phash, b.phash)) <= 5
+      |ORDER BY id_a, id_b""".stripMargin
+  ) { (s, d) =>
+    Multimodal.phashNearDups(
+        Multimodal.asMediaTable(Tables.documents(s, d)), maxHamming = 5)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
     p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24,
     p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p35, p36, p37, p38,
-    p39, p40, p41, p42, p43, p44, p45, p46, p47, p48)
+    p39, p40, p41, p42, p43, p44, p45, p46, p47, p48, p49)
 }

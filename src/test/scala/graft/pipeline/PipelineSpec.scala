@@ -970,6 +970,27 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(3L)._2 === 0L && out(4L)._2 === 0L)
   }
 
+  test("media phash: identical payloads collide, one-block edit stays hamming-close") {
+    import spark.implicits._
+    val base = "x" * 480 // exactly 60 blocks of 8 chars
+    val oneBlockEdit = base.substring(0, 80) + "EDITED!!" + base.substring(88)
+    val media = Multimodal.asMediaTable(Seq(
+      (1L, base), (2L, base), (3L, oneBlockEdit),
+      (4L, (0 until 480).map(i => ('a' + i % 26).toChar).mkString)
+    ).toDF("doc_id", "text").withColumn("n_chars", length(col("text"))))
+    val sig = Multimodal.phash(media).as[(Long, Long)].collect().toMap
+    assert(sig(1L) === sig(2L), "identical payloads must collide")
+    assert(java.lang.Long.bitCount(sig(1L) ^ sig(3L)) <= 1,
+      "a single-block edit flips at most that block's bit")
+    val pairs = Multimodal.phashNearDups(media, maxHamming = 5)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L, 0L)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 3L),
+      "one-block edit must be found by the banded join")
+    assert(!pairs.exists(p => p._2 == 4L && p._3 > 5))
+  }
+
   test("label-centroid margin: planted mislabel flagged, centroid members aligned") {
     import spark.implicits._
     // two tight clusters in 4-d; vector 99 carries label 0 but sits on
