@@ -170,6 +170,20 @@ object Sessions {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Per-type exact value percentiles (linear/type-7 interpolation —
+    * Spark `percentile` and DuckDB `quantile_cont` share it, so values
+    * crosscheck to 5 dp). Exact percentile buffers each group's value
+    * multiset executor-side; that is the oracle-checkable CONTROL — at
+    * 100 TB swap in `percentile_approx` (Greenwald-Khanna, bounded
+    * memory, same call shape) and keep this as the small-slice verifier. */
+  def valuePercentiles(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      round(expr("percentile(value, 0.25)"), 5).as("p25"),
+      round(expr("percentile(value, 0.5)"), 5).as("p50"),
+      round(expr("percentile(value, 0.75)"), 5).as("p75"),
+      round(expr("percentile(value, 0.95)"), 5).as("p95"))
+
   /** Range (interval) join: all pairs of same-user events with
     * `r.ts ∈ [l.ts + loUs, l.ts + hiUs]` (both ends inclusive) — the
     * windowed-correlation join (SQL inequality join; Spark would plan a

@@ -307,6 +307,74 @@ object TextAnalysis {
       .select(col("source"), col("doc_id"), col("score"), col("rnk"))
   }
 
+  /** Feature-hashed bag-of-words embedding (the "hashing trick",
+    * Weinberger et al. 2009): each token lands in dimension
+    * hash(w) mod dims with sign ± from an independent hash bit; the doc
+    * vector is the signed count sum — the standard cheap text embedding
+    * for dedup/classification when no model is in the loop, and
+    * integer-exact by construction.
+    *
+    * Shape at 100 TB: explode + ONE map-side-combined aggregation with
+    * `dims` conditional integer sums (the simhash single-pass shape —
+    * no per-dimension row blow-up, no pivot). Output rides as CSV so
+    * engine list-schemas never diverge. */
+  def featureHashEmbed(docs: DataFrame, dims: Int = 64): DataFrame = {
+    require(dims >= 2 && dims <= 4096, s"bad dims: $dims")
+    val toks = docs.select(col("doc_id"),
+        explode(TextHash.words(col("text"))).as("wd"))
+      .select(col("doc_id"), TextHash.hex60(col("wd")).as("x"))
+    // idx = low bits, sign = the next bit up — disjoint hash bits
+    val sums = (0 until dims).map(d =>
+      coalesce(sum(when(col("x") % dims === d,
+        when(expr("shiftright(x, 12) & 1") === 1, 1L).otherwise(-1L))), lit(0L))
+        .as(s"_v$d"))
+    toks.groupBy(col("doc_id"))
+      .agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"),
+        concat_ws(",", (0 until dims).map(d => col(s"_v$d")): _*).as("v_csv"))
+  }
+
+  /** Windowed PMI pair mining (word2vec/GloVe-prep co-occurrence
+    * statistics): unordered word pairs within a forward window of
+    * `window` tokens, top-k by raw count, scored with pointwise mutual
+    * information ln( p(a,b) / (p(a)·p(b)) ) in micro-log integer units
+    * (the p42/p44 convention — the only engine-variant op is `ln`,
+    * absorbed by 1e-6 rounding).
+    *
+    * Shape at 100 TB: pair explode is a bounded ×window fan-out off a
+    * MATERIALIZED words array (one map stage), pair counts are one
+    * map-side-combined shuffle, top-k is TakeOrdered, and only the
+    * K winners join the unigram table (broadcast of K rows) — the
+    * unigram side never re-shuffles. One driver stats row (two totals). */
+  def pmiPairs(docs: DataFrame, window: Int = 4, k: Int = 100): DataFrame = {
+    require(window >= 1 && k >= 1, s"bad args: $window/$k")
+    val dw = docs.select(col("doc_id"), TextHash.words(col("text")).as("w"))
+    val pairsArr = when(size(col("w")) >= 2,
+      flatten(transform(sequence(lit(0), size(col("w")) - 2), i =>
+        transform(sequence(i + 1, least(i + window, size(col("w")) - 1)), j =>
+          struct(
+            least(element_at(col("w"), i + 1), element_at(col("w"), j + 1)).as("a"),
+            greatest(element_at(col("w"), i + 1), element_at(col("w"), j + 1)).as("b"))))))
+      .otherwise(array().cast("array<struct<a:string,b:string>>"))
+    val pc = dw.select(explode(pairsArr).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_pair"))
+    val uni = docs.select(explode(TextHash.words(col("text"))).as("wd"))
+      .groupBy(col("wd")).agg(count(lit(1)).as("cw"))
+    val stat = pc.agg(sum(col("n_pair"))).head.getLong(0)
+    val ntok = docs.select(explode(TextHash.words(col("text"))).as("wd"))
+      .count()
+    val top = pc.orderBy(col("n_pair").desc, col("a"), col("b")).limit(k)
+    broadcast(top)
+      .join(uni.withColumnRenamed("wd", "a").withColumnRenamed("cw", "ca"), Seq("a"))
+      .join(uni.withColumnRenamed("wd", "b").withColumnRenamed("cw", "cb"), Seq("b"))
+      .select(col("a"), col("b"), col("n_pair"),
+        round(log((col("n_pair") / lit(stat.toDouble)) /
+          ((col("ca") / lit(ntok.toDouble)) * (col("cb") / lit(ntok.toDouble))))
+          * 1e6, 0).cast("long").as("pmi_micro"))
+      .orderBy(col("n_pair").desc, col("a"), col("b"))
+  }
+
   /** Per-document duplicated-span measurement (Lee et al. 2022
     * "Deduplicating Training Data Makes Language Models Better", the
     * EXACTSUBSTR statistic at word-span granularity): every OVERLAPPING

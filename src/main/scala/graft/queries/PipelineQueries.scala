@@ -1448,8 +1448,79 @@ object PipelineQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Feature-hashed bag-of-words embedding (hashing trick): signed
+    * counts in hash(w) mod 64 dims, integer-exact, one single-pass
+    * aggregate. CSV output keeps list schemas engine-neutral. */
+  val p50 = Q.sql(
+    "p50_feature_hash_embed",
+    """WITH toks AS (
+      |  SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS x
+      |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+      |        FROM documents)),
+      |cell AS (
+      |  SELECT doc_id, x % 64 AS d,
+      |    CASE WHEN (x >> 12) & 1 = 1 THEN 1 ELSE -1 END AS s
+      |  FROM toks),
+      |g AS (SELECT doc_id, d, sum(s)::BIGINT AS v FROM cell GROUP BY doc_id, d),
+      |f AS (SELECT u.doc_id, r.d
+      |      FROM (SELECT DISTINCT doc_id FROM toks) u, range(0, 64) r(d))
+      |SELECT f.doc_id,
+      |  array_to_string(list(coalesce(g.v, 0) ORDER BY f.d), ',') AS v_csv
+      |FROM f LEFT JOIN g ON f.doc_id = g.doc_id AND f.d = g.d
+      |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin
+  ) { (s, d) =>
+    TextAnalysis.featureHashEmbed(Tables.documents(s, d), dims = 64)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Windowed PMI pair mining: top-100 co-occurring word pairs (forward
+    * window 4), PMI in micro-log integers. Only the 100 winners join the
+    * unigram table (broadcast). */
+  val p51 = Q.sql(
+    "p51_pmi_pairs",
+    """WITH w AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      |pi AS (SELECT doc_id, w, unnest(range(0, len(w) - 1)) AS i
+      |       FROM w WHERE len(w) >= 2),
+      |pj AS (SELECT w, i, unnest(range(i + 1, least(i + 4, len(w) - 1) + 1)) AS j
+      |       FROM pi),
+      |pr AS (SELECT least(w[i+1], w[j+1]) AS a, greatest(w[i+1], w[j+1]) AS b
+      |       FROM pj),
+      |pc AS (SELECT a, b, count(*) AS c FROM pr GROUP BY a, b),
+      |uni AS (SELECT t AS wd, count(*) AS cw
+      |        FROM (SELECT unnest(w) AS t FROM w) GROUP BY t),
+      |tot AS (SELECT (SELECT count(*) FROM (SELECT unnest(w) FROM w)) AS ntok,
+      |               (SELECT sum(c) FROM pc) AS npair),
+      |top AS (SELECT a, b, c FROM pc ORDER BY c DESC, a, b LIMIT 100)
+      |SELECT t.a, t.b, t.c::BIGINT AS n_pair,
+      |  CAST(round(ln((t.c / tot.npair) /
+      |    ((ua.cw / tot.ntok) * (ub.cw / tot.ntok))) * 1000000) AS BIGINT)
+      |    AS pmi_micro
+      |FROM top t JOIN uni ua ON t.a = ua.wd JOIN uni ub ON t.b = ub.wd, tot
+      |ORDER BY n_pair DESC, a, b""".stripMargin,
+    bench = true
+  ) { (s, d) =>
+    TextAnalysis.pmiPairs(Tables.documents(s, d), window = 4, k = 100)
+  }
+
+  /** Exact per-type value percentiles (type-7 interpolation shared by
+    * Spark `percentile` and DuckDB `quantile_cont`); the
+    * percentile_approx swap-in is the 100 TB path. */
+  val p52 = Q.sql(
+    "p52_value_percentiles",
+    """SELECT event_type, count(*)::BIGINT AS n,
+      |  round(quantile_cont(value, 0.25), 5) AS p25,
+      |  round(quantile_cont(value, 0.5), 5) AS p50,
+      |  round(quantile_cont(value, 0.75), 5) AS p75,
+      |  round(quantile_cont(value, 0.95), 5) AS p95
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  ) { (s, d) =>
+    graft.pipeline.Sessions.valuePercentiles(Tables.events(s, d))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
     p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24,
     p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p35, p36, p37, p38,
-    p39, p40, p41, p42, p43, p44, p45, p46, p47, p48, p49)
+    p39, p40, p41, p42, p43, p44, p45, p46, p47, p48, p49, p50, p51, p52)
 }

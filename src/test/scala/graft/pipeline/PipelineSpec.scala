@@ -991,6 +991,55 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!pairs.exists(p => p._2 == 4L && p._3 > 5))
   }
 
+  test("feature hashing: linearity, sign consistency, dims fixed") {
+    import spark.implicits._
+    val d = Seq((1L, "apple banana"), (2L, "apple"), (3L, "banana"),
+      (4L, "apple apple")).toDF("doc_id", "text")
+    val vecs = TextAnalysis.featureHashEmbed(d, dims = 64)
+      .as[(Long, String)].collect().toMap
+      .view.mapValues(_.split(",").map(_.toLong)).toMap
+    assert(vecs.values.forall(_.length == 64))
+    // bag-of-words linearity: v(doc1) = v(doc2) + v(doc3); v(doc4) = 2·v(doc2)
+    assert(vecs(1L).toSeq === vecs(2L).zip(vecs(3L)).map(t => t._1 + t._2).toSeq)
+    assert(vecs(4L).toSeq === vecs(2L).map(_ * 2).toSeq)
+    // a single token hits exactly one dimension with ±1
+    assert(vecs(2L).map(math.abs).sum === 1)
+  }
+
+  test("pmi pairs: planted collocation scores above independent fill") {
+    import spark.implicits._
+    // "aa bb" always adjacent (perfect collocation); filler words vary
+    val d = (0 until 50).map(i =>
+      (i.toLong, s"aa bb fill$i mix${i % 7} mix${(i + 3) % 7} tail$i"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.pmiPairs(d, window = 4, k = 20)
+      .select(col("a"), col("b"), col("n_pair"), col("pmi_micro"))
+      .as[(String, String, Long, Long)].collect()
+    val ab = out.find(r => r._1 == "aa" && r._2 == "bb")
+    assert(ab.isDefined, s"planted pair missing from top-k: ${out.toSeq}")
+    assert(ab.get._3 === 50L)
+    // closed form: 6 words/doc → 14 windowed pairs/doc → Npair = 700,
+    // Ntok = 300; aa and bb occur 50× each, the pair 50×
+    val expected = math.round(
+      math.log((50.0 / 700) / ((50.0 / 300) * (50.0 / 300))) * 1e6)
+    assert(ab.get._4 === expected)
+    // and the planted pair is the count leader (PMI itself rewards
+    // rarity, so rank by raw count is the stable property)
+    assert(out.head._1 == "aa" && out.head._2 == "bb")
+  }
+
+  test("value percentiles: interpolation matches the closed form on a tiny set") {
+    import spark.implicits._
+    val ev = Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 3.0), (4L, "a", 4.0))
+      .toDF("event_id", "event_type", "value")
+    val r = graft.pipeline.Sessions.valuePercentiles(ev).head
+    // type-7 on {1,2,3,4}: p25 = 1.75, p50 = 2.5, p75 = 3.25, p95 = 3.85
+    assert(r.getAs[Double]("p25") === 1.75)
+    assert(r.getAs[Double]("p50") === 2.5)
+    assert(r.getAs[Double]("p75") === 3.25)
+    assert(r.getAs[Double]("p95") === 3.85)
+  }
+
   test("label-centroid margin: planted mislabel flagged, centroid members aligned") {
     import spark.implicits._
     // two tight clusters in 4-d; vector 99 carries label 0 but sits on
