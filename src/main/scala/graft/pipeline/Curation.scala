@@ -374,6 +374,29 @@ object Curation {
       .agg(count(lit(1)).as("n_tokens"), sum(col("lr")).as("score_micro"))
   }
 
+  /** Fixed-size overlapping chunking (the RAG / context-window prep op):
+    * `chunkWords`-word windows at `strideWords` stride — chunk i covers
+    * words [i·stride, i·stride + chunkWords); the final chunk may be
+    * short. Pure map + bounded explode (fan-out = ceil(words/stride)),
+    * no shuffle at all — at 100 TB this is a pass-through projection.
+    * Words materialize BEFORE the slice lambda (HOFs are interpreted;
+    * see dupSpans). */
+  def chunkDocs(docs: DataFrame, chunkWords: Int = 32,
+      strideWords: Int = 24): DataFrame = {
+    require(chunkWords >= 1 && strideWords >= 1 && strideWords <= chunkWords,
+      s"bad chunking: $chunkWords/$strideWords")
+    val starts = sequence(lit(0), greatest(size(col("w")) - 1, lit(0)),
+      lit(strideWords))
+    docs.select(col("doc_id"), TextHash.words(col("text")).as("w"))
+      .select(col("doc_id"), col("w"), posexplode(starts).as(Seq("chunk_idx", "st")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("st").cast("long").as("start_word"),
+        size(slice(col("w"), col("st") + 1, lit(chunkWords))).cast("long")
+          .as("n_words"),
+        concat_ws(" ", slice(col("w"), col("st") + 1, lit(chunkWords)))
+          .as("chunk_text"))
+  }
+
   /** CCNet-style unigram language-model perplexity score: train a
     * unigram LM on the corpus itself (maximum-likelihood, no smoothing —
     * every scored token is in the vocabulary by construction), score

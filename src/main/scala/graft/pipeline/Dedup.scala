@@ -139,6 +139,48 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Incremental ingestion dedup gate: which NEW docs near-duplicate the
+    * EXISTING index — the delta-dedup pass every continuously-ingesting
+    * training corpus runs (only the new batch is hashed fresh; the index
+    * side reuses its band signatures in a real deployment, so cost is
+    * O(batch), not O(corpus)).
+    *
+    * Shape at 100 TB: both sides band-bucket on (band_idx, band_key)
+    * with per-side census caps (viral boilerplate keys dropped with O(1)
+    * state), ONE equi-join on the bucket key (new side is batch-sized —
+    * AQE broadcasts it when small), exact-Jaccard verification on
+    * candidates only, and a left join back so every new doc reports.
+    * Same recall argument as [[minhashNearDups]].
+    *
+    * Output: (new_id, n_dups, first_match nullable). */
+  def incrementalDedup(index: DataFrame, newDocs: DataFrame,
+      threshold: Double = 0.5, bands: Int = 16, rows: Int = 4,
+      maxBucket: Int = MaxBucket): DataFrame = {
+    val census = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band_idx"), col("band_key"))
+    def cap(df: DataFrame) = df
+      .withColumn("_bn", count(lit(1)).over(census))
+      .filter(col("_bn") <= maxBucket).drop("_bn")
+    val iSets = shingleSets(index)
+    val nSets = shingleSets(newDocs)
+    val cand = cap(minhashBands(nSets, bands, rows))
+      .select(col("doc_id").as("new_id"), col("band_idx"), col("band_key"))
+      .join(cap(minhashBands(iSets, bands, rows))
+        .select(col("doc_id").as("idx_id"), col("band_idx"), col("band_key")),
+        Seq("band_idx", "band_key"))
+      .select(col("new_id"), col("idx_id")).distinct()
+    val verified = cand
+      .join(nSets.as("sn"), col("new_id") === col("sn.doc_id"))
+      .join(iSets.as("si"), col("idx_id") === col("si.doc_id"))
+      .filter(TextHash.jaccard(col("sn.s"), col("si.s")) >= threshold)
+      .groupBy(col("new_id"))
+      .agg(count(lit(1)).as("n_dups"), min(col("idx_id")).as("first_match"))
+    newDocs.select(col("doc_id").as("new_id"))
+      .join(verified, Seq("new_id"), "left")
+      .select(col("new_id"), coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        col("first_match"))
+  }
+
   // ---- exact n-gram Jaccard (prefix filtering) ------------------------
 
   /** doc_id + distinct character-n-gram set (lowercased; docs shorter

@@ -390,6 +390,43 @@ object Similarity {
       .select(col("vec_id"), col("cell"))
   }
 
+  /** Hard-negative mining for contrastive training: each anchor's
+    * highest-cosine OTHER-label vector within its IVF cell — the
+    * in-batch-negatives upgrade every embedding-model pipeline runs
+    * (cell confinement keeps it O(cell²), never corpus²; the census cap
+    * bounds pathological cells exactly like semantic dedup).
+    *
+    * Output: (vec_id, label, neg_id, neg_label, cos_sim 5 dp); anchors
+    * whose cell holds no other-label vector are absent (inner
+    * semantics). Ties break toward the smaller neg_id. */
+  def hardNegatives(corpus: DataFrame, cells: Int = DefaultCells,
+      maxCell: Int = Dedup.MaxBucket): DataFrame = {
+    val assigned = ivfAssign(corpus, corpus, cells)
+      .join(corpus.select(col("vec_id"), col("label")), Seq("vec_id"))
+    val census = org.apache.spark.sql.expressions.Window.partitionBy(col("cell"))
+    val bounded = assigned
+      .withColumn("_cn", count(lit(1)).over(census))
+      .filter(col("_cn") <= maxCell)
+      .drop("_cn")
+    val scored = bounded
+      .select(col("vec_id").as("query_id"), col("embedding").as("ea"),
+        col("label").as("la"), col("cell"))
+      .join(bounded.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("eb"), col("label").as("lb"), col("cell")),
+        Seq("cell"))
+      .filter(col("la") =!= col("lb"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("ea"), col("eb")).as("cos"))
+    rankTopK(scored, 1)
+      .select(col("query_id").as("vec_id"), col("neighbor_id").as("neg_id"),
+        col("cos_sim"))
+      .join(corpus.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .join(corpus.select(col("vec_id").as("neg_id"),
+        col("label").as("neg_label")), Seq("neg_id"))
+      .select(col("vec_id"), col("label"), col("neg_id"), col("neg_label"),
+        col("cos_sim"))
+  }
+
   /** Deterministic hyperplane weights for `planes`×`dims`. */
   def planeWeights(planes: Int, dims: Int): Array[Array[Long]] =
     Array.tabulate(planes, dims)((i, j) => TextHash.hex60(s"${i}_${j}") % 2001L - 1000L)

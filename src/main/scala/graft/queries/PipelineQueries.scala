@@ -1519,8 +1519,108 @@ object PipelineQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Incremental ingestion dedup: new batch (doc_id%10=7) vs the
+    * existing index — LSH-bucketed cross join + exact-Jaccard verify;
+    * every new doc reports (n_dups, first_match). Oracle is the
+    * all-pairs cross scan (same recall argument as p02). */
+  val p53 = Q.sql(
+    "p53_incremental_dedup",
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]
+      |                   for i in range(1, len(w)-1)]) AS s
+      |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+      |        FROM documents)
+      |  WHERE len(w) >= 3),
+      |m AS (
+      |  SELECT n.doc_id AS new_id, count(*)::BIGINT AS n_dups,
+      |    min(i.doc_id) AS first_match
+      |  FROM sh n JOIN sh i
+      |    ON n.doc_id % 10 = 7 AND i.doc_id % 10 <> 7
+      |    AND len(list_intersect(n.s, i.s)) /
+      |      (len(n.s) + len(i.s) - len(list_intersect(n.s, i.s))) >= 0.5
+      |  GROUP BY n.doc_id)
+      |SELECT d.doc_id AS new_id, coalesce(m.n_dups, 0)::BIGINT AS n_dups,
+      |  m.first_match
+      |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 7) d
+      |LEFT JOIN m ON d.doc_id = m.new_id
+      |ORDER BY new_id""".stripMargin
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    Dedup.incrementalDedup(
+        docs.filter(col("doc_id") % 10 =!= 7),
+        docs.filter(col("doc_id") % 10 === 7), threshold = 0.5)
+      .orderBy(col("new_id"))
+  }
+
+  /** RAG chunking: 32-word windows at stride 24 (8-word overlap), pure
+    * map + bounded explode — a pass-through projection at 100 TB. */
+  val p54 = Q.sql(
+    "p54_rag_chunking",
+    """WITH w AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      |c AS (
+      |  SELECT doc_id,
+      |    unnest([{'ci': i, 'st': i*24,
+      |             'nw': len(w[i*24+1:i*24+32]),
+      |             'ct': array_to_string(w[i*24+1:i*24+32], ' ')}
+      |            for i in range(0, ((len(w)-1)//24)+1)],
+      |           recursive := true)
+      |  FROM w)
+      |SELECT doc_id, ci::BIGINT AS chunk_idx, st::BIGINT AS start_word,
+      |  nw::BIGINT AS n_words, ct AS chunk_text
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+  ) { (s, d) =>
+    Curation.chunkDocs(Tables.documents(s, d), chunkWords = 32, strideWords = 24)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  /** Hard-negative mining: per anchor, the highest-cosine OTHER-label
+    * vector inside its IVF cell (cell-confined — O(cell²), bounded by
+    * the census cap). The oracle replays assignment + in-cell ranking
+    * with the same (cos desc, neg_id) tie-break. */
+  val p55 = Q.sql(
+    "p55_hard_negatives",
+    """WITH cent AS (
+      |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+      |  ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT, vec_id
+      |  LIMIT 64),
+      |sc AS (
+      |  SELECT e.vec_id, e.embedding, e.label, c.cid,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> e.embedding[i]::DOUBLE * c.ce[i]::DOUBLE)) /
+      |    (sqrt(list_sum(list_transform(range(1, 65),
+      |       i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))) *
+      |     sqrt(list_sum(list_transform(range(1, 65),
+      |       i -> c.ce[i]::DOUBLE * c.ce[i]::DOUBLE)))) AS cs
+      |  FROM embeddings e, cent c),
+      |asg AS (
+      |  SELECT vec_id, embedding, label, cid AS cell FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id
+      |                                 ORDER BY cs DESC, cid) AS rn FROM sc)
+      |  WHERE rn = 1),
+      |pr AS (
+      |  SELECT a.vec_id, a.label, b.vec_id AS neg_id, b.label AS neg_label,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
+      |    (sqrt(list_sum(list_transform(range(1, 65),
+      |       i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))) *
+      |     sqrt(list_sum(list_transform(range(1, 65),
+      |       i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))) AS cos
+      |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.label <> b.label),
+      |rk AS (
+      |  SELECT *, row_number() OVER (PARTITION BY vec_id
+      |                               ORDER BY cos DESC, neg_id) AS rn
+      |  FROM pr)
+      |SELECT vec_id, label, neg_id, neg_label, round(cos, 5) AS cos_sim
+      |FROM rk WHERE rn = 1 ORDER BY vec_id""".stripMargin
+  ) { (s, d) =>
+    Similarity.hardNegatives(Tables.embeddings(s, d))
+      .orderBy(col("vec_id"))
+  }
+
   val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
     p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24,
     p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p35, p36, p37, p38,
-    p39, p40, p41, p42, p43, p44, p45, p46, p47, p48, p49, p50, p51, p52)
+    p39, p40, p41, p42, p43, p44, p45, p46, p47, p48, p49, p50, p51, p52, p53, p54, p55)
 }

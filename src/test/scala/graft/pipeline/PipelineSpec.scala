@@ -1040,6 +1040,66 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[Double]("p95") === 3.85)
   }
 
+  test("incremental dedup: index matches flagged, batch-internal dups ignored") {
+    import spark.implicits._
+    val body = (0 until 40).map(j => s"tok$j").mkString(" ")
+    val other = (0 until 40).map(j => s"alt$j").mkString(" ")
+    val index = Seq((1L, s"$body end1"), (2L, s"$other end2")).toDF("doc_id", "text")
+    // 101 near-dups index doc 1; 102 is novel; 103/104 duplicate EACH
+    // OTHER but nothing in the index
+    val batchBody = (0 until 40).map(j => s"new$j").mkString(" ")
+    val batch = Seq(
+      (101L, s"$body end9"), (102L, (0 until 40).map(j => s"x$j").mkString(" ")),
+      (103L, s"$batchBody tailA"), (104L, s"$batchBody tailB")
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(index, batch, threshold = 0.5)
+      .select(col("new_id"), col("n_dups"), col("first_match"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+    assert(out(101L) === ((1L, Some(1L))))
+    assert(out(102L) === ((0L, None)))
+    assert(out(103L) === ((0L, None)), "batch-internal dup must NOT flag")
+    assert(out(104L) === ((0L, None)))
+  }
+
+  test("rag chunking: stride coverage reconstructs the doc, last chunk short") {
+    import spark.implicits._
+    val words = (0 until 75).map(i => s"w$i") // 75 words → chunks at 0,24,48,72
+    val d = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val chunks = Curation.chunkDocs(d, chunkWords = 32, strideWords = 24)
+      .orderBy(col("chunk_idx"))
+      .select(col("chunk_idx"), col("start_word"), col("n_words"), col("chunk_text"))
+      .as[(Long, Long, Long, String)].collect()
+    assert(chunks.map(_._2).toSeq === Seq(0L, 24L, 48L, 72L))
+    assert(chunks.map(_._3).toSeq === Seq(32L, 32L, 27L, 3L))
+    // every word is covered by the chunk starting at its stride bucket
+    chunks.foreach { case (_, st, n, txt) =>
+      assert(txt === words.slice(st.toInt, st.toInt + n.toInt).mkString(" "))
+    }
+  }
+
+  test("hard negatives: nearest other-label vector, never own label") {
+    import spark.implicits._
+    val out = Similarity.hardNegatives(embs).cache()
+    // no self-label negatives, ever
+    assert(out.filter(col("label") === col("neg_label")).count() === 0)
+    // spot-verify one anchor against brute force within its cell
+    val asg = Similarity.ivfAssign(embs, embs)
+      .join(embs.select(col("vec_id"), col("label")), Seq("vec_id"))
+    val anchor = out.orderBy(col("vec_id")).head
+    val (aId, negId) = (anchor.getLong(0), anchor.getLong(2))
+    val aCell = asg.filter(col("vec_id") === aId).head.getAs[Long]("cell")
+    val aLab = anchor.getInt(1)
+    val brute = asg.filter(col("cell") === aCell && col("label") =!= aLab)
+      .select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(asg.filter(col("vec_id") === aId)
+        .select(col("embedding").as("ae"))))
+      .select(col("vec_id"),
+        graft.pipeline.Similarity.cosine(col("embedding"), col("ae")).as("c"))
+      .orderBy(col("c").desc, col("vec_id")).head.getLong(0)
+    assert(negId === brute, s"anchor $aId: got $negId, brute says $brute")
+  }
+
   test("label-centroid margin: planted mislabel flagged, centroid members aligned") {
     import spark.implicits._
     // two tight clusters in 4-d; vector 99 carries label 0 but sits on
