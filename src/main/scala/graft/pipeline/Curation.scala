@@ -374,6 +374,37 @@ object Curation {
       .agg(count(lit(1)).as("n_tokens"), sum(col("lr")).as("score_micro"))
   }
 
+  /** End-to-end pretraining-data pipeline composition: Gopher quality
+    * gate → duplicated-span trim gate (<50% cross-doc coverage) →
+    * benchmark decontamination (8-gram vs the doc_id%evalMod eval
+    * slice) → 32/24 chunking → per-source rollup. One hash-green result
+    * proves the four round-6 operators COMPOSE exactly (the p26
+    * counterpart for this round's surface).
+    *
+    * Shape at 100 TB: each gate is a doc_id-keyed semi join onto the
+    * shrinking survivor pool (co-partitioned, no broadcast of corpus-
+    * sized sides), the span census and gram join keep their own bounded
+    * shapes, and the rollup is one final shuffle on source. */
+  def pretrainPipeline(docs: DataFrame, evalMod: Long = 50): DataFrame = {
+    val q1 = docs.join(
+      TextAnalysis.gopherQuality(docs).filter(col("keep") === 1)
+        .select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val q2 = q1.join(
+      TextAnalysis.dupSpans(q1).filter(col("dup_permille") < 500)
+        .select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val train = q2.filter(col("doc_id") % evalMod =!= 0)
+    val clean = decontaminate(train,
+        docs.filter(col("doc_id") % evalMod === 0), n = 8)
+      .filter(!col("contaminated")).select(col("doc_id"))
+    val q3 = train.join(clean, Seq("doc_id"), "left_semi")
+    chunkDocs(q3)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        sum(col("n_words")).as("n_words"))
+  }
+
   /** Fixed-size overlapping chunking (the RAG / context-window prep op):
     * `chunkWords`-word windows at `strideWords` stride — chunk i covers
     * words [i·stride, i·stride + chunkWords); the final chunk may be

@@ -1619,8 +1619,74 @@ object PipelineQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** Round-6 pipeline composition: Gopher gate → dup-span gate →
+    * decontamination → chunking → per-source rollup. The oracle replays
+    * all four stages; one green hash proves they compose exactly. */
+  val p56 = Q.sql(
+    "p56_pretrain_pipeline",
+    """WITH t AS (
+      |  SELECT doc_id, text, string_split(lower(text), ' ') AS w
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id,
+      |    len(w)::BIGINT AS n_words,
+      |    round(list_sum(list_transform(w, x -> length(x))) / len(w), 5)
+      |      AS mean_word_len,
+      |    round(((length(text) - length(replace(text, '#', ''))) +
+      |      (length(text) - length(replace(text, '...', ''))) // 3) / len(w), 5)
+      |      AS symbol_ratio,
+      |    round(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) / len(w), 5)
+      |      AS alpha_ratio,
+      |    len(list_intersect(list_distinct(w),
+      |      ['the','be','to','of','and','that','have','with','a','in']))::BIGINT
+      |      AS stop_hits
+      |  FROM t),
+      |q1 AS (
+      |  SELECT t.doc_id, t.w FROM t JOIN m ON t.doc_id = m.doc_id
+      |  WHERE m.n_words BETWEEN 50 AND 100000
+      |    AND m.mean_word_len BETWEEN 3.0 AND 10.0
+      |    AND m.symbol_ratio < 0.1 AND m.alpha_ratio > 0.8
+      |    AND m.stop_hits >= 2),
+      |e AS (
+      |  SELECT doc_id,
+      |    unnest([array_to_string(w[i+1:i+6], ' ')
+      |            for i in range(0, len(w)-5)]) AS s
+      |  FROM q1 WHERE len(w) >= 6),
+      |occ AS (SELECT s, doc_id, count(*) AS occ FROM e GROUP BY s, doc_id),
+      |nd AS (SELECT s FROM occ GROUP BY s HAVING count(*) >= 2),
+      |dupc AS (SELECT occ.doc_id, sum(occ.occ)::BIGINT AS n_dup
+      |         FROM occ JOIN nd ON occ.s = nd.s GROUP BY occ.doc_id),
+      |q2 AS (
+      |  SELECT q1.doc_id, q1.w FROM q1
+      |  LEFT JOIN dupc d ON q1.doc_id = d.doc_id
+      |  WHERE (1000 * coalesce(d.n_dup, 0)) // greatest(len(q1.w)-5, 1) < 500),
+      |tr AS (SELECT doc_id, w FROM q2 WHERE doc_id % 50 <> 0),
+      |evg AS (
+      |  SELECT DISTINCT array_to_string(w[i:i+7], ' ') AS g
+      |  FROM t, unnest(range(1, len(w) - 6)) r(i) WHERE doc_id % 50 = 0),
+      |trg AS (
+      |  SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS g
+      |  FROM tr, unnest(range(1, len(w) - 6)) r(i)),
+      |cont AS (SELECT DISTINCT trg.doc_id FROM trg JOIN evg USING (g)),
+      |q3 AS (SELECT tr.doc_id, tr.w FROM tr
+      |       WHERE tr.doc_id NOT IN (SELECT doc_id FROM cont)),
+      |c AS (
+      |  SELECT doc_id,
+      |    unnest([len(w[i*24+1:i*24+32])
+      |            for i in range(0, ((len(w)-1)//24)+1)]) AS nw
+      |  FROM q3)
+      |SELECT d.source, count(DISTINCT c.doc_id)::BIGINT AS n_docs,
+      |  count(*)::BIGINT AS n_chunks, sum(c.nw)::BIGINT AS n_words
+      |FROM c JOIN documents d ON c.doc_id = d.doc_id
+      |GROUP BY d.source ORDER BY d.source""".stripMargin,
+    bench = true
+  ) { (s, d) =>
+    Curation.pretrainPipeline(Tables.documents(s, d), evalMod = 50)
+      .orderBy(col("source"))
+  }
+
   val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
     p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24,
     p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p35, p36, p37, p38,
-    p39, p40, p41, p42, p43, p44, p45, p46, p47, p48, p49, p50, p51, p52, p53, p54, p55)
+    p39, p40, p41, p42, p43, p44, p45, p46, p47, p48, p49, p50, p51, p52, p53, p54, p55, p56)
 }
