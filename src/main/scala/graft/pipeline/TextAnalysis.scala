@@ -281,6 +281,41 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("pair"))
       .limit(k)
 
+  /** One BPE training iteration past [[bpePairCounts]]: find the top
+    * pair, merge it corpus-wide into a single placeholder symbol
+    * (left-to-right non-overlapping, `replace` semantics in both
+    * engines), and recount adjacent symbol pairs — the second step of
+    * the iterative BPE trainer loop, proving the merge→recount cycle
+    * composes exactly. Output expands the placeholder back to the
+    * merged symbol.
+    *
+    * Shape at 100 TB: the top-pair argmax is a bounded TakeOrdered
+    * (ONE driver string), the merge is a map-only `replace`, and the
+    * recount is the same map-side-combined aggregate as step 1 — each
+    * trainer iteration costs one pass + one bounded shuffle. */
+  def bpeMergeStep(docs: DataFrame, k: Int = 20): DataFrame = {
+    val words = docs.select(explode(TextHash.words(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+    val top = words
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair")).limit(1)
+      .head.getString(0)
+    val merged = words.select(
+      call_function("replace", col("w"), lit(top), lit("\u0001")).as("w"))
+    def expand(c: Column) =
+      call_function("replace", c, lit("\u0001"), lit(top))
+    merged.filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair")).limit(k)
+      .select(expand(substring(col("pair"), 1, 1)).as("sym_a"),
+        expand(substring(col("pair"), 2, 1)).as("sym_b"), col("n"))
+      .orderBy(col("n").desc, col("sym_a"), col("sym_b"))
+  }
+
   /** Within-domain quality-percentile filter — the "keep the best q of
     * each domain" curation step that follows scoring in a mixture
     * pipeline. Score = distinct-word ratio (a cheap proxy; any scored

@@ -1685,8 +1685,37 @@ object PipelineQueries {
       .orderBy(col("source"))
   }
 
+  /** One BPE merge iteration past p43: top pair → corpus-wide merge to
+    * a placeholder symbol (`replace` left-to-right semantics in both
+    * engines) → recount symbol pairs → top-20 expanded. Proves the
+    * iterative trainer's merge→recount cycle composes. */
+  val p57 = Q.sql(
+    "p57_bpe_merge_step",
+    """WITH w0 AS (
+      |  SELECT w FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+      |                 FROM documents)
+      |  WHERE length(w) >= 2),
+      |t1 AS (
+      |  SELECT pair FROM (
+      |    SELECT unnest([substring(w, i, 2) for i in range(1, length(w))])
+      |      AS pair FROM w0)
+      |  GROUP BY pair ORDER BY count(*) DESC, pair LIMIT 1),
+      |wm AS (SELECT replace(w0.w, t1.pair, chr(1)) AS w FROM w0, t1),
+      |cnt AS (
+      |  SELECT pair, count(*)::BIGINT AS n FROM (
+      |    SELECT unnest([substring(w, i, 2) for i in range(1, length(w))])
+      |      AS pair FROM wm WHERE length(w) >= 2)
+      |  GROUP BY pair ORDER BY n DESC, pair LIMIT 20)
+      |SELECT replace(substring(c.pair, 1, 1), chr(1), t1.pair) AS sym_a,
+      |  replace(substring(c.pair, 2, 1), chr(1), t1.pair) AS sym_b, c.n
+      |FROM cnt c, t1
+      |ORDER BY n DESC, sym_a, sym_b""".stripMargin
+  ) { (s, d) =>
+    TextAnalysis.bpeMergeStep(Tables.documents(s, d), k = 20)
+  }
+
   val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
     p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24,
     p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p35, p36, p37, p38,
-    p39, p40, p41, p42, p43, p44, p45, p46, p47, p48, p49, p50, p51, p52, p53, p54, p55, p56)
+    p39, p40, p41, p42, p43, p44, p45, p46, p47, p48, p49, p50, p51, p52, p53, p54, p55, p56, p57)
 }

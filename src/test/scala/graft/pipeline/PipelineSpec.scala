@@ -1100,6 +1100,20 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(negId === brute, s"anchor $aId: got $negId, brute says $brute")
   }
 
+  test("bpe merge step: top pair merges as one symbol, recount reflects it") {
+    import spark.implicits._
+    // "ab" dominates; after merging it, the pair (ab, c) must surface
+    val d = Seq((1L, "abc abc abc abd xy")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeMergeStep(d, k = 10)
+      .as[(String, String, Long)].collect().toSeq
+    // pairs pre-merge: ab×4, bc×3, bd×1, xy×1 → top = "ab"
+    // merged words: •c ×3, •d, xy (• = the merged ab symbol)
+    assert(out.contains(("ab", "c", 3L)), s"got $out")
+    assert(out.contains(("ab", "d", 1L)), s"got $out")
+    assert(out.contains(("x", "y", 1L)), s"got $out")
+    assert(out.map(_._3).sum === 5L, "only 5 symbol pairs survive the merge")
+  }
+
   test("label-centroid margin: planted mislabel flagged, centroid members aligned") {
     import spark.implicits._
     // two tight clusters in 4-d; vector 99 carries label 0 but sits on
