@@ -1,20 +1,23 @@
 package graft
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
-/** Scratch profiling entry (not part of the driver contract). */
+/** Scratch profiling entry (not part of the driver contract):
+  * cold/warm/warm timings of one registered query at sf0.1. */
 object ProfMain {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", 8)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val ev = Tables.events(spark, "/root/testdata/sf0.001")
-    ev.groupBy(col("event_type")).agg(
-      round(expr("percentile(value, 0.25)"), 5).as("p25"),
-      round(expr("percentile(value, 0.5)"), 5).as("p50"),
-      round(expr("percentile(value, 0.95)"), 5).as("p95"))
-      .orderBy(col("event_type")).show(false)
+    def time(tag: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime
+      val n = f
+      println(f"TIME $tag ${(System.nanoTime - t0) / 1e9}%8.2f s  rows=$n")
+    }
+    val name = args(0); val sf = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    time("cold")(SparkEntry.queries(name)(spark, sf).count())
+    time("warm")(SparkEntry.queries(name)(spark, sf).count())
+    time("warm2")(SparkEntry.queries(name)(spark, sf).count())
     spark.stop()
   }
 }

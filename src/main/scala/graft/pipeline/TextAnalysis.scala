@@ -391,14 +391,20 @@ object TextAnalysis {
             least(element_at(col("w"), i + 1), element_at(col("w"), j + 1)).as("a"),
             greatest(element_at(col("w"), i + 1), element_at(col("w"), j + 1)).as("b"))))))
       .otherwise(array().cast("array<struct<a:string,b:string>>"))
+    // both aggregates materialize ONCE (localCheckpoint cuts lineage):
+    // the totals actions and the top-k/join each reuse the stored rows
+    // instead of re-running the corpus explode per action. Size is
+    // bounded by the distinct-pair / vocab row counts, spillable
+    // storage — never the raw pair stream.
     val pc = dw.select(explode(pairsArr).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_pair"))
+      .localCheckpoint()
     val uni = docs.select(explode(TextHash.words(col("text"))).as("wd"))
       .groupBy(col("wd")).agg(count(lit(1)).as("cw"))
+      .localCheckpoint()
     val stat = pc.agg(sum(col("n_pair"))).head.getLong(0)
-    val ntok = docs.select(explode(TextHash.words(col("text"))).as("wd"))
-      .count()
+    val ntok = uni.agg(sum(col("cw"))).head.getLong(0)
     val top = pc.orderBy(col("n_pair").desc, col("a"), col("b")).limit(k)
     broadcast(top)
       .join(uni.withColumnRenamed("wd", "a").withColumnRenamed("cw", "ca"), Seq("a"))
