@@ -281,6 +281,32 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("pair"))
       .limit(k)
 
+  /** Per-source distinct-token KMV sketch: the k smallest distinct
+    * md5-derived token hashes per group via the native
+    * [[graft.functions.KmvSketch]] aggregate — map-side buffers capped
+    * at k, NO distinct() pre-shuffle (the buffer dedups), so the token
+    * stream dies in its map stage and the shuffle carries
+    * groups × k × partitions longs. Estimate = (k−1)·2^60 / kth-hash
+    * when the sketch is full, exact size when not — the same estimator
+    * the Puffin stats writer persists, lifted to a per-group column.
+    * `true_distinct` is the exact verification column (drop at scale:
+    * it is the expensive thing the sketch replaces). */
+  def distinctTokenSketch(docs: DataFrame, k: Int = 128): DataFrame = {
+    require(k >= 2, s"kmv needs k >= 2: $k")
+    val h = docs.select(col("source"),
+        explode(TextHash.words(col("text"))).as("wd"))
+      .select(col("source"), TextHash.hex60(col("wd")).as("x"))
+    h.groupBy(col("source"))
+      .agg(graft.functions.KmvSketch.column(col("x"), k).as("hs"),
+        countDistinct(col("x")).as("true_distinct"))
+      .select(col("source"), size(col("hs")).cast("long").as("n_kept"),
+        when(size(col("hs")) < k, size(col("hs")).cast("long"))
+          .otherwise(round(lit((k - 1).toDouble * math.pow(2, 60)) /
+            element_at(col("hs"), k).cast("double"), 0).cast("long"))
+          .as("est_distinct"),
+        col("true_distinct"))
+  }
+
   /** One BPE training iteration past [[bpePairCounts]]: find the top
     * pair, merge it corpus-wide into a single placeholder symbol
     * (left-to-right non-overlapping, `replace` semantics in both

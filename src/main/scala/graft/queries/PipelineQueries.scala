@@ -1714,8 +1714,38 @@ object PipelineQueries {
     TextAnalysis.bpeMergeStep(Tables.documents(s, d), k = 20)
   }
 
+  /** Per-source KMV distinct-token sketch via the native bounded
+    * aggregate (graft.functions.KmvSketch): k smallest distinct hashes,
+    * estimate (k−1)·2^60/kth. The oracle replays the k-smallest-distinct
+    * ordering exactly; `true_distinct` verifies the estimate is within
+    * the expected KMV error on this corpus. */
+  val p58 = Q.sql(
+    "p58_distinct_sketch_per_source",
+    """WITH h AS (
+      |  SELECT DISTINCT source, ('0x' || substr(md5(w), 1, 15))::BIGINT AS x
+      |  FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS w
+      |        FROM documents)),
+      |r AS (SELECT source, x,
+      |        row_number() OVER (PARTITION BY source ORDER BY x) AS rn
+      |      FROM h),
+      |agg AS (SELECT source, count(*)::BIGINT AS n_kept, max(x) AS kth
+      |        FROM r WHERE rn <= 16 GROUP BY source),
+      |tot AS (SELECT source, count(*)::BIGINT AS true_distinct
+      |        FROM h GROUP BY source)
+      |SELECT a.source, a.n_kept,
+      |  CASE WHEN a.n_kept < 16 THEN a.n_kept
+      |       ELSE CAST(round(15 * 1152921504606846976.0 / a.kth) AS BIGINT)
+      |  END AS est_distinct,
+      |  t.true_distinct
+      |FROM agg a JOIN tot t ON a.source = t.source
+      |ORDER BY a.source""".stripMargin
+  ) { (s, d) =>
+    TextAnalysis.distinctTokenSketch(Tables.documents(s, d), k = 16)
+      .orderBy(col("source"))
+  }
+
   val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
     p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24,
     p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p35, p36, p37, p38,
-    p39, p40, p41, p42, p43, p44, p45, p46, p47, p48, p49, p50, p51, p52, p53, p54, p55, p56, p57)
+    p39, p40, p41, p42, p43, p44, p45, p46, p47, p48, p49, p50, p51, p52, p53, p54, p55, p56, p57, p58)
 }

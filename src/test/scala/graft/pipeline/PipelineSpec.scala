@@ -1114,6 +1114,28 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.map(_._3).sum === 5L, "only 5 symbol pairs survive the merge")
   }
 
+  test("kmv sketch: partition-invariant, exact under k, estimator within error") {
+    import spark.implicits._
+    // 5000 distinct tokens in one source, 10 in another
+    val big = (0 until 250).map(i =>
+      (i.toLong, "big", (0 until 20).map(j => s"tok${i * 20 + j}").mkString(" ")))
+    val small = Seq((9999L, "small", (0 until 10).map(j => s"s$j").mkString(" ")))
+    val docs = (big ++ small).toDF("doc_id", "source", "text")
+    val a = TextAnalysis.distinctTokenSketch(docs.repartition(1), k = 128)
+      .orderBy(col("source")).collect().map(_.toString).toSeq
+    val b = TextAnalysis.distinctTokenSketch(docs.repartition(7), k = 128)
+      .orderBy(col("source")).collect().map(_.toString).toSeq
+    assert(a === b, "sketch must be partition-invariant (merge correctness)")
+    val rows = TextAnalysis.distinctTokenSketch(docs, k = 128)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val (nk, est, tru) = rows("big")
+    assert(nk === 128L && tru === 5000L)
+    assert(math.abs(est - tru).toDouble / tru < 0.35,
+      s"estimate $est too far from $tru") // ~4σ for k=128
+    assert(rows("small") === ((10L, 10L, 10L)), "under-k sketch is exact")
+  }
+
   test("label-centroid margin: planted mislabel flagged, centroid members aligned") {
     import spark.implicits._
     // two tight clusters in 4-d; vector 99 carries label 0 but sits on
