@@ -184,6 +184,69 @@ object Sessions {
       round(expr("percentile(value, 0.75)"), 5).as("p75"),
       round(expr("percentile(value, 0.95)"), 5).as("p95"))
 
+  /** Daily event-count anomaly detection, FULLY integer-exact: per
+    * (event_type, day) counts, trailing window of the 7 preceding
+    * observed days, and the |z| > 3 gate evaluated as the cross-
+    * multiplied integer inequality 2·(7n−S)² > 21·(7·SS−S²) (z² > 9
+    * with mean S/7 and variance (7·SS−S²)/42 — no float ever touches
+    * the result, so the oracle matches bit-for-bit by construction).
+    * Zero-variance history: any deviation flags, equality does not.
+    *
+    * Shape at 100 TB: one map-side-combined count shuffle to
+    * (type, day) — a tiny frame from then on; the trailing window sorts
+    * per type only. Days without events are skipped (the window is the
+    * 7 preceding OBSERVED days; compose with [[denseHourlySeries]]-style
+    * gap fill first when calendar alignment matters). */
+  def dailyAnomalies(events: DataFrame): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    val daily = events.select(col("event_type"), tsUs(events))
+      .select(col("event_type"), floorDiv(col("ts_us"), dayUs).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-7, -1)
+    daily
+      .withColumn("h", count(lit(1)).over(w))
+      .withColumn("s7", sum(col("n")).over(w))
+      .withColumn("ss7", sum(col("n") * col("n")).over(w))
+      .select(col("event_type"), col("day"), col("n"),
+        when(col("h") === 7,
+          lit(2) * (lit(7) * col("n") - col("s7")) *
+            (lit(7) * col("n") - col("s7")) >
+          lit(21) * (lit(7) * col("ss7") - col("s7") * col("s7")))
+          .as("anomaly"))
+  }
+
+  /** Densified hourly time series: the full (event_type × hour) grid
+    * over the observed range with zero-filled counts and a trailing
+    * 3-hour moving sum — the gap-filling densification every
+    * time-series consumer needs before charting/joining (missing hours
+    * MUST surface as zeros, not absent rows).
+    *
+    * Shape at 100 TB: counts are one map-side-combined shuffle; the
+    * dense grid is types × hours-in-range rows (bounded by calendar
+    * time, not event volume) built with `sequence`, and the left join
+    * broadcasts the count side per grid partition via AQE when small —
+    * event volume never amplifies. */
+  def denseHourlySeries(events: DataFrame): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val counts = events.select(col("event_type"), tsUs(events))
+      .select(col("event_type"), floorDiv(col("ts_us"), hourUs).as("hour"))
+      .groupBy(col("event_type"), col("hour"))
+      .agg(count(lit(1)).as("cnt"))
+    val bounds = counts.agg(min(col("hour")), max(col("hour"))).head
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val grid = counts.select(col("event_type")).distinct()
+      .select(col("event_type"),
+        explode(sequence(lit(lo), lit(hi))).as("hour"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      .rowsBetween(-2, 0)
+    grid.join(counts, Seq("event_type", "hour"), "left")
+      .select(col("event_type"), col("hour"),
+        coalesce(col("cnt"), lit(0L)).as("n"))
+      .withColumn("sum3h", sum(col("n")).over(w))
+  }
+
   /** Range (interval) join: all pairs of same-user events with
     * `r.ts ∈ [l.ts + loUs, l.ts + hiUs]` (both ends inclusive) — the
     * windowed-correlation join (SQL inequality join; Spark would plan a

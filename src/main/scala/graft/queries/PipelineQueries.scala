@@ -1744,8 +1744,60 @@ object PipelineQueries {
       .orderBy(col("source"))
   }
 
+  /** Integer-exact daily anomaly gate: |z|>3 over the 7 preceding
+    * observed days, evaluated as 2·(7n−S)² > 21·(7·SS−S²) — pure
+    * integer arithmetic, bit-exact by construction. */
+  val p59 = Q.sql(
+    "p59_daily_anomalies",
+    """WITH d AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |    count(*)::BIGINT AS n
+      |  FROM events GROUP BY event_type, day),
+      |w AS (
+      |  SELECT event_type, day, n,
+      |    count(*) OVER tw AS h,
+      |    sum(n) OVER tw AS s7,
+      |    sum(n * n) OVER tw AS ss7
+      |  FROM d
+      |  WINDOW tw AS (PARTITION BY event_type ORDER BY day
+      |                ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+      |SELECT event_type, day, n,
+      |  CASE WHEN h = 7 THEN
+      |    2 * (7*n - s7) * (7*n - s7) > 21 * (7*ss7 - s7*s7)
+      |  END AS anomaly
+      |FROM w ORDER BY event_type, day""".stripMargin
+  ) { (s, d) =>
+    graft.pipeline.Sessions.dailyAnomalies(Tables.events(s, d))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** Gap-filled hourly series over the dense (type × hour) grid with a
+    * trailing 3-hour moving sum; missing hours surface as zeros. */
+  val p60 = Q.sql(
+    "p60_dense_hourly_series",
+    """WITH c AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+      |    count(*)::BIGINT AS cnt
+      |  FROM events GROUP BY event_type, hour),
+      |b AS (SELECT min(hour) AS lo, max(hour) AS hi FROM c),
+      |g AS (
+      |  SELECT t.event_type, h.hour
+      |  FROM (SELECT DISTINCT event_type FROM c) t,
+      |       b, unnest(range(b.lo, b.hi + 1)) h(hour)),
+      |f AS (
+      |  SELECT g.event_type, g.hour, coalesce(c.cnt, 0)::BIGINT AS n
+      |  FROM g LEFT JOIN c ON g.event_type = c.event_type AND g.hour = c.hour)
+      |SELECT event_type, hour, n,
+      |  sum(n) OVER (PARTITION BY event_type ORDER BY hour
+      |               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)::BIGINT AS sum3h
+      |FROM f ORDER BY event_type, hour""".stripMargin
+  ) { (s, d) =>
+    graft.pipeline.Sessions.denseHourlySeries(Tables.events(s, d))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
   val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
     p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24,
     p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p35, p36, p37, p38,
-    p39, p40, p41, p42, p43, p44, p45, p46, p47, p48, p49, p50, p51, p52, p53, p54, p55, p56, p57, p58)
+    p39, p40, p41, p42, p43, p44, p45, p46, p47, p48, p49, p50, p51, p52, p53, p54, p55, p56, p57, p58, p59, p60)
 }

@@ -1136,6 +1136,45 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows("small") === ((10L, 10L, 10L)), "under-k sketch is exact")
   }
 
+  test("daily anomalies: planted spike flags, steady series does not") {
+    import spark.implicits._
+    val dayUs = 86400L * 1000000L
+    // type "a": 7 steady days of 10, then a day of 100 → anomaly
+    // type "b": all identical → never anomalous, h<7 prefix is null
+    val rows =
+      (0 until 7).flatMap(d => (0 until 10).map(i =>
+        ("a", d.toLong * dayUs + i))) ++
+      (0 until 100).map(i => ("a", 7L * dayUs + i)) ++
+      (0 until 9).flatMap(d => (0 until 5).map(i => ("b", d.toLong * dayUs + i)))
+    val ev = rows.zipWithIndex.map { case ((t, us), i) => (i.toLong, t, us) }
+      .toDF("event_id", "event_type", "us")
+      .select(col("event_id"), col("event_type"),
+        timestamp_micros(col("us")).as("ts"))
+    val out = graft.pipeline.Sessions.dailyAnomalies(ev)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getBoolean(3)))).toMap
+    assert(out(("a", 7L)) === Some(true), "planted 10x spike must flag")
+    (0 until 7).foreach(d => assert(out(("a", d.toLong)) === None,
+      s"day $d lacks 7-day history"))
+    assert(out(("b", 7L)) === Some(false))
+    assert(out(("b", 8L)) === Some(false), "steady series never flags")
+  }
+
+  test("dense hourly series: gaps filled with zeros, moving sum spans them") {
+    import spark.implicits._
+    val hourUs = 3600L * 1000000L
+    // events only at hours 0 and 3 → hours 1, 2 must exist as zeros
+    val ev = Seq((1L, "x", 0L), (2L, "x", 3 * hourUs), (3L, "x", 3 * hourUs + 1))
+      .toDF("event_id", "event_type", "us")
+      .select(col("event_id"), col("event_type"),
+        timestamp_micros(col("us")).as("ts"))
+    val out = graft.pipeline.Sessions.denseHourlySeries(ev)
+      .orderBy(col("hour"))
+      .select(col("hour"), col("n"), col("sum3h"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out === Seq((0L, 1L, 1L), (1L, 0L, 1L), (2L, 0L, 1L), (3L, 2L, 2L)))
+  }
+
   test("label-centroid margin: planted mislabel flagged, centroid members aligned") {
     import spark.implicits._
     // two tight clusters in 4-d; vector 99 carries label 0 but sits on
