@@ -307,6 +307,20 @@ object TextAnalysis {
         col("true_distinct"))
   }
 
+  /** Exact heavy hitters: tokens whose corpus frequency exceeds N/k —
+    * the two-pass exact counterpart of the bounded
+    * [[graft.functions.SpaceSaving]] sketch (which guarantees to
+    * contain every one of these under ANY merge order; the spec pins
+    * that containment). Integer share in ppm. */
+  def heavyHitters(docs: DataFrame, k: Int = 100): DataFrame = {
+    val toks = docs.select(explode(TextHash.words(col("text"))).as("wd"))
+    val total = toks.count()
+    toks.groupBy(col("wd")).agg(count(lit(1)).as("n"))
+      .filter(col("n") * k > total)
+      .select(col("wd"), col("n"),
+        expr(s"(1000000 * n) div ${total}L").as("share_ppm"))
+  }
+
   /** One BPE training iteration past [[bpePairCounts]]: find the top
     * pair, merge it corpus-wide into a single placeholder symbol
     * (left-to-right non-overlapping, `replace` semantics in both

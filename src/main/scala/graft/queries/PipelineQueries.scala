@@ -1796,8 +1796,26 @@ object PipelineQueries {
       .orderBy(col("event_type"), col("hour"))
   }
 
+  /** Exact heavy hitters (count > N/100) with ppm shares — the
+    * oracle-checkable counterpart of the bounded Space-Saving sketch
+    * (spec-pinned containment guarantee). */
+  val p61 = Q.sql(
+    "p61_heavy_hitters",
+    """WITH toks AS (
+      |  SELECT unnest(string_split(lower(text), ' ')) AS wd FROM documents),
+      |tot AS (SELECT count(*) AS n FROM toks)
+      |SELECT t.wd, count(*)::BIGINT AS n,
+      |  ((1000000 * count(*)) // (SELECT n FROM tot))::BIGINT AS share_ppm
+      |FROM toks t
+      |GROUP BY t.wd HAVING count(*) * 100 > (SELECT n FROM tot)
+      |ORDER BY wd""".stripMargin
+  ) { (s, d) =>
+    TextAnalysis.heavyHitters(Tables.documents(s, d), k = 100)
+      .orderBy(col("wd"))
+  }
+
   val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
     p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24,
     p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p35, p36, p37, p38,
-    p39, p40, p41, p42, p43, p44, p45, p46, p47, p48, p49, p50, p51, p52, p53, p54, p55, p56, p57, p58, p59, p60)
+    p39, p40, p41, p42, p43, p44, p45, p46, p47, p48, p49, p50, p51, p52, p53, p54, p55, p56, p57, p58, p59, p60, p61)
 }

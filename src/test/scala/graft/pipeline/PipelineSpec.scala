@@ -1175,6 +1175,38 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out === Seq((0L, 1L, 1L), (1L, 0L, 1L), (2L, 0L, 1L), (3L, 2L, 2L)))
   }
 
+  test("space-saving: containment + bound guarantees under any partitioning") {
+    import spark.implicits._
+    val toks = docs.select(explode(split(lower(col("text")), " ")).as("wd"))
+    val exact = toks.groupBy(col("wd")).agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val total = exact.values.sum
+    val k = 50
+    for (parts <- Seq(1, 7)) {
+      val sketch = toks.repartition(parts).agg(
+          graft.functions.SpaceSaving.column(col("wd"), k).as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select(col("e.item"), col("e.count"), col("e.error"))
+        .as[(String, Long, Long)].collect()
+      assert(sketch.length <= k)
+      // guarantee 1: every true heavy hitter (> N/k) is tracked
+      val mustHave = exact.filter(_._2 * k > total).keySet
+      val tracked = sketch.map(_._1).toSet
+      assert(mustHave.subsetOf(tracked),
+        s"parts=$parts missing: ${mustHave -- tracked}")
+      // guarantee 2: count bounds — true ≤ count, count − error ≤ true
+      sketch.foreach { case (item, c, err) =>
+        val t = exact.getOrElse(item, 0L)
+        assert(c >= t, s"parts=$parts $item: sketch $c < true $t")
+        assert(c - err <= t, s"parts=$parts $item: lower bound ${c - err} > true $t")
+      }
+      // guarantee 3: exact heavy-hitter op agrees with the ground truth
+      val hh = TextAnalysis.heavyHitters(docs, k)
+        .as[(String, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+      assert(hh === exact.filter(_._2 * k > total))
+    }
+  }
+
   test("label-centroid margin: planted mislabel flagged, centroid members aligned") {
     import spark.implicits._
     // two tight clusters in 4-d; vector 99 carries label 0 but sits on
