@@ -321,6 +321,70 @@ object TextAnalysis {
         expr(s"(1000000 * n) div ${total}L").as("share_ppm"))
   }
 
+  /** TF-IDF top terms per document (the classic indexing/keyword
+    * extraction statistic; BM25 (p36) is the query-side scorer, this is
+    * the document-side profile): score = tf · ln(N/df) quantized to
+    * micro-log-scaled integers BEFORE ranking, so the per-doc argmax is
+    * integer-deterministic. Output: each doc's top `k` terms ranked
+    * (score desc, term asc).
+    *
+    * Shape at 100 TB: term frequencies are one (doc, term) map-side-
+    * combined aggregate; document frequencies one term-keyed aggregate
+    * joined back on the term key (AQE-skew-safe); the per-doc top-k is
+    * a bounded sort inside one doc_id window partition. */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    val n = docs.count()
+    val toks = docs.select(col("doc_id"),
+      explode(TextHash.words(col("text"))).as("wd"))
+    val tf = toks.groupBy(col("doc_id"), col("wd"))
+      .agg(count(lit(1)).as("tf"))
+    val df = toks.select(col("doc_id"), col("wd")).distinct()
+      .groupBy(col("wd")).agg(count(lit(1)).as("df"))
+    val rankWin = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score_micro").desc, col("wd"))
+    tf.join(df, Seq("wd"))
+      .select(col("doc_id"), col("wd"),
+        (col("tf") * round(log(lit(n.toDouble) / col("df")) * 1e6, 0).cast("long"))
+          .as("score_micro"))
+      .withColumn("rank", row_number().over(rankWin).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("wd"), col("score_micro"))
+  }
+
+  /** Per-source KL divergence from the corpus unigram distribution —
+    * the domain-separation statistic of corpus composition analysis
+    * (how far each source's language drifts from the mixture). Per-word
+    * KL terms quantize to micro-log integers before the LONG sum (the
+    * DSIR convention), scaled by 1e6/source-total so the output is an
+    * integer micro-nat divergence.
+    *
+    * Shape at 100 TB: two unigram aggregates (per-source and corpus)
+    * joined on the word key, one per-source rollup — the corpus
+    * shuffles twice, nothing collects. */
+  def sourceKlDivergence(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("source"),
+      explode(TextHash.words(col("text"))).as("wd"))
+    val sw = toks.groupBy(col("source"), col("wd")).agg(count(lit(1)).as("c_sw"))
+    val cw = toks.groupBy(col("wd")).agg(count(lit(1)).as("c_w"))
+    val totals = toks.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    val nTot = toks.count()
+    // term = c_sw · round(1e6·ln((c_sw/n_s)/(c_w/n_tot))) — the 1/n_s
+    // factor applies once at the end (exact integer divide after a
+    // LONG sum, scaled to micro-nats)
+    sw.join(cw, Seq("wd"))
+      .join(totals, Seq("source"))
+      .select(col("source"), col("n_s"),
+        (col("c_sw") *
+          round(log((col("c_sw") / col("n_s")) /
+            (col("c_w") / lit(nTot.toDouble))) * 1e6, 0).cast("long"))
+          .as("term"))
+      .groupBy(col("source"))
+      .agg(first(col("n_s")).as("n_tokens"), sum(col("term")).as("kl_sum"))
+      .select(col("source"), col("n_tokens"),
+        expr("kl_sum div n_tokens").as("kl_micro"))
+  }
+
   /** One BPE training iteration past [[bpePairCounts]]: find the top
     * pair, merge it corpus-wide into a single placeholder symbol
     * (left-to-right non-overlapping, `replace` semantics in both

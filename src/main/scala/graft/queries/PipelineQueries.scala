@@ -1814,8 +1814,57 @@ object PipelineQueries {
       .orderBy(col("wd"))
   }
 
+  /** TF-IDF top-3 terms per doc, micro-quantized before ranking so the
+    * per-doc argmax is integer-deterministic. */
+  val p62 = Q.sql(
+    "p62_tfidf_top_terms",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS wd
+      |  FROM documents),
+      |nn AS (SELECT count(*) AS n FROM documents),
+      |tf AS (SELECT doc_id, wd, count(*) AS tf FROM toks GROUP BY doc_id, wd),
+      |df AS (SELECT wd, count(*) AS df
+      |       FROM (SELECT DISTINCT doc_id, wd FROM toks) GROUP BY wd),
+      |sc AS (
+      |  SELECT tf.doc_id, tf.wd,
+      |    tf.tf * CAST(round(ln((SELECT n FROM nn)::DOUBLE / df.df) * 1000000)
+      |      AS BIGINT) AS score_micro
+      |  FROM tf JOIN df ON tf.wd = df.wd),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+      |        ORDER BY score_micro DESC, wd) AS rank FROM sc)
+      |SELECT doc_id, rank::BIGINT AS rank, wd, score_micro
+      |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+  ) { (s, d) =>
+    TextAnalysis.tfidfTopTerms(Tables.documents(s, d), k = 3)
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  /** Per-source KL divergence from the corpus unigram mixture in
+    * micro-nats — corpus-composition drift analysis, DSIR-convention
+    * micro-log quantization before the LONG sum. */
+  val p63 = Q.sql(
+    "p63_source_kl_divergence",
+    """WITH toks AS (
+      |  SELECT source, unnest(string_split(lower(text), ' ')) AS wd
+      |  FROM documents),
+      |sw AS (SELECT source, wd, count(*) AS c_sw
+      |       FROM toks GROUP BY source, wd),
+      |cw AS (SELECT wd, count(*) AS c_w FROM toks GROUP BY wd),
+      |ts AS (SELECT source, count(*) AS n_s FROM toks GROUP BY source),
+      |tot AS (SELECT count(*) AS n FROM toks)
+      |SELECT sw.source, ts.n_s AS n_tokens,
+      |  (sum(sw.c_sw * CAST(round(ln((sw.c_sw / ts.n_s) /
+      |      (cw.c_w / (SELECT n FROM tot)::DOUBLE)) * 1000000) AS BIGINT))
+      |    // ts.n_s)::BIGINT AS kl_micro
+      |FROM sw JOIN cw ON sw.wd = cw.wd JOIN ts ON sw.source = ts.source
+      |GROUP BY sw.source, ts.n_s ORDER BY sw.source""".stripMargin
+  ) { (s, d) =>
+    TextAnalysis.sourceKlDivergence(Tables.documents(s, d))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
     p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24,
     p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p35, p36, p37, p38,
-    p39, p40, p41, p42, p43, p44, p45, p46, p47, p48, p49, p50, p51, p52, p53, p54, p55, p56, p57, p58, p59, p60, p61)
+    p39, p40, p41, p42, p43, p44, p45, p46, p47, p48, p49, p50, p51, p52, p53, p54, p55, p56, p57, p58, p59, p60, p61, p62, p63)
 }
