@@ -125,4 +125,42 @@ object Clusters {
     connectedComponents(pairs.select(col("id_a"), col("id_b")))
       .select(col("id").as("doc_id"), col("component").as("cluster_id"))
   }
+
+  /** Cross-source duplication matrix: for each unordered source pair,
+    * how many near-dup doc pairs span them — the provenance report that
+    * surfaces which domains mirror each other's content (within-source
+    * pairs land on the diagonal). Two doc_id-keyed joins onto the
+    * (already tiny) verified-pair set; the corpus itself never
+    * re-shuffles. */
+  def crossSourceDupMatrix(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    Dedup.minhashNearDups(docs, threshold)
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("_sa")), Seq("id_a"))
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("_sb")), Seq("id_b"))
+      .select(least(col("_sa"), col("_sb")).as("source_a"),
+        greatest(col("_sa"), col("_sb")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** Quality-aware canonical selection: within each duplicate cluster,
+    * the highest-quality member (distinct-word ratio, micro-quantized →
+    * integer-deterministic argmax, doc_id tie-break) is marked
+    * canonical — production dedup keeps the BEST copy, not the first
+    * one seen. One rank window over the cluster frame (cluster-sized,
+    * not corpus-sized). */
+  def canonicalByQuality(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val w = graft.pipeline.TextHash.words(col("text"))
+    val scored = docs.select(col("doc_id"),
+      round(size(array_distinct(w)) * lit(1e6) / size(w), 0).cast("long")
+        .as("score_micro"))
+    val rankWin = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+    duplicateClusters(docs, threshold)
+      .join(scored, Seq("doc_id"))
+      .withColumn("rank", row_number().over(rankWin).cast("long"))
+      .select(col("doc_id"), col("cluster_id"), col("score_micro"),
+        (col("rank") === 1).as("canonical"))
+  }
 }

@@ -1863,8 +1863,78 @@ object PipelineQueries {
       .orderBy(col("source"))
   }
 
+  /** Cross-source duplication matrix: near-dup pairs bucketed by
+    * unordered source pair — which domains mirror each other. */
+  val p64 = Q.sql(
+    "p64_cross_source_dups",
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]
+      |                   for i in range(1, len(w)-1)]) AS s
+      |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+      |        FROM documents)
+      |  WHERE len(w) >= 3),
+      |pr AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh a, sh b
+      |  WHERE a.doc_id < b.doc_id
+      |    AND len(list_intersect(a.s, b.s)) /
+      |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5)
+      |SELECT least(da.source, db.source) AS source_a,
+      |  greatest(da.source, db.source) AS source_b,
+      |  count(*)::BIGINT AS n_pairs
+      |FROM pr
+      |JOIN documents da ON pr.id_a = da.doc_id
+      |JOIN documents db ON pr.id_b = db.doc_id
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  ) { (s, d) =>
+    Clusters.crossSourceDupMatrix(Tables.documents(s, d), threshold = 0.5)
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  /** Quality-aware canonical selection inside duplicate clusters:
+    * highest distinct-word-ratio member (micro-quantized, doc_id
+    * tie-break) marked canonical. */
+  val p65 = Q.sql(
+    "p65_canonical_by_quality",
+    """WITH RECURSIVE sh AS (
+      |  SELECT doc_id,
+      |    list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]
+      |                   for i in range(1, len(w)-1)]) AS s
+      |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+      |        FROM documents)
+      |  WHERE len(w) >= 3),
+      |pr AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh a, sh b
+      |  WHERE a.doc_id < b.doc_id
+      |    AND len(list_intersect(a.s, b.s)) /
+      |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+      |e AS (SELECT id_a AS u, id_b AS v FROM pr
+      |      UNION SELECT id_b, id_a FROM pr),
+      |walk(u, v) AS (
+      |  SELECT u, v FROM e
+      |  UNION SELECT w.u, e.v FROM walk w JOIN e ON w.v = e.u WHERE e.v <> w.u),
+      |comp AS (SELECT u AS doc_id, least(u, min(v))::BIGINT AS cluster_id
+      |         FROM walk GROUP BY u),
+      |sc AS (
+      |  SELECT doc_id,
+      |    CAST(round(len(list_distinct(string_split(lower(text), ' ')))
+      |      * 1000000.0 / len(string_split(lower(text), ' '))) AS BIGINT)
+      |      AS score_micro
+      |  FROM documents),
+      |r AS (
+      |  SELECT c.doc_id, c.cluster_id, sc.score_micro,
+      |    row_number() OVER (PARTITION BY c.cluster_id
+      |                       ORDER BY sc.score_micro DESC, c.doc_id) AS rn
+      |  FROM comp c JOIN sc ON c.doc_id = sc.doc_id)
+      |SELECT doc_id, cluster_id, score_micro, rn = 1 AS canonical
+      |FROM r ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    Clusters.canonicalByQuality(Tables.documents(s, d), threshold = 0.5)
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
     p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24,
     p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p35, p36, p37, p38,
-    p39, p40, p41, p42, p43, p44, p45, p46, p47, p48, p49, p50, p51, p52, p53, p54, p55, p56, p57, p58, p59, p60, p61, p62, p63)
+    p39, p40, p41, p42, p43, p44, p45, p46, p47, p48, p49, p50, p51, p52, p53, p54, p55, p56, p57, p58, p59, p60, p61, p62, p63, p64, p65)
 }
