@@ -462,4 +462,56 @@ object Curation {
       .withColumn("ppl_bucket",
         expr("nll_micro div (n_tokens * 1000000)"))
   }
+
+  /** Conditional bigram LM scoring (MLE, no smoothing needed — every
+    * observed bigram has c₂ ≥ 1 and its prefix count c₁ ≥ c₂):
+    * per-doc Σ −ln c(w₁w₂)/c(w₁·) in micro-nats. The bigram analogue of
+    * [[unigramPerplexity]], sharper at flagging templated text (bigram
+    * NLL collapses on boilerplate while unigram NLL barely moves).
+    *
+    * Same determinism contract: micro-log LONG per distinct bigram, then
+    * order-free integer sums. Shape: one bigram explode (corpus ×1, the
+    * window is width-2 so no fan-out beyond token count), two map-side-
+    * combined counts, rate table joined back on the bigram key. */
+  def bigramPerplexity(docs: DataFrame): DataFrame = {
+    val big = docs
+      .select(col("doc_id"), TextHash.words(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 1), " +
+          "i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))"))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c2 = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val nll = c2.join(c1, Seq("w1")).select(col("w1"), col("w2"),
+      round(-log(col("c2") / col("c1").cast("double")) * 1e6, 0)
+        .cast("long").as("nll_b"))
+    big.join(nll, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("nll_b")).as("nll_micro"))
+      .withColumn("ppl_bucket",
+        expr("nll_micro div (n_bigrams * 1000000)"))
+  }
+
+  /** Split-leakage audit: near-duplicate pairs ([[Dedup.minhashNearDups]])
+    * whose members landed in DIFFERENT splits of [[stratifiedSplit]] —
+    * exactly the eval-contamination a dedup-unaware splitter creates.
+    * A clean pipeline dedups (or co-assigns clusters) BEFORE splitting;
+    * this operator is the regression gate proving it.
+    *
+    * Shape: the pair set is near-dup-sized (≪ corpus); the two split
+    * lookups are hash joins on doc_id that AQE broadcasts when the pair
+    * set is small. */
+  def splitLeakage(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val pairs = Dedup.minhashNearDups(docs, threshold)
+    val splits = stratifiedSplit(docs).select(col("doc_id"), col("split"))
+    pairs
+      .join(splits.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(splits.as("sb"), col("id_b") === col("sb.doc_id"))
+      .filter(col("sa.split") =!= col("sb.split"))
+      .select(col("id_a"), col("id_b"),
+        col("sa.split").as("split_a"), col("sb.split").as("split_b"),
+        col("jaccard"))
+  }
 }

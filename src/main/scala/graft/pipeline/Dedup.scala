@@ -139,6 +139,33 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** LSH recall audit: for every TRUE near-dup pair (exact Jaccard ≥
+    * `threshold` over the same 3-word shingle sets MinHash signs), was it
+    * surfaced as an LSH candidate? Reported per Jaccard decile so the
+    * (b, r) operating curve is visible where it matters — recall ~1 above
+    * the S-curve knee, decaying below it.
+    *
+    * 100 TB shape: ground truth comes from the lossless prefix-filter
+    * join ([[jaccardPairsExact]]) — bounded shuffles, never all-pairs —
+    * candidates from the banded bucket join; the audit itself is one more
+    * equi-join on (id_a, id_b) plus a ≤10-row aggregate. On a full-scale
+    * corpus this runs over a stratified sample; every stage is
+    * sample-size-bounded. */
+  def lshRecallAudit(docs: DataFrame, threshold: Double = 0.25,
+      bands: Int = 16, rows: Int = 4): DataFrame = {
+    val sets = shingleSets(docs)
+    val truth = jaccardPairsExact(sets, threshold)
+    val cand = lshCandidates(minhashBands(sets, bands, rows))
+      .withColumn("hit", lit(1L))
+    truth.join(cand, Seq("id_a", "id_b"), "left")
+      .select(floor(col("jaccard") * 10).cast("long").as("decile"),
+        coalesce(col("hit"), lit(0L)).as("hit"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_true"), sum(col("hit")).as("n_hit"))
+      .select(col("decile"), col("n_true"), col("n_hit"),
+        expr("n_hit * 1000 DIV n_true").as("recall_permille"))
+  }
+
   /** Incremental ingestion dedup gate: which NEW docs near-duplicate the
     * EXISTING index — the delta-dedup pass every continuously-ingesting
     * training corpus runs (only the new batch is hashed fresh; the index
@@ -218,8 +245,14 @@ object Dedup {
     * verify — that regime is what MinHash-LSH ([[minhashNearDups]], the
     * [[Clusters.duplicateClusters]] edge source) is for. */
   def ngramJaccardNearDups(docs: DataFrame, threshold: Double = 0.6,
-      n: Int = 5): DataFrame = {
-    val sets = ngramSets(docs, n)
+      n: Int = 5): DataFrame =
+    jaccardPairsExact(ngramSets(docs, n), threshold)
+
+  /** EXACT Jaccard ≥ `threshold` pairs over ANY (doc_id, s: array) set
+    * frame via the prefix-filter join documented on
+    * [[ngramJaccardNearDups]] — reused as the deterministic ground truth
+    * for LSH audits ([[lshRecallAudit]]). Output (id_a, id_b, jaccard). */
+  def jaccardPairsExact(sets: DataFrame, threshold: Double): DataFrame = {
     val grams = sets.select(col("doc_id"), explode(col("s")).as("g"))
     val freq = grams.groupBy(col("g")).agg(count(lit(1)).as("f"))
     val prefixes = grams.join(freq, "g")

@@ -67,4 +67,36 @@ object Search {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** Inverted-index BUILD: term → (document frequency, total term
+    * frequency, capped posting list). The materialized artifact behind
+    * interactive retrieval — [[bm25]] scores ad-hoc without one, but a
+    * serving stack persists this table (partitioned by term) and joins
+    * queries against it.
+    *
+    * Postings are the first `cap` doc_ids in ascending order (CSV string
+    * for cross-engine hash stability) with the TRUE df/tf kept alongside,
+    * so truncation loses ranking signal for no term.
+    *
+    * Scale shape: one token explode and ONE exchange on the term key;
+    * within-doc duplicates collapse map-side via the (term, doc_id)
+    * pre-aggregate, so the shuffle carries distinct (term, doc) cells,
+    * not raw tokens. Postings use the bounded native top-k aggregate
+    * (score = −doc_id ⇒ smallest ids win), so a stop-word term holds
+    * `cap` ids of state — never a corpus-sized collect. (−doc_id rides
+    * the aggregate's double score: exact for ids < 2⁵³.) */
+  def invertedIndex(docs: DataFrame, cap: Int = 10): DataFrame =
+    docs.select(col("doc_id"),
+        explode(TextHash.words(col("text"))).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf_doc"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf_doc")).as("tf"),
+        graft.functions.TopKByScore.column(
+          negate(col("doc_id").cast("double")), col("doc_id"), cap)
+          .as("_top"))
+      .select(col("term"), col("df"), col("tf"),
+        array_join(
+          expr("transform(_top, x -> cast(x.neighbor_id AS string))"), ",")
+          .as("postings"))
 }

@@ -280,4 +280,29 @@ object Sessions {
       .select(col("event_id"), col("user_id"), col("ts_us"), col("value"),
         col("r_event_id"), col("r_ts_us"), col("r_value"))
   }
+
+  /** CDC last-writer-wins materialization: collapse an upsert/tombstone
+    * event log to its current per-key snapshot. The latest event per
+    * `user_id` — (ts, event_id) total order — decides the row; keys whose
+    * latest event is a `tombstoneType` are DELETED (no output row). The
+    * batch shape of an Iceberg changelog apply (i23) / streaming upsert
+    * sink: replaying the full log through this operator reproduces the
+    * table state any prefix-consistent reader would see.
+    *
+    * Scale shape: ONE max_by-style aggregate on the key — no window sort,
+    * no shuffle beyond the key exchange; partial aggregation keeps only
+    * the current winner per key per task (O(keys) state, spillable). */
+  def cdcSnapshot(events: DataFrame, tombstoneType: String = "error"): DataFrame =
+    events.select(col("user_id"), col("event_id"), tsUs(events),
+        col("event_type"), col("value"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        max(struct(col("ts_us"), col("event_id"), col("event_type"),
+          col("value"))).as("_last"))
+      .filter(col("_last.event_type") =!= tombstoneType)
+      .select(col("user_id"), col("n_events"),
+        col("_last.event_id").as("last_event_id"),
+        col("_last.ts_us").as("last_ts_us"),
+        col("_last.event_type").as("last_type"),
+        col("_last.value").cast("decimal(18,2)").as("last_value"))
 }

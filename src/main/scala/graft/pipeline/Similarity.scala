@@ -520,4 +520,40 @@ object Similarity {
       (acc, s) => when(s.getField("cos") > acc.getField("cos"), s).otherwise(acc))
       .getField("cos")
   }
+
+  /** Deterministic ±1 sign for JL cell (i, j): low bit of the first
+    * md5 byte of "i:j" — reproducible from the indices alone, so the
+    * "matrix" never ships anywhere. */
+  private[pipeline] def jlSign(i: Int, j: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$i:$j".getBytes("UTF-8"))
+    if ((d(0) & 1) == 1) 1 else -1
+  }
+
+  /** Johnson–Lindenstrauss random-sign projection: `outDims` output
+    * coordinates, each Σᵢ xᵢ·s(i,j) with a fixed ±1 hash-sign matrix —
+    * the Achlioptas database-friendly JL variant (no Gaussians, no
+    * stored matrix). Distances are preserved in expectation
+    * (E[‖Px‖²] = ‖x‖²·d/k); pipelines use it to shrink embeddings
+    * before LSH banding or transport.
+    *
+    * Determinism: inputs quantize to micro-int units FIRST
+    * (float→double is exact; round on identical doubles), so each
+    * output is an INTEGER dot product — summation-order-free, exact in
+    * both engines. Pure map work: zero shuffles at any scale; the sign
+    * matrix is inlined into the codegen'd projection as literals. */
+  def jlProject(embs: DataFrame, inDims: Int = 64, outDims: Int = 16): DataFrame = {
+    val q = transform(col("embedding"),
+      x => round(x.cast("double") * 1e6, 0).cast("long"))
+    val projCols = (0 until outDims).map { j =>
+      val signs = array((0 until inDims).map(i => lit(jlSign(i, j).toLong)): _*)
+      aggregate(zip_with(q, signs, (a, s) => a * s), lit(0L), _ + _)
+        .as(s"p$j")
+    }
+    embs.select(col("vec_id") +: projCols: _*)
+      .select(col("vec_id"), posexplode(array(
+        (0 until outDims).map(j => col(s"p$j")): _*)).as(Seq("dim", "proj_micro")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        col("proj_micro"))
+  }
 }

@@ -165,6 +165,33 @@ object TextAnalysis {
         size(col("xs")).cast("long").as("n_shingles"))
   }
 
+  /** Winnowing fingerprint SELECTION (Schleimer–Wilkerson–Aiken, the
+    * MOSS rule): hash every `k`-char gram, slide a `w`-hash window, and
+    * keep each window's minimum — rightmost occurrence on ties — then
+    * de-duplicate positions. Guarantees: any shared substring of length
+    * ≥ `k + w − 1` yields at least one shared fingerprint, and gap
+    * between selected positions is ≤ `w` (density 2/(w+1) expected).
+    * Unlike [[fingerprint]]'s whole-set min/max/xor digest, winnowing
+    * keeps POSITIONED local fingerprints — the unit plagiarism-style
+    * overlap detection joins on.
+    *
+    * Scale shape: pure per-row expression work (gram hashes + window
+    * minima inside one codegen'd projection), then an explode of the
+    * selected positions only (≈2/(w+1) of gram count) — no shuffle at
+    * all until a downstream join groups on `fp`. */
+  def winnowFingerprints(docs: DataFrame, k: Int = 5, w: Int = 4): DataFrame =
+    docs.filter(length(col("text")) >= k + w - 1)
+      .select(col("doc_id"),
+        TextHash.hashAll(expr(
+          s"transform(sequence(1, length(lower(text)) - ${k - 1}), " +
+            s"i -> substring(lower(text), i, $k))")).as("hs"))
+      .select(col("doc_id"), col("hs"), explode(expr(
+        s"array_distinct(transform(sequence(1, size(hs) - ${w - 1}), p -> " +
+          s"p + $w - array_position(reverse(slice(hs, p, $w)), " +
+          s"array_min(slice(hs, p, $w)))))").as("sel")).as("pos"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        element_at(col("hs"), col("pos").cast("int")).as("fp"))
+
   /** Corpus-level boilerplate mining: the `k` most frequent word
     * `n`-grams with total occurrence counts (multiplicity INCLUDED —
     * unlike dedup shingles, boilerplate mining wants mass). Ties break

@@ -1933,8 +1933,210 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** The MinHash permutation constants, inlined into SQL oracles that
+    * must reproduce the signatures exactly (p66). */
+  private val permValues: String = (0 until 64).map { i =>
+    val (a, b) = Dedup.perm(i); s"($i,$a,$b)"
+  }.mkString(", ")
+
+  /** LSH recall audit per Jaccard decile: ground truth from the lossless
+    * prefix-filter join, candidates from the banded buckets. The oracle
+    * recomputes BOTH sides from scratch — all-pairs Jaccard for truth and
+    * the actual 64 minhash permutations for the bands — so a green row
+    * certifies the prefix filter (exact pair set) AND the bucketing
+    * (exact candidate set), not just the summary arithmetic. */
+  val p66 = Q.sql(
+    "p66_lsh_recall_audit",
+    s"""WITH sh AS (
+      |  SELECT doc_id, list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]
+      |                 for i in range(1, len(w)-1)]) AS s
+      |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+      |        FROM documents)
+      |  WHERE len(w) >= 3),
+      |truth AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    len(list_intersect(a.s, b.s)) /
+      |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+      |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+      |    AND len(list_intersect(a.s, b.s)) /
+      |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.25),
+      |x AS (SELECT doc_id,
+      |        ('0x' || substr(md5(g), 1, 15))::BIGINT % 2147483647 AS x
+      |      FROM (SELECT doc_id, unnest(s) AS g FROM sh)),
+      |perms AS (SELECT * FROM (VALUES $permValues) t(i, a, b)),
+      |mins AS (SELECT doc_id, i, min((a * x + b) % 2147483647) AS m
+      |         FROM x, perms GROUP BY doc_id, i),
+      |bands AS (SELECT doc_id, i // 4 AS band_idx,
+      |            string_agg(m::VARCHAR, '_' ORDER BY i) AS band_key
+      |          FROM mins GROUP BY doc_id, i // 4),
+      |cand AS (SELECT DISTINCT s1.doc_id AS id_a, s2.doc_id AS id_b
+      |         FROM bands s1 JOIN bands s2
+      |           ON s1.band_idx = s2.band_idx AND s1.band_key = s2.band_key
+      |             AND s1.doc_id < s2.doc_id)
+      |SELECT CAST(floor(t.j * 10) AS BIGINT) AS decile,
+      |  count(*)::BIGINT AS n_true,
+      |  sum(CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+      |  sum(CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END)::BIGINT * 1000
+      |    // count(*)::BIGINT AS recall_permille
+      |FROM truth t LEFT JOIN cand c ON t.id_a = c.id_a AND t.id_b = c.id_b
+      |GROUP BY 1 ORDER BY decile""".stripMargin
+  ) { (s, d) =>
+    Dedup.lshRecallAudit(Tables.documents(s, d), threshold = 0.25)
+      .orderBy(col("decile"))
+  }
+
+  /** Near-dup pairs that straddle train/val/test split boundaries —
+    * the eval-contamination audit every dedup-then-split pipeline gates
+    * on. */
+  val p67 = Q.sql(
+    "p67_split_leakage",
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]
+      |                 for i in range(1, len(w)-1)]) AS s
+      |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+      |        FROM documents)
+      |  WHERE len(w) >= 3),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    len(list_intersect(a.s, b.s)) /
+      |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+      |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+      |    AND len(list_intersect(a.s, b.s)) /
+      |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+      |t AS (SELECT source, doc_id, md5(doc_id::VARCHAR) AS h FROM documents),
+      |r AS (SELECT source, doc_id,
+      |        row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rank,
+      |        count(*) OVER (PARTITION BY source) AS n FROM t),
+      |sp AS (SELECT doc_id,
+      |        CASE WHEN rank * 100 <= n * 10 THEN 'test'
+      |             WHEN rank * 100 <= n * 20 THEN 'val'
+      |             ELSE 'train' END AS split FROM r)
+      |SELECT p.id_a, p.id_b, sa.split AS split_a, sb.split AS split_b,
+      |  p.jaccard
+      |FROM pairs p JOIN sp sa ON p.id_a = sa.doc_id
+      |  JOIN sp sb ON p.id_b = sb.doc_id
+      |WHERE sa.split <> sb.split
+      |ORDER BY id_a, id_b""".stripMargin
+  ) { (s, d) =>
+    Curation.splitLeakage(Tables.documents(s, d), threshold = 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Winnowing (MOSS) fingerprint selection: 5-char gram hashes, window
+    * 4, rightmost-minimum rule — positioned local fingerprints with the
+    * ≥ k+w−1 shared-substring guarantee. */
+  val p68 = Q.sql(
+    "p68_winnowing_fingerprints",
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    [('0x' || substr(md5(substring(lower(text), i, 5)), 1, 15))::BIGINT
+      |     for i in range(1, length(text) - 3)] AS hs
+      |  FROM documents WHERE length(text) >= 8),
+      |sel AS (
+      |  SELECT doc_id, hs,
+      |    unnest(list_distinct(
+      |      [p + 4 - list_position(list_reverse(hs[p:p+3]),
+      |                             list_min(hs[p:p+3]))
+      |       for p in range(1, len(hs) - 2)])) AS pos
+      |  FROM g)
+      |SELECT doc_id, pos::BIGINT AS pos, hs[pos] AS fp
+      |FROM sel ORDER BY doc_id, pos""".stripMargin
+  ) { (s, d) =>
+    TextAnalysis.winnowFingerprints(Tables.documents(s, d))
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
+  /** Conditional bigram-LM NLL per doc in micro-nats (MLE rates; the
+    * bigram analogue of p44, sharper on templated text). */
+  val p69 = Q.sql(
+    "p69_bigram_perplexity",
+    """WITH w AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+      |  WHERE len(string_split(lower(text), ' ')) >= 2),
+      |big AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+      |        FROM w, unnest(range(1, len(w))) t(i)),
+      |c2 AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY w1, w2),
+      |c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY w1),
+      |nll AS (SELECT c2.w1, c2.w2,
+      |          CAST(round(-ln(c2.c2 / c1.c1) * 1000000) AS BIGINT) AS nb
+      |        FROM c2 JOIN c1 ON c2.w1 = c1.w1)
+      |SELECT b.doc_id, count(*)::BIGINT AS n_bigrams,
+      |  sum(nll.nb)::BIGINT AS nll_micro,
+      |  (sum(nll.nb)::BIGINT // (count(*)::BIGINT * 1000000)) AS ppl_bucket
+      |FROM big b JOIN nll ON b.w1 = nll.w1 AND b.w2 = nll.w2
+      |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
+    bench = true
+  ) { (s, d) =>
+    Curation.bigramPerplexity(Tables.documents(s, d)).orderBy(col("doc_id"))
+  }
+
+  /** Inverted-index build: term → df / tf / capped ascending posting
+    * list (bounded native top-k state — no corpus-sized collect). */
+  val p70 = Q.sql(
+    "p70_inverted_index",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      |  FROM documents),
+      |cells AS (SELECT term, doc_id, count(*) AS tf_doc
+      |          FROM toks GROUP BY term, doc_id)
+      |SELECT term, count(*)::BIGINT AS df, sum(tf_doc)::BIGINT AS tf,
+      |  array_to_string(list_sort(list(doc_id))[1:10], ',') AS postings
+      |FROM cells GROUP BY term ORDER BY term""".stripMargin,
+    bench = true
+  ) { (s, d) =>
+    Search.invertedIndex(Tables.documents(s, d)).orderBy(col("term"))
+  }
+
+  /** CDC last-writer-wins snapshot over the event log: latest event per
+    * user decides the row; 'error'-tombstoned users are deleted. */
+  val p71 = Q.sql(
+    "p71_cdc_snapshot",
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value
+      |  FROM events),
+      |n AS (SELECT user_id, count(*) AS n_events FROM e GROUP BY user_id),
+      |last AS (SELECT user_id, event_id, ts_us, event_type, value,
+      |           row_number() OVER (PARTITION BY user_id
+      |             ORDER BY ts_us DESC, event_id DESC) AS rn
+      |         FROM e)
+      |SELECT l.user_id, n.n_events::BIGINT AS n_events,
+      |  l.event_id AS last_event_id, l.ts_us AS last_ts_us,
+      |  l.event_type AS last_type,
+      |  CAST(l.value AS DECIMAL(18,2)) AS last_value
+      |FROM last l JOIN n USING (user_id)
+      |WHERE rn = 1 AND l.event_type <> 'error'
+      |ORDER BY user_id""".stripMargin
+  ) { (s, d) =>
+    graft.pipeline.Sessions.cdcSnapshot(Tables.events(s, d))
+      .orderBy(col("user_id"))
+  }
+
+  /** Johnson–Lindenstrauss ±1 hash-sign projection 64→16 dims, exact
+    * integer dot products over micro-quantized inputs. */
+  val p72 = Q.sql(
+    "p72_jl_projection",
+    """WITH q AS (
+      |  SELECT vec_id,
+      |    [round(embedding[i+1]::DOUBLE * 1000000)::BIGINT
+      |     for i in range(0, 64)] AS q
+      |  FROM embeddings),
+      |s AS (SELECT vec_id, j,
+      |        list_sum([q[i+1] *
+      |          (CASE WHEN ('0x' || substr(md5(i || ':' || j), 1, 2))::INT & 1 = 1
+      |                THEN 1 ELSE -1 END)
+      |          for i in range(0, 64)])::BIGINT AS proj_micro
+      |      FROM q, unnest(range(0, 16)) t(j))
+      |SELECT vec_id, j::BIGINT AS dim, proj_micro
+      |FROM s ORDER BY vec_id, dim""".stripMargin
+  ) { (s, d) =>
+    Similarity.jlProject(Tables.embeddings(s, d))
+      .orderBy(col("vec_id"), col("dim"))
+  }
+
   val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
     p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24,
     p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p35, p36, p37, p38,
-    p39, p40, p41, p42, p43, p44, p45, p46, p47, p48, p49, p50, p51, p52, p53, p54, p55, p56, p57, p58, p59, p60, p61, p62, p63, p64, p65)
+    p39, p40, p41, p42, p43, p44, p45, p46, p47, p48, p49, p50, p51, p52,
+    p53, p54, p55, p56, p57, p58, p59, p60, p61, p62, p63, p64, p65, p66,
+    p67, p68, p69, p70, p71, p72)
 }

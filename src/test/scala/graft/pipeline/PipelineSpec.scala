@@ -1223,4 +1223,122 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!out(99L), "planted mislabel must be misaligned")
     assert((0L until 10L).forall(out(_)), "cluster members must be aligned")
   }
+
+  test("winnowing: density, gap bound, shared-substring guarantee") {
+    import spark.implicits._
+    val shared = "the quick brown fox jumps over the lazy dog again"
+    val d = Seq(
+      (1L, s"alpha beta $shared gamma delta epsilon zeta"),
+      (2L, s"one two three $shared four five six seven"),
+      (3L, "completely unrelated content with nothing in common at all"))
+      .toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowFingerprints(d, k = 5, w = 4)
+      .as[(Long, Long, Long)].collect().groupBy(_._1)
+    // gap bound: consecutive selected positions differ by ≤ w
+    fps.foreach { case (_, rows) =>
+      val ps = rows.map(_._2).sorted
+      ps.zip(ps.tail).foreach { case (a, b) => assert(b - a <= 4) }
+    }
+    // any shared substring of length ≥ k+w−1 = 8 ⇒ a shared fingerprint
+    val f1 = fps(1L).map(_._3).toSet; val f2 = fps(2L).map(_._3).toSet
+    assert((f1 & f2).nonEmpty, "docs sharing a long substring must share a fp")
+    // the unrelated doc shares no fingerprint with either
+    val f3 = fps(3L).map(_._3).toSet
+    assert((f1 & f3).isEmpty && (f2 & f3).isEmpty)
+  }
+
+  test("inverted index: postings capped ascending prefix of true postings") {
+    import spark.implicits._
+    val d = (1L to 30L).map(i =>
+      (i, if (i % 2 == 0) "common even word" else "common odd word"))
+      .toDF("doc_id", "text")
+    val idx = Search.invertedIndex(d, cap = 5)
+      .as[(String, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    // 'common' and 'word' appear in all 30 docs; postings = first 5 ids
+    assert(idx("common")._2 === 30L && idx("common")._3 === 30L)
+    assert(idx("common")._4 === "1,2,3,4,5")
+    assert(idx("even")._2 === 15L && idx("even")._4 === "2,4,6,8,10")
+    assert(idx("odd")._4 === "1,3,5,7,9")
+  }
+
+  test("cdc snapshot: last writer wins, tombstone deletes the key") {
+    import spark.implicits._
+    val us = (s: String) => java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, us("2024-01-01 10:00:00"), 7L, "signup", 1.0, "{}"),
+      (2L, us("2024-01-01 11:00:00"), 7L, "purchase", 9.5, "{}"),
+      (3L, us("2024-01-01 12:00:00"), 8L, "view", 2.0, "{}"),
+      (4L, us("2024-01-01 13:00:00"), 8L, "error", 0.0, "{}"),
+      (5L, us("2024-01-01 09:00:00"), 9L, "error", 0.0, "{}"),
+      (6L, us("2024-01-01 09:30:00"), 9L, "click", 3.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val snap = graft.pipeline.Sessions.cdcSnapshot(ev)
+      .select(col("user_id"), col("last_event_id"), col("last_type"))
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(snap(7L) === ((7L, 2L, "purchase"))) // later event wins
+    assert(!snap.contains(8L)) // tombstone last ⇒ deleted
+    assert(snap(9L) === ((9L, 6L, "click"))) // recovered after tombstone
+  }
+
+  test("jl projection: fixed dims, linearity, sign matrix engine-free") {
+    import spark.implicits._
+    // linearity over the integer lattice: P(a+b) = P(a) + P(b) when the
+    // micro-quantization is exact (inputs chosen as exact micro values)
+    val a = Array.tabulate(64)(i => (i % 7).toFloat / 4f) // /4 is dyadic: exact
+    val b = Array.tabulate(64)(i => ((i % 5).toFloat) / 8f)
+    val sum = a.zip(b).map { case (x, y) => x + y }
+    val d = Seq((1L, a.toSeq, 0), (2L, b.toSeq, 0), (3L, sum.toSeq, 0))
+      .toDF("vec_id", "embedding", "label")
+    val p = Similarity.jlProject(d)
+      .as[(Long, Long, Long)].collect().groupBy(_._1)
+      .map { case (k, v) => k -> v.sortBy(_._2).map(_._3) }
+    assert(p(1L).size === 16)
+    assert(p(1L).zip(p(2L)).map { case (x, y) => x + y }.toSeq === p(3L).toSeq)
+    // sign function is pure + deterministic
+    assert(Similarity.jlSign(0, 0) === Similarity.jlSign(0, 0))
+    assert((0 until 64).map(i => Similarity.jlSign(i, 3)).toSet === Set(-1, 1))
+  }
+
+  test("lsh recall audit: full recall on the planted-dup corpus") {
+    import spark.implicits._
+    val audit = Dedup.lshRecallAudit(docs, threshold = 0.25)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(audit.nonEmpty)
+    // sf0.001 corpus: planted dups at J≥0.9, noise far below 0.25 — every
+    // true pair must be recalled by b=16/r=4
+    audit.foreach { case (decile, nTrue, nHit, permille) =>
+      assert(nHit === nTrue, s"decile $decile missed ${nTrue - nHit}")
+      assert(permille === 1000L)
+    }
+  }
+
+  test("split leakage: every reported pair is a true near-dup crossing splits") {
+    import spark.implicits._
+    val leaks = Curation.splitLeakage(docs, threshold = 0.5)
+      .as[(Long, Long, String, String, Double)].collect()
+    val pairs = Dedup.minhashNearDups(docs, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val splits = Curation.stratifiedSplit(docs)
+      .select(col("doc_id"), col("split")).as[(Long, String)].collect().toMap
+    leaks.foreach { case (a, b, sa, sb, _) =>
+      assert(pairs.contains((a, b)))
+      assert(splits(a) === sa && splits(b) === sb && sa != sb)
+    }
+    // completeness: every near-dup pair with differing splits is reported
+    val expected = pairs.filter { case (a, b) => splits(a) != splits(b) }
+    assert(leaks.map(l => (l._1, l._2)).toSet === expected)
+  }
+
+  test("bigram perplexity: repeated-bigram boilerplate scores below varied text") {
+    import spark.implicits._
+    // boiler repeats ONE continuation of 'a'; varied spreads 'a' over many
+    // continuations — so p(b|a) is high and each p(x_i|a) is low
+    val boiler = Array.fill(30)("a b").mkString(" ")
+    val varied = (0 until 30).map(i => s"a x$i").mkString(" ")
+    val d = Seq((1L, boiler), (2L, varied)).toDF("doc_id", "text")
+    val out = Curation.bigramPerplexity(d)
+      .select(col("doc_id"), col("nll_micro"), col("n_bigrams"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2.toDouble / r._3)).toMap
+    assert(out(1L) < out(2L), "boilerplate must have lower mean bigram NLL")
+  }
 }
