@@ -521,6 +521,30 @@ object Similarity {
       .getField("cos")
   }
 
+  /** ANN recall audit: recall@k of the IVF path against the exact
+    * brute-force kNN on the SAME query set — the embedding-pillar twin
+    * of [[Dedup.lshRecallAudit]]. Per query: how many of the true top-k
+    * neighbors the cell-confined search returned.
+    *
+    * Shape: the exact side is the declared brute-force control (query
+    * side broadcast); the IVF side is the production path; the audit is
+    * one (query_id, neighbor_id) equi-join + per-query aggregate. Run
+    * over a query SAMPLE at scale — cost is sample × corpus, never
+    * corpus². */
+  def annRecallAudit(queries: DataFrame, corpus: DataFrame, k: Int,
+      cells: Int = DefaultCells, nprobe: Int = 1): DataFrame = {
+    val exact = knnBruteForce(queries, corpus, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = annIvf(queries, corpus, k, cells, nprobe)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("query_id"), col("n_exact"), col("n_hit"),
+        expr("n_hit * 1000 DIV n_exact").as("recall_permille"))
+  }
+
   /** Deterministic ±1 sign for JL cell (i, j): low bit of the first
     * md5 byte of "i:j" — reproducible from the indices alone, so the
     * "matrix" never ships anywhere. */

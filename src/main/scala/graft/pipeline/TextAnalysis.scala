@@ -192,6 +192,43 @@ object TextAnalysis {
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         element_at(col("hs"), col("pos").cast("int")).as("fp"))
 
+  /** Positioned-overlap near-dup pairs from winnowing fingerprints:
+    * doc pairs sharing ≥ `minShared` distinct selected fingerprints —
+    * MOSS-style plagiarism/quotation detection. Complements set-level
+    * MinHash: a long verbatim passage inside two otherwise-different
+    * docs scores near zero Jaccard but MANY shared winnowed
+    * fingerprints (one per `w` window across the passage).
+    *
+    * The report is CONTAINMENT (shared / smaller fp set, permille ≥
+    * `minContainment`), not raw counts — common-vocabulary grams give
+    * every pair a floor of incidental shared fingerprints; containment
+    * normalizes it away while a contained quotation still scores ~1000.
+    *
+    * Shape: distinct (doc, fp) cells, a windowed census capping viral
+    * fingerprint buckets (shared boilerplate grams) before the
+    * self-join — the [[Dedup.lshCandidates]] discipline — then one
+    * count aggregate on the pair key and a broadcastable per-doc-size
+    * join. Never all-pairs. */
+  def winnowOverlapPairs(docs: DataFrame, k: Int = 5, w: Int = 4,
+      minContainment: Int = 700, maxBucket: Int = 10000): DataFrame = {
+    val fps = winnowFingerprints(docs, k, w)
+      .select(col("doc_id"), col("fp")).distinct()
+    val sizes = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+    val census = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    val capped = fps.withColumn("_n", count(lit(1)).over(census))
+      .filter(col("_n") <= maxBucket).drop("_n")
+    capped.select(col("doc_id").as("id_a"), col("fp"))
+      .join(capped.select(col("doc_id").as("id_b"), col("fp")), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col("doc_id").as("id_a"), col("n_fp").as("_na")), Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"), col("n_fp").as("_nb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        expr("n_shared * 1000 DIV least(_na, _nb)").as("containment_permille"))
+      .filter(col("containment_permille") >= minContainment)
+  }
+
   /** Corpus-level boilerplate mining: the `k` most frequent word
     * `n`-grams with total occurrence counts (multiplicity INCLUDED —
     * unlike dedup shingles, boilerplate mining wants mass). Ties break

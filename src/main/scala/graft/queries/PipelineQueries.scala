@@ -2133,10 +2133,112 @@ object PipelineQueries {
       .orderBy(col("vec_id"), col("dim"))
   }
 
+  /** ANN recall audit: recall@10 of the IVF path vs exact brute-force
+    * kNN per query — the embedding twin of p66. The oracle recomputes
+    * BOTH sides (quadratic kNN + the full IVF assignment/search). */
+  val p73 = Q.sql(
+    "p73_ann_recall_audit",
+    """WITH cent AS (
+      |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+      |  ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT, vec_id
+      |  LIMIT 64),
+      |sc AS (
+      |  SELECT e.vec_id, e.embedding, c.cid,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> e.embedding[i]::DOUBLE * c.ce[i]::DOUBLE)) /
+      |    (sqrt(list_sum(list_transform(range(1, 65),
+      |       i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))) *
+      |     sqrt(list_sum(list_transform(range(1, 65),
+      |       i -> c.ce[i]::DOUBLE * c.ce[i]::DOUBLE)))) AS cs
+      |  FROM embeddings e, cent c),
+      |asg AS (
+      |  SELECT vec_id, embedding, cid AS cell FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id
+      |                                 ORDER BY cs DESC, cid) AS rn FROM sc)
+      |  WHERE rn = 1),
+      |q AS (SELECT vec_id AS qid, embedding AS qe, cell FROM asg
+      |      WHERE vec_id < 10),
+      |ap AS (
+      |  SELECT q.qid AS query_id, a.vec_id AS neighbor_id,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> q.qe[i]::DOUBLE * a.embedding[i]::DOUBLE)) /
+      |    (sqrt(list_sum(list_transform(range(1, 65),
+      |       i -> q.qe[i]::DOUBLE * q.qe[i]::DOUBLE))) *
+      |     sqrt(list_sum(list_transform(range(1, 65),
+      |       i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))) AS cos
+      |  FROM q JOIN asg a ON q.cell = a.cell AND a.vec_id <> q.qid),
+      |approx AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT query_id, neighbor_id,
+      |      row_number() OVER (PARTITION BY query_id
+      |                         ORDER BY cos DESC, neighbor_id) AS rank
+      |    FROM ap) WHERE rank <= 10),
+      |ep AS (
+      |  SELECT q.qid AS query_id, c.vec_id AS neighbor_id,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> q.qe[i]::DOUBLE * c.embedding[i]::DOUBLE)) /
+      |    (sqrt(list_sum(list_transform(range(1, 65),
+      |       i -> q.qe[i]::DOUBLE * q.qe[i]::DOUBLE))) *
+      |     sqrt(list_sum(list_transform(range(1, 65),
+      |       i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)))) AS cos
+      |  FROM q, embeddings c WHERE q.qid <> c.vec_id),
+      |exact AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT query_id, neighbor_id,
+      |      row_number() OVER (PARTITION BY query_id
+      |                         ORDER BY cos DESC, neighbor_id) AS rank
+      |    FROM ep) WHERE rank <= 10)
+      |SELECT e.query_id, count(*)::BIGINT AS n_exact,
+      |  sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+      |    AS n_hit,
+      |  sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+      |    * 1000 // count(*)::BIGINT AS recall_permille
+      |FROM exact e LEFT JOIN approx a
+      |  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+      |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
+  ) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    Similarity.annRecallAudit(e.filter(col("vec_id") < 10), e, 10)
+      .orderBy(col("query_id"))
+  }
+
+  /** Winnowing-overlap near-dup pairs: ≥70% containment of the smaller
+    * doc's fingerprint set — MOSS-style contained-passage detection. */
+  val p74 = Q.sql(
+    "p74_winnow_overlap_pairs",
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    [('0x' || substr(md5(substring(lower(text), i, 5)), 1, 15))::BIGINT
+      |     for i in range(1, length(text) - 3)] AS hs
+      |  FROM documents WHERE length(text) >= 8),
+      |sel AS (
+      |  SELECT doc_id, hs,
+      |    unnest(list_distinct(
+      |      [p + 4 - list_position(list_reverse(hs[p:p+3]),
+      |                             list_min(hs[p:p+3]))
+      |       for p in range(1, len(hs) - 2)])) AS pos
+      |  FROM g),
+      |fps AS (SELECT DISTINCT doc_id, hs[pos] AS fp FROM sel),
+      |sz AS (SELECT doc_id, count(*) AS n FROM fps GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ns
+      |  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT p.id_a, p.id_b, p.ns::BIGINT AS n_shared,
+      |  (p.ns * 1000 // least(sa.n, sb.n))::BIGINT AS containment_permille
+      |FROM pairs p JOIN sz sa ON p.id_a = sa.doc_id
+      |  JOIN sz sb ON p.id_b = sb.doc_id
+      |WHERE p.ns * 1000 // least(sa.n, sb.n) >= 700
+      |ORDER BY id_a, id_b""".stripMargin
+  ) { (s, d) =>
+    TextAnalysis.winnowOverlapPairs(Tables.documents(s, d))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
     p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24,
     p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p35, p36, p37, p38,
     p39, p40, p41, p42, p43, p44, p45, p46, p47, p48, p49, p50, p51, p52,
     p53, p54, p55, p56, p57, p58, p59, p60, p61, p62, p63, p64, p65, p66,
-    p67, p68, p69, p70, p71, p72)
+    p67, p68, p69, p70, p71, p72, p73, p74)
 }

@@ -27,7 +27,8 @@ class PlanHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
     * broadcast constant-ish side. A real CartesianProduct node is never
     * allowed anywhere. */
   private val BroadcastNljAllowed = Set(
-    "p04_knn_bruteforce", "p05_ann_lsh_bucketed")
+    "p04_knn_bruteforce", "p05_ann_lsh_bucketed",
+    "p73_ann_recall_audit") // embeds the brute-force control as ground truth
 
   test("no registered query plans a CartesianProduct") {
     spark.sparkContext.setLogLevel("ERROR")

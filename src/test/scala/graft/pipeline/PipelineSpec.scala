@@ -1329,6 +1329,46 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(leaks.map(l => (l._1, l._2)).toSet === expected)
   }
 
+  test("ann recall audit: agrees with the directly computed intersection") {
+    import spark.implicits._
+    val q = embs.filter(col("vec_id") < 10)
+    val audit = Similarity.annRecallAudit(q, embs, 10)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val exact = Similarity.knnBruteForce(q, embs, 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val approx = Similarity.annIvf(q, embs, 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(audit.size === 10)
+    audit.foreach { case (qid, (_, nExact, nHit, permille)) =>
+      val e = exact(qid); val a = approx.getOrElse(qid, Set.empty[Long])
+      assert(nExact === e.size)
+      assert(nHit === (e & a).size)
+      assert(permille === nHit * 1000 / nExact)
+    }
+  }
+
+  test("winnowing overlap: contained passage found, low-Jaccard pair still scores") {
+    import spark.implicits._
+    val passage = (0 until 40).map(i => s"pass$i").mkString(" ")
+    val filler = (0 until 160).map(i => s"fill$i").mkString(" ")
+    val d = Seq(
+      (1L, passage), // the contained doc
+      (2L, s"$filler $passage"), // containing doc, mostly other content
+      (3L, (0 until 40).map(i => s"other$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val pairs = TextAnalysis.winnowOverlapPairs(d, minContainment = 700)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), "contained passage must be detected")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    // the same pair is INVISIBLE to set-level Jaccard at its threshold:
+    // shingle overlap is 40/200 ≈ 0.2 < 0.5
+    val mh = Dedup.minhashNearDups(d, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!mh.contains((1L, 2L)), "MinHash must miss the contained passage")
+  }
+
   test("bigram perplexity: repeated-bigram boilerplate scores below varied text") {
     import spark.implicits._
     // boiler repeats ONE continuation of 'a'; varied spreads 'a' over many
