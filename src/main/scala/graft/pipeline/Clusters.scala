@@ -143,6 +143,27 @@ object Clusters {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** Per-source near-dup rate: how much of each source's volume sits in
+    * a near-dup pair — the one-row-per-source health metric dedup
+    * dashboards track (a source whose rate jumps is mirroring or being
+    * scraped twice). Zero-dup sources report 0, not absence.
+    *
+    * Shape: the member set is pair-set-sized; both joins hang off it,
+    * the corpus contributes one map-side-combined per-source count. */
+  def dupRateBySource(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val pairs = Dedup.minhashNearDups(docs, threshold)
+    val members = pairs.select(col("id_a").as("doc_id"))
+      .unionAll(pairs.select(col("id_b").as("doc_id"))).distinct()
+    val perSource = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val dupBySource = members
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_dup"))
+    perSource.join(dupBySource, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup_members"),
+        expr("coalesce(n_dup, 0L) * 1000 DIV n_docs").as("dup_permille"))
+  }
+
   /** Quality-aware canonical selection: within each duplicate cluster,
     * the highest-quality member (distinct-word ratio, micro-quantized →
     * integer-deterministic argmax, doc_id tie-break) is marked

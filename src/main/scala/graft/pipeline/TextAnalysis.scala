@@ -192,6 +192,39 @@ object TextAnalysis {
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         element_at(col("hs"), col("pos").cast("int")).as("fp"))
 
+  /** Zipf slope per source: least-squares slope of ln(count) vs
+    * ln(rank) over each source's top-`k` words — the rank-frequency
+    * power-law exponent (healthy natural text ≈ −1; templated or
+    * synthetic corpora drift off). A corpus-composition drift statistic
+    * next to [[sourceKlDivergence]].
+    *
+    * Determinism: ln is applied to INTEGERS (rank, count — identical in
+    * both engines) and micro-quantized immediately; the regression then
+    * runs on exact LONG sums with ONE double division at the end.
+    * Shape: one map-side-combined (source, word) count, a per-source
+    * top-k window over the distinct-word frame (vocab-sized, not
+    * corpus-sized), and a k-row-per-source aggregate. */
+  def zipfSlope(docs: DataFrame, k: Int = 100): DataFrame = {
+    val cnt = docs
+      .select(col("source"), explode(TextHash.words(col("text"))).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("c").desc, col("w"))
+    val xy = cnt.withColumn("r", row_number().over(win))
+      .filter(col("r") <= k)
+      .select(col("source"),
+        round(log(col("r").cast("double")) * 1e6, 0).cast("long").as("x"),
+        round(log(col("c").cast("double")) * 1e6, 0).cast("long").as("y"))
+    xy.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("source"), col("n").as("n_terms"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double") * 1e6, 0)
+          .cast("long").as("slope_micro"))
+  }
+
   /** Positioned-overlap near-dup pairs from winnowing fingerprints:
     * doc pairs sharing ≥ `minShared` distinct selected fingerprints —
     * MOSS-style plagiarism/quotation detection. Complements set-level

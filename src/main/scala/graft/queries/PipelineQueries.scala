@@ -2235,10 +2235,66 @@ object PipelineQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Zipf rank-frequency slope per source over the top-100 words —
+    * integer-exact regression, one double division. */
+  val p75 = Q.sql(
+    "p75_zipf_slope",
+    """WITH toks AS (
+      |  SELECT source, unnest(string_split(lower(text), ' ')) AS w
+      |  FROM documents),
+      |cnt AS (SELECT source, w, count(*) AS c FROM toks GROUP BY source, w),
+      |top AS (SELECT source, w, c,
+      |          row_number() OVER (PARTITION BY source
+      |                             ORDER BY c DESC, w) AS r
+      |        FROM cnt QUALIFY r <= 100),
+      |xy AS (SELECT source,
+      |         CAST(round(ln(r) * 1000000) AS BIGINT) AS x,
+      |         CAST(round(ln(c) * 1000000) AS BIGINT) AS y FROM top),
+      |agg AS (SELECT source, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+      |          sum(x * y) AS sxy, sum(x * x) AS sxx
+      |        FROM xy GROUP BY source)
+      |SELECT source, n::BIGINT AS n_terms,
+      |  CAST(round((n * sxy - sx * sy)::DOUBLE /
+      |             (n * sxx - sx * sx)::DOUBLE * 1000000) AS BIGINT)
+      |    AS slope_micro
+      |FROM agg ORDER BY source""".stripMargin
+  ) { (s, d) =>
+    TextAnalysis.zipfSlope(Tables.documents(s, d)).orderBy(col("source"))
+  }
+
+  /** Per-source near-dup rate from the verified MinHash pair set;
+    * zero-dup sources report 0. */
+  val p76 = Q.sql(
+    "p76_dup_rate_by_source",
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]
+      |                 for i in range(1, len(w)-1)]) AS s
+      |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+      |        FROM documents)
+      |  WHERE len(w) >= 3),
+      |pr AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh a, sh b
+      |  WHERE a.doc_id < b.doc_id
+      |    AND len(list_intersect(a.s, b.s)) /
+      |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+      |m AS (SELECT id_a AS doc_id FROM pr UNION SELECT id_b FROM pr),
+      |d AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+      |md AS (SELECT d2.source, count(*) AS n_dup
+      |       FROM m JOIN documents d2 ON m.doc_id = d2.doc_id
+      |       GROUP BY d2.source)
+      |SELECT d.source, d.n_docs::BIGINT AS n_docs,
+      |  coalesce(md.n_dup, 0)::BIGINT AS n_dup_members,
+      |  (coalesce(md.n_dup, 0) * 1000 // d.n_docs)::BIGINT AS dup_permille
+      |FROM d LEFT JOIN md ON d.source = md.source
+      |ORDER BY d.source""".stripMargin
+  ) { (s, d) =>
+    Clusters.dupRateBySource(Tables.documents(s, d)).orderBy(col("source"))
+  }
+
   val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
     p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24,
     p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p35, p36, p37, p38,
     p39, p40, p41, p42, p43, p44, p45, p46, p47, p48, p49, p50, p51, p52,
     p53, p54, p55, p56, p57, p58, p59, p60, p61, p62, p63, p64, p65, p66,
-    p67, p68, p69, p70, p71, p72, p73, p74)
+    p67, p68, p69, p70, p71, p72, p73, p74, p75, p76)
 }

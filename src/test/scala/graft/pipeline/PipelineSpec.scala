@@ -1369,6 +1369,37 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!mh.contains((1L, 2L)), "MinHash must miss the contained passage")
   }
 
+  test("zipf slope: planted power-law corpus regresses to its exponent") {
+    import spark.implicits._
+    // word i (1..50) appears floor(1000/i) times → ln c = ln 1000 − ln r
+    // (up to floor error): slope ≈ −1
+    val text = (1 to 50).flatMap(i => Seq.fill(1000 / i)(s"w${i}%03d"))
+      .mkString(" ")
+    val d = Seq((1L, text, "zipf")).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.zipfSlope(d, k = 50)
+      .as[(String, Long, Long)].collect()
+    assert(out.length === 1)
+    val (_, n, slope) = out.head
+    assert(n === 50)
+    assert(math.abs(slope + 1000000L) < 30000L, s"slope_micro=$slope") // ±3%
+  }
+
+  test("dup rate by source: planted dups land in their source, others zero") {
+    import spark.implicits._
+    val base = (0 until 30).map(i => s"unique text body number $i with words " +
+      (0 until 20).map(j => s"t$i-$j").mkString(" "))
+    val rows =
+      base.take(10).zipWithIndex.map { case (t, i) => (i.toLong, t, "dupsrc") } ++
+      base.take(10).zipWithIndex.map { case (t, i) => (100L + i, t + " x", "dupsrc") } ++
+      base.drop(10).zipWithIndex.map { case (t, i) => (200L + i, t, "clean") }
+    val d = rows.toDF("doc_id", "text", "source")
+    val out = Clusters.dupRateBySource(d)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out("dupsrc")._3 === 20L) // all 10 pairs, both members
+    assert(out("dupsrc")._4 === 1000L)
+    assert(out("clean")._3 === 0L && out("clean")._4 === 0L)
+  }
+
   test("bigram perplexity: repeated-bigram boilerplate scores below varied text") {
     import spark.implicits._
     // boiler repeats ONE continuation of 'a'; varied spreads 'a' over many
