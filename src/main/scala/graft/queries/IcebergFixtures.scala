@@ -105,6 +105,18 @@ object IcebergFixtures {
         .equalityDelete(Seq("BUILDING").toDF("c_mktsegment"), Seq("c_mktsegment"))
     }
 
+  /** documents registered as a Graft table with a MoR delete scattered
+    * through every data file (lang = 'zh' rows position-deleted) — the
+    * composition fixture: the PIPELINE operators consume the format
+    * library's scan, deletes applied in-reader. */
+  def documentsMoR(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "documents_mor") { catalog =>
+      val src = Tables.documents(spark, sfDir)
+      val schema = IcebergSchema.fromSpark(src.schema)
+      GraftTable.create("documents_mor", catalog, schema).append(src)
+        .deleteWhere(graft.expr.Predicate.eqTo("lang", "zh"), spark)
+    }
+
   /** orders with a tag pinned at the even-keys snapshot, then odd keys
     * appended to main. */
   def ordersTagged(spark: SparkSession, sfDir: String): GraftTable =

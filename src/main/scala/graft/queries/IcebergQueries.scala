@@ -620,7 +620,35 @@ object IcebergQueries {
       .orderBy(col("c_custkey"))
   }
 
+  /** Format-library → pipeline composition: MinHash-LSH near-dup
+    * detection consuming the ICEBERG SCAN (MoR position deletes applied
+    * in-reader) instead of raw parquet — a green hash proves a user can
+    * point the pipeline pillar at a managed table and get exactly the
+    * answer the raw data implies after deletes. The oracle recomputes
+    * all-pairs Jaccard over the logically-surviving rows. */
+  val i31 = Q.sql(
+    "i31_pipeline_on_iceberg",
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]
+      |                 for i in range(1, len(w)-1)]) AS s
+      |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+      |        FROM documents WHERE lang <> 'zh')
+      |  WHERE len(w) >= 3)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  len(list_intersect(a.s, b.s)) /
+      |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+      |FROM sh a, sh b
+      |WHERE a.doc_id < b.doc_id
+      |  AND len(list_intersect(a.s, b.s)) /
+      |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
+  ) { (s, d) =>
+    val scanned = IcebergFixtures.documentsMoR(s, d).newScan().toDF(s)
+    graft.pipeline.Dedup.minhashNearDups(scanned, threshold = 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   val all: Seq[Q] = Seq(i01, i02, i03, i04, i05, i06, i07, i08, i09, i10,
     i11, i12, i13, i14, i15, i16, i17, i18, i19, i20, i21, i22, i23, i24, i25,
-    i26, i27, i28, i29, i30)
+    i26, i27, i28, i29, i30, i31)
 }
