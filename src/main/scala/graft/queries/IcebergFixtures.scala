@@ -117,6 +117,18 @@ object IcebergFixtures {
         .deleteWhere(graft.expr.Predicate.eqTo("lang", "zh"), spark)
     }
 
+  /** documents committed in two appends — the standing corpus
+    * (doc_id % 10 ≠ 7) then a fresh ingest batch (doc_id % 10 = 7) —
+    * so incremental scans can replay the delta commit. */
+  def documentsTwoCommits(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "documents_2c") { catalog =>
+      val src = Tables.documents(spark, sfDir)
+      val schema = IcebergSchema.fromSpark(src.schema)
+      GraftTable.create("documents_2c", catalog, schema)
+        .append(src.filter(col("doc_id") % 10 =!= 7))
+        .append(src.filter(col("doc_id") % 10 === 7))
+    }
+
   /** orders with a tag pinned at the even-keys snapshot, then odd keys
     * appended to main. */
   def ordersTagged(spark: SparkSession, sfDir: String): GraftTable =

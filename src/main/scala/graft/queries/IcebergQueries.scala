@@ -648,7 +648,45 @@ object IcebergQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Continuous-ingest composition: the delta-dedup gate fed ENTIRELY by
+    * the format library — the standing index is the table at its first
+    * snapshot (time travel), the fresh batch is the incremental append
+    * scan between snapshots. The production shape: every new commit is
+    * deduped against the corpus without rehashing it. Same oracle
+    * contract as p53 (which derives the same split from raw parquet). */
+  val i32 = Q.sql(
+    "i32_incremental_dedup_on_iceberg",
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]
+      |                   for i in range(1, len(w)-1)]) AS s
+      |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+      |        FROM documents)
+      |  WHERE len(w) >= 3),
+      |m AS (
+      |  SELECT n.doc_id AS new_id, count(*)::BIGINT AS n_dups,
+      |    min(i.doc_id) AS first_match
+      |  FROM sh n JOIN sh i
+      |    ON n.doc_id % 10 = 7 AND i.doc_id % 10 <> 7
+      |    AND len(list_intersect(n.s, i.s)) /
+      |      (len(n.s) + len(i.s) - len(list_intersect(n.s, i.s))) >= 0.5
+      |  GROUP BY n.doc_id)
+      |SELECT d.doc_id AS new_id, coalesce(m.n_dups, 0)::BIGINT AS n_dups,
+      |  m.first_match
+      |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 7) d
+      |LEFT JOIN m ON d.doc_id = m.new_id
+      |ORDER BY new_id""".stripMargin
+  ) { (s, d) =>
+    val t = IcebergFixtures.documentsTwoCommits(s, d)
+    val snaps = t.metadata.snapshots.sortBy(_.sequenceNumber)
+    val index = t.newScan().useSnapshot(snaps.head.snapshotId).toDF(s)
+    val fresh = t.newScan()
+      .appendsBetween(snaps.head.snapshotId, snaps.last.snapshotId).toDF(s)
+    graft.pipeline.Dedup.incrementalDedup(index, fresh, threshold = 0.5)
+      .orderBy(col("new_id"))
+  }
+
   val all: Seq[Q] = Seq(i01, i02, i03, i04, i05, i06, i07, i08, i09, i10,
     i11, i12, i13, i14, i15, i16, i17, i18, i19, i20, i21, i22, i23, i24, i25,
-    i26, i27, i28, i29, i30, i31)
+    i26, i27, i28, i29, i30, i31, i32)
 }
