@@ -49,6 +49,7 @@ class SltRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
     case null => "NULL"
     case s: String if s.isEmpty => "(empty)"
     case d: java.math.BigDecimal => d.toPlainString
+    case b: Array[Byte] => "x" + b.map("%02x".format(_)).mkString
     case other => String.valueOf(other)
   }
 
