@@ -545,6 +545,98 @@ object Similarity {
         expr("n_hit * 1000 DIV n_exact").as("recall_permille"))
   }
 
+  /** PQ codebook: the `codes` hash-ranked seed vectors (same
+    * deterministic corpus-size-independent rule as [[quantizer]]),
+    * micro-quantized, re-indexed 0..codes−1 in vec_id order. Driver
+    * state O(codes·dims) at any corpus size. */
+  private def pqCodebook(corpus: DataFrame, codes: Int): Seq[(Int, Seq[Long])] = {
+    val seeds = corpus
+      .select(col("vec_id"), col("embedding"),
+        TextHash.hex60(col("vec_id").cast("string")).as("_h"))
+      .orderBy(col("_h"), col("vec_id")).limit(codes)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(x =>
+        BigDecimal(x.toDouble * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).toSeq))
+      .sortBy(_._1).toSeq
+    require(seeds.size == codes, s"corpus smaller than $codes codebook seeds")
+    seeds.zipWithIndex.map { case ((_, q), i) => (i, q) }
+  }
+
+  private def microQ(emb: Column): Column =
+    transform(emb, x => round(x.cast("double") * 1e6, 0).cast("long"))
+
+  /** Per-subspace argmin over the literal codebook: struct(dist, k) with
+    * strict-< keeping the smallest k on ties — ORDER BY d, k in SQL. */
+  private def pqBest(cb: Seq[(Int, Seq[Long])], j: Int, dsub: Int): Column = {
+    val cents = typedLit(cb.map { case (k, full) =>
+      (k, full.slice(j * dsub, (j + 1) * dsub)) })
+    val sub = slice(col("_q"), j * dsub + 1, dsub)
+    val scored = transform(cents, c => struct(
+      aggregate(zip_with(sub, c.getField("_2"), (a, b) => (a - b) * (a - b)),
+        lit(0L), _ + _).as("dist"),
+      c.getField("_1").as("k")))
+    aggregate(scored, struct(lit(Long.MaxValue).as("dist"), lit(-1).as("k")),
+      (acc, s) => when(s.getField("dist") < acc.getField("dist"), s)
+        .otherwise(acc))
+  }
+
+  /** Product quantization ENCODE (Jégou et al.): split each vector into
+    * `m` subspaces, snap each subvector to its nearest codebook centroid
+    * — a vector becomes `m` small codes (here 8×4 bits ≈ 64× smaller
+    * than float32), THE memory trick that fits a 100 TB ANN corpus in
+    * executor RAM. Codebook = hash-ranked seeds (corpus-size-independent
+    * driver state); distances are INTEGER sums over micro-quantized
+    * values, so the argmin — and the oracle — are exact.
+    *
+    * Output (vec_id, subspace, code, sq_err): pure map work, the
+    * codebook rides the codegen'd projection as literals. */
+  def pqEncode(embs: DataFrame, m: Int = 8, codes: Int = 16): DataFrame = {
+    val cb = pqCodebook(embs, codes)
+    val dsub = cb.head._2.size / m
+    embs.select(col("vec_id"), microQ(col("embedding")).as("_q"))
+      .select(col("vec_id"), posexplode(array(
+        (0 until m).map(j => pqBest(cb, j, dsub)): _*)).as(Seq("subspace", "b")))
+      .select(col("vec_id"), col("subspace").cast("long").as("subspace"),
+        col("b.k").cast("long").as("code"), col("b.dist").as("sq_err"))
+  }
+
+  /** PQ asymmetric-distance search (ADC): corpus vectors live ONLY as
+    * codes; each query scans their codebook reconstructions — the exact
+    * inner loop of IVFADC serving (production confines the scan to IVF
+    * cells; the linear form here is the declared control, query side
+    * broadcast). Distances are integer micro² sums → bit-exact ranking;
+    * per-query top-k via the bounded native aggregate (score = −dist
+    * rides a double: exact below 2⁵³). */
+  def pqAdcSearch(queries: DataFrame, corpus: DataFrame, topK: Int = 10,
+      m: Int = 8, codes: Int = 16): DataFrame = {
+    val cb = pqCodebook(corpus, codes)
+    val dsub = cb.head._2.size / m
+    val cbLit = typedLit(cb.map(_._2)) // index k+1 → full micro centroid
+    val coded = corpus
+      .select(col("vec_id"), microQ(col("embedding")).as("_q"))
+      .select(col("vec_id"), array(
+        (0 until m).map(j => pqBest(cb, j, dsub).getField("k")): _*).as("_codes"))
+      .select(col("vec_id"), flatten(transform(
+        sequence(lit(0), lit(m - 1)),
+        j => slice(element_at(cbLit, element_at(col("_codes"), j + 1) + 1),
+          j * dsub + 1, lit(dsub)))).as("_rq"))
+    val q = queries
+      .select(col("vec_id").as("query_id"), microQ(col("embedding")).as("_qm"))
+    val dist = aggregate(
+      zip_with(col("_qm"), col("_rq"), (a, b) => (a - b) * (a - b)),
+      lit(0L), _ + _)
+    coded.join(broadcast(q), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"), dist.as("_d"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKByScore.column(
+        negate(col("_d").cast("double")), col("vec_id"), topK).as("_top"))
+      .select(col("query_id"), posexplode(col("_top")).as(Seq("_pos", "_t")))
+      .select(col("query_id"), (col("_pos") + 1).cast("long").as("rank"),
+        col("_t.neighbor_id").as("neighbor_id"),
+        negate(col("_t.cos")).cast("long").as("adc_dist"))
+  }
+
   /** Deterministic ±1 sign for JL cell (i, j): low bit of the first
     * md5 byte of "i:j" — reproducible from the indices alone, so the
     * "matrix" never ships anywhere. */

@@ -28,7 +28,8 @@ class PlanHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
     * allowed anywhere. */
   private val BroadcastNljAllowed = Set(
     "p04_knn_bruteforce", "p05_ann_lsh_bucketed",
-    "p73_ann_recall_audit") // embeds the brute-force control as ground truth
+    "p73_ann_recall_audit", // embeds the brute-force control as ground truth
+    "p78_pq_adc_search") // declared linear ADC scan (broadcast query side)
 
   test("no registered query plans a CartesianProduct") {
     spark.sparkContext.setLogLevel("ERROR")

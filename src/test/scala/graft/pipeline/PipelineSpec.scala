@@ -1400,6 +1400,44 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out("clean")._3 === 0L && out("clean")._4 === 0L)
   }
 
+  test("pq: codebook seeds encode to themselves with zero error") {
+    import spark.implicits._
+    val enc = Similarity.pqEncode(embs)
+      .as[(Long, Long, Long, Long)].collect()
+    // exactly 16 corpus vectors (the seeds) must have sq_err 0 in EVERY
+    // subspace — they ARE the centroids
+    val perfect = enc.groupBy(_._1).filter(_._2.forall(_._4 == 0L)).keys.toSet
+    assert(perfect.size === 16, s"got ${perfect.size} zero-error vectors")
+    // everything else quantizes with positive error somewhere
+    assert(enc.groupBy(_._1).size > 16)
+    // codes are 4-bit
+    assert(enc.forall(r => r._3 >= 0 && r._3 < 16))
+  }
+
+  test("pq adc: on a seeds-only corpus the ADC distance is the true distance") {
+    import spark.implicits._
+    // when the corpus IS the codebook, reconstruction is exact, so ADC
+    // distance must equal the true micro squared distance
+    val seedIds = Similarity.pqEncode(embs)
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).filter(_._2.forall(_._4 == 0L)).keys.toSet
+    val seeds = embs.filter(col("vec_id").isin(seedIds.toSeq: _*))
+    val queries = seeds.limit(3)
+    val adc = Similarity.pqAdcSearch(queries, seeds, topK = 15)
+      .as[(Long, Long, Long, Long)].collect()
+    val vecs = seeds.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+      .map { case (id, e) => id -> e.map(x =>
+        BigDecimal(x.toDouble * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong) }.toMap
+    adc.foreach { case (qid, _, nid, dist) =>
+      val truth = vecs(qid).zip(vecs(nid))
+        .map { case (a, b) => (a - b) * (a - b) }.sum
+      assert(dist === truth, s"q=$qid n=$nid")
+    }
+    assert(adc.nonEmpty)
+  }
+
   test("bigram perplexity: repeated-bigram boilerplate scores below varied text") {
     import spark.implicits._
     // boiler repeats ONE continuation of 'a'; varied spreads 'a' over many
