@@ -601,6 +601,13 @@ object Similarity {
         col("b.k").cast("long").as("code"), col("b.dist").as("sq_err"))
   }
 
+  /** Codebook reconstruction of the `_codes` array: concat of the
+    * chosen centroid subvectors (literal lookup, codegen'd). */
+  private def pqReconstruct(cbLit: Column, m: Int, dsub: Int): Column =
+    flatten(transform(sequence(lit(0), lit(m - 1)),
+      j => slice(element_at(cbLit, element_at(col("_codes"), j + 1) + 1),
+        j * dsub + 1, lit(dsub))))
+
   /** PQ asymmetric-distance search (ADC): corpus vectors live ONLY as
     * codes; each query scans their codebook reconstructions — the exact
     * inner loop of IVFADC serving (production confines the scan to IVF
@@ -617,16 +624,50 @@ object Similarity {
       .select(col("vec_id"), microQ(col("embedding")).as("_q"))
       .select(col("vec_id"), array(
         (0 until m).map(j => pqBest(cb, j, dsub).getField("k")): _*).as("_codes"))
-      .select(col("vec_id"), flatten(transform(
-        sequence(lit(0), lit(m - 1)),
-        j => slice(element_at(cbLit, element_at(col("_codes"), j + 1) + 1),
-          j * dsub + 1, lit(dsub)))).as("_rq"))
+      .select(col("vec_id"), pqReconstruct(cbLit, m, dsub).as("_rq"))
     val q = queries
       .select(col("vec_id").as("query_id"), microQ(col("embedding")).as("_qm"))
     val dist = aggregate(
       zip_with(col("_qm"), col("_rq"), (a, b) => (a - b) * (a - b)),
       lit(0L), _ + _)
     coded.join(broadcast(q), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"), dist.as("_d"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKByScore.column(
+        negate(col("_d").cast("double")), col("vec_id"), topK).as("_top"))
+      .select(col("query_id"), posexplode(col("_top")).as(Seq("_pos", "_t")))
+      .select(col("query_id"), (col("_pos") + 1).cast("long").as("rank"),
+        col("_t.neighbor_id").as("neighbor_id"),
+        negate(col("_t.cos")).cast("long").as("adc_dist"))
+  }
+
+  /** IVFADC: the full production ANN serving shape — the coarse IVF
+    * quantizer confines each query to ONE cell, and within the cell the
+    * ranking runs over PQ codebook reconstructions (ADC). Unlike the
+    * linear [[pqAdcSearch]] control, the candidate join is a plain
+    * EQUI-join on the cell key: at 100 TB the codes table is ~64×
+    * smaller than the floats AND each query touches corpus/cells of it.
+    * Both stages reuse the audited parts bit-for-bit: cell assignment =
+    * [[ivfAssign]] (p12's oracle), distances = the integer micro² ADC
+    * (p78's oracle). */
+  def ivfAdcSearch(queries: DataFrame, corpus: DataFrame, topK: Int = 10,
+      cells: Int = DefaultCells, m: Int = 8, codes: Int = 16): DataFrame = {
+    val cb = pqCodebook(corpus, codes)
+    val dsub = cb.head._2.size / m
+    val cbLit = typedLit(cb.map(_._2))
+    val coded = ivfAssign(corpus, corpus, cells)
+      .select(col("vec_id"), col("cell"), microQ(col("embedding")).as("_q"))
+      .select(col("vec_id"), col("cell"), array(
+        (0 until m).map(j => pqBest(cb, j, dsub).getField("k")): _*).as("_codes"))
+      .select(col("vec_id"), col("cell"), pqReconstruct(cbLit, m, dsub).as("_rq"))
+    val q = ivfAssign(queries, corpus, cells)
+      .select(col("vec_id").as("query_id"), col("cell"),
+        microQ(col("embedding")).as("_qm"))
+    val dist = aggregate(
+      zip_with(col("_qm"), col("_rq"), (a, b) => (a - b) * (a - b)),
+      lit(0L), _ + _)
+    coded.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"), dist.as("_d"))
       .groupBy(col("query_id"))
       .agg(graft.functions.TopKByScore.column(

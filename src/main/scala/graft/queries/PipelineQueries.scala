@@ -2378,10 +2378,85 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVFADC: cell-confined ADC — the production ANN serving shape
+    * (equi-join on the IVF cell, ranking over PQ reconstructions). The
+    * oracle composes p12's assignment CTEs with p78's codebook CTEs. */
+  val p79 = Q.sql(
+    "p79_ivfadc_search",
+    """WITH cent AS (
+      |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+      |  ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT, vec_id
+      |  LIMIT 64),
+      |sc AS (
+      |  SELECT e.vec_id, c.cid,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> e.embedding[i]::DOUBLE * c.ce[i]::DOUBLE)) /
+      |    (sqrt(list_sum(list_transform(range(1, 65),
+      |       i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))) *
+      |     sqrt(list_sum(list_transform(range(1, 65),
+      |       i -> c.ce[i]::DOUBLE * c.ce[i]::DOUBLE)))) AS cs
+      |  FROM embeddings e, cent c),
+      |asg AS (
+      |  SELECT vec_id, cid AS cell FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id
+      |                                 ORDER BY cs DESC, cid) AS rn FROM sc)
+      |  WHERE rn = 1),
+      |seeds AS (
+      |  SELECT vec_id, embedding,
+      |    row_number() OVER (ORDER BY vec_id) - 1 AS k
+      |  FROM (SELECT vec_id, embedding FROM embeddings
+      |        ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT,
+      |          vec_id
+      |        LIMIT 16)),
+      |cb AS (
+      |  SELECT k, i, round(embedding[i+1]::DOUBLE * 1000000)::BIGINT AS c
+      |  FROM seeds, unnest(range(0, 64)) t(i)),
+      |q AS (
+      |  SELECT vec_id, i, round(embedding[i+1]::DOUBLE * 1000000)::BIGINT AS x
+      |  FROM embeddings, unnest(range(0, 64)) t(i)),
+      |dists AS (
+      |  SELECT q.vec_id, q.i // 8 AS j, cb.k,
+      |    sum((q.x - cb.c) * (q.x - cb.c)) AS d
+      |  FROM q JOIN cb ON q.i = cb.i
+      |  GROUP BY q.vec_id, q.i // 8, cb.k),
+      |codesw AS (
+      |  SELECT vec_id, j, k AS code FROM (
+      |    SELECT vec_id, j, k, d,
+      |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d, k) AS rn
+      |    FROM dists) WHERE rn = 1),
+      |recon AS (
+      |  SELECT cw.vec_id, cb.i, cb.c AS r
+      |  FROM codesw cw JOIN cb ON cb.k = cw.code AND cb.i // 8 = cw.j),
+      |qv AS (
+      |  SELECT a.vec_id AS qid, a.cell AS qcell, q.i, q.x
+      |  FROM asg a JOIN q ON q.vec_id = a.vec_id
+      |  WHERE a.vec_id < 5),
+      |ad AS (
+      |  SELECT qv.qid, r.vec_id AS neighbor_id,
+      |    sum((qv.x - r.r) * (qv.x - r.r)) AS dist
+      |  FROM qv JOIN recon r ON qv.i = r.i
+      |    JOIN asg a2 ON a2.vec_id = r.vec_id
+      |  WHERE a2.cell = qv.qcell AND r.vec_id <> qv.qid
+      |  GROUP BY qv.qid, r.vec_id),
+      |rk AS (
+      |  SELECT qid AS query_id, neighbor_id, dist,
+      |    row_number() OVER (PARTITION BY qid
+      |                       ORDER BY dist, neighbor_id) AS rank
+      |  FROM ad)
+      |SELECT query_id, rank::BIGINT AS rank, neighbor_id,
+      |  dist::BIGINT AS adc_dist
+      |FROM rk WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+  ) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    Similarity.ivfAdcSearch(e.filter(col("vec_id") < 5), e, 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
     p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24,
     p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p35, p36, p37, p38,
     p39, p40, p41, p42, p43, p44, p45, p46, p47, p48, p49, p50, p51, p52,
     p53, p54, p55, p56, p57, p58, p59, p60, p61, p62, p63, p64, p65, p66,
-    p67, p68, p69, p70, p71, p72, p73, p74, p75, p76, p77, p78)
+    p67, p68, p69, p70, p71, p72, p73, p74, p75, p76, p77, p78, p79)
 }

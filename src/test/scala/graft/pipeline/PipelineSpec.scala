@@ -1438,6 +1438,26 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(adc.nonEmpty)
   }
 
+  test("ivfadc: equals the linear ADC ranking restricted to the query's cell") {
+    import spark.implicits._
+    val q = embs.filter(col("vec_id") < 5)
+    val ivfadc = Similarity.ivfAdcSearch(q, embs, 10)
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(r => (r._3, r._4)).toSeq).toMap
+    val cells = Similarity.ivfAssign(embs, embs)
+      .select(col("vec_id"), col("cell")).as[(Long, Long)].collect().toMap
+    val linear = Similarity.pqAdcSearch(q, embs, topK = 1000)
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    ivfadc.keys.foreach { qid =>
+      val expected = linear(qid)
+        .filter(r => cells(r._3) == cells(qid)) // same-cell candidates, ADC order
+        .take(10).map(r => (r._3, r._4)).toSeq
+      assert(ivfadc(qid) === expected, s"query $qid")
+    }
+    assert(ivfadc.nonEmpty)
+  }
+
   test("bigram perplexity: repeated-bigram boilerplate scores below varied text") {
     import spark.implicits._
     // boiler repeats ONE continuation of 'a'; varied spreads 'a' over many
