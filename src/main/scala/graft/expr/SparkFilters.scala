@@ -48,7 +48,13 @@ object SparkFilters {
       // OR must translate completely or not at all
       for (lp <- toPredicate(l, schema); rp <- toPredicate(r, schema)) yield lp.or(rp)
     case Not(c) => toPredicateExact(c, schema).map(p => Predicate.rewriteNot(p.negate))
-    case _ => None // StringContains/EndsWith, AlwaysTrue/False, nested etc.
+    // AlwaysTrue is what TRUNCATE TABLE and a bare `DELETE FROM t` arrive
+    // as (SupportsDeleteV2.truncateTable's default): translating it makes
+    // both the whole-file metadata path instead of a silent no-op / full
+    // CoW rewrite.
+    case org.apache.spark.sql.sources.AlwaysTrue() => Some(graft.expr.AlwaysTrue)
+    case org.apache.spark.sql.sources.AlwaysFalse() => Some(graft.expr.AlwaysFalse)
+    case _ => None // StringContains/EndsWith, nested etc.
   }
 
   /** Like toPredicate but refuses PARTIAL translations. Partial And is a
