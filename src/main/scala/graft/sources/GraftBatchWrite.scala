@@ -47,15 +47,39 @@ import graft.table.{AppendWriter, Commits, GraftTable, Locations}
 final class GraftWriteBuilder(table: GraftTable, writeSchema: StructType,
     replaceOp: Option[GraftRowLevelOperation] = None,
     queryId: Option[String] = None)
-    extends WriteBuilder with SupportsTruncate {
+    extends WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsOverwrite
+    with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
 
   private var truncateFirst = false
+  private var overwritePred: Option[graft.expr.Predicate] = None
+  private var dynamicOverwrite = false
 
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
+
+  /** Static `INSERT OVERWRITE ... PARTITION (p = v)` / overwrite-by-
+    * filter: the filter must translate EXACTLY (a weakened translation
+    * would drop extra rows). AlwaysTrue folds to the truncate path. */
+  override def overwrite(filters: Array[org.apache.spark.sql.sources.Filter])
+      : WriteBuilder = {
+    val pred = graft.expr.SparkFilters.exactConjunction(filters.toSeq, table.schema)
+      .getOrElse(throw new UnsupportedOperationException(
+        s"overwrite filter not exactly translatable: ${filters.mkString(", ")}"))
+    if (pred == graft.expr.AlwaysTrue) truncateFirst = true
+    else overwritePred = Some(pred)
+    this
+  }
+
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    dynamicOverwrite = true; this
+  }
 
   override def build(): Write = {
     val mode: GraftWriteMode = replaceOp match {
       case Some(op) => GraftWriteMode.ReplaceScanned(op)
+      case None if dynamicOverwrite => GraftWriteMode.DynamicOverwrite
+      case None if overwritePred.isDefined =>
+        GraftWriteMode.OverwriteFilter(overwritePred.get)
       case None if truncateFirst => GraftWriteMode.Truncate
       case None => GraftWriteMode.Append
     }
@@ -67,6 +91,13 @@ private[sources] sealed trait GraftWriteMode
 private[sources] object GraftWriteMode {
   case object Append extends GraftWriteMode
   case object Truncate extends GraftWriteMode
+  /** Static overwrite: drop the files the filter PROVABLY fully covers;
+    * refuse on partial-file matches (the Iceberg contract — a static
+    * overwrite must align with whole files/partitions). */
+  final case class OverwriteFilter(pred: graft.expr.Predicate) extends GraftWriteMode
+  /** Dynamic overwrite: replace exactly the partitions the incoming
+    * data touches. */
+  case object DynamicOverwrite extends GraftWriteMode
   final case class ReplaceScanned(op: GraftRowLevelOperation) extends GraftWriteMode
 }
 
@@ -211,6 +242,33 @@ final class GraftBatchWrite(table: GraftTable, writeSchema: StructType,
         if (files.nonEmpty) AppendWriter.commitAppend(live, files, commitUuid)
       case GraftWriteMode.Truncate =>
         commitReplace(live, files, dropAllBase = true, Set.empty)
+      case GraftWriteMode.OverwriteFilter(pred) =>
+        val bound = graft.expr.Predicate.bind(pred, live.schema)
+        val tasks = live.newScan().withFilter(bound).planFiles()
+        val (whole, partial) = tasks.partition(t =>
+          graft.expr.StrictMetricsEvaluator.fileMustMatch(bound, t.file, live.schema))
+        if (partial.nonEmpty)
+          throw new UnsupportedOperationException(
+            "Cannot overwrite: filter matches some but not all rows of " +
+              s"${partial.size} file(s) (first: ${partial.head.file.filePath}); " +
+              "align the overwrite filter with partition boundaries or use " +
+              "DELETE + INSERT")
+        commitReplace(live, files, dropAllBase = false,
+          whole.map(_.file.filePath).toSet)
+      case GraftWriteMode.DynamicOverwrite =>
+        // replace exactly the (spec, partition-tuple) cells the incoming
+        // files land in — unpartitioned tables degrade to truncate
+        // semantics (all files share the empty tuple), matching Iceberg
+        val currentSpecId = live.spec.specId
+        def key(p: Seq[Any]): Seq[Any] = p.map {
+          case b: Array[Byte] => b.toSeq
+          case x => x
+        }
+        val written = files.map(f => key(f.partition)).toSet
+        val drop = live.newScan().planFiles()
+          .filter(t => t.specId == currentSpecId && written(key(t.file.partition)))
+          .map(_.file.filePath).toSet
+        commitReplace(live, files, dropAllBase = false, drop)
       case GraftWriteMode.ReplaceScanned(op) =>
         if (op.scannedPaths.nonEmpty || files.nonEmpty)
           commitReplace(live, files, dropAllBase = false, op.scannedPaths)

@@ -66,6 +66,31 @@ final class GraftSparkTable(table: GraftTable) extends SparkTable
   override def name(): String = table.name
   override def schema(): StructType = table.schema.toSpark
 
+  /** Report the table's partition transforms so Catalyst treats the
+    * PARTITION clause of static overwrites (and partition-aware planning
+    * in general) against the real layout — without this Spark sees an
+    * unpartitioned table and rejects `INSERT OVERWRITE ... PARTITION`. */
+  override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import graft.spec.Transform
+    table.spec.fields.flatMap { pf =>
+      val src = table.schema.fieldNameById(pf.sourceId)
+      src.flatMap { name =>
+        pf.transform match {
+          case Transform.Identity => Some(Expressions.identity(name))
+          case Transform.Bucket(n) => Some(Expressions.bucket(n, name))
+          case Transform.Truncate(w) => Some(Expressions.apply("truncate",
+            Expressions.literal(w), Expressions.column(name)))
+          case Transform.Year => Some(Expressions.years(name))
+          case Transform.Month => Some(Expressions.months(name))
+          case Transform.Day => Some(Expressions.days(name))
+          case Transform.Hour => Some(Expressions.hours(name))
+          case Transform.Void => None
+        }
+      }
+    }.toArray
+  }
+
   /** Reserved metadata columns (metadata_columns.rs:33-90), queryable via
     * SQL: `_file` / `_pos` (the row id of CoW/MoR row-level ops — Spark's
     * ReplaceData projections need a metadata attribute to strip the
@@ -97,7 +122,9 @@ final class GraftSparkTable(table: GraftTable) extends SparkTable
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE,
       TableCapability.STREAMING_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC)
   /** DataFrame-level time travel: `.option("snapshot-id"|"branch"|"tag"|
     * "ref"|"as-of-timestamp", ...)` pins this read's snapshot — the
     * reader-option mirror of SQL `VERSION AS OF` / `TIMESTAMP AS OF`. */
