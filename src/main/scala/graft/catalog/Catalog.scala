@@ -2,6 +2,7 @@ package graft.catalog
 
 import graft.io.FileIO
 import graft.spec.{IcebergSchema, PartitionSpec, TableMetadata}
+import graft.spec.Json.NodeOps
 
 final case class CommitConflict(message: String) extends RuntimeException(message)
 
@@ -72,6 +73,40 @@ trait Catalog {
   def renameTable(src: String, dst: String): Unit =
     throw new UnsupportedOperationException(
       s"rename is not supported by ${getClass.getSimpleName}")
+
+  // ---- namespaces (catalog/mod.rs list/create/get/exists/update/drop;
+  //      dotted-string form of the reference's NamespaceIdent) ----
+
+  /** Namespaces visible to this catalog: those DERIVED from dotted table
+    * names plus any explicitly created (backend-specific storage — the
+    * default implementation derives only). */
+  def listNamespaces(): Seq[String] =
+    listTables().filter(_.contains('.'))
+      .map(t => t.substring(0, t.lastIndexOf('.'))).distinct.sorted
+
+  def namespaceExists(ns: String): Boolean =
+    listNamespaces().exists(n => n == ns || n.startsWith(ns + "."))
+
+  /** Properties of `ns`; empty map for a derived (implicit) namespace.
+    * Throws NoSuchElementException when the namespace is unknown. */
+  def namespaceProperties(ns: String): Map[String, String] =
+    if (namespaceExists(ns)) Map.empty
+    else throw new NoSuchElementException(s"no such namespace: $ns")
+
+  def createNamespace(ns: String, properties: Map[String, String] = Map.empty): Unit =
+    throw new UnsupportedOperationException(
+      s"explicit namespaces are not supported by ${getClass.getSimpleName}")
+
+  def updateNamespaceProperties(ns: String, sets: Map[String, String],
+      removes: Set[String]): Unit =
+    throw new UnsupportedOperationException(
+      s"namespace properties are not supported by ${getClass.getSimpleName}")
+
+  /** Drop an EMPTY namespace; refuses when tables still live under it.
+    * Returns false when the namespace did not exist. */
+  def dropNamespace(ns: String): Boolean =
+    throw new UnsupportedOperationException(
+      s"explicit namespaces are not supported by ${getClass.getSimpleName}")
 
   /** Drop the table AND delete its files (catalog/mod.rs:112 purge_table):
     * every data/delete file reachable from any snapshot, every manifest +
@@ -224,6 +259,55 @@ final class HadoopCatalog(warehouse: String, val io: FileIO) extends Catalog {
       overwrite = false)
     writeHint(name, v)
   }
+
+  // ---- explicit namespaces: a marker file `warehouse/<ns>/.namespace.json`
+  //      holding the properties (tables stay flat-dotted: `warehouse/a.b.t`,
+  //      so the marker dir never collides with a table dir) ----
+
+  private def nsFile(ns: String) = s"$warehouse/$ns/.namespace.json"
+
+  private def readNsProps(ns: String): Option[Map[String, String]] =
+    if (!io.exists(nsFile(ns))) None
+    else Some(graft.spec.Json.parse(io.readString(nsFile(ns)))
+      .fieldsMap.map { case (k, v) => k -> v.asText() })
+
+  override def createNamespace(ns: String, properties: Map[String, String]): Unit = {
+    require(!io.exists(nsFile(ns)), s"namespace already exists: $ns")
+    io.writeString(nsFile(ns), graft.spec.Json.objString(properties), overwrite = false)
+  }
+
+  override def namespaceExists(ns: String): Boolean =
+    io.exists(nsFile(ns)) || super.namespaceExists(ns)
+
+  override def listNamespaces(): Seq[String] = {
+    val fs = io.fs(warehouse)
+    val p = new org.apache.hadoop.fs.Path(warehouse)
+    val explicit =
+      if (!fs.exists(p)) Nil
+      else fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+        .filter(d => io.exists(nsFile(d)))
+    (explicit ++ super.listNamespaces()).distinct.sorted
+  }
+
+  override def namespaceProperties(ns: String): Map[String, String] =
+    readNsProps(ns).getOrElse(super.namespaceProperties(ns))
+
+  override def updateNamespaceProperties(ns: String, sets: Map[String, String],
+      removes: Set[String]): Unit = {
+    require(namespaceExists(ns), s"no such namespace: $ns")
+    val cur = readNsProps(ns).getOrElse(Map.empty)
+    io.writeString(nsFile(ns),
+      graft.spec.Json.objString(cur ++ sets -- removes), overwrite = true)
+  }
+
+  override def dropNamespace(ns: String): Boolean = {
+    val existed = namespaceExists(ns)
+    if (!existed) return false
+    require(!listTables().exists(_.startsWith(ns + ".")),
+      s"namespace is not empty: $ns")
+    io.delete(s"$warehouse/$ns", recursive = true)
+    true
+  }
 }
 
 /** Commit retry with exponential backoff (transaction/mod.rs:175-252;
@@ -287,6 +371,41 @@ final class MemoryCatalog(warehouse: String, val io: FileIO) extends Catalog {
     if (!committed.last.eq(updated))
       throw CommitConflict(s"stale base version $baseVersion for $name")
     committed.size
+  }
+
+  private val namespaces =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, String]]()
+
+  override def createNamespace(ns: String, properties: Map[String, String]): Unit =
+    require(namespaces.putIfAbsent(ns, properties) == null,
+      s"namespace already exists: $ns")
+
+  override def namespaceExists(ns: String): Boolean =
+    namespaces.containsKey(ns) || super.namespaceExists(ns)
+
+  override def listNamespaces(): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    (namespaces.keySet.asScala.toSeq ++ super.listNamespaces()).distinct.sorted
+  }
+
+  override def namespaceProperties(ns: String): Map[String, String] =
+    Option(namespaces.get(ns)).getOrElse(super.namespaceProperties(ns))
+
+  override def updateNamespaceProperties(ns: String, sets: Map[String, String],
+      removes: Set[String]): Unit = {
+    require(namespaceExists(ns), s"no such namespace: $ns")
+    namespaces.compute(ns, (_, cur) =>
+      (Option(cur).getOrElse(Map.empty) ++ sets) -- removes)
+    ()
+  }
+
+  override def dropNamespace(ns: String): Boolean = {
+    val existed = namespaceExists(ns)
+    if (!existed) return false
+    require(!listTables().exists(_.startsWith(ns + ".")),
+      s"namespace is not empty: $ns")
+    namespaces.remove(ns)
+    true
   }
 }
 

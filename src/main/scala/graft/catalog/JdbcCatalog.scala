@@ -200,4 +200,108 @@ final class JdbcCatalog(jdbcUrl: String, warehouse: String, val io: FileIO,
     }
     baseVersion + 1
   }
+
+  // ---- explicit namespaces: the reference SQL catalog's
+  //      `iceberg_namespace_properties` table (catalog/sql/src/catalog.rs;
+  //      one row per property, an `exists` marker row for empty ones) ----
+
+  private val NsTable = "iceberg_namespace_properties"
+  private val NsMarker = "exists"
+
+  locally {
+    withConn { c =>
+      val meta = c.getMetaData.getTables(null, null, NsTable.toUpperCase, null)
+      val exists = meta.next()
+      meta.close()
+      if (!exists) {
+        val st = c.createStatement()
+        try st.executeUpdate(
+          s"""CREATE TABLE $NsTable (
+             |  catalog_name VARCHAR(255) NOT NULL,
+             |  namespace VARCHAR(255) NOT NULL,
+             |  property_key VARCHAR(255) NOT NULL,
+             |  property_value VARCHAR(1000),
+             |  PRIMARY KEY (catalog_name, namespace, property_key))""".stripMargin)
+        catch { case _: java.sql.SQLException => () }
+        finally st.close()
+      }
+    }
+  }
+
+  private def nsRows(c: Connection, ns: String): Map[String, String] = {
+    val ps = c.prepareStatement(
+      s"SELECT property_key, property_value FROM $NsTable WHERE catalog_name = ? AND namespace = ?")
+    try {
+      ps.setString(1, catalogName); ps.setString(2, ns)
+      val rs = ps.executeQuery()
+      val b = Map.newBuilder[String, String]
+      while (rs.next()) b += rs.getString(1) -> rs.getString(2)
+      b.result()
+    } finally ps.close()
+  }
+
+  private def putNsRow(c: Connection, ns: String, k: String, v: String): Unit = {
+    val ps = c.prepareStatement(
+      s"INSERT INTO $NsTable (catalog_name, namespace, property_key, property_value) VALUES (?, ?, ?, ?)")
+    try { ps.setString(1, catalogName); ps.setString(2, ns)
+      ps.setString(3, k); ps.setString(4, v); ps.executeUpdate(); ()
+    } finally ps.close()
+  }
+
+  override def createNamespace(ns: String, properties: Map[String, String]): Unit =
+    withConn { c =>
+      require(nsRows(c, ns).isEmpty, s"namespace already exists: $ns")
+      (properties + (NsMarker -> "true")).foreach { case (k, v) => putNsRow(c, ns, k, v) }
+    }
+
+  override def namespaceExists(ns: String): Boolean =
+    withConn(c => nsRows(c, ns).nonEmpty) || super.namespaceExists(ns)
+
+  override def listNamespaces(): Seq[String] = {
+    val explicit = withConn { c =>
+      val ps = c.prepareStatement(
+        s"SELECT DISTINCT namespace FROM $NsTable WHERE catalog_name = ?")
+      try { ps.setString(1, catalogName)
+        val rs = ps.executeQuery()
+        val b = Seq.newBuilder[String]
+        while (rs.next()) b += rs.getString(1)
+        b.result()
+      } finally ps.close()
+    }
+    (explicit ++ super.listNamespaces()).distinct.sorted
+  }
+
+  override def namespaceProperties(ns: String): Map[String, String] = {
+    val rows = withConn(c => nsRows(c, ns))
+    if (rows.nonEmpty) rows - NsMarker else super.namespaceProperties(ns)
+  }
+
+  override def updateNamespaceProperties(ns: String, sets: Map[String, String],
+      removes: Set[String]): Unit = withConn { c =>
+    require(nsRows(c, ns).nonEmpty || super.namespaceExists(ns),
+      s"no such namespace: $ns")
+    val del = c.prepareStatement(
+      s"DELETE FROM $NsTable WHERE catalog_name = ? AND namespace = ? AND property_key = ?")
+    try (sets.keySet ++ removes).foreach { k =>
+      del.setString(1, catalogName); del.setString(2, ns); del.setString(3, k)
+      del.executeUpdate()
+    } finally del.close()
+    sets.foreach { case (k, v) =>
+      if (!removes.contains(k) && k != NsMarker) putNsRow(c, ns, k, v)
+    }
+  }
+
+  override def dropNamespace(ns: String): Boolean = {
+    val existed = namespaceExists(ns)
+    if (!existed) return false
+    require(!listTables().exists(_.startsWith(ns + ".")),
+      s"namespace is not empty: $ns")
+    withConn { c =>
+      val ps = c.prepareStatement(
+        s"DELETE FROM $NsTable WHERE catalog_name = ? AND namespace = ?")
+      try { ps.setString(1, catalogName); ps.setString(2, ns); ps.executeUpdate() }
+      finally ps.close()
+    }
+    true
+  }
 }

@@ -192,7 +192,7 @@ final class RestCatalog(baseUri: String, namespace: String, val io: FileIO,
 
   // ---- namespace surface (REST spec; reference catalog.rs:570-740) ----
 
-  def createNamespace(ns: String, properties: Map[String, String] = Map.empty): Unit = {
+  override def createNamespace(ns: String, properties: Map[String, String]): Unit = {
     val body = obj()
     val e = Json.arr(); e.add(ns)
     body.set[ArrayNode]("namespace", e)
@@ -203,7 +203,7 @@ final class RestCatalog(baseUri: String, namespace: String, val io: FileIO,
     require(resp.statusCode() == 200, s"createNamespace failed: ${resp.body()}")
   }
 
-  def listNamespaces(): Seq[String] = {
+  override def listNamespaces(): Seq[String] = {
     val out = Seq.newBuilder[String]
     var token: Option[String] = None
     var more = true
@@ -220,14 +220,22 @@ final class RestCatalog(baseUri: String, namespace: String, val io: FileIO,
     out.result().sorted
   }
 
-  def namespaceExists(ns: String): Boolean =
+  override def namespaceExists(ns: String): Boolean =
     send(head(s"$baseUri/v1/namespaces/$ns")).statusCode() == 200
+
+  override def namespaceProperties(ns: String): Map[String, String] =
+    loadNamespace(ns)
 
   def loadNamespace(ns: String): Map[String, String] = {
     val resp = send(get(s"$baseUri/v1/namespaces/$ns"))
     require(resp.statusCode() == 200, s"no such namespace: $ns")
     Json.parse(resp.body()).opt("properties")
       .map(_.fieldsMap.map { case (k, v) => k -> v.asText() }).getOrElse(Map.empty)
+  }
+
+  override def updateNamespaceProperties(ns: String, sets: Map[String, String],
+      removes: Set[String]): Unit = {
+    updateNamespaceProperties(ns, sets, removes.toSeq); ()
   }
 
   /** Returns (updated, removed, missing) keys as echoed by the service. */
@@ -246,7 +254,7 @@ final class RestCatalog(baseUri: String, namespace: String, val io: FileIO,
     (ss("updated"), ss("removed"), ss("missing"))
   }
 
-  def dropNamespace(ns: String): Boolean = {
+  override def dropNamespace(ns: String): Boolean = {
     val resp = send(delete(s"$baseUri/v1/namespaces/$ns"))
     if (resp.statusCode() == 409)
       throw new IllegalStateException(s"namespace $ns is not empty")

@@ -29,7 +29,14 @@ import graft.table.GraftTable
   */
 final class GraftCatalogPlugin extends CatalogPlugin with TableCatalog with ViewCatalog
     with org.apache.spark.sql.connector.catalog.FunctionCatalog
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.SupportsNamespaces {
+
+  /** Multi-part identifiers flatten to dotted names in the underlying
+    * catalog: `cat.ns1.t` → table "ns1.t" — so same-named tables in
+    * different namespaces never collide. */
+  private def flatName(ident: Identifier): String =
+    (ident.namespace() :+ ident.name()).mkString(".")
 
   /** `CALL <cat>.system.<proc>(...)` — SQL maintenance procedures
     * (GraftProcedures: rewrite/expire/orphans/rollback/branch/tag/stats). */
@@ -67,28 +74,32 @@ final class GraftCatalogPlugin extends CatalogPlugin with TableCatalog with View
 
   override def name(): String = catalogName
 
-  override def listTables(namespace: Array[String]): Array[Identifier] =
-    catalog.listTables().map(t => Identifier.of(namespace, t)).toArray
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val prefix = if (namespace.isEmpty) "" else namespace.mkString(".") + "."
+    catalog.listTables()
+      .filter(t => t.startsWith(prefix) && !t.stripPrefix(prefix).contains('.'))
+      .map(t => Identifier.of(namespace, t.stripPrefix(prefix))).toArray
+  }
 
   override def loadTable(ident: Identifier): SparkTable = {
     // metadata tables: `SELECT * FROM <cat>.<table>.<meta>` (Iceberg's
     // inspect surface in SQL; inspect/metadata_table.rs)
-    if (ident.namespace().length == 1 &&
+    if (ident.namespace().nonEmpty &&
         GraftMetadataSparkTable.Names(ident.name()) &&
-        catalog.tableExists(ident.namespace()(0)))
+        catalog.tableExists(ident.namespace().mkString(".")))
       return new GraftMetadataSparkTable(
-        GraftTable.load(ident.namespace()(0), catalog), ident.name())
+        GraftTable.load(ident.namespace().mkString("."), catalog), ident.name())
     // NoSuchTableException (not a generic error) so Spark's analyzer falls
     // through to loadView for identifiers that name a view
-    if (!catalog.tableExists(ident.name()))
+    if (!catalog.tableExists(flatName(ident)))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
-    new GraftSparkTable(GraftTable.load(ident.name(), catalog))
+    new GraftSparkTable(GraftTable.load(flatName(ident), catalog))
   }
 
   /** SQL time travel: `FOR SYSTEM_VERSION AS OF <snapshot-id|ref>` —
     * Spark routes VERSION AS OF here with the version string. */
   override def loadTable(ident: Identifier, version: String): SparkTable = {
-    val t = GraftTable.load(ident.name(), catalog)
+    val t = GraftTable.load(flatName(ident), catalog)
     val snapId = t.metadata.refs.get(version).map(_.snapshotId)
       .orElse(scala.util.Try(version.toLong).toOption)
       .getOrElse(throw new IllegalArgumentException(
@@ -99,12 +110,12 @@ final class GraftCatalogPlugin extends CatalogPlugin with TableCatalog with View
   /** SQL time travel: `FOR SYSTEM_TIME AS OF <ts>` — Spark passes the
     * timestamp in MICROseconds. */
   override def loadTable(ident: Identifier, timestamp: Long): SparkTable = {
-    val t = GraftTable.load(ident.name(), catalog)
+    val t = GraftTable.load(flatName(ident), catalog)
     new GraftSparkTable(t.asOfTimestamp(timestamp / 1000L))
   }
 
   override def tableExists(ident: Identifier): Boolean =
-    catalog.tableExists(ident.name())
+    catalog.tableExists(flatName(ident))
 
   /** `CREATE TABLE ... PARTITIONED BY (identity | bucket(N, c) |
     * truncate(W, c) | years/months/days/hours(c))` → the Iceberg
@@ -118,7 +129,7 @@ final class GraftCatalogPlugin extends CatalogPlugin with TableCatalog with View
       else PartitionSpec(0, partitions.toSeq.zipWithIndex.map { case (t, i) =>
         GraftCatalogPlugin.toPartitionField(iceSchema, t, 1000 + i)
       })
-    val t = GraftTable.create(ident.name(), catalog, iceSchema, spec,
+    val t = GraftTable.create(flatName(ident), catalog, iceSchema, spec,
       properties.asScala.toMap)
     new GraftSparkTable(t)
   }
@@ -129,14 +140,16 @@ final class GraftCatalogPlugin extends CatalogPlugin with TableCatalog with View
     * column paths are refused (top-level evolution only, SURVEY §8). */
   override def alterTable(ident: Identifier, changes: TableChange*): SparkTable = {
     import org.apache.spark.sql.connector.catalog.TableChange._
-    val t = GraftTable.load(ident.name(), catalog)
+    val t = GraftTable.load(flatName(ident), catalog)
     def topLevel(fieldNames: Array[String]): String = {
       require(fieldNames.length == 1,
         s"nested column evolution not supported: ${fieldNames.mkString(".")}")
       fieldNames.head
     }
     val schemaChanges = changes.collect {
-      case _: AddColumn | _: DeleteColumn | _: RenameColumn | _: UpdateColumnType => ()
+      case _: AddColumn | _: DeleteColumn | _: RenameColumn |
+          _: UpdateColumnType | _: UpdateColumnComment |
+          _: UpdateColumnNullability => ()
     }
     if (schemaChanges.nonEmpty) {
       val u = t.updateSchema()
@@ -156,6 +169,13 @@ final class GraftCatalogPlugin extends CatalogPlugin with TableCatalog with View
         case tt: UpdateColumnType =>
           u.updateColumnType(topLevel(tt.fieldNames()),
             graft.spec.IcebergType.fromSpark(tt.newDataType(), () => 0))
+        case c: UpdateColumnComment =>
+          u.updateColumnDoc(topLevel(c.fieldNames()), Option(c.newComment()))
+        case n: UpdateColumnNullability =>
+          if (n.nullable()) u.makeColumnOptional(topLevel(n.fieldNames()))
+          else throw new UnsupportedOperationException(
+            "cannot make an existing column NOT NULL: already-written rows " +
+              "cannot be proven non-null (Iceberg rule)")
         case _ => ()
       }
       u.commit()
@@ -166,21 +186,30 @@ final class GraftCatalogPlugin extends CatalogPlugin with TableCatalog with View
     // property: route it through the guarded upgrade transaction
     sets.get("format-version").foreach(v =>
       graft.table.Transactions.upgradeFormatVersion(
-        GraftTable.load(ident.name(), catalog), v.toInt))
+        GraftTable.load(flatName(ident), catalog), v.toInt))
     val plainSets = sets - "format-version"
     if (plainSets.nonEmpty || removes.nonEmpty)
-      GraftTable.load(ident.name(), catalog).updateProperties(plainSets, removes)
-    new GraftSparkTable(GraftTable.load(ident.name(), catalog))
+      GraftTable.load(flatName(ident), catalog).updateProperties(plainSets, removes)
+    new GraftSparkTable(GraftTable.load(flatName(ident), catalog))
   }
 
   override def dropTable(ident: Identifier): Boolean =
-    catalog.dropTable(ident.name())
+    if (!catalog.tableExists(flatName(ident))) false
+    else catalog.dropTable(flatName(ident))
 
   /** SQL `ALTER TABLE x RENAME TO y`: delegated to the catalog's pointer
     * rename (jdbc/memory/rest/hms support it; hadoop refuses — name is
     * path-coupled, same as the reference). */
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    catalog.renameTable(oldIdent.name(), newIdent.name())
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    // Spark hands the `RENAME TO` target through RAW (catalog part not
+    // stripped): a leading segment equal to this catalog's name is the
+    // catalog qualifier, not a namespace
+    val dst =
+      if (newIdent.namespace().headOption.contains(catalogName))
+        Identifier.of(newIdent.namespace().drop(1), newIdent.name())
+      else newIdent
+    catalog.renameTable(flatName(oldIdent), flatName(dst))
+  }
 
   // ---- ViewCatalog (view_metadata.rs:59 surface over the ViewStore) ----
 
@@ -189,30 +218,37 @@ final class GraftCatalogPlugin extends CatalogPlugin with TableCatalog with View
     * plan storage-partitioned joins over bucket layouts (identity
     * transforms resolve without a function catalog). */
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
-    Array(Identifier.of(namespace, "bucket"))
+    ("bucket" +: graft.functions.GraftTemporalFunctions.byName.keys.toSeq.sorted)
+      .map(Identifier.of(namespace, _)).toArray
 
   override def loadFunction(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
     ident.name() match {
       case "bucket" => graft.functions.GraftBucketFunction
+      case n if graft.functions.GraftTemporalFunctions.byName.contains(n) =>
+        graft.functions.GraftTemporalFunctions.byName(n)
       case _ => throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchFunctionException(ident)
     }
 
-  override def listViews(namespace: String*): Array[Identifier] =
-    views.list().map(v => Identifier.of(namespace.toArray, v)).toArray
+  override def listViews(namespace: String*): Array[Identifier] = {
+    val prefix = if (namespace.isEmpty) "" else namespace.mkString(".") + "."
+    views.list()
+      .filter(v => v.startsWith(prefix) && !v.stripPrefix(prefix).contains('.'))
+      .map(v => Identifier.of(namespace.toArray, v.stripPrefix(prefix))).toArray
+  }
 
-  override def viewExists(ident: Identifier): Boolean = views.exists(ident.name())
+  override def viewExists(ident: Identifier): Boolean = views.exists(flatName(ident))
 
   override def loadView(ident: Identifier): View = {
-    if (!views.exists(ident.name()))
+    if (!views.exists(flatName(ident)))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
-    val (md, _) = views.load(ident.name())
-    new GraftSparkView(ident.name(), md)
+    val (md, _) = views.load(flatName(ident))
+    new GraftSparkView(flatName(ident), md)
   }
 
   override def createView(info: ViewInfo): View = {
-    val name = info.ident().name()
+    val name = flatName(info.ident())
     if (views.exists(name))
       throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(info.ident())
     val md = ViewMetadata.newView(
@@ -233,21 +269,70 @@ final class GraftCatalogPlugin extends CatalogPlugin with TableCatalog with View
   /** Property changes only — they don't create a new view version
     * (view spec: properties are metadata, versions are definitions). */
   override def alterView(ident: Identifier, changes: ViewChange*): View = {
-    val (md, v) = views.load(ident.name())
+    val (md, v) = views.load(flatName(ident))
     val props = changes.foldLeft(md.properties) {
       case (p, s: ViewChange.SetProperty) => p + (s.property() -> s.value())
       case (p, r: ViewChange.RemoveProperty) => p - r.property()
       case (p, _) => p
     }
     val updated = md.copy(properties = props)
-    views.update(ident.name(), v, updated)
-    new GraftSparkView(ident.name(), updated)
+    views.update(flatName(ident), v, updated)
+    new GraftSparkView(flatName(ident), updated)
   }
 
-  override def dropView(ident: Identifier): Boolean = views.drop(ident.name())
+  override def dropView(ident: Identifier): Boolean = views.drop(flatName(ident))
 
   override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("view rename is not supported")
+
+  // ---- SupportsNamespaces (catalog/mod.rs namespace surface; dotted in
+  //      the underlying catalog, arrays at the Spark boundary) ----
+
+  private def dotted(ns: Array[String]): String = ns.mkString(".")
+
+  override def listNamespaces(): Array[Array[String]] =
+    catalog.listNamespaces().map(_.split('.').asInstanceOf[Array[String]]).toArray
+
+  override def listNamespaces(parent: Array[String]): Array[Array[String]] = {
+    if (parent.isEmpty) return listNamespaces().filter(_.length == 1)
+    if (!catalog.namespaceExists(dotted(parent)))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(parent)
+    val prefix = dotted(parent) + "."
+    catalog.listNamespaces()
+      .filter(n => n.startsWith(prefix) && !n.stripPrefix(prefix).contains('.'))
+      .map(_.split('.').asInstanceOf[Array[String]]).toArray
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    catalog.namespaceExists(dotted(namespace))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!catalog.namespaceExists(dotted(namespace)))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(namespace)
+    import scala.jdk.CollectionConverters._
+    catalog.namespaceProperties(dotted(namespace)).asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    import scala.jdk.CollectionConverters._
+    catalog.createNamespace(dotted(namespace), metadata.asScala.toMap)
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: org.apache.spark.sql.connector.catalog.NamespaceChange*): Unit = {
+    import org.apache.spark.sql.connector.catalog.NamespaceChange._
+    val sets = changes.collect { case s: SetProperty => s.property() -> s.value() }.toMap
+    val removes = changes.collect { case r: RemoveProperty => r.property() }.toSet
+    catalog.updateNamespaceProperties(dotted(namespace), sets, removes)
+  }
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val ns = dotted(namespace)
+    if (cascade)
+      catalog.listTables().filter(_.startsWith(ns + ".")).foreach(catalog.dropTable)
+    catalog.dropNamespace(ns)
+  }
 }
 
 object GraftCatalogPlugin {

@@ -14,6 +14,13 @@ object Json {
   def obj(): ObjectNode = mapper.createObjectNode()
   def arr(): ArrayNode = mapper.createArrayNode()
   def write(n: JsonNode): String = mapper.writeValueAsString(n)
+
+  /** A flat string→string map as a sorted-key JSON object string. */
+  def objString(m: Map[String, String]): String = {
+    val o = obj()
+    m.toSeq.sortBy(_._1).foreach { case (k, v) => o.put(k, v) }
+    write(o)
+  }
   def writePretty(n: JsonNode): String =
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(n)
 
