@@ -102,8 +102,11 @@ object IcebergType {
     case FixedT(_) => BinaryType
     case BinaryT => BinaryType
     case StructT(fields) =>
-      StructType(fields.map(f => StructField(f.name, toSpark(f.fieldType), nullable = !f.required,
-        metadata = new MetadataBuilder().putLong(IcebergSchema.FieldIdKey, f.id.toLong).build())))
+      StructType(fields.map { f =>
+        val sf = StructField(f.name, toSpark(f.fieldType), nullable = !f.required,
+          metadata = new MetadataBuilder().putLong(IcebergSchema.FieldIdKey, f.id.toLong).build())
+        f.doc.fold(sf)(sf.withComment) // Iceberg doc ⇄ Spark column comment
+      })
     case ListT(_, elem, elemRequired) => ArrayType(toSpark(elem), containsNull = !elemRequired)
     case MapT(_, k, _, v, vRequired) => MapType(toSpark(k), toSpark(v), valueContainsNull = !vRequired)
   }
@@ -126,7 +129,8 @@ object IcebergType {
     case st: StructType =>
       StructT(st.fields.toSeq.map { f =>
         val id = nextId()
-        NestedField(id, f.name, fromSpark(f.dataType, nextId), required = !f.nullable)
+        NestedField(id, f.name, fromSpark(f.dataType, nextId),
+          required = !f.nullable, doc = f.getComment())
       })
     case ArrayType(elem, containsNull) =>
       val id = nextId()

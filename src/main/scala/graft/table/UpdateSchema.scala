@@ -19,6 +19,8 @@ final class UpdateSchema private[table] (table: GraftTable) {
   private var renames = Map.empty[String, String]
   private var promotions = Map.empty[String, IcebergType]
   private var newWriteDefaults = Map.empty[String, Any]
+  private var newDocs = Map.empty[String, Option[String]]
+  private var optionals = Set.empty[String]
 
   def addColumn(name: String, t: IcebergType, doc: Option[String] = None): UpdateSchema = {
     adds :+= ((name, t, doc, None)); this
@@ -42,6 +44,15 @@ final class UpdateSchema private[table] (table: GraftTable) {
   def updateColumnType(name: String, t: IcebergType): UpdateSchema = {
     promotions += name -> t; this
   }
+  /** Set (Some) or clear (None) a column's doc string. */
+  def updateColumnDoc(name: String, doc: Option[String]): UpdateSchema = {
+    newDocs += name -> doc; this
+  }
+  /** required → optional is always safe; the reverse cannot be proven
+    * against already-written files and is refused (Iceberg rule). */
+  def makeColumnOptional(name: String): UpdateSchema = {
+    optionals += name; this
+  }
 
   private def canPromote(from: IcebergType, to: IcebergType): Boolean = (from, to) match {
     case (a, b) if a == b => true
@@ -58,7 +69,8 @@ final class UpdateSchema private[table] (table: GraftTable) {
     val cur = base.currentSchema
 
     // validation: every referenced column must exist
-    (drops ++ renames.keySet ++ promotions.keySet ++ newWriteDefaults.keySet).foreach { n =>
+    (drops ++ renames.keySet ++ promotions.keySet ++ newWriteDefaults.keySet ++
+      newDocs.keySet ++ optionals).foreach { n =>
       require(cur.findField(n).isDefined, s"cannot evolve unknown column: $n")
     }
     adds.foreach { case (n, _, _, d) =>
@@ -90,8 +102,10 @@ final class UpdateSchema private[table] (table: GraftTable) {
           case None => f.fieldType
         }
         val newWriteDefault = newWriteDefaults.get(f.name).orElse(f.writeDefault)
+        val newDoc = newDocs.getOrElse(f.name, f.doc)
+        val newRequired = if (optionals.contains(f.name)) false else f.required
         Some(f.copy(name = renamed, fieldType = newType,
-          writeDefault = newWriteDefault))
+          writeDefault = newWriteDefault, doc = newDoc, required = newRequired))
       }
     }
     val added: Seq[NestedField] = adds.map { case (n, t, doc, default) =>
