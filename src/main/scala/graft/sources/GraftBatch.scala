@@ -458,7 +458,25 @@ class GraftBatchScan(table: GraftTable, predicate: Predicate,
       case AlwaysTrue => table.newScan()
       case p => table.newScan().withFilter(p)
     }
-    val (allPlanned, planMetrics) = planCompact(scan)
+    val (allPlanned0, planMetrics) = planCompact(scan)
+    // DataFrame-level incremental append read: `.option("start-snapshot-id",
+    // from)` [+ "end-snapshot-id"] restricts the planned set to files
+    // COMMITTED in (from, to] — the reader-option mirror of
+    // appendsBetween (i27/i32). Pruning, splits and delete binding are
+    // inherited from the normal plan; non-append snapshots in range are
+    // refused exactly as the API refuses them. The allowed-path set is
+    // window-sized (one CDC increment), not corpus-sized.
+    val allPlanned = options.get("start-snapshot-id") match {
+      case None => allPlanned0
+      case Some(from) =>
+        val to = options.get("end-snapshot-id").map(_.toLong)
+          .orElse(table.metadata.currentSnapshotId)
+          .getOrElse(throw new IllegalArgumentException(
+            "incremental read on a table with no snapshots"))
+        val allowed = table.newScan().appendsBetween(from.toLong, to)
+          .planFiles().map(t => qualify(t.file.filePath)).toSet
+        allPlanned0.filter(t => allowed(qualify(t.filePath)))
+    }
     lastScanMetrics = Some(planMetrics)
     val deletes = scan.planDeletes()
     // pos-delete parquet is bound per data file through the

@@ -54,10 +54,12 @@ final class GraftSource extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): SparkTable =
-    new GraftSparkTable(load(new CaseInsensitiveStringMap(properties)))
+    new GraftSparkTable(load(new CaseInsensitiveStringMap(properties)),
+      viaProvider = true) // no FunctionCatalog on this path
 }
 
-final class GraftSparkTable(table: GraftTable) extends SparkTable
+final class GraftSparkTable(table: GraftTable, viaProvider: Boolean = false)
+    extends SparkTable
     with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -130,6 +132,8 @@ final class GraftSparkTable(table: GraftTable) extends SparkTable
     * reader-option mirror of SQL `VERSION AS OF` / `TIMESTAMP AS OF`. */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val pinned = Option(options.get("snapshot-id")).map(id => table.atSnapshot(id.toLong))
+      .orElse(Option(options.get("end-snapshot-id"))
+        .map(id => table.atSnapshot(id.toLong))) // incremental read window end
       .orElse(Seq("branch", "tag", "ref").flatMap(k => Option(options.get(k))).headOption
         .map { r =>
           val ref = table.metadata.refs.getOrElse(r,
@@ -150,7 +154,7 @@ final class GraftSparkTable(table: GraftTable) extends SparkTable
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new GraftWriteBuilder(table, info.schema(),
-      queryId = Option(info.queryId()))
+      queryId = Option(info.queryId()), viaProvider = viaProvider)
 
   /** `DELETE FROM t WHERE p`, metadata path: when every filter translates
     * EXACTLY (SparkFilters.exactConjunction — a weakened pruning

@@ -667,4 +667,42 @@ class GraftSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.count() === 195)
     assert(df.filter($"id" <= 5).count() === 0)
   }
+
+  test("incremental reader options: (start, end] appends only, refuses deletes in range") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-incopt-").toString
+    val cat = new graft.catalog.HadoopCatalog(wh, graft.io.FileIO.fromSpark(spark))
+    val schema = graft.spec.IcebergSchema.fromSpark(
+      Seq((1L, "a")).toDF("id", "v").schema)
+    var t = graft.table.GraftTable.create("inc", cat, schema)
+    t = t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val s1 = t.metadata.currentSnapshotId.get
+    t = t.append(Seq((3L, "c"), (4L, "d")).toDF("id", "v"))
+    val s2 = t.metadata.currentSnapshotId.get
+    t = t.append(Seq((5L, "e")).toDF("id", "v"))
+
+    def read(opts: (String, String)*) = {
+      val r = spark.read.format("graft")
+        .option("warehouse", wh).option("table", "inc")
+      opts.foreach { case (k, v) => r.option(k, v) }
+      r.load()
+    }
+    // bounded window (s1, s2]
+    assert(read("start-snapshot-id" -> s1.toString,
+        "end-snapshot-id" -> s2.toString)
+      .select("id").as[Long].collect().sorted.toSeq === Seq(3L, 4L))
+    // open window (s1, current]
+    assert(read("start-snapshot-id" -> s1.toString)
+      .select("id").as[Long].collect().sorted.toSeq === Seq(3L, 4L, 5L))
+    // pushed filters still prune within the window
+    assert(read("start-snapshot-id" -> s1.toString)
+      .filter($"id" === 5L).select("id").as[Long].collect().toSeq === Seq(5L))
+    // a delete snapshot inside the window is refused (append-only contract)
+    t = t.deleteWhere(graft.expr.BinaryPred(graft.expr.Eq, "id", 3L), spark)
+    val e = intercept[Exception] {
+      read("start-snapshot-id" -> s1.toString).collect()
+    }
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .take(8).exists(c => Option(c.getMessage).exists(_.contains("not append"))))
+  }
 }
