@@ -23,6 +23,51 @@ object GraftBucketFunction extends UnboundFunction {
   }
 }
 
+/** V2 temporal transform functions (years/months/days/hours) — resolve
+  * the temporal partition transforms the write path declares in its
+  * required distribution (and that temporal-partitioned scans could
+  * report for SPJ). Ordinals relative to 1970-01-01, identical to
+  * `Transform.applyValue` (transform/temporal.rs:46-430). */
+final class GraftTemporalFunction(fnName: String,
+    transform: graft.spec.Transform) extends UnboundFunction {
+  override def name(): String = fnName
+  override def description(): String =
+    s"$fnName(col) — iceberg temporal transform (epoch-relative ordinal)"
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 1,
+      s"$fnName takes (value), got ${inputType.catalogString}")
+    new GraftTemporalBound(fnName, transform, inputType.fields(0).dataType)
+  }
+}
+
+final class GraftTemporalBound(fnName: String, transform: graft.spec.Transform,
+    valueType: DataType) extends ScalarFunction[Integer] {
+  override def inputTypes(): Array[DataType] = Array(valueType)
+  override def resultType(): DataType = IntegerType
+  override def name(): String = fnName
+  override def canonicalName(): String =
+    s"graft.$fnName(${valueType.catalogString})"
+
+  override def produceResult(input: InternalRow): Integer = {
+    if (input.isNullAt(0)) return null
+    val (v, it) = valueType match {
+      case DateType => (input.getInt(0), graft.spec.IcebergType.DateT)
+      case TimestampType => (input.getLong(0), graft.spec.IcebergType.TimestamptzT)
+      case TimestampNTZType => (input.getLong(0), graft.spec.IcebergType.TimestampT)
+      case other => throw new UnsupportedOperationException(s"$fnName over $other")
+    }
+    Integer.valueOf(transform.applyValue(v, it).asInstanceOf[Int])
+  }
+}
+
+object GraftTemporalFunctions {
+  val byName: Map[String, GraftTemporalFunction] = Map(
+    "years" -> new GraftTemporalFunction("years", graft.spec.Transform.Year),
+    "months" -> new GraftTemporalFunction("months", graft.spec.Transform.Month),
+    "days" -> new GraftTemporalFunction("days", graft.spec.Transform.Day),
+    "hours" -> new GraftTemporalFunction("hours", graft.spec.Transform.Hour))
+}
+
 final class GraftBucketBound(valueType: DataType) extends ScalarFunction[Integer] {
   override def inputTypes(): Array[DataType] = Array(IntegerType, valueType)
   override def resultType(): DataType = IntegerType

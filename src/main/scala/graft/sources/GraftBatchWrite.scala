@@ -46,7 +46,8 @@ import graft.table.{AppendWriter, Commits, GraftTable, Locations}
   */
 final class GraftWriteBuilder(table: GraftTable, writeSchema: StructType,
     replaceOp: Option[GraftRowLevelOperation] = None,
-    queryId: Option[String] = None)
+    queryId: Option[String] = None,
+    viaProvider: Boolean = false)
     extends WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsOverwrite
     with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
@@ -83,7 +84,7 @@ final class GraftWriteBuilder(table: GraftTable, writeSchema: StructType,
       case None if truncateFirst => GraftWriteMode.Truncate
       case None => GraftWriteMode.Append
     }
-    new GraftWrite(table, writeSchema, mode, queryId)
+    new GraftWrite(table, writeSchema, mode, queryId, viaProvider)
   }
 }
 
@@ -102,23 +103,40 @@ private[sources] object GraftWriteMode {
 }
 
 final class GraftWrite(table: GraftTable, writeSchema: StructType,
-    mode: GraftWriteMode, queryId: Option[String] = None)
+    mode: GraftWriteMode, queryId: Option[String] = None,
+    viaProvider: Boolean = false)
     extends Write with RequiresDistributionAndOrdering {
 
-  /** Identity specs cluster by the source columns (one shuffle, few files
-    * per partition — the DataFrame path's `hash` distribution mode).
-    * Bucket/temporal transforms would need the graft FunctionCatalog on
-    * every write path to resolve, so they stay unspecified and correctness
-    * falls to the fanout writer. */
+  /** Cluster the incoming rows toward the PARTITION layout (hash
+    * distribution): one shuffle bounds the file count at
+    * O(shuffle-tasks + partitions) instead of O(read-tasks × partitions)
+    * — the small-file difference at 100 TB. Temporal transforms shuffle
+    * on the transform itself (one task per day/month); bucket/truncate
+    * shuffle on the SOURCE column — a strictly finer clustering with the
+    * same file bound per task, chosen because `bucket` only resolves
+    * through a FunctionCatalog, which the path-based `format("graft")`
+    * write path doesn't have (Spark: "bucket(4, id) is not currently
+    * supported" without one); on the provider path (no catalog at all)
+    * temporal transforms don't resolve either, so it falls back to
+    * identity on every source column. Void fields distribute nothing. */
   override def requiredDistribution(): Distribution = {
+    import org.apache.spark.sql.connector.expressions.Expression
     val spec = table.spec
-    val allIdentity =
-      spec.fields.nonEmpty && spec.fields.forall(_.transform == Transform.Identity)
-    if (allIdentity)
-      Distributions.clustered(spec.fields.map(f =>
-        Expressions.identity(table.schema.idToField(f.sourceId).name):
-          org.apache.spark.sql.connector.expressions.Expression).toArray)
-    else Distributions.unspecified()
+    val exprs: Seq[Expression] = spec.fields.flatMap { f =>
+      val name = table.schema.idToField(f.sourceId).name
+      f.transform match {
+        case Transform.Identity | Transform.Bucket(_) | Transform.Truncate(_) =>
+          Some(Expressions.identity(name))
+        case Transform.Year if !viaProvider => Some(Expressions.years(name))
+        case Transform.Month if !viaProvider => Some(Expressions.months(name))
+        case Transform.Day if !viaProvider => Some(Expressions.days(name))
+        case Transform.Hour if !viaProvider => Some(Expressions.hours(name))
+        case Transform.Void => None
+        case _ => Some(Expressions.identity(name)) // provider-path temporal
+      }
+    }
+    if (exprs.isEmpty) Distributions.unspecified()
+    else Distributions.clustered(exprs.toArray)
   }
 
   override def requiredOrdering(): Array[V2SortOrder] = Array.empty
