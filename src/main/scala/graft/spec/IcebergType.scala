@@ -124,6 +124,15 @@ object IcebergType {
     case TimestampNTZType => TimestampT
     case TimestampType => TimestamptzT
     case StringType => StringT
+    // Iceberg has no length-bounded strings, and once the schema
+    // round-trips through table metadata Spark's padding/overflow checks
+    // are gone — accepting CHAR/VARCHAR would silently drop the declared
+    // constraint. Refuse with a pointer (Iceberg-Java behavior).
+    case t @ (_: CharType | _: VarcharType) =>
+      throw new IllegalArgumentException(
+        s"char/varchar not supported (no length-bounded string in Iceberg; " +
+          s"the declared length could not be enforced after a metadata " +
+          s"round-trip): declare the column as STRING (got $t)")
     case BinaryType => BinaryT
     case VariantType => VariantT
     case st: StructType =>
