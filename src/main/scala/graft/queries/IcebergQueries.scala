@@ -686,7 +686,44 @@ object IcebergQueries {
       .orderBy(col("new_id"))
   }
 
+  /** Ingest-drift monitoring off the format library: KL divergence of
+    * each commit batch's unigram distribution from the whole-table
+    * mixture — "did the latest ingest shift the corpus?", computed
+    * entirely from time travel (base) + the incremental append scan
+    * (delta). Third composition query: scan surfaces feed the analysis
+    * pillar directly. */
+  val i33 = Q.sql(
+    "i33_commit_drift_kl",
+    """WITH lab AS (
+      |  SELECT CASE WHEN doc_id % 10 = 7 THEN 'delta' ELSE 'base' END
+      |    AS source, text FROM documents),
+      |toks AS (
+      |  SELECT source, unnest(string_split(lower(text), ' ')) AS wd
+      |  FROM lab),
+      |sw AS (SELECT source, wd, count(*) AS c_sw
+      |       FROM toks GROUP BY source, wd),
+      |cw AS (SELECT wd, count(*) AS c_w FROM toks GROUP BY wd),
+      |ts AS (SELECT source, count(*) AS n_s FROM toks GROUP BY source),
+      |tot AS (SELECT count(*) AS n FROM toks)
+      |SELECT sw.source, ts.n_s AS n_tokens,
+      |  (sum(sw.c_sw * CAST(round(ln((sw.c_sw / ts.n_s) /
+      |      (cw.c_w / (SELECT n FROM tot)::DOUBLE)) * 1000000) AS BIGINT))
+      |    // ts.n_s)::BIGINT AS kl_micro
+      |FROM sw JOIN cw ON sw.wd = cw.wd JOIN ts ON sw.source = ts.source
+      |GROUP BY sw.source, ts.n_s ORDER BY sw.source""".stripMargin
+  ) { (s, d) =>
+    val t = IcebergFixtures.documentsTwoCommits(s, d)
+    val snaps = t.metadata.snapshots.sortBy(_.sequenceNumber)
+    val base = t.newScan().useSnapshot(snaps.head.snapshotId).toDF(s)
+      .withColumn("source", lit("base"))
+    val delta = t.newScan()
+      .appendsBetween(snaps.head.snapshotId, snaps.last.snapshotId).toDF(s)
+      .withColumn("source", lit("delta"))
+    graft.pipeline.TextAnalysis.sourceKlDivergence(base.unionByName(delta))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[Q] = Seq(i01, i02, i03, i04, i05, i06, i07, i08, i09, i10,
     i11, i12, i13, i14, i15, i16, i17, i18, i19, i20, i21, i22, i23, i24, i25,
-    i26, i27, i28, i29, i30, i31, i32)
+    i26, i27, i28, i29, i30, i31, i32, i33)
 }
