@@ -78,11 +78,16 @@ trait Catalog {
   //      dotted-string form of the reference's NamespaceIdent) ----
 
   /** Namespaces visible to this catalog: those DERIVED from dotted table
-    * names plus any explicitly created (backend-specific storage — the
-    * default implementation derives only). */
+    * names (EVERY prefix: table a.b.t implies namespaces a and a.b, so
+    * root listings can discover nested implicit namespaces) plus any
+    * explicitly created (backend-specific storage — the default
+    * implementation derives only). */
   def listNamespaces(): Seq[String] =
     listTables().filter(_.contains('.'))
-      .map(t => t.substring(0, t.lastIndexOf('.'))).distinct.sorted
+      .flatMap { t =>
+        val parts = t.split('.').dropRight(1)
+        (1 to parts.length).map(k => parts.take(k).mkString("."))
+      }.distinct.sorted
 
   def namespaceExists(ns: String): Boolean =
     listNamespaces().exists(n => n == ns || n.startsWith(ns + "."))
@@ -273,6 +278,10 @@ final class HadoopCatalog(warehouse: String, val io: FileIO) extends Catalog {
 
   override def createNamespace(ns: String, properties: Map[String, String]): Unit = {
     require(!io.exists(nsFile(ns)), s"namespace already exists: $ns")
+    // the marker dir is warehouse/<ns>; a TABLE of that exact name owns
+    // that directory — writing a marker inside it would let dropNamespace
+    // delete table data
+    require(!tableExists(ns), s"a table named '$ns' already exists")
     io.writeString(nsFile(ns), graft.spec.Json.objString(properties), overwrite = false)
   }
 
@@ -305,7 +314,12 @@ final class HadoopCatalog(warehouse: String, val io: FileIO) extends Catalog {
     if (!existed) return false
     require(!listTables().exists(_.startsWith(ns + ".")),
       s"namespace is not empty: $ns")
-    io.delete(s"$warehouse/$ns", recursive = true)
+    require(!listNamespaces().exists(_.startsWith(ns + ".")),
+      s"namespace has child namespaces: $ns")
+    // delete ONLY the marker (never a recursive directory delete — a
+    // same-named table directory must be unreachable from here)
+    io.delete(nsFile(ns))
+    io.delete(s"$warehouse/$ns", recursive = false) // empty marker dir; no-op if not
     true
   }
 }
@@ -404,6 +418,8 @@ final class MemoryCatalog(warehouse: String, val io: FileIO) extends Catalog {
     if (!existed) return false
     require(!listTables().exists(_.startsWith(ns + ".")),
       s"namespace is not empty: $ns")
+    require(!listNamespaces().exists(_.startsWith(ns + ".")),
+      s"namespace has child namespaces: $ns")
     namespaces.remove(ns)
     true
   }

@@ -251,6 +251,8 @@ final class JdbcCatalog(jdbcUrl: String, warehouse: String, val io: FileIO,
   override def createNamespace(ns: String, properties: Map[String, String]): Unit =
     withConn { c =>
       require(nsRows(c, ns).isEmpty, s"namespace already exists: $ns")
+      require(!properties.contains(NsMarker),
+        s"'$NsMarker' is a reserved namespace property key")
       (properties + (NsMarker -> "true")).foreach { case (k, v) => putNsRow(c, ns, k, v) }
     }
 
@@ -280,6 +282,8 @@ final class JdbcCatalog(jdbcUrl: String, warehouse: String, val io: FileIO,
       removes: Set[String]): Unit = withConn { c =>
     require(nsRows(c, ns).nonEmpty || super.namespaceExists(ns),
       s"no such namespace: $ns")
+    require(!sets.contains(NsMarker) && !removes.contains(NsMarker),
+      s"'$NsMarker' is a reserved namespace property key")
     val del = c.prepareStatement(
       s"DELETE FROM $NsTable WHERE catalog_name = ? AND namespace = ? AND property_key = ?")
     try (sets.keySet ++ removes).foreach { k =>
@@ -296,6 +300,8 @@ final class JdbcCatalog(jdbcUrl: String, warehouse: String, val io: FileIO,
     if (!existed) return false
     require(!listTables().exists(_.startsWith(ns + ".")),
       s"namespace is not empty: $ns")
+    require(!listNamespaces().exists(_.startsWith(ns + ".")),
+      s"namespace has child namespaces: $ns")
     withConn { c =>
       val ps = c.prepareStatement(
         s"DELETE FROM $NsTable WHERE catalog_name = ? AND namespace = ?")

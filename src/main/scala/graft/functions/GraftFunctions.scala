@@ -36,7 +36,14 @@ final class GraftTemporalFunction(fnName: String,
   override def bind(inputType: StructType): BoundFunction = {
     require(inputType.fields.length == 1,
       s"$fnName takes (value), got ${inputType.catalogString}")
-    new GraftTemporalBound(fnName, transform, inputType.fields(0).dataType)
+    val dt = inputType.fields(0).dataType
+    val ok = dt match {
+      case DateType => fnName != "hours" // hours is undefined on dates
+      case TimestampType | TimestampNTZType => true
+      case _ => false
+    }
+    require(ok, s"$fnName over ${dt.catalogString} is not supported")
+    new GraftTemporalBound(fnName, transform, dt)
   }
 }
 

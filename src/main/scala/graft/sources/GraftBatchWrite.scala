@@ -117,8 +117,11 @@ final class GraftWrite(table: GraftTable, writeSchema: StructType,
     * through a FunctionCatalog, which the path-based `format("graft")`
     * write path doesn't have (Spark: "bucket(4, id) is not currently
     * supported" without one); on the provider path (no catalog at all)
-    * temporal transforms don't resolve either, so it falls back to
-    * identity on every source column. Void fields distribute nothing. */
+    * temporal transforms don't resolve either AND identity-on-timestamp
+    * would scatter each day across every task (a shuffle for nothing), so
+    * temporal fields contribute no clustering there — an all-temporal
+    * spec on the provider path stays unspecified, exactly the previous
+    * behavior. Void fields distribute nothing. */
   override def requiredDistribution(): Distribution = {
     import org.apache.spark.sql.connector.expressions.Expression
     val spec = table.spec
@@ -131,8 +134,7 @@ final class GraftWrite(table: GraftTable, writeSchema: StructType,
         case Transform.Month if !viaProvider => Some(Expressions.months(name))
         case Transform.Day if !viaProvider => Some(Expressions.days(name))
         case Transform.Hour if !viaProvider => Some(Expressions.hours(name))
-        case Transform.Void => None
-        case _ => Some(Expressions.identity(name)) // provider-path temporal
+        case _ => None // provider-path temporal (unresolvable) and void
       }
     }
     if (exprs.isEmpty) Distributions.unspecified()

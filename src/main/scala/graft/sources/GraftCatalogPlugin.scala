@@ -329,9 +329,16 @@ final class GraftCatalogPlugin extends CatalogPlugin with TableCatalog with View
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
     val ns = dotted(namespace)
-    if (cascade)
-      catalog.listTables().filter(_.startsWith(ns + ".")).foreach(catalog.dropTable)
-    catalog.dropNamespace(ns)
+    if (!catalog.namespaceExists(ns)) return false
+    val tables = catalog.listTables().filter(_.startsWith(ns + "."))
+    if (!cascade && tables.nonEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NonEmptyNamespaceException(namespace)
+    if (cascade) tables.foreach(catalog.dropTable)
+    // an implicit (derived-only) namespace vanishes WITH its tables: the
+    // backend then reports "didn't exist", but from the caller's view it
+    // existed and is gone — report true
+    catalog.dropNamespace(ns) || cascade
   }
 }
 

@@ -21,7 +21,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingCdc {
 
-  final case class CdcEvent(user_id: Long, event_id: Long, ts: Timestamp,
+  final case class CdcEvent(user_id: Long, event_id: Long, ts_us: Long,
       event_type: String, value: Double)
 
   final case class CdcState(nEvents: Long, tsUs: Long, eventId: Long,
@@ -36,10 +36,18 @@ object StreamingCdc {
       tombstoneType: String = "error"): Dataset[SnapshotUpdate] = {
     val spark = events.sparkSession
     import spark.implicits._
+    // normalize event time to integer MICROseconds up front (the same
+    // unit the batch operator compares on): ms-truncating Timestamp
+    // getters would let a sub-ms tie pick a different LWW winner than
+    // the batch op; nanos-long inputs divide exactly
+    val tsUs = events.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ => unix_micros(col("ts").cast("timestamp"))
+    }
     events
       .select(col("user_id").cast("long").as("user_id"),
         col("event_id").cast("long").as("event_id"),
-        col("ts").cast("timestamp").as("ts"),
+        tsUs.as("ts_us"),
         col("event_type").cast("string").as("event_type"),
         col("value").cast("double").as("value"))
       .as[CdcEvent]
@@ -54,10 +62,9 @@ object StreamingCdc {
     var st = state.getOption.getOrElse(CdcState(0L, Long.MinValue, Long.MinValue, "", 0.0))
     val before = st
     events.foreach { e =>
-      val tsUs = e.ts.getTime * 1000L
-      val wins = tsUs > st.tsUs || (tsUs == st.tsUs && e.event_id > st.eventId)
+      val wins = e.ts_us > st.tsUs || (e.ts_us == st.tsUs && e.event_id > st.eventId)
       st = CdcState(st.nEvents + 1L,
-        if (wins) tsUs else st.tsUs,
+        if (wins) e.ts_us else st.tsUs,
         if (wins) e.event_id else st.eventId,
         if (wins) e.event_type else st.eventType,
         if (wins) e.value else st.value)

@@ -76,4 +76,36 @@ class CatalogLoaderSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!cat.tableExists("jt") && cat.tableExists("jt_renamed"))
     intercept[Exception] { spark.sql("SELECT * FROM cljdbc.jt").collect() }
   }
+
+  test("namespace safety: marker never shadows a table dir, drops never destroy data") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val wh = Files.createTempDirectory("ns-safety-").toString
+    val cat = new HadoopCatalog(wh, graft.io.FileIO.fromSpark(spark))
+    val schema = graft.spec.IcebergSchema.fromSpark(
+      Seq((1L, "a")).toDF("id", "v").schema)
+    // a table named 'foo' owns warehouse/foo — creating namespace 'foo'
+    // must refuse (its marker would live INSIDE the table directory, and
+    // dropNamespace would then delete table data)
+    var t = graft.table.GraftTable.create("foo", cat, schema)
+    t = t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    intercept[IllegalArgumentException] { cat.createNamespace("foo") }
+
+    // dropping a parent of an explicit child namespace refuses
+    cat.createNamespace("a.b", Map("k" -> "v"))
+    intercept[IllegalArgumentException] { cat.dropNamespace("a") }
+    assert(cat.namespaceExists("a.b") && cat.namespaceProperties("a.b") == Map("k" -> "v"))
+
+    // implicit namespaces derive EVERY prefix (root listing discovers them)
+    graft.table.GraftTable.create("x.y.t", cat, schema)
+    assert(cat.listNamespaces().contains("x"))
+    assert(cat.listNamespaces().contains("x.y"))
+
+    // a normal namespace drop removes only the marker
+    assert(cat.dropNamespace("a.b"))
+    assert(!cat.namespaceExists("a.b"))
+    // and the table named like a refused namespace still reads intact
+    assert(graft.table.GraftTable.load("foo", cat).newScan().toDF(spark)
+      .count() === 2)
+  }
 }
