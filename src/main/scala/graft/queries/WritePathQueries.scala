@@ -144,5 +144,70 @@ object WritePathQueries {
       .orderBy(col("o_orderstatus"))
   }
 
-  val all: Seq[Q] = Seq(w01, w02, w03, w04)
+  /** The pipeline→format-library loop closed: quality-aware dedup
+    * (canonical per duplicate cluster) MATERIALIZED into a fresh Graft
+    * table, then answered from the TABLE's scan — proving the curated
+    * corpus a pipeline produces round-trips through the write path
+    * byte-exactly. The oracle recomputes the dedup decision (recursive-
+    * CTE connected components + ranked canonical, the p65 contract) from
+    * raw parquet. */
+  val w05 = Q.sql(
+    "w05_dedup_writeback",
+    """WITH RECURSIVE sh AS (
+      |  SELECT doc_id,
+      |    list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]
+      |                   for i in range(1, len(w)-1)]) AS s
+      |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+      |        FROM documents)
+      |  WHERE len(w) >= 3),
+      |pr AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh a, sh b
+      |  WHERE a.doc_id < b.doc_id
+      |    AND len(list_intersect(a.s, b.s)) /
+      |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+      |e AS (SELECT id_a AS u, id_b AS v FROM pr
+      |      UNION SELECT id_b, id_a FROM pr),
+      |walk(u, v) AS (
+      |  SELECT u, v FROM e
+      |  UNION SELECT w.u, e.v FROM walk w JOIN e ON w.v = e.u WHERE e.v <> w.u),
+      |comp AS (SELECT u AS doc_id, least(u, min(v))::BIGINT AS cluster_id
+      |         FROM walk GROUP BY u),
+      |sc AS (
+      |  SELECT doc_id,
+      |    CAST(round(len(list_distinct(string_split(lower(text), ' ')))
+      |      * 1000000.0 / len(string_split(lower(text), ' '))) AS BIGINT)
+      |      AS score_micro
+      |  FROM documents),
+      |r AS (
+      |  SELECT c.doc_id,
+      |    row_number() OVER (PARTITION BY c.cluster_id
+      |                       ORDER BY sc.score_micro DESC, c.doc_id) AS rn
+      |  FROM comp c JOIN sc ON c.doc_id = sc.doc_id),
+      |keep AS (
+      |  SELECT doc_id FROM documents
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM comp)
+      |  UNION ALL SELECT doc_id FROM r WHERE rn = 1)
+      |SELECT d.source, count(*)::BIGINT AS n_docs,
+      |  CAST(sum(d.n_chars) AS BIGINT) AS chars
+      |FROM documents d JOIN keep k ON d.doc_id = k.doc_id
+      |GROUP BY d.source ORDER BY d.source""".stripMargin
+  ) { (s, d) =>
+    val (catalog, _) = fresh(s, "dwb")
+    val docs = Tables.documents(s, d)
+    val cc = graft.pipeline.Clusters.canonicalByQuality(docs, threshold = 0.5)
+    val keepIds = cc.filter(col("canonical")).select("doc_id")
+      .unionAll(docs.select("doc_id")
+        .join(cc.select("doc_id"), Seq("doc_id"), "left_anti"))
+    val deduped = docs.join(keepIds, Seq("doc_id"))
+    var t = GraftTable.create("wdwb", catalog,
+      IcebergSchema.fromSpark(deduped.schema))
+    t = t.append(deduped)
+    t.newScan().toDF(s)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("chars"))
+      .orderBy(col("source"))
+  }
+
+  val all: Seq[Q] = Seq(w01, w02, w03, w04, w05)
 }
