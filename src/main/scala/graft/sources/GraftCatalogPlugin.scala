@@ -117,13 +117,50 @@ final class GraftCatalogPlugin extends CatalogPlugin with TableCatalog with View
   override def tableExists(ident: Identifier): Boolean =
     catalog.tableExists(flatName(ident))
 
+  /** CREATE-time DDL abilities: declaring `DEFAULT <literal>` columns is
+    * supported (v3 field defaults) — without this capability Spark
+    * refuses the statement before the catalog ever sees it. */
+  override def capabilities()
+      : util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   /** `CREATE TABLE ... PARTITIONED BY (identity | bucket(N, c) |
     * truncate(W, c) | years/months/days/hours(c))` → the Iceberg
-    * partition spec (spec/transform.rs names). */
+    * partition spec (spec/transform.rs names). `DEFAULT <lit>` columns
+    * become v3 initial+write defaults (format-version 3 required — the
+    * same rule the ALTER path enforces). */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): SparkTable = {
     import scala.jdk.CollectionConverters._
-    val iceSchema = IcebergSchema.fromSpark(schema)
+    val iceSchema0 = IcebergSchema.fromSpark(schema)
+    // Spark stores a declared DEFAULT as SQL text in the field metadata;
+    // fold the literal and record it as the Iceberg field default
+    val defaults: Map[String, Any] = schema.fields.flatMap { f =>
+      if (!f.metadata.contains("CURRENT_DEFAULT")) None
+      else {
+        val parsed = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+          .parseExpression(f.metadata.getString("CURRENT_DEFAULT"))
+        val v = org.apache.spark.sql.catalyst.expressions
+          .Cast(parsed, f.dataType, Some("UTC")).eval(null)
+        Some(f.name -> v)
+      }
+    }.toMap
+    val iceSchema =
+      if (defaults.isEmpty) iceSchema0
+      else {
+        require(Option(properties.get("format-version")).contains("3"),
+          "DEFAULT columns require format-version 3: add " +
+            "TBLPROPERTIES ('format-version'='3')")
+        iceSchema0.copy(fields = iceSchema0.fields.map { f =>
+          defaults.get(f.name) match {
+            case Some(v) =>
+              val d = graft.meta.SingleValue.fromCatalyst(f.fieldType, v)
+              f.copy(initialDefault = Some(d), writeDefault = Some(d))
+            case None => f
+          }
+        })
+      }
     val spec =
       if (partitions.isEmpty) PartitionSpec.unpartitioned
       else PartitionSpec(0, partitions.toSeq.zipWithIndex.map { case (t, i) =>

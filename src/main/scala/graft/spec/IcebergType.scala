@@ -84,6 +84,22 @@ object IcebergType {
 
   /** Iceberg → Spark type (SURVEY.md §1.3 mapping). Field-id metadata is
     * attached at the schema level. */
+  /** An Iceberg-internal default value as a SQL literal Spark's analyzer
+    * can re-parse (the CURRENT_DEFAULT/EXISTS_DEFAULT contract). */
+  private def defaultSqlLiteral(t: IcebergType, v: Any): String = t match {
+    case StringT | UuidT =>
+      "'" + v.asInstanceOf[String].replace("'", "''") + "'"
+    case DateT => s"DATE '${java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong)}'"
+    case TimestampT | TimestamptzT =>
+      val us = v.asInstanceOf[Long]
+      val inst = java.time.Instant.ofEpochSecond(
+        Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)
+      s"TIMESTAMP '${java.time.LocalDateTime.ofInstant(inst, java.time.ZoneOffset.UTC)}'"
+    case BinaryT | FixedT(_) =>
+      "X'" + v.asInstanceOf[Array[Byte]].map("%02X".format(_)).mkString + "'"
+    case _ => String.valueOf(v) // bool / int / long / float / double / decimal
+  }
+
   def toSpark(t: IcebergType): DataType = t match {
     case BooleanT => BooleanType
     case IntT => IntegerType
@@ -103,8 +119,18 @@ object IcebergType {
     case BinaryT => BinaryType
     case StructT(fields) =>
       StructType(fields.map { f =>
+        val mb = new MetadataBuilder().putLong(IcebergSchema.FieldIdKey, f.id.toLong)
+        // v3 field defaults surface as Spark's column-default metadata so
+        // INSERTs omitting the column are filled by the analyzer
+        // (CURRENT_DEFAULT) — reads of pre-default rows are served
+        // natively by the scan (initial-default), EXISTS_DEFAULT is the
+        // documentation of that value for Spark-side consumers
+        f.writeDefault.foreach(v =>
+          mb.putString("CURRENT_DEFAULT", defaultSqlLiteral(f.fieldType, v)))
+        f.initialDefault.foreach(v =>
+          mb.putString("EXISTS_DEFAULT", defaultSqlLiteral(f.fieldType, v)))
         val sf = StructField(f.name, toSpark(f.fieldType), nullable = !f.required,
-          metadata = new MetadataBuilder().putLong(IcebergSchema.FieldIdKey, f.id.toLong).build())
+          metadata = mb.build())
         f.doc.fold(sf)(sf.withComment) // Iceberg doc ⇄ Spark column comment
       })
     case ListT(_, elem, elemRequired) => ArrayType(toSpark(elem), containsNull = !elemRequired)
