@@ -126,7 +126,10 @@ final class GraftSparkTable(table: GraftTable, viaProvider: Boolean = false)
       TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_BY_FILTER,
-      TableCapability.OVERWRITE_DYNAMIC)
+      TableCapability.OVERWRITE_DYNAMIC,
+      // MERGE WITH SCHEMA EVOLUTION: Spark adds the source's missing
+      // columns via alterTable (our AddColumn schema evolution) first
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
   /** DataFrame-level time travel: `.option("snapshot-id"|"branch"|"tag"|
     * "ref"|"as-of-timestamp", ...)` pins this read's snapshot — the
     * reader-option mirror of SQL `VERSION AS OF` / `TIMESTAMP AS OF`. */
