@@ -138,13 +138,8 @@ final class GraftCatalogPlugin extends CatalogPlugin with TableCatalog with View
     // fold the literal and record it as the Iceberg field default
     val defaults: Map[String, Any] = schema.fields.flatMap { f =>
       if (!f.metadata.contains("CURRENT_DEFAULT")) None
-      else {
-        val parsed = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
-          .parseExpression(f.metadata.getString("CURRENT_DEFAULT"))
-        val v = org.apache.spark.sql.catalyst.expressions
-          .Cast(parsed, f.dataType, Some("UTC")).eval(null)
-        Some(f.name -> v)
-      }
+      else Some(f.name -> GraftCatalogPlugin.foldDefaultLiteral(
+        f.metadata.getString("CURRENT_DEFAULT"), f.dataType))
     }.toMap
     val iceSchema =
       if (defaults.isEmpty) iceSchema0
@@ -186,7 +181,7 @@ final class GraftCatalogPlugin extends CatalogPlugin with TableCatalog with View
     val schemaChanges = changes.collect {
       case _: AddColumn | _: DeleteColumn | _: RenameColumn |
           _: UpdateColumnType | _: UpdateColumnComment |
-          _: UpdateColumnNullability => ()
+          _: UpdateColumnNullability | _: UpdateColumnDefaultValue => ()
     }
     if (schemaChanges.nonEmpty) {
       val u = t.updateSchema()
@@ -208,6 +203,19 @@ final class GraftCatalogPlugin extends CatalogPlugin with TableCatalog with View
             graft.spec.IcebergType.fromSpark(tt.newDataType(), () => 0))
         case c: UpdateColumnComment =>
           u.updateColumnDoc(topLevel(c.fieldNames()), Option(c.newComment()))
+        case dv: UpdateColumnDefaultValue =>
+          val name = topLevel(dv.fieldNames())
+          val ft = t.schema.findField(name).getOrElse(throw
+            new IllegalArgumentException(s"no such column: $name")).fieldType
+          Option(dv.newCurrentDefault())
+            .flatMap(d => Option(d.getSql()).filter(_.nonEmpty)) match {
+            case Some(sqlText) =>
+              val v = GraftCatalogPlugin.foldDefaultLiteral(sqlText,
+                graft.spec.IcebergType.toSpark(ft))
+              u.updateColumnDefault(name,
+                graft.meta.SingleValue.fromCatalyst(ft, v))
+            case None => u.clearColumnDefault(name) // DROP DEFAULT
+          }
         case n: UpdateColumnNullability =>
           if (n.nullable()) u.makeColumnOptional(topLevel(n.fieldNames()))
           else throw new UnsupportedOperationException(
@@ -381,6 +389,16 @@ final class GraftCatalogPlugin extends CatalogPlugin with TableCatalog with View
 
 object GraftCatalogPlugin {
   import graft.spec.{PartitionField, Transform => IceTransform}
+
+  /** Fold a DEFAULT clause's SQL text to a Catalyst value of the column
+    * type (literal defaults only — non-foldable expressions throw). */
+  private[sources] def foldDefaultLiteral(sqlText: String,
+      dataType: org.apache.spark.sql.types.DataType): Any = {
+    val parsed = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseExpression(sqlText)
+    org.apache.spark.sql.catalyst.expressions
+      .Cast(parsed, dataType, Some("UTC")).eval(null)
+  }
 
   /** One Spark DDL transform → one Iceberg partition field (Iceberg's
     * Spark-DDL naming conventions: `c`, `c_bucket`, `c_trunc`,

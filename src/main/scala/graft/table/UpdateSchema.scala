@@ -18,7 +18,7 @@ final class UpdateSchema private[table] (table: GraftTable) {
   private var drops = Set.empty[String]
   private var renames = Map.empty[String, String]
   private var promotions = Map.empty[String, IcebergType]
-  private var newWriteDefaults = Map.empty[String, Any]
+  private var newWriteDefaults = Map.empty[String, Option[Any]]
   private var newDocs = Map.empty[String, Option[String]]
   private var optionals = Set.empty[String]
 
@@ -37,7 +37,12 @@ final class UpdateSchema private[table] (table: GraftTable) {
   /** Change an existing column's WRITE default (initial-default is
     * immutable once set — it defines what already-written rows mean). */
   def updateColumnDefault(name: String, default: Any): UpdateSchema = {
-    newWriteDefaults += name -> default; this
+    newWriteDefaults += name -> Some(default); this
+  }
+  /** DROP DEFAULT: writers omitting the column get null again
+    * (initial-default stays — it defines already-written rows). */
+  def clearColumnDefault(name: String): UpdateSchema = {
+    newWriteDefaults += name -> None; this
   }
   def dropColumn(name: String): UpdateSchema = { drops += name; this }
   def renameColumn(from: String, to: String): UpdateSchema = { renames += from -> to; this }
@@ -101,7 +106,10 @@ final class UpdateSchema private[table] (table: GraftTable) {
             t
           case None => f.fieldType
         }
-        val newWriteDefault = newWriteDefaults.get(f.name).orElse(f.writeDefault)
+        val newWriteDefault = newWriteDefaults.get(f.name) match {
+          case Some(opt) => opt // Some(v) = new default, None = cleared
+          case None => f.writeDefault
+        }
         val newDoc = newDocs.getOrElse(f.name, f.doc)
         val newRequired = if (optionals.contains(f.name)) false else f.required
         Some(f.copy(name = renamed, fieldType = newType,
