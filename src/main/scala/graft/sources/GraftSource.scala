@@ -68,6 +68,14 @@ final class GraftSparkTable(table: GraftTable, viaProvider: Boolean = false)
   override def name(): String = table.name
   override def schema(): StructType = table.schema.toSpark
 
+  /** Table properties surfaced to Spark: SHOW TBLPROPERTIES, DESCRIBE
+    * EXTENDED (incl. the `comment` convention COMMENT ON writes). */
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    table.metadata.properties.foreach { case (k, v) => m.put(k, v) }
+    m
+  }
+
   /** Report the table's partition transforms so Catalyst treats the
     * PARTITION clause of static overwrites (and partition-aware planning
     * in general) against the real layout — without this Spark sees an

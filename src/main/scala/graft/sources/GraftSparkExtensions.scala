@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{Row, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier
 import org.apache.spark.sql.catalyst.parser.ParserInterface
-import org.apache.spark.sql.catalyst.plans.logical.{CreateView, DropView, LogicalPlan, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.logical.{CreateView, DropView, LogicalPlan, ShowViews, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.catalog.{Identifier, ViewInfo}
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -51,19 +51,25 @@ final class GraftViewDdlParser(spark: SparkSession, delegate: ParserInterface)
   override def parsePlan(sqlText: String): LogicalPlan =
     delegate.parsePlan(sqlText) match {
       case cv: CreateView => cv.child match {
-        case UnresolvedIdentifier(Seq(cat, name), _)
-            if GraftViews.plugin(spark, cat).isDefined =>
-          GraftCreateViewCommand(cat, name,
+        case UnresolvedIdentifier(cat +: rest, _)
+            if rest.nonEmpty && GraftViews.plugin(spark, cat).isDefined =>
+          GraftCreateViewCommand(cat, rest.mkString("."),
             cv.originalText.getOrElse(throw new IllegalArgumentException(
               "CREATE VIEW without query text")),
             cv.properties, cv.comment, cv.allowExisting, cv.replace)
         case _ => cv
       }
       case dv: DropView => dv.child match {
-        case UnresolvedIdentifier(Seq(cat, name), _)
-            if GraftViews.plugin(spark, cat).isDefined =>
-          GraftDropViewCommand(cat, name, dv.ifExists)
+        case UnresolvedIdentifier(cat +: rest, _)
+            if rest.nonEmpty && GraftViews.plugin(spark, cat).isDefined =>
+          GraftDropViewCommand(cat, rest.mkString("."), dv.ifExists)
         case _ => dv
+      }
+      case sv: ShowViews => sv.namespace match {
+        case org.apache.spark.sql.catalyst.analysis.UnresolvedNamespace(cat +: ns, _)
+            if GraftViews.plugin(spark, cat).isDefined =>
+          GraftShowViewsCommand(cat, ns, sv.pattern)
+        case _ => sv
       }
       case other => other
     }
@@ -102,6 +108,29 @@ final case class GraftCreateViewCommand(catalogName: String, viewName: String,
   }
 }
 
+/** SHOW VIEWS over a graft ViewCatalog (vanilla Spark rejects v2
+  * catalogs for this command; same injection as the DDL). */
+final case class GraftShowViewsCommand(catalogName: String,
+    ns: Seq[String], pattern: Option[String]) extends LeafRunnableCommand {
+
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = Seq(
+    org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "namespace", org.apache.spark.sql.types.StringType, nullable = false)(),
+    org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "viewName", org.apache.spark.sql.types.StringType, nullable = false)(),
+    org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "isTemporary", org.apache.spark.sql.types.BooleanType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val plugin = GraftViews.plugin(spark, catalogName).get
+    plugin.listViews(ns: _*).toSeq
+      .filter(id => pattern.forall(p =>
+        org.apache.spark.sql.catalyst.util.StringUtils
+          .filterPattern(Seq(id.name()), p).nonEmpty))
+      .map(id => Row(ns.mkString("."), id.name(), false))
+  }
+}
+
 /** DROP VIEW over a graft ViewCatalog. */
 final case class GraftDropViewCommand(catalogName: String, viewName: String,
     ifExists: Boolean) extends LeafRunnableCommand {
@@ -125,12 +154,13 @@ final class ResolveGraftViews(spark: SparkSession) extends Rule[LogicalPlan] {
     plan.resolveOperatorsUp {
       case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
         u.multipartIdentifier match {
-          case Seq(cat, name) =>
+          case cat +: rest if rest.nonEmpty =>
+            val ident = Identifier.of(rest.dropRight(1).toArray, rest.last)
             GraftViews.plugin(spark, cat)
-              .filter(_.viewExists(Identifier.of(Array.empty[String], name)))
+              .filter(_.viewExists(ident))
               .map { plugin =>
-                val view = plugin.loadView(Identifier.of(Array.empty[String], name))
-                SubqueryAlias(name,
+                val view = plugin.loadView(ident)
+                SubqueryAlias(rest.last,
                   spark.sessionState.sqlParser.parsePlan(view.query()))
               }
               .getOrElse(u)
