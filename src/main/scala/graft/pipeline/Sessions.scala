@@ -304,5 +304,5 @@ object Sessions {
         col("_last.event_id").as("last_event_id"),
         col("_last.ts_us").as("last_ts_us"),
         col("_last.event_type").as("last_type"),
-        col("_last.value").cast("decimal(18,2)").as("last_value"))
+        round(col("_last.value") * lit(100)).cast("bigint").as("last_value_cents"))
 }

@@ -723,7 +723,29 @@ object IcebergQueries {
       .orderBy(col("source"))
   }
 
+  /** `_deleted` metadata column (metadata_columns.rs:38,75): projecting it
+    * flips the native reader from filtering MoR-deleted rows to SERVING
+    * them with a marker — the delete-audit surface. The fixture deletes
+    * `o_totalprice > 200000` via parquet position deletes; the marker must
+    * reproduce exactly that predicate over every physical row. */
+  val i34 = Q.sql(
+    "i34_deleted_marker_scan",
+    """SELECT (o_totalprice > 200000.0) AS deleted, count(*) AS n,
+      |  sum(o_orderkey)::BIGINT AS key_sum
+      |FROM orders
+      |GROUP BY 1 ORDER BY deleted""".stripMargin
+  ) { (s, d) =>
+    val t = IcebergFixtures.ordersPosDeleted(s, d)
+    val warehouse = t.location.stripSuffix(s"/${t.name}")
+    s.read.format("graft")
+      .option("warehouse", warehouse).option("table", t.name).load()
+      .select(col("o_orderkey"), col("_deleted").as("deleted"))
+      .groupBy(col("deleted"))
+      .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+      .orderBy(col("deleted"))
+  }
+
   val all: Seq[Q] = Seq(i01, i02, i03, i04, i05, i06, i07, i08, i09, i10,
     i11, i12, i13, i14, i15, i16, i17, i18, i19, i20, i21, i22, i23, i24, i25,
-    i26, i27, i28, i29, i30, i31, i32, i33)
+    i26, i27, i28, i29, i30, i31, i32, i33, i34)
 }

@@ -2102,7 +2102,7 @@ object PipelineQueries {
       |SELECT l.user_id, n.n_events::BIGINT AS n_events,
       |  l.event_id AS last_event_id, l.ts_us AS last_ts_us,
       |  l.event_type AS last_type,
-      |  CAST(l.value AS DECIMAL(18,2)) AS last_value
+      |  CAST(round(l.value * 100) AS BIGINT) AS last_value_cents
       |FROM last l JOIN n USING (user_id)
       |WHERE rn = 1 AND l.event_type <> 'error'
       |ORDER BY user_id""".stripMargin

@@ -68,17 +68,20 @@ class GraftBatchScan(table: GraftTable, predicate: Predicate,
   // present), and the delta (merge-on-read) write path uses (_file, _pos)
   // as the row id.
   private val MetaCols = Seq(GraftBatchScan.FileColumn, GraftBatchScan.PosColumn,
-    GraftBatchScan.SpecIdColumn, GraftBatchScan.PartitionColumn)
+    GraftBatchScan.SpecIdColumn, GraftBatchScan.PartitionColumn,
+    GraftBatchScan.DeletedColumn)
   private val (projected: Seq[String], emitFile: Boolean, emitPos: Boolean,
-      emitSpecId: Boolean, emitPartition: Boolean) =
+      emitSpecId: Boolean, emitPartition: Boolean, emitDeleted: Boolean) =
     required match {
       case Some(s) if s.fields.nonEmpty =>
         (s.fieldNames.toSeq.filterNot(MetaCols.contains),
           s.fieldNames.contains(GraftBatchScan.FileColumn),
           s.fieldNames.contains(GraftBatchScan.PosColumn),
           s.fieldNames.contains(GraftBatchScan.SpecIdColumn),
-          s.fieldNames.contains(GraftBatchScan.PartitionColumn))
-      case _ => (table.schema.fields.map(_.name), false, false, false, false)
+          s.fieldNames.contains(GraftBatchScan.PartitionColumn),
+          s.fieldNames.contains(GraftBatchScan.DeletedColumn))
+      case _ =>
+        (table.schema.fields.map(_.name), false, false, false, false, false)
     }
 
   /** Unified `_partition` struct across evolved specs (partitioning.rs —
@@ -165,7 +168,10 @@ class GraftBatchScan(table: GraftTable, predicate: Predicate,
         nullable = false)) else Nil) ++
       (if (emitPartition) Seq(org.apache.spark.sql.types.StructField(
         GraftBatchScan.PartitionColumn, unifiedPartSchema,
-        nullable = true)) else Nil)
+        nullable = true)) else Nil) ++
+      (if (emitDeleted) Seq(org.apache.spark.sql.types.StructField(
+        GraftBatchScan.DeletedColumn, org.apache.spark.sql.types.BooleanType,
+        nullable = false)) else Nil)
     StructType(data ++ metas)
   }
 
@@ -563,7 +569,8 @@ class GraftBatchScan(table: GraftTable, predicate: Predicate,
       graft.crypto.Encryption.confFor(table.metadata.properties), emitFile, emitPos,
       eqKeySets = eqInfo.map(_.keyNames).distinct, outputOrdinals = outputOrdinals,
       defaults = defaults, emitSpecId = emitSpecId,
-      partSchema = if (emitPartition) Some(unifiedPartSchema) else None)
+      partSchema = if (emitPartition) Some(unifiedPartSchema) else None,
+      emitDeleted = emitDeleted)
   }
 }
 
@@ -577,6 +584,12 @@ object GraftBatchScan {
   /** Metadata column: the file's typed partition tuple (unified across
     * evolved specs — partitioning.rs). */
   val PartitionColumn = "_partition"
+  /** Metadata column: whether the row is deleted under the scan snapshot's
+    * MoR deletes (metadata_columns.rs:38,75 — reserved id i32.MAX-3).
+    * Projecting it flips the reader from FILTERING deleted rows to
+    * SERVING them with a marker — position deletes, deletion vectors and
+    * equality deletes all mark instead of skip. */
+  val DeletedColumn = "_deleted"
   /** Driver planning metrics surfaced in the Spark UI. */
   val MetricNames: Seq[(String, String)] = Seq(
     "totalDataManifests" -> "total data manifests",
@@ -689,7 +702,8 @@ object GraftReaderFactory {
       outputOrdinals: Option[Seq[Int]] = None,
       defaults: Map[String, Any] = Map.empty,
       emitSpecId: Boolean = false,
-      partSchema: Option[StructType] = None): GraftReaderFactory = {
+      partSchema: Option[StructType] = None,
+      emitDeleted: Boolean = false): GraftReaderFactory = {
     val scanSpark = graft.SessionConf.scanSession(spark)
     val fmt = new ParquetFileFormat()
     val hc = scanSpark.sparkContext.hadoopConfiguration
@@ -721,7 +735,7 @@ object GraftReaderFactory {
         Nil, rowOpts, conf()),
       spark.sparkContext.broadcast(new SerializableConfiguration(conf())),
       emitFile, emitPos, readSchema, outputOrdinals, defaults, eqReads,
-      emitSpecId, partSchema)
+      emitSpecId, partSchema, emitDeleted)
   }
 }
 
@@ -737,7 +751,8 @@ final class GraftReaderFactory(
     defaults: Map[String, Any] = Map.empty,
     eqReads: Map[Seq[String], PartitionedFile => Iterator[InternalRow]] = Map.empty,
     emitSpecId: Boolean = false,
-    partSchema: Option[StructType] = None)
+    partSchema: Option[StructType] = None,
+    emitDeleted: Boolean = false)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -751,7 +766,8 @@ final class GraftReaderFactory(
     val read = if (p.needsRowIndex || p.missingDefaults.nonEmpty) plainRead
       else filteredRead
     new GraftPartitionReader(p, read, posDeleteRead, conf, emitFile, emitPos,
-      readSchema, outputOrdinals, defaults, eqReads, emitSpecId, partSchema)
+      readSchema, outputOrdinals, defaults, eqReads, emitSpecId, partSchema,
+      emitDeleted)
   }
 }
 
@@ -771,7 +787,8 @@ final class GraftPartitionReader(
     defaults: Map[String, Any] = Map.empty,
     eqReads: Map[Seq[String], PartitionedFile => Iterator[InternalRow]] = Map.empty,
     emitSpecId: Boolean = false,
-    partSchema: Option[StructType] = None)
+    partSchema: Option[StructType] = None,
+    emitDeleted: Boolean = false)
     extends PartitionReader[InternalRow] {
 
   import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression, Literal, UnsafeProjection, UnsafeRow}
@@ -844,7 +861,8 @@ final class GraftPartitionReader(
   // `_file` / `_pos` / `_spec_id` / `_partition` appended as metadata
   // columns (JoinedRow: zero-copy wrapper; only the pos slot mutates per
   // row — file, spec id and the partition tuple are split constants)
-  private def emitMeta = emitFile || emitPos || emitSpecId || partSchema.isDefined
+  private def emitMeta =
+    emitFile || emitPos || emitSpecId || partSchema.isDefined || emitDeleted
   private lazy val partStruct: Any = partSchema.map { ps =>
     org.apache.spark.sql.catalyst.CatalystTypeConverters
       .createToCatalystConverter(ps)(
@@ -856,8 +874,13 @@ final class GraftPartitionReader(
     else Seq.empty[Any]).toArray ++
       (if (emitPos) Array[Any](0L) else Array.empty[Any]) ++
       (if (emitSpecId) Array[Any](part.specId) else Array.empty[Any]) ++
-      (if (partSchema.isDefined) Array[Any](partStruct) else Array.empty[Any]))
+      (if (partSchema.isDefined) Array[Any](partStruct) else Array.empty[Any]) ++
+      (if (emitDeleted) Array[Any](false) else Array.empty[Any]))
   private val posOrdinal = if (emitFile) 1 else 0
+  private val deletedOrdinal = (if (emitFile) 1 else 0) +
+    (if (emitPos) 1 else 0) + (if (emitSpecId) 1 else 0) +
+    (if (partSchema.isDefined) 1 else 0)
+  private var deletedFlag: Boolean = false
   private lazy val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow()
 
   private lazy val deleted: Roaring64 = {
@@ -894,7 +917,17 @@ final class GraftPartitionReader(
     while (rows.hasNext) {
       val r = rows.next()
       rowIndex += 1
-      if (!part.needsRowIndex || !deleted.contains(rowIndex)) {
+      val posDeleted = part.needsRowIndex && deleted.contains(rowIndex)
+      if (emitDeleted) {
+        // mark-instead-of-skip (metadata_columns.rs:75): every physical
+        // row is served; MoR delete status rides the `_deleted` marker
+        val filled = fillProj match { case Some(p) => p(r); case None => r }
+        deletedFlag = posDeleted ||
+          (part.eqDeletes.nonEmpty && eqDeleted(filled))
+        current = outProj match { case Some(p) => p(filled); case None => filled }
+        return true
+      }
+      if (!posDeleted) {
         val filled = fillProj match { case Some(p) => p(r); case None => r }
         if (part.eqDeletes.isEmpty || !eqDeleted(filled)) {
           current = outProj match { case Some(p) => p(filled); case None => filled }
@@ -908,6 +941,7 @@ final class GraftPartitionReader(
   override def get(): InternalRow =
     if (emitMeta) {
       if (emitPos) metaRow.update(posOrdinal, rowIndex)
+      if (emitDeleted) metaRow.update(deletedOrdinal, deletedFlag)
       joined(current, metaRow)
     } else current
 

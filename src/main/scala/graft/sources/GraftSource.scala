@@ -125,7 +125,11 @@ final class GraftSparkTable(table: GraftTable, viaProvider: Boolean = false)
       col(GraftBatchScan.FileColumn, org.apache.spark.sql.types.StringType, false),
       col(GraftBatchScan.PosColumn, org.apache.spark.sql.types.LongType, false),
       col(GraftBatchScan.SpecIdColumn, org.apache.spark.sql.types.IntegerType, false),
-      col(GraftBatchScan.PartitionColumn, partSchema, true))
+      col(GraftBatchScan.PartitionColumn, partSchema, true),
+      // _deleted (metadata_columns.rs:38,75, reserved id i32.MAX-3):
+      // projecting it serves MoR-deleted rows with a marker instead of
+      // filtering them — the delete-audit surface
+      col(GraftBatchScan.DeletedColumn, org.apache.spark.sql.types.BooleanType, false))
   }
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,

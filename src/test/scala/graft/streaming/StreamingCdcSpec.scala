@@ -52,8 +52,8 @@ class StreamingCdcSpec extends AnyFunSuite with BeforeAndAfterAll {
     val batch = graft.pipeline.Sessions.cdcSnapshot(
         graft.Tables.events(spark, "/root/testdata/sf0.001"))
       .select(col("user_id"), col("n_events"), col("last_event_id"),
-        col("last_type"), col("last_value").cast("double"))
-      .as[(Long, Long, Long, String, Double)].collect()
+        col("last_type"), col("last_value_cents"))
+      .as[(Long, Long, Long, String, Long)].collect()
       .map(r => r._1 -> r).toMap
 
     // arrival order 1: event order; arrival order 2: reversed halves
@@ -68,7 +68,7 @@ class StreamingCdcSpec extends AnyFunSuite with BeforeAndAfterAll {
           assert(s.n_events === b._2, s"$name n_events($uid)")
           assert(s.last_event_id === b._3, s"$name last_event_id($uid)")
           assert(s.last_type === b._4, s"$name last_type($uid)")
-          assert(s.last_value === b._5, s"$name last_value($uid)")
+          assert(math.round(s.last_value * 100) === b._5, s"$name last_value($uid)")
         }
         // deleted keys are exactly the users the batch op dropped
         val allUsers = events.map(_._3).toSet
