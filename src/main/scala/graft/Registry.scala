@@ -10,7 +10,8 @@ object Registry {
     RelationalQueries.all,
     IcebergQueries.all,
     PipelineQueries.all,
-    WritePathQueries.all
+    WritePathQueries.all,
+    StreamingQueries.all
   )
 
   lazy val all: Seq[Q] = {

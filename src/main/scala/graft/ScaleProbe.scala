@@ -1,0 +1,99 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** One-off 10× scale-stress probe for the dedup/clustering pillar
+  * (VERDICT r6 item 5): build an sf1-equivalent documents corpus from the
+  * sf0.1 fixture, run the heaviest document queries on both, and report
+  * the scaled/base runtime ratio — the census caps and the capped
+  * collect_list pair-explode must hold their constants off the tuned
+  * fixture (ratio ≈ the 10× data factor, not the 100× a cap-less bucket
+  * join would show).
+  *
+  * Corpus construction keeps the DUPLICATE-CLUSTER structure at the base
+  * rate rather than multiplying it: replica 0 is the original corpus;
+  * replicas 1..9 rotate each document's word sequence by a per-replica
+  * stride, which shifts every shingle/minhash (so replicas are NOT
+  * near-dups of the original) while preserving length and unigram
+  * distribution. Other tables symlink to the base fixture.
+  */
+object ScaleProbe {
+
+  private val Queries = Seq("p01_exact_dedup", "p02_minhash_lsh_dedup",
+    "p19_duplicate_clusters", "p56_pretrain_pipeline")
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = if (args.length > 1) args(1) else "/tmp/graft_scale10"
+    val factor = 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if (!Files.exists(Paths.get(s"$out/documents.parquet"))) {
+      Files.createDirectories(Paths.get(out))
+      val docs = spark.read.parquet(s"$base/documents.parquet")
+      val span = docs.agg(max(col("doc_id"))).head.getLong(0) + 1L
+      val replicas = (0 until factor).map { r =>
+        if (r == 0) docs
+        else {
+          val k = r * 7 + 3 // word-rotation stride: shifts every shingle
+          docs
+            .withColumn("doc_id", col("doc_id") + lit(r.toLong * span))
+            .withColumn("w", split(col("text"), " "))
+            .withColumn("text", concat_ws(" ",
+              concat(slice(col("w"), lit(k + 1),
+                  greatest(size(col("w")) - k, lit(0))),
+                slice(col("w"), lit(1), least(lit(k), size(col("w")))))))
+            .drop("w")
+        }
+      }
+      replicas.reduce(_ unionByName _)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      Tables.names.filterNot(_ == "documents").foreach { t =>
+        val link = Paths.get(s"$out/$t.parquet")
+        if (!Files.exists(link))
+          Files.createSymbolicLink(link, Paths.get(s"$base/$t.parquet"))
+      }
+    }
+
+    val byName = Registry.all.map(q => q.name -> q).toMap
+    def cleanup(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+    def median(name: String, dir: String): Double = {
+      val q = byName(name)
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        q.fn(spark, dir).write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        cleanup(); sec
+      }
+      once() // warmup
+      val runs = (1 to 3).map(_ => once()).sorted
+      runs(1)
+    }
+
+    val results = Queries.map { n =>
+      val b = median(n, base)
+      val s = median(n, out)
+      (n, b, s, s / b)
+    }
+    val json = results.map { case (n, b, s, r) =>
+      f""""$n":{"base_sec":$b%.3f,"scale10_sec":$s%.3f,"ratio":$r%.2f}"""
+    }.mkString(s"""{"probe":"scale10","factor":$factor,"queries":{""", ",", "}}")
+    Files.writeString(Paths.get("BENCH_SCALE10.json"), json + "\n")
+    spark.stop()
+    println(json)
+  }
+}

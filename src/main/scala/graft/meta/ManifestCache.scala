@@ -1,7 +1,5 @@
 package graft.meta
 
-import java.util.concurrent.ConcurrentHashMap
-
 /** Driver-side cache of parsed manifest / manifest-list Avro.
   *
   * Manifest files are immutable once written (a new commit writes new
@@ -9,27 +7,108 @@ import java.util.concurrent.ConcurrentHashMap
   * folded into the key because bound values are decoded through the
   * current schema's types (int→long promotion changes parsed values).
   *
-  * The reference keeps the analogous per-scan object cache in
-  * `scan/cache.rs`; here the cache is process-wide because Verify/Bench
-  * plan the same snapshot many times. Bounded: full clear past `MaxEntries`
-  * (manifest KB-scale; at the default 512 this is a few hundred MB worst
-  * case — far below driver heap, and repeated planning of a 100 TB
-  * snapshot hits the same few thousand manifests).
+  * Bound + eviction mirror the reference's ObjectCache
+  * (io/object_cache.rs:28-80 + cache.rs trait): SIZE-WEIGHTED in
+  * approximate in-memory bytes (their moka weigher), LRU eviction down to
+  * the configured capacity, default 32 MiB, and capacity 0 = cache
+  * disabled (load-through, nothing retained). Capacity is property-
+  * tunable: the catalog plugin forwards `manifest-cache-size-bytes` from
+  * `spark.sql.catalog.<name>.manifest-cache-size-bytes`, or call
+  * [[configure]] directly. The cache is process-wide (the reference's is
+  * per-Table) because Verify/Bench plan the same snapshot many times
+  * across table handles; at 100 TB repeated planning hits the same few
+  * thousand KB-scale manifests, so 32 MiB of parsed entries is the
+  * steady state, never data.
   */
 object ManifestCache {
-  private val MaxEntries = 512
-  private val manifests = new ConcurrentHashMap[String, Seq[ManifestEntry]]()
-  private val lists = new ConcurrentHashMap[String, Seq[ManifestFile]]()
 
-  def manifest(key: String)(load: => Seq[ManifestEntry]): Seq[ManifestEntry] = {
-    if (manifests.size > MaxEntries) manifests.clear()
-    manifests.computeIfAbsent(key, _ => load)
+  /** Reference default: 32 MiB (io/object_cache.rs:28). */
+  val DefaultCapacityBytes: Long = 32L * 1024 * 1024
+
+  @volatile private var capacityBytes: Long = DefaultCapacityBytes
+
+  /** Set the capacity in approximate bytes; 0 disables caching entirely
+    * (the reference's `with_disabled_cache`). Shrinking evicts LRU-first
+    * on the next insert. */
+  def configure(sizeBytes: Long): Unit = {
+    require(sizeBytes >= 0, s"cache size must be >= 0: $sizeBytes")
+    capacityBytes = sizeBytes
+    if (sizeBytes == 0) invalidateAll()
   }
 
-  def manifestList(key: String)(load: => Seq[ManifestFile]): Seq[ManifestFile] = {
-    if (lists.size > MaxEntries) lists.clear()
-    lists.computeIfAbsent(key, _ => load)
+  def capacity: Long = capacityBytes
+
+  private final case class Weighted[V](value: V, weight: Long)
+
+  /** Access-ordered LRU with a byte-weight bound (the moka weigher
+    * analogue). All access under the map's own lock — driver-side
+    * planning touches this a few thousand times per query, never per
+    * row. */
+  private final class WeighedLru[V] {
+    private var total = 0L
+    private val map = new java.util.LinkedHashMap[String, Weighted[V]](64, 0.75f, true)
+
+    def getOrLoad(key: String, weigh: V => Long)(load: => V): V = {
+      val cap = capacityBytes
+      if (cap <= 0L) return load // disabled: pure load-through
+      synchronized {
+        val hit = map.get(key)
+        if (hit != null) return hit.value
+      }
+      // load OUTSIDE the lock (Avro IO) — a racing duplicate is
+      // idempotent and the first insert wins
+      val loaded = load
+      val w = math.max(1L, weigh(loaded))
+      synchronized {
+        val prior = map.get(key)
+        if (prior != null) return prior.value
+        map.put(key, Weighted(loaded, w))
+        total += w
+        val it = map.entrySet().iterator()
+        while (total > cap && it.hasNext) {
+          val eldest = it.next()
+          if (eldest.getKey != key) { // never evict the row just inserted
+            total -= eldest.getValue.weight
+            it.remove()
+          }
+        }
+      }
+      loaded
+    }
+
+    def clear(): Unit = synchronized { map.clear(); total = 0L }
+    def weight: Long = synchronized(total)
+    def size: Int = synchronized(map.size())
   }
+
+  private val manifests = new WeighedLru[Seq[ManifestEntry]]
+  private val lists = new WeighedLru[Seq[ManifestFile]]
+
+  // Approximate in-memory bytes (size_of_val analogue): a fixed struct
+  // overhead per entry plus its variable-size payloads. Exactness doesn't
+  // matter — the bound just has to scale with what's actually held.
+  private def entryWeight(es: Seq[ManifestEntry]): Long =
+    es.foldLeft(64L) { (acc, e) =>
+      acc + 256L + e.dataFile.filePath.length +
+        16L * (e.dataFile.columnSizes.size + e.dataFile.valueCounts.size +
+          e.dataFile.nullValueCounts.size + e.dataFile.lowerBounds.size +
+          e.dataFile.upperBounds.size)
+    }
+
+  private def listWeight(ms: Seq[ManifestFile]): Long =
+    ms.foldLeft(64L) { (acc, m) =>
+      acc + 192L + m.manifestPath.length + 48L * m.partitions.size
+    }
+
+  def manifest(key: String)(load: => Seq[ManifestEntry]): Seq[ManifestEntry] =
+    manifests.getOrLoad(key, entryWeight)(load)
+
+  def manifestList(key: String)(load: => Seq[ManifestFile]): Seq[ManifestFile] =
+    lists.getOrLoad(key, listWeight)(load)
 
   def invalidateAll(): Unit = { manifests.clear(); lists.clear() }
+
+  /** Introspection for specs: (entry count, held weight) per cache. */
+  def stats: ((Int, Long), (Int, Long)) =
+    ((manifests.size, manifests.weight), (lists.size, lists.weight))
 }

@@ -72,24 +72,20 @@ object Sketches {
     * entry hashes ascending, first 2^lgK + 1 collected (the +1 supplies
     * theta past the nominal count). Keys hash per-type the DataSketches
     * way, so a foreign engine updating the same values lands on the same
-    * entries. The hash is a scalar udf — acceptable off the hot path: a
-    * stats job reads each value once and the collect is k-capped. */
+    * entries. The hash is a native codegen expression
+    * (functions.ThetaHashExpr) — the whole stats scan stays inside
+    * whole-stage codegen; nulls hash to SQL null and the `!= 0` filter
+    * drops them exactly like the 0 sentinel. */
   def thetaColumns(df: DataFrame, cols: Seq[String],
       lgK: Int = ThetaSketch.DefaultLgK): Seq[ThetaSketch.Theta] = {
     import org.apache.spark.sql.types._
     cols.map { c =>
-      val h: org.apache.spark.sql.Column = df.schema(c).dataType match {
-        case LongType | IntegerType | ShortType | ByteType =>
-          udf((v: java.lang.Long) =>
-            if (v == null) 0L else ThetaSketch.valueHash(v.longValue()))
-            .apply(col(c).cast("long"))
-        case DoubleType | FloatType =>
-          udf((v: java.lang.Double) =>
-            if (v == null) 0L else ThetaSketch.valueHash(v.doubleValue()))
-            .apply(col(c).cast("double"))
-        case _ =>
-          udf((v: String) => ThetaSketch.valueHash(v)).apply(col(c).cast("string"))
+      val in: org.apache.spark.sql.Column = df.schema(c).dataType match {
+        case LongType | IntegerType | ShortType | ByteType => col(c).cast("long")
+        case DoubleType | FloatType => col(c).cast("double")
+        case _ => col(c).cast("string")
       }
+      val h = graft.functions.ThetaHashExpr.column(in)
       val k = 1 << lgK
       val hashes = df.select(h.as("x"))
         .where(col("x") =!= 0L)

@@ -87,6 +87,18 @@ object ThetaSketch {
   def entryHash(key: Array[Byte], seed: Long = DefaultSeed): Long =
     hash128(key, seed)._1 >>> 1
 
+  // Typed helpers for codegen call sites (ThetaHashExpr emits direct
+  // static-forwarder calls — no boxing, no UDF): same keying as valueHash.
+  def hashLong(v: Long): Long = entryHash(leLong(v))
+  def hashDouble(v: Double): Long = {
+    val canon = if (v == 0.0) 0.0 else v // -0.0 → 0.0 (library rule)
+    entryHash(leLong(java.lang.Double.doubleToLongBits(canon)))
+  }
+  def hashUtf8(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val b = s.getBytes
+    if (b.isEmpty) 0L else entryHash(b)
+  }
+
   /** Entry hash of a value, keyed the DataSketches way per type. Returns
     * 0 for null/empty (the library ignores those updates; 0 is never a
     * valid entry, so callers filter it). */

@@ -70,6 +70,11 @@ final class GraftCatalogPlugin extends CatalogPlugin with TableCatalog with View
     catalog = CatalogLoader.load(
       Option(options.get("type")).getOrElse("hadoop"), props)
     views = new ViewStore(warehouse, new FileIO(new Configuration()))
+    // `spark.sql.catalog.<name>.manifest-cache-size-bytes`: capacity of
+    // the process-wide parsed-manifest cache (reference ObjectCache
+    // size, io/object_cache.rs:28); 0 disables caching
+    Option(options.get("manifest-cache-size-bytes"))
+      .foreach(v => graft.meta.ManifestCache.configure(v.toLong))
   }
 
   override def name(): String = catalogName
@@ -335,11 +340,14 @@ final class GraftCatalogPlugin extends CatalogPlugin with TableCatalog with View
 
   private def dotted(ns: Array[String]): String = ns.mkString(".")
 
+  // Spark contract: the no-arg form lists TOP-LEVEL namespaces only —
+  // nested ones surface through listNamespaces(parent)
   override def listNamespaces(): Array[Array[String]] =
-    catalog.listNamespaces().map(_.split('.').asInstanceOf[Array[String]]).toArray
+    catalog.listNamespaces().filterNot(_.contains('.'))
+      .map(Array(_)).toArray
 
   override def listNamespaces(parent: Array[String]): Array[Array[String]] = {
-    if (parent.isEmpty) return listNamespaces().filter(_.length == 1)
+    if (parent.isEmpty) return listNamespaces()
     if (!catalog.namespaceExists(dotted(parent)))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(parent)
     val prefix = dotted(parent) + "."
@@ -375,11 +383,24 @@ final class GraftCatalogPlugin extends CatalogPlugin with TableCatalog with View
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
     val ns = dotted(namespace)
     if (!catalog.namespaceExists(ns)) return false
-    val tables = catalog.listTables().filter(_.startsWith(ns + "."))
-    if (!cascade && tables.nonEmpty)
+    val prefix = ns + "."
+    val tables = catalog.listTables().filter(_.startsWith(prefix))
+    val childNs = catalog.listNamespaces().filter(_.startsWith(prefix))
+    val childViews = views.list().filter(_.startsWith(prefix))
+    // non-cascade refuses on ANY content — tables, views, or child
+    // namespaces (the backend's raw require would otherwise surface as an
+    // IllegalArgumentException instead of Spark's typed error)
+    if (!cascade && (tables.nonEmpty || childNs.nonEmpty || childViews.nonEmpty))
       throw new org.apache.spark.sql.catalyst.analysis
         .NonEmptyNamespaceException(namespace)
-    if (cascade) tables.foreach(catalog.dropTable)
+    if (cascade) {
+      tables.foreach(catalog.dropTable)
+      childViews.foreach(views.drop) // orphaned view metadata still resolves
+      // deepest-first so each explicit child namespace is empty when its
+      // own drop runs (implicit ones vanished with their tables — their
+      // drop returns false, which is fine)
+      childNs.sortBy(n => -n.count(_ == '.')).foreach(catalog.dropNamespace)
+    }
     // an implicit (derived-only) namespace vanishes WITH its tables: the
     // backend then reports "didn't exist", but from the caller's view it
     // existed and is gone — report true
@@ -391,13 +412,18 @@ object GraftCatalogPlugin {
   import graft.spec.{PartitionField, Transform => IceTransform}
 
   /** Fold a DEFAULT clause's SQL text to a Catalyst value of the column
-    * type (literal defaults only — non-foldable expressions throw). */
+    * type (literal defaults only — non-foldable expressions throw). Folds
+    * in the SESSION timezone — the same zone Spark's analyzer will use
+    * when it evaluates the stored CURRENT_DEFAULT text on INSERT — so a
+    * zone-less timestamptz default maps to the same instant in the
+    * Iceberg metadata as in the analyzer-filled rows. */
   private[sources] def foldDefaultLiteral(sqlText: String,
       dataType: org.apache.spark.sql.types.DataType): Any = {
     val parsed = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
       .parseExpression(sqlText)
+    val zone = org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
     org.apache.spark.sql.catalyst.expressions
-      .Cast(parsed, dataType, Some("UTC")).eval(null)
+      .Cast(parsed, dataType, Some(zone)).eval(null)
   }
 
   /** One Spark DDL transform → one Iceberg partition field (Iceberg's

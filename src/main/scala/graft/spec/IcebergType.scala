@@ -90,14 +90,33 @@ object IcebergType {
     case StringT | UuidT =>
       "'" + v.asInstanceOf[String].replace("'", "''") + "'"
     case DateT => s"DATE '${java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong)}'"
-    case TimestampT | TimestamptzT =>
-      val us = v.asInstanceOf[Long]
-      val inst = java.time.Instant.ofEpochSecond(
-        Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)
-      s"TIMESTAMP '${java.time.LocalDateTime.ofInstant(inst, java.time.ZoneOffset.UTC)}'"
+    case TimestampT =>
+      // zone-less column: a TIMESTAMP_NTZ literal keeps the wall-clock
+      // value regardless of the session timezone
+      s"TIMESTAMP_NTZ '${TsLiteralFmt.format(java.time.LocalDateTime.ofInstant(
+        microsInstant(v), java.time.ZoneOffset.UTC))}'"
+    case TimestamptzT =>
+      // zoned column: the stored default is an INSTANT — emit an explicit
+      // +00:00 offset so Spark's analyzer does not reinterpret the text
+      // in the session timezone (a zone-less literal would shift by the
+      // session offset)
+      s"TIMESTAMP '${TsLiteralFmt.format(java.time.LocalDateTime.ofInstant(
+        microsInstant(v), java.time.ZoneOffset.UTC))}+00:00'"
     case BinaryT | FixedT(_) =>
       "X'" + v.asInstanceOf[Array[Byte]].map("%02X".format(_)).mkString + "'"
     case _ => String.valueOf(v) // bool / int / long / float / double / decimal
+  }
+
+  // full seconds + µs, space-separated — LocalDateTime.toString would
+  // emit ISO 'T' and truncate :00 seconds, which Spark's literal parser
+  // rejects once an offset is appended
+  private val TsLiteralFmt =
+    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+
+  private def microsInstant(v: Any): java.time.Instant = {
+    val us = v.asInstanceOf[Long]
+    java.time.Instant.ofEpochSecond(
+      Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)
   }
 
   def toSpark(t: IcebergType): DataType = t match {

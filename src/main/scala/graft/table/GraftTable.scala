@@ -209,31 +209,53 @@ final class GraftTable(
       s.specId -> s.partitionType(schema)
     }.toMap
 
-  // ---- metadata inspect tables (inspect/metadata_table.rs:28-92) ----
+  // ---- metadata inspect tables (inspect/metadata_table.rs:28-92;
+  //      column sets mirror inspect/{snapshots,manifests,history}.rs
+  //      field-for-field, pinned by MetadataTablesParitySpec) ----
 
+  /** snapshots (inspect/snapshots.rs:47-74): committed_at, snapshot_id,
+    * parent_id, operation, manifest_list, summary — plus this engine's
+    * `sequence_number` extension appended LAST (deterministic handle for
+    * fixtures; reference columns stay a clean prefix). */
   def snapshotsDf(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    metadata.snapshots.map(s => (s.snapshotId, s.parentSnapshotId, s.sequenceNumber,
-      new java.sql.Timestamp(s.timestampMs), s.operation, s.manifestList))
-      .toDF("snapshot_id", "parent_id", "sequence_number", "committed_at", "operation", "manifest_list")
+    metadata.snapshots.map(s => (new java.sql.Timestamp(s.timestampMs),
+      s.snapshotId, s.parentSnapshotId, s.operation, s.manifestList,
+      s.summary, s.sequenceNumber))
+      .toDF("committed_at", "snapshot_id", "parent_id", "operation",
+        "manifest_list", "summary", "sequence_number")
   }
 
+  /** manifests (inspect/manifests.rs:46-139): the reference fills the
+    * data AND delete count columns with the manifest's one count triple
+    * (manifests.rs:171-182) — mirrored as-is for interop; bounds in
+    * partition_summaries render as strings. */
   def manifestsDf(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    currentManifests.map(m => (m.manifestPath, m.manifestLength, m.partitionSpecId,
-      m.content, m.addedFilesCount, m.existingFilesCount, m.deletedFilesCount,
-      m.addedRowsCount))
-      .toDF("path", "length", "partition_spec_id", "content",
-        "added_data_files_count", "existing_data_files_count",
-        "deleted_data_files_count", "added_rows_count")
+    currentManifests.map { m =>
+      val spec = metadata.specById(m.partitionSpecId).getOrElse(this.spec)
+      val summaries = m.partitions.zip(spec.fields).map { case (fs, _) =>
+        GraftTable.PartitionSummaryRow(fs.containsNull, fs.containsNan,
+          fs.lowerBound.map(String.valueOf), fs.upperBound.map(String.valueOf))
+      }
+      GraftTable.ManifestRow(m.content, m.manifestPath, m.manifestLength,
+        m.partitionSpecId, m.addedSnapshotId,
+        m.addedFilesCount, m.existingFilesCount, m.deletedFilesCount,
+        m.addedFilesCount, m.existingFilesCount, m.deletedFilesCount,
+        summaries)
+    }.toDF()
   }
 
+  /** history (inspect/history.rs:55-76): snapshot-log entries with the
+    * parent id resolved per snapshot and live-lineage membership. */
   def historyDf(spark: SparkSession): DataFrame = {
     import spark.implicits._
     val currentAncestors = ancestorIds.toSet
     metadata.snapshotLog.map { case (id, ts) =>
-      (new java.sql.Timestamp(ts), id, currentAncestors.contains(id))
-    }.toDF("made_current_at", "snapshot_id", "is_current_ancestor")
+      (new java.sql.Timestamp(ts), id,
+        metadata.snapshotById(id).flatMap(_.parentSnapshotId),
+        currentAncestors.contains(id))
+    }.toDF("made_current_at", "snapshot_id", "parent_id", "is_current_ancestor")
   }
 
   /** entries metadata table (inspect/metadata_table.rs): one row per
@@ -400,6 +422,18 @@ final class GraftTable(
 }
 
 object GraftTable {
+
+  /** manifests-table row shapes (inspect/manifests.rs:46-139 column
+    * names/types — field names ARE the column names via the encoder). */
+  final case class PartitionSummaryRow(contains_null: Boolean,
+      contains_nan: Option[Boolean], lower_bound: Option[String],
+      upper_bound: Option[String])
+  final case class ManifestRow(content: Int, path: String, length: Long,
+      partition_spec_id: Int, added_snapshot_id: Long,
+      added_data_files_count: Int, existing_data_files_count: Int,
+      deleted_data_files_count: Int, added_delete_files_count: Int,
+      existing_delete_files_count: Int, deleted_delete_files_count: Int,
+      partition_summaries: Seq[PartitionSummaryRow])
   def load(name: String, catalog: Catalog): GraftTable = {
     val (md, v) = catalog.loadTable(name)
     new GraftTable(name, md, v, catalog)
@@ -568,16 +602,28 @@ final class TableScan private[table] (
     val byId = table.metadata.snapshots.map(s => s.snapshotId -> s).toMap
     val to = byId.getOrElse(toSnapshotId,
       throw new IllegalArgumentException(s"snapshot $toSnapshotId not found"))
-    val rangeIds = Iterator.iterate(Option(to))(
+    // full ancestor chain to → root; the start snapshot must actually sit
+    // on it — after a rollback or branch switch it does not, and silently
+    // walking to the root would serve the FULL table as an "increment"
+    val chain = Iterator.iterate(Option(to))(
         _.flatMap(_.parentSnapshotId).flatMap(byId.get))
-      .takeWhile(s => s.isDefined && s.get.snapshotId != fromSnapshotId)
-      .flatten.flatMap { s =>
-        if (s.operation == "append") Some(s.snapshotId)
-        else if (skipNonAppend) None
-        else throw new IllegalArgumentException(
-          s"snapshot ${s.snapshotId} is '${s.operation}', not append — " +
-            "incremental append scan undefined")
-      }.toSet
+      .takeWhile(_.isDefined).flatten.toSeq
+    // -1 is the explicit "from the beginning" sentinel (streaming initial
+    // offset); any real id must actually sit on the ancestor chain
+    val fromIdx =
+      if (fromSnapshotId == -1L) chain.length
+      else chain.indexWhere(_.snapshotId == fromSnapshotId)
+    if (fromIdx < 0)
+      throw new IllegalArgumentException(
+        s"snapshot $fromSnapshotId is not an ancestor of $toSnapshotId — " +
+          "incremental scan window undefined (rollback or branch switch?)")
+    val rangeIds = chain.take(fromIdx).flatMap { s =>
+      if (s.operation == "append") Some(s.snapshotId)
+      else if (skipNonAppend) None
+      else throw new IllegalArgumentException(
+        s"snapshot ${s.snapshotId} is '${s.operation}', not append — " +
+          "incremental append scan undefined")
+    }.toSet
     new IncrementalScan(table, toSnapshotId, rangeIds)
   }
 

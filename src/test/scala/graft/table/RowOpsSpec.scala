@@ -149,6 +149,28 @@ class RowOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] { t.newScan().appendsBetween(s2, s4) }
   }
 
+  test("incremental append scan refuses a non-ancestor start snapshot") {
+    import spark.implicits._
+    var t = fresh("incr_roll")
+    t = t.append((1L to 5L).map(i => (i, 1.0, "s1")).toDF("id", "v", "tag"))
+    val s1 = t.metadata.currentSnapshotId.get
+    t = t.append((6L to 10L).map(i => (i, 2.0, "s2")).toDF("id", "v", "tag"))
+    val s2 = t.metadata.currentSnapshotId.get
+    // rollback to s1, then commit a new lineage: s2 is now ORPHANED
+    t = t.rollbackTo(s1)
+    t = t.append((11L to 15L).map(i => (i, 3.0, "s3")).toDF("id", "v", "tag"))
+    val s3 = t.metadata.currentSnapshotId.get
+    // the window (s2, s3] is undefined — silently walking to the root
+    // would serve the FULL table as an "increment"
+    val e = intercept[IllegalArgumentException] {
+      t.newScan().appendsBetween(s2, s3).toDF(spark).collect()
+    }
+    assert(e.getMessage.contains("not an ancestor"), e.getMessage)
+    // the valid window still works after the rollback
+    assert(t.newScan().appendsBetween(s1, s3).toDF(spark)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq === (11L to 15L))
+  }
+
   test("size-targeted rolling writer splits output files") {
     import spark.implicits._
     val catalog = new HadoopCatalog(
