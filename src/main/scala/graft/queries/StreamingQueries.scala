@@ -76,5 +76,146 @@ object StreamingQueries {
       .orderBy(col("user_id"))
   }
 
-  val all: Seq[Q] = Seq(p80)
+  /** Conversion funnel via the streaming twin (flatMapGroupsWithState,
+    * event-time timeouts): events feed in TS ORDER in three chunks, then
+    * a far-future sentinel advances the watermark past every user's
+    * horizon so partial funnels flush through the timeout path. With
+    * ordered arrival the greedy per-step advance equals the batch
+    * min-based funnel exactly, so the oracle is p47's CTE chain
+    * projected to the emitted shape. */
+  val p81 = Q.sql(
+    "p81_streaming_funnel",
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+      |t1 AS (SELECT user_id, min(ts_us) AS t1_us
+      |       FROM e WHERE event_type = 'view' GROUP BY user_id),
+      |t2 AS (SELECT e.user_id, min(e.ts_us) AS t2_us
+      |       FROM e JOIN t1 ON e.user_id = t1.user_id
+      |       WHERE e.event_type = 'click' AND e.ts_us >= t1.t1_us
+      |         AND e.ts_us - t1.t1_us <= 604800000000
+      |       GROUP BY e.user_id),
+      |t3 AS (SELECT e.user_id, min(e.ts_us) AS t3_us
+      |       FROM e JOIN t2 ON e.user_id = t2.user_id
+      |            JOIN t1 ON e.user_id = t1.user_id
+      |       WHERE e.event_type = 'purchase' AND e.ts_us >= t2.t2_us
+      |         AND e.ts_us - t1.t1_us <= 604800000000
+      |       GROUP BY e.user_id)
+      |SELECT u.user_id,
+      |  (CASE WHEN t1.t1_us IS NOT NULL THEN 1 ELSE 0 END +
+      |   CASE WHEN t2.t2_us IS NOT NULL THEN 1 ELSE 0 END +
+      |   CASE WHEN t3.t3_us IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+      |    AS steps_completed,
+      |  coalesce(t1.t1_us, -1) AS t1_us,
+      |  coalesce(t3.t3_us, t2.t2_us, t1.t1_us, -1) AS t_last_us
+      |FROM (SELECT DISTINCT user_id FROM e) u
+      |LEFT JOIN t1 ON u.user_id = t1.user_id
+      |LEFT JOIN t2 ON u.user_id = t2.user_id
+      |LEFT JOIN t3 ON u.user_id = t3.user_id
+      |ORDER BY u.user_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val events = graft.Tables.events(s, d)
+      .select("user_id", "event_type", "ts")
+      .as[(Long, String, java.sql.Timestamp)].collect()
+      .sortBy(_._3.getTime).toSeq
+    val maxTs = events.map(_._3.getTime).max
+    // one sentinel beyond every horizon (t1 + 7 d window + 60 min
+    // watermark); a second sentinel batch lets the timeouts fire on the
+    // advanced watermark
+    def sentinel(k: Long) =
+      (-1L, "noise", new java.sql.Timestamp(maxTs + (8L + k) * 86400000L))
+
+    val source = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val qname = "p81_mem_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = graft.streaming.StreamingFunnel.funnel(
+        source.toDF().toDF("user_id", "event_type", "ts"),
+        Seq("view", "click", "purchase"))
+      .writeStream.format("memory").queryName(qname)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      // ONE event batch: the fixture spans weeks, so a chunked feed
+      // would advance the watermark past early users' horizons mid-feed,
+      // time their partial funnels out, and let later events RESTART
+      // them (the streaming twin's documented reappearance semantics) —
+      // batch equality needs every user's events inside one trigger
+      source.addData(events: _*); q.processAllAvailable()
+      source.addData(sentinel(0)); q.processAllAvailable()
+      source.addData(sentinel(1)); q.processAllAvailable()
+    } finally q.stop()
+
+    val out = s.table(qname)
+      .as[graft.streaming.StreamingFunnel.FunnelResult].collect().toSeq
+      .filter(_.user_id >= 0) // drop any sentinel-user emission
+    s.catalog.dropTempView(qname)
+    out.toDF()
+      .select(col("user_id"), col("steps_completed").cast("bigint"),
+        col("t1_us"), col("t_last_us"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Daily anomaly gate via the streaming twin: per-type finalized-day
+    * ring judged with the batch op's integer inequality. Events feed in
+    * TS ORDER (so cross-chunk days accumulate, never drop as late);
+    * one far-future sentinel PER TYPE finalizes each type's last open
+    * day inline. Oracle = p59's, verbatim. */
+  val p82 = Q.sql(
+    "p82_streaming_daily_anomalies",
+    """WITH d AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |    count(*)::BIGINT AS n
+      |  FROM events GROUP BY event_type, day),
+      |w AS (
+      |  SELECT event_type, day, n,
+      |    count(*) OVER tw AS h,
+      |    sum(n) OVER tw AS s7,
+      |    sum(n * n) OVER tw AS ss7
+      |  FROM d
+      |  WINDOW tw AS (PARTITION BY event_type ORDER BY day
+      |                ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+      |SELECT event_type, day, n,
+      |  CASE WHEN h = 7 THEN
+      |    2 * (7*n - s7) * (7*n - s7) > 21 * (7*ss7 - s7*s7)
+      |  END AS anomaly
+      |FROM w ORDER BY event_type, day""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val events = graft.Tables.events(s, d)
+      .select("event_type", "ts")
+      .as[(String, java.sql.Timestamp)].collect()
+      .sortBy(_._2.getTime).toSeq
+    val maxTs = events.map(_._2.getTime).max
+    val types = events.map(_._1).distinct
+    val sentinels = types.map(t =>
+      (t, new java.sql.Timestamp(maxTs + 20L * 86400000L)))
+
+    val source = MemoryStream[(String, java.sql.Timestamp)]
+    val qname = "p82_mem_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = graft.streaming.StreamingAnomalies.anomalies(
+        source.toDF().toDF("event_type", "ts"))
+      .writeStream.format("memory").queryName(qname)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      events.grouped(math.max(1, events.size / 3 + 1)).foreach { chunk =>
+        source.addData(chunk: _*); q.processAllAvailable()
+      }
+      source.addData(sentinels: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val out = s.table(qname)
+      .as[graft.streaming.StreamingAnomalies.DayVerdict].collect().toSeq
+    s.catalog.dropTempView(qname)
+    out.toDF()
+      .select(col("event_type"), col("day"), col("n"), col("anomaly"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val all: Seq[Q] = Seq(p80, p81, p82)
 }
