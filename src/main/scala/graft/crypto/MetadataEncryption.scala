@@ -37,6 +37,37 @@ object MetadataEncryption {
 
   private val rng = new SecureRandom()
 
+  /** Unwrapped-KEK cache (manager.rs DEFAULT_CACHE_TTL: 1 h TTL on
+    * `kek_cache`): one KMS round-trip per KEK per hour instead of one
+    * per snapshot-key resolution. Keyed by (KEK id, encryption
+    * properties) — STRICTER than the reference's id-only key: dropping
+    * or rotating the keyring/KMS config misses immediately instead of
+    * serving a stale unwrap for up to the TTL. Expiry sweep on insert
+    * bounds the size. */
+  private val KekCacheTtlMs = 3600L * 1000
+  private type KekKey = (String, Map[String, String])
+  private val kekCache =
+    scala.collection.concurrent.TrieMap[KekKey, (Long, Array[Byte])]()
+
+  private def unwrapKekCached(md: TableMetadata, kek: EncryptedKey,
+      masterKeyId: String): Array[Byte] = {
+    val now = System.currentTimeMillis()
+    val key: KekKey = (kek.keyId,
+      md.properties.filter { case (k, _) => k.startsWith("encryption.") })
+    kekCache.get(key).filter(now - _._1 < KekCacheTtlMs) match {
+      case Some((_, bytes)) => bytes
+      case None =>
+        val bytes = Kms.clientFor(md.properties)
+          .unwrapKey(kek.encryptedKeyMetadata, masterKeyId)
+        kekCache.filterInPlace { case (_, (ts, _)) => now - ts < KekCacheTtlMs }
+        kekCache.put(key, (now, bytes))
+        bytes
+    }
+  }
+
+  /** Test/ops hook: drop all cached unwrapped KEKs immediately. */
+  def invalidateKekCache(): Unit = kekCache.clear()
+
   def enabled(md: TableMetadata): Boolean =
     md.properties.contains(KeyIdProp) && {
       // refuse silently-unencrypted v2 tables: the key registry and
@@ -123,8 +154,7 @@ object MetadataEncryption {
         throw new IllegalArgumentException(s"KEK '$kekId' not found"))
       val masterKeyId = kek.encryptedById.getOrElse(
         throw new IllegalArgumentException(s"KEK '$kekId' has no encrypted-by-id"))
-      val kekBytes =
-        Kms.clientFor(md.properties).unwrapKey(kek.encryptedKeyMetadata, masterKeyId)
+      val kekBytes = unwrapKekCached(md, kek, masterKeyId)
       val aad = kek.properties.get(KekTimestampProp).map(_.getBytes("UTF-8"))
         .getOrElse(throw new IllegalArgumentException(
           s"KEK '$kekId' missing $KekTimestampProp"))

@@ -1,7 +1,7 @@
 package graft.table
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{coalesce, col, lit}
 
 import graft.catalog.{Catalog, CommitRetry}
 import graft.expr.{AlwaysTrue, ExpressionEvaluator, InclusiveMetricsEvaluator, InclusiveProjection, ManifestEvaluator, Predicate}
@@ -566,16 +566,19 @@ final class TableScan private[table] (
     selected: Seq[String] = Nil,
     snapshotId: Option[Long] = None,
     limitRows: Option[Long] = None,
-    metaCols: Boolean = false) {
+    metaCols: Boolean = false,
+    deletedCol: Boolean = false) {
+
+  private val DeletedCol = "_deleted"
 
   def withFilter(p: Predicate): TableScan =
-    new TableScan(table, Predicate.bind(p, table.schema), selected, snapshotId, limitRows, metaCols)
+    new TableScan(table, Predicate.bind(p, table.schema), selected, snapshotId, limitRows, metaCols, deletedCol)
 
   def select(cols: String*): TableScan =
-    new TableScan(table, filter, cols.toSeq, snapshotId, limitRows, metaCols)
+    new TableScan(table, filter, cols.toSeq, snapshotId, limitRows, metaCols, deletedCol)
 
   def useSnapshot(id: Long): TableScan =
-    new TableScan(table, filter, selected, Some(id), limitRows, metaCols)
+    new TableScan(table, filter, selected, Some(id), limitRows, metaCols, deletedCol)
 
   /** Scan a named branch/tag (ref-scoped read, scan/mod.rs ref support). */
   def useRef(name: String): TableScan = {
@@ -631,14 +634,25 @@ final class TableScan private[table] (
     * result AND, for unfiltered scans with no deletes, short-circuits
     * file planning once manifest record counts cover the limit. */
   def limit(n: Long): TableScan =
-    new TableScan(table, filter, selected, snapshotId, Some(n), metaCols)
+    new TableScan(table, filter, selected, snapshotId, Some(n), metaCols, deletedCol)
 
   /** Surface the reserved metadata columns (metadata_columns.rs:33-90):
     * `_file` (source file path), `_pos` (row position in file), `_spec_id`
     * (partition spec of the file), `_partition` (typed partition tuple of
     * the default spec; null for files of other specs). */
   def withMetadataColumns(): TableScan =
-    new TableScan(table, filter, selected, snapshotId, limitRows, metaCols = true)
+    new TableScan(table, filter, selected, snapshotId, limitRows, metaCols = true,
+      deletedCol)
+
+  /** Also serve `_deleted` (metadata_columns.rs:38,75 — reserved id
+    * i32.MAX-3): the scan then SERVES MoR-deleted rows with a boolean
+    * marker instead of filtering them — position deletes, deletion
+    * vectors and equality deletes all mark. The V1-path twin of the
+    * native reader's projected-`_deleted` behavior (explicit here
+    * because this path cannot see the downstream projection). */
+  def withDeletedColumn(): TableScan =
+    new TableScan(table, filter, selected, snapshotId, limitRows, metaCols = true,
+      deletedCol = true)
 
   private def snapshot: Option[Snapshot] =
     snapshotId.map(id => table.metadata.snapshotById(id).getOrElse(
@@ -955,11 +969,13 @@ final class TableScan private[table] (
             // projection drops it (position/DV deletes only for mapped
             // tables; equality deletes would need alias-aware keys).
             // The cast renames nested struct fields back positionally.
-            applyDeletes(spark, rawPhys, tasks)
+            applyDeletes(spark, rawPhys, tasks, mark = deletedCol)
               .select(table.schema.fields.zip(sparkSchema.fields)
                 .zip(physical.fields).map { case ((f, sf), pf) =>
                   col(pf.name).cast(sf.dataType).as(f.name)
-                }: _*)
+                } ++ (if (deletedCol)
+                  Seq(col(DeletedCol), col("_file"), col("_pos"))
+                else Nil): _*)
           case None =>
             // v3 initial-defaults: files written BEFORE a defaulted field
             // existed serve the default, not null. Column presence is
@@ -983,12 +999,16 @@ final class TableScan private[table] (
               val filled = missing.foldLeft(raw) { (df, f) =>
                 df.withColumn(f.name, defaultLiteral(f))
               }
-              applyDeletes(spark, filled, ts)
+              applyDeletes(spark, filled, ts, mark = deletedCol)
             }.reduce(_ unionByName _)
         }
       }
-    if (!metaCols || tasks.isEmpty) base
-    else addMetadataColumns(spark, base, tasks)
+    val withDeleted =
+      if (deletedCol && (tasks.isEmpty || !base.columns.contains(DeletedCol)))
+        base.withColumn(DeletedCol, lit(false))
+      else base
+    if (!metaCols || tasks.isEmpty) withDeleted
+    else addMetadataColumns(spark, withDeleted, tasks)
   }
 
   /** Spark literal for a field's initial-default. */
@@ -1042,8 +1062,14 @@ final class TableScan private[table] (
         t.file.firstRowId.map(java.lang.Long.valueOf).orNull, t.sequenceNumber))
     }
     val taskDf = spark.createDataFrame(rows, taskSchema)
-    df.withColumn("_file", col("_metadata.file_path"))
-      .withColumn("_pos", col("_metadata.row_index"))
+    // `_file`/`_pos` may already be materialized (the marked-delete path
+    // carries them out of applyDeletes; re-deriving from `_metadata`
+    // there would be ambiguous)
+    val withFp =
+      if (df.columns.contains("_file")) df
+      else df.withColumn("_file", col("_metadata.file_path"))
+        .withColumn("_pos", col("_metadata.row_index"))
+    withFp
       .join(broadcast(taskDf), col("_file") === col("_gf_meta_file"), "left")
       .withColumn("_row_id", col("_gf_first_row_id") + col("_pos"))
       .drop("_gf_meta_file", "_gf_first_row_id")
@@ -1068,15 +1094,24 @@ final class TableScan private[table] (
     * driver-side).
     */
   private def applyDeletes(spark: SparkSession, raw: DataFrame,
-      tasks: Seq[FileScanTask]): DataFrame = {
+      tasks: Seq[FileScanTask], mark: Boolean = false): DataFrame = {
     val deletes = planDeletes()
-    if (deletes.isEmpty) return raw
+    if (deletes.isEmpty)
+      return if (mark)
+        raw.withColumn("_file", col("_metadata.file_path"))
+          .withColumn("_pos", col("_metadata.row_index"))
+          .withColumn(DeletedCol, lit(false))
+      else raw
 
     val FILE = "_gf_file"; val POS = "_gf_pos"; val SEQ = "_gf_seq"
     val encConf = graft.crypto.Encryption.confFor(table.metadata.properties)
     var work = raw
       .withColumn(FILE, col("_metadata.file_path"))
       .withColumn(POS, col("_metadata.row_index"))
+    // mark-instead-of-skip (`_deleted`, metadata_columns.rs:38,75): each
+    // anti-join below becomes a LEFT join onto a distinct flagged side;
+    // the marker is the OR of the per-source flags
+    val flags = scala.collection.mutable.ArrayBuffer[String]()
 
     // only read the delete files that can touch a scanned data file
     // (referenced-data-file + file_path bounds — DeleteFileIndex role)
@@ -1093,7 +1128,14 @@ final class TableScan private[table] (
       }
     if (posParquet.nonEmpty) {
       val pd = spark.read.options(encConf).parquet(posParquet.map(_.file.filePath): _*)
-      work = work.join(pd,
+      if (mark) {
+        val flagged = pd.select(col("file_path"), col("pos")).distinct()
+          .withColumn("_gf_del_pp", lit(true))
+        work = work.join(flagged,
+          work(FILE) === flagged("file_path") && work(POS) === flagged("pos"),
+          "left").drop(flagged("file_path")).drop(flagged("pos"))
+        flags += "_gf_del_pp"
+      } else work = work.join(pd,
         work(FILE) === pd("file_path") && work(POS) === pd("pos"), "left_anti")
     }
 
@@ -1121,7 +1163,13 @@ final class TableScan private[table] (
             .iterator.map(pos => (ref, pos))
         }
         .toDF("file_path", "pos")
-      work = work.join(dvRows,
+      if (mark) {
+        val flagged = dvRows.distinct().withColumn("_gf_del_dv", lit(true))
+        work = work.join(flagged,
+          work(FILE) === flagged("file_path") && work(POS) === flagged("pos"),
+          "left").drop(flagged("file_path")).drop(flagged("pos"))
+        flags += "_gf_del_dv"
+      } else work = work.join(dvRows,
         work(FILE) === dvRows("file_path") && work(POS) === dvRows("pos"), "left_anti")
     }
 
@@ -1154,12 +1202,11 @@ final class TableScan private[table] (
           s"table ${table.name}: ${eqGroups.size} equality-delete groups stack " +
             s"${eqGroups.size} anti-joins onto every scan — run rewriteDataFiles " +
             "to fold them into the data")
-      eqGroups.foreach {
-        case ((ids, delSeq, scope), group) =>
+      eqGroups.zipWithIndex.foreach {
+        case (((ids, delSeq, scope), group), gi) =>
           val keyNames = ids.map(id => table.schema.idToField(id).name)
           val dels = spark.read.options(encConf).parquet(group.map(_.file.filePath): _*)
             .select(keyNames.map(col): _*).distinct()
-          val keyCond = keyNames.map(n => work(n) === dels(n)).reduce(_ && _)
           val scopeCond = scope match {
             case None => lit(true)
             case Some((sid, tup)) =>
@@ -1171,11 +1218,32 @@ final class TableScan private[table] (
                 .map(t => qualify(t.file.filePath))
               if (inScope.isEmpty) lit(false) else work(FILE).isin(inScope: _*)
           }
-          work = work.join(dels, keyCond && work(SEQ) < lit(delSeq) && scopeCond,
-            "left_anti")
+          if (mark) {
+            val flagName = s"_gf_del_eq$gi"
+            val flagged = dels.withColumn(flagName, lit(true))
+            val keyCond = keyNames.map(n => work(n) === flagged(n)).reduce(_ && _)
+            work = work.join(flagged,
+              keyCond && work(SEQ) < lit(delSeq) && scopeCond, "left")
+            keyNames.foreach(n => work = work.drop(flagged(n)))
+            flags += flagName
+          } else {
+            val keyCond = keyNames.map(n => work(n) === dels(n)).reduce(_ && _)
+            work = work.join(dels, keyCond && work(SEQ) < lit(delSeq) && scopeCond,
+              "left_anti")
+          }
       }
       work = work.drop(SEQ)
     }
-    work.drop(FILE, POS)
+    if (mark) {
+      // keep the row coordinates under their reserved names: the joins
+      // above put a second parquet relation (hence a second `_metadata`)
+      // in scope, so addMetadataColumns could no longer derive them
+      // unambiguously — it reuses these instead
+      work.withColumn(DeletedCol,
+          flags.map(f => coalesce(col(f), lit(false)))
+            .reduceOption(_ || _).getOrElse(lit(false)))
+        .drop(flags.toSeq: _*)
+        .withColumnRenamed(FILE, "_file").withColumnRenamed(POS, "_pos")
+    } else work.drop(FILE, POS)
   }
 }

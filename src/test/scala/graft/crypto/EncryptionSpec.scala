@@ -347,6 +347,35 @@ class EncryptionSpec extends AnyFunSuite with BeforeAndAfterAll {
     val e = intercept[IllegalArgumentException] { graft.crypto.Kms.clientFor(bad) }
     assert(e.getMessage.contains("not.a.RealClass"))
   }
+
+  test("unwrapped-KEK cache: one KMS unwrap per KEK, invalidate re-unwraps") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-enc-ttl-").toString
+    val catalog = new HadoopCatalog(wh, FileIO.fromSpark(spark))
+    val junkKey = java.util.Base64.getEncoder.encodeToString(new Array[Byte](32))
+    val props = Map(
+      Encryption.MasterKeysProp -> s"mk1:$junkKey",
+      graft.crypto.Kms.KmsImplProp -> classOf[TestKmsFactory].getName,
+      MetadataEncryption.KeyIdProp -> "mk1",
+      "format-version" -> "3")
+    var t = GraftTable.create("encttl", catalog, schema, properties = props)
+    t = t.append(Seq((1L, 0.5, "a")).toDF("id", "v", "s"))
+
+    // manager.rs kek_cache contract: repeated snapshot-key resolutions
+    // cost ONE KMS round-trip per KEK until the cache is invalidated
+    MetadataEncryption.invalidateKekCache()
+    TestKms.unwraps.set(0)
+    val snap = t.metadata.currentSnapshot.get
+    assert(MetadataEncryption.listKeyFor(t.metadata, snap).isDefined)
+    val first = TestKms.unwraps.get()
+    assert(first == 1, s"first resolution must unwrap once, did $first")
+    (1 to 3).foreach(_ =>
+      assert(MetadataEncryption.listKeyFor(t.metadata, snap).isDefined))
+    assert(TestKms.unwraps.get() == first, "later resolutions must hit the cache")
+    MetadataEncryption.invalidateKekCache()
+    assert(MetadataEncryption.listKeyFor(t.metadata, snap).isDefined)
+    assert(TestKms.unwraps.get() == first + 1, "invalidate forces a re-unwrap")
+  }
 }
 
 /** Deterministic test KMS: XOR "encryption" with a per-key-id pad and

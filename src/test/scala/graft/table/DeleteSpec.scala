@@ -314,6 +314,26 @@ class DeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.count() == src.filter("o_totalprice <= 200000.0").count())
   }
 
+  test("_deleted marker on the V1 path: withDeletedColumn() serves and marks") {
+    val ss = spark; import ss.implicits._
+    val src = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val schema = IcebergSchema.fromSpark(src.schema)
+    var t = GraftTable.create("orders_v1mark", catalog, schema)
+    t = t.append(src).deleteWhere(Predicate.gt("o_totalprice", 200000.0), spark)
+    t = t.equalityDelete(Seq("P").toDF("o_orderstatus"), Seq("o_orderstatus"))
+
+    val rows = t.newScan().withDeletedColumn().toDF(spark)
+      .select("o_orderkey", "o_totalprice", "o_orderstatus", "_deleted")
+      .collect()
+    assert(rows.length == src.count(), "every physical row served")
+    assert(rows.forall(r => r.getBoolean(3) ==
+      (r.getDouble(1) > 200000.0 || r.getString(2) == "P")),
+      "V1 marker must be the union of position and equality deletes")
+    // plain withMetadataColumns() keeps the filtering semantics
+    assert(t.newScan().withMetadataColumns().toDF(spark).count() ==
+      src.filter("o_totalprice <= 200000.0 AND o_orderstatus <> 'P'").count())
+  }
+
   test("_deleted marker: deletion vectors and equality deletes mark too") {
     val ss = spark; import ss.implicits._
     val src = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
