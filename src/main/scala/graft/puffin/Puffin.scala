@@ -19,8 +19,13 @@ import graft.spec.Json._
   * }}}
   *
   * Footer payload: {"blobs": [{type, fields, snapshot-id,
-  * sequence-number, offset, length, properties}], "properties": {}}.
-  * Blobs and footer are written uncompressed (flag bit 0 = 0).
+  * sequence-number, offset, length, compression-codec?, properties}],
+  * "properties": {}}. The footer itself is written uncompressed (flag
+  * bit 0 = 0; a compressed footer is refused on read, like the
+  * reference refuses its lz4-only footer codec). Blobs compress per
+  * their `compression-codec` entry: zstd on write when requested, zstd
+  * AND lz4-frame on read (foreign Java/Rust stats files default to
+  * zstd).
   */
 object Puffin {
 
@@ -42,7 +47,10 @@ object Puffin {
       snapshotId: Long,
       sequenceNumber: Long,
       data: Array[Byte],
-      properties: Map[String, String] = Map.empty)
+      properties: Map[String, String] = Map.empty,
+      /** Per-blob compression (puffin spec `compression-codec`):
+        * None = store raw; Some("zstd") compresses on write. */
+      codec: Option[String] = None)
 
   final case class BlobMetadata(
       blobType: String,
@@ -51,7 +59,37 @@ object Puffin {
       sequenceNumber: Long,
       offset: Long,
       length: Long,
-      properties: Map[String, String])
+      properties: Map[String, String],
+      codec: Option[String] = None)
+
+  /** Blob codec registry (reference compression.rs + puffin/mod.rs:31
+    * validate_puffin_compression: None/lz4/zstd are the legal Puffin
+    * codecs). This engine reads BOTH zstd and lz4-frame (the reference
+    * currently refuses lz4 reads) and writes zstd on request. */
+  private def compress(codec: Option[String], data: Array[Byte]): Array[Byte] =
+    codec match {
+      case None => data
+      case Some("zstd") => com.github.luben.zstd.Zstd.compress(data)
+      case Some(other) => throw new IllegalArgumentException(
+        s"Compression codec $other is not supported for Puffin writes " +
+          "(zstd or uncompressed)")
+    }
+
+  private def decompress(codec: Option[String], data: Array[Byte]): Array[Byte] =
+    codec match {
+      case None => data
+      case Some("zstd") =>
+        val in = new com.github.luben.zstd.ZstdInputStream(
+          new java.io.ByteArrayInputStream(data))
+        try in.readAllBytes() finally in.close()
+      case Some("lz4") =>
+        val in = new net.jpountz.lz4.LZ4FrameInputStream(
+          new java.io.ByteArrayInputStream(data))
+        try in.readAllBytes() finally in.close()
+      case Some(other) => throw new IllegalArgumentException(
+        s"Compression codec $other is not supported for Puffin files. " +
+          "Only uncompressed, lz4, and zstd are supported.")
+    }
 
   /** Write a Puffin file; returns the blob descriptors (with offsets). */
   def write(io: FileIO, path: String, blobs: Seq[Blob],
@@ -60,9 +98,10 @@ object Puffin {
     out.write(Magic)
     val metas = blobs.map { b =>
       val offset = out.size().toLong
-      out.write(b.data)
+      val stored = compress(b.codec, b.data)
+      out.write(stored)
       BlobMetadata(b.blobType, b.fields, b.snapshotId, b.sequenceNumber,
-        offset, b.data.length.toLong, b.properties)
+        offset, stored.length.toLong, b.properties, b.codec)
     }
     out.write(Magic)
     val payload = footerJson(metas, fileProperties).getBytes(StandardCharsets.UTF_8)
@@ -93,13 +132,17 @@ object Puffin {
     parseFooter(payload)
   }
 
-  /** Read one blob's payload bytes. */
+  /** Read one blob's payload bytes (decompressed per its
+    * `compression-codec` footer entry — zstd and lz4-frame supported;
+    * reader.rs:70-75 shape, plus the lz4 read the reference refuses). */
   def readBlob(io: FileIO, path: String, meta: BlobMetadata): Array[Byte] = {
     val in = io.open(path)
-    try {
-      in.skip(meta.offset)
-      in.readNBytes(meta.length.toInt)
-    } finally in.close()
+    val raw =
+      try {
+        in.skip(meta.offset)
+        in.readNBytes(meta.length.toInt)
+      } finally in.close()
+    decompress(meta.codec, raw)
   }
 
   private def footerJson(metas: Seq[BlobMetadata], props: Map[String, String]): String = {
@@ -113,6 +156,7 @@ object Puffin {
       bo.put("sequence-number", m.sequenceNumber)
       bo.put("offset", m.offset)
       bo.put("length", m.length)
+      m.codec.foreach(c => bo.put("compression-codec", c))
       if (m.properties.nonEmpty) {
         val po = obj()
         m.properties.toSeq.sortBy(_._1).foreach { case (k, v) => po.put(k, v) }
@@ -141,7 +185,8 @@ object Puffin {
         length = b("length").asLong(),
         properties = b.opt("properties").map(_.fieldsMap.map { case (k, v) =>
           k -> v.asText()
-        }).getOrElse(Map.empty))
+        }).getOrElse(Map.empty),
+        codec = b.opt("compression-codec").map(_.asText()))
     }
     val props = n.opt("properties").map(_.fieldsMap.map { case (k, v) => k -> v.asText() })
       .getOrElse(Map.empty[String, String])

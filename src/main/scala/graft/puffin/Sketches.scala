@@ -120,10 +120,12 @@ object Sketches {
           s.serialize(), Map("column" -> s.column, "ndv" -> s.estimate.toString))
       } ++ sketches.zip(thetas).map { case (s, t) =>
         // the spec'd interop blob: DataSketches CompactSketch bytes a
-        // foreign engine heapifies directly
+        // foreign engine heapifies directly — zstd-compressed like the
+        // Java writer's default (readers get the codec from the footer)
         Puffin.Blob(Puffin.ThetaV1, Seq(s.fieldId), snapshotId, seq,
           ThetaSketch.serialize(t),
-          Map("column" -> s.column, "ndv" -> t.estimate.toString))
+          Map("column" -> s.column, "ndv" -> t.estimate.toString),
+          codec = Some("zstd"))
       }, Map("created-by" -> "graft"))
     val fileSize = table.io.size(path)
     val statsFile = graft.spec.StatisticsFile(

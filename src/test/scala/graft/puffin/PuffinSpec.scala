@@ -165,6 +165,42 @@ class PuffinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Puffin.readBlob(io, path, readMetas(1)).toSeq === Seq[Byte](1, 2, 3, 4))
   }
 
+  test("puffin blob compression: zstd round-trip, foreign zstd/lz4 read back") {
+    val io = FileIO.fromSpark(spark)
+    val dir = java.nio.file.Files.createTempDirectory("puffin-z-").toString
+    val payload = Array.tabulate(10000)(i => (i % 37).toByte) // compressible
+
+    // our writer: zstd-compressed blob next to an uncompressed one
+    val path = s"$dir/z.puffin"
+    val metas = Puffin.write(io, path, Seq(
+      Puffin.Blob("t1", Nil, 1L, 1L, payload, codec = Some("zstd")),
+      Puffin.Blob("t2", Nil, 1L, 1L, payload)))
+    assert(metas.head.length < payload.length, "zstd blob stored compressed")
+    val (readMetas, _) = Puffin.readMetadata(io, path)
+    assert(readMetas.head.codec === Some("zstd"))
+    assert(readMetas(1).codec === None)
+    assert(Puffin.readBlob(io, path, readMetas.head).toSeq === payload.toSeq)
+    assert(Puffin.readBlob(io, path, readMetas(1)).toSeq === payload.toSeq)
+
+    // a FOREIGN lz4-frame blob (the codec the reference refuses to read;
+    // Java writers may emit it): decompresses through the same surface
+    val lzBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new net.jpountz.lz4.LZ4FrameOutputStream(bos)
+      out.write(payload); out.close(); bos.toByteArray
+    }
+    val lz = Puffin.BlobMetadata("t3", Nil, 1L, 1L, 4L, lzBytes.length.toLong,
+      Map.empty, Some("lz4"))
+    val lzPath = s"$dir/foreign.puffin"
+    io.writeBytes(lzPath, "PFA1".getBytes ++ lzBytes, overwrite = true)
+    assert(Puffin.readBlob(io, lzPath, lz).toSeq === payload.toSeq)
+
+    // unknown codec refused with a clear message
+    val bad = lz.copy(codec = Some("brotli"))
+    val e = intercept[IllegalArgumentException] { Puffin.readBlob(io, lzPath, bad) }
+    assert(e.getMessage.contains("brotli"))
+  }
+
   test("statistics files register in table metadata and round-trip") {
     import spark.implicits._
     val catalog = new HadoopCatalog(
