@@ -321,15 +321,11 @@ object Commits {
 
       val now = System.currentTimeMillis()
       val dataMs = all.filter(_.content == ManifestContent.Data)
-      val delMs = all.filter(_.content == ManifestContent.Deletes)
       val addedRecords = dataMs.filter(_.addedSnapshotId == snapshotId)
         .map(_.addedRowsCount).sum
-      val summary = Map(
-        "total-data-files" -> dataMs.map(m => m.addedFilesCount + m.existingFilesCount).sum.toString,
-        "total-delete-files" -> delMs.map(m => m.addedFilesCount + m.existingFilesCount).sum.toString,
-        "total-records" -> dataMs.map(m => m.addedRowsCount + m.existingRowsCount).sum.toString,
-        "added-records" -> addedRecords.toString
-      ) ++ extraSummary
+      // full reference metric set (SnapshotSummaryCollector +
+      // update_snapshot_summaries) — caller extras layer on top
+      val summary = SnapshotSummary.build(io, base, all, snapshotId) ++ extraSummary
 
       // v3 row lineage: append commits consume a contiguous row-id block
       // equal to the rows they added (AppendWriter assigned the per-file
