@@ -431,8 +431,24 @@ object CommitRetry {
       action: (TableMetadata, Int) => (TableMetadata, Int => T)): T = {
     var attempt = 0
     var waitMs = minWaitMs
+    val startMs = System.currentTimeMillis()
+    // table-tunable retry policy (table_properties.rs:322-339 —
+    // commit.retry.{num-retries,min-wait-ms,max-wait-ms,total-timeout-ms});
+    // the caller's arguments are the defaults, matching the reference's
+    var maxRetries = retries
+    var maxWait = maxWaitMs
+    var totalTimeoutMs = 30L * 60 * 1000
+    var tuned = false
     while (true) {
       val (base, version) = catalog.loadTable(name)
+      if (!tuned) {
+        tuned = true
+        def prop(k: String) = base.properties.get(k).flatMap(_.toLongOption)
+        maxRetries = prop("commit.retry.num-retries").map(_.toInt).getOrElse(retries)
+        waitMs = prop("commit.retry.min-wait-ms").getOrElse(minWaitMs)
+        maxWait = prop("commit.retry.max-wait-ms").getOrElse(maxWaitMs)
+        totalTimeoutMs = prop("commit.retry.total-timeout-ms").getOrElse(totalTimeoutMs)
+      }
       val (updated0, onSuccess) = action(base, version)
       // Every real metadata change records its predecessor in the
       // metadata log (table_metadata.rs metadata_log), capped by
@@ -461,9 +477,10 @@ object CommitRetry {
       } catch {
         case c: CommitConflict =>
           attempt += 1
-          if (attempt > retries) throw c
+          if (attempt > maxRetries ||
+              System.currentTimeMillis() - startMs > totalTimeoutMs) throw c
           Thread.sleep(waitMs + scala.util.Random.nextLong(waitMs / 2 + 1))
-          waitMs = math.min(waitMs * 2, maxWaitMs)
+          waitMs = math.min(waitMs * 2, maxWait)
       }
     }
     throw new IllegalStateException("unreachable")

@@ -12,10 +12,25 @@ import graft.spec.{SortField, SortOrder}
 object Transactions {
 
   /** Set/overwrite table properties (UpdatePropertiesAction). */
+  /** Reserved property keys (table_properties.rs:309 RESERVED_PROPERTIES):
+    * creation/update control knobs whose values are never persisted as
+    * plain properties — setting them here is refused ('format-version'
+    * routes through the upgrade action in the catalog plugin). */
+  val ReservedProperties: Set[String] = Set(
+    "format-version", "uuid", "snapshot-count", "current-snapshot-id",
+    "current-snapshot-summary", "current-snapshot-timestamp-ms",
+    "current-schema", "default-partition-spec", "default-sort-order")
+
   def updateProperties(table: GraftTable, set: Map[String, String],
       remove: Set[String] = Set.empty): GraftTable = {
     require(set.keySet.intersect(remove).isEmpty,
       "cannot set and remove the same property")
+    val reserved = set.keySet.intersect(ReservedProperties)
+    require(reserved.isEmpty,
+      s"cannot set reserved table properties: ${reserved.mkString(", ")} " +
+        "(reserved keys control create/upgrade behavior and are never " +
+        "persisted; use the dedicated action — e.g. ALTER ... SET " +
+        "TBLPROPERTIES ('format-version'='3') routes to the upgrade)")
     CommitRetry.run(table.catalog, table.name) { (base, _) =>
       val updated = base.copy(
         properties = base.properties -- remove ++ set,

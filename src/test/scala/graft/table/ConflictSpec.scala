@@ -203,4 +203,51 @@ class ConflictSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(GraftTable.load("c4", catalog).newScan().toDF(spark).count() === 145)
   }
+
+  test("commit.retry.* table properties tune the retry policy") {
+    import graft.catalog.{Catalog => GCatalog, CommitConflict, CommitRetry}
+    // wrapper backend: commitTable always conflicts, counting attempts
+    class AlwaysConflict(inner: GCatalog) extends GCatalog {
+      val attempts = new java.util.concurrent.atomic.AtomicInteger
+      override def io = inner.io
+      override def createTable(name: String, schema: IcebergSchema,
+          spec: PartitionSpec, properties: Map[String, String]) =
+        inner.createTable(name, schema, spec, properties)
+      override def loadTable(name: String) = inner.loadTable(name)
+      override def tableExists(name: String) = inner.tableExists(name)
+      override def dropTable(name: String) = inner.dropTable(name)
+      override def listTables() = inner.listTables()
+      override def commitTable(name: String, baseVersion: Int,
+          updated: TableMetadata): Int = {
+        attempts.incrementAndGet()
+        throw CommitConflict("synthetic")
+      }
+      override protected def registerParsed(name: String,
+          md: TableMetadata): Unit = ()
+    }
+    val catalog = freshCatalog()
+    // num-retries=0: exactly ONE attempt, no sleeps
+    GraftTable.create("retry0", catalog, schema,
+      properties = Map("commit.retry.num-retries" -> "0",
+        "commit.retry.min-wait-ms" -> "1"))
+    val c0 = new AlwaysConflict(catalog)
+    intercept[CommitConflict] {
+      CommitRetry.run(c0, "retry0") { (base, _) =>
+        (base.copy(lastUpdatedMs = base.lastUpdatedMs + 1), (_: Int) => ())
+      }
+    }
+    assert(c0.attempts.get() == 1, s"expected 1 attempt, saw ${c0.attempts.get()}")
+
+    // num-retries=2 with ms-scale waits: exactly three attempts
+    GraftTable.create("retry2", catalog, schema,
+      properties = Map("commit.retry.num-retries" -> "2",
+        "commit.retry.min-wait-ms" -> "1", "commit.retry.max-wait-ms" -> "2"))
+    val c2 = new AlwaysConflict(catalog)
+    intercept[CommitConflict] {
+      CommitRetry.run(c2, "retry2") { (base, _) =>
+        (base.copy(lastUpdatedMs = base.lastUpdatedMs + 1), (_: Int) => ())
+      }
+    }
+    assert(c2.attempts.get() == 3, s"expected 3 attempts, saw ${c2.attempts.get()}")
+  }
 }

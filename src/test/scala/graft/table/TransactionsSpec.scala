@@ -48,6 +48,17 @@ class TransactionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] {
       t.updateProperties(Map("a" -> "1"), remove = Set("a"))
     }
+    // reserved keys (table_properties.rs RESERVED_PROPERTIES) are control
+    // knobs, never plain properties — setting them is refused
+    Seq("uuid", "snapshot-count", "current-snapshot-id", "format-version")
+      .foreach { k =>
+        val e = intercept[IllegalArgumentException] {
+          t.updateProperties(Map(k -> "x"))
+        }
+        assert(e.getMessage.contains("reserved"), s"$k: ${e.getMessage}")
+      }
+    // removing a reserved key is a no-op, not an error (nothing persisted)
+    t = t.updateProperties(Map.empty, remove = Set("uuid"))
   }
 
   test("replaceSortOrder: new order becomes default; unknown column refused") {
