@@ -42,18 +42,37 @@ object ScaleProbe {
       Files.createDirectories(Paths.get(out))
       val docs = spark.read.parquet(s"$base/documents.parquet")
       val span = docs.agg(max(col("doc_id"))).head.getLong(0) + 1L
+      // Per-replica PRIME-STRIDE position permutation w[i] -> w[(i·s) mod n]:
+      // with s prime and s ∤ n this is a true permutation, so the word
+      // multiset (unigram stats, length) is exactly preserved while every
+      // consecutive 3-shingle becomes a stride-s triple — disjoint from
+      // the original's shingles AND from every other replica's (distinct
+      // primes per replica). Rotation was rejected here: it moves one
+      // prefix to the end, so all interior shingles survive and replicas
+      // stay near-dups of the original. Within a replica, planted dup
+      // pairs keep their relationship (same permutation applied to
+      // near-identical sequences), holding the corpus dup RATE at base.
+      val primes = Seq(3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43)
       val replicas = (0 until factor).map { r =>
         if (r == 0) docs
         else {
-          val k = r * 7 + 3 // word-rotation stride: shifts every shingle
+          val c1 = primes(r); val c2 = primes((r + 4) % primes.size)
+          val c3 = primes((r + 8) % primes.size)
           docs
             .withColumn("doc_id", col("doc_id") + lit(r.toLong * span))
             .withColumn("w", split(col("text"), " "))
-            .withColumn("text", concat_ws(" ",
-              concat(slice(col("w"), lit(k + 1),
-                  greatest(size(col("w")) - k, lit(0))),
-                slice(col("w"), lit(1), least(lit(k), size(col("w")))))))
-            .drop("w")
+            .withColumn("n", size(col("w")))
+            // first candidate prime NOT dividing n (prime ⟹ coprime);
+            // three candidates make a non-coprime fallthrough ~impossible
+            .withColumn("s",
+              when(pmod(col("n"), lit(c1)) =!= 0, lit(c1))
+                .when(pmod(col("n"), lit(c2)) =!= 0, lit(c2))
+                .when(pmod(col("n"), lit(c3)) =!= 0, lit(c3))
+                .otherwise(lit(1)))
+            .withColumn("text", concat_ws(" ", expr(
+              "transform(sequence(0, n - 1), " +
+                "i -> element_at(w, int(pmod(cast(i as bigint) * s, n)) + 1))")))
+            .drop("w", "n", "s")
         }
       }
       replicas.reduce(_ unionByName _)

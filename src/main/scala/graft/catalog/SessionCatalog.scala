@@ -77,21 +77,47 @@ object SessionCatalog {
   }
 
   /** Adapt any property-configured backend into the session surface:
-    * every call binds (or reuses) the context's catalog. */
+    * every call binds (or reuses) the context's catalog. Bindings are
+    * keyed by the FULL context (id, identity, properties, credential
+    * values) — a refreshed credential under the same session id rebinds
+    * instead of silently reusing the stale backend — and the binding
+    * cache is LRU-capped so a long-lived gateway cannot accrete one
+    * backend per historical session. */
   def over(catalogType: String, baseProperties: Map[String, String]): SessionCatalog =
     new SessionCatalog {
+      private val MaxBindings = 64
       private val bound =
-        scala.collection.concurrent.TrieMap[String, Catalog]()
-      private def cat(ctx: SessionContext): Catalog =
-        bound.getOrElseUpdate(ctx.sessionId, bind(catalogType, baseProperties, ctx))
+        new java.util.LinkedHashMap[(String, Option[String],
+            Map[String, String], Map[String, String]), Catalog](16, 0.75f, true) {
+          override def removeEldestEntry(
+              e: java.util.Map.Entry[(String, Option[String],
+                Map[String, String], Map[String, String]), Catalog]): Boolean =
+            size() > MaxBindings
+        }
+      private def cat(ctx: SessionContext): Catalog = bound.synchronized {
+        val key = (ctx.sessionId, ctx.identity, ctx.properties,
+          ctx.credentials.map { case (k, c) => k -> c.expose })
+        val hit = bound.get(key)
+        if (hit != null) hit
+        else {
+          val c = bind(catalogType, baseProperties, ctx)
+          bound.put(key, c)
+          c
+        }
+      }
 
       override def listNamespaces(ctx: SessionContext,
           parent: Option[String]): Seq[String] = {
+        // nested-only namespaces surface through their ancestor segment
+        // (same rule as the Spark catalog plugin)
         val all = cat(ctx).listNamespaces()
         parent match {
-          case None => all.filterNot(_.contains('.'))
-          case Some(p) => all.filter(n =>
-            n.startsWith(p + ".") && !n.stripPrefix(p + ".").contains('.'))
+          case None => all.map(_.split('.').head).distinct
+          case Some(p) =>
+            val prefix = p + "."
+            all.filter(_.startsWith(prefix))
+              .map(n => prefix + n.stripPrefix(prefix).split('.').head)
+              .distinct
         }
       }
       override def createNamespace(ctx: SessionContext, ns: String,

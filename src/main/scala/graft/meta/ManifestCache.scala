@@ -11,11 +11,12 @@ package graft.meta
   * (io/object_cache.rs:28-80 + cache.rs trait): SIZE-WEIGHTED in
   * approximate in-memory bytes (their moka weigher), LRU eviction down to
   * the configured capacity, default 32 MiB, and capacity 0 = cache
-  * disabled (load-through, nothing retained). Capacity is property-
-  * tunable: the catalog plugin forwards `manifest-cache-size-bytes` from
-  * `spark.sql.catalog.<name>.manifest-cache-size-bytes`, or call
-  * [[configure]] directly. The cache is process-wide (the reference's is
-  * per-Table) because Verify/Bench plan the same snapshot many times
+  * disabled (load-through, nothing retained). Capacity is tunable via
+  * the session conf `spark.graft.manifest-cache-size-bytes` (read by the
+  * catalog plugin at initialize — ONE key, order-independent across
+  * catalogs), or call [[configure]] directly. The cache is process-wide
+  * (the reference's is per-Table) because Verify/Bench plan the same
+  * snapshot many times
   * across table handles; at 100 TB repeated planning hits the same few
   * thousand KB-scale manifests, so 32 MiB of parsed entries is the
   * steady state, never data.
@@ -81,8 +82,25 @@ object ManifestCache {
     def size: Int = synchronized(map.size())
   }
 
-  private val manifests = new WeighedLru[Seq[ManifestEntry]]
-  private val lists = new WeighedLru[Seq[ManifestFile]]
+  // ONE shared weighed store for both kinds (the reference keeps
+  // manifests and manifest lists in a single weighed cache,
+  // io/object_cache.rs CachedItem) — two independent stores would let
+  // the process hold 2× the configured budget
+  private val store = new WeighedLru[AnyRef]
+  private object manifests {
+    def getOrLoad(key: String, weigh: Seq[ManifestEntry] => Long)(
+        load: => Seq[ManifestEntry]): Seq[ManifestEntry] =
+      store.getOrLoad("m:" + key,
+        (v: AnyRef) => weigh(v.asInstanceOf[Seq[ManifestEntry]]))(load)
+        .asInstanceOf[Seq[ManifestEntry]]
+  }
+  private object lists {
+    def getOrLoad(key: String, weigh: Seq[ManifestFile] => Long)(
+        load: => Seq[ManifestFile]): Seq[ManifestFile] =
+      store.getOrLoad("l:" + key,
+        (v: AnyRef) => weigh(v.asInstanceOf[Seq[ManifestFile]]))(load)
+        .asInstanceOf[Seq[ManifestFile]]
+  }
 
   // Approximate in-memory bytes (size_of_val analogue): a fixed struct
   // overhead per entry plus its variable-size payloads. Exactness doesn't
@@ -106,9 +124,9 @@ object ManifestCache {
   def manifestList(key: String)(load: => Seq[ManifestFile]): Seq[ManifestFile] =
     lists.getOrLoad(key, listWeight)(load)
 
-  def invalidateAll(): Unit = { manifests.clear(); lists.clear() }
+  def invalidateAll(): Unit = store.clear()
 
-  /** Introspection for specs: (entry count, held weight) per cache. */
-  def stats: ((Int, Long), (Int, Long)) =
-    ((manifests.size, manifests.weight), (lists.size, lists.weight))
+  /** Introspection for specs: (entry count, held weight) of the shared
+    * store (both kinds live in the one weighed cache). */
+  def stats: (Int, Long) = (store.size, store.weight)
 }

@@ -70,10 +70,13 @@ final class GraftCatalogPlugin extends CatalogPlugin with TableCatalog with View
     catalog = CatalogLoader.load(
       Option(options.get("type")).getOrElse("hadoop"), props)
     views = new ViewStore(warehouse, new FileIO(new Configuration()))
-    // `spark.sql.catalog.<name>.manifest-cache-size-bytes`: capacity of
-    // the process-wide parsed-manifest cache (reference ObjectCache
-    // size, io/object_cache.rs:28); 0 disables caching
-    Option(options.get("manifest-cache-size-bytes"))
+    // Capacity of the process-wide parsed-manifest cache (reference
+    // ObjectCache size, io/object_cache.rs:28); 0 disables caching.
+    // Sourced from ONE session-level key — a per-catalog option on a
+    // process-global cache would be initialization-order-dependent and
+    // let one catalog silently reconfigure another's behavior.
+    scala.util.Try(org.apache.spark.sql.SparkSession.active).toOption
+      .flatMap(_.conf.getOption("spark.graft.manifest-cache-size-bytes"))
       .foreach(v => graft.meta.ManifestCache.configure(v.toLong))
   }
 
@@ -341,9 +344,12 @@ final class GraftCatalogPlugin extends CatalogPlugin with TableCatalog with View
   private def dotted(ns: Array[String]): String = ns.mkString(".")
 
   // Spark contract: the no-arg form lists TOP-LEVEL namespaces only —
-  // nested ones surface through listNamespaces(parent)
+  // nested ones surface through listNamespaces(parent). A nested-only
+  // explicit namespace ('a.b' with no explicit 'a') surfaces through its
+  // top-level ANCESTOR, not a dotted row — otherwise it is unreachable
+  // by listing at any level.
   override def listNamespaces(): Array[Array[String]] =
-    catalog.listNamespaces().filterNot(_.contains('.'))
+    catalog.listNamespaces().map(_.split('.').head).distinct
       .map(Array(_)).toArray
 
   override def listNamespaces(parent: Array[String]): Array[Array[String]] = {
@@ -351,8 +357,12 @@ final class GraftCatalogPlugin extends CatalogPlugin with TableCatalog with View
     if (!catalog.namespaceExists(dotted(parent)))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(parent)
     val prefix = dotted(parent) + "."
+    // direct children; a deeper-only descendant surfaces as its next
+    // path segment (same ancestor rule as the top level)
     catalog.listNamespaces()
-      .filter(n => n.startsWith(prefix) && !n.stripPrefix(prefix).contains('.'))
+      .filter(_.startsWith(prefix))
+      .map(n => prefix + n.stripPrefix(prefix).split('.').head)
+      .distinct
       .map(_.split('.').asInstanceOf[Array[String]]).toArray
   }
 

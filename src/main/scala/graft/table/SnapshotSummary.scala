@@ -123,12 +123,21 @@ object SnapshotSummary {
     props("total-records") =
       dataMs.map(m => m.addedRowsCount + m.existingRowsCount).sum.toString
     // parent-incremented totals for metrics the list does not carry
-    // (update_totals, snapshot_summary.rs:358-405)
-    val prev: Map[String, String] =
-      base.currentSnapshot.map(_.summary).getOrElse(Map.empty)
-    def prevOf(k: String) = prev.getOrElse(k, "0").toLong
-    def incTotal(totalKey: String, addedV: Long, removedV: Long): Unit =
-      props(totalKey) = (prevOf(totalKey) + addedV - removedV).max(0L).toString
+    // (update_totals, snapshot_summary.rs:358-405). Three guards:
+    // unparseable parent values must NEVER fail a commit (toLongOption),
+    // and when the parent EXISTS but lacks/garbles the total (older
+    // writer, foreign metadata) the total is OMITTED rather than seeded
+    // from 0 — an "exact" total equal to one commit's delta on a large
+    // table would be a lie every descendant inherits.
+    val parent = base.currentSnapshot
+    def incTotal(totalKey: String, addedV: Long, removedV: Long): Unit = {
+      val prevV: Option[Long] = parent match {
+        case None => Some(0L) // first snapshot: the delta IS the total
+        case Some(s) => s.summary.get(totalKey).flatMap(_.toLongOption)
+      }
+      prevV.foreach(p =>
+        props(totalKey) = (p + addedV - removedV).max(0L).toString)
+    }
     incTotal("total-files-size", total.addedFileSize, total.removedFileSize)
     incTotal("total-position-deletes", total.addedPosDeletes, total.removedPosDeletes)
     incTotal("total-equality-deletes", total.addedEqDeletes, total.removedEqDeletes)

@@ -34,11 +34,11 @@ class ManifestCacheSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(loads == 2)
     load("a") // hit — and refreshes a's recency
     assert(loads == 2)
-    val ((n2, w2), _) = ManifestCache.stats
+    val (n2, w2) = ManifestCache.stats
     assert(n2 == 2 && w2 <= 6 * 1024, s"held $n2 entries / $w2 bytes")
 
     load("c") // evicts the LRU entry — "b", since "a" was just touched
-    val ((n3, w3), _) = ManifestCache.stats
+    val (n3, w3) = ManifestCache.stats
     assert(w3 <= 6 * 1024, s"bound violated: $w3")
     assert(n3 == 2)
     load("a")
@@ -51,10 +51,10 @@ class ManifestCacheSpec extends AnyFunSuite with BeforeAndAfterEach {
     ManifestCache.configure(1024) // smaller than one 10-entry value
     ManifestCache.manifest("big") { entries("big", 10) }
     // the just-inserted key survives its own insert (never self-evict)...
-    assert(ManifestCache.stats._1._1 == 1)
+    assert(ManifestCache.stats._1 == 1)
     // ...but the next insert pushes the cache back under the bound
     ManifestCache.manifest("next") { entries("next", 1) }
-    val ((_, w), _) = ManifestCache.stats
+    val (_, w) = ManifestCache.stats
     assert(w <= 1024, s"bound violated after follow-up insert: $w")
   }
 
@@ -68,13 +68,13 @@ class ManifestCacheSpec extends AnyFunSuite with BeforeAndAfterEach {
     }
     load(); load(); load()
     assert(loads == 3, "disabled cache must load through every time")
-    assert(ManifestCache.stats._2._1 == 0, "nothing retained when disabled")
+    assert(ManifestCache.stats._1 == 0, "nothing retained when disabled")
   }
 
   test("reconfiguring to 0 clears retained state") {
     ManifestCache.manifest("k") { entries("k", 3) }
-    assert(ManifestCache.stats._1._1 == 1)
+    assert(ManifestCache.stats._1 == 1)
     ManifestCache.configure(0)
-    assert(ManifestCache.stats._1._1 == 0)
+    assert(ManifestCache.stats._1 == 0)
   }
 }

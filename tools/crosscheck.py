@@ -77,15 +77,19 @@ def hash_rows(rows, cols):
         h.update("\x1f".join(row).encode()); h.update(b"\x1e")
     return h.hexdigest(), rendered
 
-def main(sf_dir, out_dir):
-    do_hash = "--hash" in sys.argv
-    argv = [a for a in sys.argv if a != "--hash"]
+def main(argv):
+    # parse once: flags anywhere, positionals = <sfDir> <outDir> [filter]
+    do_hash = "--hash" in argv
+    pos = [a for a in argv[1:] if not a.startswith("--")]
+    if len(pos) < 2:
+        print(__doc__); return 2
+    sf_dir, out_dir = pos[0], pos[1]
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
-    if len(argv) > 3:
-        keep = set(argv[3].split(","))
+    if len(pos) > 2:
+        keep = set(pos[2].split(","))
         oracles = {k: v for k, v in oracles.items() if k in keep}
     n_pass = n_fail = n_hashdiff = 0
     risks = []
@@ -150,4 +154,4 @@ def main(sf_dir, out_dir):
     return 1 if (n_fail or n_hashdiff) else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv))
