@@ -217,5 +217,76 @@ object StreamingQueries {
       .orderBy(col("event_type"), col("day"))
   }
 
-  val all: Seq[Q] = Seq(p80, p81, p82)
+  /** Gap-sessionization via the streaming twin: ts-ordered chunks (safe
+    * here — a global watermark can only time a session out when the
+    * user's next event would break the gap anyway), two far-future
+    * sentinel batches flush the open sessions through the event-time
+    * timeout. session_idx/duration recompute over the converged closed
+    * set; oracle = p13's, verbatim. */
+  val p83 = Q.sql(
+    "p83_streaming_sessionize",
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+      |flagged AS (
+      |  SELECT user_id, event_id, ts_us,
+      |    CASE WHEN lag(ts_us) OVER w IS NULL
+      |           OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1
+      |         ELSE 0 END AS new_session
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      |sess AS (
+      |  SELECT user_id, ts_us,
+      |    (sum(new_session) OVER (PARTITION BY user_id
+      |                            ORDER BY ts_us, event_id
+      |                            ROWS UNBOUNDED PRECEDING))::BIGINT AS session_idx
+      |  FROM flagged)
+      |SELECT user_id, session_idx, count(*) AS n_events,
+      |  min(ts_us) AS start_us, max(ts_us) AS end_us,
+      |  max(ts_us) - min(ts_us) AS duration_us
+      |FROM sess
+      |GROUP BY user_id, session_idx
+      |ORDER BY user_id, session_idx""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val events = graft.Tables.events(s, d)
+      .select("user_id", "ts")
+      .as[(Long, java.sql.Timestamp)].collect()
+      .sortBy(_._2.getTime).toSeq
+    val maxTs = events.map(_._2.getTime).max
+    def sentinel(k: Long) =
+      (-1L, new java.sql.Timestamp(maxTs + (2L + k) * 86400000L))
+
+    val source = MemoryStream[(Long, java.sql.Timestamp)]
+    val qname = "p83_mem_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = graft.streaming.StatefulSessions.sessionize(
+        source.toDF().toDF("user_id", "ts"))
+      .writeStream.format("memory").queryName(qname)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      events.grouped(math.max(1, events.size / 3 + 1)).foreach { chunk =>
+        source.addData(chunk: _*); q.processAllAvailable()
+      }
+      source.addData(sentinel(0)); q.processAllAvailable()
+      source.addData(sentinel(1)); q.processAllAvailable()
+    } finally q.stop()
+
+    val closed = s.table(qname)
+      .as[graft.streaming.StatefulSessions.UserSession].collect().toSeq
+      .filter(_.user_id >= 0)
+    s.catalog.dropTempView(qname)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("start_us"))
+    closed.toDF()
+      .withColumn("session_idx", row_number().over(w).cast("bigint"))
+      .select(col("user_id"), col("session_idx"), col("n_events"),
+        col("start_us"), col("end_us"),
+        (col("end_us") - col("start_us")).as("duration_us"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
+  val all: Seq[Q] = Seq(p80, p81, p82, p83)
 }
