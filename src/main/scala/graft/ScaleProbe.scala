@@ -42,37 +42,40 @@ object ScaleProbe {
       Files.createDirectories(Paths.get(out))
       val docs = spark.read.parquet(s"$base/documents.parquet")
       val span = docs.agg(max(col("doc_id"))).head.getLong(0) + 1L
-      // Per-replica PRIME-STRIDE position permutation w[i] -> w[(i·s) mod n]:
-      // with s prime and s ∤ n this is a true permutation, so the word
-      // multiset (unigram stats, length) is exactly preserved while every
-      // consecutive 3-shingle becomes a stride-s triple — disjoint from
-      // the original's shingles AND from every other replica's (distinct
-      // primes per replica). Rotation was rejected here: it moves one
-      // prefix to the end, so all interior shingles survive and replicas
-      // stay near-dups of the original. Within a replica, planted dup
-      // pairs keep their relationship (same permutation applied to
-      // near-identical sequences), holding the corpus dup RATE at base.
-      val primes = Seq(3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43)
+      // Per-replica position permutation: order positions 0..n-1 by the
+      // key (i·s_r mod M) with M a FIXED prime far above any doc length
+      // and s_r a distinct prime per replica. Properties, each load-
+      // bearing for the "dup rate stays at base" invariant:
+      //   - true permutation for EVERY n (keys are distinct since M is
+      //     prime and s_r < M) — multiset/length/unigram stats exact;
+      //   - consecutive 3-shingles scrambled, so replicas are NOT
+      //     near-dups of the original, and distinct s_r give
+      //     uncorrelated orders, so replicas of one doc are not
+      //     near-dups of EACH OTHER;
+      //   - the ordering is STABLE UNDER LENGTH CHANGES (doc of n-1
+      //     words = the n-word permutation minus one position), so a
+      //     planted near-dup pair — typically off by a word — keeps its
+      //     relationship inside every replica. A mod-n stride was
+      //     rejected exactly here: n vs n±1 gave unrelated permutations
+      //     and collapsed the near-dup rate; per-doc stride fallbacks
+      //     were rejected because overlapping candidate chains let two
+      //     replicas pick the same stride (identical text, dup-rate
+      //     inflation).
+      val M = 100003L // prime > any fixture doc length
+      val primes = Seq(11, 13, 17, 19, 23, 29, 31, 37, 41, 43)
       val replicas = (0 until factor).map { r =>
         if (r == 0) docs
         else {
-          val c1 = primes(r); val c2 = primes((r + 4) % primes.size)
-          val c3 = primes((r + 8) % primes.size)
+          val s = primes(r)
           docs
             .withColumn("doc_id", col("doc_id") + lit(r.toLong * span))
             .withColumn("w", split(col("text"), " "))
             .withColumn("n", size(col("w")))
-            // first candidate prime NOT dividing n (prime ⟹ coprime);
-            // three candidates make a non-coprime fallthrough ~impossible
-            .withColumn("s",
-              when(pmod(col("n"), lit(c1)) =!= 0, lit(c1))
-                .when(pmod(col("n"), lit(c2)) =!= 0, lit(c2))
-                .when(pmod(col("n"), lit(c3)) =!= 0, lit(c3))
-                .otherwise(lit(1)))
             .withColumn("text", concat_ws(" ", expr(
-              "transform(sequence(0, n - 1), " +
-                "i -> element_at(w, int(pmod(cast(i as bigint) * s, n)) + 1))")))
-            .drop("w", "n", "s")
+              s"transform(array_sort(transform(sequence(0, n - 1), " +
+                s"i -> struct(int(pmod(cast(i as bigint) * $s, ${M}L)) AS k, i AS i))), " +
+                "p -> element_at(w, p.i + 1))")))
+            .drop("w", "n")
         }
       }
       replicas.reduce(_ unionByName _)

@@ -89,6 +89,16 @@ trait Catalog {
         (1 to parts.length).map(k => parts.take(k).mkString("."))
       }.distinct.sorted
 
+  /** Listing contract: every ancestor of a listed namespace is listed
+    * too — a nested-only explicit namespace ('a.b' created without 'a')
+    * must surface 'a', or no listing level can reach it. Backends with
+    * explicit namespace storage run their names through this. */
+  protected def withAncestors(ns: Seq[String]): Seq[String] =
+    ns.flatMap { n =>
+      val parts = n.split('.')
+      (1 to parts.length).map(k => parts.take(k).mkString("."))
+    }.distinct
+
   def namespaceExists(ns: String): Boolean =
     listNamespaces().exists(n => n == ns || n.startsWith(ns + "."))
 
@@ -295,7 +305,7 @@ final class HadoopCatalog(warehouse: String, val io: FileIO) extends Catalog {
       if (!fs.exists(p)) Nil
       else fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
         .filter(d => io.exists(nsFile(d)))
-    (explicit ++ super.listNamespaces()).distinct.sorted
+    (withAncestors(explicit) ++ super.listNamespaces()).distinct.sorted
   }
 
   override def namespaceProperties(ns: String): Map[String, String] =
@@ -399,7 +409,8 @@ final class MemoryCatalog(warehouse: String, val io: FileIO) extends Catalog {
 
   override def listNamespaces(): Seq[String] = {
     import scala.jdk.CollectionConverters._
-    (namespaces.keySet.asScala.toSeq ++ super.listNamespaces()).distinct.sorted
+    (withAncestors(namespaces.keySet.asScala.toSeq) ++
+      super.listNamespaces()).distinct.sorted
   }
 
   override def namespaceProperties(ns: String): Map[String, String] =

@@ -270,7 +270,7 @@ final class JdbcCatalog(jdbcUrl: String, warehouse: String, val io: FileIO,
         b.result()
       } finally ps.close()
     }
-    (explicit ++ super.listNamespaces()).distinct.sorted
+    (withAncestors(explicit) ++ super.listNamespaces()).distinct.sorted
   }
 
   override def namespaceProperties(ns: String): Map[String, String] = {

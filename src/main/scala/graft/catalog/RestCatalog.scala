@@ -217,7 +217,7 @@ final class RestCatalog(baseUri: String, namespace: String, val io: FileIO,
       token = n.opt("next-page-token").map(_.asText())
       more = token.isDefined
     }
-    out.result().sorted
+    withAncestors(out.result()).sorted
   }
 
   override def namespaceExists(ns: String): Boolean =

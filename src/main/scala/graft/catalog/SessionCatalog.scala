@@ -86,38 +86,41 @@ object SessionCatalog {
   def over(catalogType: String, baseProperties: Map[String, String]): SessionCatalog =
     new SessionCatalog {
       private val MaxBindings = 64
+      // keyed by the CONTEXT itself: SessionContext equality goes through
+      // Credential's constant-time compare and no secret is ever copied
+      // into a plain string key
       private val bound =
-        new java.util.LinkedHashMap[(String, Option[String],
-            Map[String, String], Map[String, String]), Catalog](16, 0.75f, true) {
+        new java.util.LinkedHashMap[SessionContext, Catalog](16, 0.75f, true) {
           override def removeEldestEntry(
-              e: java.util.Map.Entry[(String, Option[String],
-                Map[String, String], Map[String, String]), Catalog]): Boolean =
+              e: java.util.Map.Entry[SessionContext, Catalog]): Boolean =
             size() > MaxBindings
         }
-      private def cat(ctx: SessionContext): Catalog = bound.synchronized {
-        val key = (ctx.sessionId, ctx.identity, ctx.properties,
-          ctx.credentials.map { case (k, c) => k -> c.expose })
-        val hit = bound.get(key)
-        if (hit != null) hit
-        else {
-          val c = bind(catalogType, baseProperties, ctx)
-          bound.put(key, c)
-          c
+      private def cat(ctx: SessionContext): Catalog = {
+        // bind OUTSIDE the lock — a backend bind does network/DDL work
+        // (REST handshake, JDBC connect) and must not stall every other
+        // session's operations; a racing duplicate bind is idempotent
+        // and the first insert wins (the WeighedLru pattern)
+        bound.synchronized {
+          val hit = bound.get(ctx)
+          if (hit != null) return hit
+        }
+        val fresh = bind(catalogType, baseProperties, ctx)
+        bound.synchronized {
+          val prior = bound.get(ctx)
+          if (prior != null) prior
+          else { bound.put(ctx, fresh); fresh }
         }
       }
 
       override def listNamespaces(ctx: SessionContext,
           parent: Option[String]): Seq[String] = {
-        // nested-only namespaces surface through their ancestor segment
-        // (same rule as the Spark catalog plugin)
+        // backends list every ancestor (Catalog.withAncestors), so
+        // level-scoping is a plain segment filter
         val all = cat(ctx).listNamespaces()
         parent match {
-          case None => all.map(_.split('.').head).distinct
-          case Some(p) =>
-            val prefix = p + "."
-            all.filter(_.startsWith(prefix))
-              .map(n => prefix + n.stripPrefix(prefix).split('.').head)
-              .distinct
+          case None => all.filterNot(_.contains('.'))
+          case Some(p) => all.filter(n =>
+            n.startsWith(p + ".") && !n.stripPrefix(p + ".").contains('.'))
         }
       }
       override def createNamespace(ctx: SessionContext, ns: String,

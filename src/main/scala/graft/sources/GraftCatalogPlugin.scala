@@ -72,12 +72,21 @@ final class GraftCatalogPlugin extends CatalogPlugin with TableCatalog with View
     views = new ViewStore(warehouse, new FileIO(new Configuration()))
     // Capacity of the process-wide parsed-manifest cache (reference
     // ObjectCache size, io/object_cache.rs:28); 0 disables caching.
-    // Sourced from ONE session-level key — a per-catalog option on a
-    // process-global cache would be initialization-order-dependent and
-    // let one catalog silently reconfigure another's behavior.
-    scala.util.Try(org.apache.spark.sql.SparkSession.active).toOption
+    // Preferred source is the ONE session-level key (a per-catalog
+    // option on a process-global cache is initialization-order-
+    // dependent across catalogs); the catalog option stays honored as a
+    // fallback for single-catalog configs.
+    val cacheSize = scala.util.Try(org.apache.spark.sql.SparkSession.active)
+      .toOption
       .flatMap(_.conf.getOption("spark.graft.manifest-cache-size-bytes"))
-      .foreach(v => graft.meta.ManifestCache.configure(v.toLong))
+      .orElse(Option(options.get("manifest-cache-size-bytes")))
+    cacheSize.foreach { v =>
+      val parsed = v.toLongOption.filter(_ >= 0).getOrElse(
+        throw new IllegalArgumentException(
+          s"spark.graft.manifest-cache-size-bytes must be a non-negative " +
+            s"byte count, got '$v'"))
+      graft.meta.ManifestCache.configure(parsed)
+    }
   }
 
   override def name(): String = catalogName
@@ -344,12 +353,11 @@ final class GraftCatalogPlugin extends CatalogPlugin with TableCatalog with View
   private def dotted(ns: Array[String]): String = ns.mkString(".")
 
   // Spark contract: the no-arg form lists TOP-LEVEL namespaces only —
-  // nested ones surface through listNamespaces(parent). A nested-only
-  // explicit namespace ('a.b' with no explicit 'a') surfaces through its
-  // top-level ANCESTOR, not a dotted row — otherwise it is unreachable
-  // by listing at any level.
+  // nested ones surface through listNamespaces(parent). Backends list
+  // every ancestor of an explicit namespace (Catalog.withAncestors), so
+  // a nested-only 'a.b' is reachable through 'a' with plain filters.
   override def listNamespaces(): Array[Array[String]] =
-    catalog.listNamespaces().map(_.split('.').head).distinct
+    catalog.listNamespaces().filterNot(_.contains('.'))
       .map(Array(_)).toArray
 
   override def listNamespaces(parent: Array[String]): Array[Array[String]] = {
@@ -357,12 +365,8 @@ final class GraftCatalogPlugin extends CatalogPlugin with TableCatalog with View
     if (!catalog.namespaceExists(dotted(parent)))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(parent)
     val prefix = dotted(parent) + "."
-    // direct children; a deeper-only descendant surfaces as its next
-    // path segment (same ancestor rule as the top level)
     catalog.listNamespaces()
-      .filter(_.startsWith(prefix))
-      .map(n => prefix + n.stripPrefix(prefix).split('.').head)
-      .distinct
+      .filter(n => n.startsWith(prefix) && !n.stripPrefix(prefix).contains('.'))
       .map(_.split('.').asInstanceOf[Array[String]]).toArray
   }
 
