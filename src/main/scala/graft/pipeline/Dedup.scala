@@ -91,37 +91,93 @@ object Dedup {
     * chances per pair), so recall on real dups is unaffected. */
   val MaxBucket: Int = 10000
 
-  /** Candidate pairs (id_a < id_b) sharing at least one band bucket.
+  /** Sub-bucket size: buckets larger than this are deterministically split
+    * into ceil(n / SubBucket) groups (hash of doc_id), and pairs are
+    * emitted per GROUP BLOCK (i,i) / (i,j) instead of from one
+    * whole-bucket row — a just-under-cap bucket (~10k members ≈ 50M
+    * pairs) explodes from ~55 block rows spread across partitions instead
+    * of one straggler task. Output pair set is identical. */
+  val SubBucket: Int = 1024
+
+  /** Shared blocked pair emission over census-capped buckets.
     *
-    * ONE exchange on (band_idx, band_key): the census COUNT window, the
-    * size filter, and the per-bucket collect all reuse the same hash
-    * partitioning, and in-bucket pairs are emitted by a codegen'd nested
-    * `transform` over the collected id list — no self-join, no second
-    * evaluation of the signature subtree, ~half the stages of the join
-    * form (measured: the join form re-planned the band aggregation per
-    * side and paid an extra sort-merge pass for identical output).
+    * Rows carry the bucket `keyCols` and an `_item` payload whose `_gid`
+    * field orders/identifies the doc. Each row of a bucket of n members
+    * is assigned group `_g = hash(id) mod ceil(n/subBucket)` and emitted
+    * into its `_ng` blocks: the diagonal (g,g) as a LEFT member and every
+    * off-diagonal block (min(i,g), max(i,g)) as LEFT when g < i, RIGHT
+    * when g > i. One aggregation on (keyCols, bi, bj) collects the two
+    * sides; diagonal blocks emit in-group pairs (index i < j), cross
+    * blocks emit the full la × lb product — every unordered in-bucket
+    * pair lands in exactly one block. `mkPair(a, b)` renders a pair
+    * struct from two `_item` values.
     *
-    * Memory safety at 100 TB: the window census runs BEFORE the collect
-    * with O(1) state, so a viral bucket (shared boilerplate key) is
-    * dropped before any list materializes; kept buckets are ≤ maxBucket
-    * ids ≈ 80 KB. Pair fan-out per bucket is the same k² the join form
-    * produced, on the same single partition that bucket's key hashed to. */
-  def lshCandidates(bandsDf: DataFrame, maxBucket: Int = MaxBucket): DataFrame = {
+    * Exchange shape: ONE full-data exchange (the census window), REUSED
+    * by both branches (ReuseExchange — identical child exchanges plan
+    * once). Small buckets (n ≤ subBucket) collect on the window's own
+    * partitioning, exchange-free — exactly the unblocked form. Oversized
+    * buckets' rows (a tiny, bounded fraction: ≤ maxBucket per viral key)
+    * explode their block assignments and are explicitly repartitioned on
+    * (keyCols, bi, bj) — Spark would otherwise elide that exchange (the
+    * window's 2-col hash satisfies the superset clustering) and the
+    * blocks of one bucket would explode on a single task, the straggler
+    * this decomposition exists to kill. */
+  private[pipeline] def blockedPairs(df: DataFrame, keyCols: Seq[String],
+      maxBucket: Int, subBucket: Int, mkPair: (String, String) => String)
+      : DataFrame = {
     val census = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("band_idx"), col("band_key"))
-    bandsDf
+      .partitionBy(keyCols.map(col): _*)
+    val intra = "flatten(transform(la, (a, i) -> " +
+      s"transform(slice(la, i + 2, size(la) - i - 1), b -> ${mkPair("a", "b")})))"
+    val cross =
+      s"flatten(transform(la, a -> transform(lb, b -> ${mkPair("a", "b")})))"
+    val withBn = df
       .withColumn("_bn", count(lit(1)).over(census))
       .filter(col("_bn") <= maxBucket)
-      .groupBy(col("band_idx"), col("band_key"))
-      .agg(collect_list(col("doc_id")).as("ids"))
-      .filter(size(col("ids")) >= 2)
+    val small = withBn.filter(col("_bn") <= subBucket)
+      .groupBy(keyCols.map(col): _*)
+      .agg(collect_list(col("_item")).as("la"))
+      .filter(size(col("la")) >= 2)
+      .select(explode(expr(intra)).as("p"))
+    val big = withBn.filter(col("_bn") > subBucket)
+      .withColumn("_ng",
+        ceil(col("_bn").cast("double") / subBucket).cast("int"))
+      .withColumn("_g", pmod(xxhash64(col("_item._gid")), col("_ng")).cast("int"))
+      .select(keyCols.map(col) ++ Seq(col("_item"),
+        explode(expr("transform(sequence(0, _ng - 1), i -> struct(" +
+          "least(i, _g) AS bi, greatest(i, _g) AS bj, " +
+          "(i >= _g) AS lft))")).as("_b")): _*)
+      // explicit partition COUNT: block rows are bytes-tiny but explode
+      // into up to subBucket² pairs each — AQE's byte-based coalescing
+      // would fold them back onto one task without the pinned number
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+        keyCols.map(col) :+ col("_b.bi") :+ col("_b.bj"): _*)
+      .groupBy(keyCols.map(col) :+ col("_b.bi") :+ col("_b.bj"): _*)
+      .agg(collect_list(when(col("_b.lft"), col("_item"))).as("la"),
+        collect_list(when(!col("_b.lft"), col("_item"))).as("lb"))
+      .filter((col("bi") === col("bj") && size(col("la")) >= 2) ||
+        (col("bi") =!= col("bj") && size(col("la")) >= 1 && size(col("lb")) >= 1))
       .select(explode(expr(
-        "flatten(transform(ids, (a, i) -> " +
-          "transform(slice(ids, i + 2, size(ids) - i - 1), " +
-          "b -> struct(least(a, b) AS id_a, greatest(a, b) AS id_b))))")).as("p"))
+        s"CASE WHEN bi = bj THEN $intra ELSE $cross END")).as("p"))
+    small.union(big)
+  }
+
+  /** Candidate pairs (id_a < id_b) sharing at least one band bucket.
+    *
+    * No self-join: the census COUNT window bounds viral buckets BEFORE
+    * any list materializes (O(1) state per row), then [[blockedPairs]]
+    * emits each bucket's pairs from sub-bucket block rows — a codegen'd
+    * nested `transform` per block, parallel across blocks. Kept
+    * groups are ≤ subBucket ids ≈ 8 KB per collected list. */
+  def lshCandidates(bandsDf: DataFrame, maxBucket: Int = MaxBucket,
+      subBucket: Int = SubBucket): DataFrame =
+    blockedPairs(
+      bandsDf.withColumn("_item", struct(col("doc_id").as("_gid"))),
+      Seq("band_idx", "band_key"), maxBucket, subBucket,
+      (a, b) => s"struct(least($a._gid, $b._gid) AS id_a, " +
+        s"greatest($a._gid, $b._gid) AS id_b)")
       .select(col("p.id_a"), col("p.id_b"))
       .distinct()
-  }
 
   /** Full near-dup pipeline: LSH candidates verified by exact Jaccard ≥
     * `threshold`. With b=16, r=4 a true pair at J=0.9 is missed with
@@ -346,13 +402,12 @@ object Dedup {
     * and the explicit hamming filter gives exact precision. Viral
     * buckets are census-capped BEFORE the join (O(1) state per row). */
   def hammingNearDups(sigs: DataFrame, sigCol: String, maxHamming: Int,
-      bands: Int, bits: Int, maxBucket: Int = MaxBucket): DataFrame = {
+      bands: Int, bits: Int, maxBucket: Int = MaxBucket,
+      subBucket: Int = SubBucket): DataFrame = {
     require(maxHamming < bands, s"pigeonhole needs maxHamming < bands")
     require(bits % bands == 0, s"bands must divide bits: $bits % $bands")
     val width = bits / bands
     val mask = (1L << width) - 1
-    val census = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("band"), col("chunk"))
     // two-step projection: the chunk exprs below resolve `simhash` against
     // the input, never as a lateral alias of the same select
     val normalized = sigs.select(col("doc_id"), col(sigCol).as("simhash"))
@@ -360,17 +415,18 @@ object Dedup {
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
           expr(s"shiftright(simhash, ${b * width}) & $mask").as("chunk"))): _*)).as("bc"))
-      .select(col("doc_id"), col("simhash"), col("bc.band").as("band"),
-        col("bc.chunk").as("chunk"))
-      .withColumn("_bn", count(lit(1)).over(census))
-      .filter(col("_bn") <= maxBucket)
-      .drop("_bn")
-    banded.select(col("doc_id").as("id_a"), col("simhash").as("sig_a"),
-        col("band"), col("chunk"))
-      .join(banded.select(col("doc_id").as("id_b"), col("simhash").as("sig_b"),
-        col("band"), col("chunk")), Seq("band", "chunk"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sig_a", "sig_b").distinct()
+      .select(col("bc.band").as("band"), col("bc.chunk").as("chunk"),
+        struct(col("doc_id").as("_gid"), col("simhash").as("sig")).as("_item"))
+    // in-bucket pairs via the blocked decomposition (no self-join, no
+    // second evaluation of the signature subtree, parallel explode)
+    blockedPairs(banded, Seq("band", "chunk"), maxBucket, subBucket,
+      (a, b) => s"IF($a._gid < $b._gid, " +
+        s"struct($a._gid AS id_a, $b._gid AS id_b, " +
+        s"$a.sig AS sig_a, $b.sig AS sig_b), " +
+        s"struct($b._gid AS id_a, $a._gid AS id_b, " +
+        s"$b.sig AS sig_a, $a.sig AS sig_b))")
+      .select(col("p.id_a"), col("p.id_b"), col("p.sig_a"), col("p.sig_b"))
+      .distinct()
       .select(col("id_a"), col("id_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)

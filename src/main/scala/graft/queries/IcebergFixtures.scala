@@ -249,6 +249,25 @@ object IcebergFixtures {
       GraftTable.load("customer_mor", catalog)
     }
 
+  /** orders appended in two snapshots then COMPACTED — the v3 row-lineage
+    * fixture: the replace commit must materialize per-row `_row_id` /
+    * `_last_updated_sequence_number` into its rewritten files (inheritance
+    * cannot survive the rewrite shuffle), and the native SQL surface reads
+    * them back. Registered in the graftfix session catalog for SQL reads. */
+  def ordersLineageCompacted(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "orders_lineage") { catalog =>
+      val wh = warehouse(sfDir)
+      spark.conf.set("spark.sql.catalog.graftfix", "graft.sources.GraftCatalogPlugin")
+      spark.conf.set("spark.sql.catalog.graftfix.warehouse", wh)
+      val src = Tables.orders(spark, sfDir)
+      val schema = IcebergSchema.fromSpark(src.schema)
+      GraftTable.create("orders_lineage", catalog, schema,
+          properties = Map("write.spark.max-records-per-file" -> "5000"))
+        .append(src.filter(col("o_orderkey") % 2 === 0))
+        .append(src.filter(col("o_orderkey") % 2 === 1))
+        .rewriteDataFiles(spark)
+    }
+
   /** plain (undeleted) customer table for stats/sketch queries. */
   def plainCustomer(spark: SparkSession, sfDir: String): GraftTable =
     build(spark, sfDir, "customer_plain") { catalog =>

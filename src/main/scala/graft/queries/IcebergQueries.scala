@@ -745,7 +745,34 @@ object IcebergQueries {
       .orderBy(col("deleted"))
   }
 
+  /** Native SQL row lineage THROUGH compaction (metadata_columns.rs:63,66
+    * reserved ids i32.MAX-107/-108): `SELECT _row_id,
+    * _last_updated_sequence_number FROM cat.t` on the DSv2 path, after a
+    * replace commit rewrote every data file. Append 1 (even keys, seq 1)
+    * took row-id block [0, E); append 2 (odd keys, seq 2) took [E, N); the
+    * compaction must preserve BOTH per-row values exactly — so grouping by
+    * the last-updated sequence number reproduces the append partition,
+    * with each group's id block intact. */
+  val i35 = Q.sql(
+    "i35_native_row_lineage",
+    """WITH e AS (SELECT count(*) AS n FROM orders WHERE o_orderkey % 2 = 0),
+      |     o AS (SELECT count(*) AS n FROM orders WHERE o_orderkey % 2 = 1)
+      |SELECT * FROM (
+      |  SELECT 1::BIGINT AS seq, (SELECT n FROM e)::BIGINT AS n,
+      |    0::BIGINT AS min_id, ((SELECT n FROM e) - 1)::BIGINT AS max_id
+      |  UNION ALL
+      |  SELECT 2::BIGINT, (SELECT n FROM o)::BIGINT,
+      |    (SELECT n FROM e)::BIGINT,
+      |    ((SELECT n FROM e) + (SELECT n FROM o) - 1)::BIGINT
+      |) ORDER BY seq""".stripMargin
+  ) { (s, d) =>
+    IcebergFixtures.ordersLineageCompacted(s, d)
+    s.sql("""SELECT _last_updated_sequence_number AS seq, count(*) AS n,
+      min(_row_id) AS min_id, max(_row_id) AS max_id
+      FROM graftfix.orders_lineage GROUP BY 1 ORDER BY seq""")
+  }
+
   val all: Seq[Q] = Seq(i01, i02, i03, i04, i05, i06, i07, i08, i09, i10,
     i11, i12, i13, i14, i15, i16, i17, i18, i19, i20, i21, i22, i23, i24, i25,
-    i26, i27, i28, i29, i30, i31, i32, i33, i34)
+    i26, i27, i28, i29, i30, i31, i32, i33, i34, i35)
 }

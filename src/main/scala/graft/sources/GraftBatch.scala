@@ -69,9 +69,11 @@ class GraftBatchScan(table: GraftTable, predicate: Predicate,
   // as the row id.
   private val MetaCols = Seq(GraftBatchScan.FileColumn, GraftBatchScan.PosColumn,
     GraftBatchScan.SpecIdColumn, GraftBatchScan.PartitionColumn,
-    GraftBatchScan.DeletedColumn)
+    GraftBatchScan.DeletedColumn, GraftBatchScan.RowIdColumn,
+    GraftBatchScan.LastUpdatedColumn)
   private val (projected: Seq[String], emitFile: Boolean, emitPos: Boolean,
-      emitSpecId: Boolean, emitPartition: Boolean, emitDeleted: Boolean) =
+      emitSpecId: Boolean, emitPartition: Boolean, emitDeleted: Boolean,
+      emitRowId: Boolean, emitLastSeq: Boolean) =
     required match {
       case Some(s) if s.fields.nonEmpty =>
         (s.fieldNames.toSeq.filterNot(MetaCols.contains),
@@ -79,9 +81,12 @@ class GraftBatchScan(table: GraftTable, predicate: Predicate,
           s.fieldNames.contains(GraftBatchScan.PosColumn),
           s.fieldNames.contains(GraftBatchScan.SpecIdColumn),
           s.fieldNames.contains(GraftBatchScan.PartitionColumn),
-          s.fieldNames.contains(GraftBatchScan.DeletedColumn))
+          s.fieldNames.contains(GraftBatchScan.DeletedColumn),
+          s.fieldNames.contains(GraftBatchScan.RowIdColumn),
+          s.fieldNames.contains(GraftBatchScan.LastUpdatedColumn))
       case _ =>
-        (table.schema.fields.map(_.name), false, false, false, false, false)
+        (table.schema.fields.map(_.name), false, false, false, false, false,
+          false, false)
     }
 
   /** Unified `_partition` struct across evolved specs (partitioning.rs —
@@ -134,9 +139,16 @@ class GraftBatchScan(table: GraftTable, predicate: Predicate,
   private lazy val extendedNames: Seq[String] =
     projected ++ eqInfo.flatMap(_.keyNames).distinct.filterNot(projected.contains)
 
+  /** Lineage-requesting scans also read the MATERIALIZED reserved columns
+    * (RowLineage): compaction persists per-row lineage into its rewritten
+    * files; field-id projection null-fills files without the columns and
+    * the reader coalesces with first_row_id + pos inheritance. */
+  private def lineageRead: Boolean = emitRowId || emitLastSeq
+
   private def extendedSchema(): StructType = {
     val full = table.schema.toSpark
-    StructType(extendedNames.flatMap(n => full.fields.find(_.name == n)))
+    StructType(extendedNames.flatMap(n => full.fields.find(_.name == n)) ++
+      (if (lineageRead) graft.spec.RowLineage.sparkFields else Nil))
   }
 
   /** v3 initial-defaults the native reader serves for files written before
@@ -171,7 +183,13 @@ class GraftBatchScan(table: GraftTable, predicate: Predicate,
         nullable = true)) else Nil) ++
       (if (emitDeleted) Seq(org.apache.spark.sql.types.StructField(
         GraftBatchScan.DeletedColumn, org.apache.spark.sql.types.BooleanType,
-        nullable = false)) else Nil)
+        nullable = false)) else Nil) ++
+      (if (emitRowId) Seq(org.apache.spark.sql.types.StructField(
+        GraftBatchScan.RowIdColumn, org.apache.spark.sql.types.LongType,
+        nullable = true)) else Nil) ++
+      (if (emitLastSeq) Seq(org.apache.spark.sql.types.StructField(
+        GraftBatchScan.LastUpdatedColumn, org.apache.spark.sql.types.LongType,
+        nullable = true)) else Nil)
     StructType(data ++ metas)
   }
 
@@ -455,7 +473,8 @@ class GraftBatchScan(table: GraftTable, predicate: Predicate,
       t.file.recordCount, t.specId, t.sequenceNumber, t.file.partition,
       t.file.sortOrderId, missingDefaultNames(t.file),
       GraftTable.splitRanges(t.file.fileSizeInBytes, t.file.splitOffsets),
-      t.file.nullValueCounts.filter(kv => projectedFieldIds(kv._1)))
+      t.file.nullValueCounts.filter(kv => projectedFieldIds(kv._1)),
+      t.file.firstRowId)
 
   private def doPlan(key: PlanKey)
       : Array[(graft.table.CompactFileTask, GraftInputPartition)] = {
@@ -534,16 +553,17 @@ class GraftBatchScan(table: GraftTable, predicate: Predicate,
           }
         }
       val splits =
-        if (withDeletes || emitPos)
-          // whole file in one slice: row indexes must be exact (`_pos`
-          // emission counts rows, so splits and parquet row-group
-          // filtering are both off)
+        if (withDeletes || emitPos || emitRowId)
+          // whole file in one slice: row indexes must be exact (`_pos` and
+          // inherited `_row_id` emission count rows, so splits and parquet
+          // row-group filtering are both off)
           Seq(GraftInputPartition(path, 0L, size, size,
             needsRowIndex = true, posParquet, dv, t.missingDefaults, eqGroups,
-            t.specId, partVals))
+            t.specId, partVals, t.firstRowId, t.sequenceNumber))
         else t.splitRanges.map { case (start, len) =>
           GraftInputPartition(path, start, len, size, needsRowIndex = false,
-            Nil, None, t.missingDefaults, eqGroups, t.specId, partVals)
+            Nil, None, t.missingDefaults, eqGroups, t.specId, partVals,
+            t.firstRowId, t.sequenceNumber)
         }
       splits.map(s => (t, s))
     }.toArray
@@ -559,8 +579,11 @@ class GraftBatchScan(table: GraftTable, predicate: Predicate,
   override def createReaderFactory(): PartitionReaderFactory = {
     val spark = SparkSession.active
     val ext = extendedSchema()
+    // lineage physical columns ride at the END of the extended schema and
+    // must be projected away (their values surface through the metadata
+    // slots instead), so a lineage read always needs the output projection
     val outputOrdinals =
-      if (extendedNames == projected) None
+      if (extendedNames == projected && !lineageRead) None
       else Some(projected.map(extendedNames.indexOf))
     val defaults: Map[String, Any] = defaultedFields.map(f =>
       f.name -> graft.meta.SingleValue.toCatalystValue(
@@ -570,7 +593,8 @@ class GraftBatchScan(table: GraftTable, predicate: Predicate,
       eqKeySets = eqInfo.map(_.keyNames).distinct, outputOrdinals = outputOrdinals,
       defaults = defaults, emitSpecId = emitSpecId,
       partSchema = if (emitPartition) Some(unifiedPartSchema) else None,
-      emitDeleted = emitDeleted)
+      emitDeleted = emitDeleted, emitRowId = emitRowId,
+      emitLastSeq = emitLastSeq)
   }
 }
 
@@ -584,6 +608,14 @@ object GraftBatchScan {
   /** Metadata column: the file's typed partition tuple (unified across
     * evolved specs — partitioning.rs). */
   val PartitionColumn = "_partition"
+  /** Metadata column: v3 row lineage id (metadata_columns.rs:63 — reserved
+    * id i32.MAX-107): materialized column if the file carries one
+    * (compaction persists lineage), else first_row_id + position. */
+  val RowIdColumn = graft.spec.RowLineage.RowIdName
+  /** Metadata column: sequence number of the commit that last updated the
+    * row (metadata_columns.rs:66 — reserved id i32.MAX-108): materialized
+    * if present, else the file's data sequence number. */
+  val LastUpdatedColumn = graft.spec.RowLineage.LastUpdatedName
   /** Metadata column: whether the row is deleted under the scan snapshot's
     * MoR deletes (metadata_columns.rs:38,75 — reserved id i32.MAX-3).
     * Projecting it flips the reader from FILTERING deleted rows to
@@ -646,7 +678,9 @@ final case class GraftInputPartition(
     missingDefaults: Seq[String] = Nil,
     eqDeletes: Seq[EqDeleteTaskGroup] = Nil,
     specId: Int = -1,
-    partitionValues: Seq[Any] = Nil) extends InputPartition
+    partitionValues: Seq[Any] = Nil,
+    firstRowId: Option[Long] = None,
+    sequenceNumber: Long = -1L) extends InputPartition
 
 /** A split plus its partition tuple — lets Spark group splits by
   * partition value for storage-partitioned joins (HasPartitionKey). */
@@ -703,7 +737,9 @@ object GraftReaderFactory {
       defaults: Map[String, Any] = Map.empty,
       emitSpecId: Boolean = false,
       partSchema: Option[StructType] = None,
-      emitDeleted: Boolean = false): GraftReaderFactory = {
+      emitDeleted: Boolean = false,
+      emitRowId: Boolean = false,
+      emitLastSeq: Boolean = false): GraftReaderFactory = {
     val scanSpark = graft.SessionConf.scanSession(spark)
     val fmt = new ParquetFileFormat()
     val hc = scanSpark.sparkContext.hadoopConfiguration
@@ -735,7 +771,7 @@ object GraftReaderFactory {
         Nil, rowOpts, conf()),
       spark.sparkContext.broadcast(new SerializableConfiguration(conf())),
       emitFile, emitPos, readSchema, outputOrdinals, defaults, eqReads,
-      emitSpecId, partSchema, emitDeleted)
+      emitSpecId, partSchema, emitDeleted, emitRowId, emitLastSeq)
   }
 }
 
@@ -752,7 +788,9 @@ final class GraftReaderFactory(
     eqReads: Map[Seq[String], PartitionedFile => Iterator[InternalRow]] = Map.empty,
     emitSpecId: Boolean = false,
     partSchema: Option[StructType] = None,
-    emitDeleted: Boolean = false)
+    emitDeleted: Boolean = false,
+    emitRowId: Boolean = false,
+    emitLastSeq: Boolean = false)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -767,7 +805,7 @@ final class GraftReaderFactory(
       else filteredRead
     new GraftPartitionReader(p, read, posDeleteRead, conf, emitFile, emitPos,
       readSchema, outputOrdinals, defaults, eqReads, emitSpecId, partSchema,
-      emitDeleted)
+      emitDeleted, emitRowId, emitLastSeq)
   }
 }
 
@@ -788,7 +826,9 @@ final class GraftPartitionReader(
     eqReads: Map[Seq[String], PartitionedFile => Iterator[InternalRow]] = Map.empty,
     emitSpecId: Boolean = false,
     partSchema: Option[StructType] = None,
-    emitDeleted: Boolean = false)
+    emitDeleted: Boolean = false,
+    emitRowId: Boolean = false,
+    emitLastSeq: Boolean = false)
     extends PartitionReader[InternalRow] {
 
   import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression, Literal, UnsafeProjection, UnsafeRow}
@@ -862,7 +902,8 @@ final class GraftPartitionReader(
   // columns (JoinedRow: zero-copy wrapper; only the pos slot mutates per
   // row — file, spec id and the partition tuple are split constants)
   private def emitMeta =
-    emitFile || emitPos || emitSpecId || partSchema.isDefined || emitDeleted
+    emitFile || emitPos || emitSpecId || partSchema.isDefined || emitDeleted ||
+      emitRowId || emitLastSeq
   private lazy val partStruct: Any = partSchema.map { ps =>
     org.apache.spark.sql.catalyst.CatalystTypeConverters
       .createToCatalystConverter(ps)(
@@ -875,12 +916,40 @@ final class GraftPartitionReader(
       (if (emitPos) Array[Any](0L) else Array.empty[Any]) ++
       (if (emitSpecId) Array[Any](part.specId) else Array.empty[Any]) ++
       (if (partSchema.isDefined) Array[Any](partStruct) else Array.empty[Any]) ++
-      (if (emitDeleted) Array[Any](false) else Array.empty[Any]))
+      (if (emitDeleted) Array[Any](false) else Array.empty[Any]) ++
+      (if (emitRowId) Array[Any](null) else Array.empty[Any]) ++
+      (if (emitLastSeq) Array[Any](null) else Array.empty[Any]))
   private val posOrdinal = if (emitFile) 1 else 0
   private val deletedOrdinal = (if (emitFile) 1 else 0) +
     (if (emitPos) 1 else 0) + (if (emitSpecId) 1 else 0) +
     (if (partSchema.isDefined) 1 else 0)
+  private val rowIdOrdinal = deletedOrdinal + (if (emitDeleted) 1 else 0)
+  private val lastSeqOrdinal = rowIdOrdinal + (if (emitRowId) 1 else 0)
   private var deletedFlag: Boolean = false
+  // per-row lineage values (boxed: null = no lineage for this row)
+  private var rowIdVal: Any = null
+  private var lastSeqVal: Any = null
+  // ordinals of the MATERIALIZED lineage columns in the extended read
+  // schema (appended at the end by the scan when lineage is requested)
+  private lazy val extRowIdIdx =
+    readSchema.fieldIndex(graft.spec.RowLineage.RowIdName)
+  private lazy val extLastSeqIdx =
+    readSchema.fieldIndex(graft.spec.RowLineage.LastUpdatedName)
+
+  /** Materialized-wins lineage resolution (RowLineage preference order). */
+  private def captureLineage(filled: InternalRow): Unit = {
+    if (emitRowId) {
+      rowIdVal =
+        if (!filled.isNullAt(extRowIdIdx)) filled.getLong(extRowIdIdx)
+        else part.firstRowId.map(f => (f + rowIndex): java.lang.Long).orNull
+    }
+    if (emitLastSeq) {
+      lastSeqVal =
+        if (!filled.isNullAt(extLastSeqIdx)) filled.getLong(extLastSeqIdx)
+        else if (part.sequenceNumber >= 0L) part.sequenceNumber
+        else null
+    }
+  }
   private lazy val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow()
 
   private lazy val deleted: Roaring64 = {
@@ -924,12 +993,14 @@ final class GraftPartitionReader(
         val filled = fillProj match { case Some(p) => p(r); case None => r }
         deletedFlag = posDeleted ||
           (part.eqDeletes.nonEmpty && eqDeleted(filled))
+        captureLineage(filled)
         current = outProj match { case Some(p) => p(filled); case None => filled }
         return true
       }
       if (!posDeleted) {
         val filled = fillProj match { case Some(p) => p(r); case None => r }
         if (part.eqDeletes.isEmpty || !eqDeleted(filled)) {
+          captureLineage(filled)
           current = outProj match { case Some(p) => p(filled); case None => filled }
           return true
         }
@@ -942,6 +1013,8 @@ final class GraftPartitionReader(
     if (emitMeta) {
       if (emitPos) metaRow.update(posOrdinal, rowIndex)
       if (emitDeleted) metaRow.update(deletedOrdinal, deletedFlag)
+      if (emitRowId) metaRow.update(rowIdOrdinal, rowIdVal)
+      if (emitLastSeq) metaRow.update(lastSeqOrdinal, lastSeqVal)
       joined(current, metaRow)
     } else current
 

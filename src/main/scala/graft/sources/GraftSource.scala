@@ -129,7 +129,13 @@ final class GraftSparkTable(table: GraftTable, viaProvider: Boolean = false)
       // _deleted (metadata_columns.rs:38,75, reserved id i32.MAX-3):
       // projecting it serves MoR-deleted rows with a marker instead of
       // filtering them — the delete-audit surface
-      col(GraftBatchScan.DeletedColumn, org.apache.spark.sql.types.BooleanType, false))
+      col(GraftBatchScan.DeletedColumn, org.apache.spark.sql.types.BooleanType, false),
+      // v3 row lineage (metadata_columns.rs:63,66 — reserved ids
+      // i32.MAX-107/-108): materialized column if the file carries one
+      // (compaction persists lineage), else first_row_id + position /
+      // the file's data sequence number
+      col(GraftBatchScan.RowIdColumn, org.apache.spark.sql.types.LongType, true),
+      col(GraftBatchScan.LastUpdatedColumn, org.apache.spark.sql.types.LongType, true))
   }
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,

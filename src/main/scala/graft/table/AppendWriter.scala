@@ -42,7 +42,18 @@ object AppendWriter {
   /** Stage, harvest and place data files for `df` under the table layout —
     * shared by append and rewrite (compaction). No commit. */
   def writeDataFiles(table: GraftTable, df: DataFrame,
-      commitUuid: String): Seq[DataFile] = {
+      commitUuid: String): Seq[DataFile] =
+    writeDataFiles(table, df, commitUuid, lineage = false)
+
+  /** `lineage = true`: the input df carries `_row_id` /
+    * `_last_updated_sequence_number` columns and they are MATERIALIZED
+    * into the written parquet under the reserved field ids (RowLineage) —
+    * the compaction path's lineage-preservation contract (a rewrite
+    * shuffles rows across files, so first_row_id inheritance cannot
+    * reconstruct ids; the spec requires rewriters to persist per-row
+    * lineage instead). */
+  def writeDataFiles(table: GraftTable, df: DataFrame,
+      commitUuid: String, lineage: Boolean): Seq[DataFile] = {
     val spark = df.sparkSession
     val schema = table.schema
 
@@ -60,7 +71,8 @@ object AppendWriter {
     // Spark's parquet writer embeds them (fieldId.write.enabled) and the
     // scan's id-based projection resolves (arrow/reader/pipeline.rs:160-168:
     // "projection must be done using field ids").
-    val sparkFields = schema.toSpark.fields
+    val sparkFields = schema.toSpark.fields ++
+      (if (lineage) graft.spec.RowLineage.sparkFields else Nil)
     val input = withDefaults.select(sparkFields.map(f =>
       col(f.name).cast(f.dataType).as(f.name, f.metadata)): _*)
     // Temporal partition transforms and Hive path rendering of timestamp

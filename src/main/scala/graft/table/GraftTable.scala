@@ -492,7 +492,8 @@ final case class CompactFileTask(
     sortOrderId: Option[Int],
     missingDefaults: Seq[String],
     splitRanges: Seq[(Long, Long)],
-    nullCounts: Map[Int, Long])
+    nullCounts: Map[Int, Long],
+    firstRowId: Option[Long] = None)
 
 /** A delete file in scope for the scanned snapshot (DeleteFileIndex entry,
   * delete_file_index.rs:37). */
@@ -834,7 +835,8 @@ final class TableScan private[table] (
               specId, e.sequenceNumber.getOrElse(mseq), f.partition,
               f.sortOrderId, missing,
               GraftTable.splitRanges(f.fileSizeInBytes, f.splitOffsets, targetSplitSize),
-              f.nullValueCounts.filter(kv => projectedFieldIds(kv._1)))
+              f.nullValueCounts.filter(kv => projectedFieldIds(kv._1)),
+              f.firstRowId)
           }
       }.collect().toSeq
     (tasks, emptyMetrics.copy(
@@ -993,8 +995,18 @@ final class TableScan private[table] (
             val groups =
               if (defaulted.isEmpty) Seq(tasks -> Seq.empty[NestedField])
               else tasks.groupBy(missingFor).toSeq.map(_.swap)
+            // lineage-requesting reads also ask for the MATERIALIZED
+            // reserved columns (RowLineage): files written by compaction
+            // carry per-row lineage; field-id projection null-fills files
+            // without them, and addMetadataColumns coalesces with
+            // first_row_id + pos inheritance
+            val readSchema =
+              if (metaCols)
+                org.apache.spark.sql.types.StructType(
+                  sparkSchema.fields ++ graft.spec.RowLineage.sparkFields)
+              else sparkSchema
             groups.map { case (ts, missing) =>
-              val raw = reader.read.options(encConf).schema(sparkSchema)
+              val raw = reader.read.options(encConf).schema(readSchema)
                 .parquet(ts.map(_.file.filePath): _*)
               val filled = missing.foldLeft(raw) { (df, f) =>
                 df.withColumn(f.name, defaultLiteral(f))
@@ -1043,7 +1055,7 @@ final class TableScan private[table] (
       org.apache.spark.sql.types.StructField("_partition", partSchema, nullable = true),
       org.apache.spark.sql.types.StructField("_gf_first_row_id",
         org.apache.spark.sql.types.LongType, nullable = true),
-      org.apache.spark.sql.types.StructField("_last_updated_sequence_number",
+      org.apache.spark.sql.types.StructField("_gf_task_seq",
         org.apache.spark.sql.types.LongType, nullable = false)))
     val rows: java.util.List[Row] = new java.util.ArrayList[Row]()
     tasks.foreach { t =>
@@ -1069,10 +1081,25 @@ final class TableScan private[table] (
       if (df.columns.contains("_file")) df
       else df.withColumn("_file", col("_metadata.file_path"))
         .withColumn("_pos", col("_metadata.row_index"))
-    withFp
+    // materialized lineage (written by compaction) wins; files without the
+    // columns (or name-mapped reads, which skip them) fall back to
+    // first_row_id + pos inheritance / the file's sequence number
+    val lineageRead = withFp.columns.contains(graft.spec.RowLineage.RowIdName)
+    val withLineage = withFp
       .join(broadcast(taskDf), col("_file") === col("_gf_meta_file"), "left")
-      .withColumn("_row_id", col("_gf_first_row_id") + col("_pos"))
-      .drop("_gf_meta_file", "_gf_first_row_id")
+    val rowIdExpr =
+      if (lineageRead)
+        coalesce(col(graft.spec.RowLineage.RowIdName),
+          col("_gf_first_row_id") + col("_pos"))
+      else col("_gf_first_row_id") + col("_pos")
+    val lastSeqExpr =
+      if (lineageRead)
+        coalesce(col(graft.spec.RowLineage.LastUpdatedName), col("_gf_task_seq"))
+      else col("_gf_task_seq")
+    withLineage
+      .withColumn(graft.spec.RowLineage.RowIdName, rowIdExpr)
+      .withColumn(graft.spec.RowLineage.LastUpdatedName, lastSeqExpr)
+      .drop("_gf_meta_file", "_gf_first_row_id", "_gf_task_seq")
   }
 
   private def qualifyPath(p: String): String = {

@@ -36,14 +36,25 @@ object Maintenance {
 
     val totalBytes = tasks.map(_.file.fileSizeInBytes).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileSizeBytes).toInt)
-    val df0 = scan.toDF(spark)
+    // v3 row lineage: a rewrite shuffles rows across files, so
+    // first_row_id inheritance cannot survive it — read each row's
+    // lineage (inherited or already-materialized) and persist it as real
+    // columns in the rewritten files (RowLineage preference order)
+    val lineage = table.metadata.nextRowId > 0L
+    val df0 =
+      if (lineage)
+        scan.withMetadataColumns().toDF(spark).select(
+          (table.schema.fields.map(f => org.apache.spark.sql.functions.col(f.name)) ++
+            graft.spec.RowLineage.sparkFields.map(f =>
+              org.apache.spark.sql.functions.col(f.name))): _*)
+      else scan.toDF(spark)
     // unpartitioned: explicit file-count control; partitioned: the staged
     // write's per-partition fanout governs sizes (input splits are already
     // coalesced by files.maxPartitionBytes)
     val df = if (table.spec.isUnpartitioned) df0.repartition(nOut) else df0
 
     val commitUuid = UUID.randomUUID().toString
-    val files = AppendWriter.writeDataFiles(table, df, commitUuid)
+    val files = AppendWriter.writeDataFiles(table, df, commitUuid, lineage)
 
     val sourcePaths = tasks.map(_.file.filePath).toSet
     Commits.commit(table, "replace", commitUuid, Map(
@@ -105,14 +116,23 @@ object Maintenance {
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileSizeBytes).toInt)
     val zcol = graft.functions.ZOrderExpr.column(
       cols.map(org.apache.spark.sql.functions.col), mins, maxs)
-    val df = scan.toDF(spark)
+    // lineage preservation: same contract as rewriteDataFiles
+    val lineage = table.metadata.nextRowId > 0L
+    val zdf0 =
+      if (lineage)
+        scan.withMetadataColumns().toDF(spark).select(
+          (table.schema.fields.map(f => org.apache.spark.sql.functions.col(f.name)) ++
+            graft.spec.RowLineage.sparkFields.map(f =>
+              org.apache.spark.sql.functions.col(f.name))): _*)
+      else scan.toDF(spark)
+    val df = zdf0
       .withColumn("__z", zcol)
       .repartitionByRange(nOut, org.apache.spark.sql.functions.col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
 
     val commitUuid = UUID.randomUUID().toString
-    val files = AppendWriter.writeDataFiles(table, df, commitUuid)
+    val files = AppendWriter.writeDataFiles(table, df, commitUuid, lineage)
     val sourcePaths = tasks.map(_.file.filePath).toSet
     Commits.commit(table, "replace", commitUuid, Map(
       "rewritten-data-files" -> tasks.size.toString,

@@ -96,6 +96,40 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("viral-bucket sub-salt: pair set exact, explode spans >1 task") {
+    import spark.implicits._
+    // ONE planted near-cap bucket: every doc shares a single band key, so
+    // the unblocked form would explode all C(n,2) pairs from one row/task
+    val n = 150
+    val bands = (0 until n).map(i => (0, 42L, 100L + i))
+      .toDF("band_idx", "band_key", "doc_id")
+    // sub-salted output is hash-identical to the full pair set
+    val got = Dedup.lshCandidates(bands, maxBucket = 10000, subBucket = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for (i <- 0 until n; j <- (i + 1) until n)
+      yield (100L + i, 100L + j)).toSet
+    assert(got === want, "blocked pairs must equal the full bucket product")
+    // ...and generation is spread over multiple block rows on multiple
+    // partitions (spark_partition_id BEFORE any later exchange = the
+    // partition the block's explode ran on)
+    val pids = Dedup.blockedPairs(
+        bands.withColumn("_item", struct(col("doc_id").as("_gid"))),
+        Seq("band_idx", "band_key"), 10000, 40,
+        (a, b) => s"struct(least($a._gid, $b._gid) AS id_a, " +
+          s"greatest($a._gid, $b._gid) AS id_b)")
+      .withColumn("pid", spark_partition_id())
+      .select("pid").distinct().count()
+    assert(pids > 1, s"pair explode ran on $pids partition(s) — not parallel")
+    // hamming path: same decomposition, same planted-bucket property
+    val sigs = (0 until n).map(i => (100L + i, (i % 3).toLong))
+      .toDF("doc_id", "sig")
+    val ham = Dedup.hammingNearDups(sigs, "sig", maxHamming = 3, bands = 4,
+      bits = 60, maxBucket = 10000, subBucket = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // all sigs within hamming 3 of each other (values 0,1,2 → ≤ 2 bits)
+    assert(ham === want, "hamming blocked pairs must cover the bucket")
+  }
+
   test("ngram-jaccard prefix filtering equals brute force, no cartesian") {
     val pf = Dedup.ngramJaccardNearDups(docs, threshold = 0.6)
     val plan = pf.queryExecution.executedPlan.toString
