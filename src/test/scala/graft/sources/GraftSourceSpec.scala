@@ -705,4 +705,41 @@ class GraftSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
       .take(8).exists(c => Option(c.getMessage).exists(_.contains("not append"))))
   }
+
+  /** bytesRead scan metric (scan_metrics.rs:54-72): executor-side counter
+    * over data split ranges AND MoR delete inputs. Driven at the reader
+    * level: drain every partition reader, sum currentMetricsValues. */
+  test("bytesRead metric counts data ranges and MoR delete files") {
+    def readAllBytes(t: graft.table.GraftTable): Long = {
+      val scan = new GraftScanBuilder(t).build()
+      val batch = scan.toBatch
+      val factory = batch.createReaderFactory()
+      batch.planInputPartitions().map { p =>
+        val r = factory.createReader(p)
+        while (r.next()) { r.get() }
+        val v = r.currentMetricsValues().find(_.name == "bytesRead")
+          .map(_.value).getOrElse(0L)
+        r.close(); v
+      }.sum
+    }
+
+    val clean = IcebergFixtures.ordersBucket(spark, sfDir)
+    val dataBytes = clean.newScan().planFiles().map(_.file.fileSizeInBytes).sum
+    val got = readAllBytes(clean)
+    assert(got > 0L)
+    // whole-file split coverage: the sum of split ranges equals file sizes
+    assert(got == dataBytes, s"clean scan bytes $got != planned $dataBytes")
+
+    // MoR fixture: the counter must ALSO include the delete-side parquet
+    val mor = IcebergFixtures.ordersPosDeleted(spark, sfDir)
+    val morData = mor.newScan().planFiles().map(_.file.fileSizeInBytes).sum
+    val delBytes = mor.newScan().planDeletes().map(_.file.fileSizeInBytes).sum
+    assert(delBytes > 0L, "fixture must carry position-delete files")
+    val gotMor = readAllBytes(mor)
+    assert(gotMor > morData, s"MoR scan bytes $gotMor must exceed data-only $morData")
+    // each task re-reads the delete files that reference its data file;
+    // the fixture's delete file binds to every data file, so the total is
+    // data + (bound delete bytes per task), at least data + one delete read
+    assert(gotMor >= morData + delBytes)
+  }
 }
