@@ -13,6 +13,11 @@ import graft.spec._
   * back through scan planning, assert pruning effectiveness and row-level
   * equality with the raw parquet. Mirrors the reference's in-code scan
   * fixture strategy (scan/mod.rs pub mod tests, line 636).
+  *
+  * The whole suite runs against the `memory://` FileIO backend
+  * (io/storage/memory.rs parity): catalog commits, manifest Avro AND the
+  * parquet data written/read by Spark's own machinery all live in process
+  * memory — zero local-FS coupling.
   */
 class TableRoundTripSpec extends AnyFunSuite with BeforeAndAfterAll {
 
@@ -25,13 +30,15 @@ class TableRoundTripSpec extends AnyFunSuite with BeforeAndAfterAll {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.hadoop.fs.memory.impl", "graft.io.MemoryFileSystem")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    wh = java.nio.file.Files.createTempDirectory("graft-wh").toString
+    wh = "memory://roundtrip/wh"
   }
 
   override def afterAll(): Unit = {
     if (spark != null) spark.stop()
+    graft.io.MemoryFileSystem.clear()
   }
 
   private def catalog = new HadoopCatalog(wh, FileIO.fromSpark(spark))
