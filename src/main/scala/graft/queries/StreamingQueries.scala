@@ -288,5 +288,43 @@ object StreamingQueries {
       .orderBy(col("user_id"), col("session_idx"))
   }
 
-  val all: Seq[Q] = Seq(p80, p81, p82, p83)
+  /** Streaming CDC read of a real graft table: `readStream.format("graft")
+    * .option("read-changelog", true)` tails the row-level changelog
+    * (GraftChangelogSource) — the append+MoR-delete fixture must stream
+    * its full history as insert rows for every order plus delete rows for
+    * exactly the position-deleted ones, matching the batch changelog
+    * (i23) and hence the raw-table oracle. Unlike p80–p83 (MemoryStream
+    * feeds), the SOURCE here is the table format itself. */
+  val p85 = Q.sql(
+    "p85_streaming_changelog_read",
+    """SELECT * FROM (
+      |  SELECT 'delete' AS change_type, count(*)::BIGINT AS n,
+      |    sum(o_orderkey)::BIGINT AS key_sum
+      |  FROM orders WHERE o_totalprice > 200000.0
+      |  UNION ALL
+      |  SELECT 'insert' AS change_type, count(*)::BIGINT AS n,
+      |    sum(o_orderkey)::BIGINT AS key_sum
+      |  FROM orders
+      |) ORDER BY change_type""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    val t = IcebergFixtures.ordersPosDeleted(s, d)
+    val warehouse = t.location.stripSuffix(s"/${t.name}")
+    val qname = "p85_mem_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = s.readStream.format("graft")
+      .option("warehouse", warehouse).option("table", t.name)
+      .option("read-changelog", "true").load()
+      .writeStream.format("memory").queryName(qname)
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    val rows = s.table(qname)
+      .groupBy(col("_change_type").as("change_type"))
+      .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+      .as[(String, Long, Long)].collect().toSeq.sortBy(_._1)
+    s.catalog.dropTempView(qname)
+    rows.toDF("change_type", "n", "key_sum").orderBy(col("change_type"))
+  }
+
+  val all: Seq[Q] = Seq(p80, p81, p82, p83, p85)
 }

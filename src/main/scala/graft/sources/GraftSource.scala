@@ -37,7 +37,8 @@ import graft.table.GraftTable
   * `PartitionReader` — the DSv2 layer contributes table resolution,
   * pushdown bookkeeping, and column pruning.
   */
-final class GraftSource extends TableProvider with DataSourceRegister {
+final class GraftSource extends TableProvider with DataSourceRegister
+    with org.apache.spark.sql.sources.StreamSourceProvider {
 
   override def shortName(): String = "graft"
 
@@ -49,16 +50,59 @@ final class GraftSource extends TableProvider with DataSourceRegister {
     GraftTable.load(table, new HadoopCatalog(warehouse, new FileIO(new Configuration())))
   }
 
+  private def isChangelog(options: CaseInsensitiveStringMap): Boolean =
+    Option(options.get("read-changelog")).contains("true")
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     load(options).schema.toSpark
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): SparkTable =
-    new GraftSparkTable(load(new CaseInsensitiveStringMap(properties)),
-      viaProvider = true) // no FunctionCatalog on this path
+      properties: util.Map[String, String]): SparkTable = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    // `read-changelog=true` drops the streaming capabilities so
+    // DataStreamReader falls back to the V1 StreamSourceProvider path
+    // below — changelog batches are computed DataFrames, not file splits
+    new GraftSparkTable(load(opts),
+      viaProvider = true, // no FunctionCatalog on this path
+      changelogStream = isChangelog(opts))
+  }
+
+  // --- V1 streaming source: the changelog read (GraftChangelogSource) ---
+
+  private def requireChangelog(params: Map[String, String]): Unit =
+    require(params.get("read-changelog").contains("true"),
+      "graft streaming resolves V1 only for read-changelog=true")
+
+  /** Called EAGERLY by the analyzer for every graft stream (the v1
+    * fallback relation is constructed alongside the v2 one), so it must
+    * answer for both shapes; only `createSource` is changelog-gated. */
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val opts = new CaseInsensitiveStringMap(parameters.asJava)
+    if (isChangelog(opts))
+      ("graft-changelog", graft.table.Changelog.outputSchema(load(opts)))
+    else ("graft", load(opts).schema.toSpark)
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source = {
+    requireChangelog(parameters)
+    val opts = new CaseInsensitiveStringMap(parameters.asJava)
+    val warehouse = Option(opts.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException("option 'warehouse' is required"))
+    val table = Option(opts.get("table")).getOrElse(
+      throw new IllegalArgumentException("option 'table' is required"))
+    new graft.streaming.GraftChangelogSource(sqlContext.sparkSession, table,
+      new HadoopCatalog(warehouse, new FileIO(new Configuration())),
+      parameters)
+  }
 }
 
-final class GraftSparkTable(table: GraftTable, viaProvider: Boolean = false)
+final class GraftSparkTable(table: GraftTable, viaProvider: Boolean = false,
+    changelogStream: Boolean = false)
     extends SparkTable
     with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
@@ -138,7 +182,11 @@ final class GraftSparkTable(table: GraftTable, viaProvider: Boolean = false)
       col(GraftBatchScan.LastUpdatedColumn, org.apache.spark.sql.types.LongType, true))
   }
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ,
+    if (changelogStream)
+      // no MICRO_BATCH_READ: forces the V1 StreamSourceProvider fallback
+      // (GraftChangelogSource) for read-changelog streams
+      util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+    else util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE,
       TableCapability.STREAMING_WRITE,

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+import graft.catalog.Catalog
+import graft.spec.Json
+import graft.table.{Changelog, GraftTable}
+
+/** Streaming-offset for the changelog source: the last snapshot id whose
+  * changes have been emitted (same shape as GraftStreamOffset, but a V1
+  * `execution.streaming.Offset` — the changelog source is a V1 `Source`
+  * because its batches are computed DataFrames, not file splits). */
+final case class GraftChangelogOffset(snapshotId: Long)
+    extends org.apache.spark.sql.execution.streaming.Offset {
+  override def json(): String = Json.obj().put("snapshotId", snapshotId).toString
+}
+
+object GraftChangelogOffset {
+  def of(o: org.apache.spark.sql.execution.streaming.Offset): GraftChangelogOffset =
+    o match {
+      case g: GraftChangelogOffset => g
+      case other =>
+        GraftChangelogOffset(Json.parse(other.json()).get("snapshotId").asLong())
+    }
+}
+
+/** Streaming READ of the row-level changelog — `spark.readStream
+  * .format("graft").option("read-changelog", "true")`: each micro-batch
+  * is `Changelog.changesBetween(start, end]` for the snapshot window the
+  * offsets advanced over, so inserts AND deletes flow as `_change_type`
+  * rows (the CDC surface i23 serves in batch, now tailable). Iceberg's
+  * Spark source exposes the same idea as a changelog read; the reference
+  * reserves `_change_type` (metadata_columns.rs:53,90).
+  *
+  * V1 `Source` (not MicroBatchStream): a changelog batch is a COMPUTED
+  * DataFrame (parent-scan joins against delete descriptors), not a set of
+  * file splits — `getBatch` hands Spark the computed plan's RDD wrapped
+  * as a streaming batch. Exactly-once holds the same way as the append
+  * stream: offsets are snapshot ids, and a replayed `(start, end]` window
+  * recomputes the identical change set from the immutable snapshot chain.
+  *
+  * Scale shape: per batch the driver walks manifest Avro for the window's
+  * snapshots only; row work is the same executor joins as the batch
+  * changelog. `_change_ordinal` is per-WINDOW (0-based within the batch),
+  * `_commit_snapshot_id` is globally stable — order by it downstream.
+  *
+  * Options: `net-changes=true` cancels CoW carry-over delete+insert pairs
+  * per batch (Iceberg's remove-carryovers semantics). */
+final class GraftChangelogSource(
+    spark: SparkSession,
+    tableName: String,
+    catalog: Catalog,
+    options: Map[String, String])
+    extends org.apache.spark.sql.execution.streaming.Source {
+
+  private def reload(): GraftTable = GraftTable.load(tableName, catalog)
+
+  private val netChanges = options.get("net-changes").contains("true")
+
+  override val schema: StructType = Changelog.outputSchema(reload())
+
+  override def getOffset: Option[org.apache.spark.sql.execution.streaming.Offset] =
+    reload().metadata.currentSnapshotId.map(GraftChangelogOffset(_))
+
+  override def getBatch(
+      start: Option[org.apache.spark.sql.execution.streaming.Offset],
+      end: org.apache.spark.sql.execution.streaming.Offset): DataFrame = {
+    val from = start.map(GraftChangelogOffset.of(_).snapshotId).getOrElse(-1L)
+    val to = GraftChangelogOffset.of(end).snapshotId
+    val t = reload()
+    val changes = Changelog.changesBetween(t, spark, from, to, netChanges)
+    org.apache.spark.sql.GraftSessionBridge.internalCreateStreamingDataFrame(
+      spark, changes.queryExecution.toRdd, schema)
+  }
+
+  override def commit(end: org.apache.spark.sql.execution.streaming.Offset): Unit = ()
+
+  override def stop(): Unit = ()
+}

@@ -74,17 +74,23 @@ object Changelog {
       .select((dataCols :+ TypeCol :+ OrdCol :+ SnapCol).map(col): _*)
   }
 
-  private def empty(table: GraftTable, spark: SparkSession): DataFrame = {
+  /** Output schema: the table columns plus `_change_type`,
+    * `_change_ordinal`, `_commit_snapshot_id` — also the row shape of the
+    * streaming changelog source (GraftChangelogSource). */
+  def outputSchema(table: GraftTable): org.apache.spark.sql.types.StructType = {
     val base = table.schema.toSpark
-    val schema = org.apache.spark.sql.types.StructType(base.fields ++ Seq(
+    org.apache.spark.sql.types.StructType(base.fields ++ Seq(
       org.apache.spark.sql.types.StructField(TypeCol,
         org.apache.spark.sql.types.StringType, nullable = false),
       org.apache.spark.sql.types.StructField(OrdCol,
         org.apache.spark.sql.types.IntegerType, nullable = false),
       org.apache.spark.sql.types.StructField(SnapCol,
         org.apache.spark.sql.types.LongType, nullable = false)))
-    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
+
+  private def empty(table: GraftTable, spark: SparkSession): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      outputSchema(table))
 
   private def tag(df: DataFrame, tpe: String, ord: Int, snapId: Long,
       dataCols: Seq[String]): DataFrame =

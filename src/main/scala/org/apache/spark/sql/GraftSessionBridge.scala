@@ -10,4 +10,15 @@ package org.apache.spark.sql
 object GraftSessionBridge {
   def cloneSession(s: SparkSession): SparkSession =
     s.asInstanceOf[classic.SparkSession].cloneSession()
+
+  /** Bridge to `private[sql]` `internalCreateDataFrame(..., isStreaming)`:
+    * a V1 streaming `Source.getBatch` must return a df whose plan IS
+    * streaming (MicroBatchExecution asserts it); this wraps an arbitrary
+    * computed InternalRow RDD as that streaming batch — the same call the
+    * built-in V1 sources make. */
+  def internalCreateStreamingDataFrame(s: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    s.asInstanceOf[classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming = true)
 }

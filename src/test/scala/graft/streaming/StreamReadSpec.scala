@@ -157,4 +157,40 @@ class StreamReadSpec extends AnyFunSuite with BeforeAndAfterAll {
       .count(f => f.getName.forall(_.isDigit))
     assert(batches >= 5, s"expected one micro-batch per snapshot, got $batches")
   }
+
+  test("read-changelog stream equals changesBetween; restart tails new changes") {
+    import spark.implicits._
+    val warehouse = tmp("graft-sr5-")
+    val catalog = new HadoopCatalog(warehouse, FileIO.fromSpark(spark))
+    var t = GraftTable.create("sr5", catalog, schema)
+    t = t.append(Seq((1L, 0.5), (2L, 1.5), (3L, 2.5)).toDF("id", "v"))
+    t = t.append(Seq((4L, 3.5)).toDF("id", "v"))
+    t = t.deleteWhere(graft.expr.Predicate.eqTo("id", 2L), spark) // MoR delete
+    val firstHead = t.metadata.currentSnapshotId.get
+
+    def normalize(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "v", "_change_type", "_commit_snapshot_id")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2),
+          r.getLong(3))).toSet
+
+    val outDir = tmp("sr5-out-"); val ckpt = tmp("sr5-ckpt-")
+    runAvailableNow(readStream(warehouse, "sr5", "read-changelog" -> "true"),
+      outDir, ckpt)
+    val streamed = normalize(spark.read.parquet(outDir))
+    val batch = normalize(t.changesBetween(spark, -1L, firstHead))
+    assert(streamed === batch,
+      "streamed changelog must equal changesBetween over the same range")
+    assert(streamed.exists(_._3 == "delete"), "MoR delete must flow as a change row")
+    assert(streamed.count(_._3 == "insert") === 4)
+
+    // restart after more commits: ONLY the new window's changes arrive
+    t = t.append(Seq((5L, 4.5)).toDF("id", "v"))
+    t = t.deleteWhere(graft.expr.Predicate.eqTo("id", 1L), spark)
+    runAvailableNow(readStream(warehouse, "sr5", "read-changelog" -> "true"),
+      outDir, ckpt)
+    val total = normalize(spark.read.parquet(outDir))
+    val expected = batch ++ normalize(
+      t.changesBetween(spark, firstHead, t.metadata.currentSnapshotId.get))
+    assert(total === expected, "restart must deliver exactly the new changes")
+  }
 }
