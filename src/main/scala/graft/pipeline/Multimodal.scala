@@ -8,11 +8,16 @@ import org.apache.spark.sql.types._
   * as opaque `binary` columns with a typed metadata struct, exactly how a
   * 100 TB image/audio corpus is stored (parquet binary + sidecar fields).
   *
-  * The decode step is STUBBED (no image/audio codecs in this container):
-  * `decodeFeatures` derives a deterministic fixed-shape feature vector
-  * from the payload bytes via md5. Everything around the stub — schema,
-  * encoders, mapPartitions batch shape, partitioning — is real and
-  * tested, so swapping the stub for a JNI/codec call changes no plumbing.
+  * Two decode paths share the seam:
+  *   - REAL: `bmpMediaTable`/`bmpPixelStats`/`bmpPhashDecoded` and
+  *     `wavMediaTable`/`wavWaveformStats` encode and decode genuine
+  *     24-bit BMP and PCM16 WAV binaries through [[MediaCodec]] —
+  *     pure-JVM parsers for two public formats, oracle-checked from the
+  *     closed-form pixel/sample functions.
+  *   - STUB (heavier codecs absent from this container): `decodeFeatures`
+  *     derives a deterministic md5 feature vector from the payload bytes;
+  *     schema, encoders and the mapPartitions batch shape are identical,
+  *     so swapping in a JNI/codec call changes no plumbing.
   *
   * Scale notes: payload bytes never hit the driver; `mapPartitions`
   * processes executor-local batches (the Spark analogue of the
@@ -115,6 +120,148 @@ object Multimodal {
   def phashNearDups(media: DataFrame, maxHamming: Int = 5,
       bands: Int = 6): DataFrame =
     Dedup.hammingNearDups(phash(media), "phash", maxHamming, bands, 60)
+
+  // --- REAL decode path (MediaCodec): genuine BMP / WAV binaries -------
+  //
+  // The corpora are deterministic functions of doc_id (closed-form pixel
+  // and sample values), ENCODED to real format bytes executor-side and
+  // DECODED back through the real parsers — so a SQL oracle can recompute
+  // every downstream stat from the closed form, and hash equality proves
+  // the full encode→decode round trip (row padding, bottom-up rows, BGR,
+  // RIFF chunk walk) is lossless.
+
+  /** Packed 0xRRGGBB for the deterministic BMP corpus (top-left origin). */
+  private def bmpPixel(docId: Long, x: Int, y: Int): Int = {
+    val r = ((docId * 31 + x * 7 + y * 13) % 256).toInt
+    val g = ((docId * 17 + x * 11 + y * 5) % 256).toInt
+    val b = ((docId * 29 + x * 3 + y * 19) % 256).toInt
+    (r << 16) | (g << 8) | b
+  }
+  private def bmpDims(docId: Long): (Int, Int) =
+    (5 + (docId % 4).toInt, 4 + (docId % 3).toInt) // odd widths hit padding
+
+  /** Real 24-bit BMP per doc: (doc_id, payload) with payload a genuine
+    * BMP binary. Pure map stage (mapPartitions — the decode seam's
+    * batch shape); bytes never hit the driver. */
+  def bmpMediaTable(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    docs.select(col("doc_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val (w, h) = bmpDims(id)
+        Row(id, MediaCodec.encodeBmp(w, h, (x, y) => bmpPixel(id, x, y)))
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Decode each BMP payload and aggregate per-channel pixel sums —
+    * integer-exact, so the DuckDB oracle reproduces them from the
+    * closed-form pixel function alone. */
+  def bmpPixelStats(media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("sum_r", LongType, nullable = false),
+      StructField("sum_g", LongType, nullable = false),
+      StructField("sum_b", LongType, nullable = false)))
+    media.select(col("doc_id"), col("payload")).mapPartitions { rows =>
+      rows.map { r =>
+        val bmp = MediaCodec.decodeBmp(r.getAs[Array[Byte]](1))
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var i = 0
+        while (i < bmp.pixels.length) {
+          val p = bmp.pixels(i)
+          sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+          i += 1
+        }
+        Row(r.getLong(0), bmp.width, bmp.height, sr, sg, sb)
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Perceptual hash over DECODED pixels: bit b set when block b's
+    * integer gray sum (r+g+b) exceeds the global mean, compared by
+    * cross-multiplication (blockSum·nTotal > totalSum·nBlock — no
+    * division, bit-exact in SQL). Pixel i (row-major) belongs to block
+    * (i·bits) / nPixels. */
+  def bmpPhashDecoded(media: DataFrame, bits: Int = 60): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("phash", LongType, nullable = false)))
+    media.select(col("doc_id"), col("payload")).mapPartitions { rows =>
+      rows.map { r =>
+        val bmp = MediaCodec.decodeBmp(r.getAs[Array[Byte]](1))
+        val n = bmp.pixels.length
+        val blockSum = new Array[Long](bits)
+        val blockN = new Array[Long](bits)
+        var total = 0L
+        var i = 0
+        while (i < n) {
+          val p = bmp.pixels(i)
+          val gray = ((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)
+          val b = ((i.toLong * bits) / n).toInt
+          blockSum(b) += gray; blockN(b) += 1; total += gray
+          i += 1
+        }
+        var sig = 0L
+        var b = 0
+        while (b < bits) {
+          if (blockSum(b) * n > total * blockN(b)) sig |= 1L << b
+          b += 1
+        }
+        Row(r.getLong(0), sig)
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** 16-bit PCM sample for the deterministic WAV corpus. */
+  private def wavSample(docId: Long, i: Int): Short =
+    (((docId * 7919 + i.toLong * 104729) % 65536) - 32768).toShort
+  private def wavLen(docId: Long): Int = 64 + (docId % 32).toInt
+
+  /** Real RIFF/PCM16 WAV per doc. */
+  def wavMediaTable(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    docs.select(col("doc_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        Row(id, MediaCodec.encodeWavPcm16(
+          Array.tabulate(wavLen(id))(i => wavSample(id, i)), 16000))
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Waveform stats over DECODED PCM: fixed-size sample windows, integer
+    * energy Σs² per window, per-doc window count / peak energy / peak
+    * window (ties break to the LARGEST window index via struct max_by —
+    * deterministic on both engines). The explode→aggregate plan a real
+    * audio featurizer runs: windows materialize executor-side, the only
+    * shuffles are the two map-side-combined aggregations. */
+  def wavWaveformStats(media: DataFrame, window: Int = 16): DataFrame = {
+    val decSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("samples", ArrayType(IntegerType, containsNull = false),
+        nullable = false)))
+    media.select(col("doc_id"), col("payload")).mapPartitions { rows =>
+      rows.map { r =>
+        val wav = MediaCodec.decodeWavPcm16(r.getAs[Array[Byte]](1))
+        Row(r.getLong(0), wav.samples.map(_.toInt).toSeq)
+      }
+    }(Encoders.row(decSchema))
+      .select(col("doc_id"), posexplode(col("samples")).as(Seq("i", "v")))
+      .groupBy(col("doc_id"), expr(s"i div $window").cast(IntegerType).as("w"))
+      .agg(sum(col("v").cast(LongType) * col("v")).as("energy"))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_windows"),
+        max(col("energy")).as("peak_energy"),
+        expr("max_by(w, named_struct('e', energy, 'w', w))")
+          .cast(LongType).as("peak_w"))
+  }
 
   /** Frame sampling: fixed-width character frames of the decoded payload
     * with per-frame md5 — the "extract frames + per-frame features"

@@ -2453,10 +2453,88 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** REAL multimodal decode #1 — 24-bit BMP: per-doc images are genuine
+    * BMP binaries (bottom-up rows, 4-byte padding, BGR) encoded AND
+    * decoded executor-side through MediaCodec; the oracle recomputes the
+    * per-channel pixel sums from the closed-form pixel function alone,
+    * so a hash match proves the binary round trip is lossless. */
+  val p86 = Q.sql(
+    "p86_bmp_pixel_decode",
+    """WITH d AS (SELECT doc_id, 5 + doc_id % 4 AS w, 4 + doc_id % 3 AS h
+      |           FROM documents),
+      |px AS (SELECT doc_id, w, h, gx.x, gy.y
+      |       FROM d, generate_series(0, 7) AS gx(x),
+      |               generate_series(0, 5) AS gy(y)
+      |       WHERE gx.x < w AND gy.y < h)
+      |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+      |  sum((doc_id * 31 + x * 7 + y * 13) % 256)::BIGINT AS sum_r,
+      |  sum((doc_id * 17 + x * 11 + y * 5) % 256)::BIGINT AS sum_g,
+      |  sum((doc_id * 29 + x * 3 + y * 19) % 256)::BIGINT AS sum_b
+      |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    Multimodal.bmpPixelStats(
+        Multimodal.bmpMediaTable(Tables.documents(s, d)))
+      .orderBy(col("doc_id"))
+  }
+
+  /** REAL multimodal decode #2 — PCM16 WAV: RIFF chunk walk, 16-bit LE
+    * samples; decoded samples window into integer Σs² energies. */
+  val p87 = Q.sql(
+    "p87_wav_waveform_decode",
+    """WITH d AS (SELECT doc_id, 64 + doc_id % 32 AS n FROM documents),
+      |s AS (SELECT doc_id, g.i,
+      |        ((doc_id * 7919 + i * 104729) % 65536) - 32768 AS v
+      |      FROM d, generate_series(0, 95) AS g(i) WHERE g.i < n),
+      |w AS (SELECT doc_id, i // 16 AS w, sum(v * v)::BIGINT AS energy
+      |      FROM s GROUP BY doc_id, i // 16),
+      |rk AS (SELECT doc_id, w, energy,
+      |         row_number() OVER (PARTITION BY doc_id
+      |           ORDER BY energy DESC, w DESC) AS rn,
+      |         count(*) OVER (PARTITION BY doc_id) AS nw
+      |       FROM w)
+      |SELECT doc_id, nw::BIGINT AS n_windows, energy::BIGINT AS peak_energy,
+      |  w::BIGINT AS peak_w
+      |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    Multimodal.wavWaveformStats(
+        Multimodal.wavMediaTable(Tables.documents(s, d)))
+      .orderBy(col("doc_id"))
+  }
+
+  /** REAL multimodal decode #3 — perceptual hash over decoded BMP pixels:
+    * block-vs-global gray comparison by cross-multiplication, bit-exact
+    * against the oracle's closed-form recomputation. */
+  val p88 = Q.sql(
+    "p88_bmp_phash_decode",
+    """WITH d AS (SELECT doc_id, 5 + doc_id % 4 AS w, 4 + doc_id % 3 AS h
+      |           FROM documents),
+      |px AS (SELECT doc_id, w * h AS n, (gy.y * w + gx.x) AS i,
+      |         (doc_id * 31 + gx.x * 7 + gy.y * 13) % 256 +
+      |         (doc_id * 17 + gx.x * 11 + gy.y * 5) % 256 +
+      |         (doc_id * 29 + gx.x * 3 + gy.y * 19) % 256 AS gray
+      |       FROM d, generate_series(0, 7) AS gx(x),
+      |               generate_series(0, 5) AS gy(y)
+      |       WHERE gx.x < w AND gy.y < h),
+      |blk AS (SELECT doc_id, n, (i * 60) // n AS b,
+      |          sum(gray)::BIGINT AS bsum, count(*)::BIGINT AS bn
+      |        FROM px GROUP BY doc_id, n, (i * 60) // n),
+      |tot AS (SELECT doc_id, sum(bsum)::BIGINT AS tsum FROM blk GROUP BY doc_id)
+      |SELECT blk.doc_id,
+      |  sum(CASE WHEN bsum * blk.n > tsum * bn
+      |      THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END)::BIGINT AS phash
+      |FROM blk JOIN tot ON blk.doc_id = tot.doc_id
+      |GROUP BY blk.doc_id ORDER BY blk.doc_id""".stripMargin
+  ) { (s, d) =>
+    Multimodal.bmpPhashDecoded(
+        Multimodal.bmpMediaTable(Tables.documents(s, d)))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
     p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24,
     p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p35, p36, p37, p38,
     p39, p40, p41, p42, p43, p44, p45, p46, p47, p48, p49, p50, p51, p52,
     p53, p54, p55, p56, p57, p58, p59, p60, p61, p62, p63, p64, p65, p66,
-    p67, p68, p69, p70, p71, p72, p73, p74, p75, p76, p77, p78, p79)
+    p67, p68, p69, p70, p71, p72, p73, p74, p75, p76, p77, p78, p79,
+    p86, p87, p88)
 }

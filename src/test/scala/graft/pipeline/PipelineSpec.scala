@@ -96,6 +96,45 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("media codecs: BMP and WAV encode/decode round-trip bit-exactly") {
+    // odd width exercises row padding; bottom-up storage round-trips
+    def px(x: Int, y: Int): Int = ((x * 37 + y * 91) % 256 << 16) |
+      ((x * 11 + y) % 256 << 8) | ((x + y * 3) % 256)
+    for ((w, h) <- Seq((5, 4), (8, 3), (1, 1), (7, 9))) {
+      val bmp = MediaCodec.decodeBmp(MediaCodec.encodeBmp(w, h, px))
+      assert(bmp.width == w && bmp.height == h)
+      for (y <- 0 until h; x <- 0 until w)
+        assert(bmp.pixel(x, y) == px(x, y), s"pixel ($x,$y) of ${w}x$h")
+    }
+    // top-down BMP (negative height) decodes to the same logical image
+    val enc = MediaCodec.encodeBmp(5, 4, px)
+    val buf = java.nio.ByteBuffer.wrap(enc.clone())
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(22, -4) // declare top-down...
+    val flipped = buf.array()
+    val td = MediaCodec.decodeBmp(flipped)
+    // ...so the file's first row is now row 0: decoded rows mirror
+    for (y <- 0 until 4; x <- 0 until 5)
+      assert(td.pixel(x, y) == px(x, 3 - y))
+
+    val samples = Array.tabulate(97)(i => ((i * 8191 + 7) % 65536 - 32768).toShort)
+    val wav = MediaCodec.decodeWavPcm16(MediaCodec.encodeWavPcm16(samples, 22050))
+    assert(wav.sampleRate == 22050)
+    assert(wav.samples.toSeq == samples.toSeq)
+    // chunk walk: an unknown chunk before fmt/data is skipped (word-aligned)
+    val base = MediaCodec.encodeWavPcm16(samples, 8000)
+    val extra = java.nio.ByteBuffer.allocate(base.length + 8 + 5 + 1)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    extra.put(base, 0, 12) // RIFF....WAVE
+    extra.put("LIST".getBytes).putInt(5).put(Array[Byte](1, 2, 3, 4, 5, 0))
+    extra.put(base, 12, base.length - 12)
+    val withChunk = extra.array()
+    java.nio.ByteBuffer.wrap(withChunk).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(4, withChunk.length - 8)
+    val wav2 = MediaCodec.decodeWavPcm16(withChunk)
+    assert(wav2.sampleRate == 8000 && wav2.samples.toSeq == samples.toSeq)
+  }
+
   test("viral-bucket sub-salt: pair set exact, explode spans >1 task") {
     import spark.implicits._
     // ONE planted near-cap bucket: every doc shares a single band key, so
