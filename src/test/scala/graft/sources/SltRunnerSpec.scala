@@ -80,6 +80,29 @@ class SltRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
           assertThrows[Exception](spark.sql(sql).collect())
         }
       }
+      else if (line.startsWith("query plan")) {
+        // plan-shape pin (the reference's basic_queries.slt EXPLAIN
+        // discipline, adapted to Spark's non-deterministic plan text):
+        // SQL must be an EXPLAIN; each expected line is a substring the
+        // rendered plan MUST contain — or, prefixed with `!`, must NOT.
+        i += 1
+        val sql = collectSql(l => l.trim == "----")
+        i += 1 // skip ----
+        val pins = Vector.newBuilder[String]
+        while (i < lines.length && lines(i).trim.nonEmpty) {
+          pins += lines(i).trim; i += 1
+        }
+        withClue(s"${path.getFileName}: query plan\n$sql\n") {
+          val plan = spark.sql(sql).collect()
+            .map(r => render(r.get(0))).mkString("\n")
+          pins.result().foreach { p =>
+            if (p.startsWith("!")) {
+              val f = p.drop(1).trim
+              assert(!plan.contains(f), s"\nforbidden '$f' present in plan:\n$plan")
+            } else assert(plan.contains(p), s"\nmissing '$p' in plan:\n$plan")
+          }
+        }
+      }
       else if (line.startsWith("query")) {
         val rowsort = line.split("\\s+").contains("rowsort")
         i += 1
