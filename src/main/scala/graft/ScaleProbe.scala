@@ -23,7 +23,12 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
 
   private val Queries = Seq("p01_exact_dedup", "p02_minhash_lsh_dedup",
-    "p19_duplicate_clusters", "p56_pretrain_pipeline")
+    "p19_duplicate_clusters", "p56_pretrain_pipeline",
+    // embeddings pillar (fixed-K quantizers, cell-confined joins)
+    "p12_ann_ivf", "p27_semantic_dedup", "p38_kmeans_clusters",
+    "p79_ivfadc_search",
+    // events pillar (salted sessions, single-exchange funnel)
+    "p13_sessionize", "p47_funnel")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -81,7 +86,51 @@ object ScaleProbe {
       replicas.reduce(_ unionByName _)
         .repartition(32)
         .write.mode("overwrite").parquet(s"$out/documents.parquet")
-      Tables.names.filterNot(_ == "documents").foreach { t =>
+
+      // Embeddings ×10: replicas permute the DIMENSIONS with the same
+      // fixed-modulus key (i·s_r mod M). A per-replica dimension
+      // permutation is an orthogonal transform applied uniformly within
+      // the replica, so norms AND every intra-replica dot product are
+      // EXACT — cluster/dup structure per replica equals the base corpus
+      // (total dup pairs scale ×10, not ×100) — while cross-replica
+      // cosines scramble (replicas are not near-dups of the original or
+      // of each other). Labels keep their base distribution.
+      val embs = spark.read.parquet(s"$base/embeddings.parquet")
+      val vspan = embs.agg(max(col("vec_id"))).head.getLong(0) + 1L
+      val embReplicas = (0 until factor).map { r =>
+        if (r == 0) embs
+        else {
+          val s = primes(r)
+          embs
+            .withColumn("vec_id", col("vec_id") + lit(r.toLong * vspan))
+            .withColumn("embedding", expr(
+              s"transform(array_sort(transform(sequence(0, size(embedding) - 1), " +
+                s"i -> struct(int(pmod(cast(i as bigint) * $s, ${M}L)) AS k, i AS i))), " +
+                "p -> element_at(embedding, p.i + 1))"))
+        }
+      }
+      embReplicas.reduce(_ unionByName _)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+      // Events ×10: replicas shift user_id and event_id by a replica
+      // block — sessionize/funnel state is per-user, so 10× disjoint
+      // users with identical per-user event structure is exactly the
+      // linear-scaling shape a 100 TB event log has.
+      val events = spark.read.parquet(s"$base/events.parquet")
+      val uspan = events.agg(max(col("user_id"))).head.getLong(0) + 1L
+      val espan = events.agg(max(col("event_id"))).head.getLong(0) + 1L
+      val evReplicas = (0 until factor).map { r =>
+        if (r == 0) events
+        else events
+          .withColumn("user_id", col("user_id") + lit(r.toLong * uspan))
+          .withColumn("event_id", col("event_id") + lit(r.toLong * espan))
+      }
+      evReplicas.reduce(_ unionByName _)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$out/events.parquet")
+
+      Tables.names.filterNot(Set("documents", "embeddings", "events")).foreach { t =>
         val link = Paths.get(s"$out/$t.parquet")
         if (!Files.exists(link))
           Files.createSymbolicLink(link, Paths.get(s"$base/$t.parquet"))

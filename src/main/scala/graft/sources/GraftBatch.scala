@@ -572,9 +572,19 @@ class GraftBatchScan(table: GraftTable, predicate: Predicate,
   /** Streaming read over the same table: micro-batch offsets are snapshot
     * ids, each batch an incremental append scan (see GraftMicroBatchStream). */
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    // the changelog stream resolves only on the format("graft") V1
+    // fallback (GraftChangelogSource); the catalog-table path would
+    // otherwise IGNORE the option and silently tail appends instead of
+    // changes — refuse loudly
+    if (options.get("read-changelog").contains("true"))
+      throw new UnsupportedOperationException(
+        "read-changelog streaming is served by spark.readStream" +
+          ".format(\"graft\").option(\"warehouse\", ...).option(\"table\", ...)" +
+          " — the catalog-table streaming path tails appends only")
     new graft.streaming.GraftMicroBatchStream(
       table.name, table.catalog, predicate, pushedFilters, projected, options)
+  }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val spark = SparkSession.active

@@ -261,7 +261,8 @@ final class GraftBatchWrite(table: GraftTable, writeSchema: StructType,
       case GraftWriteMode.Append =>
         if (files.nonEmpty) AppendWriter.commitAppend(live, files, commitUuid)
       case GraftWriteMode.Truncate =>
-        commitReplace(live, files, dropAllBase = true, Set.empty)
+        commitReplace(live, files, dropAllBase = true, Set.empty,
+          assignRowIds = true) // truncate-overwrite: all rows are new
       case GraftWriteMode.OverwriteFilter(pred) =>
         val bound = graft.expr.Predicate.bind(pred, live.schema)
         val tasks = live.newScan().withFilter(bound).planFiles()
@@ -274,7 +275,7 @@ final class GraftBatchWrite(table: GraftTable, writeSchema: StructType,
               "align the overwrite filter with partition boundaries or use " +
               "DELETE + INSERT")
         commitReplace(live, files, dropAllBase = false,
-          whole.map(_.file.filePath).toSet)
+          whole.map(_.file.filePath).toSet, assignRowIds = true)
       case GraftWriteMode.DynamicOverwrite =>
         // replace exactly the (spec, partition-tuple) cells the incoming
         // files land in — unpartitioned tables degrade to truncate
@@ -288,8 +289,12 @@ final class GraftBatchWrite(table: GraftTable, writeSchema: StructType,
         val drop = live.newScan().planFiles()
           .filter(t => t.specId == currentSpecId && written(key(t.file.partition)))
           .map(_.file.filePath).toSet
-        commitReplace(live, files, dropAllBase = false, drop)
+        commitReplace(live, files, dropAllBase = false, drop, assignRowIds = true)
       case GraftWriteMode.ReplaceScanned(op) =>
+        // group-based CoW rewrite: files hold REWRITTEN rows without
+        // materialized lineage — leave first_row_id unassigned (null
+        // lineage: honest "unknown") rather than minting fresh ids for
+        // carried rows; the API-path RowOps rewrites DO preserve
         if (op.scannedPaths.nonEmpty || files.nonEmpty)
           commitReplace(live, files, dropAllBase = false, op.scannedPaths)
     }
@@ -301,7 +306,8 @@ final class GraftBatchWrite(table: GraftTable, writeSchema: StructType,
     * the retry closure so a concurrent append's files survive a CAS
     * retry untouched. */
   private def commitReplace(live: GraftTable, files: Seq[DataFile],
-      dropAllBase: Boolean, fixedDrop: Set[String]): Unit = {
+      dropAllBase: Boolean, fixedDrop: Set[String],
+      assignRowIds: Boolean = false): Unit = {
     Commits.commit(live, "overwrite", commitUuid, Map(
       "added-data-files" -> files.size.toString)) { (base, seq, snapshotId) =>
       // group-based CoW: the fixed drop set was scanned earlier — its
@@ -330,7 +336,11 @@ final class GraftBatchWrite(table: GraftTable, writeSchema: StructType,
       val added =
         if (files.isEmpty) Nil
         else {
-          val entries = files.map(f => ManifestEntry(ManifestStatus.Added,
+          // pure insert-overwrites mint fresh row-id blocks (v3 lineage:
+          // overwritten-in rows are NEW rows)
+          val stamped =
+            if (assignRowIds) Commits.assignFirstRowIds(base, files) else files
+          val entries = stamped.map(f => ManifestEntry(ManifestStatus.Added,
             Some(snapshotId), Some(seq), Some(seq), f))
           Seq(Commits.writeManifest(live.io, base, s"$commitUuid-m0", entries,
             base.currentSchema, base.defaultSpec, ManifestContent.Data,

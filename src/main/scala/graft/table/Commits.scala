@@ -215,6 +215,20 @@ object Commits {
     * become Deleted tombstones, survivors become Existing with resolved
     * sequence numbers; untouched manifests pass through. Delete manifests
     * are kept unless `dropDeleteManifests`. */
+  /** v3 row lineage: contiguous first_row_id blocks for a commit's added
+    * data files, from the refreshed base's next-row-id (re-derived per
+    * retry; applyCommit bumps next-row-id by the same added-row total).
+    * Rows WITH a materialized `_row_id` keep it — inheritance only fills
+    * the null ones, so a CoW rewrite's carried rows never re-id. */
+  def assignFirstRowIds(base: TableMetadata, files: Seq[DataFile]): Seq[DataFile] = {
+    var rid = base.nextRowId
+    files.map { f =>
+      val assigned = f.copy(firstRowId = Some(rid))
+      rid += f.recordCount
+      assigned
+    }
+  }
+
   def rewriteManifestsDropping(io: graft.io.FileIO, base: TableMetadata,
       dropPaths: Set[String], commitUuid: String, snapshotId: Long,
       seq: Long, dropDeleteManifests: Boolean = false): Seq[ManifestFile] =
@@ -334,7 +348,12 @@ object Commits {
       // added-row totals. The snapshot records its (first-row-id,
       // added-rows) range (snapshot.rs:76-81) so an update-action catalog
       // can re-derive next-row-id from `add-snapshot` alone.
-      val addedRows = if (operation == "append") addedRecords else 0L
+      // append AND overwrite snapshots add rows (CoW rewrites, INSERT
+      // OVERWRITE); replace (compaction) only rearranges — its files'
+      // lineage rides materialized columns, no new block consumed
+      val addedRows =
+        if (operation == "append" || operation == "overwrite") addedRecords
+        else 0L
 
       val snap = Snapshot(
         snapshotId = snapshotId,

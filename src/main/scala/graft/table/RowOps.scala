@@ -21,12 +21,44 @@ import graft.meta._
   */
 object RowOps {
 
+  /** Is v3 row lineage active on this table? When it is, every CoW
+    * rewrite path below PRESERVES lineage: carried rows keep their
+    * materialized `(_row_id, _last_updated_sequence_number)`, updated
+    * rows keep `_row_id` with a nulled sequence (the reader then serves
+    * the new file's sequence number — "last updated here"), and inserted
+    * rows ride null/null into first_row_id + position inheritance
+    * (Commits.assignFirstRowIds blocks the new files). */
+  private def lineageActive(table: GraftTable): Boolean =
+    table.metadata.nextRowId > 0L
+
+  /** Task read carrying the row-lineage pair alongside the data columns
+    * (materialized-or-inherited, the same resolution every scan uses). */
+  private def readWithLineage(table: GraftTable, spark: SparkSession,
+      tasks: Seq[FileScanTask]): DataFrame =
+    table.newScan().withMetadataColumns().readTasks(spark, tasks)
+      .select(table.schema.fields.map(f => col(f.name)) ++ Seq(
+        col(graft.spec.RowLineage.RowIdName),
+        col(graft.spec.RowLineage.LastUpdatedName)): _*)
+
+  /** Null-fill the lineage pair on frames that lack it (external inserts:
+    * fresh ids via inheritance). */
+  private def withLineageCols(df: DataFrame): DataFrame = {
+    val withId =
+      if (df.columns.contains(graft.spec.RowLineage.RowIdName)) df
+      else df.withColumn(graft.spec.RowLineage.RowIdName,
+        org.apache.spark.sql.functions.lit(null).cast("long"))
+    if (withId.columns.contains(graft.spec.RowLineage.LastUpdatedName)) withId
+    else withId.withColumn(graft.spec.RowLineage.LastUpdatedName,
+      org.apache.spark.sql.functions.lit(null).cast("long"))
+  }
+
   /** Atomically delete rows matching `predicate` and insert `replacement`.
     * CoW: touched files are dropped/rewritten in the same snapshot. */
   def overwriteWhere(table: GraftTable, predicate: Predicate,
       replacement: DataFrame, spark: SparkSession): GraftTable = {
     val bound = Predicate.bind(predicate, table.schema)
     val tasks = table.newScan().withFilter(bound).planFiles()
+    val lineage = lineageActive(table)
 
     val (whole, partial) = tasks.partition(t =>
       graft.expr.StrictMetricsEvaluator.fileMustMatch(bound, t.file, table.schema))
@@ -36,10 +68,16 @@ object RowOps {
     // folded in (a raw parquet read would resurrect deleted rows)
     val survivors =
       if (partial.isEmpty) None
-      else Some(table.newScan().readTasks(spark, partial)
-        .filter(!Predicate.toColumn(bound, table.schema)))
+      else {
+        val base =
+          if (lineage) readWithLineage(table, spark, partial)
+          else table.newScan().readTasks(spark, partial)
+        Some(base.filter(!Predicate.toColumn(bound, table.schema)))
+      }
 
-    val newData = (survivors, Option(replacement)) match {
+    val replacementL = Option(replacement)
+      .map(r => if (lineage) withLineageCols(r) else r)
+    val newData = (survivors, replacementL) match {
       case (Some(s), Some(r)) => Some(s.unionByName(r.select(s.columns.map(col): _*)))
       case (Some(s), None) => Some(s)
       case (None, Some(r)) => Some(r)
@@ -49,22 +87,23 @@ object RowOps {
     }
 
     val commitUuid = UUID.randomUUID().toString
-    val newFiles = newData
-      .map(d => AppendWriter.writeDataFiles(table, d, commitUuid))
+    val newFiles0 = newData
+      .map(d => AppendWriter.writeDataFiles(table, d, commitUuid, lineage))
       .getOrElse(Nil)
     val dropPaths = (whole ++ partial).map(_.file.filePath).toSet
 
     Commits.commit(table, "overwrite", commitUuid, Map(
       "deleted-data-files" -> dropPaths.size.toString,
-      "added-data-files" -> newFiles.size.toString)) { (base, seq, snapshotId) =>
+      "added-data-files" -> newFiles0.size.toString)) { (base, seq, snapshotId) =>
       Commits.validateReplace(table.io, base, table.metadata.currentSnapshotId,
         dropPaths, Commits.conflictFilterFor(base, "delete", bound), table.schema,
         failOnDeletesApplyingTo = dropPaths)
       val rewritten = Commits.rewriteManifestsDropping(table.io, base, dropPaths,
         commitUuid, snapshotId, seq)
       val added =
-        if (newFiles.isEmpty) Nil
+        if (newFiles0.isEmpty) Nil
         else {
+          val newFiles = Commits.assignFirstRowIds(base, newFiles0)
           val entries = newFiles.map(f => ManifestEntry(ManifestStatus.Added,
             Some(snapshotId), Some(seq), Some(seq), f))
           Seq(Commits.writeManifest(table.io, base, s"$commitUuid-m0", entries,
@@ -103,20 +142,40 @@ object RowOps {
     val candidates = table.newScan()
       .withFilter(Predicate.bind(planPredicate, table.schema)).planFiles()
 
+    val lineage = lineageActive(table)
     val survivors =
       if (candidates.isEmpty) None
-      else Some(table.newScan().readTasks(spark, candidates)
-        .join(keys, keyCols, "left_anti"))
-    val ordered = source.select(table.schema.fields.map(f => col(f.name)): _*)
+      else {
+        val base =
+          if (lineage) readWithLineage(table, spark, candidates)
+          else table.newScan().readTasks(spark, candidates)
+        Some(base.join(keys, keyCols, "left_anti"))
+      }
+    val ordered0 = source.select(table.schema.fields.map(f => col(f.name)): _*)
+    // lineage: a MATCHED source row is an UPDATE of the target row — it
+    // RETAINS the target's _row_id (min over duplicate target keys for
+    // determinism) with a nulled sequence (→ the new file's); an
+    // unmatched source row inserts fresh (null → block inheritance)
+    val ordered =
+      if (!lineage || candidates.isEmpty) {
+        if (lineage) withLineageCols(ordered0) else ordered0
+      } else {
+        val idMap = readWithLineage(table, spark, candidates)
+          .groupBy(keyCols.map(col): _*)
+          .agg(org.apache.spark.sql.functions
+            .min(col(graft.spec.RowLineage.RowIdName))
+            .as(graft.spec.RowLineage.RowIdName))
+        withLineageCols(ordered0.join(idMap, keyCols, "left"))
+      }
     val newData = survivors.map(_.unionByName(ordered)).getOrElse(ordered)
 
     val commitUuid = UUID.randomUUID().toString
-    val newFiles = AppendWriter.writeDataFiles(table, newData, commitUuid)
+    val newFiles0 = AppendWriter.writeDataFiles(table, newData, commitUuid, lineage)
     val dropPaths = candidates.map(_.file.filePath).toSet
 
     Commits.commit(table, "overwrite", commitUuid, Map(
       "merged-data-files" -> dropPaths.size.toString,
-      "added-data-files" -> newFiles.size.toString)) { (base, seq, snapshotId) =>
+      "added-data-files" -> newFiles0.size.toString)) { (base, seq, snapshotId) =>
       // merge has no static predicate bounding the conflict region: under
       // serializable isolation ANY concurrently-added data row may match
       // a source key, so the filter is AlwaysTrue (every new file trips)
@@ -126,8 +185,9 @@ object RowOps {
       val rewritten = Commits.rewriteManifestsDropping(table.io, base, dropPaths,
         commitUuid, snapshotId, seq)
       val added =
-        if (newFiles.isEmpty) Nil
+        if (newFiles0.isEmpty) Nil
         else {
+          val newFiles = Commits.assignFirstRowIds(base, newFiles0)
           val entries = newFiles.map(f => ManifestEntry(ManifestStatus.Added,
             Some(snapshotId), Some(seq), Some(seq), f))
           Seq(Commits.writeManifest(table.io, base, s"$commitUuid-m0", entries,
@@ -152,9 +212,19 @@ object RowOps {
     val tasks = table.newScan().withFilter(bound).planFiles()
     if (tasks.isEmpty) return table
 
-    val updated = table.newScan().readTasks(spark, tasks)
+    val lineage = lineageActive(table)
+    val base =
+      if (lineage) readWithLineage(table, spark, tasks)
+      else table.newScan().readTasks(spark, tasks)
+    val updated0 = base
       .filter(Predicate.toColumn(bound, table.schema))
       .withColumns(assignments)
+    // updated rows RETAIN their _row_id; the nulled sequence makes the
+    // reader serve the rewrite commit's sequence number (last update)
+    val updated =
+      if (lineage) updated0.withColumn(graft.spec.RowLineage.LastUpdatedName,
+        org.apache.spark.sql.functions.lit(null).cast("long"))
+      else updated0
     overwriteWhere(table, predicate, updated, spark)
   }
 }

@@ -99,6 +99,68 @@ class RowLineageSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ids == (0L until (src.count() + extra.count())).toSeq)
   }
 
+  test("CoW UPDATE retains _row_id, refreshes sequence; untouched rows keep both") {
+    val src = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val schema = IcebergSchema.fromSpark(src.schema)
+    val before = GraftTable.create("orders_lin_u", catalog, schema,
+        properties = Map("write.spark.max-records-per-file" -> "400"))
+      .append(src)
+    val pre = byKey(v1Lineage(before))
+
+    val after = before.updateWhere(
+      graft.expr.Predicate.eqTo("o_orderstatus", "F"),
+      Map("o_totalprice" -> (col("o_totalprice") * 0.5)), spark)
+    val updSeq = after.metadata.currentSnapshot.get.sequenceNumber
+    val post = byKey(v1Lineage(after))
+    val postNative = byKey(nativeLineage("orders_lin_u"))
+    assert(post == postNative)
+    assert(post.keySet == pre.keySet)
+
+    val fKeys = src.filter(col("o_orderstatus") === "F")
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    post.foreach { case (k, (id, seq)) =>
+      assert(id == pre(k)._1, s"row id of $k must survive the CoW update")
+      if (fKeys(k)) assert(seq == updSeq, s"updated row $k must carry the new seq")
+      else assert(seq == pre(k)._2, s"untouched row $k must keep its seq")
+    }
+  }
+
+  test("CoW MERGE: matched keys keep ids with new seq, inserts mint fresh ids") {
+    val ss = spark; import ss.implicits._
+    val src = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val schema = IcebergSchema.fromSpark(src.schema)
+    val before = GraftTable.create("orders_lin_m", catalog, schema,
+        properties = Map("write.spark.max-records-per-file" -> "400"))
+      .append(src)
+    val pre = byKey(v1Lineage(before))
+    val nextId = before.metadata.nextRowId
+
+    val matchedKeys = src.select("o_orderkey").limit(50)
+      .collect().map(_.getLong(0)).toSet
+    val updates = src.filter(col("o_orderkey").isInCollection(matchedKeys))
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    val inserts = (1 to 7).map(x => (90000000L + x, 1L, 1.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val after = before.mergeInto(updates.unionByName(inserts), Seq("o_orderkey"))
+    val mergeSeq = after.metadata.currentSnapshot.get.sequenceNumber
+    val post = byKey(v1Lineage(after))
+    assert(post == byKey(nativeLineage("orders_lin_m")))
+
+    post.foreach { case (k, (id, seq)) =>
+      if (k >= 90000000L) {
+        assert(id >= nextId, s"inserted row $k must mint a fresh id")
+        assert(seq == mergeSeq)
+      } else {
+        assert(id == pre(k)._1, s"row id of $k must survive the merge")
+        if (matchedKeys(k)) assert(seq == mergeSeq, s"matched $k gets new seq")
+        else assert(seq == pre(k)._2, s"unmatched $k keeps its seq")
+      }
+    }
+    // ids stay globally unique
+    assert(post.values.map(_._1).toSeq.distinct.size == post.size)
+  }
+
   test("zorder rewrite preserves lineage") {
     val src = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
       .select("o_orderkey", "o_custkey", "o_totalprice")
