@@ -196,7 +196,8 @@ class GraftBatchScan(table: GraftTable, predicate: Predicate,
   override def toBatch: Batch = this
 
   override def description(): String =
-    s"graft ${table.name}${if (predicate == AlwaysTrue) "" else s" filter=$predicate"}"
+    s"graft ${table.name}${if (predicate == AlwaysTrue) "" else s" filter=$predicate"}" +
+      options.get("pushed-limit").map(n => s" limit=$n").getOrElse("")
 
   private def qualify(p: String): String = {
     val hp = new org.apache.hadoop.fs.Path(p)
@@ -519,9 +520,24 @@ class GraftBatchScan(table: GraftTable, predicate: Predicate,
       .toMap
 
     val all = allPlanned
-    val tasks = fileFilter match {
+    val unlimited = fileFilter match {
       case Some(keep) => all.filter(t => keep.contains(qualify(t.filePath)))
       case None => all
+    }
+    // pushed limit (partial): truncate to the first files covering n rows
+    // — sound only when every planned row qualifies (no residual
+    // predicate, no runtime filter, no deletes in scope); Spark's own
+    // Limit still applies above the scan
+    val tasks = options.get("pushed-limit").map(_.toLong) match {
+      case Some(n) if predicate == AlwaysTrue && runtimePred == AlwaysTrue &&
+          deletes.isEmpty =>
+        var acc = 0L
+        unlimited.takeWhile { t =>
+          val need = acc < n
+          acc += t.recordCount
+          need
+        }
+      case _ => unlimited
     }
     lastPlannedTasks = tasks // estimateStatistics reads the pruned set
     onPlanned(tasks.map(_.filePath)) // row-level ops record the replaced groups

@@ -255,12 +255,23 @@ final class GraftSparkTable(table: GraftTable, viaProvider: Boolean = false,
 
 final class GraftScanBuilder(table: GraftTable, options: Map[String, String] = Map.empty)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
 
   private var pushed: Array[Filter] = Array.empty
   private var predicate: Predicate = AlwaysTrue
   private var required: Option[StructType] = None
+  private var pushedLimit: Option[Int] = None
   private var aggResult: Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] = None
+
+  /** Limit pushdown (the reference's `IcebergTableScan ... limit:[n]`,
+    * basic_queries.slt:56): planning truncates to the first files whose
+    * record counts cover `n` — always PARTIAL (Spark re-applies its
+    * Limit), and the scan only honors it when every planned row
+    * qualifies (no residual predicate, no deletes in scope) — the same
+    * soundness rule as the V1 path's planWithLimit. */
+  override def pushLimit(limit: Int): Boolean = { pushedLimit = Some(limit); true }
+  override def isPartiallyPushed(): Boolean = true
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(f => SparkFilters.toPredicate(f, table.schema).isDefined)
@@ -311,7 +322,8 @@ final class GraftScanBuilder(table: GraftTable, options: Map[String, String] = M
       val usesNameMapping =
         table.metadata.properties.get("graft.read.use-name-mapping").contains("true")
       if (usesNameMapping) new GraftV1Scan(table, predicate, required)
-      else new GraftBatchScan(table, predicate, pushed.toSeq, required, options)
+      else new GraftBatchScan(table, predicate, pushed.toSeq, required,
+        options ++ pushedLimit.map(n => "pushed-limit" -> n.toString))
   }
 }
 
