@@ -51,8 +51,13 @@ class MemoryFileSystem extends FileSystem {
 
   private def isRoot(k: String): Boolean = k.endsWith("/") || !k.contains("/")
 
+  /** Child prefix of a key — root keys already end in "/" (a naive
+    * k + "/" would probe "//" and match nothing). */
+  private def childPrefix(k: String): String =
+    if (k.endsWith("/")) k else k + "/"
+
   private def hasChildren(k: String): Boolean = {
-    val pre = k + "/"
+    val pre = childPrefix(k)
     files.keySet.exists(_.startsWith(pre)) || dirs.keySet.exists(_.startsWith(pre))
   }
 
@@ -114,7 +119,7 @@ class MemoryFileSystem extends FileSystem {
     files.remove(sk) match {
       case Some(v) => files.put(dk, v); true
       case None =>
-        val pre = sk + "/"
+        val pre = childPrefix(sk)
         files.keySet.toSeq.filter(_.startsWith(pre)).foreach { k =>
           files.remove(k).foreach(v => files.put(dk + k.stripPrefix(sk), v))
         }
@@ -133,7 +138,7 @@ class MemoryFileSystem extends FileSystem {
     if (!isDir(k) || !existsKey(k)) return false
     if (!recursive && hasChildren(k))
       throw new IOException(s"directory not empty: $k")
-    val pre = k + "/"
+    val pre = childPrefix(k)
     files.keySet.toSeq.filter(_.startsWith(pre)).foreach(files.remove)
     dirs.keySet.toSeq.filter(d => d == k || d.startsWith(pre)).foreach(dirs.remove)
     true
@@ -143,7 +148,7 @@ class MemoryFileSystem extends FileSystem {
     val k = key(p)
     if (files.contains(k)) return Array(status(p, k))
     if (!isDir(k)) throw new FileNotFoundException(s"memory://$k")
-    val pre = k + "/"
+    val pre = childPrefix(k)
     def child(full: String): String = {
       val rest = full.stripPrefix(pre)
       val i = rest.indexOf('/')

@@ -426,6 +426,9 @@ object Dedup {
         s"struct($b._gid AS id_a, $a._gid AS id_b, " +
         s"$b.sig AS sig_a, $a.sig AS sig_b))")
       .select(col("p.id_a"), col("p.id_b"), col("p.sig_a"), col("p.sig_b"))
+      // duplicate doc_id rows in the input would otherwise emit (id, id)
+      // self-pairs — the old join form's `id_a < id_b` contract
+      .filter(col("id_a") =!= col("id_b"))
       .distinct()
       .select(col("id_a"), col("id_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long").as("hamming"))

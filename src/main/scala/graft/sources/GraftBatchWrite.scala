@@ -294,7 +294,12 @@ final class GraftBatchWrite(table: GraftTable, writeSchema: StructType,
         // group-based CoW rewrite: files hold REWRITTEN rows without
         // materialized lineage — leave first_row_id unassigned (null
         // lineage: honest "unknown") rather than minting fresh ids for
-        // carried rows; the API-path RowOps rewrites DO preserve
+        // carried rows; the API-path RowOps rewrites DO preserve.
+        // Spark 4.1's ReplaceData pins the write schema to the table
+        // columns (no DSv2 surface threads per-row metadata into the
+        // writer yet), so preservation is not implementable here; the
+        // commit still advances next-row-id for its added records —
+        // an unused block, which the v3 spec explicitly permits
         if (op.scannedPaths.nonEmpty || files.nonEmpty)
           commitReplace(live, files, dropAllBase = false, op.scannedPaths)
     }

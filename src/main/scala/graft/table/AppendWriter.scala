@@ -440,12 +440,7 @@ object AppendWriter {
       // v3 row lineage: each file takes a contiguous first_row_id block
       // from the refreshed base's nextRowId (re-derived per retry; the
       // commit bumps next-row-id by the same added-row total)
-      var rowId = base.nextRowId
-      val withIds = files.map { f =>
-        val assigned = f.copy(firstRowId = Some(rowId))
-        rowId += f.recordCount
-        assigned
-      }
+      val withIds = Commits.assignFirstRowIds(base, files)
       val entries = withIds.map(f => ManifestEntry(ManifestStatus.Added, Some(snapshotId),
         Some(seq), Some(seq), f))
       val m = Commits.writeManifest(table.io, base, s"$commitUuid-m0", entries,

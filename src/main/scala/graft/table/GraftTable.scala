@@ -645,6 +645,21 @@ final class TableScan private[table] (
     new TableScan(table, filter, selected, snapshotId, limitRows, metaCols = true,
       deletedCol)
 
+  /** The scan's rows with ONLY the v3 lineage pair appended
+    * (materialized-wins resolution) — the frame a lineage-preserving
+    * rewrite re-emits (Maintenance compaction, RowOps CoW). */
+  def toLineageDF(spark: SparkSession): DataFrame =
+    lineageSelect(withMetadataColumns().toDF(spark))
+
+  private[table] def readTasksLineage(spark: SparkSession,
+      tasks: Seq[FileScanTask]): DataFrame =
+    lineageSelect(withMetadataColumns().readTasks(spark, tasks))
+
+  private def lineageSelect(df: DataFrame): DataFrame =
+    df.select(table.schema.fields.map(f => col(f.name)) ++ Seq(
+      col(graft.spec.RowLineage.RowIdName),
+      col(graft.spec.RowLineage.LastUpdatedName)): _*)
+
   /** Also serve `_deleted` (metadata_columns.rs:38,75 — reserved id
     * i32.MAX-3): the scan then SERVES MoR-deleted rows with a boolean
     * marker instead of filtering them — position deletes, deletion

@@ -41,13 +41,7 @@ object Maintenance {
     // lineage (inherited or already-materialized) and persist it as real
     // columns in the rewritten files (RowLineage preference order)
     val lineage = table.metadata.nextRowId > 0L
-    val df0 =
-      if (lineage)
-        scan.withMetadataColumns().toDF(spark).select(
-          (table.schema.fields.map(f => org.apache.spark.sql.functions.col(f.name)) ++
-            graft.spec.RowLineage.sparkFields.map(f =>
-              org.apache.spark.sql.functions.col(f.name))): _*)
-      else scan.toDF(spark)
+    val df0 = if (lineage) scan.toLineageDF(spark) else scan.toDF(spark)
     // unpartitioned: explicit file-count control; partitioned: the staged
     // write's per-partition fanout governs sizes (input splits are already
     // coalesced by files.maxPartitionBytes)
@@ -118,13 +112,7 @@ object Maintenance {
       cols.map(org.apache.spark.sql.functions.col), mins, maxs)
     // lineage preservation: same contract as rewriteDataFiles
     val lineage = table.metadata.nextRowId > 0L
-    val zdf0 =
-      if (lineage)
-        scan.withMetadataColumns().toDF(spark).select(
-          (table.schema.fields.map(f => org.apache.spark.sql.functions.col(f.name)) ++
-            graft.spec.RowLineage.sparkFields.map(f =>
-              org.apache.spark.sql.functions.col(f.name))): _*)
-      else scan.toDF(spark)
+    val zdf0 = if (lineage) scan.toLineageDF(spark) else scan.toDF(spark)
     val df = zdf0
       .withColumn("__z", zcol)
       .repartitionByRange(nOut, org.apache.spark.sql.functions.col("__z"))

@@ -35,10 +35,7 @@ object RowOps {
     * (materialized-or-inherited, the same resolution every scan uses). */
   private def readWithLineage(table: GraftTable, spark: SparkSession,
       tasks: Seq[FileScanTask]): DataFrame =
-    table.newScan().withMetadataColumns().readTasks(spark, tasks)
-      .select(table.schema.fields.map(f => col(f.name)) ++ Seq(
-        col(graft.spec.RowLineage.RowIdName),
-        col(graft.spec.RowLineage.LastUpdatedName)): _*)
+    table.newScan().readTasksLineage(spark, tasks)
 
   /** Null-fill the lineage pair on frames that lack it (external inserts:
     * fresh ids via inheritance). */
@@ -160,7 +157,12 @@ object RowOps {
       if (!lineage || candidates.isEmpty) {
         if (lineage) withLineageCols(ordered0) else ordered0
       } else {
+        // second pass over the candidates, but column pruning cuts the
+        // parquet read to the key columns only, and the semi-join bounds
+        // the aggregated map to the source's keys
         val idMap = readWithLineage(table, spark, candidates)
+          .select(keyCols.map(col) :+ col(graft.spec.RowLineage.RowIdName): _*)
+          .join(keys, keyCols, "left_semi")
           .groupBy(keyCols.map(col): _*)
           .agg(org.apache.spark.sql.functions
             .min(col(graft.spec.RowLineage.RowIdName))

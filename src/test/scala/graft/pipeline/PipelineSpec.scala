@@ -167,6 +167,12 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // all sigs within hamming 3 of each other (values 0,1,2 → ≤ 2 bits)
     assert(ham === want, "hamming blocked pairs must cover the bucket")
+    // duplicate doc_id rows must NOT emit (id, id) self-pairs
+    val dup = sigs.unionAll(sigs.limit(3))
+    val hamDup = Dedup.hammingNearDups(dup, "sig", maxHamming = 3, bands = 4,
+      bits = 60, maxBucket = 10000, subBucket = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(hamDup.forall { case (a, b) => a < b }, "self-pair leaked")
   }
 
   test("ngram-jaccard prefix filtering equals brute force, no cartesian") {
