@@ -46,22 +46,76 @@ object GraftChangelogOffset {
   * `_commit_snapshot_id` is globally stable — order by it downstream.
   *
   * Options: `net-changes=true` cancels CoW carry-over delete+insert pairs
-  * per batch (Iceberg's remove-carryovers semantics). */
+  * per batch (Iceberg's remove-carryovers semantics);
+  * `max-snapshots-per-micro-batch=N` caps how many snapshots one batch's
+  * change window spans (admission control — a backfill over deep history
+  * becomes N-snapshot windows instead of one giant batch).
+  *
+  * Admission control rides the same V2 traits the file source uses on the
+  * V1 API (`FileStreamSource` precedent — `Source` extends
+  * `SparkDataStream`, so `SupportsAdmissionControl` +
+  * `SupportsTriggerAvailableNow` apply): `latestOffset(start, limit)`
+  * advances at most `max-snapshots-per-micro-batch` snapshots, and
+  * `Trigger.AvailableNow` pins the target snapshot at query start, drains
+  * to it in admission-sized batches, then stops — instead of Spark's
+  * single-batch fallback for plain V1 sources. */
 final class GraftChangelogSource(
     spark: SparkSession,
     tableName: String,
     catalog: Catalog,
     options: Map[String, String])
-    extends org.apache.spark.sql.execution.streaming.Source {
+    extends org.apache.spark.sql.execution.streaming.Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private def reload(): GraftTable = GraftTable.load(tableName, catalog)
 
   private val netChanges = options.get("net-changes").contains("true")
 
+  private val maxSnaps = options.get("max-snapshots-per-micro-batch")
+    .map(_.toInt).getOrElse(Int.MaxValue)
+
   override val schema: StructType = Changelog.outputSchema(reload())
 
   override def getOffset: Option[org.apache.spark.sql.execution.streaming.Offset] =
     reload().metadata.currentSnapshotId.map(GraftChangelogOffset(_))
+
+  // Trigger.AvailableNow: pin the drain target at query start (commits
+  // racing the query run are left for the next one)
+  private var availableNowTarget: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(reload().metadata.currentSnapshotId.getOrElse(-1L))
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset = {
+    // first call of a fresh query hands a null start (V1 contract —
+    // FileStreamSource.latestOffset ignores it the same way)
+    val from = Option(start) match {
+      case Some(o: org.apache.spark.sql.execution.streaming.Offset) =>
+        GraftChangelogOffset.of(o).snapshotId
+      case Some(o) => Json.parse(o.json()).get("snapshotId").asLong()
+      case None => -1L
+    }
+    var pending = GraftMicroBatchStream.ancestryAfter(reload(), from)
+    availableNowTarget.foreach { tgt =>
+      val i = pending.indexWhere(_.snapshotId == tgt)
+      pending = if (i < 0) Nil else pending.take(i + 1)
+    }
+    if (pending.isEmpty) Option(start).getOrElse(null)
+    else GraftChangelogOffset(
+      pending(math.min(pending.size, maxSnaps) - 1).snapshotId)
+  }
+
+  override def reportLatestOffset()
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    reload().metadata.currentSnapshotId.map(GraftChangelogOffset(_)).orNull
 
   override def getBatch(
       start: Option[org.apache.spark.sql.execution.streaming.Offset],
@@ -69,6 +123,14 @@ final class GraftChangelogSource(
     val from = start.map(GraftChangelogOffset.of(_).snapshotId).getOrElse(-1L)
     val to = GraftChangelogOffset.of(end).snapshotId
     val t = reload()
+    // the stream's schema was resolved ONCE at source construction; a
+    // mid-stream table schema change would misalign batch rows against
+    // it (silent column swap) — fail loudly instead
+    val nowSchema = Changelog.outputSchema(t)
+    if (nowSchema != schema)
+      throw new IllegalStateException(
+        s"table ${t.name} changed schema mid-stream (was $schema, " +
+          s"now $nowSchema); restart the changelog stream")
     val changes = Changelog.changesBetween(t, spark, from, to, netChanges)
     org.apache.spark.sql.GraftSessionBridge.internalCreateStreamingDataFrame(
       spark, changes.queryExecution.toRdd, schema)

@@ -124,23 +124,8 @@ final class GraftMicroBatchStream(
   override def reportLatestOffset(): Offset =
     GraftStreamOffset(reload().metadata.currentSnapshotId.getOrElse(-1L))
 
-  /** Snapshots strictly after `from` on the current ancestry, oldest
-    * first. Fails loudly if `from` fell off the chain (expired or rolled
-    * back) rather than silently re-reading history. */
-  private def ancestryAfter(t: GraftTable, from: Long): List[Snapshot] = {
-    val byId = t.metadata.snapshots.map(s => s.snapshotId -> s).toMap
-    var cur = t.metadata.currentSnapshot
-    var acc: List[Snapshot] = Nil
-    while (cur.isDefined && cur.get.snapshotId != from) {
-      acc = cur.get :: acc
-      cur = cur.get.parentSnapshotId.flatMap(byId.get)
-    }
-    if (cur.isEmpty && from != -1L)
-      throw new IllegalStateException(
-        s"stream offset snapshot $from is no longer in table ancestry " +
-          "(expired or rolled back); restart the query from a fresh checkpoint")
-    acc
-  }
+  private def ancestryAfter(t: GraftTable, from: Long): List[Snapshot] =
+    GraftMicroBatchStream.ancestryAfter(t, from)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val from = GraftStreamOffset.of(start).snapshotId
@@ -176,4 +161,24 @@ final class GraftMicroBatchStream(
   override def commit(end: Offset): Unit = ()
 
   override def stop(): Unit = ()
+}
+
+object GraftMicroBatchStream {
+  /** Snapshots strictly after `from` on the current ancestry, oldest
+    * first. Fails loudly if `from` fell off the chain (expired or rolled
+    * back) rather than silently re-reading history. */
+  private[streaming] def ancestryAfter(t: GraftTable, from: Long): List[Snapshot] = {
+    val byId = t.metadata.snapshots.map(s => s.snapshotId -> s).toMap
+    var cur = t.metadata.currentSnapshot
+    var acc: List[Snapshot] = Nil
+    while (cur.isDefined && cur.get.snapshotId != from) {
+      acc = cur.get :: acc
+      cur = cur.get.parentSnapshotId.flatMap(byId.get)
+    }
+    if (cur.isEmpty && from != -1L)
+      throw new IllegalStateException(
+        s"stream offset snapshot $from is no longer in table ancestry " +
+          "(expired or rolled back); restart the query from a fresh checkpoint")
+    acc
+  }
 }

@@ -193,4 +193,35 @@ class StreamReadSpec extends AnyFunSuite with BeforeAndAfterAll {
       t.changesBetween(spark, firstHead, t.metadata.currentSnapshotId.get))
     assert(total === expected, "restart must deliver exactly the new changes")
   }
+
+  test("changelog admission control: max-snapshots caps each batch under AvailableNow") {
+    import spark.implicits._
+    val warehouse = tmp("graft-sr6-")
+    val catalog = new HadoopCatalog(warehouse, FileIO.fromSpark(spark))
+    var t = GraftTable.create("sr6", catalog, schema)
+    for (i <- 1 to 4) t = t.append(Seq((i.toLong, i * 1.0)).toDF("id", "v"))
+    t = t.deleteWhere(graft.expr.Predicate.eqTo("id", 3L), spark)
+
+    val outDir = tmp("sr6-out-"); val ckpt = tmp("sr6-ckpt-")
+    runAvailableNow(readStream(warehouse, "sr6", "read-changelog" -> "true",
+      "max-snapshots-per-micro-batch" -> "1"), outDir, ckpt)
+    def normalize(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "_change_type", "_commit_snapshot_id")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val streamed = normalize(spark.read.parquet(outDir))
+    val batch = normalize(
+      t.changesBetween(spark, -1L, t.metadata.currentSnapshotId.get))
+    assert(streamed === batch,
+      "admission-batched changelog must equal changesBetween over the range")
+    // 5 snapshots at 1 per batch: the un-batched V1 fallback would be 1
+    val batches = new java.io.File(ckpt, "commits").listFiles()
+      .count(f => f.getName.forall(_.isDigit))
+    assert(batches >= 5, s"expected one micro-batch per snapshot, got $batches")
+
+    // a restarted AvailableNow run with NO new commits must terminate
+    // without writing anything (pinned target == checkpointed offset)
+    runAvailableNow(readStream(warehouse, "sr6", "read-changelog" -> "true",
+      "max-snapshots-per-micro-batch" -> "1"), outDir, ckpt)
+    assert(normalize(spark.read.parquet(outDir)) === batch)
+  }
 }
