@@ -99,62 +99,64 @@ object Dedup {
     * of one straggler task. Output pair set is identical. */
   val SubBucket: Int = 1024
 
-  /** Shared blocked pair emission over census-capped buckets.
+  /** Shared blocked pair emission over size-capped buckets.
     *
     * Rows carry the bucket `keyCols` and an `_item` payload whose `_gid`
-    * field orders/identifies the doc. Each row of a bucket of n members
-    * is assigned group `_g = hash(id) mod ceil(n/subBucket)` and emitted
-    * into its `_ng` blocks: the diagonal (g,g) as a LEFT member and every
-    * off-diagonal block (min(i,g), max(i,g)) as LEFT when g < i, RIGHT
-    * when g > i. One aggregation on (keyCols, bi, bj) collects the two
-    * sides; diagonal blocks emit in-group pairs (index i < j), cross
-    * blocks emit the full la × lb product — every unordered in-bucket
-    * pair lands in exactly one block. `mkPair(a, b)` renders a pair
-    * struct from two `_item` values.
+    * field orders/identifies the doc. ONE hash aggregation per bucket
+    * collects up to `maxBucket + 1` items with bounded state
+    * ([[graft.functions.BoundedCollectStruct]]): a saturated list
+    * (size > maxBucket) is the viral-boilerplate pathology and is
+    * dropped — the same census semantics as counting first, but with no
+    * sort and ONE exchange instead of a window feeding two branches.
     *
-    * Exchange shape: ONE full-data exchange (the census window), REUSED
-    * by both branches (ReuseExchange — identical child exchanges plan
-    * once). Small buckets (n ≤ subBucket) collect on the window's own
-    * partitioning, exchange-free — exactly the unblocked form. Oversized
-    * buckets' rows (a tiny, bounded fraction: ≤ maxBucket per viral key)
-    * explode their block assignments and are explicitly repartitioned on
-    * (keyCols, bi, bj) — Spark would otherwise elide that exchange (the
-    * window's 2-col hash satisfies the superset clustering) and the
-    * blocks of one bucket would explode on a single task, the straggler
-    * this decomposition exists to kill. */
+    * Small buckets (n ≤ subBucket) explode their pairs directly from the
+    * aggregated row. Oversized buckets split into `_ng = ceil(n /
+    * subBucket)` deterministic hash groups; each unordered block
+    * (bi ≤ bj) of the group grid becomes its own row carrying just the
+    * two filtered sub-arrays, explicitly repartitioned so one bucket's
+    * ~_ng²/2 blocks explode on many tasks — the diagonal emits in-group
+    * pairs (array index i < j), cross blocks the full la × lb product;
+    * every unordered in-bucket pair lands in exactly one block.
+    * `mkPair(a, b)` renders a pair struct from two `_item` values and
+    * must be orientation-insensitive (collection order is
+    * partition-dependent).
+    *
+    * Exchange shape: ONE full-data exchange (the bounded aggregation;
+    * map-side partials are also capped, so a viral bucket ships at most
+    * `cap` items per map task), plus a bytes-tiny pinned repartition of
+    * the oversized buckets' block rows — pinned COUNT because the block
+    * rows are small but explode into up to subBucket² pairs each, and
+    * AQE's byte-based coalescing would fold them back onto one task. */
   private[pipeline] def blockedPairs(df: DataFrame, keyCols: Seq[String],
       maxBucket: Int, subBucket: Int, mkPair: (String, String) => String)
       : DataFrame = {
-    val census = org.apache.spark.sql.expressions.Window
-      .partitionBy(keyCols.map(col): _*)
     val intra = "flatten(transform(la, (a, i) -> " +
       s"transform(slice(la, i + 2, size(la) - i - 1), b -> ${mkPair("a", "b")})))"
     val cross =
       s"flatten(transform(la, a -> transform(lb, b -> ${mkPair("a", "b")})))"
-    val withBn = df
-      .withColumn("_bn", count(lit(1)).over(census))
-      .filter(col("_bn") <= maxBucket)
-    val small = withBn.filter(col("_bn") <= subBucket)
-      .groupBy(keyCols.map(col): _*)
-      .agg(collect_list(col("_item")).as("la"))
-      .filter(size(col("la")) >= 2)
+    val bounded = df.groupBy(keyCols.map(col): _*)
+      .agg(graft.functions.BoundedCollectStruct
+        .column(col("_item"),
+          math.min(maxBucket.toLong + 1, Int.MaxValue).toInt).as("la"))
+      .filter(size(col("la")).between(2, maxBucket))
+    val small = bounded.filter(size(col("la")) <= subBucket)
       .select(explode(expr(intra)).as("p"))
-    val big = withBn.filter(col("_bn") > subBucket)
+    val big = bounded.filter(size(col("la")) > subBucket)
       .withColumn("_ng",
-        ceil(col("_bn").cast("double") / subBucket).cast("int"))
-      .withColumn("_g", pmod(xxhash64(col("_item._gid")), col("_ng")).cast("int"))
-      .select(keyCols.map(col) ++ Seq(col("_item"),
-        explode(expr("transform(sequence(0, _ng - 1), i -> struct(" +
-          "least(i, _g) AS bi, greatest(i, _g) AS bj, " +
-          "(i >= _g) AS lft))")).as("_b")): _*)
-      // explicit partition COUNT: block rows are bytes-tiny but explode
-      // into up to subBucket² pairs each — AQE's byte-based coalescing
-      // would fold them back onto one task without the pinned number
+        ceil(size(col("la")).cast("double") / subBucket).cast("int"))
+      .select(keyCols.map(col) ++ Seq(col("la"), col("_ng"),
+        explode(expr("flatten(transform(sequence(0, _ng - 1), i -> " +
+          "transform(sequence(i, _ng - 1), j -> " +
+          "struct(i AS bi, j AS bj))))")).as("_b")): _*)
+      // block rows carry only their two sub-arrays through the shuffle
+      .select(keyCols.map(col) ++ Seq(
+        col("_b.bi").as("bi"), col("_b.bj").as("bj"),
+        expr("filter(la, x -> pmod(xxhash64(x._gid), cast(_ng AS bigint)) = _b.bi)")
+          .as("la"),
+        expr("filter(la, x -> pmod(xxhash64(x._gid), cast(_ng AS bigint)) = _b.bj)")
+          .as("lb")): _*)
       .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
-        keyCols.map(col) :+ col("_b.bi") :+ col("_b.bj"): _*)
-      .groupBy(keyCols.map(col) :+ col("_b.bi") :+ col("_b.bj"): _*)
-      .agg(collect_list(when(col("_b.lft"), col("_item"))).as("la"),
-        collect_list(when(!col("_b.lft"), col("_item"))).as("lb"))
+        keyCols.map(col) :+ col("bi") :+ col("bj"): _*)
       .filter((col("bi") === col("bj") && size(col("la")) >= 2) ||
         (col("bi") =!= col("bj") && size(col("la")) >= 1 && size(col("lb")) >= 1))
       .select(explode(expr(
