@@ -43,8 +43,22 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    if (!Files.exists(Paths.get(s"$out/documents.parquet"))) {
-      Files.createDirectories(Paths.get(out))
+    // Per-table staleness guard: a scaled table must be a REAL directory
+    // written by this builder — a symlink means a fixture dir from an
+    // older probe version that scaled fewer pillars (the r8 3-pillar
+    // extension initially reused an r7-era dir whose embeddings/events
+    // still symlinked to base, silently measuring those pillars at 1×).
+    def needsBuild(t: String): Boolean = {
+      val p = Paths.get(s"$out/$t.parquet")
+      if (Files.isSymbolicLink(p)) { Files.delete(p); true }
+      else !Files.exists(p)
+    }
+    Files.createDirectories(Paths.get(out))
+
+    val M = 100003L // prime > any fixture doc length / embedding dims
+    val primes = Seq(11, 13, 17, 19, 23, 29, 31, 37, 41, 43)
+
+    if (needsBuild("documents")) {
       val docs = spark.read.parquet(s"$base/documents.parquet")
       val span = docs.agg(max(col("doc_id"))).head.getLong(0) + 1L
       // Per-replica position permutation: order positions 0..n-1 by the
@@ -66,8 +80,6 @@ object ScaleProbe {
       //     were rejected because overlapping candidate chains let two
       //     replicas pick the same stride (identical text, dup-rate
       //     inflation).
-      val M = 100003L // prime > any fixture doc length
-      val primes = Seq(11, 13, 17, 19, 23, 29, 31, 37, 41, 43)
       val replicas = (0 until factor).map { r =>
         if (r == 0) docs
         else {
@@ -86,7 +98,9 @@ object ScaleProbe {
       replicas.reduce(_ unionByName _)
         .repartition(32)
         .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    }
 
+    if (needsBuild("embeddings")) {
       // Embeddings ×10: replicas permute the DIMENSIONS with the same
       // fixed-modulus key (i·s_r mod M). A per-replica dimension
       // permutation is an orthogonal transform applied uniformly within
@@ -112,7 +126,9 @@ object ScaleProbe {
       embReplicas.reduce(_ unionByName _)
         .repartition(32)
         .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    }
 
+    if (needsBuild("events")) {
       // Events ×10: replicas shift user_id and event_id by a replica
       // block — sessionize/funnel state is per-user, so 10× disjoint
       // users with identical per-user event structure is exactly the
@@ -129,12 +145,12 @@ object ScaleProbe {
       evReplicas.reduce(_ unionByName _)
         .repartition(32)
         .write.mode("overwrite").parquet(s"$out/events.parquet")
+    }
 
-      Tables.names.filterNot(Set("documents", "embeddings", "events")).foreach { t =>
-        val link = Paths.get(s"$out/$t.parquet")
-        if (!Files.exists(link))
-          Files.createSymbolicLink(link, Paths.get(s"$base/$t.parquet"))
-      }
+    Tables.names.filterNot(Set("documents", "embeddings", "events")).foreach { t =>
+      val link = Paths.get(s"$out/$t.parquet")
+      if (!Files.exists(link))
+        Files.createSymbolicLink(link, Paths.get(s"$base/$t.parquet"))
     }
 
     val byName = Registry.all.map(q => q.name -> q).toMap
@@ -142,22 +158,27 @@ object ScaleProbe {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
-    def median(name: String, dir: String): Double = {
+    def once(name: String, dir: String): Double = {
       val q = byName(name)
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        q.fn(spark, dir).write.format("noop").mode("overwrite").save()
-        val sec = (System.nanoTime() - t0) / 1e9
-        cleanup(); sec
-      }
-      once() // warmup
-      val runs = (1 to 3).map(_ => once()).sorted
-      runs(1)
+      val t0 = System.nanoTime()
+      q.fn(spark, dir).write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      cleanup(); sec
+    }
+    // Warm up BOTH datasets before any timed run, then ALTERNATE
+    // base/scaled runs: measuring all base runs first lets the base
+    // median absorb the query's whole JIT ramp and hands the scaled
+    // side fully-compiled code — compute-heavy, data-light queries then
+    // show ratios below 1.0, which reads as measurement error, because
+    // it is.
+    def medians(name: String): (Double, Double) = {
+      once(name, base); once(name, out)
+      val pairs = (1 to 3).map(_ => (once(name, base), once(name, out)))
+      (pairs.map(_._1).sorted.apply(1), pairs.map(_._2).sorted.apply(1))
     }
 
     val results = Queries.map { n =>
-      val b = median(n, base)
-      val s = median(n, out)
+      val (b, s) = medians(n)
       (n, b, s, s / b)
     }
     val json = results.map { case (n, b, s, r) =>
