@@ -153,6 +153,17 @@ object ScaleProbe {
         Files.createSymbolicLink(link, Paths.get(s"$base/$t.parquet"))
     }
 
+    // refuse to measure a fixture that is not genuinely ×factor — the
+    // needsBuild guard catches symlinks, this catches stale REAL dirs
+    // (an interrupted or older build) before they poison the ratios
+    Seq("documents", "embeddings", "events").foreach { t =>
+      val nb = spark.read.parquet(s"$base/$t.parquet").count()
+      val ns = spark.read.parquet(s"$out/$t.parquet").count()
+      require(ns == nb * factor,
+        s"scaled $t has $ns rows, expected ${nb * factor} (base $nb × " +
+          s"$factor) — stale fixture at $out; delete it and re-run")
+    }
+
     val byName = Registry.all.map(q => q.name -> q).toMap
     def cleanup(): Unit = {
       spark.catalog.clearCache()

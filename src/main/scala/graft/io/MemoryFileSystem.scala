@@ -113,19 +113,23 @@ class MemoryFileSystem extends FileSystem {
     // Hadoop local-FS shape: renaming onto an existing DIRECTORY moves the
     // source under it; onto an existing FILE fails (the CAS contract)
     val dk0 = key(dst)
-    val dk = if (isDir(dk0)) dk0 + "/" + src.getName else dk0
+    // childPrefix on BOTH joins: a root key already ends in "/" — naive
+    // "+ \"/\"" built unreachable "b//f" keys, and a root SOURCE key's
+    // stripPrefix(sk) ate the separator ("b/f" → "xf" under dst "x")
+    val dk = if (isDir(dk0)) childPrefix(dk0) + src.getName else dk0
     if (dk == sk) return true
     if (existsKey(dk)) return false
     files.remove(sk) match {
       case Some(v) => files.put(dk, v); true
       case None =>
-        val pre = childPrefix(sk)
-        files.keySet.toSeq.filter(_.startsWith(pre)).foreach { k =>
-          files.remove(k).foreach(v => files.put(dk + k.stripPrefix(sk), v))
+        val spre = childPrefix(sk)
+        val dpre = childPrefix(dk)
+        files.keySet.toSeq.filter(_.startsWith(spre)).foreach { k =>
+          files.remove(k).foreach(v => files.put(dpre + k.stripPrefix(spre), v))
         }
-        dirs.keySet.toSeq.filter(k => k == sk || k.startsWith(pre)).foreach { k =>
+        dirs.keySet.toSeq.filter(k => k == sk || k.startsWith(spre)).foreach { k =>
           dirs.remove(k)
-          dirs.put(dk + k.stripPrefix(sk), ())
+          if (k != sk) dirs.put(dpre + k.stripPrefix(spre), ())
         }
         dirs.put(dk, ())
         true

@@ -14,9 +14,11 @@ import org.apache.spark.sql.functions._
   *     and self-joins per band bucket. The candidate join is bounded by
   *     bucket sizes (true near-dups + rare hash collisions), so total
   *     work is O(docs·b + Σ bucket²) with tiny buckets, not O(docs²).
-  *     Skewed buckets (a viral boilerplate string) are CAPPED before the
-  *     join: a windowed census on the band key drops buckets above
-  *     `MaxBucket` (deterministic, no RNG), bounding any bucket's pair
+  *     Skewed buckets (a viral boilerplate string) are CAPPED before any
+  *     pair is emitted: a size-bounded collect aggregate (at most
+  *     `MaxBucket + 1` items of state per group on the map side, merge
+  *     side and shuffle wire) saturates on viral buckets, which are then
+  *     dropped (deterministic, no RNG) — bounding any bucket's pair
   *     fan-out at MaxBucket² while true near-dup pairs keep their other,
   *     small band buckets.
   *   - the exact-Jaccard verify joins only candidate pairs back to their
@@ -126,7 +128,18 @@ object Dedup {
     * `cap` items per map task), plus a bytes-tiny pinned repartition of
     * the oversized buckets' block rows — pinned COUNT because the block
     * rows are small but explode into up to subBucket² pairs each, and
-    * AQE's byte-based coalescing would fold them back onto one task. */
+    * AQE's byte-based coalescing would fold them back onto one task.
+    *
+    * Note on the aggregation exec: a TypedImperativeAggregate plans as
+    * ObjectHashAggregateExec, which past
+    * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold`
+    * (default 128) in-flight groups falls back to SORT-based
+    * aggregation within the task. That is still strictly better than
+    * the census-window shape this replaced (one sorted pass at worst
+    * vs a window sort consumed by two branches, and the partial/merge
+    * state stays capped either way) — but "no sort" is the hash regime,
+    * not a guarantee; raise the threshold in sessions where the extra
+    * aggregation memory is acceptable. */
   private[pipeline] def blockedPairs(df: DataFrame, keyCols: Seq[String],
       maxBucket: Int, subBucket: Int, mkPair: (String, String) => String)
       : DataFrame = {
@@ -155,10 +168,13 @@ object Dedup {
           .as("la"),
         expr("filter(la, x -> pmod(xxhash64(x._gid), cast(_ng AS bigint)) = _b.bj)")
           .as("lb")): _*)
-      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
-        keyCols.map(col) :+ col("bi") :+ col("bj"): _*)
+      // drop empty/singleton blocks BEFORE the shuffle — hash-skewed
+      // groups inside an oversized bucket can leave a block with nothing
+      // to pair, and those rows have no business crossing the exchange
       .filter((col("bi") === col("bj") && size(col("la")) >= 2) ||
         (col("bi") =!= col("bj") && size(col("la")) >= 1 && size(col("lb")) >= 1))
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+        keyCols.map(col) :+ col("bi") :+ col("bj"): _*)
       .select(explode(expr(
         s"CASE WHEN bi = bj THEN $intra ELSE $cross END")).as("p"))
     small.union(big)
@@ -166,11 +182,15 @@ object Dedup {
 
   /** Candidate pairs (id_a < id_b) sharing at least one band bucket.
     *
-    * No self-join: the census COUNT window bounds viral buckets BEFORE
-    * any list materializes (O(1) state per row), then [[blockedPairs]]
-    * emits each bucket's pairs from sub-bucket block rows — a codegen'd
-    * nested `transform` per block, parallel across blocks. Kept
-    * groups are ≤ subBucket ids ≈ 8 KB per collected list. */
+    * No self-join and no window: [[blockedPairs]] bounds viral buckets
+    * with capped aggregation state (≤ maxBucket+1 ids ≈ 80 KB per group
+    * worst case; kept groups ≤ subBucket ids ≈ 8 KB) and emits each
+    * bucket's pairs from sub-bucket block rows — a codegen'd nested
+    * `transform` per block, parallel across blocks. Requires a LONG
+    * `doc_id` (the bounded aggregate's payload contract). The self-pair
+    * guard covers callers handing a bandsDf with duplicate
+    * (band_idx, band_key, doc_id) rows, where the intra pairing would
+    * emit (id, id). */
   def lshCandidates(bandsDf: DataFrame, maxBucket: Int = MaxBucket,
       subBucket: Int = SubBucket): DataFrame =
     blockedPairs(
@@ -179,6 +199,7 @@ object Dedup {
       (a, b) => s"struct(least($a._gid, $b._gid) AS id_a, " +
         s"greatest($a._gid, $b._gid) AS id_b)")
       .select(col("p.id_a"), col("p.id_b"))
+      .filter(col("id_a") =!= col("id_b"))
       .distinct()
 
   /** Full near-dup pipeline: LSH candidates verified by exact Jaccard ≥
@@ -383,11 +404,11 @@ object Dedup {
     * Verify = popcount(sig_a XOR sig_b) ≤ maxHamming on candidates only.
     *
     * Scale shape: one explode (×bands) + ONE shuffle by (band, chunk)
-    * for the self-join; each bucket is a co-located hash-join cell and
-    * the n² pair space never materializes. A pathological bucket (a
-    * boilerplate chunk shared by millions of docs) is capped exactly like
-    * the MinHash band buckets — the same windowed census, dropping
-    * buckets above `maxBucket`. The pigeonhole exact-recall guarantee
+    * into the bounded-collect aggregation; each bucket emits its pairs
+    * in place and the n² pair space never materializes. A pathological
+    * bucket (a boilerplate chunk shared by millions of docs) is capped
+    * exactly like the MinHash band buckets — the saturating collect
+    * drops buckets above `maxBucket`. The pigeonhole exact-recall guarantee
     * then holds for every pair with at least one agreeing chunk bucket
     * under the cap (an overflowing bucket is the boilerplate pathology
     * itself, not a near-dup signal). */
@@ -400,9 +421,12 @@ object Dedup {
     * — the pigeonhole machinery shared by simhash text near-dup and the
     * multimodal fingerprint near-dup: split the signature into `bands`
     * chunks; a pair within `maxHamming < bands` bit flips must agree on
-    * at least one chunk, so the (band, chunk) equi-join has EXACT recall
+    * at least one chunk, so the (band, chunk) bucketing has EXACT recall
     * and the explicit hamming filter gives exact precision. Viral
-    * buckets are census-capped BEFORE the join (O(1) state per row). */
+    * buckets are dropped by the saturating bounded collect (state capped
+    * at maxBucket+1 items per group) before any pair is emitted.
+    * Requires LONG doc_id and signature (the bounded aggregate's
+    * struct-of-longs payload contract). */
   def hammingNearDups(sigs: DataFrame, sigCol: String, maxHamming: Int,
       bands: Int, bits: Int, maxBucket: Int = MaxBucket,
       subBucket: Int = SubBucket): DataFrame = {

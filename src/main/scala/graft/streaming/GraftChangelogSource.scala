@@ -72,8 +72,8 @@ final class GraftChangelogSource(
 
   private val netChanges = options.get("net-changes").contains("true")
 
-  private val maxSnaps = options.get("max-snapshots-per-micro-batch")
-    .map(_.toInt).getOrElse(Int.MaxValue)
+  private val maxSnaps =
+    GraftMicroBatchStream.positiveIntOption(options, "max-snapshots-per-micro-batch")
 
   override val schema: StructType = Changelog.outputSchema(reload())
 
@@ -87,9 +87,11 @@ final class GraftChangelogSource(
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowTarget = Some(reload().metadata.currentSnapshotId.getOrElse(-1L))
 
+  // the option is the DEFAULT limit; Trigger.Once passes allAvailable
+  // instead and must drain the whole backlog in its one batch
   override def getDefaultReadLimit
       : org.apache.spark.sql.connector.read.streaming.ReadLimit =
-    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+    GraftMicroBatchStream.defaultLimit(maxSnaps, Long.MaxValue)
 
   override def latestOffset(
       start: org.apache.spark.sql.connector.read.streaming.Offset,
@@ -108,9 +110,10 @@ final class GraftChangelogSource(
       val i = pending.indexWhere(_.snapshotId == tgt)
       pending = if (i < 0) Nil else pending.take(i + 1)
     }
+    val (snapCap, _) = GraftMicroBatchStream.caps(limit)
     if (pending.isEmpty) Option(start).getOrElse(null)
     else GraftChangelogOffset(
-      pending(math.min(pending.size, maxSnaps) - 1).snapshotId)
+      pending(math.min(pending.size, snapCap) - 1).snapshotId)
   }
 
   override def reportLatestOffset()

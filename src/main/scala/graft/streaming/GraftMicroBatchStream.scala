@@ -68,17 +68,32 @@ final class GraftMicroBatchStream(
   private val startFromLatest = options.get("stream-from").contains("latest")
   private val skipNonAppend =
     options.get("streaming-skip-delete-snapshots").contains("true")
-  private val maxSnaps = options.get("max-snapshots-per-micro-batch")
-    .map(_.toInt).getOrElse(Int.MaxValue)
+  private val maxSnaps =
+    GraftMicroBatchStream.positiveIntOption(options, "max-snapshots-per-micro-batch")
   private val maxRowsOpt = options.get("max-rows-per-micro-batch")
-    .map(_.toLong).getOrElse(Long.MaxValue)
+    .map { v =>
+      val n = try v.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"max-rows-per-micro-batch must be a positive integer, got '$v'")
+      }
+      require(n > 0, s"max-rows-per-micro-batch must be positive, got $n")
+      n
+    }.getOrElse(Long.MaxValue)
 
   override def initialOffset(): Offset =
     if (startFromLatest)
       GraftStreamOffset(reload().metadata.currentSnapshotId.getOrElse(-1L))
     else GraftStreamOffset(-1L)
 
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  // The options become the DEFAULT read limit, so the engine stays in
+  // charge of when they apply: per-batch triggers and AvailableNow pass
+  // this default back into latestOffset, while Trigger.Once overrides
+  // with ReadLimit.allAvailable() expecting the whole backlog in one
+  // batch — a source that self-capped regardless (the previous shape)
+  // silently dropped the tail of the backlog under Once. FileStreamSource
+  // models the same contract with maxFilesPerTrigger.
+  override def getDefaultReadLimit: ReadLimit =
+    GraftMicroBatchStream.defaultLimit(maxSnaps, maxRowsOpt)
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
@@ -99,17 +114,15 @@ final class GraftMicroBatchStream(
       pending = if (i < 0) Nil else pending.take(i + 1)
     }
     if (pending.isEmpty) return start
-    // row-based admission (ReadLimit.maxRows or the option): advance
-    // while the cumulative added-records stays under the cap — always at
-    // least one snapshot, snapshots being the atomic replay unit
-    val rowCap: Long = limit match {
-      case m: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
-        math.min(m.maxRows(), maxRowsOpt)
-      case _ => maxRowsOpt
-    }
+    // admission caps come from the PASSED limit (usually our own
+    // default; allAvailable — e.g. Trigger.Once — means uncapped);
+    // row-based admission advances while the cumulative added-records
+    // stays under the cap — always at least one snapshot, snapshots
+    // being the atomic replay unit
+    val (snapCap, rowCap) = GraftMicroBatchStream.caps(limit)
     var taken = 0
     var rows = 0L
-    while (taken < pending.size && taken < maxSnaps &&
+    while (taken < pending.size && taken < snapCap &&
         (taken == 0 || rows + addedRecords(pending(taken)) <= rowCap)) {
       rows += addedRecords(pending(taken))
       taken += 1
@@ -163,7 +176,54 @@ final class GraftMicroBatchStream(
   override def stop(): Unit = ()
 }
 
+/** Snapshot-count read limit — the admission unit native to a
+  * snapshot-offset source (Spark ships maxRows/maxFiles/maxBytes;
+  * snapshots are this source's atomic replay unit). */
+final case class GraftReadMaxSnapshots(max: Int) extends ReadLimit
+
 object GraftMicroBatchStream {
+
+  /** Parse a positive-int option with a clear error at query START
+    * (a bad value previously surfaced as an index error from inside the
+    * trigger loop). */
+  private[streaming] def positiveIntOption(options: Map[String, String],
+      name: String): Int =
+    options.get(name).map { v =>
+      val n = try v.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$name must be a positive integer, got '$v'")
+      }
+      require(n > 0, s"$name must be positive, got $n")
+      n
+    }.getOrElse(Int.MaxValue)
+
+  /** The source's default admission limit from its options; allAvailable
+    * when no option caps anything. */
+  private[streaming] def defaultLimit(maxSnaps: Int, maxRows: Long): ReadLimit = {
+    val limits = Seq(
+      if (maxSnaps != Int.MaxValue) Some(GraftReadMaxSnapshots(maxSnaps)) else None,
+      if (maxRows != Long.MaxValue) Some(ReadLimit.maxRows(maxRows)) else None
+    ).flatten
+    limits match {
+      case Seq() => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
+
+  /** (snapshot cap, row cap) encoded by a ReadLimit; allAvailable or an
+    * unknown limit kind means uncapped. */
+  private[streaming] def caps(limit: ReadLimit): (Int, Long) = limit match {
+    case GraftReadMaxSnapshots(n) => (n, Long.MaxValue)
+    case m: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
+      (Int.MaxValue, m.maxRows())
+    case c: org.apache.spark.sql.connector.read.streaming.CompositeReadLimit =>
+      c.getReadLimits.map(caps).foldLeft((Int.MaxValue, Long.MaxValue)) {
+        case ((s1, r1), (s2, r2)) => (math.min(s1, s2), math.min(r1, r2))
+      }
+    case _ => (Int.MaxValue, Long.MaxValue)
+  }
+
   /** Snapshots strictly after `from` on the current ancestry, oldest
     * first. Fails loudly if `from` fell off the chain (expired or rolled
     * back) rather than silently re-reading history. */

@@ -59,4 +59,19 @@ class MemoryFileSystemSpec extends AnyFunSuite {
     in.close()
     MemoryFileSystem.clear()
   }
+
+  test("rename involving the bucket root builds clean keys") {
+    MemoryFileSystem.clear()
+    val f = fs("memory://r3/")
+    val io = new FileIO(f.getConf)
+    // move a file INTO the root directory (dest key ends in "/")
+    io.writeBytes("memory://r3/sub/f.bin", Array[Byte](7))
+    assert(f.rename(new Path("memory://r3/sub/f.bin"), new Path("memory://r3/")))
+    assert(io.exists("memory://r3/f.bin"), "file must land directly under root")
+    assert(io.readBytes("memory://r3/f.bin").toSeq == Seq[Byte](7))
+    // root must list it under its real name (a "b//f" key would list "")
+    val names = f.listStatus(new Path("memory://r3/")).map(_.getPath.getName)
+    assert(names.contains("f.bin"))
+    MemoryFileSystem.clear()
+  }
 }

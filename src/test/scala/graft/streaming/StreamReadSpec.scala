@@ -224,4 +224,47 @@ class StreamReadSpec extends AnyFunSuite with BeforeAndAfterAll {
       "max-snapshots-per-micro-batch" -> "1"), outDir, ckpt)
     assert(normalize(spark.read.parquet(outDir)) === batch)
   }
+
+  test("Trigger.Once drains the whole backlog despite per-batch caps") {
+    import spark.implicits._
+    val warehouse = tmp("graft-sr7-")
+    val catalog = new HadoopCatalog(warehouse, FileIO.fromSpark(spark))
+    var t = GraftTable.create("sr7", catalog, schema)
+    for (i <- 1 to 5) t = t.append(Seq((i.toLong, i * 1.0)).toDF("id", "v"))
+
+    // Spark passes ReadLimit.allAvailable() under Once — a source that
+    // self-capped at max-snapshots anyway would deliver 1 snapshot and
+    // terminate "successfully" with 4 silently unprocessed
+    val outDir = tmp("sr7-out-"); val ckpt = tmp("sr7-ckpt-")
+    val q = readStream(warehouse, "sr7", "max-snapshots-per-micro-batch" -> "1")
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .trigger(Trigger.Once()).start()
+    q.awaitTermination()
+    assert(spark.read.parquet(outDir).select("id").as[Long].collect().sorted
+      === (1L to 5L).toArray, "Once must deliver every pending snapshot")
+
+    // same contract on the changelog source
+    val outC = tmp("sr7c-out-"); val ckptC = tmp("sr7c-ckpt-")
+    val qc = readStream(warehouse, "sr7", "read-changelog" -> "true",
+      "max-snapshots-per-micro-batch" -> "1")
+      .writeStream.format("parquet")
+      .option("path", outC).option("checkpointLocation", ckptC)
+      .trigger(Trigger.Once()).start()
+    qc.awaitTermination()
+    assert(spark.read.parquet(outC).count() === 5,
+      "Once must deliver the whole changelog backlog")
+
+    // a malformed cap fails at query START with a clear message
+    val e = intercept[Exception] {
+      readStream(warehouse, "sr7", "max-snapshots-per-micro-batch" -> "0")
+        .writeStream.format("noop")
+        .option("checkpointLocation", tmp("sr7bad-")).start()
+        .awaitTermination()
+    }
+    def msgs(x: Throwable): Seq[String] =
+      if (x == null) Nil else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+    assert(msgs(e).exists(_.contains("max-snapshots-per-micro-batch")),
+      s"want the option named in the failure, got: ${msgs(e)}")
+  }
 }
