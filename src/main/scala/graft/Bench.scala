@@ -26,11 +26,24 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // band-bucket dedup aggregations carry tens of thousands of tiny
+      // capped groups per task; keep ObjectHashAggregate in the hash
+      // regime (state per group is bounded — see Dedup.blockedPairs)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // Fork-protocol subsetting (VERDICT r8 item 2): SPARK_GRAFT_BENCH_ONLY
+    // restricts the measured set for local iteration, but the protocol —
+    // fresh JVM per invocation, full warmup pass, median+min of 3, cache
+    // cleanup between runs — is identical to the driver's. Numbers quoted
+    // in SURVEY/commits MUST come from this entry point run via
+    // tools/bench_fork.sh (fresh sbt JVM), never from a warm session.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val queries = Registry.benchQueries.sortBy(_.name)
+      .filter(q => only.forall(_.contains(q.name)))
 
     def cleanup(): Unit = {
       spark.catalog.clearCache()

@@ -463,6 +463,17 @@ object ManifestIO {
     try {
       while (reader.hasNext) {
         val rec = reader.next()
+        // Field-name aliases: Java Iceberg ≤1.4 wrote the v2 counts as
+        // `added_data_files_count` etc. (renamed in 1.5 —
+        // manifest_list/_serde.rs:586-612 reads both); v1 lists lack
+        // content/sequence numbers entirely (default 0 = Data).
+        // `rec.get` on an absent field returns null, which unboxes to a
+        // silent 0 — resolve through the schema instead.
+        def getAliased(primary: String, alias: String): AnyRef =
+          if (rec.getSchema.getField(primary) != null) rec.get(primary)
+          else rec.get(alias)
+        def getOrDefault(name: String, dflt: AnyRef): AnyRef =
+          if (rec.getSchema.getField(name) != null) rec.get(name) else dflt
         val specId = rec.get("partition_spec_id").asInstanceOf[Int]
         val partType = partTypes.get(specId)
         val partitions = Option(rec.get("partitions")) match {
@@ -481,13 +492,18 @@ object ManifestIO {
           manifestPath = rec.get("manifest_path").toString,
           manifestLength = rec.get("manifest_length").asInstanceOf[Long],
           partitionSpecId = specId,
-          content = rec.get("content").asInstanceOf[Int],
-          sequenceNumber = rec.get("sequence_number").asInstanceOf[Long],
-          minSequenceNumber = rec.get("min_sequence_number").asInstanceOf[Long],
+          content = getOrDefault("content", Integer.valueOf(0)).asInstanceOf[Int],
+          sequenceNumber =
+            getOrDefault("sequence_number", java.lang.Long.valueOf(0L)).asInstanceOf[Long],
+          minSequenceNumber =
+            getOrDefault("min_sequence_number", java.lang.Long.valueOf(0L)).asInstanceOf[Long],
           addedSnapshotId = rec.get("added_snapshot_id").asInstanceOf[Long],
-          addedFilesCount = rec.get("added_files_count").asInstanceOf[Int],
-          existingFilesCount = rec.get("existing_files_count").asInstanceOf[Int],
-          deletedFilesCount = rec.get("deleted_files_count").asInstanceOf[Int],
+          addedFilesCount =
+            getAliased("added_files_count", "added_data_files_count").asInstanceOf[Int],
+          existingFilesCount =
+            getAliased("existing_files_count", "existing_data_files_count").asInstanceOf[Int],
+          deletedFilesCount =
+            getAliased("deleted_files_count", "deleted_data_files_count").asInstanceOf[Int],
           addedRowsCount = rec.get("added_rows_count").asInstanceOf[Long],
           existingRowsCount = rec.get("existing_rows_count").asInstanceOf[Long],
           deletedRowsCount = rec.get("deleted_rows_count").asInstanceOf[Long],

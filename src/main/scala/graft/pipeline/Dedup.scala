@@ -111,35 +111,37 @@ object Dedup {
     * dropped — the same census semantics as counting first, but with no
     * sort and ONE exchange instead of a window feeding two branches.
     *
-    * Small buckets (n ≤ subBucket) explode their pairs directly from the
-    * aggregated row. Oversized buckets split into `_ng = ceil(n /
-    * subBucket)` deterministic hash groups; each unordered block
+    * SINGLE-CONSUMER shape (r9 — the r8 small/big union made the merge
+    * aggregation above the reused exchange run twice): every kept bucket
+    * flows down ONE path. A bucket of n items splits into `_ng =
+    * ceil(n / subBucket)` deterministic hash groups — `_ng = 1` for the
+    * common small bucket, whose grid degenerates to the single diagonal
+    * block (bi = bj = 0) carrying the whole array. Each unordered block
     * (bi ≤ bj) of the group grid becomes its own row carrying just the
-    * two filtered sub-arrays, explicitly repartitioned so one bucket's
-    * ~_ng²/2 blocks explode on many tasks — the diagonal emits in-group
-    * pairs (array index i < j), cross blocks the full la × lb product;
-    * every unordered in-bucket pair lands in exactly one block.
-    * `mkPair(a, b)` renders a pair struct from two `_item` values and
-    * must be orientation-insensitive (collection order is
-    * partition-dependent).
+    * filtered sub-array(s), explicitly repartitioned so one viral
+    * bucket's ~_ng²/2 blocks explode on many tasks — the diagonal emits
+    * in-group pairs (array index i < j), cross blocks the full la × lb
+    * product; every unordered in-bucket pair lands in exactly one block.
+    * Diagonal blocks ship an EMPTY lb (it would duplicate la byte for
+    * byte through the shuffle). `mkPair(a, b)` renders a pair struct
+    * from two `_item` values and must be orientation-insensitive
+    * (collection order is partition-dependent).
     *
     * Exchange shape: ONE full-data exchange (the bounded aggregation;
     * map-side partials are also capped, so a viral bucket ships at most
     * `cap` items per map task), plus a bytes-tiny pinned repartition of
-    * the oversized buckets' block rows — pinned COUNT because the block
-    * rows are small but explode into up to subBucket² pairs each, and
-    * AQE's byte-based coalescing would fold them back onto one task.
+    * the block rows — pinned COUNT because the block rows are small but
+    * explode into up to subBucket² pairs each, and AQE's byte-based
+    * coalescing would fold them back onto one task.
     *
     * Note on the aggregation exec: a TypedImperativeAggregate plans as
     * ObjectHashAggregateExec, which past
     * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold`
     * (default 128) in-flight groups falls back to SORT-based
-    * aggregation within the task. That is still strictly better than
-    * the census-window shape this replaced (one sorted pass at worst
-    * vs a window sort consumed by two branches, and the partial/merge
-    * state stays capped either way) — but "no sort" is the hash regime,
-    * not a guarantee; raise the threshold in sessions where the extra
-    * aggregation memory is acceptable. */
+    * aggregation within the task. Band buckets number in the tens of
+    * thousands per task, so Bench/Verify sessions raise the threshold
+    * (state per group is capped at `cap` ids ≈ 80 KB worst case, and
+    * typical buckets hold 2–5) to keep both passes in the hash regime. */
   private[pipeline] def blockedPairs(df: DataFrame, keyCols: Seq[String],
       maxBucket: Int, subBucket: Int, mkPair: (String, String) => String)
       : DataFrame = {
@@ -147,26 +149,27 @@ object Dedup {
       s"transform(slice(la, i + 2, size(la) - i - 1), b -> ${mkPair("a", "b")})))"
     val cross =
       s"flatten(transform(la, a -> transform(lb, b -> ${mkPair("a", "b")})))"
-    val bounded = df.groupBy(keyCols.map(col): _*)
+    df.groupBy(keyCols.map(col): _*)
       .agg(graft.functions.BoundedCollectStruct
         .column(col("_item"),
           math.min(maxBucket.toLong + 1, Int.MaxValue).toInt).as("la"))
       .filter(size(col("la")).between(2, maxBucket))
-    val small = bounded.filter(size(col("la")) <= subBucket)
-      .select(explode(expr(intra)).as("p"))
-    val big = bounded.filter(size(col("la")) > subBucket)
       .withColumn("_ng",
         ceil(size(col("la")).cast("double") / subBucket).cast("int"))
       .select(keyCols.map(col) ++ Seq(col("la"), col("_ng"),
         explode(expr("flatten(transform(sequence(0, _ng - 1), i -> " +
           "transform(sequence(i, _ng - 1), j -> " +
           "struct(i AS bi, j AS bj))))")).as("_b")): _*)
-      // block rows carry only their two sub-arrays through the shuffle
+      // block rows carry only their two sub-arrays through the shuffle;
+      // _ng = 1 (the common small bucket) skips the per-element hash
+      // filter entirely, and diagonal blocks ship an empty lb
       .select(keyCols.map(col) ++ Seq(
         col("_b.bi").as("bi"), col("_b.bj").as("bj"),
-        expr("filter(la, x -> pmod(xxhash64(x._gid), cast(_ng AS bigint)) = _b.bi)")
+        expr("CASE WHEN _ng = 1 THEN la ELSE " +
+          "filter(la, x -> pmod(xxhash64(x._gid), cast(_ng AS bigint)) = _b.bi) END")
           .as("la"),
-        expr("filter(la, x -> pmod(xxhash64(x._gid), cast(_ng AS bigint)) = _b.bj)")
+        expr("CASE WHEN _b.bi = _b.bj THEN slice(la, 1, 0) ELSE " +
+          "filter(la, x -> pmod(xxhash64(x._gid), cast(_ng AS bigint)) = _b.bj) END")
           .as("lb")): _*)
       // drop empty/singleton blocks BEFORE the shuffle — hash-skewed
       // groups inside an oversized bucket can leave a block with nothing
@@ -177,7 +180,6 @@ object Dedup {
         keyCols.map(col) :+ col("bi") :+ col("bj"): _*)
       .select(explode(expr(
         s"CASE WHEN bi = bj THEN $intra ELSE $cross END")).as("p"))
-    small.union(big)
   }
 
   /** Candidate pairs (id_a < id_b) sharing at least one band bucket.
