@@ -29,7 +29,7 @@ object Bench {
       // band-bucket dedup aggregations carry tens of thousands of tiny
       // capped groups per task; keep ObjectHashAggregate in the hash
       // regime (state per group is bounded — see Dedup.blockedPairs)
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "262144")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

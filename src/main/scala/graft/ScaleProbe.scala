@@ -192,11 +192,71 @@ object ScaleProbe {
       val (b, s) = medians(n)
       (n, b, s, s / b)
     }
+    val skewJson = viralSkewProbe(spark)
     val json = results.map { case (n, b, s, r) =>
       f""""$n":{"base_sec":$b%.3f,"scale10_sec":$s%.3f,"ratio":$r%.2f}"""
-    }.mkString(s"""{"probe":"scale10","factor":$factor,"queries":{""", ",", "}}")
+    }.mkString(s"""{"probe":"scale10","factor":$factor,"queries":{""",
+      ",", s"""},"viral_skew":$skewJson}""")
     Files.writeString(Paths.get("BENCH_SCALE10.json"), json + "\n")
     spark.stop()
     println(json)
+  }
+
+  /** Viral-bucket skew stress (VERDICT r8 item 5): plant a 50k-member
+    * band bucket (beyond MaxBucket — the saturating bounded collect must
+    * DROP it at cap+1 state, so it costs ~nothing) and a just-under-cap
+    * 9 999-member bucket (~50M pairs — the sub-salt explode must SPREAD
+    * it across tasks), over a 100k-row unique-bucket background. The
+    * same candidates run with subBucket = ∞ reproduces the pre-salt
+    * single-task shape; the evidence is the explode stage's
+    * max-task/median-task duration ratio and the wall time. */
+  private def viralSkewProbe(spark: SparkSession): String = {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    import scala.collection.mutable
+
+    val viral = spark.range(0, 9999L)
+      .select(lit(0).as("band_idx"), lit("viral").as("band_key"),
+        col("id").as("doc_id"))
+    val dropped = spark.range(100000L, 150000L)
+      .select(lit(1).as("band_idx"), lit("dropped").as("band_key"),
+        col("id").as("doc_id"))
+    val background = spark.range(200000L, 300000L)
+      .select(lit(2).as("band_idx"),
+        concat(lit("bg_"), (col("id") / 2).cast("long").cast("string"))
+          .as("band_key"),
+        col("id").as("doc_id"))
+    val bands = viral.unionAll(dropped).unionAll(background)
+      .repartition(32).localCheckpoint() // freeze input: probe the explode only
+
+    val taskMs = mutable.Map[Int, mutable.ArrayBuffer[Long]]()
+    val listener = new SparkListener {
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit = taskMs.synchronized {
+        taskMs.getOrElseUpdate(e.stageId, mutable.ArrayBuffer()) +=
+          e.taskInfo.duration
+      }
+    }
+    def run(subBucket: Int): (Double, Long, Long, Long) = {
+      taskMs.synchronized(taskMs.clear())
+      spark.sparkContext.addSparkListener(listener)
+      val t0 = System.nanoTime()
+      graft.pipeline.Dedup.lshCandidates(bands, subBucket = subBucket)
+        .write.format("noop").mode("overwrite").save()
+      val wall = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.removeSparkListener(listener)
+      // the explode stage is the one doing the work: max total duration
+      val stage = taskMs.synchronized(taskMs.values.maxBy(_.sum).toVector)
+      val sorted = stage.sorted
+      (wall, sorted.last, sorted(sorted.size / 2), stage.size.toLong)
+    }
+    run(graft.pipeline.Dedup.SubBucket) // warm both paths once
+    run(Int.MaxValue)
+    val (wS, maxS, medS, nS) = run(graft.pipeline.Dedup.SubBucket)
+    val (wP, maxP, medP, nP) = run(Int.MaxValue)
+    bands.unpersist()
+    f"""{"planted_kept":9999,"planted_dropped":50000,"background":100000,""" +
+      f""""salted":{"wall_sec":$wS%.3f,"explode_max_task_ms":$maxS,""" +
+      f""""explode_median_task_ms":$medS,"explode_tasks":$nS},""" +
+      f""""presalt":{"wall_sec":$wP%.3f,"explode_max_task_ms":$maxP,""" +
+      f""""explode_median_task_ms":$medP,"explode_tasks":$nP}}"""
   }
 }

@@ -17,7 +17,7 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       // keep the dedup band-bucket aggregations in the hash regime
       // (capped per-group state — see Dedup.blockedPairs)
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "262144")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -50,11 +50,24 @@ object Dedup {
     (a, b)
   }
 
+  /** Spread a narrow input across the session's parallelism before a
+    * CPU-heavy map pass (per-word/shingle md5). A small corpus arrives
+    * as one or two parquet splits, and since the signature passes are
+    * now map-side-only (no exchange until the band-bucket aggregation),
+    * the whole hash pipeline would run on those few tasks. At real scale
+    * the input already has >= numShufflePartitions splits and this is a
+    * no-op — no unconditional shuffle of the corpus is ever added. */
+  private def spreadNarrow(df: DataFrame): DataFrame = {
+    if (df.isStreaming) return df // .rdd is illegal on streaming plans
+    val target = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** doc_id + distinct 3-shingle set (docs with <3 words dropped). */
   def shingleSets(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val w = TextHash.words(col(textCol))
-    docs.select(col(idCol).as("doc_id"), w.as("w"))
+    spreadNarrow(docs).select(col(idCol).as("doc_id"), w.as("w"))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"), TextHash.shingles3(col("w")).as("s"))
   }
@@ -62,29 +75,23 @@ object Dedup {
   /** MinHash signature bands: (doc_id, band_idx, band_key) with
     * `bands` bands of `rows` minhashes each.
     *
-    * Shape: explode shingle hashes once (md5 computed exactly once per
-    * shingle), then ONE hash aggregation computing all b·r affine minima
-    * as codegen'd partial aggregates. Shapes tried and rejected by
-    * measurement: per-band array expressions re-inlining the md5 b·r
-    * times (30× slower), and a zero-shuffle `array_min(transform(...))`
-    * per-row form (2× slower — each of the 64 transforms materializes a
-    * fresh array per row; the aggregates stay primitive and the exchange
-    * is cheaper than the allocation storm). */
-  def minhashBands(sets: DataFrame, bands: Int, rows: Int): DataFrame = {
-    val hashed = sets
-      .select(col("doc_id"), explode(TextHash.hashAll(col("s"))).as("x0"))
-      .select(col("doc_id"), (col("x0") % P).as("x"))
-    val sigAggs: Seq[Column] = (0 until bands * rows).map { i =>
-      val (a, b) = perm(i)
-      min((lit(a) * col("x") + lit(b)) % P).as(s"_sig$i")
-    }
-    val sigs = hashed.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
-    val bandKeys: Seq[Column] = (0 until bands).map { j =>
-      concat_ws("_", (j * rows until (j + 1) * rows).map(i => col(s"_sig$i")): _*)
-    }
-    sigs.select(col("doc_id"),
-        posexplode(array(bandKeys: _*)).as(Seq("band_idx", "band_key")))
-  }
+    * Shape (r9): all b·r affine minima AND the underscore-joined band
+    * keys in ONE map-side traversal per doc
+    * ([[graft.functions.MinHashBandsExpr]], consumed once by the
+    * posexplode generator), so the stage has NO explode of shingle rows
+    * and NO doc_id exchange; md5 is still computed exactly once per
+    * shingle. Shapes tried and rejected by measurement: per-shingle
+    * explode + 64 min-aggregates (the r8 shape — a full-corpus explode
+    * plus a shuffle of the shingle multiset, ~0.5 s of the sf0.1 bench);
+    * a sigs-array expression consumed by 64 `getItem` band projections
+    * (CollapseProject inlines the pass 64× — 5× slower than even the
+    * aggregate); per-band array expressions re-inlining the md5 b·r
+    * times (30× slower). */
+  def minhashBands(sets: DataFrame, bands: Int, rows: Int): DataFrame =
+    sets.select(col("doc_id"),
+      posexplode(graft.functions.MinHashBandsExpr.column(
+        TextHash.hashAll(col("s")), bands, rows))
+        .as(Seq("band_idx", "band_key")))
 
   /** Band buckets larger than this are dropped from candidate generation
     * — a bucket this size is boilerplate pathology (one viral band key
@@ -377,26 +384,18 @@ object Dedup {
     * a few bits (hamming distance); clustering then groups on rotated
     * signature chunks, not pairwise. */
   def simhash(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", bits: Int = 60): DataFrame = {
-    val wordHashes = docs
-      .select(col(idCol).as("doc_id"),
-        explode(TextHash.words(col(textCol))).as("word"))
-      .select(col("doc_id"), TextHash.hex60(col("word")).as("x"))
-    // ONE hash aggregation with `bits` cheap popcount sums (codegen'd,
-    // map-side combined). The previous bit-explode shape pushed
-    // words × bits rows through TWO shuffles — 60× the shuffle volume for
-    // the same integer result (same lesson as the minhash single-pass
-    // signature aggregate). Bit j is set iff 2·ones_j > n_words
-    // ⟺ Σ_words (2·bit_j − 1) > 0.
-    val ones = (0 until bits).map(j =>
-      sum(expr(s"shiftright(x, $j) & 1")).as(s"_o$j"))
-    wordHashes.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("_n"), ones: _*)
-      .select(col("doc_id"),
-        (0 until bits).map(j =>
-          when(col(s"_o$j") * 2 > col("_n"), lit(1L << j)).otherwise(0L))
-          .reduce(_ + _).as("simhash"))
-  }
+      textCol: String = "text", bits: Int = 60): DataFrame =
+    // ONE map-side pass per doc over the word-hash array
+    // ([[graft.functions.SimHashSigExpr]]; md5 once per word): zero
+    // extra rows, zero shuffle. Shapes this replaced, each measured:
+    // per-word explode + 60 popcount sums (the r8 form — shuffles the
+    // word multiset for a per-doc pure function), and the original
+    // bit-explode (words × bits rows through TWO shuffles). The result
+    // column is bit-identical — bit j set iff 2·ones_j > n_words.
+    spreadNarrow(docs).select(col(idCol).as("doc_id"),
+        graft.functions.SimHashSigExpr.column(
+          TextHash.hashAll(TextHash.words(col(textCol))), bits).as("simhash"))
+      .filter(col("simhash").isNotNull)
 
   /** SimHash near-duplicate pairs via pigeonhole band buckets: the
     * `bits`-bit signature splits into `bands` disjoint chunks, and two

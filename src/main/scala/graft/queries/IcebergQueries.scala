@@ -772,7 +772,42 @@ object IcebergQueries {
       FROM graftfix.orders_lineage GROUP BY 1 ORDER BY seq""")
   }
 
+  /** Write-audit-publish: stage an append on an audit branch (main stays
+    * pinned), then publish fast-forwards main to the branch head. The
+    * `staged` row reads main BETWEEN the branch append and the publish —
+    * even rows only; the `published` row reads main after — all rows.
+    * Both scans pin their loaded metadata, so the result is stable
+    * regardless of evaluation order (snapshot isolation of the load). */
+  val i36 = Q.sql(
+    "i36_wap_publish",
+    """SELECT 'published' AS stage, count(*)::BIGINT AS n,
+      |  CAST(sum(c_custkey) AS BIGINT) AS keysum FROM customer
+      |UNION ALL
+      |SELECT 'staged', count(*)::BIGINT, CAST(sum(c_custkey) AS BIGINT)
+      |FROM customer WHERE c_custkey % 2 = 0
+      |ORDER BY stage""".stripMargin
+  ) { (s, d) =>
+    val wh = java.nio.file.Files.createTempDirectory("graft-wap-").toString
+    val catalog = new graft.catalog.HadoopCatalog(wh, graft.io.FileIO.fromSpark(s))
+    val src = graft.Tables.customer(s, d).select("c_custkey")
+    var t = graft.table.GraftTable.create("wap", catalog,
+      graft.spec.IcebergSchema.fromSpark(src.schema))
+    t = t.append(src.filter(col("c_custkey") % 2 === 0).repartition(2))
+    t = t.createBranch("audit")
+    t = t.appendToBranch(src.filter(col("c_custkey") % 2 === 1).repartition(2),
+      "audit")
+    val mainStaged = graft.table.GraftTable.load("wap", catalog) // pre-publish pin
+    t.publish("audit")
+    val mainPublished = graft.table.GraftTable.load("wap", catalog)
+    def agg(tt: graft.table.GraftTable, stage: String) = tt.newScan().toDF(s)
+      .agg(count(lit(1)).as("n"), sum(col("c_custkey")).cast("long").as("keysum"))
+      .withColumn("stage", lit(stage))
+    agg(mainPublished, "published").unionAll(agg(mainStaged, "staged"))
+      .select(col("stage"), col("n"), col("keysum"))
+      .orderBy(col("stage"))
+  }
+
   val all: Seq[Q] = Seq(i01, i02, i03, i04, i05, i06, i07, i08, i09, i10,
     i11, i12, i13, i14, i15, i16, i17, i18, i19, i20, i21, i22, i23, i24, i25,
-    i26, i27, i28, i29, i30, i31, i32, i33, i34, i35)
+    i26, i27, i28, i29, i30, i31, i32, i33, i34, i35, i36)
 }

@@ -209,5 +209,53 @@ object WritePathQueries {
       .orderBy(col("source"))
   }
 
-  val all: Seq[Q] = Seq(w01, w02, w03, w04, w05)
+  /** Atomic upsert (eq-delete + append in ONE snapshot), checked at BOTH
+    * MoR stages: `mor` reads through the live equality delete, `folded`
+    * reads after rewriteDataFiles compacted the delete away — both must
+    * agree with the oracle's replace-then-union semantics. The upsert
+    * batch replaces every o_orderkey % 10 = 0 row (custkey + 1000000) and
+    * inserts fresh rows under shifted keys (no key collision). */
+  val w06 = Q.sql(
+    "w06_upsert_fold",
+    """WITH ups AS (
+      |  SELECT o_orderkey, o_custkey + 1000000 AS o_custkey, o_orderstatus
+      |  FROM orders WHERE o_orderkey % 10 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 100000000, o_custkey, o_orderstatus
+      |  FROM orders WHERE o_orderkey % 1000 = 0),
+      |final AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+      |  WHERE o_orderkey % 10 <> 0
+      |  UNION ALL SELECT * FROM ups)
+      |SELECT s.stage, f.o_orderstatus, count(*)::BIGINT AS n,
+      |  CAST(sum(f.o_custkey) AS BIGINT) AS custsum,
+      |  CAST(sum(f.o_orderkey) AS BIGINT) AS keysum
+      |FROM (VALUES ('folded'), ('mor')) s(stage), final f
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  ) { (s, d) =>
+    val (catalog, _) = fresh(s, "ups")
+    val src = Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_orderstatus")
+    var t = GraftTable.create("wups", catalog, IcebergSchema.fromSpark(src.schema))
+    t = t.append(src.repartition(8))
+    val batch = src.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_custkey", col("o_custkey") + 1000000)
+      .unionAll(src.filter(col("o_orderkey") % 1000 === 0)
+        .select((col("o_orderkey") + 100000000).as("o_orderkey"),
+          col("o_custkey"), col("o_orderstatus")))
+    t = t.upsert(batch, Seq("o_orderkey"))
+    def agg(tt: GraftTable, stage: String) = tt.newScan().toDF(s)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_custkey")).cast("long").as("custsum"),
+        sum(col("o_orderkey")).cast("long").as("keysum"))
+      .withColumn("stage", lit(stage))
+    val mor = agg(t, "mor")
+    val folded = agg(t.rewriteDataFiles(s), "folded")
+    folded.unionAll(mor)
+      .select(col("stage"), col("o_orderstatus"), col("n"),
+        col("custsum"), col("keysum"))
+      .orderBy(col("stage"), col("o_orderstatus"))
+  }
+
+  val all: Seq[Q] = Seq(w01, w02, w03, w04, w05, w06)
 }

@@ -75,6 +75,20 @@ final class GraftChangelogSource(
   private val maxSnaps =
     GraftMicroBatchStream.positiveIntOption(options, "max-snapshots-per-micro-batch")
 
+  // row-based admission (`max-rows-per-micro-batch`, shared with the
+  // append stream): the window extends while the cumulative CHANGE-row
+  // weight — added-records + deleted-records, since a changelog batch
+  // emits delete rows too — stays under the cap. A single fat snapshot
+  // is still one batch (the snapshot is the atomic replay unit), but a
+  // backlog of many snapshots drains in row-bounded windows instead of
+  // whatever the snapshot-count cap happens to weigh.
+  private val maxRows =
+    GraftMicroBatchStream.positiveLongOption(options, "max-rows-per-micro-batch")
+
+  private def changeRows(s: graft.spec.Snapshot): Long =
+    GraftMicroBatchStream.summaryLong(s, "added-records") +
+      GraftMicroBatchStream.summaryLong(s, "deleted-records")
+
   override val schema: StructType = Changelog.outputSchema(reload())
 
   override def getOffset: Option[org.apache.spark.sql.execution.streaming.Offset] =
@@ -91,7 +105,7 @@ final class GraftChangelogSource(
   // instead and must drain the whole backlog in its one batch
   override def getDefaultReadLimit
       : org.apache.spark.sql.connector.read.streaming.ReadLimit =
-    GraftMicroBatchStream.defaultLimit(maxSnaps, Long.MaxValue)
+    GraftMicroBatchStream.defaultLimit(maxSnaps, maxRows)
 
   override def latestOffset(
       start: org.apache.spark.sql.connector.read.streaming.Offset,
@@ -110,10 +124,10 @@ final class GraftChangelogSource(
       val i = pending.indexWhere(_.snapshotId == tgt)
       pending = if (i < 0) Nil else pending.take(i + 1)
     }
-    val (snapCap, _) = GraftMicroBatchStream.caps(limit)
-    if (pending.isEmpty) Option(start).getOrElse(null)
-    else GraftChangelogOffset(
-      pending(math.min(pending.size, snapCap) - 1).snapshotId)
+    GraftMicroBatchStream.admit(pending, limit, changeRows) match {
+      case Some(s) => GraftChangelogOffset(s.snapshotId)
+      case None => Option(start).getOrElse(null)
+    }
   }
 
   override def reportLatestOffset()

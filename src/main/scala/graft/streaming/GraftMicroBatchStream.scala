@@ -70,15 +70,8 @@ final class GraftMicroBatchStream(
     options.get("streaming-skip-delete-snapshots").contains("true")
   private val maxSnaps =
     GraftMicroBatchStream.positiveIntOption(options, "max-snapshots-per-micro-batch")
-  private val maxRowsOpt = options.get("max-rows-per-micro-batch")
-    .map { v =>
-      val n = try v.toLong catch {
-        case _: NumberFormatException => throw new IllegalArgumentException(
-          s"max-rows-per-micro-batch must be a positive integer, got '$v'")
-      }
-      require(n > 0, s"max-rows-per-micro-batch must be positive, got $n")
-      n
-    }.getOrElse(Long.MaxValue)
+  private val maxRowsOpt = GraftMicroBatchStream.positiveLongOption(
+    options, "max-rows-per-micro-batch")
 
   override def initialOffset(): Offset =
     if (startFromLatest)
@@ -113,26 +106,12 @@ final class GraftMicroBatchStream(
       val i = pending.indexWhere(_.snapshotId == tgt)
       pending = if (i < 0) Nil else pending.take(i + 1)
     }
-    if (pending.isEmpty) return start
-    // admission caps come from the PASSED limit (usually our own
-    // default; allAvailable — e.g. Trigger.Once — means uncapped);
-    // row-based admission advances while the cumulative added-records
-    // stays under the cap — always at least one snapshot, snapshots
-    // being the atomic replay unit
-    val (snapCap, rowCap) = GraftMicroBatchStream.caps(limit)
-    var taken = 0
-    var rows = 0L
-    while (taken < pending.size && taken < snapCap &&
-        (taken == 0 || rows + addedRecords(pending(taken)) <= rowCap)) {
-      rows += addedRecords(pending(taken))
-      taken += 1
+    GraftMicroBatchStream.admit(pending, limit,
+        s => GraftMicroBatchStream.summaryLong(s, "added-records")) match {
+      case Some(s) => GraftStreamOffset(s.snapshotId)
+      case None => start
     }
-    GraftStreamOffset(pending(taken - 1).snapshotId)
   }
-
-  private def addedRecords(s: Snapshot): Long =
-    s.summary.get("added-records").flatMap(v =>
-      scala.util.Try(v.toLong).toOption).getOrElse(0L)
 
   override def reportLatestOffset(): Offset =
     GraftStreamOffset(reload().metadata.currentSnapshotId.getOrElse(-1L))
@@ -196,6 +175,44 @@ object GraftMicroBatchStream {
       require(n > 0, s"$name must be positive, got $n")
       n
     }.getOrElse(Int.MaxValue)
+
+  /** Parse a positive-long option (row caps) with a clear error at query
+    * start. */
+  private[streaming] def positiveLongOption(options: Map[String, String],
+      name: String): Long =
+    options.get(name).map { v =>
+      val n = try v.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$name must be a positive integer, got '$v'")
+      }
+      require(n > 0, s"$name must be positive, got $n")
+      n
+    }.getOrElse(Long.MaxValue)
+
+  /** A snapshot-summary counter as a Long (0 when absent or garbled —
+    * admission degrades to snapshot-count capping, never fails a read). */
+  private[streaming] def summaryLong(s: Snapshot, key: String): Long =
+    s.summary.get(key).flatMap(v =>
+      scala.util.Try(v.toLong).toOption).getOrElse(0L)
+
+  /** Admission decision shared by the append and changelog sources: the
+    * snapshot the next batch should advance to, given the pending
+    * ancestry (oldest first) and the engine-passed limit. Row-based
+    * admission accumulates `rowWeight` while under the row cap — always
+    * at least one snapshot, snapshots being the atomic replay unit. */
+  private[streaming] def admit(pending: List[Snapshot], limit: ReadLimit,
+      rowWeight: Snapshot => Long): Option[Snapshot] = {
+    if (pending.isEmpty) return None
+    val (snapCap, rowCap) = caps(limit)
+    var taken = 0
+    var rows = 0L
+    while (taken < pending.size && taken < snapCap &&
+        (taken == 0 || rows + rowWeight(pending(taken)) <= rowCap)) {
+      rows += rowWeight(pending(taken))
+      taken += 1
+    }
+    Some(pending(taken - 1))
+  }
 
   /** The source's default admission limit from its options; allAvailable
     * when no option caps anything. */

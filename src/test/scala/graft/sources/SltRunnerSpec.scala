@@ -126,7 +126,27 @@ class SltRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  /** Temp views over the DataFrame-API dedup pipelines so the SLT corpus
+    * can pin their plan shape (slt 21) with the same EXPLAIN discipline
+    * the SQL surfaces get — no Window, no CartesianProduct, bounded
+    * ObjectHashAggregate present. */
+  private def registerDedupViews(): Unit = {
+    import spark.implicits._
+    val docs = (1L to 40L).map(i =>
+      (i, s"the quick brown fox ${i % 4} jumps over the lazy dog ${i % 4}"))
+      .toDF("doc_id", "text")
+    graft.pipeline.Dedup.lshCandidates(
+      graft.pipeline.Dedup.minhashBands(
+        graft.pipeline.Dedup.shingleSets(docs), bands = 4, rows = 2))
+      .createOrReplaceTempView("slt_lsh_candidates")
+    graft.pipeline.Dedup.hammingNearDups(
+      graft.pipeline.Dedup.simhash(docs), "simhash",
+      maxHamming = 3, bands = 4, bits = 60)
+      .createOrReplaceTempView("slt_hamming_neardups")
+  }
+
   registerCatalog()
+  registerDedupViews()
   private lazy val files = Files.list(sltDir).iterator().asScala.toSeq
     .filter(_.toString.endsWith(".slt")).sortBy(_.getFileName.toString)
 

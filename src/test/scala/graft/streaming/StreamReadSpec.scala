@@ -225,6 +225,32 @@ class StreamReadSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(normalize(spark.read.parquet(outDir)) === batch)
   }
 
+  test("changelog admission control: max-rows drains a 100k-row backlog in bounded batches") {
+    import spark.implicits._
+    val warehouse = tmp("graft-sr8-")
+    val catalog = new HadoopCatalog(warehouse, FileIO.fromSpark(spark))
+    var t = GraftTable.create("sr8", catalog, schema)
+    // 100k-row backlog committed as ten 10k-row snapshots, plus one FAT
+    // 30k-row snapshot that exceeds the cap on its own
+    for (k <- 0 until 10)
+      t = t.append((1L to 10000L).map(i => (k * 10000L + i, 1.0)).toDF("id", "v"))
+    t = t.append((1L to 30000L).map(i => (100000L + i, 2.0)).toDF("id", "v"))
+
+    val outDir = tmp("sr8-out-"); val ckpt = tmp("sr8-ckpt-")
+    runAvailableNow(readStream(warehouse, "sr8", "read-changelog" -> "true",
+      "max-rows-per-micro-batch" -> "25000"), outDir, ckpt)
+    val out = spark.read.parquet(outDir)
+    assert(out.count() === 130000L)
+    assert(out.select("id").distinct().count() === 130000L)
+    // window admission by added-records: 10k+10k fits under 25k, a third
+    // snapshot would overflow → five 2-snapshot batches; the 30k fat
+    // snapshot exceeds the cap alone and still drains as ITS OWN batch
+    // (the snapshot is the atomic replay unit) → 6 total
+    val batches = new java.io.File(ckpt, "commits").listFiles()
+      .count(f => f.getName.forall(_.isDigit))
+    assert(batches === 6, s"expected 6 row-capped micro-batches, got $batches")
+  }
+
   test("Trigger.Once drains the whole backlog despite per-batch caps") {
     import spark.implicits._
     val warehouse = tmp("graft-sr7-")
