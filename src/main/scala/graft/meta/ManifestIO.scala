@@ -35,11 +35,32 @@ object ManifestIO {
 
   private def prim(t: Schema.Type): Schema = Schema.create(t)
 
-  private def kvArray(name: String, valueType: Schema.Type): Schema = {
+  // Spec field-ids ride the Avro schema as `field-id` props (and
+  // `element-id` on plain arrays) — the layout Java Iceberg writes
+  // (testdata/avro_schema_manifest_{entry,file_v2}.json), so id-based
+  // foreign readers can project our manifests.
+  private def fld(name: String, s: Schema, id: Int): Schema.Field = {
+    val f = new Schema.Field(name, s, null, null)
+    f.addProp("field-id", Integer.valueOf(id))
+    f
+  }
+  private def fldOpt(name: String, s: Schema, id: Int): Schema.Field = {
+    val f = new Schema.Field(name, nullable(s), null, Schema.Field.NULL_DEFAULT_VALUE)
+    f.addProp("field-id", Integer.valueOf(id))
+    f
+  }
+  private def arr(elem: Schema, elementId: Int): Schema = {
+    val a = Schema.createArray(elem)
+    a.addProp("element-id", Integer.valueOf(elementId))
+    a
+  }
+
+  private def kvArray(name: String, valueType: Schema.Type,
+      keyId: Int, valueId: Int): Schema = {
     val rec = Schema.createRecord(name, null, "iceberg", false)
     rec.setFields(java.util.List.of(
-      new Schema.Field("key", prim(Schema.Type.INT), null, null),
-      new Schema.Field("value", prim(valueType), null, null)))
+      fld("key", prim(Schema.Type.INT), keyId),
+      fld("value", prim(valueType), valueId)))
     Schema.createArray(rec)
   }
 
@@ -58,8 +79,7 @@ object ManifestIO {
   def partitionAvroSchema(partType: StructT): Schema = {
     val rec = Schema.createRecord("r102", null, "iceberg", false)
     rec.setFields(partType.fields.map { f =>
-      new Schema.Field(avroSafe(f.name), nullable(partitionFieldAvro(f.fieldType)), null,
-        Schema.Field.NULL_DEFAULT_VALUE)
+      fldOpt(avroSafe(f.name), partitionFieldAvro(f.fieldType), f.id)
     }.asJava)
     rec
   }
@@ -74,67 +94,67 @@ object ManifestIO {
   def dataFileSchema(partType: StructT): Schema = {
     val rec = Schema.createRecord("r2", null, "iceberg", false)
     rec.setFields(java.util.List.of(
-      new Schema.Field("content", prim(Schema.Type.INT), null, null),
-      new Schema.Field("file_path", prim(Schema.Type.STRING), null, null),
-      new Schema.Field("file_format", prim(Schema.Type.STRING), null, null),
-      new Schema.Field("partition", partitionAvroSchema(partType), null, null),
-      new Schema.Field("record_count", prim(Schema.Type.LONG), null, null),
-      new Schema.Field("file_size_in_bytes", prim(Schema.Type.LONG), null, null),
-      new Schema.Field("column_sizes", nullable(kvArray("k117_v118", Schema.Type.LONG)), null, Schema.Field.NULL_DEFAULT_VALUE),
-      new Schema.Field("value_counts", nullable(kvArray("k119_v120", Schema.Type.LONG)), null, Schema.Field.NULL_DEFAULT_VALUE),
-      new Schema.Field("null_value_counts", nullable(kvArray("k121_v122", Schema.Type.LONG)), null, Schema.Field.NULL_DEFAULT_VALUE),
-      new Schema.Field("nan_value_counts", nullable(kvArray("k138_v139", Schema.Type.LONG)), null, Schema.Field.NULL_DEFAULT_VALUE),
-      new Schema.Field("lower_bounds", nullable(kvArray("k126_v127", Schema.Type.BYTES)), null, Schema.Field.NULL_DEFAULT_VALUE),
-      new Schema.Field("upper_bounds", nullable(kvArray("k129_v130", Schema.Type.BYTES)), null, Schema.Field.NULL_DEFAULT_VALUE),
-      new Schema.Field("split_offsets", nullable(Schema.createArray(prim(Schema.Type.LONG))), null, Schema.Field.NULL_DEFAULT_VALUE),
-      new Schema.Field("equality_ids", nullable(Schema.createArray(prim(Schema.Type.INT))), null, Schema.Field.NULL_DEFAULT_VALUE),
-      new Schema.Field("sort_order_id", nullable(prim(Schema.Type.INT)), null, Schema.Field.NULL_DEFAULT_VALUE),
-      new Schema.Field("referenced_data_file", nullable(prim(Schema.Type.STRING)), null, Schema.Field.NULL_DEFAULT_VALUE),
-      new Schema.Field("content_offset", nullable(prim(Schema.Type.LONG)), null, Schema.Field.NULL_DEFAULT_VALUE),
-      new Schema.Field("content_size_in_bytes", nullable(prim(Schema.Type.LONG)), null, Schema.Field.NULL_DEFAULT_VALUE),
-      new Schema.Field("first_row_id", nullable(prim(Schema.Type.LONG)), null, Schema.Field.NULL_DEFAULT_VALUE)))
+      fld("content", prim(Schema.Type.INT), 134),
+      fld("file_path", prim(Schema.Type.STRING), 100),
+      fld("file_format", prim(Schema.Type.STRING), 101),
+      fld("partition", partitionAvroSchema(partType), 102),
+      fld("record_count", prim(Schema.Type.LONG), 103),
+      fld("file_size_in_bytes", prim(Schema.Type.LONG), 104),
+      fldOpt("column_sizes", kvArray("k117_v118", Schema.Type.LONG, 117, 118), 108),
+      fldOpt("value_counts", kvArray("k119_v120", Schema.Type.LONG, 119, 120), 109),
+      fldOpt("null_value_counts", kvArray("k121_v122", Schema.Type.LONG, 121, 122), 110),
+      fldOpt("nan_value_counts", kvArray("k138_v139", Schema.Type.LONG, 138, 139), 137),
+      fldOpt("lower_bounds", kvArray("k126_v127", Schema.Type.BYTES, 126, 127), 125),
+      fldOpt("upper_bounds", kvArray("k129_v130", Schema.Type.BYTES, 129, 130), 128),
+      fldOpt("split_offsets", arr(prim(Schema.Type.LONG), 133), 132),
+      fldOpt("equality_ids", arr(prim(Schema.Type.INT), 136), 135),
+      fldOpt("sort_order_id", prim(Schema.Type.INT), 140),
+      fldOpt("referenced_data_file", prim(Schema.Type.STRING), 143),
+      fldOpt("content_offset", prim(Schema.Type.LONG), 144),
+      fldOpt("content_size_in_bytes", prim(Schema.Type.LONG), 145),
+      fldOpt("first_row_id", prim(Schema.Type.LONG), 142)))
     rec
   }
 
   def manifestEntrySchema(partType: StructT): Schema = {
     val rec = Schema.createRecord("manifest_entry", null, "iceberg", false)
     rec.setFields(java.util.List.of(
-      new Schema.Field("status", prim(Schema.Type.INT), null, null),
-      new Schema.Field("snapshot_id", nullable(prim(Schema.Type.LONG)), null, Schema.Field.NULL_DEFAULT_VALUE),
-      new Schema.Field("sequence_number", nullable(prim(Schema.Type.LONG)), null, Schema.Field.NULL_DEFAULT_VALUE),
-      new Schema.Field("file_sequence_number", nullable(prim(Schema.Type.LONG)), null, Schema.Field.NULL_DEFAULT_VALUE),
-      new Schema.Field("data_file", dataFileSchema(partType), null, null)))
+      fld("status", prim(Schema.Type.INT), 0),
+      fldOpt("snapshot_id", prim(Schema.Type.LONG), 1),
+      fldOpt("sequence_number", prim(Schema.Type.LONG), 3),
+      fldOpt("file_sequence_number", prim(Schema.Type.LONG), 4),
+      fld("data_file", dataFileSchema(partType), 2)))
     rec
   }
 
   lazy val fieldSummarySchema: Schema = {
     val rec = Schema.createRecord("r508", null, "iceberg", false)
     rec.setFields(java.util.List.of(
-      new Schema.Field("contains_null", prim(Schema.Type.BOOLEAN), null, null),
-      new Schema.Field("contains_nan", nullable(prim(Schema.Type.BOOLEAN)), null, Schema.Field.NULL_DEFAULT_VALUE),
-      new Schema.Field("lower_bound", nullable(prim(Schema.Type.BYTES)), null, Schema.Field.NULL_DEFAULT_VALUE),
-      new Schema.Field("upper_bound", nullable(prim(Schema.Type.BYTES)), null, Schema.Field.NULL_DEFAULT_VALUE)))
+      fld("contains_null", prim(Schema.Type.BOOLEAN), 509),
+      fldOpt("contains_nan", prim(Schema.Type.BOOLEAN), 518),
+      fldOpt("lower_bound", prim(Schema.Type.BYTES), 510),
+      fldOpt("upper_bound", prim(Schema.Type.BYTES), 511)))
     rec
   }
 
   lazy val manifestFileSchema: Schema = {
     val rec = Schema.createRecord("manifest_file", null, "iceberg", false)
     rec.setFields(java.util.List.of(
-      new Schema.Field("manifest_path", prim(Schema.Type.STRING), null, null),
-      new Schema.Field("manifest_length", prim(Schema.Type.LONG), null, null),
-      new Schema.Field("partition_spec_id", prim(Schema.Type.INT), null, null),
-      new Schema.Field("content", prim(Schema.Type.INT), null, null),
-      new Schema.Field("sequence_number", prim(Schema.Type.LONG), null, null),
-      new Schema.Field("min_sequence_number", prim(Schema.Type.LONG), null, null),
-      new Schema.Field("added_snapshot_id", prim(Schema.Type.LONG), null, null),
-      new Schema.Field("added_files_count", prim(Schema.Type.INT), null, null),
-      new Schema.Field("existing_files_count", prim(Schema.Type.INT), null, null),
-      new Schema.Field("deleted_files_count", prim(Schema.Type.INT), null, null),
-      new Schema.Field("added_rows_count", prim(Schema.Type.LONG), null, null),
-      new Schema.Field("existing_rows_count", prim(Schema.Type.LONG), null, null),
-      new Schema.Field("deleted_rows_count", prim(Schema.Type.LONG), null, null),
-      new Schema.Field("partitions", nullable(Schema.createArray(fieldSummarySchema)), null, Schema.Field.NULL_DEFAULT_VALUE),
-      new Schema.Field("key_metadata", nullable(prim(Schema.Type.BYTES)), null, Schema.Field.NULL_DEFAULT_VALUE)))
+      fld("manifest_path", prim(Schema.Type.STRING), 500),
+      fld("manifest_length", prim(Schema.Type.LONG), 501),
+      fld("partition_spec_id", prim(Schema.Type.INT), 502),
+      fld("content", prim(Schema.Type.INT), 517),
+      fld("sequence_number", prim(Schema.Type.LONG), 515),
+      fld("min_sequence_number", prim(Schema.Type.LONG), 516),
+      fld("added_snapshot_id", prim(Schema.Type.LONG), 503),
+      fld("added_files_count", prim(Schema.Type.INT), 504),
+      fld("existing_files_count", prim(Schema.Type.INT), 505),
+      fld("deleted_files_count", prim(Schema.Type.INT), 506),
+      fld("added_rows_count", prim(Schema.Type.LONG), 512),
+      fld("existing_rows_count", prim(Schema.Type.LONG), 513),
+      fld("deleted_rows_count", prim(Schema.Type.LONG), 514),
+      fldOpt("partitions", arr(fieldSummarySchema, 508), 507),
+      fldOpt("key_metadata", prim(Schema.Type.BYTES), 519)))
     rec
   }
 

@@ -336,6 +336,56 @@ object TableMetadata {
   def fromJson(n: JsonNode): TableMetadata = {
     val fv = n("format-version").asInt()
     require(fv >= 1 && fv <= 3, s"unsupported format-version $fv")
+
+    // --- schema resolution (table_metadata.rs TableMetadataEnum): a
+    // valid `schemas` + `current-schema-id` pair wins; v1 falls back to
+    // the legacy singular `schema` when the pair is absent or broken; a
+    // v2+ file with a broken pair is rejected with the id it named.
+    val schemasOpt = n.opt("schemas").map(_.elems.map(IcebergSchema.schemaFromJson))
+    val currentIdOpt = n.opt("current-schema-id").map(_.asInt())
+    val (schemas, currentSchemaId) = (schemasOpt, currentIdOpt) match {
+      case (Some(ss), Some(id)) if ss.exists(_.schemaId == id) => (ss, id)
+      case _ if fv == 1 && n.opt("schema").isDefined =>
+        val s = IcebergSchema.schemaFromJson(n("schema"))
+        (Seq(s), s.schemaId)
+      case (Some(_), Some(id)) => throw new IllegalArgumentException(
+        s"No schema exists with the current schema id $id.")
+      case _ => throw new IllegalArgumentException(
+        "No valid schema configuration found in table metadata")
+    }
+
+    // --- partition-spec resolution: modern `partition-specs` +
+    // `default-spec-id`; v1 may omit the default (→ the LARGEST spec id,
+    // the reference's inference) or carry only the legacy singular
+    // `partition-spec` field list (spec-id 0; field-ids assigned from
+    // 1000 when absent); v2+ requires the modern pair.
+    val specsOpt = n.opt("partition-specs").map(_.elems.map(PartitionSpec.fromJson))
+    val (partitionSpecs, defaultSpecId) = (specsOpt, n.opt("default-spec-id")) match {
+      case (Some(ss), Some(id)) => (ss, id.asInt())
+      case (Some(ss), None) if fv == 1 && ss.nonEmpty =>
+        (ss, ss.map(_.specId).max)
+      case (None, _) if fv == 1 && n.opt("partition-spec").isDefined =>
+        val fields = n("partition-spec").elems.zipWithIndex.map { case (f, i) =>
+          PartitionField(
+            sourceId = f("source-id").asInt(),
+            fieldId = f.opt("field-id").map(_.asInt())
+              .getOrElse(PartitionSpec.StartFieldId + i),
+            name = f("name").asText(),
+            transform = Transform.parse(f("transform").asText()))
+        }
+        (Seq(PartitionSpec(0, fields)), 0)
+      case (None, _) if fv == 1 =>
+        (Seq(PartitionSpec.unpartitioned), 0)
+      case _ => throw new IllegalArgumentException(
+        "table metadata requires partition-specs and default-spec-id")
+    }
+
+    // v2+ requires sort-orders and last-partition-id; v1 derives them
+    if (fv >= 2 && n.opt("sort-orders").isEmpty)
+      throw new IllegalArgumentException("v2+ table metadata requires sort-orders")
+    if (fv >= 2 && n.opt("last-partition-id").isEmpty)
+      throw new IllegalArgumentException("v2+ table metadata requires last-partition-id")
+
     TableMetadata(
       formatVersion = fv,
       tableUuid = n("table-uuid").asText(),
@@ -343,12 +393,13 @@ object TableMetadata {
       lastSequenceNumber = n.opt("last-sequence-number").map(_.asLong()).getOrElse(0L),
       lastUpdatedMs = n("last-updated-ms").asLong(),
       lastColumnId = n("last-column-id").asInt(),
-      schemas = n("schemas").elems.map(IcebergSchema.schemaFromJson),
-      currentSchemaId = n("current-schema-id").asInt(),
-      partitionSpecs = n("partition-specs").elems.map(PartitionSpec.fromJson),
-      defaultSpecId = n("default-spec-id").asInt(),
+      schemas = schemas,
+      currentSchemaId = currentSchemaId,
+      partitionSpecs = partitionSpecs,
+      defaultSpecId = defaultSpecId,
       lastPartitionId = n.opt("last-partition-id").map(_.asInt())
-        .getOrElse(PartitionSpec.StartFieldId - 1),
+        .getOrElse(partitionSpecs.map(_.lastAssignedFieldId)
+          .maxOption.getOrElse(PartitionSpec.StartFieldId - 1)),
       sortOrders = n.opt("sort-orders").map(_.elems.map(SortOrder.fromJson))
         .getOrElse(Seq(SortOrder.unsorted)),
       defaultSortOrderId = n.opt("default-sort-order-id").map(_.asInt()).getOrElse(0),

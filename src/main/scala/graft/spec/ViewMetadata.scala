@@ -108,17 +108,30 @@ final case class ViewMetadata(
 object ViewMetadata {
   def fromJsonString(s: String): ViewMetadata = fromJson(Json.parse(s))
 
-  def fromJson(n: JsonNode): ViewMetadata = ViewMetadata(
-    viewUuid = n("view-uuid").asText(),
-    formatVersion = n("format-version").asInt(),
-    location = n("location").asText(),
-    currentVersionId = n("current-version-id").asInt(),
-    versions = n("versions").elems.map(ViewVersion.fromJson),
-    schemas = n.opt("schemas").map(_.elems.map(IcebergSchema.schemaFromJson)).getOrElse(Nil),
-    properties = n.opt("properties").map(_.fieldsMap.map { case (k, v) => k -> v.asText() })
-      .getOrElse(Map.empty),
-    versionLog = n.opt("version-log").map(_.elems.map(e =>
-      (e("timestamp-ms").asLong(), e("version-id").asInt()))).getOrElse(Nil))
+  def fromJson(n: JsonNode): ViewMetadata = {
+    // validation mirrors view_metadata.rs: v1 only; the current version
+    // id must resolve; every version's schema id must resolve
+    val fv = n("format-version").asInt()
+    require(fv == 1, s"unsupported view format-version $fv")
+    val md = ViewMetadata(
+      viewUuid = n("view-uuid").asText(),
+      formatVersion = fv,
+      location = n("location").asText(),
+      currentVersionId = n("current-version-id").asInt(),
+      versions = n("versions").elems.map(ViewVersion.fromJson),
+      schemas = n.opt("schemas").map(_.elems.map(IcebergSchema.schemaFromJson)).getOrElse(Nil),
+      properties = n.opt("properties").map(_.fieldsMap.map { case (k, v) => k -> v.asText() })
+        .getOrElse(Map.empty),
+      versionLog = n.opt("version-log").map(_.elems.map(e =>
+        (e("timestamp-ms").asLong(), e("version-id").asInt()))).getOrElse(Nil))
+    require(md.versions.exists(_.versionId == md.currentVersionId),
+      s"No version exists with the current version id ${md.currentVersionId}")
+    md.versions.foreach { v =>
+      require(md.schemas.exists(_.schemaId == v.schemaId),
+        s"No schema exists with the schema id ${v.schemaId}")
+    }
+    md
+  }
 
   /** Fresh v1 view metadata with one SQL version. */
   def newView(location: String, sql: String, dialect: String,
