@@ -386,19 +386,33 @@ object Curation {
     * sized sides), the span census and gram join keep their own bounded
     * shapes, and the rollup is one final shuffle on source. */
   def pretrainPipeline(docs: DataFrame, evalMod: Long = 50): DataFrame = {
-    val q1 = docs.join(
-      TextAnalysis.gopherQuality(docs).filter(col("keep") === 1)
+    // `docs` feeds six consumers (both gates, the eval slice, the
+    // chunker, the rollup join) and q1 feeds two. A bare repartition
+    // re-runs its exchange per consumer (column pruning differentiates
+    // the scans, defeating ReuseExchange — measured 2x the whole query),
+    // so the corpus and the first gate's survivor pool materialize ONCE
+    // via localCheckpoint. `train` is NOT checkpointed: its two
+    // consumers recompute only a filter over the q1 checkpoint, cheaper
+    // than a third materialization (all three variants fork-benched).
+    // 100 TB shape: each checkpoint is one corpus-bounded local-disk
+    // write (the same I/O class as a single shuffle) that replaces a
+    // full re-read + re-tokenization of the corpus per extra consumer
+    // on a SHRINKING pool — strictly less work than the recompute form.
+    val base = Dedup.spreadNarrow(docs).localCheckpoint()
+    val q1 = base.join(
+      TextAnalysis.gopherQuality(base).filter(col("keep") === 1)
         .select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .localCheckpoint()
     val q2 = q1.join(
       TextAnalysis.dupSpans(q1).filter(col("dup_permille") < 500)
         .select(col("doc_id")), Seq("doc_id"), "left_semi")
     val train = q2.filter(col("doc_id") % evalMod =!= 0)
     val clean = decontaminate(train,
-        docs.filter(col("doc_id") % evalMod === 0), n = 8)
+        base.filter(col("doc_id") % evalMod === 0), n = 8)
       .filter(!col("contaminated")).select(col("doc_id"))
     val q3 = train.join(clean, Seq("doc_id"), "left_semi")
     chunkDocs(q3)
-      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .join(base.select(col("doc_id"), col("source")), Seq("doc_id"))
       .groupBy(col("source"))
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_chunks"),
@@ -449,6 +463,9 @@ object Curation {
     * small vocabs broadcast), one per-doc aggregate. The corpus
     * shuffles once — identical cost profile to [[dsirWeights]]. */
   def unigramPerplexity(docs: DataFrame): DataFrame = {
+    // NOT spread: `toks` feeds three consumers (vocab counts, the total
+    // action, the join back) — a narrow-input repartition would re-run
+    // its exchange per consumer and cost more than the serial map
     val toks = docs.select(col("doc_id"),
       explode(TextHash.words(col("text"))).as("w"))
     val cc = toks.groupBy(col("w")).agg(count(lit(1)).as("cc"))
@@ -474,6 +491,8 @@ object Curation {
     * window is width-2 so no fan-out beyond token count), two map-side-
     * combined counts, rate table joined back on the bigram key. */
   def bigramPerplexity(docs: DataFrame): DataFrame = {
+    // NOT spread: `big` is multi-consumer (c2, join back) — see
+    // unigramPerplexity
     val big = docs
       .select(col("doc_id"), TextHash.words(col("text")).as("w"))
       .filter(size(col("w")) >= 2)

@@ -56,8 +56,15 @@ object Dedup {
     * now map-side-only (no exchange until the band-bucket aggregation),
     * the whole hash pipeline would run on those few tasks. At real scale
     * the input already has >= numShufflePartitions splits and this is a
-    * no-op — no unconditional shuffle of the corpus is ever added. */
-  private def spreadNarrow(df: DataFrame): DataFrame = {
+    * no-op — no unconditional shuffle of the corpus is ever added.
+    *
+    * ONLY call this on a bare (narrow, scan-rooted) frame: the `.rdd`
+    * partition probe compiles a separate execution, and under AQE that
+    * MATERIALIZES any upstream shuffle stages just to answer
+    * getNumPartitions — on a post-join input the join runs twice
+    * (measured +30% on the p56 pipeline). Query wrappers spread their
+    * parquet scans; library ops never probe what callers pass in. */
+  private[graft] def spreadNarrow(df: DataFrame): DataFrame = {
     if (df.isStreaming) return df // .rdd is illegal on streaming plans
     val target = df.sparkSession.sessionState.conf.numShufflePartitions
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df

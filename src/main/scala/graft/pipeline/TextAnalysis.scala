@@ -339,6 +339,10 @@ object TextAnalysis {
       maxSymbolRatio: Double = 0.1, minAlphaRatio: Double = 0.8,
       minStopwords: Long = 2): DataFrame = {
     val stopwords = Seq("the", "be", "to", "of", "and", "that", "have", "with", "a", "in")
+    // callers with a narrow scan input spread it THEMSELVES (see the
+    // query wrappers): spreadNarrow here would .rdd-probe whatever plan
+    // arrives, and under AQE that materializes upstream shuffle stages
+    // in a throwaway execution when the input is post-join (p56)
     docs
       .select(col("doc_id"), col("text"), split(lower(col("text")), " ").as("w"))
       .select(col("doc_id"),
@@ -584,6 +588,7 @@ object TextAnalysis {
     * unigram side never re-shuffles. One driver stats row (two totals). */
   def pmiPairs(docs: DataFrame, window: Int = 4, k: Int = 100): DataFrame = {
     require(window >= 1 && k >= 1, s"bad args: $window/$k")
+    // narrow-scan spreading is the query wrapper's job (see gopherQuality)
     val dw = docs.select(col("doc_id"), TextHash.words(col("text")).as("w"))
     val pairsArr = when(size(col("w")) >= 2,
       flatten(transform(sequence(lit(0), size(col("w")) - 2), i =>
@@ -653,6 +658,8 @@ object TextAnalysis {
     // is already one row per (span, doc)) and the per-doc dup rollup.
     // n_spans itself never needs the explode: it's size(w)-spanLen+1,
     // a map-only projection.
+    // narrow-scan spreading is the query wrapper's job (see gopherQuality);
+    // pretrainPipeline feeds this a post-join frame that must NOT be probed
     val occ = docs.select(col("doc_id"), w.as("w"))
       .select(col("doc_id"), explode(spans).as("s"))
       .groupBy(col("s"), col("doc_id"))

@@ -1186,7 +1186,8 @@ object PipelineQueries {
       |        AND stop_hits >= 2 THEN 1 ELSE 0 END::BIGINT AS keep
       |FROM m ORDER BY doc_id""".stripMargin
   ) { (s, d) =>
-    TextAnalysis.gopherQuality(Tables.documents(s, d)).orderBy(col("doc_id"))
+    TextAnalysis.gopherQuality(Dedup.spreadNarrow(Tables.documents(s, d)))
+      .orderBy(col("doc_id"))
   }
 
   /** Within-domain quality-percentile filter: each source keeps its top
@@ -1313,7 +1314,8 @@ object PipelineQueries {
       |ORDER BY w.doc_id""".stripMargin,
     bench = true
   ) { (s, d) =>
-    TextAnalysis.dupSpans(Tables.documents(s, d)).orderBy(col("doc_id"))
+    TextAnalysis.dupSpans(Dedup.spreadNarrow(Tables.documents(s, d)))
+      .orderBy(col("doc_id"))
   }
 
   /** Label-centroid margin (CLIP-score-style consistency gate),
@@ -1500,7 +1502,8 @@ object PipelineQueries {
       |ORDER BY n_pair DESC, a, b""".stripMargin,
     bench = true
   ) { (s, d) =>
-    TextAnalysis.pmiPairs(Tables.documents(s, d), window = 4, k = 100)
+    TextAnalysis.pmiPairs(Dedup.spreadNarrow(Tables.documents(s, d)),
+      window = 4, k = 100)
   }
 
   /** Exact per-type value percentiles (type-7 interpolation shared by
