@@ -43,15 +43,22 @@ object Clusters {
       .filter(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
 
     var fp = fingerprint(e)
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val next = smallStar(largeStar(e)).localCheckpoint(false)
       val nfp = fingerprint(next)
-      converged = nfp == fp
+      // two exits: fingerprint fixpoint (the general guarantee), or the
+      // direct structural test — with the (greater, lesser) orientation,
+      // an edge set whose child (u) and parent (v) sides are disjoint IS
+      // a min-rooted star forest and therefore a fixpoint. LSH near-dup
+      // graphs are near-cliques that collapse in one round, so the
+      // structural exit saves the full confirming round the fingerprint
+      // exit needs (a semi-join over the cached edges vs ~5 shuffles).
+      converged = nfp == fp || isStarForest(next)
       fp = nfp
       e.unpersist()
       e = next
@@ -87,7 +94,6 @@ object Clusters {
       .filter(col("v") > col("u"))
       .select(greatest(col("v"), col("m")).as("u"), least(col("v"), col("m")).as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct()
   }
 
   /** Small-star: every node links its smaller-or-equal neighbors (and
@@ -103,6 +109,15 @@ object Clusters {
       .select(greatest(col("n"), col("m")).as("u"), least(col("n"), col("m")).as("v"))
       .distinct()
   }
+
+  /** Structural convergence test: with edges oriented (u, v) = (greater,
+    * lesser), the set is a min-rooted star forest — a fixpoint of the
+    * large-star/small-star alternation — iff no node appears both as a
+    * child (u) and as a parent (v). One semi-join over the checkpointed
+    * round output; node-count bounded, no driver materialization. */
+  private def isStarForest(e: DataFrame): Boolean =
+    e.select(col("u")).join(e.select(col("v")).distinct(), col("u") === col("v"), "left_semi")
+      .isEmpty
 
   /** Per-round convergence fingerprint: (edge count, xor-fold of edge
     * hashes — overflow-free under ANSI mode, order-independent). Two tiny
