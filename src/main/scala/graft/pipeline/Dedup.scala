@@ -383,6 +383,59 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** EXACT overlap-coefficient (containment) near-dup pairs:
+    * C(a,b) = |a∩b| / min(|a|,|b|) ≥ `threshold` over character-n-gram
+    * sets — the asymmetric complement of [[ngramJaccardNearDups]] that
+    * catches INCLUSION duplicates (a short doc quoted whole inside a
+    * long one scores C ≈ 1 while its Jaccard stays near |short|/|long|).
+    * Output (id_a < id_b, overlap: double — an exact int/int division).
+    *
+    * Prefix filter, containment form: order each doc's grams rarest-first
+    * by global document frequency. If C ≥ t then the SMALLER set S of a
+    * pair shares ≥ ceil(t·|S|) grams with the other set, so at least one
+    * of S's first |S| − ceil(t·|S|) + 1 grams must occur ANYWHERE in the
+    * other set — unlike Jaccard's symmetric prefix-vs-prefix pairing,
+    * the smaller side's prefix joins the other side's FULL posting list
+    * (there is no length-ratio bound: a tiny doc can be contained in an
+    * arbitrarily large one). The `a.sz ≤ b.sz` join condition makes the
+    * prefix side the smaller set; equal sizes pair in both orientations
+    * and collapse in the distinct.
+    *
+    * 100 TB shape: the same three bounded shuffles as the Jaccard join
+    * (gram df aggregate, per-doc prefix aggregate, gram-bucket join);
+    * the full-postings side is exactly the inverted index, and prefix
+    * grams are globally RARE by construction, so each bucket joins a
+    * short posting list — never all-pairs. */
+  def overlapNearDups(docs: DataFrame, threshold: Double = 0.8,
+      n: Int = 5): DataFrame = {
+    val sets = ngramSets(docs, n)
+    val grams = sets.select(col("doc_id"), explode(col("s")).as("g"))
+    val freq = grams.groupBy(col("g")).agg(count(lit(1)).as("f"))
+    val ordered = grams.join(freq, "g")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("f"), col("g")))).as("fg"))
+      .select(col("doc_id"), size(col("fg")).as("sz"), col("fg"))
+    val prefixes = ordered.select(col("doc_id"), col("sz"),
+      explode(expr(s"transform(slice(fg, 1, " +
+        s"size(fg) - CAST(ceil($threshold * size(fg)) AS INT) + 1), " +
+        "x -> x.g)")).as("g"))
+    val full = ordered.select(col("doc_id"), col("sz"),
+      explode(expr("transform(fg, x -> x.g)")).as("g"))
+    val cand = prefixes.as("a").join(full.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") =!= col("b.doc_id") &&
+          col("a.sz") <= col("b.sz"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"))
+      .distinct()
+    val inter = size(array_intersect(col("sa.s"), col("sb.s")))
+    cand.join(sets.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sets.as("sb"), col("id_b") === col("sb.doc_id"))
+      .select(col("id_a"), col("id_b"),
+        (inter / least(size(col("sa.s")), size(col("sb.s"))))
+          .as("overlap"))
+      .filter(col("overlap") >= threshold)
+  }
+
   // ---- SimHash --------------------------------------------------------
 
   /** 60-bit SimHash signatures over word unigrams (with multiplicity).

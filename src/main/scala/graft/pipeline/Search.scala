@@ -99,4 +99,52 @@ object Search {
         array_join(
           expr("transform(_top, x -> cast(x.neighbor_id AS string))"), ",")
           .as("postings"))
+
+  /** Hybrid retrieval: Reciprocal Rank Fusion of a BM25 keyword ranking
+    * and an embedding-cosine ranking for the same query — the standard
+    * lexical+semantic merge (Cormack et al.'s RRF: score = Σ 1/(k + r)).
+    * `docs` supplies the lexical side (via [[bm25]]), `embeddings` the
+    * semantic side (exact cosine vs the `queryVecId` vector, doc_id ≡
+    * vec_id); each branch contributes its top-`kEach`, a document absent
+    * from a branch contributes 0 from it, and the fused top-`kOut` is
+    * returned as (doc_id, lex_rank, sem_rank, rrf) with −1 marking
+    * "not in that branch's top-kEach".
+    *
+    * Scale shape: both branches are bounded top-k reductions (BM25's
+    * TakeOrdered, the cosine TopK partial aggregate) — each yields ≤
+    * kEach rows regardless of corpus size, so the fusion join is a
+    * driver-trivial broadcast of two k-row sets; the corpus itself is
+    * scanned once per branch and never shuffled.
+    *
+    * Determinism: ranks are integers (dense row_numbers over already
+    * bit-reproducible orderings — BM25's rounded score and the exact
+    * IEEE cosine fold — with id tiebreaks); 1.0/(kRrf + rank) is a
+    * single IEEE division of integers, and the two-term sum is added in
+    * fixed lex-then-sem order, so the fused double is bit-identical in
+    * the SQL oracle. */
+  def rrfHybrid(docs: DataFrame, embeddings: DataFrame, terms: Seq[String],
+      queryVecId: Long, kEach: Int = 50, kOut: Int = 10,
+      kRrf: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // lexical branch: bm25 already returns ≤ kEach rows ordered by
+    // (score desc, doc_id) — the un-partitioned window runs on that
+    // bounded result, never on the corpus.
+    val lex = bm25(docs, terms, kEach)
+      .select(col("doc_id"), row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))).cast("long")
+        .as("lex_rank"))
+    val sem = Similarity.knnBruteForce(
+        embeddings.filter(col("vec_id") === queryVecId),
+        embeddings.filter(col("vec_id") =!= queryVecId), kEach)
+      .select(col("neighbor_id").as("doc_id"), col("rank").as("sem_rank"))
+    val fused = lex.join(sem, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("lex_rank"), lit(-1L)).as("lex_rank"),
+        coalesce(col("sem_rank"), lit(-1L)).as("sem_rank"),
+        round(
+          coalesce(lit(1.0) / (lit(kRrf.toDouble) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kRrf.toDouble) + col("sem_rank")), lit(0.0)),
+          6).as("rrf"))
+    fused.orderBy(col("rrf").desc, col("doc_id")).limit(kOut)
+  }
 }

@@ -678,4 +678,55 @@ object TextAnalysis {
       .withColumn("dup_permille",
         when(col("n_spans") > 0, expr("(1000 * n_dup) div n_spans")))
   }
+
+  /** Tokenizer fertility per language: how many BPE-ish tokens the
+    * tokenizer spends per word and per 100 characters, aggregated by the
+    * `lang` column — the standard multilingual-balance diagnostic (a
+    * language with high fertility consumes disproportionate sequence
+    * budget, so mixture weights must correct for it).
+    *
+    * All outputs are exact integer sums plus `div` integer ratios —
+    * nothing floating-point crosses the engine boundary. Scale shape:
+    * one map-side-combined aggregate over a handful of language keys;
+    * the corpus is scanned once and never joined. */
+  def tokenFertility(docs: DataFrame): DataFrame =
+    docs.select(col("lang"),
+        size(split(col("text"), "\\s+")).cast("long").as("_w"),
+        regexp_count(col("text"), lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"))
+          .cast("long").as("_t"),
+        length(col("text")).cast("long").as("_c"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_t")).as("tokens"),
+        sum(col("_w")).as("words"), sum(col("_c")).as("chars"))
+      .select(col("lang"), col("n_docs"), col("tokens"), col("words"),
+        col("chars"),
+        expr("(1000 * tokens) div words").as("tokens_per_mille_words"),
+        expr("(100 * chars) div tokens").as("chars_per_100_tokens"))
+
+  /** Per-document shingle novelty: the share of a doc's distinct 3-word
+    * shingles whose FIRST corpus occurrence (minimum doc_id over every
+    * doc containing the shingle) is the doc itself — "how much new
+    * content does this doc add in corpus order", the curation signal for
+    * boilerplate-heavy sources (a doc that only repeats earlier shingles
+    * scores 0). Docs with fewer than 3 words carry no shingles and are
+    * excluded (the oracle matches).
+    *
+    * Scale shape: one exchange on the shingle key (per-doc distinct
+    * shingles are computed map-side inside the array), re-used by the
+    * first-occurrence aggregate and the ownership join, then one
+    * map-side-combined aggregate back onto doc_id — no self-join, no
+    * window over the corpus. */
+  def shingleNovelty(docs: DataFrame): DataFrame = {
+    val w = TextHash.words(col("text"))
+    val sh = docs.filter(size(w) >= 3)
+      .select(col("doc_id"), explode(TextHash.shingles3(w)).as("sh"))
+    val first = sh.groupBy(col("sh")).agg(min(col("doc_id")).as("first_id"))
+    sh.join(first, Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("total_shingles"),
+        sum(when(col("first_id") === col("doc_id"), 1L).otherwise(0L))
+          .as("novel_shingles"))
+      .withColumn("novelty_bp",
+        expr("(10000 * novel_shingles) div total_shingles"))
+  }
 }

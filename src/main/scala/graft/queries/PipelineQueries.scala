@@ -2533,11 +2533,139 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Hybrid retrieval: Reciprocal Rank Fusion of the BM25 keyword
+    * ranking (p36's terms) with the exact-cosine ranking for query
+    * vector 0 (doc_id ≡ vec_id). The oracle recomputes both branch
+    * rankings and the 1/(60+rank) fusion independently; integer ranks
+    * and fixed lex-then-sem addition order keep the fused double
+    * bit-identical. */
+  val p89 = Q.sql(
+    "p89_rrf_hybrid_search",
+    """WITH tf AS (
+      |  SELECT doc_id, len(w) AS dl,
+      |    len(list_filter(w, x -> x = 'dup')) AS tf0,
+      |    len(list_filter(w, x -> x = 'vector')) AS tf1,
+      |    len(list_filter(w, x -> x = 'stream')) AS tf2
+      |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)),
+      |stat AS (
+      |  SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl,
+      |    count(*) FILTER (tf0 > 0) AS df0,
+      |    count(*) FILTER (tf1 > 0) AS df1,
+      |    count(*) FILTER (tf2 > 0) AS df2
+      |  FROM tf),
+      |idf AS (
+      |  SELECT n, avgdl,
+      |    round(ln(1 + (n - df0 + 0.5) / (df0 + 0.5)), 6) AS idf0,
+      |    round(ln(1 + (n - df1 + 0.5) / (df1 + 0.5)), 6) AS idf1,
+      |    round(ln(1 + (n - df2 + 0.5) / (df2 + 0.5)), 6) AS idf2
+      |  FROM stat),
+      |lex0 AS (
+      |  SELECT doc_id,
+      |    round(idf0 * (tf0 * (1.2 + 1)) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+      |        + idf1 * (tf1 * (1.2 + 1)) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+      |        + idf2 * (tf2 * (1.2 + 1)) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+      |      4) AS score
+      |  FROM tf, idf
+      |  WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
+      |  ORDER BY score DESC, doc_id LIMIT 50),
+      |lex AS (
+      |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+      |  FROM lex0),
+      |q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+      |p AS (
+      |  SELECT c.vec_id AS doc_id,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) /
+      |    (sqrt(list_sum(list_transform(range(1, 65),
+      |       i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE))) *
+      |     sqrt(list_sum(list_transform(range(1, 65),
+      |       i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)))) AS cos
+      |  FROM q, embeddings c WHERE c.vec_id <> 0),
+      |sem AS (
+      |  SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS sem_rank
+      |  FROM p ORDER BY cos DESC, doc_id LIMIT 50)
+      |SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+      |  coalesce(l.lex_rank, -1)::BIGINT AS lex_rank,
+      |  coalesce(s.sem_rank, -1)::BIGINT AS sem_rank,
+      |  round(coalesce(1.0 / (60 + l.lex_rank), 0)
+      |      + coalesce(1.0 / (60 + s.sem_rank), 0), 6) AS rrf
+      |FROM lex l FULL JOIN sem s ON l.doc_id = s.doc_id
+      |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
+  ) { (s, d) =>
+    Search.rrfHybrid(Tables.documents(s, d), Tables.embeddings(s, d),
+      Seq("dup", "vector", "stream"), queryVecId = 0L)
+  }
+
+  /** Overlap-coefficient (containment) near-dup pairs — inclusion
+    * duplicates the symmetric Jaccard join under-scores. The oracle is
+    * the all-pairs ground truth; a green hash proves the asymmetric
+    * prefix filter (smaller side's prefix vs the other side's full
+    * posting list) lost no pair. */
+  val p90 = Q.sql(
+    "p90_containment_neardup",
+    """WITH gr AS (
+      |  SELECT doc_id,
+      |    list_distinct([substring(lower(text), i, 5)
+      |                   for i in range(1, length(lower(text)) - 3)]) AS s
+      |  FROM documents WHERE length(text) >= 5)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  len(list_intersect(a.s, b.s)) / least(len(a.s), len(b.s)) AS overlap
+      |FROM gr a, gr b
+      |WHERE a.doc_id < b.doc_id
+      |  AND len(list_intersect(a.s, b.s)) / least(len(a.s), len(b.s)) >= 0.8
+      |ORDER BY id_a, id_b""".stripMargin
+  ) { (s, d) =>
+    Dedup.overlapNearDups(Tables.documents(s, d), threshold = 0.8, n = 5)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Tokenizer fertility per language — integer sums + `div` ratios
+    * only; the multilingual sequence-budget diagnostic. */
+  val p91 = Q.sql(
+    "p91_token_fertility",
+    """WITH s AS (
+      |  SELECT lang, count(*)::BIGINT AS n_docs,
+      |    sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')))::BIGINT AS tokens,
+      |    sum(len(string_split_regex(text, '\s+')))::BIGINT AS words,
+      |    sum(length(text))::BIGINT AS chars
+      |  FROM documents GROUP BY lang)
+      |SELECT lang, n_docs, tokens, words, chars,
+      |  (1000 * tokens) // words AS tokens_per_mille_words,
+      |  (100 * chars) // tokens AS chars_per_100_tokens
+      |FROM s ORDER BY lang""".stripMargin
+  ) { (s, d) =>
+    TextAnalysis.tokenFertility(Tables.documents(s, d)).orderBy(col("lang"))
+  }
+
+  /** Per-document shingle novelty in corpus order (min-doc_id first
+    * occurrence): the boilerplate/new-content curation signal. */
+  val p92 = Q.sql(
+    "p92_shingle_novelty",
+    """WITH shx AS (
+      |  SELECT doc_id,
+      |    unnest(list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]
+      |                          for i in range(1, len(w)-1)])) AS sh
+      |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+      |        FROM documents)
+      |  WHERE len(w) >= 3),
+      |f AS (SELECT sh, min(doc_id) AS first_id FROM shx GROUP BY sh),
+      |agg AS (
+      |  SELECT s.doc_id, count(*)::BIGINT AS total_shingles,
+      |    sum(CASE WHEN f.first_id = s.doc_id THEN 1 ELSE 0 END)::BIGINT
+      |      AS novel_shingles
+      |  FROM shx s JOIN f USING (sh) GROUP BY s.doc_id)
+      |SELECT doc_id, total_shingles, novel_shingles,
+      |  (10000 * novel_shingles) // total_shingles AS novelty_bp
+      |FROM agg ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    TextAnalysis.shingleNovelty(Tables.documents(s, d)).orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
     p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24,
     p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p35, p36, p37, p38,
     p39, p40, p41, p42, p43, p44, p45, p46, p47, p48, p49, p50, p51, p52,
     p53, p54, p55, p56, p57, p58, p59, p60, p61, p62, p63, p64, p65, p66,
     p67, p68, p69, p70, p71, p72, p73, p74, p75, p76, p77, p78, p79,
-    p86, p87, p88)
+    p86, p87, p88, p89, p90, p91, p92)
 }

@@ -29,7 +29,8 @@ class PlanHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val BroadcastNljAllowed = Set(
     "p04_knn_bruteforce", "p05_ann_lsh_bucketed",
     "p73_ann_recall_audit", // embeds the brute-force control as ground truth
-    "p78_pq_adc_search") // declared linear ADC scan (broadcast query side)
+    "p78_pq_adc_search", // declared linear ADC scan (broadcast query side)
+    "p89_rrf_hybrid_search") // semantic branch = the kNN control for ONE broadcast query vector
 
   test("no registered query plans a CartesianProduct") {
     spark.sparkContext.setLogLevel("ERROR")

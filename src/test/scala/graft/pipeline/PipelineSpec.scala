@@ -1549,4 +1549,91 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2.toDouble / r._3)).toMap
     assert(out(1L) < out(2L), "boilerplate must have lower mean bigram NLL")
   }
+
+  test("overlap containment equals brute force; catches inclusion jaccard misses") {
+    import spark.implicits._
+    // planted inclusion: doc 2 is doc 1's text quoted whole inside much
+    // longer padding — overlap coefficient 1.0, jaccard far below it
+    val quoted = "the quick brown fox jumps over the lazy dog again"
+    val pad = (0 until 40).map(i => s"pad$i word$i filler$i").mkString(" ")
+    val planted = Seq((9000001L, quoted), (9000002L, s"$pad $quoted $pad"))
+      .toDF("doc_id", "text")
+    val corpus = docs.select(col("doc_id"), col("text")).unionAll(planted)
+    val ov = Dedup.overlapNearDups(corpus, threshold = 0.8)
+    val plan = ov.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+    val got = ov.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((9000001L, 9000002L)), "planted inclusion pair missed")
+    // the planted pair is far below the 0.8 jaccard bar
+    val sets = Dedup.ngramSets(corpus)
+    val exact = sets.as("a").crossJoin(sets.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        (size(array_intersect(col("a.s"), col("b.s"))) /
+          least(size(col("a.s")), size(col("b.s")))).as("c"),
+        TextHash.jaccard(col("a.s"), col("b.s")).as("j"))
+    assert(exact.filter(col("id_a") === 9000001L && col("id_b") === 9000002L)
+      .select("j").head().getDouble(0) < 0.4)
+    // asymmetric prefix filter is EXACT: recall and precision both 1
+    val truth = exact.filter(col("c") >= 0.8).select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === truth)
+  }
+
+  test("rrf hybrid fuses the recomputed bm25 and cosine rankings exactly") {
+    val terms = Seq("dup", "vector", "stream")
+    val out = Search.rrfHybrid(docs, embs, terms, queryVecId = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.length == 10)
+    // recompute both branches independently
+    val lex = Search.bm25(docs, terms, k = 50).select("doc_id").collect()
+      .map(_.getLong(0)).zipWithIndex.map { case (id, i) => id -> (i + 1L) }.toMap
+    val sem = Similarity.knnBruteForce(
+        embs.filter(col("vec_id") === 0L), embs.filter(col("vec_id") =!= 0L), 50)
+      .select("neighbor_id", "rank").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fusedAll = (lex.keySet ++ sem.keySet).toSeq.map { id =>
+      val s = lex.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        sem.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+      (id, BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy { case (id, s) => (-s, id) }.take(10)
+    assert(out.map(r => (r._1, r._4)).toSeq === fusedAll)
+    // rank sentinels: -1 exactly when the branch misses the doc
+    out.foreach { case (id, lr, sr, _) =>
+      assert(lr === lex.getOrElse(id, -1L))
+      assert(sr === sem.getOrElse(id, -1L))
+    }
+  }
+
+  test("token fertility aggregates per-doc token counts exactly") {
+    val fert = TextAnalysis.tokenFertility(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val perDoc = TextAnalysis.tokenCounts(docs)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum("bpe_tokens").as("t"), sum("ws_tokens").as("w"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(fert === perDoc)
+    assert(fert.nonEmpty)
+  }
+
+  test("shingle novelty: first doc scores 10000, a planted copy scores 0") {
+    import spark.implicits._
+    val base = docs.select(col("doc_id"), col("text"))
+    // doc 9000001 is an exact copy of the lowest-id doc with >= 3 words
+    val firstDoc = base.filter(size(split(lower(col("text")), " ")) >= 3)
+      .orderBy("doc_id").select("doc_id", "text").head()
+    val corpus = base.unionAll(
+      Seq((9000001L, firstDoc.getString(1))).toDF("doc_id", "text"))
+    val nov = TextAnalysis.shingleNovelty(corpus).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val (t0, n0, bp0) = nov(firstDoc.getLong(0))
+    assert(bp0 === 10000L && n0 === t0, "first occurrence owns all its shingles")
+    val (tc, ncopy, bpc) = nov(9000001L)
+    assert(ncopy === 0L && bpc === 0L && tc === t0, "exact copy adds nothing new")
+    nov.values.foreach { case (t, n, bp) =>
+      assert(n <= t && bp >= 0L && bp <= 10000L)
+    }
+  }
 }
