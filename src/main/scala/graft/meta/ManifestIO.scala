@@ -489,9 +489,20 @@ object ManifestIO {
         // content/sequence numbers entirely (default 0 = Data).
         // `rec.get` on an absent field returns null, which unboxes to a
         // silent 0 — resolve through the schema instead.
-        def getAliased(primary: String, alias: String): AnyRef =
-          if (rec.getSchema.getField(primary) != null) rec.get(primary)
-          else rec.get(alias)
+        // The file counts are OPTIONAL in v1 lists (the reference models
+        // them as Option<u32>, manifest_list/_serde.rs:269-281). When
+        // neither name exists in the schema — or the value is null — we
+        // take an EXPLICIT default rather than letting `null` unbox to a
+        // silent 0 downstream; callers only use these for planning
+        // heuristics and summary metrics, where 0 ("unknown, assume
+        // nothing") is the safe direction.
+        def getAliased(primary: String, alias: String, dflt: AnyRef): AnyRef = {
+          val v =
+            if (rec.getSchema.getField(primary) != null) rec.get(primary)
+            else if (rec.getSchema.getField(alias) != null) rec.get(alias)
+            else null
+          if (v != null) v else dflt
+        }
         def getOrDefault(name: String, dflt: AnyRef): AnyRef =
           if (rec.getSchema.getField(name) != null) rec.get(name) else dflt
         val specId = rec.get("partition_spec_id").asInstanceOf[Int]
@@ -519,11 +530,14 @@ object ManifestIO {
             getOrDefault("min_sequence_number", java.lang.Long.valueOf(0L)).asInstanceOf[Long],
           addedSnapshotId = rec.get("added_snapshot_id").asInstanceOf[Long],
           addedFilesCount =
-            getAliased("added_files_count", "added_data_files_count").asInstanceOf[Int],
+            getAliased("added_files_count", "added_data_files_count",
+              Integer.valueOf(0)).asInstanceOf[Int],
           existingFilesCount =
-            getAliased("existing_files_count", "existing_data_files_count").asInstanceOf[Int],
+            getAliased("existing_files_count", "existing_data_files_count",
+              Integer.valueOf(0)).asInstanceOf[Int],
           deletedFilesCount =
-            getAliased("deleted_files_count", "deleted_data_files_count").asInstanceOf[Int],
+            getAliased("deleted_files_count", "deleted_data_files_count",
+              Integer.valueOf(0)).asInstanceOf[Int],
           addedRowsCount = rec.get("added_rows_count").asInstanceOf[Long],
           existingRowsCount = rec.get("existing_rows_count").asInstanceOf[Long],
           deletedRowsCount = rec.get("deleted_rows_count").asInstanceOf[Long],

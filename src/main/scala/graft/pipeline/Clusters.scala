@@ -111,12 +111,22 @@ object Clusters {
   }
 
   /** Structural convergence test: with edges oriented (u, v) = (greater,
-    * lesser), the set is a min-rooted star forest — a fixpoint of the
-    * large-star/small-star alternation — iff no node appears both as a
-    * child (u) and as a parent (v). One semi-join over the checkpointed
-    * round output; node-count bounded, no driver materialization. */
+    * lesser), the set is a star forest — a fixpoint of the large-star/
+    * small-star alternation — iff (a) no node appears both as a child (u)
+    * and as a parent (v), AND (b) every child appears exactly once.
+    * Disjointness alone is NOT sufficient: edges (10,3),(10,1) have
+    * disjoint sides but node 10 has two parents, so reading the set as a
+    * forest would put 10 in two components. One node-bounded aggregate
+    * over the checkpointed round output; no driver materialization.
+    * Since each round preserves connectivity, a star-forest fixpoint's
+    * stars are exactly the original components, rooted at their minima
+    * (parent < child under this orientation). */
   private def isStarForest(e: DataFrame): Boolean =
-    e.select(col("u")).join(e.select(col("v")).distinct(), col("u") === col("v"), "left_semi")
+    e.select(col("u").as("n"), lit(1L).as("c"), lit(0L).as("p"))
+      .unionAll(e.select(col("v").as("n"), lit(0L).as("c"), lit(1L).as("p")))
+      .groupBy(col("n"))
+      .agg(sum(col("c")).as("c"), sum(col("p")).as("p"))
+      .filter(col("c") > 1 || (col("c") > 0 && col("p") > 0))
       .isEmpty
 
   /** Per-round convergence fingerprint: (edge count, xor-fold of edge

@@ -444,6 +444,21 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("connected components: two-parent round output must not split a component") {
+    import spark.implicits._
+    // regression: edges (10,3),(20,3),(10,1),(20,2) form ONE component
+    // (min 1). The old structural exit tested only child/parent side
+    // disjointness, which this set satisfies after round 1 while nodes
+    // still carry two parents — it converged early and returned node 3
+    // in two components.
+    val edges = Seq((10L, 3L), (20L, 3L), (10L, 1L), (20L, 2L))
+    val got = Clusters.connectedComponents(edges.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nodes = Set(1L, 2L, 3L, 10L, 20L)
+    assert(got.keySet === nodes)
+    assert(got.values.toSet === Set(1L), s"component split: $got")
+  }
+
   test("pii scan finds and redacts every planted span") {
     import spark.implicits._
     val rows = Seq(
