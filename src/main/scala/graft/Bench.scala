@@ -26,10 +26,12 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // band-bucket dedup aggregations carry tens of thousands of tiny
-      // capped groups per task; keep ObjectHashAggregate in the hash
-      // regime (state per group is bounded — see Dedup.blockedPairs)
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "262144")
+      // A/B knob for the ObjectHashAggregate fallback threshold (r9
+      // regression analysis); default = Spark's own 128. The dedup
+      // queries no longer depend on a session-global raise — see
+      // Dedup.blockedPairs.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_OBJ_FALLBACK", "128"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -391,18 +391,23 @@ object Curation {
     // re-runs its exchange per consumer (column pruning differentiates
     // the scans, defeating ReuseExchange — measured 2x the whole query),
     // so the corpus and the first gate's survivor pool materialize ONCE
-    // via localCheckpoint. `train` is NOT checkpointed: its two
-    // consumers recompute only a filter over the q1 checkpoint, cheaper
-    // than a third materialization (all three variants fork-benched).
-    // 100 TB shape: each checkpoint is one corpus-bounded local-disk
-    // write (the same I/O class as a single shuffle) that replaces a
-    // full re-read + re-tokenization of the corpus per extra consumer
-    // on a SHRINKING pool — strictly less work than the recompute form.
-    val base = Dedup.spreadNarrow(docs).localCheckpoint()
+    // via persist(DISK_ONLY). Unlike the localCheckpoint this replaces
+    // (r9), persist RETAINS lineage: on a real cluster a lost executor
+    // recomputes the missing partitions instead of failing the query —
+    // localCheckpoint's truncated lineage made every block loss fatal.
+    // `train` is NOT cached: its two consumers recompute only a filter
+    // over the q1 cache, cheaper than a third materialization (all
+    // three variants fork-benched). 100 TB shape: each cache is one
+    // corpus-bounded local-disk write (the same I/O class as a single
+    // shuffle) that replaces a full re-read + re-tokenization of the
+    // corpus per extra consumer on a SHRINKING pool — strictly less
+    // work than the recompute form.
+    val base = Dedup.spreadNarrow(docs)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val q1 = base.join(
       TextAnalysis.gopherQuality(base).filter(col("keep") === 1)
         .select(col("doc_id")), Seq("doc_id"), "left_semi")
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val q2 = q1.join(
       TextAnalysis.dupSpans(q1).filter(col("dup_permille") < 500)
         .select(col("doc_id")), Seq("doc_id"), "left_semi")

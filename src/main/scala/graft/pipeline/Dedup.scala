@@ -58,16 +58,36 @@ object Dedup {
     * the input already has >= numShufflePartitions splits and this is a
     * no-op — no unconditional shuffle of the corpus is ever added.
     *
-    * ONLY call this on a bare (narrow, scan-rooted) frame: the `.rdd`
-    * partition probe compiles a separate execution, and under AQE that
-    * MATERIALIZES any upstream shuffle stages just to answer
-    * getNumPartitions — on a post-join input the join runs twice
-    * (measured +30% on the p56 pipeline). Query wrappers spread their
-    * parquet scans; library ops never probe what callers pass in. */
+    * The `.rdd` partition probe compiles a separate execution, and under
+    * AQE that MATERIALIZES any upstream shuffle stages just to answer
+    * getNumPartitions — on a post-join input the join would run twice
+    * (measured +30% on the p56 pipeline). So the probe is GATED on the
+    * logical plan: only scan-rooted frames (leaf + narrow ops — the only
+    * plans that can arrive under-partitioned, and the only plans whose
+    * probe is shuffle-free) are ever probed; anything downstream of a
+    * join/aggregate/repartition has already been through an exchange at
+    * the session parallelism and passes through untouched. This makes
+    * the function safe to call from library ops on caller-supplied
+    * frames (r9 ADVICE: shingleSets/simhash on post-join inputs). */
   private[graft] def spreadNarrow(df: DataFrame): DataFrame = {
     if (df.isStreaming) return df // .rdd is illegal on streaming plans
+    if (!scanRooted(df)) return df
     val target = df.sparkSession.sessionState.conf.numShufflePartitions
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  /** True iff the analyzed plan is a leaf under narrow row-local ops —
+    * no join, aggregate, window, exchange, or generator anywhere. */
+  private def scanRooted(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def ok(p: LogicalPlan): Boolean = p match {
+      case _: LeafNode => true
+      case p: Project => ok(p.child)
+      case f: Filter => ok(f.child)
+      case a: SubqueryAlias => ok(a.child)
+      case _ => false
+    }
+    ok(df.queryExecution.analyzed)
   }
 
   /** doc_id + distinct 3-shingle set (docs with <3 words dropped). */
@@ -153,9 +173,15 @@ object Dedup {
     * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold`
     * (default 128) in-flight groups falls back to SORT-based
     * aggregation within the task. Band buckets number in the tens of
-    * thousands per task, so Bench/Verify sessions raise the threshold
-    * (state per group is capped at `cap` ids ≈ 80 KB worst case, and
-    * typical buckets hold 2–5) to keep both passes in the hash regime. */
+    * thousands per task, so every run crosses the threshold and the
+    * aggregate completes in the sort regime — and that is the RIGHT
+    * regime here: per-group state is tiny and capped, so the sort is a
+    * cheap streaming pass, while holding ~10⁵ live object buffers per
+    * task in the hash regime taxes heap/GC session-wide. Measured r10
+    * (fork protocol, sf0.1): default 128 beats a 262144 raise on every
+    * affected query — p02 0.87×, p16 0.88×, p70 0.88×, q01 0.79× — so
+    * the operator holds at DEFAULT session conf and no harness conf
+    * exists (the r9 session-global raise was the p70/p69 regression). */
   private[pipeline] def blockedPairs(df: DataFrame, keyCols: Seq[String],
       maxBucket: Int, subBucket: Int, mkPair: (String, String) => String)
       : DataFrame = {
@@ -277,7 +303,19 @@ object Dedup {
     * Output: (new_id, n_dups, first_match nullable). */
   def incrementalDedup(index: DataFrame, newDocs: DataFrame,
       threshold: Double = 0.5, bands: Int = 16, rows: Int = 4,
-      maxBucket: Int = MaxBucket): DataFrame = {
+      maxBucket: Int = MaxBucket): DataFrame =
+    incrementalDedupWithBands(minhashBands(shingleSets(index), bands, rows),
+      index, newDocs, threshold, bands, rows, maxBucket)
+
+  /** [[incrementalDedup]] with the INDEX side's band signatures supplied
+    * by the caller — the serving path ([[Serving.dedupAgainstBandIndex]])
+    * reads them from a persisted Graft table instead of rehashing the
+    * corpus; only the new batch is hashed fresh. `index` is still needed
+    * for exact-Jaccard verification of candidates (the corpus of record;
+    * only candidate-matched docs are shingled into the verify join). */
+  def incrementalDedupWithBands(indexBands: DataFrame, index: DataFrame,
+      newDocs: DataFrame, threshold: Double = 0.5, bands: Int = 16,
+      rows: Int = 4, maxBucket: Int = MaxBucket): DataFrame = {
     val census = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band_idx"), col("band_key"))
     def cap(df: DataFrame) = df
@@ -287,7 +325,7 @@ object Dedup {
     val nSets = shingleSets(newDocs)
     val cand = cap(minhashBands(nSets, bands, rows))
       .select(col("doc_id").as("new_id"), col("band_idx"), col("band_key"))
-      .join(cap(minhashBands(iSets, bands, rows))
+      .join(cap(indexBands)
         .select(col("doc_id").as("idx_id"), col("band_idx"), col("band_key")),
         Seq("band_idx", "band_key"))
       .select(col("new_id"), col("idx_id")).distinct()

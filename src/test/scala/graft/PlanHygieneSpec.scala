@@ -50,4 +50,43 @@ class PlanHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(offenders.isEmpty,
       offenders.map { case (n, w) => s"$n: $w" }.mkString("\n"))
   }
+
+  test("library ops on post-join inputs trigger zero jobs at build time") {
+    // r9 ADVICE: spreadNarrow's .rdd partition probe under AQE
+    // materializes upstream shuffle stages in a throwaway execution.
+    // The probe is now gated on a scan-rooted logical plan, so BUILDING
+    // any library-op DataFrame over a post-join frame must launch no
+    // Spark job. A SparkListener job counter pins the contract.
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    import org.apache.spark.sql.functions._
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // a post-join, post-agg frame like Curation.decontaminate's inputs
+    val joined = docs.as("a")
+      .join(docs.select(col("doc_id")).as("b"), Seq("doc_id"))
+      .withColumn("text", col("text"))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val built = Seq(
+        graft.pipeline.Dedup.shingleSets(joined),
+        graft.pipeline.Dedup.simhash(joined),
+        graft.pipeline.TextAnalysis.gopherQuality(joined),
+        graft.pipeline.TextAnalysis.dupSpans(joined))
+      built.foreach(_.queryExecution.executedPlan) // force full planning
+      // listener bus is async; give pending events time to drain
+      Thread.sleep(1500)
+      assert(jobs.get() === 0,
+        s"building library ops over a post-join frame ran ${jobs.get()} job(s)")
+      // and the scan-rooted path still spreads: a bare narrow scan probe
+      // is allowed (may run a zero-shuffle job), output partitions == conf
+      val spreadPlan = graft.pipeline.Dedup.shingleSets(docs)
+      assert(spreadPlan.rdd.getNumPartitions >=
+        spark.sessionState.conf.numShufflePartitions)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
