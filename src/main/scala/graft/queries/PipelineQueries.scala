@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.pipeline.{Clusters, Curation, Dedup, Multimodal, Search, Similarity, TextAnalysis}
+import graft.pipeline.{Clusters, Curation, Dedup, Multimodal, Search, Serving, Similarity, TextAnalysis}
 
 /** LLM-training-data pipeline operators (dedup / similarity / text
   * analysis / multimodal) registered as driver-checked queries over the
@@ -2661,11 +2661,51 @@ object PipelineQueries {
     TextAnalysis.shingleNovelty(Tables.documents(s, d)).orderBy(col("doc_id"))
   }
 
+  /** Incremental dedup served from a PERSISTED band index: the standing
+    * corpus's MinHash band signatures are materialized ONCE as a Graft
+    * table partitioned by band_idx ([[graft.pipeline.Serving]]), and the
+    * new batch (doc_id%10=7) probes them through the format library's
+    * scan — no corpus rehash on the serving path. Result contract (and
+    * oracle) identical to p53: the persisted-index path must reproduce
+    * the recompute-everything path exactly. */
+  val p93 = Q.sql(
+    "p93_band_index_serving",
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]
+      |                   for i in range(1, len(w)-1)]) AS s
+      |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+      |        FROM documents)
+      |  WHERE len(w) >= 3),
+      |m AS (
+      |  SELECT n.doc_id AS new_id, count(*)::BIGINT AS n_dups,
+      |    min(i.doc_id) AS first_match
+      |  FROM sh n JOIN sh i
+      |    ON n.doc_id % 10 = 7 AND i.doc_id % 10 <> 7
+      |    AND len(list_intersect(n.s, i.s)) /
+      |      (len(n.s) + len(i.s) - len(list_intersect(n.s, i.s))) >= 0.5
+      |  GROUP BY n.doc_id)
+      |SELECT d.doc_id AS new_id, coalesce(m.n_dups, 0)::BIGINT AS n_dups,
+      |  m.first_match
+      |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 7) d
+      |LEFT JOIN m ON d.doc_id = m.new_id
+      |ORDER BY new_id""".stripMargin
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val index = docs.filter(col("doc_id") % 10 =!= 7)
+    val wh = java.nio.file.Files.createTempDirectory("graft-bidx-").toString
+    val catalog = new graft.catalog.HadoopCatalog(wh, graft.io.FileIO.fromSpark(s))
+    val t = Serving.persistBandIndex(index, "wband", catalog)
+    Serving.dedupAgainstBandIndex(t, s, index,
+        docs.filter(col("doc_id") % 10 === 7), threshold = 0.5)
+      .orderBy(col("new_id"))
+  }
+
   val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
     p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24,
     p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p35, p36, p37, p38,
     p39, p40, p41, p42, p43, p44, p45, p46, p47, p48, p49, p50, p51, p52,
     p53, p54, p55, p56, p57, p58, p59, p60, p61, p62, p63, p64, p65, p66,
     p67, p68, p69, p70, p71, p72, p73, p74, p75, p76, p77, p78, p79,
-    p86, p87, p88, p89, p90, p91, p92)
+    p86, p87, p88, p89, p90, p91, p92, p93)
 }

@@ -326,5 +326,70 @@ object StreamingQueries {
     rows.toDF("change_type", "n", "key_sum").orderBy(col("change_type"))
   }
 
-  val all: Seq[Q] = Seq(p80, p81, p82, p83, p85)
+  /** Streaming MinHash-LSH near-dup twin: the document corpus arrives in
+    * three chunks through a real MemoryStream run; band buckets live in
+    * flatMapGroupsWithState (event-time expiry armed, never fired — all
+    * docs share one event time, so the stream sees exactly the batch
+    * op's bucket membership). Candidates are verified batch-side against
+    * the corpus of record. Oracle = the all-pairs exact-Jaccard scan
+    * (p02's): streaming ≡ batch ≡ oracle on the pair set. */
+  val p94 = Q.sql(
+    "p94_streaming_neardup",
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]
+      |                   for i in range(1, len(w)-1)]) AS s
+      |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+      |        FROM documents)
+      |  WHERE len(w) >= 3)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  len(list_intersect(a.s, b.s)) /
+      |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+      |FROM sh a, sh b
+      |WHERE a.doc_id < b.doc_id
+      |  AND len(list_intersect(a.s, b.s)) /
+      |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val docs = graft.Tables.documents(s, d)
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val feed = docs.select("doc_id", "text")
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+
+    val source = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val qname = "p94_mem_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = graft.streaming.StreamingLsh.candidatePairs(
+        source.toDF().toDF("doc_id", "ts", "text"))
+      .writeStream.format("memory").queryName(qname)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      feed.grouped(math.max(1, feed.size / 3 + 1)).foreach { chunk =>
+        source.addData(chunk.map(c => (c._1, t0, c._2)): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val cands = s.table(qname)
+    val out = graft.streaming.StreamingLsh
+      .verifyPairs(cands, docs, threshold = 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+      .collect().toSeq // materialize before the temp view drops
+    s.catalog.dropTempView(qname)
+    s.createDataFrame(s.sparkContext.parallelize(out, 4),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id_a",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("id_b",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("jaccard",
+          org.apache.spark.sql.types.DoubleType, nullable = true))))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val all: Seq[Q] = Seq(p80, p81, p82, p83, p85, p94)
 }

@@ -257,5 +257,34 @@ object WritePathQueries {
       .orderBy(col("stage"), col("o_orderstatus"))
   }
 
-  val all: Seq[Q] = Seq(w01, w02, w03, w04, w05, w06)
+  /** Persisted-index SERVING: the inverted index materialized as a Graft
+    * table partitioned by bucket(term, 16)
+    * ([[graft.pipeline.Serving.persistInvertedIndex]]), then a probe-term
+    * retrieval answered from the table's scan with the In-predicate
+    * pushed through the bucket transform — manifest-level pruning, the
+    * serving analogue of the reference's TableProvider role. The oracle
+    * recomputes the index rows for the probe terms from raw parquet. */
+  val w07 = Q.sql(
+    "w07_index_serving",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      |  FROM documents),
+      |cells AS (SELECT term, doc_id, count(*) AS tf_doc
+      |          FROM toks GROUP BY term, doc_id)
+      |SELECT term, count(*)::BIGINT AS df, sum(tf_doc)::BIGINT AS tf,
+      |  array_to_string(list_sort(list(doc_id))[1:10], ',') AS postings
+      |FROM cells
+      |WHERE term IN ('the', 'data', 'model', 'learning', 'quick', 'zebra')
+      |GROUP BY term ORDER BY term""".stripMargin,
+    bench = true
+  ) { (s, d) =>
+    val (catalog, _) = fresh(s, "idx")
+    val t = graft.pipeline.Serving.persistInvertedIndex(
+      Tables.documents(s, d), "winv", catalog)
+    graft.pipeline.Serving.lookupTerms(t, s,
+        Seq("the", "data", "model", "learning", "quick", "zebra"))
+      .orderBy(col("term"))
+  }
+
+  val all: Seq[Q] = Seq(w01, w02, w03, w04, w05, w06, w07)
 }

@@ -1,0 +1,79 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.catalog.HadoopCatalog
+import graft.expr.{In => PIn, SetPred}
+import graft.io.FileIO
+
+/** Persisted-index serving: the materialized artifact must answer
+  * exactly what the in-memory operator answers, and the probe must PRUNE
+  * (bucket-partitioned index + In filter → fewer files planned). */
+class ServingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("serving-spec")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def freshCatalog(tag: String): HadoopCatalog = {
+    val wh = java.nio.file.Files.createTempDirectory(s"graft-serve-$tag-").toString
+    new HadoopCatalog(wh, FileIO.fromSpark(spark))
+  }
+
+  test("persisted inverted index answers term lookups exactly, pruned") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val t = Serving.persistInvertedIndex(docs, "inv", freshCatalog("inv"))
+    val probe = Seq("the", "data", "model", "zebra")
+
+    val got = Serving.lookupTerms(t, spark, probe)
+      .orderBy(col("term")).collect().map(_.toString).toSeq
+    val want = Search.invertedIndex(docs)
+      .filter(col("term").isin(probe: _*))
+      .orderBy(col("term")).collect().map(_.toString).toSeq
+    assert(got === want)
+    assert(got.nonEmpty, "probe terms must exist in the corpus")
+
+    // the In predicate projects through bucket(term, 16): the probe scan
+    // must plan strictly fewer files than the full index scan
+    val allFiles = t.newScan().planFiles().size
+    val probedFiles = t.newScan()
+      .withFilter(SetPred(PIn, "term", probe.toSet[Any]))
+      .planFiles().size
+    assert(allFiles > 1, s"index should span multiple files, got $allFiles")
+    assert(probedFiles < allFiles,
+      s"bucket pruning did not engage: $probedFiles of $allFiles files")
+  }
+
+  test("persisted band index reproduces recompute-everything dedup") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val index = docs.filter(col("doc_id") % 10 =!= 7)
+    val newDocs = docs.filter(col("doc_id") % 10 === 7)
+
+    val t = Serving.persistBandIndex(index, "band", freshCatalog("band"))
+    val got = Serving.dedupAgainstBandIndex(t, spark, index, newDocs)
+      .orderBy(col("new_id")).collect().map(_.toString).toSeq
+    val want = Dedup.incrementalDedup(index, newDocs)
+      .orderBy(col("new_id")).collect().map(_.toString).toSeq
+    assert(got === want)
+    assert(got.nonEmpty)
+
+    // identity band_idx partitioning: a one-band probe plans a strict
+    // subset of the files
+    val allFiles = t.newScan().planFiles().size
+    val oneBand = t.newScan()
+      .withFilter(graft.expr.BinaryPred(graft.expr.Eq, "band_idx", 3))
+      .planFiles().size
+    assert(oneBand < allFiles,
+      s"band_idx pruning did not engage: $oneBand of $allFiles files")
+  }
+}
