@@ -71,6 +71,67 @@ object Serving {
     t.append(bandsDf.repartition(bands, col("band_idx")))
   }
 
+  /** Persist the IVF ANN index: the corpus with its cell assignment,
+    * partitioned by IDENTITY(cell), plus the coarse quantizer itself as
+    * a sibling `<name>_centroids` table (cid, centroid, norm) — the two
+    * artifacts a vector-serving stack loads. Returns (index, centroids).
+    *
+    * 100 TB shape: the quantizer is fixed-size (hash-ranked sample,
+    * O(cells) driver state at any corpus size), the assignment is one
+    * map-side argmax + one clustering shuffle, and every query
+    * afterwards reads ONLY its probed cells' files (identity-partition
+    * pruning at the manifest level). */
+  def persistIvfIndex(corpus: DataFrame, name: String, catalog: Catalog,
+      cells: Int = Similarity.DefaultCells): (GraftTable, GraftTable) = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = Similarity.quantizer(corpus, cells)
+    val assigned = Similarity
+      .assignCells(corpus, cents, "vec_id", "embedding", "cell")
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    val schema = IcebergSchema.fromSpark(assigned.schema)
+    val cellId = schema.fields.find(_.name == "cell").get.id
+    val spec = PartitionSpec(0,
+      Seq(PartitionField(cellId, 1000, "cell", Transform.Identity)))
+    val t = GraftTable.create(name, catalog, schema, spec)
+      .append(assigned.repartition(
+        math.min(cells, spark.sessionState.conf.numShufflePartitions),
+        col("cell")))
+    val centsDf = cents.toDF("cid", "centroid", "cnorm")
+    val ct = GraftTable.create(s"${name}_centroids", catalog,
+      IcebergSchema.fromSpark(centsDf.schema)).append(centsDf)
+    (t, ct)
+  }
+
+  /** IVF ANN served from the PERSISTED index: centroids load from their
+    * table (O(cells) driver rows), queries assign map-side, and the
+    * corpus side reads ONLY the probed cells through the format
+    * library's pruned scan — at most `cells` distinct partitions
+    * regardless of batch size. Result contract identical to
+    * [[Similarity.annIvf]] (nprobe = 1). */
+  def annFromIvfIndex(index: GraftTable, centroids: GraftTable,
+      spark: SparkSession, queries: DataFrame, k: Int): DataFrame = {
+    val cents = centroids.newScan().toDF(spark)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    val q = Similarity.assignCells(
+      queries.select(col("vec_id").as("query_id"), col("embedding").as("qe")),
+      cents, "query_id", "qe", "cell")
+    // the probed cell set is bounded by the quantizer size — collecting
+    // it stays O(cells) at any batch size
+    val probed = q.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).toSet[Any]
+    val assigned = index.newScan()
+      .withFilter(SetPred(PIn, "cell", probed))
+      .toDF(spark)
+    val scored = assigned.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        Similarity.cosine(col("qe"), col("embedding")).as("cos"))
+    Similarity.rankTopK(scored, k)
+  }
+
   /** Incremental ingestion dedup against the PERSISTED band index: only
     * the new batch is hashed fresh; the corpus side's signatures come
     * from the table scan — the O(batch) serving path

@@ -139,7 +139,7 @@ object Similarity {
     * scored row — the window-rank form shuffled the full q×n score
     * matrix. Output and tie-breaks (cos desc, neighbor_id asc) are
     * identical to `row_number()` over that ordering. */
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+  private[pipeline] def rankTopK(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy("query_id")
       .agg(TopKByScore.column(col("cos"), col("neighbor_id"), k).as("nb"))
       .select(col("query_id"), posexplode(col("nb")).as(Seq("pos", "nbr")))
@@ -217,7 +217,7 @@ object Similarity {
     * strictly-greater update, so equal-cos ties resolve to the smallest
     * cid, matching ORDER BY cos DESC, cid in the oracle. Norms use a
     * left-to-right sum, bit-identical to list_sum in the SQL oracle. */
-  private def quantizer(corpus: DataFrame, cells: Int): Seq[(Long, Seq[Double], Double)] = {
+  private[pipeline] def quantizer(corpus: DataFrame, cells: Int): Seq[(Long, Seq[Double], Double)] = {
     require(cells >= 1, s"cells must be >= 1: $cells")
     val cents = corpus
       .select(col("vec_id"), col("embedding"),
@@ -276,7 +276,7 @@ object Similarity {
   }
 
   /** Nearest-cell assignment, path chosen by centroid count. */
-  private def assignCells(df: DataFrame, cents: Seq[(Long, Seq[Double], Double)],
+  private[pipeline] def assignCells(df: DataFrame, cents: Seq[(Long, Seq[Double], Double)],
       idCol: String, embCol: String, outCol: String): DataFrame =
     if (cents.size <= LiteralArgmaxMaxCells)
       df.select(col(idCol), col(embCol), cellOf(col(embCol), cents).as(outCol))

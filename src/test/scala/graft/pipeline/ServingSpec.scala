@@ -54,6 +54,47 @@ class ServingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"bucket pruning did not engage: $probedFiles of $allFiles files")
   }
 
+  test("persisted IVF index reproduces annIvf, probed cells pruned") {
+    val e = graft.Tables.embeddings(spark, sfDir)
+    val queries = e.filter(col("vec_id") < 10)
+    val (t, ct) = Serving.persistIvfIndex(e, "ivf", freshCatalog("ivf"))
+
+    val got = Serving.annFromIvfIndex(t, ct, spark, queries, 3)
+      .orderBy(col("query_id"), col("rank")).collect().map(_.toString).toSeq
+    val want = Similarity.annIvf(queries, e, 3)
+      .orderBy(col("query_id"), col("rank")).collect().map(_.toString).toSeq
+    assert(got === want)
+    assert(got.nonEmpty)
+
+    // identity(cell) partitioning: a one-cell probe (a real cid from the
+    // centroid table) plans a non-empty strict subset of the files
+    val cid = ct.newScan().toDF(spark).orderBy(col("cid")).limit(1)
+      .collect()(0).getLong(0)
+    val allFiles = t.newScan().planFiles().size
+    val probed = t.newScan()
+      .withFilter(SetPred(PIn, "cell", Set[Any](cid)))
+      .planFiles().size
+    assert(probed > 0 && probed < allFiles,
+      s"cell pruning did not engage: $probed of $allFiles files")
+  }
+
+  test("pretrainPipeline materialize modes agree (local-checkpoint/persist/none)") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    def run(mode: String): Seq[String] = {
+      spark.conf.set("spark.graft.pipeline.materialize", mode)
+      try Curation.pretrainPipeline(docs)
+        .orderBy(col("source")).collect().map(_.toString).toSeq
+      finally {
+        spark.conf.unset("spark.graft.pipeline.materialize")
+        spark.catalog.clearCache()
+      }
+    }
+    val lc = run("local-checkpoint")
+    assert(lc.nonEmpty)
+    assert(run("persist") === lc)
+    assert(run("none") === lc)
+  }
+
   test("persisted band index reproduces recompute-everything dedup") {
     val docs = graft.Tables.documents(spark, sfDir)
     val index = docs.filter(col("doc_id") % 10 =!= 7)
