@@ -28,7 +28,10 @@ object ScaleProbe {
     "p12_ann_ivf", "p27_semantic_dedup", "p38_kmeans_clusters",
     "p79_ivfadc_search",
     // events pillar (salted sessions, single-exchange funnel)
-    "p13_sessionize", "p47_funnel")
+    "p13_sessionize", "p47_funnel",
+    // persisted-index serving (r10): build + probe must stay linear —
+    // the build writes 10× rows, the probe reads only probed partitions
+    "p93_band_index_serving", "p95_ivf_index_serving")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -188,16 +191,25 @@ object ScaleProbe {
       (pairs.map(_._1).sorted.apply(1), pairs.map(_._2).sorted.apply(1))
     }
 
-    val results = Queries.map { n =>
+    // subsetting for local iteration (same spirit as SPARK_GRAFT_BENCH_ONLY);
+    // the committed BENCH_SCALE10.json must come from a FULL run
+    val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val results = Queries.filter(n => only.forall(_.contains(n))).map { n =>
       val (b, s) = medians(n)
       (n, b, s, s / b)
     }
-    val skewJson = viralSkewProbe(spark)
+    // the skew probe is part of the FULL run only; a subset iteration
+    // must not overwrite its numbers with a placeholder
+    val skewJson = if (only.isEmpty) viralSkewProbe(spark) else "\"skipped\""
     val json = results.map { case (n, b, s, r) =>
       f""""$n":{"base_sec":$b%.3f,"scale10_sec":$s%.3f,"ratio":$r%.2f}"""
     }.mkString(s"""{"probe":"scale10","factor":$factor,"queries":{""",
       ",", s"""},"viral_skew":$skewJson}""")
-    Files.writeString(Paths.get("BENCH_SCALE10.json"), json + "\n")
+    // subset runs must not clobber the committed full-run artifact
+    val outFile =
+      if (only.isEmpty) "BENCH_SCALE10.json" else "BENCH_SCALE10_SUBSET.json"
+    Files.writeString(Paths.get(outFile), json + "\n")
     spark.stop()
     println(json)
   }

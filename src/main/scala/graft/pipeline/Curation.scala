@@ -515,7 +515,12 @@ object Curation {
     * combined counts, rate table joined back on the bigram key. */
   def bigramPerplexity(docs: DataFrame): DataFrame = {
     // NOT spread: `big` is multi-consumer (c2, join back) — see
-    // unigramPerplexity
+    // unigramPerplexity. Shapes tried and rejected by fork measurement
+    // (r10): collapsing to per-doc bigram cells at one exchange +
+    // materialize costs MORE than re-running the map-side explode
+    // (1.81 s vs 1.47 s isolated at sf0.1) — per-doc bigrams are mostly
+    // distinct, so the cells exchange ships ~everything and the
+    // checkpoint adds I/O for no reuse win. Double explode stands.
     val big = docs
       .select(col("doc_id"), TextHash.words(col("text")).as("w"))
       .filter(size(col("w")) >= 2)

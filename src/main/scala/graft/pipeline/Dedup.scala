@@ -321,15 +321,25 @@ object Dedup {
     def cap(df: DataFrame) = df
       .withColumn("_bn", count(lit(1)).over(census))
       .filter(col("_bn") <= maxBucket).drop("_bn")
-    val iSets = shingleSets(index)
-    val nSets = shingleSets(newDocs)
-    val cand = cap(minhashBands(nSets, bands, rows))
+    val cand = cap(minhashBands(shingleSets(newDocs), bands, rows))
       .select(col("doc_id").as("new_id"), col("band_idx"), col("band_key"))
       .join(cap(indexBands)
         .select(col("doc_id").as("idx_id"), col("band_idx"), col("band_key")),
         Seq("band_idx", "band_key"))
       .select(col("new_id"), col("idx_id")).distinct()
-    val verified = cand
+    dupReport(cand, index, newDocs, threshold)
+  }
+
+  /** Shared verification/report tail for ingestion dedup: exact-Jaccard
+    * verify candidate (new_id, idx_id) pairs against the two corpora of
+    * record, then report EVERY new doc — (new_id, n_dups, first_match
+    * nullable). Candidates may repeat (multi-band collisions, streaming
+    * re-probes); they dedup here. */
+  def dupReport(cand: DataFrame, index: DataFrame, newDocs: DataFrame,
+      threshold: Double = 0.5): DataFrame = {
+    val iSets = shingleSets(index)
+    val nSets = shingleSets(newDocs)
+    val verified = cand.select(col("new_id"), col("idx_id")).distinct()
       .join(nSets.as("sn"), col("new_id") === col("sn.doc_id"))
       .join(iSets.as("si"), col("idx_id") === col("si.doc_id"))
       .filter(TextHash.jaccard(col("sn.s"), col("si.s")) >= threshold)

@@ -391,5 +391,81 @@ object StreamingQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  val all: Seq[Q] = Seq(p80, p81, p82, p83, p85, p94)
+  /** Continuous ingestion dedup: the new batch STREAMS in (MemoryStream,
+    * three chunks) and probes the PERSISTED band index
+    * ([[graft.pipeline.Serving.persistBandIndex]]) through a
+    * stream-static join — no stream-side state, no corpus rehash;
+    * candidates land in the sink and the verification/report tail runs
+    * batch-side ([[graft.pipeline.Dedup.dupReport]]). Ties r10's two
+    * pillars together: the serving artifact (w07/p93/p95) IS the static
+    * side of the stream. Oracle identical to p53/p93 — arrival-order
+    * independence on top of path independence. */
+  val p96 = Q.sql(
+    "p96_streaming_index_probe",
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]
+      |                   for i in range(1, len(w)-1)]) AS s
+      |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+      |        FROM documents)
+      |  WHERE len(w) >= 3),
+      |m AS (
+      |  SELECT n.doc_id AS new_id, count(*)::BIGINT AS n_dups,
+      |    min(i.doc_id) AS first_match
+      |  FROM sh n JOIN sh i
+      |    ON n.doc_id % 10 = 7 AND i.doc_id % 10 <> 7
+      |    AND len(list_intersect(n.s, i.s)) /
+      |      (len(n.s) + len(i.s) - len(list_intersect(n.s, i.s))) >= 0.5
+      |  GROUP BY n.doc_id)
+      |SELECT d.doc_id AS new_id, coalesce(m.n_dups, 0)::BIGINT AS n_dups,
+      |  m.first_match
+      |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 7) d
+      |LEFT JOIN m ON d.doc_id = m.new_id
+      |ORDER BY new_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val docs = graft.Tables.documents(s, d)
+    val index = docs.filter(col("doc_id") % 10 =!= 7)
+    val newDocs = docs.filter(col("doc_id") % 10 === 7)
+    val wh = java.nio.file.Files.createTempDirectory("graft-sbp-").toString
+    val catalog = new graft.catalog.HadoopCatalog(wh, graft.io.FileIO.fromSpark(s))
+    val t = graft.pipeline.Serving.persistBandIndex(index, "wband", catalog)
+    val indexBands = t.newScan().toDF(s)
+
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val feed = newDocs.select("doc_id", "text")
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+    val source = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val qname = "p96_mem_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = graft.streaming.StreamingLsh.probeIndexCandidates(
+        source.toDF().toDF("doc_id", "ts", "text"), indexBands)
+      .writeStream.format("memory").queryName(qname)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      feed.grouped(math.max(1, feed.size / 3 + 1)).foreach { chunk =>
+        source.addData(chunk.map(c => (c._1, t0, c._2)): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val out = graft.pipeline.Dedup.dupReport(
+        s.table(qname), index, newDocs, threshold = 0.5)
+      .orderBy(col("new_id")).collect().toSeq
+    s.catalog.dropTempView(qname)
+    s.createDataFrame(s.sparkContext.parallelize(out, 4),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("new_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_dups",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("first_match",
+          org.apache.spark.sql.types.LongType, nullable = true))))
+      .orderBy(col("new_id"))
+  }
+
+  val all: Seq[Q] = Seq(p80, p81, p82, p83, p85, p94, p96)
 }
