@@ -503,11 +503,17 @@ object ManifestIO {
             else null
           if (v != null) v else dflt
         }
-        def getOrDefault(name: String, dflt: AnyRef): AnyRef =
-          if (rec.getSchema.getField(name) != null) rec.get(name) else dflt
+        def getOrDefault(name: String, dflt: AnyRef): AnyRef = {
+          val v = if (rec.getSchema.getField(name) != null) rec.get(name) else null
+          if (v != null) v else dflt
+        }
         val specId = rec.get("partition_spec_id").asInstanceOf[Int]
         val partType = partTypes.get(specId)
-        val partitions = Option(rec.get("partitions")) match {
+        // v1 makes partitions, the row counts, and (via aliases) the
+        // file counts all OPTIONAL — and Avro's GenericData.Record.get
+        // THROWS on a name absent from the schema, so every optional
+        // access must resolve through the schema first.
+        val partitions = Option(getOrDefault("partitions", null)) match {
           case Some(a: java.util.List[_]) if partType.isDefined =>
             a.asScala.toSeq.zip(partType.get.fields).map { case (r0, f) =>
               val r = r0.asInstanceOf[GenericRecord]
@@ -538,9 +544,12 @@ object ManifestIO {
           deletedFilesCount =
             getAliased("deleted_files_count", "deleted_data_files_count",
               Integer.valueOf(0)).asInstanceOf[Int],
-          addedRowsCount = rec.get("added_rows_count").asInstanceOf[Long],
-          existingRowsCount = rec.get("existing_rows_count").asInstanceOf[Long],
-          deletedRowsCount = rec.get("deleted_rows_count").asInstanceOf[Long],
+          addedRowsCount = getOrDefault("added_rows_count",
+            java.lang.Long.valueOf(0L)).asInstanceOf[Long],
+          existingRowsCount = getOrDefault("existing_rows_count",
+            java.lang.Long.valueOf(0L)).asInstanceOf[Long],
+          deletedRowsCount = getOrDefault("deleted_rows_count",
+            java.lang.Long.valueOf(0L)).asInstanceOf[Long],
           partitions = partitions,
           keyMetadata = Option(rec.getSchema.getField("key_metadata"))
             .flatMap(_ => Option(rec.get("key_metadata"))).map(bytes))

@@ -79,6 +79,47 @@ class GoldenBinariesSpec extends AnyFunSuite {
     assert(ms.isEmpty) // the golden is an encrypted EMPTY list
   }
 
+  test("v1 list with NO count fields reads explicit defaults, not null-unbox") {
+    // v1 makes the file counts optional; a list written without either
+    // the primary or the legacy field names must read as the documented
+    // default 0 — and must NOT throw or silently misparse (r9 ADVICE:
+    // getAliased returned null and .asInstanceOf[Int] unboxed it to an
+    // accidental 0).
+    import org.apache.avro.{Schema, SchemaBuilder}
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val schema = SchemaBuilder.record("manifest_file").fields()
+      .requiredString("manifest_path")
+      .requiredLong("manifest_length")
+      .requiredInt("partition_spec_id")
+      .requiredLong("added_snapshot_id")
+      .requiredLong("added_rows_count")
+      .requiredLong("existing_rows_count")
+      .requiredLong("deleted_rows_count")
+      .endRecord()
+    val rec = new GenericData.Record(schema)
+    rec.put("manifest_path", "m1.avro")
+    rec.put("manifest_length", 123L)
+    rec.put("partition_spec_id", 0)
+    rec.put("added_snapshot_id", 7L)
+    rec.put("added_rows_count", 5L)
+    rec.put("existing_rows_count", 0L)
+    rec.put("deleted_rows_count", 0L)
+    val tmp = java.nio.file.Files.createTempFile("nocounts-", ".avro")
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, tmp.toFile); w.append(rec); w.close()
+
+    val ms = ManifestIO.readManifestList(io, tmp.toString, Map.empty)
+    assert(ms.size === 1)
+    val m = ms.head
+    assert(m.manifestPath === "m1.avro")
+    assert(m.addedFilesCount === 0 && m.existingFilesCount === 0 &&
+      m.deletedFilesCount === 0)
+    assert(m.addedRowsCount === 5L)
+    assert(m.content === 0 && m.sequenceNumber === 0L) // v1 defaults
+    java.nio.file.Files.delete(tmp)
+  }
+
   // ---------------- puffin ----------------
 
   test("golden empty-puffin-uncompressed.bin") {
