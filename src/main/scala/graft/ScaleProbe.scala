@@ -194,8 +194,11 @@ object ScaleProbe {
     // subsetting for local iteration (same spirit as SPARK_GRAFT_BENCH_ONLY);
     // the committed BENCH_SCALE10.json must come from a FULL run
     val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
-    val results = Queries.filter(n => only.forall(_.contains(n))).map { n =>
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = Queries.filter(n => only.forall(_.contains(n)))
+    require(selected.nonEmpty,
+      s"SPARK_GRAFT_PROBE_ONLY matched no probe query (have: ${Queries.mkString(",")})")
+    val results = selected.map { n =>
       val (b, s) = medians(n)
       (n, b, s, s / b)
     }

@@ -374,6 +374,37 @@ object Curation {
       .agg(count(lit(1)).as("n_tokens"), sum(col("lr")).as("score_micro"))
   }
 
+  /** Materialization mode for multi-consumer stage boundaries, gated on
+    * `spark.graft.pipeline.materialize` (r9 judge item 4):
+    *   - `local-checkpoint` (default): fastest (row-RDD write to
+    *     executor-local disk, no columnar encode) but TRUNCATES lineage —
+    *     a lost executor fails the query. The right default for a
+    *     dedicated batch cluster where executor loss aborts the job
+    *     anyway; measured r10 isolated fork protocol: 3.02 s median vs
+    *     3.68 s persist / 4.11 s persist-disk-only on the sf0.1 p56.
+    *   - `persist`: MEMORY_AND_DISK cache with lineage RETAINED — a lost
+    *     executor recomputes only its partitions. ~1.2× slower (SQL-cache
+    *     columnar encode). Set this on preemptible/spot fleets. Cache
+    *     entries live until the session clears them (the result frame
+    *     references them lazily, so the op cannot unpersist) — a
+    *     long-lived session running many pipelines owns the
+    *     `spark.catalog.clearCache()` lifecycle.
+    *   - `none`: no materialization (consumers recompute) — for engines
+    *     that forbid caching.
+    * Unknown values are an ERROR, not a silent fallback — a typo must
+    * not hand a preemptible fleet the lineage-truncating mode. */
+  private def materialize(df: DataFrame): DataFrame =
+    df.sparkSession.conf
+      .get("spark.graft.pipeline.materialize", "local-checkpoint") match {
+      case "persist" =>
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      case "none" => df
+      case "local-checkpoint" => df.localCheckpoint()
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.pipeline.materialize: unknown mode '$other' " +
+          "(expected local-checkpoint | persist | none)")
+    }
+
   /** End-to-end pretraining-data pipeline composition: Gopher quality
     * gate → duplicated-span trim gate (<50% cross-doc coverage) →
     * benchmark decontamination (8-gram vs the doc_id%evalMod eval
@@ -385,28 +416,6 @@ object Curation {
     * shrinking survivor pool (co-partitioned, no broadcast of corpus-
     * sized sides), the span census and gram join keep their own bounded
     * shapes, and the rollup is one final shuffle on source. */
-  /** Materialization mode for multi-consumer stage boundaries, gated on
-    * `spark.graft.pipeline.materialize` (r9 judge item 4):
-    *   - `local-checkpoint` (default): fastest (row-RDD write to
-    *     executor-local disk, no columnar encode) but TRUNCATES lineage —
-    *     a lost executor fails the query. The right default for a
-    *     dedicated batch cluster where executor loss aborts the job
-    *     anyway; measured r10 isolated fork protocol: 3.02 s median vs
-    *     3.68 s persist / 4.11 s persist-disk-only on the sf0.1 p56.
-    *   - `persist`: MEMORY_AND_DISK cache with lineage RETAINED — a lost
-    *     executor recomputes only its partitions. ~1.2× slower (SQL-cache
-    *     columnar encode). Set this on preemptible/spot fleets.
-    *   - `none`: no materialization (consumers recompute) — for engines
-    *     that forbid caching. */
-  private def materialize(df: DataFrame): DataFrame =
-    df.sparkSession.conf
-      .get("spark.graft.pipeline.materialize", "local-checkpoint") match {
-      case "persist" =>
-        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      case "none" => df
-      case _ => df.localCheckpoint()
-    }
-
   def pretrainPipeline(docs: DataFrame, evalMod: Long = 50): DataFrame = {
     // `docs` feeds six consumers (both gates, the eval slice, the
     // chunker, the rollup join) and q1 feeds two. A bare repartition

@@ -67,8 +67,28 @@ object Serving {
     val bandId = schema.fields.find(_.name == "band_idx").get.id
     val spec = PartitionSpec(0,
       Seq(PartitionField(bandId, 1000, "band_idx", Transform.Identity)))
-    val t = GraftTable.create(name, catalog, schema, spec)
+    // the signature layout is part of the artifact's CONTRACT: probes
+    // hashed with different (bands, rows) silently miss — record it so
+    // the probe side can refuse a mismatch instead of returning wrong
+    // results
+    val t = GraftTable.create(name, catalog, schema, spec,
+      properties = Map("graft.lsh.bands" -> bands.toString,
+        "graft.lsh.rows" -> rows.toString))
     t.append(bandsDf.repartition(bands, col("band_idx")))
+  }
+
+  /** Require the persisted index's recorded (bands, rows) to match the
+    * probe's — a mismatch joins incompatible signatures and silently
+    * reports zero duplicates. */
+  private def requireLshLayout(t: GraftTable, bands: Int, rows: Int): Unit = {
+    val props = t.metadata.properties
+    (props.get("graft.lsh.bands"), props.get("graft.lsh.rows")) match {
+      case (Some(b), Some(r)) =>
+        require(b == bands.toString && r == rows.toString,
+          s"band index ${t.metadata.location} was built with bands=$b/rows=$r; " +
+            s"probe requested bands=$bands/rows=$rows — signatures incompatible")
+      case _ => // pre-r10 index without recorded layout: caller's risk
+    }
   }
 
   /** Persist the IVF ANN index: the corpus with its cell assignment,
@@ -144,6 +164,7 @@ object Serving {
       indexDocs: DataFrame, newDocs: DataFrame, threshold: Double = 0.5,
       bands: Int = 16, rows: Int = 4,
       maxBucket: Int = Dedup.MaxBucket): DataFrame = {
+    requireLshLayout(t, bands, rows)
     val iBands = t.newScan().toDF(spark)
       .select(col("doc_id"), col("band_idx").cast("int").as("band_idx"),
         col("band_key"))

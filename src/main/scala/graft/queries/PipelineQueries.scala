@@ -2693,8 +2693,7 @@ object PipelineQueries {
   ) { (s, d) =>
     val docs = Tables.documents(s, d)
     val index = docs.filter(col("doc_id") % 10 =!= 7)
-    val wh = java.nio.file.Files.createTempDirectory("graft-bidx-").toString
-    val catalog = new graft.catalog.HadoopCatalog(wh, graft.io.FileIO.fromSpark(s))
+    val (catalog, _) = Q.freshCatalog(s, "bidx")
     val t = Serving.persistBandIndex(index, "wband", catalog)
     Serving.dedupAgainstBandIndex(t, s, index,
         docs.filter(col("doc_id") % 10 === 7), threshold = 0.5)
@@ -2748,8 +2747,7 @@ object PipelineQueries {
       |ORDER BY query_id, rank""".stripMargin
   ) { (s, d) =>
     val e = Tables.embeddings(s, d)
-    val wh = java.nio.file.Files.createTempDirectory("graft-ivf-").toString
-    val catalog = new graft.catalog.HadoopCatalog(wh, graft.io.FileIO.fromSpark(s))
+    val (catalog, _) = Q.freshCatalog(s, "ivf")
     val (t, ct) = Serving.persistIvfIndex(e, "wivf", catalog)
     Serving.annFromIvfIndex(t, ct, s, e.filter(col("vec_id") < 10), 3)
       .orderBy(col("query_id"), col("rank"))

@@ -27,6 +27,14 @@ object Q {
       fn: (SparkSession, String) => DataFrame): Q =
     Q(name, fn, Some(oracle), bench)
 
+  /** Fresh temp warehouse + Hadoop catalog for queries that build a
+    * throwaway Graft table per invocation (the write/serving family). */
+  private[queries] def freshCatalog(spark: SparkSession,
+      tag: String): (graft.catalog.HadoopCatalog, String) = {
+    val wh = java.nio.file.Files.createTempDirectory(s"graft-wb-$tag-").toString
+    (new graft.catalog.HadoopCatalog(wh, graft.io.FileIO.fromSpark(spark)), wh)
+  }
+
   /** Operator with no SQL-expressible oracle (driver records rows-only check). */
   def rowsOnly(name: String, bench: Boolean = false)(
       fn: (SparkSession, String) => DataFrame): Q =

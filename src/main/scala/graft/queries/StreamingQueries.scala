@@ -428,8 +428,7 @@ object StreamingQueries {
     val docs = graft.Tables.documents(s, d)
     val index = docs.filter(col("doc_id") % 10 =!= 7)
     val newDocs = docs.filter(col("doc_id") % 10 === 7)
-    val wh = java.nio.file.Files.createTempDirectory("graft-sbp-").toString
-    val catalog = new graft.catalog.HadoopCatalog(wh, graft.io.FileIO.fromSpark(s))
+    val (catalog, _) = Q.freshCatalog(s, "sbp")
     val t = graft.pipeline.Serving.persistBandIndex(index, "wband", catalog)
     val indexBands = t.newScan().toDF(s)
 

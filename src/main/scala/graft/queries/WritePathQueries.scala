@@ -18,10 +18,8 @@ import graft.table.{GraftTable, Maintenance}
   * DuckDB oracle hash-checks the write's row-level correctness too. */
 object WritePathQueries {
 
-  private def fresh(spark: SparkSession, tag: String): (HadoopCatalog, String) = {
-    val wh = java.nio.file.Files.createTempDirectory(s"graft-wb-$tag-").toString
-    (new HadoopCatalog(wh, FileIO.fromSpark(spark)), wh)
-  }
+  private def fresh(spark: SparkSession, tag: String): (HadoopCatalog, String) =
+    Q.freshCatalog(spark, tag)
 
   private def sqlCatalog(spark: SparkSession, name: String, wh: String): Unit = {
     spark.conf.set(s"spark.sql.catalog.$name", "graft.sources.GraftCatalogPlugin")

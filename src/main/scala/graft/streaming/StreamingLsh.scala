@@ -92,17 +92,22 @@ object StreamingLsh {
     // deterministic within-batch order (arrival ts, then id)
     val arrived = rows.toArray.sortBy(m => (m.ts.getTime, m.doc_id))
     var st = state.getOption.getOrElse(BucketState(Nil, Long.MinValue, false))
+    // O(1) membership/size per arrival (the stored List is encoder-
+    // friendly; the Set mirror lives only for this batch)
+    val seen = scala.collection.mutable.HashSet.empty[Long] ++ st.members
     val out = Seq.newBuilder[CandidatePair]
     arrived.foreach { m =>
-      if (!st.saturated && !st.members.contains(m.doc_id)) {
-        if (st.members.size >= maxBucket)
+      if (!st.saturated && !seen.contains(m.doc_id)) {
+        if (seen.size >= maxBucket) {
           // viral bucket: drop membership, keep one boolean of state
           st = BucketState(Nil, st.lastMs, saturated = true)
-        else {
+          seen.clear()
+        } else {
           st.members.foreach { e =>
             out += CandidatePair(math.min(e, m.doc_id), math.max(e, m.doc_id))
           }
           st = st.copy(members = m.doc_id :: st.members)
+          seen += m.doc_id
         }
       }
       st = st.copy(lastMs = math.max(st.lastMs, m.ts.getTime))
@@ -116,16 +121,29 @@ object StreamingLsh {
     * equi-joined against a STATIC band-index frame (typically
     * `Serving.persistBandIndex(...).newScan().toDF` — the persisted
     * artifact). Emits (new_id, idx_id) per shared bucket, append mode,
-    * no stream-side state at all. */
+    * no stream-side state at all.
+    *
+    * Viral buckets: the index side is census-capped exactly like the
+    * batch path (buckets past `maxBucket` members drop — boilerplate
+    * pathology, same recall argument as minhashNearDups), bounding the
+    * per-arrival fan-out at bands × maxBucket. The STREAM side cannot
+    * be census-capped (no window over an unbounded stream); each
+    * arriving doc contributes ≤ `bands` rows, so the bound holds
+    * per-arrival regardless of batch composition. */
   def probeIndexCandidates(docs: DataFrame, indexBands: DataFrame,
-      horizonMinutes: Int = 10, bands: Int = 16,
-      rows: Int = 4): DataFrame =
+      horizonMinutes: Int = 10, bands: Int = 16, rows: Int = 4,
+      maxBucket: Int = Dedup.MaxBucket): DataFrame = {
+    val census = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band_idx"), col("band_key"))
+    val cappedIndex = indexBands
+      .select(col("doc_id").as("idx_id"),
+        col("band_idx").cast("int").as("band_idx"), col("band_key"))
+      .withColumn("_bn", count(lit(1)).over(census))
+      .filter(col("_bn") <= maxBucket).drop("_bn")
     bandMembers(docs, s"$horizonMinutes minutes", bands, rows).toDF()
-      .join(indexBands
-        .select(col("doc_id").as("idx_id"),
-          col("band_idx").cast("int").as("band_idx"), col("band_key")),
-        Seq("band_idx", "band_key"))
+      .join(cappedIndex, Seq("band_idx", "band_key"))
       .select(col("doc_id").as("new_id"), col("idx_id"))
+  }
 
   /** Batch verification of collected candidates against the corpus of
     * record: dedup multi-band repeats, exact Jaccard, threshold. The

@@ -65,10 +65,15 @@ class PlanHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
     val joined = docs.as("a")
       .join(docs.select(col("doc_id")).as("b"), Seq("doc_id"))
       .withColumn("text", col("text"))
+    val MarkerGroup = "plan-hygiene-marker"
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val markerSeen = new java.util.concurrent.atomic.AtomicBoolean(false)
     val listener = new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit =
-        jobs.incrementAndGet()
+        if (Option(js.properties)
+          .exists(_.getProperty("spark.jobGroup.id") == MarkerGroup))
+          markerSeen.set(true)
+        else jobs.incrementAndGet()
     }
     spark.sparkContext.addSparkListener(listener)
     try {
@@ -78,8 +83,16 @@ class PlanHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
         graft.pipeline.TextAnalysis.gopherQuality(joined),
         graft.pipeline.TextAnalysis.dupSpans(joined))
       built.foreach(_.queryExecution.executedPlan) // force full planning
-      // listener bus is async; give pending events time to drain
-      Thread.sleep(1500)
+      // the listener bus is async but FIFO: run a tagged marker job and
+      // wait for ITS event — once it arrives, every earlier job event
+      // has been delivered, so the count is exact (a fixed sleep could
+      // read 0 spuriously on a loaded machine)
+      spark.sparkContext.setJobGroup(MarkerGroup, "listener drain marker")
+      try spark.sparkContext.parallelize(1 to 1, 1).count()
+      finally spark.sparkContext.clearJobGroup()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!markerSeen.get() && System.nanoTime() < deadline) Thread.sleep(20)
+      assert(markerSeen.get(), "marker job event never arrived")
       assert(jobs.get() === 0,
         s"building library ops over a post-join frame ran ${jobs.get()} job(s)")
       // and the scan-rooted path still spreads: a bare narrow scan probe
