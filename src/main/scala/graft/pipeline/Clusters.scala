@@ -17,8 +17,8 @@ import org.apache.spark.sql.functions._
   * path-shaped graphs (plain label propagation needs O(diameter)).
   *
   * 100 TB design notes:
-  *   - the driver holds NO graph state — only a per-round fingerprint
-  *     (count + xor of edge hashes) for the convergence test;
+  *   - the driver holds NO graph state — only the per-round boolean of
+  *     the structural convergence test;
   *   - `localCheckpoint` truncates lineage each round so the plan does
   *     not grow with iterations (a growing plan re-executes every prior
   *     round's shuffles on each action);
@@ -45,21 +45,20 @@ object Clusters {
       .distinct()
       .localCheckpoint(false)
 
-    var fp = fingerprint(e)
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
       val next = smallStar(largeStar(e)).localCheckpoint(false)
-      val nfp = fingerprint(next)
-      // two exits: fingerprint fixpoint (the general guarantee), or the
-      // direct structural test — with the (greater, lesser) orientation,
-      // an edge set whose child (u) and parent (v) sides are disjoint IS
-      // a min-rooted star forest and therefore a fixpoint. LSH near-dup
-      // graphs are near-cliques that collapse in one round, so the
-      // structural exit saves the full confirming round the fingerprint
-      // exit needs (a semi-join over the cached edges vs ~5 shuffles).
-      converged = nfp == fp || isStarForest(next)
-      fp = nfp
+      // single exact exit: the alternation's fixpoints are precisely the
+      // star forests under the (greater, lesser) orientation, so the
+      // structural test (one node-bounded aggregate over the cached
+      // round output) IS the convergence test — the old fingerprint
+      // fixpoint pass was a second action per round proving a weaker
+      // condition (set equality implies star forest, not vice versa);
+      // LSH near-dup graphs are near-cliques that collapse in one round,
+      // so the structural exit also saves the full confirming round a
+      // fixpoint comparison needs.
+      converged = isStarForest(next)
       e.unpersist()
       e = next
       round += 1
@@ -128,16 +127,6 @@ object Clusters {
       .agg(sum(col("c")).as("c"), sum(col("p")).as("p"))
       .filter(col("c") > 1 || (col("c") > 0 && col("p") > 0))
       .isEmpty
-
-  /** Per-round convergence fingerprint: (edge count, xor-fold of edge
-    * hashes — overflow-free under ANSI mode, order-independent). Two tiny
-    * full aggregates — no driver-side edge materialization. */
-  private def fingerprint(e: DataFrame): (Long, Long) = {
-    val row = e.agg(
-      count(lit(1)).as("n"),
-      coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)).as("h")).head()
-    (row.getLong(0), row.getLong(1))
-  }
 
   /** End-to-end duplicate clustering: MinHash-LSH near-dup edges (bucket-
     * bounded candidates, exact-Jaccard verified — the join that runs at
