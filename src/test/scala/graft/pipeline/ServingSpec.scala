@@ -78,6 +78,23 @@ class ServingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"cell pruning did not engage: $probed of $allFiles files")
   }
 
+  test("band-index probe refuses a (bands, rows) layout mismatch") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val index = docs.filter(col("doc_id") % 10 =!= 7).limit(50)
+    val t = Serving.persistBandIndex(index, "bmm", freshCatalog("bmm"),
+      bands = 16, rows = 4)
+    val ex = intercept[IllegalArgumentException] {
+      Serving.dedupAgainstBandIndex(t, spark, index,
+        docs.filter(col("doc_id") % 10 === 7).limit(10), bands = 32, rows = 2)
+    }
+    assert(ex.getMessage.contains("bands=16"))
+    // unknown materialize mode is an error, not a silent fallback
+    spark.conf.set("spark.graft.pipeline.materialize", "persist-disk-only")
+    try intercept[IllegalArgumentException] {
+      Curation.pretrainPipeline(docs.limit(20)).collect()
+    } finally spark.conf.unset("spark.graft.pipeline.materialize")
+  }
+
   test("pretrainPipeline materialize modes agree (local-checkpoint/persist/none)") {
     val docs = graft.Tables.documents(spark, sfDir)
     def run(mode: String): Seq[String] = {
