@@ -77,6 +77,21 @@ object Serving {
     t.append(bandsDf.repartition(bands, col("band_idx")))
   }
 
+  /** Index MAINTENANCE: append an ingested batch's band signatures to
+    * the persisted index in one atomic snapshot — the step after
+    * [[dedupAgainstBandIndex]] admits the batch, so the NEXT batch's
+    * probe sees it. Returns the table at the new snapshot. The layout
+    * guard keeps a mis-hashed batch out of the artifact. */
+  def indexBatch(t: GraftTable, newDocs: DataFrame,
+      bands: Int = 16, rows: Int = 4): GraftTable = {
+    requireLshLayout(t, bands, rows)
+    t.append(Dedup
+      .minhashBands(Dedup.shingleSets(newDocs), bands, rows)
+      .select(col("doc_id"), col("band_idx").cast("int").as("band_idx"),
+        col("band_key"))
+      .repartition(bands, col("band_idx")))
+  }
+
   /** Require the persisted index's recorded (bands, rows) to match the
     * probe's — a mismatch joins incompatible signatures and silently
     * reports zero duplicates. */

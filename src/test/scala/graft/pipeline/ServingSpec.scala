@@ -78,6 +78,26 @@ class ServingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"cell pruning did not engage: $probed of $allFiles files")
   }
 
+  test("index maintenance: an ingested batch is visible to the next probe") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val index = docs.filter(col("doc_id") % 10 === 1)
+    val batchA = docs.filter(col("doc_id") % 10 === 7)
+    val batchB = docs.filter(col("doc_id") % 10 === 3)
+
+    var t = Serving.persistBandIndex(index, "maint", freshCatalog("maint"))
+    t = Serving.indexBatch(t, batchA) // admit batch A into the artifact
+    // batch B's probe must now see index ∪ A — equal to the
+    // recompute-everything dedup over the grown corpus
+    val grown = index.unionByName(batchA)
+    val got = Serving.dedupAgainstBandIndex(t, spark, grown, batchB)
+      .orderBy(col("new_id")).collect().map(_.toString).toSeq
+    val want = Dedup.incrementalDedup(grown, batchB)
+      .orderBy(col("new_id")).collect().map(_.toString).toSeq
+    assert(got === want)
+    // the append is snapshot-atomic: the table's history grew by one
+    assert(t.metadata.snapshots.size === 2)
+  }
+
   test("band-index probe refuses a (bands, rows) layout mismatch") {
     val docs = graft.Tables.documents(spark, sfDir)
     val index = docs.filter(col("doc_id") % 10 =!= 7).limit(50)
