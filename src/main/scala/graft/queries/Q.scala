@@ -28,10 +28,29 @@ object Q {
     Q(name, fn, Some(oracle), bench)
 
   /** Fresh temp warehouse + Hadoop catalog for queries that build a
-    * throwaway Graft table per invocation (the write/serving family). */
+    * throwaway Graft table per invocation (the write/serving family).
+    * Every warehouse this JVM creates is recursively deleted at JVM
+    * exit — a bench/verify process runs the write family dozens of
+    * times, and leaked warehouses were accumulating gigabytes of /tmp
+    * across fork-protocol runs. */
+  private val tempWarehouses =
+    java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      tempWarehouses.forEach { wh =>
+        try {
+          import java.nio.file.{Files, Paths}
+          import java.util.Comparator
+          Files.walk(Paths.get(wh)).sorted(Comparator.reverseOrder())
+            .forEach(p => Files.deleteIfExists(p))
+        } catch { case _: Throwable => () } // best-effort; exit anyway
+      }))
+  }
+
   private[queries] def freshCatalog(spark: SparkSession,
       tag: String): (graft.catalog.HadoopCatalog, String) = {
     val wh = java.nio.file.Files.createTempDirectory(s"graft-wb-$tag-").toString
+    tempWarehouses.add(wh)
     (new graft.catalog.HadoopCatalog(wh, graft.io.FileIO.fromSpark(spark)), wh)
   }
 
