@@ -94,6 +94,47 @@ class StreamingLshSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stateRows < 64, s"expired state still resident: $stateRows rows")
   }
 
+  test("stream-static index probe equals batch incremental dedup; viral index buckets drop") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val index = docs.filter(col("doc_id") % 10 =!= 7)
+    val newDocs = docs.filter(col("doc_id") % 10 === 7)
+    val indexBands = graft.pipeline.Dedup.minhashBands(
+      graft.pipeline.Dedup.shingleSets(index), 16, 4)
+
+    def runProbe(maxBucket: Int, name: String): Set[(Long, Long)] = {
+      val source = MemoryStream[(Long, Timestamp, String)]
+      val q = StreamingLsh.probeIndexCandidates(
+          source.toDF().toDF("doc_id", "ts", "text"), indexBands,
+          maxBucket = maxBucket)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.ProcessingTime(0))
+        .start()
+      val feed = newDocs.select("doc_id", "text").as[(Long, String)]
+        .collect().toSeq.sortBy(_._1).map(c => (c._1, ts(0), c._2))
+      try feed.grouped(feed.size / 3 + 1).foreach { c =>
+        source.addData(c: _*); q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table(name).as[(Long, Long)].collect().toSet // (new_id, idx_id)
+      spark.catalog.dropTempView(name)
+      got
+    }
+
+    // candidates after verify must equal batch incrementalDedup's report
+    val cands = runProbe(10000, "probe_agree")
+    val got = graft.pipeline.Dedup.dupReport(
+        cands.toSeq.toDF("new_id", "idx_id"), index, newDocs)
+      .orderBy(col("new_id")).collect().map(_.toString).toSeq
+    val want = graft.pipeline.Dedup.incrementalDedup(index, newDocs)
+      .orderBy(col("new_id")).collect().map(_.toString).toSeq
+    assert(got === want)
+
+    // with a tiny cap every index bucket is viral → zero candidates
+    assert(runProbe(0, "probe_viral").isEmpty)
+  }
+
   test("viral bucket saturates at the cap and stops emitting") {
     val textA = "alpha beta gamma delta epsilon zeta"
     val docs = (1L to 8L).map(i => (i, ts(0), textA))
