@@ -36,14 +36,28 @@ object Clusters {
     * @return (`id`, `component`) for every node that appears in `edges`,
     *         where `component` is the minimum node id in its component.
     */
+  /** Distinct-edge count at or below which components are solved with a
+    * DRIVER-side union-find instead of the iterative star contraction.
+    * BOUNDED collect (≤16 MB of longs at the default), same class as
+    * the K-centroid seeds: below it, one collect + O(n α(n)) beats
+    * ~5 shuffle stages × O(log n) rounds on ANY cluster — near-dup edge
+    * sets are usually pair-sparse even when the corpus is 100 TB. Above
+    * it, the distributed loop runs unchanged. */
+  val LocalSolveEdges: Long = 1000000L
+
   def connectedComponents(edges: DataFrame, src: String = "id_a",
-      dst: String = "id_b", maxRounds: Int = 50): DataFrame = {
+      dst: String = "id_b", maxRounds: Int = 50,
+      localSolveEdges: Long = LocalSolveEdges): DataFrame = {
     val spark = edges.sparkSession
     var e = edges.select(col(src).cast("long").as("u"), col(dst).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       .distinct()
       .localCheckpoint(false)
+
+    // the count materializes the checkpoint the first round would pay
+    // for anyway; a small edge set short-circuits the whole loop
+    if (e.count() <= localSolveEdges) return localSolve(spark, e)
 
     var converged = false
     var round = 0
@@ -78,6 +92,37 @@ object Clusters {
     val result = members.union(roots).localCheckpoint(true)
     e.unpersist()
     result
+  }
+
+  /** Driver union-find for edge sets under [[LocalSolveEdges]]: path
+    * compression + union-by-min, result re-parallelized at session
+    * parallelism so downstream joins distribute normally. */
+  private def localSolve(spark: SparkSession, e: DataFrame): DataFrame = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    e.collect().foreach { row =>
+      val (a, b) = (row.getLong(0), row.getLong(1))
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      else parent.getOrElseUpdate(ra, ra)
+      // ensure both endpoints exist as keys so the final sweep sees them
+      parent.getOrElseUpdate(a, find(a)); parent.getOrElseUpdate(b, find(b))
+    }
+    // materialize the key set BEFORE the final sweep: find() compresses
+    // paths (mutates the map), and iterating a mutable HashMap while
+    // writing it silently skips entries
+    val rows = parent.keys.toArray.map(n => (n, find(n))).toSeq
+    e.unpersist()
+    import spark.implicits._
+    spark.sparkContext
+      .parallelize(rows, spark.sessionState.conf.numShufflePartitions)
+      .toDF("id", "component")
   }
 
   /** Large-star: every node links its strictly-LARGER neighbors to the

@@ -426,8 +426,14 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       val chain = (200L until 240L).sliding(2).map(s => (s(0), s(1))).toSeq
       val edges = Seq.fill(70)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
         .filter { case (a, b) => a != b } ++ chain
+      // BOTH paths: default (size-gated driver union-find) and the
+      // distributed star-contraction loop (forced via localSolveEdges=0)
       val got = Clusters.connectedComponents(edges.toDF("id_a", "id_b"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val gotDist = Clusters.connectedComponents(edges.toDF("id_a", "id_b"),
+          localSolveEdges = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === gotDist)
 
       val parent = scala.collection.mutable.Map[Long, Long]()
       def find(x: Long): Long = {
@@ -444,6 +450,23 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("connected components: local and distributed paths agree on a 5k-edge graph") {
+    import spark.implicits._
+    // large enough to exercise HashMap resizing in the driver
+    // union-find (a mutate-while-iterate bug at this size silently
+    // dropped nodes while the small property graphs above passed)
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.fill(5000)((rnd.nextInt(3000).toLong, rnd.nextInt(3000).toLong))
+      .filter { case (a, b) => a != b }
+    val local = Clusters.connectedComponents(edges.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Clusters.connectedComponents(edges.toDF("id_a", "id_b"),
+        localSolveEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local === dist)
+    assert(local.keySet === edges.flatMap(e => Seq(e._1, e._2)).toSet)
+  }
+
   test("connected components: two-parent round output must not split a component") {
     import spark.implicits._
     // regression: edges (10,3),(20,3),(10,1),(20,2) form ONE component
@@ -452,7 +475,9 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // still carry two parents — it converged early and returned node 3
     // in two components.
     val edges = Seq((10L, 3L), (20L, 3L), (10L, 1L), (20L, 2L))
-    val got = Clusters.connectedComponents(edges.toDF("id_a", "id_b"))
+    // force the DISTRIBUTED loop — the structural-exit bug lived there
+    val got = Clusters.connectedComponents(edges.toDF("id_a", "id_b"),
+        localSolveEdges = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val nodes = Set(1L, 2L, 3L, 10L, 20L)
     assert(got.keySet === nodes)
