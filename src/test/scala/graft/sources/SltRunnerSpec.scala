@@ -145,8 +145,40 @@ class SltRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
       .createOrReplaceTempView("slt_hamming_neardups")
   }
 
+  /** Serving-path plan pins (round 10): the persisted-index probes are
+    * DataFrame-built over REAL Graft tables in temp warehouses; their
+    * 100 TB contract is structural — a term lookup never shuffles, the
+    * ANN probe broadcasts the query side (the corpus cells never
+    * re-exchange for a probe), and nothing degrades to a cartesian. */
+  private def registerServingViews(): Unit = {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft-slt-serve-").toString
+    val catalog = new graft.catalog.HadoopCatalog(wh, graft.io.FileIO.fromSpark(spark))
+    val docs = (1L to 40L).map(i =>
+      (i, s"the quick brown fox ${i % 4} jumps over the lazy dog ${i % 4}"))
+      .toDF("doc_id", "text")
+    // the probe DataFrames are built on the scan-session CLONE
+    // (graft.SessionConf.scanSession), whose temp-view catalog is not
+    // this session's — GLOBAL temp views are shared across sessions of
+    // one context, so the slt file queries global_temp.*
+    val inv = graft.pipeline.Serving.persistInvertedIndex(docs, "slt_inv", catalog)
+    graft.pipeline.Serving.lookupTerms(inv, spark, Seq("quick", "lazy"))
+      .createOrReplaceGlobalTempView("slt_index_lookup")
+
+    val vecs = (1L to 100L).map(i =>
+      (i, Array.tabulate(64)(d => ((i * 31 + d * 7) % 97).toFloat / 97f)))
+      .toDF("vec_id", "embedding")
+    val (ivf, cents) = graft.pipeline.Serving.persistIvfIndex(
+      vecs, "slt_ivf", catalog, cells = 8)
+    graft.pipeline.Serving.annFromIvfIndex(
+        ivf, cents, spark,
+        vecs.filter(org.apache.spark.sql.functions.col("vec_id") <= 5), k = 3)
+      .createOrReplaceGlobalTempView("slt_ivf_probe")
+  }
+
   registerCatalog()
   registerDedupViews()
+  registerServingViews()
   private lazy val files = Files.list(sltDir).iterator().asScala.toSeq
     .filter(_.toString.endsWith(".slt")).sortBy(_.getFileName.toString)
 
