@@ -134,7 +134,8 @@ object Serving {
         col("cell")))
     val centsDf = cents.toDF("cid", "centroid", "cnorm")
     val ct = GraftTable.create(s"${name}_centroids", catalog,
-      IcebergSchema.fromSpark(centsDf.schema)).append(centsDf)
+      IcebergSchema.fromSpark(centsDf.schema),
+      properties = Map("graft.ivf.cells" -> cells.toString)).append(centsDf)
     (t, ct)
   }
 
@@ -142,17 +143,34 @@ object Serving {
     * table (O(cells) driver rows), queries assign map-side, and the
     * corpus side reads ONLY the probed cells through the format
     * library's pruned scan — at most `cells` distinct partitions
-    * regardless of batch size. Result contract identical to
-    * [[Similarity.annIvf]] (nprobe = 1). */
+    * regardless of batch size or `nprobe`. Result contract identical to
+    * [[Similarity.annIvf]] at the same nprobe (the multi-probe cell
+    * ranking uses the same (cos desc, cid asc) tie-break). */
   def annFromIvfIndex(index: GraftTable, centroids: GraftTable,
-      spark: SparkSession, queries: DataFrame, k: Int): DataFrame = {
+      spark: SparkSession, queries: DataFrame, k: Int,
+      nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1: $nprobe")
     val cents = centroids.newScan().toDF(spark)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
       .sortBy(_._1).toSeq
-    val q = Similarity.assignCells(
-      queries.select(col("vec_id").as("query_id"), col("embedding").as("qe")),
-      cents, "query_id", "qe", "cell")
+    // the quantizer size is part of the artifact's contract: a centroid
+    // table that lost rows (or a partial scan) would silently change
+    // every assignment — refuse the mismatch
+    centroids.metadata.properties.get("graft.ivf.cells").foreach { c =>
+      require(c == cents.size.toString,
+        s"IVF centroid table ${centroids.metadata.location} records " +
+          s"cells=$c but the scan returned ${cents.size} centroids")
+    }
+    val qBase =
+      queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val q =
+      if (nprobe == 1)
+        Similarity.assignCells(qBase, cents, "query_id", "qe", "cell")
+      else if (cents.size <= Similarity.LiteralArgmaxMaxCells)
+        qBase.select(col("query_id"), col("qe"),
+          explode(Similarity.cellsOf(col("qe"), cents, nprobe)).as("cell"))
+      else Similarity.probeByJoin(qBase, cents, nprobe)
     // the probed cell set is bounded by the quantizer size — collecting
     // it stays O(cells) at any batch size
     val probed = q.select(col("cell")).distinct()

@@ -66,6 +66,14 @@ class ServingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === want)
     assert(got.nonEmpty)
 
+    // multi-probe parity: the persisted path's nprobe>1 must reproduce
+    // annIvf's multi-probe result (same cell ranking and tie-breaks)
+    val gotNp = Serving.annFromIvfIndex(t, ct, spark, queries, 3, nprobe = 4)
+      .orderBy(col("query_id"), col("rank")).collect().map(_.toString).toSeq
+    val wantNp = Similarity.annIvf(queries, e, 3, nprobe = 4)
+      .orderBy(col("query_id"), col("rank")).collect().map(_.toString).toSeq
+    assert(gotNp === wantNp)
+
     // identity(cell) partitioning: a one-cell probe (a real cid from the
     // centroid table) plans a non-empty strict subset of the files
     val cid = ct.newScan().toDF(spark).orderBy(col("cid")).limit(1)
