@@ -38,12 +38,14 @@ object Clusters {
     */
   /** Distinct-edge count at or below which components are solved with a
     * DRIVER-side union-find instead of the iterative star contraction.
-    * BOUNDED collect (≤16 MB of longs at the default), same class as
-    * the K-centroid seeds: below it, one collect + O(n α(n)) beats
-    * ~5 shuffle stages × O(log n) rounds on ANY cluster — near-dup edge
-    * sets are usually pair-sparse even when the corpus is 100 TB. Above
-    * it, the distributed loop runs unchanged. */
-  val LocalSolveEdges: Long = 1000000L
+    * BOUNDED collect, same class as the K-centroid seeds: below it, one
+    * collect + O(n α(n)) beats ~5 shuffle stages × O(log n) rounds on
+    * ANY cluster — near-dup edge sets are usually pair-sparse even when
+    * the corpus is 100 TB. Honest driver-heap budget at the default:
+    * 200k Tuple2[Long, Long] rows (~10 MB) plus a boxed parent map of
+    * ≤400k entries (~30 MB) — transient tens of MB, safe on any real
+    * driver. Above it, the distributed loop runs unchanged. */
+  val LocalSolveEdges: Long = 200000L
 
   def connectedComponents(edges: DataFrame, src: String = "id_a",
       dst: String = "id_b", maxRounds: Int = 50,
@@ -98,6 +100,7 @@ object Clusters {
     * compression + union-by-min, result re-parallelized at session
     * parallelism so downstream joins distribute normally. */
   private def localSolve(spark: SparkSession, e: DataFrame): DataFrame = {
+    import spark.implicits._
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
     def find(x: Long): Long = {
       var r = x
@@ -106,8 +109,8 @@ object Clusters {
       while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
       r
     }
-    e.collect().foreach { row =>
-      val (a, b) = (row.getLong(0), row.getLong(1))
+    // typed collect: Tuple2 of longs, not GenericRow (≈10× less heap)
+    e.as[(Long, Long)].collect().foreach { case (a, b) =>
       val (ra, rb) = (find(a), find(b))
       if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       else parent.getOrElseUpdate(ra, ra)
@@ -119,7 +122,6 @@ object Clusters {
     // writing it silently skips entries
     val rows = parent.keys.toArray.map(n => (n, find(n))).toSeq
     e.unpersist()
-    import spark.implicits._
     spark.sparkContext
       .parallelize(rows, spark.sessionState.conf.numShufflePartitions)
       .toDF("id", "component")

@@ -53,16 +53,22 @@ object Serving {
       .withFilter(SetPred(PIn, "term", terms.toSet[Any]))
       .toDF(spark)
 
+  /** Canonical physical layout of band-signature rows — build and
+    * maintenance MUST share this so one artifact can never hold two
+    * shapes (the in-table mismatch requireLshLayout cannot see). */
+  private def bandsOf(docs: DataFrame, bands: Int, rows: Int): DataFrame =
+    Dedup.minhashBands(Dedup.shingleSets(docs), bands, rows)
+      .select(col("doc_id"), col("band_idx").cast("int").as("band_idx"),
+        col("band_key"))
+      .repartition(bands, col("band_idx"))
+
   /** Build the MinHash band index (doc_id, band_idx, band_key) for the
     * standing corpus and persist it partitioned by band_idx — each
     * band's postings co-locate, so a probe of band i reads only that
     * partition's files. */
   def persistBandIndex(indexDocs: DataFrame, name: String, catalog: Catalog,
       bands: Int = 16, rows: Int = 4): GraftTable = {
-    val bandsDf = Dedup
-      .minhashBands(Dedup.shingleSets(indexDocs), bands, rows)
-      .select(col("doc_id"), col("band_idx").cast("int").as("band_idx"),
-        col("band_key"))
+    val bandsDf = bandsOf(indexDocs, bands, rows)
     val schema = IcebergSchema.fromSpark(bandsDf.schema)
     val bandId = schema.fields.find(_.name == "band_idx").get.id
     val spec = PartitionSpec(0,
@@ -74,7 +80,7 @@ object Serving {
     val t = GraftTable.create(name, catalog, schema, spec,
       properties = Map("graft.lsh.bands" -> bands.toString,
         "graft.lsh.rows" -> rows.toString))
-    t.append(bandsDf.repartition(bands, col("band_idx")))
+    t.append(bandsDf)
   }
 
   /** Index MAINTENANCE: append an ingested batch's band signatures to
@@ -85,11 +91,7 @@ object Serving {
   def indexBatch(t: GraftTable, newDocs: DataFrame,
       bands: Int = 16, rows: Int = 4): GraftTable = {
     requireLshLayout(t, bands, rows)
-    t.append(Dedup
-      .minhashBands(Dedup.shingleSets(newDocs), bands, rows)
-      .select(col("doc_id"), col("band_idx").cast("int").as("band_idx"),
-        col("band_key"))
-      .repartition(bands, col("band_idx")))
+    t.append(bandsOf(newDocs, bands, rows))
   }
 
   /** Require the persisted index's recorded (bands, rows) to match the
@@ -135,7 +137,11 @@ object Serving {
     val centsDf = cents.toDF("cid", "centroid", "cnorm")
     val ct = GraftTable.create(s"${name}_centroids", catalog,
       IcebergSchema.fromSpark(centsDf.schema),
-      properties = Map("graft.ivf.cells" -> cells.toString)).append(centsDf)
+      // record the ACTUAL quantizer size: quantizer() returns
+      // min(cells, corpus size) centroids, and recording the REQUESTED
+      // count would make the probe guard reject a small-corpus index
+      // forever
+      properties = Map("graft.ivf.cells" -> cents.size.toString)).append(centsDf)
     (t, ct)
   }
 

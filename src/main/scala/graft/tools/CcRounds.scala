@@ -11,7 +11,9 @@ object CcRounds {
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.1")
+    val sfDir = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val docs = graft.Tables.documents(spark, sfDir)
     val pairs = graft.pipeline.Dedup.minhashNearDups(docs, 0.5)
       .select(col("id_a"), col("id_b")).localCheckpoint()
     for (i <- 1 to 3) {

@@ -116,7 +116,10 @@ class ServingSpec extends AnyFunSuite with BeforeAndAfterAll {
         docs.filter(col("doc_id") % 10 === 7).limit(10), bands = 32, rows = 2)
     }
     assert(ex.getMessage.contains("bands=16"))
-    // unknown materialize mode is an error, not a silent fallback
+  }
+
+  test("unknown materialize mode is an error, not a silent fallback") {
+    val docs = graft.Tables.documents(spark, sfDir)
     spark.conf.set("spark.graft.pipeline.materialize", "persist-disk-only")
     try intercept[IllegalArgumentException] {
       Curation.pretrainPipeline(docs.limit(20)).collect()

@@ -34,13 +34,25 @@ class SltRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
     .appName("graft-slt")
     .getOrCreate()
 
-  override def afterAll(): Unit = spark.stop()
+  private val tempDirs = scala.collection.mutable.ArrayBuffer.empty[String]
+
+  override def afterAll(): Unit = {
+    spark.stop()
+    tempDirs.foreach { d =>
+      try {
+        import java.util.Comparator
+        Files.walk(Paths.get(d)).sorted(Comparator.reverseOrder())
+          .forEach(x => Files.deleteIfExists(x))
+      } catch { case _: Throwable => () }
+    }
+  }
 
   private lazy val sltDir: Path =
     Paths.get(getClass.getResource("/slts").toURI)
 
   private def registerCatalog(): Unit = {
     val wh = Files.createTempDirectory("graft-slt").toString
+    tempDirs += wh
     spark.conf.set("spark.sql.catalog.slt", "graft.sources.GraftCatalogPlugin")
     spark.conf.set("spark.sql.catalog.slt.warehouse", wh)
   }
@@ -153,6 +165,7 @@ class SltRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def registerServingViews(): Unit = {
     import spark.implicits._
     val wh = Files.createTempDirectory("graft-slt-serve-").toString
+    tempDirs += wh
     val catalog = new graft.catalog.HadoopCatalog(wh, graft.io.FileIO.fromSpark(spark))
     val docs = (1L to 40L).map(i =>
       (i, s"the quick brown fox ${i % 4} jumps over the lazy dog ${i % 4}"))
