@@ -50,6 +50,9 @@ object Bench {
     def cleanup(): Unit = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      // serving/write queries built throwaway warehouses; their rows are
+      // materialized by now (the noop sink ran) — reclaim /tmp eagerly
+      graft.queries.Q.dropTempWarehouses()
     }
 
     def runOnce(q: graft.queries.Q): Double = {

@@ -174,7 +174,7 @@ trait Catalog {
   * atomic on HDFS/local — object stores should front this with a REST
   * catalog, SURVEY.md §7 hard part 4), then advance the hint.
   */
-final class HadoopCatalog(warehouse: String, val io: FileIO) extends Catalog {
+final class HadoopCatalog(val warehouse: String, val io: FileIO) extends Catalog {
 
   private def tableDir(name: String) = s"$warehouse/$name"
   private def metadataDir(name: String) = s"${tableDir(name)}/metadata"

@@ -29,13 +29,6 @@ import org.apache.spark.sql.functions._
   */
 object Clusters {
 
-  /** Connected components over an undirected edge list.
-    *
-    * @param edges two long columns (`src`, `dst`), one row per edge;
-    *              self-loops and duplicates are tolerated.
-    * @return (`id`, `component`) for every node that appears in `edges`,
-    *         where `component` is the minimum node id in its component.
-    */
   /** Distinct-edge count at or below which components are solved with a
     * DRIVER-side union-find instead of the iterative star contraction.
     * BOUNDED collect, same class as the K-centroid seeds: below it, one
@@ -47,6 +40,13 @@ object Clusters {
     * driver. Above it, the distributed loop runs unchanged. */
   val LocalSolveEdges: Long = 200000L
 
+  /** Connected components over an undirected edge list.
+    *
+    * @param edges two long columns (`src`, `dst`), one row per edge;
+    *              self-loops and duplicates are tolerated.
+    * @return (`id`, `component`) for every node that appears in `edges`,
+    *         where `component` is the minimum node id in its component.
+    */
   def connectedComponents(edges: DataFrame, src: String = "id_a",
       dst: String = "id_b", maxRounds: Int = 50,
       localSolveEdges: Long = LocalSolveEdges): DataFrame = {

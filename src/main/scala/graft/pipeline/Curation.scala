@@ -393,7 +393,7 @@ object Curation {
     *     that forbid caching.
     * Unknown values are an ERROR, not a silent fallback — a typo must
     * not hand a preemptible fleet the lineage-truncating mode. */
-  private def materialize(df: DataFrame): DataFrame =
+  private[pipeline] def materialize(df: DataFrame): DataFrame =
     df.sparkSession.conf
       .get("spark.graft.pipeline.materialize", "local-checkpoint") match {
       case "persist" =>

@@ -29,22 +29,37 @@ object Q {
 
   /** Fresh temp warehouse + Hadoop catalog for queries that build a
     * throwaway Graft table per invocation (the write/serving family).
-    * Every warehouse this JVM creates is recursively deleted at JVM
-    * exit — a bench/verify process runs the write family dozens of
-    * times, and leaked warehouses were accumulating gigabytes of /tmp
-    * across fork-protocol runs. */
+    * Harnesses (Bench / Verify / ScaleProbe) call [[dropTempWarehouses]]
+    * after each query's rows are materialized, so a long process doesn't
+    * accumulate every serving-table warehouse for its whole lifetime
+    * (r10 ADVICE: gigabytes of /tmp across fork runs); the JVM shutdown
+    * hook stays as the backstop for paths that never reach a harness
+    * cleanup (test JVMs, aborted runs). */
   private val tempWarehouses =
     java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
+
+  private def deleteRecursively(wh: String): Unit =
+    try {
+      import java.nio.file.{Files, Paths}
+      import java.util.Comparator
+      Files.walk(Paths.get(wh)).sorted(Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+    } catch { case _: Throwable => () } // best-effort
+
+  /** Eagerly delete every temp warehouse created so far. Call only AFTER
+    * the current query's result rows are fully materialized (collected /
+    * written / hashed) — a lazily-evaluated serving DataFrame still
+    * reads from its warehouse. */
+  def dropTempWarehouses(): Unit = {
+    val drained = tempWarehouses.synchronized {
+      val s = new java.util.ArrayList[String](tempWarehouses)
+      tempWarehouses.clear(); s
+    }
+    drained.forEach(wh => deleteRecursively(wh))
+  }
+
   locally {
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      tempWarehouses.forEach { wh =>
-        try {
-          import java.nio.file.{Files, Paths}
-          import java.util.Comparator
-          Files.walk(Paths.get(wh)).sorted(Comparator.reverseOrder())
-            .forEach(p => Files.deleteIfExists(p))
-        } catch { case _: Throwable => () } // best-effort; exit anyway
-      }))
+    Runtime.getRuntime.addShutdownHook(new Thread(() => dropTempWarehouses()))
   }
 
   private[queries] def freshCatalog(spark: SparkSession,

@@ -430,7 +430,6 @@ object StreamingQueries {
     val newDocs = docs.filter(col("doc_id") % 10 === 7)
     val (catalog, _) = Q.freshCatalog(s, "sbp")
     val t = graft.pipeline.Serving.persistBandIndex(index, "wband", catalog)
-    val indexBands = t.newScan().toDF(s)
 
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     val feed = newDocs.select("doc_id", "text")
@@ -438,8 +437,10 @@ object StreamingQueries {
     val source = MemoryStream[(Long, java.sql.Timestamp, String)]
     val qname = "p96_mem_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
+    // table overload: the probe validates the artifact's recorded
+    // (bands, rows, maxBucket) layout before the stream-static join
     val q = graft.streaming.StreamingLsh.probeIndexCandidates(
-        source.toDF().toDF("doc_id", "ts", "text"), indexBands)
+        source.toDF().toDF("doc_id", "ts", "text"), t)
       .writeStream.format("memory").queryName(qname)
       .outputMode(OutputMode.Append)
       .trigger(Trigger.ProcessingTime(0))

@@ -198,20 +198,34 @@ final class GraftSparkTable(table: GraftTable, viaProvider: Boolean = false,
       TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
   /** DataFrame-level time travel: `.option("snapshot-id"|"branch"|"tag"|
     * "ref"|"as-of-timestamp", ...)` pins this read's snapshot — the
-    * reader-option mirror of SQL `VERSION AS OF` / `TIMESTAMP AS OF`. */
+    * reader-option mirror of SQL `VERSION AS OF` / `TIMESTAMP AS OF`.
+    *
+    * `.option("refresh-on-scan", "true")` re-loads the table's metadata
+    * from the catalog at EVERY scan-builder construction instead of
+    * serving the snapshot captured at relation-creation time. Planning
+    * runs per query execution — and per MICRO-BATCH for the static side
+    * of a stream-static join — so a long-lived DataFrame (or a running
+    * stream probing this table) sees snapshots committed after it was
+    * built. The reference analogue: its DataFusion TableProvider
+    * re-loads fresh metadata per scan
+    * (integrations/datafusion/src/table/mod.rs:120-143). */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val pinned = Option(options.get("snapshot-id")).map(id => table.atSnapshot(id.toLong))
+    val base =
+      if (Option(options.get("refresh-on-scan")).contains("true"))
+        GraftTable.load(table.name, table.catalog)
+      else table
+    val pinned = Option(options.get("snapshot-id")).map(id => base.atSnapshot(id.toLong))
       .orElse(Option(options.get("end-snapshot-id"))
-        .map(id => table.atSnapshot(id.toLong))) // incremental read window end
+        .map(id => base.atSnapshot(id.toLong))) // incremental read window end
       .orElse(Seq("branch", "tag", "ref").flatMap(k => Option(options.get(k))).headOption
         .map { r =>
-          val ref = table.metadata.refs.getOrElse(r,
+          val ref = base.metadata.refs.getOrElse(r,
             throw new IllegalArgumentException(s"no such ref: $r"))
-          table.atSnapshot(ref.snapshotId)
+          base.atSnapshot(ref.snapshotId)
         })
       .orElse(Option(options.get("as-of-timestamp"))
-        .map(ts => table.asOfTimestamp(ts.toLong)))
-      .getOrElse(table)
+        .map(ts => base.asOfTimestamp(ts.toLong)))
+      .getOrElse(base)
     new GraftScanBuilder(pinned, options.asCaseSensitiveMap.asScala.toMap)
   }
 

@@ -106,6 +106,131 @@ class ServingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.metadata.snapshots.size === 2)
   }
 
+  test("persistBandIndex drops viral buckets at write time (census in the artifact)") {
+    import spark.implicits._
+    val viral = (1L to 5L).map(i => (i, "same viral boilerplate text here"))
+    val unique = Seq((10L, "totally different words appear here"),
+      (11L, "another unrelated document with words"))
+    val docs = (viral ++ unique).toDF("doc_id", "text")
+    val t = Serving.persistBandIndex(docs, "cap", freshCatalog("cap"),
+      maxBucket = 3)
+    val members = t.newScan().toDF(spark).select(col("doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(members === Set(10L, 11L),
+      s"viral 5-member buckets must be dropped at write: $members")
+    assert(t.metadata.properties("graft.lsh.maxBucket") === "3")
+  }
+
+  test("indexBatch union census: a bucket crossing the cap saturates keep-first") {
+    import spark.implicits._
+    val text = "alpha beta gamma delta epsilon zeta"
+    def docsDf(ids: Seq[Long]) = ids.map(i => (i, text)).toDF("doc_id", "text")
+    val cat = freshCatalog("sat")
+    var t = Serving.persistBandIndex(docsDf(Seq(1L, 2L)), "sat", cat,
+      maxBucket = 3)
+    // +2 members → union 4 > cap 3: the whole incoming contribution is
+    // rejected; already-persisted members keep serving (the streaming
+    // twin's saturation semantics)
+    t = Serving.indexBatch(t, docsDf(Seq(3L, 4L)), maxBucket = 3)
+    def members() = t.newScan().toDF(spark).select(col("doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(members() === Set(1L, 2L), s"saturating keep-first violated")
+    // +1 member → union 3 ≤ cap: admitted
+    t = Serving.indexBatch(t, docsDf(Seq(5L)), maxBucket = 3)
+    assert(members() === Set(1L, 2L, 5L))
+    // the artifact invariant the O(batch) probe relies on
+    val maxN = t.newScan().toDF(spark)
+      .groupBy(col("band_idx"), col("band_key")).count()
+      .agg(max(col("count"))).collect()(0).getLong(0)
+    assert(maxN <= 3, s"a persisted bucket exceeds the cap: $maxN")
+    // a maintenance call assuming a different cap is refused
+    intercept[IllegalArgumentException] {
+      Serving.indexBatch(t, docsDf(Seq(9L)), maxBucket = 5)
+    }
+  }
+
+  test("serving probe plans no census over the index side and shingles candidates only") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Project, Window}
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val docs = graft.Tables.documents(spark, sfDir)
+    val newDocs = docs.filter(col("doc_id") % 10 === 7)
+    // the index corpus reads from its OWN parquet path so plan asserts
+    // can tell the two sides apart
+    val dir = java.nio.file.Files.createTempDirectory("graft-pin-").toString
+    val ip = s"$dir/idx.parquet"
+    docs.filter(col("doc_id") % 10 =!= 7).write.parquet(ip)
+    val index = spark.read.parquet(ip)
+    val wh = java.nio.file.Files.createTempDirectory("graft-pin-wh-").toString
+    val cat = new HadoopCatalog(wh, FileIO.fromSpark(spark))
+    val t = Serving.persistBandIndex(index, "pin", cat)
+
+    def scanned(p: LogicalPlan): Seq[String] = p.collect {
+      case l: LogicalRelation => l.relation match {
+        case h: HadoopFsRelation => h.location.rootPaths.map(_.toString)
+        case _ => Seq.empty[String]
+      }
+    }.flatten
+
+    // candidate stage (the per-ingest-batch hot path): exactly ONE
+    // census window — the O(batch) new side; the persisted index is
+    // joined bare (the r10 O(index)-window-per-probe defect)
+    val cand = Dedup.probeCandidates(t.newScan().toDF(spark),
+      newDocs, 16, 4, Dedup.MaxBucket)
+    val candPlan = cand.queryExecution.analyzed
+    val windows = candPlan.collect { case w: Window => w }
+    assert(windows.size === 1, s"expected the batch-side census only: $windows")
+    assert(scanned(windows.head).forall(!_.contains(wh)),
+      "a census window shuffles the persisted index — the r10 scale defect")
+    assert(scanned(candPlan).exists(_.contains(wh)), "index scan missing from plan")
+
+    // physical shape: broadcast-batch-side equi-join with the index as
+    // the STREAMED side — no exchange, no window anywhere between the
+    // index scan and the join
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def scansWh(p: SparkPlan): Boolean = p.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains(wh)) => f
+    }.isDefined
+    val phys = cand.queryExecution.sparkPlan
+    val bandJoin = phys.collectFirst {
+      case j: BroadcastHashJoinExec if scansWh(j) => j }
+    assert(bandJoin.isDefined, s"band probe is not a broadcast hash join:\n$phys")
+    val streamed = bandJoin.get.buildSide match {
+      case org.apache.spark.sql.catalyst.optimizer.BuildLeft => bandJoin.get.right
+      case org.apache.spark.sql.catalyst.optimizer.BuildRight => bandJoin.get.left
+    }
+    assert(scansWh(streamed), "the index must be the streamed (scan) side")
+    assert(streamed.collectFirst { case e: ShuffleExchangeExec => e }.isEmpty,
+      "index side of the probe must not shuffle")
+    assert(streamed.collectFirst { case w: WindowExec => w }.isEmpty,
+      "index side of the probe must not census")
+
+    val df = Serving.dedupAgainstBandIndex(t, spark, index, newDocs)
+    val plan = df.queryExecution.analyzed
+    // candidate-bounded verification: every shingle projection over the
+    // index corpus sits ABOVE a left-semi candidate filter
+    val shingleOverIndex = plan.collect {
+      case p: Project if p.projectList.exists(_.name == "s") &&
+        scanned(p).exists(_.contains(ip)) => p
+    }
+    assert(shingleOverIndex.nonEmpty, "no shingle projection over the index?")
+    shingleOverIndex.foreach { p =>
+      assert(p.collectFirst {
+        case j: Join if j.joinType == LeftSemi => j }.isDefined,
+        "index shingles computed without the candidate-bounded semi filter")
+    }
+    // and the probe still answers exactly (candidate bounding is a
+    // pure optimization)
+    val got = df.orderBy(col("new_id")).collect().map(_.toString).toSeq
+    val want = Dedup.incrementalDedup(index, newDocs)
+      .orderBy(col("new_id")).collect().map(_.toString).toSeq
+    assert(got === want)
+  }
+
   test("band-index probe refuses a (bands, rows) layout mismatch") {
     val docs = graft.Tables.documents(spark, sfDir)
     val index = docs.filter(col("doc_id") % 10 =!= 7).limit(50)

@@ -94,36 +94,50 @@ class StreamingLshSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stateRows < 64, s"expired state still resident: $stateRows rows")
   }
 
-  test("stream-static index probe equals batch incremental dedup; viral index buckets drop") {
+  /** Run a probe stream over `static`, feeding `feed` in `nChunks`
+    * chunks with `between` invoked after each chunk's batch completes;
+    * returns the distinct (new_id, idx_id) candidate set per chunk. */
+  private def runProbe(mkStream: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame,
+      feed: Seq[(Long, Timestamp, String)], nChunks: Int, name: String,
+      between: Int => Unit = _ => ()): Seq[Set[(Long, Long)]] = {
     import spark.implicits._
     implicit val sq = spark.sqlContext
+    val source = MemoryStream[(Long, Timestamp, String)]
+    val q = mkStream(source.toDF().toDF("doc_id", "ts", "text"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    val perChunk = Seq.newBuilder[Set[(Long, Long)]]
+    try {
+      var seen = Set.empty[(Long, Long)]
+      feed.grouped(feed.size / nChunks + 1).zipWithIndex.foreach { case (c, i) =>
+        source.addData(c: _*); q.processAllAvailable()
+        val all = spark.table(name).as[(Long, Long)].collect().toSet
+        perChunk += (all -- seen); seen = all
+        between(i)
+      }
+    } finally q.stop()
+    spark.catalog.dropTempView(name)
+    perChunk.result()
+  }
+
+  test("stream-static index probe equals batch incremental dedup; artifact census caps") {
+    import spark.implicits._
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val index = docs.filter(col("doc_id") % 10 =!= 7)
     val newDocs = docs.filter(col("doc_id") % 10 === 7)
+    val feed = newDocs.select("doc_id", "text").as[(Long, String)]
+      .collect().toSeq.sortBy(_._1).map(c => (c._1, ts(0), c._2))
+
+    // raw-frame overload: caller-owned cap contract (uncapped is fine
+    // here — no viral buckets at this scale); parity after verify
     val indexBands = graft.pipeline.Dedup.minhashBands(
       graft.pipeline.Dedup.shingleSets(index), 16, 4)
-
-    def runProbe(maxBucket: Int, name: String): Set[(Long, Long)] = {
-      val source = MemoryStream[(Long, Timestamp, String)]
-      val q = StreamingLsh.probeIndexCandidates(
-          source.toDF().toDF("doc_id", "ts", "text"), indexBands,
-          maxBucket = maxBucket)
-        .writeStream.format("memory").queryName(name)
-        .outputMode(OutputMode.Append)
-        .trigger(Trigger.ProcessingTime(0))
-        .start()
-      val feed = newDocs.select("doc_id", "text").as[(Long, String)]
-        .collect().toSeq.sortBy(_._1).map(c => (c._1, ts(0), c._2))
-      try feed.grouped(feed.size / 3 + 1).foreach { c =>
-        source.addData(c: _*); q.processAllAvailable()
-      } finally q.stop()
-      val got = spark.table(name).as[(Long, Long)].collect().toSet // (new_id, idx_id)
-      spark.catalog.dropTempView(name)
-      got
-    }
-
-    // candidates after verify must equal batch incrementalDedup's report
-    val cands = runProbe(10000, "probe_agree")
+    val cands = runProbe(
+      s => StreamingLsh.probeIndexCandidates(s, indexBands, 10, 16, 4),
+      feed, 3, "probe_agree").reduce(_ ++ _)
     val got = graft.pipeline.Dedup.dupReport(
         cands.toSeq.toDF("new_id", "idx_id"), index, newDocs)
       .orderBy(col("new_id")).collect().map(_.toString).toSeq
@@ -131,8 +145,75 @@ class StreamingLshSpec extends AnyFunSuite with BeforeAndAfterAll {
       .orderBy(col("new_id")).collect().map(_.toString).toSeq
     assert(got === want)
 
-    // with a tiny cap every index bucket is viral → zero candidates
-    assert(runProbe(0, "probe_viral").isEmpty)
+    // the census is the ARTIFACT's: an index persisted with cap 0 holds
+    // no buckets at all, so the probe sees zero candidates — with no
+    // window anywhere in the probe plan (the r10 probe-time census is
+    // gone; O(batch) per trigger)
+    val wh = java.nio.file.Files.createTempDirectory("graft-slsh-").toString
+    val cat = new graft.catalog.HadoopCatalog(wh,
+      graft.io.FileIO.fromSpark(spark))
+    val t0cap = graft.pipeline.Serving.persistBandIndex(
+      index, "viral", cat, maxBucket = 0)
+    val probeDf = StreamingLsh.probeIndexCandidates(
+      spark.readStream.format("rate").load()
+        .select(col("value").as("doc_id"), col("timestamp").as("ts"),
+          lit("a b c d").as("text")),
+      t0cap, maxBucket = 0)
+    assert(probeDf.queryExecution.analyzed.collectFirst {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }.isEmpty, "probe plan must not census the index side")
+    assert(runProbe(
+      s => StreamingLsh.probeIndexCandidates(s, t0cap, maxBucket = 0),
+      feed, 1, "probe_viral").head.isEmpty)
+
+    // layout guard: a probe hashed with mismatched (bands, rows) is
+    // refused, not silently empty
+    val t16 = graft.pipeline.Serving.persistBandIndex(
+      index.limit(50), "bmm", cat)
+    val ex = intercept[IllegalArgumentException] {
+      StreamingLsh.probeIndexCandidates(
+        spark.readStream.format("rate").load()
+          .select(col("value").as("doc_id"), col("timestamp").as("ts"),
+            lit("x").as("text")),
+        t16, bands = 32, rows = 2)
+    }
+    assert(ex.getMessage.contains("bands=16"))
+  }
+
+  test("refreshPerTrigger: a mid-stream indexBatch is visible to the next batch; default pins") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val index = docs.filter(col("doc_id") % 10 === 1)
+    val streamDocs = docs.filter(col("doc_id") % 10 === 7).limit(40)
+    // growth batch = EXACT COPIES of the stream docs under shifted ids:
+    // identical text → identical signatures → guaranteed candidates
+    val growth = streamDocs.withColumn("doc_id", col("doc_id") + 1000000L)
+    val feed = streamDocs.select("doc_id", "text").as[(Long, String)]
+      .collect().toSeq.sortBy(_._1).map(c => (c._1, ts(0), c._2))
+    // feed the same docs twice: chunk 1 before the indexBatch, chunk 2 after
+    val twice = feed ++ feed
+
+    def run(refresh: Boolean, name: String): Seq[Set[(Long, Long)]] = {
+      val wh = java.nio.file.Files.createTempDirectory("graft-refresh-").toString
+      val cat = new graft.catalog.HadoopCatalog(wh,
+        graft.io.FileIO.fromSpark(spark))
+      val t = graft.pipeline.Serving.persistBandIndex(index, "grow", cat)
+      runProbe(
+        s => StreamingLsh.probeIndexCandidates(s, t,
+          refreshPerTrigger = refresh),
+        twice, 2, name,
+        between = i => if (i == 0) graft.pipeline.Serving.indexBatch(t, growth))
+    }
+
+    val refreshed = run(refresh = true, "probe_refresh")
+    assert(refreshed(0).forall(_._2 < 1000000L),
+      "chunk 1 ran before the indexBatch; growth ids must be absent")
+    assert(refreshed(1).exists(_._2 >= 1000000L),
+      "per-trigger refresh must surface the mid-stream indexBatch append")
+
+    val pinned = run(refresh = false, "probe_pinned")
+    assert(pinned.flatten.forall(_._2 < 1000000L),
+      "default semantics pin the index snapshot at stream start")
   }
 
   test("viral bucket saturates at the cap and stops emitting") {
