@@ -21,9 +21,24 @@ object WritePathQueries {
   private def fresh(spark: SparkSession, tag: String): (HadoopCatalog, String) =
     Q.freshCatalog(spark, tag)
 
-  private def sqlCatalog(spark: SparkSession, name: String, wh: String): Unit = {
+  /** Register a UNIQUELY-NAMED SQL catalog for this invocation's fresh
+    * warehouse and return the name. Spark's CatalogManager caches plugin
+    * instances BY NAME for the session lifetime, and GraftCatalogPlugin
+    * binds its warehouse at initialize — reusing one name across
+    * invocations (the pre-r11 shape) left every invocation after the
+    * first issuing its SQL against the FIRST invocation's warehouse: the
+    * row-level op ran against a stale table (an idempotent no-match
+    * no-op) while the read-back scanned the fresh, un-mutated one. A
+    * single-invocation-per-JVM run (Verify — the correctness gate) never
+    * saw it; the bench's warmup+measured sequence did, surfaced when r11
+    * started reclaiming warehouses eagerly and the stale catalogs began
+    * throwing instead of silently no-opping. */
+  private val catSeq = new java.util.concurrent.atomic.AtomicLong()
+  private def sqlCatalog(spark: SparkSession, base: String, wh: String): String = {
+    val name = s"${base}_${catSeq.incrementAndGet()}"
     spark.conf.set(s"spark.sql.catalog.$name", "graft.sources.GraftCatalogPlugin")
     spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+    name
   }
 
   /** Copy-on-write DELETE: non-translatable predicate forces the
@@ -43,8 +58,8 @@ object WritePathQueries {
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
     var t = GraftTable.create("wcow", catalog, IcebergSchema.fromSpark(src.schema))
     t = t.append(src.repartition(8))
-    sqlCatalog(s, "wbench_cow", wh)
-    s.sql("DELETE FROM wbench_cow.wcow WHERE l_orderkey % 7 = 0")
+    val cat = sqlCatalog(s, "wbench_cow", wh)
+    s.sql(s"DELETE FROM $cat.wcow WHERE l_orderkey % 7 = 0")
     GraftTable.load("wcow", catalog).newScan().toDF(s)
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
@@ -70,9 +85,9 @@ object WritePathQueries {
     var t = GraftTable.create("wmor", catalog, IcebergSchema.fromSpark(src.schema),
       properties = Map("write.merge.mode" -> "merge-on-read"))
     t = t.append(src.repartition(8))
-    sqlCatalog(s, "wbench_mor", wh)
-    s.sql("""MERGE INTO wbench_mor.wmor t
-            |USING (SELECT o_orderkey AS k FROM wbench_mor.wmor WHERE o_orderkey % 10 = 0) src
+    val cat = sqlCatalog(s, "wbench_mor", wh)
+    s.sql(s"""MERGE INTO $cat.wmor t
+            |USING (SELECT o_orderkey AS k FROM $cat.wmor WHERE o_orderkey % 10 = 0) src
             |ON t.o_orderkey = src.k
             |WHEN MATCHED THEN UPDATE SET o_custkey = t.o_custkey + 1000000""".stripMargin)
     GraftTable.load("wmor", catalog).newScan().toDF(s)
@@ -131,9 +146,9 @@ object WritePathQueries {
     var t = GraftTable.create("wpdr", catalog, IcebergSchema.fromSpark(src.schema),
       properties = Map("write.delete.mode" -> "merge-on-read"))
     t = t.append(src.repartition(8))
-    sqlCatalog(s, "wbench_pdr", wh)
-    s.sql("DELETE FROM wbench_pdr.wpdr WHERE o_orderkey % 5 = 0")
-    s.sql("DELETE FROM wbench_pdr.wpdr WHERE o_custkey % 7 = 0")
+    val cat = sqlCatalog(s, "wbench_pdr", wh)
+    s.sql(s"DELETE FROM $cat.wpdr WHERE o_orderkey % 5 = 0")
+    s.sql(s"DELETE FROM $cat.wpdr WHERE o_custkey % 7 = 0")
     t = GraftTable.load("wpdr", catalog).rewritePositionDeletes(s)
     t.newScan().toDF(s)
       .groupBy(col("o_orderstatus"))
