@@ -196,8 +196,13 @@ object ScaleProbe {
     // the committed BENCH_SCALE10.json must come from a FULL run
     val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val selected = Queries.filter(n => only.forall(_.contains(n)))
-    require(selected.nonEmpty,
+    val sections = sys.env.get("SPARK_GRAFT_PROBE_SECTIONS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def sectionOn(s: String) = sections.forall(_.contains(s))
+    val selected =
+      if (!sectionOn("queries")) Seq.empty[String]
+      else Queries.filter(n => only.forall(_.contains(n)))
+    require(selected.nonEmpty || !sectionOn("queries"),
       s"SPARK_GRAFT_PROBE_ONLY matched no probe query (have: ${Queries.mkString(",")})")
     val results = selected.map { n =>
       val (b, s) = medians(n)
@@ -210,7 +215,7 @@ object ScaleProbe {
     // gates on and refuse a probe that would silently time the local
     // solver
     val p19EdgesScaled: Long =
-      if (only.forall(_.contains("p19_duplicate_clusters"))) {
+      if (sectionOn("queries") && only.forall(_.contains("p19_duplicate_clusters"))) {
         val e = graft.pipeline.Dedup
           .minhashNearDups(spark.read.parquet(s"$out/documents.parquet"), 0.5)
           .select(col("id_a"), col("id_b")).distinct().count()
@@ -221,14 +226,24 @@ object ScaleProbe {
         cleanup(); e
       } else -1L
 
-    // the skew probe is part of the FULL run only; a subset iteration
-    // must not overwrite its numbers with a placeholder
-    val skewJson = if (only.isEmpty) viralSkewProbe(spark) else "\"skipped\""
+    // section subsetting (SPARK_GRAFT_PROBE_SECTIONS, of
+    // queries|skew|serving) for local iteration: the skew CONTROL runs a
+    // deliberately pathological single-task ~50M-pair explode (the
+    // pre-salt shape) that can OOM the probe JVM by design, so the
+    // serving section must be re-runnable without it. Like
+    // SPARK_GRAFT_PROBE_ONLY, any subsetting routes the output to the
+    // SUBSET file — the committed BENCH_SCALE10.json only ever comes
+    // from a FULL run (all queries, all sections).
+    val fullRun = only.isEmpty && sections.isEmpty
+    val skewJson =
+      if (only.isEmpty && sectionOn("skew")) viralSkewProbe(spark)
+      else "\"skipped\""
     // serving PROBE-ONLY timings (r10 judge items 6/7): indexes built
     // once per dataset OUTSIDE the timed region — the serving claim is
     // about the probe, and the fixed-batch/10×-index shape is the one
     // that would expose an O(index) probe
-    val servingJson = if (only.isEmpty) servingProbeJson(spark, base, out)
+    val servingJson =
+      if (only.isEmpty && sectionOn("serving")) servingProbeJson(spark, base, out)
       else "\"skipped\""
     val json = results.map { case (n, b, s, r) =>
       f""""$n":{"base_sec":$b%.3f,"scale10_sec":$s%.3f,"ratio":$r%.2f}"""
@@ -237,7 +252,7 @@ object ScaleProbe {
       ",", s"""},"serving_probe_only":$servingJson,"viral_skew":$skewJson}""")
     // subset runs must not clobber the committed full-run artifact
     val outFile =
-      if (only.isEmpty) "BENCH_SCALE10.json" else "BENCH_SCALE10_SUBSET.json"
+      if (fullRun) "BENCH_SCALE10.json" else "BENCH_SCALE10_SUBSET.json"
     Files.writeString(Paths.get(outFile), json + "\n")
     spark.stop()
     println(json)
@@ -288,6 +303,12 @@ object ScaleProbe {
       val p93b = med3(Serving.dedupAgainstBandIndex(tB, spark, bIdx, bNew))
       val p93s = med3(Serving.dedupAgainstBandIndex(tS, spark, sIdx, sNew))
       val p93f = med3(Serving.dedupAgainstBandIndex(tS, spark, sIdx, bNew))
+      // the CONTINUOUS-INGEST shape: a small fixed batch (16 docs) whose
+      // band keys prune the scan to a handful of key-bucket files — the
+      // case where probe cost must be ~independent of index size
+      val tiny = bNew.orderBy(col("doc_id")).limit(16)
+      val p93tb = med3(Serving.dedupAgainstBandIndex(tB, spark, bIdx, tiny))
+      val p93ts = med3(Serving.dedupAgainstBandIndex(tS, spark, sIdx, tiny))
 
       val bE = spark.read.parquet(s"$base/embeddings.parquet")
       val sE = spark.read.parquet(s"$scaled/embeddings.parquet")
@@ -302,6 +323,8 @@ object ScaleProbe {
         f""""ratio":${p93s / p93b}%.2f},""" +
         f""""p93_probe_fixed_batch_10x_index":{"base_sec":$p93b%.3f,""" +
         f""""sec":$p93f%.3f,"ratio":${p93f / p93b}%.2f},""" +
+        f""""p93_probe_small_batch_10x_index":{"base_sec":$p93tb%.3f,""" +
+        f""""sec":$p93ts%.3f,"ratio":${p93ts / p93tb}%.2f},""" +
         f""""p95_probe":{"base_sec":$p95b%.3f,"scale10_sec":$p95s%.3f,""" +
         f""""ratio":${p95s / p95b}%.2f}}"""
     } finally {

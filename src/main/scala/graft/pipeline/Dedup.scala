@@ -345,19 +345,42 @@ object Dedup {
     dupReport(probeCandidates(indexBands, newDocs, bands, rows, maxBucket),
       index, newDocs, threshold)
 
+  /** [[incrementalDedupWithBands]] with the NEW side's band signatures
+    * ALSO precomputed (hashed + census-capped, e.g. via [[cappedBands]])
+    * — the serving path materializes them once and reuses them for the
+    * driver key-collect that prunes the index scan
+    * ([[Serving.dedupAgainstBandIndex]]). */
+  private[graft] def incrementalDedupWithPrehashed(newBands: DataFrame,
+      indexBands: DataFrame, index: DataFrame, newDocs: DataFrame,
+      threshold: Double): DataFrame =
+    dupReport(probeCandidatesPrehashed(indexBands, newBands),
+      index, newDocs, threshold)
+
+  /** Hash + census-cap a document batch's band signatures — the probe's
+    * batch side, shared by the recompute and serving paths. */
+  private[graft] def cappedBands(docs: DataFrame, bands: Int, rows: Int,
+      maxBucket: Int): DataFrame =
+    capBuckets(minhashBands(shingleSets(docs), bands, rows), maxBucket)
+
   /** The probe's candidate stage: hash + census-cap the NEW batch, one
-    * equi-join on the bucket key against the pre-capped index bands.
-    * The only window is the batch-side census, and the batch side
-    * carries an explicit broadcast hint — at serving scale the batch is
+    * equi-join on the bucket key against the pre-capped index bands. */
+  private[graft] def probeCandidates(indexBands: DataFrame, newDocs: DataFrame,
+      bands: Int, rows: Int, maxBucket: Int): DataFrame =
+    probeCandidatesPrehashed(indexBands,
+      cappedBands(newDocs, bands, rows, maxBucket))
+
+  /** One equi-join on the bucket key: capped batch bands vs pre-capped
+    * index bands. The only window on the probe path is the batch-side
+    * census (inside [[cappedBands]]), and the batch side carries an
+    * explicit broadcast hint — at serving scale the batch is
     * ingest-sized while the index is ~corpus×bands signatures, so the
     * index must be the STREAMED side of a broadcast hash join: a bare
     * scan flowing map-side into the join, no index-side exchange, no
     * reliance on size estimates that a window blinds. Plan-pinned by
     * ServingSpec. */
-  private[graft] def probeCandidates(indexBands: DataFrame, newDocs: DataFrame,
-      bands: Int, rows: Int, maxBucket: Int): DataFrame =
-    broadcast(
-      capBuckets(minhashBands(shingleSets(newDocs), bands, rows), maxBucket)
+  private[graft] def probeCandidatesPrehashed(indexBands: DataFrame,
+      newBands: DataFrame): DataFrame =
+    broadcast(newBands
         .select(col("doc_id").as("new_id"), col("band_idx"), col("band_key")))
       .join(indexBands
         .select(col("doc_id").as("idx_id"), col("band_idx"), col("band_key")),

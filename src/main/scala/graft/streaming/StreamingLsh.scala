@@ -131,7 +131,12 @@ object StreamingLsh {
     * scan with NO window and NO index-side shuffle; the r10 probe-time
     * census window was re-executed over the FULL index every micro-batch
     * (r10 judge item 1). Per-arrival fan-out ≤ bands × maxBucket; each
-    * arriving doc contributes ≤ `bands` rows.
+    * arriving doc contributes ≤ `bands` rows. Unlike the batch probe
+    * ([[graft.pipeline.Serving.dedupAgainstBandIndex]]), no batch-key
+    * pruning applies here: a static plan cannot carry per-trigger
+    * predicates, so each trigger streams the full band scan through the
+    * join — batch micro-ingest through the batch probe is the
+    * key-pruned path.
     *
     * Snapshot semantics: by default the index snapshot is pinned at
     * stream START — [[graft.pipeline.Serving.indexBatch]] appends landed

@@ -229,6 +229,28 @@ class ServingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val want = Dedup.incrementalDedup(index, newDocs)
       .orderBy(col("new_id")).collect().map(_.toString).toSeq
     assert(got === want)
+
+    // batch-key pruning: a SMALL batch's band keys, projected through
+    // bucket(band_key, keyBuckets), must plan a strict non-empty file
+    // subset — the serving shape where the probe reads a handful of
+    // key-bucket files regardless of index size
+    val small = newDocs.limit(2)
+    val keys = Dedup.cappedBands(small, 16, 4, Dedup.MaxBucket)
+      .select(col("band_key")).distinct()
+      .collect().map(_.getString(0)).toSet[Any]
+    assert(keys.nonEmpty)
+    val allFiles = t.newScan().planFiles().size
+    val prunedFiles = t.newScan()
+      .withFilter(graft.expr.SetPred(graft.expr.In, "band_key", keys))
+      .planFiles().size
+    assert(prunedFiles > 0 && prunedFiles < allFiles,
+      s"key-bucket pruning did not engage: $prunedFiles of $allFiles files")
+    // end-to-end parity on the small batch (the pruned-scan path)
+    val gotSmall = Serving.dedupAgainstBandIndex(t, spark, index, small)
+      .orderBy(col("new_id")).collect().map(_.toString).toSeq
+    val wantSmall = Dedup.incrementalDedup(index, small)
+      .orderBy(col("new_id")).collect().map(_.toString).toSeq
+    assert(gotSmall === wantSmall)
   }
 
   test("band-index probe refuses a (bands, rows) layout mismatch") {
