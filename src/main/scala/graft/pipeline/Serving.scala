@@ -167,7 +167,18 @@ object Serving {
     val batch = Curation.materialize(bandsOf(newDocs, bands, rows))
     val batchCounts = batch.groupBy(col("band_idx"), col("band_key"))
       .agg(count(lit(1)).as("_new"))
-    val existingCounts = t.newScan().select("band_idx", "band_key").toDF(spark)
+    // the union count scans only the batch's buckets: the same
+    // batch-key file pruning as the probe (small batches PLAN only
+    // touched key-bucket files), then a broadcast semi-join drops the
+    // pruned files' non-batch buckets row-side
+    val keys = batchCounts.select(col("band_key")).distinct()
+      .take(MaxProbeKeys + 1)
+    val countScan =
+      if (keys.length <= MaxProbeKeys)
+        t.newScan().withFilter(
+          SetPred(PIn, "band_key", keys.map(_.getString(0)).toSet[Any]))
+      else t.newScan()
+    val existingCounts = countScan.select("band_idx", "band_key").toDF(spark)
       .join(broadcast(batchCounts.select(col("band_idx"), col("band_key"))),
         Seq("band_idx", "band_key"), "left_semi")
       .groupBy(col("band_idx"), col("band_key"))
