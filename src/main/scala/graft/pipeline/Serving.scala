@@ -53,6 +53,56 @@ object Serving {
       .withFilter(SetPred(PIn, "term", terms.toSet[Any]))
       .toDF(spark)
 
+  /** Inverted-index MAINTENANCE: fold an ingested document batch into
+    * the persisted index in ONE atomic upsert — touched terms only.
+    *
+    * The merge is EXACT without re-reading the corpus of record,
+    * because every per-term statistic folds: `newDocs` carries doc_ids
+    * DISJOINT from the indexed corpus (the caller's contract, as with
+    * every append-only ingest here), so df/tf simply add, and the
+    * postings list — the `cap` SMALLEST doc_ids of the term — merges as
+    * top-cap of (old postings ∪ batch postings): any old doc absent
+    * from the old postings is larger than all of them (either the old
+    * list was full of smaller ids, or it held every old doc), so it can
+    * never enter the merged top-cap. Work is O(batch terms): the batch
+    * is indexed fresh, the OLD rows for exactly those terms are read
+    * through the bucket(term)-pruned scan, and the merged rows land as
+    * one equality-delete + append snapshot
+    * ([[graft.table.DeleteWriter.upsert]] — no data-file rewrite; scans
+    * pay one eq-delete load until compaction folds it). Terms past
+    * [[MaxProbeKeys]] degrade to the unpruned scan, exactly like the
+    * band probe. */
+  def indexDocsBatch(t: GraftTable, newDocs: DataFrame,
+      cap: Int = 10): GraftTable = {
+    val spark = newDocs.sparkSession
+    val newIdx = Curation.materialize(Search.invertedIndex(newDocs, cap))
+    val terms = newIdx.select(col("term")).distinct().take(MaxProbeKeys + 1)
+    val oldScan =
+      if (terms.length <= MaxProbeKeys)
+        t.newScan().withFilter(
+          SetPred(PIn, "term", terms.map(_.getString(0)).toSet[Any]))
+      else t.newScan()
+    // the In residual already row-filters the pruned files to touched
+    // terms; the inner join below re-scopes exactly (and handles the
+    // unpruned fallback)
+    val old = oldScan.toDF(spark)
+      .select(col("term"), col("df").as("_df0"), col("tf").as("_tf0"),
+        col("postings").as("_p0"))
+    val merged = newIdx
+      .select(col("term"), col("df").as("_df1"), col("tf").as("_tf1"),
+        col("postings").as("_p1"))
+      .join(old, Seq("term"), "left")
+      .select(col("term"),
+        (coalesce(col("_df0"), lit(0L)) + col("_df1")).as("df"),
+        (coalesce(col("_tf0"), lit(0L)) + col("_tf1")).as("tf"),
+        expr(s"""array_join(transform(slice(array_sort(transform(
+          filter(concat(split(coalesce(_p0, ''), ','), split(_p1, ',')),
+                 x -> x <> ''),
+          x -> cast(x AS bigint))), 1, $cap), x -> cast(x AS string)), ',')""")
+          .as("postings"))
+    t.upsert(merged, Seq("term"))
+  }
+
   /** Canonical band-signature rows — build and maintenance MUST share
     * this so one artifact can never hold two shapes (the in-table
     * mismatch requireLshLayout cannot see). */
@@ -259,22 +309,49 @@ object Serving {
     * regardless of batch size or `nprobe`. Result contract identical to
     * [[Similarity.annIvf]] at the same nprobe (the multi-probe cell
     * ranking uses the same (cos desc, cid asc) tie-break). */
-  def annFromIvfIndex(index: GraftTable, centroids: GraftTable,
-      spark: SparkSession, queries: DataFrame, k: Int,
-      nprobe: Int = 1): DataFrame = {
-    require(nprobe >= 1, s"nprobe must be >= 1: $nprobe")
+  /** Load the coarse quantizer from its table — O(cells) driver rows.
+    * The quantizer size is part of the artifact's contract: a centroid
+    * table that lost rows (or a partial scan) would silently change
+    * every assignment — refuse the mismatch. */
+  private def loadCentroids(centroids: GraftTable,
+      spark: SparkSession): Seq[(Long, Seq[Double], Double)] = {
     val cents = centroids.newScan().toDF(spark)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
       .sortBy(_._1).toSeq
-    // the quantizer size is part of the artifact's contract: a centroid
-    // table that lost rows (or a partial scan) would silently change
-    // every assignment — refuse the mismatch
     centroids.metadata.properties.get("graft.ivf.cells").foreach { c =>
       require(c == cents.size.toString,
         s"IVF centroid table ${centroids.metadata.location} records " +
           s"cells=$c but the scan returned ${cents.size} centroids")
     }
+    cents
+  }
+
+  /** IVF index MAINTENANCE: assign an ingested vector batch to the
+    * EXISTING coarse quantizer and append it partitioned by
+    * identity(cell) in one atomic snapshot, so the next probe's pruned
+    * scan sees it. The quantizer is the artifact's FROZEN contract
+    * (standard IVF maintenance — re-clustering is a rebuild,
+    * [[persistIvfIndex]]); batch work is one O(cells) driver centroid
+    * load, a map-side argmax, and one batch-bounded clustering shuffle —
+    * O(batch) at any index size. */
+  def ivfIndexBatch(index: GraftTable, centroids: GraftTable,
+      newVecs: DataFrame): GraftTable = {
+    val spark = newVecs.sparkSession
+    val cents = loadCentroids(centroids, spark)
+    val assigned = Similarity
+      .assignCells(newVecs, cents, "vec_id", "embedding", "cell")
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    index.append(assigned.repartition(
+      math.min(cents.size, spark.sessionState.conf.numShufflePartitions),
+      col("cell")))
+  }
+
+  def annFromIvfIndex(index: GraftTable, centroids: GraftTable,
+      spark: SparkSession, queries: DataFrame, k: Int,
+      nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1: $nprobe")
+    val cents = loadCentroids(centroids, spark)
     val qBase =
       queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val q =

@@ -2753,11 +2753,67 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF index MAINTENANCE: the quantizer freezes at build time over
+    * the standing corpus (vec_id%3<>0); the ingested batch (vec_id%3=0)
+    * is assigned to the EXISTING centroids and appended in one atomic
+    * snapshot ([[graft.pipeline.Serving.ivfIndexBatch]]); the probe then
+    * reads only its probed cells of the GROWN index. The oracle samples
+    * the quantizer from the standing slice only — the maintenance
+    * contract — then ranks over the full corpus. */
+  val p97 = Q.sql(
+    "p97_ivf_index_maintenance",
+    """WITH cent AS (
+      |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+      |  WHERE vec_id % 3 <> 0
+      |  ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT, vec_id
+      |  LIMIT 64),
+      |sc AS (
+      |  SELECT e.vec_id, e.embedding, c.cid,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> e.embedding[i]::DOUBLE * c.ce[i]::DOUBLE)) /
+      |    (sqrt(list_sum(list_transform(range(1, 65),
+      |       i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))) *
+      |     sqrt(list_sum(list_transform(range(1, 65),
+      |       i -> c.ce[i]::DOUBLE * c.ce[i]::DOUBLE)))) AS cs
+      |  FROM embeddings e, cent c),
+      |asg AS (
+      |  SELECT vec_id, embedding, cid AS cell FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id
+      |                                 ORDER BY cs DESC, cid) AS rn FROM sc)
+      |  WHERE rn = 1),
+      |q AS (SELECT vec_id AS qid, embedding AS qe, cell FROM asg WHERE vec_id < 10),
+      |p AS (
+      |  SELECT q.qid AS query_id, a.vec_id AS neighbor_id,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> q.qe[i]::DOUBLE * a.embedding[i]::DOUBLE)) /
+      |    (sqrt(list_sum(list_transform(range(1, 65),
+      |       i -> q.qe[i]::DOUBLE * q.qe[i]::DOUBLE))) *
+      |     sqrt(list_sum(list_transform(range(1, 65),
+      |       i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))) AS cos
+      |  FROM q JOIN asg a ON q.cell = a.cell AND a.vec_id <> q.qid),
+      |r AS (
+      |  SELECT query_id, neighbor_id, cos,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY cos DESC, neighbor_id) AS rank
+      |  FROM p)
+      |SELECT query_id, rank, neighbor_id, round(cos, 5) AS cos_sim
+      |FROM r WHERE rank <= 3
+      |ORDER BY query_id, rank""".stripMargin
+  ) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    val (catalog, _) = Q.freshCatalog(s, "ivfm")
+    val (t0, ct) = Serving.persistIvfIndex(
+      e.filter(col("vec_id") % 3 =!= 0), "wivfm", catalog)
+    val t = Serving.ivfIndexBatch(t0, ct, e.filter(col("vec_id") % 3 === 0))
+    Serving.annFromIvfIndex(t, ct, s, e.filter(col("vec_id") < 10), 3)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
     p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24,
     p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p35, p36, p37, p38,
     p39, p40, p41, p42, p43, p44, p45, p46, p47, p48, p49, p50, p51, p52,
     p53, p54, p55, p56, p57, p58, p59, p60, p61, p62, p63, p64, p65, p66,
     p67, p68, p69, p70, p71, p72, p73, p74, p75, p76, p77, p78, p79,
-    p86, p87, p88, p89, p90, p91, p92, p93, p95)
+    p86, p87, p88, p89, p90, p91, p92, p93, p95, p97)
 }

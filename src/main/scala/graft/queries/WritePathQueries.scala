@@ -299,5 +299,36 @@ object WritePathQueries {
       .orderBy(col("term"))
   }
 
-  val all: Seq[Q] = Seq(w01, w02, w03, w04, w05, w06, w07)
+  /** Inverted-index MAINTENANCE: the standing corpus (doc_id%10<>7)
+    * persists once, the ingested batch (doc_id%10=7) folds in through
+    * ONE atomic equality-delete + append upsert touching only the
+    * batch's terms ([[graft.pipeline.Serving.indexDocsBatch]] — exact
+    * merge, no corpus re-read), and the probe then reads the MoR scan.
+    * Oracle identical to w07 (a rebuild over the full corpus): the
+    * folded artifact must be indistinguishable from rebuilding. */
+  val w08 = Q.sql(
+    "w08_index_maintenance",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      |  FROM documents),
+      |cells AS (SELECT term, doc_id, count(*) AS tf_doc
+      |          FROM toks GROUP BY term, doc_id)
+      |SELECT term, count(*)::BIGINT AS df, sum(tf_doc)::BIGINT AS tf,
+      |  array_to_string(list_sort(list(doc_id))[1:10], ',') AS postings
+      |FROM cells
+      |WHERE term IN ('the', 'data', 'model', 'learning', 'quick', 'zebra')
+      |GROUP BY term ORDER BY term""".stripMargin
+  ) { (s, d) =>
+    val (catalog, _) = fresh(s, "idxm")
+    val docs = Tables.documents(s, d)
+    var t = graft.pipeline.Serving.persistInvertedIndex(
+      docs.filter(col("doc_id") % 10 =!= 7), "winvm", catalog)
+    t = graft.pipeline.Serving.indexDocsBatch(t,
+      docs.filter(col("doc_id") % 10 === 7))
+    graft.pipeline.Serving.lookupTerms(t, s,
+        Seq("the", "data", "model", "learning", "quick", "zebra"))
+      .orderBy(col("term"))
+  }
+
+  val all: Seq[Q] = Seq(w01, w02, w03, w04, w05, w06, w07, w08)
 }

@@ -106,6 +106,56 @@ class ServingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.metadata.snapshots.size === 2)
   }
 
+  test("inverted-index maintenance: one atomic upsert folds a doc batch exactly") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val a = docs.filter(col("doc_id") % 10 =!= 7)
+    val b = docs.filter(col("doc_id") % 10 === 7)
+    var t = Serving.persistInvertedIndex(a, "invm", freshCatalog("invm"))
+    val before = t.metadata.snapshots.size
+    t = Serving.indexDocsBatch(t, b)
+    // exact merge, no corpus re-read: the folded index equals a rebuild
+    // over the grown corpus — df/tf add (disjoint doc ids) and postings
+    // (the cap smallest ids) merge losslessly
+    val got = t.newScan().toDF(spark)
+      .orderBy(col("term")).collect().map(_.toString).toSeq
+    val want = Search.invertedIndex(docs)
+      .orderBy(col("term")).collect().map(_.toString).toSeq
+    assert(got === want)
+    assert(got.nonEmpty)
+    // one snapshot: the touched-term rewrite is a single equality-delete
+    // + append commit
+    assert(t.metadata.snapshots.size === before + 1)
+  }
+
+  test("IVF maintenance: an ingested vector batch is probed by the next query") {
+    import org.apache.spark.sql.functions.broadcast
+    val e = graft.Tables.embeddings(spark, sfDir)
+    val a = e.filter(col("vec_id") % 3 =!= 0)
+    val b = e.filter(col("vec_id") % 3 === 0)
+    val (t0, ct) = Serving.persistIvfIndex(a, "ivfm", freshCatalog("ivfm"))
+    val t = Serving.ivfIndexBatch(t0, ct, b)
+    assert(t.metadata.snapshots.size === 2)
+
+    val queries = e.filter(col("vec_id") < 10)
+    val got = Serving.annFromIvfIndex(t, ct, spark, queries, 3)
+      .orderBy(col("query_id"), col("rank")).collect().map(_.toString).toSeq
+    // expected: the artifact's FROZEN quantizer (built from A only)
+    // assigning the grown corpus — the IVF maintenance contract
+    val cents = Similarity.quantizer(a, Similarity.DefaultCells)
+    val assigned = Similarity.assignCells(e, cents, "vec_id", "embedding", "cell")
+    val q = Similarity.assignCells(
+      queries.select(col("vec_id").as("query_id"), col("embedding").as("qe")),
+      cents, "query_id", "qe", "cell")
+    val want = Similarity.rankTopK(
+        assigned.join(broadcast(q), Seq("cell"))
+          .filter(col("query_id") =!= col("vec_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            Similarity.cosine(col("qe"), col("embedding")).as("cos")), 3)
+      .orderBy(col("query_id"), col("rank")).collect().map(_.toString).toSeq
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("persistBandIndex drops viral buckets at write time (census in the artifact)") {
     import spark.implicits._
     val viral = (1L to 5L).map(i => (i, "same viral boilerplate text here"))
