@@ -83,8 +83,8 @@ object Serving {
           SetPred(PIn, "term", terms.map(_.getString(0)).toSet[Any]))
       else t.newScan()
     // the In residual already row-filters the pruned files to touched
-    // terms; the inner join below re-scopes exactly (and handles the
-    // unpruned fallback)
+    // terms; the batch-side left join below re-scopes exactly (and
+    // handles the unpruned fallback — untouched old rows never merge)
     val old = oldScan.toDF(spark)
       .select(col("term"), col("df").as("_df0"), col("tf").as("_tf0"),
         col("postings").as("_p0"))
