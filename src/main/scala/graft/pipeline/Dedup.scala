@@ -349,11 +349,13 @@ object Dedup {
     * ALSO precomputed (hashed + census-capped, e.g. via [[cappedBands]])
     * — the serving path materializes them once and reuses them for the
     * driver key-collect that prunes the index scan
-    * ([[Serving.dedupAgainstBandIndex]]). */
+    * ([[Serving.dedupAgainstBandIndex]]), which also decides
+    * `hintBroadcastBatch` from the same key census (see
+    * [[probeCandidatesPrehashed]]). */
   private[graft] def incrementalDedupWithPrehashed(newBands: DataFrame,
       indexBands: DataFrame, index: DataFrame, newDocs: DataFrame,
-      threshold: Double): DataFrame =
-    dupReport(probeCandidatesPrehashed(indexBands, newBands),
+      threshold: Double, hintBroadcastBatch: Boolean): DataFrame =
+    dupReport(probeCandidatesPrehashed(indexBands, newBands, hintBroadcastBatch),
       index, newDocs, threshold)
 
   /** Hash + census-cap a document batch's band signatures — the probe's
@@ -363,29 +365,45 @@ object Dedup {
     capBuckets(minhashBands(shingleSets(docs), bands, rows), maxBucket)
 
   /** The probe's candidate stage: hash + census-cap the NEW batch, one
-    * equi-join on the bucket key against the pre-capped index bands. */
+    * equi-join on the bucket key against the pre-capped index bands.
+    * `hintBroadcastBatch` defaults OFF on this recompute path — AQE owns
+    * the join strategy (see [[probeCandidatesPrehashed]]); pass true
+    * only when the caller has evidence the batch is ingest-sized. */
   private[graft] def probeCandidates(indexBands: DataFrame, newDocs: DataFrame,
-      bands: Int, rows: Int, maxBucket: Int): DataFrame =
+      bands: Int, rows: Int, maxBucket: Int,
+      hintBroadcastBatch: Boolean = false): DataFrame =
     probeCandidatesPrehashed(indexBands,
-      cappedBands(newDocs, bands, rows, maxBucket))
+      cappedBands(newDocs, bands, rows, maxBucket), hintBroadcastBatch)
 
   /** One equi-join on the bucket key: capped batch bands vs pre-capped
     * index bands. The only window on the probe path is the batch-side
-    * census (inside [[cappedBands]]), and the batch side carries an
-    * explicit broadcast hint — at serving scale the batch is
-    * ingest-sized while the index is ~corpus×bands signatures, so the
-    * index must be the STREAMED side of a broadcast hash join: a bare
-    * scan flowing map-side into the join, no index-side exchange, no
-    * reliance on size estimates that a window blinds. Plan-pinned by
-    * ServingSpec. */
+    * census (inside [[cappedBands]]).
+    *
+    * `hintBroadcastBatch`: at SERVING scale a small ingest batch must be
+    * the build side of a broadcast hash join with the index as the
+    * STREAMED side — a bare scan flowing map-side into the join, no
+    * index-side exchange, no reliance on size estimates that the
+    * batch-side census window blinds (plan-pinned by ServingSpec). But
+    * the hint is evidence, not policy (r11 ADVICE): a BACKFILL-shaped
+    * batch force-broadcast through this hint would hit Spark's 8 GB
+    * broadcast hard-limit or OOM the driver, so
+    * [[Serving.dedupAgainstBandIndex]] passes true only when its key
+    * census proves the batch small (the same signal that key-prunes the
+    * index scan), and the recompute/backfill entry points
+    * ([[incrementalDedup]], [[incrementalDedupWithBands]]) leave the
+    * strategy to AQE, which broadcasts a small batch from its MEASURED
+    * shuffle size and falls back to a shuffle join above the
+    * threshold. */
   private[graft] def probeCandidatesPrehashed(indexBands: DataFrame,
-      newBands: DataFrame): DataFrame =
-    broadcast(newBands
-        .select(col("doc_id").as("new_id"), col("band_idx"), col("band_key")))
+      newBands: DataFrame, hintBroadcastBatch: Boolean = false): DataFrame = {
+    val batch = newBands
+      .select(col("doc_id").as("new_id"), col("band_idx"), col("band_key"))
+    (if (hintBroadcastBatch) broadcast(batch) else batch)
       .join(indexBands
         .select(col("doc_id").as("idx_id"), col("band_idx"), col("band_key")),
         Seq("band_idx", "band_key"))
       .select(col("new_id"), col("idx_id")).distinct()
+  }
 
   /** Shared verification/report tail for ingestion dedup: exact-Jaccard
     * verify candidate (new_id, idx_id) pairs against the two corpora of

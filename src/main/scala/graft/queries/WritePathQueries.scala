@@ -21,23 +21,29 @@ object WritePathQueries {
   private def fresh(spark: SparkSession, tag: String): (HadoopCatalog, String) =
     Q.freshCatalog(spark, tag)
 
-  /** Register a UNIQUELY-NAMED SQL catalog for this invocation's fresh
-    * warehouse and return the name. Spark's CatalogManager caches plugin
-    * instances BY NAME for the session lifetime, and GraftCatalogPlugin
-    * binds its warehouse at initialize — reusing one name across
-    * invocations (the pre-r11 shape) left every invocation after the
-    * first issuing its SQL against the FIRST invocation's warehouse: the
-    * row-level op ran against a stale table (an idempotent no-match
-    * no-op) while the read-back scanned the fresh, un-mutated one. A
-    * single-invocation-per-JVM run (Verify — the correctness gate) never
-    * saw it; the bench's warmup+measured sequence did, surfaced when r11
-    * started reclaiming warehouses eagerly and the stale catalogs began
-    * throwing instead of silently no-opping. */
-  private val catSeq = new java.util.concurrent.atomic.AtomicLong()
-  private def sqlCatalog(spark: SparkSession, base: String, wh: String): String = {
-    val name = s"${base}_${catSeq.incrementAndGet()}"
+  /** Point the ONE bench SQL catalog (`wbench`) at this invocation's
+    * fresh warehouse and return its name. Spark's CatalogManager caches
+    * plugin instances BY NAME for the session lifetime, and the default
+    * GraftCatalogPlugin shape binds its warehouse at initialize —
+    * reusing one name across invocations (the pre-r11 shape) left every
+    * invocation after the first issuing its SQL against the FIRST
+    * invocation's warehouse: the row-level op ran against a stale table
+    * (an idempotent no-match no-op) while the read-back scanned the
+    * fresh, un-mutated one. r11 fixed that with a unique catalog name
+    * per invocation, which was correct but leaked two session-conf
+    * entries plus a CatalogManager-cached plugin instance bound to an
+    * already-deleted warehouse per invocation — unbounded session-state
+    * growth across long bench loops (r11 ADVICE item 4). Now ONE name is
+    * registered once in `warehouse-conf` mode: the cached plugin
+    * re-reads `spark.graft.bench.warehouse` per operation and swaps its
+    * backend when the value moves — constant session state, fresh
+    * warehouse semantics. */
+  private val WarehouseKey = "spark.graft.bench.warehouse"
+  private def sqlCatalog(spark: SparkSession, wh: String): String = {
+    val name = "wbench"
     spark.conf.set(s"spark.sql.catalog.$name", "graft.sources.GraftCatalogPlugin")
-    spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse-conf", WarehouseKey)
+    spark.conf.set(WarehouseKey, wh)
     name
   }
 
@@ -58,7 +64,7 @@ object WritePathQueries {
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
     var t = GraftTable.create("wcow", catalog, IcebergSchema.fromSpark(src.schema))
     t = t.append(src.repartition(8))
-    val cat = sqlCatalog(s, "wbench_cow", wh)
+    val cat = sqlCatalog(s, wh)
     s.sql(s"DELETE FROM $cat.wcow WHERE l_orderkey % 7 = 0")
     GraftTable.load("wcow", catalog).newScan().toDF(s)
       .groupBy(col("l_returnflag"))
@@ -85,7 +91,7 @@ object WritePathQueries {
     var t = GraftTable.create("wmor", catalog, IcebergSchema.fromSpark(src.schema),
       properties = Map("write.merge.mode" -> "merge-on-read"))
     t = t.append(src.repartition(8))
-    val cat = sqlCatalog(s, "wbench_mor", wh)
+    val cat = sqlCatalog(s, wh)
     s.sql(s"""MERGE INTO $cat.wmor t
             |USING (SELECT o_orderkey AS k FROM $cat.wmor WHERE o_orderkey % 10 = 0) src
             |ON t.o_orderkey = src.k
@@ -146,7 +152,7 @@ object WritePathQueries {
     var t = GraftTable.create("wpdr", catalog, IcebergSchema.fromSpark(src.schema),
       properties = Map("write.delete.mode" -> "merge-on-read"))
     t = t.append(src.repartition(8))
-    val cat = sqlCatalog(s, "wbench_pdr", wh)
+    val cat = sqlCatalog(s, wh)
     s.sql(s"DELETE FROM $cat.wpdr WHERE o_orderkey % 5 = 0")
     s.sql(s"DELETE FROM $cat.wpdr WHERE o_custkey % 7 = 0")
     t = GraftTable.load("wpdr", catalog).rewritePositionDeletes(s)
@@ -317,7 +323,8 @@ object WritePathQueries {
       |  array_to_string(list_sort(list(doc_id))[1:10], ',') AS postings
       |FROM cells
       |WHERE term IN ('the', 'data', 'model', 'learning', 'quick', 'zebra')
-      |GROUP BY term ORDER BY term""".stripMargin
+      |GROUP BY term ORDER BY term""".stripMargin,
+    bench = true
   ) { (s, d) =>
     val (catalog, _) = fresh(s, "idxm")
     val docs = Tables.documents(s, d)

@@ -53,23 +53,60 @@ final class GraftCatalogPlugin extends CatalogPlugin with TableCatalog with View
       .map(n => Identifier.of(GraftProcedures.Namespace, n)).toArray
 
   private var catalogName: String = _
-  private var warehouse: String = _
-  private var catalog: GraftCatalog = _
-  private var views: ViewStore = _
+  /** Conf key the warehouse is re-read from per operation (dynamic
+    * mode); None = warehouse frozen at initialize (the normal shape). */
+  private var warehouseConfKey: Option[String] = None
+  private var initProps: Map[String, String] = Map.empty
+  private var catalogType: String = "hadoop"
+  // currently-resolved backend; rebuilt when the dynamic key moves
+  private var resolvedWarehouse: String = _
+  private var catalog0: GraftCatalog = _
+  private var views0: ViewStore = _
+
+  /** Spark's CatalogManager caches plugin instances BY NAME for the
+    * session lifetime, so a warehouse bound at initialize pins every
+    * later `cat.table` reference to the first warehouse. Harnesses that
+    * build a FRESH throwaway warehouse per invocation under ONE catalog
+    * name (the bench write family — r11 ADVICE item 4: a unique name
+    * per invocation leaked two conf entries + a cached plugin instance
+    * each) set `spark.sql.catalog.<name>.warehouse-conf = <key>` once
+    * and re-point `<key>` per invocation; the plugin re-reads it per
+    * operation and swaps its backend only when the value moves. */
+  private def resolve(): Unit = synchronized {
+    val wh = warehouseConfKey match {
+      case Some(k) =>
+        org.apache.spark.sql.SparkSession.active.conf.getOption(k).getOrElse(
+          throw new IllegalArgumentException(
+            s"catalog $catalogName reads its warehouse from session conf " +
+              s"'$k', which is unset"))
+      case None => resolvedWarehouse
+    }
+    if (wh != resolvedWarehouse || catalog0 == null) {
+      resolvedWarehouse = wh
+      catalog0 = CatalogLoader.load(catalogType,
+        initProps ++ Map("warehouse" -> wh, "name" -> catalogName))
+      views0 = new ViewStore(wh, new FileIO(new Configuration()))
+    }
+  }
+  private def warehouse: String = { resolve(); resolvedWarehouse }
+  private def catalog: GraftCatalog = { resolve(); catalog0 }
+  private def views: ViewStore = { resolve(); views0 }
 
   /** `spark.sql.catalog.<name>.type` selects the backend through
     * CatalogLoader (hadoop | memory | jdbc/sql | rest — the reference's
     * catalog/loader registry); hadoop is the default. */
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
-    warehouse = Option(options.get("warehouse")).getOrElse(
-      throw new IllegalArgumentException(
-        s"spark.sql.catalog.$name.warehouse is required"))
     import scala.jdk.CollectionConverters._
-    val props = options.asCaseSensitiveMap.asScala.toMap + ("name" -> name)
-    catalog = CatalogLoader.load(
-      Option(options.get("type")).getOrElse("hadoop"), props)
-    views = new ViewStore(warehouse, new FileIO(new Configuration()))
+    initProps = options.asCaseSensitiveMap.asScala.toMap
+    catalogType = Option(options.get("type")).getOrElse("hadoop")
+    warehouseConfKey = Option(options.get("warehouse-conf"))
+    if (warehouseConfKey.isEmpty) {
+      resolvedWarehouse = Option(options.get("warehouse")).getOrElse(
+        throw new IllegalArgumentException(
+          s"spark.sql.catalog.$name.warehouse is required"))
+      resolve()
+    }
     // Capacity of the process-wide parsed-manifest cache (reference
     // ObjectCache size, io/object_cache.rs:28); 0 disables caching.
     // Preferred source is the ONE session-level key (a per-catalog
