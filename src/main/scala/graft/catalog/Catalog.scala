@@ -44,6 +44,16 @@ trait Catalog {
   /** Atomic swap: succeeds only if current version == baseVersion. */
   def commitTable(name: String, baseVersion: Int, updated: TableMetadata): Int
 
+  /** The CatalogLoader property map that re-constructs THIS catalog in
+    * another planning context (a DSv2 reader option bag, another JVM) —
+    * the reference's loader registry keys (catalog/loader/src/lib.rs).
+    * None when the catalog is not self-describable from plain
+    * properties: in-process state (memory) or credential-bearing
+    * configs (REST tokens must not leak into scan options / plan
+    * strings). Used by the streaming probe's per-trigger static-side
+    * refresh ([[graft.streaming.StreamingLsh.probeIndexCandidates]]). */
+  def loaderProps: Option[Map[String, String]] = None
+
   /** Register an EXISTING table by its metadata file (catalog/mod.rs:121
     * register_table): the metadata JSON is read from `metadataLocation`
     * and becomes the catalog's current version for `name` — data and
@@ -175,6 +185,9 @@ trait Catalog {
   * catalog, SURVEY.md §7 hard part 4), then advance the hint.
   */
 final class HadoopCatalog(val warehouse: String, val io: FileIO) extends Catalog {
+
+  override def loaderProps: Option[Map[String, String]] =
+    Some(Map("type" -> "hadoop", "warehouse" -> warehouse))
 
   private def tableDir(name: String) = s"$warehouse/$name"
   private def metadataDir(name: String) = s"${tableDir(name)}/metadata"

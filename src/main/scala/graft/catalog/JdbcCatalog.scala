@@ -24,6 +24,14 @@ import graft.spec.{IcebergSchema, PartitionSpec, TableMetadata}
 final class JdbcCatalog(jdbcUrl: String, warehouse: String, val io: FileIO,
     catalogName: String = "graft", namespace: String = "default") extends Catalog {
 
+  /** Self-describing: the JDBC url is the shared source of truth (any
+    * instance constructed from these props sees the same rows), so a
+    * per-trigger re-load in another planning context is exact. Embedded
+    * Derby allows any number of in-JVM connections to one database. */
+  override def loaderProps: Option[Map[String, String]] =
+    Some(Map("type" -> "jdbc", "uri" -> jdbcUrl, "warehouse" -> warehouse,
+      "name" -> catalogName, "namespace" -> namespace))
+
   private val TableName = "iceberg_tables"
 
   locally { // one-time DDL (idempotent)

@@ -457,22 +457,20 @@ object Serving {
   private[graft] def probeKeyBudget(t: GraftTable, bands: Int): Int =
     math.max(MaxProbeKeys, 2 * bands * keyBucketsOf(t))
 
-  def dedupAgainstBandIndex(t: GraftTable, spark: SparkSession,
-      indexDocs: DataFrame, newDocs: DataFrame, threshold: Double = 0.5,
-      bands: Int = 16, rows: Int = 4,
-      maxBucket: Int = Dedup.MaxBucket): DataFrame = {
-    requireLshLayout(t, bands, rows, maxBucket)
-    // hash + census-cap the batch ONCE (bounded materialization): it
-    // feeds the driver key-collect below, the probe join's broadcast
-    // side, and the verification tail
-    val newBands = Curation.materialize(
-      Dedup.cappedBands(newDocs, bands, rows, maxBucket))
-    // batch-key pruning: the batch's distinct band keys push into the
-    // scan as an In predicate; the manifest evaluator projects them
-    // through bucket(band_key, keyBuckets) and the probe PLANS only the
-    // key-buckets this batch touches — for a small continuous-ingest
-    // batch that is a handful of files out of bands × keyBuckets,
-    // independent of index size (ServingSpec pins the file subset)
+  /** The batch-key-pruned index-side scan for a probing batch whose
+    * band signatures are `newBands`: the batch's distinct band keys
+    * push into the scan as an In predicate; the manifest evaluator
+    * projects them through bucket(band_key, keyBuckets) and the probe
+    * PLANS only the key-buckets this batch touches — for a small
+    * continuous-ingest batch that is a handful of files out of
+    * bands × keyBuckets, independent of index size (ServingSpec pins
+    * the file subset). Returns (index bands frame, prunedFlag); the
+    * flag doubles as broadcast evidence — a batch under the probe-key
+    * budget is ingest-sized, so it is safe to hint as a broadcast
+    * build side; past the budget it is backfill-shaped and AQE owns
+    * the join strategy (r11 ADVICE item 1). */
+  private def prunedIndexBands(t: GraftTable, spark: SparkSession,
+      newBands: DataFrame, bands: Int): (DataFrame, Boolean) = {
     val budget = probeKeyBudget(t, bands)
     val keys = newBands.select(col("band_key")).distinct()
       .take(budget + 1)
@@ -482,14 +480,41 @@ object Serving {
         t.newScan().withFilter(
           SetPred(PIn, "band_key", keys.map(_.getString(0)).toSet[Any]))
       else t.newScan()
-    val iBands = scan.toDF(spark)
+    (scan.toDF(spark)
       .select(col("doc_id"), col("band_idx").cast("int").as("band_idx"),
-        col("band_key"))
-    // the key census doubles as broadcast evidence: a batch under the
-    // probe-key budget is ingest-sized (its band signatures are ≤ budget
-    // buckets), so hint it as the build side; past the budget the batch
-    // is backfill-shaped — force-broadcasting it would hit Spark's 8 GB
-    // broadcast limit, so AQE owns the strategy (r11 ADVICE item 1)
+        col("band_key")), pruned)
+  }
+
+  /** CANDIDATE pairs (new_id, idx_id) of a document batch against the
+    * persisted band index — the front half of [[dedupAgainstBandIndex]]
+    * without the exact-Jaccard verification (which needs the corpus of
+    * record). This is the per-trigger unit the streaming foreachBatch
+    * probe re-plans ([[graft.streaming.StreamingLsh.probeIndexPruned]]):
+    * each call hashes only the batch, key-prunes the index scan by the
+    * batch's band keys, and joins — O(batch) work and a
+    * batch-key-pruned file set at any index size. */
+  def probeBandIndexCandidates(t: GraftTable, spark: SparkSession,
+      newDocs: DataFrame, bands: Int = 16, rows: Int = 4,
+      maxBucket: Int = Dedup.MaxBucket): DataFrame = {
+    requireLshLayout(t, bands, rows, maxBucket)
+    val newBands = Curation.materialize(
+      Dedup.cappedBands(newDocs, bands, rows, maxBucket))
+    val (iBands, pruned) = prunedIndexBands(t, spark, newBands, bands)
+    Dedup.probeCandidatesPrehashed(iBands, newBands,
+      hintBroadcastBatch = pruned)
+  }
+
+  def dedupAgainstBandIndex(t: GraftTable, spark: SparkSession,
+      indexDocs: DataFrame, newDocs: DataFrame, threshold: Double = 0.5,
+      bands: Int = 16, rows: Int = 4,
+      maxBucket: Int = Dedup.MaxBucket): DataFrame = {
+    requireLshLayout(t, bands, rows, maxBucket)
+    // hash + census-cap the batch ONCE (bounded materialization): it
+    // feeds the driver key-collect inside prunedIndexBands, the probe
+    // join's broadcast side, and the verification tail
+    val newBands = Curation.materialize(
+      Dedup.cappedBands(newDocs, bands, rows, maxBucket))
+    val (iBands, pruned) = prunedIndexBands(t, spark, newBands, bands)
     Dedup.incrementalDedupWithPrehashed(newBands, iBands, indexDocs, newDocs,
       threshold, hintBroadcastBatch = pruned)
   }

@@ -42,12 +42,27 @@ final class GraftSource extends TableProvider with DataSourceRegister
 
   override def shortName(): String = "graft"
 
+  /** `catalog-type` routes table resolution through CatalogLoader with
+    * the full option bag as its property map (`Catalog.loaderProps` is
+    * the producing side) — the reader works against any
+    * property-describable backend (jdbc/rest/...), not just a Hadoop
+    * warehouse; absent, the original warehouse shorthand applies. */
+  private def catalogOf(options: CaseInsensitiveStringMap): graft.catalog.Catalog =
+    Option(options.get("catalog-type")) match {
+      case Some(tpe) =>
+        import scala.jdk.CollectionConverters._
+        graft.catalog.CatalogLoader.load(tpe,
+          options.asCaseSensitiveMap.asScala.toMap)
+      case None =>
+        val warehouse = Option(options.get("warehouse")).getOrElse(
+          throw new IllegalArgumentException("option 'warehouse' is required"))
+        new HadoopCatalog(warehouse, new FileIO(new Configuration()))
+    }
+
   private def load(options: CaseInsensitiveStringMap): GraftTable = {
-    val warehouse = Option(options.get("warehouse")).getOrElse(
-      throw new IllegalArgumentException("option 'warehouse' is required"))
     val table = Option(options.get("table")).getOrElse(
       throw new IllegalArgumentException("option 'table' is required"))
-    GraftTable.load(table, new HadoopCatalog(warehouse, new FileIO(new Configuration())))
+    GraftTable.load(table, catalogOf(options))
   }
 
   private def isChangelog(options: CaseInsensitiveStringMap): Boolean =
@@ -91,13 +106,10 @@ final class GraftSource extends TableProvider with DataSourceRegister
       : org.apache.spark.sql.execution.streaming.Source = {
     requireChangelog(parameters)
     val opts = new CaseInsensitiveStringMap(parameters.asJava)
-    val warehouse = Option(opts.get("warehouse")).getOrElse(
-      throw new IllegalArgumentException("option 'warehouse' is required"))
     val table = Option(opts.get("table")).getOrElse(
       throw new IllegalArgumentException("option 'table' is required"))
     new graft.streaming.GraftChangelogSource(sqlContext.sparkSession, table,
-      new HadoopCatalog(warehouse, new FileIO(new Configuration())),
-      parameters)
+      catalogOf(opts), parameters)
   }
 }
 
