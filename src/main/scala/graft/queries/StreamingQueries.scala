@@ -467,5 +467,71 @@ object StreamingQueries {
       .orderBy(col("new_id"))
   }
 
-  val all: Seq[Q] = Seq(p80, p81, p82, p83, p85, p94, p96)
+  /** Continuous ingestion dedup with PER-TRIGGER FILE PRUNING: the new
+    * batch streams in (MemoryStream, three chunks) and each trigger
+    * routes through the batch probe via foreachBatch
+    * ([[graft.streaming.StreamingLsh.probeIndexPruned]]) — the trigger's
+    * band keys push as an In predicate into the persisted index scan, so
+    * every micro-batch PLANS only the key-buckets it touches (the
+    * stream-static plan of p96 must stream the full band scan per
+    * trigger; see probeIndexCandidates' scaladoc for why no static plan
+    * can do this). The table is re-loaded from the catalog per trigger —
+    * reload-is-refresh on any backend. Oracle identical to p96/p53:
+    * pruning and per-trigger re-planning change nothing about the
+    * answer. */
+  val p98 = Q.sql(
+    "p98_streaming_pruned_probe",
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]
+      |                   for i in range(1, len(w)-1)]) AS s
+      |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+      |        FROM documents)
+      |  WHERE len(w) >= 3),
+      |m AS (
+      |  SELECT n.doc_id AS new_id, count(*)::BIGINT AS n_dups,
+      |    min(i.doc_id) AS first_match
+      |  FROM sh n JOIN sh i
+      |    ON n.doc_id % 10 = 7 AND i.doc_id % 10 <> 7
+      |    AND len(list_intersect(n.s, i.s)) /
+      |      (len(n.s) + len(i.s) - len(list_intersect(n.s, i.s))) >= 0.5
+      |  GROUP BY n.doc_id)
+      |SELECT d.doc_id AS new_id, coalesce(m.n_dups, 0)::BIGINT AS n_dups,
+      |  m.first_match
+      |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 7) d
+      |LEFT JOIN m ON d.doc_id = m.new_id
+      |ORDER BY new_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val docs = graft.Tables.documents(s, d)
+    val index = docs.filter(col("doc_id") % 10 =!= 7)
+    val newDocs = docs.filter(col("doc_id") % 10 === 7)
+    val (catalog, _) = Q.freshCatalog(s, "fbp")
+    graft.pipeline.Serving.persistBandIndex(index, "wbandp", catalog)
+
+    val feed = newDocs.select("doc_id", "text")
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+    val source = MemoryStream[(Long, String)]
+    // per-trigger candidate pairs accumulate driver-side (each trigger's
+    // set is batch-bounded; the sink is the exactly-once boundary)
+    val cands = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = graft.streaming.StreamingLsh.probeIndexPruned(
+        source.toDF().toDF("doc_id", "text"), "wbandp", catalog) {
+      (c, _) => cands ++= c.as[(Long, Long)](
+        org.apache.spark.sql.Encoders.product[(Long, Long)]).collect()
+    }.trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      feed.grouped(math.max(1, feed.size / 3 + 1)).foreach { chunk =>
+        source.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val candDf = cands.toSeq.toDF("new_id", "idx_id")
+    graft.pipeline.Dedup.dupReport(candDf, index, newDocs, threshold = 0.5)
+      .orderBy(col("new_id"))
+  }
+
+  val all: Seq[Q] = Seq(p80, p81, p82, p83, p85, p94, p96, p98)
 }

@@ -30,7 +30,11 @@ class PlanHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
     "p04_knn_bruteforce", "p05_ann_lsh_bucketed",
     "p73_ann_recall_audit", // embeds the brute-force control as ground truth
     "p78_pq_adc_search", // declared linear ADC scan (broadcast query side)
-    "p89_rrf_hybrid_search") // semantic branch = the kNN control for ONE broadcast query vector
+    "p89_rrf_hybrid_search", // semantic branch = the kNN control for ONE broadcast query vector
+    // scalar-totals attach: a broadcast ONE-ROW cross join (the r12
+    // shape that replaced p51's driver-side .head actions) — 1 x k rows,
+    // O(k), the standard Spark idiom for riding corpus totals along
+    "p51_pmi_pairs")
 
   test("no registered query plans a CartesianProduct") {
     spark.sparkContext.setLogLevel("ERROR")
