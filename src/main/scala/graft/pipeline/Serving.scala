@@ -78,7 +78,14 @@ object Serving {
     * ([[graft.table.DeleteWriter.upsert]] — no data-file rewrite; scans
     * pay one eq-delete load until compaction folds it). Terms past
     * [[MaxProbeKeys]] degrade to the unpruned scan, exactly like the
-    * band probe. */
+    * band probe.
+    *
+    * Concurrency (SERIALIZABLE, r12): the fold is a read-modify-write —
+    * old rows read at a snapshot, merged rows written back — so the
+    * upsert's commit VALIDATES the table still sits at the read
+    * snapshot and the fold re-derives on a miss (bounded attempts); a
+    * bare CAS retry would re-apply the stale merge and silently drop a
+    * concurrent fold's contribution to any shared term. */
   def indexDocsBatch(t: GraftTable, newDocs: DataFrame,
       cap: Int = 10): GraftTable = {
     // the fold is exact only at the BUILD's cap (see persistInvertedIndex);
@@ -98,30 +105,47 @@ object Serving {
     val spark = newDocs.sparkSession
     val newIdx = Curation.materialize(Search.invertedIndex(newDocs, cap))
     val terms = newIdx.select(col("term")).distinct().take(MaxProbeKeys + 1)
-    val oldScan =
-      if (terms.length <= MaxProbeKeys)
-        t.newScan().withFilter(
-          SetPred(PIn, "term", terms.map(_.getString(0)).toSet[Any]))
-      else t.newScan()
-    // the In residual already row-filters the pruned files to touched
-    // terms; the batch-side left join below re-scopes exactly (and
-    // handles the unpruned fallback — untouched old rows never merge)
-    val old = oldScan.toDF(spark)
-      .select(col("term"), col("df").as("_df0"), col("tf").as("_tf0"),
-        col("postings").as("_p0"))
-    val merged = newIdx
-      .select(col("term"), col("df").as("_df1"), col("tf").as("_tf1"),
-        col("postings").as("_p1"))
-      .join(old, Seq("term"), "left")
-      .select(col("term"),
-        (coalesce(col("_df0"), lit(0L)) + col("_df1")).as("df"),
-        (coalesce(col("_tf0"), lit(0L)) + col("_tf1")).as("tf"),
-        expr(s"""array_join(transform(slice(array_sort(transform(
-          filter(concat(split(coalesce(_p0, ''), ','), split(_p1, ',')),
-                 x -> x <> ''),
-          x -> cast(x AS bigint))), 1, $cap), x -> cast(x AS string)), ',')""")
-          .as("postings"))
-    t.upsert(merged, Seq("term"))
+    var current = t
+    var attempt = 0
+    while (true) {
+      val readSnapshot = current.metadata.currentSnapshotId
+      val oldScan =
+        if (terms.length <= MaxProbeKeys)
+          current.newScan().withFilter(
+            SetPred(PIn, "term", terms.map(_.getString(0)).toSet[Any]))
+        else current.newScan()
+      // the In residual already row-filters the pruned files to touched
+      // terms; the batch-side left join below re-scopes exactly (and
+      // handles the unpruned fallback — untouched old rows never merge)
+      val old = oldScan.toDF(spark)
+        .select(col("term"), col("df").as("_df0"), col("tf").as("_tf0"),
+          col("postings").as("_p0"))
+      val merged = newIdx
+        .select(col("term"), col("df").as("_df1"), col("tf").as("_tf1"),
+          col("postings").as("_p1"))
+        .join(old, Seq("term"), "left")
+        .select(col("term"),
+          (coalesce(col("_df0"), lit(0L)) + col("_df1")).as("df"),
+          (coalesce(col("_tf0"), lit(0L)) + col("_tf1")).as("tf"),
+          expr(s"""array_join(transform(slice(array_sort(transform(
+            filter(concat(split(coalesce(_p0, ''), ','), split(_p1, ',')),
+                   x -> x <> ''),
+            x -> cast(x AS bigint))), 1, $cap), x -> cast(x AS string)), ',')""")
+            .as("postings"))
+      try {
+        return graft.table.DeleteWriter.upsert(current, merged, Seq("term"),
+          spark, validateFromSnapshot = Some(readSnapshot))
+      } catch {
+        case e: graft.table.StaleBaseSnapshot =>
+          attempt += 1
+          if (attempt > MaxMaintenanceAttempts) throw new IllegalStateException(
+            s"indexDocsBatch on ${t.metadata.location}: fold re-derived " +
+              s"$MaxMaintenanceAttempts times and the table kept moving — " +
+              "maintenance is being outrun by concurrent writers", e)
+          current = GraftTable.load(current.name, current.catalog)
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Canonical band-signature rows — build and maintenance MUST share
@@ -223,11 +247,15 @@ object Serving {
     * bucket ever exceeds maxBucket rows, which is what the O(batch)
     * probe contract needs.
     *
-    * Concurrency: the union census reads the snapshot CURRENT at call
-    * time; two maintainers appending the same bucket concurrently could
-    * jointly exceed the cap (the commit CAS retries the metadata swap
-    * but does not re-run the census). Run maintenance single-writer —
-    * the same assumption every compaction job here makes. */
+    * Concurrency (SERIALIZABLE, r12 — the r11 single-writer caveat is
+    * closed): the union census reads the snapshot current at derivation
+    * time and the append's commit validates the table still sits there
+    * ([[graft.table.AppendWriter.appendValidated]]); if another commit
+    * landed in between, the census re-derives against the refreshed
+    * table (bounded attempts) instead of letting the CAS re-apply a
+    * stale admitted set — two maintainers racing the same bucket can no
+    * longer jointly exceed the cap. ServingSpec pins both the stale-
+    * validation primitive and the racing-writers invariant. */
   def indexBatch(t: GraftTable, newDocs: DataFrame,
       bands: Int = 16, rows: Int = 4,
       maxBucket: Int = Dedup.MaxBucket): GraftTable = {
@@ -251,31 +279,62 @@ object Serving {
     val batch = Curation.materialize(bandsOf(newDocs, bands, rows))
     val batchCounts = batch.groupBy(col("band_idx"), col("band_key"))
       .agg(count(lit(1)).as("_new"))
-    // the union count scans only the batch's buckets: the same
-    // batch-key file pruning as the probe (small batches PLAN only
-    // touched key-bucket files), then a broadcast semi-join drops the
-    // pruned files' non-batch buckets row-side
-    val budget = probeKeyBudget(t, bands)
     val keys = batchCounts.select(col("band_key")).distinct()
-      .take(budget + 1)
-    val countScan =
-      if (keys.length <= budget)
-        t.newScan().withFilter(
-          SetPred(PIn, "band_key", keys.map(_.getString(0)).toSet[Any]))
-      else t.newScan()
-    val existingCounts = countScan.select("band_idx", "band_key").toDF(spark)
-      .join(broadcast(batchCounts.select(col("band_idx"), col("band_key"))),
-        Seq("band_idx", "band_key"), "left_semi")
-      .groupBy(col("band_idx"), col("band_key"))
-      .agg(count(lit(1)).as("_old"))
-    val admitted = batchCounts
-      .join(existingCounts, Seq("band_idx", "band_key"), "left")
-      .filter(col("_new") + coalesce(col("_old"), lit(0L)) <= maxBucket)
-      .select(col("band_idx"), col("band_key"))
-    t.append(writeLayout(
-      batch.join(broadcast(admitted), Seq("band_idx", "band_key"), "left_semi"),
-      keyBucketsOf(t)))
+      .take(probeKeyBudget(t, bands) + 1)
+    // SERIALIZABLE census (closes the r11 single-writer caveat): the
+    // union count reads the snapshot current at derivation time, and the
+    // append's commit VALIDATES the table still sits there — two
+    // maintainers racing the same bucket can no longer jointly exceed
+    // the cap (the CAS alone protected the metadata swap, not the
+    // census read). A validation failure re-derives against the
+    // refreshed table: O(batch) per attempt, bounded attempts.
+    var current = t
+    var attempt = 0
+    while (true) {
+      val censusSnapshot = current.metadata.currentSnapshotId
+      // the union count scans only the batch's buckets: the same
+      // batch-key file pruning as the probe (small batches PLAN only
+      // touched key-bucket files), then a broadcast semi-join drops the
+      // pruned files' non-batch buckets row-side
+      val countScan =
+        if (keys.length <= probeKeyBudget(current, bands))
+          current.newScan().withFilter(
+            SetPred(PIn, "band_key", keys.map(_.getString(0)).toSet[Any]))
+        else current.newScan()
+      val existingCounts = countScan.select("band_idx", "band_key").toDF(spark)
+        .join(broadcast(batchCounts.select(col("band_idx"), col("band_key"))),
+          Seq("band_idx", "band_key"), "left_semi")
+        .groupBy(col("band_idx"), col("band_key"))
+        .agg(count(lit(1)).as("_old"))
+      val admitted = batchCounts
+        .join(existingCounts, Seq("band_idx", "band_key"), "left")
+        .filter(col("_new") + coalesce(col("_old"), lit(0L)) <= maxBucket)
+        .select(col("band_idx"), col("band_key"))
+      try {
+        return graft.table.AppendWriter.appendValidated(current,
+          writeLayout(
+            batch.join(broadcast(admitted), Seq("band_idx", "band_key"),
+              "left_semi"),
+            keyBucketsOf(current)),
+          censusSnapshot)
+      } catch {
+        case e: graft.table.StaleBaseSnapshot =>
+          attempt += 1
+          if (attempt > MaxMaintenanceAttempts) throw new IllegalStateException(
+            s"indexBatch on ${t.metadata.location}: census re-derived " +
+              s"$MaxMaintenanceAttempts times and the table kept moving — " +
+              "maintenance is being outrun by concurrent writers", e)
+          current = GraftTable.load(current.name, current.catalog)
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
+
+  /** Bound on census/fold re-derivations under concurrent writers —
+    * each attempt is O(batch), so this caps worst-case maintenance work
+    * at a small multiple of the serial cost before surfacing the
+    * contention to the operator. */
+  private val MaxMaintenanceAttempts = 5
 
   /** Require the persisted index's recorded (bands, rows, maxBucket) to
     * match the probe's — a (bands, rows) mismatch joins incompatible

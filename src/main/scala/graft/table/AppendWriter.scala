@@ -39,6 +39,30 @@ object AppendWriter {
     else commitAppend(table, files, commitUuid, extraSummary, branch)
   }
 
+  /** [[append]] whose commit VALIDATES that the table still sits at
+    * `expectedSnapshot` (the snapshot the caller's derivation — e.g. the
+    * band-index union census — was computed against). A commit attempt
+    * against a moved base throws [[StaleBaseSnapshot]] instead of
+    * letting the CAS retry re-apply the stale derivation; the caller
+    * re-derives against the refreshed table and retries the whole
+    * operation ([[graft.pipeline.Serving.indexBatch]]'s loop). */
+  private[graft] def appendValidated(table: GraftTable, df: DataFrame,
+      expectedSnapshot: Option[Long],
+      extraSummary: Map[String, String] = Map.empty): GraftTable = {
+    val commitUuid = UUID.randomUUID().toString
+    val files = writeDataFiles(table, df, commitUuid)
+    if (files.isEmpty) return table
+    Commits.commit(table, "append", commitUuid,
+      extraSummary ++ appendSummary(files)) { (base, seq, snapshotId) =>
+      if (base.currentSnapshotId != expectedSnapshot)
+        throw new StaleBaseSnapshot(
+          s"table ${table.name}: base moved ${expectedSnapshot.orNull} -> " +
+            s"${base.currentSnapshotId.orNull} since the caller's read — " +
+            "re-derive and retry")
+      appendManifests(table, files, commitUuid)(base, seq, snapshotId)
+    }
+  }
+
   /** Stage, harvest and place data files for `df` under the table layout —
     * shared by append and rewrite (compaction). No commit. */
   def writeDataFiles(table: GraftTable, df: DataFrame,

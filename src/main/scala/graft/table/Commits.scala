@@ -5,6 +5,17 @@ import java.util.UUID
 import graft.meta._
 import graft.spec.{IcebergSchema, PartitionSpec, Snapshot, TableMetadata}
 
+/** Thrown by a commit's manifest closure when it VALIDATES that the
+  * table has not moved past the snapshot the caller's read-modify-write
+  * derivation was computed against (the census/merge in
+  * [[graft.pipeline.Serving]] maintenance). Deliberately NOT a
+  * CommitConflict: the CAS retry loop must not re-apply a stale
+  * derivation against a refreshed base — the exception propagates to
+  * the OPERATION, which re-derives and re-commits (serializable
+  * maintenance; the reference's validation-failure class in
+  * transaction/snapshot validation). */
+final class StaleBaseSnapshot(message: String) extends RuntimeException(message)
+
 /** Shared snapshot-commit machinery used by append, row-delta (deletes) and
   * rewrite (compaction) actions — the role of the reference's Transaction +
   * snapshot producers (transaction/mod.rs:175-252: refresh base, re-apply,

@@ -306,9 +306,16 @@ object DeleteWriter {
     * existing table at all — cheaper than MERGE for pure upserts since
     * no target files are scanned or rewritten; scans pay one eq-delete
     * load until compaction folds it. */
+  /** `validateFromSnapshot`: when set, the commit VALIDATES the table
+    * still sits at that snapshot and throws
+    * [[graft.table.StaleBaseSnapshot]] otherwise — for callers whose
+    * `df` was DERIVED from a read of the table (read-modify-write, e.g.
+    * the inverted-index fold), where a CAS retry against a moved base
+    * would silently lose the concurrent writer's rows. */
   def upsert(table: GraftTable, df: DataFrame, keyCols: Seq[String],
       spark: SparkSession,
-      extraSummary: Map[String, String] = Map.empty): GraftTable = {
+      extraSummary: Map[String, String] = Map.empty,
+      validateFromSnapshot: Option[Option[Long]] = None): GraftTable = {
     val ids = keyCols.map(n => table.schema.findField(n).getOrElse(
       throw new IllegalArgumentException(s"unknown upsert key column: $n")).id)
     val commitUuid = UUID.randomUUID().toString
@@ -336,6 +343,13 @@ object DeleteWriter {
       "added-records" -> dataFiles.map(_.recordCount).sum.toString,
       "added-delete-files" -> delFiles.size.toString),
       prepare = md => Commits.ensureUnpartitionedSpec(md)._1) { (base, seq, snapshotId) =>
+      validateFromSnapshot.foreach { expected =>
+        if (base.currentSnapshotId != expected)
+          throw new StaleBaseSnapshot(
+            s"table ${table.name}: base moved ${expected.orNull} -> " +
+              s"${base.currentSnapshotId.orNull} since the caller's read — " +
+              "re-derive and retry")
+      }
       val dataEntries = dataFiles.map(f => ManifestEntry(ManifestStatus.Added,
         Some(snapshotId), Some(seq), Some(seq), f))
       val dataM = Commits.writeManifest(table.io, base, s"$commitUuid-m0",

@@ -394,6 +394,53 @@ class ServingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ex.getMessage.contains("bands=16"))
   }
 
+  test("maintenance commits validate their read snapshot (stale derivation refused)") {
+    import spark.implicits._
+    val text = "alpha beta gamma delta epsilon zeta"
+    val t0 = Serving.persistBandIndex(
+      Seq((1L, text)).toDF("doc_id", "text"), "st", freshCatalog("st"))
+    val stale = t0.metadata.currentSnapshotId
+    // another writer lands: the table moves past the read snapshot
+    graft.pipeline.Serving.indexBatch(t0, Seq((2L, text + " eta"))
+      .toDF("doc_id", "text"))
+    val moved = graft.table.GraftTable.load("st", t0.catalog)
+    // a commit validating the OLD snapshot must throw StaleBaseSnapshot,
+    // not silently re-apply through the CAS retry
+    val ex = intercept[graft.table.StaleBaseSnapshot] {
+      graft.table.AppendWriter.appendValidated(moved,
+        moved.newScan().toDF(spark).limit(1), stale)
+    }
+    assert(ex.getMessage.contains("re-derive"))
+  }
+
+  test("racing indexBatch maintainers cannot jointly exceed the bucket cap") {
+    import spark.implicits._
+    // r11's disclosed single-writer caveat, now closed: two maintainers
+    // each adding 2 members to a bucket holding 1 (cap 3) must
+    // SERIALIZE — one admits (1+2=3), the other re-derives against the
+    // refreshed snapshot and rejects (3+2>3). Any interleaving ends at
+    // exactly 3 members; the pre-r12 census-then-CAS shape could end at
+    // 5. The outcome assert is interleaving-independent.
+    val text = "alpha beta gamma delta epsilon zeta"
+    val cat = freshCatalog("race")
+    val t = Serving.persistBandIndex(Seq((1L, text)).toDF("doc_id", "text"),
+      "race", cat, maxBucket = 3)
+    val batches = Seq(Seq(2L, 3L), Seq(4L, 5L))
+      .map(ids => ids.map(i => (i, text)).toDF("doc_id", "text"))
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = batches.map { b =>
+      new Thread(() =>
+        try Serving.indexBatch(t, b, maxBucket = 3)
+        catch { case e: Throwable => errors.add(e) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errors.isEmpty, s"maintainer threw: ${errors.peek()}")
+    val members = graft.table.GraftTable.load("race", cat)
+      .newScan().toDF(spark).select(col("doc_id")).distinct().count()
+    assert(members === 3,
+      s"racing maintainers must serialize at the cap: $members members")
+  }
+
   test("indexBatch refuses a pre-census artifact (no recorded maxBucket)") {
     import spark.implicits._
     val text = "alpha beta gamma delta epsilon zeta"
