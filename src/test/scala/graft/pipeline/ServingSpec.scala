@@ -394,6 +394,43 @@ class ServingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ex.getMessage.contains("bands=16"))
   }
 
+  test("band index: 10 appends accumulate small files, compaction restores the probe's plan") {
+    // the band-index twin of the inverted-index fold test: maintenance
+    // appends stack one file set per batch (no deletes — pure appends),
+    // the probe pays the file count until rewriteDataFiles folds them,
+    // and compaction must preserve BOTH partition levels (the rewritten
+    // files stay (band_idx, key_bucket)-scoped via the fanout writer)
+    // so batch-key pruning still engages afterwards.
+    val docs = graft.Tables.documents(spark, sfDir)
+    var t = Serving.persistBandIndex(
+      docs.filter(col("doc_id") % 12 < 2), "bnc", freshCatalog("bnc"))
+    (2 until 12).foreach { m =>
+      t = Serving.indexBatch(t, docs.filter(col("doc_id") % 12 === m))
+    }
+    assert(t.metadata.snapshots.size === 11)
+    val probeDocs = docs.filter(col("doc_id") % 12 === 0).limit(4)
+    val keys = Dedup.cappedBands(probeDocs, 16, 4, Dedup.MaxBucket)
+      .select(col("band_key")).distinct().collect().map(_.getString(0))
+    def probedTasks(tt: graft.table.GraftTable) = tt.newScan()
+      .withFilter(SetPred(PIn, "band_key", keys.toSet[Any])).planFiles().size
+    val folded = probedTasks(t)
+
+    val compacted = graft.table.Maintenance.rewriteDataFiles(t, spark)
+    assert(probedTasks(compacted) < folded,
+      s"compaction did not shrink the probe's file set ($folded -> " +
+        s"${probedTasks(compacted)})")
+    // pruning still engages on the compacted layout (partition values
+    // survived the rewrite)
+    assert(probedTasks(compacted) < compacted.newScan().planFiles().size,
+      "batch-key pruning lost after compaction")
+    // and the probe answers identically before/after
+    val before = Serving.probeBandIndexCandidates(t, spark, probeDocs)
+      .orderBy(col("new_id"), col("idx_id")).collect().map(_.toString).toSeq
+    val after = Serving.probeBandIndexCandidates(compacted, spark, probeDocs)
+      .orderBy(col("new_id"), col("idx_id")).collect().map(_.toString).toSeq
+    assert(after === before)
+  }
+
   test("maintenance commits validate their read snapshot (stale derivation refused)") {
     import spark.implicits._
     val text = "alpha beta gamma delta epsilon zeta"
