@@ -24,13 +24,20 @@ import graft.spec.{IcebergSchema, PartitionSpec, TableMetadata}
 final class JdbcCatalog(jdbcUrl: String, warehouse: String, val io: FileIO,
     catalogName: String = "graft", namespace: String = "default") extends Catalog {
 
-  /** Self-describing: the JDBC url is the shared source of truth (any
-    * instance constructed from these props sees the same rows), so a
-    * per-trigger re-load in another planning context is exact. Embedded
-    * Derby allows any number of in-JVM connections to one database. */
+  /** Self-describing WHEN the url carries no credentials: the JDBC url
+    * is the shared source of truth (any instance constructed from these
+    * props sees the same rows), so a per-trigger re-load in another
+    * planning context is exact; embedded Derby allows any number of
+    * in-JVM connections to one database. A url embedding secrets
+    * (`user=`/`password=`/`token=`-style query params) returns None —
+    * loaderProps round-trips into DSv2 reader options, which surface in
+    * EXPLAIN output, the Spark UI and event logs, exactly the leak the
+    * [[Catalog.loaderProps]] contract excludes (same policy as REST). */
   override def loaderProps: Option[Map[String, String]] =
-    Some(Map("type" -> "jdbc", "uri" -> jdbcUrl, "warehouse" -> warehouse,
-      "name" -> catalogName, "namespace" -> namespace))
+    if (JdbcCatalog.CredentialParam.findFirstIn(jdbcUrl).isDefined) None
+    else Some(Map("type" -> "jdbc", "uri" -> jdbcUrl,
+      "warehouse" -> warehouse, "name" -> catalogName,
+      "namespace" -> namespace))
 
   private val TableName = "iceberg_tables"
 
@@ -318,4 +325,12 @@ final class JdbcCatalog(jdbcUrl: String, warehouse: String, val io: FileIO,
     }
     true
   }
+}
+
+object JdbcCatalog {
+  /** Credential-bearing query/properties in a JDBC url — conservative:
+    * any of these disqualifies the url from riding in plan-visible
+    * reader options ([[JdbcCatalog.loaderProps]]). */
+  private[catalog] val CredentialParam =
+    "(?i)[?;&](user|username|password|pwd|secret|token|credential)\\s*=".r
 }

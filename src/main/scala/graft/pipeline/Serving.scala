@@ -105,9 +105,7 @@ object Serving {
     val spark = newDocs.sparkSession
     val newIdx = Curation.materialize(Search.invertedIndex(newDocs, cap))
     val terms = newIdx.select(col("term")).distinct().take(MaxProbeKeys + 1)
-    var current = t
-    var attempt = 0
-    while (true) {
+    retryDerivation(t, "indexDocsBatch") { current =>
       val readSnapshot = current.metadata.currentSnapshotId
       val oldScan =
         if (terms.length <= MaxProbeKeys)
@@ -132,17 +130,31 @@ object Serving {
                    x -> x <> ''),
             x -> cast(x AS bigint))), 1, $cap), x -> cast(x AS string)), ',')""")
             .as("postings"))
-      try {
-        return graft.table.DeleteWriter.upsert(current, merged, Seq("term"),
-          spark, validateFromSnapshot = Some(readSnapshot))
-      } catch {
+      graft.table.DeleteWriter.upsert(current, merged, Seq("term"),
+        spark, validateFromSnapshot = Some(readSnapshot))
+    }
+  }
+
+  /** Optimistic re-derivation loop shared by the maintenance ops: run
+    * `derive` against the current table; when its validated commit
+    * reports the base moved past the read snapshot
+    * ([[graft.table.StaleBaseSnapshot]]), refresh and re-derive —
+    * O(batch) per attempt, bounded so worst-case contended maintenance
+    * costs a small multiple of the serial cost before surfacing. */
+  private def retryDerivation(t: GraftTable, op: String)(
+      derive: GraftTable => GraftTable): GraftTable = {
+    var current = t
+    var attempts = 0
+    while (true) {
+      try return derive(current)
+      catch {
         case e: graft.table.StaleBaseSnapshot =>
-          attempt += 1
-          if (attempt > MaxMaintenanceAttempts) throw new IllegalStateException(
-            s"indexDocsBatch on ${t.metadata.location}: fold re-derived " +
-              s"$MaxMaintenanceAttempts times and the table kept moving — " +
-              "maintenance is being outrun by concurrent writers", e)
-          current = GraftTable.load(current.name, current.catalog)
+          attempts += 1
+          if (attempts > MaxMaintenanceAttempts) throw new IllegalStateException(
+            s"$op on ${t.metadata.location}: the derivation ran $attempts " +
+              "times and the table kept moving — maintenance is being " +
+              "outrun by concurrent writers", e)
+          current = current.refresh()
       }
     }
     throw new IllegalStateException("unreachable")
@@ -288,9 +300,7 @@ object Serving {
     // the cap (the CAS alone protected the metadata swap, not the
     // census read). A validation failure re-derives against the
     // refreshed table: O(batch) per attempt, bounded attempts.
-    var current = t
-    var attempt = 0
-    while (true) {
+    retryDerivation(t, "indexBatch") { current =>
       val censusSnapshot = current.metadata.currentSnapshotId
       // the union count scans only the batch's buckets: the same
       // batch-key file pruning as the probe (small batches PLAN only
@@ -310,24 +320,13 @@ object Serving {
         .join(existingCounts, Seq("band_idx", "band_key"), "left")
         .filter(col("_new") + coalesce(col("_old"), lit(0L)) <= maxBucket)
         .select(col("band_idx"), col("band_key"))
-      try {
-        return graft.table.AppendWriter.appendValidated(current,
-          writeLayout(
-            batch.join(broadcast(admitted), Seq("band_idx", "band_key"),
-              "left_semi"),
-            keyBucketsOf(current)),
-          censusSnapshot)
-      } catch {
-        case e: graft.table.StaleBaseSnapshot =>
-          attempt += 1
-          if (attempt > MaxMaintenanceAttempts) throw new IllegalStateException(
-            s"indexBatch on ${t.metadata.location}: census re-derived " +
-              s"$MaxMaintenanceAttempts times and the table kept moving — " +
-              "maintenance is being outrun by concurrent writers", e)
-          current = GraftTable.load(current.name, current.catalog)
-      }
+      graft.table.AppendWriter.appendValidated(current,
+        writeLayout(
+          batch.join(broadcast(admitted), Seq("band_idx", "band_key"),
+            "left_semi"),
+          keyBucketsOf(current)),
+        censusSnapshot)
     }
-    throw new IllegalStateException("unreachable")
   }
 
   /** Bound on census/fold re-derivations under concurrent writers —
@@ -523,11 +522,18 @@ object Serving {
     * PLANS only the key-buckets this batch touches — for a small
     * continuous-ingest batch that is a handful of files out of
     * bands × keyBuckets, independent of index size (ServingSpec pins
-    * the file subset). Returns (index bands frame, prunedFlag); the
-    * flag doubles as broadcast evidence — a batch under the probe-key
-    * budget is ingest-sized, so it is safe to hint as a broadcast
-    * build side; past the budget it is backfill-shaped and AQE owns
-    * the join strategy (r11 ADVICE item 1). */
+    * the file subset). Returns (index bands frame, hintBroadcast).
+    *
+    * The broadcast evidence needs BOTH censuses: the distinct-key count
+    * (under the probe-key budget → the In prunes files) and the actual
+    * ROW count — key count alone does not bound the broadcast side,
+    * because a mass-duplicated batch (boilerplate/spam, this system's
+    * own target workload) collapses to few distinct keys while carrying
+    * up to maxBucket rows per bucket, and an explicit broadcast() hint
+    * is not overridable by AQE — a several-GB build side would hit
+    * Spark's 8 GB broadcast limit or OOM the driver. `newBands` is
+    * materialized by every caller, so the count re-reads stored blocks,
+    * not the hash pipeline. */
   private def prunedIndexBands(t: GraftTable, spark: SparkSession,
       newBands: DataFrame, bands: Int): (DataFrame, Boolean) = {
     val budget = probeKeyBudget(t, bands)
@@ -539,10 +545,19 @@ object Serving {
         t.newScan().withFilter(
           SetPred(PIn, "band_key", keys.map(_.getString(0)).toSet[Any]))
       else t.newScan()
+    val hintBroadcast = pruned && newBands.count() <= BroadcastMaxBatchRows
     (scan.toDF(spark)
       .select(col("doc_id"), col("band_idx").cast("int").as("band_idx"),
-        col("band_key")), pruned)
+        col("band_key")), hintBroadcast)
   }
+
+  /** Row bound for the explicit batch-side broadcast hint: ~64 B per
+    * band row (long id + int band + short digest key) puts 4M rows at
+    * ~256 MB broadcast — comfortably inside executor/driver budgets at
+    * any sane config, and far under Spark's hard 8 GB broadcast cap.
+    * Batches above it leave the join strategy to AQE (measured shuffle
+    * sizes), same as the over-budget key path. */
+  private val BroadcastMaxBatchRows: Long = 4L * 1000 * 1000
 
   /** CANDIDATE pairs (new_id, idx_id) of a document batch against the
     * persisted band index — the front half of [[dedupAgainstBandIndex]]

@@ -41,8 +41,18 @@ object WritePathQueries {
   private val WarehouseKey = "spark.graft.bench.warehouse"
   private def sqlCatalog(spark: SparkSession, wh: String): String = {
     val name = "wbench"
-    spark.conf.set(s"spark.sql.catalog.$name", "graft.sources.GraftCatalogPlugin")
-    spark.conf.set(s"spark.sql.catalog.$name.warehouse-conf", WarehouseKey)
+    // registration confs are set only once (CatalogManager ignores them
+    // after the plugin instance is cached anyway); only the warehouse
+    // key moves per invocation. SERIAL-ONLY by design: one shared key
+    // means two write-path queries planned concurrently in one session
+    // would alias each other's warehouse — Bench/Verify run queries
+    // strictly sequentially, and no test invokes these concurrently.
+    // Concurrent multi-warehouse work belongs in separately named
+    // catalogs (the plugin supports any number).
+    if (spark.conf.getOption(s"spark.sql.catalog.$name").isEmpty) {
+      spark.conf.set(s"spark.sql.catalog.$name", "graft.sources.GraftCatalogPlugin")
+      spark.conf.set(s"spark.sql.catalog.$name.warehouse-conf", WarehouseKey)
+    }
     spark.conf.set(WarehouseKey, wh)
     name
   }

@@ -58,10 +58,10 @@ final class GraftCatalogPlugin extends CatalogPlugin with TableCatalog with View
   private var warehouseConfKey: Option[String] = None
   private var initProps: Map[String, String] = Map.empty
   private var catalogType: String = "hadoop"
-  // currently-resolved backend; rebuilt when the dynamic key moves
-  private var resolvedWarehouse: String = _
-  private var catalog0: GraftCatalog = _
-  private var views0: ViewStore = _
+
+  @volatile private var state: GraftCatalogPlugin.Resolved = _
+  private def Resolved(wh: String, cat: GraftCatalog, vs: ViewStore) =
+    new GraftCatalogPlugin.Resolved(wh, cat, vs)
 
   /** Spark's CatalogManager caches plugin instances BY NAME for the
     * session lifetime, so a warehouse bound at initialize pins every
@@ -71,26 +71,33 @@ final class GraftCatalogPlugin extends CatalogPlugin with TableCatalog with View
     * per invocation leaked two conf entries + a cached plugin instance
     * each) set `spark.sql.catalog.<name>.warehouse-conf = <key>` once
     * and re-point `<key>` per invocation; the plugin re-reads it per
-    * operation and swaps its backend only when the value moves. */
-  private def resolve(): Unit = synchronized {
+    * operation and swaps its backend only when the value moves.
+    *
+    * Consistency scope: each `resolve()` returns ONE atomic
+    * (warehouse, catalog, views) triple, but a multi-accessor operation
+    * that races a concurrent key re-point can still mix triples across
+    * its accessor calls — dynamic mode is a SERIAL-harness feature
+    * (one invocation at a time re-points, then operates); concurrent
+    * multi-warehouse work belongs in separately named catalogs. */
+  private def resolve(): GraftCatalogPlugin.Resolved = synchronized {
     val wh = warehouseConfKey match {
       case Some(k) =>
         org.apache.spark.sql.SparkSession.active.conf.getOption(k).getOrElse(
           throw new IllegalArgumentException(
             s"catalog $catalogName reads its warehouse from session conf " +
               s"'$k', which is unset"))
-      case None => resolvedWarehouse
+      case None => state.warehouse
     }
-    if (wh != resolvedWarehouse || catalog0 == null) {
-      resolvedWarehouse = wh
-      catalog0 = CatalogLoader.load(catalogType,
-        initProps ++ Map("warehouse" -> wh, "name" -> catalogName))
-      views0 = new ViewStore(wh, new FileIO(new Configuration()))
-    }
+    if (state == null || wh != state.warehouse)
+      state = Resolved(wh,
+        CatalogLoader.load(catalogType,
+          initProps ++ Map("warehouse" -> wh, "name" -> catalogName)),
+        new ViewStore(wh, new FileIO(new Configuration())))
+    state
   }
-  private def warehouse: String = { resolve(); resolvedWarehouse }
-  private def catalog: GraftCatalog = { resolve(); catalog0 }
-  private def views: ViewStore = { resolve(); views0 }
+  private def warehouse: String = resolve().warehouse
+  private def catalog: GraftCatalog = resolve().catalog
+  private def views: ViewStore = resolve().views
 
   /** `spark.sql.catalog.<name>.type` selects the backend through
     * CatalogLoader (hadoop | memory | jdbc/sql | rest — the reference's
@@ -102,10 +109,15 @@ final class GraftCatalogPlugin extends CatalogPlugin with TableCatalog with View
     catalogType = Option(options.get("type")).getOrElse("hadoop")
     warehouseConfKey = Option(options.get("warehouse-conf"))
     if (warehouseConfKey.isEmpty) {
-      resolvedWarehouse = Option(options.get("warehouse")).getOrElse(
+      // static mode: resolve once, eagerly — resolve()'s None branch
+      // reads state.warehouse, which this initialization establishes
+      val wh = Option(options.get("warehouse")).getOrElse(
         throw new IllegalArgumentException(
           s"spark.sql.catalog.$name.warehouse is required"))
-      resolve()
+      state = Resolved(wh,
+        CatalogLoader.load(catalogType,
+          initProps ++ Map("warehouse" -> wh, "name" -> name)),
+        new ViewStore(wh, new FileIO(new Configuration())))
     }
     // Capacity of the process-wide parsed-manifest cache (reference
     // ObjectCache size, io/object_cache.rs:28); 0 disables caching.
@@ -461,6 +473,12 @@ final class GraftCatalogPlugin extends CatalogPlugin with TableCatalog with View
 
 object GraftCatalogPlugin {
   import graft.spec.{PartitionField, Transform => IceTransform}
+
+  /** One immutable resolved backend: warehouse + catalog + view store
+    * always swap TOGETHER, so any single accessor read is internally
+    * consistent even if another thread re-points the dynamic key. */
+  private[sources] final class Resolved(val warehouse: String,
+      val catalog: GraftCatalog, val views: ViewStore)
 
   /** Fold a DEFAULT clause's SQL text to a Catalyst value of the column
     * type (literal defaults only — non-foldable expressions throw). Folds

@@ -52,7 +52,7 @@ object AppendWriter {
     val commitUuid = UUID.randomUUID().toString
     val files = writeDataFiles(table, df, commitUuid)
     if (files.isEmpty) return table
-    Commits.commit(table, "append", commitUuid,
+    try Commits.commit(table, "append", commitUuid,
       extraSummary ++ appendSummary(files)) { (base, seq, snapshotId) =>
       if (base.currentSnapshotId != expectedSnapshot)
         throw new StaleBaseSnapshot(
@@ -60,6 +60,15 @@ object AppendWriter {
             s"${base.currentSnapshotId.orNull} since the caller's read — " +
             "re-derive and retry")
       appendManifests(table, files, commitUuid)(base, seq, snapshotId)
+    } catch {
+      case e: StaleBaseSnapshot =>
+        // the commit definitely did not land (validation precedes every
+        // manifest write): reclaim this attempt's staged files so a
+        // contended maintenance loop doesn't leak one file set per
+        // re-derivation (an orphan-file sweep stays the backstop)
+        files.foreach(f =>
+          try table.io.delete(f.filePath) catch { case _: Throwable => () })
+        throw e
     }
   }
 

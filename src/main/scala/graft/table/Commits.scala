@@ -8,13 +8,13 @@ import graft.spec.{IcebergSchema, PartitionSpec, Snapshot, TableMetadata}
 /** Thrown by a commit's manifest closure when it VALIDATES that the
   * table has not moved past the snapshot the caller's read-modify-write
   * derivation was computed against (the census/merge in
-  * [[graft.pipeline.Serving]] maintenance). Deliberately NOT a
-  * CommitConflict: the CAS retry loop must not re-apply a stale
-  * derivation against a refreshed base — the exception propagates to
-  * the OPERATION, which re-derives and re-commits (serializable
-  * maintenance; the reference's validation-failure class in
-  * transaction/snapshot validation). */
-final class StaleBaseSnapshot(message: String) extends RuntimeException(message)
+  * [[graft.pipeline.Serving]] maintenance). A
+  * [[Commits.ValidationException]] — the same "replan against fresh
+  * state, never CAS-retry the stale result" contract validateReplace
+  * uses — specialized so maintenance loops can catch exactly the
+  * snapshot-moved case. */
+final class StaleBaseSnapshot(message: String)
+    extends Commits.ValidationException(message)
 
 /** Shared snapshot-commit machinery used by append, row-delta (deletes) and
   * rewrite (compaction) actions — the role of the reference's Transaction +
@@ -92,7 +92,7 @@ object Commits {
     * basis. Deliberately NOT the catalog's retryable CommitConflict:
     * retrying would re-commit results derived from a stale scan — the
     * operation must replan against fresh state. */
-  final class ValidationException(msg: String) extends RuntimeException(msg)
+  class ValidationException(msg: String) extends RuntimeException(msg)
 
   /** Replace/rewrite-commit validation against the REFRESHED base (the
     * role of Iceberg's validateDataFilesExist / validateAddedDataFiles,

@@ -338,7 +338,7 @@ object DeleteWriter {
           equalityIds = ids)
       }.filter(_.recordCount > 0)
 
-    Commits.commit(table, "overwrite", commitUuid, extraSummary ++ Map(
+    try Commits.commit(table, "overwrite", commitUuid, extraSummary ++ Map(
       "added-data-files" -> dataFiles.size.toString,
       "added-records" -> dataFiles.map(_.recordCount).sum.toString,
       "added-delete-files" -> delFiles.size.toString),
@@ -366,6 +366,14 @@ object DeleteWriter {
             ManifestContent.Deletes, snapshotId, seq))
         }
       (dataM +: delM) ++ Commits.baseManifests(table.io, base)
+    } catch {
+      case e: StaleBaseSnapshot =>
+        // validation precedes every manifest write, so nothing landed:
+        // reclaim this attempt's staged data + delete files (the caller
+        // re-derives and stages a fresh set; orphan sweep is backstop)
+        (dataFiles.map(_.filePath) ++ delFiles.map(_.filePath)).foreach(p =>
+          try table.io.delete(p) catch { case _: Throwable => () })
+        throw e
     }
   }
 

@@ -108,4 +108,23 @@ class CatalogLoaderSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(graft.table.GraftTable.load("foo", cat).newScan().toDF(spark)
       .count() === 2)
   }
+
+  test("loaderProps: self-describing catalogs round-trip, credentialed/stateful ones refuse") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-lp").toString
+    val io = new graft.io.FileIO(new org.apache.hadoop.conf.Configuration())
+    assert(new HadoopCatalog(wh, io).loaderProps ===
+      Some(Map("type" -> "hadoop", "warehouse" -> wh)))
+    // an embedded Derby url carries no credentials: self-describing
+    val jdbc = new JdbcCatalog(s"jdbc:derby:$wh/cat;create=true", wh, io)
+    assert(jdbc.loaderProps.exists(_("type") == "jdbc"))
+    // credential-bearing urls must NOT ride into plan-visible options
+    // (regex-level check: constructing a catalog needs a live driver)
+    for (url <- Seq("jdbc:postgresql://h/db?user=u&password=s",
+        "jdbc:mysql://h/db?PASSWORD=s", "jdbc:x:thing;token=abc"))
+      assert(JdbcCatalog.CredentialParam.findFirstIn(url).isDefined, url)
+    assert(JdbcCatalog.CredentialParam
+      .findFirstIn(s"jdbc:derby:$wh/cat;create=true").isEmpty)
+    // in-process state cannot be reconstructed from properties
+    assert(new MemoryCatalog(wh, io).loaderProps.isEmpty)
+  }
 }

@@ -443,11 +443,23 @@ class ServingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val moved = graft.table.GraftTable.load("st", t0.catalog)
     // a commit validating the OLD snapshot must throw StaleBaseSnapshot,
     // not silently re-apply through the CAS retry
+    def parquetCount(): Int = {
+      val dir = java.nio.file.Paths.get(
+        moved.metadata.location.stripPrefix("file:"))
+      java.nio.file.Files.walk(dir).filter(_.toString.endsWith(".parquet"))
+        .count().toInt
+    }
+    val before = parquetCount()
     val ex = intercept[graft.table.StaleBaseSnapshot] {
       graft.table.AppendWriter.appendValidated(moved,
         moved.newScan().toDF(spark).limit(1), stale)
     }
     assert(ex.getMessage.contains("re-derive"))
+    // the exception is the shared replan-don't-retry taxonomy
+    assert(ex.isInstanceOf[graft.table.Commits.ValidationException])
+    // and the failed attempt's staged files were reclaimed, not orphaned
+    assert(parquetCount() === before,
+      "a stale-validated append must clean up its staged files")
   }
 
   test("racing indexBatch maintainers cannot jointly exceed the bucket cap") {
