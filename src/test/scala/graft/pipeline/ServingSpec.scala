@@ -541,6 +541,26 @@ class ServingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === want)
   }
 
+  test("probe-key budget floors at MaxProbeKeys for legacy single-level artifacts") {
+    // a pre-key-bucket artifact (identity(band_idx) only) has
+    // keyBucketsOf = 1; its In prunes no files but still row-filters, so
+    // the budget keeps the historical 1024 floor instead of collapsing
+    // to 2 x bands
+    import graft.spec.{IcebergSchema => S, NestedField, IcebergType,
+      PartitionField, PartitionSpec, Transform}
+    val schema = S(0, Seq(
+      NestedField(1, "doc_id", IcebergType.LongT, required = false),
+      NestedField(2, "band_idx", IcebergType.IntT, required = false),
+      NestedField(3, "band_key", IcebergType.StringT, required = false)))
+    val spec = PartitionSpec(0,
+      Seq(PartitionField(2, 1000, "band_idx", Transform.Identity)))
+    val t = graft.table.GraftTable.create("leg1", freshCatalog("leg1"),
+      schema, spec)
+    assert(Serving.probeKeyBudget(t, 16) === Serving.MaxProbeKeys)
+    // and a wide two-level artifact scales past the floor
+    // (covered end-to-end by the keyBuckets=64 pruning test above)
+  }
+
   test("unknown materialize mode is an error, not a silent fallback") {
     val docs = graft.Tables.documents(spark, sfDir)
     spark.conf.set("spark.graft.pipeline.materialize", "persist-disk-only")
