@@ -319,6 +319,46 @@ object ScaleProbe {
       val p95s = med3(Serving.annFromIvfIndex(is, cs, spark,
         sE.filter(col("vec_id") < 10), 3))
 
+      // MAINTENANCE-ONLY (r12): a FIXED small batch folded/appended into
+      // the base-sized vs the 10×-sized artifact — the O(batch) claim
+      // every maintenance scaladoc makes, measured in the shape that
+      // would expose an O(index) fold. Each run uses fresh disjoint ids
+      // (the ingest contract; re-folding identical ids would double
+      // df/tf and saturate band buckets), so the artifact grows by one
+      // tiny batch per timed run — noise at both scales.
+      def medMaint(run: Long => Unit): Double = {
+        var off = 100000000L
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          run(off)
+          off += 1000000L
+          val s = (System.nanoTime() - t0) / 1e9
+          spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+          s
+        }
+        once() // warm
+        (1 to 3).map(_ => once()).sorted.apply(1)
+      }
+      def shifted(off: Long) =
+        tiny.withColumn("doc_id", col("doc_id") + off)
+      var invB = Serving.persistInvertedIndex(bDocs, "w08b", cat)
+      var invS = Serving.persistInvertedIndex(sDocs, "w08s", cat)
+      val w08mb = medMaint(o => invB = Serving.indexDocsBatch(invB, shifted(o)))
+      val w08ms = medMaint(o => invS = Serving.indexDocsBatch(invS, shifted(o)))
+      var bndB = tB
+      var bndS = tS
+      val p93mb = medMaint(o => bndB = Serving.indexBatch(bndB, shifted(o)))
+      val p93ms = medMaint(o => bndS = Serving.indexBatch(bndS, shifted(o)))
+      val vecBatch = bE.orderBy(col("vec_id")).limit(100)
+      var ivfB = ib
+      var ivfS = is
+      val p97mb = medMaint(o => ivfB = Serving.ivfIndexBatch(ivfB, cb,
+        vecBatch.withColumn("vec_id", col("vec_id") + o)))
+      val p97ms = medMaint(o => ivfS = Serving.ivfIndexBatch(ivfS, cs,
+        vecBatch.withColumn("vec_id", col("vec_id") + o)))
+
       f"""{"p93_probe":{"base_sec":$p93b%.3f,"scale10_sec":$p93s%.3f,""" +
         f""""ratio":${p93s / p93b}%.2f},""" +
         f""""p93_probe_fixed_batch_10x_index":{"base_sec":$p93b%.3f,""" +
@@ -326,7 +366,13 @@ object ScaleProbe {
         f""""p93_probe_small_batch_10x_index":{"base_sec":$p93tb%.3f,""" +
         f""""sec":$p93ts%.3f,"ratio":${p93ts / p93tb}%.2f},""" +
         f""""p95_probe":{"base_sec":$p95b%.3f,"scale10_sec":$p95s%.3f,""" +
-        f""""ratio":${p95s / p95b}%.2f}}"""
+        f""""ratio":${p95s / p95b}%.2f},""" +
+        f""""w08_maintain_only":{"base_sec":$w08mb%.3f,"sec_10x":$w08ms%.3f,""" +
+        f""""ratio":${w08ms / w08mb}%.2f},""" +
+        f""""p93_maintain_only":{"base_sec":$p93mb%.3f,"sec_10x":$p93ms%.3f,""" +
+        f""""ratio":${p93ms / p93mb}%.2f},""" +
+        f""""p97_maintain_only":{"base_sec":$p97mb%.3f,"sec_10x":$p97ms%.3f,""" +
+        f""""ratio":${p97ms / p97mb}%.2f}}"""
     } finally {
       try {
         import java.util.Comparator
