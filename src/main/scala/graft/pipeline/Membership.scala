@@ -1,0 +1,394 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.BinaryType
+import org.apache.spark.util.sketch.BloomFilter
+
+import graft.expr.{In => PIn, SetPred}
+import graft.puffin.Puffin
+import graft.spec.{IcebergSchema, PartitionField, PartitionSpec, StatisticsFile, StatsBlobMetadata, Transform}
+import graft.table.{AppendWriter, GraftTable}
+
+/** Persisted MEMBERSHIP-FILTER serving: exact batch-vs-corpus dedup
+  * (`batch \ corpus` by key) answered WITHOUT a corpus join on the hot
+  * path. A per-key-bucket Bloom filter over the corpus table's key column
+  * is persisted as a Puffin statistics file registered for the table's
+  * snapshot (reference statistics plumbing: spec/statistic_file.rs:27 +
+  * puffin/blob.rs blob framing — the same snapshot-addressed sketch slot
+  * the reference fills with theta NDV blobs), and every ingest batch
+  * prefilters executor-side: a key the filter rejects is DEFINITELY new
+  * (no false negatives), so only the few candidate rows (true duplicates
+  * + bloom false positives) verify against the corpus through a
+  * key-pruned scan. The result is EXACT — false positives are verified
+  * away — while the common continuous-ingest row never touches corpus
+  * data at all.
+  *
+  * 100 TB shape: the filter costs ~1.2 bytes/key at 1% fpp — a 10⁹-key
+  * corpus rides in ~1.2 GB of blobs shipped once per probe via the task
+  * binary, with per-row work one xxhash64 + k bit tests inside
+  * whole-stage codegen (Spark's own BloomFilterMightContain, the runtime
+  * shuffle-join filter's expression). The per-bucket layout (one blob per
+  * bucket(key, N) partition, the SAME murmur3 bucket transform the
+  * corpus table partitions by) keeps every piece batch-scoped: a small
+  * batch loads only its touched buckets' blobs, maintenance re-hashes
+  * only the batch and rewrites only touched blobs (untouched blob bytes
+  * carry forward undecoded), and the candidate verification's In
+  * predicate projects through the same bucket transform so the scan
+  * PLANS only candidate-key bucket files. Past ~10⁹ keys per artifact,
+  * shard by table partition or fall back to the shuffle anti-join — the
+  * backfill shape, where a full join is the right plan anyway.
+  *
+  * Artifact invariant (both probe and fold REQUIRE it): the CURRENT
+  * snapshot always carries a membership filter covering every row at or
+  * before it. Maintenance preserves it by committing the appended rows
+  * and the folded filter in ONE catalog swap
+  * ([[graft.table.AppendWriter.appendValidatedTransformed]]); a bare
+  * append outside [[membershipIndexBatch]] breaks it, and the next
+  * probe/fold refuses (rebuild via [[writeMembershipFilter]]).
+  */
+object Membership {
+
+  /** Puffin blob type for one key-bucket's Bloom filter (engine-private,
+    * like graft-kmv-distinct-v1; payload = Spark sketch-library V1 bloom
+    * bytes over xxhash64(key) values). */
+  val BlobType = "graft-bloom-membership-v1"
+
+  val PropColumn = "graft.bloom.column"
+  val PropExpectedPerBucket = "graft.bloom.expectedPerBucket"
+  val PropNumBits = "graft.bloom.numBits"
+  val PropInserted = "graft.bloom.inserted"
+
+  /** Materialize a keyed corpus-of-record as a Graft table partitioned by
+    * bucket(`keyCol`, `nBuckets`) — the layout both halves of the probe
+    * exploit: per-bucket filter blobs on the prefilter side, In-predicate
+    * manifest pruning on the verification side. Keys must be non-null
+    * (dedup keys here are digests; a null key would hash and bucket to
+    * engine-dependent sentinels on the SQL side). */
+  def persistKeyedCorpus(rows: DataFrame, name: String,
+      catalog: graft.catalog.Catalog, keyCol: String,
+      nBuckets: Int = 16): GraftTable = {
+    val schema = IcebergSchema.fromSpark(rows.schema)
+    val keyId = schema.fields.find(_.name == keyCol).getOrElse(
+      throw new IllegalArgumentException(s"no column $keyCol in corpus")).id
+    val spec = PartitionSpec(0,
+      Seq(PartitionField(keyId, 1000, s"${keyCol}_bucket",
+        Transform.Bucket(nBuckets))))
+    val t = GraftTable.create(name, catalog, schema, spec,
+      properties = Map(PropColumn -> keyCol))
+    t.append(rows)
+  }
+
+  /** The key-bucket width of the corpus table's spec (mirrors the band
+    * index's layout introspection — the artifact, not the caller, is the
+    * source of truth for its own layout). */
+  private def bucketsOf(t: GraftTable, keyCol: String): Int =
+    t.spec.fields.collectFirst {
+      case pf if pf.name == s"${keyCol}_bucket" => pf.transform match {
+        case Transform.Bucket(n) => n
+        case other => throw new IllegalStateException(
+          s"${keyCol}_bucket partition field carries $other, expected bucket(n)")
+      }
+    }.getOrElse(throw new IllegalStateException(
+      s"table ${t.metadata.location} has no bucket($keyCol) partition level — " +
+        "build the corpus via persistKeyedCorpus"))
+
+  /** One distributed pass: (bucket, bloom-blob) per non-empty key bucket.
+    * BloomFilterAggregate is Spark's TypedImperativeAggregate behind the
+    * runtime shuffle-join filter — per-task partial filters merge by
+    * bitwise OR, so the driver sees one blob per bucket, never key data.
+    * All buckets share (expectedItems, numBits) so every blob has the
+    * same hash-function count — the compatibility [[BloomFilter
+    * .mergeInPlace]] requires at fold time. */
+  private def bucketBlooms(keyed: DataFrame, keyCol: String, nBuckets: Int,
+      expectedPerBucket: Long, numBits: Long): Array[(Int, Array[Byte])] = {
+    val bucket = graft.functions.IcebergBucketExpr
+      .column(col(keyCol), nBuckets).as("_kb")
+    val agg = GraftBridge.column(
+      new BloomFilterAggregate(
+        GraftBridge.expression(xxhash64(col(keyCol))),
+        Literal(expectedPerBucket), Literal(numBits)).toAggregateExpression())
+    keyed.select(bucket, col(keyCol))
+      .groupBy(col("_kb")).agg(agg.as("_blob"))
+      .collect()
+      .map(r => (r.getInt(0), r.getAs[Array[Byte]](1)))
+  }
+
+  /** Build and register the membership filter for `t`'s CURRENT
+    * snapshot: one Bloom blob per key bucket, written into a Puffin
+    * statistics file and registered in table metadata for the snapshot
+    * (set-statistics semantics — an existing entry for the snapshot is
+    * replaced, with its NON-membership blobs carried forward so NDV
+    * sketches and the membership filter coexist in the snapshot's one
+    * statistics slot). Sizing derives from the snapshot's own
+    * total-records (2× headroom for folds) unless given; both sizing
+    * parameters are recorded as table properties — the fold's merge is
+    * only defined at the build's exact (expectedItems, numBits).
+    *
+    * At-scale note: Spark caps BloomFilterAggregate via
+    * spark.sql.optimizer.runtime.bloomFilter.{maxNumItems,maxNumBits}
+    * (defaults 4M items / 8 MB bits per bucket) — raise them or widen
+    * nBuckets for corpora past ~64M keys per bucket-16 artifact. */
+  def writeMembershipFilter(t: GraftTable, spark: SparkSession,
+      keyCol: String, fpp: Double = 0.01,
+      expectedPerBucket: Option[Long] = None): GraftTable = {
+    requireColumn(t, keyCol)
+    val nBuckets = bucketsOf(t, keyCol)
+    val snapshotId = t.metadata.currentSnapshotId.getOrElse(
+      throw new IllegalStateException(
+        s"table ${t.metadata.location} has no snapshot to cover"))
+    val totalRecords = t.metadata.currentSnapshot
+      .flatMap(_.summary.get("total-records")).map(_.toLong).getOrElse(0L)
+    val nPerBucket = expectedPerBucket.getOrElse(
+      math.max(1024L, 2L * totalRecords / nBuckets))
+    val numBits = BloomFilter.optimalNumOfBits(nPerBucket, fpp)
+    val blobs = bucketBlooms(t.newScan().select(keyCol).toDF(spark),
+      keyCol, nBuckets, nPerBucket, numBits)
+    registerFilter(t, snapshotId, keyCol, blobs,
+      carryForeign = true,
+      properties = Map(
+        PropColumn -> keyCol,
+        PropExpectedPerBucket -> nPerBucket.toString,
+        PropNumBits -> numBits.toString,
+        PropInserted -> totalRecords.toString))
+  }
+
+  /** Write the blobs as a Puffin stats file for `snapshotId` and register
+    * it (plus `properties`) in ONE metadata swap. With `carryForeign`,
+    * non-membership blobs of an existing entry for the same snapshot are
+    * re-written into the new file byte-for-byte. */
+  private def registerFilter(t: GraftTable, snapshotId: Long, keyCol: String,
+      blobs: Array[(Int, Array[Byte])], carryForeign: Boolean,
+      properties: Map[String, String]): GraftTable = {
+    val seq = t.metadata.lastSequenceNumber
+    val keyId = t.schema.findField(keyCol).map(_.id).getOrElse(-1)
+    val foreign: Seq[Puffin.Blob] =
+      if (!carryForeign) Nil
+      else t.metadata.statisticsFor(snapshotId).toSeq.flatMap { sf =>
+        val (metas, _) = Puffin.readMetadata(t.io, sf.statisticsPath)
+        metas.filterNot(_.blobType == BlobType).map { m =>
+          Puffin.Blob(m.blobType, m.fields, m.snapshotId, m.sequenceNumber,
+            Puffin.readBlob(t.io, sf.statisticsPath, m), m.properties, m.codec)
+        }
+      }
+    val path = s"${t.location}/metadata/bloom-$snapshotId-" +
+      s"${java.util.UUID.randomUUID()}.puffin"
+    val metas = Puffin.write(t.io, path,
+      blobs.sortBy(_._1).map { case (b, bytes) =>
+        Puffin.Blob(BlobType, Seq(keyId), snapshotId, seq, bytes,
+          Map("column" -> keyCol, "bucket" -> b.toString),
+          codec = Some("zstd"))
+      }.toSeq ++ foreign,
+      Map("created-by" -> "graft"))
+    val statsFile = statsEntry(t, snapshotId, path, metas, seq)
+    graft.catalog.CommitRetry.run(t.catalog, t.name) { (base, _) =>
+      val kept = base.statistics.filterNot(_.snapshotId == snapshotId)
+      (base.copy(statistics = kept :+ statsFile,
+        properties = base.properties ++ properties,
+        lastUpdatedMs = System.currentTimeMillis()),
+        (_: Int) => t.refresh())
+    }
+  }
+
+  private def statsEntry(t: GraftTable, snapshotId: Long, path: String,
+      metas: Seq[Puffin.BlobMetadata], seq: Long): StatisticsFile = {
+    val fileSize = t.io.size(path)
+    StatisticsFile(
+      snapshotId = snapshotId,
+      statisticsPath = path,
+      fileSizeInBytes = fileSize,
+      fileFooterSizeInBytes = fileSize - metas.map(m => m.offset + m.length).max,
+      blobMetadata = metas.map(m => StatsBlobMetadata(
+        m.blobType, snapshotId, seq, m.fields, m.properties)))
+  }
+
+  private def requireColumn(t: GraftTable, keyCol: String): Unit =
+    t.metadata.properties.get(PropColumn).foreach { c =>
+      require(c == keyCol,
+        s"membership corpus ${t.metadata.location} is keyed by $c; " +
+          s"caller asked for $keyCol — refusing a filter over the wrong key")
+    }
+
+  /** The membership blobs covering `t`'s CURRENT snapshot, as
+    * bucket → decompressed bloom bytes, plus the recorded sizing. Refuses
+    * when the current snapshot has no filter — the artifact invariant is
+    * broken (a bare append moved the table past its filter) and serving
+    * definite-new verdicts from a stale filter would be WRONG (a key
+    * appended since the filter was built would probe as definitely-new). */
+  private def loadFilter(t: GraftTable):
+      (Map[Int, Array[Byte]], Long, Long) = {
+    val snapshotId = t.metadata.currentSnapshotId.getOrElse(
+      throw new IllegalStateException(
+        s"table ${t.metadata.location} has no snapshot"))
+    val sf = t.metadata.statisticsFor(snapshotId).getOrElse(
+      throw new IllegalStateException(
+        s"membership corpus ${t.metadata.location} has no statistics file " +
+          s"for its current snapshot $snapshotId — the filter does not cover " +
+          "the table's rows (did something append outside " +
+          "membershipIndexBatch?); rebuild via writeMembershipFilter"))
+    val (metas, _) = Puffin.readMetadata(t.io, sf.statisticsPath)
+    val blobs = metas.filter(_.blobType == BlobType).map { m =>
+      m.properties("bucket").toInt -> Puffin.readBlob(t.io, sf.statisticsPath, m)
+    }.toMap
+    if (blobs.isEmpty) throw new IllegalStateException(
+      s"statistics file ${sf.statisticsPath} carries no $BlobType blobs — " +
+        "rebuild via writeMembershipFilter")
+    val n = t.metadata.properties.getOrElse(PropExpectedPerBucket,
+      throw new IllegalStateException(
+        s"membership corpus ${t.metadata.location} records no " +
+          s"$PropExpectedPerBucket — sizing unprovable, fold undefined; " +
+          "rebuild via writeMembershipFilter")).toLong
+    val m = t.metadata.properties(PropNumBits).toLong
+    (blobs, n, m)
+  }
+
+  /** might-contain Column for a key expression against per-bucket blobs:
+    * a when-chain over the TOUCHED buckets only (the caller computed them
+    * from the batch itself, so every batch row hits exactly one branch);
+    * a touched bucket with no blob means the corpus holds no keys there —
+    * definitely new. Each branch is Spark's codegen'd
+    * BloomFilterMightContain over the same xxhash64 the build aggregated,
+    * with the blob riding as a binary literal (shipped once per stage via
+    * the broadcast task binary, deserialized once per executor). */
+  private def mightContainCol(touched: Seq[Int], blobs: Map[Int, Array[Byte]],
+      keyCol: String, nBuckets: Int): Column = {
+    val bucket = graft.functions.IcebergBucketExpr.column(col(keyCol), nBuckets)
+    val keyHash = xxhash64(col(keyCol))
+    touched.foldLeft(lit(false)) { (acc, b) =>
+      blobs.get(b) match {
+        case None => acc // empty corpus bucket: nothing to contain
+        case Some(bytes) =>
+          val mc = GraftBridge.column(BloomFilterMightContain(
+            Literal.create(bytes, BinaryType),
+            GraftBridge.expression(keyHash)))
+          when(bucket === lit(b), mc).otherwise(acc)
+      }
+    }
+  }
+
+  /** EXACT `batch \ corpus` by key, served from the membership filter:
+    * rows the filter rejects are definitely new (no bloom false
+    * negatives) and never touch corpus data; the remaining candidates
+    * (true duplicates + false positives) verify through ONE anti-join
+    * whose corpus side is the In-pruned scan — candidate keys project
+    * through the bucket transform, so the verification PLANS only the
+    * candidate keys' bucket files. Output = the batch rows whose key is
+    * not in the corpus, batch schema unchanged (duplicate keys WITHIN the
+    * batch are the caller's concern — this operator answers membership).
+    *
+    * O(batch) at any corpus size on the serving path: the batch hashes
+    * once, touched-bucket discovery is a ≤nBuckets-row collect, candidate
+    * keys are a bounded collect ([[Serving.MaxProbeKeys]] — past it the
+    * verification degrades to the full-scan anti-join, the backfill shape
+    * where that IS the right plan). */
+  def newKeys(t: GraftTable, spark: SparkSession, batch: DataFrame,
+      keyCol: String): DataFrame = {
+    requireColumn(t, keyCol)
+    val nBuckets = bucketsOf(t, keyCol)
+    val (blobs, _, _) = loadFilter(t)
+    // the batch feeds three consumers (touched-bucket collect, both
+    // prefilter branches) — materialize once, batch-bounded
+    val b = Curation.materialize(batch)
+    val bucket = graft.functions.IcebergBucketExpr.column(col(keyCol), nBuckets)
+    val touched = b.select(bucket.as("_kb")).distinct()
+      .collect().map(_.getInt(0)).toSeq // ≤ nBuckets rows by construction
+    val might = mightContainCol(touched, blobs, keyCol, nBuckets)
+    val definiteNew = b.filter(!might)
+    val candidates = Curation.materialize(b.filter(might))
+    val keys = candidates.select(col(keyCol)).distinct()
+      .take(Serving.MaxProbeKeys + 1)
+    val corpusKeys =
+      (if (keys.length <= Serving.MaxProbeKeys)
+        t.newScan().withFilter(
+          SetPred(PIn, keyCol, keys.map(_.get(0)).toSet[Any]))
+      else t.newScan())
+        .select(keyCol).toDF(spark)
+    val falsePositives = candidates.join(corpusKeys, Seq(keyCol), "left_anti")
+    // by NAME: the USING-column join moves the key column first in its
+    // output, so a positional union would misalign the batch's schema
+    definiteNew.unionByName(falsePositives)
+  }
+
+  /** Membership MAINTENANCE: append `newRows` to the corpus AND fold
+    * their keys into the filter in ONE atomic catalog swap — the
+    * artifact invariant (current snapshot always covered) can never be
+    * observed broken, and a crash between the puffin write and the
+    * commit leaves only an unregistered orphan file. Work is O(batch)
+    * CPU (only the batch hashes; only touched buckets' blobs decode and
+    * merge — bloom merge is bitwise OR, so fold ≡ rebuild bit-for-bit at
+    * the same sizing) plus O(filter bytes) IO for the new stats file
+    * (untouched blob bytes carry forward undecoded).
+    *
+    * Concurrency (SERIALIZABLE, same discipline as the band/inverted
+    * index maintenance): the fold reads blobs at a snapshot and the
+    * commit validates the table still sits there
+    * ([[graft.table.AppendWriter.appendValidatedTransformed]] throws
+    * [[graft.table.StaleBaseSnapshot]]); a miss deletes this attempt's
+    * puffin, refreshes, and re-derives — two racing folds serialize
+    * instead of the second overwriting the first's bits out of the
+    * statistics slot.
+    *
+    * Saturation: `graft.bloom.inserted` tracks the total keys folded;
+    * fpp degrades (never correctness — verification stays exact) as it
+    * crosses the recorded expectedPerBucket × nBuckets. Rebuild at 2×. */
+  def membershipIndexBatch(t: GraftTable, newRows: DataFrame,
+      keyCol: String): GraftTable = {
+    requireColumn(t, keyCol)
+    val nBuckets = bucketsOf(t, keyCol)
+    val batch = Curation.materialize(newRows)
+    val batchRows = batch.count()
+    if (batchRows == 0) return t
+    Serving.retryDerivation(t, "membershipIndexBatch") { current =>
+      val readSnapshot = current.metadata.currentSnapshotId
+      val (existing, nPerBucket, numBits) = loadFilter(current)
+      val batchBlooms = bucketBlooms(batch.select(keyCol), keyCol, nBuckets,
+        nPerBucket, numBits)
+      val merged = batchBlooms.map { case (b, bytes) =>
+        existing.get(b) match {
+          case None => (b, bytes)
+          case Some(old) =>
+            val f = BloomFilter.readFrom(old)
+            f.mergeInPlace(BloomFilter.readFrom(bytes))
+            val out = new java.io.ByteArrayOutputStream()
+            f.writeTo(out)
+            (b, out.toByteArray)
+        }
+      }
+      val mergedBuckets = merged.map(_._1).toSet
+      val all = merged ++
+        existing.filterNot { case (b, _) => mergedBuckets(b) }.toArray
+      val inserted = current.metadata.properties
+        .get(PropInserted).map(_.toLong).getOrElse(0L) + batchRows
+      var puffinPath: String = null
+      try AppendWriter.appendValidatedTransformed(current, batch,
+        readSnapshot) { snapshotId =>
+        val seq = current.metadata.lastSequenceNumber + 1
+        val keyId = current.schema.findField(keyCol).map(_.id).getOrElse(-1)
+        val path = s"${current.location}/metadata/bloom-$snapshotId-" +
+          s"${java.util.UUID.randomUUID()}.puffin"
+        puffinPath = path
+        val metas = Puffin.write(current.io, path,
+          all.sortBy(_._1).map { case (b, bytes) =>
+            Puffin.Blob(BlobType, Seq(keyId), snapshotId, seq, bytes,
+              Map("column" -> keyCol, "bucket" -> b.toString),
+              codec = Some("zstd"))
+          }.toSeq,
+          Map("created-by" -> "graft"))
+        val statsFile = statsEntry(current, snapshotId, path, metas, seq)
+        md => md.copy(
+          statistics = md.statistics.filterNot(_.snapshotId == snapshotId)
+            :+ statsFile,
+          properties = md.properties + (PropInserted -> inserted.toString))
+      } catch {
+        case e: graft.table.StaleBaseSnapshot =>
+          // this attempt's filter file can never be registered — reclaim
+          // it before the re-derivation writes a fresh one
+          if (puffinPath != null)
+            try current.io.delete(puffinPath) catch { case _: Throwable => () }
+          throw e
+      }
+    }
+  }
+}

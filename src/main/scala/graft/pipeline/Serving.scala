@@ -141,7 +141,7 @@ object Serving {
     * ([[graft.table.StaleBaseSnapshot]]), refresh and re-derive —
     * O(batch) per attempt, bounded so worst-case contended maintenance
     * costs a small multiple of the serial cost before surfacing. */
-  private def retryDerivation(t: GraftTable, op: String)(
+  private[pipeline] def retryDerivation(t: GraftTable, op: String)(
       derive: GraftTable => GraftTable): GraftTable = {
     var current = t
     var attempts = 0

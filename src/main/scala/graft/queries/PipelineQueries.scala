@@ -2810,11 +2810,52 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Exact ingest dedup served from a PERSISTED membership filter: the
+    * standing corpus (doc_id%10<>0) materializes keyed by md5(text) with
+    * a per-key-bucket Bloom filter attached to its snapshot
+    * ([[graft.pipeline.Membership]] — Puffin statistics file, the
+    * reference's snapshot-addressed sketch slot), and the ingest batch
+    * (doc_id%10=0 plus exact copies of corpus docs under shifted ids)
+    * asks for its NEW keys: filter-rejected rows are definitely new and
+    * never touch corpus data; candidates verify through the
+    * bucket-pruned scan. The answer is EXACT — identical to the NOT IN
+    * anti-join — which is what the oracle computes. */
+  val p99 = Q.sql(
+    "p99_membership_serving",
+    """WITH corpus AS (
+      |  SELECT md5(text) AS k FROM documents WHERE doc_id % 10 <> 0),
+      |b AS (
+      |  SELECT doc_id, md5(text) AS text_md5 FROM documents
+      |  WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 2000000 AS doc_id, md5(text) AS text_md5
+      |  FROM documents WHERE doc_id % 100 = 7)
+      |SELECT doc_id, text_md5 FROM b
+      |WHERE text_md5 NOT IN (SELECT k FROM corpus)
+      |ORDER BY doc_id""".stripMargin,
+    bench = true
+  ) { (s, d) =>
+    import graft.pipeline.Membership
+    val docs = Tables.documents(s, d)
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), md5(col("text")).as("text_md5"))
+    val (catalog, _) = Q.freshCatalog(s, "memb")
+    val t0 = Membership.persistKeyedCorpus(
+      keyed(docs.filter(col("doc_id") % 10 =!= 0)), "wmemb", catalog, "text_md5")
+    val t = Membership.writeMembershipFilter(t0, s, "text_md5")
+    Membership.newKeys(t, s,
+        keyed(docs.filter(col("doc_id") % 10 === 0))
+          .unionAll(keyed(docs.filter(col("doc_id") % 100 === 7))
+            .select((col("doc_id") + 2000000).as("doc_id"), col("text_md5"))),
+        "text_md5")
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
     p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24,
     p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p35, p36, p37, p38,
     p39, p40, p41, p42, p43, p44, p45, p46, p47, p48, p49, p50, p51, p52,
     p53, p54, p55, p56, p57, p58, p59, p60, p61, p62, p63, p64, p65, p66,
     p67, p68, p69, p70, p71, p72, p73, p74, p75, p76, p77, p78, p79,
-    p86, p87, p88, p89, p90, p91, p92, p93, p95, p97)
+    p86, p87, p88, p89, p90, p91, p92, p93, p95, p97, p99)
 }

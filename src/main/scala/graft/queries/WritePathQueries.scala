@@ -347,5 +347,49 @@ object WritePathQueries {
       .orderBy(col("term"))
   }
 
-  val all: Seq[Q] = Seq(w01, w02, w03, w04, w05, w06, w07, w08)
+  /** Membership-filter MAINTENANCE: the standing corpus (doc_id%10 not in
+    * {0,5}) persists keyed by md5(text) with a per-bucket Bloom filter
+    * attached to its snapshot as a Puffin statistics file; the ingested
+    * batch (doc_id%10=5) folds in through ONE atomic append+filter commit
+    * ([[graft.pipeline.Membership.membershipIndexBatch]]); the probe
+    * batch (doc_id%10=0, plus exact copies of the FOLDED docs under
+    * shifted ids) then asks for its new keys. The copies pin fold
+    * exactness end-to-end: a fold that lost bits would report them
+    * definitely-new (bloom false negatives are impossible) and break the
+    * hash. Oracle = the exact NOT IN over the post-fold corpus. */
+  val w09 = Q.sql(
+    "w09_membership_fold",
+    """WITH corpus AS (
+      |  SELECT md5(text) AS k FROM documents WHERE doc_id % 10 <> 0),
+      |b AS (
+      |  SELECT doc_id, md5(text) AS text_md5 FROM documents
+      |  WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 3000000 AS doc_id, md5(text) AS text_md5
+      |  FROM documents WHERE doc_id % 10 = 5)
+      |SELECT doc_id, text_md5 FROM b
+      |WHERE text_md5 NOT IN (SELECT k FROM corpus)
+      |ORDER BY doc_id""".stripMargin,
+    bench = true
+  ) { (s, d) =>
+    import graft.pipeline.Membership
+    val (catalog, _) = fresh(s, "memf")
+    val docs = Tables.documents(s, d)
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), md5(col("text")).as("text_md5"))
+    var t = Membership.persistKeyedCorpus(
+      keyed(docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 5)),
+      "wmem", catalog, "text_md5")
+    t = Membership.writeMembershipFilter(t, s, "text_md5")
+    t = Membership.membershipIndexBatch(t,
+      keyed(docs.filter(col("doc_id") % 10 === 5)), "text_md5")
+    Membership.newKeys(t, s,
+        keyed(docs.filter(col("doc_id") % 10 === 0))
+          .unionAll(keyed(docs.filter(col("doc_id") % 10 === 5))
+            .select((col("doc_id") + 3000000).as("doc_id"), col("text_md5"))),
+        "text_md5")
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[Q] = Seq(w01, w02, w03, w04, w05, w06, w07, w08, w09)
 }

@@ -72,6 +72,45 @@ object AppendWriter {
     }
   }
 
+  /** [[appendValidated]] whose commit atomically carries EXTRA metadata
+    * derived from the new snapshot's id — e.g. registering a statistics
+    * file that references the snapshot being created
+    * ([[graft.pipeline.Membership.membershipIndexBatch]]: the appended
+    * rows and the membership filter covering them must land in ONE
+    * catalog swap, or a probe between two separate commits reads a filter
+    * that misses rows the table already serves). `artifacts(snapshotId)`
+    * runs ONCE, before the commit loop — the caller does its side IO
+    * (writes the puffin file) there and returns the metadata transform
+    * applied inside the same swap that adds the snapshot. On
+    * [[StaleBaseSnapshot]] the staged data files are reclaimed here; the
+    * caller reclaims its own artifacts (it knows their paths). */
+  private[graft] def appendValidatedTransformed(table: GraftTable,
+      df: DataFrame, expectedSnapshot: Option[Long],
+      extraSummary: Map[String, String] = Map.empty)(
+      artifacts: Long => TableMetadata => TableMetadata): GraftTable = {
+    val commitUuid = UUID.randomUUID().toString
+    val files = writeDataFiles(table, df, commitUuid)
+    if (files.isEmpty) return table
+    val snapshotId = math.abs(UUID.randomUUID().getMostSignificantBits)
+    val post = artifacts(snapshotId)
+    try graft.catalog.CommitRetry.run(table.catalog, table.name) { (base, _) =>
+      if (base.currentSnapshotId != expectedSnapshot)
+        throw new StaleBaseSnapshot(
+          s"table ${table.name}: base moved ${expectedSnapshot.orNull} -> " +
+            s"${base.currentSnapshotId.orNull} since the caller's read — " +
+            "re-derive and retry")
+      (post(Commits.applyCommit(table, base, "append", commitUuid, snapshotId,
+        extraSummary ++ appendSummary(files), None, identity)(
+        appendManifests(table, files, commitUuid))),
+        (_: Int) => table.refresh())
+    } catch {
+      case e: StaleBaseSnapshot =>
+        files.foreach(f =>
+          try table.io.delete(f.filePath) catch { case _: Throwable => () })
+        throw e
+    }
+  }
+
   /** Stage, harvest and place data files for `df` under the table layout —
     * shared by append and rewrite (compaction). No commit. */
   def writeDataFiles(table: GraftTable, df: DataFrame,

@@ -1,0 +1,211 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.catalog.HadoopCatalog
+import graft.expr.{In => PIn, SetPred}
+import graft.io.FileIO
+
+/** Persisted membership-filter serving: the bloom-prefiltered probe must
+  * be EXACT (false positives verified away, false negatives impossible),
+  * the fold must equal a rebuild bit-for-bit, append+fold must land in
+  * one atomic swap, and racing folds must serialize. */
+class MembershipSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("membership-spec")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def freshCatalog(tag: String): HadoopCatalog = {
+    val wh = java.nio.file.Files.createTempDirectory(s"graft-mem-$tag-").toString
+    new HadoopCatalog(wh, FileIO.fromSpark(spark))
+  }
+
+  private def keyed(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), md5(col("text")).as("k"))
+
+  private def ids(df: DataFrame): Seq[Long] =
+    df.select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq
+
+  test("probe is exact: planted dups excluded, new rows kept, FPs verified away") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val corpus = keyed(docs.filter(col("doc_id") % 10 =!= 0))
+    // batch: mostly-new rows plus exact copies of corpus docs under new ids
+    val batch = keyed(docs.filter(col("doc_id") % 10 === 0))
+      .unionAll(keyed(docs.filter(col("doc_id") % 100 === 7))
+        .select((col("doc_id") + 2000000).as("doc_id"), col("k")))
+    val oracle = ids(batch.join(corpus.select("k"), Seq("k"), "left_anti"))
+    assert(oracle.nonEmpty && oracle.size < ids(batch).size,
+      "fixture must yield both new rows and planted duplicates")
+
+    // normal sizing
+    val t0 = Membership.persistKeyedCorpus(corpus, "mem", freshCatalog("mem"), "k")
+    val t = Membership.writeMembershipFilter(t0, spark, "k")
+    assert(ids(Membership.newKeys(t, spark, batch, "k")) === oracle)
+
+    // adversarial sizing: a deliberately saturated filter (2 expected keys
+    // per bucket) floods the candidate path with false positives — the
+    // verification join must still produce the exact answer
+    val s0 = Membership.persistKeyedCorpus(corpus, "sat", freshCatalog("sat"), "k")
+    val s = Membership.writeMembershipFilter(s0, spark, "k",
+      expectedPerBucket = Some(2L))
+    assert(ids(Membership.newKeys(s, spark, batch, "k")) === oracle)
+  }
+
+  test("candidate verification plans a strict file subset through bucket(k)") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val corpus = keyed(docs)
+    val t0 = Membership.persistKeyedCorpus(corpus, "pru", freshCatalog("pru"), "k")
+    val t = Membership.writeMembershipFilter(t0, spark, "k")
+    val someKeys = corpus.select("k").limit(3).collect().map(_.get(0)).toSet[Any]
+    val allFiles = t.newScan().planFiles().size
+    val probed = t.newScan()
+      .withFilter(SetPred(PIn, "k", someKeys)).planFiles().size
+    assert(allFiles > 1, s"corpus should span multiple files, got $allFiles")
+    assert(probed > 0 && probed < allFiles,
+      s"bucket pruning did not engage: $probed of $allFiles files")
+  }
+
+  test("fold == rebuild: same probe answer AND bit-identical blobs") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val standing = keyed(docs.filter(col("doc_id") % 10 > 1))     // 80%
+    val foldBatch = keyed(docs.filter(col("doc_id") % 10 === 1))  // 10%
+    val probe = keyed(docs.filter(col("doc_id") % 10 === 0))      // 10%
+      .unionAll(foldBatch // copies of FOLDED docs: must probe as duplicates
+        .select((col("doc_id") + 3000000).as("doc_id"), col("k")))
+
+    val n = Some(1024L) // pin sizing so fold and rebuild share (n, m)
+    var t = Membership.persistKeyedCorpus(standing, "fold",
+      freshCatalog("fold"), "k")
+    t = Membership.writeMembershipFilter(t, spark, "k", expectedPerBucket = n)
+    t = Membership.membershipIndexBatch(t, foldBatch, "k")
+
+    var r = Membership.persistKeyedCorpus(standing.unionAll(foldBatch),
+      "full", freshCatalog("full"), "k")
+    r = Membership.writeMembershipFilter(r, spark, "k", expectedPerBucket = n)
+
+    val got = ids(Membership.newKeys(t, spark, probe, "k"))
+    assert(got === ids(Membership.newKeys(r, spark, probe, "k")))
+    // every planted copy of a folded doc must be recognized as a duplicate
+    assert(!got.exists(_ >= 3000000),
+      "a folded key escaped the filter — the fold lost bits")
+
+    // bloom merge is bitwise OR of per-key bit sets, so fold ≡ rebuild
+    // at the artifact level too: decompressed blob bytes identical
+    def blobsOf(x: graft.table.GraftTable): Map[Int, Seq[Byte]] = {
+      val sf = x.metadata.statisticsFor(x.metadata.currentSnapshotId.get).get
+      val (metas, _) = graft.puffin.Puffin.readMetadata(x.io, sf.statisticsPath)
+      metas.filter(_.blobType == Membership.BlobType).map { m =>
+        m.properties("bucket").toInt ->
+          graft.puffin.Puffin.readBlob(x.io, sf.statisticsPath, m).toSeq
+      }.toMap
+    }
+    assert(blobsOf(t) === blobsOf(r))
+  }
+
+  test("append+fold is one atomic swap; the invariant holds") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    var t = Membership.persistKeyedCorpus(
+      keyed(docs.filter(col("doc_id") % 10 =!= 0)), "atom",
+      freshCatalog("atom"), "k")
+    t = Membership.writeMembershipFilter(t, spark, "k")
+    val versionsBefore = t.metadata.snapshots.size
+    t = Membership.membershipIndexBatch(t,
+      keyed(docs.filter(col("doc_id") % 10 === 0)), "k")
+    // exactly one new snapshot, already covered by a statistics entry
+    assert(t.metadata.snapshots.size === versionsBefore + 1)
+    val cur = t.metadata.currentSnapshotId.get
+    assert(t.metadata.statisticsFor(cur).isDefined,
+      "the fold's snapshot must carry its filter in the same commit")
+    // inserted bookkeeping moved by the batch size
+    assert(t.metadata.properties(Membership.PropInserted).toLong >
+      docs.filter(col("doc_id") % 10 =!= 0).count() - 1)
+  }
+
+  test("a bare append breaks the invariant and probe/fold refuse") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val corpus = keyed(docs.filter(col("doc_id") % 10 =!= 0))
+    var t = Membership.persistKeyedCorpus(corpus, "bare",
+      freshCatalog("bare"), "k")
+    t = Membership.writeMembershipFilter(t, spark, "k")
+    t = t.append(keyed(docs.filter(col("doc_id") % 10 === 0))) // outside maintenance
+    val batch = keyed(docs.filter(col("doc_id") % 100 === 7))
+    val e1 = intercept[IllegalStateException] {
+      Membership.newKeys(t, spark, batch, "k")
+    }
+    assert(e1.getMessage.contains("does not cover"))
+    val e2 = intercept[IllegalStateException] {
+      Membership.membershipIndexBatch(t, batch, "k")
+    }
+    assert(e2.getMessage.contains("does not cover"))
+    // rebuild restores service
+    t = Membership.writeMembershipFilter(t, spark, "k")
+    assert(Membership.newKeys(t, spark, batch, "k").count() >= 0)
+  }
+
+  test("wrong key column refused") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val t0 = Membership.persistKeyedCorpus(keyed(docs), "col",
+      freshCatalog("col"), "k")
+    val t = Membership.writeMembershipFilter(t0, spark, "k")
+    val e = intercept[IllegalArgumentException] {
+      Membership.newKeys(t, spark, keyed(docs), "doc_id")
+    }
+    assert(e.getMessage.contains("keyed by k"))
+  }
+
+  test("racing folds serialize: both batches' keys end up covered") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val corpus = keyed(docs.filter(col("doc_id") % 10 > 3))
+    var t = Membership.persistKeyedCorpus(corpus, "race",
+      freshCatalog("race"), "k")
+    t = Membership.writeMembershipFilter(t, spark, "k")
+    val batchA = keyed(docs.filter(col("doc_id") % 10 === 1))
+    val batchB = keyed(docs.filter(col("doc_id") % 10 === 2))
+    val base = t
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fa = Future(Membership.membershipIndexBatch(base, batchA, "k"))
+    val fb = Future(Membership.membershipIndexBatch(base, batchB, "k"))
+    Await.result(fa, 5.minutes); Await.result(fb, 5.minutes)
+    val grown = base.refresh()
+    // probes of copies of BOTH batches must report zero new rows — had
+    // the second fold overwritten the first's bits, its batch's copies
+    // would probe definitely-new (bloom false negatives are impossible,
+    // so a lost fold is DETECTABLE, not just slow)
+    val copies = batchA.unionAll(batchB)
+      .select((col("doc_id") + 5000000).as("doc_id"), col("k"))
+    assert(Membership.newKeys(grown, spark, copies, "k").count() === 0)
+    assert(grown.metadata.properties(Membership.PropInserted).toLong ===
+      corpus.count() + batchA.count() + batchB.count())
+  }
+
+  test("membership filter coexists with NDV sketches in the snapshot's stats slot") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    var t = Membership.persistKeyedCorpus(keyed(docs), "coex",
+      freshCatalog("coex"), "k")
+    val (t2, sketches) = graft.puffin.Sketches.writeDistinctStats(
+      t, spark, Seq("k"))
+    assert(sketches.nonEmpty)
+    t = Membership.writeMembershipFilter(t2, spark, "k")
+    // the replace carried the KMV blobs forward: NDV still readable
+    val after = graft.puffin.Sketches.readCurrentStats(t)
+    assert(after.map(_.column) === sketches.map(_.column))
+    assert(after.map(_.estimate) === sketches.map(_.estimate))
+    // and the membership probe serves from the same statistics file
+    val copies = keyed(docs).limit(5)
+      .select((col("doc_id") + 7000000).as("doc_id"), col("k"))
+    assert(Membership.newKeys(t, spark, copies, "k").count() === 0)
+  }
+}
