@@ -359,6 +359,34 @@ object ScaleProbe {
       val p97ms = medMaint(o => ivfS = Serving.ivfIndexBatch(ivfS, cs,
         vecBatch.withColumn("vec_id", col("vec_id") + o)))
 
+      // membership-filter serving (r12): probe a FIXED small batch (16
+      // known-duplicate keys — the all-candidate shape that exercises the
+      // verification join, not just the bloom reject) against the base
+      // vs the 10× artifact, and fold a fixed fresh-key batch into both.
+      // The probe must stay ~flat (blob load is O(filter bytes), the
+      // verify scan is candidate-key-pruned); the fold's CPU is O(batch)
+      // with O(filter bytes) stats-file IO — at 10× corpus the filter is
+      // ~10× bytes, which this measures honestly.
+      import graft.pipeline.Membership
+      def keyedDocs(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("doc_id"), md5(col("text")).as("k"))
+      var memB = Membership.writeMembershipFilter(
+        Membership.persistKeyedCorpus(keyedDocs(bDocs), "b99", cat, "k"),
+        spark, "k")
+      var memS = Membership.writeMembershipFilter(
+        Membership.persistKeyedCorpus(keyedDocs(sDocs), "s99", cat, "k"),
+        spark, "k")
+      val memBatch = keyedDocs(tiny)
+      val p99pb = med3(Membership.newKeys(memB, spark, memBatch, "k"))
+      val p99ps = med3(Membership.newKeys(memS, spark, memBatch, "k"))
+      def freshKeyed(off: Long) = tiny.select(
+        (col("doc_id") + off).as("doc_id"),
+        md5(concat(col("text"), lit(off.toString))).as("k"))
+      val p99mb = medMaint(o =>
+        memB = Membership.membershipIndexBatch(memB, freshKeyed(o), "k"))
+      val p99ms = medMaint(o =>
+        memS = Membership.membershipIndexBatch(memS, freshKeyed(o), "k"))
+
       f"""{"p93_probe":{"base_sec":$p93b%.3f,"scale10_sec":$p93s%.3f,""" +
         f""""ratio":${p93s / p93b}%.2f},""" +
         f""""p93_probe_fixed_batch_10x_index":{"base_sec":$p93b%.3f,""" +
@@ -372,7 +400,11 @@ object ScaleProbe {
         f""""p93_maintain_only":{"base_sec":$p93mb%.3f,"sec_10x":$p93ms%.3f,""" +
         f""""ratio":${p93ms / p93mb}%.2f},""" +
         f""""p97_maintain_only":{"base_sec":$p97mb%.3f,"sec_10x":$p97ms%.3f,""" +
-        f""""ratio":${p97ms / p97mb}%.2f}}"""
+        f""""ratio":${p97ms / p97mb}%.2f},""" +
+        f""""p99_probe_small_batch_10x_index":{"base_sec":$p99pb%.3f,""" +
+        f""""sec":$p99ps%.3f,"ratio":${p99ps / p99pb}%.2f},""" +
+        f""""p99_maintain_only":{"base_sec":$p99mb%.3f,"sec_10x":$p99ms%.3f,""" +
+        f""""ratio":${p99ms / p99mb}%.2f}}"""
     } finally {
       try {
         import java.util.Comparator

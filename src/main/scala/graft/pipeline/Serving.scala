@@ -468,6 +468,174 @@ object Serving {
     Similarity.rankTopK(scored, k)
   }
 
+  // ---- persisted IVFADC (IVF + product quantization) ----
+
+  /** Bits per PQ code for a `codes`-entry codebook (next power of two). */
+  private def pqBits(codes: Int): Int =
+    math.max(1, 32 - Integer.numberOfLeadingZeros(codes - 1))
+
+  /** Persist the IVFADC ANN index — the full production vector-serving
+    * artifact (Jégou et al.; the shape [[Similarity.ivfAdcSearch]]
+    * computes from scratch): the corpus lives ONLY as (vec_id, cell,
+    * code_word), with the `m` PQ codes PACKED into one BIGINT
+    * (m=8 × 4-bit codes = 32 bits vs the 256-byte float array — the probe
+    * reads ~32× fewer bytes per row than the float IVF index), partitioned
+    * by identity(cell); the coarse quantizer and the PQ codebook persist
+    * as sibling tables — the three artifacts an ANN serving stack loads.
+    *
+    * 100 TB shape: quantizer and codebook are fixed-size driver state at
+    * any corpus size; encode is pure map work (codebook rides the
+    * codegen'd projection as literals); probes read only probed cells'
+    * files AND only the packed-code column. Returns (index, centroids,
+    * codebook). */
+  def persistIvfPqIndex(corpus: DataFrame, name: String,
+      catalog: Catalog, cells: Int = Similarity.DefaultCells,
+      m: Int = 8, codes: Int = 16): (GraftTable, GraftTable, GraftTable) = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bits = pqBits(codes)
+    require(m * bits <= 62, s"m=$m codes=$codes needs ${m * bits} bits — " +
+      "does not pack into one signed BIGINT code word")
+    val cents = Similarity.quantizer(corpus, cells)
+    val cb = Similarity.pqCodebook(corpus, codes)
+    val assigned = Similarity
+      .assignCells(corpus, cents, "vec_id", "embedding", "cell")
+      .select(col("vec_id"), col("cell"), col("embedding"))
+    val encoded = encodePacked(assigned, cb, m, bits)
+    val schema = IcebergSchema.fromSpark(encoded.schema)
+    val cellId = schema.fields.find(_.name == "cell").get.id
+    val spec = PartitionSpec(0,
+      Seq(PartitionField(cellId, 1000, "cell", Transform.Identity)))
+    val t = GraftTable.create(name, catalog, schema, spec,
+      properties = Map("graft.ivfpq.m" -> m.toString,
+        "graft.ivfpq.codes" -> codes.toString))
+      .append(encoded.repartition(
+        math.min(cents.size, spark.sessionState.conf.numShufflePartitions),
+        col("cell")))
+    val centsDf = cents.toDF("cid", "centroid", "cnorm")
+    val ct = GraftTable.create(s"${name}_centroids", catalog,
+      IcebergSchema.fromSpark(centsDf.schema),
+      properties = Map("graft.ivf.cells" -> cents.size.toString)).append(centsDf)
+    val cbDf = cb.map { case (k, c) => (k.toLong, c) }.toDF("k", "centroid_micro")
+    val cbt = GraftTable.create(s"${name}_codebook", catalog,
+      IcebergSchema.fromSpark(cbDf.schema),
+      properties = Map("graft.pq.codes" -> cb.size.toString)).append(cbDf)
+    (t, ct, cbt)
+  }
+
+  /** (vec_id, cell, code_word): per-subspace argmin over the literal
+    * codebook ([[Similarity.pqBest]], the p78-oracled encode), packed
+    * little-endian — code j occupies bits [j·bits, (j+1)·bits). */
+  private def encodePacked(assigned: DataFrame,
+      cb: Seq[(Int, Seq[Long])], m: Int, bits: Int): DataFrame = {
+    val dsub = cb.head._2.size / m
+    assigned
+      .select(col("vec_id"), col("cell"),
+        Similarity.microQ(col("embedding")).as("_q"))
+      .select(col("vec_id"), col("cell"),
+        (0 until m).map(j =>
+          Similarity.pqBest(cb, j, dsub).getField("k").cast("long") *
+            lit(1L << (bits * j))).reduce(_ + _).as("code_word"))
+  }
+
+  /** Load the PQ codebook from its table — O(codes·dims) driver rows,
+    * size validated against the recorded contract (a codebook that lost
+    * rows would silently re-map every code). */
+  private def loadCodebook(codebook: GraftTable,
+      spark: SparkSession): Seq[(Int, Seq[Long])] = {
+    val cb = codebook.newScan().toDF(spark).collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Long](1)))
+      .sortBy(_._1).toSeq
+    codebook.metadata.properties.get("graft.pq.codes").foreach { c =>
+      require(c == cb.size.toString,
+        s"PQ codebook ${codebook.metadata.location} records codes=$c but " +
+          s"the scan returned ${cb.size} entries")
+    }
+    cb
+  }
+
+  /** IVFADC served from the PERSISTED index: queries assign to cells
+    * (O(cells) driver state), the index side reads ONLY the probed
+    * cells' files and ONLY the packed-code column, codes unpack and
+    * reconstruct against the codebook literal inside codegen, and the
+    * integer ADC ranking is [[Similarity.ivfAdcSearch]]'s bit-for-bit
+    * (same TopK aggregate, same tie-breaks) — the persisted path must
+    * reproduce the recompute path exactly at nprobe=1. */
+  def annFromIvfPqIndex(index: GraftTable, centroids: GraftTable,
+      codebook: GraftTable, spark: SparkSession, queries: DataFrame,
+      k: Int, nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1: $nprobe")
+    val m = index.metadata.properties("graft.ivfpq.m").toInt
+    val codes = index.metadata.properties("graft.ivfpq.codes").toInt
+    val bits = pqBits(codes)
+    val cents = loadCentroids(centroids, spark)
+    val cb = loadCodebook(codebook, spark)
+    val dsub = cb.head._2.size / m
+    val cbLit = typedLit(cb.map(_._2))
+    val qBase =
+      queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val q0 =
+      if (nprobe == 1)
+        Similarity.assignCells(qBase, cents, "query_id", "qe", "cell")
+      else if (cents.size <= Similarity.LiteralArgmaxMaxCells)
+        qBase.select(col("query_id"), col("qe"),
+          explode(Similarity.cellsOf(col("qe"), cents, nprobe)).as("cell"))
+      else Similarity.probeByJoin(qBase, cents, nprobe)
+    val q = q0.select(col("query_id"), col("cell"),
+      Similarity.microQ(col("qe")).as("_qm"))
+    val probed = q.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).toSet[Any]
+    val mask = (1L << bits) - 1
+    val unpacked = index.newScan()
+      .withFilter(SetPred(PIn, "cell", probed))
+      .select("vec_id", "cell", "code_word").toDF(spark)
+      .select(col("vec_id"), col("cell"), array((0 until m).map(j =>
+        shiftrightunsigned(col("code_word"), bits * j).bitwiseAND(lit(mask))
+          .cast("int")): _*).as("_codes"))
+      .select(col("vec_id"), col("cell"),
+        Similarity.pqReconstruct(cbLit, m, dsub).as("_rq"))
+    val dist = aggregate(
+      zip_with(col("_qm"), col("_rq"), (a, b) => (a - b) * (a - b)),
+      lit(0L), _ + _)
+    unpacked.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"), dist.as("_d"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKByScore.column(
+        negate(col("_d").cast("double")), col("vec_id"), k).as("_top"))
+      .select(col("query_id"), posexplode(col("_top")).as(Seq("_pos", "_t")))
+      .select(col("query_id"), (col("_pos") + 1).cast("long").as("rank"),
+        col("_t.neighbor_id").as("neighbor_id"),
+        negate(col("_t.cos")).cast("long").as("adc_dist"))
+  }
+
+  /** IVFADC index MAINTENANCE: assign an ingested vector batch to the
+    * FROZEN coarse quantizer, encode it against the FROZEN codebook
+    * (both are the artifact's contract — re-deriving either is a
+    * rebuild, [[persistIvfPqIndex]]), and append partitioned by
+    * identity(cell) in one atomic snapshot. O(batch) map work + one
+    * batch-bounded clustering shuffle at any index size; a pure append
+    * is derivation-free, so the plain commit CAS suffices (no
+    * serializable-validation loop needed). */
+  def ivfPqIndexBatch(index: GraftTable, centroids: GraftTable,
+      codebook: GraftTable, newVecs: DataFrame): GraftTable = {
+    val spark = newVecs.sparkSession
+    val m = index.metadata.properties("graft.ivfpq.m").toInt
+    val codes = index.metadata.properties("graft.ivfpq.codes").toInt
+    val bits = pqBits(codes)
+    val cents = loadCentroids(centroids, spark)
+    val cb = loadCodebook(codebook, spark)
+    require(cb.size == codes,
+      s"codebook ${codebook.metadata.location} has ${cb.size} entries; " +
+        s"index records codes=$codes")
+    val assigned = Similarity
+      .assignCells(newVecs, cents, "vec_id", "embedding", "cell")
+      .select(col("vec_id"), col("cell"), col("embedding"))
+    index.append(encodePacked(assigned, cb, m, bits).repartition(
+      math.min(cents.size, spark.sessionState.conf.numShufflePartitions),
+      col("cell")))
+  }
+
   /** Incremental ingestion dedup against the PERSISTED band index: only
     * the new batch is hashed fresh; the corpus side's signatures come
     * from the table scan AS IS — the artifact's write path enforced the

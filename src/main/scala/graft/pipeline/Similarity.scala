@@ -549,7 +549,7 @@ object Similarity {
     * deterministic corpus-size-independent rule as [[quantizer]]),
     * micro-quantized, re-indexed 0..codes−1 in vec_id order. Driver
     * state O(codes·dims) at any corpus size. */
-  private def pqCodebook(corpus: DataFrame, codes: Int): Seq[(Int, Seq[Long])] = {
+  private[pipeline] def pqCodebook(corpus: DataFrame, codes: Int): Seq[(Int, Seq[Long])] = {
     val seeds = corpus
       .select(col("vec_id"), col("embedding"),
         TextHash.hex60(col("vec_id").cast("string")).as("_h"))
@@ -563,12 +563,12 @@ object Similarity {
     seeds.zipWithIndex.map { case ((_, q), i) => (i, q) }
   }
 
-  private def microQ(emb: Column): Column =
+  private[pipeline] def microQ(emb: Column): Column =
     transform(emb, x => round(x.cast("double") * 1e6, 0).cast("long"))
 
   /** Per-subspace argmin over the literal codebook: struct(dist, k) with
     * strict-< keeping the smallest k on ties — ORDER BY d, k in SQL. */
-  private def pqBest(cb: Seq[(Int, Seq[Long])], j: Int, dsub: Int): Column = {
+  private[pipeline] def pqBest(cb: Seq[(Int, Seq[Long])], j: Int, dsub: Int): Column = {
     val cents = typedLit(cb.map { case (k, full) =>
       (k, full.slice(j * dsub, (j + 1) * dsub)) })
     val sub = slice(col("_q"), j * dsub + 1, dsub)
@@ -603,7 +603,7 @@ object Similarity {
 
   /** Codebook reconstruction of the `_codes` array: concat of the
     * chosen centroid subvectors (literal lookup, codegen'd). */
-  private def pqReconstruct(cbLit: Column, m: Int, dsub: Int): Column =
+  private[pipeline] def pqReconstruct(cbLit: Column, m: Int, dsub: Int): Column =
     flatten(transform(sequence(lit(0), lit(m - 1)),
       j => slice(element_at(cbLit, element_at(col("_codes"), j + 1) + 1),
         j * dsub + 1, lit(dsub))))

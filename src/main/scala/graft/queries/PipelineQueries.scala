@@ -2851,11 +2851,180 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** IVFADC served from a PERSISTED index: the corpus lives as (vec_id,
+    * cell, packed code_word) partitioned by identity(cell), with the
+    * coarse quantizer and the PQ codebook as sibling tables
+    * ([[graft.pipeline.Serving.persistIvfPqIndex]]); queries read ONLY
+    * their probed cells' packed-code column, reconstruct against the
+    * codebook literal, and rank by integer ADC. Oracle identical to p79 —
+    * the persisted path must reproduce the recompute path exactly. */
+  val p100 = Q.sql(
+    "p100_ivfpq_index_serving",
+    """WITH cent AS (
+      |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+      |  ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT, vec_id
+      |  LIMIT 64),
+      |sc AS (
+      |  SELECT e.vec_id, c.cid,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> e.embedding[i]::DOUBLE * c.ce[i]::DOUBLE)) /
+      |    (sqrt(list_sum(list_transform(range(1, 65),
+      |       i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))) *
+      |     sqrt(list_sum(list_transform(range(1, 65),
+      |       i -> c.ce[i]::DOUBLE * c.ce[i]::DOUBLE)))) AS cs
+      |  FROM embeddings e, cent c),
+      |asg AS (
+      |  SELECT vec_id, cid AS cell FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id
+      |                                 ORDER BY cs DESC, cid) AS rn FROM sc)
+      |  WHERE rn = 1),
+      |seeds AS (
+      |  SELECT vec_id, embedding,
+      |    row_number() OVER (ORDER BY vec_id) - 1 AS k
+      |  FROM (SELECT vec_id, embedding FROM embeddings
+      |        ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT,
+      |          vec_id
+      |        LIMIT 16)),
+      |cb AS (
+      |  SELECT k, i, round(embedding[i+1]::DOUBLE * 1000000)::BIGINT AS c
+      |  FROM seeds, unnest(range(0, 64)) t(i)),
+      |q AS (
+      |  SELECT vec_id, i, round(embedding[i+1]::DOUBLE * 1000000)::BIGINT AS x
+      |  FROM embeddings, unnest(range(0, 64)) t(i)),
+      |dists AS (
+      |  SELECT q.vec_id, q.i // 8 AS j, cb.k,
+      |    sum((q.x - cb.c) * (q.x - cb.c)) AS d
+      |  FROM q JOIN cb ON q.i = cb.i
+      |  GROUP BY q.vec_id, q.i // 8, cb.k),
+      |codesw AS (
+      |  SELECT vec_id, j, k AS code FROM (
+      |    SELECT vec_id, j, k, d,
+      |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d, k) AS rn
+      |    FROM dists) WHERE rn = 1),
+      |recon AS (
+      |  SELECT cw.vec_id, cb.i, cb.c AS r
+      |  FROM codesw cw JOIN cb ON cb.k = cw.code AND cb.i // 8 = cw.j),
+      |qv AS (
+      |  SELECT a.vec_id AS qid, a.cell AS qcell, q.i, q.x
+      |  FROM asg a JOIN q ON q.vec_id = a.vec_id
+      |  WHERE a.vec_id < 5),
+      |ad AS (
+      |  SELECT qv.qid, r.vec_id AS neighbor_id,
+      |    sum((qv.x - r.r) * (qv.x - r.r)) AS dist
+      |  FROM qv JOIN recon r ON qv.i = r.i
+      |    JOIN asg a2 ON a2.vec_id = r.vec_id
+      |  WHERE a2.cell = qv.qcell AND r.vec_id <> qv.qid
+      |  GROUP BY qv.qid, r.vec_id),
+      |rk AS (
+      |  SELECT qid AS query_id, neighbor_id, dist,
+      |    row_number() OVER (PARTITION BY qid
+      |                       ORDER BY dist, neighbor_id) AS rank
+      |  FROM ad)
+      |SELECT query_id, rank::BIGINT AS rank, neighbor_id,
+      |  dist::BIGINT AS adc_dist
+      |FROM rk WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+  ) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    val (catalog, _) = Q.freshCatalog(s, "ivfpq")
+    val (t, ct, cbt) = Serving.persistIvfPqIndex(e, "wivfpq", catalog)
+    Serving.annFromIvfPqIndex(t, ct, cbt, s, e.filter(col("vec_id") < 5), 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** IVFADC index MAINTENANCE: quantizer AND codebook freeze at build
+    * time over the standing corpus (vec_id%3<>0); the ingested batch
+    * (vec_id%3=0) assigns to the frozen quantizer, encodes against the
+    * frozen codebook, and appends in one atomic snapshot
+    * ([[graft.pipeline.Serving.ivfPqIndexBatch]]); the probe then ranks
+    * over the GROWN index. The oracle samples quantizer and codebook
+    * from the standing slice only — the maintenance contract — then
+    * assigns, encodes, and ranks the full corpus. */
+  val p101 = Q.sql(
+    "p101_ivfpq_maintenance",
+    """WITH cent AS (
+      |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+      |  WHERE vec_id % 3 <> 0
+      |  ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT, vec_id
+      |  LIMIT 64),
+      |sc AS (
+      |  SELECT e.vec_id, c.cid,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> e.embedding[i]::DOUBLE * c.ce[i]::DOUBLE)) /
+      |    (sqrt(list_sum(list_transform(range(1, 65),
+      |       i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))) *
+      |     sqrt(list_sum(list_transform(range(1, 65),
+      |       i -> c.ce[i]::DOUBLE * c.ce[i]::DOUBLE)))) AS cs
+      |  FROM embeddings e, cent c),
+      |asg AS (
+      |  SELECT vec_id, cid AS cell FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id
+      |                                 ORDER BY cs DESC, cid) AS rn FROM sc)
+      |  WHERE rn = 1),
+      |seeds AS (
+      |  SELECT vec_id, embedding,
+      |    row_number() OVER (ORDER BY vec_id) - 1 AS k
+      |  FROM (SELECT vec_id, embedding FROM embeddings
+      |        WHERE vec_id % 3 <> 0
+      |        ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT,
+      |          vec_id
+      |        LIMIT 16)),
+      |cb AS (
+      |  SELECT k, i, round(embedding[i+1]::DOUBLE * 1000000)::BIGINT AS c
+      |  FROM seeds, unnest(range(0, 64)) t(i)),
+      |q AS (
+      |  SELECT vec_id, i, round(embedding[i+1]::DOUBLE * 1000000)::BIGINT AS x
+      |  FROM embeddings, unnest(range(0, 64)) t(i)),
+      |dists AS (
+      |  SELECT q.vec_id, q.i // 8 AS j, cb.k,
+      |    sum((q.x - cb.c) * (q.x - cb.c)) AS d
+      |  FROM q JOIN cb ON q.i = cb.i
+      |  GROUP BY q.vec_id, q.i // 8, cb.k),
+      |codesw AS (
+      |  SELECT vec_id, j, k AS code FROM (
+      |    SELECT vec_id, j, k, d,
+      |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d, k) AS rn
+      |    FROM dists) WHERE rn = 1),
+      |recon AS (
+      |  SELECT cw.vec_id, cb.i, cb.c AS r
+      |  FROM codesw cw JOIN cb ON cb.k = cw.code AND cb.i // 8 = cw.j),
+      |qv AS (
+      |  SELECT a.vec_id AS qid, a.cell AS qcell, q.i, q.x
+      |  FROM asg a JOIN q ON q.vec_id = a.vec_id
+      |  WHERE a.vec_id < 5),
+      |ad AS (
+      |  SELECT qv.qid, r.vec_id AS neighbor_id,
+      |    sum((qv.x - r.r) * (qv.x - r.r)) AS dist
+      |  FROM qv JOIN recon r ON qv.i = r.i
+      |    JOIN asg a2 ON a2.vec_id = r.vec_id
+      |  WHERE a2.cell = qv.qcell AND r.vec_id <> qv.qid
+      |  GROUP BY qv.qid, r.vec_id),
+      |rk AS (
+      |  SELECT qid AS query_id, neighbor_id, dist,
+      |    row_number() OVER (PARTITION BY qid
+      |                       ORDER BY dist, neighbor_id) AS rank
+      |  FROM ad)
+      |SELECT query_id, rank::BIGINT AS rank, neighbor_id,
+      |  dist::BIGINT AS adc_dist
+      |FROM rk WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin,
+    bench = true
+  ) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    val (catalog, _) = Q.freshCatalog(s, "ivfpqm")
+    val (t0, ct, cbt) = Serving.persistIvfPqIndex(
+      e.filter(col("vec_id") % 3 =!= 0), "wivfpqm", catalog)
+    val t = Serving.ivfPqIndexBatch(t0, ct, cbt,
+      e.filter(col("vec_id") % 3 === 0))
+    Serving.annFromIvfPqIndex(t, ct, cbt, s, e.filter(col("vec_id") < 5), 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
     p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24,
     p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p35, p36, p37, p38,
     p39, p40, p41, p42, p43, p44, p45, p46, p47, p48, p49, p50, p51, p52,
     p53, p54, p55, p56, p57, p58, p59, p60, p61, p62, p63, p64, p65, p66,
     p67, p68, p69, p70, p71, p72, p73, p74, p75, p76, p77, p78, p79,
-    p86, p87, p88, p89, p90, p91, p92, p93, p95, p97, p99)
+    p86, p87, p88, p89, p90, p91, p92, p93, p95, p97, p99, p100, p101)
 }

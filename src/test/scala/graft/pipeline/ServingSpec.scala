@@ -608,4 +608,69 @@ class ServingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(oneBand < allFiles,
       s"band_idx pruning did not engage: $oneBand of $allFiles files")
   }
+
+  test("persisted IVFADC reproduces ivfAdcSearch, probed cells pruned") {
+    val e = graft.Tables.embeddings(spark, sfDir)
+    val queries = e.filter(col("vec_id") < 5)
+    val (t, ct, cbt) = Serving.persistIvfPqIndex(e, "ivfpq", freshCatalog("ivfpq"))
+
+    val got = Serving.annFromIvfPqIndex(t, ct, cbt, spark, queries, 10)
+      .orderBy(col("query_id"), col("rank")).collect().map(_.toString).toSeq
+    val want = Similarity.ivfAdcSearch(queries, e, 10)
+      .orderBy(col("query_id"), col("rank")).collect().map(_.toString).toSeq
+    assert(got === want)
+    assert(got.nonEmpty)
+
+    // identity(cell) partitioning: a one-cell probe plans a non-empty
+    // strict subset of the files — and the scan reads only the packed
+    // code column, never a float array
+    val cid = ct.newScan().toDF(spark).orderBy(col("cid")).limit(1)
+      .collect()(0).getLong(0)
+    val allFiles = t.newScan().planFiles().size
+    val probed = t.newScan()
+      .withFilter(SetPred(PIn, "cell", Set[Any](cid)))
+      .planFiles().size
+    assert(probed > 0 && probed < allFiles,
+      s"cell pruning did not engage: $probed of $allFiles files")
+    assert(!t.schema.fields.exists(_.name == "embedding"),
+      "the IVFADC artifact must not carry the float embeddings")
+  }
+
+  test("IVFADC maintenance: frozen quantizer+codebook encode, atomic append") {
+    val e = graft.Tables.embeddings(spark, sfDir)
+    val standing = e.filter(col("vec_id") % 3 =!= 0)
+    val batch = e.filter(col("vec_id") % 3 === 0)
+    val (t0, ct, cbt) = Serving.persistIvfPqIndex(standing, "ivfpqm",
+      freshCatalog("ivfpqm"))
+    val before = t0.metadata.snapshots.size
+    val t = Serving.ivfPqIndexBatch(t0, ct, cbt, batch)
+    assert(t.metadata.snapshots.size === before + 1, "one atomic snapshot")
+
+    // the appended rows' code words must equal encoding the batch against
+    // the ORIGINAL (frozen) codebook — a maintenance that re-derived the
+    // codebook from the grown corpus would silently re-map codes
+    val batchIds = batch.select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val grownRows = t.newScan().toDF(spark)
+      .filter(col("vec_id").isin(batchIds.toSeq.map(Long.box): _*))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    // expected code words recomputed directly from the STANDING-slice
+    // codebook (the artifact's frozen contract), bypassing the tables
+    val cb = Similarity.pqCodebook(standing, 16)
+    val dsub = cb.head._2.size / 8
+    val expected = batch
+      .select(col("vec_id"), Similarity.microQ(col("embedding")).as("_q"))
+      .select(col("vec_id"),
+        (0 until 8).map(j =>
+          Similarity.pqBest(cb, j, dsub).getField("k").cast("long") *
+            lit(1L << (4 * j))).reduce(_ + _).as("cw"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(grownRows === expected)
+    assert(grownRows.keySet === batchIds, "every batch vector was appended")
+
+    // the grown index serves: a batch vector queried against the grown
+    // index ranks over its cell including other batch members
+    val got = Serving.annFromIvfPqIndex(t, ct, cbt, spark,
+      e.filter(col("vec_id") < 5), 10)
+    assert(got.count() > 0)
+  }
 }
