@@ -333,6 +333,26 @@ object Membership {
     * Saturation: `graft.bloom.inserted` tracks the total keys folded;
     * fpp degrades (never correctness — verification stays exact) as it
     * crosses the recorded expectedPerBucket × nBuckets. Rebuild at 2×. */
+  /** One ingest-admission round: probe `batch` against the filter
+    * ([[newKeys]]), ADMIT the first row per key within the batch (min
+    * `orderCol` — newKeys answers membership against the corpus, not
+    * intra-batch uniqueness), fold the admissions atomically
+    * ([[membershipIndexBatch]]), and return (admitted, grown table).
+    * The per-trigger unit of
+    * [[graft.streaming.StreamingMembership.dedupIngest]]; exactly-once
+    * END STATE under replay — a replayed batch finds its keys folded and
+    * admits nothing, so the table cannot double-ingest. */
+  def ingestBatch(t: GraftTable, batch: DataFrame, keyCol: String,
+      orderCol: String): (DataFrame, GraftTable) = {
+    val fresh = newKeys(t, batch.sparkSession, batch, keyCol)
+    val admitted = Curation.materialize(fresh
+      .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(keyCol)).orderBy(col(orderCol))))
+      .filter(col("_rn") === 1).drop("_rn"))
+    (admitted, membershipIndexBatch(t, admitted, keyCol))
+  }
+
   def membershipIndexBatch(t: GraftTable, newRows: DataFrame,
       keyCol: String): GraftTable = {
     requireColumn(t, keyCol)

@@ -533,5 +533,74 @@ object StreamingQueries {
       .orderBy(col("new_id"))
   }
 
-  val all: Seq[Q] = Seq(p80, p81, p82, p83, p85, p94, p96, p98)
+  /** Continuous EXACT ingest dedup over the persisted membership
+    * artifact — the full admission loop: each trigger probes against the
+    * snapshot-attached Bloom filter, admits the first row per key, and
+    * FOLDS the admissions into corpus + filter in one atomic commit
+    * ([[graft.streaming.StreamingMembership]]), so a key ingested in
+    * trigger 1 is rejected in trigger 3 without any stream-side state.
+    * The feed plants both corpus duplicates (keys already served —
+    * rejected by the probe) and intra-stream duplicates ACROSS triggers
+    * (first occurrence admitted and folded; the later copy arrives in a
+    * later trigger and is rejected BY THE FOLD, pinning the
+    * trigger-to-trigger visibility). Oracle: first occurrence per key,
+    * keys not in the standing corpus — exact SQL. */
+  val p102 = Q.sql(
+    "p102_streaming_membership_ingest",
+    """WITH corpus AS (
+      |  SELECT md5(text) AS k FROM documents WHERE doc_id % 10 <> 0),
+      |b AS (
+      |  SELECT doc_id, md5(text) AS text_md5 FROM documents
+      |  WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 2000000 AS doc_id, md5(text) AS text_md5
+      |  FROM documents WHERE doc_id % 100 = 7
+      |  UNION ALL
+      |  SELECT doc_id + 4000000 AS doc_id, md5(text) AS text_md5
+      |  FROM documents WHERE doc_id % 20 = 0),
+      |r AS (
+      |  SELECT doc_id, text_md5,
+      |    row_number() OVER (PARTITION BY text_md5 ORDER BY doc_id) AS rn
+      |  FROM b)
+      |SELECT doc_id, text_md5 FROM r
+      |WHERE rn = 1 AND text_md5 NOT IN (SELECT k FROM corpus)
+      |ORDER BY doc_id""".stripMargin
+  ) { (s, d) =>
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    import graft.pipeline.Membership
+    val docs = graft.Tables.documents(s, d)
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), md5(col("text")).as("text_md5"))
+    val (catalog, _) = Q.freshCatalog(s, "smem")
+    val t0 = Membership.persistKeyedCorpus(
+      keyed(docs.filter(col("doc_id") % 10 =!= 0)), "wsmem", catalog,
+      "text_md5")
+    Membership.writeMembershipFilter(t0, s, "text_md5")
+
+    val feed = keyed(docs.filter(col("doc_id") % 10 === 0))
+      .unionAll(keyed(docs.filter(col("doc_id") % 100 === 7))
+        .select((col("doc_id") + 2000000).as("doc_id"), col("text_md5")))
+      .unionAll(keyed(docs.filter(col("doc_id") % 20 === 0))
+        .select((col("doc_id") + 4000000).as("doc_id"), col("text_md5")))
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+    val source = MemoryStream[(Long, String)]
+    val admitted = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val q = graft.streaming.StreamingMembership.dedupIngest(
+        source.toDF().toDF("doc_id", "text_md5"), "wsmem", catalog,
+        "text_md5", "doc_id") {
+      (a, _) => admitted ++= a.as[(Long, String)](
+        org.apache.spark.sql.Encoders.product[(Long, String)]).collect()
+    }.trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      feed.grouped(math.max(1, feed.size / 3 + 1)).foreach { chunk =>
+        source.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    admitted.toSeq.toDF("doc_id", "text_md5").orderBy(col("doc_id"))
+  }
+
+  val all: Seq[Q] = Seq(p80, p81, p82, p83, p85, p94, p96, p98, p102)
 }

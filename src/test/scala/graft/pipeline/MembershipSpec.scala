@@ -191,6 +191,41 @@ class MembershipSpec extends AnyFunSuite with BeforeAndAfterAll {
       corpus.count() + batchA.count() + batchB.count())
   }
 
+  test("ingestBatch: first-per-key admission, replay cannot double-ingest") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val corpus = keyed(docs.filter(col("doc_id") % 10 =!= 0))
+    var t = Membership.persistKeyedCorpus(corpus, "ing",
+      freshCatalog("ing"), "k")
+    t = Membership.writeMembershipFilter(t, spark, "k")
+    // batch: new rows, a corpus duplicate, and an INTRA-batch duplicate
+    // pair (two ids, same key) — only the lower id may be admitted
+    val newRows = keyed(docs.filter(col("doc_id") % 10 === 0))
+    val batch = newRows
+      .unionAll(keyed(docs.filter(col("doc_id") % 100 === 7))
+        .select((col("doc_id") + 2000000).as("doc_id"), col("k")))
+      .unionAll(newRows
+        .select((col("doc_id") + 4000000).as("doc_id"), col("k")))
+    val (admitted, grown) = Membership.ingestBatch(t, batch, "k", "doc_id")
+    val got = ids(admitted)
+    val oracle = ids(batch
+      .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("k")).orderBy(col("doc_id"))))
+      .filter(col("_rn") === 1).drop("_rn")
+      .join(corpus.select("k"), Seq("k"), "left_anti"))
+    assert(got === oracle)
+    assert(!got.exists(_ >= 2000000),
+      "corpus duplicates and intra-batch second copies must not admit")
+
+    // REPLAY the same batch (the foreachBatch retry shape): every key is
+    // now folded, so zero admits and the table does not move
+    val snapBefore = grown.metadata.currentSnapshotId
+    val (replayed, after) = Membership.ingestBatch(grown, batch, "k", "doc_id")
+    assert(replayed.count() === 0)
+    assert(after.metadata.currentSnapshotId === snapBefore,
+      "a replayed trigger must not create a snapshot")
+  }
+
   test("membership filter coexists with NDV sketches in the snapshot's stats slot") {
     val docs = graft.Tables.documents(spark, sfDir)
     var t = Membership.persistKeyedCorpus(keyed(docs), "coex",
