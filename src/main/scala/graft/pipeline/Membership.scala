@@ -333,6 +333,45 @@ object Membership {
     * Saturation: `graft.bloom.inserted` tracks the total keys folded;
     * fpp degrades (never correctness — verification stays exact) as it
     * crosses the recorded expectedPerBucket × nBuckets. Rebuild at 2×. */
+  /** Re-attach the filter after COMPACTION: `Maintenance.rewriteDataFiles`
+    * creates a `replace` snapshot — same rows, new files — which has no
+    * statistics entry, so the next probe/fold would refuse (the artifact
+    * invariant reads "current snapshot covered"). A replace snapshot
+    * preserves the key multiset BY DEFINITION, so the parent chain's
+    * latest membership filter is still exactly correct — re-register it
+    * for the current snapshot. Refused for any other lineage (an append/
+    * delete between the filter and now means the filter genuinely does
+    * not cover the data; rebuild instead). Walks ancestors because a
+    * maintenance pass may stack several replace snapshots (compaction +
+    * manifest rewrite) before the operator re-attaches. */
+  def reattachAfterRewrite(t: GraftTable): GraftTable = {
+    val cur = t.metadata.currentSnapshotId.getOrElse(
+      throw new IllegalStateException(
+        s"table ${t.metadata.location} has no snapshot"))
+    if (t.metadata.statisticsFor(cur).isDefined) return t // already covered
+    val byId = t.metadata.snapshots.map(s => s.snapshotId -> s).toMap
+    var walk = byId.get(cur)
+    var covered: Option[graft.spec.StatisticsFile] = None
+    while (covered.isEmpty && walk.isDefined) {
+      val s = walk.get
+      require(s.operation == "replace",
+        s"snapshot ${s.snapshotId} is '${s.operation}', not a data-" +
+          "preserving replace — the filter does not cover the current " +
+          "rows; rebuild via writeMembershipFilter")
+      walk = s.parentSnapshotId.flatMap(byId.get)
+      covered = walk.flatMap(p => t.metadata.statisticsFor(p.snapshotId))
+    }
+    val sf = covered.getOrElse(throw new IllegalStateException(
+      s"no ancestor of snapshot $cur carries a membership filter — " +
+        "rebuild via writeMembershipFilter"))
+    graft.catalog.CommitRetry.run(t.catalog, t.name) { (base, _) =>
+      val kept = base.statistics.filterNot(_.snapshotId == cur)
+      (base.copy(statistics = kept :+ sf.copy(snapshotId = cur),
+        lastUpdatedMs = System.currentTimeMillis()),
+        (_: Int) => t.refresh())
+    }
+  }
+
   /** One ingest-admission round: probe `batch` against the filter
     * ([[newKeys]]), ADMIT the first row per key within the batch (min
     * `orderCol` — newKeys answers membership against the corpus, not

@@ -226,6 +226,42 @@ class MembershipSpec extends AnyFunSuite with BeforeAndAfterAll {
       "a replayed trigger must not create a snapshot")
   }
 
+  test("compaction round-trip: rewrite breaks coverage, reattach restores it") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    var t = Membership.persistKeyedCorpus(
+      keyed(docs.filter(col("doc_id") % 10 > 3)), "cmp",
+      freshCatalog("cmp"), "k")
+    t = Membership.writeMembershipFilter(t, spark, "k")
+    // three folds stack three small-file appends
+    (1 to 3).foreach { i =>
+      t = Membership.membershipIndexBatch(t,
+        keyed(docs.filter(col("doc_id") % 10 === i)), "k")
+    }
+    val filesBefore = t.newScan().planFiles().size
+    t = graft.table.Maintenance.rewriteDataFiles(t, spark)
+    // the replace snapshot has no stats entry: the invariant catches it
+    val probe = keyed(docs.filter(col("doc_id") % 10 === 0))
+    intercept[IllegalStateException] {
+      Membership.newKeys(t, spark, probe, "k")
+    }
+    // compaction preserved the key multiset, so the parent's filter
+    // re-registers for the current snapshot — no rebuild pass
+    t = Membership.reattachAfterRewrite(t)
+    val got = ids(Membership.newKeys(t, spark, probe, "k"))
+    val oracle = ids(probe.join(
+      keyed(docs.filter(col("doc_id") % 10 =!= 0)).select("k"),
+      Seq("k"), "left_anti"))
+    assert(got === oracle)
+    assert(t.newScan().planFiles().size < filesBefore,
+      "compaction should fold the per-fold small files")
+    // an append between filter and reattach is NOT data-preserving
+    var t2 = t.append(probe)
+    val e = intercept[IllegalArgumentException] {
+      Membership.reattachAfterRewrite(t2)
+    }
+    assert(e.getMessage.contains("not a data-"))
+  }
+
   test("membership filter coexists with NDV sketches in the snapshot's stats slot") {
     val docs = graft.Tables.documents(spark, sfDir)
     var t = Membership.persistKeyedCorpus(keyed(docs), "coex",
