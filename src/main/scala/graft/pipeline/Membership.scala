@@ -364,8 +364,15 @@ object Membership {
     val sf = covered.getOrElse(throw new IllegalStateException(
       s"no ancestor of snapshot $cur carries a membership filter — " +
         "rebuild via writeMembershipFilter"))
+    // MOVE the entry rather than copying it: snapshot expiry deletes the
+    // statisticsPath of every dropped entry, so a second registration
+    // sharing the ancestor's path would be left dangling when the
+    // ancestor expires — with the ancestor's registration removed here,
+    // the file lives exactly as long as the (one) entry referencing it
     graft.catalog.CommitRetry.run(t.catalog, t.name) { (base, _) =>
-      val kept = base.statistics.filterNot(_.snapshotId == cur)
+      val kept = base.statistics.filterNot(s =>
+        s.snapshotId == cur || (s.snapshotId == sf.snapshotId &&
+          s.statisticsPath == sf.statisticsPath))
       (base.copy(statistics = kept :+ sf.copy(snapshotId = cur),
         lastUpdatedMs = System.currentTimeMillis()),
         (_: Int) => t.refresh())

@@ -254,6 +254,18 @@ class MembershipSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === oracle)
     assert(t.newScan().planFiles().size < filesBefore,
       "compaction should fold the per-fold small files")
+    // the entry MOVED (ancestor's registration dropped, earlier folds'
+    // per-snapshot entries stay for time travel): no other entry shares
+    // the live entry's path, so expiring every old snapshot must not
+    // delete the stats file the live entry uses
+    val curSf = t.metadata.statisticsFor(t.metadata.currentSnapshotId.get).get
+    assert(t.metadata.statistics
+      .count(_.statisticsPath == curSf.statisticsPath) === 1)
+    t = graft.table.Maintenance.expireSnapshots(t,
+      olderThanMs = System.currentTimeMillis() + 1000, retainLast = 1)
+    assert(ids(Membership.newKeys(t, spark, probe, "k")) === oracle,
+      "snapshot expiry deleted the reattached filter's file")
+
     // an append between filter and reattach is NOT data-preserving
     var t2 = t.append(probe)
     val e = intercept[IllegalArgumentException] {
