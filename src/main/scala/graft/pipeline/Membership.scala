@@ -217,8 +217,8 @@ object Membership {
     * broken (a bare append moved the table past its filter) and serving
     * definite-new verdicts from a stale filter would be WRONG (a key
     * appended since the filter was built would probe as definitely-new). */
-  private def loadFilter(t: GraftTable):
-      (Map[Int, Array[Byte]], Long, Long) = {
+  private def filterMetas(t: GraftTable):
+      (String, Seq[Puffin.BlobMetadata], Long, Long) = {
     val snapshotId = t.metadata.currentSnapshotId.getOrElse(
       throw new IllegalStateException(
         s"table ${t.metadata.location} has no snapshot"))
@@ -229,10 +229,8 @@ object Membership {
           "the table's rows (did something append outside " +
           "membershipIndexBatch?); rebuild via writeMembershipFilter"))
     val (metas, _) = Puffin.readMetadata(t.io, sf.statisticsPath)
-    val blobs = metas.filter(_.blobType == BlobType).map { m =>
-      m.properties("bucket").toInt -> Puffin.readBlob(t.io, sf.statisticsPath, m)
-    }.toMap
-    if (blobs.isEmpty) throw new IllegalStateException(
+    val mine = metas.filter(_.blobType == BlobType)
+    if (mine.isEmpty) throw new IllegalStateException(
       s"statistics file ${sf.statisticsPath} carries no $BlobType blobs — " +
         "rebuild via writeMembershipFilter")
     val n = t.metadata.properties.getOrElse(PropExpectedPerBucket,
@@ -241,7 +239,26 @@ object Membership {
           s"$PropExpectedPerBucket — sizing unprovable, fold undefined; " +
           "rebuild via writeMembershipFilter")).toLong
     val m = t.metadata.properties(PropNumBits).toLong
-    (blobs, n, m)
+    (sf.statisticsPath, mine, n, m)
+  }
+
+  /** Read selected buckets' blobs (None = all). The probe passes its
+    * TOUCHED bucket set so a small batch pays blob IO proportional to
+    * the buckets it can actually hit, not the whole filter — the footer
+    * metadata (read once above) is enough to skip the rest. */
+  private def readBuckets(t: GraftTable, path: String,
+      metas: Seq[Puffin.BlobMetadata],
+      wanted: Option[Set[Int]]): Map[Int, Array[Byte]] =
+    metas.iterator
+      .map(m => m.properties("bucket").toInt -> m)
+      .filter { case (b, _) => wanted.forall(_.contains(b)) }
+      .map { case (b, m) => b -> Puffin.readBlob(t.io, path, m) }
+      .toMap
+
+  private def loadFilter(t: GraftTable):
+      (Map[Int, Array[Byte]], Long, Long) = {
+    val (path, metas, n, m) = filterMetas(t)
+    (readBuckets(t, path, metas, None), n, m)
   }
 
   /** might-contain Column for a key expression against per-bucket blobs:
@@ -287,13 +304,16 @@ object Membership {
       keyCol: String): DataFrame = {
     requireColumn(t, keyCol)
     val nBuckets = bucketsOf(t, keyCol)
-    val (blobs, _, _) = loadFilter(t)
+    val (path, metas, _, _) = filterMetas(t)
     // the batch feeds three consumers (touched-bucket collect, both
     // prefilter branches) — materialize once, batch-bounded
     val b = Curation.materialize(batch)
     val bucket = graft.functions.IcebergBucketExpr.column(col(keyCol), nBuckets)
     val touched = b.select(bucket.as("_kb")).distinct()
       .collect().map(_.getInt(0)).toSeq // ≤ nBuckets rows by construction
+    // touched buckets FIRST, then blob IO for exactly those buckets —
+    // a small batch reads O(touched) filter bytes, not the whole artifact
+    val blobs = readBuckets(t, path, metas, Some(touched.toSet))
     val might = mightContainCol(touched, blobs, keyCol, nBuckets)
     val definiteNew = b.filter(!might)
     val candidates = Curation.materialize(b.filter(might))
@@ -311,28 +331,6 @@ object Membership {
     definiteNew.unionByName(falsePositives)
   }
 
-  /** Membership MAINTENANCE: append `newRows` to the corpus AND fold
-    * their keys into the filter in ONE atomic catalog swap — the
-    * artifact invariant (current snapshot always covered) can never be
-    * observed broken, and a crash between the puffin write and the
-    * commit leaves only an unregistered orphan file. Work is O(batch)
-    * CPU (only the batch hashes; only touched buckets' blobs decode and
-    * merge — bloom merge is bitwise OR, so fold ≡ rebuild bit-for-bit at
-    * the same sizing) plus O(filter bytes) IO for the new stats file
-    * (untouched blob bytes carry forward undecoded).
-    *
-    * Concurrency (SERIALIZABLE, same discipline as the band/inverted
-    * index maintenance): the fold reads blobs at a snapshot and the
-    * commit validates the table still sits there
-    * ([[graft.table.AppendWriter.appendValidatedTransformed]] throws
-    * [[graft.table.StaleBaseSnapshot]]); a miss deletes this attempt's
-    * puffin, refreshes, and re-derives — two racing folds serialize
-    * instead of the second overwriting the first's bits out of the
-    * statistics slot.
-    *
-    * Saturation: `graft.bloom.inserted` tracks the total keys folded;
-    * fpp degrades (never correctness — verification stays exact) as it
-    * crosses the recorded expectedPerBucket × nBuckets. Rebuild at 2×. */
   /** Re-attach the filter after COMPACTION: `Maintenance.rewriteDataFiles`
     * creates a `replace` snapshot — same rows, new files — which has no
     * statistics entry, so the next probe/fold would refuse (the artifact
@@ -382,23 +380,70 @@ object Membership {
   /** One ingest-admission round: probe `batch` against the filter
     * ([[newKeys]]), ADMIT the first row per key within the batch (min
     * `orderCol` — newKeys answers membership against the corpus, not
-    * intra-batch uniqueness), fold the admissions atomically
-    * ([[membershipIndexBatch]]), and return (admitted, grown table).
-    * The per-trigger unit of
-    * [[graft.streaming.StreamingMembership.dedupIngest]]; exactly-once
-    * END STATE under replay — a replayed batch finds its keys folded and
-    * admits nothing, so the table cannot double-ingest. */
+    * intra-batch uniqueness), hand the admissions to `emit`, fold them
+    * atomically, and return (admitted, grown table). The per-trigger
+    * unit of [[graft.streaming.StreamingMembership.dedupIngest]].
+    *
+    * Concurrency: probe, admission, AND fold re-derive together on a
+    * [[graft.table.StaleBaseSnapshot]] miss — the admitted set is part
+    * of the read-modify-write (it was derived from the snapshot the
+    * commit validates), so two ingesters racing the same key serialize:
+    * the second's re-probe sees the first's fold and drops the key.
+    * Folding a stale admitted set would double-ingest it.
+    *
+    * Delivery: `emit` runs BEFORE the fold commits, so it is
+    * at-least-once — a re-derivation (or a foreachBatch trigger replay
+    * that crashed between emit and fold) re-emits, and an abort after
+    * emit can deliver rows the table never ingested; idempotent sinks
+    * key on the rows themselves. The TABLE is exactly-once either way: a
+    * replay after the fold probes everything as duplicate and does not
+    * move the table. */
   def ingestBatch(t: GraftTable, batch: DataFrame, keyCol: String,
-      orderCol: String): (DataFrame, GraftTable) = {
-    val fresh = newKeys(t, batch.sparkSession, batch, keyCol)
-    val admitted = Curation.materialize(fresh
-      .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col(keyCol)).orderBy(col(orderCol))))
-      .filter(col("_rn") === 1).drop("_rn"))
-    (admitted, membershipIndexBatch(t, admitted, keyCol))
+      orderCol: String,
+      emit: DataFrame => Unit = _ => ()): (DataFrame, GraftTable) = {
+    requireColumn(t, keyCol)
+    val nBuckets = bucketsOf(t, keyCol)
+    var admitted: DataFrame = null
+    val grown = Serving.retryDerivation(t, "ingestBatch") { current =>
+      val fresh = newKeys(current, batch.sparkSession, batch, keyCol)
+      val adm = Curation.materialize(fresh
+        .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col(keyCol)).orderBy(col(orderCol))))
+        .filter(col("_rn") === 1).drop("_rn"))
+      admitted = adm
+      emit(adm)
+      val n = adm.count()
+      if (n == 0) current else foldAttempt(current, adm, keyCol, nBuckets, n)
+    }
+    (admitted, grown)
   }
 
+  /** Membership MAINTENANCE: append `newRows` to the corpus AND fold
+    * their keys into the filter in ONE atomic catalog swap — the
+    * artifact invariant (current snapshot always covered) can never be
+    * observed broken, and a crash between the puffin write and the
+    * commit leaves only an unregistered orphan file. Work is O(batch)
+    * CPU (only the batch hashes; only touched buckets' blobs decode and
+    * merge — bloom merge is bitwise OR, so fold ≡ rebuild bit-for-bit at
+    * the same sizing) plus O(filter bytes) IO for the new stats file
+    * (untouched blob bytes carry forward undecoded).
+    *
+    * Concurrency (SERIALIZABLE, same discipline as the band/inverted
+    * index maintenance): the fold reads blobs at a snapshot and the
+    * commit validates the table still sits there
+    * ([[graft.table.AppendWriter.appendValidatedTransformed]] throws
+    * [[graft.table.StaleBaseSnapshot]]); a miss deletes this attempt's
+    * puffin, refreshes, and re-derives — two racing folds serialize
+    * instead of the second overwriting the first's bits out of the
+    * statistics slot. The caller's CONTRACT is "append exactly these
+    * rows": re-derivation re-merges bits but never re-decides the rows —
+    * an admission that must react to concurrent folds belongs in
+    * [[ingestBatch]], whose probe re-derives too.
+    *
+    * Saturation: `graft.bloom.inserted` tracks the total keys folded;
+    * fpp degrades (never correctness — verification stays exact) as it
+    * crosses the recorded expectedPerBucket × nBuckets. Rebuild at 2×. */
   def membershipIndexBatch(t: GraftTable, newRows: DataFrame,
       keyCol: String): GraftTable = {
     requireColumn(t, keyCol)
@@ -407,6 +452,16 @@ object Membership {
     val batchRows = batch.count()
     if (batchRows == 0) return t
     Serving.retryDerivation(t, "membershipIndexBatch") { current =>
+      foldAttempt(current, batch, keyCol, nBuckets, batchRows)
+    }
+  }
+
+  /** ONE fold derivation + validated commit against `current` — throws
+    * [[graft.table.StaleBaseSnapshot]] for the caller's retry loop to
+    * re-derive (and, in [[ingestBatch]]'s case, re-probe). */
+  private def foldAttempt(current: GraftTable, batch: DataFrame,
+      keyCol: String, nBuckets: Int, batchRows: Long): GraftTable = {
+    locally {
       val readSnapshot = current.metadata.currentSnapshotId
       val (existing, nPerBucket, numBits) = loadFilter(current)
       val batchBlooms = bucketBlooms(batch.select(keyCol), keyCol, nBuckets,

@@ -570,6 +570,13 @@ object Serving {
     val bits = pqBits(codes)
     val cents = loadCentroids(centroids, spark)
     val cb = loadCodebook(codebook, spark)
+    // cross-check the SIBLING against the INDEX's recorded contract (the
+    // maintenance path already does): a wrong codebook table that is
+    // internally consistent would otherwise unpack codes >= cb.size,
+    // where element_at returns null and the ranking silently corrupts
+    require(cb.size == codes,
+      s"codebook ${codebook.metadata.location} has ${cb.size} entries; " +
+        s"index ${index.metadata.location} records codes=$codes")
     val dsub = cb.head._2.size / m
     val cbLit = typedLit(cb.map(_._2))
     val qBase =

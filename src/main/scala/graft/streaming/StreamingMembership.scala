@@ -20,19 +20,20 @@ object StreamingMembership {
 
   /** The streaming loop: per trigger, reload the corpus table, run
     * [[Membership.ingestBatch]] (probe → first-per-key admission →
-    * atomic fold — exactly-once table end state under trigger replay,
-    * see its scaladoc), and hand the ADMITTED rows to `sink`. The emit
-    * happens after the atomic commit, so the sink only ever sees rows
-    * the table actually ingested; the sink itself is at-least-once on a
-    * replay that lost its output but kept the fold — standard
-    * foreachBatch semantics. */
+    * atomic fold), and hand the ADMITTED rows to `sink`. Delivery is
+    * AT-LEAST-ONCE: the emit runs before the fold commits, so a trigger
+    * replayed after a crash between emit and fold re-emits its
+    * admissions (and a replay after the fold emits nothing — the table
+    * itself is exactly-once, see ingestBatch's scaladoc); idempotent
+    * sinks key on (batchId, rows). */
   def dedupIngest(rows: DataFrame, corpusName: String,
       catalog: graft.catalog.Catalog, keyCol: String, orderCol: String)(
       sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
     rows.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val t = GraftTable.load(corpusName, catalog)
-      val (admitted, _) = Membership.ingestBatch(t, batch, keyCol, orderCol)
-      sink(admitted, batchId)
+      Membership.ingestBatch(t, batch, keyCol, orderCol,
+        adm => sink(adm, batchId))
+      ()
     }
 }

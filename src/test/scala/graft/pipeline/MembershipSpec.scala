@@ -226,6 +226,39 @@ class MembershipSpec extends AnyFunSuite with BeforeAndAfterAll {
       "a replayed trigger must not create a snapshot")
   }
 
+  test("racing ingesters: overlapping keys land exactly once") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val corpus = keyed(docs.filter(col("doc_id") % 10 > 4))
+    var t = Membership.persistKeyedCorpus(corpus, "raceov",
+      freshCatalog("raceov"), "k")
+    t = Membership.writeMembershipFilter(t, spark, "k")
+    // both ingesters carry the %10=2 KEYS (under different row ids) —
+    // whichever fold lands second must re-probe and drop the overlap;
+    // committing its stale admitted set would double-ingest every
+    // overlapping key
+    val batchA = keyed(docs.filter(col("doc_id") % 10 === 1))
+      .unionAll(keyed(docs.filter(col("doc_id") % 10 === 2)))
+    val batchB = keyed(docs.filter(col("doc_id") % 10 === 2))
+      .select((col("doc_id") + 1000000).as("doc_id"), col("k"))
+      .unionAll(keyed(docs.filter(col("doc_id") % 10 === 3)))
+    val base = t
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fa = Future(Membership.ingestBatch(base, batchA, "k", "doc_id"))
+    val fb = Future(Membership.ingestBatch(base, batchB, "k", "doc_id"))
+    Await.result(fa, 5.minutes); Await.result(fb, 5.minutes)
+    val grown = base.refresh()
+    val dupKeys = grown.newScan().toDF(spark)
+      .groupBy(col("k")).count().filter(col("count") > 1).count()
+    assert(dupKeys === 0,
+      "a racing ingester committed a stale admitted set — keys double-ingested")
+    // nothing lost either: every non-corpus key of A∪B is present
+    val expected = batchA.unionAll(batchB).select("k").distinct()
+      .join(corpus.select("k"), Seq("k"), "left_anti").count()
+    assert(grown.newScan().toDF(spark).count() === corpus.count() + expected)
+  }
+
   test("compaction round-trip: rewrite breaks coverage, reattach restores it") {
     val docs = graft.Tables.documents(spark, sfDir)
     var t = Membership.persistKeyedCorpus(
