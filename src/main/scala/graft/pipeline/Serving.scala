@@ -468,6 +468,112 @@ object Serving {
     Similarity.rankTopK(scored, k)
   }
 
+  // ---- incremental GROUP-BY aggregate maintenance ----
+
+  /** Snapshot-summary key carrying the SOURCE snapshot an aggregate
+    * artifact covers. The watermark rides the fold's own commit summary,
+    * so watermark movement is ATOMIC with the fold — a table property
+    * would need a second commit, and a crash between the two would
+    * double-count the window on the next fold. */
+  val AggWatermarkKey = "graft.agg.source-snapshot"
+
+  private def aggregateOf(rows: DataFrame, groupCols: Seq[String],
+      sumCol: String): DataFrame =
+    rows.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"), sum(col(sumCol)).as("total"))
+
+  /** Materialize a GROUP-BY aggregate of `source` (count + integer-exact
+    * sum of `sumCol` per group) as a Graft table partitioned by
+    * bucket(first group col, `nBuckets`) — a MATERIALIZED VIEW whose
+    * maintenance ([[aggFold]]) is incremental: folds read only the
+    * snapshot window the source grew by, never recompute the corpus.
+    * The covered source snapshot rides the append's snapshot summary. */
+  def persistGroupAgg(source: GraftTable, spark: SparkSession, name: String,
+      catalog: Catalog, groupCols: Seq[String], sumCol: String,
+      nBuckets: Int = 8): GraftTable = {
+    val snap = source.metadata.currentSnapshotId.getOrElse(
+      throw new IllegalStateException(
+        s"source ${source.metadata.location} has no snapshot to cover"))
+    val agg = aggregateOf(source.newScan().toDF(spark), groupCols, sumCol)
+    val schema = IcebergSchema.fromSpark(agg.schema)
+    val headId = schema.fields.find(_.name == groupCols.head).get.id
+    val spec = PartitionSpec(0, Seq(PartitionField(headId, 1000,
+      s"${groupCols.head}_bucket", Transform.Bucket(nBuckets))))
+    val t = GraftTable.create(name, catalog, schema, spec)
+    graft.table.AppendWriter.append(t,
+      agg.repartition(nBuckets,
+        graft.functions.IcebergBucketExpr.column(col(groupCols.head), nBuckets)),
+      extraSummary = Map(AggWatermarkKey -> snap.toString))
+  }
+
+  /** The source snapshot the aggregate currently covers: the newest
+    * snapshot in the artifact's ancestry whose summary carries
+    * [[AggWatermarkKey]] (every build/fold commit stamps it). */
+  def aggWatermark(agg: GraftTable): Long = {
+    val byId = agg.metadata.snapshots.map(s => s.snapshotId -> s).toMap
+    var cur = agg.metadata.currentSnapshotId.flatMap(byId.get)
+    while (cur.isDefined) {
+      cur.get.summary.get(AggWatermarkKey) match {
+        case Some(v) => return v.toLong
+        case None => cur = cur.get.parentSnapshotId.flatMap(byId.get)
+      }
+    }
+    throw new IllegalStateException(
+      s"table ${agg.metadata.location} carries no $AggWatermarkKey in its " +
+        "snapshot ancestry — not an aggregate artifact (build via " +
+        "persistGroupAgg)")
+  }
+
+  /** Aggregate MAINTENANCE: fold the source rows appended since the
+    * artifact's watermark — (watermark, current] via the format
+    * library's append-only incremental scan
+    * (`TableScan.appendsBetween`, which REFUSES windows
+    * containing deletes/overwrites: removed rows cannot be subtracted
+    * from a count/sum without reading them, so a mutated source means
+    * rebuild) — into the aggregate in ONE atomic equality-delete +
+    * append upsert touching only the window's groups. Counts and
+    * integer sums fold exactly (disjoint rows ⇒ add), old rows for
+    * exactly the touched groups read through the bucket-pruned scan,
+    * and the new watermark rides the same commit's summary: a crash
+    * can never leave the fold and the watermark apart, and a replayed
+    * fold sees watermark == current and no-ops. O(window) work at any
+    * aggregate/source size.
+    *
+    * Concurrency: SERIALIZABLE like every maintenance op here — the
+    * merge reads at a snapshot, the upsert validates it
+    * ([[graft.table.StaleBaseSnapshot]] → re-derive, bounded). */
+  def aggFold(agg: GraftTable, source: GraftTable, spark: SparkSession,
+      groupCols: Seq[String], sumCol: String): GraftTable = {
+    val from = aggWatermark(agg)
+    val to = source.metadata.currentSnapshotId.getOrElse(
+      throw new IllegalStateException(
+        s"source ${source.metadata.location} has no snapshot"))
+    if (from == to) return agg
+    val delta = Curation.materialize(aggregateOf(
+      source.newScan().appendsBetween(from, to).toDF(spark), groupCols, sumCol))
+    retryDerivation(agg, "aggFold") { current =>
+      val readSnapshot = current.metadata.currentSnapshotId
+      val keys = delta.select(col(groupCols.head)).distinct()
+        .take(MaxProbeKeys + 1)
+      val oldScan =
+        if (keys.length <= MaxProbeKeys)
+          current.newScan().withFilter(
+            SetPred(PIn, groupCols.head, keys.map(_.get(0)).toSet[Any]))
+        else current.newScan()
+      val old = oldScan.toDF(spark).select(
+        groupCols.map(col) :+ col("cnt").as("_c0") :+ col("total").as("_t0"): _*)
+      val merged = delta.select(
+        groupCols.map(col) :+ col("cnt").as("_c1") :+ col("total").as("_t1"): _*)
+        .join(old, groupCols, "left")
+        .select(groupCols.map(col) :+
+          (coalesce(col("_c0"), lit(0L)) + col("_c1")).as("cnt") :+
+          (coalesce(col("_t0"), lit(0L)) + col("_t1")).as("total"): _*)
+      graft.table.DeleteWriter.upsert(current, merged, groupCols, spark,
+        extraSummary = Map(AggWatermarkKey -> to.toString),
+        validateFromSnapshot = Some(readSnapshot))
+    }
+  }
+
   // ---- persisted IVFADC (IVF + product quantization) ----
 
   /** Bits per PQ code for a `codes`-entry codebook (next power of two). */

@@ -3020,11 +3020,45 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Incremental GROUP-BY aggregate maintenance (materialized view): the
+    * standing corpus (doc_id%10<>0) lands in a source Graft table and its
+    * per-(lang, source) count/Σn_chars aggregate persists as a
+    * bucket(lang)-partitioned artifact ([[graft.pipeline.Serving
+    * .persistGroupAgg]]); the ingested batch (doc_id%10=0) appends to the
+    * SOURCE, and [[graft.pipeline.Serving.aggFold]] folds ONLY the
+    * appended window — read via the format library's append-only
+    * incremental scan — into the aggregate in one atomic upsert whose
+    * summary carries the new source watermark. The oracle recomputes the
+    * aggregate from scratch: fold ≡ rebuild, integer-exact. */
+  val p103 = Q.sql(
+    "p103_incremental_agg",
+    """SELECT lang, source, count(*)::BIGINT AS cnt,
+      |  sum(n_chars)::BIGINT AS total
+      |FROM documents GROUP BY lang, source
+      |ORDER BY lang, source""".stripMargin,
+    bench = true
+  ) { (s, d) =>
+    import graft.pipeline.Serving
+    import graft.spec.{IcebergSchema, PartitionSpec}
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    val (catalog, _) = Q.freshCatalog(s, "iagg")
+    var src = graft.table.GraftTable.create("wsrcagg", catalog,
+      IcebergSchema.fromSpark(docs.schema), PartitionSpec(0, Nil))
+      .append(docs.filter(col("doc_id") % 10 =!= 0))
+    val agg0 = Serving.persistGroupAgg(src, s, "waggt", catalog,
+      Seq("lang", "source"), "n_chars")
+    src = src.append(docs.filter(col("doc_id") % 10 === 0))
+    val agg = Serving.aggFold(agg0, src, s, Seq("lang", "source"), "n_chars")
+    agg.newScan().toDF(s).orderBy(col("lang"), col("source"))
+  }
+
   val all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10,
     p11, p12, p13, p14, p15, p16, p17, p18, p19, p20, p21, p22, p23, p24,
     p25, p26, p27, p28, p29, p30, p31, p32, p33, p34, p35, p36, p37, p38,
     p39, p40, p41, p42, p43, p44, p45, p46, p47, p48, p49, p50, p51, p52,
     p53, p54, p55, p56, p57, p58, p59, p60, p61, p62, p63, p64, p65, p66,
     p67, p68, p69, p70, p71, p72, p73, p74, p75, p76, p77, p78, p79,
-    p86, p87, p88, p89, p90, p91, p92, p93, p95, p97, p99, p100, p101)
+    p86, p87, p88, p89, p90, p91, p92, p93, p95, p97, p99, p100, p101,
+    p103)
 }

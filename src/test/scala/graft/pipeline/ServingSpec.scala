@@ -609,6 +609,63 @@ class ServingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"band_idx pruning did not engage: $oneBand of $allFiles files")
   }
 
+  test("incremental aggregate: fold == rebuild, atomic watermark, idempotent") {
+    val spark2 = spark
+    import graft.spec.{IcebergSchema, PartitionSpec}
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    val cat = freshCatalog("iagg")
+    var src = graft.table.GraftTable.create("srcagg", cat,
+      IcebergSchema.fromSpark(docs.schema), PartitionSpec(0, Nil))
+      .append(docs.filter(col("doc_id") % 10 =!= 0))
+    val groups = Seq("lang", "source")
+    var agg = Serving.persistGroupAgg(src, spark2, "aggt", cat, groups, "n_chars")
+    assert(Serving.aggWatermark(agg) === src.metadata.currentSnapshotId.get)
+
+    // re-fold at the same watermark: no-op, no snapshot
+    val snap0 = agg.metadata.currentSnapshotId
+    agg = Serving.aggFold(agg, src, spark2, groups, "n_chars")
+    assert(agg.metadata.currentSnapshotId === snap0)
+
+    // two source appends, one fold each — each fold reads ONLY its window
+    Seq(0L, 5L).foreach { _ => () }
+    src = src.append(docs.filter(col("doc_id") % 10 === 0 &&
+      col("doc_id") % 20 =!= 0))
+    agg = Serving.aggFold(agg, src, spark2, groups, "n_chars")
+    src = src.append(docs.filter(col("doc_id") % 20 === 0))
+    // the fold's O(window) claim at plan level: the incremental scan
+    // plans ONLY the files the window's snapshots added
+    val windowFiles = src.newScan()
+      .appendsBetween(Serving.aggWatermark(agg),
+        src.metadata.currentSnapshotId.get).planFiles().size
+    val allSrcFiles = src.newScan().planFiles().size
+    assert(windowFiles > 0 && windowFiles < allSrcFiles,
+      s"window planned $windowFiles of $allSrcFiles source files")
+    val before = agg.metadata.snapshots.size
+    agg = Serving.aggFold(agg, src, spark2, groups, "n_chars")
+    assert(agg.metadata.snapshots.size === before + 1,
+      "one atomic snapshot per fold (watermark rides its summary)")
+    assert(Serving.aggWatermark(agg) === src.metadata.currentSnapshotId.get)
+
+    val got = agg.newScan().toDF(spark2)
+      .orderBy(groups.map(col): _*).collect().map(_.toString).toSeq
+    val want = docs.groupBy(groups.map(col): _*)
+      .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("total"))
+      .orderBy(groups.map(col): _*).collect().map(_.toString).toSeq
+    assert(got === want)
+    assert(got.nonEmpty)
+
+    // bucket(lang) pruning: a single-group probe plans a subset
+    val oneLang = agg.newScan().toDF(spark2).select("lang")
+      .limit(1).collect()(0).getString(0)
+    val all = agg.newScan().planFiles().size
+    val probed = agg.newScan()
+      .withFilter(SetPred(PIn, "lang", Set[Any](oneLang))).planFiles().size
+    assert(probed > 0 && probed <= all)
+    if (all > 1) assert(probed < all,
+      s"bucket pruning did not engage: $probed of $all files")
+  }
+
   test("persisted IVFADC reproduces ivfAdcSearch, probed cells pruned") {
     val e = graft.Tables.embeddings(spark, sfDir)
     val queries = e.filter(col("vec_id") < 5)
