@@ -359,6 +359,23 @@ object ScaleProbe {
       val p97ms = medMaint(o => ivfS = Serving.ivfIndexBatch(ivfS, cs,
         vecBatch.withColumn("vec_id", col("vec_id") + o)))
 
+      // persisted IVFADC (r12): probe-only and maintenance-only at 10× —
+      // the packed-code scan reads only probed cells' code words, and the
+      // frozen-codebook encode is batch-bounded map work
+      import graft.pipeline.Serving.{persistIvfPqIndex, annFromIvfPqIndex, ivfPqIndexBatch}
+      val (pqB, pqcB, pqbB) = persistIvfPqIndex(bE, "b100", cat)
+      val (pqS, pqcS, pqbS) = persistIvfPqIndex(sE, "s100", cat)
+      val p100pb = med3(annFromIvfPqIndex(pqB, pqcB, pqbB, spark,
+        bE.filter(col("vec_id") < 10), 3))
+      val p100ps = med3(annFromIvfPqIndex(pqS, pqcS, pqbS, spark,
+        sE.filter(col("vec_id") < 10), 3))
+      var pqiB = pqB
+      var pqiS = pqS
+      val p100mb = medMaint(o => pqiB = ivfPqIndexBatch(pqiB, pqcB, pqbB,
+        vecBatch.withColumn("vec_id", col("vec_id") + o)))
+      val p100ms = medMaint(o => pqiS = ivfPqIndexBatch(pqiS, pqcS, pqbS,
+        vecBatch.withColumn("vec_id", col("vec_id") + o)))
+
       // membership-filter serving (r12): probe a FIXED small batch (16
       // known-duplicate keys — the all-candidate shape that exercises the
       // verification join, not just the bloom reject) against the base
@@ -401,6 +418,10 @@ object ScaleProbe {
         f""""ratio":${p93ms / p93mb}%.2f},""" +
         f""""p97_maintain_only":{"base_sec":$p97mb%.3f,"sec_10x":$p97ms%.3f,""" +
         f""""ratio":${p97ms / p97mb}%.2f},""" +
+        f""""p100_probe":{"base_sec":$p100pb%.3f,"scale10_sec":$p100ps%.3f,""" +
+        f""""ratio":${p100ps / p100pb}%.2f},""" +
+        f""""p100_maintain_only":{"base_sec":$p100mb%.3f,"sec_10x":$p100ms%.3f,""" +
+        f""""ratio":${p100ms / p100mb}%.2f},""" +
         f""""p99_probe_small_batch_10x_index":{"base_sec":$p99pb%.3f,""" +
         f""""sec":$p99ps%.3f,"ratio":${p99ps / p99pb}%.2f},""" +
         f""""p99_maintain_only":{"base_sec":$p99mb%.3f,"sec_10x":$p99ms%.3f,""" +
