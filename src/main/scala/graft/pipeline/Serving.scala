@@ -482,6 +482,21 @@ object Serving {
     rows.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("cnt"), sum(col(sumCol)).as("total"))
 
+  /** NULL group keys are REFUSED (build and fold): the fold's equality-
+    * delete upsert cannot address a null-keyed row (null never equals,
+    * and [[graft.table.DeleteWriter.upsert]] drops null keys from its
+    * delete side), so a null group would accumulate duplicate rows
+    * instead of merging. The check reads the AGGREGATED rows — O(groups),
+    * not O(rows). */
+  private def requireNonNullGroups(aggRows: DataFrame,
+      groupCols: Seq[String], what: String): Unit = {
+    val nullKey = groupCols.map(col(_).isNull).reduce(_ || _)
+    require(aggRows.filter(nullKey).limit(1).count() == 0,
+      s"$what contains NULL group keys — the aggregate artifact cannot " +
+        "upsert a null-keyed group (equality deletes skip nulls); filter " +
+        "or coalesce the group columns upstream")
+  }
+
   /** Materialize a GROUP-BY aggregate of `source` (count + integer-exact
     * sum of `sumCol` per group) as a Graft table partitioned by
     * bucket(first group col, `nBuckets`) — a MATERIALIZED VIEW whose
@@ -494,7 +509,9 @@ object Serving {
     val snap = source.metadata.currentSnapshotId.getOrElse(
       throw new IllegalStateException(
         s"source ${source.metadata.location} has no snapshot to cover"))
-    val agg = aggregateOf(source.newScan().toDF(spark), groupCols, sumCol)
+    val agg = Curation.materialize(
+      aggregateOf(source.newScan().toDF(spark), groupCols, sumCol))
+    requireNonNullGroups(agg, groupCols, "source corpus")
     val schema = IcebergSchema.fromSpark(agg.schema)
     val headId = schema.fields.find(_.name == groupCols.head).get.id
     val spec = PartitionSpec(0, Seq(PartitionField(headId, 1000,
@@ -544,33 +561,57 @@ object Serving {
     * ([[graft.table.StaleBaseSnapshot]] → re-derive, bounded). */
   def aggFold(agg: GraftTable, source: GraftTable, spark: SparkSession,
       groupCols: Seq[String], sumCol: String): GraftTable = {
-    val from = aggWatermark(agg)
     val to = source.metadata.currentSnapshotId.getOrElse(
       throw new IllegalStateException(
         s"source ${source.metadata.location} has no snapshot"))
-    if (from == to) return agg
-    val delta = Curation.materialize(aggregateOf(
-      source.newScan().appendsBetween(from, to).toDF(spark), groupCols, sumCol))
+    // `to`'s ancestry, for the subsumed-window check below
+    val toAncestors: Set[Long] = {
+      val byId = source.metadata.snapshots.map(s => s.snapshotId -> s).toMap
+      Iterator.iterate(byId.get(to))(_.flatMap(_.parentSnapshotId).flatMap(byId.get))
+        .takeWhile(_.isDefined).map(_.get.snapshotId).toSet
+    }
     retryDerivation(agg, "aggFold") { current =>
-      val readSnapshot = current.metadata.currentSnapshotId
-      val keys = delta.select(col(groupCols.head)).distinct()
-        .take(MaxProbeKeys + 1)
-      val oldScan =
-        if (keys.length <= MaxProbeKeys)
-          current.newScan().withFilter(
-            SetPred(PIn, groupCols.head, keys.map(_.get(0)).toSet[Any]))
-        else current.newScan()
-      val old = oldScan.toDF(spark).select(
-        groupCols.map(col) :+ col("cnt").as("_c0") :+ col("total").as("_t0"): _*)
-      val merged = delta.select(
-        groupCols.map(col) :+ col("cnt").as("_c1") :+ col("total").as("_t1"): _*)
-        .join(old, groupCols, "left")
-        .select(groupCols.map(col) :+
-          (coalesce(col("_c0"), lit(0L)) + col("_c1")).as("cnt") :+
-          (coalesce(col("_t0"), lit(0L)) + col("_t1")).as("total"): _*)
-      graft.table.DeleteWriter.upsert(current, merged, groupCols, spark,
-        extraSummary = Map(AggWatermarkKey -> to.toString),
-        validateFromSnapshot = Some(readSnapshot))
+      // the WINDOW is part of the read-modify-write: it derives from the
+      // watermark of the snapshot the commit validates, and re-derives
+      // with it — re-applying a delta computed against a stale watermark
+      // would double-count the window a concurrent fold already landed
+      val from = aggWatermark(current)
+      if (from == to) current // this window is already folded
+      else if (!toAncestors.contains(from))
+        current // a concurrent fold advanced past `to`: window subsumed
+      else {
+        val readSnapshot = current.metadata.currentSnapshotId
+        val delta = Curation.materialize(aggregateOf(
+          source.newScan().appendsBetween(from, to).toDF(spark),
+          groupCols, sumCol))
+        requireNonNullGroups(delta, groupCols, s"source window ($from, $to]")
+        // per-attempt: the key set belongs to THIS attempt's window
+        val keys = delta.select(col(groupCols.head)).distinct()
+          .take(MaxProbeKeys + 1)
+        val oldScan =
+          if (keys.length <= MaxProbeKeys)
+            current.newScan().withFilter(
+              SetPred(PIn, groupCols.head, keys.map(_.get(0)).toSet[Any]))
+          else current.newScan()
+        val old = oldScan.toDF(spark).select(
+          groupCols.map(col) :+ col("cnt").as("_c0") :+ col("total").as("_t0"): _*)
+        // SQL sum semantics: NULL means "no non-null values yet", so the
+        // merged total is NULL only when BOTH sides are — a null-window
+        // delta must not wipe an accumulated total (fold ≡ rebuild)
+        val mergedTotal = when(col("_t0").isNull && col("_t1").isNull,
+            lit(null))
+          .otherwise(coalesce(col("_t0"), lit(0L)) +
+            coalesce(col("_t1"), lit(0L)))
+        val merged = delta.select(
+          groupCols.map(col) :+ col("cnt").as("_c1") :+ col("total").as("_t1"): _*)
+          .join(old, groupCols, "left")
+          .select(groupCols.map(col) :+
+            (coalesce(col("_c0"), lit(0L)) + col("_c1")).as("cnt") :+
+            mergedTotal.as("total"): _*)
+        graft.table.DeleteWriter.upsert(current, merged, groupCols, spark,
+          extraSummary = Map(AggWatermarkKey -> to.toString),
+          validateFromSnapshot = Some(readSnapshot))
+      }
     }
   }
 

@@ -628,7 +628,6 @@ class ServingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(agg.metadata.currentSnapshotId === snap0)
 
     // two source appends, one fold each — each fold reads ONLY its window
-    Seq(0L, 5L).foreach { _ => () }
     src = src.append(docs.filter(col("doc_id") % 10 === 0 &&
       col("doc_id") % 20 =!= 0))
     agg = Serving.aggFold(agg, src, spark2, groups, "n_chars")
@@ -664,6 +663,72 @@ class ServingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(probed > 0 && probed <= all)
     if (all > 1) assert(probed < all,
       s"bucket pruning did not engage: $probed of $all files")
+  }
+
+  test("incremental aggregate: racing folds of one window count it once") {
+    import graft.spec.{IcebergSchema, PartitionSpec}
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    val cat = freshCatalog("iaggr")
+    var src = graft.table.GraftTable.create("srcr", cat,
+      IcebergSchema.fromSpark(docs.schema), PartitionSpec(0, Nil))
+      .append(docs.filter(col("doc_id") % 10 =!= 0))
+    val groups = Seq("lang", "source")
+    val base = Serving.persistGroupAgg(src, spark, "aggr", cat, groups, "n_chars")
+    src = src.append(docs.filter(col("doc_id") % 10 === 0))
+    // two maintainers fold the SAME window concurrently: the loser's
+    // re-derivation must see the moved watermark and no-op — re-applying
+    // its stale delta would double-count every group in the window
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val s2 = src
+    val fa = Future(Serving.aggFold(base, s2, spark, groups, "n_chars"))
+    val fb = Future(Serving.aggFold(base, s2, spark, groups, "n_chars"))
+    Await.result(fa, 5.minutes); Await.result(fb, 5.minutes)
+    val got = base.refresh().newScan().toDF(spark)
+      .orderBy(groups.map(col): _*).collect().map(_.toString).toSeq
+    val want = docs.groupBy(groups.map(col): _*)
+      .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("total"))
+      .orderBy(groups.map(col): _*).collect().map(_.toString).toSeq
+    assert(got === want, "a racing fold double-counted its window")
+  }
+
+  test("incremental aggregate: SQL sum null semantics and null-group refusal") {
+    import graft.spec.{IcebergSchema, PartitionSpec}
+    val spark2 = spark
+    import spark2.implicits._
+    val cat = freshCatalog("iaggn")
+    // group "a" accumulates only NULL values at build time
+    val standing = Seq(("a", Option.empty[Long]), ("b", Some(7L)))
+      .toDF("g", "v")
+    var src = graft.table.GraftTable.create("srcn", cat,
+      IcebergSchema.fromSpark(standing.schema), PartitionSpec(0, Nil))
+      .append(standing)
+    var agg = Serving.persistGroupAgg(src, spark2, "aggn", cat, Seq("g"), "v")
+    // window: a null-valued row for "b" (must NOT wipe b's total) and a
+    // first non-null for "a" (must replace NULL, not add to it)
+    src = src.append(Seq(("a", Some(5L)), ("b", Option.empty[Long]))
+      .toDF("g", "v"))
+    agg = Serving.aggFold(agg, src, spark2, Seq("g"), "v")
+    val got = agg.newScan().toDF(spark2).orderBy(col("g"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
+    assert(got === Seq(("a", 2L, Some(5L)), ("b", 2L, Some(7L))))
+    // null-sum-only group stays NULL through a fold of more nulls
+    src = src.append(Seq(("c", Option.empty[Long])).toDF("g", "v"))
+    agg = Serving.aggFold(agg, src, spark2, Seq("g"), "v")
+    src = src.append(Seq(("c", Option.empty[Long])).toDF("g", "v"))
+    agg = Serving.aggFold(agg, src, spark2, Seq("g"), "v")
+    val c = agg.newScan().toDF(spark2).filter(col("g") === "c").collect()(0)
+    assert(c.getLong(1) === 2L && c.isNullAt(2),
+      "an all-null group's total must stay NULL (SQL sum), not become 0")
+    // a NULL group key is refused — the eq-delete upsert cannot merge it
+    src = src.append(Seq((Option.empty[String], Some(1L))).toDF("g", "v"))
+    val e = intercept[IllegalArgumentException] {
+      Serving.aggFold(agg, src, spark2, Seq("g"), "v")
+    }
+    assert(e.getMessage.contains("NULL group keys"))
   }
 
   test("persisted IVFADC reproduces ivfAdcSearch, probed cells pruned") {
