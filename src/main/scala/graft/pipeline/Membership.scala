@@ -70,6 +70,7 @@ object Membership {
   def persistKeyedCorpus(rows: DataFrame, name: String,
       catalog: graft.catalog.Catalog, keyCol: String,
       nBuckets: Int = 16): GraftTable = {
+    requireNonNullKeys(rows, keyCol, "corpus")
     val schema = IcebergSchema.fromSpark(rows.schema)
     val keyId = schema.fields.find(_.name == keyCol).getOrElse(
       throw new IllegalArgumentException(s"no column $keyCol in corpus")).id
@@ -204,6 +205,21 @@ object Membership {
         m.blobType, snapshotId, seq, m.fields, m.properties)))
   }
 
+  /** Refuse NULL keys up front (mirrors the aggregate artifact's
+    * requireNonNullGroups): a null key in the corpus would crash the
+    * filter build inside the bucket collect, and a null key in a probe
+    * batch would crash touched-bucket discovery — both as bare
+    * NullPointerExceptions far from the cause. Dedup keys here are
+    * digests; a null key means the digest expression itself is broken.
+    * O(1) data-side work: a limit-1 scan of the null slice. */
+  private def requireNonNullKeys(rows: DataFrame, keyCol: String,
+      what: String): Unit =
+    require(rows.filter(col(keyCol).isNull).limit(1).count() == 0,
+      s"$what contains NULL $keyCol keys — the membership filter cannot " +
+        "hash or bucket a null key (and the corpus scan's In-pruned " +
+        "verification would skip it); filter or coalesce the key column " +
+        "upstream")
+
   private def requireColumn(t: GraftTable, keyCol: String): Unit =
     t.metadata.properties.get(PropColumn).foreach { c =>
       require(c == keyCol,
@@ -211,14 +227,22 @@ object Membership {
           s"caller asked for $keyCol — refusing a filter over the wrong key")
     }
 
-  /** The membership blobs covering `t`'s CURRENT snapshot, as
-    * bucket → decompressed bloom bytes, plus the recorded sizing. Refuses
+  /** The stats file covering `t`'s CURRENT snapshot: its path, the
+    * membership blobs' footer entries, any FOREIGN blobs' entries (NDV
+    * sketches etc. sharing the snapshot's one statistics slot — folds
+    * must carry them forward), and the recorded filter sizing. */
+  private final case class FilterFile(path: String,
+      membership: Seq[Puffin.BlobMetadata],
+      foreign: Seq[Puffin.BlobMetadata],
+      expectedPerBucket: Long, numBits: Long)
+
+  /** The membership blobs covering `t`'s CURRENT snapshot (footer read
+    * only — callers pick which buckets' payloads to decode). Refuses
     * when the current snapshot has no filter — the artifact invariant is
     * broken (a bare append moved the table past its filter) and serving
     * definite-new verdicts from a stale filter would be WRONG (a key
     * appended since the filter was built would probe as definitely-new). */
-  private def filterMetas(t: GraftTable):
-      (String, Seq[Puffin.BlobMetadata], Long, Long) = {
+  private def filterMetas(t: GraftTable): FilterFile = {
     val snapshotId = t.metadata.currentSnapshotId.getOrElse(
       throw new IllegalStateException(
         s"table ${t.metadata.location} has no snapshot"))
@@ -239,7 +263,8 @@ object Membership {
           s"$PropExpectedPerBucket — sizing unprovable, fold undefined; " +
           "rebuild via writeMembershipFilter")).toLong
     val m = t.metadata.properties(PropNumBits).toLong
-    (sf.statisticsPath, mine, n, m)
+    FilterFile(sf.statisticsPath, mine,
+      metas.filterNot(_.blobType == BlobType), n, m)
   }
 
   /** Read selected buckets' blobs (None = all). The probe passes its
@@ -254,12 +279,6 @@ object Membership {
       .filter { case (b, _) => wanted.forall(_.contains(b)) }
       .map { case (b, m) => b -> Puffin.readBlob(t.io, path, m) }
       .toMap
-
-  private def loadFilter(t: GraftTable):
-      (Map[Int, Array[Byte]], Long, Long) = {
-    val (path, metas, n, m) = filterMetas(t)
-    (readBuckets(t, path, metas, None), n, m)
-  }
 
   /** might-contain Column for a key expression against per-bucket blobs:
     * a when-chain over the TOUCHED buckets only (the caller computed them
@@ -304,16 +323,17 @@ object Membership {
       keyCol: String): DataFrame = {
     requireColumn(t, keyCol)
     val nBuckets = bucketsOf(t, keyCol)
-    val (path, metas, _, _) = filterMetas(t)
+    val ff = filterMetas(t)
     // the batch feeds three consumers (touched-bucket collect, both
     // prefilter branches) — materialize once, batch-bounded
     val b = Curation.materialize(batch)
+    requireNonNullKeys(b, keyCol, "probe batch")
     val bucket = graft.functions.IcebergBucketExpr.column(col(keyCol), nBuckets)
     val touched = b.select(bucket.as("_kb")).distinct()
       .collect().map(_.getInt(0)).toSeq // ≤ nBuckets rows by construction
     // touched buckets FIRST, then blob IO for exactly those buckets —
     // a small batch reads O(touched) filter bytes, not the whole artifact
-    val blobs = readBuckets(t, path, metas, Some(touched.toSet))
+    val blobs = readBuckets(t, ff.path, ff.membership, Some(touched.toSet))
     val might = mightContainCol(touched, blobs, keyCol, nBuckets)
     val definiteNew = b.filter(!might)
     val candidates = Curation.materialize(b.filter(might))
@@ -343,37 +363,60 @@ object Membership {
     * maintenance pass may stack several replace snapshots (compaction +
     * manifest rewrite) before the operator re-attaches. */
   def reattachAfterRewrite(t: GraftTable): GraftTable = {
-    val cur = t.metadata.currentSnapshotId.getOrElse(
+    val cur0 = t.metadata.currentSnapshotId.getOrElse(
       throw new IllegalStateException(
         s"table ${t.metadata.location} has no snapshot"))
-    if (t.metadata.statisticsFor(cur).isDefined) return t // already covered
-    val byId = t.metadata.snapshots.map(s => s.snapshotId -> s).toMap
-    var walk = byId.get(cur)
-    var covered: Option[graft.spec.StatisticsFile] = None
-    while (covered.isEmpty && walk.isDefined) {
-      val s = walk.get
-      require(s.operation == "replace",
-        s"snapshot ${s.snapshotId} is '${s.operation}', not a data-" +
-          "preserving replace — the filter does not cover the current " +
-          "rows; rebuild via writeMembershipFilter")
-      walk = s.parentSnapshotId.flatMap(byId.get)
-      covered = walk.flatMap(p => t.metadata.statisticsFor(p.snapshotId))
-    }
-    val sf = covered.getOrElse(throw new IllegalStateException(
-      s"no ancestor of snapshot $cur carries a membership filter — " +
-        "rebuild via writeMembershipFilter"))
-    // MOVE the entry rather than copying it: snapshot expiry deletes the
-    // statisticsPath of every dropped entry, so a second registration
-    // sharing the ancestor's path would be left dangling when the
-    // ancestor expires — with the ancestor's registration removed here,
-    // the file lives exactly as long as the (one) entry referencing it
+    if (t.metadata.statisticsFor(cur0).isDefined) return t // already covered
+    // The walk and the commit see ONE metadata version: the discovery
+    // re-runs inside the CAS loop against the freshly-loaded base, so a
+    // racing expireSnapshots (which drops ancestor snapshots, their
+    // statistics entries, and the stats FILES) either lands before this
+    // attempt's load — the walk then refuses on the post-expiry base —
+    // or after it, which fails this attempt's CAS and re-derives. A
+    // stale handle can never commit a pointer to a just-deleted path;
+    // the existence check below closes the delete-files-before-commit
+    // ordering too (refusal, not a dangling entry).
     graft.catalog.CommitRetry.run(t.catalog, t.name) { (base, _) =>
-      val kept = base.statistics.filterNot(s =>
-        s.snapshotId == cur || (s.snapshotId == sf.snapshotId &&
-          s.statisticsPath == sf.statisticsPath))
-      (base.copy(statistics = kept :+ sf.copy(snapshotId = cur),
-        lastUpdatedMs = System.currentTimeMillis()),
-        (_: Int) => t.refresh())
+      val cur = base.currentSnapshotId.getOrElse(
+        throw new IllegalStateException(
+          s"table ${t.metadata.location} has no snapshot"))
+      if (base.statisticsFor(cur).isDefined)
+        (base, (_: Int) => t.refresh()) // raced re-attach: idempotent
+      else {
+        val byId = base.snapshots.map(s => s.snapshotId -> s).toMap
+        var walk = byId.get(cur)
+        var covered: Option[graft.spec.StatisticsFile] = None
+        while (covered.isEmpty && walk.isDefined) {
+          val s = walk.get
+          require(s.operation == "replace",
+            s"snapshot ${s.snapshotId} is '${s.operation}', not a data-" +
+              "preserving replace — the filter does not cover the current " +
+              "rows; rebuild via writeMembershipFilter")
+          walk = s.parentSnapshotId.flatMap(byId.get)
+          covered = walk.flatMap(p => base.statisticsFor(p.snapshotId))
+        }
+        val sf = covered.getOrElse(throw new IllegalStateException(
+          s"no ancestor of snapshot $cur carries a membership filter — " +
+            "rebuild via writeMembershipFilter"))
+        if (!t.io.exists(sf.statisticsPath))
+          throw new IllegalStateException(
+            s"ancestor snapshot ${sf.snapshotId}'s statistics file " +
+              s"${sf.statisticsPath} is registered in metadata but missing " +
+              "on storage — a snapshot expiry deleted it under this " +
+              "re-attach; rebuild via writeMembershipFilter")
+        // MOVE the entry rather than copying it: snapshot expiry deletes
+        // the statisticsPath of every dropped entry, so a second
+        // registration sharing the ancestor's path would be left dangling
+        // when the ancestor expires — with the ancestor's registration
+        // removed here, the file lives exactly as long as the (one)
+        // entry referencing it
+        val kept = base.statistics.filterNot(s =>
+          s.snapshotId == cur || (s.snapshotId == sf.snapshotId &&
+            s.statisticsPath == sf.statisticsPath))
+        (base.copy(statistics = kept :+ sf.copy(snapshotId = cur),
+          lastUpdatedMs = System.currentTimeMillis()),
+          (_: Int) => t.refresh())
+      }
     }
   }
 
@@ -449,6 +492,7 @@ object Membership {
     requireColumn(t, keyCol)
     val nBuckets = bucketsOf(t, keyCol)
     val batch = Curation.materialize(newRows)
+    requireNonNullKeys(batch, keyCol, "maintenance batch")
     val batchRows = batch.count()
     if (batchRows == 0) return t
     Serving.retryDerivation(t, "membershipIndexBatch") { current =>
@@ -463,9 +507,18 @@ object Membership {
       keyCol: String, nBuckets: Int, batchRows: Long): GraftTable = {
     locally {
       val readSnapshot = current.metadata.currentSnapshotId
-      val (existing, nPerBucket, numBits) = loadFilter(current)
+      val ff = filterMetas(current)
       val batchBlooms = bucketBlooms(batch.select(keyCol), keyCol, nBuckets,
-        nPerBucket, numBits)
+        ff.expectedPerBucket, ff.numBits)
+      // only the batch's TOUCHED buckets decode and merge (bloom merge is
+      // bitwise OR, so fold ≡ rebuild bit-for-bit at the same sizing);
+      // untouched membership blobs and FOREIGN blobs (NDV sketches etc.
+      // coexisting in the snapshot's one statistics slot) carry forward
+      // byte-for-byte in their stored (compressed) form — the fold's CPU
+      // is O(batch + touched blobs), its IO O(filter bytes)
+      val touched = batchBlooms.map(_._1).toSet
+      val existing = readBuckets(current, ff.path, ff.membership,
+        Some(touched))
       val merged = batchBlooms.map { case (b, bytes) =>
         existing.get(b) match {
           case None => (b, bytes)
@@ -476,10 +529,13 @@ object Membership {
             f.writeTo(out)
             (b, out.toByteArray)
         }
-      }
-      val mergedBuckets = merged.map(_._1).toSet
-      val all = merged ++
-        existing.filterNot { case (b, _) => mergedBuckets(b) }.toArray
+      }.sortBy(_._1)
+      val untouched = ff.membership
+        .filterNot(m => touched(m.properties("bucket").toInt))
+        .sortBy(_.properties("bucket").toInt)
+        .map(m => (m, Puffin.readBlobStored(current.io, ff.path, m)))
+      val foreignRaw = ff.foreign
+        .map(m => (m, Puffin.readBlobStored(current.io, ff.path, m)))
       val inserted = current.metadata.properties
         .get(PropInserted).map(_.toLong).getOrElse(0L) + batchRows
       var puffinPath: String = null
@@ -491,11 +547,21 @@ object Membership {
           s"${java.util.UUID.randomUUID()}.puffin"
         puffinPath = path
         val metas = Puffin.write(current.io, path,
-          all.sortBy(_._1).map { case (b, bytes) =>
+          merged.map { case (b, bytes) =>
             Puffin.Blob(BlobType, Seq(keyId), snapshotId, seq, bytes,
               Map("column" -> keyCol, "bucket" -> b.toString),
               codec = Some("zstd"))
-          }.toSeq,
+          }.toSeq ++
+            untouched.map { case (m, raw) =>
+              Puffin.Blob(BlobType, Seq(keyId), snapshotId, seq,
+                Array.emptyByteArray, m.properties, m.codec,
+                storedData = Some(raw))
+            } ++
+            foreignRaw.map { case (m, raw) =>
+              Puffin.Blob(m.blobType, m.fields, m.snapshotId,
+                m.sequenceNumber, Array.emptyByteArray, m.properties,
+                m.codec, storedData = Some(raw))
+            },
           Map("created-by" -> "graft"))
         val statsFile = statsEntry(current, snapshotId, path, metas, seq)
         md => md.copy(

@@ -577,8 +577,33 @@ object Serving {
       // would double-count the window a concurrent fold already landed
       val from = aggWatermark(current)
       if (from == to) current // this window is already folded
-      else if (!toAncestors.contains(from))
-        current // a concurrent fold advanced past `to`: window subsumed
+      else if (!toAncestors.contains(from)) {
+        // `from` is not on `to`'s ancestry. Two very different causes:
+        //   - a concurrent fold advanced the watermark PAST `to` — then
+        //     `to` is an ancestor of `from` and this window is subsumed
+        //     (benign: its rows are already folded);
+        //   - the source's history was rewritten/rolled back under the
+        //     watermark — then NO ancestry relates them, and silently
+        //     no-oping would wedge the aggregate forever (every future
+        //     fold lands here), serving stale counts with no refusal.
+        // Re-read the source's metadata for the check: a concurrent
+        // fold that advanced the watermark read a NEWER source than the
+        // handle this call was given, so `from` may postdate it.
+        val srcNow = source.refresh()
+        val byIdNow = srcNow.metadata.snapshots
+          .map(s => s.snapshotId -> s).toMap
+        val fromAncestors = Iterator.iterate(byIdNow.get(from))(
+          _.flatMap(_.parentSnapshotId).flatMap(byIdNow.get))
+          .takeWhile(_.isDefined).map(_.get.snapshotId).toSet
+        if (fromAncestors.contains(to)) current // window subsumed: folded
+        else throw new IllegalStateException(
+          s"aggregate ${agg.metadata.location} carries watermark $from, " +
+            s"which shares no ancestry with source snapshot $to of " +
+            s"${source.metadata.location} — the source's history was " +
+            "rewritten or rolled back under the watermark, so appended " +
+            "windows can no longer be folded exactly; rebuild the " +
+            "aggregate via persistGroupAgg")
+      }
       else {
         val readSnapshot = current.metadata.currentSnapshotId
         val delta = Curation.materialize(aggregateOf(
@@ -790,18 +815,6 @@ object Serving {
       col("cell")))
   }
 
-  /** Incremental ingestion dedup against the PERSISTED band index: only
-    * the new batch is hashed fresh; the corpus side's signatures come
-    * from the table scan AS IS — the artifact's write path enforced the
-    * bucket-census cap ([[persistBandIndex]]/[[indexBatch]]), so the
-    * index side is a bare scan feeding one equi-join (the batch side
-    * broadcasts when small): O(batch) probe work at any index size,
-    * the contract [[Dedup.incrementalDedup]]'s scaladoc promises.
-    * Candidate verification joins back to `indexDocs` for exact Jaccard
-    * (the corpus of record stays the source of truth; the index holds
-    * only signatures), shingling candidate-matched docs only. Output
-    * contract identical to incrementalDedup: (new_id, n_dups,
-    * first_match nullable). */
   /** A probing batch with at most this many distinct keys pushes them
     * as an In predicate into the index scan (driver state is the key
     * set itself — O(batch × bands), the same bounded class as the
@@ -900,6 +913,18 @@ object Serving {
       hintBroadcastBatch = pruned)
   }
 
+  /** Incremental ingestion dedup against the PERSISTED band index: only
+    * the new batch is hashed fresh; the corpus side's signatures come
+    * from the table scan AS IS — the artifact's write path enforced the
+    * bucket-census cap ([[persistBandIndex]]/[[indexBatch]]), so the
+    * index side is a bare scan feeding one equi-join (the batch side
+    * broadcasts when small): O(batch) probe work at any index size,
+    * the contract [[Dedup.incrementalDedup]]'s scaladoc promises.
+    * Candidate verification joins back to `indexDocs` for exact Jaccard
+    * (the corpus of record stays the source of truth; the index holds
+    * only signatures), shingling candidate-matched docs only. Output
+    * contract identical to incrementalDedup: (new_id, n_dups,
+    * first_match nullable). */
   def dedupAgainstBandIndex(t: GraftTable, spark: SparkSession,
       indexDocs: DataFrame, newDocs: DataFrame, threshold: Double = 0.5,
       bands: Int = 16, rows: Int = 4,

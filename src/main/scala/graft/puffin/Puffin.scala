@@ -50,7 +50,13 @@ object Puffin {
       properties: Map[String, String] = Map.empty,
       /** Per-blob compression (puffin spec `compression-codec`):
         * None = store raw; Some("zstd") compresses on write. */
-      codec: Option[String] = None)
+      codec: Option[String] = None,
+      /** Already-ENCODED payload bytes (as stored in a source file,
+        * i.e. compressed per `codec`): when set, [[write]] copies them
+        * byte-for-byte instead of re-compressing `data` — the
+        * carry-forward path for blobs moving between files undecoded
+        * (`data` is ignored and may be empty). */
+      storedData: Option[Array[Byte]] = None)
 
   final case class BlobMetadata(
       blobType: String,
@@ -98,7 +104,7 @@ object Puffin {
     out.write(Magic)
     val metas = blobs.map { b =>
       val offset = out.size().toLong
-      val stored = compress(b.codec, b.data)
+      val stored = b.storedData.getOrElse(compress(b.codec, b.data))
       out.write(stored)
       BlobMetadata(b.blobType, b.fields, b.snapshotId, b.sequenceNumber,
         offset, stored.length.toLong, b.properties, b.codec)
@@ -135,14 +141,19 @@ object Puffin {
   /** Read one blob's payload bytes (decompressed per its
     * `compression-codec` footer entry — zstd and lz4-frame supported;
     * reader.rs:70-75 shape, plus the lz4 read the reference refuses). */
-  def readBlob(io: FileIO, path: String, meta: BlobMetadata): Array[Byte] = {
+  def readBlob(io: FileIO, path: String, meta: BlobMetadata): Array[Byte] =
+    decompress(meta.codec, readBlobStored(io, path, meta))
+
+  /** Read one blob's STORED bytes (no decompression) — pairs with
+    * [[Blob.storedData]] so an untouched blob moves between files
+    * byte-for-byte without a decode/re-encode round trip. */
+  def readBlobStored(io: FileIO, path: String,
+      meta: BlobMetadata): Array[Byte] = {
     val in = io.open(path)
-    val raw =
-      try {
-        in.skip(meta.offset)
-        in.readNBytes(meta.length.toInt)
-      } finally in.close()
-    decompress(meta.codec, raw)
+    try {
+      in.skip(meta.offset)
+      in.readNBytes(meta.length.toInt)
+    } finally in.close()
   }
 
   private def footerJson(metas: Seq[BlobMetadata], props: Map[String, String]): String = {

@@ -323,5 +323,119 @@ class MembershipSpec extends AnyFunSuite with BeforeAndAfterAll {
     val copies = keyed(docs).limit(5)
       .select((col("doc_id") + 7000000).as("doc_id"), col("k"))
     assert(Membership.newKeys(t, spark, copies, "k").count() === 0)
+
+    // the coexistence contract must survive MAINTENANCE too: a fold
+    // rewrites the statistics slot, and the foreign blobs (NDV sketches)
+    // must ride into the new file, not fall out at the first commit
+    val fresh = keyed(docs).limit(8).select(
+      (col("doc_id") + 8000000).as("doc_id"),
+      md5(concat(col("k"), lit("fold"))).as("k"))
+    t = Membership.membershipIndexBatch(t, fresh, "k")
+    val afterFold = graft.puffin.Sketches.readCurrentStats(t)
+    assert(afterFold.map(_.column) === sketches.map(_.column),
+      "the fold dropped the foreign NDV blobs from the stats slot")
+    assert(afterFold.map(_.estimate) === sketches.map(_.estimate))
+  }
+
+  test("fold IO: untouched buckets' blob bytes carry forward stored, byte-for-byte") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    var t = Membership.persistKeyedCorpus(keyed(docs), "raw",
+      freshCatalog("raw"), "k")
+    t = Membership.writeMembershipFilter(t, spark, "k")
+    def storedBlobs(x: graft.table.GraftTable): Map[Int, Seq[Byte]] = {
+      val sf = x.metadata.statisticsFor(x.metadata.currentSnapshotId.get).get
+      val (metas, _) = graft.puffin.Puffin.readMetadata(x.io, sf.statisticsPath)
+      metas.filter(_.blobType == Membership.BlobType).map { m =>
+        m.properties("bucket").toInt ->
+          graft.puffin.Puffin.readBlobStored(x.io, sf.statisticsPath, m).toSeq
+      }.toMap
+    }
+    val before = storedBlobs(t)
+    assert(before.size > 1, "fixture must fill more than one key bucket")
+    // a single-key batch touches exactly one bucket
+    val one = keyed(docs).limit(1).select(
+      (col("doc_id") + 9000000).as("doc_id"),
+      md5(concat(col("k"), lit("one"))).as("k"))
+    t = Membership.membershipIndexBatch(t, one, "k")
+    val afterM = storedBlobs(t)
+    val changed = before.keySet.filter(b =>
+      afterM.get(b).exists(_ != before(b)))
+    assert(changed.size <= 1,
+      s"a one-key fold rewrote ${changed.size} buckets' bytes — untouched " +
+        "blobs must carry forward without a decode/re-encode round trip")
+    val untouchedSame = (before.keySet -- changed)
+      .forall(b => afterM(b) == before(b))
+    assert(untouchedSame, "an untouched bucket's stored bytes drifted")
+  }
+
+  test("null keys are refused with a clear message, not an executor NPE") {
+    val spark2 = spark
+    import spark2.implicits._
+    val good = Seq((1L, "aa"), (2L, "bb")).toDF("doc_id", "k")
+    val bad = Seq((3L, "cc"), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "k")
+    val cat = freshCatalog("nullk")
+    val e1 = intercept[IllegalArgumentException] {
+      Membership.persistKeyedCorpus(bad, "nk1", cat, "k")
+    }
+    assert(e1.getMessage.contains("NULL k keys"))
+    var t = Membership.persistKeyedCorpus(good, "nk2", cat, "k")
+    t = Membership.writeMembershipFilter(t, spark, "k")
+    val e2 = intercept[IllegalArgumentException] {
+      Membership.newKeys(t, spark, bad, "k")
+    }
+    assert(e2.getMessage.contains("NULL k keys"))
+    val e3 = intercept[IllegalArgumentException] {
+      Membership.membershipIndexBatch(t, bad, "k")
+    }
+    assert(e3.getMessage.contains("NULL k keys"))
+  }
+
+  test("reattach refuses when expiry raced the walk (stale handle, deleted file)") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    var t = Membership.persistKeyedCorpus(
+      keyed(docs.filter(col("doc_id") % 10 =!= 0)), "race",
+      freshCatalog("race"), "k")
+    t = Membership.writeMembershipFilter(t, spark, "k")
+    t = graft.table.Maintenance.rewriteDataFiles(t, spark)
+    // the handle a re-attach would walk: current = replace (uncovered),
+    // parent = the covered build snapshot
+    val stale = t
+    // expiry lands between the walk's metadata read and the commit: the
+    // covered ancestor and its stats FILE are gone from the live table
+    val coveredSf = stale.metadata.statistics.head
+    graft.table.Maintenance.expireSnapshots(t.refresh(),
+      olderThanMs = System.currentTimeMillis() + 1000, retainLast = 1)
+    assert(!stale.io.exists(coveredSf.statisticsPath),
+      "expiry should have deleted the dropped ancestor's stats file")
+    // the stale handle still SEES the ancestor + entry; the re-attach
+    // must re-walk against the live metadata and refuse — committing
+    // the stale walk's entry would register a dangling path
+    val e = intercept[IllegalStateException] {
+      Membership.reattachAfterRewrite(stale)
+    }
+    assert(e.getMessage.contains("writeMembershipFilter"),
+      s"refusal must direct the caller to rebuild: ${e.getMessage}")
+    // and no dangling registration landed
+    val live = stale.refresh()
+    live.metadata.statistics.foreach(sf =>
+      assert(live.io.exists(sf.statisticsPath),
+        s"dangling statistics entry committed: ${sf.statisticsPath}"))
+
+    // the delete-files-before-commit ordering: entry still registered in
+    // live metadata but the file is already gone — the existence check
+    // inside the CAS loop refuses instead of moving a dead pointer
+    var t2 = Membership.persistKeyedCorpus(
+      keyed(docs.filter(col("doc_id") % 10 === 0)), "race2",
+      freshCatalog("race2"), "k")
+    t2 = Membership.writeMembershipFilter(t2, spark, "k")
+    t2 = graft.table.Maintenance.rewriteDataFiles(t2, spark)
+    val sf2 = t2.metadata.statistics.head
+    t2.io.delete(sf2.statisticsPath)
+    val e2 = intercept[IllegalStateException] {
+      Membership.reattachAfterRewrite(t2)
+    }
+    assert(e2.getMessage.contains("missing"),
+      s"expected the existence-check refusal: ${e2.getMessage}")
   }
 }

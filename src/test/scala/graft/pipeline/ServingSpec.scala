@@ -731,6 +731,41 @@ class ServingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("NULL group keys"))
   }
 
+  test("aggregate fold: stale-window subsumed silently, rollback refused") {
+    import graft.spec.{IcebergSchema, PartitionSpec}
+    val spark2 = spark
+    import spark2.implicits._
+    val cat = freshCatalog("iaggw")
+    var src = graft.table.GraftTable.create("srcw", cat,
+      IcebergSchema.fromSpark(Seq(("a", 1L)).toDF("g", "v").schema),
+      PartitionSpec(0, Nil))
+      .append(Seq(("a", 1L), ("b", 2L)).toDF("g", "v"))
+    var agg = Serving.persistGroupAgg(src, spark2, "aggw", cat, Seq("g"), "v")
+
+    // a concurrent fold advanced the watermark PAST a stale handle's
+    // `to`: the stale fold's window is subsumed — benign no-op
+    src = src.append(Seq(("a", 10L)).toDF("g", "v"))
+    val srcMid = src // stale handle: current = the first append
+    src = src.append(Seq(("b", 20L)).toDF("g", "v"))
+    agg = Serving.aggFold(agg, src, spark2, Seq("g"), "v") // wm → newest
+    val snaps = agg.metadata.currentSnapshotId
+    agg = Serving.aggFold(agg, srcMid, spark2, Seq("g"), "v")
+    assert(agg.metadata.currentSnapshotId === snaps,
+      "a subsumed window must no-op, not re-fold")
+
+    // a source ROLLBACK + new append leaves the watermark on no
+    // ancestry: silently no-oping would wedge the aggregate forever
+    // (every future fold lands in the same branch) — it must refuse
+    val keep = src.metadata.snapshots.head.snapshotId
+    src = src.rollbackTo(keep)
+    src = src.append(Seq(("c", 30L)).toDF("g", "v"))
+    val e = intercept[IllegalStateException] {
+      Serving.aggFold(agg, src, spark2, Seq("g"), "v")
+    }
+    assert(e.getMessage.contains("persistGroupAgg"),
+      s"refusal must direct the caller to rebuild: ${e.getMessage}")
+  }
+
   test("persisted IVFADC reproduces ivfAdcSearch, probed cells pruned") {
     val e = graft.Tables.embeddings(spark, sfDir)
     val queries = e.filter(col("vec_id") < 5)

@@ -182,6 +182,18 @@ class PuffinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Puffin.readBlob(io, path, readMetas.head).toSeq === payload.toSeq)
     assert(Puffin.readBlob(io, path, readMetas(1)).toSeq === payload.toSeq)
 
+    // stored-bytes carry-forward: move the zstd blob to a new file
+    // byte-for-byte (no decode/re-encode) and read it back decompressed
+    val stored = Puffin.readBlobStored(io, path, readMetas.head)
+    assert(stored.length === readMetas.head.length)
+    val path2 = s"$dir/z2.puffin"
+    Puffin.write(io, path2, Seq(Puffin.Blob("t1", Nil, 2L, 2L,
+      Array.emptyByteArray, codec = Some("zstd"), storedData = Some(stored))))
+    val (m2, _) = Puffin.readMetadata(io, path2)
+    assert(m2.head.length === readMetas.head.length,
+      "carried blob must be byte-identical in stored form")
+    assert(Puffin.readBlob(io, path2, m2.head).toSeq === payload.toSeq)
+
     // a FOREIGN lz4-frame blob (the codec the reference refuses to read;
     // Java writers may emit it): decompresses through the same surface
     val lzBytes = {
