@@ -11,7 +11,8 @@ object Registry {
     IcebergQueries.all,
     PipelineQueries.all,
     WritePathQueries.all,
-    StreamingQueries.all
+    StreamingQueries.all,
+    MaintenanceQueries.all
   )
 
   lazy val all: Seq[Q] = {

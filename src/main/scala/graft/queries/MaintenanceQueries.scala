@@ -1,0 +1,304 @@
+package graft.queries
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.expr.{BinaryPred, GtEq, In => PIn, SetPred}
+import graft.pipeline.{Membership, Serving, TextHash}
+import graft.table.GraftTable
+
+/** MAINTENANCE-ONLY bench lines (VERDICT r12 item 2): the composite
+  * serving queries (w08/w09/p97/p101/p103) time build+maintain+probe in
+  * one number, so the maintenance increment — the thing production
+  * re-runs every trigger — was invisible to round-over-round tracking.
+  * Each m-query here builds its artifact ONCE per JVM (outside the
+  * timed region, in a warehouse pinned past the harness's per-run
+  * cleanup — the same shape the 10× scale probe uses) and times only
+  * one maintenance round trip:
+  *
+  *   fold a small fixed batch (fresh disjoint ids per run, the ingest
+  *   contract) + read the folded state back through a PRUNED scan.
+  *
+  * The read-back doubles as the correctness surface: ids/values are
+  * offset-normalized so every run returns the same rows, and each
+  * query carries a DuckDB oracle — the fold's written state must match
+  * a from-scratch recompute of the batch, every bench run. Pruning
+  * keeps the read O(batch) at any artifact size: the inverted/aggregate
+  * read-backs push the touched term/group keys as an In predicate, and
+  * the band/IVF read-backs push `id >= offset` — the per-run offset is
+  * strictly increasing, so file column bounds (InclusiveMetrics) prune
+  * every file but the fold's own.
+  *
+  * Drift note: the artifact accumulates one small eq-delete/append per
+  * run (the w08-spec'd compaction story); at the bench's 4 folds per
+  * JVM the MoR tax is noise, and per-run offsets keep runs disjoint so
+  * no fold ever re-touches a prior run's keys.
+  */
+object MaintenanceQueries {
+
+  /** Fixed small maintenance batches — the continuous-ingest shape
+    * (~25 docs / ~50 vectors at sf0.1). */
+  private def docBatch(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).filter(col("doc_id") % 200 === 7)
+  private def vecBatch(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).filter(col("vec_id") % 40 === 7)
+
+  /** Per-run id offset: strictly increasing, far above any fixture id,
+    * so every run's fold is disjoint and its files' id bounds sit above
+    * every earlier file's — the `id >= off` read-back plans only this
+    * run's files. */
+  private val nextOffset = new AtomicLong(1000000000L)
+
+  /** Per-JVM artifact cache, keyed (family, sf dir). Handles mutate as
+    * folds land, so all access serializes on [[lock]] — the harnesses
+    * run queries sequentially, the lock just makes that a guarantee. */
+  private val lock = new Object
+  private val cache = scala.collection.mutable.Map[(String, String), Any]()
+  private def artifact[T](family: String, dir: String)(build: => T): T =
+    cache.getOrElseUpdate((family, dir), build).asInstanceOf[T]
+  private def update(family: String, dir: String, v: Any): Unit =
+    cache((family, dir)) = v
+
+  /** m01: inverted-index fold ([[Serving.indexDocsBatch]], the w08
+    * increment). Read-back = term-pruned before/after diff, which must
+    * equal indexing the batch from scratch (df/tf add exactly for
+    * disjoint doc ids). */
+  val m01 = Q.sql(
+    "m01_inverted_fold_only",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      |  FROM documents WHERE doc_id % 200 = 7),
+      |cells AS (SELECT term, doc_id, count(*) AS tf_doc
+      |          FROM toks GROUP BY term, doc_id)
+      |SELECT term, count(*)::BIGINT AS df, sum(tf_doc)::BIGINT AS tf
+      |FROM cells GROUP BY term ORDER BY term""".stripMargin,
+    bench = true
+  ) { (s, d) => lock.synchronized {
+    val t0 = artifact[GraftTable]("m01", d) {
+      Serving.persistInvertedIndex(Tables.documents(s, d), "m01inv",
+        Q.pinnedCatalog(s, "m01"))
+    }
+    val off = nextOffset.getAndAdd(1000000L)
+    val batch = docBatch(s, d).withColumn("doc_id", col("doc_id") + off)
+    // touched terms: the fixture vocabulary is ~30 words — bounded
+    val terms = batch
+      .select(explode(TextHash.words(col("text"))).as("term")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    def read(t: GraftTable) = Serving.lookupTerms(t, s, terms)
+    // the pre-fold scan binds to the pre-fold snapshot (time travel),
+    // so it stays exact even though it evaluates after the fold commits
+    val before = read(t0).select(col("term"),
+      col("df").as("_df0"), col("tf").as("_tf0"))
+    val t1 = Serving.indexDocsBatch(t0, batch)
+    update("m01", d, t1)
+    read(t1).select(col("term"), col("df").as("_df1"), col("tf").as("_tf1"))
+      .join(before, Seq("term"), "left")
+      .select(col("term"),
+        (col("_df1") - coalesce(col("_df0"), lit(0L))).as("df"),
+        (col("_tf1") - coalesce(col("_tf0"), lit(0L))).as("tf"))
+      .orderBy(col("term"))
+  }}
+
+  /** m02: band-index fold ([[Serving.indexBatch]], the p93 increment).
+    * Read-back = this run's postings via `doc_id >= off` file-bounds
+    * pruning; each eligible doc (≥3 words) writes exactly `bands`=16
+    * postings (census cap 10000 unreachable at fixture scale).
+    *
+    * Cost anatomy (measured r13, sf0.1): this is the suite's priciest
+    * maintenance increment BY DESIGN of the artifact's spec — a 25-doc
+    * batch carries ~400 distinct band keys, which touch ~282 of the 512
+    * (band_idx × key_bucket) partitions, so the fanout writer MUST cut
+    * ~282 one-row files per fold (a data file belongs to one partition),
+    * and the serializable census scan pays one file-open per live file —
+    * O(files since compaction), ~512 at build +282/fold. The In prune is
+    * structurally nil here (400 keys cover all 32 key-buckets; pruning
+    * is for small batches, and this batch is bucket-saturating). The
+    * read-back itself demonstrates the bounds pruning: it plans exactly
+    * this fold's ~282 files out of the whole artifact. Production bounds
+    * the census via compaction cadence (the ServingSpec compaction
+    * round-trip); the bench line starts a fresh artifact per JVM and
+    * folds 4× (warmup + 3), so its median is comparable round-over-
+    * round while honestly carrying the tiny-file growth drift. */
+  val m02 = Q.sql(
+    "m02_band_fold_only",
+    """SELECT doc_id, 16::BIGINT AS n_bands
+      |FROM documents
+      |WHERE doc_id % 200 = 7 AND len(string_split(lower(text), ' ')) >= 3
+      |ORDER BY doc_id""".stripMargin,
+    bench = true
+  ) { (s, d) => lock.synchronized {
+    val t0 = artifact[GraftTable]("m02", d) {
+      Serving.persistBandIndex(Tables.documents(s, d), "m02band",
+        Q.pinnedCatalog(s, "m02"))
+    }
+    val off = nextOffset.getAndAdd(1000000L)
+    val batch = docBatch(s, d).withColumn("doc_id", col("doc_id") + off)
+    val t1 = Serving.indexBatch(t0, batch)
+    update("m02", d, t1)
+    t1.newScan().withFilter(BinaryPred(GtEq, "doc_id", off)).toDF(s)
+      .groupBy((col("doc_id") - off).as("doc_id"))
+      .agg(count(lit(1)).as("n_bands"))
+      .orderBy(col("doc_id"))
+  }}
+
+  /** m03: IVF assign/append ([[Serving.ivfIndexBatch]], the p97
+    * increment — frozen quantizer, one identity(cell) append).
+    * Read-back = this run's (vec_id, cell) rows via `vec_id >= off`
+    * pruning, reading only the two integer columns (never the float
+    * array); the oracle recomputes the assignment against the same
+    * md5-sampled centroids (p95's cent CTE). */
+  val m03 = Q.sql(
+    "m03_ivf_fold_only",
+    ivfAssignOracle,
+    bench = true
+  ) { (s, d) => lock.synchronized {
+    val (t0, ct) = artifact[(GraftTable, GraftTable)]("m03", d) {
+      Serving.persistIvfIndex(Tables.embeddings(s, d), "m03ivf",
+        Q.pinnedCatalog(s, "m03"))
+    }
+    val off = nextOffset.getAndAdd(1000000L)
+    val batch = vecBatch(s, d).withColumn("vec_id", col("vec_id") + off)
+    val t1 = Serving.ivfIndexBatch(t0, ct, batch)
+    update("m03", d, (t1, ct))
+    t1.newScan().withFilter(BinaryPred(GtEq, "vec_id", off)).toDF(s)
+      .select((col("vec_id") - off).as("vec_id"), col("cell"))
+      .orderBy(col("vec_id"))
+  }}
+
+  /** m04: IVFADC encode/append ([[Serving.ivfPqIndexBatch]], the p101
+    * increment — frozen quantizer AND codebook, packed-code append).
+    * Same read-back/oracle shape as m03 (the coarse routing; the code
+    * words' exactness is pinned by ServingSpec's fold-vs-recompute
+    * test) — but the value comes from the IVFADC artifact, so a fold
+    * that mis-assigned cells breaks the hash here. */
+  val m04 = Q.sql(
+    "m04_ivfpq_fold_only",
+    ivfAssignOracle,
+    bench = true
+  ) { (s, d) => lock.synchronized {
+    val (t0, ct, cb) = artifact[(GraftTable, GraftTable, GraftTable)]("m04", d) {
+      Serving.persistIvfPqIndex(Tables.embeddings(s, d), "m04pq",
+        Q.pinnedCatalog(s, "m04"))
+    }
+    val off = nextOffset.getAndAdd(1000000L)
+    val batch = vecBatch(s, d).withColumn("vec_id", col("vec_id") + off)
+    val t1 = Serving.ivfPqIndexBatch(t0, ct, cb, batch)
+    update("m04", d, (t1, ct, cb))
+    t1.newScan().withFilter(BinaryPred(GtEq, "vec_id", off)).toDF(s)
+      .select((col("vec_id") - off).as("vec_id"), col("cell"))
+      .orderBy(col("vec_id"))
+  }}
+
+  /** m05: membership fold ([[Membership.membershipIndexBatch]], the
+    * w09 increment — one atomic append + filter merge). Read-back = an
+    * exact probe of folded keys (must report duplicate) and never-folded
+    * keys (must report new); only the latter survive, so the oracle is
+    * the never-folded slice. */
+  val m05 = Q.sql(
+    "m05_membership_fold_only",
+    """SELECT doc_id + 700000 AS doc_id, md5(concat(text, 'm05x')) AS k
+      |FROM documents WHERE doc_id % 200 = 7
+      |ORDER BY doc_id""".stripMargin,
+    bench = true
+  ) { (s, d) => lock.synchronized {
+    val t0 = artifact[GraftTable]("m05", d) {
+      val corpus = Tables.documents(s, d)
+        .select(col("doc_id"), md5(col("text")).as("k"))
+      Membership.writeMembershipFilter(
+        Membership.persistKeyedCorpus(corpus, "m05mem",
+          Q.pinnedCatalog(s, "m05"), "k"),
+        s, "k")
+    }
+    val off = nextOffset.getAndAdd(1000000L)
+    // fixed keys (salt 'm05'), fresh row ids: re-folding sets the same
+    // bloom bits, so the probe below is deterministic from run 1
+    val fold = docBatch(s, d).select((col("doc_id") + off).as("doc_id"),
+      md5(concat(col("text"), lit("m05"))).as("k"))
+    val t1 = Membership.membershipIndexBatch(t0, fold, "k")
+    update("m05", d, t1)
+    val probe = docBatch(s, d)
+      .select((col("doc_id") + 600000L).as("doc_id"),
+        md5(concat(col("text"), lit("m05"))).as("k"))   // folded → dup
+      .unionAll(docBatch(s, d)
+        .select((col("doc_id") + 700000L).as("doc_id"),
+          md5(concat(col("text"), lit("m05x"))).as("k"))) // never folded
+    Membership.newKeys(t1, s, probe, "k").orderBy(col("doc_id"))
+  }}
+
+  /** m06: incremental aggregate fold ([[Serving.aggFold]], the p103
+    * increment — append-only window scan + one eq-delete/append
+    * upsert). Read-back = group-pruned before/after diff, which must
+    * equal aggregating the window from scratch (counts/integer sums
+    * fold exactly for disjoint rows). */
+  val m06 = Q.sql(
+    "m06_agg_fold_only",
+    """SELECT lang, source, count(*)::BIGINT AS cnt,
+      |  sum(n_chars)::BIGINT AS total
+      |FROM documents WHERE doc_id % 200 = 7
+      |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    bench = true
+  ) { (s, d) => lock.synchronized {
+    import graft.spec.{IcebergSchema, PartitionSpec}
+    val (src0, agg0) = artifact[(GraftTable, GraftTable)]("m06", d) {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      val cat = Q.pinnedCatalog(s, "m06")
+      val src = GraftTable.create("m06src", cat,
+        IcebergSchema.fromSpark(docs.schema), PartitionSpec(0, Nil))
+        .append(docs)
+      (src, Serving.persistGroupAgg(src, s, "m06agg", cat,
+        Seq("lang", "source"), "n_chars"))
+    }
+    val off = nextOffset.getAndAdd(1000000L)
+    val window = docBatch(s, d)
+      .select((col("doc_id") + off).as("doc_id"), col("lang"),
+        col("source"), col("n_chars"))
+    val groups = window.select(col("lang"), col("source")).distinct()
+    val langs = docBatch(s, d).select(col("lang")).distinct()
+      .collect().map(_.getString(0)).toSet[Any] // bounded: fixture langs
+    def read(a: GraftTable) =
+      a.newScan().withFilter(SetPred(PIn, "lang", langs)).toDF(s)
+        .join(groups, Seq("lang", "source"), "left_semi")
+    val before = read(agg0).select(col("lang"), col("source"),
+      col("cnt").as("_c0"), col("total").as("_t0"))
+    val src1 = src0.append(window)
+    val agg1 = Serving.aggFold(agg0, src1, s, Seq("lang", "source"),
+      "n_chars")
+    update("m06", d, (src1, agg1))
+    read(agg1).select(col("lang"), col("source"),
+      col("cnt").as("_c1"), col("total").as("_t1"))
+      .join(before, Seq("lang", "source"), "left")
+      .select(col("lang"), col("source"),
+        (col("_c1") - coalesce(col("_c0"), lit(0L))).as("cnt"),
+        (col("_t1") - coalesce(col("_t0"), lit(0L))).as("total"))
+      .orderBy(col("lang"), col("source"))
+  }}
+
+  /** Shared m03/m04 oracle: assign the batch vectors to the corpus's 64
+    * md5-sampled centroids (identical to p95's cent CTE — the quantizer
+    * both artifacts freeze at build time). */
+  private lazy val ivfAssignOracle: String =
+    """WITH cent AS (
+      |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+      |  ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT, vec_id
+      |  LIMIT 64),
+      |sc AS (
+      |  SELECT e.vec_id, c.cid,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> e.embedding[i]::DOUBLE * c.ce[i]::DOUBLE)) /
+      |    (sqrt(list_sum(list_transform(range(1, 65),
+      |       i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))) *
+      |     sqrt(list_sum(list_transform(range(1, 65),
+      |       i -> c.ce[i]::DOUBLE * c.ce[i]::DOUBLE)))) AS cs
+      |  FROM embeddings e, cent c
+      |  WHERE e.vec_id % 40 = 7)
+      |SELECT vec_id, cid AS cell FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY vec_id
+      |                               ORDER BY cs DESC, cid) AS rn FROM sc)
+      |WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
+  val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06)
+}

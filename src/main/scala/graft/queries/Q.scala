@@ -58,8 +58,19 @@ object Q {
     drained.forEach(wh => deleteRecursively(wh))
   }
 
+  /** Warehouses PINNED for the JVM's lifetime: the maintenance-only
+    * bench queries ([[MaintenanceQueries]]) build their artifact once
+    * per JVM and fold into it on every timed run, so the per-query
+    * harness cleanup must not delete it — reclaimed only by the
+    * shutdown hook. */
+  private val pinnedWarehouses =
+    java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
+
   locally {
-    Runtime.getRuntime.addShutdownHook(new Thread(() => dropTempWarehouses()))
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      dropTempWarehouses()
+      pinnedWarehouses.forEach(wh => deleteRecursively(wh))
+    }))
   }
 
   private[queries] def freshCatalog(spark: SparkSession,
@@ -67,6 +78,13 @@ object Q {
     val wh = java.nio.file.Files.createTempDirectory(s"graft-wb-$tag-").toString
     tempWarehouses.add(wh)
     (new graft.catalog.HadoopCatalog(wh, graft.io.FileIO.fromSpark(spark)), wh)
+  }
+
+  private[queries] def pinnedCatalog(spark: SparkSession,
+      tag: String): graft.catalog.HadoopCatalog = {
+    val wh = java.nio.file.Files.createTempDirectory(s"graft-wp-$tag-").toString
+    pinnedWarehouses.add(wh)
+    new graft.catalog.HadoopCatalog(wh, graft.io.FileIO.fromSpark(spark))
   }
 
   /** Operator with no SQL-expressible oracle (driver records rows-only check). */
