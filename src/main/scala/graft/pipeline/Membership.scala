@@ -280,6 +280,25 @@ object Membership {
       .map { case (b, m) => b -> Puffin.readBlob(t.io, path, m) }
       .toMap
 
+  /** Total touched-blob bytes above which [[mightContainCol]] ships the
+    * blobs as an explicit broadcast VARIABLE instead of binary Literals
+    * in the when-chain. Measured (tools/MembershipPlanCost →
+    * BENCH_PLANCOST.json, local[32], 100k-row batch, 4 buckets): the
+    * literal chain runs 0.30 s end-to-end at 4 MB total, 1.22 s at
+    * 32 MB, and HARD-FAILS at 256 MB — every task deserializes the
+    * taskBinary, so plan bytes multiply by the concurrent task count
+    * (32 × 256 MB ≈ the whole 8 g heap; tasks die in deserialization
+    * with "unread block data") — while the broadcast variant is flat
+    * 0.05–0.09 s at every size (one torrent ship, one deserialize per
+    * executor per bucket). Below the threshold the codegen'd literal
+    * chain keeps the probe whole-stage-generated (the scala-UDF row
+    * boundary is the broadcast path's only tax); above it that boundary
+    * is noise against the literal path's per-task deserialization.
+    * Overridable for tests/ops via -Dgraft.membership.literalBlobBytesMax. */
+  private[pipeline] def literalBlobBytesMax: Long =
+    sys.props.get("graft.membership.literalBlobBytesMax").map(_.toLong)
+      .getOrElse(16L * 1024 * 1024)
+
   /** might-contain Column for a key expression against per-bucket blobs:
     * a when-chain over the TOUCHED buckets only (the caller computed them
     * from the batch itself, so every batch row hits exactly one branch);
@@ -287,12 +306,26 @@ object Membership {
     * definitely new. Each branch is Spark's codegen'd
     * BloomFilterMightContain over the same xxhash64 the build aggregated,
     * with the blob riding as a binary literal (shipped once per stage via
-    * the broadcast task binary, deserialized once per executor). */
+    * the broadcast task binary — but deserialized once per TASK, which is
+    * why blob totals past [[literalBlobBytesMax]] switch to an explicit
+    * broadcast variable + per-executor-cached predicate: same verdicts,
+    * plan-size-free, measured flat at 256 MB where the literal path
+    * dies). The broadcast is cleaned by Spark's ContextCleaner once the
+    * returned Column's plan is unreachable. */
   private def mightContainCol(touched: Seq[Int], blobs: Map[Int, Array[Byte]],
       keyCol: String, nBuckets: Int): Column = {
     val bucket = graft.functions.IcebergBucketExpr.column(col(keyCol), nBuckets)
     val keyHash = xxhash64(col(keyCol))
-    touched.foldLeft(lit(false)) { (acc, b) =>
+    val totalBytes = blobs.valuesIterator.map(_.length.toLong).sum
+    if (totalBytes > literalBlobBytesMax) {
+      val spark = SparkSession.active
+      val bc = spark.sparkContext.broadcast(blobs)
+      val mc = udf { (b: Int, h: Long) =>
+        BloomBlobCache.get(bc.id, b, () => bc.value.get(b).orNull)
+          .exists(_.mightContainLong(h))
+      }
+      mc(bucket, keyHash)
+    } else touched.foldLeft(lit(false)) { (acc, b) =>
       blobs.get(b) match {
         case None => acc // empty corpus bucket: nothing to contain
         case Some(bytes) =>
@@ -576,6 +609,34 @@ object Membership {
             try current.io.delete(puffinPath) catch { case _: Throwable => () }
           throw e
       }
+    }
+  }
+}
+
+/** Per-executor cache of deserialized Bloom filters for the broadcast
+  * probe path, keyed (broadcastId, bucket): the UDF would otherwise
+  * deserialize megabytes per ROW. LRU-bounded at [[MaxEntries]] — a
+  * long-lived ingest loop creates a fresh broadcast per trigger, so an
+  * unbounded map would pin every trigger's filters for the JVM's life. */
+private[graft] object BloomBlobCache {
+  private val MaxEntries = 64
+  private val cache =
+    new java.util.LinkedHashMap[(Long, Int), Option[BloomFilter]](
+      MaxEntries * 2, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(Long, Int), Option[BloomFilter]]): Boolean =
+        size() > MaxEntries
+    }
+  def get(bcId: Long, bucket: Int,
+      load: () => Array[Byte]): Option[BloomFilter] = cache.synchronized {
+    val k = (bcId, bucket)
+    val hit = cache.get(k)
+    if (hit != null) hit
+    else {
+      val v = Option(load()).map(b => BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(b)))
+      cache.put(k, v)
+      v
     }
   }
 }

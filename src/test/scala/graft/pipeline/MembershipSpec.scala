@@ -368,6 +368,29 @@ class MembershipSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(untouchedSame, "an untouched bucket's stored bytes drifted")
   }
 
+  test("broadcast probe path (blobs past the literal boundary) is exact too") {
+    // force the over-threshold path: the verdicts — and therefore the
+    // exact newKeys answer — must be identical to the literal when-chain
+    // (BENCH_PLANCOST.json prices WHY the switch exists; this pins THAT
+    // it is semantics-free)
+    val docs = graft.Tables.documents(spark, sfDir)
+    val corpus = keyed(docs.filter(col("doc_id") % 10 =!= 0))
+    val batch = keyed(docs.filter(col("doc_id") % 10 === 0))
+      .unionAll(keyed(docs.filter(col("doc_id") % 100 === 7))
+        .select((col("doc_id") + 2000000).as("doc_id"), col("k")))
+    val oracle = ids(batch.join(corpus.select("k"), Seq("k"), "left_anti"))
+    val t0 = Membership.persistKeyedCorpus(corpus, "bcp", freshCatalog("bcp"), "k")
+    val t = Membership.writeMembershipFilter(t0, spark, "k")
+    val lit = ids(Membership.newKeys(t, spark, batch, "k"))
+    System.setProperty("graft.membership.literalBlobBytesMax", "0")
+    try {
+      assert(Membership.literalBlobBytesMax === 0L)
+      val bc = ids(Membership.newKeys(t, spark, batch, "k"))
+      assert(bc === oracle)
+      assert(bc === lit, "broadcast and literal probe paths disagree")
+    } finally System.clearProperty("graft.membership.literalBlobBytesMax")
+  }
+
   test("null keys are refused with a clear message, not an executor NPE") {
     val spark2 = spark
     import spark2.implicits._
