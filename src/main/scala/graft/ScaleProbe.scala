@@ -404,6 +404,39 @@ object ScaleProbe {
       val p99ms = medMaint(o =>
         memS = Membership.membershipIndexBatch(memS, freshKeyed(o), "k"))
 
+      // STREAMING membership ingest (p102) at 10× (r12 judge item 5):
+      // one foreachBatch trigger of a FIXED 16-row fresh-key batch
+      // through the full admission loop (probe → first-per-key admission
+      // → atomic fold) against the base vs the 10× corpus+filter — the
+      // per-trigger cost the batch numbers above cannot see (stream
+      // wiring, per-trigger corpus reload, admission window) must stay
+      // ~flat at 10× corpus. Median of 3 triggers after one warm one,
+      // fresh disjoint keys per trigger (the ingest contract).
+      def streamTrigger(corpusName: String, tag: String): Double = {
+        import spark.implicits._
+        implicit val sq = spark.sqlContext
+        val src = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, String)]
+        val q = graft.streaming.StreamingMembership.dedupIngest(
+          src.toDF().toDF("doc_id", "k"), corpusName, cat, "k", "doc_id")(
+          (_, _) => ())
+          .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+          .start()
+        var off = 700000000L + (if (tag == "s") 100000000L else 0L)
+        def once(): Double = {
+          val rows = (0 until 16).map(i => (off + i, s"sk-$tag-$off-$i"))
+          val t0 = System.nanoTime()
+          src.addData(rows: _*)
+          q.processAllAvailable()
+          off += 1000L
+          (System.nanoTime() - t0) / 1e9
+        }
+        try { once(); (1 to 3).map(_ => once()).sorted.apply(1) }
+        finally q.stop()
+      }
+      val p102b = streamTrigger("b99", "b")
+      val p102s = streamTrigger("s99", "s")
+
       f"""{"p93_probe":{"base_sec":$p93b%.3f,"scale10_sec":$p93s%.3f,""" +
         f""""ratio":${p93s / p93b}%.2f},""" +
         f""""p93_probe_fixed_batch_10x_index":{"base_sec":$p93b%.3f,""" +
@@ -425,7 +458,9 @@ object ScaleProbe {
         f""""p99_probe_small_batch_10x_index":{"base_sec":$p99pb%.3f,""" +
         f""""sec":$p99ps%.3f,"ratio":${p99ps / p99pb}%.2f},""" +
         f""""p99_maintain_only":{"base_sec":$p99mb%.3f,"sec_10x":$p99ms%.3f,""" +
-        f""""ratio":${p99ms / p99mb}%.2f}}"""
+        f""""ratio":${p99ms / p99mb}%.2f},""" +
+        f""""p102_stream_trigger":{"base_sec":$p102b%.3f,"sec_10x":$p102s%.3f,""" +
+        f""""ratio":${p102s / p102b}%.2f}}"""
     } finally {
       try {
         import java.util.Comparator

@@ -42,18 +42,30 @@ final class GraftSource extends TableProvider with DataSourceRegister
 
   override def shortName(): String = "graft"
 
-  /** `catalog-type` routes table resolution through CatalogLoader with
-    * the full option bag as its property map (`Catalog.loaderProps` is
-    * the producing side) — the reader works against any
-    * property-describable backend (jdbc/rest/...), not just a Hadoop
-    * warehouse; absent, the original warehouse shorthand applies. */
+  /** Catalog resolution, most-specific option first:
+    *   - `catalog-ref`: a process-local [[graft.catalog.CatalogRegistry]]
+    *     reference to a LIVE catalog instance — the credential-safe
+    *     path (REST tokens / secrets never enter the option bag, so
+    *     they never surface in plan strings or event logs);
+    *   - `catalog-type`: reconstruct through CatalogLoader with the
+    *     full option bag as its property map (`Catalog.loaderProps` is
+    *     the producing side) — any property-describable backend
+    *     (jdbc/hadoop/...);
+    *   - neither: the original `warehouse` shorthand. */
   private def catalogOf(options: CaseInsensitiveStringMap): graft.catalog.Catalog =
-    Option(options.get("catalog-type")) match {
-      case Some(tpe) =>
+    (Option(options.get("catalog-ref")), Option(options.get("catalog-type"))) match {
+      case (Some(ref), _) =>
+        graft.catalog.CatalogRegistry.lookup(ref).getOrElse(
+          throw new IllegalArgumentException(
+            s"catalog-ref '$ref' is not registered in this process — refs " +
+              "are process-local live-instance handles (CatalogRegistry), " +
+              "not serializable descriptions; for cross-process resolution " +
+              "use catalog-type with a self-describing property bag"))
+      case (None, Some(tpe)) =>
         import scala.jdk.CollectionConverters._
         graft.catalog.CatalogLoader.load(tpe,
           options.asCaseSensitiveMap.asScala.toMap)
-      case None =>
+      case (None, None) =>
         val warehouse = Option(options.get("warehouse")).getOrElse(
           throw new IllegalArgumentException("option 'warehouse' is required"))
         new HadoopCatalog(warehouse, new FileIO(new Configuration()))

