@@ -20,6 +20,12 @@ OUT="BENCH_CONTROL_${MODE}.jsonl"
 LOADPID=""
 cleanup() { [ -n "$LOADPID" ] && kill "$LOADPID" 2>/dev/null || true; }
 trap cleanup EXIT
+if [ "$MODE" = "throttled" ]; then
+  CG=/sys/fs/cgroup/blkio/graftbench
+  mkdir -p "$CG"
+  echo "254:0 20971520" > "$CG/blkio.throttle.read_bps_device"
+  echo "254:0 20971520" > "$CG/blkio.throttle.write_bps_device"
+fi
 if [ "$MODE" = "loadeddisk" ]; then
   ( while true; do
       dd if=/dev/zero of=/tmp/.graft_loadgen bs=4M count=64 conv=fsync 2>/dev/null
@@ -29,6 +35,15 @@ if [ "$MODE" = "loadeddisk" ]; then
 fi
 for i in $(seq 1 "$RUNS"); do
   if [ "$MODE" = "coldcache" ]; then sync; echo 3 > /proc/sys/vm/drop_caches; fi
-  tools/bench_fork.sh /root/testdata/sf0.1 "$SUBSET" 2>&1 | grep '^{' >> "$OUT"
+  if [ "$MODE" = "throttled" ]; then
+    sync; echo 3 > /proc/sys/vm/drop_caches  # throttle only bites uncached reads
+    sh -c 'echo $$ > /sys/fs/cgroup/blkio/graftbench/cgroup.procs; exec tools/bench_fork.sh /root/testdata/sf0.1 '"$SUBSET" 2>&1 | grep '^{' >> "$OUT"
+  else
+    tools/bench_fork.sh /root/testdata/sf0.1 "$SUBSET" 2>&1 | grep '^{' >> "$OUT"
+  fi
   echo "[controls] $MODE run $i/$RUNS done" >&2
 done
+# mode 'throttled': run the bench JVM inside a blkio cgroup capping vda
+# at 20 MB/s read+write (the literal "throttled mount" control) — set up
+# by the caller writing blkio.throttle.{read,write}_bps_device; this
+# script only moves the fork into the cgroup via cgexec-less sh -c.
