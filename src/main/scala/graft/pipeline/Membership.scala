@@ -114,7 +114,14 @@ object Membership {
     keyed.select(bucket, col(keyCol))
       .groupBy(col("_kb")).agg(agg.as("_blob"))
       .collect()
-      .map(r => (r.getInt(0), r.getAs[Array[Byte]](1)))
+      .map { r =>
+        // a null key buckets to a null group — refuse HERE, inside the
+        // collect this pass already pays, instead of a dedicated
+        // null-scan job on the maintenance hot path
+        if (r.isNullAt(0)) throw new IllegalArgumentException(
+          nullKeyMessage(keyCol, "filter-build/fold input"))
+        (r.getInt(0), r.getAs[Array[Byte]](1))
+      }
   }
 
   /** Build and register the membership filter for `t`'s CURRENT
@@ -205,20 +212,25 @@ object Membership {
         m.blobType, snapshotId, seq, m.fields, m.properties)))
   }
 
-  /** Refuse NULL keys up front (mirrors the aggregate artifact's
-    * requireNonNullGroups): a null key in the corpus would crash the
-    * filter build inside the bucket collect, and a null key in a probe
-    * batch would crash touched-bucket discovery — both as bare
-    * NullPointerExceptions far from the cause. Dedup keys here are
-    * digests; a null key means the digest expression itself is broken.
-    * O(1) data-side work: a limit-1 scan of the null slice. */
+  /** NULL keys are refused (mirrors the aggregate artifact's
+    * requireNonNullGroups): the filter cannot hash or bucket a null
+    * key, and the In-pruned verification would skip it. Dedup keys here
+    * are digests; a null key means the digest expression itself is
+    * broken. The HOT paths (probe, fold) detect the null ZERO-COST —
+    * a null key surfaces as a null bucket group inside collects those
+    * passes already pay (the r13 seal priced a dedicated null-scan job
+    * at ~0.1–0.15 s per maintenance op, 3 jobs on the w09 composite) —
+    * while the one-time corpus build keeps an explicit limit-1 scan. */
+  private def nullKeyMessage(keyCol: String, what: String): String =
+    s"$what contains NULL $keyCol keys — the membership filter cannot " +
+      "hash or bucket a null key (and the corpus scan's In-pruned " +
+      "verification would skip it); filter or coalesce the key column " +
+      "upstream"
+
   private def requireNonNullKeys(rows: DataFrame, keyCol: String,
       what: String): Unit =
     require(rows.filter(col(keyCol).isNull).limit(1).count() == 0,
-      s"$what contains NULL $keyCol keys — the membership filter cannot " +
-        "hash or bucket a null key (and the corpus scan's In-pruned " +
-        "verification would skip it); filter or coalesce the key column " +
-        "upstream")
+      nullKeyMessage(keyCol, what))
 
   private def requireColumn(t: GraftTable, keyCol: String): Unit =
     t.metadata.properties.get(PropColumn).foreach { c =>
@@ -360,10 +372,15 @@ object Membership {
     // the batch feeds three consumers (touched-bucket collect, both
     // prefilter branches) — materialize once, batch-bounded
     val b = Curation.materialize(batch)
-    requireNonNullKeys(b, keyCol, "probe batch")
     val bucket = graft.functions.IcebergBucketExpr.column(col(keyCol), nBuckets)
+    // ≤ nBuckets+1 rows by construction; a null key surfaces as a null
+    // bucket row — refused here, zero extra jobs on the probe path
     val touched = b.select(bucket.as("_kb")).distinct()
-      .collect().map(_.getInt(0)).toSeq // ≤ nBuckets rows by construction
+      .collect().map { r =>
+        if (r.isNullAt(0)) throw new IllegalArgumentException(
+          nullKeyMessage(keyCol, "probe batch"))
+        r.getInt(0)
+      }.toSeq
     // touched buckets FIRST, then blob IO for exactly those buckets —
     // a small batch reads O(touched) filter bytes, not the whole artifact
     val blobs = readBuckets(t, ff.path, ff.membership, Some(touched.toSet))
@@ -524,8 +541,9 @@ object Membership {
       keyCol: String): GraftTable = {
     requireColumn(t, keyCol)
     val nBuckets = bucketsOf(t, keyCol)
+    // null keys are refused inside foldAttempt's bucketBlooms collect
+    // (zero extra jobs on the maintenance path)
     val batch = Curation.materialize(newRows)
-    requireNonNullKeys(batch, keyCol, "maintenance batch")
     val batchRows = batch.count()
     if (batchRows == 0) return t
     Serving.retryDerivation(t, "membershipIndexBatch") { current =>
