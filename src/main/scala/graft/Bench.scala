@@ -1,6 +1,47 @@
 package graft
-import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+
+/** Per-run executor telemetry (VERDICT r13 item 1): wall time alone
+  * cannot distinguish "this query got slower" from "the host stalled
+  * under the benchmark" — the r12/r13 driver-window excursions (i02/i11,
+  * then p44 at ~17×) each cost a round of forensic control runs to
+  * attribute. Summing task metrics over each measured run makes the
+  * artifact self-attributing: a host stall shows wall ≫ Σtask-run-time
+  * (tasks weren't running, the clock was), IO contention shows task-run
+  * ≫ task-cpu (tasks ran but waited on reads), and a real regression
+  * shows task-cpu up. The listener counts EVERY task that ends inside
+  * the run window; the bus is flushed ([[GraftListenerBridge]]) before
+  * each snapshot so the window is exact, and the harness runs queries
+  * sequentially so no foreign tasks pollute it. */
+private final class TaskWindow extends SparkListener {
+  private val runMs = new AtomicLong // executor run time (scheduler clock)
+  private val cpuNs = new AtomicLong // executor cpu time (actual cycles)
+  private val gcMs = new AtomicLong
+  private val maxTaskMs = new AtomicLong
+  private val nTasks = new AtomicLong
+  override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+    val m = e.taskMetrics
+    if (m != null) {
+      runMs.addAndGet(m.executorRunTime)
+      cpuNs.addAndGet(m.executorCpuTime)
+      gcMs.addAndGet(m.jvmGCTime)
+      nTasks.incrementAndGet()
+      val d = if (e.taskInfo != null) e.taskInfo.duration else 0L
+      var cur = maxTaskMs.get()
+      while (d > cur && !maxTaskMs.compareAndSet(cur, d)) cur = maxTaskMs.get()
+    }
+  }
+  def reset(): Unit = { runMs.set(0); cpuNs.set(0); gcMs.set(0)
+    maxTaskMs.set(0); nTasks.set(0) }
+  /** (Σ task run sec, Σ task cpu sec, Σ gc sec, max single-task sec, tasks). */
+  def snapshot(): (Double, Double, Double, Double, Long) =
+    (runMs.get() / 1e3, cpuNs.get() / 1e9, gcMs.get() / 1e3,
+      maxTaskMs.get() / 1e3, nTasks.get())
+}
 
 /** Per-round benchmark harness (driver → BENCH_r{N}.json).
   *
@@ -55,12 +96,21 @@ object Bench {
       graft.queries.Q.dropTempWarehouses()
     }
 
-    def runOnce(q: graft.queries.Q): Double = {
+    val window = new TaskWindow
+    spark.sparkContext.addSparkListener(window)
+    /** One measured run: (wall sec, telemetry snapshot). The telemetry
+      * window opens after a bus flush and closes after one, so it holds
+      * exactly this run's tasks (queries run sequentially). */
+    def runOnce(q: graft.queries.Q): (Double, (Double, Double, Double, Double, Long)) = {
+      org.apache.spark.GraftListenerBridge.flushListenerBus(spark.sparkContext)
+      window.reset()
       val t0 = System.nanoTime()
       q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.GraftListenerBridge.flushListenerBus(spark.sparkContext)
+      val snap = window.snapshot()
       cleanup()
-      sec
+      (sec, snap)
     }
 
     // warmup: full pass
@@ -69,12 +119,14 @@ object Bench {
         System.err.println(s"[bench warmup] ${q.name}: ${e.getMessage}")
       }
     }
-    // measured: median of 3 per query, fixed (alphabetical) order
+    // measured: median of 3 per query, fixed (alphabetical) order; the
+    // reported telemetry belongs to the MEDIAN-wall run (the quoted one)
+    val noRun = (-1.0, (0.0, 0.0, 0.0, 0.0, 0L))
     val results = queries.map { q =>
       val runs = (1 to 3).map { _ =>
-        try runOnce(q) catch { case _: Throwable => -1.0 }
-      }.sorted
-      q.name -> (runs(1), runs.head)
+        try runOnce(q) catch { case _: Throwable => noRun }
+      }.sortBy(_._1)
+      q.name -> (runs(1), runs.head._1)
     }
 
     // fixture fingerprint: regen detection across rounds
@@ -86,12 +138,19 @@ object Bench {
       s""""$t":{"bytes":${f.length()},"mtime":${f.lastModified()},"rows":$rows}"""
     }.mkString("{", ",", "}")
 
-    val qMedians = results.map { case (k, (med, _)) => "\"" + k + "\":" + med }
+    val qMedians = results.map { case (k, ((med, _), _)) => "\"" + k + "\":" + med }
       .mkString("{", ",", "}")
     val qMins = results.map { case (k, (_, mn)) => "\"" + k + "\":" + mn }
       .mkString("{", ",", "}")
-    val total = results.map(_._2._1).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qMedians,"queries_min":$qMins,"fixture":$fixture,"sf":"$sfDir"}"""
+    // self-attribution telemetry (VERDICT r13 item 1), from the median
+    // run: wall ≫ task_run_sec/parallelism → the host stalled the clock;
+    // task_run ≫ task_cpu → tasks waited on IO; task_cpu up → real cost
+    val qTelemetry = results.map { case (k, ((_, (run, cpu, gc, mx, n)), _)) =>
+      f""""$k":{"task_run_sec":$run%.3f,"task_cpu_sec":$cpu%.3f,""" +
+        f""""gc_sec":$gc%.3f,"max_task_sec":$mx%.3f,"tasks":$n}"""
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2._1._1).filter(_ >= 0).sum
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qMedians,"queries_min":$qMins,"telemetry":$qTelemetry,"fixture":$fixture,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("BENCH_LOCAL.json"), json + "\n")
     spark.stop()
     println(json)
