@@ -302,14 +302,55 @@ object Membership {
     * (32 × 256 MB ≈ the whole 8 g heap; tasks die in deserialization
     * with "unread block data") — while the broadcast variant is flat
     * 0.05–0.09 s at every size (one torrent ship, one deserialize per
-    * executor per bucket). Below the threshold the codegen'd literal
-    * chain keeps the probe whole-stage-generated (the scala-UDF row
-    * boundary is the broadcast path's only tax); above it that boundary
-    * is noise against the literal path's per-task deserialization.
+    * executor per bucket). Both paths stay inside whole-stage codegen
+    * (the broadcast side via [[graft.functions.BloomBlobMightContainExpr]]
+    * — r13's scala-UDF row boundary is gone); the literal chain remains
+    * preferable below the threshold only because it ships no separate
+    * broadcast block and needs no per-executor cache slot.
     * Overridable for tests/ops via -Dgraft.membership.literalBlobBytesMax. */
   private[pipeline] def literalBlobBytesMax: Long =
     sys.props.get("graft.membership.literalBlobBytesMax").map(_.toLong)
       .getOrElse(16L * 1024 * 1024)
+
+  /** Thread-local sink for broadcasts the probe mints (null = inactive —
+    * one-shot [[newKeys]] callers must NOT have their broadcast pinned
+    * here past the call, so recording only happens under
+    * [[collectProbeBroadcasts]]). */
+  private val probeBroadcastSink =
+    new ThreadLocal[java.util.ArrayList[org.apache.spark.broadcast.Broadcast[_]]]()
+
+  private def recordProbeBroadcast(
+      bc: org.apache.spark.broadcast.Broadcast[_]): Unit = {
+    val s = probeBroadcastSink.get()
+    if (s != null) s.add(bc)
+  }
+
+  /** Run `body`, then RELEASE every broadcast the probe created inside
+    * it — the continuous-ingest loop mints a fresh filter broadcast per
+    * trigger, and leaving each to GC + ContextCleaner lets driver and
+    * executor broadcast blocks pile up for as long as GC pressure stays
+    * low. Safe because callers invoke this only after the probe's
+    * verdicts are MATERIALIZED (local-checkpointed), so no surviving
+    * plan re-executes the probe; under the persist/none materialize
+    * modes a recompute could, so the release degrades to
+    * `unpersist` (executor blocks drop, the driver value can
+    * re-broadcast on demand). */
+  private def collectProbeBroadcasts[T](spark: SparkSession)(body: => T): T = {
+    val outer = probeBroadcastSink.get()
+    val mine = new java.util.ArrayList[org.apache.spark.broadcast.Broadcast[_]]()
+    probeBroadcastSink.set(mine)
+    try body
+    finally {
+      probeBroadcastSink.set(outer)
+      val hard = spark.conf
+        .get("spark.graft.pipeline.materialize", "local-checkpoint") ==
+        "local-checkpoint"
+      mine.forEach { bc =>
+        try { if (hard) bc.destroy() else bc.unpersist(false) }
+        catch { case _: Throwable => () }
+      }
+    }
+  }
 
   /** might-contain Column for a key expression against per-bucket blobs:
     * a when-chain over the TOUCHED buckets only (the caller computed them
@@ -320,10 +361,15 @@ object Membership {
     * with the blob riding as a binary literal (shipped once per stage via
     * the broadcast task binary — but deserialized once per TASK, which is
     * why blob totals past [[literalBlobBytesMax]] switch to an explicit
-    * broadcast variable + per-executor-cached predicate: same verdicts,
-    * plan-size-free, measured flat at 256 MB where the literal path
-    * dies). The broadcast is cleaned by Spark's ContextCleaner once the
-    * returned Column's plan is unreachable. */
+    * broadcast variable probed through the codegen
+    * [[graft.functions.BloomBlobMightContainExpr]] + per-executor cache:
+    * same verdicts, plan-size-free, measured flat at 256 MB where the
+    * literal path dies). Broadcast lifetime: [[ingestBatch]] (the
+    * continuous-ingest loop, a fresh broadcast per trigger) destroys each
+    * trigger's broadcast as soon as its admissions are materialized —
+    * see [[recordProbeBroadcast]]; one-shot [[newKeys]] callers lean on
+    * Spark's ContextCleaner once the returned Column's plan is
+    * unreachable. */
   private def mightContainCol(touched: Seq[Int], blobs: Map[Int, Array[Byte]],
       keyCol: String, nBuckets: Int): Column = {
     val bucket = graft.functions.IcebergBucketExpr.column(col(keyCol), nBuckets)
@@ -332,11 +378,9 @@ object Membership {
     if (totalBytes > literalBlobBytesMax) {
       val spark = SparkSession.active
       val bc = spark.sparkContext.broadcast(blobs)
-      val mc = udf { (b: Int, h: Long) =>
-        BloomBlobCache.get(bc.id, b, () => bc.value.get(b).orNull)
-          .exists(_.mightContainLong(h))
-      }
-      mc(bucket, keyHash)
+      recordProbeBroadcast(bc)
+      graft.functions.BloomBlobMightContainExpr.column(bucket, keyHash, bc,
+        java.util.UUID.randomUUID().toString)
     } else touched.foldLeft(lit(false)) { (acc, b) =>
       blobs.get(b) match {
         case None => acc // empty corpus bucket: nothing to contain
@@ -498,12 +542,17 @@ object Membership {
     val nBuckets = bucketsOf(t, keyCol)
     var admitted: DataFrame = null
     val grown = Serving.retryDerivation(t, "ingestBatch") { current =>
-      val fresh = newKeys(current, batch.sparkSession, batch, keyCol)
-      val adm = Curation.materialize(fresh
-        .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col(keyCol)).orderBy(col(orderCol))))
-        .filter(col("_rn") === 1).drop("_rn"))
+      // the probe's broadcast (over-threshold filters) is released as
+      // soon as the admissions are materialized — a continuous trigger
+      // loop must not accumulate a broadcast block per trigger
+      val adm = collectProbeBroadcasts(batch.sparkSession) {
+        val fresh = newKeys(current, batch.sparkSession, batch, keyCol)
+        Curation.materialize(fresh
+          .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col(keyCol)).orderBy(col(orderCol))))
+          .filter(col("_rn") === 1).drop("_rn"))
+      }
       admitted = adm
       emit(adm)
       val n = adm.count()
@@ -632,22 +681,27 @@ object Membership {
 }
 
 /** Per-executor cache of deserialized Bloom filters for the broadcast
-  * probe path, keyed (broadcastId, bucket): the UDF would otherwise
-  * deserialize megabytes per ROW. LRU-bounded at [[MaxEntries]] — a
+  * probe path, keyed (cache token, bucket): the probe would otherwise
+  * deserialize megabytes per ROW. The token is a fresh UUID minted with
+  * each broadcast (never a broadcast id: ids restart from 0 with each
+  * new SparkContext, so in a JVM that restarts its session a stale
+  * entry could be served for a NEW filter's broadcast — a key present
+  * in the real filter probing as definitely-new would break the
+  * no-false-new safety contract). LRU-bounded at [[MaxEntries]] — a
   * long-lived ingest loop creates a fresh broadcast per trigger, so an
   * unbounded map would pin every trigger's filters for the JVM's life. */
 private[graft] object BloomBlobCache {
   private val MaxEntries = 64
   private val cache =
-    new java.util.LinkedHashMap[(Long, Int), Option[BloomFilter]](
+    new java.util.LinkedHashMap[(String, Int), Option[BloomFilter]](
       MaxEntries * 2, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(Long, Int), Option[BloomFilter]]): Boolean =
+          e: java.util.Map.Entry[(String, Int), Option[BloomFilter]]): Boolean =
         size() > MaxEntries
     }
-  def get(bcId: Long, bucket: Int,
+  def get(token: String, bucket: Int,
       load: () => Array[Byte]): Option[BloomFilter] = cache.synchronized {
-    val k = (bcId, bucket)
+    val k = (token, bucket)
     val hit = cache.get(k)
     if (hit != null) hit
     else {
@@ -657,4 +711,14 @@ private[graft] object BloomBlobCache {
       v
     }
   }
+
+  /** Static entry point for [[graft.functions.BloomBlobMightContainExpr]]
+    * generated code (and its interpreted eval): one cached-deserialize
+    * per (token, bucket) per executor, then k bit tests per row. A
+    * touched bucket absent from the map holds no corpus keys —
+    * definitely new. */
+  def mightContain(token: String, bc: org.apache.spark.broadcast.Broadcast[Map[Int, Array[Byte]]],
+      bucket: Int, hash: Long): Boolean =
+    get(token, bucket, () => bc.value.get(bucket).orNull)
+      .exists(_.mightContainLong(hash))
 }

@@ -97,16 +97,14 @@ object MembershipPlanCost {
         (System.nanoTime() - t0) / 1e9
       }
 
-      // ---- broadcast variable + per-executor deserialized UDF ----
+      // ---- broadcast variable + codegen expression (per-executor cache) ----
       System.err.println(s"[plancost] broadcast phase mb=$mb")
       val bc = spark.sparkContext.broadcast(blobs)
-      def broadcastCol(): Column = {
-        val f = udf { (b: Int, h: Long) =>
-          graft.pipeline.BloomBlobCache.get(bc.id, b, () => bc.value.get(b).orNull)
-            .exists(_.mightContainLong(h))
-        }
-        f(pmod(xxhash64(col("k")), lit(nBuckets)).cast("int"), xxhash64(col("k")))
-      }
+      val token = java.util.UUID.randomUUID().toString
+      def broadcastCol(): Column =
+        graft.functions.BloomBlobMightContainExpr.column(
+          pmod(xxhash64(col("k")), lit(nBuckets)).cast("int"),
+          xxhash64(col("k")), bc, token)
       val bcPlanSec = med3 { () =>
         val t0 = System.nanoTime()
         batch.filter(broadcastCol()).queryExecution.executedPlan

@@ -226,6 +226,29 @@ class MembershipSpec extends AnyFunSuite with BeforeAndAfterAll {
       "a replayed trigger must not create a snapshot")
   }
 
+  test("ingestBatch releases its probe broadcast per trigger (forced-broadcast path)") {
+    // the continuous-ingest loop mints one filter broadcast per trigger;
+    // ingestBatch must destroy it once admissions materialize, and the
+    // destroy must not break the admitted frame, the fold, or a replay
+    val docs = graft.Tables.documents(spark, sfDir)
+    val corpus = keyed(docs.filter(col("doc_id") % 10 =!= 0))
+    var t = Membership.persistKeyedCorpus(corpus, "ingbc",
+      freshCatalog("ingbc"), "k")
+    t = Membership.writeMembershipFilter(t, spark, "k")
+    val batch = keyed(docs.filter(col("doc_id") % 10 === 0))
+    System.setProperty("graft.membership.literalBlobBytesMax", "0")
+    try {
+      val (admitted, grown) = Membership.ingestBatch(t, batch, "k", "doc_id")
+      // the broadcast is destroyed by now — the admitted frame must
+      // still answer (it was materialized before the release)
+      val got = ids(admitted)
+      val oracle = ids(batch.join(corpus.select("k"), Seq("k"), "left_anti"))
+      assert(got === oracle)
+      val (replayed, _) = Membership.ingestBatch(grown, batch, "k", "doc_id")
+      assert(replayed.count() === 0)
+    } finally System.clearProperty("graft.membership.literalBlobBytesMax")
+  }
+
   test("racing ingesters: overlapping keys land exactly once") {
     val docs = graft.Tables.documents(spark, sfDir)
     val corpus = keyed(docs.filter(col("doc_id") % 10 > 4))
@@ -385,9 +408,43 @@ class MembershipSpec extends AnyFunSuite with BeforeAndAfterAll {
     System.setProperty("graft.membership.literalBlobBytesMax", "0")
     try {
       assert(Membership.literalBlobBytesMax === 0L)
-      val bc = ids(Membership.newKeys(t, spark, batch, "k"))
+      val bcDf = Membership.newKeys(t, spark, batch, "k")
+      // plan pin (VERDICT r13 item 3): the over-threshold probe is a
+      // codegen expression, not a Scala UDF — no row boundary breaks
+      // whole-stage codegen exactly on the biggest corpora
+      val planStr = bcDf.queryExecution.executedPlan.toString
+      assert(!planStr.contains("ScalaUDF"),
+        s"broadcast probe path planned a ScalaUDF row boundary:\n$planStr")
+      assert(planStr.contains("bloom_blob_might_contain"),
+        s"broadcast probe path did not plan BloomBlobMightContainExpr:\n$planStr")
+      val bc = ids(bcDf)
       assert(bc === oracle)
       assert(bc === lit, "broadcast and literal probe paths disagree")
+    } finally System.clearProperty("graft.membership.literalBlobBytesMax")
+  }
+
+  test("broadcast probe expression stays inside whole-stage codegen") {
+    // the filter containing bloom_blob_might_contain must sit under a
+    // WholeStageCodegen span — defineCodeGen emits one static call, so
+    // a fallback to interpreted eval would be a regression
+    val docs = graft.Tables.documents(spark, sfDir)
+    val corpus = keyed(docs.filter(col("doc_id") % 10 =!= 0))
+    val batch = keyed(docs.filter(col("doc_id") % 10 === 0))
+    val t = Membership.writeMembershipFilter(
+      Membership.persistKeyedCorpus(corpus, "bcg", freshCatalog("bcg"), "k"),
+      spark, "k")
+    System.setProperty("graft.membership.literalBlobBytesMax", "0")
+    try {
+      val df = Membership.newKeys(t, spark, batch, "k")
+      val formatted = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      // the codegen'd filter region: every operator id under a
+      // WholeStageCodegen span is suffixed with its codegen id; the
+      // probe's Filter must carry one
+      val filterLines = formatted.linesIterator
+        .filter(l => l.contains("Filter") && l.contains("codegen id"))
+      assert(filterLines.nonEmpty,
+        s"no codegen'd Filter in the broadcast probe plan:\n$formatted")
     } finally System.clearProperty("graft.membership.literalBlobBytesMax")
   }
 
