@@ -1,5 +1,7 @@
 package graft.catalog
 
+import java.lang.ref.WeakReference
+
 /** Process-local registry of LIVE catalog instances for in-process DSv2
   * resolution (the `catalog-ref` reader option): the streaming probes'
   * per-trigger static-side refresh re-plans through the DSv2 provider,
@@ -15,27 +17,52 @@ package graft.catalog
   * correct lifetime at any cluster size. Refs are in-process wiring,
   * not an auth boundary. Registration is identity-idempotent: the same
   * catalog object re-registers under its existing ref, so a long-lived
-  * stream costs one entry. */
+  * stream costs one entry.
+  *
+  * Lifetime (VERDICT r13 item 4): entries hold the catalog WEAKLY. The
+  * ref is resolved exactly once, at `.load()` time, after which the
+  * relation's table object holds the catalog strongly for as long as
+  * any plan (a running stream, a cached DataFrame) can reach it — the
+  * registry is never the thing keeping a live stream's client alive,
+  * only the wiring that hands it over at planning. So when the stream
+  * stops and the owner drops its handles, the token-holding client
+  * becomes collectable instead of being pinned for the JVM's life; a
+  * later [[lookup]] of the cleared ref answers None with the
+  * cross-process-style error at the call site. [[unregister]] remains
+  * for owners that want eager, deterministic removal. */
 object CatalogRegistry {
+  // small by construction (one entry per live catalog instance) — the
+  // identity scan in register is cheaper than a parallel weak-keyed map
   private val byRef =
-    new java.util.concurrent.ConcurrentHashMap[String, Catalog]()
-  private val refs = new java.util.IdentityHashMap[Catalog, String]()
+    new java.util.LinkedHashMap[String, WeakReference[Catalog]]()
   private val ids = new java.util.concurrent.atomic.AtomicLong()
 
-  /** Register a live catalog; returns its process-local ref. */
-  def register(catalog: Catalog): String = refs.synchronized {
-    Option(refs.get(catalog)).getOrElse {
+  private def expungeLocked(): Unit =
+    byRef.entrySet().removeIf(e => e.getValue.get() == null)
+
+  /** Register a live catalog; returns its process-local ref (the same
+    * ref while the same instance stays reachable). */
+  def register(catalog: Catalog): String = synchronized {
+    expungeLocked()
+    var found: String = null
+    byRef.forEach((ref, w) => if (w.get() eq catalog) found = ref)
+    if (found != null) found
+    else {
       val ref = s"cat-${ids.incrementAndGet()}"
-      refs.put(catalog, ref)
-      byRef.put(ref, catalog)
+      byRef.put(ref, new WeakReference(catalog))
       ref
     }
   }
 
-  def lookup(ref: String): Option[Catalog] = Option(byRef.get(ref))
+  def lookup(ref: String): Option[Catalog] = synchronized {
+    val w = byRef.get(ref)
+    val c = if (w == null) null else w.get()
+    if (c == null) { byRef.remove(ref); None } else Some(c)
+  }
 
-  /** Drop a registration (e.g. when a stream owning the ref stops). */
-  def unregister(ref: String): Unit = refs.synchronized {
-    Option(byRef.remove(ref)).foreach(refs.remove)
+  /** Drop a registration eagerly (e.g. when a stream owning the ref
+    * stops) — optional; a dropped-by-GC entry clears itself. */
+  def unregister(ref: String): Unit = synchronized {
+    byRef.remove(ref); ()
   }
 }
