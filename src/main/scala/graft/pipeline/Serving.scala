@@ -595,12 +595,38 @@ object Serving {
         val fromAncestors = Iterator.iterate(byIdNow.get(from))(
           _.flatMap(_.parentSnapshotId).flatMap(byIdNow.get))
           .takeWhile(_.isDefined).map(_.get.snapshotId).toSet
+        // snapshot EXPIRY (retainLast) also removes ids, with no rewrite
+        // anywhere: a stale handle's `to` that a concurrent fold already
+        // subsumed and expiry then dropped must stay the benign no-op,
+        // not a spurious rebuild refusal. Evidence of expiry-not-rewrite:
+        // the watermark is live ON the current chain (so folds were never
+        // re-based), and `to` — whose sequence number this call's handle
+        // still knows — predates the oldest snapshot the source retains
+        // (sequence numbers are monotone and never reused, so nothing
+        // above the retention floor can shadow it). A branch rewritten
+        // AND fully expired below that floor is indistinguishable and
+        // reads as subsumed — the blindness any consumer has once
+        // history is gone; rewrites within the retention window refuse.
+        lazy val headChain = srcNow.metadata.currentSnapshotId.map { h =>
+          Iterator.iterate(byIdNow.get(h))(
+            _.flatMap(_.parentSnapshotId).flatMap(byIdNow.get))
+            .takeWhile(_.isDefined).map(_.get.snapshotId).toSet
+        }.getOrElse(Set.empty[Long])
+        lazy val toSeq = source.metadata.snapshots
+          .find(_.snapshotId == to).map(_.sequenceNumber)
+        lazy val minRetainedSeq =
+          srcNow.metadata.snapshots.map(_.sequenceNumber).minOption
+        val subsumedThenExpired = !byIdNow.contains(to) &&
+          headChain.contains(from) &&
+          toSeq.exists(t => minRetainedSeq.exists(t < _))
         if (fromAncestors.contains(to)) current // window subsumed: folded
+        else if (subsumedThenExpired) current // subsumed, then expired
         else throw new IllegalStateException(
           s"aggregate ${agg.metadata.location} carries watermark $from, " +
             s"which shares no ancestry with source snapshot $to of " +
             s"${source.metadata.location} — the source's history was " +
-            "rewritten or rolled back under the watermark, so appended " +
+            "rewritten or rolled back under the watermark (or the " +
+            "watermark snapshot itself was expired), so appended " +
             "windows can no longer be folded exactly; rebuild the " +
             "aggregate via persistGroupAgg")
       }

@@ -766,6 +766,39 @@ class ServingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"refusal must direct the caller to rebuild: ${e.getMessage}")
   }
 
+  test("aggregate fold: subsumed window survives snapshot EXPIRY (no spurious rebuild)") {
+    // r13 ADVICE: expiry (retainLast) removes snapshot ids without any
+    // rewrite, so a genuinely subsumed stale-handle fold whose `to` was
+    // expired must stay the benign no-op — the watermark is live on the
+    // current chain and `to` predates the retention floor
+    import graft.spec.{IcebergSchema, PartitionSpec}
+    val spark2 = spark
+    import spark2.implicits._
+    val cat = freshCatalog("iagge")
+    var src = graft.table.GraftTable.create("srce", cat,
+      IcebergSchema.fromSpark(Seq(("a", 1L)).toDF("g", "v").schema),
+      PartitionSpec(0, Nil))
+      .append(Seq(("a", 1L), ("b", 2L)).toDF("g", "v"))
+    var agg = Serving.persistGroupAgg(src, spark2, "agge", cat, Seq("g"), "v")
+    src = src.append(Seq(("a", 10L)).toDF("g", "v"))
+    val srcStale = src // handle pinned at the now-to-be-expired snapshot
+    src = src.append(Seq(("b", 20L)).toDF("g", "v"))
+    agg = Serving.aggFold(agg, src, spark2, Seq("g"), "v") // wm → newest
+    src = graft.table.Maintenance.expireSnapshots(src,
+      olderThanMs = Long.MaxValue, retainLast = 1)
+    assert(!src.metadata.snapshots.exists(
+        _.snapshotId == srcStale.metadata.currentSnapshotId.get),
+      "test setup: the stale handle's `to` must actually be expired")
+    val before = agg.metadata.currentSnapshotId
+    agg = Serving.aggFold(agg, srcStale, spark2, Seq("g"), "v")
+    assert(agg.metadata.currentSnapshotId === before,
+      "a subsumed-then-expired window must no-op, not refuse")
+    // the aggregate still serves the exact totals
+    val got = agg.newScan().toDF(spark2).orderBy(col("g"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq(("a", 2L, 11L), ("b", 2L, 22L)))
+  }
+
   test("persisted IVFADC reproduces ivfAdcSearch, probed cells pruned") {
     val e = graft.Tables.embeddings(spark, sfDir)
     val queries = e.filter(col("vec_id") < 5)
