@@ -277,6 +277,62 @@ object MaintenanceQueries {
       .orderBy(col("lang"), col("source"))
   }}
 
+  /** m07: band-fold COMPACTION CADENCE (VERDICT r13 item 2). m02 times
+    * the worst-case single fold — a bucket-saturating 25-doc batch cuts
+    * ~282 one-row files through the partition fanout and the
+    * serializable census pays O(files-since-compaction) opens, growing
+    * unboundedly across m02's per-JVM runs (512 → ~1600 files; its
+    * median honestly carries that drift). Production never runs that
+    * way: the steady state is fold×k + `Maintenance.rewriteDataFiles`.
+    * This line times that full cycle — k=2 folds, then one BINPACK pass
+    * ([[graft.table.Maintenance.rewriteSmallFiles]]) that merges only
+    * the fragmented partitions the folds touched — so the
+    * capacity-planner number is `value / 2` amortized per fold, the
+    * census stays bounded (≤ ~1076 live files at any point in the
+    * cycle), and the artifact's file count is the same at every run's
+    * start (no compounding tiny-file drift in the median).
+    *
+    * Read-back runs POST-compaction and returns every fold's postings,
+    * which doubles as the rewrite-preserves-rows check: a compaction
+    * that dropped or duplicated a fold's one-row files breaks the hash
+    * against the from-scratch oracle (each eligible ≥3-word doc writes
+    * exactly 16 band postings per fold). */
+  val m07 = Q.sql(
+    "m07_band_fold_compact_amortized",
+    """SELECT f.fold_idx::BIGINT AS fold_idx, d.doc_id, 16::BIGINT AS n_bands
+      |FROM (SELECT unnest([0, 1]) AS fold_idx) f, documents d
+      |WHERE d.doc_id % 200 = 7 AND len(string_split(lower(d.text), ' ')) >= 3
+      |ORDER BY fold_idx, d.doc_id""".stripMargin,
+    bench = true
+  ) { (s, d) => lock.synchronized {
+    val t0 = artifact[GraftTable]("m07", d) {
+      Serving.persistBandIndex(Tables.documents(s, d), "m07band",
+        Q.pinnedCatalog(s, "m07"))
+    }
+    val off = nextOffset.getAndAdd(1000000L)
+    // two folds at disjoint sub-offsets (fixture ids < 200000), then
+    // one compaction — the steady-state cycle, timed end to end
+    // measured cycle anatomy (sf0.1, fork protocol): fold ≈ 7.5–8.5 s
+    // each (m02's price — the census sees 794 then 1076 live files),
+    // binpack ≈ 8 s, and the artifact returns to exactly 512 files
+    // every cycle (512 → 794 → 1076 → 512), so the census is bounded
+    // forever — unlike m02's honest unbounded drift
+    var t = t0
+    (0 until 2).foreach { i =>
+      t = Serving.indexBatch(t,
+        docBatch(s, d).withColumn("doc_id",
+          col("doc_id") + (off + i * 200000L)))
+    }
+    t = graft.table.Maintenance.rewriteSmallFiles(t, s)
+    update("m07", d, t)
+    t.newScan().withFilter(BinaryPred(GtEq, "doc_id", off)).toDF(s)
+      .groupBy(
+        ((col("doc_id") - off) / 200000L).cast("long").as("fold_idx"),
+        ((col("doc_id") - off) % 200000L).as("doc_id"))
+      .agg(count(lit(1)).as("n_bands"))
+      .orderBy(col("fold_idx"), col("doc_id"))
+  }}
+
   /** Shared m03/m04 oracle: assign the batch vectors to the corpus's 64
     * md5-sampled centroids (identical to p95's cent CTE — the quantizer
     * both artifacts freeze at build time). */
@@ -300,5 +356,5 @@ object MaintenanceQueries {
       |                               ORDER BY cs DESC, cid) AS rn FROM sc)
       |WHERE rn = 1 ORDER BY vec_id""".stripMargin
 
-  val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06)
+  val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07)
 }

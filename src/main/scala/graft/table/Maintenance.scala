@@ -73,6 +73,74 @@ object Maintenance {
     }
   }
 
+  /** BINPACK compaction (Iceberg `rewrite_data_files` binpack
+    * semantics): rewrite only FRAGMENTED partitions — those holding at
+    * least `minInputFiles` files under `targetFileSizeBytes` — merging
+    * their small files and leaving everything else (already-compacted
+    * files, single-file partitions) in place. This is the production
+    * steady-state compactor for continuous fold loops: each trigger
+    * cuts O(batch-partitions) small files, and the cadence cost must
+    * scale with the files the folds actually created — the full
+    * [[rewriteDataFiles]] re-writes every byte of the artifact every
+    * time, which at 100 TB is not a maintenance pass, it's a migration.
+    *
+    * Delete handling: the selective read is MoR-applied, so deletes
+    * folding into rewritten rows disappear from them, and delete
+    * manifests are KEPT (unlike the full rewrite) because they may
+    * still apply to untouched files. Correctness holds on both sides:
+    * position deletes reference the rewritten files' OLD paths (match
+    * nothing — harmless) or still-live paths (keep applying), and
+    * equality deletes apply only to OLDER sequences, while the
+    * rewritten files commit at a newer one. Same serializable-lite
+    * validation as the full rewrite: a concurrent commit that removed a
+    * source or added new deletes aborts the pass (re-runnable).
+    */
+  def rewriteSmallFiles(table: GraftTable, spark: SparkSession,
+      targetFileSizeBytes: Long = 512L << 20,
+      minInputFiles: Int = 2): GraftTable = {
+    val scan = table.newScan()
+    val tasks = scan.planFiles()
+    if (tasks.isEmpty) return table
+    val baseSnapshotId = table.metadata.currentSnapshotId
+    // one descriptor per physical file — planFiles may split a file
+    // into row-group byte ranges
+    val files = tasks.groupBy(_.file.filePath).values.map(_.head).toSeq
+    val sourcePaths = files.groupBy(t => (t.specId, t.file.partition))
+      .values.flatMap { group =>
+        val small = group.filter(_.file.fileSizeInBytes < targetFileSizeBytes)
+        if (small.size >= minInputFiles) small else Nil
+      }.map(_.file.filePath).toSet
+    if (sourcePaths.isEmpty) return table
+    val selected = tasks.filter(t => sourcePaths(t.file.filePath))
+
+    val lineage = table.metadata.nextRowId > 0L
+    val df0 = if (lineage) scan.readTasksLineage(spark, selected)
+      else scan.readTasks(spark, selected)
+    val df =
+      if (table.spec.isUnpartitioned) {
+        val totalBytes = files.filter(t => sourcePaths(t.file.filePath))
+          .map(_.file.fileSizeInBytes).sum
+        df0.repartition(math.max(1,
+          math.ceil(totalBytes.toDouble / targetFileSizeBytes).toInt))
+      } else df0 // partitioned: the staged write's fanout governs sizes
+
+    val commitUuid = UUID.randomUUID().toString
+    val newFiles = AppendWriter.writeDataFiles(table, df, commitUuid, lineage)
+    Commits.commit(table, "replace", commitUuid, Map(
+      "rewritten-data-files" -> sourcePaths.size.toString,
+      "added-data-files" -> newFiles.size.toString)) { (base, seq, snapshotId) =>
+      Commits.validateReplace(table.io, base, baseSnapshotId, sourcePaths,
+        None, table.schema, failOnNewDeletes = true)
+      val entries = newFiles.map(f => ManifestEntry(ManifestStatus.Added,
+        Some(snapshotId), Some(seq), Some(seq), f))
+      val rewritten = Commits.rewriteManifestsDropping(table.io, base,
+        sourcePaths, commitUuid, snapshotId, seq,
+        dropDeleteManifests = false)
+      Commits.writeManifest(table.io, base, s"$commitUuid-m0", entries,
+        table.schema, table.spec, ManifestContent.Data, snapshotId, seq) +: rewritten
+    }
+  }
+
   /** Z-ORDER rewrite: like rewriteDataFiles but the data is re-clustered
     * along a Morton curve over `cols` before writing, so per-file min/max
     * stats become selective on EVERY listed column — a box query over

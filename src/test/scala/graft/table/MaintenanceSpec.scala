@@ -170,6 +170,77 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.newScan().toDF(spark).count() == src.count())
   }
 
+  test("binpack rewriteSmallFiles: fragmented partitions merge, others untouched") {
+    val src = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val schema = IcebergSchema.fromSpark(src.schema)
+    val spec = PartitionSpec.build(schema, Seq("o_custkey" -> Transform.Bucket(4)))
+    var t = GraftTable.create("orders_binpack", catalog, schema, spec)
+    // base: one file per bucket; then two small appends fragment only
+    // the buckets the appended keys hash into
+    t = t.append(src.filter("o_orderkey % 5 != 0"))
+    val k = src.select("o_custkey").head().getLong(0)
+    t = t.append(src.filter(s"o_orderkey % 5 = 0 AND o_custkey = $k"))
+    t = t.append(src.filter(s"o_orderkey % 5 = 0 AND o_custkey = $k")
+      .withColumn("o_orderkey", org.apache.spark.sql.functions
+        .col("o_orderkey") + 10000000L))
+    val before = t.newScan().planFiles().map(_.file.filePath).toSet
+    val fragmented = t.newScan().planFiles()
+      .groupBy(f => f.file.partition).filter(_._2.map(_.file.filePath)
+        .distinct.size >= 2).keys.toSet
+    assert(fragmented.nonEmpty, "setup: at least one fragmented partition")
+    val expected = t.newScan().toDF(spark)
+      .orderBy("o_orderkey").collect().toSeq
+
+    t = Maintenance.rewriteSmallFiles(t, spark)
+    assert(t.metadata.currentSnapshot.get.operation == "replace")
+    val after = t.newScan().planFiles()
+    val afterPaths = after.map(_.file.filePath).toSet
+    // untouched (single-file) partitions keep their exact files
+    val keptOriginals = before.intersect(afterPaths)
+    assert(keptOriginals.nonEmpty,
+      "single-file partitions must keep their files (not a full rewrite)")
+    // fragmented partitions merged to one file each
+    fragmented.foreach { p =>
+      val n = after.filter(_.file.partition == p).map(_.file.filePath)
+        .distinct.size
+      assert(n == 1, s"partition $p still has $n files after binpack")
+    }
+    // rows preserved exactly
+    val got = t.newScan().toDF(spark).orderBy("o_orderkey").collect().toSeq
+    assert(got === expected)
+    // idempotent: nothing fragmented remains → no-op commit
+    val snap = t.metadata.currentSnapshotId
+    assert(Maintenance.rewriteSmallFiles(t, spark)
+      .metadata.currentSnapshotId === snap)
+  }
+
+  test("binpack folds deletes into rewritten files; kept delete manifests still apply") {
+    val ss = spark; import ss.implicits._
+    val schema = IcebergSchema(0, Seq(
+      NestedField(1, "id", IcebergType.LongT, required = false),
+      NestedField(2, "v", IcebergType.StringT, required = false)))
+    var t = GraftTable.create("binpack_del", catalog, schema)
+    // unpartitioned: all small files share one binpack group; 3 appends
+    // fragment it
+    val rows = (0L until 10L).map(i => (i, s"v$i"))
+    t = t.append(rows.filter(_._1 < 4).toDF("id", "v").coalesce(1))
+    t = t.append(rows.filter(r => r._1 >= 4 && r._1 < 7).toDF("id", "v")
+      .coalesce(1))
+    t = t.append(rows.filter(_._1 >= 7).toDF("id", "v").coalesce(1))
+    // one-file appends → id=3 shares its file with 0..2, so this is a
+    // genuine MoR position delete (a lone-row file would whole-file-drop)
+    t = t.deleteWhere(Predicate.eqTo("id", 3L), spark)
+    assert(t.newScan().planDeletes().nonEmpty)
+
+    t = Maintenance.rewriteSmallFiles(t, spark)
+    // the delete FOLDED into the rewritten rows; manifests may remain
+    // (they still apply to any untouched file) but the row answer is
+    // exact either way
+    val got = t.newScan().toDF(spark).orderBy("id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === (0L until 10L).filterNot(_ == 3L))
+  }
+
   test("expire snapshots removes history but keeps current readable") {
     val src = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
     val schema = IcebergSchema.fromSpark(src.schema)
