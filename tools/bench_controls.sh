@@ -9,11 +9,16 @@
 #              from disk — the "driver just built the tree" shape)
 #   loadeddisk: same, with a background fsync-ing writer hammering the
 #              block-manager/warehouse filesystem for the whole run
-# Usage: tools/bench_controls.sh <baseline|coldcache|loadeddisk> [runs]
+#   throttled : run the bench JVM inside a blkio cgroup (v1) capping the
+#              block device at 20 MB/s read+write; requires root, a
+#              cgroup-v1 blkio controller, and the device's MAJ:MIN
+#              (default 254:0, override via BENCH_BLKDEV=MAJ:MIN)
+# Usage: tools/bench_controls.sh <baseline|coldcache|loadeddisk|throttled> [runs]
 set -euo pipefail
 cd "$(dirname "$0")/.."
 MODE="${1:?mode}"
 RUNS="${2:-5}"
+BLKDEV="${BENCH_BLKDEV:-254:0}"
 SUBSET="i01_iceberg_full_scan,i02_iceberg_pruned_scan,i11_dsv2_filter_pushdown,p34_asof_join,p44_unigram_perplexity"
 OUT="BENCH_CONTROL_${MODE}.jsonl"
 : > "$OUT"
@@ -21,10 +26,19 @@ LOADPID=""
 cleanup() { [ -n "$LOADPID" ] && kill "$LOADPID" 2>/dev/null || true; }
 trap cleanup EXIT
 if [ "$MODE" = "throttled" ]; then
+  if [ ! -d /sys/fs/cgroup/blkio ]; then
+    echo "[controls] throttled mode needs a cgroup-v1 blkio controller" >&2
+    echo "[controls] (/sys/fs/cgroup/blkio absent — cgroup-v2-only host?)" >&2
+    exit 2
+  fi
+  if [ "$(id -u)" != 0 ]; then
+    echo "[controls] throttled mode needs root (cgroup writes + drop_caches)" >&2
+    exit 2
+  fi
   CG=/sys/fs/cgroup/blkio/graftbench
   mkdir -p "$CG"
-  echo "254:0 20971520" > "$CG/blkio.throttle.read_bps_device"
-  echo "254:0 20971520" > "$CG/blkio.throttle.write_bps_device"
+  echo "$BLKDEV 20971520" > "$CG/blkio.throttle.read_bps_device"
+  echo "$BLKDEV 20971520" > "$CG/blkio.throttle.write_bps_device"
 fi
 if [ "$MODE" = "loadeddisk" ]; then
   ( while true; do

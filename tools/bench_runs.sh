@@ -27,9 +27,12 @@ agg = {q: {"runs": per[q],
            "med": statistics.median(per[q]),
            "min": per[q][0], "max": per[q][-1]} for q in qs}
 totals = sorted(round(sum(r["queries"].values()), 3) for r in runs)
+# r14: per-run executor telemetry (each run's median-wall measurement) —
+# an excursion inside a sealed distribution then self-attributes
+telem = {q: [r.get("telemetry", {}).get(q) for r in runs] for q in qs}
 doc = {"protocol": "fork (fresh JVM per run), full suite, per-run median of 3",
        "n_runs": n, "sf": runs[0]["sf"], "fixture": runs[0]["fixture"],
-       "totals_med": totals, "queries": agg}
+       "totals_med": totals, "queries": agg, "telemetry_runs": telem}
 json.dump(doc, open(out, "w"), indent=1, sort_keys=True)
 print(f"[bench_runs] wrote {out}: totals {totals}", file=sys.stderr)
 EOF
