@@ -82,6 +82,26 @@ object GraftProcedures {
           Seq(before, after)
         }
       })
+      // BINPACK variant (r14): merge only fragmented partitions —
+      // >= min_input_files files under target_file_size_bytes; see
+      // Maintenance.rewriteSmallFiles for the delete-manifest contract
+      case "rewrite_small_files" => Some(new Proc(catalog, name,
+          Seq("table" -> StringType, "target_file_size_bytes" -> LongType,
+            "min_input_files" -> IntegerType),
+          Seq("rewritten_data_files_count" -> IntegerType,
+            "added_data_files_count" -> IntegerType)) {
+        def run(a: InternalRow): Seq[Any] = {
+          val t = table(a)
+          val rewritten = graft.table.Maintenance.rewriteSmallFiles(t, spark,
+            targetFileSizeBytes = a.getLong(1), minInputFiles = a.getInt(2))
+          val summary = rewritten.metadata.currentSnapshot
+            .filter(_ => rewritten.metadata.currentSnapshotId !=
+              t.metadata.currentSnapshotId)
+            .map(_.summary).getOrElse(Map.empty)
+          Seq(summary.getOrElse("rewritten-data-files", "0").toInt,
+            summary.getOrElse("added-data-files", "0").toInt)
+        }
+      })
       case "rewrite_data_files_zorder" => Some(new Proc(catalog, name,
           Seq("table" -> StringType, "columns" -> StringType),
           Seq("rewritten_data_files_count" -> IntegerType,

@@ -225,4 +225,28 @@ class SqlProceduresSpec extends AnyFunSuite with BeforeAndAfterAll {
     // source still fully readable after all refusals
     assert(spark.sql("SELECT count(*) FROM pc8.snapsrc").collect().head.getLong(0) === 2)
   }
+
+  test("rewrite_small_files: binpack through SQL, counts reported, no-op second call") {
+    registerCatalog("pc9")
+    spark.sql("CREATE TABLE pc9.bp (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO pc9.bp VALUES (1,'a')")
+    spark.sql("INSERT INTO pc9.bp VALUES (2,'b')")
+    spark.sql("INSERT INTO pc9.bp VALUES (3,'c')")
+    val before = GraftTable.load("bp", catalog).newScan().planFiles().size
+    assert(before >= 3)
+    val row = spark.sql(
+      "CALL pc9.system.rewrite_small_files('bp', 536870912L, 2)")
+      .collect().head
+    assert(row.getInt(0) >= 3, "all small files rewritten")
+    assert(row.getInt(1) < row.getInt(0), "merged into fewer files")
+    val t = GraftTable.load("bp", catalog)
+    assert(t.newScan().planFiles().size < before)
+    assert(t.newScan().toDF(spark).orderBy("id")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    // idempotent: nothing fragmented remains
+    val again = spark.sql(
+      "CALL pc9.system.rewrite_small_files('bp', 536870912L, 2)")
+      .collect().head
+    assert(again.getInt(0) === 0 && again.getInt(1) === 0)
+  }
 }
