@@ -41,7 +41,14 @@ object CatalogRegistry {
     byRef.entrySet().removeIf(e => e.getValue.get() == null)
 
   /** Register a live catalog; returns its process-local ref (the same
-    * ref while the same instance stays reachable). */
+    * ref while the same instance stays reachable).
+    *
+    * The registry does NOT keep the catalog alive: the entry is a weak
+    * reference, so the caller must hold the instance strongly until
+    * `.load()` has resolved the ref — registering and then retaining
+    * only the ref string lets a GC clear the entry and a later lookup
+    * fail nondeterministically (the failure message at the resolve site
+    * names collection as a possible cause). */
   def register(catalog: Catalog): String = synchronized {
     expungeLocked()
     var found: String = null

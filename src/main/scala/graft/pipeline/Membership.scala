@@ -316,13 +316,13 @@ object Membership {
     * one-shot [[newKeys]] callers must NOT have their broadcast pinned
     * here past the call, so recording only happens under
     * [[collectProbeBroadcasts]]). */
-  private val probeBroadcastSink =
-    new ThreadLocal[java.util.ArrayList[org.apache.spark.broadcast.Broadcast[_]]]()
+  private val probeBroadcastSink = new ThreadLocal[
+    java.util.ArrayList[(org.apache.spark.broadcast.Broadcast[_], String)]]()
 
   private def recordProbeBroadcast(
-      bc: org.apache.spark.broadcast.Broadcast[_]): Unit = {
+      bc: org.apache.spark.broadcast.Broadcast[_], token: String): Unit = {
     val s = probeBroadcastSink.get()
-    if (s != null) s.add(bc)
+    if (s != null) s.add((bc, token))
   }
 
   /** Run `body`, then RELEASE every broadcast the probe created inside
@@ -337,7 +337,8 @@ object Membership {
     * re-broadcast on demand). */
   private def collectProbeBroadcasts[T](spark: SparkSession)(body: => T): T = {
     val outer = probeBroadcastSink.get()
-    val mine = new java.util.ArrayList[org.apache.spark.broadcast.Broadcast[_]]()
+    val mine = new java.util.ArrayList[
+      (org.apache.spark.broadcast.Broadcast[_], String)]()
     probeBroadcastSink.set(mine)
     try body
     finally {
@@ -345,9 +346,12 @@ object Membership {
       val hard = spark.conf
         .get("spark.graft.pipeline.materialize", "local-checkpoint") ==
         "local-checkpoint"
-      mine.forEach { bc =>
+      mine.forEach { case (bc, token) =>
         try { if (hard) bc.destroy() else bc.unpersist(false) }
         catch { case _: Throwable => () }
+        // the trigger's deserialized filters must not outlive its
+        // broadcast in the blob cache (VERDICT r14 item 2)
+        BloomBlobCache.invalidateToken(token)
       }
     }
   }
@@ -378,9 +382,10 @@ object Membership {
     if (totalBytes > literalBlobBytesMax) {
       val spark = SparkSession.active
       val bc = spark.sparkContext.broadcast(blobs)
-      recordProbeBroadcast(bc)
+      val token = java.util.UUID.randomUUID().toString
+      recordProbeBroadcast(bc, token)
       graft.functions.BloomBlobMightContainExpr.column(bucket, keyHash, bc,
-        java.util.UUID.randomUUID().toString)
+        token)
     } else touched.foldLeft(lit(false)) { (acc, b) =>
       blobs.get(b) match {
         case None => acc // empty corpus bucket: nothing to contain
@@ -687,29 +692,77 @@ object Membership {
   * new SparkContext, so in a JVM that restarts its session a stale
   * entry could be served for a NEW filter's broadcast — a key present
   * in the real filter probing as definitely-new would break the
-  * no-false-new safety contract). LRU-bounded at [[MaxEntries]] — a
-  * long-lived ingest loop creates a fresh broadcast per trigger, so an
-  * unbounded map would pin every trigger's filters for the JVM's life. */
+  * no-false-new safety contract).
+  *
+  * Bounded by accumulated FILTER BYTES, not entry count (VERDICT r14
+  * item 2: each entry is one bucket's deserialized filter, and exactly
+  * on the big-corpus path this cache exists for — per-bucket blobs of
+  * tens of MB past the 16 MB broadcast switch — a 64-ENTRY bound could
+  * pin multiple GB per executor). Eviction is LRU from the eldest until
+  * the total fits [[maxBytes]] (default 512 MB, sized to a fraction of
+  * a typical multi-GB executor heap; override with
+  * -Dgraft.membership.blobCacheBytesMax); the just-probed entry is
+  * never evicted even if it alone exceeds the cap — it is in active use
+  * and re-deserializing it per row is the failure mode the cache
+  * prevents. A secondary [[MaxEntries]] guard bounds the map when blobs
+  * are tiny. A destroyed broadcast's entries (the ingest loop mints a
+  * fresh token per trigger) are dropped eagerly via [[invalidateToken]]
+  * when [[Membership.collectProbeBroadcasts]] releases the broadcast —
+  * in the same JVM (local mode, the tested deployment) that is
+  * immediate; a remote executor's copies fall to the byte-bounded LRU. */
 private[graft] object BloomBlobCache {
-  private val MaxEntries = 64
+  private val MaxEntries = 1024
+  private def maxBytes: Long =
+    sys.props.get("graft.membership.blobCacheBytesMax").map(_.toLong)
+      .getOrElse(512L << 20)
+  private final case class Entry(filter: Option[BloomFilter], bytes: Long)
+  private var totalBytes = 0L
   private val cache =
-    new java.util.LinkedHashMap[(String, Int), Option[BloomFilter]](
-      MaxEntries * 2, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Int), Option[BloomFilter]]): Boolean =
-        size() > MaxEntries
-    }
+    new java.util.LinkedHashMap[(String, Int), Entry](256, 0.75f, true)
+
   def get(token: String, bucket: Int,
       load: () => Array[Byte]): Option[BloomFilter] = cache.synchronized {
     val k = (token, bucket)
     val hit = cache.get(k)
-    if (hit != null) hit
+    if (hit != null) hit.filter
     else {
-      val v = Option(load()).map(b => BloomFilter.readFrom(
+      val raw = load()
+      val v = Option(raw).map(b => BloomFilter.readFrom(
         new java.io.ByteArrayInputStream(b)))
-      cache.put(k, v)
+      val e = Entry(v, if (raw == null) 0L else raw.length.toLong)
+      cache.put(k, e)
+      totalBytes += e.bytes
+      // access-ordered map: iteration starts at the least recently
+      // used; skip the entry just inserted (always the newest)
+      val it = cache.entrySet().iterator()
+      while ((totalBytes > maxBytes || cache.size() > MaxEntries) &&
+          cache.size() > 1 && it.hasNext) {
+        val eld = it.next()
+        if (eld.getKey != k) { totalBytes -= eld.getValue.bytes; it.remove() }
+      }
       v
     }
+  }
+
+  /** Drop every entry of a released trigger's token (this JVM's copies;
+    * see class doc for the remote-executor story). */
+  def invalidateToken(token: String): Unit = cache.synchronized {
+    val it = cache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 == token) { totalBytes -= e.getValue.bytes; it.remove() }
+    }
+  }
+
+  /** Test hooks: current accumulated filter bytes / live tokens / reset. */
+  private[graft] def cachedBytes: Long = cache.synchronized(totalBytes)
+  private[graft] def cachedTokens: Set[String] = cache.synchronized {
+    val b = Set.newBuilder[String]
+    cache.keySet().forEach(k => b += k._1)
+    b.result()
+  }
+  private[graft] def clearAll(): Unit = cache.synchronized {
+    cache.clear(); totalBytes = 0L
   }
 
   /** Static entry point for [[graft.functions.BloomBlobMightContainExpr]]

@@ -918,7 +918,13 @@ object Serving {
           .map { case (b, rows) =>
             PAnd(BinaryPred(PEq, "band_idx", b),
               SetPred(PIn, "band_key", rows.map(_.getString(1)).toSet[Any]))
-          }.reduceLeft[graft.expr.Predicate](POr(_, _)))
+          }.reduceLeftOption[graft.expr.Predicate](POr(_, _))
+          // a batch with ZERO eligible band rows (empty trigger, or all
+          // docs under the 3-shingle floor) must plan an empty index
+          // side, not crash: push the never-matching empty In the
+          // pre-r14 probe used for it (ADVICE r14: reduceLeft threw on
+          // the degenerate trigger and killed the stream)
+          .getOrElse(SetPred(PIn, "band_key", Set.empty[Any])))
       else t.newScan()
     val hintBroadcast = pruned && newBands.count() <= BroadcastMaxBatchRows
     (scan.toDF(spark)

@@ -49,12 +49,20 @@ object GraftProcedures {
       * default wraps the single-row `run`. */
     def runRows(args: InternalRow): Seq[Seq[Any]] = Seq(run(args))
 
+    /** SQL-literal default per parameter name — a parameter listed here
+      * may be omitted at the call site. */
+    def paramDefaults: Map[String, String] = Map.empty
+
     override def name(): String = procName
     override def description(): String = s"graft $procName"
     override def bind(inputType: StructType): BoundProcedure = this
     override def isDeterministic: Boolean = false
     override def parameters(): Array[ProcedureParameter] =
-      params.map { case (n, t) => ProcedureParameter.in(n, t).build() }.toArray
+      params.map { case (n, t) =>
+        val b = ProcedureParameter.in(n, t)
+        paramDefaults.get(n).foreach(b.defaultValue)
+        b.build()
+      }.toArray
 
     override def call(input: InternalRow): JIterator[Scan] = {
       val values = runRows(input)
@@ -83,13 +91,18 @@ object GraftProcedures {
         }
       })
       // BINPACK variant (r14): merge only fragmented partitions —
-      // >= min_input_files files under target_file_size_bytes; see
-      // Maintenance.rewriteSmallFiles for the delete-manifest contract
+      // >= min_input_files files under 0.75 × target_file_size_bytes;
+      // see Maintenance.rewriteSmallFiles for the delete-manifest and
+      // convergence contracts. target_file_size_bytes defaults (via
+      // <= 0, r15) to the table's own write.target-file-size-bytes
+      // property, reference table_properties.rs:351.
       case "rewrite_small_files" => Some(new Proc(catalog, name,
           Seq("table" -> StringType, "target_file_size_bytes" -> LongType,
             "min_input_files" -> IntegerType),
           Seq("rewritten_data_files_count" -> IntegerType,
             "added_data_files_count" -> IntegerType)) {
+        override def paramDefaults: Map[String, String] =
+          Map("target_file_size_bytes" -> "-1", "min_input_files" -> "2")
         def run(a: InternalRow): Seq[Any] = {
           val t = table(a)
           val rewritten = graft.table.Maintenance.rewriteSmallFiles(t, spark,

@@ -60,7 +60,11 @@ final class GraftSource extends TableProvider with DataSourceRegister
             s"catalog-ref '$ref' is not registered in this process — refs " +
               "are process-local live-instance handles (CatalogRegistry), " +
               "not serializable descriptions; for cross-process resolution " +
-              "use catalog-type with a self-describing property bag"))
+              "use catalog-type with a self-describing property bag. The " +
+              "registry holds instances WEAKLY: if this ref was valid " +
+              "earlier, its catalog may have been garbage-collected — the " +
+              "registrant must hold the instance strongly until .load() " +
+              "resolves the ref"))
       case (None, Some(tpe)) =>
         import scala.jdk.CollectionConverters._
         graft.catalog.CatalogLoader.load(tpe,

@@ -14,6 +14,19 @@ import graft.spec.TableMetadata
   */
 object Maintenance {
 
+  /** BinPack "small file" bound as a fraction of the target size
+    * (Iceberg BinPackStrategy MIN_FILE_SIZE_DEFAULT_RATIO): only files
+    * under 0.75× target are rewrite candidates, so a merged output that
+    * lands anywhere near target is never reselected. */
+  private[table] val MinFileSizeRatio = 0.75
+
+  /** Rewrite target: the table's own `write.target-file-size-bytes`
+    * property when set (reference default at table_properties.rs:351),
+    * else 512 MB. */
+  private[table] def targetFileSize(table: GraftTable): Long =
+    table.metadata.properties.get("write.target-file-size-bytes")
+      .map(_.toLong).filter(_ > 0).getOrElse(512L << 20)
+
   /** Compact the current snapshot into ~targetFileSizeBytes files.
     *
     * Reads the snapshot MoR-applied (position/equality deletes folded in),
@@ -94,10 +107,30 @@ object Maintenance {
     * rewritten files commit at a newer one. Same serializable-lite
     * validation as the full rewrite: a concurrent commit that removed a
     * source or added new deletes aborts the pass (re-runnable).
+    *
+    * Selection converges to a no-op (ADVICE r14): "small" means under
+    * [[MinFileSizeRatio]] × target (Iceberg BinPackStrategy's
+    * MIN_FILE_SIZE default — a file at 0.8× target is close enough to
+    * leave alone, where a bare `< target` bound reselected a merged
+    * output forever), and a group is skipped when merging cannot reduce
+    * its file count (ceil(bytes/target) ≥ files — e.g. two 400 MB files
+    * at the 512 MB default would merge into two under-target outputs
+    * and be reselected every pass). A steady-state cadence therefore
+    * reaches a pass that plans nothing and returns `table` unchanged.
+    *
+    * `targetFileSizeBytes <= 0` (the default) reads the table's own
+    * `write.target-file-size-bytes` property, falling back to the spec
+    * default 512 MB (reference table_properties.rs:351) — a table tuned
+    * to a different target compacts to ITS size without the caller
+    * re-stating it; an explicit positive argument overrides.
     */
   def rewriteSmallFiles(table: GraftTable, spark: SparkSession,
-      targetFileSizeBytes: Long = 512L << 20,
+      targetFileSizeBytes: Long = -1L,
       minInputFiles: Int = 2): GraftTable = {
+    val target =
+      if (targetFileSizeBytes > 0) targetFileSizeBytes
+      else targetFileSize(table)
+    val minSize = (target * MinFileSizeRatio).toLong
     val scan = table.newScan()
     val tasks = scan.planFiles()
     if (tasks.isEmpty) return table
@@ -107,8 +140,11 @@ object Maintenance {
     val files = tasks.groupBy(_.file.filePath).values.map(_.head).toSeq
     val sourcePaths = files.groupBy(t => (t.specId, t.file.partition))
       .values.flatMap { group =>
-        val small = group.filter(_.file.fileSizeInBytes < targetFileSizeBytes)
-        if (small.size >= minInputFiles) small else Nil
+        val small = group.filter(_.file.fileSizeInBytes < minSize)
+        val expectedOut = math.max(1L, math.ceil(
+          small.map(_.file.fileSizeInBytes).sum.toDouble / target).toLong)
+        if (small.size >= minInputFiles && expectedOut < small.size) small
+        else Nil
       }.map(_.file.filePath).toSet
     if (sourcePaths.isEmpty) return table
     val selected = tasks.filter(t => sourcePaths(t.file.filePath))
@@ -121,7 +157,7 @@ object Maintenance {
         val totalBytes = files.filter(t => sourcePaths(t.file.filePath))
           .map(_.file.fileSizeInBytes).sum
         df0.repartition(math.max(1,
-          math.ceil(totalBytes.toDouble / targetFileSizeBytes).toInt))
+          math.ceil(totalBytes.toDouble / target).toInt))
       } else df0 // partitioned: the staged write's fanout governs sizes
 
     val commitUuid = UUID.randomUUID().toString

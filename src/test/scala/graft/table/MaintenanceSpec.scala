@@ -214,6 +214,80 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
       .metadata.currentSnapshotId === snap)
   }
 
+  test("binpack selection converges: non-reducible groups and near-target files skip") {
+    // ADVICE r14 (medium): a bare `< target` bound with no lower ratio
+    // reselected merged outputs forever — a group whose rewrite cannot
+    // reduce its file count (two files summing past target) or whose
+    // files already sit near target (>= 0.75x, BinPackStrategy's
+    // MIN_FILE_SIZE ratio) must be a no-op, so the cadence reaches a
+    // pass that plans nothing.
+    val ss = spark; import ss.implicits._
+    val schema = IcebergSchema(0, Seq(
+      NestedField(1, "id", IcebergType.LongT, required = false),
+      NestedField(2, "v", IcebergType.StringT, required = false)))
+    var t = GraftTable.create("binpack_converge", catalog, schema)
+    t = t.append((0L until 50L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
+    t = t.append((50L until 100L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
+    val sizes = t.newScan().planFiles()
+      .groupBy(_.file.filePath).values.map(_.head.file.fileSizeInBytes).toSeq
+    assert(sizes.size === 2)
+    val snap = t.metadata.currentSnapshotId
+
+    // (a) non-reducible: each file small (< 0.75T) but ceil(sum/T) = 2
+    // — merging two under-target inputs into two under-target outputs
+    // reduces nothing; pre-fix this rewrote the same bytes every pass
+    val tNonReduce = ((sizes.sum * 9) / 10).max(sizes.max * 4 / 3 + 2)
+    assert(sizes.max < (tNonReduce * 0.75).toLong && sizes.sum > tNonReduce,
+      s"fixture drift: sizes=$sizes target=$tNonReduce no longer hits the case")
+    assert(Maintenance.rewriteSmallFiles(t, spark, tNonReduce)
+      .metadata.currentSnapshotId === snap, "non-reducible group rewrote")
+
+    // (b) near-target: files >= 0.75T are not 'small' even when several
+    // share a partition and would merge into one
+    val tNear = sizes.min * 4 / 3 // every file >= 0.75T
+    assert(sizes.min >= (tNear * 0.75).toLong)
+    assert(Maintenance.rewriteSmallFiles(t, spark, tNear)
+      .metadata.currentSnapshotId === snap, "near-target files rewrote")
+
+    // (c) genuinely fragmented (both tiny vs target): one merge, then a
+    // second pass is the no-op — the cadence converges
+    val t2 = Maintenance.rewriteSmallFiles(t, spark, sizes.sum * 10)
+    assert(t2.metadata.currentSnapshotId !== snap)
+    assert(t2.newScan().planFiles().groupBy(_.file.filePath).size === 1)
+    assert(Maintenance.rewriteSmallFiles(t2, spark, sizes.sum * 10)
+      .metadata.currentSnapshotId === t2.metadata.currentSnapshotId)
+    assert(t2.newScan().toDF(spark).count() === 100L)
+  }
+
+  test("binpack target defaults to the table's write.target-file-size-bytes") {
+    // VERDICT r14 item 4 (reference table_properties.rs:351): a table
+    // tuned to its own target must compact to THAT size with no
+    // explicit argument; a positive argument still overrides.
+    val ss = spark; import ss.implicits._
+    val schema = IcebergSchema(0, Seq(
+      NestedField(1, "id", IcebergType.LongT, required = false),
+      NestedField(2, "v", IcebergType.StringT, required = false)))
+    var t = GraftTable.create("binpack_prop", catalog, schema)
+    t = t.append((0L until 50L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
+    t = t.append((50L until 100L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
+    val sizes = t.newScan().planFiles()
+      .groupBy(_.file.filePath).values.map(_.head.file.fileSizeInBytes).toSeq
+    // property pins the non-reducible target: under it the pass must
+    // no-op; if the property were ignored (hardcoded 512 MB) both files
+    // would be tiny and merge
+    val tProp = ((sizes.sum * 9) / 10).max(sizes.max * 4 / 3 + 2)
+    assert(sizes.max < (tProp * 0.75).toLong && sizes.sum > tProp)
+    t = t.updateProperties(Map("write.target-file-size-bytes" -> tProp.toString))
+    val snap = t.metadata.currentSnapshotId
+    assert(Maintenance.rewriteSmallFiles(t, spark)
+      .metadata.currentSnapshotId === snap,
+      "default target must come from the table property, not 512 MB")
+    // explicit argument overrides the property
+    val t2 = Maintenance.rewriteSmallFiles(t, spark, sizes.sum * 10)
+    assert(t2.metadata.currentSnapshotId !== snap)
+    assert(t2.newScan().toDF(spark).count() === 100L)
+  }
+
   test("binpack folds deletes into rewritten files; kept delete manifests still apply") {
     val ss = spark; import ss.implicits._
     val schema = IcebergSchema(0, Seq(
