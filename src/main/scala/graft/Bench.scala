@@ -98,19 +98,29 @@ object Bench {
 
     val window = new TaskWindow
     spark.sparkContext.addSparkListener(window)
-    /** One measured run: (wall sec, telemetry snapshot). The telemetry
-      * window opens after a bus flush and closes after one, so it holds
-      * exactly this run's tasks (queries run sequentially). */
-    def runOnce(q: graft.queries.Q): (Double, (Double, Double, Double, Double, Long)) = {
+    /** One measured run: (wall sec, telemetry snapshot, plan counters).
+      * The telemetry window opens after a bus flush and closes after
+      * one, so it holds exactly this run's tasks (queries run
+      * sequentially). The plan window ([[graft.table.ScanMetricsSink]])
+      * brackets the same run: it sums every metadata scan the query
+      * planned, so a PRUNE regression (more files planned for the same
+      * answer — the r14 band-probe 2512-vs-248 class) self-attributes
+      * from the JSON instead of needing a by-hand plan audit
+      * (VERDICT r14 item 6). */
+    def runOnce(q: graft.queries.Q): (Double,
+        (Double, Double, Double, Double, Long),
+        (Long, Long, Long, Long, Long, Long, Long)) = {
       org.apache.spark.GraftListenerBridge.flushListenerBus(spark.sparkContext)
       window.reset()
+      graft.table.ScanMetricsSink.reset()
       val t0 = System.nanoTime()
       q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
       org.apache.spark.GraftListenerBridge.flushListenerBus(spark.sparkContext)
       val snap = window.snapshot()
+      val plan = graft.table.ScanMetricsSink.snapshot()
       cleanup()
-      (sec, snap)
+      (sec, snap, plan)
     }
 
     // warmup: full pass
@@ -121,7 +131,7 @@ object Bench {
     }
     // measured: median of 3 per query, fixed (alphabetical) order; the
     // reported telemetry belongs to the MEDIAN-wall run (the quoted one)
-    val noRun = (-1.0, (0.0, 0.0, 0.0, 0.0, 0L))
+    val noRun = (-1.0, (0.0, 0.0, 0.0, 0.0, 0L), (0L, 0L, 0L, 0L, 0L, 0L, 0L))
     val results = queries.map { q =>
       val runs = (1 to 3).map { _ =>
         try runOnce(q) catch { case _: Throwable => noRun }
@@ -138,16 +148,25 @@ object Bench {
       s""""$t":{"bytes":${f.length()},"mtime":${f.lastModified()},"rows":$rows}"""
     }.mkString("{", ",", "}")
 
-    val qMedians = results.map { case (k, ((med, _), _)) => "\"" + k + "\":" + med }
+    val qMedians = results.map { case (k, ((med, _, _), _)) => "\"" + k + "\":" + med }
       .mkString("{", ",", "}")
     val qMins = results.map { case (k, (_, mn)) => "\"" + k + "\":" + mn }
       .mkString("{", ",", "}")
     // self-attribution telemetry (VERDICT r13 item 1), from the median
     // run: wall ≫ task_run_sec/parallelism → the host stalled the clock;
-    // task_run ≫ task_cpu → tasks waited on IO; task_cpu up → real cost
-    val qTelemetry = results.map { case (k, ((_, (run, cpu, gc, mx, n)), _)) =>
-      f""""$k":{"task_run_sec":$run%.3f,"task_cpu_sec":$cpu%.3f,""" +
-        f""""gc_sec":$gc%.3f,"max_task_sec":$mx%.3f,"tasks":$n}"""
+    // task_run ≫ task_cpu → tasks waited on IO; task_cpu up → real cost.
+    // Plan counters (VERDICT r14 item 6, same run): files_planned up at
+    // flat result rows = a prune regression (the hand-caught 2512-file
+    // class); entries_considered is the metadata the planner walked,
+    // skipped_by_{partition,metrics} where the pruning landed; zeros
+    // everywhere = the query plans no graft table scan (raw parquet).
+    val qTelemetry = results.map {
+      case (k, ((_, (run, cpu, gc, mx, n), (sc, mt, ms, en, sp, sm, fp)), _)) =>
+        f""""$k":{"task_run_sec":$run%.3f,"task_cpu_sec":$cpu%.3f,""" +
+          f""""gc_sec":$gc%.3f,"max_task_sec":$mx%.3f,"tasks":$n,""" +
+          s""""plan_scans":$sc,"manifests_total":$mt,"manifests_skipped":$ms,""" +
+          s""""entries_considered":$en,"skipped_by_partition":$sp,""" +
+          s""""skipped_by_metrics":$sm,"files_planned":$fp}"""
     }.mkString("{", ",", "}")
     val total = results.map(_._2._1._1).filter(_ >= 0).sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qMedians,"queries_min":$qMins,"telemetry":$qTelemetry,"fixture":$fixture,"sf":"$sfDir"}"""

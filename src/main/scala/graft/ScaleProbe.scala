@@ -344,6 +344,59 @@ object ScaleProbe {
           f""""files_planned":$planned,"files_total":$total}"""
       }
 
+      // LAYOUT CROSSOVER at inflated bytes-per-bucket (VERDICT r14 item
+      // 3): the r14 note claimed the wider kb256 layout "wins at
+      // production bytes per bucket" from the 1.11× fixture-bytes
+      // residual being file-open overhead — a hypothesis, not a number.
+      // Measure it: replicate the 10× corpus 4× under shifted ids (same
+      // texts → same band keys → every (band, key-bucket) file carries
+      // 4× the rows/bytes; candidate output inflates identically for
+      // both layouts) and time the small-batch PROBE (candidates only —
+      // the index-scan-sensitive half; the verify tail is layout-blind)
+      // on kb32 vs kb256. The JSON carries each layout's planned/total
+      // files and average file KB so the bytes-vs-opens tradeoff reads
+      // from the artifact itself.
+      val crossover = {
+        val others = sIdx.columns.filter(_ != "doc_id")
+          .map(col).toSeq
+        val sIdx4 = (0 until 4).map(i => sIdx.select(
+          ((col("doc_id") + i * 100000000L)).as("doc_id") +: others: _*))
+          .reduce(_.unionAll(_))
+        val x32 = Serving.persistBandIndex(sIdx4, "xb32", cat)
+        val x256 = Serving.persistBandIndex(sIdx4, "xb256", cat,
+          keyBuckets = 256)
+        val s32 = med3(Serving.probeBandIndexCandidates(x32, spark, tiny))
+        val s256 = med3(Serving.probeBandIndexCandidates(x256, spark, tiny))
+        def layout(t: graft.table.GraftTable): (Int, Int, Double) = {
+          val pairs = graft.pipeline.Dedup.cappedBands(tiny, 16, 4,
+              graft.pipeline.Dedup.MaxBucket)
+            .select(col("band_idx").cast("int"), col("band_key")).distinct()
+            .collect().map(r => (r.getInt(0), r.getString(1)))
+          val pred = pairs.groupBy(_._1).toSeq.sortBy(_._1)
+            .map { case (b, ps) =>
+              graft.expr.And(
+                graft.expr.BinaryPred(graft.expr.Eq, "band_idx", b),
+                graft.expr.SetPred(graft.expr.In, "band_key",
+                  ps.map(_._2).toSet[Any]))
+            }.reduceLeft[graft.expr.Predicate](graft.expr.Or(_, _))
+          val planned = t.newScan().withFilter(pred).planFiles()
+            .groupBy(_.file.filePath).size
+          val all = t.newScan().planFiles()
+            .groupBy(_.file.filePath).values.map(_.head).toSeq
+          (planned, all.size,
+            all.map(_.file.fileSizeInBytes).sum / 1024.0 / all.size)
+        }
+        val (p32, t32, kb32) = layout(x32)
+        val (p256, t256, kb256b) = layout(x256)
+        f""""kb_crossover_inflated_bytes":{"rows_inflation":4,""" +
+          f""""kb32_sec":$s32%.3f,"kb256_sec":$s256%.3f,""" +
+          f""""ratio_kb256_vs_kb32":${s256 / s32}%.2f,""" +
+          f""""kb32_files_planned":$p32,"kb32_files_total":$t32,""" +
+          f""""kb32_avg_file_kb":$kb32%.1f,""" +
+          f""""kb256_files_planned":$p256,"kb256_files_total":$t256,""" +
+          f""""kb256_avg_file_kb":$kb256b%.1f}"""
+      }
+
       val bE = spark.read.parquet(s"$base/embeddings.parquet")
       val sE = spark.read.parquet(s"$scaled/embeddings.parquet")
       val (ib, cb) = Serving.persistIvfIndex(bE, "b95", cat)
@@ -385,6 +438,47 @@ object ScaleProbe {
       var bndS = tS
       val p93mb = medMaint(o => bndB = Serving.indexBatch(bndB, shifted(o)))
       val p93ms = medMaint(o => bndS = Serving.indexBatch(bndS, shifted(o)))
+
+      // m07-SHAPE CYCLE at 10× (VERDICT r14 item 1): the binpack
+      // compactor's 100 TB contract — cost ∝ files the folds created,
+      // NOT artifact size (`Maintenance.rewriteSmallFiles` scaladoc) —
+      // measured, not argued: run the full m07 cycle (2 fixed-batch
+      // folds + one binpack) against the base- vs the 10×-sized band
+      // index. The fold-created file count is constant (batch shape ×
+      // partition fanout), so the only O(artifact) term left is the
+      // planFiles enumeration; a ~flat ratio pins the claim. The warm
+      // cycle also absorbs the maintain-only section's fold residue, so
+      // the timed cycles run at the steady state m07 seals. Rewritten/
+      // added file counts ride in the JSON as the ∝-files evidence.
+      def medCycle(start: graft.table.GraftTable, tag: String)
+          : (Double, Long, Long, Int) = {
+        var t = start
+        var off = 300000000L + (if (tag == "s") 50000000L else 0L)
+        var rewritten = 0L
+        var added = 0L
+        def once(): Double = {
+          val t0n = System.nanoTime()
+          (0 until 2).foreach { i =>
+            t = Serving.indexBatch(t, shifted(off + i * 200000L)) }
+          t = graft.table.Maintenance.rewriteSmallFiles(t, spark)
+          off += 1000000L
+          val s = (System.nanoTime() - t0n) / 1e9
+          val sum = t.metadata.currentSnapshot.map(_.summary)
+            .getOrElse(Map.empty)
+          rewritten = sum.getOrElse("rewritten-data-files", "0").toLong
+          added = sum.getOrElse("added-data-files", "0").toLong
+          spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+          s
+        }
+        once() // warm + compact the maintain-only residue
+        val med = (1 to 3).map(_ => once()).sorted.apply(1)
+        val files = t.newScan().planFiles().groupBy(_.file.filePath).size
+        (med, rewritten, added, files)
+      }
+      val (cycB, rwB, adB, filesB) = medCycle(bndB, "b")
+      val (cycS, rwS, adS, filesS) = medCycle(bndS, "s")
       val vecBatch = bE.orderBy(col("vec_id")).limit(100)
       var ivfB = ib
       var ivfS = is
@@ -478,12 +572,19 @@ object ScaleProbe {
         f""""p93_probe_small_batch_10x_index":{"base_sec":$p93tb%.3f,""" +
         f""""sec":$p93ts%.3f,"ratio":${p93ts / p93tb}%.2f},""" +
         kb256 + "," +
+        crossover + "," +
         f""""p95_probe":{"base_sec":$p95b%.3f,"scale10_sec":$p95s%.3f,""" +
         f""""ratio":${p95s / p95b}%.2f},""" +
         f""""w08_maintain_only":{"base_sec":$w08mb%.3f,"sec_10x":$w08ms%.3f,""" +
         f""""ratio":${w08ms / w08mb}%.2f},""" +
         f""""p93_maintain_only":{"base_sec":$p93mb%.3f,"sec_10x":$p93ms%.3f,""" +
         f""""ratio":${p93ms / p93mb}%.2f},""" +
+        f""""m07_cycle":{"base_sec":$cycB%.3f,"sec_10x":$cycS%.3f,""" +
+        f""""ratio":${cycS / cycB}%.2f,""" +
+        f""""files_rewritten_base":$rwB,"files_added_base":$adB,""" +
+        f""""files_after_base":$filesB,""" +
+        f""""files_rewritten_10x":$rwS,"files_added_10x":$adS,""" +
+        f""""files_after_10x":$filesS},""" +
         f""""p97_maintain_only":{"base_sec":$p97mb%.3f,"sec_10x":$p97ms%.3f,""" +
         f""""ratio":${p97ms / p97mb}%.2f},""" +
         f""""p100_probe":{"base_sec":$p100pb%.3f,"scale10_sec":$p100ps%.3f,""" +

@@ -291,7 +291,12 @@ object Serving {
     val batch = Curation.materialize(bandsOf(newDocs, bands, rows))
     val batchCounts = batch.groupBy(col("band_idx"), col("band_key"))
       .agg(count(lit(1)).as("_new"))
-    val keys = batchCounts.select(col("band_key")).distinct()
+    // distinct (band, key) PAIRS, like the probe (r15): the census's
+    // bare band_key In planned each touched bucket under EVERY band
+    // partition — harmless at the fixture's bucket-saturating folds,
+    // up to bands× extra files at a wide (kb256) layout's small folds
+    val pairs = batchCounts
+      .select(col("band_idx").cast("int"), col("band_key"))
       .take(probeKeyBudget(t, bands) + 1)
     // SERIALIZABLE census (closes the r11 single-writer caveat): the
     // union count reads the snapshot current at derivation time, and the
@@ -302,14 +307,14 @@ object Serving {
     // refreshed table: O(batch) per attempt, bounded attempts.
     retryDerivation(t, "indexBatch") { current =>
       val censusSnapshot = current.metadata.currentSnapshotId
-      // the union count scans only the batch's buckets: the same
-      // batch-key file pruning as the probe (small batches PLAN only
-      // touched key-bucket files), then a broadcast semi-join drops the
-      // pruned files' non-batch buckets row-side
+      // the union count scans only the batch's (band, key-bucket)
+      // cells: the same per-band disjunct file pruning as the probe
+      // (small batches PLAN only touched cells), then a broadcast
+      // semi-join drops the pruned files' non-batch buckets row-side
       val countScan =
-        if (keys.length <= probeKeyBudget(current, bands))
-          current.newScan().withFilter(
-            SetPred(PIn, "band_key", keys.map(_.getString(0)).toSet[Any]))
+        if (pairs.length <= probeKeyBudget(current, bands))
+          current.newScan().withFilter(perBandKeyPredicate(
+            pairs.map(r => (r.getInt(0), r.getString(1)))))
         else current.newScan()
       val existingCounts = countScan.select("band_idx", "band_key").toDF(spark)
         .join(broadcast(batchCounts.select(col("band_idx"), col("band_key"))),
@@ -897,6 +902,22 @@ object Serving {
     * Spark's 8 GB broadcast limit or OOM the driver. `newBands` is
     * materialized by every caller, so the count re-reads stored blocks,
     * not the hash pipeline. */
+  /** Per-band disjunct predicate over a batch's distinct (band_idx,
+    * band_key) pairs: `band_idx = i AND band_key IN keys_i`, one
+    * disjunct per touched band (the r14 plan fix — an In on band_key
+    * alone plans each key's bucket in EVERY band partition, up to
+    * bands× more files at the same literal count). ZERO pairs (empty
+    * trigger, or every doc under the 3-word shingle floor) degrade to
+    * the never-matching empty In, planning an empty scan — reducing
+    * over the empty list threw and killed the stream (ADVICE r14). */
+  private[graft] def perBandKeyPredicate(
+      pairs: Seq[(Int, String)]): graft.expr.Predicate =
+    pairs.groupBy(_._1).toSeq.sortBy(_._1).map { case (b, ps) =>
+      PAnd(BinaryPred(PEq, "band_idx", b),
+        SetPred(PIn, "band_key", ps.map(_._2).toSet[Any]))
+    }.reduceLeftOption[graft.expr.Predicate](POr(_, _))
+      .getOrElse(SetPred(PIn, "band_key", Set.empty[Any]))
+
   private def prunedIndexBands(t: GraftTable, spark: SparkSession,
       newBands: DataFrame, bands: Int): (DataFrame, Boolean) = {
     val budget = probeKeyBudget(t, bands)
@@ -914,17 +935,8 @@ object Serving {
     val pruned = pairs.length <= budget
     val scan =
       if (pruned)
-        t.newScan().withFilter(pairs.groupBy(_.getInt(0)).toSeq.sortBy(_._1)
-          .map { case (b, rows) =>
-            PAnd(BinaryPred(PEq, "band_idx", b),
-              SetPred(PIn, "band_key", rows.map(_.getString(1)).toSet[Any]))
-          }.reduceLeftOption[graft.expr.Predicate](POr(_, _))
-          // a batch with ZERO eligible band rows (empty trigger, or all
-          // docs under the 3-shingle floor) must plan an empty index
-          // side, not crash: push the never-matching empty In the
-          // pre-r14 probe used for it (ADVICE r14: reduceLeft threw on
-          // the degenerate trigger and killed the stream)
-          .getOrElse(SetPred(PIn, "band_key", Set.empty[Any])))
+        t.newScan().withFilter(perBandKeyPredicate(
+          pairs.map(r => (r.getInt(0), r.getString(1)))))
       else t.newScan()
     val hintBroadcast = pruned && newBands.count() <= BroadcastMaxBatchRows
     (scan.toDF(spark)

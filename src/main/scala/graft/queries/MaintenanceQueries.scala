@@ -333,6 +333,81 @@ object MaintenanceQueries {
       .orderBy(col("fold_idx"), col("doc_id"))
   }}
 
+  /** m08: aggregate-MV COMPACTION CADENCE (VERDICT r14 item 5). m06
+    * times the fold increment alone; across a long-lived MV the folds
+    * accumulate one equality-delete file + one small append per cycle
+    * (the upsert anatomy), so the steady state is fold×k + one FULL
+    * [[graft.table.Maintenance.rewriteDataFiles]] — for an O(groups)
+    * artifact the full rewrite IS maintenance (KBs of rows), and unlike
+    * the band index's binpack (m07) it also drops the folded delete
+    * manifests, restoring the delete-free scan. This line times that
+    * cycle — 2 source-append+fold rounds, then the rewrite — and its
+    * read-back runs POST-compaction, so "rewrite preserves the folded
+    * counts" is hashed against a from-scratch DuckDB oracle on every
+    * bench run, the m07 discipline. Amortized per fold = value / 2.
+    *
+    * The inverted index needs no separate line: its artifact has the
+    * SAME upsert-fold shape (bucket-partitioned, eq-delete + append per
+    * fold — m01 times that increment) and the same rewriteDataFiles
+    * cadence (ServingSpec's fold×10 test pins 44 → 4 files), so m08's
+    * compact segment times the identical code path at the same
+    * artifact scale; only the band index warranted its own cycle line
+    * (m07) because binpack is a different compactor.
+    *
+    * Watermark survival: [[Serving.aggWatermark]] walks the snapshot
+    * ANCESTRY for the newest fold-stamped summary, and the compaction's
+    * replace snapshot parents onto the last fold — so the next run's
+    * fold window derives correctly across the rewrite (asserted every
+    * run by this query's own diff staying exact). */
+  val m08 = Q.sql(
+    "m08_agg_fold_compact_amortized",
+    """SELECT lang, source, (2 * count(*))::BIGINT AS cnt,
+      |  (2 * sum(n_chars))::BIGINT AS total
+      |FROM documents WHERE doc_id % 200 = 7
+      |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    bench = true
+  ) { (s, d) => lock.synchronized {
+    import graft.spec.{IcebergSchema, PartitionSpec}
+    val (src0, agg0) = artifact[(GraftTable, GraftTable)]("m08", d) {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      val cat = Q.pinnedCatalog(s, "m08")
+      val src = GraftTable.create("m08src", cat,
+        IcebergSchema.fromSpark(docs.schema), PartitionSpec(0, Nil))
+        .append(docs)
+      (src, Serving.persistGroupAgg(src, s, "m08agg", cat,
+        Seq("lang", "source"), "n_chars"))
+    }
+    val off = nextOffset.getAndAdd(1000000L)
+    def window(sub: Long) = docBatch(s, d)
+      .select((col("doc_id") + off + sub).as("doc_id"), col("lang"),
+        col("source"), col("n_chars"))
+    val groups = window(0L).select(col("lang"), col("source")).distinct()
+    val langs = docBatch(s, d).select(col("lang")).distinct()
+      .collect().map(_.getString(0)).toSet[Any] // bounded: fixture langs
+    def read(a: GraftTable) =
+      a.newScan().withFilter(SetPred(PIn, "lang", langs)).toDF(s)
+        .join(groups, Seq("lang", "source"), "left_semi")
+    val before = read(agg0).select(col("lang"), col("source"),
+      col("cnt").as("_c0"), col("total").as("_t0"))
+    // the cycle: two append+fold rounds, then the full rewrite
+    var src = src0
+    var agg = agg0
+    (0 until 2).foreach { i =>
+      src = src.append(window(i * 200000L))
+      agg = Serving.aggFold(agg, src, s, Seq("lang", "source"), "n_chars")
+    }
+    agg = graft.table.Maintenance.rewriteDataFiles(agg, s)
+    update("m08", d, (src, agg))
+    read(agg).select(col("lang"), col("source"),
+      col("cnt").as("_c1"), col("total").as("_t1"))
+      .join(before, Seq("lang", "source"), "left")
+      .select(col("lang"), col("source"),
+        (col("_c1") - coalesce(col("_c0"), lit(0L))).as("cnt"),
+        (col("_t1") - coalesce(col("_t0"), lit(0L))).as("total"))
+      .orderBy(col("lang"), col("source"))
+  }}
+
   /** Shared m03/m04 oracle: assign the batch vectors to the corpus's 64
     * md5-sampled centroids (identical to p95's cent CTE — the quantizer
     * both artifacts freeze at build time). */
@@ -356,5 +431,5 @@ object MaintenanceQueries {
       |                               ORDER BY cs DESC, cid) AS rn FROM sc)
       |WHERE rn = 1 ORDER BY vec_id""".stripMargin
 
-  val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07)
+  val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08)
 }

@@ -550,6 +550,48 @@ final case class ScanMetrics(
     skippedByMetrics: Long,
     resultFiles: Int)
 
+/** Process-global accumulator of planning counters (VERDICT r14 item 6):
+  * every [[TableScan.planWithMetrics]] / [[TableScan
+  * .planCompactDistributed]] call reports its [[ScanMetrics]] here, so a
+  * harness that brackets a query (reset → run → snapshot) sees the file
+  * counts its scans actually planned. This is what lets a PRUNE
+  * regression self-attribute in bench telemetry: the r14 band-probe
+  * defect (2512 of 4096 files planned instead of 248) moved no task-cpu
+  * anomaly a human would flag, but a files_planned counter jumping 10×
+  * at constant result rows is unmissable. Driver-side only (planning
+  * never runs on executors except the distributed path, which carries
+  * its counters back through accumulators before recording). */
+object ScanMetricsSink {
+  private val scans = new java.util.concurrent.atomic.AtomicLong
+  private val manifestsTotal = new java.util.concurrent.atomic.AtomicLong
+  private val manifestsSkipped = new java.util.concurrent.atomic.AtomicLong
+  private val entries = new java.util.concurrent.atomic.AtomicLong
+  private val byPartition = new java.util.concurrent.atomic.AtomicLong
+  private val byMetrics = new java.util.concurrent.atomic.AtomicLong
+  private val files = new java.util.concurrent.atomic.AtomicLong
+
+  private[table] def record(m: ScanMetrics): Unit = {
+    scans.incrementAndGet()
+    manifestsTotal.addAndGet(m.totalDataManifests.toLong)
+    manifestsSkipped.addAndGet(m.skippedManifests.toLong)
+    entries.addAndGet(m.entriesConsidered)
+    byPartition.addAndGet(m.skippedByPartition)
+    byMetrics.addAndGet(m.skippedByMetrics)
+    files.addAndGet(m.resultFiles.toLong)
+  }
+
+  def reset(): Unit = {
+    scans.set(0); manifestsTotal.set(0); manifestsSkipped.set(0)
+    entries.set(0); byPartition.set(0); byMetrics.set(0); files.set(0)
+  }
+
+  /** (scans, manifests total, manifests skipped, entries considered,
+    * skipped by partition, skipped by metrics, files planned). */
+  def snapshot(): (Long, Long, Long, Long, Long, Long, Long) =
+    (scans.get(), manifestsTotal.get(), manifestsSkipped.get(),
+      entries.get(), byPartition.get(), byMetrics.get(), files.get())
+}
+
 /** Snapshot-scoped scan with pruning pipeline (scan/mod.rs:381-498):
   * manifest list → [ManifestEvaluator on partition summaries] → entries →
   * [ExpressionEvaluator on exact partition values] →
@@ -738,13 +780,15 @@ final class TableScan private[table] (
         .map(e => FileScanTask(e.dataFile, m.partitionSpecId,
           e.sequenceNumber.getOrElse(m.sequenceNumber)))
     }
-    (tasks, ScanMetrics(
+    val metrics = ScanMetrics(
       totalDataManifests = dataManifests.size,
       skippedManifests = dataManifests.size - survivors.size,
       entriesConsidered = entriesSeen.get(),
       skippedByPartition = byPartition.get(),
       skippedByMetrics = byMetrics.get(),
-      resultFiles = tasks.size))
+      resultFiles = tasks.size)
+    ScanMetricsSink.record(metrics)
+    (tasks, metrics)
   }
 
   private def parallelFlatMap[A, B](items: Seq[A])(f: A => Seq[B]): Seq[B] =
@@ -854,11 +898,13 @@ final class TableScan private[table] (
               f.firstRowId)
           }
       }.collect().toSeq
-    (tasks, emptyMetrics.copy(
+    val metrics = emptyMetrics.copy(
       entriesConsidered = entriesSeen.value,
       skippedByPartition = byPartition.value,
       skippedByMetrics = byMetrics.value,
-      resultFiles = tasks.size))
+      resultFiles = tasks.size)
+    ScanMetricsSink.record(metrics)
+    (tasks, metrics)
   }
 
   /** Alive delete files in scope for this snapshot. At 100 TB the delete

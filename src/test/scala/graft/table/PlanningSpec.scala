@@ -7,7 +7,7 @@ import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.catalog.HadoopCatalog
-import graft.expr.{BinaryPred, Gt}
+import graft.expr.{BinaryPred, Gt, Predicate}
 import graft.io.FileIO
 import graft.spec._
 import graft.spec.IcebergType._
@@ -61,6 +61,35 @@ class PlanningSpec extends AnyFunSuite with BeforeAndAfterAll {
     ts.map(_.file.filePath).toSet
   private def compactSet(ts: Seq[CompactFileTask]): Set[String] =
     ts.map(_.filePath).toSet
+
+  test("ScanMetricsSink accumulates every planner's counters (bench plan window)") {
+    // VERDICT r14 item 6: the bench telemetry must carry plan counters
+    // so a prune regression (files planned up at flat answers)
+    // self-attributes from the JSON. The sink is the reset→plan→snapshot
+    // window Bench brackets each run with; both the local and the
+    // distributed planner must report into it.
+    ScanMetricsSink.reset()
+    val (local, m) = table.newScan()
+      .withFilter(Predicate.eqTo("part", 3)).planWithMetrics()
+    val (scans, mTotal, _, entries, skippedPart, _, files) =
+      ScanMetricsSink.snapshot()
+    assert(scans === 1L)
+    assert(files === local.size.toLong && files === m.resultFiles.toLong)
+    assert(mTotal === m.totalDataManifests.toLong)
+    assert(entries === m.entriesConsidered && entries > files,
+      "partition pruning must have skipped entries in this fixture")
+    assert(skippedPart === m.skippedByPartition && skippedPart > 0L)
+
+    ScanMetricsSink.reset()
+    table.newScan().withFilter(Predicate.eqTo("part", 3))
+      .planCompactDistributed(spark, Set(1, 2, 3), Nil)
+    val dist = ScanMetricsSink.snapshot()
+    assert(dist._1 === 1L && dist._7 === files,
+      s"distributed planner reported ${dist._7} files, local planned $files")
+
+    ScanMetricsSink.reset()
+    assert(ScanMetricsSink.snapshot() === ((0L, 0L, 0L, 0L, 0L, 0L, 0L)))
+  }
 
   test("distributed planning matches the driver planner exactly (pruning parity)") {
     val t = table
