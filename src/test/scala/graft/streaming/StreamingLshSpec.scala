@@ -369,6 +369,19 @@ class StreamingLshSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(entryCleared(),
       "the registry entry must clear once the stream is stopped and its " +
         "owner's handles are dropped — a pinned entry leaks the client")
+
+    // ADVICE r14: the resolve-site failure must name weak-entry
+    // collection as a possible cause — the cleared ref above is exactly
+    // the nondeterministic shape a registrant that dropped its handle
+    // too early would hit, and the old "not registered" text sent them
+    // hunting a registration bug instead of a lifetime bug.
+    val err = intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("catalog-ref", ref)
+        .option("table", "weakidx").load()
+    }
+    assert(err.getMessage.contains("garbage-collected") &&
+      err.getMessage.contains("hold the instance strongly"),
+      s"lookup failure must name GC collection as a cause: ${err.getMessage}")
   }
 
   test("probeIndexPruned: per-trigger file pruning + reload-is-refresh, parity per batch") {
