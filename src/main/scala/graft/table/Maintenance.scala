@@ -25,7 +25,14 @@ object Maintenance {
     * else 512 MB. */
   private[table] def targetFileSize(table: GraftTable): Long =
     table.metadata.properties.get("write.target-file-size-bytes")
-      .map(_.toLong).filter(_ > 0).getOrElse(512L << 20)
+      .map { v =>
+        try v.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"table property write.target-file-size-bytes must be a byte " +
+              s"count, got '$v' — fix or unset it (unset uses the 512 MB " +
+              "spec default), or pass an explicit target to the rewrite")
+        }
+      }.filter(_ > 0).getOrElse(512L << 20)
 
   /** Compact the current snapshot into ~targetFileSizeBytes files.
     *

@@ -286,6 +286,15 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val t2 = Maintenance.rewriteSmallFiles(t, spark, sizes.sum * 10)
     assert(t2.metadata.currentSnapshotId !== snap)
     assert(t2.newScan().toDF(spark).count() === 100L)
+    // a malformed property names itself instead of a bare
+    // NumberFormatException from deep inside the pass
+    val bad = t.updateProperties(
+      Map("write.target-file-size-bytes" -> "512MB"))
+    val err = intercept[IllegalArgumentException] {
+      Maintenance.rewriteSmallFiles(bad, spark)
+    }
+    assert(err.getMessage.contains("write.target-file-size-bytes") &&
+      err.getMessage.contains("512MB"))
   }
 
   test("binpack folds deletes into rewritten files; kept delete manifests still apply") {
