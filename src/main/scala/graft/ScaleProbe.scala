@@ -37,6 +37,16 @@ object ScaleProbe {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = if (args.length > 1) args(1) else "/tmp/graft_scale10"
     val factor = 10
+    // Fail fast on an under-sized heap (r15: the full probe at the 8 GB
+    // build default OOM'd five minutes into the 10× query section —
+    // every committed full run uses SPARK_DRIVER_MEM=16g, and a probe
+    // that dies mid-section wastes far more than this check costs).
+    val heapGb = Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024)
+    require(heapGb >= 12.0 ||
+      sys.env.contains("SPARK_GRAFT_PROBE_ALLOW_SMALL_HEAP"),
+      f"ScaleProbe needs a >=12 GB driver heap (have $heapGb%.1f GB) — " +
+        "run with SPARK_DRIVER_MEM=16g as every committed full probe " +
+        "does, or set SPARK_GRAFT_PROBE_ALLOW_SMALL_HEAP to override")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

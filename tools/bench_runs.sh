@@ -36,3 +36,11 @@ doc = {"protocol": "fork (fresh JVM per run), full suite, per-run median of 3",
 json.dump(doc, open(out, "w"), indent=1, sort_keys=True)
 print(f"[bench_runs] wrote {out}: totals {totals}", file=sys.stderr)
 EOF
+# r15: if a prior round's seal exists, report plan-counter drift against
+# it (informational here — the builder judges the output; plan_drift
+# exits 1 on a DRIFT, which this report-only invocation masks with ||)
+PREV=$(ls -1 BENCH_RUNS_r*.json 2>/dev/null | grep -v "$OUT" | sort | tail -1 || true)
+if [ -n "$PREV" ]; then
+  echo "[bench_runs] plan drift vs $PREV:" >&2
+  python3 tools/plan_drift.py "$PREV" "$OUT" >&2 || true
+fi
