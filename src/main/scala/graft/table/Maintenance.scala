@@ -34,6 +34,22 @@ object Maintenance {
         }
       }.filter(_ > 0).getOrElse(512L << 20)
 
+  /** The convergence core of [[rewriteSmallFiles]], pure so the fixed-
+    * point argument is property-testable: a partition's small files
+    * (each under [[MinFileSizeRatio]] × target) are rewritten only when
+    * merging REDUCES the file count. This makes any rewrite's own
+    * output a fixed point in one step: the pass produces
+    * ceil(bytes/target) files, and re-evaluating that layout yields
+    * expectedOut == count (the under-0.75×-target outputs each carry
+    * > target × (n-1)/n bytes), so the next pass no-ops — see
+    * MaintenanceSpec's scalacheck property. */
+  private[table] def groupReducible(smallSizes: Seq[Long], target: Long,
+      minInputFiles: Int): Boolean = {
+    val expectedOut = math.max(1L,
+      math.ceil(smallSizes.sum.toDouble / target).toLong)
+    smallSizes.size >= minInputFiles && expectedOut < smallSizes.size
+  }
+
   /** Compact the current snapshot into ~targetFileSizeBytes files.
     *
     * Reads the snapshot MoR-applied (position/equality deletes folded in),
@@ -148,9 +164,8 @@ object Maintenance {
     val sourcePaths = files.groupBy(t => (t.specId, t.file.partition))
       .values.flatMap { group =>
         val small = group.filter(_.file.fileSizeInBytes < minSize)
-        val expectedOut = math.max(1L, math.ceil(
-          small.map(_.file.fileSizeInBytes).sum.toDouble / target).toLong)
-        if (small.size >= minInputFiles && expectedOut < small.size) small
+        if (groupReducible(small.map(_.file.fileSizeInBytes), target,
+            minInputFiles)) small
         else Nil
       }.map(_.file.filePath).toSet
     if (sourcePaths.isEmpty) return table

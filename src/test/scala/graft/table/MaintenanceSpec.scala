@@ -297,6 +297,42 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
       err.getMessage.contains("512MB"))
   }
 
+  test("binpack convergence property: a rewrite's own output is a fixed point") {
+    // The ADVICE r14 convergence contract, proven over random layouts
+    // instead of two hand-picked cases: whenever groupReducible selects
+    // a set of small files, the layout the rewrite produces (the bytes
+    // split across ceil(sum/target) outputs, remainder on the last) is
+    // NOT selected again — one pass per fragmented partition, then the
+    // cadence no-ops. Pure model of the selection core; the real-table
+    // no-op and near-target cases are the tests above.
+    import org.scalacheck.Gen
+    val gen = for {
+      target <- Gen.chooseNum(1000L, 1000000000L)
+      n <- Gen.chooseNum(2, 64)
+      sizes <- Gen.listOfN(n, Gen.chooseNum(1L, target * 2))
+      minInput <- Gen.chooseNum(2, 4)
+    } yield (target, sizes, minInput)
+    val seed = org.scalacheck.rng.Seed(42L)
+    Iterator.iterate(seed)(_.next).take(500).foreach { s =>
+      val (target, sizes, minInput) = gen.pureApply(Gen.Parameters.default, s)
+      val minSize = (target * Maintenance.MinFileSizeRatio).toLong
+      val small = sizes.filter(_ < minSize)
+      if (Maintenance.groupReducible(small, target, minInput)) {
+        val outCount = math.max(1L,
+          math.ceil(small.sum.toDouble / target).toLong).toInt
+        assert(outCount < small.size) // the selection's own invariant
+        val even = small.sum / outCount
+        val outputs = Seq.fill(outCount - 1)(even) :+
+          (small.sum - even * (outCount - 1))
+        val keep = sizes.filterNot(_ < minSize)
+        val next = (keep ++ outputs).filter(_ < minSize)
+        assert(!Maintenance.groupReducible(next, target, minInput),
+          s"reselected after rewrite: target=$target small=$small " +
+            s"outputs=$outputs next=$next")
+      }
+    }
+  }
+
   test("binpack folds deletes into rewritten files; kept delete manifests still apply") {
     val ss = spark; import ss.implicits._
     val schema = IcebergSchema(0, Seq(
