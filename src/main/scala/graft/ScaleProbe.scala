@@ -245,15 +245,31 @@ object ScaleProbe {
     // SUBSET file — the committed BENCH_SCALE10.json only ever comes
     // from a FULL run (all queries, all sections).
     val fullRun = only.isEmpty && sections.isEmpty
+    // Incremental section logging (r15): the skew control's pre-salt
+    // shape is a DELIBERATE single-task ~50M-pair explode that sits
+    // margin-thin against the 16 GB heap and can kill the JVM on an
+    // unlucky GC phase (observed once this round after two clean runs
+    // on identical code). Each section's JSON is printed to stderr the
+    // moment it completes, so a late flake preserves the earlier
+    // sections for diagnosis — the COMMITTED artifact still only ever
+    // comes from a run that reached the final write.
+    def sectionDone(tag: String, json: String): String = {
+      System.err.println(s"[scaleprobe] $tag done: $json")
+      json
+    }
+    sectionDone("queries", results.map { case (n, b, s, r) =>
+      f""""$n":$r%.2f""" }.mkString("{", ",", "}"))
     val skewJson =
-      if (only.isEmpty && sectionOn("skew")) viralSkewProbe(spark)
+      if (only.isEmpty && sectionOn("skew"))
+        sectionDone("skew", viralSkewProbe(spark))
       else "\"skipped\""
     // serving PROBE-ONLY timings (r10 judge items 6/7): indexes built
     // once per dataset OUTSIDE the timed region — the serving claim is
     // about the probe, and the fixed-batch/10×-index shape is the one
     // that would expose an O(index) probe
     val servingJson =
-      if (only.isEmpty && sectionOn("serving")) servingProbeJson(spark, base, out)
+      if (only.isEmpty && sectionOn("serving"))
+        sectionDone("serving", servingProbeJson(spark, base, out))
       else "\"skipped\""
     val json = results.map { case (n, b, s, r) =>
       f""""$n":{"base_sec":$b%.3f,"scale10_sec":$s%.3f,"ratio":$r%.2f}"""
