@@ -27,10 +27,55 @@ object SessionConf {
     "spark.sql.parquet.fieldId.read.ignoreMissing" -> "true",
     "spark.sql.legacy.parquet.nanosAsLong" -> "true")
 
+  /** Hadoop-level entries for every Spark-managed read/write against the
+    * warehouse: route `file://` through the fork-free
+    * [[graft.io.NioLocalFileSystem]] (RawLocalFileSystem otherwise execs
+    * `chmod` per created file when libhadoop is absent — measured as the
+    * hottest write-task stack, OPTIMIZATION_r15.md). Passed as data
+    * source options (Spark copies them into the per-relation hadoop
+    * conf), so the caller's global hadoopConfiguration is untouched. */
+  val HadoopIoConf: Seq[(String, String)] =
+    graft.io.NioLocalFileSystem.confEntries
+
+  /** [[HadoopIoConf]] plus the v2 file-output-committer: task commit
+    * renames outputs directly into the destination in parallel, instead
+    * of v1's job-commit merge walking every task directory serially on
+    * the driver — the measured 2–3 s driver-side gap after each fanout
+    * write at high file counts, and the standard object-store-friendly
+    * setting. Safe here: staged commit dirs are invisible until the
+    * graft snapshot commits (readers address files via manifests only)
+    * and failed jobs' partials are orphan-GC'd, same as v1 aborts. */
+  val WriteConf: Seq[(String, String)] = HadoopIoConf :+
+    ("mapreduce.fileoutputcommitter.algorithm.version" -> "2")
+
+  /** Write-side session settings (see [[writeSession]]):
+    *   - UTC: temporal partition transforms and Hive path rendering of
+    *     timestamp values are spec'd in UTC (transform/temporal.rs);
+    *   - field-id embedding + µs timestamps: the write-path parquet
+    *     contract (previously set by mutating the caller's session);
+    *   - size-based AQE coalescing (`parallelismFirst=false`): a fanout
+    *     write's exchange is sized by bytes (advisoryPartitionSizeInBytes)
+    *     instead of being held at default parallelism — a KB-scale
+    *     maintenance fold runs 1 write task, not 32, and every write task
+    *     costs a full Hadoop-conf inflation (FileFormatWriter embeds
+    *     SerializableConfiguration in each task; measured ~0.7 s per task
+    *     — OPTIMIZATION_r15.md). Scale-adaptive by construction: larger
+    *     inputs get proportionally more tasks.
+    */
+  val WriteSessionConf: Seq[(String, String)] = Seq(
+    "spark.sql.session.timeZone" -> "UTC",
+    "spark.sql.parquet.fieldId.write.enabled" -> "true",
+    "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS",
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false") ++
+    HadoopIoConf
+
   // one clone per parent session (weak: dropped with the parent); the
   // clone snapshots parent conf at first use — acceptable, overrides are
   // static and the parent's load-bearing settings (timezone) are copied
   private val clones =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, SparkSession]())
+  private val writeClones =
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession, SparkSession]())
 
@@ -40,8 +85,31 @@ object SessionConf {
       Option(clones.get(spark)).getOrElse {
         val c = org.apache.spark.sql.GraftSessionBridge.cloneSession(spark)
         ScanConf.foreach { case (k, v) => c.conf.set(k, v) }
+        // hadoop-level IO entries flow to relations via newHadoopConf,
+        // which copies session-conf entries into the per-query hadoop
+        // conf verbatim — clone-scoped, caller unaffected
+        HadoopIoConf.foreach { case (k, v) => c.conf.set(k, v) }
         clones.put(spark, c)
         c
       }
     }
+
+  /** The write-configured clone of `spark` ([[WriteSessionConf]]). */
+  def writeSession(spark: SparkSession): SparkSession =
+    writeClones.synchronized {
+      Option(writeClones.get(spark)).getOrElse {
+        val c = org.apache.spark.sql.GraftSessionBridge.cloneSession(spark)
+        WriteSessionConf.foreach { case (k, v) => c.conf.set(k, v) }
+        writeClones.put(spark, c)
+        c
+      }
+    }
+
+  /** Rebind a DataFrame's (analyzed) plan to `session` so its execution
+    * resolves that session's conf — the write path's counterpart of
+    * building scans against [[scanSession]]. */
+  def bind(session: SparkSession,
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.GraftSessionBridge.ofRows(session,
+      df.queryExecution.analyzed)
 }

@@ -30,7 +30,7 @@ object CatalogLoader {
     def req(k: String): String = props.getOrElse(k,
       throw new IllegalArgumentException(
         s"catalog type '$catalogType' requires property '$k'"))
-    val io = new FileIO(new Configuration())
+    val io = FileIO.local()
     catalogType.toLowerCase match {
       case "hadoop" => new HadoopCatalog(req("warehouse"), io)
       case "memory" => new MemoryCatalog(req("warehouse"), io)

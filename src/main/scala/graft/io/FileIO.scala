@@ -22,7 +22,16 @@ final class FileIO(val conf: Configuration) extends Serializable {
       throw new UnsupportedOperationException(
         s"hf:// is not a filesystem; resolve to HTTP via graft.io.HfUri: " +
           HfUri.parse(path).map(_.resolveUrl()).getOrElse(path))
-    fsCache.computeIfAbsent(scheme, _ => p.getFileSystem(conf))
+    fsCache.computeIfAbsent(scheme, _ =>
+      // local paths go through the fork-free NIO FileSystem (see
+      // NioLocalFileSystem: RawLocalFileSystem execs `chmod` per created
+      // file/dir when libhadoop is absent); opt out with
+      // graft.io.nio-local=false to restore the checksummed default
+      if (scheme == "file" && conf.getBoolean("graft.io.nio-local", true)) {
+        val f = new NioLocalFileSystem
+        f.initialize(java.net.URI.create("file:///"), conf)
+        f
+      } else p.getFileSystem(conf))
   }
 
   def exists(path: String): Boolean = fs(path).exists(new Path(path))
@@ -92,7 +101,10 @@ final class FileIO(val conf: Configuration) extends Serializable {
     val b = Seq.newBuilder[(String, Long)]
     while (it.hasNext) {
       val s = it.next()
-      if (s.isFile) b += ((s.getPath.toString, s.getLen))
+      // skip dot-prefixed sidecars (`.x.crc`): the checksummed local FS
+      // hid them from listings; the raw NIO FS must keep that contract
+      if (s.isFile && !s.getPath.getName.startsWith("."))
+        b += ((s.getPath.toString, s.getLen))
     }
     b.result()
   }
@@ -106,7 +118,8 @@ final class FileIO(val conf: Configuration) extends Serializable {
     val b = Seq.newBuilder[(String, Long, Long)]
     while (it.hasNext) {
       val s = it.next()
-      if (s.isFile) b += ((s.getPath.toString, s.getLen, s.getModificationTime))
+      if (s.isFile && !s.getPath.getName.startsWith("."))
+        b += ((s.getPath.toString, s.getLen, s.getModificationTime))
     }
     b.result()
   }
@@ -117,12 +130,29 @@ object FileIO {
   def fromSpark(spark: org.apache.spark.sql.SparkSession): FileIO =
     new FileIO(spark.sessionState.newHadoopConf())
 
-  def local(): FileIO = new FileIO(new Configuration())
+  /** JVM-wide default-conf template. `new Configuration()` re-parses the
+    * *-default.xml resources (~50 ms of XML + classloader work); the
+    * executor-side per-file/per-task constructions (footer harvest,
+    * distributed manifest reads, orphan listing) were re-paying that on
+    * every call — measured as a top-5 executor stack in the fold bench
+    * lines. The template is parsed once and never mutated; [[sharedConf]]
+    * hands out cheap property-clone copies. */
+  private lazy val confTemplate: Configuration = {
+    val c = new Configuration()
+    c.get("io.file.buffer.size") // force-load properties into the template
+    c
+  }
+
+  /** A fresh, mutable Configuration copied from the parsed template —
+    * no XML re-parse (the copy constructor clones loaded properties). */
+  def sharedConf(): Configuration = new Configuration(confTemplate)
+
+  def local(): FileIO = new FileIO(sharedConf())
 
   /** FileIO configured from reference-style cloud storage properties
     * (`s3.endpoint`, `gcs.project-id`, `adls.account-key`, …) — the
     * scheme→connector translation lives in [[CloudStorage]]. */
   def withProperties(props: Map[String, String],
-      base: Configuration = new Configuration()): FileIO =
+      base: Configuration = sharedConf()): FileIO =
     new FileIO(CloudStorage.configure(props, base))
 }

@@ -46,8 +46,9 @@ object Serving {
     // pins — record it so indexDocsBatch can refuse a mismatch
     val t = GraftTable.create(name, catalog, schema, spec,
       properties = Map("graft.index.postingsCap" -> cap.toString))
-    t.append(idx.repartition(nBuckets,
-      graft.functions.IcebergBucketExpr.column(col("term"), nBuckets)))
+    // no pre-repartition: the append path's write.distribution-mode=hash
+    // exchange already clusters rows by bucket(term) (r15-opt, guide §2.4)
+    t.append(idx)
   }
 
   /** Term lookup served from the PERSISTED index: an In-predicate pushed
@@ -168,15 +169,14 @@ object Serving {
       .select(col("doc_id"), col("band_idx").cast("int").as("band_idx"),
         col("band_key"))
 
-  /** Cluster rows by their target (band, key-bucket) partition before
-    * the fanout writer so each task writes few files and writes
-    * parallelize across the session's cores (at scale: one shuffle on
-    * the partition keys, standard write distribution). */
+  /** Band rows flow to the writer UNSHUFFLED: the append path's own
+    * `write.distribution-mode=hash` exchange (AppendWriter.writeInUtc)
+    * already clusters rows by the (band_idx, key_bucket) partition tuple
+    * — the explicit pre-repartition this wrapped was a second shuffle on
+    * the SAME keys, removed r15-opt (guide §2.4: one exchange per
+    * clustering, plan pins in plans/r15/). */
   private def writeLayout(bandsDf: DataFrame, keyBuckets: Int): DataFrame =
-    bandsDf.repartition(
-      bandsDf.sparkSession.sessionState.conf.numShufflePartitions,
-      col("band_idx"),
-      graft.functions.IcebergBucketExpr.column(col("band_key"), keyBuckets))
+    bandsDf
 
   /** Build the MinHash band index (doc_id, band_idx, band_key) for the
     * standing corpus and persist it partitioned by band_idx — each
@@ -386,9 +386,7 @@ object Serving {
     val spec = PartitionSpec(0,
       Seq(PartitionField(cellId, 1000, "cell", Transform.Identity)))
     val t = GraftTable.create(name, catalog, schema, spec)
-      .append(assigned.repartition(
-        math.min(cells, spark.sessionState.conf.numShufflePartitions),
-        col("cell")))
+      .append(assigned) // append hash-clusters by identity(cell) itself
     val centsDf = cents.toDF("cid", "centroid", "cnorm")
     val ct = GraftTable.create(s"${name}_centroids", catalog,
       IcebergSchema.fromSpark(centsDf.schema),
@@ -440,9 +438,7 @@ object Serving {
     val assigned = Similarity
       .assignCells(newVecs, cents, "vec_id", "embedding", "cell")
       .select(col("vec_id"), col("embedding"), col("cell"))
-    index.append(assigned.repartition(
-      math.min(cents.size, spark.sessionState.conf.numShufflePartitions),
-      col("cell")))
+    index.append(assigned) // append hash-clusters by identity(cell) itself
   }
 
   def annFromIvfIndex(index: GraftTable, centroids: GraftTable,
@@ -522,9 +518,9 @@ object Serving {
     val spec = PartitionSpec(0, Seq(PartitionField(headId, 1000,
       s"${groupCols.head}_bucket", Transform.Bucket(nBuckets))))
     val t = GraftTable.create(name, catalog, schema, spec)
-    graft.table.AppendWriter.append(t,
-      agg.repartition(nBuckets,
-        graft.functions.IcebergBucketExpr.column(col(groupCols.head), nBuckets)),
+    // no pre-repartition: the append path hash-clusters by the bucket
+    // transform itself (r15-opt, guide §2.4)
+    graft.table.AppendWriter.append(t, agg,
       extraSummary = Map(AggWatermarkKey -> snap.toString))
   }
 
@@ -712,9 +708,7 @@ object Serving {
     val t = GraftTable.create(name, catalog, schema, spec,
       properties = Map("graft.ivfpq.m" -> m.toString,
         "graft.ivfpq.codes" -> codes.toString))
-      .append(encoded.repartition(
-        math.min(cents.size, spark.sessionState.conf.numShufflePartitions),
-        col("cell")))
+      .append(encoded) // append hash-clusters by identity(cell) itself
     val centsDf = cents.toDF("cid", "centroid", "cnorm")
     val ct = GraftTable.create(s"${name}_centroids", catalog,
       IcebergSchema.fromSpark(centsDf.schema),
@@ -841,9 +835,7 @@ object Serving {
     val assigned = Similarity
       .assignCells(newVecs, cents, "vec_id", "embedding", "cell")
       .select(col("vec_id"), col("cell"), col("embedding"))
-    index.append(encodePacked(assigned, cb, m, bits).repartition(
-      math.min(cents.size, spark.sessionState.conf.numShufflePartitions),
-      col("cell")))
+    index.append(encodePacked(assigned, cb, m, bits)) // append hash-clusters itself
   }
 
   /** A probing batch with at most this many distinct keys pushes them

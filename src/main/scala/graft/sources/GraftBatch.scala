@@ -784,7 +784,7 @@ object GraftReaderFactory {
     val hc = scanSpark.sparkContext.hadoopConfiguration
     def conf() = {
       val c = new org.apache.hadoop.conf.Configuration(hc)
-      (graft.SessionConf.ScanConf ++ encConf).foreach { case (k, v) => c.set(k, v) }
+      (graft.SessionConf.ScanConf ++ graft.SessionConf.HadoopIoConf ++ encConf).foreach { case (k, v) => c.set(k, v) }
       c
     }
     val rowOpts = Map(FileFormat.OPTION_RETURNING_BATCH -> "false")

@@ -92,7 +92,7 @@ final class GraftCatalogPlugin extends CatalogPlugin with TableCatalog with View
       state = Resolved(wh,
         CatalogLoader.load(catalogType,
           initProps ++ Map("warehouse" -> wh, "name" -> catalogName)),
-        new ViewStore(wh, new FileIO(new Configuration())))
+        new ViewStore(wh, FileIO.local()))
     state
   }
   private def warehouse: String = resolve().warehouse
@@ -117,7 +117,7 @@ final class GraftCatalogPlugin extends CatalogPlugin with TableCatalog with View
       state = Resolved(wh,
         CatalogLoader.load(catalogType,
           initProps ++ Map("warehouse" -> wh, "name" -> name)),
-        new ViewStore(wh, new FileIO(new Configuration())))
+        new ViewStore(wh, FileIO.local()))
     }
     // Capacity of the process-wide parsed-manifest cache (reference
     // ObjectCache size, io/object_cache.rs:28); 0 disables caching.

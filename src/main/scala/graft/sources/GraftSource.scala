@@ -72,7 +72,7 @@ final class GraftSource extends TableProvider with DataSourceRegister
       case (None, None) =>
         val warehouse = Option(options.get("warehouse")).getOrElse(
           throw new IllegalArgumentException("option 'warehouse' is required"))
-        new HadoopCatalog(warehouse, new FileIO(new Configuration()))
+        new HadoopCatalog(warehouse, FileIO.local())
     }
 
   private def load(options: CaseInsensitiveStringMap): GraftTable = {

@@ -149,11 +149,12 @@ object AppendWriter {
       col(f.name).cast(f.dataType).as(f.name, f.metadata)): _*)
     // Temporal partition transforms and Hive path rendering of timestamp
     // values are session-timezone dependent; the spec computes them in UTC
-    // (transform/temporal.rs), so force UTC for the write.
-    val prevTz = spark.conf.get("spark.sql.session.timeZone")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    try writeInUtc(table, input, spark, commitUuid)
-    finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+    // (transform/temporal.rs). The write executes under a conf-carrying
+    // session CLONE (graft.SessionConf.writeSession: UTC, field-id
+    // embedding, size-based AQE write coalescing, fork-free local IO) —
+    // the caller's session is never mutated, same hygiene as scans.
+    val wspark = graft.SessionConf.writeSession(spark)
+    writeInUtc(table, graft.SessionConf.bind(wspark, input), wspark, commitUuid)
   }
 
   private def writeInUtc(table: GraftTable, input: DataFrame,
@@ -232,11 +233,12 @@ object AppendWriter {
     val encConf = graft.crypto.Encryption.confFor(table.metadata.properties)
     val writer = distributed.write
       .mode(SaveMode.Append)
+      .options(graft.SessionConf.WriteConf.toMap)
       .options(encConf)
       .option("compression",
         table.metadata.properties.getOrElse("write.parquet.compression-codec", "zstd"))
-    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
-    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    // field-id embedding + µs timestamps ride in the write session's conf
+    // (SessionConf.WriteSessionConf) — `spark` here IS that clone
     table.metadata.properties.get("write.spark.max-records-per-file")
       .foreach(v => writer.option("maxRecordsPerFile", v))
     // parquet encoding knobs (table_properties.rs:238-240 row-group/page
@@ -344,7 +346,7 @@ object AppendWriter {
     // Encrypted tables carry decryption entries for the footer read —
     // HadoopReadOptions resolves FileDecryptionProperties through the
     // crypto factory in the conf (raw open() would skip it).
-    val conf = new Configuration()
+    val conf = graft.io.FileIO.sharedConf()
     encConf.foreach { case (k, v) => conf.set(k, v) }
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(path), conf),
       org.apache.parquet.HadoopReadOptions.builder(conf, new Path(path)).build())

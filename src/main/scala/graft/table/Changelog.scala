@@ -196,7 +196,7 @@ object Changelog {
       val dvRows = spark.sparkContext
         .parallelize(descriptors, math.max(1, math.min(descriptors.size, 64)))
         .flatMap { case (puffin, offset, len, ref) =>
-          val io = new graft.io.FileIO(new org.apache.hadoop.conf.Configuration())
+          val io = graft.io.FileIO.local()
           val meta = graft.puffin.Puffin.BlobMetadata(
             graft.puffin.Puffin.DeletionVectorV1, Nil, 0L, 0L, offset, len, Map.empty)
           graft.puffin.Puffin.dvDeserialize(

@@ -100,7 +100,7 @@ object DeleteWriter {
       commitUuid: String): Seq[DataFile] = {
     val encConf = graft.crypto.Encryption.confFor(table.metadata.properties)
     val outDir = Locations.commitDir(table, "deletes", commitUuid)
-    rows.write.options(encConf).option("compression", "zstd").parquet(outDir)
+    rows.write.options(graft.SessionConf.WriteConf.toMap).options(encConf).option("compression", "zstd").parquet(outDir)
     val written = table.io.listFiles(outDir).filter(_._1.endsWith(".parquet"))
     written.map { case (p, len) =>
       val (rows, bounds) = posDeleteStats(p, encConf)
@@ -325,7 +325,7 @@ object DeleteWriter {
     val encConf = graft.crypto.Encryption.confFor(table.metadata.properties)
     val delDir = Locations.commitDir(table, "deletes", commitUuid)
     df.select(keyCols.map(col): _*).na.drop("any", keyCols).distinct()
-      .write.options(encConf).option("compression", "zstd").parquet(delDir)
+      .write.options(graft.SessionConf.WriteConf.toMap).options(encConf).option("compression", "zstd").parquet(delDir)
     val delFiles = table.io.listFiles(delDir).filter(_._1.endsWith(".parquet"))
       .map { case (p, len) =>
         DataFile(
@@ -393,7 +393,7 @@ object DeleteWriter {
     val encConf = graft.crypto.Encryption.confFor(table.metadata.properties)
     val commitUuid = UUID.randomUUID().toString
     val outDir = Locations.commitDir(table, "deletes", commitUuid)
-    rows.write.options(encConf).option("compression", "zstd").parquet(outDir)
+    rows.write.options(graft.SessionConf.WriteConf.toMap).options(encConf).option("compression", "zstd").parquet(outDir)
 
     val written = table.io.listFiles(outDir).filter(_._1.endsWith(".parquet"))
     if (written.isEmpty || rowCount(written, encConf) == 0L) {
@@ -446,7 +446,7 @@ object DeleteWriter {
     * HadoopReadOptions resolves decryption via the crypto factory when the
     * table is encrypted. */
   private[table] def countRows(path: String, encConf: Map[String, String] = Map.empty): Long = {
-    val conf = new Configuration()
+    val conf = graft.io.FileIO.sharedConf()
     encConf.foreach { case (k, v) => conf.set(k, v) }
     val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(path), conf),
       org.apache.parquet.HadoopReadOptions.builder(conf, new Path(path)).build())
@@ -461,7 +461,7 @@ object DeleteWriter {
     * data-file paths the same way). */
   private[table] def posDeleteStats(path: String,
       encConf: Map[String, String] = Map.empty): (Long, Option[(String, String)]) = {
-    val conf = new Configuration()
+    val conf = graft.io.FileIO.sharedConf()
     encConf.foreach { case (k, v) => conf.set(k, v) }
     val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(path), conf),
       org.apache.parquet.HadoopReadOptions.builder(conf, new Path(path)).build())

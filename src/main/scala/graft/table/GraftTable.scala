@@ -334,7 +334,7 @@ final class GraftTable(
         spark.sparkContext
           .parallelize(descriptors, math.max(1, math.min(descriptors.size, 64)))
           .flatMap { case (puffin, offset, len, ref) =>
-            val io = new graft.io.FileIO(new org.apache.hadoop.conf.Configuration())
+            val io = graft.io.FileIO.local()
             val meta = graft.puffin.Puffin.BlobMetadata(
               graft.puffin.Puffin.DeletionVectorV1, Nil, 0L, 0L, offset, len,
               Map.empty)
@@ -1067,8 +1067,23 @@ final class TableScan private[table] (
                   sparkSchema.fields ++ graft.spec.RowLineage.sparkFields)
               else sparkSchema
             groups.map { case (ts, missing) =>
-              val raw = reader.read.options(encConf).schema(readSchema)
-                .parquet(ts.map(_.file.filePath): _*)
+              // explicit-file relation: paths AND sizes come from the
+              // manifests, so the read skips InMemoryFileIndex's
+              // listing pass entirely (one stat per file — a
+              // task-per-path Spark job at high file counts; r15-opt)
+              // distinct by path: planFiles may emit several byte-range
+              // tasks for one physical file, and the listing-based read
+              // deduped them implicitly (InMemoryFileIndex keys by path)
+              // paths FS-QUALIFIED (file:///…): `_metadata.file_path`
+              // renders the status path verbatim and the MoR delete join
+              // compares it against delete rows that stored the
+              // qualified form — a bare manifest string would miss
+              val raw = org.apache.spark.sql.GraftFileRelationBridge
+                .parquetOverFiles(reader,
+                  ts.map(t => (qualifyPath(t.file.filePath),
+                    t.file.fileSizeInBytes)).distinctBy(_._1),
+                  readSchema,
+                  encConf ++ graft.SessionConf.HadoopIoConf)
               val filled = missing.foldLeft(raw) { (df, f) =>
                 df.withColumn(f.name, defaultLiteral(f))
               }
@@ -1243,7 +1258,7 @@ final class TableScan private[table] (
         .flatMap { case (puffin, offset, len, ref) =>
           // executor-local FileIO (Hadoop Configuration isn't serializable;
           // same pattern as the footer harvest in AppendWriter)
-          val io = new graft.io.FileIO(new org.apache.hadoop.conf.Configuration())
+          val io = graft.io.FileIO.local()
           val meta = graft.puffin.Puffin.BlobMetadata(
             graft.puffin.Puffin.DeletionVectorV1, Nil, 0L, 0L, offset, len, Map.empty)
           graft.puffin.Puffin.dvDeserialize(

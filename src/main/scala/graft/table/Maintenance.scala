@@ -388,7 +388,7 @@ object Maintenance {
     val referenced = sc.parallelize(manifests,
         math.max(1, math.min(manifests.size, 64)))
       .flatMap { case (mp, specId, keyMeta) =>
-        val exIo = new graft.io.FileIO(new org.apache.hadoop.conf.Configuration())
+        val exIo = graft.io.FileIO.local()
         ManifestIO.readManifest(exIo, mp, schema, specById.getOrElse(specId, defaultSpec),
             Option(keyMeta))
           .map(e => (normalize(e.dataFile.filePath), ()))
@@ -403,7 +403,7 @@ object Maintenance {
     val candidates = sc.parallelize(subtrees,
         math.max(1, math.min(subtrees.size, 64)))
       .flatMap { d =>
-        val exIo = new graft.io.FileIO(new org.apache.hadoop.conf.Configuration())
+        val exIo = graft.io.FileIO.local()
         exIo.listFilesRecursive(d).map { case (p, _, mtime) => (p, mtime) }
       } ++ sc.parallelize(topFiles, math.max(1, math.min(topFiles.size, 8)))
 
@@ -413,7 +413,7 @@ object Maintenance {
       .map { case (p, _) => (normalize(p), p) }
       .subtractByKey(referenced)
       .mapPartitions { it =>
-        val exIo = new graft.io.FileIO(new org.apache.hadoop.conf.Configuration())
+        val exIo = graft.io.FileIO.local()
         it.map { case (_, p) => exIo.delete(p); p }
       }
       .collect().toSeq.sorted
@@ -534,7 +534,7 @@ object Maintenance {
 
     val commitUuid = UUID.randomUUID().toString
     val outDir = Locations.commitDir(table, "deletes", commitUuid)
-    survivors.write.options(encConf).option("compression", "zstd").parquet(outDir)
+    survivors.write.options(graft.SessionConf.WriteConf.toMap).options(encConf).option("compression", "zstd").parquet(outDir)
     val written = table.io.listFiles(outDir).filter(_._1.endsWith(".parquet"))
     val maxSeq = sources.map(_.sequenceNumber).max
     val compacted = written.map { case (p, len) =>
@@ -661,7 +661,7 @@ object Maintenance {
     val snapshotId = table.metadata.currentSnapshotId.getOrElse(0L)
     val dir = s"${table.location}/metadata/partition-stats-$snapshotId-" +
       java.util.UUID.randomUUID()
-    table.partitionsDf(spark).coalesce(1).write.parquet(dir)
+    table.partitionsDf(spark).coalesce(1).write.options(graft.SessionConf.WriteConf.toMap).parquet(dir)
     val path = table.io.listFiles(dir).map(_._1).find(_.endsWith(".parquet"))
       .getOrElse(throw new IllegalStateException(s"no stats parquet in $dir"))
     Transactions.updatePartitionStatistics(table,
