@@ -16,6 +16,13 @@ object GraftSessionBridge {
     * streaming (MicroBatchExecution asserts it); this wraps an arbitrary
     * computed InternalRow RDD as that streaming batch — the same call the
     * built-in V1 sources make. */
+  /** Bridge to `private[sql]` `Dataset.ofRows`: rebind a logical plan to
+    * a conf-carrying session clone so one write/scan executes under that
+    * clone's conf without mutating the caller's session. */
+  def ofRows(s: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(s.asInstanceOf[classic.SparkSession], plan)
+
   def internalCreateStreamingDataFrame(s: SparkSession,
       rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
       schema: org.apache.spark.sql.types.StructType): DataFrame =
