@@ -157,6 +157,12 @@ object AppendWriter {
     writeInUtc(table, graft.SessionConf.bind(wspark, input), wspark, commitUuid)
   }
 
+  /** Footer-harvest crossover: at or below this many staged files the
+    * driver reads the footers itself (sequential, ~3 ms each); above it
+    * a Spark job distributes the reads. Local-KB and 100 TB writes both
+    * land on the right side automatically. */
+  private val DriverHarvestMaxFiles = 32
+
   private def writeInUtc(table: GraftTable, input: DataFrame,
       spark: org.apache.spark.sql.SparkSession,
       commitUuid: String): Seq[DataFile] = {
@@ -282,12 +288,23 @@ object AppendWriter {
     val stagingPrefix = staging
     val fieldTypes = schema.fields.map(f => f.name -> (f.id, f.fieldType)).toMap
     val partFieldTypes = partType.fields.map(_.fieldType)
-    val dataFiles: Seq[DataFile] = spark.sparkContext
-      .parallelize(staged, math.max(1, math.min(staged.size, 64)))
-      .map { case (p, len) =>
-        AppendWriter.harvestDataFile(p, len, stagingPrefix, fieldTypes, partFieldTypes,
-          encConf)
-      }.collect().toSeq
+    // small writes harvest on the driver: a Spark job costs ~100–150 ms
+    // of fixed scheduling for what is a handful of KB-scale footer reads
+    // (r15-opt: every maintenance fold paid it); the footprint either
+    // way is the same O(files) DataFile list on the driver. Large writes
+    // keep the distributed read.
+    val dataFiles: Seq[DataFile] =
+      if (staged.size <= DriverHarvestMaxFiles)
+        staged.map { case (p, len) =>
+          AppendWriter.harvestDataFile(p, len, stagingPrefix, fieldTypes,
+            partFieldTypes, encConf)
+        }
+      else spark.sparkContext
+        .parallelize(staged, math.max(1, math.min(staged.size, 64)))
+        .map { case (p, len) =>
+          AppendWriter.harvestDataFile(p, len, stagingPrefix, fieldTypes, partFieldTypes,
+            encConf)
+        }.collect().toSeq
 
     // files written under the active sort order carry its id
     // (data_file.rs sort_order_id) — the scan reports ordering to Spark
