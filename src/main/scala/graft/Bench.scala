@@ -171,7 +171,21 @@ object Bench {
     val total = results.map(_._2._1._1).filter(_ >= 0).sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qMedians,"queries_min":$qMins,"telemetry":$qTelemetry,"fixture":$fixture,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("BENCH_LOCAL.json"), json + "\n")
+    // The driver captures a BOUNDED TAIL of this process's output and
+    // parses the final JSON line; the full document above (telemetry +
+    // mins + fixture embedded in one line) overflows that capture and
+    // r12–r15 each lost their round-over-round compare to a mid-line
+    // truncation (PERF_r15 prev_bench_ok:false — VERDICT r15 item 2).
+    // So stdout gets ONLY this compact summary (same metric, same
+    // medians, 5-decimal seconds ≈ 10 µs, far under run noise), printed
+    // last, after spark.stop(); everything else lives in
+    // BENCH_LOCAL.json for the seal tooling.
+    val qCompact = results.map { case (k, ((med, _, _), _)) =>
+      val v = if (med < 0) med.toString else f"$med%.5f"
+      "\"" + k + "\":" + v
+    }.mkString("{", ",", "}")
+    val compact = f"""{"metric":"total","value":$total%.5f,"unit":"sec","queries":$qCompact,"sf":"$sfDir"}"""
     spark.stop()
-    println(json)
+    println(compact)
   }
 }

@@ -147,6 +147,21 @@ object FileIO {
     * no XML re-parse (the copy constructor clones loaded properties). */
   def sharedConf(): Configuration = new Configuration(confTemplate)
 
+  /** READ-ONLY default conf for per-file read paths (footer harvest,
+    * footer row counts): with no extra entries the shared template is
+    * handed out directly — no property-clone at all, where the copy per
+    * harvested file was a top executor stack of the fold bench lines
+    * (r16). Callers MUST NOT mutate the returned conf; mutating
+    * call-sites take [[sharedConf]] copies. Encrypted reads (non-empty
+    * `extra`) still pay one copy per call. */
+  def readOnlyConf(extra: Map[String, String] = Map.empty): Configuration =
+    if (extra.isEmpty) confTemplate
+    else {
+      val c = sharedConf()
+      extra.foreach { case (k, v) => c.set(k, v) }
+      c
+    }
+
   def local(): FileIO = new FileIO(sharedConf())
 
   /** FileIO configured from reference-style cloud storage properties

@@ -26,6 +26,14 @@ import org.apache.hadoop.fs.permission.{FsAction, FsPermission}
   */
 final class NioLocalFileSystem extends RawLocalFileSystem {
 
+  /** The conf's local block size, resolved once: getDefaultBlockSize
+    * walks Configuration.get (deprecation handling + overlay) per call,
+    * and status construction calls it per file — measured as a hot
+    * footer-open frame on census scans (r16). Lazy so it reads the conf
+    * after initialize(). */
+  private lazy val cachedBlockSize: Long =
+    getDefaultBlockSize(new Path("file:///"))
+
   /** Eager, fork-free FileStatus: RawLocalFileSystem's status class
     * defers permission/owner and loads them by EXEC'ING `ls -ld` per
     * file on first access — and `FileSystem.listFiles` forces that load
@@ -49,7 +57,7 @@ final class NioLocalFileSystem extends RawLocalFileSystem {
         a
       }
       new org.apache.hadoop.fs.FileStatus(attrs.size(), attrs.isDirectory,
-        1, getDefaultBlockSize(qualified), attrs.lastModifiedTime().toMillis,
+        1, cachedBlockSize, attrs.lastModifiedTime().toMillis,
         attrs.lastAccessTime().toMillis,
         new FsPermission(act(OWNER_READ, OWNER_WRITE, OWNER_EXECUTE),
           act(GROUP_READ, GROUP_WRITE, GROUP_EXECUTE),
@@ -59,7 +67,7 @@ final class NioLocalFileSystem extends RawLocalFileSystem {
       case _: UnsupportedOperationException =>
         // non-POSIX store: basic attributes, default permissions
         new org.apache.hadoop.fs.FileStatus(file.length(), file.isDirectory,
-          1, getDefaultBlockSize(qualified), file.lastModified(), qualified)
+          1, cachedBlockSize, file.lastModified(), qualified)
     }
   }
 

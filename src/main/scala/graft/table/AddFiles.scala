@@ -54,7 +54,7 @@ object AddFiles {
     // do the files carry embedded field ids? (drives the read strategy)
     val hasIds = {
       val reader = ParquetFileReader.open(
-        HadoopInputFile.fromPath(new Path(paths.head), graft.io.FileIO.sharedConf()))
+        HadoopInputFile.fromPath(new Path(paths.head), graft.io.FileIO.readOnlyConf()))
       try reader.getFooter.getFileMetaData.getSchema.getFields.asScala
         .exists(_.getId != null)
       finally reader.close()
@@ -95,7 +95,7 @@ object AddFiles {
     }
     if (declared.isEmpty) return
     val reader = ParquetFileReader.open(
-      HadoopInputFile.fromPath(new Path(path), graft.io.FileIO.sharedConf()))
+      HadoopInputFile.fromPath(new Path(path), graft.io.FileIO.readOnlyConf()))
     try {
       reader.getFooter.getFileMetaData.getSchema.getFields.asScala.foreach { f =>
         declared.get(f.getName).foreach { t =>

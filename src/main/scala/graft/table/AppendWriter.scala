@@ -362,9 +362,10 @@ object AppendWriter {
     // executor-local conf; staging paths use the same FS as the table.
     // Encrypted tables carry decryption entries for the footer read —
     // HadoopReadOptions resolves FileDecryptionProperties through the
-    // crypto factory in the conf (raw open() would skip it).
-    val conf = graft.io.FileIO.sharedConf()
-    encConf.foreach { case (k, v) => conf.set(k, v) }
+    // crypto factory in the conf (raw open() would skip it). Read-only
+    // template when unencrypted: the per-file property-clone here was
+    // the top executor stack of the fold bench lines (r16).
+    val conf = graft.io.FileIO.readOnlyConf(encConf)
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(path), conf),
       org.apache.parquet.HadoopReadOptions.builder(conf, new Path(path)).build())
     try {

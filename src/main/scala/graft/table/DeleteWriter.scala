@@ -446,8 +446,7 @@ object DeleteWriter {
     * HadoopReadOptions resolves decryption via the crypto factory when the
     * table is encrypted. */
   private[table] def countRows(path: String, encConf: Map[String, String] = Map.empty): Long = {
-    val conf = graft.io.FileIO.sharedConf()
-    encConf.foreach { case (k, v) => conf.set(k, v) }
+    val conf = graft.io.FileIO.readOnlyConf(encConf)
     val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(path), conf),
       org.apache.parquet.HadoopReadOptions.builder(conf, new Path(path)).build())
     try r.getRecordCount finally r.close()
@@ -461,8 +460,7 @@ object DeleteWriter {
     * data-file paths the same way). */
   private[table] def posDeleteStats(path: String,
       encConf: Map[String, String] = Map.empty): (Long, Option[(String, String)]) = {
-    val conf = graft.io.FileIO.sharedConf()
-    encConf.foreach { case (k, v) => conf.set(k, v) }
+    val conf = graft.io.FileIO.readOnlyConf(encConf)
     val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(path), conf),
       org.apache.parquet.HadoopReadOptions.builder(conf, new Path(path)).build())
     try {

@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.{FileStatus, Path}
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, LogicalRelation, PartitionDirectory}
-import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.parquet.GraftParquetFileFormat
 import org.apache.spark.sql.types.StructType
 
 /** Build a parquet DataFrame over an EXPLICIT file list with KNOWN sizes.
@@ -57,9 +57,12 @@ object GraftFileRelationBridge {
     // user schema as nullable at the reader (DataSource.resolveRelation)
     // — a required field read through a non-nullable vector would turn
     // stored nulls into zeros
+    // GraftParquetFileFormat: stock parquet semantics with the per-file
+    // JobConf clone + filter re-serialization amortized per task — the
+    // fixed cost that dominates KB-file census scans (r16)
     val relation = HadoopFsRelation(new GraftManifestFileIndex(files),
       new StructType(), dataSchema.asNullable,
-      None, new ParquetFileFormat, options)(cs)
+      None, new GraftParquetFileFormat, options)(cs)
     classic.Dataset.ofRows(cs, LogicalRelation(relation, isStreaming = false))
   }
 }
