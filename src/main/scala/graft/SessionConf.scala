@@ -83,6 +83,12 @@ object SessionConf {
   def scanSession(spark: SparkSession): SparkSession =
     clones.synchronized {
       Option(clones.get(spark)).getOrElse {
+        // context-global: every later newHadoopConf copy (scan-broadcast
+        // conf, FileFormatWriter task conf) inherits the stripped
+        // provenance — the gzip-per-property serialization tax
+        // (graft.io.HadoopConfSlim) disappears for all graft IO
+        graft.io.HadoopConfSlim.stripProvenance(
+          spark.sparkContext.hadoopConfiguration)
         val c = org.apache.spark.sql.GraftSessionBridge.cloneSession(spark)
         ScanConf.foreach { case (k, v) => c.conf.set(k, v) }
         // hadoop-level IO entries flow to relations via newHadoopConf,
@@ -98,6 +104,8 @@ object SessionConf {
   def writeSession(spark: SparkSession): SparkSession =
     writeClones.synchronized {
       Option(writeClones.get(spark)).getOrElse {
+        graft.io.HadoopConfSlim.stripProvenance(
+          spark.sparkContext.hadoopConfiguration)
         val c = org.apache.spark.sql.GraftSessionBridge.cloneSession(spark)
         WriteSessionConf.foreach { case (k, v) => c.conf.set(k, v) }
         writeClones.put(spark, c)

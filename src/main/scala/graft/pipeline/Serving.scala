@@ -131,8 +131,13 @@ object Serving {
                    x -> x <> ''),
             x -> cast(x AS bigint))), 1, $cap), x -> cast(x AS string)), ',')""")
             .as("postings"))
+      // delete keys from the MATERIALIZED batch index (same key set as
+      // `merged` — a left join preserves the left side's keys exactly):
+      // the separate delete-side write job stops re-reading the pruned
+      // old-row scan (r16)
       graft.table.DeleteWriter.upsert(current, merged, Seq("term"),
-        spark, validateFromSnapshot = Some(readSnapshot))
+        spark, validateFromSnapshot = Some(readSnapshot),
+        deleteKeys = Some(newIdx))
     }
   }
 
@@ -660,9 +665,13 @@ object Serving {
           .select(groupCols.map(col) :+
             (coalesce(col("_c0"), lit(0L)) + col("_c1")).as("cnt") :+
             mergedTotal.as("total"): _*)
+        // delete keys from the MATERIALIZED delta (merged = delta left
+        // join old → identical key set) so the delete-side write stops
+        // re-reading the pruned old-row scan (r16)
         graft.table.DeleteWriter.upsert(current, merged, groupCols, spark,
           extraSummary = Map(AggWatermarkKey -> to.toString),
-          validateFromSnapshot = Some(readSnapshot))
+          validateFromSnapshot = Some(readSnapshot),
+          deleteKeys = Some(delta))
       }
     }
   }

@@ -312,10 +312,17 @@ object DeleteWriter {
     * `df` was DERIVED from a read of the table (read-modify-write, e.g.
     * the inverted-index fold), where a CAS retry against a moved base
     * would silently lose the concurrent writer's rows. */
+  /** `deleteKeys`: an OPTIONAL pre-computed frame whose key-column
+    * values equal `df`'s exactly (e.g. the fold delta a merge was
+    * derived from, already materialized) — the delete side then writes
+    * from it instead of re-executing `df`'s whole plan (which for the
+    * read-modify-write folds re-reads the pruned old-row scan a second
+    * time per fold). Rows may repeat; extra columns are dropped. */
   def upsert(table: GraftTable, df: DataFrame, keyCols: Seq[String],
       spark: SparkSession,
       extraSummary: Map[String, String] = Map.empty,
-      validateFromSnapshot: Option[Option[Long]] = None): GraftTable = {
+      validateFromSnapshot: Option[Option[Long]] = None,
+      deleteKeys: Option[DataFrame] = None): GraftTable = {
     val ids = keyCols.map(n => table.schema.findField(n).getOrElse(
       throw new IllegalArgumentException(s"unknown upsert key column: $n")).id)
     val commitUuid = UUID.randomUUID().toString
@@ -324,7 +331,8 @@ object DeleteWriter {
 
     val encConf = graft.crypto.Encryption.confFor(table.metadata.properties)
     val delDir = Locations.commitDir(table, "deletes", commitUuid)
-    df.select(keyCols.map(col): _*).na.drop("any", keyCols).distinct()
+    deleteKeys.getOrElse(df)
+      .select(keyCols.map(col): _*).na.drop("any", keyCols).distinct()
       .write.options(graft.SessionConf.WriteConf.toMap).options(encConf).option("compression", "zstd").parquet(delDir)
     val delFiles = table.io.listFiles(delDir).filter(_._1.endsWith(".parquet"))
       .map { case (p, len) =>
