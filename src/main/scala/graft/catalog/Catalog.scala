@@ -264,7 +264,12 @@ final class HadoopCatalog(val warehouse: String, val io: FileIO) extends Catalog
     val tmp = s"${metadataDir(name)}/.tmp-${java.util.UUID.randomUUID()}.json"
     io.writeBytes(tmp, metadataBytes(updated), overwrite = true)
     val target = versionFile(name, next, metadataSuffix(updated))
-    if (existingVersionFile(name, next).isDefined || !io.rename(tmp, target)) {
+    // renameIfAbsent IS the CAS: a plain rename(2) replaces an existing
+    // destination, so two committers racing the same version both
+    // "succeeded" and the first one's metadata was silently erased (the
+    // ConflictSpec lost-update flake — r16 root cause)
+    if (existingVersionFile(name, next).isDefined ||
+        !io.renameIfAbsent(tmp, target)) {
       io.delete(tmp)
       throw CommitConflict(s"concurrent commit won version $next")
     }

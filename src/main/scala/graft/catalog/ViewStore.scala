@@ -51,7 +51,7 @@ final class ViewStore(warehouse: String, io: FileIO) {
     val tmp = s"${metadataDir(name)}/.tmp-${java.util.UUID.randomUUID()}.json"
     io.writeString(tmp, md.toJsonString, overwrite = true)
     val target = versionFile(name, next)
-    if (io.exists(target) || !io.rename(tmp, target)) {
+    if (io.exists(target) || !io.renameIfAbsent(tmp, target)) {
       io.delete(tmp)
       throw CommitConflict(s"concurrent view commit won version $next")
     }

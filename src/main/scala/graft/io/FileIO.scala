@@ -83,10 +83,36 @@ final class FileIO(val conf: Configuration) extends Serializable {
   }
 
   /** Atomic-ish rename (HDFS/local: atomic; object stores need a CAS
-    * catalog instead — SURVEY.md §7 hard part 4). Returns false if the
-    * destination already exists. */
+    * catalog instead — SURVEY.md §7 hard part 4). NOTE: on the local FS
+    * this is rename(2) semantics — an existing destination is silently
+    * REPLACED; use [[renameIfAbsent]] for commit CAS. */
   def rename(src: String, dst: String): Boolean =
     fs(src).rename(new Path(src), new Path(dst))
+
+  /** CAS primitive: move `src` to `dst` ONLY if `dst` does not exist,
+    * atomically. POSIX rename(2) — and so FileSystem.rename on the local
+    * FS — replaces an existing destination, which turned the catalog's
+    * version-file commit into last-writer-wins under two committers
+    * racing the same version (the ConflictSpec 230-vs-210 lost-update
+    * flake, r15: both passed the exists pre-check, the second rename
+    * silently overwrote the first committer's already-acknowledged
+    * metadata). On `file://` this hard-links (link(2) fails EEXIST
+    * atomically) then unlinks the source. Other schemes keep the
+    * exists+rename shape (HDFS rename is already no-overwrite; object
+    * stores should front commits with a CAS catalog — unchanged). */
+  def renameIfAbsent(src: String, dst: String): Boolean = {
+    val scheme = Option(new Path(src).toUri.getScheme).getOrElse("file")
+    if (scheme == "file") {
+      def local(p: String) = java.nio.file.Paths.get(new Path(p).toUri.getPath)
+      try {
+        java.nio.file.Files.createLink(local(dst), local(src))
+        java.nio.file.Files.delete(local(src))
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    } else !exists(dst) && rename(src, dst)
+  }
 
   def delete(path: String, recursive: Boolean = false): Boolean =
     fs(path).delete(new Path(path), recursive)

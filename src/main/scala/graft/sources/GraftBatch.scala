@@ -9,7 +9,7 @@ import org.apache.spark.sql.connector.expressions.Expressions
 import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, SupportsReportPartitioning}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.execution.datasources.{FileFormat, PartitionedFile}
-import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.parquet.GraftParquetFileFormat
 import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.util.SerializableConfiguration
@@ -378,6 +378,16 @@ class GraftBatchScan(table: GraftTable, predicate: Predicate,
     * filter rows. */
   override def outputOrdering()
       : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    plannedAndKeys
+    orderingFor(lastPlannedTasks)
+  }
+
+  /** The provable ordering of `tasks` (empty array when unprovable) —
+    * shared by [[outputOrdering]] and the split-packing decision in
+    * [[buildPlan]]: a scan that reports an ordering must keep ONE split
+    * per Spark partition (concatenating two sorted files is not sorted). */
+  private def orderingFor(tasks: Seq[graft.table.CompactFileTask])
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
     import org.apache.spark.sql.connector.expressions.{NullOrdering, SortDirection}
     val md = table.metadata
     val order = md.sortOrders.find(_.orderId == md.defaultSortOrderId)
@@ -386,8 +396,6 @@ class GraftBatchScan(table: GraftTable, predicate: Predicate,
       order.fields.forall(_.transform == graft.spec.Transform.Identity) &&
         table.spec.fields.forall(_.transform == graft.spec.Transform.Identity)
     if (!identityOnly) return Array.empty
-    plannedAndKeys
-    val tasks = lastPlannedTasks
     if (tasks.isEmpty ||
         !tasks.forall(_.sortOrderId.contains(order.orderId)))
       return Array.empty
@@ -419,7 +427,55 @@ class GraftBatchScan(table: GraftTable, predicate: Predicate,
         case graft.spec.Transform.Identity | graft.spec.Transform.Bucket(_) => true
         case _ => false
       })
-    if (!spjSupported) (parts.map(p => p._2: InputPartition), 0)
+
+    // FilePartition-style split packing (VERDICT r15 item 4): one
+    // InputPartition per FILE is a scheduler scale-killer at 100 TB file
+    // counts — pack splits into ~maxSplitBytes bins, each split charged
+    // its length + an open cost, with the bin size derived from the SAME
+    // session knobs as the V1 scan (maxPartitionBytes / openCostInBytes /
+    // minPartitionNum) so it is scale-adaptive, not a local constant.
+    // Contracts preserved:
+    //   - SPJ: bins never cross a partition tuple (packed below,
+    //     per-group), so HasPartitionKey stays exact;
+    //   - ordering: a scan whose files PROVE the table sort order skips
+    //     packing entirely — the per-partition sort report (and the
+    //     sort-elision it buys) outweighs task-count savings there.
+    val sqlConf = SparkSession.active.sessionState.conf
+    val openCost = sqlConf.filesOpenCostInBytes
+    val minPartitionNum = sqlConf.filesMinPartitionNum
+      .getOrElse(SparkSession.active.sparkContext.defaultParallelism)
+    val totalBytes = parts.map(_._2.length + openCost).sum
+    val maxSplitBytes = math.min(sqlConf.filesMaxPartitionBytes,
+      math.max(openCost, totalBytes / math.max(1, minPartitionNum)))
+    val preserveOrder = orderingFor(parts.map(_._1).toSeq).nonEmpty
+
+    def bins(group: Seq[GraftInputPartition]): Seq[Seq[GraftInputPartition]] =
+      if (preserveOrder || group.lengthCompare(1) <= 0) group.map(Seq(_))
+      else {
+        val sorted = group.sortBy(-_.length) // Spark's largest-first fill
+        val out = Seq.newBuilder[Seq[GraftInputPartition]]
+        var cur = List.empty[GraftInputPartition]
+        var size = 0L
+        sorted.foreach { s =>
+          if (cur.nonEmpty && size + s.length + openCost > maxSplitBytes) {
+            out += cur.reverse
+            cur = Nil
+            size = 0L
+          }
+          cur ::= s
+          size += s.length + openCost
+        }
+        if (cur.nonEmpty) out += cur.reverse
+        out.result()
+      }
+    def unkeyed(ps: Array[(graft.table.CompactFileTask, GraftInputPartition)])
+        : Array[InputPartition] =
+      bins(ps.map(_._2).toSeq).map {
+        case Seq(one) => one: InputPartition
+        case many => GraftPackedInputPartition(many): InputPartition
+      }.toArray
+
+    if (!spjSupported) (unkeyed(parts), 0)
     else {
       val partType = spec.partitionType(table.schema)
       val converters = partType.fields.map(f =>
@@ -431,11 +487,23 @@ class GraftBatchScan(table: GraftTable, predicate: Predicate,
             conv(Predicate.sparkValue(f.fieldType, v))
           }.toArray)
       val allDefaultSpec = parts.forall(_._1.specId == spec.specId)
-      if (!allDefaultSpec) (parts.map(p => p._2: InputPartition), 0)
+      if (!allDefaultSpec) (unkeyed(parts), 0)
       else {
-        val keyed = parts.map { case (t, p) => GraftKeyedInputPartition(p, keyOf(t)) }
-        val distinct = parts.map(_._1.partition).distinct.size
-        (keyed.map(p => p: InputPartition), distinct)
+        // group splits by partition tuple in first-seen order (stable
+        // plans run to run), pack within each group only
+        val groups = new scala.collection.mutable.LinkedHashMap[Seq[Any],
+          scala.collection.mutable.ArrayBuffer[(graft.table.CompactFileTask,
+            GraftInputPartition)]]()
+        parts.foreach(p => groups.getOrElseUpdate(p._1.partition,
+          scala.collection.mutable.ArrayBuffer.empty) += p)
+        val keyed = groups.valuesIterator.flatMap { group =>
+          val k = keyOf(group.head._1)
+          bins(group.map(_._2).toSeq).map {
+            case Seq(one) => GraftKeyedInputPartition(one, k): InputPartition
+            case many => GraftKeyedPackedInputPartition(many, k): InputPartition
+          }
+        }.toArray
+        (keyed, groups.size)
       }
     }
   }
@@ -728,6 +796,18 @@ final case class GraftKeyedInputPartition(part: GraftInputPartition,
   override def partitionKey(): InternalRow = key
 }
 
+/** Several splits served sequentially by ONE task (FilePartition-style
+  * bin packing — task count ∝ bytes, not files). */
+final case class GraftPackedInputPartition(parts: Seq[GraftInputPartition])
+    extends InputPartition
+
+/** A packed bin whose splits all share one partition tuple (SPJ packing
+  * never crosses a tuple, so HasPartitionKey stays exact). */
+final case class GraftKeyedPackedInputPartition(parts: Seq[GraftInputPartition],
+    key: InternalRow) extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = key
+}
+
 object GraftInputPartition {
 
   /** Split a delete-free data file at row-group boundaries into ~128 MB
@@ -780,7 +860,9 @@ object GraftReaderFactory {
       emitRowId: Boolean = false,
       emitLastSeq: Boolean = false): GraftReaderFactory = {
     val scanSpark = graft.SessionConf.scanSession(spark)
-    val fmt = new ParquetFileFormat()
+    // per-task-amortized reader function (one JobConf per task, filter
+    // serialized once) — matters most for packed bins of small files
+    val fmt = new GraftParquetFileFormat()
     val hc = scanSpark.sparkContext.hadoopConfiguration
     def conf() = {
       val c = new org.apache.hadoop.conf.Configuration(hc)
@@ -832,11 +914,19 @@ final class GraftReaderFactory(
     emitLastSeq: Boolean = false)
     extends PartitionReaderFactory {
 
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition match {
-      case k: GraftKeyedInputPartition => k.part
-      case g: GraftInputPartition => g
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case pk: GraftPackedInputPartition => packed(pk.parts)
+      case kp: GraftKeyedPackedInputPartition => packed(kp.parts)
+      case k: GraftKeyedInputPartition => single(k.part)
+      case g: GraftInputPartition => single(g)
     }
+
+  private def packed(parts: Seq[GraftInputPartition]): PartitionReader[InternalRow] =
+    if (parts.lengthCompare(1) == 0) single(parts.head)
+    else new GraftConcatPartitionReader(parts.map(p => () => single(p)))
+
+  private def single(p: GraftInputPartition): PartitionReader[InternalRow] = {
     // a file missing a defaulted column must not see pushed parquet
     // filters: a predicate on that column would evaluate against the
     // null-fill (possibly pruning whole row groups) instead of the default
@@ -845,6 +935,59 @@ final class GraftReaderFactory(
     new GraftPartitionReader(p, read, posDeleteRead, conf, emitFile, emitPos,
       readSchema, outputOrdinals, defaults, eqReads, emitSpecId, partSchema,
       emitDeleted, emitRowId, emitLastSeq)
+  }
+}
+
+/** Sequential reader over a packed bin's splits: opens each sub-reader
+  * lazily, closes it when drained, and SUMS task metrics across the
+  * sub-readers (bytesRead must count every split of the bin, not just
+  * the live one). */
+final class GraftConcatPartitionReader(
+    makers: Seq[() => PartitionReader[InternalRow]])
+    extends PartitionReader[InternalRow] {
+  private var idx = -1
+  private var cur: PartitionReader[InternalRow] = _
+  private val drained = scala.collection.mutable.LinkedHashMap[String, Long]()
+
+  private def drainMetrics(r: PartitionReader[InternalRow]): Unit =
+    r.currentMetricsValues().foreach(m =>
+      drained(m.name) = drained.getOrElse(m.name, 0L) + m.value)
+
+  override def next(): Boolean = {
+    while (true) {
+      if (cur != null) {
+        if (cur.next()) return true
+        drainMetrics(cur)
+        cur.close()
+        cur = null
+      }
+      idx += 1
+      if (idx >= makers.size) return false
+      cur = makers(idx)()
+    }
+    false
+  }
+
+  override def get(): InternalRow = cur.get()
+
+  override def close(): Unit =
+    if (cur != null) {
+      cur.close()
+      cur = null
+    }
+
+  override def currentMetricsValues()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = {
+    val live =
+      if (cur == null) Map.empty[String, Long]
+      else cur.currentMetricsValues().map(m => m.name -> m.value).toMap
+    (drained.keySet ++ live.keySet).toSeq.map { n =>
+      val v = drained.getOrElse(n, 0L) + live.getOrElse(n, 0L)
+      new org.apache.spark.sql.connector.metric.CustomTaskMetric {
+        override def name(): String = n
+        override def value(): Long = v
+      }: org.apache.spark.sql.connector.metric.CustomTaskMetric
+    }.toArray
   }
 }
 

@@ -651,8 +651,14 @@ class GraftSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       d.file.lowerBounds.contains(graft.meta.ReservedFieldIds.FilePath)),
       "staged pos-delete files must carry file_path bounds")
 
+    // flatten packed bins: the delete-binding assertions are per SPLIT
     val parts = new GraftBatchScan(t, graft.expr.AlwaysTrue, Nil, None)
-      .planInputPartitions().map(_.asInstanceOf[GraftInputPartition])
+      .planInputPartitions().flatMap {
+        case p: GraftPackedInputPartition => p.parts
+        case k: GraftKeyedPackedInputPartition => k.parts
+        case k: GraftKeyedInputPartition => Seq(k.part)
+        case g: GraftInputPartition => Seq(g)
+      }
     val withDel = parts.filter(_.posDeleteFiles.nonEmpty)
     val without = parts.filter(_.posDeleteFiles.isEmpty)
     assert(withDel.map(_.path).distinct.length === 1,
@@ -741,5 +747,84 @@ class GraftSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the fixture's delete file binds to every data file, so the total is
     // data + (bound delete bytes per task), at least data + one delete read
     assert(gotMor >= morData + delBytes)
+  }
+
+  /** Split packing (r16): task count ∝ bytes, not files — KB-scale files
+    * pack into shared InputPartitions; SPJ bins never cross a partition
+    * tuple; reads and metrics stay exact; a provably-sorted scan skips
+    * packing so its ordering report stays valid. */
+  test("split packing: bins by bytes, SPJ-safe, exact reads, order-preserving opt-out") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-pack-").toString
+    val cat = new graft.catalog.HadoopCatalog(wh, graft.io.FileIO.fromSpark(spark))
+
+    // unpartitioned, 12 one-row appends → 12 KB-scale files
+    val schema = IcebergSchema.fromSpark(Seq((1L, "x")).toDF("id", "v").schema)
+    var t = graft.table.GraftTable.create("packu", cat, schema)
+    (1L to 12L).foreach(i => t = t.append(Seq((i, s"v$i")).toDF("id", "v")))
+    val scan = new GraftBatchScan(t, graft.expr.AlwaysTrue, Nil, None)
+    val parts = scan.planInputPartitions()
+    assert(parts.length < 12,
+      s"12 tiny files must pack into fewer partitions, got ${parts.length}")
+    def splitsOf(p: org.apache.spark.sql.connector.read.InputPartition) =
+      p match {
+        case pp: GraftPackedInputPartition => pp.parts
+        case kp: GraftKeyedPackedInputPartition => kp.parts
+        case k: GraftKeyedInputPartition => Seq(k.part)
+        case g: GraftInputPartition => Seq(g)
+      }
+    assert(parts.flatMap(splitsOf).map(_.path).distinct.length === 12,
+      "packing must cover every planned file exactly once")
+    // exact read through the packed bins (counts + values)
+    val df = spark.read.format("graft")
+      .option("warehouse", wh).option("table", "packu").load()
+    assert(df.count() === 12L)
+    assert(df.select("id").as[Long].collect().sorted.toSeq === (1L to 12L))
+    // bytesRead still counts every split of a bin
+    val factory = scan.createReaderFactory()
+    val gotBytes = parts.map { p =>
+      val r = factory.createReader(p)
+      while (r.next()) { r.get() }
+      val v = r.currentMetricsValues().find(_.name == "bytesRead")
+        .map(_.value).getOrElse(0L)
+      r.close(); v
+    }.sum
+    val planned = t.newScan().planFiles().map(_.file.fileSizeInBytes).sum
+    assert(gotBytes === planned,
+      s"packed bytesRead $gotBytes != planned file bytes $planned")
+
+    // identity-partitioned: bins never cross a partition tuple
+    val src = (1L to 40L).map(i => (i, s"g${i % 4}")).toDF("id", "grp")
+    val pschema = IcebergSchema.fromSpark(src.schema)
+    val pspec = graft.spec.PartitionSpec.build(pschema,
+      Seq("grp" -> graft.spec.Transform.Identity))
+    var pt = graft.table.GraftTable.create("packp", cat, pschema, pspec)
+    (0 until 3).foreach(_ => pt = pt.append(src)) // 3 appends × 4 groups
+    val pparts = new GraftBatchScan(pt, graft.expr.AlwaysTrue, Nil, None)
+      .planInputPartitions()
+    assert(pparts.nonEmpty)
+    pparts.foreach { p =>
+      assert(p.isInstanceOf[org.apache.spark.sql.connector.read.HasPartitionKey])
+      // tuple identity = the Hive-style partition segment (commit dirs differ)
+      val tuples = splitsOf(p)
+        .map(_.path.replaceAll("/[^/]*$", "").replaceAll(".*/", "")).distinct
+      assert(tuples.length === 1, s"a bin crossed partition tuples: $tuples")
+    }
+    assert(pparts.length === 4,
+      s"3 appends × 4 identity groups must pack to 4 bins, got ${pparts.length}")
+
+    // sorted table: files stamped with the sort order → no packing, the
+    // ordering report survives
+    var st = graft.table.GraftTable.create("packs", cat, schema)
+    st = st.replaceSortOrder(Seq(graft.spec.SortField(
+      schema.findField("id").get.id, graft.spec.Transform.Identity,
+      ascending = true, nullsFirst = true)))
+    (1L to 4L).foreach(i => st = st.append(Seq((i, s"v$i")).toDF("id", "v")))
+    val sscan = new GraftBatchScan(st, graft.expr.AlwaysTrue, Nil, None)
+    val sparts = sscan.planInputPartitions()
+    assert(sscan.outputOrdering().nonEmpty,
+      "sorted fixture must report its ordering")
+    assert(sparts.length === 4,
+      "an ordering-reporting scan must keep one split per partition")
   }
 }
