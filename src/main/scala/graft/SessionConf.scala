@@ -69,6 +69,22 @@ object SessionConf {
     "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false") ++
     HadoopIoConf
 
+  /** [[WriteSessionConf]] WITHOUT the size-based coalescing override —
+    * for PARTITIONED (fanout) writes. There the hash exchange clusters
+    * each partition tuple into one task, so task count never changes the
+    * file count or sizes; what it does change is how many of the
+    * fanout's per-file creates run in parallel. r15 coalesced these to 1
+    * task because each write task paid a ~0.7 s Hadoop-conf inflation;
+    * with that tax removed (HadoopConfSlim, r16) the serial ~3 ms/file
+    * create loop became the fold write's whole cost (measured: a 282-file
+    * band fold write = 0.8–1.0 s single-task job), so fanout writes keep
+    * Spark's default parallelism-first AQE semantics. Unpartitioned
+    * writes keep the size-based override — there task count IS file
+    * count. */
+  val FanoutWriteSessionConf: Seq[(String, String)] =
+    WriteSessionConf.filterNot(_._1 ==
+      "spark.sql.adaptive.coalescePartitions.parallelismFirst")
+
   // one clone per parent session (weak: dropped with the parent); the
   // clone snapshots parent conf at first use — acceptable, overrides are
   // static and the parent's load-bearing settings (timezone) are copied
@@ -76,6 +92,9 @@ object SessionConf {
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession, SparkSession]())
   private val writeClones =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, SparkSession]())
+  private val fanoutClones =
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession, SparkSession]())
 
@@ -109,6 +128,19 @@ object SessionConf {
         val c = org.apache.spark.sql.GraftSessionBridge.cloneSession(spark)
         WriteSessionConf.foreach { case (k, v) => c.conf.set(k, v) }
         writeClones.put(spark, c)
+        c
+      }
+    }
+
+  /** The fanout-write clone ([[FanoutWriteSessionConf]]). */
+  def fanoutWriteSession(spark: SparkSession): SparkSession =
+    fanoutClones.synchronized {
+      Option(fanoutClones.get(spark)).getOrElse {
+        graft.io.HadoopConfSlim.stripProvenance(
+          spark.sparkContext.hadoopConfiguration)
+        val c = org.apache.spark.sql.GraftSessionBridge.cloneSession(spark)
+        FanoutWriteSessionConf.foreach { case (k, v) => c.conf.set(k, v) }
+        fanoutClones.put(spark, c)
         c
       }
     }

@@ -529,7 +529,12 @@ object Curation {
     // materialize costs MORE than re-running the map-side explode
     // (1.81 s vs 1.47 s isolated at sf0.1) — per-doc bigrams are mostly
     // distinct, so the cells exchange ships ~everything and the
-    // checkpoint adds I/O for no reuse win. Double explode stands.
+    // checkpoint adds I/O for no reuse win. Re-measured r16:
+    // spreadNarrow(docs) re-ran its exchange per consumer and read
+    // 1.20 → 1.47 s (Σtask_run 0.9 → 11.3 s of shuffle fixed costs) —
+    // the serial explode IS the optimum at this corpus scale, and a
+    // 100 TB corpus arrives multi-file (already parallel) anyway.
+    // Double explode stands.
     val big = docs
       .select(col("doc_id"), TextHash.words(col("text")).as("w"))
       .filter(size(col("w")) >= 2)

@@ -151,9 +151,14 @@ object AppendWriter {
     // values are session-timezone dependent; the spec computes them in UTC
     // (transform/temporal.rs). The write executes under a conf-carrying
     // session CLONE (graft.SessionConf.writeSession: UTC, field-id
-    // embedding, size-based AQE write coalescing, fork-free local IO) —
-    // the caller's session is never mutated, same hygiene as scans.
-    val wspark = graft.SessionConf.writeSession(spark)
+    // embedding, fork-free local IO) — the caller's session is never
+    // mutated, same hygiene as scans. Unpartitioned writes add size-based
+    // AQE coalescing (task count = file count there); fanout writes keep
+    // default parallelism so the per-file creates run wide
+    // (SessionConf.FanoutWriteSessionConf).
+    val wspark =
+      if (table.spec.fields.nonEmpty) graft.SessionConf.fanoutWriteSession(spark)
+      else graft.SessionConf.writeSession(spark)
     writeInUtc(table, graft.SessionConf.bind(wspark, input), wspark, commitUuid)
   }
 
