@@ -86,8 +86,12 @@ object SessionConf {
       "spark.sql.adaptive.coalescePartitions.parallelismFirst")
 
   // one clone per parent session (weak: dropped with the parent); the
-  // clone snapshots parent conf at first use — acceptable, overrides are
-  // static and the parent's load-bearing settings (timezone) are copied
+  // clone SNAPSHOTS the parent conf at first use and is cached for the
+  // parent's lifetime — caller conf changes made AFTER the first graft
+  // scan/write (shuffle partitions, AQE advisory size, codegen flags) do
+  // not reach later graft operations (ADVICE r15, documented contract:
+  // session-level tuning belongs on the session BEFORE its first graft
+  // op; per-op tuning belongs in table properties, which always apply)
   private val clones =
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession, SparkSession]())

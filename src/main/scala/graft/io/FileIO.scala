@@ -127,13 +127,19 @@ final class FileIO(val conf: Configuration) extends Serializable {
     val b = Seq.newBuilder[(String, Long)]
     while (it.hasNext) {
       val s = it.next()
-      // skip dot-prefixed sidecars (`.x.crc`): the checksummed local FS
-      // hid them from listings; the raw NIO FS must keep that contract
-      if (s.isFile && !s.getPath.getName.startsWith("."))
+      // skip only CHECKSUM sidecars (`.x.crc`): the checksummed local FS
+      // hid them from listings; the raw NIO FS must keep that contract.
+      // Scoped to the exact sidecar pattern (ADVICE r15): a blanket
+      // dot-prefix filter made legitimately dot-prefixed objects
+      // invisible to every caller, including orphan GC's sweep.
+      if (s.isFile && !isCrcSidecar(s.getPath.getName))
         b += ((s.getPath.toString, s.getLen))
     }
     b.result()
   }
+
+  private def isCrcSidecar(name: String): Boolean =
+    name.startsWith(".") && name.endsWith(".crc")
 
   /** (path, length, modificationTimeMs) recursive listing. */
   def listFilesRecursive(dir: String): Seq[(String, Long, Long)] = {
@@ -144,7 +150,7 @@ final class FileIO(val conf: Configuration) extends Serializable {
     val b = Seq.newBuilder[(String, Long, Long)]
     while (it.hasNext) {
       val s = it.next()
-      if (s.isFile && !s.getPath.getName.startsWith("."))
+      if (s.isFile && !isCrcSidecar(s.getPath.getName))
         b += ((s.getPath.toString, s.getLen, s.getModificationTime))
     }
     b.result()

@@ -997,6 +997,15 @@ final class TableScan private[table] (
     limitRows.map(n => projected.limit(n.toInt)).getOrElse(projected)
   }
 
+  /** Timestamp backing `_metadata.file_modification_time` for the
+    * explicit-file relation (ADVICE r15): the scan's snapshot commit
+    * time — a served file is at most as new as the snapshot that added
+    * it. The fabricated epoch-0 this replaces was a silent wrong answer
+    * for any user projecting that column. */
+  private def scanMtimeMs: Long =
+    table.metadata.currentSnapshot.map(_.timestampMs)
+      .getOrElse(table.metadata.lastUpdatedMs)
+
   private def dfForTasks(spark: SparkSession, tasks: Seq[FileScanTask]): DataFrame = {
     val sparkSchema = table.schema.toSpark
     // id-based projection (pipeline.rs:160-168) via a conf-carrying session
@@ -1026,8 +1035,18 @@ final class TableScan private[table] (
             // name-based for every file (true for both foreign files and
             // our own, which write the then-current names)
             val physical = nm.physicalSchema(table.schema)
-            val rawPhys = reader.read.options(encConf).schema(physical)
-              .parquet(tasks.map(_.file.filePath): _*)
+            // explicit-file relation, same as the unmapped branch below
+            // (ADVICE r15): the listing-based read paid the one-task-per-
+            // path InMemoryFileIndex job this bridge eliminates. The
+            // physical schema carries NO field-id metadata, so resolution
+            // stays name-based for every file — the mapped contract.
+            val rawPhys = org.apache.spark.sql.GraftFileRelationBridge
+              .parquetOverFiles(reader,
+                tasks.map(t => (qualifyPath(t.file.filePath),
+                  t.file.fileSizeInBytes)).distinctBy(_._1),
+                physical,
+                encConf ++ graft.SessionConf.HadoopIoConf,
+                mtimeMs = scanMtimeMs)
             // deletes join on _metadata → must run before the rename
             // projection drops it (position/DV deletes only for mapped
             // tables; equality deletes would need alias-aware keys).
@@ -1083,7 +1102,8 @@ final class TableScan private[table] (
                   ts.map(t => (qualifyPath(t.file.filePath),
                     t.file.fileSizeInBytes)).distinctBy(_._1),
                   readSchema,
-                  encConf ++ graft.SessionConf.HadoopIoConf)
+                  encConf ++ graft.SessionConf.HadoopIoConf,
+                  mtimeMs = scanMtimeMs)
               val filled = missing.foldLeft(raw) { (df, f) =>
                 df.withColumn(f.name, defaultLiteral(f))
               }

@@ -30,13 +30,15 @@ object GraftFileRelationBridge {
   /** The pre-populated index. `rootPaths` is the planned FILE list —
     * the same contract InMemoryFileIndex exposes when built over
     * explicit leaf paths (plan-inspection tooling and specs count and
-    * prefix-match scan paths through it). */
-  final class GraftManifestFileIndex(files: Seq[(String, Long)])
+    * prefix-match scan paths through it). `mtimeMs` backs
+    * `_metadata.file_modification_time` for user projections — the
+    * caller passes the snapshot's commit timestamp (a file is at most
+    * as new as the snapshot that added it); 0 would surface epoch-0. */
+  final class GraftManifestFileIndex(files: Seq[(String, Long)],
+      mtimeMs: Long = 0L)
       extends FileIndex {
     private val statuses = files.map { case (p, len) =>
-      // mtime 0: nothing downstream reads it (the `_metadata` struct
-      // would surface it, but graft projects only file_path/row_index)
-      new FileStatus(len, false, 1, 128L << 20, 0L, new Path(p))
+      new FileStatus(len, false, 1, 128L << 20, mtimeMs, new Path(p))
     }.toArray
     override def rootPaths: Seq[Path] = statuses.map(_.getPath).toSeq
     override def listFiles(
@@ -51,8 +53,18 @@ object GraftFileRelationBridge {
   }
 
   def parquetOverFiles(spark: SparkSession, files: Seq[(String, Long)],
-      dataSchema: StructType, options: Map[String, String]): DataFrame = {
+      dataSchema: StructType, options: Map[String, String],
+      mtimeMs: Long = 0L): DataFrame = {
     val cs = spark.asInstanceOf[classic.SparkSession]
+    // KB-scale artifact scans (maintenance censuses: thousands of
+    // one-row files) cap the vectorized batch so each per-file reader
+    // stops pre-allocating 4096-row column vectors it never fills —
+    // measured GC churn at 32 concurrent census tasks (r16). Size-gated:
+    // a relation with any normally-sized file keeps the session default.
+    val tinyCap: Map[String, String] =
+      if (files.nonEmpty && files.forall(_._2 < (4L << 20)))
+        Map("graft.parquet.batch-capacity" -> "1024")
+      else Map.empty
     // asNullable: the DataFrameReader.schema path this replaces treats a
     // user schema as nullable at the reader (DataSource.resolveRelation)
     // — a required field read through a non-nullable vector would turn
@@ -60,9 +72,9 @@ object GraftFileRelationBridge {
     // GraftParquetFileFormat: stock parquet semantics with the per-file
     // JobConf clone + filter re-serialization amortized per task — the
     // fixed cost that dominates KB-file census scans (r16)
-    val relation = HadoopFsRelation(new GraftManifestFileIndex(files),
+    val relation = HadoopFsRelation(new GraftManifestFileIndex(files, mtimeMs),
       new StructType(), dataSchema.asNullable,
-      None, new GraftParquetFileFormat, options)(cs)
+      None, new GraftParquetFileFormat, options ++ tinyCap)(cs)
     classic.Dataset.ofRows(cs, LogicalRelation(relation, isStreaming = false))
   }
 }

@@ -105,7 +105,11 @@ final class GraftParquetFileFormat extends ParquetFileFormat {
       returningBatch = sqlConf.parquetVectorizedReaderEnabled &&
         options.getOrElse(org.apache.spark.sql.execution.datasources.FileFormat
           .OPTION_RETURNING_BATCH, "false") == "true",
-      capacity = sqlConf.parquetVectorizedReaderBatchSize,
+      // per-relation batch-capacity override: KB-file census relations
+      // cap it so thousands of per-file readers stop pre-allocating
+      // 4096-row vectors (GraftFileRelationBridge sets it size-gated)
+      capacity = options.get("graft.parquet.batch-capacity").map(_.toInt)
+        .getOrElse(sqlConf.parquetVectorizedReaderBatchSize),
       enableRecordFilter = sqlConf.parquetRecordFilterEnabled)
   }
 }
