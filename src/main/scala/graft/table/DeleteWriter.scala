@@ -326,14 +326,35 @@ object DeleteWriter {
     val ids = keyCols.map(n => table.schema.findField(n).getOrElse(
       throw new IllegalArgumentException(s"unknown upsert key column: $n")).id)
     val commitUuid = UUID.randomUUID().toString
-    val dataFiles = AppendWriter.writeDataFiles(table, df, commitUuid)
-    if (dataFiles.isEmpty) return table
-
     val encConf = graft.crypto.Encryption.confFor(table.metadata.properties)
     val delDir = Locations.commitDir(table, "deletes", commitUuid)
-    deleteKeys.getOrElse(df)
-      .select(keyCols.map(col): _*).na.drop("any", keyCols).distinct()
-      .write.options(graft.SessionConf.WriteConf.toMap).options(encConf).option("compression", "zstd").parquet(delDir)
+    // the data write and the delete-key write are INDEPENDENT Spark jobs
+    // (both derive from the caller's frames; the commit below consumes
+    // both) — overlap them so the fold's critical path pays one write
+    // latency, not two (guide §2.6; actions were only sequential because
+    // this code called them sequentially)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dataF = Future(AppendWriter.writeDataFiles(table, df, commitUuid))
+    try {
+      deleteKeys.getOrElse(df)
+        .select(keyCols.map(col): _*).na.drop("any", keyCols).distinct()
+        .write.options(graft.SessionConf.WriteConf.toMap).options(encConf).option("compression", "zstd").parquet(delDir)
+    } catch {
+      case e: Throwable =>
+        try Await.result(dataF, Duration.Inf).foreach(f =>
+          try table.io.delete(f.filePath) catch { case _: Throwable => () })
+        catch { case _: Throwable => () }
+        throw e
+    }
+    val dataFiles = Await.result(dataF, Duration.Inf)
+    if (dataFiles.isEmpty) {
+      // no-op fold: reclaim the (already written) delete keys
+      try table.io.delete(delDir, recursive = true)
+      catch { case _: Throwable => () }
+      return table
+    }
     val delFiles = table.io.listFiles(delDir).filter(_._1.endsWith(".parquet"))
       .map { case (p, len) =>
         DataFile(
